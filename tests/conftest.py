@@ -1,0 +1,10 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from vframe_spark.session import spark_session
+
+    s = spark_session("vframe_spark_tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()

@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vframe_spark.index.codec import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_varint_known_values():
+    # 0 and 127 → one byte; 128 → two bytes (LEB128)
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [0],
+        [1, 127, 128, 129, 16383, 16384],
+        [2**32 - 1, 2**32, 2**63, 2**64 - 1],
+        list(range(1000)),
+    ],
+)
+def test_varint_roundtrip(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(a)), a)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+def test_varint_roundtrip_property(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(a)), a)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True
+    )
+)
+def test_delta_roundtrip_property(vals):
+    a = np.array(sorted(vals), dtype=np.uint64)
+    assert np.array_equal(delta_decode(delta_encode(a)), a)
+
+
+def test_delta_compresses_dense_runs():
+    a = np.arange(10_000, dtype=np.uint64) + 5_000_000
+    enc = delta_encode(a)
+    # gaps are all 1 → ~1 byte each (+ a few for the head)
+    assert len(enc) < 10_010

@@ -1,0 +1,29 @@
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+
+
+def test_doc_ids_dense_and_ordered(spark):
+    docs = synth_docs(spark, 500, partitions=4)
+    with_ids = assign_doc_ids(docs, ["repo", "path", "commit"], num_partitions=4)
+    rows = with_ids.orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in rows] == list(range(500))
+    keys = [(r["repo"], r["path"], r["commit"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_doc_ids_deterministic_across_runs(spark):
+    docs = synth_docs(spark, 300, partitions=3)
+    a = assign_doc_ids(docs, ["repo", "path", "commit"], num_partitions=4)
+    b = assign_doc_ids(docs, ["repo", "path", "commit"], num_partitions=4)
+    am = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in a.collect()}
+    bm = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in b.collect()}
+    assert am == bm
+
+
+def test_doc_ids_partitioning_invariant(spark):
+    docs = synth_docs(spark, 200, partitions=2)
+    a = assign_doc_ids(docs, ["repo", "path", "commit"], num_partitions=2)
+    b = assign_doc_ids(docs.repartition(7), ["repo", "path", "commit"], num_partitions=5)
+    am = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in a.collect()}
+    bm = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in b.collect()}
+    assert am == bm

@@ -1,0 +1,92 @@
+"""Index-build invariants (SURVEY.md §5.3)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.build import (
+    build_doc_stats,
+    build_postings,
+    build_term_stats,
+    tokenize_docs,
+)
+from vframe_spark.index.codec import delta_decode, varint_decode
+from vframe_spark.oracle import OracleIndex
+
+N_DOCS = 300
+
+
+def _docs(spark):
+    docs = synth_docs(spark, N_DOCS, partitions=4)
+    return assign_doc_ids(docs, ["repo", "path", "commit"], num_partitions=4)
+
+
+def test_sha256_invariant(spark):
+    """input_hint: per-row sha256(content) equality vs the source table."""
+    docs = _docs(spark).withColumn("sha", F.sha2("content", 256))
+    roundtrip = docs.select("doc_id", "content", "sha").withColumn(
+        "sha2", F.sha2("content", 256)
+    )
+    assert roundtrip.filter(F.col("sha") != F.col("sha2")).count() == 0
+    import hashlib
+
+    sample = roundtrip.orderBy("doc_id").limit(20).collect()
+    for r in sample:
+        assert r["sha"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_tokens_match_oracle(spark):
+    docs = _docs(spark)
+    tokens = tokenize_docs(docs).toPandas()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    got = {}
+    for r in tokens.itertuples():
+        got.setdefault(r.doc_id, {})[r.term] = r.tf
+    for doc_id, counter in oracle.tf.items():
+        assert got.get(doc_id, {}) == dict(counter), doc_id
+    # doc_len excludes lang terms and equals oracle's token count
+    dls = tokens.drop_duplicates("doc_id").set_index("doc_id")["doc_len"]
+    for doc_id, dl in oracle.doc_len.items():
+        if doc_id in dls.index:
+            assert int(dls[doc_id]) == dl
+
+
+def test_postings_sorted_and_consistent(spark):
+    docs = _docs(spark)
+    tokens = tokenize_docs(docs)
+    postings = build_postings(tokens, shard_size=64, block_size=16).toPandas()
+
+    # shard bounds respected; blocks sorted; decode round-trips
+    for r in postings.itertuples():
+        ids = delta_decode(r.doc_ids).astype(np.int64)
+        tfs = varint_decode(r.tfs)
+        dls = varint_decode(r.dls)
+        assert len(ids) == r.n == len(tfs) == len(dls)
+        assert np.all(np.diff(ids) > 0)  # strictly sorted
+        assert ids[0] == r.first_doc and ids[-1] == r.last_doc
+        assert ids[0] // 64 == r.shard and ids[-1] // 64 == r.shard
+        assert int(tfs.max()) == r.max_tf
+        assert int(dls.min()) == r.min_dl
+
+    # blocks of one (term, shard) are contiguous, globally sorted
+    for (_, _), grp in postings.groupby(["term", "shard"]):
+        grp = grp.sort_values("block")
+        assert list(grp["block"]) == list(range(len(grp)))
+        lasts = grp["last_doc"].to_numpy()
+        firsts = grp["first_doc"].to_numpy()
+        assert np.all(lasts[:-1] < firsts[1:])
+
+
+def test_df_and_doclen_vs_oracle(spark):
+    docs = _docs(spark)
+    rows = docs.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    tokens = tokenize_docs(docs)
+    postings = build_postings(tokens, shard_size=64, block_size=16)
+    tstats = {r["term"]: r["df"] for r in build_term_stats(postings).collect()}
+    assert tstats == dict(oracle.df)
+    dstats = {r["doc_id"]: r["doc_len"] for r in build_doc_stats(tokens).collect()}
+    for d, dl in oracle.doc_len.items():
+        assert dstats.get(d, 0) == dl

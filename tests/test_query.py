@@ -1,0 +1,89 @@
+"""Rank-identity of both query engines vs the pure-Python oracle.
+
+north_rule: "matching the reference's top-k docIDs and BM25 scores
+(rank-identical) on the reference query set".
+"""
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.build import build_term_stats, build_postings, tokenize_docs
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import OracleIndex
+from vframe_spark.queries import reference_queries
+from vframe_spark.query.bm25 import bm25_topk_df
+from vframe_spark.query.wand import bm25_topk_wand
+
+N_DOCS = 400
+SHARD = 64
+BLOCK = 16
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, N_DOCS, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    return docs, oracle
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("idx"))
+    meta = build_index(docs, out, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+    assert meta["complete"]
+    return load_index(spark, out)
+
+
+def _check(got_rows, oracle, queries, tol):
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q, k in queries:
+        expect = oracle.topk(q, k)
+        mine = sorted(got.get(qid, []))
+        assert len(mine) == len(expect), (qid, q, mine, expect)
+        for (rank, doc_id, score), (edoc, escore) in zip(mine, expect):
+            assert doc_id == edoc, (qid, q, rank, doc_id, edoc)
+            assert abs(score - escore) <= tol, (qid, q, rank, score, escore)
+
+
+def test_exhaustive_df_matches_oracle(spark, corpus):
+    docs, oracle = corpus
+    queries = reference_queries(50)
+    tokens = tokenize_docs(docs)
+    tstats = build_term_stats(build_postings(tokens, shard_size=SHARD, block_size=BLOCK))
+    meta = {"n_docs": oracle.n_docs, "avgdl": oracle.avgdl}
+    for k in {k for _, _, k in queries}:
+        qs = [(qid, q) for qid, q, kk in queries if kk == k]
+        rows = bm25_topk_df(tokens, tstats, meta, qs, k=k).collect()
+        _check(rows, oracle, [(qid, q, k) for qid, q in qs], tol=1e-9)
+
+
+def test_wand_matches_oracle_bitwise(spark, corpus, index):
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    assert meta["n_docs"] == oracle.n_docs
+    assert abs(meta["avgdl"] - oracle.avgdl) < 1e-12
+    queries = reference_queries(50)
+    for k in {k for _, _, k in queries}:
+        qs = [(qid, q) for qid, q, kk in queries if kk == k]
+        rows = bm25_topk_wand(postings, term_stats, meta, qs, k=k).collect()
+        _check(rows, oracle, [(qid, q, k) for qid, q in qs], tol=0.0)
+
+
+def test_wand_lang_scoped_query(spark, corpus, index):
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    rows = bm25_topk_wand(postings, term_stats, meta, [(1, "lang:py parse")], k=20).collect()
+    py_docs = {r["doc_id"] for r in docs.filter("lang = 'py'").select("doc_id").collect()}
+    assert rows, "lang-scoped query should match"
+    # every result containing the lang term outranks none unfairly; at
+    # minimum the oracle agrees exactly
+    _check(rows, oracle, [(1, "lang:py parse", 20)], tol=0.0)
+    top = rows[0]
+    assert top["doc_id"] in py_docs

@@ -1,0 +1,96 @@
+"""Checkpoint/resume semantics (north_rule: resumable from per-partition
+checkpoints; SURVEY.md §5.4: kill-after-K, re-run → identical index)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index, read_manifest, IndexPaths
+
+N_DOCS = 240
+SHARD = 32
+BLOCK = 16
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return assign_doc_ids(
+        synth_docs(spark, N_DOCS, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+
+
+def _index_snapshot(spark, out):
+    postings, term_stats, doc_stats, meta = load_index(spark, out)
+    p = {
+        (r["term"], r["shard"], r["block"]): (r["doc_ids"], r["tfs"], r["dls"], r["n"])
+        for r in postings.collect()
+    }
+    t = {r["term"]: r["df"] for r in term_stats.collect()}
+    d = {r["doc_id"]: r["doc_len"] for r in doc_stats.collect()}
+    return p, t, d, meta
+
+
+def test_partial_then_resume_identical(spark, docs, tmp_path_factory):
+    full_dir = str(tmp_path_factory.mktemp("full"))
+    part_dir = str(tmp_path_factory.mktemp("partial"))
+
+    meta_full = build_index(docs, full_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=1)
+    assert meta_full["complete"]
+
+    # simulate a crash: only 2 slices complete
+    meta_part = build_index(
+        docs, part_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=1, max_slices=2
+    )
+    assert not meta_part.get("complete")
+    manifest = read_manifest(IndexPaths(part_dir))
+    assert sum(1 for r in manifest.values() if r["status"] == "done") == 2
+
+    # resume → completes, and the index is byte-identical to the
+    # single-shot build
+    meta_resumed = build_index(docs, part_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=1)
+    assert meta_resumed["complete"]
+    assert _index_snapshot(spark, part_dir) == _index_snapshot(spark, full_dir)
+
+
+def test_rerun_on_unchanged_input_is_noop(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("noop"))
+    build_index(docs, out, shard_size=SHARD, block_size=BLOCK, shards_per_slice=1)
+    paths = IndexPaths(out)
+    before = {
+        f: os.path.getmtime(os.path.join(paths.postings, f))
+        for f in _walk(paths.postings)
+    }
+    manifest_before = read_manifest(paths)
+    build_index(docs, out, shard_size=SHARD, block_size=BLOCK, shards_per_slice=1)
+    after = {
+        f: os.path.getmtime(os.path.join(paths.postings, f))
+        for f in _walk(paths.postings)
+    }
+    assert before == after  # no slice rebuilt
+    assert read_manifest(paths).keys() == manifest_before.keys()
+
+
+def test_manifest_metrics_populated(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("metrics"))
+    build_index(docs, out, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+    manifest = read_manifest(IndexPaths(out))
+    assert manifest
+    total_docs = sum(r["n_docs"] for r in manifest.values())
+    assert total_docs == N_DOCS
+    for r in manifest.values():
+        assert r["status"] == "done"
+        assert r["n_postings"] > 0
+        assert r["bytes_compressed"] > 0
+        assert r["skew_ratio"] >= 1.0
+        assert r["elapsed_sec"] > 0
+
+
+def _walk(root):
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            out.append(os.path.relpath(os.path.join(dirpath, f), root))
+    return sorted(out)

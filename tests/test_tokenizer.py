@@ -1,0 +1,54 @@
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vframe_spark.functions.tokenizer import (
+    tokenize_duckdb_sql,
+    tokenize_expr,
+    tokenize_py,
+    tokenize_series,
+)
+
+CASES = [
+    "fooBar bazQux",
+    "HTTPServer XMLHttpRequest",
+    "snake_case_name UPPER_CASE value2go",
+    "def parse_file(path): return x + 1",
+    "",
+    "!!! ;;; ---",
+    "a",
+    "mixedUPPERlower123abc",
+    "tab\tnewline\nspace  double",
+]
+
+
+def test_py_tokenizer_basics():
+    assert tokenize_py("fooBar") == ["foo", "bar"]
+    assert tokenize_py("HTTPServer") == ["http", "server"]
+    assert tokenize_py("snake_case") == ["snake", "case"]
+    assert tokenize_py("UPPER_CASE") == ["upper", "case"]
+    assert tokenize_py("x2y") == ["x2y"]
+    assert tokenize_py("") == []
+    assert tokenize_py("!!!") == []
+
+
+def test_series_matches_py():
+    s = pd.Series(CASES)
+    out = tokenize_series(s)
+    for text, toks in zip(CASES, out):
+        assert toks == tokenize_py(text), text
+
+
+def test_expr_matches_py(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "content string")
+    rows = df.select(tokenize_expr("content").alias("toks")).collect()
+    for text, row in zip(CASES, rows):
+        assert row["toks"] == tokenize_py(text), text
+
+
+def test_duckdb_sql_matches_py():
+    con = duckdb.connect()
+    for text in CASES:
+        sql = tokenize_duckdb_sql("?")
+        got = con.execute(f"select {sql} as t", [text]).fetchone()[0]
+        assert list(got) == tokenize_py(text), text

@@ -1,0 +1,15 @@
+"""vframe_spark — a PySpark-native analytics + fulltext-index engine.
+
+A from-scratch re-expression of the query and data-processing
+capabilities of the reference engine (vframeio/vframe, studied at
+/root/reference) on idiomatic Spark: DataFrame/SQL plans optimized by
+Catalyst, vectorized Arrow/pandas UDFs for the non-relational hot
+paths, explicit partitioning/shuffle design for 10^12-row scale.
+
+Headline capability (BASELINE.json north_star): build a term-partitioned
+inverted index with compressed posting lists over a source-code corpus
+and answer top-k BM25 queries with block-max WAND pruning,
+rank-identical to an exhaustive oracle scorer.
+"""
+
+__version__ = "0.1.0"

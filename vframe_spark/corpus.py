@@ -1,0 +1,123 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Schema: ``docs(repo, path, commit, lang, content)`` — the Iceberg-style
+input table mandated by BASELINE.json ``input_hint``. Generation is
+seeded **per doc id** so the corpus is identical regardless of Spark
+partitioning or cluster size; content mixes camelCase / snake_case /
+UPPER_CASE identifiers, per-language keywords, and Zipfian common terms
+(guaranteeing skewed term distribution for the skew-handling tests).
+
+Reference analog: vframe's corpus is a directory of media files globbed
+deterministically (`/root/reference/src/vframe/models/media.py:151-188`);
+one file ≙ one row here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+SEED = 42
+
+LANGS = ["py", "py", "py", "java", "js", "go", "rs", "c", "md"]  # weighted
+
+KEYWORDS = {
+    "py": ["def", "class", "return", "import", "self", "None", "lambda", "yield"],
+    "java": ["public", "class", "void", "static", "final", "return", "new", "extends"],
+    "js": ["function", "const", "let", "return", "async", "await", "export", "new"],
+    "go": ["func", "type", "struct", "return", "defer", "chan", "go", "interface"],
+    "rs": ["fn", "let", "mut", "impl", "pub", "match", "return", "struct"],
+    "c": ["int", "void", "return", "struct", "static", "char", "sizeof", "const"],
+    "md": ["the", "a", "to", "of", "and", "in", "is", "for"],
+}
+
+IDENT_PARTS = [
+    "get", "set", "parse", "build", "index", "token", "stream", "buffer",
+    "config", "handler", "request", "response", "query", "result", "cache",
+    "file", "path", "hash", "block", "merge", "score", "rank", "doc",
+    "term", "node", "list", "map", "util", "data", "batch", "frame",
+]
+
+# Zipf head: a few ultra-common terms to create the skewed tail the
+# north_rule's long-tail splitting must handle.
+ZIPF_COMMON = ["value", "item", "main", "init", "run", "test", "id", "name"]
+
+EXT = {"py": "py", "java": "java", "js": "js", "go": "go", "rs": "rs", "c": "c", "md": "md"}
+
+
+def _make_ident(rng: random.Random) -> str:
+    parts = rng.sample(IDENT_PARTS, k=rng.randint(2, 3))
+    style = rng.randrange(4)
+    if style == 0:  # camelCase
+        return parts[0] + "".join(p.capitalize() for p in parts[1:])
+    if style == 1:  # snake_case
+        return "_".join(parts)
+    if style == 2:  # UPPER_CASE
+        return "_".join(p.upper() for p in parts)
+    return "".join(p.capitalize() for p in parts)  # PascalCase
+
+
+def _make_doc(i: int) -> dict:
+    rng = random.Random((SEED << 32) ^ i)
+    lang = rng.choice(LANGS)
+    kws = KEYWORDS[lang]
+    n_lines = rng.randint(8, 40)
+    lines = []
+    for _ in range(n_lines):
+        toks: list[str] = []
+        for _ in range(rng.randint(3, 10)):
+            r = rng.random()
+            if r < 0.30:
+                toks.append(rng.choice(kws))
+            elif r < 0.55:
+                # Zipfian common term: rank ~ 1/r over the common list
+                z = min(int(rng.paretovariate(1.1)) - 1, len(ZIPF_COMMON) - 1)
+                toks.append(ZIPF_COMMON[z])
+            elif r < 0.9:
+                toks.append(_make_ident(rng))
+            else:
+                toks.append(str(rng.randint(0, 9999)))
+        lines.append(" ".join(toks) + rng.choice([";", ":", " {", ""]))
+    content = "\n".join(lines)
+    repo = f"org{i % 7}/repo{i % 23}"
+    path = f"src/{rng.choice(IDENT_PARTS)}/{rng.choice(IDENT_PARTS)}_{i}.{EXT[lang]}"
+    commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+    return {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+
+
+# Edge rows FIXTURES.md says to always include.
+def _edge_docs(n: int) -> list[dict]:
+    base = _make_doc(0)
+    rows = [
+        {**_make_doc(1), "content": ""},                          # empty content
+        {**_make_doc(2), "content": "!!! ??? ;;; --- +++ ((("},   # punctuation only
+        {**_make_doc(3), "content": "x" * 70000},                 # one very long line
+        {**_make_doc(4), "content": base["content"]},             # duplicate content
+        {**_make_doc(5), "path": base["path"], "repo": base["repo"],
+         "commit": "f" * 40, "content": base["content"] + "\nextra"},  # same (repo,path), new commit
+        {**_make_doc(6), "content": "déf ünïcode_ident naïveValue"},   # non-ASCII
+    ]
+    return rows[: max(0, n)]
+
+
+def synth_docs(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+    """Distributed, per-id-deterministic corpus of ``n_docs`` rows."""
+    partitions = partitions or max(2, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                if i < 6:
+                    rows.append(_edge_docs(6)[i])
+                else:
+                    rows.append(_make_doc(i))
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    return base.mapInPandas(gen, "repo string, path string, commit string, lang string, content string")

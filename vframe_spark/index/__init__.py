@@ -1,0 +1,1 @@
+"""Inverted-index build: codec, posting construction, stats, checkpoints."""

@@ -1,0 +1,179 @@
+"""Inverted-index build: tokenize → term/doc TFs → sharded posting lists.
+
+Scale design (the part that must survive 1000 executors / 10^12 docs):
+
+* **TF is computed map-side** inside the tokenizer batch (one Arrow
+  pass per input partition). The raw token stream — the largest
+  intermediate at 100 TB — is never shuffled; only ``(doc_id, term,
+  tf, doc_len)`` rows are, which is already one row per *distinct*
+  term per doc.
+* **Skew / long-tail term splitting is structural, not reactive**: the
+  shuffle key is ``(term, shard)`` where ``shard = doc_id //
+  shard_size``. A term occurring in every document (Zipf head — think
+  ``def`` / ``return`` in a code corpus) is capped at ``shard_size``
+  postings per task, no matter how hot it is. Because shards are
+  doc-id *ranges*, the concatenation of a term's shards in shard order
+  is still a globally sorted posting list — query-time merge is free.
+  (north_rule: "salted, skew-aware shuffle ... long-tail term
+  splitting"; the salt here is deterministic, so it also keeps builds
+  reproducible and resumable.)
+* **Block encoding** inside each (term, shard) group: docID-delta +
+  varint blocks of ``block_size`` postings, carrying ``(max_tf,
+  min_dl)`` so block-max WAND upper bounds can be computed at query
+  time under the *current* corpus-wide ``avgdl`` — which keeps
+  incremental (resumed) builds exact without rebaking impacts.
+
+Reference parity: tokenize ≙ `pipe detect`'s per-frame feature
+extraction (/root/reference/src/commands/pipe/detect.py:40-168);
+posting-merge ≙ `merge-bboxes` n-way merge (/root/reference/src/
+commands/pipe/merge-bboxes.py:29-94); df/length stats ≙
+`summarize-json` aggregation (/root/reference/src/commands/utils/
+summarize-json.py:29-105).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_series
+from .codec import delta_encode, varint_encode
+
+TOKENS_SCHEMA = "doc_id bigint, term string, tf int, doc_len int"
+
+POSTINGS_SCHEMA = (
+    "term string, shard int, block int, n int, "
+    "doc_ids binary, tfs binary, dls binary, "
+    "max_tf int, min_dl int, first_doc bigint, last_doc bigint"
+)
+
+DEFAULT_SHARD_SIZE = 1 << 20  # docs per shard → hard cap on any posting task
+DEFAULT_BLOCK_SIZE = 128      # postings per compressed block
+
+
+def tokenize_docs(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """``docs`` → ``(doc_id, term, tf, doc_len)`` — one Arrow pass, no shuffle.
+
+    ``doc_len`` (token count, lang-terms excluded) is replicated onto
+    every row of its doc so downstream consumers never need a join back
+    to the corpus.
+    """
+    cols = [id_col, content_col] + ([lang_col] if lang_col else [])
+    src = docs.select(*cols)
+    use_lang = lang_col is not None
+
+    def batch_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            toks = tokenize_series(b[content_col])
+            frame = pd.DataFrame({"doc_id": b[id_col].values, "term": toks.values})
+            ex = frame.explode("term", ignore_index=True).dropna(subset=["term"])
+            if len(ex):
+                counts = (
+                    ex.groupby(["doc_id", "term"], sort=False)
+                    .size()
+                    .rename("tf")
+                    .reset_index()
+                )
+                dl = counts.groupby("doc_id", sort=False)["tf"].sum().rename("doc_len")
+                counts = counts.merge(dl, on="doc_id")
+            else:
+                counts = pd.DataFrame(columns=["doc_id", "term", "tf", "doc_len"])
+            if use_lang:
+                lang_rows = pd.DataFrame(
+                    {
+                        "doc_id": b[id_col].values,
+                        "term": "lang:" + b[lang_col].astype(str),
+                        "tf": 1,
+                    }
+                )
+                dl_map = (
+                    counts.drop_duplicates("doc_id").set_index("doc_id")["doc_len"]
+                    if len(counts)
+                    else pd.Series(dtype="int64")
+                )
+                lang_rows["doc_len"] = (
+                    lang_rows["doc_id"].map(dl_map).fillna(0).astype("int64")
+                )
+                counts = pd.concat([counts, lang_rows], ignore_index=True)
+            counts["tf"] = counts["tf"].astype("int32")
+            counts["doc_len"] = counts["doc_len"].astype("int32")
+            counts["doc_id"] = counts["doc_id"].astype("int64")
+            yield counts[["doc_id", "term", "tf", "doc_len"]]
+
+    return src.mapInPandas(batch_tf, TOKENS_SCHEMA)
+
+
+def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Encode one (term, shard) group into compressed posting blocks."""
+    pdf = pdf.sort_values("doc_id", kind="mergesort")
+    term = pdf["term"].iloc[0]
+    shard = int(pdf["shard"].iloc[0])
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["doc_len"].to_numpy(dtype=np.int64)
+    rows = []
+    for blk, start in enumerate(range(0, len(ids), block_size)):
+        sl = slice(start, start + block_size)
+        bi, bt, bd = ids[sl], tfs[sl], dls[sl]
+        rows.append(
+            {
+                "term": term,
+                "shard": shard,
+                "block": blk,
+                "n": len(bi),
+                "doc_ids": delta_encode(bi.astype(np.uint64)),
+                "tfs": varint_encode(bt.astype(np.uint64)),
+                "dls": varint_encode(bd.astype(np.uint64)),
+                "max_tf": int(bt.max()),
+                "min_dl": int(bd.min()),
+                "first_doc": int(bi[0]),
+                "last_doc": int(bi[-1]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_postings(
+    tokens: DataFrame,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> DataFrame:
+    """``(doc_id, term, tf, doc_len)`` → compressed posting blocks.
+
+    The single shuffle of the build; keyed on ``(term, shard)`` so no
+    task ever materializes more than ``shard_size`` postings (structural
+    skew cap — see module docstring).
+    """
+    with_shard = tokens.withColumn(
+        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+    )
+    return with_shard.groupBy("term", "shard").applyInPandas(
+        lambda pdf: _encode_group(pdf, block_size), POSTINGS_SCHEMA
+    )
+
+
+def build_doc_stats(tokens: DataFrame) -> DataFrame:
+    """``doc_stats(doc_id, doc_len)`` — partial-agg (map-side combine) cheap."""
+    return tokens.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+
+
+def build_term_stats(postings: DataFrame) -> DataFrame:
+    """``term_stats(term, df)`` from posting blocks (each doc counted once)."""
+    return postings.groupBy("term").agg(F.sum("n").alias("df"))
+
+
+def corpus_meta(docs: DataFrame, doc_stats: DataFrame) -> dict:
+    """Global scalars for BM25: N (all docs, even empty) and avgdl."""
+    n_docs = docs.count()
+    row = doc_stats.agg(F.sum("doc_len").alias("total")).collect()[0]
+    total = int(row["total"] or 0)
+    return {"n_docs": n_docs, "total_len": total, "avgdl": (total / n_docs) if n_docs else 0.0}

@@ -1,0 +1,222 @@
+"""Resumable, checkpointed index build with per-slice lineage + metrics.
+
+The corpus is cut into **slices** — contiguous doc-id ranges, each an
+integral number of shards — and each slice is built by an independent
+Spark job writing to its own output subdirectory. A driver-side
+manifest (one tiny parquet file per slice, written only *after* the
+slice's data is committed) records status and metrics. Re-running the
+build skips slices already in the manifest (the anti-join resume
+pattern — reference analog: the sha256 dedup cache, /root/reference/
+src/commands/dedup/sha256.py:74-133); a crash mid-slice just rebuilds
+that slice idempotently (overwrite). An unchanged input re-run is a
+no-op.
+
+Because shards are doc-id ranges and a slice is a whole number of
+shards, slices never produce overlapping (term, shard) groups — the
+incremental build needs **no merge step** with previously committed
+postings, and term_stats/avgdl are derived (cheap aggregations over the
+committed index), so resumed builds stay exact.
+
+At 100 TB the per-slice `docs.filter(doc_id range)` must prune at the
+scan: write/partition the source table by doc-id range (Iceberg
+`bucket(doc_id)` / sorted parquet row groups) so each slice job reads
+only its slice.
+
+Metrics per slice (north_rule: "lineage and metrics ... per stage"):
+docs, postings emitted, bytes compressed, skew ratio
+(max/mean posting-group size), elapsed seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import (
+    DEFAULT_BLOCK_SIZE,
+    DEFAULT_SHARD_SIZE,
+    build_doc_stats,
+    build_postings,
+    build_term_stats,
+    tokenize_docs,
+)
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("slice_id", pa.int64()),
+        ("status", pa.string()),
+        ("n_docs", pa.int64()),
+        ("total_len", pa.int64()),
+        ("n_postings", pa.int64()),
+        ("bytes_compressed", pa.int64()),
+        ("skew_ratio", pa.float64()),
+        ("elapsed_sec", pa.float64()),
+        ("updated_at", pa.timestamp("us")),
+    ]
+)
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def doc_stats(self) -> str:
+        return os.path.join(self.root, "doc_stats")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "_manifest")
+
+    @property
+    def meta(self) -> str:
+        return os.path.join(self.root, "meta.json")
+
+
+def read_manifest(paths: IndexPaths) -> dict[int, dict]:
+    if not os.path.isdir(paths.manifest):
+        return {}
+    out: dict[int, dict] = {}
+    for f in sorted(os.listdir(paths.manifest)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(paths.manifest, f)).to_pylist()
+            for row in t:
+                out[int(row["slice_id"])] = row
+    return out
+
+
+def _write_manifest_row(paths: IndexPaths, row: dict) -> None:
+    os.makedirs(paths.manifest, exist_ok=True)
+    tbl = pa.Table.from_pylist([row], schema=MANIFEST_SCHEMA)
+    pq.write_table(tbl, os.path.join(paths.manifest, f"slice_{row['slice_id']:06d}.parquet"))
+
+
+def build_index(
+    docs: DataFrame,
+    out_dir: str,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    shards_per_slice: int = 4,
+    max_slices: int | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    lang_col: str | None = "lang",
+) -> dict:
+    """Build (or resume) the index at ``out_dir``. Returns the meta dict.
+
+    ``max_slices`` caps how many *pending* slices this invocation
+    processes — the hook the kill/resume tests use to simulate a
+    partial failure.
+    """
+    spark = docs.sparkSession
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    max_id = docs.agg(F.max(id_col)).collect()[0][0]
+    if max_id is None:
+        _finalize(spark, paths, shard_size, block_size)
+        return json.load(open(paths.meta))
+    slice_span = shard_size * shards_per_slice
+    n_slices = int(max_id) // slice_span + 1
+
+    manifest = read_manifest(paths)
+    done = 0
+    for slice_id in range(n_slices):
+        if manifest.get(slice_id, {}).get("status") == "done":
+            continue
+        if max_slices is not None and done >= max_slices:
+            break
+        t0 = time.time()
+        lo, hi = slice_id * slice_span, (slice_id + 1) * slice_span
+        part = docs.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi))
+        tokens = tokenize_docs(part, content_col=content_col, id_col=id_col, lang_col=lang_col)
+        postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
+        slice_postings = os.path.join(paths.postings, f"slice={slice_id}")
+        postings.write.mode("overwrite").parquet(slice_postings)
+        dstats = build_doc_stats(tokens)
+        dstats.write.mode("overwrite").parquet(
+            os.path.join(paths.doc_stats, f"slice={slice_id}")
+        )
+        # metrics read back from the committed slice (cheap: slice-local)
+        committed = spark.read.parquet(slice_postings)
+        m = committed.agg(
+            F.sum("n").alias("n_postings"),
+            (
+                F.sum(F.length("doc_ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
+            ).alias("bytes"),
+        ).collect()[0]
+        grp = committed.groupBy("term", "shard").agg(F.sum("n").alias("sz"))
+        sk = grp.agg(F.max("sz").alias("mx"), F.avg("sz").alias("mean")).collect()[0]
+        ds = spark.read.parquet(os.path.join(paths.doc_stats, f"slice={slice_id}"))
+        dsm = ds.agg(F.count("*").alias("nd"), F.sum("doc_len").alias("tl")).collect()[0]
+        n_docs_slice = part.count()
+        _write_manifest_row(
+            paths,
+            {
+                "slice_id": slice_id,
+                "status": "done",
+                "n_docs": int(n_docs_slice),
+                "total_len": int(dsm["tl"] or 0),
+                "n_postings": int(m["n_postings"] or 0),
+                "bytes_compressed": int(m["bytes"] or 0),
+                "skew_ratio": float(sk["mx"] / sk["mean"]) if sk["mean"] else 0.0,
+                "elapsed_sec": time.time() - t0,
+                "updated_at": __import__("datetime").datetime.utcnow(),
+            },
+        )
+        done += 1
+
+    manifest = read_manifest(paths)
+    if all(
+        manifest.get(s, {}).get("status") == "done" for s in range(n_slices)
+    ):
+        _finalize(spark, paths, shard_size, block_size)
+    return json.load(open(paths.meta)) if os.path.exists(paths.meta) else {"complete": False}
+
+
+def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_size: int) -> None:
+    """Derive global stats from committed slices; idempotent."""
+    manifest = read_manifest(paths)
+    n_docs = sum(r["n_docs"] for r in manifest.values())
+    total_len = sum(r["total_len"] for r in manifest.values())
+    if os.path.isdir(paths.postings):
+        postings = spark.read.option("recursiveFileLookup", "true").parquet(paths.postings)
+        build_term_stats(postings).write.mode("overwrite").parquet(paths.term_stats)
+    meta = {
+        "n_docs": int(n_docs),
+        "total_len": int(total_len),
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "shard_size": shard_size,
+        "block_size": block_size,
+        "complete": True,
+    }
+    with open(paths.meta, "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_index(spark: SparkSession, out_dir: str):
+    """→ (postings, term_stats, doc_stats, meta)."""
+    paths = IndexPaths(out_dir)
+    meta = json.load(open(paths.meta))
+    rd = spark.read.option("recursiveFileLookup", "true")
+    return (
+        rd.parquet(paths.postings),
+        spark.read.parquet(paths.term_stats),
+        rd.parquet(paths.doc_stats),
+        meta,
+    )

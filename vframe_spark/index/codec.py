@@ -1,0 +1,78 @@
+"""Posting-list codec: docID delta + LEB128 varint, vectorized in numpy.
+
+Runs inside Arrow-batched ``applyInPandas`` groups during the index
+build, so the implementation must be O(passes) numpy, not O(values)
+Python. Both encode and decode make at most 10 vectorized passes (one
+per varint byte position for uint64).
+
+Reference analog: vframe has no compression; its closest artifact is
+the 64-bit perceptual-hash signature (`/root/reference/src/vframe/
+utils/im_utils.py:37-48`). The delta+varint layout here is the
+standard published inverted-index block format (see PAPERS.md: WAND /
+block-max literature).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: one pass per byte slot."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    # nbytes[i] = 1 + (# thresholds <= a[i]); max 10 bytes for uint64.
+    nbytes = 1 + (a[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.zeros(a.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    max_b = int(nbytes.max())
+    for b in range(max_b):
+        mask = nbytes > b
+        chunk = (a[mask] >> np.uint64(7 * b)).astype(np.uint64) & np.uint64(0x7F)
+        cont = np.where(nbytes[mask] > b + 1, 0x80, 0).astype(np.uint8)
+        out[starts[mask] + b] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode an LEB128 byte string back to a uint64 array."""
+    data = np.frombuffer(buf, dtype=np.uint8)
+    if data.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (data & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    nbytes = ends - starts + 1
+    values = np.zeros(ends.size, dtype=np.uint64)
+    max_b = int(nbytes.max())
+    for b in range(max_b):
+        mask = nbytes > b
+        part = (data[starts[mask] + b] & 0x7F).astype(np.uint64)
+        values[mask] |= part << np.uint64(7 * b)
+    return values
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Gap-encode a strictly increasing int64/uint64 array, then varint."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    return varint_encode(gaps)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`delta_encode` → uint64 array."""
+    gaps = varint_decode(buf)
+    if gaps.size == 0:
+        return gaps
+    return np.cumsum(gaps, dtype=np.uint64)

@@ -1,0 +1,96 @@
+"""Pure-Python exhaustive BM25 oracle (no Spark, no pruning).
+
+The independent reference implementation the engine must be
+rank-identical to (SURVEY.md §5.2). Per-doc scores are summed in
+sorted-term order — the engine uses the same order, so doubles match
+bitwise, not just to tolerance.
+
+BM25 (k1=1.2, b=0.75, Lucene-style "plus one" idf):
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfnorm(t,d) = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(q,d)  = Σ_{t ∈ distinct(q)} idf(t) * tfnorm(t,d)
+Ties break (score DESC, doc_id ASC).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from .functions.tokenizer import lang_term, tokenize_py
+
+K1 = 1.2
+B = 0.75
+
+
+class OracleIndex:
+    """In-memory exhaustive index over (doc_id, content[, lang]) rows."""
+
+    def __init__(self, docs: list[tuple[int, str, str | None]]):
+        self.tf: dict[int, Counter] = {}
+        self.doc_len: dict[int, int] = {}
+        self.df: Counter = Counter()
+        self.n_docs = len(docs)
+        total = 0
+        for doc_id, content, lang in docs:
+            toks = tokenize_py(content)
+            c = Counter(toks)
+            dl = len(toks)
+            if lang is not None:
+                c[lang_term(lang)] += 1
+            self.tf[doc_id] = c
+            self.doc_len[doc_id] = dl
+            total += dl
+            for t in c:
+                self.df[t] += 1
+        self.avgdl = total / self.n_docs if self.n_docs else 0.0
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def score(self, query_terms: list[str], doc_id: int) -> float:
+        c = self.tf[doc_id]
+        dl = self.doc_len[doc_id]
+        s = 0.0
+        for t in sorted(set(query_terms)):  # fixed summation order
+            tf = c.get(t, 0)
+            if tf == 0 or t not in self.df:
+                continue
+            tfnorm = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            s += self.idf(t) * tfnorm
+        return s
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = tokenize_py(query)
+        # allow explicit lang:xx terms in the query string (tokenizer
+        # splits "lang:py" into ["lang","py"]; re-join that pattern)
+        terms = _rejoin_lang_terms(query, terms)
+        scored = []
+        for d in self.tf:
+            s = self.score(terms, d)
+            if s > 0.0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+
+def _rejoin_lang_terms(query: str, terms: list[str]) -> list[str]:
+    """Recover `lang:py`-style scoping terms the tokenizer split apart."""
+    import re
+
+    out = [t for t in terms]
+    for m in re.finditer(r"\blang:([A-Za-z0-9]+)", query):
+        lang = m.group(1).lower()
+        # drop the split pair, add the joined term
+        if "lang" in out:
+            out.remove("lang")
+        if lang in out:
+            out.remove(lang)
+        out.append(f"lang:{lang}")
+    return out
+
+
+def parse_query_terms(query: str) -> list[str]:
+    """Canonical query-string → term list (shared with the Spark engine)."""
+    return _rejoin_lang_terms(query, tokenize_py(query))

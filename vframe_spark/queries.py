@@ -1,0 +1,34 @@
+"""The reference query set (FIXTURES.md §2): deterministic, seed=42.
+
+Mix: bare identifiers, camelCase compounds (hit split terms),
+lang-tagged terms, Zipf-head common terms, and absent terms.
+"""
+
+from __future__ import annotations
+
+import random
+
+from .corpus import IDENT_PARTS, KEYWORDS, SEED, ZIPF_COMMON
+
+
+def reference_queries(n: int = 50) -> list[tuple[int, str, int]]:
+    """→ [(qid, query, k)] — deterministic."""
+    rng = random.Random(SEED)
+    out: list[tuple[int, str, int]] = []
+    for qid in range(1, n + 1):
+        kind = qid % 5
+        if kind == 0:  # bare identifiers
+            q = " ".join(rng.sample(IDENT_PARTS, rng.randint(1, 3)))
+        elif kind == 1:  # camelCase compound
+            parts = rng.sample(IDENT_PARTS, 2)
+            q = parts[0] + parts[1].capitalize()
+        elif kind == 2:  # lang-tagged
+            lang = rng.choice(list(KEYWORDS))
+            q = f"lang:{lang} " + rng.choice(IDENT_PARTS)
+        elif kind == 3:  # Zipf-head common terms
+            q = " ".join(rng.sample(ZIPF_COMMON, rng.randint(1, 2)))
+        else:  # includes an absent term
+            q = rng.choice(IDENT_PARTS) + " zzznotfoundzzz"
+        k = {1: 1, 2: 100}.get(qid % 25, 10)
+        out.append((qid, q, k))
+    return out

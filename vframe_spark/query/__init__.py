@@ -1,0 +1,1 @@
+"""Query engines: exhaustive DataFrame BM25 and block-max WAND top-k."""

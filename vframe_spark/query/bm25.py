@@ -1,0 +1,89 @@
+"""Exhaustive BM25 top-k as a pure DataFrame plan (no compressed index).
+
+This is the declarative reference path: Catalyst sees the whole plan
+(broadcast joins on the tiny query side, partial aggregation of per-term
+contributions, windowed top-k) and optimizes it. It doubles as the
+SQL-expressible oracle target for the driver's DuckDB cross-check and
+as the correctness cross-check for the WAND engine.
+
+Scale notes: `tokens` is huge → the query-term table and the filtered
+term-stats are *broadcast* so the big side never shuffles for the join;
+the only shuffle is the (qid, doc_id) partial-aggregated groupBy, whose
+cardinality is bounded by matched docs, and the per-qid window over ≤
+that. Tie-break (score DESC, doc_id ASC) is explicit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..oracle import B, K1, parse_query_terms
+
+
+def query_terms_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    """(qid, query) pairs → distinct (qid, term) rows (tiny, driver-built)."""
+    rows = []
+    for qid, q in queries:
+        for t in sorted(set(parse_query_terms(q))):
+            rows.append((qid, t))
+    return spark.createDataFrame(rows, "qid int, term string")
+
+
+def bm25_scores(
+    tokens: DataFrame,
+    term_stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """Per-(qid, doc) BM25 scores. ``tokens`` = (doc_id, term, tf, doc_len)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    qstats = term_stats.join(F.broadcast(qterms), "term").withColumn("idf", idf)
+    tfnorm = (
+        F.col("tf")
+        * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(float(avgdl)))
+        )
+    )
+    contrib = tokens.join(F.broadcast(qstats), "term").withColumn(
+        "contrib", F.col("idf") * tfnorm
+    )
+    return contrib.groupBy("qid", "doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def topk(scores: DataFrame, k: int = 10) -> DataFrame:
+    """(qid, doc_id, score) → top-k per qid with deterministic tie-break."""
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def bm25_topk_df(
+    tokens: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """End-to-end exhaustive BM25 top-k over the token table."""
+    spark = tokens.sparkSession
+    qterms = query_terms_df(spark, queries)
+    scores = bm25_scores(tokens, term_stats, qterms, meta["n_docs"], meta["avgdl"])
+    return topk(scores, k)
+
+
+def idf_value(n_docs: int, df: int) -> float:
+    """Scalar idf — shared formula for driver-side WAND bounds."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))

@@ -1,0 +1,210 @@
+"""Distributed block-max WAND top-k over the compressed posting index.
+
+Execution shape (scale-first):
+
+1. The (tiny) query-term table is joined to ``term_stats`` for idf and
+   **broadcast** against the posting-block table; an ``isin`` filter on
+   ``term`` is applied first so the parquet scan prunes to just the
+   query's terms (PushedFilters — at 10^12 docs this is the difference
+   between reading KBs and reading the index).
+2. Matched blocks group by ``(qid, shard)``. Because the index is
+   sharded by doc-id range, every query term's postings for one doc
+   range land in the same Arrow group → an *exact local* top-k per
+   (query, doc-range) with no cross-talk. Skew is structurally capped:
+   a group holds ≤ shard_size postings per term.
+3. Local scoring uses **block-max segment pruning**: doc-id space is cut
+   at block boundaries into segments; each segment's upper bound is the
+   sum over query terms of the covering block's max-score bound
+   ``idf·(k1+1)·max_tf/(max_tf + k1·(1−b+b·min_dl/avgdl))``. Segments
+   are processed in descending-bound order; once the k-th best exact
+   score exceeds the next bound, the remaining segments — and their
+   varint decode cost — are skipped entirely. Exactness: segments
+   partition doc space, every doc is fully scored inside its segment,
+   and the stop rule is conservative (processes at bound ≥ θ − ε).
+4. Per-shard partials (≤ k rows each) shuffle once more for the global
+   windowed top-k with tie-break (score DESC, doc_id ASC).
+
+Per-doc contributions accumulate in sorted-term order — the same order
+the pure-Python oracle uses — so scores are bitwise-comparable.
+
+Reference parity: bounded top-k ≙ classification top-k
+(/root/reference/src/vframe/image/processors/base.py:132-146); pruning
+≙ skip-phash similarity short-circuit (/root/reference/src/commands/
+pipe/skip-phash.py:134-142).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.codec import delta_decode, varint_decode
+from ..oracle import B, K1, parse_query_terms
+from .bm25 import topk
+
+_EPS = 1e-9
+PARTIAL_SCHEMA = "qid int, doc_id bigint, score double"
+
+
+def _bound(idf: float, max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """Vectorized per-block BM25 upper bound (monotone in tf, anti in dl)."""
+    mt = max_tf.astype(np.float64)
+    return idf * (mt * (K1 + 1.0)) / (mt + K1 * (1.0 - B + B * min_dl / avgdl))
+
+
+def _local_topk(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
+    """Exact top-k for one (qid, shard) group with segment pruning."""
+    qid = int(pdf["qid"].iloc[0])
+    # Per-term block arrays, terms in sorted order (deterministic sums).
+    terms = sorted(pdf["term"].unique())
+    per_term = []
+    firsts_all, lasts_all = [], []
+    for t in terms:
+        g = pdf[pdf["term"] == t].sort_values("block")
+        firsts = g["first_doc"].to_numpy(np.int64)
+        lasts = g["last_doc"].to_numpy(np.int64)
+        ub = _bound(
+            float(g["idf"].iloc[0]),
+            g["max_tf"].to_numpy(np.int64),
+            g["min_dl"].to_numpy(np.int64),
+            avgdl,
+        )
+        per_term.append(
+            {
+                "idf": float(g["idf"].iloc[0]),
+                "firsts": firsts,
+                "lasts": lasts,
+                "ub": ub,
+                "doc_ids": g["doc_ids"].tolist(),
+                "tfs": g["tfs"].tolist(),
+                "dls": g["dls"].tolist(),
+                "cache": {},
+            }
+        )
+        firsts_all.append(firsts)
+        lasts_all.append(lasts)
+
+    bounds = np.unique(np.concatenate(firsts_all + [np.concatenate(lasts_all) + 1]))
+    seg_lo, seg_hi = bounds[:-1], bounds[1:]  # segment = [lo, hi)
+    n_seg = seg_lo.size
+    if n_seg == 0:
+        return pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
+            {"qid": "int32", "doc_id": "int64", "score": "float64"}
+        )
+
+    # covering block per (term, segment): blocks are disjoint sorted ranges.
+    cover = np.full((len(terms), n_seg), -1, dtype=np.int64)
+    ub_seg = np.zeros(n_seg, dtype=np.float64)
+    for ti, t in enumerate(per_term):
+        blk = np.searchsorted(t["firsts"], seg_lo, side="right") - 1
+        ok = (blk >= 0) & (seg_lo <= t["lasts"][np.clip(blk, 0, None)])
+        cover[ti, ok] = blk[ok]
+        ub_seg[ok] += t["ub"][blk[ok]]
+
+    order = np.argsort(-ub_seg, kind="mergesort")
+    cand_ids: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    n_cand = 0
+    theta = -np.inf
+
+    def decode(t: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = t["cache"].get(bi)
+        if hit is None:
+            ids = delta_decode(t["doc_ids"][bi]).astype(np.int64)
+            tf = varint_decode(t["tfs"][bi]).astype(np.float64)
+            dl = varint_decode(t["dls"][bi]).astype(np.float64)
+            # same association order as OracleIndex.score → bitwise-equal sums
+            contrib = t["idf"] * (
+                (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            )
+            hit = (ids, contrib)
+            t["cache"][bi] = hit
+        return hit
+
+    for si in order:
+        if n_cand >= k and ub_seg[si] < theta - _EPS:
+            break  # every remaining segment is non-competitive
+        lo, hi = int(seg_lo[si]), int(seg_hi[si])
+        ids_parts, contrib_parts = [], []
+        for ti, t in enumerate(per_term):
+            bi = int(cover[ti, si])
+            if bi < 0:
+                continue
+            ids, contrib = decode(t, bi)
+            a, z = np.searchsorted(ids, lo), np.searchsorted(ids, hi)
+            if z > a:
+                ids_parts.append(ids[a:z])
+                contrib_parts.append(contrib[a:z])
+        if not ids_parts:
+            continue
+        all_ids = np.concatenate(ids_parts)
+        all_contrib = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, all_contrib)  # term-sorted accumulation order
+        cand_ids.append(uniq)
+        cand_scores.append(scores)
+        n_cand += uniq.size
+        if n_cand >= k:
+            theta = _kth_best(cand_scores, k)
+
+    if not cand_ids:
+        return pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
+            {"qid": "int32", "doc_id": "int64", "score": "float64"}
+        )
+    ids = np.concatenate(cand_ids)
+    scores = np.concatenate(cand_scores)
+    sel = np.lexsort((ids, -scores))[:k]
+    return pd.DataFrame({"qid": qid, "doc_id": ids[sel], "score": scores[sel]})
+
+
+def _kth_best(score_chunks: list[np.ndarray], k: int) -> float:
+    s = np.concatenate(score_chunks)
+    if s.size < k:
+        return -np.inf
+    return float(np.partition(s, s.size - k)[s.size - k])
+
+
+def bm25_topk_wand(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Batch top-k over the compressed index. Returns (qid, rank, doc_id, score)."""
+    spark: SparkSession = postings.sparkSession
+    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    rows = [
+        (qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))
+    ]
+    if not rows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    all_terms = sorted({t for _, t in rows})
+
+    # Query terms are few → pull their dfs to the driver and compute idf
+    # with math.log: one tiny job instead of a distributed join, and
+    # bitwise-identical to the oracle (JVM log differs by 1 ulp).
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(all_terms)).collect()
+    }
+    from .bm25 import idf_value
+
+    qstat_rows = [
+        (qid, t, idf_value(n_docs, dfs[t])) for qid, t in rows if t in dfs
+    ]
+    if not qstat_rows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    qstats = spark.createDataFrame(qstat_rows, "qid int, term string, idf double")
+    matched = postings.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qstats), "term"
+    )
+    partials = matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _local_topk(pdf, k, avgdl), PARTIAL_SCHEMA
+    )
+    return topk(partials, k)

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Reference analog: vframe's global Click context (`src/vframe/settings/
+app_cfg.py:46-55`) holds cross-operator runtime config; here that role
+is played by the SparkSession + SQL conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def spark_session(
+    app_name: str = "vframe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Defaults follow the deployment contract: AQE on (runtime re-plan,
+    skew-join splitting, partition coalescing), Arrow on (every Python
+    boundary is batched, never per-row), shuffle partitions sized to the
+    core count rather than Spark's default 200 (at cluster scale the
+    caller overrides via --conf).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master == "local[*]" and cpus:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; otherwise leave a sane default the cluster overrides.
+        n = master[6:-1] if master.startswith("local[") else ""
+        shuffle_partitions = int(n) if n.isdigit() else 64
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
