@@ -1,0 +1,83 @@
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.operators.dedup import (
+    dedup_exact,
+    duplicate_groups,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+    word_ngrams,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = BASE.replace("lazy", "sleepy")  # one word differs
+FAR = "completely different content about spark inverted index engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0
+        (3, FAR),
+        (4, ""),            # empty
+        (5, BASE + " xyz"),  # near dup of 0
+    ]
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+def test_dedup_exact(spark, docs):
+    kept = dedup_exact(docs, "text", "id")
+    ids = {r["id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids  # lowest id wins
+    assert {2, 3, 4, 5} <= ids
+    groups = duplicate_groups(docs, "text", "id").collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper"] == 0 and groups[0]["doc_ids"] == [0, 1]
+
+
+def test_word_ngrams_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",), ("",)], "t string")
+    rows = df.select(word_ngrams(F.col("t"), 3).alias("g")).collect()
+    assert rows[0]["g"] == []
+    assert rows[1]["g"] == ["a b c", "b c d"]
+    assert rows[2]["g"] == []
+
+
+def test_minhash_pairs_and_dedup(spark, docs):
+    sigs = minhash_signatures(docs, "text", "id", n_hashes=64, shingle_n=3)
+    assert sigs.count() == 6
+    pairs = minhash_lsh_pairs(sigs, bands=16, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # exact dup: jaccard 1.0
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(0, 1)] == 1.0
+    assert not any({3} & set(p) for p in found)  # FAR is not near anything
+    kept = minhash_dedup(docs, "text", "id", threshold=0.5)
+    ids = {r["id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids
+    assert 3 in ids
+
+
+def test_simhash(spark, docs):
+    sigs = simhash_signatures(docs, "text", "id")
+    vals = {r["id"]: r["simhash"] for r in sigs.collect()}
+    assert vals[0] == vals[1]  # identical text → identical simhash
+    pairs = simhash_pairs(sigs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 1)) == 0
+    assert (0, 3) not in got  # far apart
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "text", "id", n=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 1.0
+    assert (0, 2) in got  # one-word change keeps most 3-grams? (must overlap)
+    assert all(0.3 <= j <= 1.0 for j in got.values())
+    assert (0, 3) not in got

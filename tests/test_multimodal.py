@@ -1,0 +1,45 @@
+import numpy as np
+
+from vframe_spark.operators import multimodal as mm
+
+
+def test_synth_and_decode(spark):
+    media = mm.synth_media(spark, n=12)
+    assert media.count() == 12
+    decoded = mm.decode_image(media)
+    rows = decoded.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["pixels"]) == r["width"] * r["height"]
+    # determinism: same media id → same pixels across runs
+    again = {r["media_id"]: r["pixels"] for r in mm.decode_image(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["pixels"]
+
+
+def test_resize(spark):
+    media = mm.synth_media(spark, n=6)
+    decoded = mm.decode_image(media)
+    small = mm.resize(decoded, 8, 8)
+    for r in small.collect():
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(r["pixels"]) == 64
+
+
+def test_frame_sample(spark):
+    media = mm.synth_media(spark, n=9)
+    frames = mm.frame_sample(media, every_n=2)
+    rows = frames.collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)
+    # images have exactly one frame (idx 0)
+    img = [r for r in rows if r["kind"] == "image"]
+    assert all(r["frame_idx"] == 0 for r in img)
+
+
+def test_features_normalized(spark):
+    media = mm.synth_media(spark, n=6)
+    feats = mm.extract_features(mm.decode_image(media), dim=16).collect()
+    for r in feats:
+        v = np.asarray(r["feature"])
+        assert v.shape == (16,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9

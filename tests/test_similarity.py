@@ -1,0 +1,71 @@
+import numpy as np
+import pytest
+
+from vframe_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_topk,
+)
+
+DIM = 8
+N = 200
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(N)]
+    return (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"),
+        vecs,
+    )
+
+
+def _oracle_topk(vecs, q, k):
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    sims = vn @ qn
+    order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:k]
+    return [(i, float(sims[i])) for i in order]
+
+
+def test_bruteforce_exact(spark, emb):
+    df, vecs = emb
+    queries = [(1, vecs[17].tolist()), (2, vecs[99].tolist())]
+    res = cosine_topk_bruteforce(df, queries, k=5)
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, qvec in queries:
+        expect = _oracle_topk(vecs.astype(np.float64), np.asarray(qvec, dtype=np.float64), 5)
+        mine = sorted(by_q[qid])
+        assert [m[1] for m in mine] == [e[0] for e in expect]
+        for (_, _, c), (_, ec) in zip(mine, expect):
+            assert abs(c - ec) < 1e-9
+        assert mine[0][1] == qid_to_self(qid, queries)  # self is nearest
+
+
+def qid_to_self(qid, queries):
+    return {1: 17, 2: 99}[qid]
+
+
+def test_lsh_recall_vs_bruteforce(spark, emb):
+    df, vecs = emb
+    queries = [(i, vecs[i * 13 % N].tolist()) for i in range(1, 9)]
+    bf = cosine_topk_bruteforce(df, queries, k=5).collect()
+    ann = lsh_topk(df, queries, dim=DIM, k=5, bits=4).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    # self-vector always lands in its own bucket → rank 1 must be exact
+    for qid, _ in queries:
+        top_ann = sorted([r for r in ann if r["qid"] == qid], key=lambda r: r["rank"])
+        assert top_ann[0]["vec_id"] == qid * 13 % N
+    # overall recall of bucketed ANN vs exact ≥ 0.4 at 4 bits
+    hits = sum(len(bf_sets[q] & ann_sets.get(q, set())) for q, _ in queries)
+    total = sum(len(bf_sets[q]) for q, _ in queries)
+    assert hits / total >= 0.4

@@ -1,0 +1,72 @@
+from pyspark.sql import functions as F
+
+from vframe_spark.functions.text import (
+    fingerprint64,
+    lang_id,
+    mean_word_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+
+ROWS = [
+    (0, "the quick brown fox is in the barn"),          # en
+    (1, "der hund ist nicht in der küche und das haus"),  # de
+    (2, "!!! ??? ;;;"),
+    (3, ""),
+    (4, "word " * 20),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "id bigint, text string")
+
+
+def test_token_counts(spark):
+    df = _df(spark).select(
+        "id", token_count_ws(F.col("text")).alias("n"),
+        token_count_bpe_ish(F.col("text")).alias("bpe"),
+    )
+    got = {r["id"]: (r["n"], r["bpe"]) for r in df.collect()}
+    assert got[0][0] == 8
+    assert got[3][0] == 0
+    assert got[4][0] == 20
+    assert got[2][0] == 3 and got[2][1] == 9  # 9 punctuation marks
+    assert got[0][1] >= got[0][0]  # subwords ≥ words
+
+
+def test_ratios_and_quality(spark):
+    df = _df(spark).select(
+        "id",
+        punct_ratio(F.col("text")).alias("pr"),
+        stopword_ratio(F.col("text"), "en").alias("sw"),
+        mean_word_len(F.col("text")).alias("mwl"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    got = {r["id"]: r for r in df.collect()}
+    assert got[3]["pr"] == 0.0 and got[3]["q"] <= 0.5
+    assert got[2]["pr"] > 0.7
+    assert got[0]["sw"] >= 3 / 8  # the, is, in, the
+    assert 3.0 <= got[0]["mwl"] <= 4.5
+    assert got[0]["q"] > got[2]["q"]
+
+
+def test_lang_id(spark):
+    df = _df(spark).select("id", lang_id(F.col("text")).alias("lang"))
+    got = {r["id"]: r["lang"] for r in df.collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "und"
+    assert got[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "  HELLO\tWORLD  "), (3, "other")],
+        "id bigint, text string",
+    ).select("id", fingerprint64(F.col("text")).alias("fp"))
+    got = {r["id"]: r["fp"] for r in df.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] != got[0]

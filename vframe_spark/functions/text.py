@@ -1,0 +1,108 @@
+"""Text-analysis functions for corpus curation, all JVM-expression-first.
+
+Each returns a Column so Catalyst keeps them inside whole-stage
+codegen; none require a Python boundary. (Reference parity: `pipe
+caption`'s template/accessor string ops /root/reference/src/commands/
+pipe/caption.py:77-83 and `utils media-attrs-filter`'s derived-column
+predicates /root/reference/src/commands/utils/media-attrs-filter.py:
+36-128 — the same shape: per-row derived scalar → filter/aggregate.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny built-in stopword sets for the n-gram language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "por", "que", "una", "en"],
+}
+
+
+def token_count_ws(col) -> Column:
+    """Whitespace token count (BIGINT)."""
+    toks = F.filter(F.split(col, "\\s+"), lambda t: t != "")
+    return F.size(toks).cast("bigint")
+
+
+def token_count_bpe_ish(col) -> Column:
+    """BPE-ish subword count: words + digit runs + punctuation marks.
+
+    A cheap, deterministic proxy for a learned-BPE token count:
+    alpha runs count ~1 token per 4 chars (ceil), digits/punct one each.
+    """
+    alpha_runs = F.filter(
+        F.split(F.regexp_replace(col, "[^A-Za-z]+", " "), " "), lambda t: t != ""
+    )
+    alpha_tokens = F.aggregate(
+        alpha_runs, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int")
+    )
+    digits = F.length(F.regexp_replace(col, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(col, "[A-Za-z0-9\\s]", ""))
+    return (alpha_tokens + digits + punct).cast("bigint")
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    total = F.length(col)
+    punct = F.length(F.regexp_replace(col, "[A-Za-z0-9\\s]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    words = F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != "")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(words) > 0, hits / F.size(words)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col) -> Column:
+    words = F.filter(F.split(col, "\\s+"), lambda t: t != "")
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(words) > 0, total / F.size(words)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality ∈ [0,1]: length, punctuation, word shape.
+
+    0.4·length_ok + 0.3·(1−punct_ratio) + 0.3·word_shape_ok — the usual
+    pretraining-curation shape (length window, low symbol noise,
+    natural word lengths).
+    """
+    n = token_count_ws(col)
+    length_ok = F.when((n >= 10) & (n <= 10000), 1.0).otherwise(
+        F.when(n > 0, 0.3).otherwise(0.0)
+    )
+    mwl = mean_word_len(col)
+    shape_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.2)
+    return F.round(
+        F.lit(0.4) * length_ok + F.lit(0.3) * (1.0 - punct_ratio(col)) + F.lit(0.3) * shape_ok,
+        6,
+    )
+
+
+def lang_id(col) -> Column:
+    """Stopword-vote language guess over STOPWORDS langs ('und' if no hit)."""
+    words = F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != "")
+    scores = []
+    for lang, sws in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in sws])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(sw, w))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint64(col) -> Column:
+    """64-bit content fingerprint of normalized text (whitespace-collapsed,
+    lowercased) — the rolling-hash document fingerprint, via xxhash64."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+    return F.xxhash64(norm)

@@ -1,0 +1,1 @@
+"""Pipeline operators: dedup, similarity search, text analysis, multimodal."""

@@ -1,0 +1,303 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Reference parity: vframe's content dedup is `dedup sha256`
+(/root/reference/src/commands/dedup/sha256.py:36-133 — exact hash
+keep-first) and `pipe skip-phash` (/root/reference/src/commands/pipe/
+skip-phash.py:31-157 — 64-bit perceptual signature + Hamming-threshold
+near-dup). Here those generalize to the standard corpus-curation set:
+
+* exact (content hash groupBy),
+* MinHash + LSH banding (shingle → signature → band-bucket join),
+* SimHash (tf-weighted 64-bit signature + Hamming verify via banding),
+* exact n-gram Jaccard (shingle self-join — SQL-expressible oracle),
+* embedding-cosine near-dup (see operators.similarity).
+
+Scale notes: every candidate-generation step is a *bucket equi-join*
+(shuffle on band/bucket key), never an all-pairs cross join; verify
+steps run only on bucket-collision pairs. Signatures are computed in
+one Arrow pass with numpy (no per-row Python at the Spark boundary).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct content (lowest id wins).
+
+    The content hash (sha256) is the group key so the shuffle moves a
+    64-hex key, not the 100 KB document body — at 100 TB that is the
+    difference between shuffling 100 TB and ~3 TB.
+    """
+    h = F.sha2(F.col(content_col), 256).alias("content_sha")
+    w = Window.partitionBy("content_sha").orderBy(F.col(id_col).asc())
+    return (
+        df.select("*", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "content_sha")
+    )
+
+
+def duplicate_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """(content_sha, n_copies, keeper, doc_ids) for groups with >1 copy."""
+    return (
+        df.select(F.sha2(F.col(content_col), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keeper"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def word_ngrams(col, n: int = 3):
+    """Column expr: lowercase word n-grams (array<string>), JVM-side."""
+    words = F.split(F.lower(col), "\\s+")
+    words = F.filter(words, lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    # docs shorter than n words have no n-grams (sequence(0, <0) errors)
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """→ (id, sig array<bigint>) — one Arrow pass, numpy-vectorized.
+
+    Shingle hashing uses pandas' stable 64-bit siphash
+    (`pd.util.hash_array`), permuted by ``n_hashes`` universal-hash
+    functions mod 2^61-1; the signature is the column-wise min.
+    """
+    a, b = _perm_params(n_hashes, seed)
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sigs = [], []
+            for did, text in zip(batch["id"], batch["content"]):
+                words = str(text).lower().split()
+                if len(words) >= shingle_n:
+                    sh = [" ".join(words[i : i + shingle_n]) for i in range(len(words) - shingle_n + 1)]
+                else:
+                    sh = [" ".join(words)] if words else []
+                if not sh:
+                    ids.append(did)
+                    sigs.append(np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64))
+                    continue
+                hv = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+                # (H, S) permuted hashes mod Mersenne prime, min over shingles
+                perm = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+                ids.append(did)
+                sigs.append(perm.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"id": ids, "sig": [s.tolist() for s in sigs]})
+
+    return src.mapInPandas(sig_batches, "id bigint, sig array<bigint>")
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """LSH banding → candidate pairs → signature-Jaccard verify.
+
+    Shuffle key is (band_id, band_hash); only bucket collisions are
+    joined, never all pairs. Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b and est_jaccard ≥ threshold.
+    """
+    n_hashes = len(sigs.select("sig").first()["sig"])
+    rows_per_band = n_hashes // bands
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(n_hashes))
+    ).alias("est_jaccard")
+    return (
+        cand.select("id_a", "id_b", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Drop near-duplicates: of each candidate pair, the higher id goes."""
+    sigs = minhash_signatures(df, content_col, id_col, n_hashes, shingle_n)
+    pairs = minhash_lsh_pairs(sigs, bands, threshold)
+    losers = pairs.select(F.col("id_b").alias("id")).distinct()
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash_signatures(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """64-bit tf-weighted SimHash per doc → (id, simhash bigint)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+
+    def sim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            ids, out = [], []
+            for did, text in zip(batch["id"], batch["content"]):
+                toks = str(text).lower().split()
+                ids.append(did)
+                if not toks:
+                    out.append(0)
+                    continue
+                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                hv = pd.util.hash_array(uniq).astype(np.uint64)
+                signs = ((hv[:, None] & bits[None, :]) != 0).astype(np.int64) * 2 - 1
+                acc = (signs * counts[:, None]).sum(axis=0)
+                v = int(((acc > 0).astype(np.uint64) * bits).sum())
+                out.append(v - (1 << 64) if v >= (1 << 63) else v)  # two's complement
+            yield pd.DataFrame({"id": ids, "simhash": pd.array(out, dtype="int64")})
+
+    return src.mapInPandas(sim_batches, "id bigint, simhash bigint")
+
+
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming ≤ max_hamming via 4×16-bit band blocking.
+
+    Pigeonhole: hamming ≤ 3 over 4 bands ⇒ at least one band identical,
+    so candidates come from 4 equi-joins, verified with bit_count.
+    """
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_id", "band.band_val")
+    left = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band_id", "band_val"
+    )
+    right = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band_id", "band_val"
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
+    return (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------ exact n-gram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams (SQL-expressible oracle).
+
+    |A∩B| from a self-join on shared shingles (shuffle on shingle,
+    bounded by shingle df); |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(content_col), n)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

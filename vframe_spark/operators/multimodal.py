@@ -1,0 +1,129 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media ride through the engine as opaque ``binary`` columns with typed
+metadata structs — the Spark translation of vframe's MediaFile rows
+(/root/reference/src/vframe/models/media.py:255-572: one file + lazily
+decoded frames + nested metadata). All operators here are Arrow-batched
+``mapInPandas`` passes with explicit schemas; the *decode* itself is
+stubbed (no image/audio libraries in this container) behind
+``FAKE_DECODE`` — a deterministic fake that derives pixel bytes from
+the content hash — or raises ``NotImplementedError`` when disabled, so
+the real codec can be dropped in without touching the plumbing.
+
+Operators (reference parity):
+* decode_image        ≙ MediaFile frame load (media.py:343-384)
+* resize              ≙ pipe resize (src/commands/pipe/resize.py:32-71)
+* frame_sample        ≙ pipe skip-interval (skip-interval.py:21-45)
+* extract_features    ≙ pipe features (features.py:33-67)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# flip to False to surface NotImplementedError where a real codec belongs
+FAKE_DECODE = True
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, data binary, "
+    "meta struct<width:int, height:int, n_frames:int, codec:string>"
+)
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payload + typed metadata)."""
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        kind = ["image", "video", "audio"][i % 3]
+        w, hgt = 16 + (i % 5) * 8, 16 + (i % 3) * 8
+        nf = 1 if kind == "image" else 4 + i % 7
+        rows.append((i, kind, h * 8, (w, hgt, nf, "fake")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_pixels(data: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decode: tile the payload hash into a (h, w) gray
+    image. Replace with a real codec; the plumbing stays identical."""
+    if not FAKE_DECODE:
+        raise NotImplementedError("real image decode requires an image codec library")
+    seed = np.frombuffer(hashlib.sha256(data).digest(), dtype=np.uint8)
+    reps = int(np.ceil(width * height / seed.size))
+    return np.tile(seed, reps)[: width * height].reshape(height, width)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """binary payload → pixels (flattened uint8 array + dims)."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples():
+                w, h = r.meta["width"], r.meta["height"]
+                px = _fake_pixels(r.data, w, h)
+                out.append((r.media_id, w, h, px.ravel().tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "pixels"])
+
+    return media.mapInPandas(
+        go, "media_id bigint, width int, height int, pixels array<smallint>"
+    )
+
+
+def resize(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded frames (numpy, Arrow-batched)."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples():
+                img = np.asarray(r.pixels, dtype=np.uint8).reshape(r.height, r.width)
+                yi = (np.arange(out_h) * r.height // out_h).clip(0, r.height - 1)
+                xi = (np.arange(out_w) * r.width // out_w).clip(0, r.width - 1)
+                out.append((r.media_id, out_w, out_h, img[np.ix_(yi, xi)].ravel().tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "pixels"])
+
+    return decoded.mapInPandas(
+        go, "media_id bigint, width int, height int, pixels array<smallint>"
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """video/audio rows → one row per sampled frame index (explode +
+    modulo filter — pipe skip-interval semantics, JVM-side)."""
+    frames = media.select(
+        "media_id",
+        "kind",
+        "meta",
+        F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias("frame_idx"),
+    )
+    return frames.filter(F.col("frame_idx") % every_n == 0)
+
+
+def extract_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
+    """Fake feature extractor: L2-normalized histogram-projection vector.
+
+    Deterministic stand-in for a CNN embedding (reference L2-normalizes
+    at base.py:148-152); swap the inner function for a real model, the
+    iterator-of-batches shape (init-once per executor) stays.
+    """
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng = np.random.default_rng(42)  # init-once per task, like a model load
+        proj = rng.standard_normal((256, dim))
+        for b in batches:
+            out = []
+            for r in b.itertuples():
+                img = np.asarray(r.pixels, dtype=np.uint8)
+                hist = np.bincount(img, minlength=256).astype(np.float64)
+                v = hist @ proj
+                v /= max(np.linalg.norm(v), 1e-12)
+                out.append((r.media_id, v.tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "feature"])
+
+    return decoded.mapInPandas(go, "media_id bigint, feature array<double>")

@@ -1,0 +1,154 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies per the scale contract:
+
+* :func:`cosine_topk_bruteforce` — the exact baseline. Query vectors
+  (small) are broadcast into an Arrow batch scan of the corpus; each
+  partition computes a numpy matmul and keeps a *partition-local*
+  top-k, so only ``num_partitions × k`` candidate rows shuffle for the
+  final global top-k. Exact, and the per-executor work is one GEMM —
+  this is the right plan up to billions of rows when k is small.
+* :func:`lsh_topk` — the scale path: random-hyperplane LSH signatures
+  bucket the corpus (one narrow pass); queries probe only their bucket
+  (equi-join on bucket key), trading recall for touching ~1/2^bits of
+  the corpus. Recall is measured against the brute-force baseline in
+  tests.
+
+Reference parity: `pipe skip-cnn`'s embedding cosine similarity
+(/root/reference/src/commands/pipe/skip-cnn.py:82-87) and the
+classification top-k bounded heap (/root/reference/src/vframe/image/
+processors/base.py:132-146).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _topk_window(df: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cosine")
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (qid, rank, vec_id, cosine)."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # partition-local top-k accumulated across Arrow batches
+        best: dict[int, list[tuple[float, int]]] = {int(q): [] for q in qids}
+        for b in batches:
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = qn @ mn.T  # (Q, B)
+            for qi, qid in enumerate(qids):
+                row = sims[qi]
+                take = min(k, row.size)
+                idx = np.argpartition(-row, take - 1)[:take]
+                best[int(qid)].extend(zip(row[idx].tolist(), ids[idx].tolist()))
+                if len(best[int(qid)]) > 4 * k:
+                    best[int(qid)] = sorted(
+                        best[int(qid)], key=lambda t: (-t[0], t[1])
+                    )[:k]
+        rows = []
+        for qid, cands in best.items():
+            for cos, vid in sorted(cands, key=lambda t: (-t[0], t[1]))[:k]:
+                rows.append((qid, vid, cos))
+        yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    partial = src.mapInPandas(score, "qid bigint, vec_id bigint, cosine double")
+    return _topk_window(partial, k)
+
+
+def cosine_expr(vec_a, vec_b):
+    """Pure-expression cosine for two array<float> columns (JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(vec_a, F.lit(0.0), lambda a, v: a + v * v))
+    nb = F.sqrt(F.aggregate(vec_b, F.lit(0.0), lambda a, v: a + v * v))
+    return dot / (na * nb)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((bits, dim))
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane bucket id per vector → (vec_id, vec, bucket)."""
+    planes = _hyperplanes(dim, bits, seed)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                yield pd.DataFrame({"vec_id": [], "vec": [], "bucket": []})
+                continue
+            proj = mat @ planes.T > 0  # (B, bits)
+            bucket = (proj * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"], "vec": b["vec"], "bucket": bucket}
+            )
+
+    return src.mapInPandas(sig, "vec_id bigint, vec array<float>, bucket bigint")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: probe only the query's bucket, exact rerank inside."""
+    planes = _hyperplanes(dim, bits, seed)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    sigs = lsh_signatures(embeddings, dim, bits, seed, id_col, vec_col)
+
+    qrows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        bucket = int((((planes @ v) > 0) * weights).sum())
+        qrows.append((qid, [float(x) for x in vec], bucket))
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(qrows, "qid bigint, qvec array<double>, bucket bigint")
+
+    joined = sigs.join(F.broadcast(qdf), "bucket").withColumn(
+        "cosine", cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec"))
+    )
+    return _topk_window(joined.select("qid", "vec_id", "cosine"), k)
