@@ -1,38 +1,646 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every queries() entry is an operator from SURVEY.md §2 (or a
+training-data pipeline operator) re-expressed Spark-first; each
+oracle_sql() entry is the same computation in DuckDB SQL over the same
+parquet views. Column names, types and rounding are aligned on both
+sides so the driver's order-insensitive value-hash matches.
+
+Float policy: any column produced by float aggregation is rounded to a
+fixed number of decimals on BOTH sides (summation order differs between
+engines); ranks are computed on the rounded values with doc-id
+tie-breaks so rank columns are deterministic too.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from vframe_spark.functions.tokenizer import tokenize_duckdb_sql, tokenize_expr, tokenize_py
+from vframe_spark.functions import text as X
+from vframe_spark.index.build import build_term_stats, tokenize_docs
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from vframe_spark.operators.similarity import cosine_topk_bruteforce
+from vframe_spark.query.wand import bm25_topk_wand
+
+# ----------------------------------------------------------------- helpers
+
+K1, B = 1.2, 0.75
+
+FT_QUERIES = [
+    (1, "data analysis"),
+    (2, "spark streaming model"),
+    (3, "window merge line"),
+    (4, "zzzabsentterm data"),
+]
+FT_K = 10
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ft_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the inverted index over `documents`."""
+    if sf_dir not in _INDEX_CACHE:
+        tag = hashlib.md5(f"v1:{sf_dir}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
+        docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+        build_index(
+            docs, out, shard_size=256, block_size=64, shards_per_slice=4,
+            content_col="content", lang_col=None,
+        )
+        _INDEX_CACHE[sf_dir] = out
+    return load_index(spark, _INDEX_CACHE[sf_dir])
+
+
+def _ft_qterms_values_sql() -> str:
+    rows = []
+    for qid, q in FT_QUERIES:
+        for t in sorted(set(tokenize_py(q))):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+TOK_SQL = tokenize_duckdb_sql("text")
+
+# BM25 in DuckDB over the same canonical tokenization; scores rounded to
+# 4 decimals BEFORE ranking (both engines) for cross-engine determinism.
+BM25_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {{QVALUES}}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def _rounded_rank(df: DataFrame, k: int) -> DataFrame:
+    """Round score to 4dp, then rank (score DESC, doc_id ASC) and cut k."""
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        df.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+# ----------------------------------------------------------- fulltext family
+
+def q_ft_tokenize_tf(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return (
+        tokenize_docs(docs, lang_col=None)
+        .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"))
+    )
+
+
+def q_ft_doc_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return (
+        tokenize_docs(docs, lang_col=None)
+        .groupBy("doc_id")
+        .agg(F.max("doc_len").cast("bigint").alias("doc_len"))
+    )
+
+
+def q_ft_term_stats(spark, sf_dir):
+    postings, term_stats, _, _ = _ft_index(spark, sf_dir)
+    return term_stats.select("term", F.col("df").cast("bigint").alias("df"))
+
+
+def q_ft_bm25_exhaustive(spark, sf_dir):
+    """Exhaustive DataFrame BM25 (no index) — same plan family as Catalyst
+    agg/join; oracle is the DuckDB BM25 CTE."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    tokens = tokenize_docs(docs, lang_col=None).cache()
+    n_docs = docs.count()
+    total = tokens.groupBy("doc_id").agg(F.max("doc_len").alias("dl")).agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(total) / n_docs
+    tstats = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    from vframe_spark.query.bm25 import bm25_scores, query_terms_df
+
+    qterms = query_terms_df(spark, FT_QUERIES)
+    scores = bm25_scores(tokens, tstats, qterms, n_docs, avgdl)
+    return _rounded_rank(scores, FT_K)
+
+
+def q_ft_bm25_wand(spark, sf_dir):
+    """The flagship: block-max WAND over the compressed sharded index.
+    Retrieves 3k then re-ranks on rounded scores (same rounding as SQL)."""
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+# -------------------------------------------------------------- dedup family
+
+def q_dedup_exact_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(F.col("text"), 256).alias("content_sha"), "doc_id")
+        .groupBy("content_sha")
+        .agg(F.count("*").cast("bigint").alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=64, shingle_n=3)
+    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(simhash_signatures(docs, "text", "doc_id"), max_hamming=8)
+
+
+# --------------------------------------------------------- similarity family
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") % 100 == 0).collect()
+    }
+    queries = [(int(vid), vec) for vid, vec in sorted(qvecs.items())]
+    res = cosine_topk_bruteforce(emb, queries, k=5)
+    # re-rank on rounded cosine for cross-engine determinism
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        res.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("qid").cast("bigint").alias("qid"), "rank", "vec_id", "cosine")
+    )
+
+
+SIM_ORACLE_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, cosine
+  FROM sims
+)
+SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------- text family
+
+def q_text_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count_ws(F.col("text")).alias("n_ws"),
+        X.token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(X.stopword_ratio(F.col("text"), "en"), 6).alias("stopword_ratio_en"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint64(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------- relational family
+
+def q_rel_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_rel_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def q_rel_join_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+def q_rel_window_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", F.col("rn").alias("rank"), "o_orderkey", "o_totalprice")
+    )
+
+
+def q_rel_keepfirst_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def q_rel_bucket_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    aggs = [
+        F.sum(F.when(F.col("cnt") > v, 1).otherwise(0)).cast("bigint").alias(f"gt{v}")
+        for v in (0, 1, 4, 8, 16)
+    ]
+    return per_user.groupBy("event_type").agg(*aggs)
+
+
+def q_rel_histogram(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket")
+    return li.select(bucket).groupBy("bucket").agg(F.count("*").cast("bigint").alias("n"))
+
+
+def q_rel_time_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_rel_union_merge(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("value") > 50)
+    b = e.filter(F.col("event_type") == "click")
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_rel_anti_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def q_rel_skip_interval(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") % 100 == 0) & (F.col("l_linenumber") == 1)).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+def q_rel_having(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_discount") > 0.05)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("bigint").alias("n_disc"))
+        .filter(F.col("n_disc") >= 4)
+    )
+
+
+# --------------------------------------------------------------- the contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents and
+    answer the fixed query set with block-max WAND top-k."""
+    return q_ft_bm25_wand(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ft_tokenize_tf": q_ft_tokenize_tf,
+        "ft_doc_stats": q_ft_doc_stats,
+        "ft_term_stats": q_ft_term_stats,
+        "ft_bm25_exhaustive": q_ft_bm25_exhaustive,
+        "ft_bm25_wand": q_ft_bm25_wand,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_filter_project": q_rel_filter_project,
+        "rel_join_revenue_by_nation": q_rel_join_revenue_by_nation,
+        "rel_window_topk": q_rel_window_topk,
+        "rel_keepfirst_dedup": q_rel_keepfirst_dedup,
+        "rel_bucket_rollup": q_rel_bucket_rollup,
+        "rel_histogram": q_rel_histogram,
+        "rel_time_window": q_rel_time_window,
+        "rel_union_merge": q_rel_union_merge,
+        "rel_anti_join": q_rel_anti_join,
+        "rel_skip_interval": q_rel_skip_interval,
+        "rel_having": q_rel_having,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = TOK_SQL
+    bm25 = BM25_ORACLE_SQL.replace("{QVALUES}", _ft_qterms_values_sql())
+    words = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+    words_raw = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+    sw_en = "'the','and','of','to','in','is','that','for','with','as'"
+    hits = {
+        "en": sw_en,
+        "de": "'der','die','das','und','ist','nicht','mit','ein','zu','den'",
+        "fr": "'le','la','les','et','est','pas','pour','que','une','dans'",
+        "es": "'el','la','los','y','es','no','por','que','una','en'",
+    }
+    hit_exprs = {
+        lang: f"len(list_filter({words}, w -> w IN ({sws})))" for lang, sws in hits.items()
+    }
+    alpha = (
+        "list_filter(regexp_split_to_array(regexp_replace(text, '[^A-Za-z]+', ' ', 'g'), ' '),"
+        " w -> w <> '')"
+    )
+    punct_len = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+    punct_ratio = f"CASE WHEN length(text) > 0 THEN {punct_len}::DOUBLE / length(text) ELSE 0.0 END"
+    n_ws = f"len({words_raw})::BIGINT"
+    mwl = (
+        f"CASE WHEN len({words_raw}) > 0 THEN "
+        f"coalesce(list_sum(list_transform({words_raw}, w -> length(w))), 0)::DOUBLE / len({words_raw}) "
+        f"ELSE 0.0 END"
+    )
+    return {
+        "ft_tokenize_tf": f"""
+            WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents)
+            SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        """,
+        "ft_doc_stats": f"""
+            SELECT doc_id, len({tok})::BIGINT AS doc_len FROM documents
+            WHERE len({tok}) > 0
+        """,
+        "ft_term_stats": f"""
+            WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents)
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1
+        """,
+        "ft_bm25_exhaustive": bm25,
+        "ft_bm25_wand": bm25,
+        "dedup_exact_groups": """
+            SELECT sha256(text) AS content_sha, count(*)::BIGINT AS n_copies,
+                   min(doc_id) AS keeper
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH words AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, len(ws) - 2),
+                                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+              FROM words
+              WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+              FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+        """,
+        "sim_cosine_topk": SIM_ORACLE_SQL,
+        "text_token_counts": f"""
+            SELECT doc_id, {n_ws} AS n_ws,
+                   (coalesce(list_sum(list_transform({alpha}, w -> cast(ceil(length(w)/4.0) AS INT))), 0)
+                    + length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    + {punct_len})::BIGINT AS n_bpe
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   round({punct_ratio}, 6) AS punct_ratio,
+                   round(CASE WHEN len({words}) > 0 THEN
+                     len(list_filter({words}, w -> w IN ({sw_en})))::DOUBLE / len({words})
+                     ELSE 0.0 END, 6) AS stopword_ratio_en,
+                   round(
+                     0.4 * (CASE WHEN {n_ws} BETWEEN 10 AND 10000 THEN 1.0
+                                 WHEN {n_ws} > 0 THEN 0.3 ELSE 0.0 END)
+                     + 0.3 * (1.0 - {punct_ratio})
+                     + 0.3 * (CASE WHEN {mwl} >= 2.0 AND {mwl} <= 12.0 THEN 1.0 ELSE 0.2 END),
+                   6) AS quality
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     {hit_exprs['en']} AS h_en, {hit_exprs['de']} AS h_de,
+                     {hit_exprs['fr']} AS h_fr, {hit_exprs['es']} AS h_es
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                        WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                        WHEN h_en >= h_de THEN 'en'
+                        ELSE 'de' END AS lang_guess
+            FROM h
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "rel_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND l_quantity > 45
+        """,
+        "rel_join_revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 4) AS revenue,
+                   count(*)::BIGINT AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "rel_window_topk": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey)::INT AS rank
+              FROM orders
+            )
+            SELECT o_custkey, rank, o_orderkey, o_totalprice FROM r WHERE rank <= 3
+        """,
+        "rel_keepfirst_dedup": """
+            WITH r AS (
+              SELECT user_id, event_type, event_id, ts,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1
+        """,
+        "rel_bucket_rollup": """
+            WITH per_user AS (
+              SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END)::BIGINT AS gt0,
+                   sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS gt1,
+                   sum(CASE WHEN cnt > 4 THEN 1 ELSE 0 END)::BIGINT AS gt4,
+                   sum(CASE WHEN cnt > 8 THEN 1 ELSE 0 END)::BIGINT AS gt8,
+                   sum(CASE WHEN cnt > 16 THEN 1 ELSE 0 END)::BIGINT AS gt16
+            FROM per_user GROUP BY 1
+        """,
+        "rel_histogram": """
+            SELECT floor(l_extendedprice / 10000)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "rel_time_window": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "rel_union_merge": """
+            WITH u AS (
+              SELECT * FROM events WHERE value > 50
+              UNION
+              SELECT * FROM events WHERE event_type = 'click'
+            )
+            SELECT event_type, count(*)::BIGINT AS n FROM u GROUP BY 1
+        """,
+        "rel_anti_join": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY 1
+        """,
+        "rel_skip_interval": """
+            SELECT l_orderkey, l_partkey, l_quantity
+            FROM lineitem
+            WHERE l_orderkey % 100 = 0 AND l_linenumber = 1
+        """,
+        "rel_having": """
+            SELECT l_orderkey, count(*)::BIGINT AS n_disc
+            FROM lineitem
+            WHERE l_discount > 0.05
+            GROUP BY 1
+            HAVING count(*) >= 4
+        """,
+        # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
+        # hash functions are engine-specific (xxhash64 / siphash) — rows-only
+        # checks by design.
+    }

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
+row-count, schema shape, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif isinstance(df[c].dtype, pd.DatetimeTZDtype) or pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(mine) != len(oracle):
+        problems.append(f"rowcount {len(mine)} vs {len(oracle)}")
+    if sorted(mine.columns) != sorted(oracle.columns):
+        problems.append(f"columns {sorted(mine.columns)} vs {sorted(oracle.columns)}")
+        return problems
+    a, b = normalize(mine), normalize(oracle)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+                ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
+            else:
+                ok = (pd.Series(av).astype(str) == pd.Series(bv).astype(str)).all()
+            if not ok:
+                mism = (pd.Series(av).astype(str) != pd.Series(bv).astype(str)).to_numpy().nonzero()[0][:3]
+                problems.append(
+                    f"col {c} differs, e.g. rows {mism.tolist()}: "
+                    f"{[(av[i], bv[i]) for i in mism[:3]]}"
+                )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from vframe_spark.session import spark_session
+
+    spark = spark_session("oracle_check", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            mine = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        if name not in osql:
+            print(f"rows-only {name}: {len(mine)} rows")
+            continue
+        try:
+            oracle = con.execute(osql[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, mine, oracle)
+        if problems:
+            print(f"FAIL {name}: {problems}")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(mine)} rows")
+    print("FAILURES:", failures)
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
