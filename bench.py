@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Covers the two north-star metrics from BASELINE.json plus the headline
+queries() entries:
+
+* ``ft_build``       — inverted-index build over a deterministic synthetic
+                       source-code corpus (files/sec is the headline;
+                       reported in ``extras.build_files_per_sec``).
+* ``ft_query_wand``  — batch block-max-WAND top-k over the built index for
+                       the 50-query reference set (per-query p50/p99 ms in
+                       ``extras``).
+* headline relational / dedup / similarity / text queries at
+  ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``).
+
+Each value in ``queries`` is wall-clock seconds for a full materialization
+(noop sink — forces every column incl. Arrow UDF output, no driver
+collect). ``value`` is the sum.
+
+Env: ``SPARK_GRAFT_SF_DIR``, ``SPARK_GRAFT_CPUS`` (default 32),
+``BENCH_CORPUS_DOCS`` (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CORPUS = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
+
+
+def materialize(df) -> None:
+    """Run the full plan; noop v2 sink evaluates every column, collects nothing."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.index.builder import build_index, load_index
+    from vframe_spark.queries import reference_queries
+    from vframe_spark.query.wand import bm25_topk_wand
+    from vframe_spark.session import spark_session
+
+    import __spark_entry__ as E
+
+    spark = spark_session("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- 1. index build throughput over the synthetic code corpus --------
+    work = tempfile.mkdtemp(prefix="vf_bench_idx_")
+    try:
+        from vframe_spark.ids import assign_doc_ids
+
+        docs = assign_doc_ids(synth_docs(spark, N_CORPUS), ["repo", "path", "commit"])
+        docs = docs.localCheckpoint()  # freeze ids + exclude synth cost from build timing
+
+        t0 = time.time()
+        idx_dir = os.path.join(work, "idx")
+        build_index(docs, idx_dir, shard_size=4096, block_size=128, shards_per_slice=8)
+        dt = time.time() - t0
+        timings["ft_build"] = round(dt, 3)
+        extras["build_files_per_sec"] = round(N_CORPUS / dt, 1)
+        extras["build_n_docs"] = N_CORPUS
+
+        # ---- 2. WAND query latency over the built index ------------------
+        postings, term_stats, _, meta = load_index(spark, idx_dir)
+        postings = postings.cache()
+        postings.count()
+        term_stats = term_stats.cache()
+        term_stats.count()
+        qs = reference_queries(50)
+        # warm-up (JIT/Arrow init), then timed per-query for p50/p99
+        bm25_topk_wand(postings, term_stats, meta, [(0, "warm up query")], k=10).count()
+        lat = []
+        t0 = time.time()
+        for qid, q, k in qs:
+            tq = time.time()
+            bm25_topk_wand(postings, term_stats, meta, [(qid, q)], k=k).count()
+            lat.append(time.time() - tq)
+        timings["ft_query_wand"] = round(time.time() - t0, 3)
+        lat.sort()
+        extras["query_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+        extras["query_p99_ms"] = round(1000 * lat[min(len(lat) - 1, int(len(lat) * 0.99))], 1)
+        # batch mode: all 50 queries in one job (the cluster-friendly path)
+        t0 = time.time()
+        bm25_topk_wand(postings, term_stats, meta, [(q, s) for q, s, _ in qs], k=100).count()
+        extras["query_batch50_sec"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # ---- 3. headline queries() entries at SF_DIR -------------------------
+    headline = [
+        "ft_bm25_wand",
+        "ft_tokenize_tf",
+        "dedup_exact_groups",
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "sim_cosine_topk",
+        "text_quality",
+        "text_lang_id",
+        "rel_pricing_summary",
+        "rel_join_revenue_by_nation",
+        "rel_window_topk",
+        "rel_bucket_rollup",
+        "rel_anti_join",
+    ]
+    qfns = E.queries()
+    for name in headline:
+        t0 = time.time()
+        materialize(qfns[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "vframe_spark headline wall-clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "extras": extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

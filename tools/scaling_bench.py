@@ -1,0 +1,135 @@
+"""Scaling-efficiency harness (north_rule: throughput scaling ≥0.8 between
+N and 4N executors; sandbox stand-in: local[8] vs local[32] on one input).
+
+Each measurement runs in its OWN subprocess/JVM so the two parallelism
+levels don't share executors, codegen caches, or block managers.
+
+Usage:
+    python tools/scaling_bench.py               # orchestrate both + report
+    python tools/scaling_bench.py --cores 8     # one measurement (child)
+
+The orchestrator prints a JSON report and rewrites the scaling section of
+BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("SCALING_BENCH_DOCS", "40000"))
+CORES = (8, 32)
+
+
+def measure(cores: int, n_docs: int) -> dict:
+    """Build the index over the same deterministic corpus at `cores` threads."""
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.index.builder import build_index
+    from vframe_spark.session import spark_session
+
+    spark = spark_session(
+        f"scaling_bench_{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = assign_doc_ids(
+        synth_docs(spark, n_docs, partitions=cores * 2), ["repo", "path", "commit"]
+    ).localCheckpoint()
+
+    work = tempfile.mkdtemp(prefix=f"vf_scale_{cores}_")
+    try:
+        t0 = time.time()
+        build_index(
+            docs, os.path.join(work, "idx"),
+            shard_size=4096, block_size=128, shards_per_slice=16,
+        )
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    return {"cores": cores, "n_docs": n_docs, "sec": round(dt, 2),
+            "files_per_sec": round(n_docs / dt, 1)}
+
+
+def orchestrate() -> dict:
+    results = []
+    for cores in CORES:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores", str(cores)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    lo, hi = results[0], results[1]
+    ratio = hi["cores"] / lo["cores"]
+    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / ratio
+    report = {
+        "runs": results,
+        "core_ratio": ratio,
+        "speedup": round(hi["files_per_sec"] / lo["files_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    return report
+
+
+MARK_BEGIN = "<!-- scaling:begin -->"
+MARK_END = "<!-- scaling:end -->"
+
+
+def write_bench_md(report: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md")
+    lo, hi = report["runs"]
+    section = f"""{MARK_BEGIN}
+## Scaling efficiency (north_rule evidence)
+
+Same index-build job (synthetic source-code corpus, {lo['n_docs']} docs,
+shard_size=4096, block=128) at two parallelism levels, each in its own
+JVM — the sandbox stand-in for N vs 4N executors.
+
+| parallelism | wall sec | files/sec |
+|---|---|---|
+| local[{lo['cores']}] | {lo['sec']} | {lo['files_per_sec']} |
+| local[{hi['cores']}] | {hi['sec']} | {hi['files_per_sec']} |
+
+Speedup {report['speedup']}× on {int(report['core_ratio'])}× cores →
+**scaling efficiency {report['scaling_efficiency']}** (target ≥ {report['target']}:
+{"PASS" if report['pass'] else "FAIL"}).
+
+Reproduce: `python tools/scaling_bench.py`
+{MARK_END}"""
+    body = ""
+    if os.path.exists(path):
+        body = open(path).read()
+        if MARK_BEGIN in body:
+            pre = body.split(MARK_BEGIN)[0]
+            post = body.split(MARK_END)[1] if MARK_END in body else ""
+            body = pre + section + post
+        else:
+            body = body.rstrip() + "\n\n" + section + "\n"
+    else:
+        body = "# BENCH — measured performance\n\n" + section + "\n"
+    with open(path, "w") as fh:
+        fh.write(body)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--docs", type=int, default=N_DOCS)
+    args = ap.parse_args()
+    if args.cores:
+        print(json.dumps(measure(args.cores, args.docs)))
+    else:
+        rep = orchestrate()
+        write_bench_md(rep)
+        print(json.dumps(rep))
