@@ -273,6 +273,114 @@ def q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", X.fingerprint64(F.col("text")).alias("fp"))
 
 
+# ------------------------------------------------------------ string family
+
+def q_str_path_template(spark, sf_dir):
+    """Path/templating scalar functions (reference file_utils.py:435-489,
+    caption accessors app_cfg.py:64-88) over synthesized paths."""
+    from vframe_spark.functions import strings as S
+
+    s = _t(spark, sf_dir, "supplier")
+    path = F.concat(
+        F.lit("src/"),
+        F.regexp_replace(F.col("s_name"), "#", "_"),
+        F.lit("/mod_"),
+        F.col("s_suppkey").cast("string"),
+        F.lit(".PY"),
+    )
+    p = s.select("s_suppkey", path.alias("path"))
+    return p.select(
+        "s_suppkey",
+        S.get_ext("path").alias("ext"),
+        S.file_stem("path").alias("stem"),
+        S.parent_name("path").alias("parent"),
+        S.swap_ext("path", "json").alias("swapped"),
+        S.zpad(F.col("s_suppkey"), 8).alias("padded"),
+        S.render_template(
+            "stem=@filestem parent=@parentname", S.doc_accessors(p)
+        ).alias("caption"),
+    )
+
+
+# ----------------------------------------------------------- geometry family
+
+def _part_boxes(spark, sf_dir):
+    """Deterministic bboxes derived from `part` (arithmetic replicated in
+    the DuckDB oracle)."""
+    import vframe_spark.functions.geometry as G
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    x1 = (F.col("p_partkey") % 20).cast("double")
+    y1 = (F.col("p_partkey") % 13).cast("double")
+    x2 = x1 + (F.col("p_size") % 10 + 1).cast("double")
+    y2 = y1 + (F.col("p_partkey") % 7 + 1).cast("double")
+    return p.select(F.col("p_partkey").alias("pk"), G.bbox(x1, y1, x2, y2).alias("box"))
+
+
+def q_geo_iou_pairs(spark, sf_dir):
+    """Pairwise IoU > 0 over derived boxes — bbox set algebra as pure
+    Catalyst exprs (reference geometry.py:582-592)."""
+    import vframe_spark.functions.geometry as G
+
+    b = _part_boxes(spark, sf_dir)
+    a, c = b.alias("a"), b.alias("b")
+    iou = G.bb_iou(F.col("a.box"), F.col("b.box"))
+    return (
+        a.join(c, F.col("a.pk") < F.col("b.pk"))
+        .filter(iou > 0)
+        .select(
+            F.col("a.pk").alias("pk_a"),
+            F.col("b.pk").alias("pk_b"),
+            F.round(iou, 4).alias("iou"),
+        )
+    )
+
+
+def q_geo_bbox_transform(spark, sf_dir):
+    """square/expand/area bbox transforms (reference geometry.py:233-592)."""
+    import vframe_spark.functions.geometry as G
+
+    b = _part_boxes(spark, sf_dir)
+    box = F.col("box")
+    sq = G.bb_square(box)
+    ex = G.bb_expand_px(box, 2)
+    return b.select(
+        "pk",
+        F.round(G.bb_area(box), 4).alias("area"),
+        F.round(sq["x1"], 4).alias("sq_x1"),
+        F.round(sq["y1"], 4).alias("sq_y1"),
+        F.round(sq["x2"], 4).alias("sq_x2"),
+        F.round(sq["y2"], 4).alias("sq_y2"),
+        F.round(ex["x1"], 4).alias("ex_x1"),
+        F.round(ex["y2"], 4).alias("ex_y2"),
+    )
+
+
+def q_geo_nms_merge(spark, sf_dir):
+    """merge-bboxes analog: per-brand detection arrays → greedy NMS →
+    survivor count (rows-only check: greedy NMS isn't SQL-expressible)."""
+    import vframe_spark.functions.geometry as G
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    det = F.struct(
+        (F.col("p_partkey") % 20).cast("double").alias("x1"),
+        (F.col("p_partkey") % 13).cast("double").alias("y1"),
+        ((F.col("p_partkey") % 20) + (F.col("p_size") % 10 + 1)).cast("double").alias("x2"),
+        ((F.col("p_partkey") % 13) + (F.col("p_partkey") % 7 + 1)).cast("double").alias("y2"),
+        (F.col("p_retailprice") % 100 / 100).cast("double").alias("conf"),
+        F.col("p_type").alias("label"),
+    )
+    grouped = p.select("p_brand", det.alias("det")).groupBy("p_brand").agg(
+        F.sort_array(F.collect_list("det")).alias("dets")
+    )
+    kept = grouped.select("p_brand", G.nms_udf(0.5)(F.col("dets")).alias("kept"))
+    return kept.select(
+        "p_brand",
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.round(F.aggregate("kept", F.lit(0.0), lambda acc, d: acc + d["conf"]), 4).alias("sum_conf"),
+    )
+
+
 # ---------------------------------------------------------- relational family
 
 def q_rel_pricing_summary(spark, sf_dir):
@@ -424,6 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "str_path_template": q_str_path_template,
+        "geo_iou_pairs": q_geo_iou_pairs,
+        "geo_bbox_transform": q_geo_bbox_transform,
+        "geo_nms_merge": q_geo_nms_merge,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_filter_project": q_rel_filter_project,
         "rel_join_revenue_by_nation": q_rel_join_revenue_by_nation,
@@ -548,6 +660,64 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_guess
             FROM h
         """,
+        "str_path_template": r"""
+            WITH p AS (
+              SELECT s_suppkey,
+                     'src/' || replace(s_name, '#', '_') || '/mod_' || s_suppkey || '.PY' AS path
+              FROM supplier
+            ),
+            parts AS (
+              SELECT s_suppkey, path, string_split(path, '/') AS seg FROM p
+            )
+            SELECT s_suppkey,
+                   lower(regexp_extract(path, '\.([^./\\]+)$', 1)) AS ext,
+                   regexp_replace(seg[-1], '\.[^.]*$', '') AS stem,
+                   seg[-2] AS parent,
+                   regexp_replace(path, '\.[^./\\]+$', '') || '.json' AS swapped,
+                   lpad(s_suppkey::VARCHAR, 8, '0') AS padded,
+                   'stem=' || regexp_replace(seg[-1], '\.[^.]*$', '')
+                     || ' parent=' || seg[-2] AS caption
+            FROM parts
+        """,
+        "geo_iou_pairs": """
+            WITH b AS (
+              SELECT p_partkey AS pk,
+                     (p_partkey % 20)::DOUBLE AS x1,
+                     (p_partkey % 13)::DOUBLE AS y1,
+                     (p_partkey % 20 + p_size % 10 + 1)::DOUBLE AS x2,
+                     (p_partkey % 13 + p_partkey % 7 + 1)::DOUBLE AS y2
+              FROM part WHERE p_partkey <= 300
+            ),
+            pairs AS (
+              SELECT a.pk AS pk_a, b.pk AS pk_b,
+                     greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
+                       * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0) AS inter,
+                     (a.x2 - a.x1) * (a.y2 - a.y1) AS area_a,
+                     (b.x2 - b.x1) * (b.y2 - b.y1) AS area_b
+              FROM b a JOIN b b ON a.pk < b.pk
+            )
+            SELECT pk_a, pk_b, round(inter / (area_a + area_b - inter), 4) AS iou
+            FROM pairs WHERE inter / (area_a + area_b - inter) > 0
+        """,
+        "geo_bbox_transform": """
+            WITH b AS (
+              SELECT p_partkey AS pk,
+                     (p_partkey % 20)::DOUBLE AS x1,
+                     (p_partkey % 13)::DOUBLE AS y1,
+                     (p_partkey % 20 + p_size % 10 + 1)::DOUBLE AS x2,
+                     (p_partkey % 13 + p_partkey % 7 + 1)::DOUBLE AS y2
+              FROM part WHERE p_partkey <= 300
+            )
+            SELECT pk,
+                   round((x2 - x1) * (y2 - y1), 4) AS area,
+                   round((x1 + x2) / 2 - greatest(x2 - x1, y2 - y1) / 2, 4) AS sq_x1,
+                   round((y1 + y2) / 2 - greatest(x2 - x1, y2 - y1) / 2, 4) AS sq_y1,
+                   round((x1 + x2) / 2 + greatest(x2 - x1, y2 - y1) / 2, 4) AS sq_x2,
+                   round((y1 + y2) / 2 + greatest(x2 - x1, y2 - y1) / 2, 4) AS sq_y2,
+                   round(x1 - 2, 4) AS ex_x1,
+                   round(y2 + 2, 4) AS ex_y2
+            FROM b
+        """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -642,5 +812,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
         # hash functions are engine-specific (xxhash64 / siphash) — rows-only
-        # checks by design.
+        # checks by design. geo_nms_merge: greedy NMS is iterative, not
+        # SQL-expressible — rows-only; the pairwise algebra it builds on IS
+        # oracle-checked via geo_iou_pairs / geo_bbox_transform.
     }

@@ -97,6 +97,30 @@ def main() -> None:
         t0 = time.time()
         bm25_topk_wand(postings, term_stats, meta, [(q, s) for q, s, _ in qs], k=100).count()
         extras["query_batch50_sec"] = round(time.time() - t0, 3)
+
+        # interactive query head: driver-side pruned-fetch scoring
+        from vframe_spark.query.local import LocalQueryEngine
+
+        eng = LocalQueryEngine(postings, term_stats, meta)
+        eng.topk("warm up query", k=10)
+        lat_local = []
+        for qid, q, k in qs:
+            tq = time.time()
+            eng.topk(q, k=k)
+            lat_local.append(time.time() - tq)
+        lat_local.sort()
+        extras["local_query_p50_ms"] = round(1000 * lat_local[len(lat_local) // 2], 2)
+        extras["local_query_p99_ms"] = round(
+            1000 * lat_local[min(len(lat_local) - 1, int(len(lat_local) * 0.99))], 2
+        )
+        # warm-cache repeat (term blocks in LRU)
+        lat_warm = []
+        for qid, q, k in qs:
+            tq = time.time()
+            eng.topk(q, k=k)
+            lat_warm.append(time.time() - tq)
+        lat_warm.sort()
+        extras["local_query_warm_p50_ms"] = round(1000 * lat_warm[len(lat_warm) // 2], 2)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -2,6 +2,11 @@ import pytest
 
 
 @pytest.fixture(scope="session")
+def sf001_dir():
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
 def spark():
     from vframe_spark.session import spark_session
 

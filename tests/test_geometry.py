@@ -1,0 +1,133 @@
+"""BBox algebra + NMS vs naive Python reference (SURVEY.md §2.8)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.functions import geometry as G
+
+RNG = random.Random(42)
+BOXES = [
+    (0.0, 0.0, 2.0, 2.0),
+    (1.0, 1.0, 3.0, 3.0),
+    (0.0, 0.0, 1.0, 1.0),
+    (5.0, 5.0, 6.0, 7.0),
+    (0.5, 0.5, 1.5, 1.5),
+]
+
+
+def _rand_box():
+    x, y = RNG.uniform(0, 10), RNG.uniform(0, 10)
+    return tuple(
+        round(v, 3) for v in (x, y, x + RNG.uniform(0.1, 5), y + RNG.uniform(0.1, 5))
+    )
+
+
+BOXES += [_rand_box() for _ in range(20)]
+
+
+def py_iou(a, b):
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+    area = lambda t: (t[2] - t[0]) * (t[3] - t[1])  # noqa: E731
+    return inter / (area(a) + area(b) - inter)
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    rows = [
+        (i, j, *a, *b)
+        for i, a in enumerate(BOXES)
+        for j, b in enumerate(BOXES)
+        if i < j
+    ]
+    return spark.createDataFrame(
+        rows, "i int, j int, ax1 double, ay1 double, ax2 double, ay2 double, "
+        "bx1 double, by1 double, bx2 double, by2 double"
+    ).withColumn("a", G.bbox(F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"))) \
+     .withColumn("b", G.bbox(F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2")))
+
+
+def test_iou_union_intersection_contains(pairs_df):
+    got = pairs_df.select(
+        "i", "j",
+        G.bb_iou(F.col("a"), F.col("b")).alias("iou"),
+        G.bb_union(F.col("a"), F.col("b")).alias("u"),
+        G.bb_intersection(F.col("a"), F.col("b")).alias("x"),
+        G.bb_contains_bbox(F.col("a"), F.col("b")).alias("cont"),
+    ).collect()
+    for r in got:
+        a, b = BOXES[r["i"]], BOXES[r["j"]]
+        assert math.isclose(r["iou"], py_iou(a, b), abs_tol=1e-12)
+        u = r["u"]
+        assert (u["x1"], u["y1"], u["x2"], u["y2"]) == (
+            min(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), max(a[3], b[3])
+        )
+        disjoint = max(a[0], b[0]) >= min(a[2], b[2]) or max(a[1], b[1]) >= min(a[3], b[3])
+        assert (r["x"] is None) == disjoint
+        assert r["cont"] == (
+            b[0] >= a[0] and b[1] >= a[1] and b[2] <= a[2] and b[3] <= a[3]
+        )
+
+
+def test_transforms(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 6.0)], "x1 double, y1 double, x2 double, y2 double")
+    b = G.bbox(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+    r = df.select(
+        G.bb_expand_px(b, 1).alias("exp"),
+        G.bb_scale(b, 2).alias("sc"),
+        G.bb_translate(b, 10, -1).alias("tr"),
+        G.bb_square(b).alias("sq"),
+        G.bb_redim(b, 100, 10).alias("rd"),
+        G.bb_area(b).alias("area"),
+    ).collect()[0]
+    assert (r["exp"]["x1"], r["exp"]["y2"]) == (0.0, 7.0)
+    assert (r["sc"]["x2"], r["sc"]["y2"]) == (6.0, 12.0)
+    assert (r["tr"]["x1"], r["tr"]["y1"]) == (11.0, 1.0)
+    # square: w=2,h=4 → side 4, center (2,4)
+    assert (r["sq"]["x1"], r["sq"]["y1"], r["sq"]["x2"], r["sq"]["y2"]) == (0.0, 2.0, 4.0, 6.0)
+    assert (r["rd"]["x1"], r["rd"]["y2"]) == (100.0, 60.0)
+    assert r["area"] == 8.0
+
+
+def py_nms(dets, thresh):
+    arr = sorted(dets, key=lambda d: (-d[4], d[0], d[1], d[2], d[3], d[5]))
+    keep = []
+    for d in arr:
+        if all(py_iou(d[:4], k[:4]) <= thresh for k in keep):
+            keep.append(d)
+    return keep
+
+
+def test_nms_matches_reference(spark):
+    dets = [
+        (0.0, 0.0, 2.0, 2.0, 0.9, "a"),
+        (0.1, 0.1, 2.1, 2.1, 0.8, "a"),   # suppressed by first
+        (5.0, 5.0, 6.0, 6.0, 0.7, "b"),
+        (0.0, 0.0, 0.5, 0.5, 0.6, "a"),   # low overlap → kept
+        (5.1, 5.1, 6.1, 6.1, 0.95, "b"),  # wins over row 3
+    ]
+    df = spark.createDataFrame(
+        [(1, [d for d in dets])],
+        "id int, dets array<struct<x1:double,y1:double,x2:double,y2:double,conf:double,label:string>>",
+    )
+    got = df.select(G.nms_udf(0.5)(F.col("dets")).alias("kept")).collect()[0]["kept"]
+    expect = py_nms(dets, 0.5)
+    assert [(d["x1"], d["conf"]) for d in got] == [(d[0], d[4]) for d in expect]
+
+
+def test_merge_detections(spark):
+    m1 = [(0.0, 0.0, 2.0, 2.0, 0.9, "a")]
+    m2 = [(0.05, 0.05, 2.05, 2.05, 0.7, "a"), (8.0, 8.0, 9.0, 9.0, 0.5, "c")]
+    schema = (
+        "id int, model1 array<struct<x1:double,y1:double,x2:double,y2:double,conf:double,label:string>>, "
+        "model2 array<struct<x1:double,y1:double,x2:double,y2:double,conf:double,label:string>>"
+    )
+    df = spark.createDataFrame([(1, m1, m2)], schema)
+    out = G.merge_detections(df, ["model1", "model2"]).collect()[0]
+    kept = [(d["conf"], d["label"]) for d in out["detections"]]
+    assert kept == [(0.9, "a"), (0.5, "c")]
+    assert "model1" not in out.asDict()

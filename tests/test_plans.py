@@ -1,0 +1,81 @@
+"""Physical-plan hygiene: the properties that make the engine viable at
+100 TB, asserted on the actual executed plans.
+
+* posting fetch prunes at the parquet scan (PushedFilters on `term`) —
+  a query must read KBs of the index, never scan it;
+* the query-stats join broadcasts (no shuffle of the posting side);
+* small-dim joins broadcast;
+* tokenize is shuffle-free (map-side TF: the token stream never hits
+  an Exchange);
+* aggregations are partial (map-side combine) before the exchange.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.build import tokenize_docs
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.query.wand import bm25_topk_wand
+
+
+def plan_of(df) -> str:
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    docs = assign_doc_ids(
+        synth_docs(spark, 120, partitions=2), ["repo", "path", "commit"], num_partitions=2
+    )
+    idx = str(tmp_path_factory.mktemp("idx"))
+    build_index(docs, idx, shard_size=32, block_size=8, shards_per_slice=2)
+    return idx
+
+
+def test_wand_prunes_scan_and_broadcasts(spark, small_index):
+    postings, term_stats, _, meta = load_index(spark, small_index)
+    topk = bm25_topk_wand(postings, term_stats, meta, [(1, "data parse")], k=5)
+    plan = plan_of(topk)
+    assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:200]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tokenize_is_shuffle_free(spark):
+    docs = synth_docs(spark, 50, partitions=2).withColumn("doc_id", F.monotonically_increasing_id())
+    tokens = tokenize_docs(docs)
+    plan = plan_of(tokens)
+    assert "Exchange" not in plan, f"tokenize plan shuffles:\n{plan}"
+
+
+def test_dim_join_broadcasts(spark, sf001_dir):
+    o = spark.read.parquet(f"{sf001_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf001_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf001_dir}/nation.parquet")
+    out = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_is_partial(spark, sf001_dir):
+    li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    out = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = plan_of(out)
+    # partial + final HashAggregate around the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_filter_pushdown_to_parquet(spark, sf001_dir):
+    li = spark.read.parquet(f"{sf001_dir}/lineitem.parquet")
+    out = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = plan_of(out)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan schema must not include unprojected wide columns
+    assert "l_comment" not in plan.split("ReadSchema")[1][:400]

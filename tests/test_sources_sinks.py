@@ -1,0 +1,110 @@
+"""Sources/sinks (SURVEY.md §2.1/2.2) + interactive local query path."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark import sinks, sources
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.query.local import LocalQueryEngine
+from vframe_spark.query.wand import bm25_topk_wand
+from vframe_spark.queries import reference_queries
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("corpus") / "docs")
+    synth_docs(spark, 200, partitions=4).write.parquet(p)
+    return p
+
+
+def test_read_docs_slice_and_pushdown(spark, corpus_path):
+    df = sources.read_docs(spark, corpus_path, where="lang = 'py'",
+                           columns=["repo", "path", "lang"])
+    assert df.columns == ["repo", "path", "lang"]
+    assert df.filter(F.col("lang") != "py").count() == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan
+
+    sl = sources.read_docs(spark, corpus_path, slice_range=(10, 25))
+    rows = sl.collect()
+    assert len(rows) == 15
+    full = sources.read_docs(spark, corpus_path).orderBy("repo", "path", "commit").collect()
+    assert [(r["repo"], r["path"]) for r in rows] == [
+        (r["repo"], r["path"]) for r in full[10:25]
+    ]
+
+
+def test_filelist_semi_and_anti_joins(spark, corpus_path):
+    docs = sources.read_docs(spark, corpus_path)
+    some = docs.select("repo", "path").limit(7)
+    ghost = spark.createDataFrame([("no/such", "x.py")], "repo string, path string")
+    filelist = some.unionByName(ghost)
+
+    kept = sources.filter_by_filelist(docs, filelist)
+    assert kept.count() == docs.join(some.dropDuplicates(), ["repo", "path"], "left_semi").count()
+    missing = sources.missing_from_catalog(filelist, docs)
+    assert missing.collect() == [ghost.collect()[0]]
+
+
+def test_join_priors_checkpoint_read(spark, corpus_path, tmp_path):
+    docs = sources.read_docs(spark, corpus_path)
+    priors = docs.limit(20).select(
+        "repo", "path", "commit", F.length("content").alias("prior_len")
+    )
+    pp = str(tmp_path / "priors")
+    sinks.save_json(priors, pp)
+    re_read = spark.read.json(pp)
+    joined = sources.join_priors(docs, re_read, broadcast_priors=True)
+    assert joined.count() == docs.count()
+    assert joined.filter(F.col("prior_len").isNotNull()).count() == 20
+
+
+def test_save_grouped_partitions(spark, corpus_path, tmp_path):
+    docs = sources.read_docs(spark, corpus_path)
+    out = str(tmp_path / "bylang")
+    sinks.save_grouped(docs, ["lang"], out)
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    on_disk = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+    assert on_disk == langs
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+
+def test_save_filtered(spark, corpus_path, tmp_path):
+    docs = sources.read_docs(spark, corpus_path)
+    out = str(tmp_path / "filtered")
+    sinks.save_filtered(docs, "lang = 'py'", out)
+    assert spark.read.parquet(out).count() == docs.filter("lang = 'py'").count()
+
+
+# ------------------------------------------------- interactive query head
+
+def test_local_engine_rank_identical_to_distributed(spark, tmp_path):
+    docs = assign_doc_ids(
+        synth_docs(spark, 300, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    )
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, shard_size=64, block_size=16, shards_per_slice=2)
+    postings, term_stats, _, meta = load_index(spark, idx)
+    eng = LocalQueryEngine(postings, term_stats, meta)
+
+    queries = [(qid, q) for qid, q, _ in reference_queries(12)]
+    dist = bm25_topk_wand(postings, term_stats, meta, queries, k=10)
+    by_qid = {}
+    for r in dist.collect():
+        by_qid.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+
+    for qid, q in queries:
+        local = eng.topk(q, k=10)
+        assert local == by_qid.get(qid, []), f"qid {qid} ({q!r}) diverged"
+
+    # cache hit path: second run, same results, no new fetch
+    t0 = time.time()
+    for qid, q in queries:
+        assert eng.topk(q, k=10) == by_qid.get(qid, [])
+    assert time.time() - t0 < 2.0

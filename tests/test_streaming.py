@@ -1,0 +1,187 @@
+"""Structured Streaming: incremental index ingest, stateful dedup,
+windowed ingest stats (SURVEY.md §2.9)."""
+
+import os
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.query.wand import bm25_topk_wand
+from vframe_spark.streaming.dedup import dedup_stream
+from vframe_spark.streaming.ingest import (
+    incremental_index_stream,
+    ingest_stats_stream,
+    read_doc_stream,
+)
+
+N_DOCS = 120
+SHARD = 16
+BLOCK = 8
+SPS = 2  # shards per slice → slice span 32
+
+QUERIES = [(1, "data analysis"), (2, "parse buffer config"), (3, "lang:py index")]
+
+
+def _topk(spark, idx_dir, k=10):
+    postings, term_stats, _, meta = load_index(spark, idx_dir)
+    rows = bm25_topk_wand(postings, term_stats, meta, QUERIES, k=k).collect()
+    return [(r["qid"], r["rank"], round(r["score"], 9)) for r in rows], meta
+
+
+def test_incremental_stream_matches_batch(spark, tmp_path):
+    """Feed the corpus in three file drops; the streamed index must rank
+    identically to a single batch build over the same ordered corpus."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    full = assign_doc_ids(
+        synth_docs(spark, N_DOCS, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+    plain = full.drop("doc_id")
+
+    # Three ordered chunks, id-aligned with the stream's per-batch
+    # allocation (batch i gets ids starting at slice_lo*span).
+    span = SHARD * SPS
+    chunks = [(0, 40), (40, 80), (80, N_DOCS)]
+    for i, (lo, hi) in enumerate(chunks):
+        chunk = full.filter((full.doc_id >= lo) & (full.doc_id < hi)).drop("doc_id")
+        chunk.coalesce(1).write.parquet(str(tmp_path / f"chunk{i}"))
+        # drop files one at a time so each becomes its own micro-batch
+        import glob as _g
+        import shutil as _sh
+
+        f = _g.glob(str(tmp_path / f"chunk{i}" / "*.parquet"))[0]
+        _sh.copy(f, os.path.join(src, f"drop_{i}.parquet"))
+        q = incremental_index_stream(
+            read_doc_stream(spark, src, max_files_per_trigger=1),
+            idx, ckpt, shard_size=SHARD, block_size=BLOCK, shards_per_slice=SPS,
+        )
+        q.awaitTermination(120)
+
+    streamed, meta = _topk(spark, idx)
+    assert meta["complete"] and meta["n_docs"] == N_DOCS
+
+    # Batch oracle: same chunking, ids offset to the same slice-aligned
+    # ranges the stream used.
+    from pyspark.sql import functions as F
+
+    batch_dir = str(tmp_path / "batch_idx")
+    parts = []
+    next_slice = 0
+    for i, (lo, hi) in enumerate(chunks):
+        n = hi - lo
+        chunk = spark.read.parquet(str(tmp_path / f"chunk{i}"))
+        ids = assign_doc_ids(chunk, ["repo", "path", "commit"], num_partitions=2)
+        parts.append(ids.withColumn("doc_id", F.col("doc_id") + next_slice * span))
+        next_slice += (n + span - 1) // span
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    build_index(union, batch_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=SPS)
+    batch, bmeta = _topk(spark, batch_dir)
+
+    assert bmeta["n_docs"] == meta["n_docs"]
+    assert abs(bmeta["avgdl"] - meta["avgdl"]) < 1e-9
+    assert streamed == batch  # rank-identical, scores to 1e-9
+
+
+def test_stream_retry_is_idempotent(spark, tmp_path):
+    """Re-running the stream with a fresh checkpoint over the same files
+    must not duplicate slices (stream_state allocation is idempotent
+    per batch_id)."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    os.makedirs(src)
+    docs = synth_docs(spark, 40, partitions=2)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = incremental_index_stream(
+        read_doc_stream(spark, src), idx, str(tmp_path / "c1"),
+        shard_size=SHARD, block_size=BLOCK, shards_per_slice=SPS,
+    )
+    q.awaitTermination(120)
+    _, meta1 = _topk(spark, idx)
+    # new checkpoint → Spark replays batch 0; allocation is reused
+    q = incremental_index_stream(
+        read_doc_stream(spark, src), idx, str(tmp_path / "c2"),
+        shard_size=SHARD, block_size=BLOCK, shards_per_slice=SPS,
+    )
+    q.awaitTermination(120)
+    topk2, meta2 = _topk(spark, idx)
+    assert meta1["n_docs"] == 40
+    assert meta2["n_docs"] == 40  # not 80: batch 0 overwrote its own slice
+    assert meta2["avgdl"] == meta1["avgdl"]
+
+
+def test_dedup_stream_drops_repeats_across_batches(spark, tmp_path):
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = pd.DataFrame(
+        [
+            {"repo": "r1", "path": "a.py", "commit": "c1", "lang": "py", "content": "alpha beta"},
+            {"repo": "r1", "path": "b.py", "commit": "c2", "lang": "py", "content": "alpha beta"},
+            {"repo": "r2", "path": "a.py", "commit": "c3", "lang": "py", "content": "alpha beta"},
+        ]
+    )
+    rows2 = pd.DataFrame(
+        [
+            {"repo": "r1", "path": "c.py", "commit": "c4", "lang": "py", "content": "alpha beta"},
+            {"repo": "r1", "path": "d.py", "commit": "c5", "lang": "py", "content": "gamma delta"},
+        ]
+    )
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(str(tmp_path / "b2"))
+
+    import glob as _g
+    import shutil as _sh
+
+    sink = str(tmp_path / "sink")
+    out = dedup_stream(read_doc_stream(spark, src, max_files_per_trigger=1))
+    for i, b in enumerate(("b1", "b2")):
+        f = _g.glob(str(tmp_path / b / "*.parquet"))[0]
+        _sh.copy(f, os.path.join(src, f"drop_{i}.parquet"))
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["repo"], r["path"]) for r in spark.read.parquet(sink).collect()
+    }
+    # r1: first "alpha beta" (a.py) kept, b.py + c.py dropped (c.py is in
+    # batch 2 → proves state survives across batches); d.py fresh → kept.
+    # r2: separate key → kept.
+    assert got == {("r1", "a.py"), ("r2", "a.py"), ("r1", "d.py")}
+
+
+def test_ingest_stats_stream_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = synth_docs(spark, 30, partitions=1)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stats = ingest_stats_stream(read_doc_stream(spark, src), window="1 minute")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(f"stats_sink_{id(tmp_path)}")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        f"select sum(n_files) as n, sum(bytes) as b from stats_sink_{id(tmp_path)}"
+    ).collect()[0]
+    assert rows["n"] == 30 and rows["b"] > 0

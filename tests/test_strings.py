@@ -1,0 +1,42 @@
+"""String/path/template functions (SURVEY.md §2.8)."""
+
+from pyspark.sql import functions as F
+
+from vframe_spark.functions import strings as S
+
+
+def test_path_functions(spark):
+    df = spark.createDataFrame(
+        [("src/util/file_name_3.PY",), ("a/b/c.tar.gz",), ("noext",)], "path string"
+    )
+    rows = df.select(
+        S.get_ext("path").alias("ext"),
+        S.file_name("path").alias("name"),
+        S.file_stem("path").alias("stem"),
+        S.parent_name("path").alias("parent"),
+        S.swap_ext("path", "json").alias("sw"),
+        S.add_suffix("path", "_v2").alias("suf"),
+    ).collect()
+    assert (rows[0]["ext"], rows[0]["name"], rows[0]["stem"], rows[0]["parent"]) == (
+        "py", "file_name_3.PY", "file_name_3", "util"
+    )
+    assert rows[1]["ext"] == "gz" and rows[1]["stem"] == "c.tar"
+    assert rows[1]["sw"] == "a/b/c.tar.json" and rows[1]["suf"] == "a/b/c.tar_v2.gz"
+    assert rows[2]["ext"] == "" and rows[2]["sw"] == "noext.json"
+
+
+def test_zpad(spark):
+    df = spark.createDataFrame([(7,), (123456789,)], "n bigint")
+    rows = df.select(S.zpad("n", 6).alias("z")).collect()
+    assert rows[0]["z"] == "000007" and rows[1]["z"] == "123456789"
+
+
+def test_render_template(spark):
+    df = spark.createDataFrame(
+        [("r1", "src/util/tok.py", 42)], "repo string, path string, n int"
+    )
+    acc = S.doc_accessors(df)
+    out = df.select(
+        S.render_template("f=@filestem p=@parentname n=@n @unknown!", acc).alias("s")
+    ).collect()[0]["s"]
+    assert out == "f=tok p=util n=42 @unknown!"

@@ -1,0 +1,210 @@
+"""BBox algebra as pure Catalyst column expressions + vectorized NMS.
+
+The reference's geometry value types carry an algebra — union,
+intersection, IoU, containment, expand/scale/translate/square,
+normalized↔pixel redim (`/root/reference/src/vframe/models/
+geometry.py:233-592`) — and its `merge-bboxes` operator merges per-model
+detection arrays with greedy IoU suppression (`/root/reference/src/
+commands/pipe/merge-bboxes.py:29-94`, NMS core `src/vframe/image/
+processors/base.py:163-174`).
+
+Spark-first re-expression: a bbox is a ``struct<x1,y1,x2,y2>`` column;
+every algebra op is a built-in expression (whole-stage codegen, zero
+Python). Only greedy NMS — inherently sequential per row group — drops
+to an Arrow-batched pandas UDF over the detection *array* column (one
+batch = many rows, numpy inside).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BBOX_FIELDS = ["x1", "y1", "x2", "y2"]
+
+
+def bbox(x1, y1, x2, y2) -> Column:
+    """Construct a bbox struct column (accepts columns or literals)."""
+    cc = lambda v: v if isinstance(v, Column) else F.lit(float(v))  # noqa: E731
+    return F.struct(
+        cc(x1).cast("double").alias("x1"),
+        cc(y1).cast("double").alias("y1"),
+        cc(x2).cast("double").alias("x2"),
+        cc(y2).cast("double").alias("y2"),
+    )
+
+
+def bb_width(b: Column) -> Column:
+    return b["x2"] - b["x1"]
+
+
+def bb_height(b: Column) -> Column:
+    return b["y2"] - b["y1"]
+
+
+def bb_area(b: Column) -> Column:
+    return bb_width(b) * bb_height(b)
+
+
+def bb_union(a: Column, b: Column) -> Column:
+    """Smallest box covering both (reference geometry.py:318-329)."""
+    return bbox(
+        F.least(a["x1"], b["x1"]),
+        F.least(a["y1"], b["y1"]),
+        F.greatest(a["x2"], b["x2"]),
+        F.greatest(a["y2"], b["y2"]),
+    )
+
+
+def bb_intersection(a: Column, b: Column) -> Column:
+    """Overlap box, or NULL when disjoint (reference geometry.py:570-580)."""
+    ix1 = F.greatest(a["x1"], b["x1"])
+    iy1 = F.greatest(a["y1"], b["y1"])
+    ix2 = F.least(a["x2"], b["x2"])
+    iy2 = F.least(a["y2"], b["y2"])
+    return F.when((ix2 > ix1) & (iy2 > iy1), bbox(ix1, iy1, ix2, iy2))
+
+
+def bb_iou(a: Column, b: Column) -> Column:
+    """Intersection-over-union (reference geometry.py:582-592)."""
+    ix1 = F.greatest(a["x1"], b["x1"])
+    iy1 = F.greatest(a["y1"], b["y1"])
+    ix2 = F.least(a["x2"], b["x2"])
+    iy2 = F.least(a["y2"], b["y2"])
+    inter = F.greatest(ix2 - ix1, F.lit(0.0)) * F.greatest(iy2 - iy1, F.lit(0.0))
+    return inter / (bb_area(a) + bb_area(b) - inter)
+
+
+def bb_contains_point(b: Column, x, y) -> Column:
+    xc = x if isinstance(x, Column) else F.lit(float(x))
+    yc = y if isinstance(y, Column) else F.lit(float(y))
+    return (xc >= b["x1"]) & (xc <= b["x2"]) & (yc >= b["y1"]) & (yc <= b["y2"])
+
+
+def bb_contains_bbox(a: Column, b: Column) -> Column:
+    return (
+        (b["x1"] >= a["x1"]) & (b["y1"] >= a["y1"])
+        & (b["x2"] <= a["x2"]) & (b["y2"] <= a["y2"])
+    )
+
+
+def bb_expand_px(b: Column, px) -> Column:
+    p = px if isinstance(px, Column) else F.lit(float(px))
+    return bbox(b["x1"] - p, b["y1"] - p, b["x2"] + p, b["y2"] + p)
+
+
+def bb_expand_per(b: Column, frac) -> Column:
+    fx = bb_width(b) * frac
+    fy = bb_height(b) * frac
+    return bbox(b["x1"] - fx, b["y1"] - fy, b["x2"] + fx, b["y2"] + fy)
+
+
+def bb_scale(b: Column, factor) -> Column:
+    f = factor if isinstance(factor, Column) else F.lit(float(factor))
+    return bbox(b["x1"] * f, b["y1"] * f, b["x2"] * f, b["y2"] * f)
+
+
+def bb_translate(b: Column, dx, dy) -> Column:
+    dxc = dx if isinstance(dx, Column) else F.lit(float(dx))
+    dyc = dy if isinstance(dy, Column) else F.lit(float(dy))
+    return bbox(b["x1"] + dxc, b["y1"] + dyc, b["x2"] + dxc, b["y2"] + dyc)
+
+
+def bb_square(b: Column) -> Column:
+    """Grow the short side to make a square, centered (geometry.py square)."""
+    side = F.greatest(bb_width(b), bb_height(b))
+    cx = (b["x1"] + b["x2"]) / 2
+    cy = (b["y1"] + b["y2"]) / 2
+    return bbox(cx - side / 2, cy - side / 2, cx + side / 2, cy + side / 2)
+
+
+def bb_redim(b: Column, w, h) -> Column:
+    """Normalized [0,1] coords → pixel coords (geometry.py:233 redim)."""
+    wc = w if isinstance(w, Column) else F.lit(float(w))
+    hc = h if isinstance(h, Column) else F.lit(float(h))
+    return bbox(b["x1"] * wc, b["y1"] * hc, b["x2"] * wc, b["y2"] * hc)
+
+
+def bb_rot90(b: Column, w, h) -> Column:
+    """Rotate 90° counterclockwise within a w×h frame (geometry.py rot90)."""
+    wc = w if isinstance(w, Column) else F.lit(float(w))
+    return bbox(b["y1"], wc - b["x2"], b["y2"], wc - b["x1"])
+
+
+# ------------------------------------------------------------------ NMS
+
+DET_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("x1", DoubleType()),
+            StructField("y1", DoubleType()),
+            StructField("x2", DoubleType()),
+            StructField("y2", DoubleType()),
+            StructField("conf", DoubleType()),
+            StructField("label", StringType()),
+        ]
+    )
+)
+
+
+def _nms_one(dets: list, iou_thresh: float) -> list:
+    """Greedy NMS over one row's detections (base.py:163-174 semantics):
+    keep highest-conf first, suppress overlapping lower-conf boxes.
+    Ties broken by (conf DESC, x1, y1, x2, y2, label) for determinism."""
+    if not dets:
+        return dets
+    arr = sorted(
+        dets,
+        key=lambda d: (-d["conf"], d["x1"], d["y1"], d["x2"], d["y2"], d["label"] or ""),
+    )
+    boxes = np.array([[d["x1"], d["y1"], d["x2"], d["y2"]] for d in arr])
+    areas = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    keep: list[int] = []
+    alive = np.ones(len(arr), dtype=bool)
+    for i in range(len(arr)):
+        if not alive[i]:
+            continue
+        keep.append(i)
+        rest = np.arange(i + 1, len(arr))[alive[i + 1 :]]
+        if rest.size == 0:
+            continue
+        ix1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        iy1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        ix2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        iy2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.maximum(ix2 - ix1, 0) * np.maximum(iy2 - iy1, 0)
+        iou = inter / (areas[i] + areas[rest] - inter)
+        alive[rest[iou > iou_thresh]] = False
+    return [arr[i] for i in keep]
+
+
+def nms_udf(iou_thresh: float = 0.5):
+    """pandas UDF: array<det> → array<det> after greedy IoU suppression."""
+
+    @F.pandas_udf(DET_TYPE)
+    def _nms(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda dets: _nms_one([] if dets is None else list(dets), iou_thresh)
+        )
+
+    return _nms
+
+
+def merge_detections(df, det_cols: list[str], out_col: str = "detections",
+                     iou_thresh: float = 0.5, drop_sources: bool = True):
+    """`pipe merge-bboxes` analog: concat per-model detection arrays into
+    one column, then NMS-dedup. ``--remove`` ≙ ``drop_sources``."""
+    merged = F.flatten(F.array(*[F.coalesce(F.col(c), F.array()) for c in det_cols]))
+    out = df.withColumn(out_col, nms_udf(iou_thresh)(merged))
+    if drop_sources:
+        out = out.drop(*[c for c in det_cols if c != out_col])
+    return out

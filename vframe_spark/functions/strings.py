@@ -1,0 +1,96 @@
+"""String/path/template scalar functions — SURVEY.md §2.8, all pure
+Catalyst expressions (whole-stage codegen, zero Python).
+
+Reference analogs:
+
+* ``get_ext``/``swap_ext``/``add_suffix``/``zpad`` (/root/reference/src/
+  vframe/utils/file_utils.py:435-489).
+* ``@accessor`` template substitution in captions and image filenames
+  (`caption.py:77-83`, `save-images.py:67-73`, accessor table
+  `app_cfg.py:64-88`): ``@filename`` ``@filestem`` ``@parentname``
+  ``@ext`` ``@width``-style attributes become column references inside
+  a `format_string`-composed expression.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def get_ext(path: Column | str) -> Column:
+    c = F.col(path) if isinstance(path, str) else path
+    return F.lower(F.regexp_extract(c, r"\.([^./\\]+)$", 1))
+
+
+def file_name(path: Column | str) -> Column:
+    c = F.col(path) if isinstance(path, str) else path
+    return F.try_element_at(F.split(c, "/"), F.lit(-1))
+
+
+def file_stem(path: Column | str) -> Column:
+    return F.regexp_replace(file_name(path), r"\.[^.]*$", "")
+
+
+def parent_name(path: Column | str) -> Column:
+    c = F.col(path) if isinstance(path, str) else path
+    return F.try_element_at(F.split(c, "/"), F.lit(-2))
+
+
+def swap_ext(path: Column | str, new_ext: str) -> Column:
+    c = F.col(path) if isinstance(path, str) else path
+    return F.concat(F.regexp_replace(c, r"\.[^./\\]+$", ""), F.lit(f".{new_ext}"))
+
+
+def add_suffix(path: Column | str, suffix: str) -> Column:
+    """`a/b.py` + `_x` → `a/b_x.py` (file_utils.py add_suffix)."""
+    c = F.col(path) if isinstance(path, str) else path
+    return F.regexp_replace(c, r"(\.[^./\\]+)$", f"{suffix}$1")
+
+
+def zpad(n: Column | str, width: int = 6) -> Column:
+    """zfill semantics: pad to ``width`` but never truncate longer values
+    (lpad alone would)."""
+    c = (F.col(n) if isinstance(n, str) else n).cast("string")
+    return F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, "0"))
+
+
+_ACCESSOR_RE = re.compile(r"@([a-z_]+)")
+
+
+def render_template(template: str, accessors: dict[str, Column]) -> Column:
+    """`@accessor` caption/filename templating as one concat expression.
+
+    ``render_template("f=@filestem p=@parentname", {"filestem": ...,
+    "parentname": ...})`` → a string column. Unknown accessors are left
+    verbatim (reference leaves unmatched text untouched).
+    """
+    parts: list[Column] = []
+    pos = 0
+    for m in _ACCESSOR_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        name = m.group(1)
+        if name in accessors:
+            parts.append(accessors[name].cast("string"))
+        else:
+            parts.append(F.lit(m.group(0)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return F.concat(*parts) if parts else F.lit("")
+
+
+def doc_accessors(df) -> dict[str, Column]:
+    """Standard accessor set for the docs table (`app_cfg.py:64-88` analog)."""
+    out = {
+        "filename": file_name(F.col("path")),
+        "filestem": file_stem(F.col("path")),
+        "parentname": parent_name(F.col("path")),
+        "ext": get_ext(F.col("path")),
+    }
+    for c in df.columns:
+        out.setdefault(c, F.col(c))
+    return out

@@ -1,18 +1,30 @@
 """Scalable, deterministic dense doc-id assignment.
 
 ``row_number()`` over an unpartitioned window funnels every row through
-ONE task — fine at 60k rows, dead at 10^12. Instead we use the classic
-two-pass scheme that stays fully distributed:
+ONE task — fine at 60k rows, dead at 10^12. The scheme here stays fully
+distributed AND is **plan-stable**: ids do not change when the resulting
+DataFrame is re-executed, unioned with other DataFrames, coalesced, or
+re-planned by AQE. (A previous version keyed offsets on
+``TaskContext.partitionId()``; union concatenates partitions and
+renumbers them, which silently corrupted ids — hence the literal-based
+design below.)
 
-1. range-partition + sort by the ordering key (Spark's normal
-   distributed sort — non-overlapping ranges per partition),
-2. count rows per partition (a cheap job whose result is #partitions
-   integers on the driver),
-3. add the exclusive-prefix-sum offset to each row's position within
-   its partition via an Arrow-batched ``mapInPandas``.
+1. Derive a single binary-sortable key from ``order_cols`` (strings get
+   a ``\\x00`` separator; integers are offset+zero-padded so string
+   order == numeric order).
+2. Sample the key column once (seeded) and freeze ``n-1`` quantile cut
+   points as **literals** in the plan → a ``bucket`` column that is a
+   pure deterministic expression of the row.
+3. Count rows per bucket (one cheap agg job) → driver-side exclusive
+   prefix sums, frozen as a literal map.
+4. ``row_number() OVER (PARTITION BY bucket ORDER BY order_cols, row
+   hash)`` + the bucket's offset. Each bucket is ~one partition of
+   work; no single-task bottleneck, and every ingredient is a literal
+   or a real shuffle — re-execution cannot reorder ids.
 
-The resulting id is the dense rank over the ordering key — identical to
-FIXTURES.md §3's ``doc_id`` definition — with no single-task bottleneck.
+The id is the dense 0-based rank over ``order_cols`` (ties broken by a
+hash of the full row, so exact duplicates still get stable ids) —
+FIXTURES.md §3's ``doc_id`` definition.
 
 Reference analog: vframe's deterministic sorted glob + slice
 (`/root/reference/src/vframe/utils/file_utils.py:500-524`,
@@ -21,12 +33,29 @@ Reference analog: vframe's deterministic sorted glob + slice
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-from pyspark import TaskContext
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+_SEED = 42
+_INT_TYPES = (ByteType, ShortType, IntegerType, LongType)
+_PAD = 20  # digits of 2^64
+
+
+def _sortable_key(df: DataFrame, order_cols: list[str]):
+    """One binary string whose UTF8 order == tuple order of ``order_cols``."""
+    parts = []
+    for name in order_cols:
+        dt = df.schema[name].dataType
+        c = F.col(name)
+        if isinstance(dt, _INT_TYPES):
+            # shift to non-negative, zero-pad → lexicographic == numeric
+            # 2^63 exceeds Java Long — ship the offset as a string literal
+            shifted = c.cast("decimal(20,0)") + F.lit(str(2**63)).cast("decimal(20,0)")
+            parts.append(F.lpad(shifted.cast("string"), _PAD, "0"))
+        else:
+            parts.append(c.cast("string"))
+    return F.concat_ws("\x00", *parts)
 
 
 def assign_doc_ids(
@@ -37,34 +66,58 @@ def assign_doc_ids(
 ) -> DataFrame:
     """Append a dense 0-based ``id_col`` ordered by ``order_cols``."""
     spark = df.sparkSession
-    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
-    ordered = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
-        *order_cols
+    n_buckets = num_partitions or spark.sparkContext.defaultParallelism
+
+    keyed = df.withColumn("_vf_key", _sortable_key(df, order_cols))
+
+    # Pass 1: frozen quantile boundaries from a seeded sample.
+    total = keyed.count()
+    if total == 0:
+        return df.withColumn(id_col, F.lit(None).cast("bigint"))
+    frac = min(1.0, (max(200, 20 * n_buckets) * n_buckets) / total)
+    sample = sorted(
+        r["_vf_key"] for r in keyed.select("_vf_key").sample(False, frac, _SEED).collect()
     )
-    # Pass 1: rows per physical partition (tiny result).
-    counts = (
-        ordered.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    sizes = {r["pid"]: r["count"] for r in counts}
+    cuts: list[str] = []
+    if sample:
+        for i in range(1, n_buckets):
+            q = sample[min(len(sample) - 1, (i * len(sample)) // n_buckets)]
+            if not cuts or q > cuts[-1]:
+                cuts.append(q)
+
+    if cuts:
+        bounds = F.array(*[F.lit(c) for c in cuts])
+        bucket = F.size(F.filter(bounds, lambda b: b <= F.col("_vf_key")))
+    else:
+        bucket = F.lit(0)
+    bucketed = keyed.withColumn("_vf_bucket", bucket)
+
+    # Pass 2: per-bucket counts → literal offset map.
+    counts = {
+        r["_vf_bucket"]: r["count"]
+        for r in bucketed.groupBy("_vf_bucket").count().collect()
+    }
     offsets: dict[int, int] = {}
     acc = 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    kv = []
+    for b, off in offsets.items():
+        kv.extend([F.lit(b), F.lit(off)])
+    offset_map = F.create_map(*kv)
 
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ordered.schema.fields)
-    out_schema += f", {id_col} bigint"
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        pos = offsets.get(pid, 0)
-        for b in batches:
-            b = b.copy()
-            b[id_col] = range(pos, pos + len(b))
-            pos += len(b)
-            yield b
-
-    return ordered.mapInPandas(add_ids, out_schema)
+    # Pass 3: windowed rank within bucket (parallel across buckets).
+    tie = F.xxhash64(*[F.col(c) for c in df.columns])
+    w = Window.partitionBy("_vf_bucket").orderBy(
+        *[F.col(c) for c in order_cols], tie
+    )
+    return (
+        bucketed.withColumn(
+            id_col,
+            (F.row_number().over(w) - 1 + F.element_at(offset_map, F.col("_vf_bucket"))).cast(
+                "bigint"
+            ),
+        )
+        .drop("_vf_key", "_vf_bucket")
+    )

@@ -144,7 +144,13 @@ def build_index(
         t0 = time.time()
         lo, hi = slice_id * slice_span, (slice_id + 1) * slice_span
         part = docs.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi))
-        tokens = tokenize_docs(part, content_col=content_col, id_col=id_col, lang_col=lang_col)
+        # Persist the slice's token stream: both postings and doc_stats
+        # consume it, and its size is bounded by the slice span (never
+        # the whole corpus), so this is safe at any scale and halves the
+        # tokenize cost per slice.
+        tokens = tokenize_docs(
+            part, content_col=content_col, id_col=id_col, lang_col=lang_col
+        ).persist()
         postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
         slice_postings = os.path.join(paths.postings, f"slice={slice_id}")
         postings.write.mode("overwrite").parquet(slice_postings)
@@ -152,18 +158,31 @@ def build_index(
         dstats.write.mode("overwrite").parquet(
             os.path.join(paths.doc_stats, f"slice={slice_id}")
         )
-        # metrics read back from the committed slice (cheap: slice-local)
+        tokens.unpersist()
+        # metrics read back from the committed slice: ONE job over the
+        # (small, compressed) slice output, not the input
         committed = spark.read.parquet(slice_postings)
-        m = committed.agg(
-            F.sum("n").alias("n_postings"),
-            (
-                F.sum(F.length("doc_ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
-            ).alias("bytes"),
-        ).collect()[0]
-        grp = committed.groupBy("term", "shard").agg(F.sum("n").alias("sz"))
-        sk = grp.agg(F.max("sz").alias("mx"), F.avg("sz").alias("mean")).collect()[0]
+        m = (
+            committed.groupBy("term", "shard")
+            .agg(
+                F.sum("n").alias("sz"),
+                (
+                    F.sum(F.length("doc_ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
+                ).alias("b"),
+            )
+            .agg(
+                F.sum("sz").alias("n_postings"),
+                F.sum("b").alias("bytes"),
+                F.max("sz").alias("mx"),
+                F.avg("sz").alias("mean"),
+            )
+            .collect()[0]
+        )
+        sk = m
         ds = spark.read.parquet(os.path.join(paths.doc_stats, f"slice={slice_id}"))
         dsm = ds.agg(F.count("*").alias("nd"), F.sum("doc_len").alias("tl")).collect()[0]
+        # every doc, including zero-token ones (BM25's N) — doc_stats
+        # alone would undercount when no lang column adds a synthetic term
         n_docs_slice = part.count()
         _write_manifest_row(
             paths,

@@ -1,0 +1,100 @@
+"""Interactive (low-latency) BM25 top-k: driver-side scoring over a
+pruned block fetch.
+
+The distributed path (`wand.py`) is the right shape for batch query
+workloads — one Spark job scores thousands of queries. For a SINGLE
+interactive query its ~0.5-1 s job-scheduling floor dominates. Here the
+driver instead:
+
+1. fetches only the query terms' posting blocks — the ``term isin``
+   filter reaches the parquet scan (PushedFilters), so KBs are read,
+   not the index;
+2. caches fetched term blocks in an LRU (repeat/overlapping queries
+   skip the fetch entirely — the analog of the reference's prehash
+   cache, /root/reference/src/vframe/utils/video_utils.py:152-154);
+3. scores with the SAME `_local_topk` block-max segment-pruning code
+   the distributed path runs inside `applyInPandas` — one code path,
+   bitwise-identical scores, rank identity for free.
+
+At cluster scale this is the "query head" pattern: a thin driver/service
+holding term_stats + meta, reading posting blocks by key from the
+index store.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import parse_query_terms
+from .bm25 import idf_value
+from .wand import _local_topk
+
+
+class LocalQueryEngine:
+    """Driver-side query head over a loaded index."""
+
+    def __init__(self, postings: DataFrame, term_stats: DataFrame, meta: dict,
+                 cache_terms: int = 4096):
+        self._postings = postings
+        self._meta = meta
+        self._n_docs = meta["n_docs"]
+        self._avgdl = float(meta["avgdl"])
+        self._cache_terms = cache_terms
+        # term → posting-block DataFrame (pandas); LRU by insertion order
+        self._blocks: OrderedDict[str, pd.DataFrame] = OrderedDict()
+        # df is tiny per term; pull the full map once if small, else lazily
+        self._dfs: dict[str, int] = {
+            r["term"]: int(r["df"]) for r in term_stats.collect()
+        }
+
+    def _fetch(self, terms: list[str]) -> pd.DataFrame:
+        missing = [t for t in terms if t not in self._blocks and t in self._dfs]
+        if missing:
+            fetched = (
+                self._postings.filter(F.col("term").isin(missing))
+                .select(
+                    "term", "shard", "block", "first_doc", "last_doc",
+                    "max_tf", "min_dl", "doc_ids", "tfs", "dls",
+                )
+                .toPandas()
+            )
+            for t, g in fetched.groupby("term"):
+                self._blocks[t] = g.reset_index(drop=True)
+            for t in missing:  # absent terms cache an empty frame
+                if t not in self._blocks:
+                    self._blocks[t] = fetched.iloc[0:0]
+            while len(self._blocks) > self._cache_terms:
+                self._blocks.popitem(last=False)
+        parts = [self._blocks[t] for t in terms if t in self._blocks and len(self._blocks[t])]
+        if not parts:
+            return pd.DataFrame()
+        for t in terms:
+            if t in self._blocks:
+                self._blocks.move_to_end(t)
+        return pd.concat(parts, ignore_index=True)
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """→ [(doc_id, score)] ranked (score DESC, doc_id ASC)."""
+        terms = sorted({t for t in parse_query_terms(query) if t in self._dfs})
+        if not terms:
+            return []
+        pdf = self._fetch(terms)
+        if pdf.empty:
+            return []
+        pdf = pdf.copy()
+        pdf["qid"] = 0
+        pdf["idf"] = pdf["term"].map(
+            {t: idf_value(self._n_docs, self._dfs[t]) for t in terms}
+        )
+        out_parts = []
+        for _, g in pdf.groupby("shard"):
+            out_parts.append(_local_topk(g.reset_index(drop=True), k, self._avgdl))
+        allp = pd.concat(out_parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return list(zip(allp["doc_id"].astype(int), allp["score"].astype(float)))

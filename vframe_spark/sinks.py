@@ -1,0 +1,55 @@
+"""Result sinks — SURVEY.md §2.2 re-expressed Spark-first.
+
+Reference operators mapped here:
+
+* ``pipe save-detections`` single-JSON accumulate-then-flush with
+  ``--subdirs`` partitioning (/root/reference/src/commands/pipe/
+  save-detections.py:26-75) → :func:`save_json` with optional
+  ``partition_by`` (≙ ``--subdirs``).
+* ``pipe save-file`` copy/move of files passing the chain
+  (save-file.py:25-66) → :func:`save_filtered` — materialize a filtered
+  corpus as a new table.
+* per-group open/append/close writer lifecycle (save-video.py:71-105,
+  save-gif.py:93-138) → :func:`save_grouped`: ``partitionBy(group)``
+  writes one directory per group atomically — Spark's committer is the
+  open/flush lifecycle.
+* CSV/JSON writer helpers (file_utils.py:259-424) → thin ``df.write``
+  wrappers so callers never hand-roll writer configs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def save_json(df: DataFrame, path: str, partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def save_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                 mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def save_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def save_filtered(df: DataFrame, predicate: str, path: str, fmt: str = "parquet",
+                  mode: str = "overwrite") -> None:
+    """`save-file` analog: persist only rows passing the predicate."""
+    df.filter(predicate).write.mode(mode).format(fmt).save(path)
+
+
+def save_grouped(df: DataFrame, group_cols: list[str], path: str, fmt: str = "parquet",
+                 mode: str = "overwrite") -> None:
+    """Per-group writer lifecycle ≙ `partitionBy`: one dir per group,
+    committed atomically (the save-video/save-gif open-flush analog)."""
+    df.write.mode(mode).partitionBy(*group_cols).format(fmt).save(path)

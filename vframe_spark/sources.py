@@ -1,0 +1,86 @@
+"""Corpus scan sources — SURVEY.md §2.1 re-expressed Spark-first.
+
+Reference operators mapped here:
+
+* ``pipe open`` directory scan with deterministic sort, ``--slice``,
+  ``--randomize`` (/root/reference/src/vframe/models/media.py:151-188,
+  glob_multi file_utils.py:500-524) → :func:`read_docs` over
+  parquet/Iceberg with explicit ``orderBy`` + ``limit/offset`` +
+  seeded ``rand`` shuffle.
+* TXT filelist source (media.py:123-149) → :func:`filter_by_filelist`
+  left-semi join against the catalog.
+* JSON priors re-open incl. metadata (media.py:79-121) →
+  :func:`join_priors` equi-join (broadcast when small) — the resume/
+  checkpoint-read pattern.
+* ``--check-exist`` (media.py:101,127-132) ≙ the semi-join dropping
+  filelist entries with no catalog row.
+* ``--skip-frames`` header-only iteration (open.py:24-25) ≙ column
+  pruning: pass ``columns=`` and the parquet scan reads only those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_ORDER = ["repo", "path", "commit"]
+
+
+def read_docs(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    slice_range: tuple[int, int] | None = None,
+    randomize_seed: int | None = None,
+    order_cols: list[str] = DOC_ORDER,
+) -> DataFrame:
+    """Deterministic corpus scan with pushdown-friendly options.
+
+    ``where`` is an SQL predicate string (the `skip-file --if` DSL analog
+    — Catalyst parses it and pushes it into the parquet/Iceberg scan);
+    ``slice_range`` ≙ `--slice (a,b)` applied after the deterministic
+    sort; ``randomize_seed`` ≙ `--randomize`.
+    """
+    df = spark.read.parquet(path)
+    if where:
+        df = df.filter(F.expr(where))
+    if columns:
+        df = df.select(*columns)
+    if slice_range is not None:
+        a, b = slice_range
+        df = df.orderBy(*[c for c in order_cols if c in df.columns]).offset(a).limit(b - a)
+    elif randomize_seed is not None:
+        df = df.orderBy(F.rand(randomize_seed))
+    return df
+
+
+def filter_by_filelist(
+    docs: DataFrame, filelist: DataFrame, on: list[str] = ("repo", "path")
+) -> DataFrame:
+    """TXT-filelist source: keep catalog rows named in the list
+    (left-semi; Spark broadcasts the small side automatically)."""
+    return docs.join(F.broadcast(filelist.select(*on).dropDuplicates()), list(on), "left_semi")
+
+
+def missing_from_catalog(
+    filelist: DataFrame, docs: DataFrame, on: list[str] = ("repo", "path")
+) -> DataFrame:
+    """`--check-exist` inverse: filelist entries with no catalog row."""
+    return filelist.join(docs.select(*on).dropDuplicates(), list(on), "left_anti")
+
+
+def join_priors(
+    docs: DataFrame,
+    priors: DataFrame,
+    on: list[str] = ("repo", "path", "commit"),
+    how: str = "left",
+    broadcast_priors: bool | None = None,
+) -> DataFrame:
+    """JSON-priors re-open: attach a previous run's derived columns.
+
+    ``broadcast_priors=None`` lets AQE decide from runtime stats;
+    force True only when the priors table is known-small.
+    """
+    right = F.broadcast(priors) if broadcast_priors else priors
+    return docs.join(right, list(on), how)

@@ -1,0 +1,75 @@
+"""Stateful streaming dedup — the `skip-phash` analog on a live stream.
+
+The reference deduplicates a frame stream against per-file retained
+state: a set of previously seen hashes, reset at group boundaries, with
+new frames dropped when their hash matches
+(/root/reference/src/commands/pipe/skip-phash.py:106-142). On a
+Structured Stream the same semantics are ``applyInPandasWithState``:
+group key ≙ the reference's reset scope (file/subdir → here ``repo``),
+state ≙ the retained hash set, emit ≙ rows whose fingerprint is unseen.
+
+Fingerprints are sha256(content) truncated to 16 hex chars (exact dedup;
+collision odds at 10^12 docs ≈ 2^-22 per pair on 64 bits — acceptable
+for a skip filter, and swappable for the full digest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType([StructField("seen", ArrayType(StringType()))])
+
+
+def _fp(s: pd.Series) -> pd.Series:
+    return s.fillna("").map(lambda c: hashlib.sha256(c.encode()).hexdigest()[:16])
+
+
+def _dedup_fn(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen: set[str] = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        fps = _fp(pdf["content"])
+        keep_mask = []
+        for fp in fps:
+            fresh = fp not in seen
+            keep_mask.append(fresh)
+            if fresh:
+                seen.add(fp)
+        out = pdf.loc[keep_mask, ["repo", "path", "commit", "lang", "content"]]
+        if len(out):
+            yield out
+    state.update((sorted(seen),))
+
+
+def dedup_stream(stream_docs: DataFrame, key_col: str = "repo") -> DataFrame:
+    """Emit only first-seen content per ``key_col`` group, across batches."""
+    return stream_docs.groupBy(key_col).applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,176 @@
+"""Structured Streaming ingest: docs stream → incrementally growing index.
+
+The reference pipeline IS a streaming dataflow — a one-pass, bounded-
+memory push chain fed by a producer thread (`FileVideoStream`,
+/root/reference/src/vframe/utils/video_utils.py:42-204) with end-of-
+stream flush sinks (/root/reference/src/commands/pipe/
+save-detections.py:57-73). Here the same shape is expressed with
+Structured Streaming: a file-source stream of doc batches, a
+``foreachBatch`` sink that appends **whole aligned slices** to the same
+on-disk index layout the batch builder writes, and event-time windowed
+throughput stats (the reader-stats analog, media.py:232-244).
+
+Incremental correctness invariant: every micro-batch is assigned a doc-id
+range starting at a multiple of ``shard_size × shards_per_slice``. Shard
+boundaries therefore never straddle batches, so each ``(term, shard)``
+group exists in exactly one slice directory — the query path needs no
+cross-batch merge and stays byte-identical to a batch build over the
+union (modulo doc-id assignment order, which the caller fixes by feeding
+deterministically ordered batches).
+
+Exactly-once: the slice span consumed by each ``batch_id`` is recorded in
+``stream_state.json`` *before* data is written; a retried batch re-reads
+its prior allocation and overwrites the same slice dirs idempotently —
+the streaming analog of the batch builder's manifest resume
+(builder.py; reference: dedup/sha256.py:74-133 cache anti-join).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ids import assign_doc_ids
+from ..index.build import (
+    DEFAULT_BLOCK_SIZE,
+    DEFAULT_SHARD_SIZE,
+    build_doc_stats,
+    build_postings,
+    tokenize_docs,
+)
+from ..index.builder import IndexPaths, _finalize, _write_manifest_row
+
+DOCS_DDL = "repo string, path string, commit string, lang string, content string"
+
+
+def read_doc_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of doc parquet files appearing under ``path``."""
+    reader = spark.readStream.schema(DOCS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def _load_state(paths: IndexPaths) -> dict:
+    p = os.path.join(paths.root, "stream_state.json")
+    if os.path.exists(p):
+        return json.load(open(p))
+    return {"next_slice": 0, "batches": {}}
+
+
+def _save_state(paths: IndexPaths, state: dict) -> None:
+    p = os.path.join(paths.root, "stream_state.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, p)
+
+
+def incremental_index_stream(
+    stream_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    shards_per_slice: int = 4,
+    order_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    trigger_available_now: bool = True,
+):
+    """Start (and return) the streaming query appending slices to ``out_dir``.
+
+    After every micro-batch the index on disk is complete and queryable
+    via :func:`vframe_spark.index.builder.load_index`.
+    """
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    span = shard_size * shards_per_slice
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        n = batch_df.count()
+        if n == 0:
+            return
+        t0 = _time.time()
+        state = _load_state(paths)
+        key = str(batch_id)
+        n_slices = (n + span - 1) // span
+        if key in state["batches"]:  # retried batch → idempotent overwrite
+            slice_lo = state["batches"][key]["slice_lo"]
+        else:
+            slice_lo = state["next_slice"]
+            state["batches"][key] = {"slice_lo": slice_lo, "n_slices": n_slices, "n_docs": n}
+            state["next_slice"] = slice_lo + n_slices
+            _save_state(paths, state)
+
+        docs = assign_doc_ids(batch_df, list(order_cols)).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(slice_lo * span)
+        )
+        tokens = tokenize_docs(docs)
+        postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
+        slice_dir = os.path.join(paths.postings, f"slice={slice_lo}")
+        postings.write.mode("overwrite").parquet(slice_dir)
+        build_doc_stats(tokens).write.mode("overwrite").parquet(
+            os.path.join(paths.doc_stats, f"slice={slice_lo}")
+        )
+        spark = batch_df.sparkSession
+        committed = spark.read.parquet(slice_dir)
+        m = committed.agg(
+            F.sum("n").alias("np"),
+            (F.sum(F.length("doc_ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))).alias("bytes"),
+        ).collect()[0]
+        grp = committed.groupBy("term", "shard").agg(F.sum("n").alias("sz"))
+        sk = grp.agg(F.max("sz").alias("mx"), F.avg("sz").alias("mean")).collect()[0]
+        ds = spark.read.parquet(os.path.join(paths.doc_stats, f"slice={slice_lo}"))
+        dsm = ds.agg(F.count("*").alias("nd"), F.sum("doc_len").alias("tl")).collect()[0]
+        _write_manifest_row(
+            paths,
+            {
+                "slice_id": slice_lo,
+                "status": "done",
+                "n_docs": int(n),
+                "total_len": int(dsm["tl"] or 0),
+                "n_postings": int(m["np"] or 0),
+                "bytes_compressed": int(m["bytes"] or 0),
+                "skew_ratio": float(sk["mx"] / sk["mean"]) if sk["mean"] else 0.0,
+                "elapsed_sec": _time.time() - t0,
+                "updated_at": __import__("datetime").datetime.utcnow(),
+            },
+        )
+        # Refresh global stats so the index is queryable between batches.
+        _stream_finalize(spark, paths, shard_size, block_size)
+
+    writer = stream_docs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _stream_finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_size: int) -> None:
+    # Unlike the batch builder, a stream has no fixed slice count — every
+    # committed manifest row is final, so finalize unconditionally.
+    _finalize(spark, paths, shard_size, block_size)
+
+
+def ingest_stats_stream(stream_docs: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"):
+    """Event-time windowed ingest throughput — files/min ≙ reader stats
+    (/root/reference/src/vframe/models/media.py:232-244).
+
+    The stream carries no event-time column, so arrival time
+    (``current_timestamp`` at ingest) stands in; a real deployment would
+    use the Iceberg commit timestamp.
+    """
+    with_ts = stream_docs.withColumn("ingest_ts", F.current_timestamp())
+    return (
+        with_ts.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("win"), "lang")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.length("content")).alias("bytes"),
+        )
+    )
