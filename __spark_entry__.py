@@ -59,7 +59,9 @@ _INDEX_CACHE: dict[str, str] = {}
 def _ft_index(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir) the inverted index over `documents`."""
     if sf_dir not in _INDEX_CACHE:
-        tag = hashlib.md5(f"v1:{sf_dir}".encode()).hexdigest()[:10]
+        from vframe_spark.index.codec import FORMAT_VERSION
+
+        tag = hashlib.md5(f"{FORMAT_VERSION}:{sf_dir}".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
         docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
         build_index(

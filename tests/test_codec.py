@@ -61,3 +61,68 @@ def test_delta_compresses_dense_runs():
     enc = delta_encode(a)
     # gaps are all 1 → ~1 byte each (+ a few for the head)
     assert len(enc) < 10_010
+
+
+# ------------------------------------------------- FOR / PFor-delta codec
+
+from vframe_spark.index.codec import (  # noqa: E402
+    for_decode,
+    for_encode,
+    pfor_delta_decode,
+    pfor_delta_encode,
+)
+
+
+def test_for_empty():
+    assert for_encode(np.array([], dtype=np.uint64)) == b""
+    assert for_decode(b"", 0).size == 0
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [0],
+        [0, 0, 0],
+        [1, 2, 3, 7],
+        [1, 127, 128, 129, 16383, 16384],
+        [2**32 - 1, 2**32, 2**63, 2**64 - 1],
+        list(range(1000)),
+    ],
+)
+def test_for_roundtrip(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(for_decode(for_encode(a), a.size), a)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+def test_for_roundtrip_property(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(for_decode(for_encode(a), a.size), a)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True
+    ),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_pfor_delta_roundtrip_property(vals, base_off):
+    a = np.array(sorted(vals), dtype=np.uint64)
+    base = max(0, int(a[0]) - base_off)
+    enc = pfor_delta_encode(a, base)
+    assert np.array_equal(pfor_delta_decode(enc, a.size, base), a)
+
+
+def test_for_beats_varint_on_small_values():
+    # tf-like data: mostly 1-3 → ~2-3 bits/value vs varint's 8
+    tfs = np.array([1, 2, 1, 1, 3, 1, 2, 1] * 16, dtype=np.uint64)
+    assert len(for_encode(tfs)) < len(varint_encode(tfs)) / 2
+
+
+def test_pfor_width_anchored_on_base():
+    # huge absolute ids, tiny gaps: packed width must follow the gaps
+    a = (np.arange(128, dtype=np.uint64) * 2) + np.uint64(10**12)
+    enc = pfor_delta_encode(a, int(a[0]))
+    assert len(enc) < 1 + 128  # ≤ ~2 bits/value + header

@@ -11,7 +11,7 @@ from vframe_spark.index.build import (
     build_term_stats,
     tokenize_docs,
 )
-from vframe_spark.index.codec import delta_decode, varint_decode
+from vframe_spark.index.codec import for_decode, pfor_delta_decode
 from vframe_spark.oracle import OracleIndex
 
 N_DOCS = 300
@@ -60,9 +60,9 @@ def test_postings_sorted_and_consistent(spark):
 
     # shard bounds respected; blocks sorted; decode round-trips
     for r in postings.itertuples():
-        ids = delta_decode(r.doc_ids).astype(np.int64)
-        tfs = varint_decode(r.tfs)
-        dls = varint_decode(r.dls)
+        ids = pfor_delta_decode(r.doc_ids, r.n, r.first_doc).astype(np.int64)
+        tfs = for_decode(r.tfs, r.n)
+        dls = for_decode(r.dls, r.n)
         assert len(ids) == r.n == len(tfs) == len(dls)
         assert np.all(np.diff(ids) > 0)  # strictly sorted
         assert ids[0] == r.first_doc and ids[-1] == r.last_doc

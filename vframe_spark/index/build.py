@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tokenizer import tokenize_series
-from .codec import delta_encode, varint_encode
+from .codec import for_encode, pfor_delta_encode
 
 TOKENS_SCHEMA = "doc_id bigint, term string, tf int, doc_len int"
 
@@ -130,9 +130,9 @@ def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
                 "shard": shard,
                 "block": blk,
                 "n": len(bi),
-                "doc_ids": delta_encode(bi.astype(np.uint64)),
-                "tfs": varint_encode(bt.astype(np.uint64)),
-                "dls": varint_encode(bd.astype(np.uint64)),
+                "doc_ids": pfor_delta_encode(bi.astype(np.uint64), int(bi[0])),
+                "tfs": for_encode(bt.astype(np.uint64)),
+                "dls": for_encode(bd.astype(np.uint64)),
                 "max_tf": int(bt.max()),
                 "min_dl": int(bd.min()),
                 "first_doc": int(bi[0]),

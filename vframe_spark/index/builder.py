@@ -216,12 +216,15 @@ def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_siz
     if os.path.isdir(paths.postings):
         postings = spark.read.option("recursiveFileLookup", "true").parquet(paths.postings)
         build_term_stats(postings).write.mode("overwrite").parquet(paths.term_stats)
+    from .codec import FORMAT_VERSION
+
     meta = {
         "n_docs": int(n_docs),
         "total_len": int(total_len),
         "avgdl": (total_len / n_docs) if n_docs else 0.0,
         "shard_size": shard_size,
         "block_size": block_size,
+        "format": FORMAT_VERSION,
         "complete": True,
     }
     with open(paths.meta, "w") as fh:
@@ -230,8 +233,15 @@ def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_siz
 
 def load_index(spark: SparkSession, out_dir: str):
     """→ (postings, term_stats, doc_stats, meta)."""
+    from .codec import FORMAT_VERSION
+
     paths = IndexPaths(out_dir)
     meta = json.load(open(paths.meta))
+    if meta.get("format", FORMAT_VERSION) != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {out_dir} is format {meta.get('format')!r}; this build "
+            f"reads {FORMAT_VERSION!r} — rebuild the index"
+        )
     rd = spark.read.option("recursiveFileLookup", "true")
     return (
         rd.parquet(paths.postings),

@@ -57,7 +57,7 @@ class LocalQueryEngine:
             fetched = (
                 self._postings.filter(F.col("term").isin(missing))
                 .select(
-                    "term", "shard", "block", "first_doc", "last_doc",
+                    "term", "shard", "block", "n", "first_doc", "last_doc",
                     "max_tf", "min_dl", "doc_ids", "tfs", "dls",
                 )
                 .toPandas()

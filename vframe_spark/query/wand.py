@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.codec import delta_decode, varint_decode
+from ..index.codec import for_decode, pfor_delta_decode
 from ..oracle import B, K1, parse_query_terms
 from .bm25 import topk
 
@@ -79,6 +79,7 @@ def _local_topk(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
                 "firsts": firsts,
                 "lasts": lasts,
                 "ub": ub,
+                "ns": g["n"].to_numpy(np.int64),
                 "doc_ids": g["doc_ids"].tolist(),
                 "tfs": g["tfs"].tolist(),
                 "dls": g["dls"].tolist(),
@@ -114,9 +115,10 @@ def _local_topk(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
     def decode(t: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
         hit = t["cache"].get(bi)
         if hit is None:
-            ids = delta_decode(t["doc_ids"][bi]).astype(np.int64)
-            tf = varint_decode(t["tfs"][bi]).astype(np.float64)
-            dl = varint_decode(t["dls"][bi]).astype(np.float64)
+            n = int(t["ns"][bi])
+            ids = pfor_delta_decode(t["doc_ids"][bi], n, int(t["firsts"][bi])).astype(np.int64)
+            tf = for_decode(t["tfs"][bi], n).astype(np.float64)
+            dl = for_decode(t["dls"][bi], n).astype(np.float64)
             # same association order as OracleIndex.score → bitwise-equal sums
             contrib = t["idf"] * (
                 (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
