@@ -1,0 +1,48 @@
+"""spark-submit --py-files deployment contract (north_rule): the zipped
+package + job script must build and query an index in a FRESH JVM with
+no repo on sys.path — exactly how a cluster ships code."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_submit_build_then_query(tmp_path):
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import make
+
+    zip_path = make(str(tmp_path / "vframe_spark.zip"))
+    idx = str(tmp_path / "idx")
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    common = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zip_path,
+        os.path.join(ROOT, "tools", "submit_job.py"),
+    ]
+    out = subprocess.run(
+        common + ["build", "--docs-parquet", "unused", "--synth-docs", "150",
+                  "--index", idx, "--shard-size", "64", "--block-size", "16"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    built = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert built["complete"] and built["n_docs"] == 150
+
+    out = subprocess.run(
+        common + ["query", "--index", idx, "--query", "data parse", "-k", "5"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert rows and rows[0]["rank"] == 1
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

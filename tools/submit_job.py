@@ -1,0 +1,87 @@
+"""spark-submit entry point: build the index and/or answer queries.
+
+Cluster deployment contract (north_rule: "runs via spark-submit
+--py-files on multi-executor clusters"):
+
+    python tools/make_pyfiles.py dist/vframe_spark.zip
+    spark-submit --py-files dist/vframe_spark.zip \
+        tools/submit_job.py build --docs-parquet /data/docs --index /data/idx
+    spark-submit --py-files dist/vframe_spark.zip \
+        tools/submit_job.py query --index /data/idx --query "parse buffer" -k 10
+
+The script only uses ``SparkSession.builder.getOrCreate()`` — master,
+executor counts and memory come from spark-submit flags, exactly as on
+a real cluster. ``build`` is resumable: re-submitting after a failure
+skips committed slices (see vframe_spark.index.builder).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="submit_job")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--docs-parquet", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--lang-col", default=None)
+    b.add_argument("--shard-size", type=int, default=1 << 20)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--shards-per-slice", type=int, default=4)
+    b.add_argument("--synth-docs", type=int, default=0,
+                   help="generate a synthetic corpus of N docs instead of reading --docs-parquet")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", action="append", required=True)
+    q.add_argument("-k", type=int, default=10)
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"vframe_spark_{args.cmd}").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.cmd == "build":
+        from vframe_spark.ids import assign_doc_ids
+
+        if args.synth_docs:
+            from vframe_spark.corpus import synth_docs
+
+            docs = synth_docs(spark, args.synth_docs)
+        else:
+            docs = spark.read.parquet(args.docs_parquet)
+        if "doc_id" not in docs.columns:
+            order = [c for c in ("repo", "path", "commit") if c in docs.columns] or docs.columns[:1]
+            docs = assign_doc_ids(docs, list(order))
+        from vframe_spark.index.builder import build_index
+
+        meta = build_index(
+            docs, args.index, shard_size=args.shard_size, block_size=args.block_size,
+            shards_per_slice=args.shards_per_slice,
+            content_col=args.content_col, lang_col=args.lang_col,
+        )
+        print(json.dumps({"built": True, **meta}))
+    else:
+        from vframe_spark.index.builder import load_index
+        from vframe_spark.query.wand import bm25_topk_wand
+
+        postings, term_stats, _, meta = load_index(spark, args.index)
+        queries = [(i + 1, s) for i, s in enumerate(args.query)]
+        rows = bm25_topk_wand(postings, term_stats, meta, queries, k=args.k).collect()
+        for r in rows:
+            print(json.dumps({"qid": r["qid"], "rank": r["rank"],
+                              "doc_id": r["doc_id"], "score": r["score"]}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
