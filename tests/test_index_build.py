@@ -90,3 +90,50 @@ def test_df_and_doclen_vs_oracle(spark):
     dstats = {r["doc_id"]: r["doc_len"] for r in build_doc_stats(tokens).collect()}
     for d, dl in oracle.doc_len.items():
         assert dstats.get(d, 0) == dl
+
+
+def test_zipf_head_term_is_structurally_split(spark):
+    """north_rule skew handling: a term present in EVERY doc (Zipf head)
+    must never form a posting group larger than shard_size — the
+    (term, shard) key is the deterministic salt."""
+    import pandas as pd
+
+    n, shard = 500, 64
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "content": ["hot common " + f"uniq{i}" for i in range(n)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    tokens = tokenize_docs(docs, lang_col=None)
+    postings = build_postings(tokens, shard_size=shard, block_size=16).toPandas()
+
+    hot = postings[postings["term"] == "hot"]
+    # split into ceil(500/64) = 8 shard groups, each capped at shard_size
+    per_shard = hot.groupby("shard")["n"].sum()
+    assert len(per_shard) == (n + shard - 1) // shard
+    assert int(per_shard.max()) <= shard
+    # concatenation across shards is still globally sorted
+    ordered = hot.sort_values(["shard", "block"])
+    firsts = ordered.groupby("shard")["first_doc"].min().sort_index()
+    lasts = ordered.groupby("shard")["last_doc"].max().sort_index()
+    assert (firsts.values[1:] > lasts.values[:-1]).all()
+
+
+def test_tokenize_backends_agree(spark):
+    """The JVM expr backend and the Arrow kernel must be row-identical
+    (independent implementations cross-checking each other)."""
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 300, partitions=3), ["repo", "path", "commit"], num_partitions=3
+    ).cache()
+    a = tokenize_docs(docs, backend="expr").toPandas()
+    b = tokenize_docs(docs, backend="pandas").toPandas()
+    a = a.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    b = b.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    for c in a.columns:
+        a[c] = a[c].astype(b[c].dtype)
+    assert a.equals(b)

@@ -79,3 +79,21 @@ def test_filter_pushdown_to_parquet(spark, sf001_dir):
     assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
     # column pruning: scan schema must not include unprojected wide columns
     assert "l_comment" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_bucket_hashes_agree_and_prune(spark, small_index):
+    """Spark-side and driver-side term→bucket hashes must agree, and the
+    query scan must carry a partition filter on bucket (file pruning)."""
+    from vframe_spark.index.build import term_bucket_expr, term_bucket_py
+    from vframe_spark.index.builder import load_index
+
+    terms = ["data", "parse", "lang:py", "zzz", "getIndex", "a0"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r["term"]: r["b"] for r in df.select("term", term_bucket_expr("term", 16).alias("b")).collect()}
+    assert got == {t: term_bucket_py(t, 16) for t in terms}
+
+    postings, term_stats, _, meta = load_index(spark, small_index)
+    assert "bucket" in postings.columns and meta["term_buckets"] == 16
+    topk = bm25_topk_wand(postings, term_stats, meta, [(1, "data parse")], k=5)
+    plan = plan_of(topk)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]

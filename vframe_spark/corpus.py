@@ -61,11 +61,11 @@ def _make_ident(rng: random.Random) -> str:
     return "".join(p.capitalize() for p in parts)  # PascalCase
 
 
-def _make_doc(i: int) -> dict:
+def _make_doc(i: int, lines: tuple[int, int] = (8, 40)) -> dict:
     rng = random.Random((SEED << 32) ^ i)
     lang = rng.choice(LANGS)
     kws = KEYWORDS[lang]
-    n_lines = rng.randint(8, 40)
+    n_lines = rng.randint(*lines)
     lines = []
     for _ in range(n_lines):
         toks: list[str] = []
@@ -104,7 +104,8 @@ def _edge_docs(n: int) -> list[dict]:
     return rows[: max(0, n)]
 
 
-def synth_docs(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+def synth_docs(spark: SparkSession, n_docs: int, partitions: int | None = None,
+               lines: tuple[int, int] = (8, 40)) -> DataFrame:
     """Distributed, per-id-deterministic corpus of ``n_docs`` rows."""
     partitions = partitions or max(2, spark.sparkContext.defaultParallelism)
     base = spark.range(0, n_docs, 1, partitions)
@@ -117,7 +118,7 @@ def synth_docs(spark: SparkSession, n_docs: int, partitions: int | None = None) 
                 if i < 6:
                     rows.append(_edge_docs(6)[i])
                 else:
-                    rows.append(_make_doc(i))
+                    rows.append(_make_doc(i, lines))
             yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
     return base.mapInPandas(gen, "repo string, path string, commit string, lang string, content string")

@@ -49,6 +49,17 @@ _PY_CAMEL_2 = re.compile(CAMEL_2[0])
 _PY_SPLIT = re.compile(SPLIT_RE)
 
 
+def tokenize_sql(col_name: str) -> str:
+    """Spark-SQL string form of :func:`tokenize_expr` (same canonical
+    pipeline), for splicing into larger `F.expr` expressions where the
+    result must be lambda-bound (see `_tokenize_docs_expr`)."""
+    return (
+        "filter(split(lower(regexp_replace(regexp_replace("
+        f"{col_name}, '{CAMEL_1[0]}', '{CAMEL_1[1]}'), "
+        f"'{CAMEL_2[0]}', '{CAMEL_2[1]}')), '{SPLIT_RE}'), t -> t != '')"
+    )
+
+
 def tokenize_expr(col: Column | str) -> Column:
     """Tokenize a string column to ``array<string>`` with JVM built-ins.
 

@@ -53,6 +53,27 @@ POSTINGS_SCHEMA = (
 
 DEFAULT_SHARD_SIZE = 1 << 20  # docs per shard → hard cap on any posting task
 DEFAULT_BLOCK_SIZE = 128      # postings per compressed block
+DEFAULT_TERM_BUCKETS = 16     # hash-partitioned term dirs → file-level pruning
+
+
+def term_bucket_py(term: str, n_buckets: int = DEFAULT_TERM_BUCKETS) -> int:
+    """Driver-side term→bucket hash; MUST match :func:`term_bucket_expr`.
+
+    sha256 (not murmur/xxhash) so pure Python and the JVM agree without
+    shipping a hash implementation."""
+    import hashlib as _hl
+
+    return int(_hl.sha256(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def term_bucket_expr(col, n_buckets: int = DEFAULT_TERM_BUCKETS):
+    """Spark-side twin of :func:`term_bucket_py` (first 8 hex chars of
+    sha256, mod n)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.sha2(c, 256), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    ).cast("int")
 
 
 def tokenize_docs(
@@ -60,13 +81,27 @@ def tokenize_docs(
     content_col: str = "content",
     id_col: str = "doc_id",
     lang_col: str | None = "lang",
+    backend: str = "pandas",
 ) -> DataFrame:
-    """``docs`` → ``(doc_id, term, tf, doc_len)`` — one Arrow pass, no shuffle.
+    """``docs`` → ``(doc_id, term, tf, doc_len)`` — one pass, no shuffle.
 
     ``doc_len`` (token count, lang-terms excluded) is replicated onto
     every row of its doc so downstream consumers never need a join back
     to the corpus.
+
+    Two byte-identical backends:
+
+    * ``pandas`` (default): Arrow-batched numpy TF kernel — fastest
+      per-core (C regex + factorize) and scales with cores once workers
+      are warm.
+    * ``expr``: 100% JVM — :func:`tokenize_expr` + ``sort_array`` +
+      run-length-encoding via higher-order functions; no Python
+      boundary at all. Slower per-core (interpreted HOFs) but useful
+      where Python workers are unavailable, and as an independent
+      implementation the tests cross-check against the Arrow kernel.
     """
+    if backend == "expr":
+        return _tokenize_docs_expr(docs, content_col, id_col, lang_col)
     cols = [id_col, content_col] + ([lang_col] if lang_col else [])
     src = docs.select(*cols)
     use_lang = lang_col is not None
@@ -74,31 +109,43 @@ def tokenize_docs(
     def batch_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             toks = tokenize_series(b[content_col])
-            frame = pd.DataFrame({"doc_id": b[id_col].values, "term": toks.values})
-            ex = frame.explode("term", ignore_index=True).dropna(subset=["term"])
-            if len(ex):
-                counts = (
-                    ex.groupby(["doc_id", "term"], sort=False)
-                    .size()
-                    .rename("tf")
-                    .reset_index()
-                )
-                dl = counts.groupby("doc_id", sort=False)["tf"].sum().rename("doc_len")
-                counts = counts.merge(dl, on="doc_id")
-            else:
-                counts = pd.DataFrame(columns=["doc_id", "term", "tf", "doc_len"])
-            if use_lang:
-                lang_rows = pd.DataFrame(
+            lens = toks.map(len).to_numpy(np.int64)
+            flat = [t for lst in toks for t in lst]
+            if flat:
+                # numpy TF kernel (~1.5× the pandas explode+groupby path):
+                # factorize terms, fuse (doc, term) into one int64 key,
+                # unique-count it, and derive doc_len with reduceat over
+                # the doc-contiguous sorted keys. doc_id·vocab stays well
+                # under 2^63 for any Arrow batch (vocab is per-batch).
+                doc_rep = np.repeat(b[id_col].to_numpy(np.int64), lens)
+                codes, uniques = pd.factorize(flat, sort=False)
+                nvocab = np.int64(max(1, len(uniques)))
+                uk, tf = np.unique(doc_rep * nvocab + codes, return_counts=True)
+                u_doc = uk // nvocab
+                u_code = uk % nvocab
+                starts = np.flatnonzero(np.r_[True, u_doc[1:] != u_doc[:-1]])
+                dl_vals = np.add.reduceat(tf, starts)
+                doc_len = np.repeat(dl_vals, np.diff(np.r_[starts, len(u_doc)]))
+                counts = pd.DataFrame(
                     {
-                        "doc_id": b[id_col].values,
-                        "term": "lang:" + b[lang_col].astype(str),
-                        "tf": 1,
+                        "doc_id": u_doc,
+                        "term": np.asarray(uniques, dtype=object)[u_code],
+                        "tf": tf,
+                        "doc_len": doc_len,
                     }
                 )
-                dl_map = (
-                    counts.drop_duplicates("doc_id").set_index("doc_id")["doc_len"]
-                    if len(counts)
-                    else pd.Series(dtype="int64")
+                dl_map = dict(zip(u_doc[starts].tolist(), dl_vals.tolist()))
+            else:
+                counts = pd.DataFrame(columns=["doc_id", "term", "tf", "doc_len"])
+                dl_map = {}
+            if use_lang:
+                has_lang = b[b[lang_col].notna()]
+                lang_rows = pd.DataFrame(
+                    {
+                        "doc_id": has_lang[id_col].values,
+                        "term": "lang:" + has_lang[lang_col].astype(str),
+                        "tf": 1,
+                    }
                 )
                 lang_rows["doc_len"] = (
                     lang_rows["doc_id"].map(dl_map).fillna(0).astype("int64")
@@ -112,34 +159,111 @@ def tokenize_docs(
     return src.mapInPandas(batch_tf, TOKENS_SCHEMA)
 
 
-def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Encode one (term, shard) group into compressed posting blocks."""
-    pdf = pdf.sort_values("doc_id", kind="mergesort")
-    term = pdf["term"].iloc[0]
-    shard = int(pdf["shard"].iloc[0])
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["doc_len"].to_numpy(dtype=np.int64)
-    rows = []
-    for blk, start in enumerate(range(0, len(ids), block_size)):
-        sl = slice(start, start + block_size)
-        bi, bt, bd = ids[sl], tfs[sl], dls[sl]
-        rows.append(
-            {
-                "term": term,
-                "shard": shard,
-                "block": blk,
-                "n": len(bi),
-                "doc_ids": pfor_delta_encode(bi.astype(np.uint64), int(bi[0])),
-                "tfs": for_encode(bt.astype(np.uint64)),
-                "dls": for_encode(bd.astype(np.uint64)),
-                "max_tf": int(bt.max()),
-                "min_dl": int(bd.min()),
-                "first_doc": int(bi[0]),
-                "last_doc": int(bi[-1]),
-            }
+def _tokenize_docs_expr(
+    docs: DataFrame, content_col: str, id_col: str, lang_col: str | None
+) -> DataFrame:
+    """JVM-only tokenize + per-doc TF (see :func:`tokenize_docs`).
+
+    ``sort_array`` groups equal terms into runs; ``filter(sequence, …)``
+    finds run starts (0-based ``s[i]`` indexing, out-of-range → NULL);
+    the two-arg ``transform`` turns consecutive starts into (term, tf)
+    structs. Everything stays in one narrow JVM stage — TF never
+    shuffles, exactly like the Arrow backend.
+    """
+    from ..functions.tokenizer import tokenize_sql
+
+    tok = tokenize_sql(content_col)
+    if lang_col:
+        all_toks = (
+            f"CASE WHEN {lang_col} IS NOT NULL "
+            f"THEN concat({tok}, array(concat('lang:', cast({lang_col} AS string)))) "
+            f"ELSE {tok} END"
         )
-    return pd.DataFrame(rows)
+        lang_adj = f"CASE WHEN {lang_col} IS NOT NULL THEN 1 ELSE 0 END"
+    else:
+        all_toks = tok
+        lang_adj = "0"
+    # `transform(array(x), v -> …)[0]` binds x to the lambda variable v
+    # exactly once. Without it Catalyst's CollapseProject inlines the
+    # full tokenize+sort pipeline into every `s[i]` reference inside the
+    # lambdas below — one re-tokenization PER ARRAY ELEMENT (O(n²) per
+    # doc; measured seconds/doc). With the binding, every inner
+    # reference is a cheap variable read.
+    rle = f"""
+    transform(array(sort_array({all_toks})), s ->
+      struct(
+        int(size(s) - ({lang_adj})) AS doc_len,
+        transform(
+          array(if(size(s) = 0, array(),
+                   filter(sequence(0, size(s) - 1), i -> i = 0 OR s[i] != s[i-1]))),
+          starts -> transform(starts, (st, j) ->
+            struct(s[st] AS term,
+                   int(coalesce(get(starts, j + 1), size(s)) - st) AS tf)))[0]
+          AS pairs
+      )
+    )[0]
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.expr(rle).alias("r")
+    )
+    return (
+        base.select("doc_id", F.col("r.doc_len").alias("doc_len"), F.explode("r.pairs").alias("p"))
+        .select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"), "doc_len")
+    )
+
+
+def _encode_rows(
+    terms: np.ndarray,
+    shards: np.ndarray,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+    out: dict,
+) -> None:
+    """Encode a run of complete, (term,shard,doc_id)-sorted groups into
+    posting-block rows appended to ``out`` (dict-of-lists)."""
+    if ids.size == 0:
+        return
+    change = np.flatnonzero((terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]))
+    starts = np.r_[0, change + 1]
+    ends = np.r_[change + 1, len(ids)]
+    for g0, g1 in zip(starts, ends):
+        gi = ids[g0:g1]
+        gt = tfs[g0:g1]
+        gd = dls[g0:g1]
+        term = terms[g0]
+        shard = int(shards[g0])
+        for blk, s in enumerate(range(0, len(gi), block_size)):
+            sl = slice(s, s + block_size)
+            bi, bt, bd = gi[sl], gt[sl], gd[sl]
+            out["term"].append(term)
+            out["shard"].append(shard)
+            out["block"].append(blk)
+            out["n"].append(len(bi))
+            out["doc_ids"].append(pfor_delta_encode(bi.astype(np.uint64), int(bi[0])))
+            out["tfs"].append(for_encode(bt.astype(np.uint64)))
+            out["dls"].append(for_encode(bd.astype(np.uint64)))
+            out["max_tf"].append(int(bt.max()))
+            out["min_dl"].append(int(bd.min()))
+            out["first_doc"].append(int(bi[0]))
+            out["last_doc"].append(int(bi[-1]))
+
+
+_OUT_COLS = [
+    "term", "shard", "block", "n", "doc_ids", "tfs", "dls",
+    "max_tf", "min_dl", "first_doc", "last_doc",
+]
+
+
+def _flush(out: dict) -> pd.DataFrame:
+    pdf = pd.DataFrame(out, columns=_OUT_COLS)
+    pdf["shard"] = pdf["shard"].astype("int32")
+    pdf["block"] = pdf["block"].astype("int32")
+    pdf["n"] = pdf["n"].astype("int32")
+    pdf["max_tf"] = pdf["max_tf"].astype("int32")
+    pdf["min_dl"] = pdf["min_dl"].astype("int32")
+    return pdf
 
 
 def build_postings(
@@ -151,14 +275,78 @@ def build_postings(
 
     The single shuffle of the build; keyed on ``(term, shard)`` so no
     task ever materializes more than ``shard_size`` postings (structural
-    skew cap — see module docstring).
+    skew cap — see module docstring). Encoding runs as a *streaming*
+    ``mapInPandas`` over ``repartition(term, shard) +
+    sortWithinPartitions`` rather than per-group ``applyInPandas``: one
+    Python call handles thousands of complete groups per Arrow batch
+    (groups are contiguous under the sort; only the batch-boundary
+    group is carried into the next batch), which removes the
+    per-tiny-group overhead that dominates at a 10^5-term vocabulary.
     """
+    spark = tokens.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     with_shard = tokens.withColumn(
         "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
     )
-    return with_shard.groupBy("term", "shard").applyInPandas(
-        lambda pdf: _encode_group(pdf, block_size), POSTINGS_SCHEMA
+    arranged = with_shard.repartition(n_part, "term", "shard").sortWithinPartitions(
+        "term", "shard", "doc_id"
     )
+
+    def encode_stream(batches):
+        out = {c: [] for c in _OUT_COLS}
+        pend: list[pd.DataFrame] = []   # frames of the ONE unfinished group
+        pkey = None                     # its (term, shard)
+
+        def encode_frames(frames):
+            g = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            _encode_rows(
+                g["term"].to_numpy(dtype=object), g["shard"].to_numpy(),
+                g["doc_id"].to_numpy(np.int64), g["tf"].to_numpy(np.int64),
+                g["doc_len"].to_numpy(np.int64), block_size, out,
+            )
+
+        for b in batches:
+            if not len(b):
+                continue
+            terms = b["term"].to_numpy(dtype=object)
+            shards = b["shard"].to_numpy()
+            if pkey is not None:
+                # prefix of b that continues the pending group (groups are
+                # contiguous under the partition sort)
+                same_head = (terms == pkey[0]) & (shards == pkey[1])
+                head_len = len(b) if same_head.all() else int(same_head.argmin())
+                if head_len == len(b):
+                    pend.append(b)   # still unfinished — no copy, just buffer
+                    continue
+                if head_len:
+                    pend.append(b.iloc[:head_len])
+                encode_frames(pend)  # single concat per group, not per batch
+                pend, pkey = [], None
+                b = b.iloc[head_len:].reset_index(drop=True)
+                terms = terms[head_len:]
+                shards = shards[head_len:]
+            # hold back b's last group — it may continue in the next batch
+            same_last = (terms == terms[-1]) & (shards == shards[-1])
+            cut = 0 if same_last.all() else len(b) - int(same_last[::-1].argmin())
+            if cut:
+                _encode_rows(
+                    terms[:cut], shards[:cut],
+                    b["doc_id"].to_numpy(np.int64)[:cut],
+                    b["tf"].to_numpy(np.int64)[:cut],
+                    b["doc_len"].to_numpy(np.int64)[:cut],
+                    block_size, out,
+                )
+            pend = [b.iloc[cut:]]
+            pkey = (terms[-1], int(shards[-1]))
+            if len(out["term"]) >= 8192:
+                yield _flush(out)
+                out = {c: [] for c in _OUT_COLS}
+        if pend:
+            encode_frames(pend)
+        if out["term"]:
+            yield _flush(out)
+
+    return arranged.mapInPandas(encode_stream, POSTINGS_SCHEMA)
 
 
 def build_doc_stats(tokens: DataFrame) -> DataFrame:

@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 from .build import (
     DEFAULT_BLOCK_SIZE,
     DEFAULT_SHARD_SIZE,
+    DEFAULT_TERM_BUCKETS,
+    term_bucket_expr,
     build_doc_stats,
     build_postings,
     build_term_stats,
@@ -80,6 +82,12 @@ class IndexPaths:
         return os.path.join(self.root, "term_stats")
 
     @property
+    def term_partials(self) -> str:
+        # per-slice df partials: finalize merges these (vocab-sized)
+        # instead of re-reading the whole postings store
+        return os.path.join(self.root, "term_partials")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "_manifest")
 
@@ -112,6 +120,7 @@ def build_index(
     shard_size: int = DEFAULT_SHARD_SIZE,
     block_size: int = DEFAULT_BLOCK_SIZE,
     shards_per_slice: int = 4,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
     max_slices: int | None = None,
     id_col: str = "doc_id",
     content_col: str = "content",
@@ -129,7 +138,7 @@ def build_index(
 
     max_id = docs.agg(F.max(id_col)).collect()[0][0]
     if max_id is None:
-        _finalize(spark, paths, shard_size, block_size)
+        _finalize(spark, paths, shard_size, block_size, term_buckets)
         return json.load(open(paths.meta))
     slice_span = shard_size * shards_per_slice
     n_slices = int(max_id) // slice_span + 1
@@ -153,67 +162,114 @@ def build_index(
         ).persist()
         postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
         slice_postings = os.path.join(paths.postings, f"slice={slice_id}")
-        postings.write.mode("overwrite").parquet(slice_postings)
-        dstats = build_doc_stats(tokens)
-        dstats.write.mode("overwrite").parquet(
-            os.path.join(paths.doc_stats, f"slice={slice_id}")
+        row = _write_slice(
+            spark, paths, slice_id, postings, build_doc_stats(tokens),
+            slice_postings, term_buckets,
         )
         tokens.unpersist()
-        # metrics read back from the committed slice: ONE job over the
-        # (small, compressed) slice output, not the input
-        committed = spark.read.parquet(slice_postings)
-        m = (
-            committed.groupBy("term", "shard")
-            .agg(
-                F.sum("n").alias("sz"),
-                (
-                    F.sum(F.length("doc_ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
-                ).alias("b"),
-            )
-            .agg(
-                F.sum("sz").alias("n_postings"),
-                F.sum("b").alias("bytes"),
-                F.max("sz").alias("mx"),
-                F.avg("sz").alias("mean"),
-            )
-            .collect()[0]
-        )
-        sk = m
-        ds = spark.read.parquet(os.path.join(paths.doc_stats, f"slice={slice_id}"))
-        dsm = ds.agg(F.count("*").alias("nd"), F.sum("doc_len").alias("tl")).collect()[0]
         # every doc, including zero-token ones (BM25's N) — doc_stats
         # alone would undercount when no lang column adds a synthetic term
-        n_docs_slice = part.count()
-        _write_manifest_row(
-            paths,
-            {
-                "slice_id": slice_id,
-                "status": "done",
-                "n_docs": int(n_docs_slice),
-                "total_len": int(dsm["tl"] or 0),
-                "n_postings": int(m["n_postings"] or 0),
-                "bytes_compressed": int(m["bytes"] or 0),
-                "skew_ratio": float(sk["mx"] / sk["mean"]) if sk["mean"] else 0.0,
-                "elapsed_sec": time.time() - t0,
-                "updated_at": __import__("datetime").datetime.utcnow(),
-            },
-        )
+        row["n_docs"] = part.count()
+        row["elapsed_sec"] = time.time() - t0
+        _write_manifest_row(paths, row)
         done += 1
 
     manifest = read_manifest(paths)
     if all(
         manifest.get(s, {}).get("status") == "done" for s in range(n_slices)
     ):
-        _finalize(spark, paths, shard_size, block_size)
+        _finalize(spark, paths, shard_size, block_size, term_buckets)
     return json.load(open(paths.meta)) if os.path.exists(paths.meta) else {"complete": False}
 
 
-def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_size: int) -> None:
+def _write_slice(
+    spark: SparkSession,
+    paths: IndexPaths,
+    slice_id: int,
+    postings: DataFrame,
+    dstats: DataFrame,
+    slice_postings: str,
+    term_buckets: int,
+) -> dict:
+    """Commit one slice (postings + doc_stats + term partials) and return
+    its manifest row sans n_docs/elapsed.
+
+    Metric hygiene: n_postings/bytes and doc-count/total-len are gathered
+    with ``Observation`` DURING the two write jobs — no re-read, no extra
+    driver jobs. The only extra action is the (vocab-sized) term-partial
+    write, whose own observation yields the skew ratio.
+    """
+    from pyspark.sql import Observation
+
+    obs_p = Observation(f"slice{slice_id}_postings")
+    (
+        postings.withColumn("bucket", term_bucket_expr(F.col("term"), term_buckets))
+        # bucket-partitioned layout: query terms prune whole files, not
+        # just row groups (the parquet stand-in for Iceberg bucket(term)).
+        # The pre-write shuffle keys on bucket so each bucket dir holds ONE
+        # file instead of one-per-task — the blocks are already compressed
+        # (MBs per slice), and without this the commit cost scales with
+        # tasks × buckets and eats the scaling win. At cluster scale raise
+        # term_buckets for write parallelism instead.
+        .repartition(term_buckets, "bucket")
+        .observe(
+            obs_p,
+            F.sum("n").alias("np"),
+            (
+                F.sum(F.length("doc_ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
+            ).alias("bytes"),
+        )
+        .write.partitionBy("bucket").mode("overwrite").parquet(slice_postings)
+    )
+    obs_d = Observation(f"slice{slice_id}_docstats")
+    (
+        dstats.observe(obs_d, F.count(F.lit(1)).alias("nd"), F.sum("doc_len").alias("tl"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(paths.doc_stats, f"slice={slice_id}"))
+    )
+    # (term, shard)-grain partials from the committed slice: feeds both the
+    # incremental term_stats merge AND the skew metric in one pass.
+    committed = spark.read.parquet(slice_postings)
+    obs_s = Observation(f"slice{slice_id}_skew")
+    (
+        committed.groupBy("term", "shard")
+        .agg(F.sum("n").alias("sz"))
+        .coalesce(4)  # vocab-sized — don't emit one file per shuffle task
+        .observe(obs_s, F.max("sz").alias("mx"), F.avg("sz").alias("mean"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(paths.term_partials, f"slice={slice_id}"))
+    )
+    pm, dm, sm = obs_p.get, obs_d.get, obs_s.get
+    return {
+        "slice_id": slice_id,
+        "status": "done",
+        "n_docs": int(dm["nd"] or 0),
+        "total_len": int(dm["tl"] or 0),
+        "n_postings": int(pm["np"] or 0),
+        "bytes_compressed": int(pm["bytes"] or 0),
+        "skew_ratio": float(sm["mx"] / sm["mean"]) if sm["mean"] else 0.0,
+        "elapsed_sec": 0.0,
+        "updated_at": __import__("datetime").datetime.utcnow(),
+    }
+
+
+def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_size: int,
+              term_buckets: int = DEFAULT_TERM_BUCKETS) -> None:
     """Derive global stats from committed slices; idempotent."""
     manifest = read_manifest(paths)
     n_docs = sum(r["n_docs"] for r in manifest.values())
     total_len = sum(r["total_len"] for r in manifest.values())
-    if os.path.isdir(paths.postings):
+    if os.path.isdir(paths.term_partials):
+        # incremental: merge vocab-sized per-slice partials — O(vocab·slices),
+        # not a re-read of the whole postings store
+        partials = spark.read.option("recursiveFileLookup", "true").parquet(
+            paths.term_partials
+        )
+        partials.groupBy("term").agg(F.sum("sz").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(paths.term_stats)
+    elif os.path.isdir(paths.postings):
+        # legacy layout without partials: derive from postings directly
         postings = spark.read.option("recursiveFileLookup", "true").parquet(paths.postings)
         build_term_stats(postings).write.mode("overwrite").parquet(paths.term_stats)
     from .codec import FORMAT_VERSION
@@ -224,6 +280,7 @@ def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_siz
         "avgdl": (total_len / n_docs) if n_docs else 0.0,
         "shard_size": shard_size,
         "block_size": block_size,
+        "term_buckets": term_buckets,
         "format": FORMAT_VERSION,
         "complete": True,
     }
@@ -242,10 +299,9 @@ def load_index(spark: SparkSession, out_dir: str):
             f"index at {out_dir} is format {meta.get('format')!r}; this build "
             f"reads {FORMAT_VERSION!r} — rebuild the index"
         )
-    rd = spark.read.option("recursiveFileLookup", "true")
     return (
-        rd.parquet(paths.postings),
+        spark.read.parquet(paths.postings),
         spark.read.parquet(paths.term_stats),
-        rd.parquet(paths.doc_stats),
+        spark.read.parquet(paths.doc_stats),
         meta,
     )

@@ -54,8 +54,15 @@ class LocalQueryEngine:
     def _fetch(self, terms: list[str]) -> pd.DataFrame:
         missing = [t for t in terms if t not in self._blocks and t in self._dfs]
         if missing:
+            src = self._postings
+            if "bucket" in src.columns and self._meta.get("term_buckets"):
+                from ..index.build import term_bucket_py
+
+                nb = int(self._meta["term_buckets"])
+                bks = sorted({term_bucket_py(t, nb) for t in missing})
+                src = src.filter(F.col("bucket").isin(bks))
             fetched = (
-                self._postings.filter(F.col("term").isin(missing))
+                src.filter(F.col("term").isin(missing))
                 .select(
                     "term", "shard", "block", "n", "first_doc", "last_doc",
                     "max_tf", "min_dl", "doc_ids", "tfs", "dls",

@@ -203,7 +203,16 @@ def bm25_topk_wand(
     if not qstat_rows:
         return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
     qstats = spark.createDataFrame(qstat_rows, "qid int, term string, idf double")
-    matched = postings.filter(F.col("term").isin(all_terms)).join(
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        # file-level pruning: bucket is a partition directory, so whole
+        # parquet files for non-query buckets are never opened
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(
         F.broadcast(qstats), "term"
     )
     partials = matched.groupBy("qid", "shard").applyInPandas(

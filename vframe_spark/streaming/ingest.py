@@ -37,11 +37,12 @@ from ..ids import assign_doc_ids
 from ..index.build import (
     DEFAULT_BLOCK_SIZE,
     DEFAULT_SHARD_SIZE,
+    DEFAULT_TERM_BUCKETS,
     build_doc_stats,
     build_postings,
     tokenize_docs,
 )
-from ..index.builder import IndexPaths, _finalize, _write_manifest_row
+from ..index.builder import IndexPaths, _finalize, _write_manifest_row, _write_slice
 
 DOCS_DDL = "repo string, path string, commit string, lang string, content string"
 
@@ -76,6 +77,7 @@ def incremental_index_stream(
     shard_size: int = DEFAULT_SHARD_SIZE,
     block_size: int = DEFAULT_BLOCK_SIZE,
     shards_per_slice: int = 4,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
     trigger_available_now: bool = True,
 ):
@@ -109,39 +111,20 @@ def incremental_index_stream(
         docs = assign_doc_ids(batch_df, list(order_cols)).withColumn(
             "doc_id", F.col("doc_id") + F.lit(slice_lo * span)
         )
-        tokens = tokenize_docs(docs)
+        tokens = tokenize_docs(docs).persist()
         postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
         slice_dir = os.path.join(paths.postings, f"slice={slice_lo}")
-        postings.write.mode("overwrite").parquet(slice_dir)
-        build_doc_stats(tokens).write.mode("overwrite").parquet(
-            os.path.join(paths.doc_stats, f"slice={slice_lo}")
-        )
         spark = batch_df.sparkSession
-        committed = spark.read.parquet(slice_dir)
-        m = committed.agg(
-            F.sum("n").alias("np"),
-            (F.sum(F.length("doc_ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))).alias("bytes"),
-        ).collect()[0]
-        grp = committed.groupBy("term", "shard").agg(F.sum("n").alias("sz"))
-        sk = grp.agg(F.max("sz").alias("mx"), F.avg("sz").alias("mean")).collect()[0]
-        ds = spark.read.parquet(os.path.join(paths.doc_stats, f"slice={slice_lo}"))
-        dsm = ds.agg(F.count("*").alias("nd"), F.sum("doc_len").alias("tl")).collect()[0]
-        _write_manifest_row(
-            paths,
-            {
-                "slice_id": slice_lo,
-                "status": "done",
-                "n_docs": int(n),
-                "total_len": int(dsm["tl"] or 0),
-                "n_postings": int(m["np"] or 0),
-                "bytes_compressed": int(m["bytes"] or 0),
-                "skew_ratio": float(sk["mx"] / sk["mean"]) if sk["mean"] else 0.0,
-                "elapsed_sec": _time.time() - t0,
-                "updated_at": __import__("datetime").datetime.utcnow(),
-            },
+        row = _write_slice(
+            spark, paths, slice_lo, postings, build_doc_stats(tokens),
+            slice_dir, term_buckets,
         )
+        tokens.unpersist()
+        row["n_docs"] = int(n)  # all docs incl. zero-token ones
+        row["elapsed_sec"] = _time.time() - t0
+        _write_manifest_row(paths, row)
         # Refresh global stats so the index is queryable between batches.
-        _stream_finalize(spark, paths, shard_size, block_size)
+        _stream_finalize(spark, paths, shard_size, block_size, term_buckets)
 
     writer = stream_docs.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -151,10 +134,11 @@ def incremental_index_stream(
     return writer.start()
 
 
-def _stream_finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_size: int) -> None:
+def _stream_finalize(spark: SparkSession, paths: IndexPaths, shard_size: int,
+                     block_size: int, term_buckets: int) -> None:
     # Unlike the batch builder, a stream has no fixed slice count — every
     # committed manifest row is final, so finalize unconditionally.
-    _finalize(spark, paths, shard_size, block_size)
+    _finalize(spark, paths, shard_size, block_size, term_buckets)
 
 
 def ingest_stats_stream(stream_docs: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"):
