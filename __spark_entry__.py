@@ -175,6 +175,20 @@ def q_ft_bm25_wand(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+def q_ft_bm25_with_docs(spark, sf_dir):
+    """Top-k join-back: ranked results enriched with source-doc columns
+    (the reference's save-detections writes results + file attrs
+    together; here topk ⋈ docs on doc_id — broadcast of the k·|Q| rows)."""
+    ranked = q_ft_bm25_wand(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("doc_lang"), F.length("text").alias("n_chars")
+    )
+    return (
+        F.broadcast(ranked).join(docs, "doc_id")
+        .select("qid", "rank", "doc_id", "score", "doc_lang", "n_chars")
+    )
+
+
 # -------------------------------------------------------------- dedup family
 
 def q_dedup_exact_groups(spark, sf_dir):
@@ -525,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_stats": q_ft_term_stats,
         "ft_bm25_exhaustive": q_ft_bm25_exhaustive,
         "ft_bm25_wand": q_ft_bm25_wand,
+        "ft_bm25_with_docs": q_ft_bm25_with_docs,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -595,6 +610,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ft_bm25_exhaustive": bm25,
         "ft_bm25_wand": bm25,
+        "ft_bm25_with_docs": f"""
+            WITH ranked AS ({bm25})
+            SELECT r.qid, r.rank, r.doc_id, r.score,
+                   d.lang AS doc_lang, length(d.text)::BIGINT AS n_chars
+            FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        """,
         "dedup_exact_groups": """
             SELECT sha256(text) AS content_sha, count(*)::BIGINT AS n_copies,
                    min(doc_id) AS keeper

@@ -87,3 +87,34 @@ def test_wand_lang_scoped_query(spark, corpus, index):
     _check(rows, oracle, [(1, "lang:py parse", 20)], tol=0.0)
     top = rows[0]
     assert top["doc_id"] in py_docs
+
+
+def test_wand_equals_exhaustive_random_queries(spark, corpus, index):
+    """Property check (SURVEY §5.5): block-max pruning must change
+    nothing — WAND top-k == exhaustive DataFrame scoring for random
+    term combinations, including absent and lang-scoped terms."""
+    import random
+
+    from vframe_spark.corpus import IDENT_PARTS, ZIPF_COMMON
+    from vframe_spark.query.bm25 import bm25_topk_df
+
+    rng = random.Random(4242)
+    pool = IDENT_PARTS + ZIPF_COMMON + ["zzznope", "lang:py", "lang:go"]
+    queries = [
+        (qid, " ".join(rng.sample(pool, rng.randint(1, 4))))
+        for qid in range(1, 16)
+    ]
+
+    postings, term_stats, _, meta = index
+    wand = bm25_topk_wand(postings, term_stats, meta, queries, k=7)
+
+    from pyspark.sql import functions as F
+
+    docs, _ = corpus
+    tokens = tokenize_docs(docs).cache()
+    tstats = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    exhaustive = bm25_topk_df(tokens, tstats, meta, queries, k=7)
+
+    wa = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 9)) for r in wand.collect()}
+    ex = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 9)) for r in exhaustive.collect()}
+    assert wa == ex

@@ -185,3 +185,60 @@ def test_ingest_stats_stream_counts(spark, tmp_path):
         f"select sum(n_files) as n, sum(bytes) as b from stats_sink_{id(tmp_path)}"
     ).collect()[0]
     assert rows["n"] == 30 and rows["b"] > 0
+
+
+def test_near_dedup_stream_hamming(spark, tmp_path):
+    """skip-phash --all-frames parity: near-identical content (small
+    Hamming distance on SimHash) is dropped across batches; distinct
+    content is kept."""
+    import pandas as pd
+
+    from vframe_spark.operators.dedup import simhash64
+    from vframe_spark.streaming.dedup import near_dedup_stream
+
+    base = " ".join(f"token{i} common word stream value" for i in range(40))
+    near = base.replace("token3 ", "token3x ")        # single-token edit
+    far = " ".join(f"other{i} completely different corpus entry" for i in range(40))
+    # precondition: the fixture is actually near/far in hamming terms
+    ham = lambda a, b: bin((simhash64(a) ^ simhash64(b)) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(base, near) <= 3 < ham(base, far)
+
+    rows1 = pd.DataFrame(
+        [
+            {"repo": "r1", "path": "a.py", "commit": "c1", "lang": "py", "content": base},
+            {"repo": "r1", "path": "b.py", "commit": "c2", "lang": "py", "content": far},
+        ]
+    )
+    rows2 = pd.DataFrame(
+        [
+            {"repo": "r1", "path": "c.py", "commit": "c3", "lang": "py", "content": near},
+            {"repo": "r2", "path": "d.py", "commit": "c4", "lang": "py", "content": near},
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(str(tmp_path / "b2"))
+
+    import glob as _g
+    import shutil as _sh
+
+    sink = str(tmp_path / "sink")
+    out = near_dedup_stream(read_doc_stream(spark, src, max_files_per_trigger=1), max_hamming=3)
+    for i, b in enumerate(("b1", "b2")):
+        f = _g.glob(str(tmp_path / b / "*.parquet"))[0]
+        _sh.copy(f, os.path.join(src, f"drop_{i}.parquet"))
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = {(r["repo"], r["path"]) for r in spark.read.parquet(sink).collect()}
+    # r1: base kept, far kept (distinct), near dropped (cross-batch state);
+    # r2: separate key → near kept there.
+    assert got == {("r1", "a.py"), ("r1", "b.py"), ("r2", "d.py")}

@@ -197,27 +197,39 @@ def minhash_dedup(
 
 # --------------------------------------------------------------- simhash
 
+_SIM_BITS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def simhash64(text: str) -> int:
+    """64-bit tf-weighted SimHash of one text (signed int64 range).
+
+    Shared by the batch signature operator and the streaming near-dup
+    filter so both agree bit-for-bit."""
+    toks = str(text).lower().split()
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    hv = pd.util.hash_array(uniq).astype(np.uint64)
+    signs = ((hv[:, None] & _SIM_BITS[None, :]) != 0).astype(np.int64) * 2 - 1
+    acc = (signs * counts[:, None]).sum(axis=0)
+    v = int(((acc > 0).astype(np.uint64) * _SIM_BITS).sum())
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's complement
+
+
 def simhash_signatures(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """64-bit tf-weighted SimHash per doc → (id, simhash bigint)."""
     src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
 
     def sim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
         for batch in batches:
-            ids, out = [], []
-            for did, text in zip(batch["id"], batch["content"]):
-                toks = str(text).lower().split()
-                ids.append(did)
-                if not toks:
-                    out.append(0)
-                    continue
-                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                hv = pd.util.hash_array(uniq).astype(np.uint64)
-                signs = ((hv[:, None] & bits[None, :]) != 0).astype(np.int64) * 2 - 1
-                acc = (signs * counts[:, None]).sum(axis=0)
-                v = int(((acc > 0).astype(np.uint64) * bits).sum())
-                out.append(v - (1 << 64) if v >= (1 << 63) else v)  # two's complement
-            yield pd.DataFrame({"id": ids, "simhash": pd.array(out, dtype="int64")})
+            yield pd.DataFrame(
+                {
+                    "id": batch["id"].values,
+                    "simhash": pd.array(
+                        [simhash64(t) for t in batch["content"]], dtype="int64"
+                    ),
+                }
+            )
 
     return src.mapInPandas(sim_batches, "id bigint, simhash bigint")
 

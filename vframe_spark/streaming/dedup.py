@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -70,6 +71,46 @@ def dedup_stream(stream_docs: DataFrame, key_col: str = "repo") -> DataFrame:
         _dedup_fn,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+NEAR_STATE_SCHEMA = StructType([StructField("sigs", ArrayType(LongType()))])
+
+
+def near_dedup_stream(
+    stream_docs: DataFrame, key_col: str = "repo", max_hamming: int = 3
+) -> DataFrame:
+    """NEAR-duplicate streaming filter — full `skip-phash --all-frames`
+    parity: per-key retained SimHash set; a doc is dropped when its
+    64-bit SimHash is within ``max_hamming`` bits of ANY retained
+    signature, else kept and retained
+    (/root/reference/src/commands/pipe/skip-phash.py:134-142)."""
+    from ..operators.dedup import simhash64
+
+    def near_fn(key, pdfs, state):
+        retained: list[int] = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            keep = []
+            for content in pdf["content"]:
+                sig = simhash64("" if content is None else content)
+                dup = any(
+                    bin((sig ^ r) & ((1 << 64) - 1)).count("1") <= max_hamming
+                    for r in retained
+                )
+                keep.append(not dup)
+                if not dup:
+                    retained.append(sig)
+            out = pdf.loc[keep, ["repo", "path", "commit", "lang", "content"]]
+            if len(out):
+                yield out
+        state.update((retained,))
+
+    return stream_docs.groupBy(key_col).applyInPandasWithState(
+        near_fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=NEAR_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
