@@ -258,6 +258,56 @@ SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_sim_lsh_topk(spark, sf_dir):
+    """Approximate ANN: random-hyperplane LSH bucket probe + exact
+    rerank inside the bucket — the scale path next to brute force
+    (rows-only: recall is approximate by design; the exact baseline is
+    oracle-checked via sim_cosine_topk)."""
+    from vframe_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    res = lsh_topk(emb, queries, dim=dim, k=5, bits=6)
+    return res.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+def q_mm_decode_extract(spark, sf_dir):
+    """Multimodal plumbing over a binary column: treat document text
+    bytes as an opaque payload, run the deterministic fake decode +
+    feature extraction (real schema/batching, stubbed codec — rows-only)."""
+    from vframe_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit(16).alias("width"), F.lit(16).alias("height"),
+            F.lit(1).alias("n_frames"), F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    from vframe_spark.operators.multimodal import decode_image
+
+    feats = extract_features(decode_image(media))
+    return feats.select(
+        "media_id",
+        F.size("feature").cast("int").alias("dim"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 4
+        ).alias("sq_norm"),
+    )
+
+
 # --------------------------------------------------------------- text family
 
 def q_text_token_counts(spark, sf_dir):
@@ -545,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "mm_decode_extract": q_mm_decode_extract,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
