@@ -22,9 +22,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vframe_spark.functions.tokenizer import tokenize_duckdb_sql, tokenize_expr, tokenize_py
+from vframe_spark.functions.tokenizer import tokenize_duckdb_sql, tokenize_py
 from vframe_spark.functions import text as X
-from vframe_spark.index.build import build_term_stats, tokenize_docs
+from vframe_spark.index.build import tokenize_docs
 from vframe_spark.index.builder import build_index, load_index
 from vframe_spark.operators.dedup import (
     minhash_lsh_pairs,
