@@ -339,6 +339,19 @@ def q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", X.fingerprint64(F.col("text")).alias("fp"))
 
 
+def q_src_validity(spark, sf_dir):
+    """Corrupt-row classification (reference corrupt-file guards,
+    media.py:289-307): per-reason row counts with an oversize threshold
+    that actually bites at this sf."""
+    from vframe_spark.sources import with_validity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    v = with_validity(docs, max_chars=400)
+    return v.groupBy(
+        F.coalesce(F.col("invalid_reason"), F.lit("valid")).alias("status")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
 # ------------------------------------------------------------ string family
 
 def q_str_path_template(spark, sf_dir):
@@ -601,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "src_validity": q_src_validity,
         "str_path_template": q_str_path_template,
         "geo_iou_pairs": q_geo_iou_pairs,
         "geo_bbox_transform": q_geo_bbox_transform,
@@ -734,6 +748,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_en >= h_de THEN 'en'
                         ELSE 'de' END AS lang_guess
             FROM h
+        """,
+        "src_validity": """
+            SELECT CASE WHEN text IS NULL THEN 'null_content'
+                        WHEN length(text) = 0 THEN 'empty'
+                        WHEN length(text) > 400 THEN 'oversize'
+                        ELSE 'valid' END AS status,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1
         """,
         "str_path_template": r"""
             WITH p AS (

@@ -108,3 +108,24 @@ def test_local_engine_rank_identical_to_distributed(spark, tmp_path):
     for qid, q in queries:
         assert eng.topk(q, k=10) == by_qid.get(qid, [])
     assert time.time() - t0 < 2.0
+
+
+def test_validity_and_quarantine(spark):
+    import pandas as pd
+
+    from vframe_spark.sources import quarantine_split, with_validity
+
+    rows = pd.DataFrame(
+        [
+            {"repo": "r", "path": "ok.py", "commit": "c", "lang": "py", "content": "fine content"},
+            {"repo": "r", "path": "empty.py", "commit": "c", "lang": "py", "content": ""},
+            {"repo": "r", "path": "null.py", "commit": "c", "lang": "py", "content": None},
+            {"repo": "r", "path": "big.py", "commit": "c", "lang": "py", "content": "x" * 50},
+        ]
+    )
+    df = with_validity(spark.createDataFrame(rows), max_chars=40)
+    valid, bad = quarantine_split(df)
+    assert {r["path"] for r in valid.collect()} == {"ok.py"}
+    reasons = {r["path"]: r["invalid_reason"] for r in bad.collect()}
+    assert reasons == {"empty.py": "empty", "null.py": "null_content", "big.py": "oversize"}
+    assert "valid" not in valid.columns

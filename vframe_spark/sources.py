@@ -84,3 +84,30 @@ def join_priors(
     """
     right = F.broadcast(priors) if broadcast_priors else priors
     return docs.join(right, list(on), how)
+
+
+def with_validity(
+    df: DataFrame,
+    content_col: str = "content",
+    max_chars: int = 10_000_000,
+) -> DataFrame:
+    """Corrupt-row handling ≙ the reference's corrupt-file guards
+    (/root/reference/src/vframe/models/media.py:289-307, frame-count
+    repair video_utils.py:91-104): instead of failing the job, rows get
+    a ``valid`` flag + ``invalid_reason`` so downstream operators filter
+    and a quarantine sink keeps the evidence."""
+    reason = (
+        F.when(F.col(content_col).isNull(), F.lit("null_content"))
+        .when(F.length(content_col) == 0, F.lit("empty"))
+        .when(F.length(content_col) > max_chars, F.lit("oversize"))
+    )
+    return df.withColumn("invalid_reason", reason).withColumn(
+        "valid", F.col("invalid_reason").isNull()
+    )
+
+
+def quarantine_split(df: DataFrame):
+    """→ (valid rows sans flags, quarantined rows with reasons)."""
+    valid = df.filter(F.col("valid")).drop("valid", "invalid_reason")
+    bad = df.filter(~F.col("valid"))
+    return valid, bad
