@@ -531,6 +531,25 @@ def q_rel_bucket_rollup(spark, sf_dir):
     return per_user.groupBy("event_type").agg(*aggs)
 
 
+def q_rel_rollup(spark, sf_dir):
+    """Built-in rollup (the reference hand-rolls its gt0/gt1/... roll-up,
+    summarize-json.py:85-101; Spark's ROLLUP is the general form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def q_rel_histogram(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     bucket = F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket")
@@ -625,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_topk": q_rel_window_topk,
         "rel_keepfirst_dedup": q_rel_keepfirst_dedup,
         "rel_bucket_rollup": q_rel_bucket_rollup,
+        "rel_rollup": q_rel_rollup,
         "rel_histogram": q_rel_histogram,
         "rel_time_window": q_rel_time_window,
         "rel_union_merge": q_rel_union_merge,
@@ -870,6 +890,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN cnt > 8 THEN 1 ELSE 0 END)::BIGINT AS gt8,
                    sum(CASE WHEN cnt > 16 THEN 1 ELSE 0 END)::BIGINT AS gt16
             FROM per_user GROUP BY 1
+        """,
+        "rel_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*)::BIGINT AS n,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "rel_histogram": """
             SELECT floor(l_extendedprice / 10000)::BIGINT AS bucket,
