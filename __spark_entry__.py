@@ -589,6 +589,37 @@ def q_rel_anti_join(spark, sf_dir):
     )
 
 
+def q_rel_semi_join(spark, sf_dir):
+    """Left-semi join (the filelist-lookup pattern, media-attrs-filter
+    .py:114-120): orders having at least one high-quantity lineitem."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+def q_rel_date_parts(spark, sf_dir):
+    """Date/time scalar family (reference file_utils.py:93-121 mtime →
+    datetime accessors @date/@year): year/quarter/month breakdown."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct(F.month("o_orderdate")).cast("bigint").alias("n_months"),
+        )
+    )
+
+
 def q_rel_skip_interval(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.filter((F.col("l_orderkey") % 100 == 0) & (F.col("l_linenumber") == 1)).select(
@@ -649,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_time_window": q_rel_time_window,
         "rel_union_merge": q_rel_union_merge,
         "rel_anti_join": q_rel_anti_join,
+        "rel_semi_join": q_rel_semi_join,
+        "rel_date_parts": q_rel_date_parts,
         "rel_skip_interval": q_rel_skip_interval,
         "rel_having": q_rel_having,
     }
@@ -922,6 +955,20 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
             GROUP BY 1
+        """,
+        "rel_semi_join": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+            GROUP BY 1
+        """,
+        "rel_date_parts": """
+            SELECT year(o_orderdate)::INT AS y, quarter(o_orderdate)::INT AS q,
+                   count(*)::BIGINT AS n,
+                   count(DISTINCT month(o_orderdate))::BIGINT AS n_months
+            FROM orders GROUP BY 1, 2
         """,
         "rel_skip_interval": """
             SELECT l_orderkey, l_partkey, l_quantity
