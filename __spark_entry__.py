@@ -460,6 +460,21 @@ def q_geo_nms_merge(spark, sf_dir):
     )
 
 
+def q_text_top_terms(spark, sf_dir):
+    """Corpus-wide top-50 terms by document frequency (the summary/plot
+    aggregation family over tokenizer output; ties broken by term)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    tokens = tokenize_docs(docs, lang_col=None)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        tokens.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "term", "df")
+    )
+
+
 # ---------------------------------------------------------- relational family
 
 def q_rel_pricing_summary(spark, sf_dir):
@@ -589,6 +604,26 @@ def q_rel_anti_join(spark, sf_dir):
     )
 
 
+def q_rel_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + filter + agg + top-10 by revenue
+    (the reference's deepest pipeline analog: scan→filter→join→agg→rank)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
 def q_rel_semi_join(spark, sf_dir):
     """Left-semi join (the filelist-lookup pattern, media-attrs-filter
     .py:114-120): orders having at least one high-quantity lineitem."""
@@ -680,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_time_window": q_rel_time_window,
         "rel_union_merge": q_rel_union_merge,
         "rel_anti_join": q_rel_anti_join,
+        "text_top_terms": q_text_top_terms,
+        "rel_shipping_priority": q_rel_shipping_priority,
         "rel_semi_join": q_rel_semi_join,
         "rel_date_parts": q_rel_date_parts,
         "rel_skip_interval": q_rel_skip_interval,
@@ -955,6 +992,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
             GROUP BY 1
+        """,
+        "text_top_terms": f"""
+            WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            tf AS (SELECT term, doc_id FROM tok GROUP BY 1, 2),
+            d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            r AS (SELECT row_number() OVER (ORDER BY df DESC, term)::INT AS rank,
+                         term, df FROM d)
+            SELECT rank, term, df FROM r WHERE rank <= 50
+        """,
+        "rel_shipping_priority": """
+            WITH agg AS (
+              SELECT l_orderkey, o_orderdate, o_orderpriority,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+                AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+              GROUP BY 1, 2, 3
+            ),
+            r AS (
+              SELECT row_number() OVER (ORDER BY revenue DESC, l_orderkey)::INT AS rank,
+                     l_orderkey, revenue, o_orderdate, o_orderpriority
+              FROM agg
+            )
+            SELECT rank, l_orderkey, revenue, o_orderdate, o_orderpriority
+            FROM r WHERE rank <= 10
         """,
         "rel_semi_join": """
             SELECT o_orderstatus, count(*)::BIGINT AS n,
