@@ -202,19 +202,61 @@ def q_dedup_exact_groups(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_shingle_df=10_000
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=64, shingle_n=3)
-    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5).select(
+    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5, n_hashes=64).select(
         "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
     )
 
 
+def q_dedup_minhash_recall(spark, sf_dir):
+    """Quantified accuracy of the MinHash-LSH path: ground truth is the
+    exact shingle Jaccard (same 3-word shingle universe) computed by
+    ngram_jaccard_pairs — the in-repo oracle. One summary row:
+    candidate recall (exact pairs ≥ t found among LSH candidates before
+    the estimate threshold), estimate recall/precision at t. Engine
+    hashing isn't SQL-expressible, so this is rows-only — but the
+    accuracy numbers themselves are the check."""
+    t = 0.5
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=t, max_shingle_df=None
+    ).select("id_a", "id_b")
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=64, shingle_n=3)
+    # est threshold 0 = all band-collision candidates with their estimates
+    cand = minhash_lsh_pairs(sigs, bands=16, threshold=0.0, n_hashes=64)
+    j = exact.join(cand, ["id_a", "id_b"], "left")
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum(F.when(F.col("est_jaccard").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cand_hit"),
+        F.sum(F.when(F.col("est_jaccard") >= t, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_est_hit"),
+    )
+    n_est = cand.filter(F.col("est_jaccard") >= t).count()
+    return agg.select(
+        "n_exact",
+        "n_cand_hit",
+        "n_est_hit",
+        F.round(F.col("n_cand_hit") / F.col("n_exact"), 4).alias("recall_cand"),
+        F.round(F.col("n_est_hit") / F.col("n_exact"), 4).alias("recall_est"),
+        F.round(F.col("n_est_hit") / F.lit(max(n_est, 1)), 4).alias("precision_est"),
+    )
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
+    """max_hamming=8 → 9 bands (derived): pigeonhole guarantees every
+    qualifying pair collides in ≥1 band — the round-1 4-band recall hole
+    is structurally closed (pytest all-pairs oracle proves 100% recall)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(simhash_signatures(docs, "text", "doc_id"), max_hamming=8)
 
@@ -259,11 +301,12 @@ SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
 
 
 def q_sim_lsh_topk(spark, sf_dir):
-    """Approximate ANN: random-hyperplane LSH bucket probe + exact
-    rerank inside the bucket — the scale path next to brute force
-    (rows-only: recall is approximate by design; the exact baseline is
-    oracle-checked via sim_cosine_topk)."""
-    from vframe_spark.operators.similarity import lsh_topk
+    """Approximate ANN: random-hyperplane LSH multi-probe + exact rerank
+    inside the probed buckets — the scale path next to brute force.
+    Engine hashing isn't SQL-expressible (rows-only), so accuracy is
+    surfaced IN the output: ``recall`` = per-query overlap@k with the
+    oracle-checked brute-force baseline."""
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
@@ -271,12 +314,26 @@ def q_sim_lsh_topk(spark, sf_dir):
         (int(r["vec_id"]), list(r["embedding"]))
         for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
     ]
-    res = lsh_topk(emb, queries, dim=dim, k=5, bits=6)
-    return res.select(
-        F.col("qid").cast("bigint").alias("qid"),
-        F.col("rank").cast("int").alias("rank"),
-        "vec_id",
-        F.round("cosine", 4).alias("cosine"),
+    k = 5
+    res = lsh_topk(emb, queries, dim=dim, k=k, bits=6, n_probes=8)
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "qid", F.col("vec_id").alias("bf_vec_id")
+    )
+    hit = (
+        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
+    return (
+        res.join(recall, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
     )
 
 
@@ -691,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -789,10 +847,16 @@ def oracle_sql() -> dict[str, str]:
               FROM words
               WHERE len(ws) >= 3
             ),
-            sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM grams GROUP BY 1),
+            -- hot-shingle df cap (mirrors max_shingle_df=10000): shingles in
+            -- more docs than the cap are dropped from the Jaccard universe
+            kept AS (
+              SELECT shingle FROM grams GROUP BY 1 HAVING count(*) <= 10000
+            ),
+            grams2 AS (SELECT g.* FROM grams g JOIN kept USING (shingle)),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM grams2 GROUP BY 1),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
-              FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM grams2 a JOIN grams2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT id_a, id_b,

@@ -81,3 +81,122 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 2) in got  # one-word change keeps most 3-grams? (must overlap)
     assert all(0.3 <= j <= 1.0 for j in got.values())
     assert (0, 3) not in got
+
+
+# ---------------------------------------------------------------- round 2:
+# brute-force oracles for the near-dup family (VERDICT r1 "Next round" #2/#3)
+
+def _exact_hamming_pairs(sig_map, max_hamming):
+    """All-pairs exact Hamming ≤ threshold — the pytest oracle."""
+    import numpy as np
+
+    ids = sorted(sig_map)
+    vals = np.array([sig_map[i] for i in ids], dtype=np.int64).view(np.uint64)
+    out = set()
+    for i in range(len(ids)):
+        x = vals[i] ^ vals[i + 1 :]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.flatnonzero(ham <= max_hamming):
+            out.add((ids[i], ids[i + 1 + int(j)]))
+    return out
+
+
+def test_simhash_band_layout_contract():
+    from vframe_spark.operators.dedup import simhash_band_layout
+
+    # default: max_hamming + 1 bands covering all 64 bits, disjoint
+    for mh in (0, 3, 7, 8, 15):
+        layout = simhash_band_layout(mh)
+        assert len(layout) == mh + 1
+        assert sum(w for _, w in layout) == 64
+        offs = [o for o, _ in layout]
+        assert offs == sorted(offs) and offs[0] == 0
+    # an explicit band count that breaks the pigeonhole guarantee errors
+    with pytest.raises(ValueError):
+        simhash_band_layout(8, n_bands=4)
+    with pytest.raises(ValueError):
+        simhash_band_layout(70)
+
+
+def test_simhash_pairs_allpairs_oracle_sf001(spark, sf001_dir):
+    """100% recall at the contract threshold (max_hamming=8) vs exact
+    all-pairs Hamming over every sf0.001 document — the oracle the
+    banding guarantee was missing in round 1."""
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    sigs = simhash_signatures(docs, "text", "doc_id")
+    sig_map = {r["id"]: r["simhash"] for r in sigs.collect()}
+    for mh in (3, 8):
+        expect = _exact_hamming_pairs(sig_map, mh)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(sigs, max_hamming=mh).collect()
+        }
+        assert got == expect  # equality: exact recall AND no false positives
+
+
+def test_minhash_signatures_match_perrow_reference(spark, sf001_dir):
+    """The vectorized (flatten + reduceat) signature kernel is value-
+    identical to an independent per-row reference implementation."""
+    import numpy as np
+    import pandas as pd
+
+    from vframe_spark.operators.dedup import _MERSENNE, _perm_params, _doc_shingles
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet").limit(120)
+    rows = docs.select("doc_id", "text").collect()
+    n_hashes = 64
+    a, b = _perm_params(n_hashes)
+    expect = {}
+    for r in rows:
+        sh = _doc_shingles(r["text"], 3)
+        if not sh:
+            expect[r["doc_id"]] = [np.iinfo(np.int64).max] * n_hashes
+            continue
+        hv = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
+        perm = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+        expect[r["doc_id"]] = perm.min(axis=1).astype(np.int64).tolist()
+
+    got = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signatures(docs, "text", "doc_id", n_hashes=64).collect()
+    }
+    assert got == expect
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf001_dir):
+    """Candidate recall of LSH banding vs exact shingle Jaccard ≥ 0.5
+    (ngram_jaccard_pairs is the in-repo exact oracle; same shingles)."""
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=64, shingle_n=3)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(sigs, bands=16, threshold=0.0, n_hashes=64).collect()
+    }
+    if exact:  # sf0.001 has dup/near-dup planted docs
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.9, f"candidate recall {recall} < 0.9 ({len(exact)} exact pairs)"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stop-shingle shared by every doc must not explode the pair count;
+    capped Jaccard stays exact over the capped shingle universe."""
+    stop = "the end of file"  # 4 words → shingles "the end of", "end of file"
+    rows = [(i, f"{stop} unique{i} token{i} words{i} here{i}") for i in range(200)]
+    rows.append((900, "the end of file alpha beta gamma delta"))
+    rows.append((901, "the end of file alpha beta gamma delta"))
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    capped = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.5, max_shingle_df=50)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # only the planted identical pair survives; the 200 stop-shingle-only
+    # collisions are gone (they'd be ~20k pairs uncapped at threshold 0)
+    assert got == {(900, 901): 1.0}
+    uncapped_cands = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.0, max_shingle_df=None)
+    capped_cands = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.0, max_shingle_df=50)
+    assert uncapped_cands.count() > 20000
+    assert capped_cands.count() < 100

@@ -69,3 +69,30 @@ def test_lsh_recall_vs_bruteforce(spark, emb):
     hits = sum(len(bf_sets[q] & ann_sets.get(q, set())) for q, _ in queries)
     total = sum(len(bf_sets[q]) for q, _ in queries)
     assert hits / total >= 0.4
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe probes the smallest-margin neighbor buckets; recall
+    must be ≥ single-probe and reach the exact baseline's top-1 hit."""
+    import numpy as np
+
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce, lsh_topk
+
+    rng = np.random.default_rng(7)
+    dim, n = 16, 400
+    base = rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = [(i, [float(x) for x in base[i] + 0.05 * rng.standard_normal(dim)]) for i in range(0, 40, 8)]
+    bf = {(r["qid"], r["vec_id"]) for r in cosine_topk_bruteforce(emb, queries, k=3).collect()}
+
+    def recall(n_probes):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in lsh_topk(emb, queries, dim=dim, k=3, bits=6, n_probes=n_probes).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 >= 0.5  # perturbed self-neighbors land in nearby buckets

@@ -88,6 +88,20 @@ def _perm_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+def _doc_shingles(text, shingle_n: int) -> list[str]:
+    """Word shingles of one doc (shared by batch + test-oracle paths)."""
+    words = str(text).lower().split()
+    if len(words) >= shingle_n:
+        return [" ".join(words[i : i + shingle_n]) for i in range(len(words) - shingle_n + 1)]
+    return [" ".join(words)] if words else []
+
+
+# Budget of shingle hashes per vectorized block: bounds the (n_hashes,
+# n_shingles) uint64 permutation matrix at ~n_hashes×8×budget bytes
+# (64 MB at the 64-hash default) regardless of Arrow batch size.
+_SHINGLE_CHUNK = 131_072
+
+
 def minhash_signatures(
     df: DataFrame,
     content_col: str,
@@ -101,29 +115,45 @@ def minhash_signatures(
     Shingle hashing uses pandas' stable 64-bit siphash
     (`pd.util.hash_array`), permuted by ``n_hashes`` universal-hash
     functions mod 2^61-1; the signature is the column-wise min.
+
+    The whole batch is processed in a handful of numpy calls: shingles
+    for many docs are flattened into one array, hashed once, permuted by
+    one (H, S) matrix op, and the per-doc column-wise min is taken with
+    ``np.minimum.reduceat`` over the doc boundaries — no per-doc hash /
+    modmul / min loop (the round-1 hot spot at 100 TB).
     """
     a, b = _perm_params(n_hashes, seed)
     src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    int64_max = np.iinfo(np.int64).max
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            ids, sigs = [], []
-            for did, text in zip(batch["id"], batch["content"]):
-                words = str(text).lower().split()
-                if len(words) >= shingle_n:
-                    sh = [" ".join(words[i : i + shingle_n]) for i in range(len(words) - shingle_n + 1)]
-                else:
-                    sh = [" ".join(words)] if words else []
-                if not sh:
-                    ids.append(did)
-                    sigs.append(np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64))
-                    continue
-                hv = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
-                # (H, S) permuted hashes mod Mersenne prime, min over shingles
-                perm = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
-                ids.append(did)
-                sigs.append(perm.min(axis=1).astype(np.int64))
-            yield pd.DataFrame({"id": ids, "sig": [s.tolist() for s in sigs]})
+            ids = batch["id"].to_numpy()
+            n = len(batch)
+            sigs = np.full((n, n_hashes), int64_max, dtype=np.int64)
+            # chunk docs so the (H, S_chunk) matrix stays memory-bounded
+            start = 0
+            while start < n:
+                flat: list[str] = []
+                counts: list[int] = []
+                end = start
+                while end < n and len(flat) < _SHINGLE_CHUNK:
+                    sh = _doc_shingles(batch["content"].iloc[end], shingle_n)
+                    flat.extend(sh)
+                    counts.append(len(sh))
+                    end += 1
+                if flat:
+                    cnt = np.asarray(counts, dtype=np.int64)
+                    hv = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+                    # (H, S) permuted hashes mod Mersenne prime — one matrix op
+                    perm = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+                    nz = cnt > 0
+                    bounds = (np.r_[0, np.cumsum(cnt)][:-1])[nz]
+                    mins = np.minimum.reduceat(perm, bounds, axis=1)  # (H, n_nonzero)
+                    rows = np.arange(start, end)[nz]
+                    sigs[rows] = mins.T.astype(np.int64)
+                start = end
+            yield pd.DataFrame({"id": ids, "sig": list(sigs)})
 
     return src.mapInPandas(sig_batches, "id bigint, sig array<bigint>")
 
@@ -132,14 +162,19 @@ def minhash_lsh_pairs(
     sigs: DataFrame,
     bands: int = 16,
     threshold: float = 0.7,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding → candidate pairs → signature-Jaccard verify.
 
     Shuffle key is (band_id, band_hash); only bucket collisions are
     joined, never all pairs. Returns (id_a, id_b, est_jaccard) with
     id_a < id_b and est_jaccard ≥ threshold.
+
+    Pass ``n_hashes`` (the signature length) explicitly — probing it
+    from the data launches a whole Spark job just to read one row.
     """
-    n_hashes = len(sigs.select("sig").first()["sig"])
+    if n_hashes is None:  # back-compat probe; avoid on large inputs
+        n_hashes = len(sigs.select("sig").first()["sig"])
     rows_per_band = n_hashes // bands
     banded = sigs.select(
         "id",
@@ -190,7 +225,7 @@ def minhash_dedup(
 ) -> DataFrame:
     """Drop near-duplicates: of each candidate pair, the higher id goes."""
     sigs = minhash_signatures(df, content_col, id_col, n_hashes, shingle_n)
-    pairs = minhash_lsh_pairs(sigs, bands, threshold)
+    pairs = minhash_lsh_pairs(sigs, bands, threshold, n_hashes=n_hashes)
     losers = pairs.select(F.col("id_b").alias("id")).distinct()
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
 
@@ -234,12 +269,45 @@ def simhash_signatures(df: DataFrame, content_col: str, id_col: str) -> DataFram
     return src.mapInPandas(sim_batches, "id bigint, simhash bigint")
 
 
-def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming ≤ max_hamming via 4×16-bit band blocking.
+def simhash_band_layout(max_hamming: int, n_bands: int | None = None) -> list[tuple[int, int]]:
+    """(bit_offset, width) per band for a 64-bit signature.
 
-    Pigeonhole: hamming ≤ 3 over 4 bands ⇒ at least one band identical,
-    so candidates come from 4 equi-joins, verified with bit_count.
+    Pigeonhole: a pair with Hamming distance ≤ ``max_hamming`` differs in
+    at most ``max_hamming`` bands, so with ``n_bands > max_hamming``
+    bands at least one band is identical — candidate generation from
+    per-band equi-joins has 100% recall at the threshold. Round 1
+    hard-coded 4 bands, which silently broke recall for max_hamming ≥ 4;
+    now the band count is derived from the threshold (and validated if
+    given explicitly).
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not (max_hamming < n_bands <= 64):
+        raise ValueError(
+            f"simhash banding needs max_hamming < n_bands <= 64 for full "
+            f"recall (got max_hamming={max_hamming}, n_bands={n_bands})"
+        )
+    base, extra = divmod(64, n_bands)
+    layout, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def simhash_pairs(
+    sigs: DataFrame, max_hamming: int = 3, n_bands: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by Hamming ≤ max_hamming via band blocking.
+
+    Bands come from :func:`simhash_band_layout` — ``max_hamming + 1``
+    near-equal bit slices by default, guaranteeing every qualifying pair
+    collides in at least one band (exact-recall candidate generation);
+    candidates are verified with ``bit_count``. Shuffle key is
+    (band_id, band_val): an equi-join, never all pairs.
+    """
+    layout = simhash_band_layout(max_hamming, n_bands)
     bands = sigs.select(
         "id",
         "simhash",
@@ -248,11 +316,11 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("band_val"),
                     )
-                    for i in range(4)
+                    for i, (off, width) in enumerate(layout)
                 ]
             )
         ).alias("band"),
@@ -282,16 +350,32 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams (SQL-expressible oracle).
 
     |A∩B| from a self-join on shared shingles (shuffle on shingle,
     bounded by shingle df); |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs BEFORE the self-join (and from the |A| / |B| sizes, so the
+    Jaccard universe stays consistent). Without the cap one stop-shingle
+    with df = 10^6 emits ~10^12 pairs — correct at toy scale, a
+    scale-killer at 100 TB; such shingles carry ~no Jaccard signal.
+    ``None`` disables the cap (exact textbook Jaccard).
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(content_col), n)).alias("shingle"))
         .distinct()
     )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

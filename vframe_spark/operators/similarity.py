@@ -134,8 +134,16 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Bucketed ANN: probe only the query's bucket, exact rerank inside."""
+    """Bucketed ANN: probe the query's bucket(s), exact rerank inside.
+
+    Multi-probe (``n_probes`` > 1): also probe the buckets reached by
+    flipping the hyperplane bits with the *smallest projection margin* —
+    the standard multi-probe LSH recall booster (touches n_probes/2^bits
+    of the corpus instead of 1/2^bits, no extra index). Probes are extra
+    rows in the broadcast query table, so the plan stays one equi-join.
+    """
     planes = _hyperplanes(dim, bits, seed)
     weights = (1 << np.arange(bits)).astype(np.int64)
     sigs = lsh_signatures(embeddings, dim, bits, seed, id_col, vec_col)
@@ -143,8 +151,14 @@ def lsh_topk(
     qrows = []
     for qid, vec in queries:
         v = np.asarray(vec, dtype=np.float64)
-        bucket = int((((planes @ v) > 0) * weights).sum())
-        qrows.append((qid, [float(x) for x in vec], bucket))
+        proj = planes @ v
+        bucket = int(((proj > 0) * weights).sum())
+        buckets = [bucket]
+        # flip bits in order of |margin| — nearest alternative buckets first
+        for bit in np.argsort(np.abs(proj))[: max(0, n_probes - 1)]:
+            buckets.append(bucket ^ int(weights[bit]))
+        for bkt in buckets:
+            qrows.append((qid, [float(x) for x in vec], bkt))
     spark = embeddings.sparkSession
     qdf = spark.createDataFrame(qrows, "qid bigint, qvec array<double>, bucket bigint")
 
