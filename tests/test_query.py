@@ -118,3 +118,38 @@ def test_wand_equals_exhaustive_random_queries(spark, corpus, index):
     wa = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 9)) for r in wand.collect()}
     ex = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 9)) for r in exhaustive.collect()}
     assert wa == ex
+
+
+def test_local_engine_lazy_dfs_and_lru_pinning(spark, corpus, index):
+    """Round-2 contract for the interactive query head:
+
+    * dfs are fetched lazily per query — no full-vocabulary collect
+      (web-scale vocab would OOM the driver), verified by the df cache
+      holding only the queried terms;
+    * at block-cache capacity, terms of the IN-FLIGHT query are pinned —
+      the round-1 eviction order could evict a needed cached term and
+      silently misscore.
+    """
+    from vframe_spark.query.local import LocalQueryEngine
+
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+
+    eng = LocalQueryEngine(postings, term_stats, meta)
+    queries = reference_queries(10)
+    for qid, q, k in queries:
+        got = eng.topk(q, k)
+        expect = oracle.topk(q, k)
+        assert [d for d, _ in got] == [d for d, _ in expect], q
+    # lazy: the df cache holds only terms seen in queries, not the vocab
+    vocab = term_stats.count()
+    assert 0 < len(eng._dfs) < vocab
+
+    # capacity 2 with 3-term queries: current-query terms must survive
+    tiny = LocalQueryEngine(postings, term_stats, meta, cache_terms=2)
+    for _ in range(3):  # repeat: hits the warm path + eviction path
+        for qid, q, k in queries[:4]:
+            got = tiny.topk(q, k)
+            expect = oracle.topk(q, k)
+            assert [d for d, _ in got] == [d for d, _ in expect], q
+    assert len(tiny._blocks) <= 4  # bounded (can exceed 2 only by one query's terms)

@@ -242,3 +242,109 @@ def test_near_dedup_stream_hamming(spark, tmp_path):
     # r1: base kept, far kept (distinct), near dropped (cross-batch state);
     # r2: separate key → near kept there.
     assert got == {("r1", "a.py"), ("r1", "b.py"), ("r2", "d.py")}
+
+
+def test_near_dedup_stream_banded_equals_exact_and_bounded_state(spark, tmp_path):
+    """Round 2: the band-indexed candidate path must produce EXACTLY the
+    keep-first set an all-pairs Hamming scan would (pigeonhole recall),
+    and state must respect max_retained — an evicted signature's dup is
+    re-admitted, novel docs are never dropped."""
+    import random
+
+    import pandas as pd
+
+    from vframe_spark.operators.dedup import simhash64
+    from vframe_spark.streaming.dedup import near_dedup_stream
+
+    rng = random.Random(11)
+    vocab = [f"ident{i} parse buffer stream token value" for i in range(60)]
+    texts = []
+    for i in range(50):
+        words = " ".join(rng.choice(vocab) for _ in range(30))
+        texts.append(words)
+        if rng.random() < 0.4:  # planted near-dup of the doc just added
+            toks = words.split()
+            toks[rng.randrange(len(toks))] = "mutated" + str(i)
+            texts.append(" ".join(toks))
+
+    # exact keep-first oracle (all-pairs Hamming vs already-kept)
+    mh = 3
+    kept_sigs, expect_keep = [], []
+    for t in texts:
+        s = simhash64(t) & ((1 << 64) - 1)
+        dup = any(bin(s ^ r).count("1") <= mh for r in kept_sigs)
+        expect_keep.append(not dup)
+        if not dup:
+            kept_sigs.append(s)
+
+    rows = pd.DataFrame(
+        [
+            {"repo": "r", "path": f"p{i}.py", "commit": f"c{i}", "lang": "py", "content": t}
+            for i, t in enumerate(texts)
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows).coalesce(1).write.parquet(str(tmp_path / "b1"))
+
+    import glob as _g
+    import shutil as _sh
+
+    sink = str(tmp_path / "sink")
+    out = near_dedup_stream(read_doc_stream(spark, src, max_files_per_trigger=1), max_hamming=mh)
+    _sh.copy(_g.glob(str(tmp_path / "b1" / "*.parquet"))[0], os.path.join(src, "drop_0.parquet"))
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["path"] for r in spark.read.parquet(sink).collect()}
+    expect = {f"p{i}.py" for i, k in enumerate(expect_keep) if k}
+    assert got == expect
+
+    # --- bounded state: cap 3, feed 5 distinct docs then a dup of doc 0
+    # (evicted by then) → the dup is re-admitted, nothing novel dropped
+    distinct = [
+        " ".join(f"word{i}x{j} t{i}a{j} t{i}b{j}" for j in range(25)) for i in range(5)
+    ]
+    from vframe_spark.operators.dedup import simhash64 as _sh64
+
+    for i in range(5):  # fixture precondition: genuinely far apart
+        for j in range(i + 1, 5):
+            d = bin((_sh64(distinct[i]) ^ _sh64(distinct[j])) & ((1 << 64) - 1)).count("1")
+            assert d > mh, (i, j, d)
+    b1 = pd.DataFrame(
+        [
+            {"repo": "k", "path": f"d{i}.py", "commit": "c", "lang": "py", "content": t}
+            for i, t in enumerate(distinct)
+        ]
+    )
+    b2 = pd.DataFrame(
+        [{"repo": "k", "path": "dup0.py", "commit": "c", "lang": "py", "content": distinct[0]}]
+    )
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    sink2 = str(tmp_path / "sink2")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(tmp_path / "c1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(tmp_path / "c2"))
+    out2 = near_dedup_stream(
+        read_doc_stream(spark, src2, max_files_per_trigger=1), max_hamming=mh, max_retained=3
+    )
+    for i, b in enumerate(("c1", "c2")):
+        _sh.copy(_g.glob(str(tmp_path / b / "*.parquet"))[0], os.path.join(src2, f"drop_{i}.parquet"))
+        q = (
+            out2.writeStream.format("parquet")
+            .option("path", sink2)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got2 = {r["path"] for r in spark.read.parquet(sink2).collect()}
+    # all 5 distinct kept; dup0 re-admitted because its twin was evicted
+    assert got2 == {f"d{i}.py" for i in range(5)} | {"dup0.py"}

@@ -40,19 +40,45 @@ class LocalQueryEngine:
     def __init__(self, postings: DataFrame, term_stats: DataFrame, meta: dict,
                  cache_terms: int = 4096):
         self._postings = postings
+        self._term_stats = term_stats
         self._meta = meta
         self._n_docs = meta["n_docs"]
         self._avgdl = float(meta["avgdl"])
         self._cache_terms = cache_terms
         # term → posting-block DataFrame (pandas); LRU by insertion order
         self._blocks: OrderedDict[str, pd.DataFrame] = OrderedDict()
-        # df is tiny per term; pull the full map once if small, else lazily
-        self._dfs: dict[str, int] = {
-            r["term"]: int(r["df"]) for r in term_stats.collect()
-        }
+        # term → df, fetched LAZILY per query (a web-scale vocabulary is
+        # 10^8+ terms — collecting it to the driver, as round 1 did, is a
+        # driver OOM; a query touches a handful of terms). None = term
+        # absent from the index, cached so repeat misses stay free.
+        self._dfs: OrderedDict[str, int | None] = OrderedDict()
+
+    def _get_dfs(self, terms: list[str]) -> dict[str, int]:
+        """df for each term, fetched via term-pushdown filter and LRU-cached."""
+        missing = [t for t in terms if t not in self._dfs]
+        if missing:
+            rows = (
+                self._term_stats.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._dfs[t] = got.get(t)
+        for t in terms:  # pin current-query terms before eviction
+            self._dfs.move_to_end(t)
+        while len(self._dfs) > self._cache_terms:
+            self._dfs.popitem(last=False)
+        return {t: d for t in terms if (d := self._dfs[t]) is not None}
 
     def _fetch(self, terms: list[str]) -> pd.DataFrame:
-        missing = [t for t in terms if t not in self._blocks and t in self._dfs]
+        # Pin current-query terms FIRST: at cache capacity the eviction
+        # loop below must never drop a term this query is about to score
+        # (the round-1 ordering evicted before touching — wrong results).
+        for t in terms:
+            if t in self._blocks:
+                self._blocks.move_to_end(t)
+        missing = [t for t in terms if t not in self._blocks]
         if missing:
             src = self._postings
             if "bucket" in src.columns and self._meta.get("term_buckets"):
@@ -74,19 +100,19 @@ class LocalQueryEngine:
             for t in missing:  # absent terms cache an empty frame
                 if t not in self._blocks:
                     self._blocks[t] = fetched.iloc[0:0]
-            while len(self._blocks) > self._cache_terms:
-                self._blocks.popitem(last=False)
+        current = set(terms)
+        evictable = [t for t in self._blocks if t not in current]
+        while len(self._blocks) > self._cache_terms and evictable:
+            self._blocks.pop(evictable.pop(0), None)
         parts = [self._blocks[t] for t in terms if t in self._blocks and len(self._blocks[t])]
         if not parts:
             return pd.DataFrame()
-        for t in terms:
-            if t in self._blocks:
-                self._blocks.move_to_end(t)
         return pd.concat(parts, ignore_index=True)
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] ranked (score DESC, doc_id ASC)."""
-        terms = sorted({t for t in parse_query_terms(query) if t in self._dfs})
+        dfs = self._get_dfs(sorted(set(parse_query_terms(query))))
+        terms = sorted(dfs)
         if not terms:
             return []
         pdf = self._fetch(terms)
@@ -95,7 +121,7 @@ class LocalQueryEngine:
         pdf = pdf.copy()
         pdf["qid"] = 0
         pdf["idf"] = pdf["term"].map(
-            {t: idf_value(self._n_docs, self._dfs[t]) for t in terms}
+            {t: idf_value(self._n_docs, dfs[t]) for t in terms}
         )
         out_parts = []
         for _, g in pdf.groupby("shard"):

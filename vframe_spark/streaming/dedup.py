@@ -80,31 +80,75 @@ NEAR_STATE_SCHEMA = StructType([StructField("sigs", ArrayType(LongType()))])
 
 
 def near_dedup_stream(
-    stream_docs: DataFrame, key_col: str = "repo", max_hamming: int = 3
+    stream_docs: DataFrame,
+    key_col: str = "repo",
+    max_hamming: int = 3,
+    max_retained: int = 100_000,
 ) -> DataFrame:
     """NEAR-duplicate streaming filter — full `skip-phash --all-frames`
     parity: per-key retained SimHash set; a doc is dropped when its
     64-bit SimHash is within ``max_hamming`` bits of ANY retained
     signature, else kept and retained
-    (/root/reference/src/commands/pipe/skip-phash.py:134-142)."""
-    from ..operators.dedup import simhash64
+    (/root/reference/src/commands/pipe/skip-phash.py:134-142).
+
+    Scale shape (round 2): instead of the round-1 O(rows × retained)
+    pure-Python Hamming scan, retained signatures are indexed by the
+    same ``max_hamming + 1`` band layout the batch operator uses — a
+    new signature only Hamming-verifies against retained sigs sharing
+    ≥1 band value (the pigeonhole guarantee, so results are identical),
+    and the verify itself is one vectorized numpy XOR+popcount.
+    State is bounded at ``max_retained`` signatures per key (oldest
+    evicted first — the stream analog of an LRU skip cache); eviction
+    can only re-admit a dup later, never drop a novel doc.
+    """
+    import numpy as np
+
+    from ..operators.dedup import simhash64, simhash_band_layout
+
+    layout = simhash_band_layout(max_hamming)
 
     def near_fn(key, pdfs, state):
         retained: list[int] = list(state.get[0]) if state.exists else []
+        # band_val index over retained sigs: (band_id, val) → positions.
+        # Rebuilt per micro-batch invocation — state already round-trips
+        # through Arrow each batch, so this adds O(retained × bands)
+        # dict inserts, not a new asymptotic cost.
+        index: dict[tuple[int, int], list[int]] = {}
+
+        def add(pos: int, sig: int) -> None:
+            u = sig & ((1 << 64) - 1)
+            for bi, (off, width) in enumerate(layout):
+                index.setdefault((bi, (u >> off) & ((1 << width) - 1)), []).append(pos)
+
+        for pos, sig in enumerate(retained):
+            add(pos, sig)
+        rvals = [s & ((1 << 64) - 1) for s in retained]
+
         for pdf in pdfs:
             keep = []
             for content in pdf["content"]:
                 sig = simhash64("" if content is None else content)
-                dup = any(
-                    bin((sig ^ r) & ((1 << 64) - 1)).count("1") <= max_hamming
-                    for r in retained
-                )
+                u = sig & ((1 << 64) - 1)
+                cand: set[int] = set()
+                for bi, (off, width) in enumerate(layout):
+                    cand.update(index.get((bi, (u >> off) & ((1 << width) - 1)), ()))
+                dup = False
+                if cand:
+                    arr = np.fromiter((rvals[c] for c in cand), dtype=np.uint64)
+                    x = arr ^ np.uint64(u)
+                    # vectorized popcount ≤ threshold over candidates only
+                    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+                    dup = bool((ham <= max_hamming).any())
                 keep.append(not dup)
                 if not dup:
+                    add(len(retained), sig)
                     retained.append(sig)
+                    rvals.append(u)
             out = pdf.loc[keep, ["repo", "path", "commit", "lang", "content"]]
             if len(out):
                 yield out
+        if len(retained) > max_retained:
+            retained = retained[-max_retained:]
         state.update((retained,))
 
     return stream_docs.groupBy(key_col).applyInPandasWithState(
