@@ -454,21 +454,19 @@ def _part_boxes(spark, sf_dir):
 
 
 def q_geo_iou_pairs(spark, sf_dir):
-    """Pairwise IoU > 0 over derived boxes — bbox set algebra as pure
-    Catalyst exprs (reference geometry.py:582-592)."""
+    """Pairwise IoU > 0 over derived boxes via GRID bucketing — the
+    round-1 `pk_a < pk_b` BroadcastNestedLoopJoin (O(n²) pattern) is
+    replaced by an equi-join on covered grid cells with structural
+    canonical-cell dedup; same oracle, scale-safe plan
+    (reference geometry.py:582-592)."""
     import vframe_spark.functions.geometry as G
 
     b = _part_boxes(spark, sf_dir)
-    a, c = b.alias("a"), b.alias("b")
-    iou = G.bb_iou(F.col("a.box"), F.col("b.box"))
-    return (
-        a.join(c, F.col("a.pk") < F.col("b.pk"))
-        .filter(iou > 0)
-        .select(
-            F.col("a.pk").alias("pk_a"),
-            F.col("b.pk").alias("pk_b"),
-            F.round(iou, 4).alias("iou"),
-        )
+    pairs = G.iou_pairs_grid(b, cell=8.0, id_col="pk", box_col="box")
+    return pairs.select(
+        F.col("id_a").alias("pk_a"),
+        F.col("id_b").alias("pk_b"),
+        F.round("iou", 4).alias("iou"),
     )
 
 
@@ -514,6 +512,70 @@ def q_geo_nms_merge(spark, sf_dir):
         "p_brand",
         F.size("kept").cast("bigint").alias("n_kept"),
         F.round(F.aggregate("kept", F.lit(0.0), lambda acc, d: acc + d["conf"]), 4).alias("sum_conf"),
+    )
+
+
+def _brand_detections(spark, sf_dir):
+    """Deterministic per-brand detection arrays derived from `part`
+    (conf/label arithmetic replicated in the DuckDB oracles)."""
+    p = _t(spark, sf_dir, "part")
+    det = F.struct(
+        (F.col("p_partkey") % 20).cast("double").alias("x1"),
+        (F.col("p_partkey") % 13).cast("double").alias("y1"),
+        ((F.col("p_partkey") % 20) + (F.col("p_size") % 10 + 1)).cast("double").alias("x2"),
+        ((F.col("p_partkey") % 13) + (F.col("p_partkey") % 7 + 1)).cast("double").alias("y2"),
+        (F.col("p_retailprice") % 100 / 100).cast("double").alias("conf"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("label"),
+    )
+    return p.select("p_brand", det.alias("det")).groupBy("p_brand").agg(
+        F.collect_list("det").alias("dets")
+    )
+
+
+def q_det_conf_filter(spark, sf_dir):
+    """skip-detections as a named operator: keep rows with ≥1 detection
+    in the conf range for the given labels, count + max-conf the matches
+    (reference skip-detections.py:30-53, media.py:422-443)."""
+    from vframe_spark.operators.detections import (
+        filter_by_detections,
+        matching_detections,
+    )
+
+    g = _brand_detections(spark, sf_dir)
+    labels = ["STANDARD", "SMALL"]
+    kept = filter_by_detections(g, "dets", min_conf=0.25, max_conf=0.75, labels=labels)
+    m = matching_detections("dets", 0.25, 0.75, labels)
+    return kept.select(
+        "p_brand",
+        F.size("dets").cast("bigint").alias("n_total"),
+        F.size(m).cast("bigint").alias("n_match"),
+        F.round(
+            F.array_max(F.transform(m, lambda d: d["conf"])), 4
+        ).alias("max_conf"),
+    )
+
+
+def q_det_label_filter(spark, sf_dir):
+    """skip-labels as a named operator: include/exclude by detected
+    label set (reference skip-labels.py:22-43, media.py:399-416).
+    Groups are brand × partkey-bucket so include/exclude actually
+    discriminates at small sf."""
+    from vframe_spark.operators.detections import detected_labels, filter_by_labels
+
+    p = _t(spark, sf_dir, "part")
+    det = F.struct(
+        (F.col("p_retailprice") % 100 / 100).cast("double").alias("conf"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("label"),
+    )
+    grp = F.concat(F.col("p_brand"), F.lit("#"), (F.col("p_partkey") % 13).cast("string"))
+    g = p.select(grp.alias("grp"), det.alias("det")).groupBy("grp").agg(
+        F.collect_list("det").alias("dets")
+    )
+    kept = filter_by_labels(g, "dets", include=["PROMO"], exclude=["ECONOMY"])
+    return kept.select(
+        "grp",
+        F.size(F.array_sort(detected_labels("dets"))).cast("bigint").alias("n_labels"),
+        F.size("dets").cast("bigint").alias("n_dets"),
     )
 
 
@@ -760,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_validity": q_src_validity,
         "str_path_template": q_str_path_template,
         "geo_iou_pairs": q_geo_iou_pairs,
+        "det_conf_filter": q_det_conf_filter,
+        "det_label_filter": q_det_label_filter,
         "geo_bbox_transform": q_geo_bbox_transform,
         "geo_nms_merge": q_geo_nms_merge,
         "rel_pricing_summary": q_rel_pricing_summary,
@@ -968,6 +1032,40 @@ def oracle_sql() -> dict[str, str]:
                    round(x1 - 2, 4) AS ex_x1,
                    round(y2 + 2, 4) AS ex_y2
             FROM b
+        """,
+        "det_conf_filter": """
+            WITH det AS (
+              SELECT p_brand,
+                     (p_retailprice % 100) / 100 AS conf,
+                     string_split(p_type, ' ')[1] AS label
+              FROM part
+            ),
+            g AS (
+              SELECT p_brand,
+                     count(*)::BIGINT AS n_total,
+                     count(*) FILTER (WHERE conf >= 0.25 AND conf <= 0.75
+                                      AND label IN ('STANDARD', 'SMALL'))::BIGINT AS n_match,
+                     round(max(conf) FILTER (WHERE conf >= 0.25 AND conf <= 0.75
+                                             AND label IN ('STANDARD', 'SMALL')), 4) AS max_conf
+              FROM det GROUP BY 1
+            )
+            SELECT p_brand, n_total, n_match, max_conf FROM g WHERE n_match > 0
+        """,
+        "det_label_filter": """
+            WITH det AS (
+              SELECT p_brand || '#' || (p_partkey % 13)::VARCHAR AS grp,
+                     string_split(p_type, ' ')[1] AS label
+              FROM part
+            ),
+            g AS (
+              SELECT grp,
+                     count(DISTINCT label)::BIGINT AS n_labels,
+                     count(*)::BIGINT AS n_dets,
+                     count(*) FILTER (WHERE label = 'PROMO') AS n_inc,
+                     count(*) FILTER (WHERE label = 'ECONOMY') AS n_exc
+              FROM det GROUP BY 1
+            )
+            SELECT grp, n_labels, n_dets FROM g WHERE n_inc > 0 AND n_exc = 0
         """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

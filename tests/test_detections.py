@@ -1,0 +1,90 @@
+"""Named detection-array filters (reference skip-detections / skip-labels
+— skip-detections.py:30-53, media.py:399-443)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.operators.detections import (
+    detected_labels,
+    excludes_labels,
+    filter_by_detections,
+    filter_by_labels,
+    has_detections,
+    includes_labels,
+    matching_detections,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    def d(conf, label):
+        return {"x1": 0.0, "y1": 0.0, "x2": 1.0, "y2": 1.0, "conf": conf, "label": label}
+
+    rows = [
+        (0, [d(0.9, "cat"), d(0.4, "dog")]),
+        (1, [d(0.1, "cat")]),
+        (2, [d(0.6, "bird")]),
+        (3, []),
+        (4, [d(0.5, "dog"), d(0.5, "cat"), d(0.95, "bird")]),
+    ]
+    schema = (
+        "frame_id bigint, dets array<struct<x1:double,y1:double,x2:double,"
+        "y2:double,conf:double,label:string>>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_filter_by_detections_conf_and_labels(spark, frames):
+    # conf range only (inclusive bounds, media.py:437-440)
+    got = {r["frame_id"] for r in filter_by_detections(frames, "dets", 0.5, 1.0).collect()}
+    assert got == {0, 2, 4}
+    # label restriction
+    got = {
+        r["frame_id"]
+        for r in filter_by_detections(frames, "dets", 0.5, 1.0, labels=["cat"]).collect()
+    }
+    assert got == {0, 4}
+    # inverted polarity (the reference's default skip direction)
+    got = {
+        r["frame_id"]
+        for r in filter_by_detections(frames, "dets", 0.5, 1.0, keep="without").collect()
+    }
+    assert got == {1, 3}
+    with pytest.raises(ValueError):
+        filter_by_detections(frames, "dets", keep="bogus")
+
+
+def test_matching_detections_pop_projection(spark, frames):
+    out = frames.select(
+        "frame_id", F.size(matching_detections("dets", 0.5, 1.0)).alias("n")
+    ).collect()
+    assert {r["frame_id"]: r["n"] for r in out} == {0: 1, 1: 0, 2: 1, 3: 0, 4: 3}
+
+
+def test_label_set_ops(spark, frames):
+    lbl = {r["frame_id"]: sorted(r["l"]) for r in
+           frames.select("frame_id", detected_labels("dets").alias("l")).collect()}
+    assert lbl[0] == ["cat", "dog"] and lbl[3] == []
+    inc_any = {r["frame_id"] for r in
+               frames.filter(includes_labels("dets", ["cat", "bird"])).collect()}
+    assert inc_any == {0, 1, 2, 4}
+    inc_all = {r["frame_id"] for r in
+               frames.filter(includes_labels("dets", ["cat", "bird"], match_all=True)).collect()}
+    assert inc_all == {4}
+    exc_any = {r["frame_id"] for r in
+               frames.filter(excludes_labels("dets", ["dog"])).collect()}
+    assert exc_any == {1, 2, 3}
+
+
+def test_filter_by_labels_combined(spark, frames):
+    got = {
+        r["frame_id"]
+        for r in filter_by_labels(frames, "dets", include=["cat"], exclude=["bird"]).collect()
+    }
+    assert got == {0, 1}
+    # no UDF anywhere: the filter is pure codegen-able Catalyst exprs
+    plan = (
+        filter_by_labels(frames, "dets", include=["cat"], exclude=["bird"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -131,3 +131,45 @@ def test_merge_detections(spark):
     kept = [(d["conf"], d["label"]) for d in out["detections"]]
     assert kept == [(0.9, "a"), (0.5, "c")]
     assert "model1" not in out.asDict()
+
+
+def test_iou_pairs_grid_matches_direct_and_plan(spark):
+    """Grid-bucketed pair join == the O(n²) direct non-equi join on the
+    same boxes (every overlapping pair exactly once), and the physical
+    plan is an equi-join shuffle — no BroadcastNestedLoopJoin /
+    cartesian (the round-1 scale anti-pattern)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import vframe_spark.functions.geometry as G
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        x1 = rng.uniform(0, 100)
+        y1 = rng.uniform(0, 60)
+        rows.append((i, x1, y1, x1 + rng.uniform(0.5, 14), y1 + rng.uniform(0.5, 9)))
+    df = spark.createDataFrame(rows, "id bigint, x1 double, y1 double, x2 double, y2 double")
+    boxes = df.select("id", G.bbox(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("box"))
+
+    a, b = boxes.alias("a"), boxes.alias("b")
+    iou = G.bb_iou(F.col("a.box"), F.col("b.box"))
+    direct = {
+        (r["id_a"], r["id_b"]): round(r["iou"], 9)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(iou > 0)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), iou.alias("iou"))
+        .collect()
+    }
+    for cell in (4.0, 8.0, 32.0):
+        grid = {
+            (r["id_a"], r["id_b"]): round(r["iou"], 9)
+            for r in G.iou_pairs_grid(boxes, cell=cell).collect()
+        }
+        assert grid == direct, f"cell={cell}"
+
+    plan = G.iou_pairs_grid(boxes, cell=8.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "cell_x" in plan  # equi-join keyed on grid cells

@@ -27,3 +27,46 @@ def test_doc_ids_partitioning_invariant(spark):
     am = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in a.collect()}
     bm = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in b.collect()}
     assert am == bm
+
+
+def test_doc_ids_typed_order_columns(spark):
+    """Round 2: date/timestamp/bool/NULL order columns get exact sortable
+    encodings; float order columns raise instead of silently mis-sorting
+    (round 1 compared their string casts: '10.0' < '9.0')."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from vframe_spark.ids import assign_doc_ids
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                dt.date(2020, 1, 1) + dt.timedelta(days=(i * 7) % 40),
+                dt.datetime(2021, 1, 1) + dt.timedelta(minutes=(i * 13) % 40),
+                None if i % 9 == 0 else f"k{(i * 3) % 40:02d}",
+                i % 2 == 0,
+            )
+        )
+    df = spark.createDataFrame(rows, "n bigint, d date, ts timestamp, s string, b boolean")
+
+    got = assign_doc_ids(df, ["d", "ts", "s", "b"], num_partitions=3)
+    out = [
+        ((r["d"], r["ts"], r["s"] is None, r["s"], r["b"]), r["doc_id"])
+        for r in got.collect()
+    ]
+    # expected order: tuple sort with None-first strings (Spark NULLS FIRST)
+    def keyf(t):
+        d, ts, is_null, s, b = t
+        return (d, ts, not is_null, s or "", b)
+
+    expect_sorted = sorted((k for k, _ in out), key=keyf)
+    got_sorted = [k for k, _ in sorted(out, key=lambda x: x[1])]
+    assert got_sorted == expect_sorted
+    assert sorted(i for _, i in out) == list(range(len(rows)))
+
+    bad = df.withColumn("f", (df.n + 0.5).cast("double"))
+    with _pt.raises(TypeError, match="binary-sortable"):
+        assign_doc_ids(bad, ["f"], num_partitions=2).collect()

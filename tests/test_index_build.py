@@ -137,3 +137,28 @@ def test_tokenize_backends_agree(spark):
     for c in a.columns:
         a[c] = a[c].astype(b[c].dtype)
     assert a.equals(b)
+
+
+def test_tokenize_tf_huge_doc_ids_no_overflow(spark):
+    """Round 2 (ADVICE): with doc_id near 2^62 the fused (doc, term) int64
+    key would overflow and merge unrelated pairs; the kernel must detect
+    it and fall back to the lexsort path with identical output (checked
+    against the independent JVM expr backend)."""
+    from vframe_spark.index.build import tokenize_docs
+
+    base = 1 << 62
+    rows = [
+        (base + i, " ".join(f"tok{j} common_word val{i}" for j in range((i % 5) + 3)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, content string")
+    fast = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"])
+        for r in tokenize_docs(docs, lang_col=None).collect()
+    }
+    expr = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"])
+        for r in tokenize_docs(docs, lang_col=None, backend="expr").collect()
+    }
+    assert fast == expr
+    assert len(fast) > 0

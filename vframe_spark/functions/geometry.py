@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -208,3 +208,66 @@ def merge_detections(df, det_cols: list[str], out_col: str = "detections",
     if drop_sources:
         out = out.drop(*[c for c in det_cols if c != out_col])
     return out
+
+
+def iou_pairs_grid(
+    boxes: DataFrame,
+    cell: float,
+    id_col: str = "id",
+    box_col: str = "box",
+    min_iou: float = 0.0,
+) -> DataFrame:
+    """All overlapping box pairs (IoU > ``min_iou``) via grid bucketing.
+
+    The scale-safe replacement for the ``a.pk < b.pk`` non-equi self-join
+    (BroadcastNestedLoopJoin, O(n²)): each box is exploded onto the grid
+    cells it covers, pairs come from an EQUI-join on (cell_x, cell_y) —
+    a hash shuffle bounded by per-cell density, never all pairs.
+
+    Dedup is structural, not a ``dropDuplicates`` shuffle: a pair is
+    emitted only from its *canonical cell* — the cell containing the
+    top-left corner of the intersection rectangle, ``(floor(max(x1s)/
+    cell), floor(max(y1s)/cell))``. Every overlapping pair shares that
+    cell (the corner lies inside both boxes) and it is unique, so each
+    qualifying pair appears exactly once.
+
+    Choose ``cell`` ≈ a typical box size: smaller cells → more replicas
+    per box; larger cells → denser cells. Returns (id_a, id_b, iou).
+    """
+    b = boxes.select(F.col(id_col).alias("id"), F.col(box_col).alias("box"))
+    cells = b.select(
+        "id",
+        "box",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("box.x1") / cell), F.floor(F.col("box.x2") / cell)
+            )
+        ).alias("cell_x"),
+    ).select(
+        "id",
+        "box",
+        "cell_x",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("box.y1") / cell), F.floor(F.col("box.y2") / cell)
+            )
+        ).alias("cell_y"),
+    )
+    a = cells.select(
+        F.col("id").alias("id_a"), F.col("box").alias("box_a"), "cell_x", "cell_y"
+    )
+    c = cells.select(
+        F.col("id").alias("id_b"), F.col("box").alias("box_b"), "cell_x", "cell_y"
+    )
+    ba, bb = F.col("box_a"), F.col("box_b")
+    canonical = (
+        (F.col("cell_x") == F.floor(F.greatest(ba["x1"], bb["x1"]) / cell))
+        & (F.col("cell_y") == F.floor(F.greatest(ba["y1"], bb["y1"]) / cell))
+    )
+    iou = bb_iou(ba, bb)
+    return (
+        a.join(c, ["cell_x", "cell_y"])
+        .filter((F.col("id_a") < F.col("id_b")) & canonical)
+        .select("id_a", "id_b", iou.alias("iou"))
+        .filter(F.col("iou") > min_iou)
+    )

@@ -35,26 +35,68 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DateType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 _SEED = 42
 _INT_TYPES = (ByteType, ShortType, IntegerType, LongType)
 _PAD = 20  # digits of 2^64
 
 
+def _int_sortable(c):
+    """Non-negative zero-padded encoding: lexicographic == numeric.
+
+    2^63 exceeds Java Long — ship the offset as a string literal."""
+    shifted = c.cast("decimal(20,0)") + F.lit(str(2**63)).cast("decimal(20,0)")
+    return F.lpad(shifted.cast("string"), _PAD, "0")
+
+
 def _sortable_key(df: DataFrame, order_cols: list[str]):
-    """One binary string whose UTF8 order == tuple order of ``order_cols``."""
+    """One binary string whose UTF8 order == tuple order of ``order_cols``.
+
+    Every part is prefixed with a NULL flag ('0' null / '1' present) so
+    NULLs sort first — matching Spark's ASC NULLS FIRST window order —
+    and so a NULL part can't silently vanish from the concatenated key
+    (``concat_ws`` drops NULLs, which round 1 let invert multi-column
+    ordering). Unsupported dtypes raise instead of mis-sorting: float/
+    double and decimals have no exact lexicographic encoding here (the
+    round-1 string cast ordered '10.0' < '9.0'); cast such keys to an
+    integer unit or a string explicitly.
+    """
     parts = []
     for name in order_cols:
         dt = df.schema[name].dataType
         c = F.col(name)
         if isinstance(dt, _INT_TYPES):
-            # shift to non-negative, zero-pad → lexicographic == numeric
-            # 2^63 exceeds Java Long — ship the offset as a string literal
-            shifted = c.cast("decimal(20,0)") + F.lit(str(2**63)).cast("decimal(20,0)")
-            parts.append(F.lpad(shifted.cast("string"), _PAD, "0"))
+            enc = _int_sortable(c)
+        elif isinstance(dt, BooleanType):
+            enc = _int_sortable(c.cast("int"))
+        elif isinstance(dt, DateType):
+            enc = _int_sortable(F.datediff(c, F.lit("1970-01-01")))
+        elif isinstance(dt, (TimestampType, TimestampNTZType)):
+            enc = _int_sortable(F.unix_micros(c.cast("timestamp")))
+        elif isinstance(dt, StringType):
+            enc = c
         else:
-            parts.append(c.cast("string"))
+            raise TypeError(
+                f"assign_doc_ids: order column {name!r} has dtype "
+                f"{dt.simpleString()}, which has no exact binary-sortable "
+                f"encoding (a string cast would mis-order it, e.g. '10.0' < "
+                f"'9.0'). Cast it to bigint (integer units), date/timestamp, "
+                f"or string explicitly before ordering on it."
+            )
+        parts.append(
+            F.when(c.isNull(), F.lit("0")).otherwise(F.concat(F.lit("1"), enc))
+        )
     return F.concat_ws("\x00", *parts)
 
 

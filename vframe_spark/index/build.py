@@ -118,11 +118,24 @@ def tokenize_docs(
                 # the doc-contiguous sorted keys. doc_id·vocab stays well
                 # under 2^63 for any Arrow batch (vocab is per-batch).
                 doc_rep = np.repeat(b[id_col].to_numpy(np.int64), lens)
-                codes, uniques = pd.factorize(flat, sort=False)
+                codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
                 nvocab = np.int64(max(1, len(uniques)))
-                uk, tf = np.unique(doc_rep * nvocab + codes, return_counts=True)
-                u_doc = uk // nvocab
-                u_code = uk % nvocab
+                max_doc = int(doc_rep.max())
+                if max_doc < (2**63 - 1) // int(nvocab):
+                    uk, tf = np.unique(doc_rep * nvocab + codes, return_counts=True)
+                    u_doc = uk // nvocab
+                    u_code = uk % nvocab
+                else:
+                    # fused int64 key would overflow (huge doc_id × per-batch
+                    # vocab) and silently merge unrelated (doc, term) pairs —
+                    # lexsort the two keys instead (same output, ~2× cost)
+                    order = np.lexsort((codes, doc_rep))
+                    sd, sc = doc_rep[order], np.asarray(codes)[order]
+                    new = np.r_[True, (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])]
+                    grp_starts = np.flatnonzero(new)
+                    tf = np.diff(np.r_[grp_starts, len(sd)])
+                    u_doc = sd[grp_starts]
+                    u_code = sc[grp_starts]
                 starts = np.flatnonzero(np.r_[True, u_doc[1:] != u_doc[:-1]])
                 dl_vals = np.add.reduceat(tf, starts)
                 doc_len = np.repeat(dl_vals, np.diff(np.r_[starts, len(u_doc)]))

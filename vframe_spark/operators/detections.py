@@ -1,0 +1,122 @@
+"""Named detection-array filters — the `skip-detections` / `skip-labels`
+pipe operators as first-class DataFrame functions.
+
+Reference parity:
+
+* `pipe skip-detections` — skip/keep a frame by whether any detection
+  exists inside a confidence range, optionally restricted to labels
+  (/root/reference/src/commands/pipe/skip-detections.py:30-53,
+  /root/reference/src/vframe/models/media.py:422-443: ``conf >=
+  thresholds[0] and conf <= thresholds[1]``, ``label in labels``);
+  ``--pop`` removes the matching detections instead of skipping.
+* `pipe skip-labels` — include/exclude frames by detected label set,
+  any- or all-match (/root/reference/src/commands/pipe/
+  skip-labels.py:22-43, media.py:399-416).
+
+A detections column is ``array<struct<..., conf:double, label:string>>``
+(any extra struct fields pass through). Everything here is a pure
+Catalyst higher-order-function expression — ``exists`` / ``filter`` /
+``forall`` run JVM-side inside whole-stage codegen, no UDF, so at 100 TB
+these filters ride the scan with zero Python cost and combine with
+predicate pushdown on ordinary columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _match(min_conf: float, max_conf: float, labels: list[str] | None):
+    """Per-detection predicate: conf range (inclusive) + optional label set."""
+
+    def pred(d: Column) -> Column:
+        c = (d["conf"] >= min_conf) & (d["conf"] <= max_conf)
+        if labels:
+            c = c & d["label"].isin(list(labels))
+        return c
+
+    return pred
+
+
+def has_detections(
+    dets: Column | str,
+    min_conf: float = 0.0,
+    max_conf: float = 1.0,
+    labels: list[str] | None = None,
+) -> Column:
+    """Boolean: ≥1 detection matches (``frame_detections_exist``)."""
+    c = F.col(dets) if isinstance(dets, str) else dets
+    return F.exists(c, _match(min_conf, max_conf, labels))
+
+
+def matching_detections(
+    dets: Column | str,
+    min_conf: float = 0.0,
+    max_conf: float = 1.0,
+    labels: list[str] | None = None,
+) -> Column:
+    """The matching sub-array (the ``--pop`` projection)."""
+    c = F.col(dets) if isinstance(dets, str) else dets
+    return F.filter(c, _match(min_conf, max_conf, labels))
+
+
+def filter_by_detections(
+    df: DataFrame,
+    dets_col: str,
+    min_conf: float = 0.0,
+    max_conf: float = 1.0,
+    labels: list[str] | None = None,
+    keep: str = "with",
+) -> DataFrame:
+    """Keep rows ``with`` (default) or ``without`` a matching detection.
+
+    ``keep="without"`` is the reference's default skip polarity (frames
+    whose detections match are skipped); ``keep="with"`` is ``--keep``.
+    """
+    if keep not in ("with", "without"):
+        raise ValueError(f"keep must be 'with' or 'without', got {keep!r}")
+    cond = has_detections(dets_col, min_conf, max_conf, labels)
+    return df.filter(cond if keep == "with" else ~cond)
+
+
+def detected_labels(dets: Column | str) -> Column:
+    """Distinct label array of a detections column (``detected_labels``)."""
+    c = F.col(dets) if isinstance(dets, str) else dets
+    return F.array_distinct(F.transform(c, lambda d: d["label"]))
+
+
+def includes_labels(
+    dets: Column | str, labels: list[str], match_all: bool = False
+) -> Column:
+    """Row contains any (default) / all of ``labels`` (media.py:399-405)."""
+    got = detected_labels(dets)
+    want = F.array(*[F.lit(x) for x in labels])
+    if match_all:
+        return F.forall(want, lambda w: F.array_contains(got, w))
+    return F.arrays_overlap(got, want)
+
+
+def excludes_labels(
+    dets: Column | str, labels: list[str], match_all: bool = False
+) -> Column:
+    """Negation of :func:`includes_labels` (media.py:407-416)."""
+    return ~includes_labels(dets, labels, match_all)
+
+
+def filter_by_labels(
+    df: DataFrame,
+    dets_col: str,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    match_all: bool = False,
+) -> DataFrame:
+    """Keep rows whose label set includes ``include`` AND excludes
+    ``exclude`` (each any-match by default, all-match with
+    ``match_all``). Either list may be omitted."""
+    cond = F.lit(True)
+    if include:
+        cond = cond & includes_labels(dets_col, include, match_all)
+    if exclude:
+        cond = cond & excludes_labels(dets_col, exclude, match_all)
+    return df.filter(cond)
