@@ -490,6 +490,22 @@ def q_geo_bbox_transform(spark, sf_dir):
     )
 
 
+def q_geo_poly_ops(spark, sf_dir):
+    """Polygon family (quad from box → shoelace area, perimeter,
+    point-in-polygon) as pure Catalyst exprs; linear arithmetic only so
+    the DuckDB oracle is exact (reference geometry.py:174-213)."""
+    import vframe_spark.functions.geometry as G
+
+    b = _part_boxes(spark, sf_dir)
+    quad = G.poly_from_box(F.col("box"))
+    return b.select(
+        "pk",
+        F.round(G.poly_area(quad), 4).alias("area"),
+        F.round(G.poly_perimeter(quad), 4).alias("perimeter"),
+        G.poly_contains_point(quad, 10.5, 6.5).alias("has_pt"),
+    )
+
+
 def q_geo_nms_merge(spark, sf_dir):
     """merge-bboxes analog: per-brand detection arrays → greedy NMS →
     survivor count (rows-only check: greedy NMS isn't SQL-expressible)."""
@@ -825,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_conf_filter": q_det_conf_filter,
         "det_label_filter": q_det_label_filter,
         "geo_bbox_transform": q_geo_bbox_transform,
+        "geo_poly_ops": q_geo_poly_ops,
         "geo_nms_merge": q_geo_nms_merge,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_filter_project": q_rel_filter_project,
@@ -1066,6 +1083,21 @@ def oracle_sql() -> dict[str, str]:
               FROM det GROUP BY 1
             )
             SELECT grp, n_labels, n_dets FROM g WHERE n_inc > 0 AND n_exc = 0
+        """,
+        "geo_poly_ops": """
+            WITH b AS (
+              SELECT p_partkey AS pk,
+                     (p_partkey % 20)::DOUBLE AS x1,
+                     (p_partkey % 13)::DOUBLE AS y1,
+                     (p_partkey % 20 + p_size % 10 + 1)::DOUBLE AS x2,
+                     (p_partkey % 13 + p_partkey % 7 + 1)::DOUBLE AS y2
+              FROM part WHERE p_partkey <= 300
+            )
+            SELECT pk,
+                   round((x2 - x1) * (y2 - y1), 4) AS area,
+                   round(2 * ((x2 - x1) + (y2 - y1)), 4) AS perimeter,
+                   (x1 < 10.5 AND 10.5 < x2 AND y1 < 6.5 AND 6.5 < y2) AS has_pt
+            FROM b
         """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,72 @@
+"""Annotation table round-trip + YOLO export (reference
+annotation.py:100-167)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.annotations import (
+    assemble_annotations,
+    flatten_annotations,
+    read_annotations,
+    write_annotations,
+    yolo_cols,
+)
+
+
+@pytest.fixture(scope="module")
+def annos(spark):
+    rows = [
+        ("img_0001.png", "", "Person", "person", 0, 255, 0, 0, 0, 10.0, 20.0, 110.0, 220.0, 640, 480),
+        ("img_0001.png", "", "Car", "car", 1, 0, 255, 0, 1, 0.0, 0.0, 64.0, 48.0, 640, 480),
+        ("img_0002.png", "m.png", "Person", "person", 0, 255, 0, 0, 0, 320.0, 240.0, 640.0, 480.0, 640, 480),
+    ]
+    cols = (
+        "filename string, filename_mask string, label_display string, label_enum string, "
+        "label_index int, r int, g int, b int, anno_index int, x1 double, y1 double, "
+        "x2 double, y2 double, dw int, dh int"
+    )
+    return assemble_annotations(spark.createDataFrame(rows, cols))
+
+
+def test_csv_roundtrip(spark, annos, tmp_path):
+    out = str(tmp_path / "annos_csv")
+    write_annotations(annos, out)
+    back = read_annotations(spark, out)
+    key = lambda r: (r["filename"], r["anno_index"])  # noqa: E731
+    a = sorted([r.asDict(recursive=True) for r in annos.collect()], key=lambda d: (d["filename"], d["anno_index"]))
+    b = sorted([r.asDict(recursive=True) for r in back.collect()], key=lambda d: (d["filename"], d["anno_index"]))
+    assert a == b
+
+
+def test_bbox_struct_composes_with_geometry(spark, annos):
+    import vframe_spark.functions.geometry as G
+
+    areas = {
+        (r["filename"], r["anno_index"]): r["area"]
+        for r in annos.select(
+            "filename", "anno_index", G.bb_area(F.col("bbox")).alias("area")
+        ).collect()
+    }
+    assert areas[("img_0001.png", 0)] == 100.0 * 200.0
+    assert areas[("img_0002.png", 0)] == 320.0 * 240.0
+
+
+def test_yolo_normalization(spark, annos):
+    y = {
+        (r["filename"], r["anno_index"]): (r["cx_norm"], r["cy_norm"], r["w_norm"], r["h_norm"], r["yolo"])
+        for r in yolo_cols(annos).collect()
+    }
+    cx, cy, w, h, s = y[("img_0001.png", 0)]
+    assert (cx, cy) == ((10 + 110) / 2 / 640, (20 + 220) / 2 / 480)
+    assert (w, h) == (100 / 640, 200 / 480)
+    assert s.startswith("0 ") and len(s.split()) == 5
+    # full-frame box → centered, unit size
+    assert y[("img_0002.png", 0)][:4] == (0.75, 0.75, 0.5, 0.5)
+
+
+def test_flatten_matches_reference_column_order(spark, annos):
+    cols = flatten_annotations(annos).columns
+    assert cols == [
+        "filename", "filename_mask", "label_display", "label_enum", "label_index",
+        "r", "g", "b", "anno_index", "x1", "y1", "x2", "y2", "dw", "dh",
+    ]

@@ -173,3 +173,58 @@ def test_iou_pairs_grid_matches_direct_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "cell_x" in plan  # equi-join keyed on grid cells
+
+
+def test_polygon_family(spark):
+    """Polygon parse/serialize/area/perimeter/bbox/redim/contains — all
+    pure Catalyst exprs (reference geometry.py:174-213)."""
+    from pyspark.sql import functions as F
+
+    import vframe_spark.functions.geometry as G
+
+    df = spark.createDataFrame([("0 0 4 0 4 3 0 3",), ("0 0 2 0 1 2",)], "s string")
+    p = G.poly_from_str(F.col("s"))
+    out = df.select(
+        G.poly_to_str(p).alias("rt"),
+        G.poly_area(p).alias("area"),
+        G.poly_perimeter(p).alias("per"),
+        G.poly_bbox(p).alias("bb"),
+        G.poly_contains_point(p, 1.0, 1.0).alias("inside"),
+        G.poly_contains_point(p, 9.0, 9.0).alias("outside"),
+        G.poly_area(G.poly_redim(p, 2.0, 3.0)).alias("area_scaled"),
+    ).collect()
+    rect, tri = out
+    assert rect["rt"] == "0.0 0.0 4.0 0.0 4.0 3.0 0.0 3.0"
+    assert rect["area"] == 12.0 and rect["per"] == 14.0
+    assert (rect["bb"]["x1"], rect["bb"]["y1"], rect["bb"]["x2"], rect["bb"]["y2"]) == (0, 0, 4, 3)
+    assert rect["inside"] and not rect["outside"]
+    assert rect["area_scaled"] == 12.0 * 6.0
+    assert tri["area"] == 2.0  # (0,0)(2,0)(1,2) triangle
+    assert tri["inside"] and not tri["outside"]
+
+    plan = df.select(G.poly_area(p))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no UDF anywhere
+
+
+def test_bb_rotate_quad(spark):
+    """bb_rotate: area-preserving, 90° exact, round-trip back (the
+    detect.py:112-124 pre-rotate/post-unrotate pattern)."""
+    from pyspark.sql import functions as F
+
+    import vframe_spark.functions.geometry as G
+
+    df = spark.createDataFrame([(1.0, 2.0, 5.0, 4.0)], "x1 double, y1 double, x2 double, y2 double")
+    b = G.bbox(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+    r = df.select(
+        G.poly_area(G.bb_rotate(b, 90.0)).alias("a90"),
+        G.poly_to_str(G.bb_rotate(b, 90.0)).alias("q90"),
+        G.poly_area(G.bb_rotate(b, 33.0)).alias("a33"),
+        G.poly_bbox(G.poly_rotate(G.bb_rotate(b, 33.0), -33.0, (1 + 5) / 2, (2 + 4) / 2)).alias("back"),
+    ).collect()[0]
+    assert abs(r["a90"] - 8.0) < 1e-9 and abs(r["a33"] - 8.0) < 1e-9
+    # 90° about center (3,3): (1,2)→(4,1), (5,2)→(4,5), (5,4)→(2,5), (1,4)→(2,1)
+    got = [round(float(v), 6) for v in r["q90"].split()]
+    assert got == [4.0, 1.0, 4.0, 5.0, 2.0, 5.0, 2.0, 1.0]
+    back = r["back"]
+    for k, v in (("x1", 1.0), ("y1", 2.0), ("x2", 5.0), ("y2", 4.0)):
+        assert abs(back[k] - v) < 1e-9

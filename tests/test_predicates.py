@@ -1,0 +1,64 @@
+"""`@attr OP value` predicate DSL (reference click_utils.py:139-188)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.functions.predicates import attr_filter, parse_predicate
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    rows = [
+        (0, "src/app/main.py", 120, "2021-03-01"),
+        (1, "src/app/util.js", 300, "2021-05-10"),
+        (2, "docs/readme.md", 40, "2020-12-25"),
+        (3, "src/lib/core.py", 900, "2022-01-01"),
+    ]
+    return spark.createDataFrame(rows, "id bigint, path string, n_lines int, d string").withColumn(
+        "d", F.to_date("d")
+    )
+
+
+def test_numeric_and_string_clauses(spark, files):
+    got = {r["id"] for r in attr_filter(files, "@n_lines > 100").collect()}
+    assert got == {0, 1, 3}
+    got = {r["id"] for r in attr_filter(files, "@ext == 'py'").collect()}
+    assert got == {0, 3}
+    got = {r["id"] for r in attr_filter(files, "@n_lines >= 120 and @ext != 'js'").collect()}
+    assert got == {0, 3}
+
+
+def test_date_or_not_parens(spark, files):
+    got = {r["id"] for r in attr_filter(files, "@d < 2021-01-01").collect()}
+    assert got == {2}
+    got = {
+        r["id"]
+        for r in attr_filter(
+            files, "(@d >= 2021-01-01 and @ext == 'py') or @n_lines < 50"
+        ).collect()
+    }
+    assert got == {0, 2, 3}
+    got = {r["id"] for r in attr_filter(files, "not @ext == 'py'").collect()}
+    assert got == {1, 2}
+
+
+def test_pushdown_reaches_scan(spark, files, tmp_path):
+    """The DSL compiles to Catalyst exprs: a simple clause must appear as
+    a pushed filter on the parquet scan, not a post-scan Python stage."""
+    p = str(tmp_path / "files.parquet")
+    files.write.parquet(p)
+    df = attr_filter(spark.read.parquet(p), "@n_lines > 100")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_lines" in plan.split("PushedFilters")[1][:200]
+    assert "BatchEvalPython" not in plan
+
+
+def test_errors(spark, files):
+    with pytest.raises(ValueError, match="unknown accessor"):
+        attr_filter(files, "@bogus > 1")
+    with pytest.raises(ValueError, match="no @attr clauses"):
+        attr_filter(files, "n_lines > 1")
+    with pytest.raises(ValueError, match="unsupported tokens"):
+        attr_filter(files, "@n_lines > 1; drop table x")
+    with pytest.raises(ValueError, match="unbalanced|parse error|trailing"):
+        parse_predicate("(@n_lines > 1", {"n_lines": F.col("n_lines")})

@@ -38,6 +38,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("SCALING_BENCH_DOCS", "200000"))
+LINES = tuple(int(x) for x in os.environ.get("SCALING_BENCH_LINES", "40,200").split(","))
 PAIRS = [
     tuple(int(c) for c in p.split(","))
     for p in os.environ.get("SCALING_BENCH_PAIRS", "2,8 8,32").split()
@@ -115,7 +116,7 @@ def measure(cores: int, n_docs: int) -> dict:
     # realistic source-file sizes (~100 lines): the default tiny docs
     # make per-doc work so small that constant overheads mask scaling
     docs = assign_doc_ids(
-        synth_docs(spark, n_docs, partitions=cores * 2, lines=(40, 200)),
+        synth_docs(spark, n_docs, partitions=cores * 2, lines=LINES),
         ["repo", "path", "commit"],
     ).localCheckpoint()
 

@@ -1,0 +1,118 @@
+"""Annotation-table utilities — the reference's CSV annotation store as
+a typed DataFrame surface.
+
+Reference parity: `Annotation` rows persisted via CSV with flat bbox +
+color fields (/root/reference/src/vframe/models/annotation.py:100-167,
+to_dict/from_row), YOLO export as normalized ``cx cy w h`` strings
+(annotation.py:126-137), and the labeled-bbox geometry carrying its
+image dimensions (BBox ``dw``/``dh``).
+
+The flat CSV layout is the interchange format; inside the engine the
+bbox becomes one struct column so every geometry function
+(:mod:`vframe_spark.functions.geometry`) applies directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the reference's to_dict column order (annotation.py:111-125 + bbox)
+ANNOTATION_CSV_SCHEMA = (
+    "filename string, filename_mask string, label_display string, "
+    "label_enum string, label_index int, r int, g int, b int, "
+    "anno_index int, x1 double, y1 double, x2 double, y2 double, "
+    "dw int, dh int"
+)
+
+_FLAT_COLS = [
+    "filename", "filename_mask", "label_display", "label_enum", "label_index",
+    "r", "g", "b", "anno_index", "x1", "y1", "x2", "y2", "dw", "dh",
+]
+
+
+def read_annotations(spark: SparkSession, path: str) -> DataFrame:
+    """Load an annotation CSV → typed rows with a ``bbox`` struct and an
+    rgb ``color`` struct (annotation.py:140-152 ``from_row``)."""
+    flat = spark.read.csv(path, header=True, schema=ANNOTATION_CSV_SCHEMA)
+    # CSV has no empty-vs-NULL distinction; the reference stores "" for
+    # "no mask" (annotation.py:113), so restore that on read
+    flat = flat.withColumn("filename_mask", F.coalesce("filename_mask", F.lit("")))
+    return assemble_annotations(flat)
+
+
+def assemble_annotations(flat: DataFrame) -> DataFrame:
+    """Flat reference columns → struct layout (shared by CSV/parquet)."""
+    return flat.select(
+        "filename",
+        "filename_mask",
+        "label_display",
+        "label_enum",
+        "label_index",
+        F.struct(
+            F.col("x1").cast("double").alias("x1"),
+            F.col("y1").cast("double").alias("y1"),
+            F.col("x2").cast("double").alias("x2"),
+            F.col("y2").cast("double").alias("y2"),
+        ).alias("bbox"),
+        F.struct(F.col("dw").alias("w"), F.col("dh").alias("h")).alias("dim"),
+        F.struct("r", "g", "b").alias("color"),
+        "anno_index",
+    )
+
+
+def flatten_annotations(annos: DataFrame) -> DataFrame:
+    """Struct layout → the reference's flat CSV columns (to_dict order)."""
+    return annos.select(
+        "filename",
+        "filename_mask",
+        "label_display",
+        "label_enum",
+        "label_index",
+        F.col("color.r").alias("r"),
+        F.col("color.g").alias("g"),
+        F.col("color.b").alias("b"),
+        "anno_index",
+        F.col("bbox.x1").alias("x1"),
+        F.col("bbox.y1").alias("y1"),
+        F.col("bbox.x2").alias("x2"),
+        F.col("bbox.y2").alias("y2"),
+        F.col("dim.w").alias("dw"),
+        F.col("dim.h").alias("dh"),
+    )
+
+
+def write_annotations(annos: DataFrame, path: str) -> None:
+    """Round-trip sink: one headered CSV directory in reference order."""
+    flatten_annotations(annos).write.mode("overwrite").option("header", True).csv(path)
+
+
+def yolo_cols(annos: DataFrame) -> DataFrame:
+    """Normalized YOLO geometry (annotation.py:126-137): center/size over
+    the image dims, plus the space-joined export string."""
+    b, d = F.col("bbox"), F.col("dim")
+    cx = (b["x1"] + b["x2"]) / 2.0 / d["w"]
+    cy = (b["y1"] + b["y2"]) / 2.0 / d["h"]
+    w = (b["x2"] - b["x1"]) / d["w"]
+    h = (b["y2"] - b["y1"]) / d["h"]
+    return annos.select(
+        "*",
+        cx.alias("cx_norm"),
+        cy.alias("cy_norm"),
+        w.alias("w_norm"),
+        h.alias("h_norm"),
+        F.concat_ws(
+            " ",
+            F.col("label_index").cast("string"),
+            cx.cast("string"), cy.cast("string"),
+            w.cast("string"), h.cast("string"),
+        ).alias("yolo"),
+    )
+
+
+def load_annotation_dir(spark: SparkSession, root: str) -> DataFrame:
+    """Union all annotation CSVs under a directory (the reference's
+    per-project annotations/*.csv layout)."""
+    return read_annotations(spark, os.path.join(root, "*.csv"))

@@ -271,3 +271,138 @@ def iou_pairs_grid(
         .select("id_a", "id_b", iou.alias("iou"))
         .filter(F.col("iou") > min_iou)
     )
+
+
+# --------------------------------------------------------- polygon family
+# Reference parity: `Polygon` points list with to_str/from_str/redim
+# (/root/reference/src/vframe/models/geometry.py:174-213), `Point`
+# (geometry.py:40-120), `RotatedBBox` 4-corner quad (geometry.py:866-880),
+# detect's pre-rotate/post-unrotate (detect.py:112-124). All ops below are
+# pure Catalyst higher-order-function expressions — whole-stage codegen,
+# no UDF, so polygon algebra runs JVM-side at scan speed.
+
+def point(x, y) -> Column:
+    cc = lambda v: v if isinstance(v, Column) else F.lit(float(v))  # noqa: E731
+    return F.struct(cc(x).cast("double").alias("x"), cc(y).cast("double").alias("y"))
+
+
+def poly_from_box(b: Column) -> Column:
+    """bbox → its 4-corner quad (tl, tr, br, bl) — the RotatedBBox layout."""
+    return F.array(
+        point(b["x1"], b["y1"]),
+        point(b["x2"], b["y1"]),
+        point(b["x2"], b["y2"]),
+        point(b["x1"], b["y2"]),
+    )
+
+
+def poly_from_str(s: Column) -> Column:
+    """Parse "x1 y1 x2 y2 …" (Polygon.from_str, geometry.py:194-199)."""
+    nums = F.transform(
+        F.filter(F.split(s, "\\s+"), lambda t: t != ""), lambda t: t.cast("double")
+    )
+    idx = F.sequence(F.lit(0), (F.size(nums) / 2 - 1).cast("int"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(nums, (i * 2 + 1).cast("int")).alias("x"),
+            F.element_at(nums, (i * 2 + 2).cast("int")).alias("y"),
+        ),
+    )
+
+
+def poly_to_str(p: Column) -> Column:
+    """Space-joined "x y x y …" (Polygon.to_str, geometry.py:184-190)."""
+    return F.array_join(
+        F.transform(p, lambda q: F.concat_ws(" ", q["x"].cast("string"), q["y"].cast("string"))),
+        " ",
+    )
+
+
+def _edges(p: Column) -> Column:
+    """(point, next-point) pairs, wrapping — the closed polygon's edges."""
+    nxt = F.concat(F.slice(p, 2, F.size(p) - 1), F.slice(p, 1, 1))
+    return F.arrays_zip(p.alias("a"), nxt.alias("b"))
+
+
+def poly_area(p: Column) -> Column:
+    """Shoelace area (absolute, so winding order doesn't matter)."""
+    twice = F.aggregate(
+        _edges(p),
+        F.lit(0.0),
+        lambda acc, e: acc + (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+    )
+    return F.abs(twice) / 2.0
+
+
+def poly_perimeter(p: Column) -> Column:
+    return F.aggregate(
+        _edges(p),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.sqrt(
+            (e["b"]["x"] - e["a"]["x"]) * (e["b"]["x"] - e["a"]["x"])
+            + (e["b"]["y"] - e["a"]["y"]) * (e["b"]["y"] - e["a"]["y"])
+        ),
+    )
+
+
+def poly_bbox(p: Column) -> Column:
+    """Axis-aligned hull — the post-rotation re-boxing step."""
+    xs = F.transform(p, lambda q: q["x"])
+    ys = F.transform(p, lambda q: q["y"])
+    return bbox(F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys))
+
+
+def poly_redim(p: Column, sx, sy) -> Column:
+    """Scale into a new dimension frame (Polygon.redim, geometry.py:181)."""
+    fx = sx if isinstance(sx, Column) else F.lit(float(sx))
+    fy = sy if isinstance(sy, Column) else F.lit(float(sy))
+    return F.transform(p, lambda q: point(q["x"] * fx, q["y"] * fy))
+
+
+def poly_rotate(p: Column, angle_deg, cx, cy) -> Column:
+    """Rotate every vertex about (cx, cy) by ``angle_deg`` CCW."""
+    a = angle_deg if isinstance(angle_deg, Column) else F.lit(float(angle_deg))
+    rad = F.radians(a)
+    cosv, sinv = F.cos(rad), F.sin(rad)
+    ccx = cx if isinstance(cx, Column) else F.lit(float(cx))
+    ccy = cy if isinstance(cy, Column) else F.lit(float(cy))
+    return F.transform(
+        p,
+        lambda q: point(
+            ccx + (q["x"] - ccx) * cosv - (q["y"] - ccy) * sinv,
+            ccy + (q["x"] - ccx) * sinv + (q["y"] - ccy) * cosv,
+        ),
+    )
+
+
+def bb_rotate(b: Column, angle_deg, cx=None, cy=None) -> Column:
+    """bbox → rotated quad (the RotatedBBox constructor); default pivot is
+    the box center (detect.py's rotate-then-unrotate pivot)."""
+    ccx = cx if cx is not None else (b["x1"] + b["x2"]) / 2.0
+    ccy = cy if cy is not None else (b["y1"] + b["y2"]) / 2.0
+    return poly_rotate(poly_from_box(b), angle_deg, ccx, ccy)
+
+
+def poly_contains_point(p: Column, x, y) -> Column:
+    """Ray-casting (odd crossing number) point-in-polygon."""
+    px = x if isinstance(x, Column) else F.lit(float(x))
+    py = y if isinstance(y, Column) else F.lit(float(y))
+    crossings = F.aggregate(
+        _edges(p),
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["a"]["y"] > py) != (e["b"]["y"] > py))
+            & (
+                px
+                < (e["b"]["x"] - e["a"]["x"])
+                * (py - e["a"]["y"])
+                / (e["b"]["y"] - e["a"]["y"])
+                + e["a"]["x"]
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return crossings % 2 == 1

@@ -1,0 +1,143 @@
+"""`@attr OP value` predicate DSL → Catalyst Column.
+
+Reference parity: the `--if` / `--skip-if` option operator
+(/root/reference/src/vframe/utils/click_utils.py:139-188): an accessor
+name, a comparison operator, and an int/ISO-date literal, evaluated per
+row. Here the same grammar (extended with quoted strings, floats,
+``and`` / ``or`` conjunctions and ``not``) compiles to a pure Catalyst
+boolean expression, so the predicate rides the scan — at 100 TB a
+`@attr` filter is a parquet/Iceberg pushdown, not a row loop.
+
+Raw SQL ``where=`` strings (sources.read_docs) remain the power-user
+path; this DSL is the reference-compatible surface on top.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPS = {
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+_CLAUSE = re.compile(
+    r"""@(?P<attr>\w+)\s*(?P<op>>=|<=|==|!=|>|<)\s*
+        (?P<val>'[^']*'|"[^"]*"|\d{4}-\d{2}-\d{2}|-?\d+\.\d+|-?\d+)""",
+    re.VERBOSE,
+)
+_TOKEN = re.compile(r"\(|\)|\band\b|\bor\b|\bnot\b", re.IGNORECASE)
+
+
+def _literal(raw: str):
+    if raw[0] in "'\"":
+        return F.lit(raw[1:-1])
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}", raw):
+        return F.to_date(F.lit(raw))
+    if "." in raw:
+        return F.lit(float(raw))
+    return F.lit(int(raw))
+
+
+def parse_predicate(expr: str, accessors: dict[str, Column]) -> Column:
+    """Compile ``"@n_chars > 100 and (@ext == 'py' or not @valid == 1)"``
+    into one boolean Column over the given accessor map.
+
+    Unknown accessors raise with the available names (the reference's
+    error contract, click_utils.py:182-184)."""
+    # compile clause-by-clause into a token stream we can eval safely
+    cols: list[Column] = []
+
+    def clause(m: re.Match) -> str:
+        attr, op, raw = m.group("attr"), m.group("op"), m.group("val")
+        if attr not in accessors:
+            raise ValueError(
+                f"unknown accessor @{attr}; use: {', '.join(sorted(accessors))}"
+            )
+        cols.append(_OPS[op](accessors[attr], _literal(raw)))
+        return f" __c{len(cols) - 1}__ "
+
+    replaced = _CLAUSE.sub(clause, expr)
+    if not cols:
+        raise ValueError(f"no @attr clauses found in predicate: {expr!r}")
+    # whatever remains must be pure boolean glue
+    rest = re.sub(r"__c\d+__", " ", _TOKEN.sub(" ", replaced))
+    if rest.strip():
+        raise ValueError(f"unsupported tokens in predicate: {rest.strip()!r}")
+
+    # recursive-descent over: expr := term (or term)*; term := factor
+    # (and factor)*; factor := [not] ( clause | '(' expr ')' )
+    toks = _tokenize(replaced)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def factor() -> Column:
+        t = peek()
+        if t == "not":
+            eat()
+            return ~factor()
+        if t == "(":
+            eat()
+            c = expr_()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parens in predicate: {expr!r}")
+            eat()
+            return c
+        if isinstance(t, int):
+            eat()
+            return cols[t]
+        raise ValueError(f"parse error in predicate near {t!r}: {expr!r}")
+
+    def term() -> Column:
+        c = factor()
+        while peek() == "and":
+            eat()
+            c = c & factor()
+        return c
+
+    def expr_() -> Column:
+        c = term()
+        while peek() == "or":
+            eat()
+            c = c | term()
+        return c
+
+    out = expr_()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in predicate: {toks[pos:]!r}")
+    return out
+
+
+def _tokenize(replaced: str) -> list:
+    toks: list = []
+    for m in re.finditer(r"__c(\d+)__|\(|\)|\b(?:and|or|not)\b", replaced, re.IGNORECASE):
+        if m.group(1) is not None:
+            toks.append(int(m.group(1)))
+        else:
+            toks.append(m.group(0).lower())
+    return toks
+
+
+def attr_filter(df: DataFrame, predicate: str, accessors: dict[str, Column] | None = None) -> DataFrame:
+    """Filter rows by a `@attr` predicate string. Default accessors are
+    :func:`vframe_spark.functions.strings.doc_accessors` over ``df``."""
+    if accessors is None:
+        from .strings import doc_accessors
+
+        accessors = doc_accessors(df)
+    return df.filter(parse_predicate(predicate, accessors))

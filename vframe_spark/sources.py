@@ -26,6 +26,33 @@ from pyspark.sql import functions as F
 DOC_ORDER = ["repo", "path", "commit"]
 
 
+def read_table(
+    spark: SparkSession,
+    source: str,
+    format: str = "parquet",
+) -> DataFrame:
+    """Format-abstracted catalog/table read.
+
+    * ``parquet`` (default, this sandbox): ``source`` is a path.
+    * ``iceberg``: ``source`` is a catalog table identifier
+      (``catalog.db.table``) read via ``spark.read.table`` — the
+      production layout (BASELINE.json input_hint: "Iceberg table …").
+      The rest of the engine is format-agnostic: every filter/column
+      selection composed downstream pushes into either scan, and
+      Iceberg's hidden ``bucket(doc_id)`` partitioning gives the slice
+      pruning the index builder relies on (builder.py:20-24). Needs the
+      iceberg-spark runtime on the cluster classpath; not installable
+      here, so the branch is exercised only via ``spark.read.table``'s
+      own contract.
+    * any other format string: delegated to ``spark.read.format``.
+    """
+    if format == "parquet":
+        return spark.read.parquet(source)
+    if format == "iceberg":
+        return spark.read.table(source)
+    return spark.read.format(format).load(source)
+
+
 def read_docs(
     spark: SparkSession,
     path: str,
@@ -34,15 +61,17 @@ def read_docs(
     slice_range: tuple[int, int] | None = None,
     randomize_seed: int | None = None,
     order_cols: list[str] = DOC_ORDER,
+    format: str = "parquet",
 ) -> DataFrame:
     """Deterministic corpus scan with pushdown-friendly options.
 
     ``where`` is an SQL predicate string (the `skip-file --if` DSL analog
     — Catalyst parses it and pushes it into the parquet/Iceberg scan);
     ``slice_range`` ≙ `--slice (a,b)` applied after the deterministic
-    sort; ``randomize_seed`` ≙ `--randomize`.
+    sort; ``randomize_seed`` ≙ `--randomize`; ``format`` selects the
+    source (see :func:`read_table`).
     """
-    df = spark.read.parquet(path)
+    df = read_table(spark, path, format)
     if where:
         df = df.filter(F.expr(where))
     if columns:
