@@ -365,6 +365,40 @@ def q_mm_decode_extract(spark, sf_dir):
     )
 
 
+def q_mm_transform_chain(spark, sf_dir):
+    """Pixel-transform registry over decoded frames (blur → contrast →
+    quantize), summarized deterministically (rows-only: numpy pixel
+    kernels aren't SQL; reference im_utils.py:761-775). Input is the
+    deterministic fake-decode of document bytes — same plumbing as
+    mm_decode_extract."""
+    from vframe_spark.operators.multimodal import decode_image
+    from vframe_spark.operators.transforms import apply_transforms
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit(16).alias("width"), F.lit(16).alias("height"),
+            F.lit(1).alias("n_frames"), F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    out = apply_transforms(
+        decode_image(media), [("blur", 0.5), ("contrast", 1.5), ("compress-jpg", 0.3)]
+    )
+    px = F.col("pixels")
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.aggregate(px, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("px_sum"),
+        F.round(
+            F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / F.size(px), 2
+        ).alias("px_mean"),
+    )
+
+
 # --------------------------------------------------------------- text family
 
 def q_text_token_counts(spark, sf_dir):
@@ -831,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "mm_decode_extract": q_mm_decode_extract,
+        "mm_transform_chain": q_mm_transform_chain,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,

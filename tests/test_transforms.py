@@ -1,0 +1,67 @@
+"""Pixel-transform registry (reference im_utils.py:97-283, 761-775)."""
+
+import numpy as np
+import pytest
+
+from vframe_spark.operators import transforms as T
+
+
+@pytest.fixture()
+def img():
+    rng = np.random.default_rng(5)
+    return rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+
+
+def test_registry_matches_reference_names():
+    assert set(T.IMAGE_TRANSFORMS) == {
+        "compress-jpg", "compress-webp", "equalize", "blur-v", "blur-h",
+        "blur-bilateral", "blur", "rescale", "brighten", "darken",
+        "sharpness", "contrast", "grayscale",
+    }  # im_utils.py:761-775
+    assert len(T.IMAGE_TRANSFORMS) == 13
+
+
+def test_kernels_shape_dtype_and_semantics(img):
+    for name, fn in T.IMAGE_TRANSFORMS.items():
+        out = fn(img, 0.5)
+        assert out.shape == img.shape, name
+        assert out.dtype == np.uint8, name
+    # blur reduces variance; contrast>1 raises it; brighten raises mean
+    assert T.blur_gaussian(img, 0.8).std() < img.std()
+    assert T.contrast(img, 2.0).astype(float).std() > img.astype(float).std()
+    assert T.brightness(img, 1.5).mean() > img.mean()
+    assert T.darkness(img, 1.5).mean() < img.mean()
+    # identity-ish factors
+    assert np.array_equal(T.brightness(img, 1.0), img)
+    assert np.array_equal(T.contrast(img, 1.0), img)
+    # quantization stubs reduce distinct levels monotonically with factor
+    assert len(np.unique(T.compress_jpg(img, 0.1))) < len(np.unique(img))
+    # equalize flattens the histogram: min/max stretch to the full range
+    eq = T.equalize(img, 1.0)
+    assert eq.min() <= 5 and eq.max() >= 250
+    # directional blurs smear along their axis only
+    v = T.blur_motion_v(img, 0.8).astype(float)
+    h = T.blur_motion_h(img, 0.8).astype(float)
+    assert np.abs(np.diff(v, axis=0)).mean() < np.abs(np.diff(img.astype(float), axis=0)).mean()
+    assert np.abs(np.diff(h, axis=1)).mean() < np.abs(np.diff(img.astype(float), axis=1)).mean()
+
+
+def test_apply_transforms_chain(spark):
+    from vframe_spark.operators.multimodal import decode_image, synth_media
+
+    media = synth_media(spark, 12)
+    decoded = decode_image(media.filter("kind = 'image'"))
+    out = T.apply_transforms(decoded, [("blur", 0.5), ("contrast", 1.5), ("compress-jpg", 0.3)])
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: r for r in decoded.collect()}
+    assert rows.keys() == src.keys()
+    for mid, r in rows.items():
+        assert (r["width"], r["height"]) == (src[mid]["width"], src[mid]["height"])
+        assert len(r["pixels"]) == r["width"] * r["height"]
+        assert all(0 <= p <= 255 for p in r["pixels"][:64])
+    # deterministic: re-running yields identical bytes
+    again = {r["media_id"]: r["pixels"] for r in
+             T.apply_transforms(decoded, [("blur", 0.5), ("contrast", 1.5), ("compress-jpg", 0.3)]).collect()}
+    assert all(again[m] == rows[m]["pixels"] for m in rows)
+    with pytest.raises(ValueError, match="unknown transform"):
+        T.apply_transforms(decoded, [("nope", 1.0)])

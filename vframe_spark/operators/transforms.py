@@ -1,0 +1,195 @@
+"""Pixel-transform registry — the reference's 13 named image transforms
+as numpy kernels over decoded frames.
+
+Reference parity: `IMAGE_TRANSFORMS` (/root/reference/src/vframe/utils/
+im_utils.py:761-775) maps transform names to pixel functions
+(im_utils.py:97-283). The reference implements them with OpenCV/PIL;
+this container has neither, so every kernel here is the same math in
+plain numpy over the engine's grayscale uint8 frames (decode itself is
+the documented deterministic fake in operators.multimodal). The two
+codec-dependent entries (``compress-jpg`` / ``compress-webp``) are
+quantization-based stand-ins, clearly marked: they model compression's
+level-banding deterministically but are NOT real codecs.
+
+The Spark surface is :func:`apply_transforms`: an Arrow-batched
+``mapInPandas`` applying a named chain per frame — the `pipe degrade`
+stage shape (one init, thousands of frames per Python call).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PIXEL_SCHEMA = "media_id bigint, width int, height int, pixels array<smallint>"
+
+
+def _gauss_kernel(sigma: float) -> np.ndarray:
+    r = max(1, int(3 * sigma))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x**2) / (2 * sigma * sigma))
+    return k / k.sum()
+
+
+def _conv1d(im: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
+    pad = len(k) // 2
+    padded = np.pad(im.astype(np.float64), [(pad, pad) if a == axis else (0, 0) for a in (0, 1)], mode="edge")
+    out = np.apply_along_axis(lambda v: np.convolve(v, k, mode="valid"), axis, padded)
+    return out
+
+
+def blur_gaussian(im: np.ndarray, fac: float) -> np.ndarray:
+    """Separable gaussian blur (im_utils.py:197-206)."""
+    sigma = max(1e-6, 3.0 * fac)
+    k = _gauss_kernel(sigma)
+    return np.clip(_conv1d(_conv1d(im, k, 0), k, 1), 0, 255).astype(np.uint8)
+
+
+def blur_motion_v(im: np.ndarray, fac: float) -> np.ndarray:
+    """Vertical motion blur: 1D box kernel (im_utils.py:159-170)."""
+    n = max(1, int(fac * im.shape[0] * 0.25)) | 1
+    return np.clip(_conv1d(im, np.full(n, 1.0 / n), 0), 0, 255).astype(np.uint8)
+
+
+def blur_motion_h(im: np.ndarray, fac: float) -> np.ndarray:
+    """Horizontal motion blur (im_utils.py:172-183)."""
+    n = max(1, int(fac * im.shape[1] * 0.25)) | 1
+    return np.clip(_conv1d(im, np.full(n, 1.0 / n), 1), 0, 255).astype(np.uint8)
+
+
+def blur_bilateral(im: np.ndarray, fac: float) -> np.ndarray:
+    """Edge-preserving blur: gaussian-in-space × gaussian-in-range over a
+    small window (the cv2.bilateralFilter model, im_utils.py:185-195)."""
+    r = 2
+    sigma_r = max(1e-6, 255.0 * 0.3 * fac)
+    imf = im.astype(np.float64)
+    acc = np.zeros_like(imf)
+    wsum = np.zeros_like(imf)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = np.roll(np.roll(imf, dy, axis=0), dx, axis=1)
+            ws = np.exp(-(dy * dy + dx * dx) / (2.0 * r * r))
+            wr = np.exp(-((shifted - imf) ** 2) / (2.0 * sigma_r * sigma_r))
+            w = ws * wr
+            acc += w * shifted
+            wsum += w
+    return np.clip(acc / wsum, 0, 255).astype(np.uint8)
+
+
+def equalize(im: np.ndarray, fac: float = 1.0) -> np.ndarray:
+    """Histogram equalization blended by ``fac`` (im_utils.py:97-123)."""
+    hist = np.bincount(im.ravel(), minlength=256).astype(np.float64)
+    cdf = hist.cumsum()
+    nz = cdf[cdf > 0]
+    if nz.size == 0:
+        return im
+    lut = np.clip((cdf - nz[0]) / max(cdf[-1] - nz[0], 1) * 255.0, 0, 255)
+    eq = lut[im]
+    return np.clip(im + fac * (eq - im), 0, 255).astype(np.uint8)
+
+
+def rescale(im: np.ndarray, fac: float) -> np.ndarray:
+    """Scale down and back up by ``fac`` — the reference's resolution
+    degrade (im_utils.py:208-220): output dims match the input."""
+    h, w = im.shape
+    sh, sw = max(1, int(h * fac)), max(1, int(w * fac))
+    yi = (np.arange(sh) * h // sh).clip(0, h - 1)
+    xi = (np.arange(sw) * w // sw).clip(0, w - 1)
+    small = im[np.ix_(yi, xi)]
+    yo = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xo = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return small[np.ix_(yo, xo)]
+
+
+def brightness(im: np.ndarray, fac: float) -> np.ndarray:
+    """PIL Brightness enhance: scale toward black/white (im_utils.py:244-252)."""
+    return np.clip(im.astype(np.float64) * fac, 0, 255).astype(np.uint8)
+
+
+def darkness(im: np.ndarray, fac: float) -> np.ndarray:
+    """Inverse brightness (im_utils.py:254-262)."""
+    return brightness(im, 1.0 / max(fac, 1e-6))
+
+
+def sharpness(im: np.ndarray, fac: float) -> np.ndarray:
+    """Unsharp mask: im + fac·(im − blur(im)) (im_utils.py:234-242)."""
+    blurred = blur_gaussian(im, 0.4).astype(np.float64)
+    return np.clip(im + fac * (im.astype(np.float64) - blurred), 0, 255).astype(np.uint8)
+
+
+def contrast(im: np.ndarray, fac: float) -> np.ndarray:
+    """Scale around the mean (PIL Contrast enhance, im_utils.py:264-273)."""
+    m = im.mean()
+    return np.clip((im.astype(np.float64) - m) * fac + m, 0, 255).astype(np.uint8)
+
+
+def grayscale(im: np.ndarray, fac: float = 1.0) -> np.ndarray:
+    """Desaturate toward the luminance plane (im_utils.py:275-283); the
+    engine's frames are already single-plane, so this blends toward the
+    global mean by the same enhance-factor contract."""
+    m = im.mean()
+    return np.clip(m + fac * (im.astype(np.float64) - m), 0, 255).astype(np.uint8)
+
+
+def compress_jpg(im: np.ndarray, fac: float) -> np.ndarray:
+    """STUB CODEC (documented): quantization-banding stand-in for JPEG
+    re-encode (im_utils.py:143-149). Not a real codec — deterministic
+    level reduction only."""
+    levels = max(2, int(2 + (1.0 - fac) * 62))
+    step = 256.0 / levels
+    return (np.floor(im / step) * step + step / 2).clip(0, 255).astype(np.uint8)
+
+
+def compress_webp(im: np.ndarray, fac: float) -> np.ndarray:
+    """STUB CODEC (documented): as compress_jpg with a finer curve
+    (im_utils.py:151-157)."""
+    levels = max(2, int(2 + (1.0 - fac) * 94))
+    step = 256.0 / levels
+    return (np.floor(im / step) * step + step / 2).clip(0, 255).astype(np.uint8)
+
+
+# name → kernel, mirroring im_utils.py:761-775 exactly
+IMAGE_TRANSFORMS = {
+    "compress-jpg": compress_jpg,
+    "compress-webp": compress_webp,
+    "equalize": equalize,
+    "blur-v": blur_motion_v,
+    "blur-h": blur_motion_h,
+    "blur-bilateral": blur_bilateral,
+    "blur": blur_gaussian,
+    "rescale": rescale,
+    "brighten": brightness,
+    "darken": darkness,
+    "sharpness": sharpness,
+    "contrast": contrast,
+    "grayscale": grayscale,
+}
+
+
+def apply_transforms(decoded: DataFrame, chain: list[tuple[str, float]]) -> DataFrame:
+    """Apply a named transform chain to decoded frames (pipe degrade).
+
+    ``chain`` is ``[(name, factor), …]`` applied in order. Unknown names
+    raise up front (driver side), mirroring the registry lookup.
+    """
+    for name, _ in chain:
+        if name not in IMAGE_TRANSFORMS:
+            raise ValueError(
+                f"unknown transform {name!r}; use: {', '.join(sorted(IMAGE_TRANSFORMS))}"
+            )
+    steps = [(IMAGE_TRANSFORMS[name], float(fac)) for name, fac in chain]
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples():
+                img = np.asarray(r.pixels, dtype=np.uint8).reshape(r.height, r.width)
+                for fn, fac in steps:
+                    img = fn(img, fac)
+                out.append((r.media_id, img.shape[1], img.shape[0], img.ravel().tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "pixels"])
+
+    return decoded.mapInPandas(go, PIXEL_SCHEMA)

@@ -53,3 +53,46 @@ def save_grouped(df: DataFrame, group_cols: list[str], path: str, fmt: str = "pa
     """Per-group writer lifecycle ≙ `partitionBy`: one dir per group,
     committed atomically (the save-video/save-gif open-flush analog)."""
     df.write.mode(mode).partitionBy(*group_cols).format(fmt).save(path)
+
+
+def save_binary_files(
+    df: DataFrame,
+    root: str,
+    path_col: str = "out_path",
+    data_col: str = "data",
+) -> DataFrame:
+    """`save-images` analog: write each row's binary payload to its own
+    file under ``root`` (templated relative path in ``path_col`` — see
+    functions.strings.render_template for the @accessor naming), from
+    the EXECUTORS, in parallel — no driver collect.
+
+    Returns (out_path, n_bytes) for written files — count it to force
+    the write and get the manifest. Parent dirs are created; an existing
+    file is overwritten (the reference's default overwrite behavior,
+    save-images.py). At cluster scale ``root`` is a shared/object store
+    path mounted on executors.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    src = df.select(
+        _F.col(path_col).alias("rel"), _F.col(data_col).cast("binary").alias("payload")
+    )
+
+    def write_part(batches):
+        import pandas as _pd
+
+        for b in batches:
+            paths, sizes = [], []
+            for rel, payload in zip(b["rel"], b["payload"]):
+                full = _os.path.join(root, rel)
+                _os.makedirs(_os.path.dirname(full), exist_ok=True)
+                data = bytes(payload) if payload is not None else b""
+                with open(full, "wb") as fh:
+                    fh.write(data)
+                paths.append(full)
+                sizes.append(len(data))
+            yield _pd.DataFrame({"out_path": paths, "n_bytes": sizes})
+
+    return src.mapInPandas(write_part, "out_path string, n_bytes bigint")
