@@ -426,8 +426,13 @@ def q_text_lang_id(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint, oracle-checked: the portable polynomial
+    rolling hash (round 2 — the round-1 xxhash64 variant stays in the
+    API but is engine-specific, so it couldn't be DuckDB-verified)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.fingerprint64(F.col("text")).alias("fp"))
+    return docs.select(
+        "doc_id", X.fingerprint_poly(F.col("text")).alias("fp")
+    )
 
 
 def q_src_validity(spark, sf_dir):
@@ -1018,6 +1023,10 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_en >= h_de THEN 'en'
                         ELSE 'de' END AS lang_guess
             FROM h
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, {X.fingerprint_poly_duckdb_sql('text')} AS fp
+            FROM documents
         """,
         "src_validity": """
             SELECT CASE WHEN text IS NULL THEN 'null_content'

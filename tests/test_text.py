@@ -70,3 +70,21 @@ def test_fingerprint_normalization(spark):
     got = {r["id"]: r["fp"] for r in df.collect()}
     assert got[0] == got[1] == got[2]
     assert got[3] != got[0]
+
+
+def test_fingerprint_poly_cross_engine(spark):
+    """The portable polynomial fingerprint matches DuckDB value-for-value
+    (incl. empty / NULL / unicode) — the oracle-ability contract."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from vframe_spark.functions.text import fingerprint_poly, fingerprint_poly_duckdb_sql
+
+    texts = ["Hello  World", "", "a", "Ünïcode tëst ✓", None, "  pad  ", "x\n\ty z"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
+    got = {r["id"]: r["fp"] for r in df.select("id", fingerprint_poly(F.col("t")).alias("fp")).collect()}
+    con = duckdb.connect()
+    sql = fingerprint_poly_duckdb_sql("t")
+    for i, t in enumerate(texts):
+        con.execute("CREATE OR REPLACE TABLE x AS SELECT ?::VARCHAR AS t", [t])
+        assert con.execute(f"SELECT {sql} FROM x").fetchone()[0] == got[i], (i, t)

@@ -106,3 +106,39 @@ def fingerprint64(col) -> Column:
     lowercased) — the rolling-hash document fingerprint, via xxhash64."""
     norm = F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
     return F.xxhash64(norm)
+
+
+def fingerprint_poly(col, mod: int = (1 << 31) - 1, base: int = 31) -> Column:
+    """Engine-portable rolling-hash fingerprint of normalized text.
+
+    Polynomial hash over the UTF-8 code units of the whitespace-collapsed
+    lowercased text: ``acc = (acc * base + byte) % mod``. Unlike
+    :func:`fingerprint64` (xxhash64 — fastest, but Spark-specific) this
+    uses only integer arithmetic every SQL engine reproduces exactly, so
+    the DuckDB oracle can check it value-for-value. ``mod`` < 2^31 keeps
+    ``acc * base + c`` < 2^36 — inside BIGINT for engines that error on
+    overflow instead of wrapping.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+    chars = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch))
+    acc = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * base + c.cast("bigint")) % F.lit(mod),
+    )
+    return F.when(F.length(norm) == 0, F.lit(0).cast("bigint")).otherwise(acc)
+
+
+def fingerprint_poly_duckdb_sql(col: str, mod: int = (1 << 31) - 1, base: int = 31) -> str:
+    """The DuckDB twin of :func:`fingerprint_poly` (same math, same
+    normalization) for oracle queries."""
+    norm = f"regexp_replace(lower(trim({col})), '\\s+', ' ', 'g')"
+    red = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({norm}, ''), ch -> ord(ch)::BIGINT)), "
+        f"(acc, c) -> (acc * {base} + c) % {mod})"
+    )
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN length({norm}) = 0 THEN 0 ELSE {red} END"
+    )
