@@ -739,6 +739,25 @@ def q_rel_rollup(spark, sf_dir):
     )
 
 
+def q_rel_cube(spark, sf_dir):
+    """Full CUBE over two dims (the general form of the reference's
+    hand-rolled cross-tab summaries; completes the rollup family)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
 def q_rel_histogram(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     bucket = F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket")
@@ -890,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_keepfirst_dedup": q_rel_keepfirst_dedup,
         "rel_bucket_rollup": q_rel_bucket_rollup,
         "rel_rollup": q_rel_rollup,
+        "rel_cube": q_rel_cube,
         "rel_histogram": q_rel_histogram,
         "rel_time_window": q_rel_time_window,
         "rel_union_merge": q_rel_union_merge,
@@ -1206,6 +1226,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 4) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "rel_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "rel_histogram": """
             SELECT floor(l_extendedprice / 10000)::BIGINT AS bucket,
