@@ -88,3 +88,12 @@ def test_filter_by_labels_combined(spark, frames):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pop_detections_removes_in_place(spark, frames):
+    from vframe_spark.operators.detections import pop_detections
+
+    out = {r["frame_id"]: len(r["dets"]) for r in
+           pop_detections(frames, "dets", 0.5, 1.0).collect()}
+    # rows kept, matching (conf>=0.5) detections removed
+    assert out == {0: 1, 1: 1, 2: 0, 3: 0, 4: 0}

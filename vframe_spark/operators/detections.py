@@ -120,3 +120,18 @@ def filter_by_labels(
     if exclude:
         cond = cond & excludes_labels(dets_col, exclude, match_all)
     return df.filter(cond)
+
+
+def pop_detections(
+    df: DataFrame,
+    dets_col: str,
+    min_conf: float = 0.0,
+    max_conf: float = 1.0,
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """``--pop``: REMOVE matching detections from the array in place,
+    keeping the row (skip-detections.py:36 ``opt_pop``; the data-pop
+    stage). The complement of :func:`matching_detections`."""
+    pred = _match(min_conf, max_conf, labels)
+    c = F.col(dets_col)
+    return df.withColumn(dets_col, F.filter(c, lambda d: ~pred(d)))
