@@ -209,7 +209,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # small-sf layout fix: the test parquet is one file -> one input
+    # split; spread the Arrow signature pass over the cores (at real
+    # scale the scan has thousands of natural splits and this is a no-op
+    # cost-wise — it shuffles only the docs being signed)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=64, shingle_n=3)
     return minhash_lsh_pairs(sigs, bands=16, threshold=0.5, n_hashes=64).select(
         "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
@@ -225,7 +231,9 @@ def q_dedup_minhash_recall(spark, sf_dir):
     hashing isn't SQL-expressible, so this is rows-only — but the
     accuracy numbers themselves are the check."""
     t = 0.5
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     exact = ngram_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=t, max_shingle_df=None
     ).select("id_a", "id_b")
@@ -257,7 +265,9 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     """max_hamming=8 → 9 bands (derived): pigeonhole guarantees every
     qualifying pair collides in ≥1 band — the round-1 4-band recall hole
     is structurally closed (pytest all-pairs oracle proves 100% recall)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return simhash_pairs(simhash_signatures(docs, "text", "doc_id"), max_hamming=8)
 
 

@@ -81,6 +81,17 @@ def word_ngrams(col, n: int = 3):
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _mod_mersenne(x: np.ndarray) -> np.ndarray:
+    """x % (2^61-1) for uint64 arrays via shift-add — exact, ~100× the
+    speed of numpy's per-element uint64 division.
+
+    For M = 2^61-1 and any 64-bit x = q·2^61 + low: x ≡ q + low (mod M)
+    with q ≤ 7 and low ≤ M, so one conditional subtract finishes it.
+    """
+    r = (x >> np.uint64(61)) + (x & _MERSENNE)
+    return np.where(r >= _MERSENNE, r - _MERSENNE, r)
+
+
 def _perm_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, (1 << 61) - 1, size=n_hashes, dtype=np.uint64)
@@ -146,7 +157,7 @@ def minhash_signatures(
                     cnt = np.asarray(counts, dtype=np.int64)
                     hv = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
                     # (H, S) permuted hashes mod Mersenne prime — one matrix op
-                    perm = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+                    perm = _mod_mersenne(a[:, None] * hv[None, :] + b[:, None])
                     nz = cnt > 0
                     bounds = (np.r_[0, np.cumsum(cnt)][:-1])[nz]
                     mins = np.minimum.reduceat(perm, bounds, axis=1)  # (H, n_nonzero)
