@@ -865,6 +865,47 @@ def q_rel_skip_interval(spark, sf_dir):
     )
 
 
+def q_rel_asof_join(spark, sf_dir):
+    """As-of join (no Spark built-in): attach each click's latest
+    at-or-before purchase per user, via the union-and-window plan (one
+    equi-shuffle, no theta join); oracle is DuckDB's native ASOF JOIN."""
+    from vframe_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"], right_cols=["purchase_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.col("ts_matched").alias("purchase_ts"),
+    )
+
+
+def q_rel_range_join(spark, sf_dir):
+    """Bucketed range join (point-in-interval without BNLJ): orders
+    bucketed into derived 150-day validity windows; oracle is the plain
+    inequality join."""
+    from vframe_spark.operators.temporal import range_join
+
+    n = _t(spark, sf_dir, "nation")
+    iv = n.select(
+        "n_nationkey",
+        F.expr("cast(date_add(date'1992-01-01', cast(n_nationkey AS int) * 200) AS timestamp)").alias("lo"),
+        F.expr("cast(date_add(date'1992-01-01', cast(n_nationkey AS int) * 200 + 150) AS timestamp)").alias("hi"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    pairs = range_join(o, iv, "o_orderdate", "lo", "hi", bucket_width=86400 * 100)
+    return pairs.groupBy("n_nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
 def q_rel_having(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -930,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_date_parts": q_rel_date_parts,
         "rel_skip_interval": q_rel_skip_interval,
         "rel_having": q_rel_having,
+        "rel_asof_join": q_rel_asof_join,
+        "rel_range_join": q_rel_range_join,
     }
 
 
@@ -1322,6 +1365,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_discount > 0.05
             GROUP BY 1
             HAVING count(*) >= 4
+        """,
+        "rel_asof_join": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   round(p.value, 4) AS purchase_value,
+                   p.ts AS purchase_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "rel_range_join": """
+            WITH iv AS (
+              SELECT n_nationkey,
+                     TIMESTAMP '1992-01-01' + (n_nationkey * 200) * INTERVAL 1 DAY AS lo,
+                     TIMESTAMP '1992-01-01' + (n_nationkey * 200 + 150) * INTERVAL 1 DAY AS hi
+              FROM nation
+            )
+            SELECT n_nationkey, count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders JOIN iv ON o_orderdate >= lo AND o_orderdate < hi
+            GROUP BY 1
         """,
         # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
         # hash functions are engine-specific (xxhash64 / siphash) — rows-only

@@ -1,0 +1,112 @@
+"""As-of join and bucketed range join (operators Spark lacks natively)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.operators.temporal import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, f"k{i % 3}", base + dt.timedelta(minutes=7 * i + (i % 5)))
+        for i in range(60)
+    ]
+    right_rows = [
+        (100 + j, f"k{j % 3}", base + dt.timedelta(minutes=13 * j), float(j))
+        for j in range(25)
+    ]
+    left = spark.createDataFrame(left_rows, "lid bigint, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "rid bigint, k string, ts timestamp, px double")
+    return left, right
+
+
+def _merge_asof_expect(left, right, direction="backward", tolerance=None):
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    kw = {"tolerance": pd.Timedelta(tolerance)} if tolerance else {}
+    m = pd.merge_asof(
+        lp, rp.rename(columns={"ts": "r_ts"}), left_on="ts", right_on="r_ts",
+        by="k", direction=direction, **kw,
+    )
+    return {
+        int(r.lid): (None if pd.isna(r.px) else float(r.px))
+        for r in m.itertuples()
+    }
+
+
+def test_asof_backward_matches_pandas(spark, series):
+    left, right = series
+    out = asof_join(left, right, on="ts", by=["k"], right_cols=["px"])
+    got = {int(r["lid"]): r["px"] for r in out.collect()}
+    assert got == _merge_asof_expect(left, right)
+    assert out.count() == left.count()  # left-join row preservation
+
+
+def test_asof_forward_and_tolerance(spark, series):
+    left, right = series
+    fwd = asof_join(left, right, on="ts", by=["k"], right_cols=["px"], direction="forward")
+    got = {int(r["lid"]): r["px"] for r in fwd.collect()}
+    assert got == _merge_asof_expect(left, right, direction="forward")
+
+    tol = asof_join(left, right, on="ts", by=["k"], right_cols=["px"], tolerance="10 minutes")
+    got = {int(r["lid"]): r["px"] for r in tol.collect()}
+    assert got == _merge_asof_expect(left, right, tolerance="10 minutes")
+
+
+def test_asof_equal_ts_and_no_match(spark):
+    base = dt.datetime(2024, 6, 1)
+    left = spark.createDataFrame(
+        [(1, base), (2, base - dt.timedelta(seconds=1))], "lid bigint, ts timestamp"
+    )
+    right = spark.createDataFrame([(9, base, 5.0)], "rid bigint, ts timestamp, px double")
+    out = {r["lid"]: r["px"] for r in
+           asof_join(left, right, on="ts", right_cols=["px"]).collect()}
+    assert out == {1: 5.0, 2: None}  # equal ts matches; earlier row doesn't
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("px", "lid"), on="ts", right_cols=["lid"])
+
+
+def test_range_join_matches_bruteforce_and_plan(spark):
+    import random
+
+    rng = random.Random(2)
+    pts = [(i, float(rng.uniform(0, 1000))) for i in range(300)]
+    ivs = []
+    for j in range(40):
+        lo = rng.uniform(0, 950)
+        ivs.append((j, lo, lo + rng.uniform(1, 120)))
+    points = spark.createDataFrame(pts, "pid bigint, x double")
+    intervals = spark.createDataFrame(ivs, "iid bigint, lo double, hi double")
+
+    expect = {(p, i) for p, x in pts for i, lo, hi in ivs if lo <= x < hi}
+    for width in (16.0, 64.0, 512.0):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(points, intervals, "x", "lo", "hi", bucket_width=width).collect()
+        }
+        assert got == expect, width
+
+    plan = (
+        range_join(points, intervals, "x", "lo", "hi", bucket_width=64.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_timestamps_closed_both(spark):
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=i)) for i in range(48)], "pid bigint, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(0, base, base + dt.timedelta(hours=10))], "iid bigint, lo timestamp, hi timestamp"
+    )
+    left_closed = range_join(points, intervals, "ts", "lo", "hi", bucket_width=3600 * 4)
+    assert {r["pid"] for r in left_closed.collect()} == set(range(10))
+    both = range_join(points, intervals, "ts", "lo", "hi", bucket_width=3600 * 4, closed="both")
+    assert {r["pid"] for r in both.collect()} == set(range(11))

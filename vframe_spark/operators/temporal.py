@@ -1,0 +1,156 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bucketed range join.
+
+These are the standard time-series primitives of a training-data
+pipeline (attach the latest prior state to every sample; bucket events
+into validity windows). Spark has no ASOF JOIN; the naive expressions —
+a non-equi theta join, or per-key collect + Python — are a
+BroadcastNestedLoopJoin / driver loop respectively, both dead at scale.
+The implementations here use only equi-shuffles and windows:
+
+* :func:`asof_join` — union-and-window: tag both sides, shuffle ONCE on
+  the key, sort each key's timeline, carry the last right-side payload
+  forward with ``last(ignorenulls)``, keep left rows. O(n log n) per
+  key, no cross product, AQE-skew-splittable.
+* :func:`range_join` — the 1-D analog of geometry.iou_pairs_grid: each
+  interval explodes onto the fixed-width buckets it covers, each point
+  lives in exactly one bucket, so an equi-join on bucket + an exact
+  bound check finds every (point ∈ interval) pair exactly once — no
+  dedup pass needed.
+
+Both are DuckDB-oracle-checkable (ASOF JOIN is native there; range is
+an inequality join at oracle scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right[on] <= left[on]`` (backward; ``forward`` mirrors it),
+    optionally within the same ``by`` keys and a ``tolerance``
+    (an INTERVAL literal string, e.g. ``'7 days'``).
+
+    Matched right columns come back under their own names (pass
+    ``right_cols`` to select which); unmatched left rows keep NULLs —
+    left-join semantics, one row out per left row in.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by or [])
+    right_cols = list(right_cols or [c for c in right.columns if c not in by and c != on])
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: right columns {sorted(clash)} collide with left "
+            f"columns — alias them on the right side first"
+        )
+
+    lt = left.withColumn("_is_left", F.lit(1)).withColumn("_r_ts", F.lit(None).cast(right.schema[on].dataType.simpleString()))
+    rt = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_is_left"),
+        F.col(on).alias("_r_ts"),
+        *[F.col(c) for c in right_cols],
+    )
+    # align schemas: left gains null right_cols, right gains null left cols
+    for c in right_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType.simpleString()))
+    left_only = [c for c in left.columns if c not in by and c != on]
+    for c in left_only:
+        rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType.simpleString()))
+    cols = [*by, on, "_is_left", "_r_ts", *right_cols, *left_only]
+    u = lt.select(*cols).unionByName(rt.select(*cols))
+
+    # timeline order: at equal ts the right row sorts first so a left row
+    # AT the right row's timestamp sees it (pandas merge_asof semantics)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    carried = [F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}") for c in ("_r_ts", *right_cols)]
+    out = (
+        u.select(*cols, *carried)
+        .filter(F.col("_is_left") == 1)
+    )
+    matched = F.col("_m__r_ts")
+    if tolerance is not None:
+        gap_ok = (
+            (F.col(on) - matched <= F.expr(f"INTERVAL {tolerance}"))
+            if direction == "backward"
+            else (matched - F.col(on) <= F.expr(f"INTERVAL {tolerance}"))
+        )
+        keep = matched.isNotNull() & gap_ok
+    else:
+        keep = matched.isNotNull()
+    sel = [*by, F.col(on), *[F.col(c) for c in left_only]]
+    sel += [F.when(keep, F.col(f"_m_{c}")).otherwise(F.lit(None)).alias(c) for c in right_cols]
+    sel.append(F.when(keep, matched).otherwise(F.lit(None)).alias(f"{on}_matched"))
+    return out.select(*sel)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width,
+    by: list[str] | None = None,
+    closed: str = "left",
+) -> DataFrame:
+    """All (point, interval) pairs with point ∈ [lo, hi) (``closed=
+    'left'``; ``'both'`` for [lo, hi]) via fixed-width bucket equi-join.
+
+    ``bucket_width`` is in the column's native unit (numeric columns) or
+    SECONDS for timestamp columns. Each interval is exploded onto the
+    buckets it covers (choose ``bucket_width`` ≈ typical interval length
+    — wider means fewer replicas, denser buckets); each point maps to
+    exactly ONE bucket, so no pair can be produced twice.
+    """
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be left|both, got {closed!r}")
+    by = list(by or [])
+    is_ts = "timestamp" in points.schema[point_col].dataType.simpleString()
+
+    def to_num(c):
+        return F.unix_micros(c.cast("timestamp")) / 1_000_000.0 if is_ts else c.cast("double")
+
+    w = float(bucket_width)
+    p = points.withColumn("_bucket", F.floor(to_num(F.col(point_col)) / w))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(to_num(F.col(lo_col)) / w),
+                F.floor(to_num(F.col(hi_col)) / w),
+            )
+        ),
+    )
+    joined = p.join(iv, [*by, "_bucket"])
+    bound = (
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+        if closed == "left"
+        else (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+    return joined.filter(bound).drop("_bucket")
