@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from vframe_spark.functions.tokenizer import tokenize_duckdb_sql, tokenize_py
 from vframe_spark.functions import text as X
+from vframe_spark.functions.dates import time_bucket_duckdb_sql
 from vframe_spark.index.build import tokenize_docs
 from vframe_spark.index.builder import build_index, load_index
 from vframe_spark.operators.dedup import (
@@ -785,6 +786,21 @@ def q_rel_time_window(spark, sf_dir):
     )
 
 
+def q_rel_time_bucket(spark, sf_dir):
+    """Hypertable-style fixed-width rollup: 7-minute buckets (a width
+    date_trunc can't express) — the continuous-aggregate group key."""
+    from vframe_spark.functions.dates import time_bucket
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(time_bucket(F.col("ts"), 420).alias("bucket"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def q_rel_union_merge(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     a = e.filter(F.col("value") > 50)
@@ -963,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": q_rel_cube,
         "rel_histogram": q_rel_histogram,
         "rel_time_window": q_rel_time_window,
+        "rel_time_bucket": q_rel_time_bucket,
         "rel_union_merge": q_rel_union_merge,
         "rel_anti_join": q_rel_anti_join,
         "text_top_terms": q_text_top_terms,
@@ -1295,6 +1312,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_time_window": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "rel_time_bucket": f"""
+            SELECT {time_bucket_duckdb_sql('ts', 420)} AS bucket,
+                   event_type,
                    count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,

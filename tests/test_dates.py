@@ -1,0 +1,41 @@
+"""time_bucket — arbitrary-width rollup key (hypertable primitive)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vframe_spark.functions.dates import time_bucket, time_bucket_duckdb_sql
+
+
+def test_time_bucket_widths_and_origin(spark):
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [(i, base + dt.timedelta(seconds=95 * i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp")
+    out = {r["id"]: r["b"] for r in
+           df.select("id", time_bucket(F.col("ts"), 420).alias("b")).collect()}
+    for i, ts in rows:
+        expect = dt.datetime.utcfromtimestamp((int(ts.timestamp()) // 420) * 420)
+        assert out[i] == expect, i
+    # origin shifts the grid
+    shifted = {r["id"]: r["b"] for r in
+               df.select("id", time_bucket(F.col("ts"), 420, origin_epoch=60).alias("b")).collect()}
+    for i, ts in rows:
+        e = int(ts.timestamp())
+        expect = dt.datetime.utcfromtimestamp(((e - 60) // 420) * 420 + 60)
+        assert shifted[i] == expect, i
+
+
+def test_time_bucket_matches_duckdb(spark):
+    import duckdb
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [(i, base + dt.timedelta(seconds=77 * i, milliseconds=13 * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp")
+    got = {r["id"]: r["b"] for r in
+           df.select("id", time_bucket(F.col("ts"), 90).alias("b")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE x(id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO x VALUES (?, ?)", rows)
+    sql = time_bucket_duckdb_sql("ts", 90)
+    for rid, b in con.execute(f"SELECT id, {sql} FROM x").fetchall():
+        assert b.replace(tzinfo=None) == got[rid], rid

@@ -1,0 +1,37 @@
+"""Date/time helpers beyond the built-ins.
+
+The reference's date surface is mtime accessors (@date/@year, file_
+utils.py:93-121) — covered by Spark built-ins in the rel_* queries.
+This module adds the hypertable primitive the built-ins lack:
+arbitrary-width time buckets (``date_trunc`` only does calendar units).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def time_bucket(col, width_seconds: int | float, origin_epoch: int = 0) -> Column:
+    """Fixed-width time bucket: the timestamp floored to a
+    ``width_seconds`` grid anchored at ``origin_epoch`` (Unix seconds).
+
+    The continuous-aggregate / hypertable-rollup group key: unlike
+    ``date_trunc`` it supports any width (90 s, 7 min, 6 h, …) and an
+    explicit origin. Pure arithmetic — identical in any engine:
+    ``to_timestamp(floor((epoch(ts) - origin)/w)*w + origin)``.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    secs = F.unix_micros(c.cast("timestamp")) / 1_000_000.0
+    w = float(width_seconds)
+    bucket = F.floor((secs - origin_epoch) / w) * w + origin_epoch
+    return F.timestamp_seconds(bucket.cast("bigint"))
+
+
+def time_bucket_duckdb_sql(col: str, width_seconds: int | float, origin_epoch: int = 0) -> str:
+    """DuckDB twin of :func:`time_bucket` for oracle queries."""
+    w = float(width_seconds)
+    return (
+        f"to_timestamp((floor((epoch({col}) - {origin_epoch}) / {w}) * {w} "
+        f"+ {origin_epoch})::BIGINT)"
+    )
