@@ -116,6 +116,50 @@ ranked AS (
 SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
+# Conjunctive (AND) variant: only docs containing EVERY query term score;
+# a query with an out-of-vocabulary term yields no rows.
+BM25_CONJ_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {{QVALUES}}),
+qn AS (SELECT qid, count(DISTINCT term) AS nt FROM q GROUP BY 1),
+cand AS (
+  SELECT q.qid, tf.doc_id
+  FROM q JOIN tf ON tf.term = q.term
+  GROUP BY q.qid, tf.doc_id
+  HAVING count(DISTINCT tf.term) = max((SELECT nt FROM qn WHERE qn.qid = q.qid))
+),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (
+  SELECT contrib.qid, contrib.doc_id, round(sum(c), 4) AS score
+  FROM contrib JOIN cand ON cand.qid = contrib.qid AND cand.doc_id = contrib.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
 
 def _rounded_rank(df: DataFrame, k: int) -> DataFrame:
     """Round score to 4dp, then rank (score DESC, doc_id ASC) and cut k."""
@@ -173,6 +217,17 @@ def q_ft_bm25_wand(spark, sf_dir):
     Retrieves 3k then re-ranks on rounded scores (same rounding as SQL)."""
     postings, term_stats, _, meta = _ft_index(spark, sf_dir)
     raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def q_ft_bm25_conjunctive(spark, sf_dir):
+    """Posting-list INTERSECTION top-k (mode="and"): only docs holding
+    every query term score — the strict-AND retrieval path next to
+    WAND's ranked union, over the same compressed index."""
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(
+        postings, term_stats, meta, FT_QUERIES, k=3 * FT_K, mode="and"
+    )
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
@@ -947,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_stats": q_ft_term_stats,
         "ft_bm25_exhaustive": q_ft_bm25_exhaustive,
         "ft_bm25_wand": q_ft_bm25_wand,
+        "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_with_docs": q_ft_bm25_with_docs,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1035,6 +1091,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ft_bm25_exhaustive": bm25,
         "ft_bm25_wand": bm25,
+        "ft_bm25_conjunctive": BM25_CONJ_ORACLE_SQL.replace(
+            "{QVALUES}", _ft_qterms_values_sql()
+        ),
         "ft_bm25_with_docs": f"""
             WITH ranked AS ({bm25})
             SELECT r.qid, r.rank, r.doc_id, r.score,

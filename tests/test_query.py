@@ -153,3 +153,41 @@ def test_local_engine_lazy_dfs_and_lru_pinning(spark, corpus, index):
             expect = oracle.topk(q, k)
             assert [d for d, _ in got] == [d for d, _ in expect], q
     assert len(tiny._blocks) <= 4  # bounded (can exceed 2 only by one query's terms)
+
+
+def test_wand_conjunctive_matches_oracle_bitwise(spark, corpus, index):
+    """mode="and" = posting-list intersection: results bitwise-equal to
+    the exhaustive conjunctive oracle (score AND tie-break), absent-term
+    queries empty, and every result is a superset-scored member of the
+    OR results' doc set intersection."""
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    queries = [(qid, q, k) for qid, q, k in reference_queries(12)]
+    queries.append((98, "zzzneverseen data", 5))  # absent term → empty
+    got_rows = bm25_topk_wand(
+        postings, term_stats, meta, [(q, s) for q, s, _ in queries], k=10, mode="and"
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q, k in queries:
+        expect = oracle.topk_conjunctive(q, 10)
+        mine = sorted(got.get(qid, []))
+        assert len(mine) == len(expect), (qid, q)
+        for (rank, doc_id, score), (edoc, escore) in zip(mine, expect):
+            assert doc_id == edoc, (qid, q, rank)
+            assert score == escore, (qid, q, rank)  # tol 0.0
+    assert 98 not in got
+
+
+def test_local_engine_conjunctive_matches_distributed(spark, corpus, index):
+    from vframe_spark.query.local import LocalQueryEngine
+
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    eng = LocalQueryEngine(postings, term_stats, meta)
+    for qid, q, k in reference_queries(8):
+        got = eng.topk(q, k, mode="and")
+        expect = oracle.topk_conjunctive(q, k)
+        assert got == expect, q
+    assert eng.topk("zzznever data", 5, mode="and") == []

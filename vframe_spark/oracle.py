@@ -74,6 +74,21 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def topk_conjunctive(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Strict AND: only docs containing EVERY query term score; any
+        out-of-vocabulary query term empties the result. Same per-doc
+        scoring/sum order as :meth:`topk` — bitwise-comparable."""
+        terms = _rejoin_lang_terms(query, tokenize_py(query))
+        uniq = sorted(set(terms))
+        if not uniq or any(t not in self.df for t in uniq):
+            return []
+        scored = []
+        for d, c in self.tf.items():
+            if all(c.get(t, 0) > 0 for t in uniq):
+                scored.append((d, self.score(uniq, d)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
 
 def _rejoin_lang_terms(query: str, terms: list[str]) -> list[str]:
     """Recover `lang:py`-style scoping terms the tokenizer split apart."""

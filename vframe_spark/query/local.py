@@ -109,11 +109,16 @@ class LocalQueryEngine:
             return pd.DataFrame()
         return pd.concat(parts, ignore_index=True)
 
-    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """→ [(doc_id, score)] ranked (score DESC, doc_id ASC)."""
-        dfs = self._get_dfs(sorted(set(parse_query_terms(query))))
+    def topk(self, query: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        """→ [(doc_id, score)] ranked (score DESC, doc_id ASC).
+
+        ``mode="and"`` = strict posting-list intersection (any
+        out-of-vocabulary query term → empty), same as the distributed
+        path."""
+        q_terms = sorted(set(parse_query_terms(query)))
+        dfs = self._get_dfs(q_terms)
         terms = sorted(dfs)
-        if not terms:
+        if not terms or (mode == "and" and len(terms) < len(q_terms)):
             return []
         pdf = self._fetch(terms)
         if pdf.empty:
@@ -123,9 +128,11 @@ class LocalQueryEngine:
         pdf["idf"] = pdf["term"].map(
             {t: idf_value(self._n_docs, dfs[t]) for t in terms}
         )
+        if mode == "and":
+            pdf["n_terms"] = len(terms)
         out_parts = []
         for _, g in pdf.groupby("shard"):
-            out_parts.append(_local_topk(g.reset_index(drop=True), k, self._avgdl))
+            out_parts.append(_local_topk(g.reset_index(drop=True), k, self._avgdl, mode))
         allp = pd.concat(out_parts, ignore_index=True)
         allp = allp.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"

@@ -56,9 +56,30 @@ def _bound(idf: float, max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> 
     return idf * (mt * (K1 + 1.0)) / (mt + K1 * (1.0 - B + B * min_dl / avgdl))
 
 
-def _local_topk(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
-    """Exact top-k for one (qid, shard) group with segment pruning."""
+def _local_topk(
+    pdf: pd.DataFrame, k: int, avgdl: float, mode: str = "or"
+) -> pd.DataFrame:
+    """Exact top-k for one (qid, shard) group with segment pruning.
+
+    ``mode="or"`` (default) is ranked union — classic WAND. ``mode=
+    "and"`` is *posting-list intersection*: a doc scores only if it
+    contains EVERY query term. Because shards are doc-id ranges, all of
+    a doc's postings live in one shard, so the intersection is decided
+    locally: segments missing coverage from any term are pruned before
+    decode, and within a segment a doc qualifies iff it appears in all
+    term lists (each list holds a doc at most once, so the occurrence
+    count equals the term count). ``pdf["n_terms"]`` carries the
+    query's full term count — a term with zero postings in this shard
+    makes the whole group empty.
+    """
     qid = int(pdf["qid"].iloc[0])
+    conj = mode == "and"
+    n_required = int(pdf["n_terms"].iloc[0]) if conj else 0
+    empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
+        {"qid": "int32", "doc_id": "int64", "score": "float64"}
+    )
+    if conj and pdf["term"].nunique() < n_required:
+        return empty
     # Per-term block arrays, terms in sorted order (deterministic sums).
     terms = sorted(pdf["term"].unique())
     per_term = []
@@ -105,6 +126,10 @@ def _local_topk(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
         ok = (blk >= 0) & (seg_lo <= t["lasts"][np.clip(blk, 0, None)])
         cover[ti, ok] = blk[ok]
         ub_seg[ok] += t["ub"][blk[ok]]
+    if conj:
+        # intersection: a segment lacking ANY term's block can't produce
+        # a match — pruned before any decode happens
+        ub_seg[(cover < 0).any(axis=0)] = -np.inf
 
     order = np.argsort(-ub_seg, kind="mergesort")
     cand_ids: list[np.ndarray] = []
@@ -128,6 +153,8 @@ def _local_topk(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
         return hit
 
     for si in order:
+        if ub_seg[si] == -np.inf:
+            break  # only coverage-pruned segments remain (sorted order)
         if n_cand >= k and ub_seg[si] < theta - _EPS:
             break  # every remaining segment is non-competitive
         lo, hi = int(seg_lo[si]), int(seg_hi[si])
@@ -141,13 +168,20 @@ def _local_topk(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
             if z > a:
                 ids_parts.append(ids[a:z])
                 contrib_parts.append(contrib[a:z])
-        if not ids_parts:
+        if not ids_parts or (conj and len(ids_parts) < n_required):
             continue
         all_ids = np.concatenate(ids_parts)
         all_contrib = np.concatenate(contrib_parts)
         uniq, inv = np.unique(all_ids, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, all_contrib)  # term-sorted accumulation order
+        if conj:
+            cnt = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(cnt, inv, 1)
+            hit = cnt == n_required  # in every term's list → intersection
+            uniq, scores = uniq[hit], scores[hit]
+            if uniq.size == 0:
+                continue
         cand_ids.append(uniq)
         cand_scores.append(scores)
         n_cand += uniq.size
@@ -155,9 +189,7 @@ def _local_topk(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
             theta = _kth_best(cand_scores, k)
 
     if not cand_ids:
-        return pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
-            {"qid": "int32", "doc_id": "int64", "score": "float64"}
-        )
+        return empty
     ids = np.concatenate(cand_ids)
     scores = np.concatenate(cand_scores)
     sel = np.lexsort((ids, -scores))[:k]
@@ -177,8 +209,16 @@ def bm25_topk_wand(
     meta: dict,
     queries: Iterable[tuple[int, str]],
     k: int = 10,
+    mode: str = "or",
 ) -> DataFrame:
-    """Batch top-k over the compressed index. Returns (qid, rank, doc_id, score)."""
+    """Batch top-k over the compressed index. Returns (qid, rank, doc_id, score).
+
+    ``mode="or"``: ranked union (WAND). ``mode="and"``: posting-list
+    intersection — only docs containing EVERY query term score; a query
+    with any out-of-vocabulary term returns no rows (strict AND).
+    """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be or|and, got {mode!r}")
     spark: SparkSession = postings.sparkSession
     n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
     rows = [
@@ -197,12 +237,28 @@ def bm25_topk_wand(
     }
     from .bm25 import idf_value
 
-    qstat_rows = [
-        (qid, t, idf_value(n_docs, dfs[t])) for qid, t in rows if t in dfs
-    ]
+    if mode == "and":
+        # strict intersection: an absent term empties its whole query
+        n_by_qid: dict[int, int] = {}
+        dead = set()
+        for qid, t in rows:
+            n_by_qid[qid] = n_by_qid.get(qid, 0) + 1
+            if t not in dfs:
+                dead.add(qid)
+        qstat_rows = [
+            (qid, t, idf_value(n_docs, dfs[t]), n_by_qid[qid])
+            for qid, t in rows
+            if qid not in dead
+        ]
+        schema = "qid int, term string, idf double, n_terms int"
+    else:
+        qstat_rows = [
+            (qid, t, idf_value(n_docs, dfs[t])) for qid, t in rows if t in dfs
+        ]
+        schema = "qid int, term string, idf double"
     if not qstat_rows:
         return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
-    qstats = spark.createDataFrame(qstat_rows, "qid int, term string, idf double")
+    qstats = spark.createDataFrame(qstat_rows, schema)
     pruned = postings
     if "bucket" in postings.columns and meta.get("term_buckets"):
         # file-level pruning: bucket is a partition directory, so whole
@@ -216,6 +272,6 @@ def bm25_topk_wand(
         F.broadcast(qstats), "term"
     )
     partials = matched.groupBy("qid", "shard").applyInPandas(
-        lambda pdf: _local_topk(pdf, k, avgdl), PARTIAL_SCHEMA
+        lambda pdf: _local_topk(pdf, k, avgdl, mode), PARTIAL_SCHEMA
     )
     return topk(partials, k)
