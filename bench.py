@@ -138,6 +138,7 @@ def main() -> None:
     # ---- 3. headline queries() entries at SF_DIR -------------------------
     headline = [
         "ft_bm25_wand",
+        "ft_bm25_conjunctive",
         "ft_tokenize_tf",
         "dedup_exact_groups",
         "dedup_minhash_pairs",
@@ -152,6 +153,8 @@ def main() -> None:
         "rel_window_topk",
         "rel_bucket_rollup",
         "rel_anti_join",
+        "rel_asof_join",
+        "rel_range_join",
     ]
     qfns = E.queries()
     for name in headline:

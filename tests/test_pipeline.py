@@ -1,0 +1,67 @@
+"""Declarative pipeline chain (reference `pipe …` CLI,
+cli.py:82 + click_utils.py:66-80)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.pipeline import STEP_REGISTRY, Pipeline, register_step
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(40):
+        text = f"sample document number {i} with content tokens " * (1 + i % 4)
+        rows.append((i, f"repo{i % 3}", text if i % 7 else "", i))
+    return spark.createDataFrame(rows, "doc_id bigint, repo string, content string, n bigint")
+
+
+def test_chain_composes_and_stays_one_plan(spark, docs, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    pipe = Pipeline([
+        ("validity", {"content_col": "content", "max_chars": 5000}),
+        ("filter", {"where": "n % 2 = 0"}),
+        ("skip_interval", {"col": "doc_id", "every_n": 2}),
+        ("select", {"cols": ["doc_id", "repo", "content"]}),
+    ])
+    out = pipe(spark.read.parquet(p))
+    got = {r["doc_id"] for r in out.collect()}
+    expect = {i for i in range(40) if i % 7 and i % 2 == 0}
+    assert got == expect
+    # the whole chain folds into ONE scan with pushed filters
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert plan.count("FileScan") == 1
+    assert "doc_id" in plan.split("ReadSchema")[1][:200]  # pruned read
+
+
+def test_dedup_and_quality_steps(spark, docs):
+    dup = docs.unionByName(
+        docs.filter("doc_id = 1").withColumn("doc_id", F.lit(100))
+    )
+    pipe = Pipeline([
+        ("validity", {"content_col": "content"}),
+        ("dedup_exact", {"content_col": "content", "id_col": "doc_id"}),
+        ("text_quality", {"content_col": "content"}),
+    ])
+    out = pipe(dup).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 1 in ids and 100 not in ids  # keep-first on the planted dup
+    assert all("quality" in r.asDict() for r in out)
+
+
+def test_custom_step_and_errors(spark, docs):
+    @register_step("double_n")
+    def _double(df):
+        return df.withColumn("n", F.col("n") * 2)
+
+    assert "double_n" in STEP_REGISTRY
+    out = Pipeline([("double_n", {})])(docs).select(F.sum("n")).collect()[0][0]
+    assert out == 2 * sum(range(40))
+    with pytest.raises(ValueError, match="unknown pipeline steps"):
+        Pipeline([("nope", {})])
+    with pytest.raises(ValueError, match="exactly one"):
+        Pipeline([("filter", {})])(docs)
+    desc = Pipeline([("limit", {"n": 3})]).describe()
+    assert desc == "limit(n=3)"

@@ -1,0 +1,181 @@
+"""Declarative operator pipeline — the `vframe pipe …` chain as data.
+
+Reference parity: the CLI chains processors into a generator pipeline
+(`click.group(chain=…)` + the ``@processor`` coroutine protocol,
+/root/reference/src/cli.py:82, /root/reference/src/vframe/utils/
+click_utils.py:66-80); a user writes ``open → skip-phash → detect →
+save-json``. Here the same chain is a list of ``(step_name, params)``
+pairs compiled onto a DataFrame — each step is one of this engine's
+operators, so the whole chain stays ONE lazy Catalyst plan: filters
+merge into the scan, projections prune columns, and nothing runs until
+the terminal action. That is the Spark-first translation of the
+reference's row-streaming coroutines — identical composition surface,
+but the optimizer sees the entire chain at once.
+
+>>> pipe = Pipeline([
+...     ("filter", {"predicate": "@n_lines > 10"}),
+...     ("skip_detections", {"dets_col": "dets", "min_conf": 0.5}),
+...     ("dedup_exact", {"content_col": "content", "id_col": "doc_id"}),
+... ])
+>>> out = pipe(df)
+
+Steps are looked up in ``STEP_REGISTRY``; register custom ones with
+``@register_step("name")`` (the plugin analog — reference plugins dir).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+StepFn = Callable[..., DataFrame]  # (df, **params) -> df
+
+STEP_REGISTRY: dict[str, StepFn] = {}
+
+
+def register_step(name: str):
+    """Register a pipeline step (reference plugin-command analog)."""
+
+    def deco(fn: StepFn) -> StepFn:
+        STEP_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+class Pipeline:
+    """A compiled chain of named steps; calling it folds them over a df."""
+
+    def __init__(self, steps: list[tuple[str, dict]]):
+        unknown = [n for n, _ in steps if n not in STEP_REGISTRY]
+        if unknown:
+            raise ValueError(
+                f"unknown pipeline steps {unknown}; available: "
+                f"{', '.join(sorted(STEP_REGISTRY))}"
+            )
+        self.steps = [(n, dict(p)) for n, p in steps]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        for name, params in self.steps:
+            df = STEP_REGISTRY[name](df, **params)
+        return df
+
+    def describe(self) -> str:
+        return " | ".join(
+            n + ("" if not p else "(" + ", ".join(f"{k}={v!r}" for k, v in p.items()) + ")")
+            for n, p in self.steps
+        )
+
+
+# ------------------------------------------------------------ built-in steps
+
+@register_step("filter")
+def _filter(df, where: str | None = None, predicate: str | None = None):
+    """SQL ``where`` or `@attr` ``predicate`` DSL (skip-file --if)."""
+    if (where is None) == (predicate is None):
+        raise ValueError("filter: pass exactly one of where= / predicate=")
+    if where is not None:
+        return df.filter(F.expr(where))
+    from .functions.predicates import attr_filter
+
+    return attr_filter(df, predicate)
+
+
+@register_step("select")
+def _select(df, cols: list[str]):
+    """Column pruning (skip-frames header-only analog)."""
+    return df.select(*cols)
+
+
+@register_step("with_column")
+def _with_column(df, name: str, expr: str):
+    return df.withColumn(name, F.expr(expr))
+
+
+@register_step("skip_interval")
+def _skip_interval(df, col: str, every_n: int):
+    return df.filter((F.col(col) % every_n) == 0)
+
+
+@register_step("skip_detections")
+def _skip_detections(df, dets_col: str, min_conf: float = 0.0, max_conf: float = 1.0,
+                     labels: list[str] | None = None, keep: str = "with"):
+    from .operators.detections import filter_by_detections
+
+    return filter_by_detections(df, dets_col, min_conf, max_conf, labels, keep)
+
+
+@register_step("skip_labels")
+def _skip_labels(df, dets_col: str, include: list[str] | None = None,
+                 exclude: list[str] | None = None, match_all: bool = False):
+    from .operators.detections import filter_by_labels
+
+    return filter_by_labels(df, dets_col, include, exclude, match_all)
+
+
+@register_step("pop_detections")
+def _pop_detections(df, dets_col: str, min_conf: float = 0.0, max_conf: float = 1.0,
+                    labels: list[str] | None = None):
+    from .operators.detections import pop_detections
+
+    return pop_detections(df, dets_col, min_conf, max_conf, labels)
+
+
+@register_step("dedup_exact")
+def _dedup_exact(df, content_col: str, id_col: str):
+    from .operators.dedup import dedup_exact
+
+    return dedup_exact(df, content_col, id_col)
+
+
+@register_step("dedup_minhash")
+def _dedup_minhash(df, content_col: str, id_col: str, threshold: float = 0.7,
+                   n_hashes: int = 64, bands: int = 16, shingle_n: int = 3):
+    from .operators.dedup import minhash_dedup
+
+    return minhash_dedup(df, content_col, id_col, n_hashes, bands, shingle_n, threshold)
+
+
+@register_step("validity")
+def _validity(df, content_col: str = "content", max_chars: int = 10_000_000,
+              drop_invalid: bool = True):
+    from .sources import with_validity
+
+    out = with_validity(df, content_col, max_chars)
+    if drop_invalid:
+        out = out.filter(F.col("valid")).drop("valid", "invalid_reason")
+    return out
+
+
+@register_step("text_quality")
+def _text_quality(df, content_col: str, min_quality: float | None = None):
+    from .functions import text as X
+
+    out = df.withColumn("quality", X.quality_score(F.col(content_col)))
+    if min_quality is not None:
+        out = out.filter(F.col("quality") >= min_quality)
+    return out
+
+
+@register_step("lang_id")
+def _lang_id(df, content_col: str, keep: list[str] | None = None):
+    from .functions import text as X
+
+    out = df.withColumn("lang_guess", X.lang_id(F.col(content_col)))
+    if keep:
+        out = out.filter(F.col("lang_guess").isin(keep))
+    return out
+
+
+@register_step("assign_ids")
+def _assign_ids(df, order_cols: list[str], id_col: str = "doc_id"):
+    from .ids import assign_doc_ids
+
+    return assign_doc_ids(df, order_cols, id_col)
+
+
+@register_step("limit")
+def _limit(df, n: int):
+    return df.limit(n)
