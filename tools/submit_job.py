@@ -41,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--query", action="append", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--mode", choices=("or", "and"), default="or",
+                   help="or = ranked union (WAND); and = posting-list intersection")
 
     args = ap.parse_args(argv)
 
@@ -75,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
 
         postings, term_stats, _, meta = load_index(spark, args.index)
         queries = [(i + 1, s) for i, s in enumerate(args.query)]
-        rows = bm25_topk_wand(postings, term_stats, meta, queries, k=args.k).collect()
+        rows = bm25_topk_wand(
+            postings, term_stats, meta, queries, k=args.k, mode=args.mode
+        ).collect()
         for r in rows:
             print(json.dumps({"qid": r["qid"], "rank": r["rank"],
                               "doc_id": r["doc_id"], "score": r["score"]}))
