@@ -1,0 +1,108 @@
+"""Index compaction: layout-only rewrite, bit-identical queries,
+crash-safe two-phase swap."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import IndexPaths, build_index, load_index
+from vframe_spark.index.compact import compact_index, repair_compaction
+from vframe_spark.query.wand import bm25_topk_wand
+
+QUERIES = [(1, "data analysis"), (2, "parse buffer config"), (3, "stream value")]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cidx"))
+    docs = assign_doc_ids(
+        synth_docs(spark, 300, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    )
+    meta = build_index(docs, out, shard_size=32, block_size=8, shards_per_slice=2)
+    assert meta["complete"]
+    return out
+
+
+def _results(spark, out):
+    postings, term_stats, _, meta = load_index(spark, out)
+    rows = bm25_topk_wand(postings, term_stats, meta, QUERIES, k=10).collect()
+    return sorted((r["qid"], r["rank"], r["doc_id"], r["score"]) for r in rows)
+
+
+def _parquet_files(store):
+    return [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(store)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compaction_preserves_results_and_shrinks_files(spark, built):
+    before = _results(spark, built)
+    paths = IndexPaths(built)
+    files_before = len(_parquet_files(paths.postings))
+    slices_before = len([d for d in os.listdir(paths.postings) if d.startswith("slice=")])
+    assert slices_before > 1  # fixture really is multi-slice
+
+    stats = compact_index(spark, built)
+    assert stats["postings"]["slices_after"] == 1
+    assert stats["postings"]["files_after"] < files_before
+
+    # single consolidated generation on disk, same partition scheme
+    dirs = [d for d in os.listdir(paths.postings) if d.startswith("slice=")]
+    assert dirs == ["slice=-1"]
+    assert any(d.startswith("bucket=") for d in os.listdir(os.path.join(paths.postings, "slice=-1")))
+
+    after = _results(spark, built)
+    assert after == before  # bit-identical ranking incl. scores
+
+    # row-level identity too (postings content unchanged, only layout)
+    postings, _, _, meta = load_index(spark, built)
+    n_rows = postings.count()
+    assert n_rows == postings.dropDuplicates(["bucket", "term", "shard", "block"]).count()
+
+    # second compaction is a no-op
+    stats2 = compact_index(spark, built)
+    assert stats2["postings"]["skipped"]
+    assert _results(spark, built) == before
+
+
+def test_compaction_repair_finishes_interrupted_swap(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    docs = assign_doc_ids(
+        synth_docs(spark, 120, partitions=2), ["repo", "path", "commit"], num_partitions=2
+    )
+    build_index(docs, out, shard_size=16, block_size=8, shards_per_slice=2)
+    before = _results(spark, out)
+    paths = IndexPaths(out)
+
+    # simulate a crash mid-swap: tmp fully written + marker present,
+    # victims NOT yet removed (the worst double-counting window)
+    store = paths.doc_stats
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("slice="))
+    assert len(dirs) > 1
+    tmp = os.path.join(out, "_compact_tmp_doc_stats")
+    df = spark.read.parquet(store).drop("slice")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    marker = os.path.join(out, "_compaction_inprogress.json")
+    with open(marker, "w") as fh:
+        json.dump(
+            {"tmp": tmp, "dest": os.path.join(store, "slice=-1"),
+             "victims": [os.path.join(store, d) for d in dirs]},
+            fh,
+        )
+    assert repair_compaction(out)  # completes the swap
+    assert not os.path.exists(marker) and not os.path.isdir(tmp)
+    left = sorted(d for d in os.listdir(store) if d.startswith("slice="))
+    assert left == ["slice=-1"]
+    # doc_stats row count preserved (no double counting, no loss)
+    n = spark.read.parquet(store).count()
+    assert n == 120 or n == spark.read.parquet(store).dropDuplicates(["doc_id"]).count()
+    assert _results(spark, out) == before
+    assert not repair_compaction(out)  # idempotent no-op afterwards

@@ -291,7 +291,11 @@ def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_siz
 def load_index(spark: SparkSession, out_dir: str):
     """→ (postings, term_stats, doc_stats, meta)."""
     from .codec import FORMAT_VERSION
+    from .compact import repair_compaction
 
+    # an interrupted compaction must never be read mid-swap (it would
+    # double-count); finishing it here is a cheap marker-file check
+    repair_compaction(out_dir)
     paths = IndexPaths(out_dir)
     meta = json.load(open(paths.meta))
     if meta.get("format", FORMAT_VERSION) != FORMAT_VERSION:

@@ -1,0 +1,150 @@
+"""Index compaction: merge many small per-slice files into one
+consolidated generation per store.
+
+An incremental build accumulates ``slices × term_buckets`` posting
+files (plus per-slice doc_stats / term_partials). Query cost doesn't
+degrade logically — (term, shard) groups never overlap across slices —
+but at 10^3+ slices the file count dominates scan planning and open()
+overhead. Compaction is a pure LAYOUT rewrite: posting blocks are
+already compressed and self-contained, so rows are moved, never
+re-encoded, and every query result is bit-identical before/after
+(asserted in tests).
+
+Crash safety mirrors the builder's manifest discipline: a marker file
+records the plan (tmp dir + victim dirs) before anything is deleted;
+``repair_compaction`` — run automatically at the start of every
+compaction — completes or rolls back an interrupted run, so the store
+is never left double-counting or missing rows.
+
+Reference analog: the reference re-packs accumulated per-frame JSON
+into one file at save time (save-detections accumulate-then-flush,
+/root/reference/src/commands/pipe/save-detections.py:26-75); here the
+same consolidation applies to the index store itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .builder import IndexPaths
+
+_MARKER = "_compaction_inprogress.json"
+
+
+def _slice_dirs(store: str) -> list[str]:
+    if not os.path.isdir(store):
+        return []
+    return sorted(d for d in os.listdir(store) if d.startswith("slice="))
+
+
+def _next_gen(store: str) -> int:
+    """Compacted generations use negative slice ids (live slice ids are
+    ≥ 0, so future incremental slices never collide)."""
+    vals = [int(d.split("=", 1)[1]) for d in _slice_dirs(store)]
+    neg = [v for v in vals if v < 0]
+    return (min(neg) - 1) if neg else -1
+
+
+def repair_compaction(root: str) -> bool:
+    """Finish (or discard) an interrupted compaction. Returns True if
+    any repair action ran. Safe to call when nothing is pending."""
+    marker = os.path.join(root, _MARKER)
+    if not os.path.exists(marker):
+        return False
+    plan = json.load(open(marker))
+    tmp, dest, victims = plan["tmp"], plan["dest"], plan["victims"]
+    if os.path.isdir(tmp):
+        # tmp is complete (marker is written only after tmp commits):
+        # finish the swap — remove victims, then move tmp into place
+        for v in victims:
+            shutil.rmtree(v, ignore_errors=True)
+        if not os.path.isdir(dest):
+            shutil.move(tmp, dest)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
+def compact_index(spark: SparkSession, out_dir: str) -> dict:
+    """Consolidate all committed slices of each store into one compacted
+    generation. Returns stats: files/slices before and after per store.
+
+    Layout in = layout out (``slice=…/[bucket=…]`` parquet), so
+    ``load_index`` / queries / future incremental slices are untouched;
+    only the file count changes.
+    """
+    paths = IndexPaths(out_dir)
+    meta = json.load(open(paths.meta))
+    if not meta.get("complete"):
+        raise ValueError("compact_index: index build is not complete")
+    repair_compaction(out_dir)
+
+    stats: dict[str, dict] = {}
+    jobs = [
+        # (store, partition col inside each slice, sort keys for locality)
+        (paths.postings, "bucket", ["bucket", "term", "shard", "block"]),
+        (paths.doc_stats, None, ["doc_id"]),
+        (paths.term_partials, None, ["term", "shard"]),
+    ]
+    for store, part_col, sort_cols in jobs:
+        dirs = _slice_dirs(store)
+        before_files = sum(
+            len([f for _, _, fs in os.walk(os.path.join(store, d)) for f in fs if f.endswith(".parquet")])
+            for d in dirs
+        )
+        if len(dirs) <= 1:
+            stats[os.path.basename(store)] = {
+                "slices_before": len(dirs), "slices_after": len(dirs),
+                "files_before": before_files, "files_after": before_files,
+                "skipped": True,
+            }
+            continue
+        gen = _next_gen(store)
+        dest = os.path.join(store, f"slice={gen}")
+        tmp = os.path.join(out_dir, f"_compact_tmp_{os.path.basename(store)}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        df = spark.read.parquet(store).drop("slice")
+        if part_col is not None:
+            n_part = int(meta.get("term_buckets", 16))
+            (
+                df.repartition(n_part, part_col)
+                .sortWithinPartitions(*sort_cols)
+                .write.partitionBy(part_col)
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+        else:
+            df.coalesce(4).sortWithinPartitions(*sort_cols).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+
+        # two-phase commit: marker first (tmp is complete), then swap —
+        # repair_compaction finishes this from any crash point
+        marker = os.path.join(out_dir, _MARKER)
+        with open(marker, "w") as fh:
+            json.dump(
+                {"tmp": tmp, "dest": dest,
+                 "victims": [os.path.join(store, d) for d in dirs]},
+                fh,
+            )
+        for d in dirs:
+            shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+        shutil.move(tmp, dest)
+        os.remove(marker)
+
+        after_files = len(
+            [f for _, _, fs in os.walk(dest) for f in fs if f.endswith(".parquet")]
+        )
+        stats[os.path.basename(store)] = {
+            "slices_before": len(dirs), "slices_after": 1,
+            "files_before": before_files, "files_after": after_files,
+            "skipped": False,
+        }
+    return stats
