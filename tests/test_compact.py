@@ -106,3 +106,47 @@ def test_compaction_repair_finishes_interrupted_swap(spark, tmp_path):
     assert n == 120 or n == spark.read.parquet(store).dropDuplicates(["doc_id"]).count()
     assert _results(spark, out) == before
     assert not repair_compaction(out)  # idempotent no-op afterwards
+
+
+def test_soft_delete_tombstones(spark, built):
+    """delete_docs: deleted docs vanish from results with surviving
+    scores unchanged (frozen-stats soft delete), on both query paths."""
+    import shutil as _sh
+
+    work = built + "_tomb"
+    if os.path.isdir(work):
+        _sh.rmtree(work)
+    _sh.copytree(built, work)
+
+    from vframe_spark.index.builder import delete_docs, load_tombstones
+    from vframe_spark.query.local import LocalQueryEngine
+
+    postings, term_stats, _, meta = load_index(spark, work)
+    before = bm25_topk_wand(postings, term_stats, meta, QUERIES, k=10).collect()
+    by_q = {}
+    for r in before:
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    victims = [by_q[1][0][0], by_q[1][2][0]]  # top + third doc of query 1
+
+    assert delete_docs(spark, work, victims) == 2
+    assert delete_docs(spark, work, []) == 0
+    dead = load_tombstones(spark, work)
+    assert dead == sorted(set(victims))
+
+    after = bm25_topk_wand(
+        postings, term_stats, meta, QUERIES, k=10, exclude_doc_ids=dead
+    ).collect()
+    by_q2 = {}
+    for r in after:
+        by_q2.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    assert not any(d in {x for x, _ in by_q2[1]} for d in victims)
+    # survivors keep their exact scores and relative order
+    surv_before = [(d, s) for d, s in by_q[1] if d not in set(victims)]
+    assert by_q2[1][: len(surv_before)] == surv_before
+    # k is refilled from below when enough docs exist
+    assert len(by_q2[1]) >= len(surv_before)
+
+    # interactive path agrees exactly
+    eng = LocalQueryEngine(postings, term_stats, meta, exclude_doc_ids=dead)
+    assert eng.topk(QUERIES[0][1], 10) == [(d, s) for d, s in by_q2[1]]
+    _sh.rmtree(work, ignore_errors=True)

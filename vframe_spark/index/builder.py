@@ -309,3 +309,34 @@ def load_index(spark: SparkSession, out_dir: str):
         spark.read.parquet(paths.doc_stats),
         meta,
     )
+
+
+def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> int:
+    """Soft-delete documents: append their ids to the tombstone store.
+
+    Lucene-style semantics: tombstoned docs are excluded from every
+    query result immediately, while corpus statistics (N, avgdl, df)
+    stay frozen until a rebuild — scores of surviving docs are therefore
+    unchanged, only the deleted docs disappear (the exactness contract
+    tests assert). Idempotent: re-deleting an id is a no-op at read time
+    (ids are deduped on load). Returns how many ids were written.
+    """
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return 0
+    path = os.path.join(out_dir, "tombstones")
+    spark.createDataFrame([(i,) for i in ids], "doc_id bigint").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    return len(ids)
+
+
+def load_tombstones(spark: SparkSession, out_dir: str) -> list[int]:
+    """Sorted distinct tombstoned doc ids ([] when none)."""
+    path = os.path.join(out_dir, "tombstones")
+    if not os.path.isdir(path):
+        return []
+    return [
+        int(r["doc_id"])
+        for r in spark.read.parquet(path).select("doc_id").distinct().orderBy("doc_id").collect()
+    ]

@@ -38,10 +38,20 @@ class LocalQueryEngine:
     """Driver-side query head over a loaded index."""
 
     def __init__(self, postings: DataFrame, term_stats: DataFrame, meta: dict,
-                 cache_terms: int = 4096):
+                 cache_terms: int = 4096,
+                 exclude_doc_ids: list[int] | None = None):
+        import numpy as np
+
         self._postings = postings
         self._term_stats = term_stats
         self._meta = meta
+        # soft-deleted docs (index.builder.load_tombstones) — filtered
+        # inside the scorer before the k cut, same as the distributed path
+        self._exclude = (
+            np.asarray(sorted(set(exclude_doc_ids)), dtype=np.int64)
+            if exclude_doc_ids
+            else None
+        )
         self._n_docs = meta["n_docs"]
         self._avgdl = float(meta["avgdl"])
         self._cache_terms = cache_terms
@@ -132,7 +142,9 @@ class LocalQueryEngine:
             pdf["n_terms"] = len(terms)
         out_parts = []
         for _, g in pdf.groupby("shard"):
-            out_parts.append(_local_topk(g.reset_index(drop=True), k, self._avgdl, mode))
+            out_parts.append(
+                _local_topk(g.reset_index(drop=True), k, self._avgdl, mode, self._exclude)
+            )
         allp = pd.concat(out_parts, ignore_index=True)
         allp = allp.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"

@@ -57,7 +57,11 @@ def _bound(idf: float, max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> 
 
 
 def _local_topk(
-    pdf: pd.DataFrame, k: int, avgdl: float, mode: str = "or"
+    pdf: pd.DataFrame,
+    k: int,
+    avgdl: float,
+    mode: str = "or",
+    exclude: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact top-k for one (qid, shard) group with segment pruning.
 
@@ -182,6 +186,14 @@ def _local_topk(
             uniq, scores = uniq[hit], scores[hit]
             if uniq.size == 0:
                 continue
+        if exclude is not None and exclude.size and uniq.size:
+            # tombstones drop out BEFORE candidates count toward k, so
+            # the final top-k is exactly the top-k of surviving docs
+            pos = np.searchsorted(exclude, uniq)
+            dead = (pos < exclude.size) & (exclude[np.clip(pos, 0, exclude.size - 1)] == uniq)
+            uniq, scores = uniq[~dead], scores[~dead]
+            if uniq.size == 0:
+                continue
         cand_ids.append(uniq)
         cand_scores.append(scores)
         n_cand += uniq.size
@@ -210,12 +222,18 @@ def bm25_topk_wand(
     queries: Iterable[tuple[int, str]],
     k: int = 10,
     mode: str = "or",
+    exclude_doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """Batch top-k over the compressed index. Returns (qid, rank, doc_id, score).
 
     ``mode="or"``: ranked union (WAND). ``mode="and"``: posting-list
     intersection — only docs containing EVERY query term score; a query
     with any out-of-vocabulary term returns no rows (strict AND).
+
+    ``exclude_doc_ids`` (e.g. ``index.builder.load_tombstones``): docs
+    filtered out inside the local scorers BEFORE the k cut, so results
+    are exactly the top-k of surviving docs with unchanged scores
+    (soft-delete semantics: corpus stats stay frozen until rebuild).
     """
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be or|and, got {mode!r}")
@@ -271,7 +289,12 @@ def bm25_topk_wand(
     matched = pruned.filter(F.col("term").isin(all_terms)).join(
         F.broadcast(qstats), "term"
     )
+    excl = (
+        np.asarray(sorted(set(exclude_doc_ids)), dtype=np.int64)
+        if exclude_doc_ids
+        else None
+    )
     partials = matched.groupBy("qid", "shard").applyInPandas(
-        lambda pdf: _local_topk(pdf, k, avgdl, mode), PARTIAL_SCHEMA
+        lambda pdf: _local_topk(pdf, k, avgdl, mode, excl), PARTIAL_SCHEMA
     )
     return topk(partials, k)
