@@ -49,6 +49,34 @@ FT_QUERIES = [
 ]
 FT_K = 10
 
+# Phrase (positional) query set: common 2-grams, a rare 3-gram, an
+# out-of-vocabulary phrase (must yield no rows), and one more 2-gram.
+FT_PHRASES = [
+    (1, "table scan"),
+    (2, "hash join"),
+    (3, "sort merge"),
+    (4, "agg row scan"),
+    (5, "spark sql"),
+    (6, "fast key"),
+]
+
+# Snippet query set: all-in-vocab multi-term queries so best-window
+# coverage (n_hit) genuinely varies.
+SNIP_QUERIES = [
+    (1, "data table scan"),
+    (2, "hash join merge"),
+    (3, "window group sort"),
+]
+
+# Fielded (BM25F-lite) query set: source tokens hit the boosted field.
+FTF_FIELDS = [("source", 2.0), ("text", 1.0)]
+FTF_QUERIES = [
+    (1, "src3 data analysis"),
+    (2, "src7 window merge"),
+    (3, "data analysis"),
+    (4, "src11"),
+]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -231,6 +259,192 @@ def q_ft_bm25_conjunctive(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+def q_ft_phrase_topk(spark, sf_dir):
+    """Phrase retrieval, two-phase: conjunctive candidates from the
+    compressed index (docs holding every phrase term), then exact
+    adjacency verification + phrase-BM25 scoring of only the candidates
+    (tf = overlapping adjacent runs, df = docs containing the phrase)."""
+    from vframe_spark.query.phrase import phrase_scores
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    scored = phrase_scores(docs, postings, term_stats, meta, FT_PHRASES)
+    return _rounded_rank(scored.select("qid", "doc_id", "score"), FT_K)
+
+
+def _phrase_oracle_sql() -> str:
+    """DuckDB phrase-BM25 over the same tokenization: zipped-unnest
+    positions, an L-way self-join for adjacency (overlapping runs
+    count), df from the match table, same formula and 4dp rounding."""
+    match_ctes, unions = [], []
+    for qid, phrase in FT_PHRASES:
+        terms = tokenize_py(phrase)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+            f"AND p{i}.term = '{t}'"
+            for i, t in enumerate(terms)
+            if i > 0
+        )
+        match_ctes.append(
+            f"m{qid} AS (SELECT p0.doc_id, count(*)::BIGINT AS tf FROM pos p0 {joins} "
+            f"WHERE p0.term = '{terms[0]}' GROUP BY 1)"
+        )
+        unions.append(f"SELECT {qid} AS qid, doc_id, tf FROM m{qid}")
+    ctes_sql = ",\n".join(match_ctes)
+    unions_sql = " UNION ALL ".join(unions)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+pos AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS pos FROM toks),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+{ctes_sql},
+matches AS ({unions_sql}),
+dfq AS (SELECT qid, count(*)::BIGINT AS df FROM matches GROUP BY 1),
+scored AS (
+  SELECT m.qid, m.doc_id,
+         round(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (m.tf * {K1 + 1.0}) / (m.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), 4) AS score
+  FROM matches m JOIN dfq USING (qid) JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def q_ft_bm25_fielded(spark, sf_dir):
+    """Field-weighted BM25 (BM25F-lite, the Lucene multi-field shape):
+    `source` boosted 2×, `text` 1× — each field its own BM25 corpus
+    (own df/avgdl/length norm), weighted sum per doc."""
+    from vframe_spark.query.bm25 import bm25f_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = bm25f_scores(docs, FTF_FIELDS, FTF_QUERIES)
+    return _rounded_rank(scored, FT_K)
+
+
+def _ftf_qterms_values_sql() -> str:
+    rows = []
+    for qid, q in FTF_QUERIES:
+        for t in sorted(set(tokenize_py(q))):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _bm25f_oracle_sql() -> str:
+    """DuckDB BM25F-lite: one BM25 CTE chain per field (own df/avgdl),
+    weighted contributions unioned then summed per (qid, doc)."""
+    field_ctes, contribs = [], []
+    for i, (col, w) in enumerate(FTF_FIELDS):
+        tok_f = tokenize_duckdb_sql(col)
+        field_ctes.append(
+            f"""toks{i} AS (SELECT doc_id, {tok_f} AS t FROM documents),
+tok{i} AS (SELECT doc_id, unnest(t) AS term FROM toks{i}),
+dl{i} AS (SELECT doc_id, len(t) AS dl FROM toks{i} WHERE len(t) > 0),
+tf{i} AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok{i} GROUP BY 1, 2),
+dfr{i} AS (SELECT term, count(*)::BIGINT AS df FROM tf{i} GROUP BY 1),
+st{i} AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl{i})::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+c{i} AS (
+  SELECT q.qid, tf.doc_id,
+         {w} * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf{i} tf ON tf.term = q.term
+  JOIN dfr{i} d ON d.term = q.term
+  JOIN dl{i} dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st{i} s
+)"""
+        )
+        contribs.append(f"SELECT qid, doc_id, c FROM c{i}")
+    ctes_sql = ",\n".join(field_ctes)
+    union_sql = " UNION ALL ".join(contribs)
+    return f"""
+WITH q(qid, term) AS (VALUES {_ftf_qterms_values_sql()}),
+{ctes_sql},
+contrib AS ({union_sql}),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def q_ft_snippets(spark, sf_dir):
+    """Best-window highlight for the top-3 of every query: the 8-token
+    span covering the most distinct query terms (earliest on ties),
+    rendered as the canonical token slice. Snippets touch only the
+    top-k join-back rows, never the corpus."""
+    from vframe_spark.query.snippet import topk_snippets
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, SNIP_QUERIES, k=3 * FT_K)
+    ranked = _rounded_rank(raw.select("qid", "doc_id", "score"), 3)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return topk_snippets(docs, ranked, SNIP_QUERIES, window=8).select(
+        "qid",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.col("n_hit").cast("int").alias("n_hit"),
+        "snippet",
+    )
+
+
+def _snippet_oracle_sql() -> str:
+    """DuckDB snippets over the same tokenization/ranking: candidate
+    starts = query-term positions, coverage via a range join on pos,
+    best window by (n_hit DESC, start), snippet = 1-based list slice."""
+    snip_qvalues = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in SNIP_QUERIES
+        for t in sorted(set(tokenize_py(q)))
+    )
+    bm25 = BM25_ORACLE_SQL.replace("{QVALUES}", snip_qvalues)
+    w = 8
+    return f"""
+WITH ranked3 AS (SELECT * FROM ({bm25}) WHERE rank <= 3),
+toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS pos FROM toks),
+q(qid, term) AS (VALUES {snip_qvalues}),
+starts AS (
+  SELECT DISTINCT q.qid, p.doc_id, p.pos AS start
+  FROM pos p
+  JOIN q ON q.term = p.term
+  JOIN ranked3 r ON r.qid = q.qid AND r.doc_id = p.doc_id
+),
+cov AS (
+  SELECT s.qid, s.doc_id, s.start, count(DISTINCT p2.term)::INT AS n_hit
+  FROM starts s
+  JOIN pos p2 ON p2.doc_id = s.doc_id AND p2.pos >= s.start AND p2.pos < s.start + {w}
+  JOIN q ON q.qid = s.qid AND q.term = p2.term
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT qid, doc_id, start, n_hit,
+         row_number() OVER (PARTITION BY qid, doc_id ORDER BY n_hit DESC, start) AS rn
+  FROM cov
+)
+SELECT r.qid, r.rank, r.doc_id, b.n_hit,
+       array_to_string(toks.t[b.start : b.start + {w - 1}], ' ') AS snippet
+FROM ranked3 r
+JOIN best b ON b.qid = r.qid AND b.doc_id = r.doc_id AND b.rn = 1
+JOIN toks ON toks.doc_id = r.doc_id
+"""
+
+
 def q_ft_bm25_with_docs(spark, sf_dir):
     """Top-k join-back: ranked results enriched with source-doc columns
     (the reference's save-detections writes results + file attrs
@@ -382,6 +596,45 @@ def q_sim_lsh_topk(spark, sf_dir):
     ]
     k = 5
     res = lsh_topk(emb, queries, dim=dim, k=k, bits=6, n_probes=8)
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "qid", F.col("vec_id").alias("bf_vec_id")
+    )
+    hit = (
+        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
+    return (
+        res.join(recall, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    """Approximate ANN, IVF-Flat strategy: spherical-k-means coarse
+    quantizer (driver-trained on a bounded sample, broadcast), probe the
+    ``n_probes`` nearest inverted lists per query, exact cosine rerank
+    inside — FAISS-IVF shape, one equi-join on list_id. Engine k-means
+    isn't SQL-expressible (rows-only), so accuracy is surfaced IN the
+    output: ``recall`` = per-query overlap@k with the oracle-checked
+    brute-force baseline."""
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    k = 5
+    res = ivf_topk(emb, queries, dim=dim, k=k, n_lists=16, n_probes=8)
     exact = cosine_topk_bruteforce(emb, queries, k=k).select(
         "qid", F.col("vec_id").alias("bf_vec_id")
     )
@@ -629,10 +882,33 @@ def q_geo_nms_merge(spark, sf_dir):
         F.sort_array(F.collect_list("det")).alias("dets")
     )
     kept = grouped.select("p_brand", G.nms_udf(0.5)(F.col("dets")).alias("kept"))
+
+    # self-evidencing invariant: greedy NMS guarantees every kept pair
+    # has IoU ≤ threshold, so max_kept_iou ≤ 0.5 must hold on every row
+    # (the quantified stand-in for a SQL oracle — greedy NMS itself is
+    # order-dependent and not SQL-expressible). Computed JVM-side; the
+    # array(kept)[0] lambda-bind evaluates the UDF column once.
+    def _summary(k):
+        pair_ious = F.flatten(
+            F.transform(
+                k,
+                lambda a, i: F.transform(
+                    F.slice(k, i + F.lit(2), F.size(k)), lambda b: G.bb_iou(a, b)
+                ),
+            )
+        )
+        return F.struct(
+            F.size(k).cast("bigint").alias("n_kept"),
+            F.round(F.aggregate(k, F.lit(0.0), lambda acc, d: acc + d["conf"]), 4).alias("sum_conf"),
+            F.round(
+                F.aggregate(pair_ious, F.lit(0.0), lambda acc, x: F.greatest(acc, x)), 4
+            ).alias("max_kept_iou"),
+        )
+
+    s = F.transform(F.array(F.col("kept")), _summary)[0]
     return kept.select(
-        "p_brand",
-        F.size("kept").cast("bigint").alias("n_kept"),
-        F.round(F.aggregate("kept", F.lit(0.0), lambda acc, d: acc + d["conf"]), 4).alias("sum_conf"),
+        "p_brand", s["n_kept"].alias("n_kept"), s["sum_conf"].alias("sum_conf"),
+        s["max_kept_iou"].alias("max_kept_iou"),
     )
 
 
@@ -1003,6 +1279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_exhaustive": q_ft_bm25_exhaustive,
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
+        "ft_phrase_topk": q_ft_phrase_topk,
+        "ft_bm25_fielded": q_ft_bm25_fielded,
+        "ft_snippets": q_ft_snippets,
         "ft_bm25_with_docs": q_ft_bm25_with_docs,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1011,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "text_token_counts": q_text_token_counts,
@@ -1094,6 +1374,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_conjunctive": BM25_CONJ_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ),
+        "ft_phrase_topk": _phrase_oracle_sql(),
+        "ft_bm25_fielded": _bm25f_oracle_sql(),
+        "ft_snippets": _snippet_oracle_sql(),
         "ft_bm25_with_docs": f"""
             WITH ranked AS ({bm25})
             SELECT r.qid, r.rank, r.doc_id, r.score,

@@ -139,6 +139,9 @@ def main() -> None:
     headline = [
         "ft_bm25_wand",
         "ft_bm25_conjunctive",
+        "ft_phrase_topk",
+        "ft_snippets",
+        "sim_ivf_topk",
         "ft_tokenize_tf",
         "dedup_exact_groups",
         "dedup_minhash_pairs",

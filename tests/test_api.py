@@ -1,0 +1,69 @@
+"""SearchIndex façade: the four-call lifecycle over the real engine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.api import SearchIndex
+from vframe_spark.corpus import synth_docs
+from vframe_spark.functions.tokenizer import tokenize_py
+from vframe_spark.ids import assign_doc_ids
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return assign_doc_ids(
+        synth_docs(spark, 200, partitions=2), ["repo", "path", "commit"], num_partitions=2
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("api_idx"))
+    return SearchIndex.build(corpus, out, shard_size=64, block_size=16, shards_per_slice=2)
+
+
+def test_search_modes_and_snippets(spark, idx, corpus):
+    res = idx.search("data parse", k=5).collect()
+    assert res and res[0]["rank"] == 1
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+    conj = idx.search("data parse", k=5, mode="and").collect()
+    conj_ids = {r["doc_id"] for r in conj}
+    or_ids = {r["doc_id"] for r in res}
+    # every conjunctive hit holds both terms; OR may rank others higher,
+    # so only the semantic property is asserted
+    rows = {r["doc_id"]: r["content"] for r in corpus.select("doc_id", "content").collect()}
+    for d in conj_ids:
+        toks = set(tokenize_py(rows[d]))
+        assert {"data", "parse"} <= toks
+
+    docs = corpus.select("doc_id", "content")
+    toks0 = tokenize_py(rows[min(rows)])
+    phrase = f"{toks0[0]} {toks0[1]}"
+    ph = idx.search(phrase, k=5, mode="phrase", docs=docs).collect()
+    assert ph  # the doc itself matches
+
+    snip = idx.search("data parse", k=3, snippets=True, docs=docs).collect()
+    assert snip and all(r["snippet"] for r in snip)
+    assert all(r["n_hit"] >= 1 for r in snip)
+
+
+def test_delete_then_purge(spark, tmp_path, corpus):
+    out = str(tmp_path / "api_del")
+    idx = SearchIndex.build(corpus, out, shard_size=64, block_size=16, shards_per_slice=2)
+    before = idx.search("data", k=5).collect()
+    victim = before[0]["doc_id"]
+    assert idx.delete([victim]) == 1
+    after = idx.search("data", k=5).collect()
+    assert victim not in {r["doc_id"] for r in after}
+
+    n_before = idx.meta["n_docs"]
+    res = idx.purge()
+    assert res["purged"] == 1
+    assert idx.meta["n_docs"] == n_before - 1
+    assert victim not in {r["doc_id"] for r in idx.search("data", k=5).collect()}
+
+    stats = idx.compact()
+    assert "postings" in stats
+    assert victim not in {r["doc_id"] for r in idx.search("data", k=5).collect()}

@@ -150,3 +150,95 @@ def test_soft_delete_tombstones(spark, built):
     eng = LocalQueryEngine(postings, term_stats, meta, exclude_doc_ids=dead)
     assert eng.topk(QUERIES[0][1], 10) == [(d, s) for d, s in by_q2[1]]
     _sh.rmtree(work, ignore_errors=True)
+
+
+def test_purge_equals_scratch_rebuild(spark, tmp_path):
+    """After purge_tombstones, queries over the purged index are
+    bit-identical to an index built from scratch on the surviving docs,
+    and the tombstone store is gone."""
+    from vframe_spark.index.builder import delete_docs, load_tombstones
+    from vframe_spark.index.compact import purge_tombstones
+
+    out = str(tmp_path / "pidx")
+    docs = assign_doc_ids(
+        synth_docs(spark, 240, partitions=2), ["repo", "path", "commit"], num_partitions=2
+    ).cache()
+    build_index(docs, out, shard_size=32, block_size=8, shards_per_slice=2)
+
+    postings, term_stats, _, meta = load_index(spark, out)
+    top = bm25_topk_wand(postings, term_stats, meta, QUERIES, k=10).collect()
+    victims = sorted({top[0]["doc_id"], top[3]["doc_id"], top[7]["doc_id"]})
+    delete_docs(spark, out, victims)
+
+    res = purge_tombstones(spark, out)
+    assert res["purged"] == len(victims) and not res["skipped"]
+    assert load_tombstones(spark, out) == []
+    assert not os.path.isdir(os.path.join(out, "tombstones"))
+
+    # scratch rebuild on survivors — SAME doc_ids (survivors keep ids)
+    out2 = str(tmp_path / "pidx_scratch")
+    surv = docs.filter(~F.col("doc_id").isin([int(v) for v in victims]))
+    build_index(surv, out2, shard_size=32, block_size=8, shards_per_slice=2)
+
+    p1, t1, d1, m1 = load_index(spark, out)
+    p2, t2, d2, m2 = load_index(spark, out2)
+    assert m1["n_docs"] == m2["n_docs"]
+    assert abs(m1["avgdl"] - m2["avgdl"]) < 1e-12
+    assert d1.count() == d2.count()
+    # term_stats identical
+    diff = t1.alias("a").join(t2.alias("b"), "term", "full").filter(
+        (F.col("a.df").isNull()) | (F.col("b.df").isNull()) | (F.col("a.df") != F.col("b.df"))
+    )
+    assert diff.count() == 0
+    r1 = sorted(
+        (r["qid"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk_wand(p1, t1, m1, QUERIES, k=10).collect()
+    )
+    r2 = sorted(
+        (r["qid"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk_wand(p2, t2, m2, QUERIES, k=10).collect()
+    )
+    assert r1 == r2  # bit-identical incl. scores
+
+    # purge with nothing pending is a no-op
+    assert purge_tombstones(spark, out)["skipped"]
+
+
+def test_purge_resumes_from_journal(spark, tmp_path):
+    """A purge interrupted after the journal is written completes on
+    re-run with correct folded statistics."""
+    import json as _json
+
+    from vframe_spark.index.builder import delete_docs
+    from vframe_spark.index.compact import purge_tombstones
+
+    out = str(tmp_path / "jidx")
+    docs = assign_doc_ids(
+        synth_docs(spark, 120, partitions=2), ["repo", "path", "commit"], num_partitions=2
+    ).cache()
+    build_index(docs, out, shard_size=16, block_size=8, shards_per_slice=2)
+    postings, term_stats, _, meta0 = load_index(spark, out)
+    top = bm25_topk_wand(postings, term_stats, meta0, QUERIES, k=5).collect()
+    victims = sorted({top[0]["doc_id"], top[1]["doc_id"]})
+    delete_docs(spark, out, victims)
+
+    # simulate the crash: write ONLY the journal (the first durable step)
+    ds = spark.read.parquet(IndexPaths(out).doc_stats)
+    removed = ds.filter(F.col("doc_id").isin([int(v) for v in victims]))
+    n_rm = removed.count()
+    tl_rm = removed.agg(F.sum("doc_len")).collect()[0][0] or 0
+    with open(os.path.join(out, "_purge_inprogress.json"), "w") as fh:
+        _json.dump(
+            {"dead": [int(v) for v in victims],
+             "n_docs": int(meta0["n_docs"]) - n_rm,
+             "total_len": int(meta0["total_len"]) - int(tl_rm)},
+            fh,
+        )
+
+    res = purge_tombstones(spark, out)  # resumes from the journal
+    assert res["purged"] == len(victims)
+    assert not os.path.exists(os.path.join(out, "_purge_inprogress.json"))
+    _, _, _, meta1 = load_index(spark, out)
+    assert meta1["n_docs"] == meta0["n_docs"] - n_rm
+    rows = bm25_topk_wand(*load_index(spark, out)[:2], meta1, QUERIES, k=10).collect()
+    assert not {r["doc_id"] for r in rows} & set(victims)

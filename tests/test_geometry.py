@@ -228,3 +228,23 @@ def test_bb_rotate_quad(spark):
     back = r["back"]
     for k, v in (("x1", 1.0), ("y1", 2.0), ("x2", 5.0), ("y2", 4.0)):
         assert abs(back[k] - v) < 1e-9
+
+
+def test_nms_contract_invariant_max_kept_iou(spark, sf001_dir):
+    """The geo_nms_merge contract output carries its own proof: among
+    the kept boxes of every group, the max pairwise IoU must be ≤ the
+    suppression threshold (0.5) — greedy NMS's defining property."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_t",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    rows = entry.queries()["geo_nms_merge"](spark, sf001_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] >= 1
+        assert r["max_kept_iou"] <= 0.5 + 1e-9, r

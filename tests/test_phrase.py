@@ -1,0 +1,174 @@
+"""Phrase (positional) retrieval vs a naive pure-Python oracle.
+
+The engine is two-phase (index-conjunctive candidates + adjacency
+verification); the oracle here is single-phase brute force over every
+doc — independent implementations must agree exactly.
+"""
+
+import math
+
+import pytest
+
+from vframe_spark.functions.tokenizer import tokenize_py
+from vframe_spark.oracle import B, K1
+from vframe_spark.query.phrase import (
+    count_phrase_hits,
+    phrase_candidates,
+    phrase_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.oracle import OracleIndex
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 300, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    return docs, oracle
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    from vframe_spark.index.builder import build_index, load_index
+
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("phrase_idx"))
+    meta = build_index(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    assert meta["complete"]
+    return load_index(spark, out)
+
+
+def _naive_count(tokens, terms):
+    L = len(terms)
+    return sum(
+        1 for i in range(len(tokens) - L + 1) if tokens[i : i + L] == terms
+    )
+
+
+def _naive_oracle(rows, phrases, n_docs, avgdl, k):
+    out = {}
+    for qid, p in phrases:
+        terms = tokenize_py(p)
+        matches = []
+        for doc_id, content in rows:
+            toks = tokenize_py(content)
+            tf = _naive_count(toks, terms)
+            if tf:
+                matches.append((doc_id, tf, len(toks)))
+        df = len(matches)
+        scored = []
+        for doc_id, tf, dl in matches:
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            s = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            scored.append((doc_id, s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        out[qid] = scored[:k]
+    return out
+
+
+def test_count_phrase_hits_overlapping():
+    assert count_phrase_hits(["a", "a", "a"], ["a", "a"]) == 2
+    assert count_phrase_hits(["a", "b", "a", "b"], ["a", "b"]) == 2
+    assert count_phrase_hits(["a"], ["a", "b"]) == 0
+    assert count_phrase_hits([], ["a"]) == 0
+    assert count_phrase_hits(["x", "y"], ["x"]) == 1
+
+
+def test_phrase_topk_matches_naive_oracle(spark, corpus, index):
+    docs, _ = corpus
+    postings, term_stats, _, meta = index
+    rows = [(r["doc_id"], r["content"]) for r in docs.select("doc_id", "content").collect()]
+
+    # derive phrases from real adjacent token pairs (guaranteed matches),
+    # plus an out-of-vocabulary phrase that must yield no rows
+    toks0 = tokenize_py(rows[3][1])
+    toks1 = tokenize_py(rows[57][1])
+    phrases = [
+        (1, f"{toks0[0]} {toks0[1]}"),
+        (2, f"{toks1[2]} {toks1[3]} {toks1[4]}"),
+        (3, "zzznotaterm data"),
+    ]
+    k = 12
+    got_rows = phrase_topk(docs, postings, term_stats, meta, phrases, k=k).collect()
+    expect = _naive_oracle(rows, phrases, meta["n_docs"], meta["avgdl"], k)
+
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    assert 3 not in got  # OOV phrase: no rows at all
+    for qid in (1, 2):
+        mine = sorted(got.get(qid, []))
+        exp = expect[qid]
+        assert [m[1] for m in mine] == [e[0] for e in exp], (qid, mine, exp)
+        for (_, _, s), (_, es) in zip(mine, exp):
+            assert abs(s - es) < 1e-9
+
+
+def test_phrase_candidates_superset_of_matches(spark, corpus, index):
+    """Candidates (conjunctive) ⊇ verified matches, and every candidate
+    really contains every phrase term."""
+    docs, _ = corpus
+    postings, term_stats, _, meta = index
+    rows = {r["doc_id"]: r["content"] for r in docs.select("doc_id", "content").collect()}
+    toks = tokenize_py(rows[3])
+    phrase = f"{toks[0]} {toks[1]}"
+    cands = {
+        r["doc_id"]
+        for r in phrase_candidates(postings, term_stats, meta, [(1, phrase)]).collect()
+    }
+    terms = set(tokenize_py(phrase))
+    matches = {
+        d for d, c in rows.items() if _naive_count(tokenize_py(c), tokenize_py(phrase))
+    }
+    assert matches <= cands
+    for d in cands:
+        assert terms <= set(tokenize_py(rows[d]))
+
+
+def test_phrase_single_term_degenerates_to_tf(spark, corpus, index):
+    """A 1-token phrase scores like plain BM25 on that term."""
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    rows = [(r["doc_id"], r["content"]) for r in docs.select("doc_id", "content").collect()]
+    term = tokenize_py(rows[0][1])[0]
+    got = phrase_topk(docs, postings, term_stats, meta, [(9, term)], k=10).collect()
+    expect = oracle.topk(term, 10)
+    mine = sorted((r["rank"], r["doc_id"], r["score"]) for r in got)
+    assert [m[1] for m in mine] == [e[0] for e in expect]
+    for (_, _, s), (_, es) in zip(mine, expect):
+        assert abs(s - es) < 1e-9
+
+
+def test_phrase_tombstones_drop_docs_scores_frozen(spark, corpus, index):
+    """Soft-delete parity with WAND: a tombstoned doc vanishes from
+    phrase results while every survivor keeps an identical score (df
+    stays frozen)."""
+    docs, _ = corpus
+    postings, term_stats, _, meta = index
+    rows = [(r["doc_id"], r["content"]) for r in docs.select("doc_id", "content").collect()]
+    # find a 2-gram occurring in several docs so survivors remain
+    from collections import Counter
+
+    pair_docs = Counter()
+    for _, content in rows[:80]:
+        toks = tokenize_py(content)
+        for p in {(toks[i], toks[i + 1]) for i in range(len(toks) - 1)}:
+            pair_docs[p] += 1
+    (w1, w2), _ = pair_docs.most_common(1)[0]
+    phrases = [(1, f"{w1} {w2}")]
+    full = phrase_topk(docs, postings, term_stats, meta, phrases, k=20).collect()
+    assert len(full) >= 2
+    dead = full[0]["doc_id"]
+    kept = phrase_topk(
+        docs, postings, term_stats, meta, phrases, k=20, exclude_doc_ids=[dead]
+    ).collect()
+    assert dead not in {r["doc_id"] for r in kept}
+    full_scores = {r["doc_id"]: r["score"] for r in full}
+    for r in kept:
+        if r["doc_id"] in full_scores:
+            assert abs(r["score"] - full_scores[r["doc_id"]]) < 1e-12

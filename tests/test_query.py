@@ -191,3 +191,53 @@ def test_local_engine_conjunctive_matches_distributed(spark, corpus, index):
         expect = oracle.topk_conjunctive(q, k)
         assert got == expect, q
     assert eng.topk("zzznever data", 5, mode="and") == []
+
+
+def test_bm25f_single_field_equals_plain_bm25(spark, corpus):
+    """With one field at weight 1.0, fielded BM25 must reduce exactly to
+    plain BM25 over that field (same df/avgdl/scores)."""
+    from vframe_spark.query.bm25 import bm25f_topk_df
+
+    docs, oracle = corpus
+    queries = [(qid, q) for qid, q, _ in reference_queries(12)]
+    plain = bm25_topk_df(
+        tokenize_docs(docs, lang_col=None),
+        build_term_stats(build_postings(tokenize_docs(docs, lang_col=None), shard_size=SHARD, block_size=BLOCK)),
+        {"n_docs": oracle.n_docs, "avgdl": oracle.avgdl},
+        queries,
+        k=10,
+    ).collect()
+    fielded = bm25f_topk_df(
+        docs.select("doc_id", "content"), [("content", 1.0)], queries, k=10
+    ).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    ps, fs = sorted(plain, key=key), sorted(fielded, key=key)
+    # avgdl convention check: oracle.avgdl counts all docs in the
+    # denominator, same as bm25f's internal stats — identical scores
+    assert [(r["qid"], r["rank"], r["doc_id"]) for r in ps] == [
+        (r["qid"], r["rank"], r["doc_id"]) for r in fs
+    ]
+    for a, b in zip(ps, fs):
+        assert abs(a["score"] - b["score"]) < 1e-9
+
+
+def test_bm25f_boost_reorders(spark, corpus):
+    """Boosting a second field must be able to change the ranking: a doc
+    whose `lang` field matches the query outranks a text-only match when
+    the lang field carries a big weight."""
+    from vframe_spark.query.bm25 import bm25f_topk_df
+
+    docs, _ = corpus
+    # lang column is a tiny categorical "field"; query for one value
+    lang_val = docs.select("lang").first()["lang"]
+    queries = [(1, lang_val)]
+    res = bm25f_topk_df(
+        docs.select("doc_id", "content", "lang"),
+        [("lang", 5.0), ("content", 1.0)],
+        queries,
+        k=5,
+    ).collect()
+    assert res
+    top_docs = {r["doc_id"] for r in res}
+    match_ids = {r["doc_id"] for r in docs.filter(f"lang = '{lang_val}'").collect()}
+    assert top_docs <= match_ids  # boosted field dominates

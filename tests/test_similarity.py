@@ -96,3 +96,67 @@ def test_lsh_multiprobe_improves_recall(spark):
     r1, r8 = recall(1), recall(8)
     assert r8 >= r1
     assert r8 >= 0.5  # perturbed self-neighbors land in nearby buckets
+
+
+def test_ivf_fullprobe_equals_bruteforce(spark, emb):
+    """IVF with n_probes == n_lists scans everything → must equal the
+    exact brute-force top-k (ids and cosines)."""
+    from vframe_spark.operators.similarity import ivf_topk
+
+    df, vecs = emb
+    queries = [(1, vecs[17].tolist()), (2, vecs[99].tolist()), (3, vecs[3].tolist())]
+    bf = cosine_topk_bruteforce(df, queries, k=5).collect()
+    ivf = ivf_topk(df, queries, dim=DIM, k=5, n_lists=8, n_probes=8).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    bf_s, ivf_s = sorted(bf, key=key), sorted(ivf, key=key)
+    assert [(r["qid"], r["rank"], r["vec_id"]) for r in bf_s] == [
+        (r["qid"], r["rank"], r["vec_id"]) for r in ivf_s
+    ]
+    for a, b in zip(bf_s, ivf_s):
+        assert abs(a["cosine"] - b["cosine"]) < 1e-9
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    """Partial probing: self lands in its own (probed) list so rank 1 is
+    exact; overall recall beats the probed-fraction floor."""
+    from vframe_spark.operators.similarity import ivf_topk
+
+    df, vecs = emb
+    queries = [(i, vecs[i * 13 % N].tolist()) for i in range(1, 9)]
+    bf = cosine_topk_bruteforce(df, queries, k=5).collect()
+    ann = ivf_topk(df, queries, dim=DIM, k=5, n_lists=8, n_probes=4).collect()
+    for qid, _ in queries:
+        top = sorted([r for r in ann if r["qid"] == qid], key=lambda r: r["rank"])
+        assert top[0]["vec_id"] == qid * 13 % N
+    bf_sets, ann_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in ann:
+        ann_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits = sum(len(bf_sets[q] & ann_sets.get(q, set())) for q, _ in queries)
+    total = sum(len(bf_sets[q]) for q, _ in queries)
+    assert hits / total >= 0.5  # probing half the lists
+
+
+def test_ivf_train_deterministic_and_assign_balanced(spark, emb):
+    """Same seed → identical centroids; no empty inverted list after
+    the empty-list re-seed rule."""
+    import numpy as np
+
+    from vframe_spark.operators.similarity import ivf_assign, ivf_train
+
+    df, _ = emb
+    c1 = ivf_train(df, DIM, n_lists=8, seed=11)
+    c2 = ivf_train(df, DIM, n_lists=8, seed=11)
+    assert np.array_equal(c1, c2)
+    counts = {
+        r["list_id"]: r["n"]
+        for r in ivf_assign(df, c1).groupBy("list_id").agg(F_count()).collect()
+    }
+    assert len(counts) == 8 and all(v > 0 for v in counts.values())
+
+
+def F_count():
+    from pyspark.sql import functions as F
+
+    return F.count("*").alias("n")

@@ -1,0 +1,53 @@
+"""Best-window snippet extraction: deterministic window choice."""
+
+from vframe_spark.query.snippet import best_window, snippets, topk_snippets
+
+
+def test_best_window_rules():
+    toks = "a x x b x x x x x x a b".split()
+    # window of 4 starting at index 10 covers {a, b}; the window at 0
+    # covers {a, b} too (a@0, b@3) — earliest start wins the tie
+    start, cov = best_window(toks, {"a", "b"}, 4)
+    assert (start, cov) == (0, 2)
+    # smaller window: only the tail pair fits together
+    start, cov = best_window(toks, {"a", "b"}, 2)
+    assert (start, cov) == (10, 2)
+    # no query term → (0, 0)
+    assert best_window(toks, {"zz"}, 4) == (0, 0)
+    # window clipped at the end still counts what fits
+    start, cov = best_window(["q"], {"q"}, 8)
+    assert (start, cov) == (0, 1)
+
+
+def test_snippets_df(spark):
+    rows = [
+        (1, 10, "alpha beta gamma delta alpha"),
+        (1, 11, "nothing here matches"),
+        (2, 10, "alpha beta gamma delta alpha"),
+    ]
+    df = spark.createDataFrame(rows, "qid int, doc_id bigint, content string")
+    out = {
+        (r["qid"], r["doc_id"]): (r["n_hit"], r["snippet"])
+        for r in snippets(df, [(1, "alpha delta"), (2, "gamma")], window=3).collect()
+    }
+    # windows anchor on query-term positions: start=3 ("delta") covers
+    # both terms; the slice clips at the end of the doc
+    assert out[(1, 10)] == (2, "delta alpha")
+    assert out[(1, 11)] == (0, "nothing here matches")
+    # single-term query anchors at the term's first position
+    assert out[(2, 10)] == (1, "gamma delta alpha")
+
+
+def test_topk_snippets_joinback(spark):
+    docs = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "beta beta alpha"), (12, "zzz")],
+        "doc_id bigint, content string",
+    )
+    ranked = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11)], "qid int, rank int, doc_id bigint"
+    )
+    out = sorted(
+        (r["qid"], r["rank"], r["doc_id"], r["n_hit"])
+        for r in topk_snippets(docs, ranked, [(1, "alpha beta")], window=2).collect()
+    )
+    assert out == [(1, 1, 10, 2), (1, 2, 11, 2)]

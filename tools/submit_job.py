@@ -41,8 +41,21 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--query", action="append", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=("or", "and"), default="or",
-                   help="or = ranked union (WAND); and = posting-list intersection")
+    q.add_argument("--mode", choices=("or", "and", "phrase"), default="or",
+                   help="or = ranked union (WAND); and = posting-list intersection; "
+                        "phrase = adjacent-run match (needs --docs-parquet)")
+    q.add_argument("--docs-parquet", default=None,
+                   help="docs table for phrase verification (mode=phrase)")
+    q.add_argument("--content-col", default="content")
+
+    d = sub.add_parser("delete", help="soft-delete docs (tombstones)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-id", action="append", type=int, required=True)
+
+    c = sub.add_parser("compact", help="consolidate slices; --purge folds tombstones in")
+    c.add_argument("--index", required=True)
+    c.add_argument("--purge", action="store_true",
+                   help="hard-delete tombstoned docs and fold corpus stats")
 
     args = ap.parse_args(argv)
 
@@ -71,15 +84,42 @@ def main(argv: list[str] | None = None) -> int:
             content_col=args.content_col, lang_col=args.lang_col,
         )
         print(json.dumps({"built": True, **meta}))
+    elif args.cmd == "delete":
+        from vframe_spark.index.builder import delete_docs
+
+        n = delete_docs(spark, args.index, args.doc_id)
+        print(json.dumps({"deleted": n}))
+    elif args.cmd == "compact":
+        from vframe_spark.index.compact import compact_index, purge_tombstones
+
+        out: dict = {}
+        if args.purge:
+            out["purge"] = purge_tombstones(spark, args.index)
+        out["compact"] = compact_index(spark, args.index)
+        print(json.dumps(out))
     else:
-        from vframe_spark.index.builder import load_index
+        from vframe_spark.index.builder import load_index, load_tombstones
         from vframe_spark.query.wand import bm25_topk_wand
 
         postings, term_stats, _, meta = load_index(spark, args.index)
+        # soft-deleted docs are excluded on every query path by default
+        dead = load_tombstones(spark, args.index)
         queries = [(i + 1, s) for i, s in enumerate(args.query)]
-        rows = bm25_topk_wand(
-            postings, term_stats, meta, queries, k=args.k, mode=args.mode
-        ).collect()
+        if args.mode == "phrase":
+            if not args.docs_parquet:
+                ap.error("mode=phrase requires --docs-parquet")
+            from vframe_spark.query.phrase import phrase_topk
+
+            docs = spark.read.parquet(args.docs_parquet)
+            rows = phrase_topk(
+                docs, postings, term_stats, meta, queries, k=args.k,
+                content_col=args.content_col, exclude_doc_ids=dead or None,
+            ).collect()
+        else:
+            rows = bm25_topk_wand(
+                postings, term_stats, meta, queries, k=args.k, mode=args.mode,
+                exclude_doc_ids=dead or None,
+            ).collect()
         for r in rows:
             print(json.dumps({"qid": r["qid"], "rank": r["rank"],
                               "doc_id": r["doc_id"], "score": r["score"]}))

@@ -1,0 +1,133 @@
+"""One-stop user façade over the engine: build / search / maintain.
+
+Everything here is a thin composition of the real modules (no logic of
+its own), so a reference-engine user can drive the whole lifecycle
+through four calls:
+
+    from vframe_spark.api import SearchIndex
+
+    idx = SearchIndex.build(docs, "/data/idx")        # resumable
+    idx.search("parse buffer", k=10)                  # WAND (OR)
+    idx.search("hash join", mode="phrase", docs=docs) # positional
+    idx.delete([42, 99])                              # soft delete
+    idx.purge(); idx.compact()                        # fold + layout
+
+Tombstones are applied automatically on every query path, mirroring
+the `submit_job` CLI contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .index.builder import build_index, delete_docs, load_index, load_tombstones
+
+
+class SearchIndex:
+    """Handle to an on-disk index; cheap to construct, reloads stats
+    lazily after mutating operations."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        self._loaded = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        out_dir: str,
+        **build_kwargs,
+    ) -> "SearchIndex":
+        """Build (or resume) the index over ``docs``; see
+        `index.builder.build_index` for knobs."""
+        build_index(docs, out_dir, **build_kwargs)
+        return cls(docs.sparkSession, out_dir)
+
+    def _parts(self):
+        if self._loaded is None:
+            self._loaded = load_index(self.spark, self.out_dir)
+        return self._loaded
+
+    def reload(self) -> "SearchIndex":
+        self._loaded = None
+        return self
+
+    @property
+    def meta(self) -> dict:
+        return self._parts()[3]
+
+    # -- queries -----------------------------------------------------------
+
+    def search(
+        self,
+        query: str | list[tuple[int, str]],
+        k: int = 10,
+        mode: str = "or",
+        docs: DataFrame | None = None,
+        snippets: bool = False,
+        window: int = 8,
+        content_col: str = "content",
+    ) -> DataFrame:
+        """Top-k retrieval → (qid, rank, doc_id, score[, n_hit, snippet]).
+
+        ``mode``: "or" (WAND ranked union), "and" (posting-list
+        intersection), "phrase" (adjacent-run match; needs ``docs``).
+        ``snippets=True`` attaches best-window highlights (needs
+        ``docs``).
+        """
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        dead = load_tombstones(self.spark, self.out_dir) or None
+        if mode == "phrase":
+            if docs is None:
+                raise ValueError("mode='phrase' needs the docs table")
+            from .query.phrase import phrase_topk
+
+            ranked = phrase_topk(
+                docs, postings, term_stats, meta, queries, k=k,
+                content_col=content_col, exclude_doc_ids=dead,
+            )
+        else:
+            from .query.wand import bm25_topk_wand
+
+            ranked = bm25_topk_wand(
+                postings, term_stats, meta, queries, k=k, mode=mode,
+                exclude_doc_ids=dead,
+            )
+        if snippets:
+            if docs is None:
+                raise ValueError("snippets=True needs the docs table")
+            from .query.snippet import topk_snippets
+
+            snip = topk_snippets(docs, ranked, queries, window, content_col)
+            ranked = ranked.join(snip.drop("rank"), ["qid", "doc_id"]).select(
+                "qid", "rank", "doc_id", "score", "n_hit", "snippet"
+            )
+        return ranked
+
+    # -- maintenance -------------------------------------------------------
+
+    def delete(self, doc_ids) -> int:
+        """Soft-delete: tombstoned docs vanish from queries immediately,
+        survivor scores frozen until `purge`."""
+        n = delete_docs(self.spark, self.out_dir, doc_ids)
+        return n
+
+    def purge(self) -> dict:
+        """Hard-delete tombstoned docs and fold the corpus stats."""
+        from .index.compact import purge_tombstones
+
+        out = purge_tombstones(self.spark, self.out_dir)
+        self._loaded = None
+        return out
+
+    def compact(self) -> dict:
+        """Consolidate slice files (layout-only, bit-identical queries)."""
+        from .index.compact import compact_index
+
+        out = compact_index(self.spark, self.out_dir)
+        self._loaded = None
+        return out

@@ -148,3 +148,180 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
             "skipped": False,
         }
     return stats
+
+
+_PURGE_JOURNAL = "_purge_inprogress.json"
+
+
+def _swap_in(out_dir: str, store: str, tmp: str) -> None:
+    """Two-phase swap of a whole store to one compacted generation,
+    reusing the compaction marker so `repair_compaction` can finish it
+    from any crash point."""
+    dirs = _slice_dirs(store)
+    gen = _next_gen(store)
+    dest = os.path.join(store, f"slice={gen}")
+    marker = os.path.join(out_dir, _MARKER)
+    with open(marker, "w") as fh:
+        json.dump(
+            {"tmp": tmp, "dest": dest, "victims": [os.path.join(store, d) for d in dirs]},
+            fh,
+        )
+    for d in dirs:
+        shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+    shutil.move(tmp, dest)
+    os.remove(marker)
+
+
+def purge_tombstones(spark: SparkSession, out_dir: str, batch_rows: int = 8192) -> dict:
+    """Hard-delete: rewrite the index without its tombstoned docs and
+    fold the deletions into the corpus statistics — the merge/purge half
+    of the Lucene soft-delete lifecycle (`builder.delete_docs` is the
+    other half). After a purge, the index is equivalent to one built
+    from scratch on the surviving docs (asserted bit-identical in
+    tests), and the tombstone store is gone.
+
+    Scale shape: every posting ROW is a self-contained compressed block,
+    so the rewrite is one narrow `mapInPandas` pass — decode, mask,
+    re-encode (rows whose block holds no dead doc pass through with
+    their original bytes) — with NO shuffle over the postings store.
+    Block boundaries are kept (blocks shrink or drop), which queries
+    never observe: decoders read per-block ``n``. Only the vocab-sized
+    stats tables re-aggregate.
+
+    Crash safety: an absolute-valued journal (new n_docs/total_len) is
+    written before any swap; each store swap reuses the compaction
+    marker; stats/meta/tombstone-removal replay idempotently from the
+    journal. Interrupted? Results stay correct meanwhile — un-purged
+    stores still carry the tombstones, purged stores simply no longer
+    contain the dead docs, and meta keeps the frozen (soft-delete)
+    statistics until the journal's final step. Re-running
+    ``purge_tombstones`` completes the job.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .builder import IndexPaths, load_tombstones
+    from .build import POSTINGS_SCHEMA
+    from .codec import for_decode, for_encode, pfor_delta_decode, pfor_delta_encode
+
+    paths = IndexPaths(out_dir)
+    repair_compaction(out_dir)
+    meta = json.load(open(paths.meta))
+    if not meta.get("complete"):
+        raise ValueError("purge_tombstones: index build is not complete")
+
+    journal_path = os.path.join(out_dir, _PURGE_JOURNAL)
+    tomb_dir = os.path.join(out_dir, "tombstones")
+    if os.path.exists(journal_path):
+        journal = json.load(open(journal_path))
+        dead = [int(i) for i in journal["dead"]]
+    else:
+        dead = load_tombstones(spark, out_dir)
+        if not dead:
+            return {"purged": 0, "skipped": True}
+        # absolute target stats, computed while doc_stats still holds the
+        # dead rows — idempotent to replay after any crash
+        ds = spark.read.parquet(paths.doc_stats)
+        removed = (
+            ds.filter(F.col("doc_id").isin(dead))
+            .agg(F.count("*").alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tl"))
+            .collect()[0]
+        )
+        n_new = int(meta["n_docs"]) - int(removed["n"])
+        tl_new = int(meta["total_len"]) - int(removed["tl"])
+        journal = {"dead": dead, "n_docs": n_new, "total_len": tl_new}
+        with open(journal_path, "w") as fh:
+            json.dump(journal, fh)
+
+    dead_arr = np.asarray(sorted(set(dead)), dtype=np.int64)
+    bc_dead = spark.sparkContext.broadcast(dead_arr)
+    out_cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
+
+    def rewrite(batches):
+        dv = bc_dead.value
+        for b in batches:
+            if not len(b):
+                continue
+            keep_mask = np.ones(len(b), dtype=bool)
+            rows = {c: list(b[c]) for c in out_cols}
+            for i in range(len(b)):
+                lo, hi = int(b["first_doc"].iloc[i]), int(b["last_doc"].iloc[i])
+                a, z = np.searchsorted(dv, lo), np.searchsorted(dv, hi, side="right")
+                if a == z:
+                    continue  # no dead doc can be in [lo, hi] — bytes pass through
+                n = int(b["n"].iloc[i])
+                ids = pfor_delta_decode(b["doc_ids"].iloc[i], n, lo).astype(np.int64)
+                pos = np.searchsorted(dv, ids)
+                is_dead = (pos < dv.size) & (dv[np.clip(pos, 0, dv.size - 1)] == ids)
+                if not is_dead.any():
+                    continue
+                if is_dead.all():
+                    keep_mask[i] = False
+                    continue
+                tfs = for_decode(b["tfs"].iloc[i], n)[~is_dead]
+                dls = for_decode(b["dls"].iloc[i], n)[~is_dead]
+                ids = ids[~is_dead]
+                rows["n"][i] = int(ids.size)
+                rows["doc_ids"][i] = pfor_delta_encode(ids.astype(np.uint64), int(ids[0]))
+                rows["tfs"][i] = for_encode(tfs.astype(np.uint64))
+                rows["dls"][i] = for_encode(dls.astype(np.uint64))
+                rows["max_tf"][i] = int(tfs.max())
+                rows["min_dl"][i] = int(dls.min())
+                rows["first_doc"][i] = int(ids[0])
+                rows["last_doc"][i] = int(ids[-1])
+            pdf = pd.DataFrame(rows)
+            if "bucket" in b.columns:
+                pdf["bucket"] = b["bucket"].to_numpy()
+            yield pdf[keep_mask]
+
+    # 1. postings: narrow rewrite → new compacted generation
+    post_raw = spark.read.parquet(paths.postings)
+    has_bucket = "bucket" in post_raw.columns
+    schema = POSTINGS_SCHEMA + (", bucket int" if has_bucket else "")
+    tmp = os.path.join(out_dir, "_purge_tmp_postings")
+    shutil.rmtree(tmp, ignore_errors=True)
+    purged = post_raw.drop("slice").mapInPandas(rewrite, schema)
+    if has_bucket:
+        purged.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+    else:
+        purged.write.mode("overwrite").parquet(tmp)
+    _swap_in(out_dir, paths.postings, tmp)
+
+    # 2. doc_stats: drop dead rows
+    tmp = os.path.join(out_dir, "_purge_tmp_doc_stats")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(paths.doc_stats).drop("slice")
+        .filter(~F.col("doc_id").isin(dead))
+        .coalesce(4).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(tmp)
+    )
+    _swap_in(out_dir, paths.doc_stats, tmp)
+
+    # 3. per-(term, shard) partials + global term_stats from the purged
+    # postings (vocab-sized aggregations)
+    new_posts = spark.read.parquet(paths.postings)
+    if os.path.isdir(paths.term_partials):
+        tmp = os.path.join(out_dir, "_purge_tmp_term_partials")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            new_posts.groupBy("term", "shard").agg(F.sum("n").alias("sz"))
+            .coalesce(4).write.mode("overwrite").parquet(tmp)
+        )
+        _swap_in(out_dir, paths.term_partials, tmp)
+    (
+        new_posts.groupBy("term").agg(F.sum("n").alias("df"))
+        .write.mode("overwrite").parquet(paths.term_stats)
+    )
+
+    # 4. fold stats, then drop the tombstones — LAST, so any crash above
+    # replays against a store that still knows what is dead
+    meta["n_docs"] = int(journal["n_docs"])
+    meta["total_len"] = int(journal["total_len"])
+    meta["avgdl"] = (meta["total_len"] / meta["n_docs"]) if meta["n_docs"] else 0.0
+    with open(paths.meta, "w") as fh:
+        json.dump(meta, fh)
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    os.remove(journal_path)
+    bc_dead.destroy()
+    return {"purged": len(dead), "n_docs": meta["n_docs"], "skipped": False}

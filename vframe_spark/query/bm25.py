@@ -87,3 +87,57 @@ def bm25_topk_df(
 def idf_value(n_docs: int, df: int) -> float:
     """Scalar idf — shared formula for driver-side WAND bounds."""
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25f_scores(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Field-weighted BM25 ("BM25F-lite", the Lucene multi-field query
+    shape): every field is scored as its own BM25 corpus — its own df,
+    avgdl and length normalization — and a doc's final score is the
+    weighted sum across fields. ``fields`` = [(column, weight), ...].
+    Returns exact per-(qid, doc) scores (qid, doc_id, score).
+
+    Scale shape: per field, one tokenize pass (map-side TF, no token
+    shuffle) + the same broadcast-query-side join as `bm25_topk_df`;
+    the per-field score tables union (no shuffle) into ONE
+    (qid, doc_id) partial-aggregated groupBy. Cost is proportional to
+    matched postings across fields, not corpus size × fields.
+    """
+    from ..index.build import tokenize_docs
+
+    spark = docs.sparkSession
+    qterms = query_terms_df(spark, queries)
+    n_docs = docs.count()
+    parts = []
+    for col_name, weight in fields:
+        toks = tokenize_docs(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(col_name).alias("content")),
+            lang_col=None,
+        )
+        dl = toks.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+        total = dl.agg(F.sum("dl")).collect()[0][0] or 0
+        avgdl = float(total) / n_docs
+        tstats = toks.groupBy("term").agg(F.count("*").alias("df"))
+        scores = bm25_scores(toks, tstats, qterms, n_docs, avgdl).withColumn(
+            "score", F.col("score") * F.lit(float(weight))
+        )
+        parts.append(scores)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("qid", "doc_id").agg(F.sum("score").alias("score"))
+
+
+def bm25f_topk_df(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k field-weighted BM25 → (qid, rank, doc_id, score)."""
+    return topk(bm25f_scores(docs, fields, queries, id_col), k)

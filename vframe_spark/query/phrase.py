@@ -1,0 +1,223 @@
+"""Phrase (positional) queries via two-phase retrieval.
+
+The index stores no positions — by design: positions would triple the
+posting payload for a feature only a fraction of queries use. Instead a
+phrase query runs in two phases, the Lucene two-phase-iterator shape:
+
+1. **Candidate generation (index-driven, cheap):** docs containing ALL
+   of the phrase's terms, from the compressed posting index — the same
+   bucket-pruned, broadcast-joined, ``(qid, shard)``-grouped scan the
+   WAND engine uses, but decoding only doc-id lists and intersecting.
+   At 10^12 docs this touches KBs of index, never the corpus.
+2. **Verification (exact, bounded):** only the candidates join back to
+   the docs table; an Arrow batch re-tokenizes each candidate with the
+   canonical tokenizer and counts *adjacent* runs of the phrase terms
+   (overlapping occurrences count). Cost is proportional to candidate
+   volume — the conjunctive selectivity bounds it — not corpus size.
+
+Scoring: BM25 treating the whole phrase as one synthetic term — tf =
+occurrence count, df = number of docs containing the phrase (computed
+exactly from the verified set), dl / N / avgdl from the index stats.
+Deterministic tie-break (score DESC, doc_id ASC).
+
+Reference parity: the conjunctive candidate shape mirrors
+`skip-labels --include` all-match semantics (/root/reference/src/
+commands/pipe/skip-labels.py:22-43, media.py:399-411); the re-check of
+candidates ≙ `skip-detections`'s per-item predicate re-evaluation
+(/root/reference/src/commands/pipe/skip-detections.py:30-53).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_py, tokenize_series
+from ..index.codec import pfor_delta_decode
+from ..oracle import B, K1
+
+CAND_SCHEMA = "qid int, doc_id bigint"
+VERIFY_SCHEMA = "qid int, doc_id bigint, tf bigint, dl bigint"
+
+
+def _intersect_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Docs of one (qid, shard) group that appear in EVERY term's
+    posting list. Each term lists a doc at most once, so the doc's
+    occurrence count across term lists equals its distinct-term count."""
+    qid = int(pdf["qid"].iloc[0])
+    n_required = int(pdf["n_terms"].iloc[0])
+    if pdf["term"].nunique() < n_required:
+        return pd.DataFrame(columns=["qid", "doc_id"]).astype(
+            {"qid": "int32", "doc_id": "int64"}
+        )
+    parts = []
+    for _, g in pdf.groupby("term"):
+        ids = [
+            pfor_delta_decode(buf, int(n), int(first)).astype(np.int64)
+            for buf, n, first in zip(g["doc_ids"], g["n"], g["first_doc"])
+        ]
+        parts.append(np.concatenate(ids) if ids else np.empty(0, np.int64))
+    uniq, counts = np.unique(np.concatenate(parts), return_counts=True)
+    hit = uniq[counts == n_required]
+    return pd.DataFrame({"qid": np.full(hit.size, qid, np.int32), "doc_id": hit})
+
+
+def phrase_candidates(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    phrases: list[tuple[int, str]],
+) -> DataFrame:
+    """(qid, doc_id) of docs containing every term of each phrase.
+
+    A phrase with any out-of-vocabulary term yields no candidates (it
+    cannot match). Same scan shape as `bm25_topk_wand`: bucket partition
+    pruning + term `isin` pushdown + broadcast of the tiny query table.
+    """
+    spark: SparkSession = postings.sparkSession
+    by_qid = {qid: sorted(set(tokenize_py(p))) for qid, p in phrases}
+    all_terms = sorted({t for ts in by_qid.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], CAND_SCHEMA)
+    have = {
+        r["term"]
+        for r in term_stats.filter(F.col("term").isin(all_terms)).select("term").collect()
+    }
+    qrows = [
+        (qid, t, len(ts))
+        for qid, ts in by_qid.items()
+        if ts and all(t in have for t in ts)
+        for t in ts
+    ]
+    if not qrows:
+        return spark.createDataFrame([], CAND_SCHEMA)
+    qdf = spark.createDataFrame(qrows, "qid int, term string, n_terms int")
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(F.broadcast(qdf), "term")
+    return matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _intersect_group(pdf), CAND_SCHEMA
+    )
+
+
+def count_phrase_hits(tokens: list[str], terms: list[str]) -> int:
+    """Occurrences of `terms` as an adjacent run in `tokens`
+    (overlapping runs count) — the verification kernel."""
+    n, L = len(tokens), len(terms)
+    if L == 0 or n < L:
+        return 0
+    arr = np.asarray(tokens, dtype=object)
+    m = np.ones(n - L + 1, dtype=bool)
+    for j, t in enumerate(terms):
+        m &= arr[j : n - L + 1 + j] == t
+    return int(m.sum())
+
+
+def verify_phrases(
+    cand_docs: DataFrame,
+    phrases: list[tuple[int, str]],
+    content_col: str = "content",
+) -> DataFrame:
+    """(qid, doc_id, content) candidates → (qid, doc_id, tf, dl) with
+    tf > 0. Tokenization is the canonical batch pipeline; the adjacency
+    count is vectorized over positions per candidate."""
+    terms_by_qid = {qid: tokenize_py(p) for qid, p in phrases}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            toks = tokenize_series(b[content_col])
+            out_q, out_d, out_tf, out_dl = [], [], [], []
+            for qid, doc_id, tok in zip(b["qid"], b["doc_id"], toks):
+                terms = terms_by_qid.get(int(qid))
+                if not terms:
+                    continue
+                tf = count_phrase_hits(tok, terms)
+                if tf > 0:
+                    out_q.append(int(qid))
+                    out_d.append(int(doc_id))
+                    out_tf.append(tf)
+                    out_dl.append(len(tok))
+            yield pd.DataFrame(
+                {"qid": out_q, "doc_id": out_d, "tf": out_tf, "dl": out_dl}
+            )
+
+    return cand_docs.mapInPandas(run, VERIFY_SCHEMA)
+
+
+def phrase_scores(
+    docs: DataFrame,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    phrases: list[tuple[int, str]],
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Exact per-(qid, doc) phrase-BM25 scores: (qid, doc_id, tf, score).
+
+    The docs table is only read for candidate rows (join on doc_id; AQE
+    broadcasts the candidate side when it is small, which conjunctive
+    selectivity makes the common case). ``exclude_doc_ids`` applies
+    tombstones (`index.builder.load_tombstones`) with the same
+    soft-delete semantics as WAND: corpus statistics — including the
+    phrase df — stay frozen (dead docs still count toward df, like N /
+    avgdl / term df), so survivors keep identical scores and only the
+    deleted docs disappear from results.
+    """
+    cands = phrase_candidates(postings, term_stats, meta, phrases)
+    cand_docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")
+    ).join(cands, "doc_id")
+    verified = verify_phrases(cand_docs, phrases, "content")
+    dfq = verified.groupBy("qid").agg(F.count("*").alias("df"))
+    n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfnorm = (
+        F.col("tf")
+        * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    out = (
+        verified.join(F.broadcast(dfq), "qid")
+        .withColumn("score", idf * tfnorm)
+        .select("qid", "doc_id", "tf", "score")
+    )
+    if exclude_doc_ids:
+        out = out.filter(~F.col("doc_id").isin([int(i) for i in set(exclude_doc_ids)]))
+    return out
+
+
+def phrase_topk(
+    docs: DataFrame,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Top-k phrase retrieval → (qid, rank, doc_id, score)."""
+    from .bm25 import topk
+
+    scores = phrase_scores(
+        docs, postings, term_stats, meta, phrases, content_col, id_col,
+        exclude_doc_ids,
+    )
+    return topk(scores.select("qid", "doc_id", "score"), k)

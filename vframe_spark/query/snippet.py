@@ -1,0 +1,101 @@
+"""Snippet (best-window highlight) extraction for ranked results.
+
+For each (query, doc) pair the snippet is the ``window``-token span
+covering the most *distinct* query terms; ties break to the earliest
+start. Deterministic rules so an independent SQL implementation agrees
+token-for-token:
+
+* candidate starts are exactly the positions of query terms (the
+  optimal window can always be anchored on one);
+* coverage = count of distinct query terms inside ``[start, start +
+  window)``;
+* best = max coverage, then smallest start;
+* the snippet string is the canonical-token slice joined by single
+  spaces (not raw text — rendering is deterministic across engines).
+
+Scale shape: snippets are computed only for the top-k join-back rows
+(k × queries docs, not the corpus), in one Arrow batch pass.
+
+Reference parity: `pipe caption`'s per-item template render of derived
+metadata onto the output (/root/reference/src/commands/pipe/
+caption.py:36-108) — a presentation column computed from match results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_series
+from ..oracle import parse_query_terms
+
+SNIPPET_SCHEMA = "qid int, doc_id bigint, n_hit int, snippet string"
+
+
+def best_window(tokens: list[str], qterms: set[str], window: int) -> tuple[int, int]:
+    """(start, coverage) of the best snippet window; (0, 0) if no query
+    term occurs."""
+    hits = [i for i, t in enumerate(tokens) if t in qterms]
+    if not hits:
+        return 0, 0
+    best_start, best_cov = hits[0], 0
+    n = len(tokens)
+    for p in hits:
+        cov = len({tokens[i] for i in range(p, min(p + window, n)) if tokens[i] in qterms})
+        if cov > best_cov:  # strict: ties keep the earliest start
+            best_cov, best_start = cov, p
+    return best_start, best_cov
+
+
+def snippets(
+    ranked_docs: DataFrame,
+    queries: list[tuple[int, str]],
+    window: int = 8,
+    content_col: str = "content",
+) -> DataFrame:
+    """(qid, doc_id, content) rows → (qid, doc_id, n_hit, snippet).
+
+    ``ranked_docs`` is typically the top-k result joined back to the
+    docs table — the snippet pass only ever touches those rows.
+    """
+    terms_by_qid = {qid: set(parse_query_terms(q)) for qid, q in queries}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            toks = tokenize_series(b[content_col])
+            out_q, out_d, out_n, out_s = [], [], [], []
+            for qid, doc_id, tok in zip(b["qid"], b["doc_id"], toks):
+                qterms = terms_by_qid.get(int(qid), set())
+                start, cov = best_window(tok, qterms, window)
+                out_q.append(int(qid))
+                out_d.append(int(doc_id))
+                out_n.append(int(cov))
+                out_s.append(" ".join(tok[start : start + window]))
+            yield pd.DataFrame(
+                {"qid": out_q, "doc_id": out_d, "n_hit": out_n, "snippet": out_s}
+            )
+
+    return ranked_docs.mapInPandas(run, SNIPPET_SCHEMA)
+
+
+def topk_snippets(
+    docs: DataFrame,
+    ranked: DataFrame,
+    queries: list[tuple[int, str]],
+    window: int = 8,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Join a (qid, rank, doc_id, ...) result table back to docs and
+    attach snippets → (qid, rank, doc_id, n_hit, snippet)."""
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+    hits = ranked.select("qid", "rank", "doc_id").join(src, "doc_id")
+    snips = snippets(hits.select("qid", "doc_id", "content"), queries, window, "content")
+    return (
+        ranked.select("qid", "rank", "doc_id")
+        .join(snips, ["qid", "doc_id"])
+        .select("qid", "rank", "doc_id", "n_hit", "snippet")
+    )
