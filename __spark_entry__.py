@@ -68,6 +68,23 @@ SNIP_QUERIES = [
     (3, "window group sort"),
 ]
 
+# Sloppy-phrase query set (proximity ≤ slop extra tokens per step).
+FT_SLOP_PHRASES = [
+    (1, "table scan"),
+    (2, "data window"),
+    (3, "hash merge"),
+]
+FT_SLOP = 2
+
+# Wildcard query set: trailing * marks a prefix token (vocab-expanded).
+FT_WILDCARD = [
+    (1, "dat* analysis"),
+    (2, "par*"),
+    (3, "zzzmissing* data"),
+    (4, "s*"),
+]
+FT_WILD_MAX_EXP = 16
+
 # Fielded (BM25F-lite) query set: source tokens hit the boosted field.
 FTF_FIELDS = [("source", 2.0), ("text", 1.0)]
 FTF_QUERIES = [
@@ -314,6 +331,138 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
          doc_id, score
   FROM scored
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def q_ft_phrase_slop(spark, sf_dir):
+    """Proximity ("sloppy") phrase retrieval: in-order chains advancing
+    ≤ 1+slop positions per step; tf = starts admitting a chain (exact
+    reachable-set sweep — greedy is provably insufficient)."""
+    from vframe_spark.query.phrase import phrase_scores
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    scored = phrase_scores(
+        docs, postings, term_stats, meta, FT_SLOP_PHRASES, slop=FT_SLOP
+    )
+    return _rounded_rank(scored.select("qid", "doc_id", "score"), FT_K)
+
+
+def _phrase_slop_oracle_sql() -> str:
+    """DuckDB proximity phrases: windowed in-order position joins
+    (each step > prev and ≤ prev + 1 + slop); tf = count of DISTINCT
+    first-term starts admitting any chain — EXISTS-per-start, exactly
+    the engine's reachable-set semantics."""
+    step = 1 + FT_SLOP
+    match_ctes, unions = [], []
+    for qid, phrase in FT_SLOP_PHRASES:
+        terms = tokenize_py(phrase)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos > p{i - 1}.pos "
+            f"AND p{i}.pos <= p{i - 1}.pos + {step} AND p{i}.term = '{t}'"
+            for i, t in enumerate(terms)
+            if i > 0
+        )
+        match_ctes.append(
+            f"s{qid} AS (SELECT p0.doc_id, count(DISTINCT p0.pos)::BIGINT AS tf "
+            f"FROM pos p0 {joins} WHERE p0.term = '{terms[0]}' GROUP BY 1)"
+        )
+        unions.append(f"SELECT {qid} AS qid, doc_id, tf FROM s{qid}")
+    ctes_sql = ",\n".join(match_ctes)
+    unions_sql = " UNION ALL ".join(unions)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+pos AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS pos FROM toks),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+{ctes_sql},
+matches AS ({unions_sql}),
+dfq AS (SELECT qid, count(*)::BIGINT AS df FROM matches GROUP BY 1),
+scored AS (
+  SELECT m.qid, m.doc_id,
+         round(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (m.tf * {K1 + 1.0}) / (m.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), 4) AS score
+  FROM matches m JOIN dfq USING (qid) JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def q_ft_wildcard_topk(spark, sf_dir):
+    """Prefix (wildcard) retrieval: `pars*` expands against the vocab
+    (≤16 terms, df DESC / term ASC — deterministic) and scores as a
+    ranked union through the same WAND engine. The oracle repeats the
+    expansion IN SQL, so the vocabulary-rewrite semantics are checked,
+    not just the scoring."""
+    from vframe_spark.query.prefix import wildcard_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = wildcard_topk(
+        postings, term_stats, meta, FT_WILDCARD, k=3 * FT_K,
+        max_expansions=FT_WILD_MAX_EXP,
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _wildcard_oracle_sql() -> str:
+    vals = []
+    for qid, q in FT_WILDCARD:
+        for raw in q.split():
+            if raw.endswith("*") and len(raw) > 1:
+                vals.append(f"({qid}, 'prefix', '{tokenize_py(raw[:-1])[-1]}')")
+            else:
+                for t in sorted(set(tokenize_py(raw))):
+                    vals.append(f"({qid}, 'exact', '{t}')")
+    vals_sql = ", ".join(vals)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+raw_q(qid, kind, val) AS (VALUES {vals_sql}),
+exp AS (
+  SELECT rq.qid, d.term,
+         row_number() OVER (PARTITION BY rq.qid, rq.val ORDER BY d.df DESC, d.term) AS rn
+  FROM raw_q rq JOIN dfreq d ON d.term LIKE rq.val || '%'
+  WHERE rq.kind = 'prefix'
+),
+q AS (
+  SELECT DISTINCT qid, val AS term FROM raw_q WHERE kind = 'exact'
+  UNION
+  SELECT qid, term FROM exp WHERE rn <= {FT_WILD_MAX_EXP}
+),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
 )
 SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
@@ -744,6 +893,24 @@ def q_text_lang_id(spark, sf_dir):
     return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_guess"))
 
 
+def q_text_curate(spark, sf_dir):
+    """The full C4-style curation gate as ONE plan: length window +
+    punctuation cap + quality floor + sha-256 keep-first dedup, with
+    the metrics of every survivor in the output."""
+    from vframe_spark.operators.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    out = curate_corpus(
+        docs, min_words=10, max_words=10000, max_punct_ratio=0.3, min_quality=0.5
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "quality",
+        "lang_guess",
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprint, oracle-checked: the portable polynomial
     rolling hash (round 2 — the round-1 xxhash64 variant stays in the
@@ -1081,6 +1248,41 @@ def q_rel_rollup(spark, sf_dir):
     )
 
 
+def q_rel_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form rollup/cube specialize;
+    the reference's per-label + global summary tables in one pass
+    (summarize-json.py:57-105 computes both separately)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    ).select(
+        "status", "priority", F.col("n").cast("bigint").alias("n"), "sum_price"
+    )
+
+
+def q_rel_moving_avg(spark, sf_dir):
+    """Windowed moving aggregate: 7-preceding-row moving average of
+    daily order revenue — the lag/lead/rolling family next to the
+    existing rank-window query."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 2).alias("ma7"),
+    )
+
+
 def q_rel_cube(spark, sf_dir):
     """Full CUBE over two dims (the general form of the reference's
     hand-rolled cross-tab summaries; completes the rollup family)."""
@@ -1282,6 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_bm25_fielded": q_ft_bm25_fielded,
         "ft_snippets": q_ft_snippets,
+        "ft_wildcard_topk": q_ft_wildcard_topk,
+        "ft_phrase_slop": q_ft_phrase_slop,
         "ft_bm25_with_docs": q_ft_bm25_with_docs,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1296,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
+        "text_curate": q_text_curate,
         "text_fingerprint": q_text_fingerprint,
         "src_validity": q_src_validity,
         "str_path_template": q_str_path_template,
@@ -1313,6 +1518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_bucket_rollup": q_rel_bucket_rollup,
         "rel_rollup": q_rel_rollup,
         "rel_cube": q_rel_cube,
+        "rel_grouping_sets": q_rel_grouping_sets,
+        "rel_moving_avg": q_rel_moving_avg,
         "rel_histogram": q_rel_histogram,
         "rel_time_window": q_rel_time_window,
         "rel_time_bucket": q_rel_time_bucket,
@@ -1377,6 +1584,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_topk": _phrase_oracle_sql(),
         "ft_bm25_fielded": _bm25f_oracle_sql(),
         "ft_snippets": _snippet_oracle_sql(),
+        "ft_wildcard_topk": _wildcard_oracle_sql(),
+        "ft_phrase_slop": _phrase_slop_oracle_sql(),
         "ft_bm25_with_docs": f"""
             WITH ranked AS ({bm25})
             SELECT r.qid, r.rank, r.doc_id, r.score,
@@ -1455,6 +1664,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_en >= h_de THEN 'en'
                         ELSE 'de' END AS lang_guess
             FROM h
+        """,
+        "text_curate": f"""
+            WITH m AS (
+              SELECT doc_id, text,
+                     {n_ws} AS n_words,
+                     round({punct_ratio}, 6) AS pr,
+                     round(
+                       0.4 * (CASE WHEN {n_ws} BETWEEN 10 AND 10000 THEN 1.0
+                                   WHEN {n_ws} > 0 THEN 0.3 ELSE 0.0 END)
+                       + 0.3 * (1.0 - {punct_ratio})
+                       + 0.3 * (CASE WHEN {mwl} >= 2.0 AND {mwl} <= 12.0 THEN 1.0 ELSE 0.2 END),
+                     6) AS quality,
+                     {hit_exprs['en']} AS h_en, {hit_exprs['de']} AS h_de,
+                     {hit_exprs['fr']} AS h_fr, {hit_exprs['es']} AS h_es
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, text, n_words, quality,
+                     CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                          WHEN h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                          WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                          WHEN h_en >= h_de THEN 'en'
+                          ELSE 'de' END AS lang_guess
+              FROM m
+              WHERE n_words BETWEEN 10 AND 10000 AND pr <= 0.3 AND quality >= 0.5
+            ),
+            d AS (
+              SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+              FROM f
+            )
+            SELECT doc_id, n_words::BIGINT AS n_words, quality, lang_guess
+            FROM d WHERE rn = 1
         """,
         "text_fingerprint": f"""
             SELECT doc_id, {X.fingerprint_poly_duckdb_sql('text')} AS fp
@@ -1638,6 +1879,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 4) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "rel_grouping_sets": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """,
+        "rel_moving_avg": """
+            WITH daily AS (
+              SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1
+            )
+            SELECT day, revenue,
+                   round(avg(revenue) OVER (
+                     ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+            FROM daily
         """,
         "rel_cube": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -172,3 +172,49 @@ def test_phrase_tombstones_drop_docs_scores_frozen(spark, corpus, index):
     for r in kept:
         if r["doc_id"] in full_scores:
             assert abs(r["score"] - full_scores[r["doc_id"]]) < 1e-12
+
+
+def test_slop_kernel_exact_not_greedy():
+    from vframe_spark.query.phrase import count_phrase_hits_slop
+
+    # branching case: the earliest 'b' (pos 1) dead-ends (c out of its
+    # window), the later 'b' (pos 3) reaches c — greedy-earliest would
+    # miss this chain; the reachable-set sweep must find it
+    toks = "a b x b x c".split()
+    assert count_phrase_hits_slop(toks, ["a", "b", "c"], slop=2) == 1
+    # slop=0 degenerates to exact adjacency
+    assert count_phrase_hits_slop(["a", "b", "c"], ["a", "b"], 0) == 1
+    assert count_phrase_hits_slop(["a", "x", "b"], ["a", "b"], 0) == 0
+    assert count_phrase_hits_slop(["a", "x", "b"], ["a", "b"], 1) == 1
+    # tf counts starts, not chains: two 'a' starts both reaching 'b'
+    assert count_phrase_hits_slop("a a b".split(), ["a", "b"], 1) == 2
+
+
+def test_slop_kernel_matches_bruteforce_fuzz():
+    import itertools
+    import random
+
+    from vframe_spark.query.phrase import count_phrase_hits_slop
+
+    def brute(tokens, terms, slop):
+        # all in-order position tuples with step <= 1+slop; count starts
+        idx = [[i for i, t in enumerate(tokens) if t == q] for q in terms]
+        starts = set()
+        for tup in itertools.product(*idx):
+            if all(
+                tup[i] > tup[i - 1] and tup[i] <= tup[i - 1] + 1 + slop
+                for i in range(1, len(tup))
+            ):
+                starts.add(tup[0])
+        return len(starts)
+
+    rng = random.Random(5)
+    for _ in range(300):
+        n = rng.randint(0, 10)
+        toks = [rng.choice("abc") for _ in range(n)]
+        L = rng.randint(1, 3)
+        terms = [rng.choice("abc") for _ in range(L)]
+        slop = rng.randint(0, 2)
+        assert count_phrase_hits_slop(toks, terms, slop) == brute(toks, terms, slop), (
+            toks, terms, slop,
+        )

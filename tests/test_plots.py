@@ -1,0 +1,38 @@
+"""Chart sinks: distributed binning, dependency-free SVG render."""
+
+import xml.etree.ElementTree as ET
+
+
+def test_histogram_svg(spark, tmp_path):
+    from vframe_spark.plots import save_histogram
+
+    df = spark.range(0, 1000).selectExpr("id * id as v")
+    out = str(tmp_path / "hist.svg")
+    res = save_histogram(df, "v", out, bins=10)
+    assert res["total"] == 1000 and res["bins"] == 10
+    root = ET.parse(out).getroot()
+    rects = [e for e in root.iter() if e.tag.endswith("rect")]
+    assert len(rects) == 10
+    # quadratic distribution: first bin holds the most rows
+    first = int(rects[0].find("{http://www.w3.org/2000/svg}title").text.split(": ")[1])
+    assert first > 100
+
+
+def test_group_counts_svg(spark, tmp_path):
+    from vframe_spark.plots import save_group_counts
+
+    df = spark.createDataFrame(
+        [(y,) for y in [2020] * 3 + [2021] * 5 + [2022] * 2], "year int"
+    )
+    out = str(tmp_path / "years.svg")
+    res = save_group_counts(df, "year", out)
+    assert res == {"path": out, "bins": 3, "total": 10}
+    svg = open(out).read()
+    assert "2021: 5" in svg and "2020: 3" in svg
+
+
+def test_histogram_constant_column(spark, tmp_path):
+    from vframe_spark.plots import histogram_bins
+
+    df = spark.createDataFrame([(7.0,)] * 5, "v double")
+    assert histogram_bins(df, "v", bins=4) == [(7.0, 5)]

@@ -241,3 +241,37 @@ def test_bm25f_boost_reorders(spark, corpus):
     top_docs = {r["doc_id"] for r in res}
     match_ids = {r["doc_id"] for r in docs.filter(f"lang = '{lang_val}'").collect()}
     assert top_docs <= match_ids  # boosted field dominates
+
+
+def test_wildcard_equals_manual_expansion(spark, corpus, index):
+    """`pa*` must score exactly like the OR query over its deterministic
+    vocabulary expansion (df DESC, term ASC, capped)."""
+    from vframe_spark.query.prefix import expand_prefix, wildcard_topk
+
+    postings, term_stats, _, meta = index
+    terms = expand_prefix(term_stats, "pa", 8)
+    assert terms and all(t.startswith("pa") for t in terms)
+    manual = bm25_topk_wand(
+        postings, term_stats, meta, [(1, " ".join(terms))], k=10
+    ).collect()
+    wild = wildcard_topk(
+        postings, term_stats, meta, [(1, "pa*")], k=10, max_expansions=8
+    ).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    ms, ws = sorted(manual, key=key), sorted(wild, key=key)
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in ms] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in ws
+    ]
+
+
+def test_wildcard_no_match_prefix_falls_back_to_exact(spark, corpus, index):
+    from vframe_spark.query.prefix import wildcard_topk
+
+    postings, term_stats, _, meta = index
+    wild = wildcard_topk(
+        postings, term_stats, meta, [(1, "zzznope* data")], k=5
+    ).collect()
+    exact = bm25_topk_wand(postings, term_stats, meta, [(1, "data")], k=5).collect()
+    assert {(r["rank"], r["doc_id"]) for r in wild} == {
+        (r["rank"], r["doc_id"]) for r in exact
+    }

@@ -88,3 +88,27 @@ def test_fingerprint_poly_cross_engine(spark):
     for i, t in enumerate(texts):
         con.execute("CREATE OR REPLACE TABLE x AS SELECT ?::VARCHAR AS t", [t])
         assert con.execute(f"SELECT {sql} FROM x").fetchone()[0] == got[i], (i, t)
+
+
+def test_curate_corpus_gates_and_dedup(spark):
+    """Curation pipeline: length window, punct cap, quality floor, and
+    keep-first exact dedup — each gate provably fires."""
+    from vframe_spark.operators.curate import curate_corpus, curation_summary
+
+    good = "the quick brown fox jumps over the lazy dog again and again and again"
+    rows = [
+        (1, good),                              # survives
+        (2, good),                              # exact dup of 1 → dropped
+        (3, "short text"),                      # < 10 words
+        (4, "a b c !!! ### $$$ %%% ^^^ &&& *** ((( )))"),  # punct-heavy
+        (5, good + " extra"),                   # survives (distinct)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, content string")
+    out = curate_corpus(docs, min_words=10, max_words=100, max_punct_ratio=0.3,
+                        min_quality=0.5)
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert set(kept) == {1, 5}  # dup keeps smallest doc_id
+    assert kept[1]["n_words"] >= 10 and kept[1]["quality"] >= 0.5
+    assert kept[1]["lang_guess"] == "en"
+    s = curation_summary(docs, out)
+    assert s["n_in"] == 5 and s["n_out"] == 2

@@ -65,3 +65,64 @@ def test_apply_transforms_chain(spark):
     assert all(again[m] == rows[m]["pixels"] for m in rows)
     with pytest.raises(ValueError, match="unknown transform"):
         T.apply_transforms(decoded, [("nope", 1.0)])
+
+
+def _frame_df(spark, w=8, h=6, fill=10):
+    import numpy as np
+
+    px = [int(v) for v in np.full(w * h, fill, dtype=np.uint8)]
+    boxes = [{"x1": 2.0, "y1": 1.0, "x2": 6.0, "y2": 5.0}]
+    return spark.createDataFrame(
+        [(1, w, h, px, boxes)],
+        "media_id bigint, width int, height int, pixels array<smallint>, "
+        "boxes array<struct<x1:double,y1:double,x2:double,y2:double>>",
+    )
+
+
+def test_draw_boxes_borders_only(spark):
+    import numpy as np
+
+    from vframe_spark.operators.transforms import draw_boxes
+
+    r = draw_boxes(_frame_df(spark), value=255, thickness=1).collect()[0]
+    img = np.asarray(r["pixels"], dtype=np.uint8).reshape(6, 8)
+    assert img[1, 2] == 255 and img[1, 5] == 255    # top edge
+    assert img[4, 2] == 255 and img[4, 5] == 255    # bottom edge
+    assert img[2, 2] == 255 and img[2, 5] == 255    # side edges
+    assert img[2, 3] == 10                          # interior untouched
+    assert img[0, 0] == 10                          # outside untouched
+
+
+def test_redact_boxes_fill_and_pixellate(spark):
+    import numpy as np
+
+    from vframe_spark.operators.transforms import redact_boxes
+
+    r = redact_boxes(_frame_df(spark), mode="fill", value=0).collect()[0]
+    img = np.asarray(r["pixels"], dtype=np.uint8).reshape(6, 8)
+    assert (img[1:5, 2:6] == 0).all() and img[0, 0] == 10
+
+    # pixellate over a gradient frame: ROI becomes block-constant
+    w, h = 8, 6
+    grad = [int(x % 256) for y in range(h) for x in range(w)]
+    df = spark.createDataFrame(
+        [(1, w, h, grad, [{"x1": 0.0, "y1": 0.0, "x2": 8.0, "y2": 6.0}])],
+        "media_id bigint, width int, height int, pixels array<smallint>, "
+        "boxes array<struct<x1:double,y1:double,x2:double,y2:double>>",
+    )
+    r2 = redact_boxes(df, mode="pixellate", block=4).collect()[0]
+    img2 = np.asarray(r2["pixels"], dtype=np.uint8).reshape(h, w)
+    # each 4x4 block is constant at its mean
+    assert len(set(img2[0:4, 0:4].ravel().tolist())) == 1
+    assert len(set(img2[0:4, 4:8].ravel().tolist())) == 1
+    assert img2[0, 0] != img2[0, 7]
+
+
+def test_fill_background(spark):
+    import numpy as np
+
+    from vframe_spark.operators.transforms import fill_background
+
+    r = fill_background(_frame_df(spark), value=7).collect()[0]
+    img = np.asarray(r["pixels"], dtype=np.uint8)
+    assert (img == 7).all() and len(img) == 48

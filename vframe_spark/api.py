@@ -70,13 +70,16 @@ class SearchIndex:
         snippets: bool = False,
         window: int = 8,
         content_col: str = "content",
+        slop: int = 0,
     ) -> DataFrame:
         """Top-k retrieval → (qid, rank, doc_id, score[, n_hit, snippet]).
 
         ``mode``: "or" (WAND ranked union), "and" (posting-list
-        intersection), "phrase" (adjacent-run match; needs ``docs``).
-        ``snippets=True`` attaches best-window highlights (needs
-        ``docs``).
+        intersection), "phrase" (adjacent-run match; needs ``docs``;
+        ``slop`` > 0 allows proximity gaps), "wildcard" (prefix
+        expansion — also auto-detected from ``foo*`` tokens in an
+        "or"-mode string query). ``snippets=True`` attaches best-window
+        highlights (needs ``docs``).
         """
         postings, term_stats, _, meta = self._parts()
         queries = [(1, query)] if isinstance(query, str) else list(query)
@@ -88,7 +91,17 @@ class SearchIndex:
 
             ranked = phrase_topk(
                 docs, postings, term_stats, meta, queries, k=k,
-                content_col=content_col, exclude_doc_ids=dead,
+                content_col=content_col, exclude_doc_ids=dead, slop=slop,
+            )
+        elif mode == "wildcard" or (
+            isinstance(query, str) and any(
+                w.endswith("*") and len(w) > 1 for w in query.split()
+            )
+        ):
+            from .query.prefix import wildcard_topk
+
+            ranked = wildcard_topk(
+                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
             )
         else:
             from .query.wand import bm25_topk_wand

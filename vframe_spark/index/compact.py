@@ -222,8 +222,9 @@ def purge_tombstones(spark: SparkSession, out_dir: str, batch_rows: int = 8192) 
         # absolute target stats, computed while doc_stats still holds the
         # dead rows — idempotent to replay after any crash
         ds = spark.read.parquet(paths.doc_stats)
+        dead_df0 = spark.createDataFrame([(int(i),) for i in dead], "doc_id bigint")
         removed = (
-            ds.filter(F.col("doc_id").isin(dead))
+            ds.join(F.broadcast(dead_df0), "doc_id", "left_semi")
             .agg(F.count("*").alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tl"))
             .collect()[0]
         )
@@ -287,12 +288,14 @@ def purge_tombstones(spark: SparkSession, out_dir: str, batch_rows: int = 8192) 
         purged.write.mode("overwrite").parquet(tmp)
     _swap_in(out_dir, paths.postings, tmp)
 
-    # 2. doc_stats: drop dead rows
+    # 2. doc_stats: drop dead rows (anti-join, not an isin literal — the
+    # tombstone set can be arbitrarily large)
+    dead_df = spark.createDataFrame([(int(i),) for i in dead], "doc_id bigint")
     tmp = os.path.join(out_dir, "_purge_tmp_doc_stats")
     shutil.rmtree(tmp, ignore_errors=True)
     (
         spark.read.parquet(paths.doc_stats).drop("slice")
-        .filter(~F.col("doc_id").isin(dead))
+        .join(F.broadcast(dead_df), "doc_id", "left_anti")
         .coalesce(4).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(tmp)
     )

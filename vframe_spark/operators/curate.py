@@ -1,0 +1,72 @@
+"""Corpus curation: the C4-style pretraining quality gate as ONE plan.
+
+Composes the JVM-expression text metrics (`functions.text`) with exact
+content dedup into a single Catalyst plan: length window → punctuation
+cap → quality floor → language allowlist → sha-256 keep-first dedup.
+Everything except the dedup window is a narrow projection+filter that
+whole-stage-codegens into the scan; the dedup shuffles 64-hex keys,
+never document bodies.
+
+Reference parity: `utils media-attrs-filter`'s chained range predicates
+and validity cleanup over the probed corpus (/root/reference/src/
+commands/utils/media-attrs-filter.py:36-128) followed by `dedup
+sha256`'s keep-first content dedup (/root/reference/src/commands/dedup/
+sha256.py:124-133) — the same curate-then-dedup pipeline, one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def curate_corpus(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 10000,
+    max_punct_ratio: float = 0.3,
+    min_quality: float | None = None,
+    langs: list[str] | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Filter a docs table down to its training-worthy subset.
+
+    Returns the surviving rows with the curation metrics attached
+    (``n_words``, ``punct_ratio``, ``quality``, ``lang_guess``) so the
+    caller can report *why* the survivors survived. Deterministic:
+    dedup keeps the smallest ``id_col`` per identical content.
+    """
+    c = F.col(content_col)
+    out = (
+        docs.withColumn("n_words", X.token_count_ws(c))
+        .withColumn("punct_ratio", F.round(X.punct_ratio(c), 6))
+        .withColumn("quality", X.quality_score(c))
+        .withColumn("lang_guess", X.lang_id(c))
+    )
+    out = out.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+    if min_quality is not None:
+        out = out.filter(F.col("quality") >= min_quality)
+    if langs:
+        out = out.filter(F.col("lang_guess").isin(list(langs)))
+    if dedup:
+        w = Window.partitionBy(F.sha2(c, 256)).orderBy(F.col(id_col).asc())
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return out
+
+
+def curation_summary(docs: DataFrame, curated: DataFrame) -> dict:
+    """Counts for the curation report: in, out, kept fraction."""
+    n_in, n_out = docs.count(), curated.count()
+    return {"n_in": n_in, "n_out": n_out, "kept": (n_out / n_in) if n_in else 0.0}

@@ -169,6 +169,101 @@ IMAGE_TRANSFORMS = {
 }
 
 
+def _clamp_box(box, w: int, h: int) -> tuple[int, int, int, int]:
+    x1 = min(max(int(box["x1"]), 0), w)
+    y1 = min(max(int(box["y1"]), 0), h)
+    x2 = min(max(int(box["x2"]), 0), w)
+    y2 = min(max(int(box["y2"]), 0), h)
+    return x1, y1, x2, y2
+
+
+def draw_boxes(
+    decoded: DataFrame,
+    boxes_col: str = "boxes",
+    value: int = 255,
+    thickness: int = 2,
+) -> DataFrame:
+    """`pipe draw` analog (/root/reference/src/commands/pipe/draw.py:
+    68-167): render bbox BORDERS onto each frame. Boxes are pixel-space
+    structs (x1, y1, x2, y2); borders are set to ``value`` with
+    ``thickness`` px, clipped at frame edges."""
+    t, val = int(thickness), int(value)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples():
+                img = np.asarray(r.pixels, dtype=np.uint8).reshape(r.height, r.width).copy()
+                for box in getattr(r, boxes_col) or []:
+                    x1, y1, x2, y2 = _clamp_box(box, r.width, r.height)
+                    if x2 <= x1 or y2 <= y1:
+                        continue
+                    img[y1 : min(y1 + t, y2), x1:x2] = val
+                    img[max(y2 - t, y1) : y2, x1:x2] = val
+                    img[y1:y2, x1 : min(x1 + t, x2)] = val
+                    img[y1:y2, max(x2 - t, x1) : x2] = val
+                out.append((r.media_id, r.width, r.height, img.ravel().tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "pixels"])
+
+    return decoded.mapInPandas(go, PIXEL_SCHEMA)
+
+
+def redact_boxes(
+    decoded: DataFrame,
+    boxes_col: str = "boxes",
+    mode: str = "pixellate",
+    block: int = 8,
+    value: int = 0,
+) -> DataFrame:
+    """`pipe redact` analog (/root/reference/src/commands/pipe/redact.py:
+    30-87): obscure every box INTERIOR — ``mode="pixellate"`` replaces
+    the ROI with block-mean mosaic (the cv2 pixellate model),
+    ``mode="fill"`` hard-fills with ``value``."""
+    if mode not in ("pixellate", "fill"):
+        raise ValueError("mode must be pixellate|fill")
+    blk, val = max(1, int(block)), int(value)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples():
+                img = np.asarray(r.pixels, dtype=np.uint8).reshape(r.height, r.width).copy()
+                for box in getattr(r, boxes_col) or []:
+                    x1, y1, x2, y2 = _clamp_box(box, r.width, r.height)
+                    if x2 <= x1 or y2 <= y1:
+                        continue
+                    if mode == "fill":
+                        img[y1:y2, x1:x2] = val
+                    else:
+                        roi = img[y1:y2, x1:x2]
+                        for by in range(y1, y2, blk):
+                            for bx in range(x1, x2, blk):
+                                cell = img[by : min(by + blk, y2), bx : min(bx + blk, x2)]
+                                cell[:] = int(cell.mean())
+                        del roi
+                out.append((r.media_id, r.width, r.height, img.ravel().tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "pixels"])
+
+    return decoded.mapInPandas(go, PIXEL_SCHEMA)
+
+
+def fill_background(decoded: DataFrame, value: int = 0) -> DataFrame:
+    """`pipe bg` / `pipe transparent` analog (/root/reference/src/
+    commands/pipe/bg.py:25-55, transparent.py:18-42): replace every
+    frame with a constant canvas of the same dimensions."""
+    val = int(value)
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = [
+                (r.media_id, r.width, r.height, [val] * (r.width * r.height))
+                for r in b.itertuples()
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "pixels"])
+
+    return decoded.mapInPandas(go, PIXEL_SCHEMA)
+
+
 def apply_transforms(decoded: DataFrame, chain: list[tuple[str, float]]) -> DataFrame:
     """Apply a named transform chain to decoded frames (pipe degrade).
 

@@ -169,6 +169,18 @@ def _lang_id(df, content_col: str, keep: list[str] | None = None):
     return out
 
 
+@register_step("curate")
+def _curate(df, content_col: str = "content", id_col: str = "doc_id",
+            min_words: int = 10, max_words: int = 10000,
+            max_punct_ratio: float = 0.3, min_quality: float | None = None,
+            langs: list[str] | None = None, dedup: bool = True):
+    """The full C4-style curation gate (operators.curate) as one step."""
+    from .operators.curate import curate_corpus
+
+    return curate_corpus(df, content_col, id_col, min_words, max_words,
+                         max_punct_ratio, min_quality, langs, dedup)
+
+
 @register_step("assign_ids")
 def _assign_ids(df, order_cols: list[str], id_col: str = "doc_id"):
     from .ids import assign_doc_ids

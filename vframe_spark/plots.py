@@ -1,0 +1,135 @@
+"""Chart sinks: distributed aggregation, driver-side render.
+
+The reference's plot commands (`utils media-attrs-plot` /root/reference/
+src/commands/utils/media-attrs-plot.py:52-541, `models plot`
+models/plot.py:45-164) pull the whole table into pandas and draw with
+matplotlib. Here the binning/grouping runs DISTRIBUTED (one partial-agg
+groupBy; only ≤ bins rows ever reach the driver) and the render is a
+tiny dependency-free SVG writer — matplotlib, when importable, is used
+instead for PNG output, but nothing requires it.
+"""
+
+from __future__ import annotations
+
+import html
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram_bins(df: DataFrame, col: str, bins: int = 20) -> list[tuple[float, int]]:
+    """Distributed equal-width histogram → [(bin_left_edge, count)].
+
+    One min/max pass + one partial-aggregated groupBy; the collected
+    result is ≤ ``bins`` rows regardless of table size.
+    """
+    row = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return []
+    if hi == lo:
+        return [(float(lo), df.filter(F.col(col).isNotNull()).count())]
+    width = (hi - lo) / bins
+    b = F.least(
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(bins - 1),
+    )
+    counts = {
+        int(r["b"]): int(r["n"])
+        for r in df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return [(lo + i * width, counts.get(i, 0)) for i in range(bins)]
+
+
+def group_counts(df: DataFrame, col: str, limit: int = 50) -> list[tuple[str, int]]:
+    """Distributed value-count series (sorted by key) for bar charts."""
+    rows = (
+        df.groupBy(F.col(col).cast("string").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("k")
+        .limit(limit)
+        .collect()
+    )
+    return [(r["k"], int(r["n"])) for r in rows]
+
+
+def _svg_bars(series: list[tuple], title: str, width: int, height: int) -> str:
+    pad, axis = 8, 22
+    n = max(len(series), 1)
+    peak = max((c for _, c in series), default=1) or 1
+    plot_w, plot_h = width - 2 * pad, height - 2 * pad - axis
+    bw = plot_w / n
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">',
+        f'<title>{html.escape(title)}</title>',
+        f'<text x="{pad}" y="{pad + 10}" font-size="11">{html.escape(title)}</text>',
+    ]
+    for i, (label, count) in enumerate(series):
+        h = plot_h * count / peak
+        x = pad + i * bw
+        y = pad + axis + (plot_h - h)
+        lbl = html.escape(f"{label}")
+        parts.append(
+            f'<rect x="{x:.1f}" y="{y:.1f}" width="{max(bw - 1, 1):.1f}" '
+            f'height="{h:.1f}" fill="#4878b0"><title>{lbl}: {count}</title></rect>'
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def save_histogram(
+    df: DataFrame,
+    col: str,
+    out_path: str,
+    bins: int = 20,
+    title: str | None = None,
+    width: int = 640,
+    height: int = 320,
+) -> dict:
+    """Histogram chart sink → SVG (or PNG when matplotlib exists).
+
+    Returns {"path", "bins", "total"} so callers can assert coverage.
+    """
+    series = histogram_bins(df, col, bins)
+    title = title or f"histogram of {col}"
+    return _render(series, out_path, title, width, height)
+
+
+def save_group_counts(
+    df: DataFrame,
+    col: str,
+    out_path: str,
+    limit: int = 50,
+    title: str | None = None,
+    width: int = 640,
+    height: int = 320,
+) -> dict:
+    """Categorical value-count bar chart sink (e.g. per-year counts —
+    media-attrs-plot.py:206,249)."""
+    series = group_counts(df, col, limit)
+    title = title or f"counts by {col}"
+    return _render(series, out_path, title, width, height)
+
+
+def _render(series: list[tuple], out_path: str, title: str, width: int, height: int) -> dict:
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)) or ".", exist_ok=True)
+    try:  # optional fancy path; the container need not have matplotlib
+        import matplotlib  # noqa: F401
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(width / 96, height / 96))
+        ax.bar([str(k) for k, _ in series], [c for _, c in series])
+        ax.set_title(title)
+        fig.savefig(out_path)
+        plt.close(fig)
+    except ImportError:
+        with open(out_path, "w") as fh:
+            fh.write(_svg_bars(series, title, width, height))
+    return {"path": out_path, "bins": len(series), "total": sum(c for _, c in series)}

@@ -122,14 +122,57 @@ def count_phrase_hits(tokens: list[str], terms: list[str]) -> int:
     return int(m.sum())
 
 
+def count_phrase_hits_slop(tokens: list[str], terms: list[str], slop: int) -> int:
+    """Sloppy (proximity) variant: tf = number of positions of the
+    FIRST term from which an in-order chain of the remaining terms
+    exists with every step advancing by ≤ ``1 + slop`` positions
+    (``slop=0`` = adjacency = :func:`count_phrase_hits`).
+
+    Exact existence via a reachable-position-set sweep per start
+    (greedy single-choice is NOT exact: an earlier successor can close
+    a window a later one keeps open). Cost is O(L × occurrences) per
+    candidate doc — verification only ever runs on candidates.
+    """
+    if slop <= 0:
+        return count_phrase_hits(tokens, terms)
+    L = len(terms)
+    if L == 0 or len(tokens) < L:
+        return 0
+    import bisect
+
+    term_set = set(terms)
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        if t in term_set:
+            pos.setdefault(t, []).append(i)
+    hits = 0
+    for s in pos.get(terms[0], []):
+        reach = [s]
+        for t in terms[1:]:
+            lst = pos.get(t, [])
+            nxt: set[int] = set()
+            for r in reach:
+                a = bisect.bisect_right(lst, r)
+                z = bisect.bisect_right(lst, r + 1 + slop)
+                nxt.update(lst[a:z])
+            if not nxt:
+                reach = []
+                break
+            reach = sorted(nxt)
+        hits += bool(reach)
+    return hits
+
+
 def verify_phrases(
     cand_docs: DataFrame,
     phrases: list[tuple[int, str]],
     content_col: str = "content",
+    slop: int = 0,
 ) -> DataFrame:
     """(qid, doc_id, content) candidates → (qid, doc_id, tf, dl) with
     tf > 0. Tokenization is the canonical batch pipeline; the adjacency
-    count is vectorized over positions per candidate."""
+    count is vectorized over positions per candidate. ``slop`` > 0
+    switches to proximity matching (count_phrase_hits_slop)."""
     terms_by_qid = {qid: tokenize_py(p) for qid, p in phrases}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -140,7 +183,7 @@ def verify_phrases(
                 terms = terms_by_qid.get(int(qid))
                 if not terms:
                     continue
-                tf = count_phrase_hits(tok, terms)
+                tf = count_phrase_hits_slop(tok, terms, slop)
                 if tf > 0:
                     out_q.append(int(qid))
                     out_d.append(int(doc_id))
@@ -162,6 +205,7 @@ def phrase_scores(
     content_col: str = "content",
     id_col: str = "doc_id",
     exclude_doc_ids: list[int] | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Exact per-(qid, doc) phrase-BM25 scores: (qid, doc_id, tf, score).
 
@@ -178,7 +222,7 @@ def phrase_scores(
     cand_docs = docs.select(
         F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")
     ).join(cands, "doc_id")
-    verified = verify_phrases(cand_docs, phrases, "content")
+    verified = verify_phrases(cand_docs, phrases, "content", slop)
     dfq = verified.groupBy("qid").agg(F.count("*").alias("df"))
     n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
     idf = F.log(
@@ -212,12 +256,13 @@ def phrase_topk(
     content_col: str = "content",
     id_col: str = "doc_id",
     exclude_doc_ids: list[int] | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Top-k phrase retrieval → (qid, rank, doc_id, score)."""
     from .bm25 import topk
 
     scores = phrase_scores(
         docs, postings, term_stats, meta, phrases, content_col, id_col,
-        exclude_doc_ids,
+        exclude_doc_ids, slop,
     )
     return topk(scores.select("qid", "doc_id", "score"), k)

@@ -1,0 +1,86 @@
+"""Prefix (wildcard) queries: ``pars*`` → multi-term BM25 union.
+
+Lucene-style multi-term query rewrite: the prefix expands against the
+vocabulary (``term_stats`` — vocab-sized, never the postings), capped
+at ``max_expansions`` terms by (df DESC, term ASC) so the expansion is
+deterministic and bounded; the expanded terms then score as a ranked
+union (each with its own idf) through the same WAND engine every other
+query uses.
+
+Scale shape: expansion is one pruned scan of the vocab table
+(`startswith` pushes down as a range predicate on sorted parquet); the
+retrieval cost equals an ordinary OR query over ≤ ``max_expansions``
+terms — the cap, not the corpus, bounds it.
+
+Reference parity: `skip-labels --include` matching a *set* of labels
+against each item (/root/reference/src/commands/pipe/skip-labels.py:
+22-43) — one user input expanding to a set match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_py
+
+
+def expand_prefix(
+    term_stats: DataFrame, prefix: str, max_expansions: int = 16
+) -> list[str]:
+    """The ≤ ``max_expansions`` vocabulary terms starting with
+    ``prefix``, highest document-frequency first (ties: term ASC)."""
+    rows = (
+        term_stats.filter(F.col("term").startswith(prefix))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def parse_wildcard_query(query: str) -> tuple[list[str], list[str]]:
+    """Split a query string into (exact_terms, prefixes). A trailing
+    ``*`` marks a prefix token; everything else tokenizes canonically."""
+    exact: list[str] = []
+    prefixes: list[str] = []
+    for raw in query.split():
+        if raw.endswith("*") and len(raw) > 1:
+            toks = tokenize_py(raw[:-1])
+            if toks:
+                prefixes.append(toks[-1])
+                exact.extend(toks[:-1])
+        else:
+            exact.extend(tokenize_py(raw))
+    return exact, prefixes
+
+
+def wildcard_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 16,
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Top-k for queries that may contain ``prefix*`` tokens →
+    (qid, rank, doc_id, score). Pure rewrite + delegate: each query
+    becomes the OR of its exact terms and every expansion of each
+    prefix, scored by the standard WAND engine."""
+    from .wand import bm25_topk_wand
+
+    rewritten: list[tuple[int, str]] = []
+    for qid, q in queries:
+        exact, prefixes = parse_wildcard_query(q)
+        terms = list(exact)
+        for p in prefixes:
+            terms.extend(expand_prefix(term_stats, p, max_expansions))
+        if terms:
+            rewritten.append((qid, " ".join(sorted(set(terms)))))
+    if not rewritten:
+        spark = postings.sparkSession
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    return bm25_topk_wand(
+        postings, term_stats, meta, rewritten, k=k, exclude_doc_ids=exclude_doc_ids
+    )
