@@ -241,6 +241,23 @@ def q_ft_term_stats(spark, sf_dir):
     return term_stats.select("term", F.col("df").cast("bigint").alias("df"))
 
 
+def q_ft_content_verify(spark, sf_dir):
+    """Row-level index↔source sha256 audit (index/verify.py): the
+    per-doc ``content_sha`` stored in doc_stats AT BUILD TIME must
+    equal sha256(text) recomputed from the live source for EVERY doc —
+    the north_rule's "per-row content sha256 equality enforced against
+    the source table", exercised end-to-end through the built index
+    (the oracle recomputes the hashes directly in DuckDB)."""
+    from vframe_spark.index.verify import verify_content
+
+    _, _, doc_stats, _ = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return (
+        verify_content(doc_stats, docs, include_ok=True)
+        .select("doc_id", F.col("indexed_sha").alias("content_sha"), "status")
+    )
+
+
 def q_ft_bm25_exhaustive(spark, sf_dir):
     """Exhaustive DataFrame BM25 (no index) — same plan family as Catalyst
     agg/join; oracle is the DuckDB BM25 CTE."""
@@ -334,6 +351,55 @@ ranked AS (
 )
 SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
+
+
+_INDEX_POS_CACHE: dict[str, str] = {}
+
+
+def _ft_index_pos(spark, sf_dir):
+    """Build (once per sf_dir) the POSITIONAL inverted index — positions
+    stored in the posting blocks (build_index(..., positions=True))."""
+    if sf_dir not in _INDEX_POS_CACHE:
+        from vframe_spark.index.codec import FORMAT_VERSION
+
+        tag = hashlib.md5(f"{FORMAT_VERSION}:pos:{sf_dir}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
+        docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+        build_index(
+            docs, out, shard_size=256, block_size=64, shards_per_slice=4,
+            content_col="content", lang_col=None, positions=True,
+        )
+        _INDEX_POS_CACHE[sf_dir] = out
+    return load_index(spark, _INDEX_POS_CACHE[sf_dir])
+
+
+def q_ft_phrase_positional(spark, sf_dir):
+    """Single-phase phrase retrieval off the POSITIONAL index
+    (query/positional.py): candidate intersection + adjacency
+    verification happen inside the index scan — the source table is
+    never read. Must match the two-phase engine (and the same DuckDB
+    zipped-unnest adjacency oracle) rank-for-rank."""
+    from vframe_spark.query.phrase import rank_verified
+    from vframe_spark.query.positional import phrase_verified_positional
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    verified = phrase_verified_positional(postings, term_stats, meta, FT_PHRASES)
+    scored = rank_verified(verified, meta)
+    return _rounded_rank(scored.select("qid", "doc_id", "score"), FT_K)
+
+
+def q_ft_phrase_positional_slop(spark, sf_dir):
+    """Proximity variant on the positional index — same exact
+    reachable-set semantics as the two-phase slop engine, same oracle."""
+    from vframe_spark.query.phrase import rank_verified
+    from vframe_spark.query.positional import phrase_verified_positional
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    verified = phrase_verified_positional(
+        postings, term_stats, meta, FT_SLOP_PHRASES, slop=FT_SLOP
+    )
+    scored = rank_verified(verified, meta)
+    return _rounded_rank(scored.select("qid", "doc_id", "score"), FT_K)
 
 
 def q_ft_phrase_slop(spark, sf_dir):
@@ -1478,10 +1544,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_tokenize_tf": q_ft_tokenize_tf,
         "ft_doc_stats": q_ft_doc_stats,
         "ft_term_stats": q_ft_term_stats,
+        "ft_content_verify": q_ft_content_verify,
         "ft_bm25_exhaustive": q_ft_bm25_exhaustive,
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_phrase_topk": q_ft_phrase_topk,
+        "ft_phrase_positional": q_ft_phrase_positional,
+        "ft_phrase_positional_slop": q_ft_phrase_positional_slop,
         "ft_bm25_fielded": q_ft_bm25_fielded,
         "ft_snippets": q_ft_snippets,
         "ft_wildcard_topk": q_ft_wildcard_topk,
@@ -1576,12 +1645,18 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents)
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1
         """,
+        "ft_content_verify": """
+            SELECT doc_id, sha256(text) AS content_sha, 'ok' AS status
+            FROM documents
+        """,
         "ft_bm25_exhaustive": bm25,
         "ft_bm25_wand": bm25,
         "ft_bm25_conjunctive": BM25_CONJ_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ),
         "ft_phrase_topk": _phrase_oracle_sql(),
+        "ft_phrase_positional": _phrase_oracle_sql(),
+        "ft_phrase_positional_slop": _phrase_slop_oracle_sql(),
         "ft_bm25_fielded": _bm25f_oracle_sql(),
         "ft_snippets": _snippet_oracle_sql(),
         "ft_wildcard_topk": _wildcard_oracle_sql(),

@@ -74,6 +74,11 @@ def main() -> None:
         from vframe_spark.ids import assign_doc_ids
 
         docs = assign_doc_ids(synth_docs(spark, N_CORPUS), ["repo", "path", "commit"])
+        # ≥4 tasks/core/wave: with coarser tasks, last-wave straggler tails
+        # on variable-length docs cost up to ~50% of stage wall (measured —
+        # see BENCH.md scaling section); real clusters get this granularity
+        # from 128 MB parquet splits, a checkpointed corpus must ask for it
+        docs = docs.repartition(CPUS * 8)
         docs = docs.localCheckpoint()  # freeze ids + exclude synth cost from build timing
 
         t0 = time.time()
@@ -140,6 +145,7 @@ def main() -> None:
         "ft_bm25_wand",
         "ft_bm25_conjunctive",
         "ft_phrase_topk",
+        "ft_phrase_positional",
         "ft_snippets",
         "sim_ivf_topk",
         "ft_tokenize_tf",

@@ -1,0 +1,169 @@
+"""Positional index build + single-phase phrase engine (query/positional.py).
+
+Ground truth is the two-phase engine (query/phrase.py), which is itself
+oracle-checked against DuckDB — the positional engine must be
+rank-identical to it on the same corpus, adjacency and slop alike.
+"""
+
+import tempfile
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, delete_docs, load_index
+from vframe_spark.index.codec import positions_decode, varint_encode_segments
+from vframe_spark.query.phrase import count_hits_positions, count_phrase_hits_slop, phrase_topk
+from vframe_spark.query.positional import phrase_topk_positional
+
+
+# ------------------------------------------------------------- codec
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 5000), min_size=1, max_size=30).map(
+            lambda v: sorted(set(v))
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_positions_roundtrip(segments):
+    flat = np.concatenate([np.asarray(s, dtype=np.uint64) for s in segments])
+    lens = np.asarray([len(s) for s in segments], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    bufs = varint_encode_segments(flat, starts)
+    assert len(bufs) == len(segments)
+    got_flat, got_offs = positions_decode(b"".join(bufs), lens)
+    np.testing.assert_array_equal(got_flat.astype(np.int64), flat.astype(np.int64))
+    np.testing.assert_array_equal(got_offs, np.concatenate(([0], np.cumsum(lens))))
+    # each segment buffer is independently decodable (block slicing)
+    f0, _ = positions_decode(bufs[0], lens[:1])
+    np.testing.assert_array_equal(f0.astype(np.int64), np.asarray(segments[0]))
+
+
+@given(
+    st.lists(st.sampled_from("ab cd ef gh".split()), min_size=1, max_size=40),
+    st.lists(st.sampled_from("ab cd ef".split()), min_size=1, max_size=3),
+    st.integers(0, 3),
+)
+@settings(max_examples=80, deadline=None)
+def test_count_hits_positions_matches_token_kernel(tokens, terms, slop):
+    pos_lists = [
+        np.asarray([i for i, t in enumerate(tokens) if t == q], dtype=np.int64)
+        for q in terms
+    ]
+    assert count_hits_positions(pos_lists, slop) == count_phrase_hits_slop(
+        tokens, terms, slop
+    )
+
+
+# ------------------------------------------------- engine equivalence
+
+PHRASES = [
+    (1, "data analysis"),
+    (2, "return result"),
+    (3, "the data"),
+    (4, "zzz missing phrase"),
+    (5, "data data"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return assign_doc_ids(
+        synth_docs(spark, 250, partitions=4), ["repo", "path", "commit"]
+    ).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus):
+    out = tempfile.mkdtemp(prefix="vf_posidx_")
+    build_index(corpus, out, shard_size=64, block_size=16, shards_per_slice=2,
+                positions=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def plain_index(spark, corpus):
+    out = tempfile.mkdtemp(prefix="vf_plainidx_")
+    build_index(corpus, out, shard_size=64, block_size=16, shards_per_slice=2)
+    return out
+
+
+def _ranked(df):
+    return [
+        (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.orderBy("qid", "rank").collect()
+    ]
+
+
+def test_meta_records_positions(spark, pos_index, plain_index):
+    *_, meta_p = load_index(spark, pos_index)
+    *_, meta_n = load_index(spark, plain_index)
+    assert meta_p["positions"] is True and meta_n["positions"] is False
+    postings, *_ = load_index(spark, pos_index)
+    assert "pos" in postings.columns
+
+
+@pytest.mark.parametrize("slop", [0, 2])
+def test_positional_matches_two_phase(spark, corpus, pos_index, plain_index, slop):
+    p_post, p_ts, _, p_meta = load_index(spark, pos_index)
+    n_post, n_ts, _, n_meta = load_index(spark, plain_index)
+    got = phrase_topk_positional(p_post, p_ts, p_meta, PHRASES, k=10, slop=slop)
+    want = phrase_topk(corpus, n_post, n_ts, n_meta, PHRASES, k=10, slop=slop)
+    assert _ranked(got) == _ranked(want)
+    assert len(_ranked(got)) > 0  # corpus actually contains some phrase
+
+
+def test_positional_requires_positions(spark, plain_index):
+    postings, ts, _, meta = load_index(spark, plain_index)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_topk_positional(postings, ts, meta, PHRASES)
+
+
+def test_positional_tombstones(spark, pos_index):
+    postings, ts, _, meta = load_index(spark, pos_index)
+    base = phrase_topk_positional(postings, ts, meta, PHRASES, k=10).collect()
+    assert base, "need at least one phrase hit"
+    dead = int(base[0]["doc_id"])
+    got = phrase_topk_positional(
+        postings, ts, meta, PHRASES, k=10, exclude_doc_ids=[dead]
+    ).collect()
+    assert dead not in {r["doc_id"] for r in got}
+
+
+def test_positional_purge(spark, corpus, pos_index):
+    """Hard-delete on a positional index re-encodes the pos payloads;
+    the purged index must equal a scratch positional build over the
+    surviving docs (same doc_ids)."""
+    import shutil
+
+    out = tempfile.mkdtemp(prefix="vf_pospurge_")
+    shutil.rmtree(out)
+    shutil.copytree(pos_index, out)
+    p_post, p_ts, _, p_meta = load_index(spark, out)
+    victims = [
+        int(r["doc_id"])
+        for r in phrase_topk_positional(p_post, p_ts, p_meta, PHRASES, k=3).collect()
+    ][:2]
+    assert victims
+    delete_docs(spark, out, victims)
+    from vframe_spark.index.compact import purge_tombstones
+
+    purge_tombstones(spark, out)
+    q_post, q_ts, _, q_meta = load_index(spark, out)
+    got = phrase_topk_positional(q_post, q_ts, q_meta, PHRASES, k=10)
+
+    scratch = tempfile.mkdtemp(prefix="vf_posscratch_")
+    survivors = corpus.filter(~F.col("doc_id").isin(victims))
+    build_index(survivors, scratch, shard_size=64, block_size=16,
+                shards_per_slice=2, positions=True)
+    s_post, s_ts, _, s_meta = load_index(spark, scratch)
+    want = phrase_topk_positional(s_post, s_ts, s_meta, PHRASES, k=10)
+    assert _ranked(got) == _ranked(want)

@@ -1,0 +1,81 @@
+"""Index↔source sha256 verification (index/verify.py).
+
+The build stores sha2(content, 256) per doc in doc_stats (format
+pfor-v3); verify_content re-derives it from the live source and
+reports divergences. north_rule: "per-row content sha256 equality
+enforced against the source table".
+"""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.api import SearchIndex
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.index.verify import (
+    STATUS_MISMATCH,
+    STATUS_MISSING_IN_INDEX,
+    STATUS_MISSING_IN_SOURCE,
+    verify_content,
+)
+
+from vframe_spark.corpus import synth_docs
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    docs = assign_doc_ids(synth_docs(spark, 120, partitions=4), ["repo", "path", "commit"])
+    out = tempfile.mkdtemp(prefix="vf_verify_")
+    build_index(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    return docs.localCheckpoint(), out
+
+
+def test_clean_index_verifies_empty(spark, built):
+    docs, out = built
+    _, _, doc_stats, _ = load_index(spark, out)
+    assert "content_sha" in doc_stats.columns
+    assert verify_content(doc_stats, docs).count() == 0
+
+
+def test_doc_stats_covers_every_doc(spark, built):
+    docs, out = built
+    _, _, doc_stats, _ = load_index(spark, out)
+    assert doc_stats.count() == docs.count()
+
+
+def test_detects_mutation_and_drift(spark, built):
+    docs, out = built
+    _, _, doc_stats, _ = load_index(spark, out)
+    # mutate doc 3's content, drop doc 5, add an unindexed doc
+    mutated = (
+        docs.filter(F.col("doc_id") != 5)
+        .withColumn(
+            "content",
+            F.when(F.col("doc_id") == 3, F.lit("tampered")).otherwise(F.col("content")),
+        )
+    )
+    extra = mutated.limit(1).withColumn("doc_id", F.lit(10_000))
+    report = verify_content(doc_stats, mutated.unionByName(extra))
+    got = {r["doc_id"]: r["status"] for r in report.collect()}
+    assert got == {
+        3: STATUS_MISMATCH,
+        5: STATUS_MISSING_IN_SOURCE,
+        10_000: STATUS_MISSING_IN_INDEX,
+    }
+
+
+def test_facade_verify(spark, built):
+    docs, out = built
+    idx = SearchIndex(spark, out)
+    assert idx.verify(docs).count() == 0
+    ok = idx.verify(docs, include_ok=True)
+    assert ok.filter(F.col("status") == "ok").count() == docs.count()
+
+
+def test_old_index_without_sha_raises(spark, built):
+    docs, out = built
+    _, _, doc_stats, _ = load_index(spark, out)
+    with pytest.raises(ValueError, match="content_sha"):
+        verify_content(doc_stats.drop("content_sha"), docs)

@@ -34,6 +34,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--shard-size", type=int, default=1 << 20)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--shards-per-slice", type=int, default=4)
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (single-phase phrase queries)")
     b.add_argument("--synth-docs", type=int, default=0,
                    help="generate a synthetic corpus of N docs instead of reading --docs-parquet")
 
@@ -82,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
             docs, args.index, shard_size=args.shard_size, block_size=args.block_size,
             shards_per_slice=args.shards_per_slice,
             content_col=args.content_col, lang_col=args.lang_col,
+            positions=args.positions,
         )
         print(json.dumps({"built": True, **meta}))
     elif args.cmd == "delete":
@@ -106,15 +109,25 @@ def main(argv: list[str] | None = None) -> int:
         dead = load_tombstones(spark, args.index)
         queries = [(i + 1, s) for i, s in enumerate(args.query)]
         if args.mode == "phrase":
-            if not args.docs_parquet:
-                ap.error("mode=phrase requires --docs-parquet")
-            from vframe_spark.query.phrase import phrase_topk
+            if meta.get("positions"):
+                # positional index → resolve the phrase inside the scan
+                from vframe_spark.query.positional import phrase_topk_positional
 
-            docs = spark.read.parquet(args.docs_parquet)
-            rows = phrase_topk(
-                docs, postings, term_stats, meta, queries, k=args.k,
-                content_col=args.content_col, exclude_doc_ids=dead or None,
-            ).collect()
+                rows = phrase_topk_positional(
+                    postings, term_stats, meta, queries, k=args.k,
+                    exclude_doc_ids=dead or None,
+                ).collect()
+            elif not args.docs_parquet:
+                ap.error("mode=phrase requires --docs-parquet "
+                         "(or an index built with --positions)")
+            else:
+                from vframe_spark.query.phrase import phrase_topk
+
+                docs = spark.read.parquet(args.docs_parquet)
+                rows = phrase_topk(
+                    docs, postings, term_stats, meta, queries, k=args.k,
+                    content_col=args.content_col, exclude_doc_ids=dead or None,
+                ).collect()
         else:
             rows = bm25_topk_wand(
                 postings, term_stats, meta, queries, k=args.k, mode=args.mode,

@@ -85,14 +85,26 @@ class SearchIndex:
         queries = [(1, query)] if isinstance(query, str) else list(query)
         dead = load_tombstones(self.spark, self.out_dir) or None
         if mode == "phrase":
-            if docs is None:
-                raise ValueError("mode='phrase' needs the docs table")
-            from .query.phrase import phrase_topk
+            if meta.get("positions"):
+                # positional index → single-phase, no source read
+                from .query.positional import phrase_topk_positional
 
-            ranked = phrase_topk(
-                docs, postings, term_stats, meta, queries, k=k,
-                content_col=content_col, exclude_doc_ids=dead, slop=slop,
-            )
+                ranked = phrase_topk_positional(
+                    postings, term_stats, meta, queries, k=k, slop=slop,
+                    exclude_doc_ids=dead,
+                )
+            elif docs is None:
+                raise ValueError(
+                    "mode='phrase' needs the docs table (or an index "
+                    "built with positions=True)"
+                )
+            else:
+                from .query.phrase import phrase_topk
+
+                ranked = phrase_topk(
+                    docs, postings, term_stats, meta, queries, k=k,
+                    content_col=content_col, exclude_doc_ids=dead, slop=slop,
+                )
         elif mode == "wildcard" or (
             isinstance(query, str) and any(
                 w.endswith("*") and len(w) > 1 for w in query.split()
@@ -144,3 +156,15 @@ class SearchIndex:
         out = compact_index(self.spark, self.out_dir)
         self._loaded = None
         return out
+
+    def verify(self, docs: DataFrame, id_col: str = "doc_id",
+               content_col: str = "content",
+               include_ok: bool = False) -> DataFrame:
+        """Audit the index against the live source table via the stored
+        per-row content sha256 (empty result == everything matches);
+        see `index.verify.verify_content`."""
+        from .index.verify import verify_content
+
+        _, _, doc_stats, _ = self._parts()
+        return verify_content(doc_stats, docs, id_col=id_col,
+                              content_col=content_col, include_ok=include_ok)

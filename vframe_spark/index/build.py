@@ -41,15 +41,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.tokenizer import tokenize_series
-from .codec import for_encode, pfor_delta_encode
+from .codec import for_encode, pfor_delta_encode, varint_encode_segments
 
 TOKENS_SCHEMA = "doc_id bigint, term string, tf int, doc_len int"
+# positional build: per-(doc, term) gap+varint token offsets
+TOKENS_POS_SCHEMA = TOKENS_SCHEMA + ", positions binary"
 
 POSTINGS_SCHEMA = (
     "term string, shard int, block int, n int, "
     "doc_ids binary, tfs binary, dls binary, "
     "max_tf int, min_dl int, first_doc bigint, last_doc bigint"
 )
+# positional blocks append the concatenated per-doc position segments
+# (decode: codec.positions_decode with the block's decoded tf array)
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", pos binary"
 
 DEFAULT_SHARD_SIZE = 1 << 20  # docs per shard → hard cap on any posting task
 DEFAULT_BLOCK_SIZE = 128      # postings per compressed block
@@ -82,6 +87,7 @@ def tokenize_docs(
     id_col: str = "doc_id",
     lang_col: str | None = "lang",
     backend: str = "pandas",
+    positions: bool = False,
 ) -> DataFrame:
     """``docs`` → ``(doc_id, term, tf, doc_len)`` — one pass, no shuffle.
 
@@ -101,17 +107,55 @@ def tokenize_docs(
       implementation the tests cross-check against the Arrow kernel.
     """
     if backend == "expr":
+        if positions:
+            raise ValueError("positions=True requires the pandas backend")
         return _tokenize_docs_expr(docs, content_col, id_col, lang_col)
     cols = [id_col, content_col] + ([lang_col] if lang_col else [])
     src = docs.select(*cols)
     use_lang = lang_col is not None
+    out_cols = ["doc_id", "term", "tf", "doc_len"] + (
+        ["positions"] if positions else []
+    )
 
     def batch_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             toks = tokenize_series(b[content_col])
             lens = toks.map(len).to_numpy(np.int64)
             flat = [t for lst in toks for t in lst]
-            if flat:
+            if flat and positions:
+                # positional kernel: keep the token stream's within-doc
+                # offsets through a STABLE (doc, term) lexsort, so each
+                # (doc, term) group's positions come out ascending, then
+                # gap+varint them per group in one vectorized pass
+                # (codec.varint_encode_segments).
+                doc_rep = np.repeat(b[id_col].to_numpy(np.int64), lens)
+                codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+                doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                tokpos = np.arange(len(flat), dtype=np.int64) - np.repeat(doc_starts, lens)
+                order = np.lexsort((codes, doc_rep))
+                sd, sc = doc_rep[order], np.asarray(codes)[order]
+                new = np.r_[True, (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])]
+                grp_starts = np.flatnonzero(new)
+                tf = np.diff(np.r_[grp_starts, len(sd)])
+                u_doc = sd[grp_starts]
+                u_code = sc[grp_starts]
+                pos_bufs = varint_encode_segments(
+                    tokpos[order].astype(np.uint64), grp_starts
+                )
+                starts = np.flatnonzero(np.r_[True, u_doc[1:] != u_doc[:-1]])
+                dl_vals = np.add.reduceat(tf, starts)
+                doc_len = np.repeat(dl_vals, np.diff(np.r_[starts, len(u_doc)]))
+                counts = pd.DataFrame(
+                    {
+                        "doc_id": u_doc,
+                        "term": np.asarray(uniques, dtype=object)[u_code],
+                        "tf": tf,
+                        "doc_len": doc_len,
+                        "positions": np.asarray(pos_bufs, dtype=object),
+                    }
+                )
+                dl_map = dict(zip(u_doc[starts].tolist(), dl_vals.tolist()))
+            elif flat:
                 # numpy TF kernel (~1.5× the pandas explode+groupby path):
                 # factorize terms, fuse (doc, term) into one int64 key,
                 # unique-count it, and derive doc_len with reduceat over
@@ -149,7 +193,7 @@ def tokenize_docs(
                 )
                 dl_map = dict(zip(u_doc[starts].tolist(), dl_vals.tolist()))
             else:
-                counts = pd.DataFrame(columns=["doc_id", "term", "tf", "doc_len"])
+                counts = pd.DataFrame(columns=out_cols)
                 dl_map = {}
             if use_lang:
                 has_lang = b[b[lang_col].notna()]
@@ -163,13 +207,22 @@ def tokenize_docs(
                 lang_rows["doc_len"] = (
                     lang_rows["doc_id"].map(dl_map).fillna(0).astype("int64")
                 )
+                if positions:
+                    # synthetic lang term sits one past the last real
+                    # token (position = doc_len): tf↔positions stays
+                    # consistent and no phrase can ever match across it
+                    ld = lang_rows["doc_len"].to_numpy(np.uint64)
+                    lang_rows["positions"] = np.asarray(
+                        varint_encode_segments(ld, np.arange(len(ld), dtype=np.int64)),
+                        dtype=object,
+                    ) if len(ld) else np.empty(0, dtype=object)
                 counts = pd.concat([counts, lang_rows], ignore_index=True)
             counts["tf"] = counts["tf"].astype("int32")
             counts["doc_len"] = counts["doc_len"].astype("int32")
             counts["doc_id"] = counts["doc_id"].astype("int64")
-            yield counts[["doc_id", "term", "tf", "doc_len"]]
+            yield counts[out_cols]
 
-    return src.mapInPandas(batch_tf, TOKENS_SCHEMA)
+    return src.mapInPandas(batch_tf, TOKENS_POS_SCHEMA if positions else TOKENS_SCHEMA)
 
 
 def _tokenize_docs_expr(
@@ -233,9 +286,12 @@ def _encode_rows(
     dls: np.ndarray,
     block_size: int,
     out: dict,
+    pos: np.ndarray | None = None,
 ) -> None:
     """Encode a run of complete, (term,shard,doc_id)-sorted groups into
-    posting-block rows appended to ``out`` (dict-of-lists)."""
+    posting-block rows appended to ``out`` (dict-of-lists). ``pos``
+    (object array of per-(doc, term) position buffers, aligned with
+    ``ids``) adds the block's concatenated positional payload."""
     if ids.size == 0:
         return
     change = np.flatnonzero((terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]))
@@ -245,6 +301,7 @@ def _encode_rows(
         gi = ids[g0:g1]
         gt = tfs[g0:g1]
         gd = dls[g0:g1]
+        gp = pos[g0:g1] if pos is not None else None
         term = terms[g0]
         shard = int(shards[g0])
         for blk, s in enumerate(range(0, len(gi), block_size)):
@@ -261,16 +318,19 @@ def _encode_rows(
             out["min_dl"].append(int(bd.min()))
             out["first_doc"].append(int(bi[0]))
             out["last_doc"].append(int(bi[-1]))
+            if gp is not None:
+                out["pos"].append(b"".join(gp[sl]))
 
 
 _OUT_COLS = [
     "term", "shard", "block", "n", "doc_ids", "tfs", "dls",
     "max_tf", "min_dl", "first_doc", "last_doc",
 ]
+_OUT_COLS_POS = _OUT_COLS + ["pos"]
 
 
 def _flush(out: dict) -> pd.DataFrame:
-    pdf = pd.DataFrame(out, columns=_OUT_COLS)
+    pdf = pd.DataFrame(out, columns=_OUT_COLS_POS if "pos" in out else _OUT_COLS)
     pdf["shard"] = pdf["shard"].astype("int32")
     pdf["block"] = pdf["block"].astype("int32")
     pdf["n"] = pdf["n"].astype("int32")
@@ -298,6 +358,8 @@ def build_postings(
     """
     spark = tokens.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    with_pos = "positions" in tokens.columns
+    out_cols = _OUT_COLS_POS if with_pos else _OUT_COLS
     with_shard = tokens.withColumn(
         "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
     )
@@ -306,7 +368,7 @@ def build_postings(
     )
 
     def encode_stream(batches):
-        out = {c: [] for c in _OUT_COLS}
+        out = {c: [] for c in out_cols}
         pend: list[pd.DataFrame] = []   # frames of the ONE unfinished group
         pkey = None                     # its (term, shard)
 
@@ -316,6 +378,7 @@ def build_postings(
                 g["term"].to_numpy(dtype=object), g["shard"].to_numpy(),
                 g["doc_id"].to_numpy(np.int64), g["tf"].to_numpy(np.int64),
                 g["doc_len"].to_numpy(np.int64), block_size, out,
+                pos=g["positions"].to_numpy(dtype=object) if with_pos else None,
             )
 
         for b in batches:
@@ -348,23 +411,55 @@ def build_postings(
                     b["tf"].to_numpy(np.int64)[:cut],
                     b["doc_len"].to_numpy(np.int64)[:cut],
                     block_size, out,
+                    pos=b["positions"].to_numpy(dtype=object)[:cut] if with_pos else None,
                 )
             pend = [b.iloc[cut:]]
             pkey = (terms[-1], int(shards[-1]))
             if len(out["term"]) >= 8192:
                 yield _flush(out)
-                out = {c: [] for c in _OUT_COLS}
+                out = {c: [] for c in out_cols}
         if pend:
             encode_frames(pend)
         if out["term"]:
             yield _flush(out)
 
-    return arranged.mapInPandas(encode_stream, POSTINGS_SCHEMA)
+    return arranged.mapInPandas(
+        encode_stream, POSTINGS_POS_SCHEMA if with_pos else POSTINGS_SCHEMA
+    )
 
 
 def build_doc_stats(tokens: DataFrame) -> DataFrame:
     """``doc_stats(doc_id, doc_len)`` — partial-agg (map-side combine) cheap."""
     return tokens.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+
+
+def doc_stats_with_sha(
+    docs: DataFrame,
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """``doc_stats(doc_id, doc_len, content_sha)`` — one row for EVERY
+    source doc (zero-token docs included, doc_len=0), carrying
+    ``sha2(content, 256)`` so the index can be verified row-by-row
+    against the source table at any later time (north_rule: "per-row
+    content sha256 equality enforced against the source table").
+
+    The sha projection is map-side over the already-scanned slice; the
+    join with the token-derived lengths is bounded by the slice span,
+    never the corpus.
+    """
+    shas = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.coalesce(F.col(content_col).cast("string"), F.lit("")), 256).alias(
+            "content_sha"
+        ),
+    )
+    return (
+        shas.join(build_doc_stats(tokens), "doc_id", "left")
+        .na.fill({"doc_len": 0})
+        .select("doc_id", "doc_len", "content_sha")
+    )
 
 
 def build_term_stats(postings: DataFrame) -> DataFrame:

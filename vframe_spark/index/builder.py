@@ -47,6 +47,7 @@ from .build import (
     build_doc_stats,
     build_postings,
     build_term_stats,
+    doc_stats_with_sha,
     tokenize_docs,
 )
 
@@ -125,12 +126,18 @@ def build_index(
     id_col: str = "doc_id",
     content_col: str = "content",
     lang_col: str | None = "lang",
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) the index at ``out_dir``. Returns the meta dict.
 
     ``max_slices`` caps how many *pending* slices this invocation
     processes — the hook the kill/resume tests use to simulate a
     partial failure.
+
+    ``positions=True`` stores per-doc token positions in the posting
+    blocks (gap+varint segments; `codec.positions_decode`), enabling
+    single-phase phrase/proximity queries straight off the index
+    (`query.positional`) at ~1.5-3× the posting payload.
     """
     spark = docs.sparkSession
     paths = IndexPaths(out_dir)
@@ -138,7 +145,7 @@ def build_index(
 
     max_id = docs.agg(F.max(id_col)).collect()[0][0]
     if max_id is None:
-        _finalize(spark, paths, shard_size, block_size, term_buckets)
+        _finalize(spark, paths, shard_size, block_size, term_buckets, positions)
         return json.load(open(paths.meta))
     slice_span = shard_size * shards_per_slice
     n_slices = int(max_id) // slice_span + 1
@@ -158,12 +165,14 @@ def build_index(
         # the whole corpus), so this is safe at any scale and halves the
         # tokenize cost per slice.
         tokens = tokenize_docs(
-            part, content_col=content_col, id_col=id_col, lang_col=lang_col
+            part, content_col=content_col, id_col=id_col, lang_col=lang_col,
+            positions=positions,
         ).persist()
         postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
         slice_postings = os.path.join(paths.postings, f"slice={slice_id}")
         row = _write_slice(
-            spark, paths, slice_id, postings, build_doc_stats(tokens),
+            spark, paths, slice_id, postings,
+            doc_stats_with_sha(part, tokens, id_col=id_col, content_col=content_col),
             slice_postings, term_buckets,
         )
         tokens.unpersist()
@@ -178,7 +187,7 @@ def build_index(
     if all(
         manifest.get(s, {}).get("status") == "done" for s in range(n_slices)
     ):
-        _finalize(spark, paths, shard_size, block_size, term_buckets)
+        _finalize(spark, paths, shard_size, block_size, term_buckets, positions)
     return json.load(open(paths.meta)) if os.path.exists(paths.meta) else {"complete": False}
 
 
@@ -217,6 +226,7 @@ def _write_slice(
             F.sum("n").alias("np"),
             (
                 F.sum(F.length("doc_ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
+                + (F.sum(F.length("pos")) if "pos" in postings.columns else F.lit(0))
             ).alias("bytes"),
         )
         .write.partitionBy("bucket").mode("overwrite").parquet(slice_postings)
@@ -254,7 +264,8 @@ def _write_slice(
 
 
 def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_size: int,
-              term_buckets: int = DEFAULT_TERM_BUCKETS) -> None:
+              term_buckets: int = DEFAULT_TERM_BUCKETS,
+              positions: bool = False) -> None:
     """Derive global stats from committed slices; idempotent."""
     manifest = read_manifest(paths)
     n_docs = sum(r["n_docs"] for r in manifest.values())
@@ -281,6 +292,7 @@ def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_siz
         "shard_size": shard_size,
         "block_size": block_size,
         "term_buckets": term_buckets,
+        "positions": bool(positions),
         "format": FORMAT_VERSION,
         "complete": True,
     }

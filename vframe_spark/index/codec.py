@@ -16,9 +16,10 @@ from __future__ import annotations
 
 import numpy as np
 
-# On-disk posting-block format version; bump on any codec change so
-# cached indexes rebuilt (builder meta records it too).
-FORMAT_VERSION = "pfor-v2"
+# On-disk format version (posting blocks + doc_stats schema); bump on
+# any change so cached indexes rebuild (builder meta records it too).
+# v3: doc_stats carries content_sha and one row per doc (incl. empty).
+FORMAT_VERSION = "pfor-v3"
 
 _THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 
@@ -139,3 +140,60 @@ def delta_decode(buf: bytes) -> np.ndarray:
     if gaps.size == 0:
         return gaps
     return np.cumsum(gaps, dtype=np.uint64)
+
+
+# ------------------------------------------------- positional payloads
+#
+# Token positions are stored as per-(doc, term) segments: within each
+# segment the first value is absolute, the rest are gaps, all LEB128.
+# Segments are self-delimiting given the segment lengths (= the tf
+# values already stored in the block), so a block's ``pos`` payload is
+# just its segments' buffers concatenated in doc order — encode once,
+# split by byte offsets; decode once, split by value counts.
+
+def segment_delta_gaps(values: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Within-segment gap transform (first of each segment absolute)."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    gaps[seg_starts] = a[seg_starts]
+    return gaps
+
+
+def varint_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
+    """Gap-transform + LEB128-encode ``values`` in ONE vectorized pass,
+    returning one ``bytes`` per segment (``seg_starts`` sorted, first
+    element 0). O(segments) Python is only the final buffer slicing."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return []
+    gaps = segment_delta_gaps(a, seg_starts)
+    buf = varint_encode(gaps)
+    nbytes = 1 + (gaps[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
+    byte_off = np.zeros(len(seg_starts) + 1, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(nbytes, dtype=np.int64)))
+    byte_off[:-1] = cum[seg_starts]
+    byte_off[-1] = cum[-1]
+    mv = memoryview(buf)
+    return [bytes(mv[byte_off[i]: byte_off[i + 1]]) for i in range(len(seg_starts))]
+
+
+def positions_decode(buf: bytes, seg_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a concatenated positional payload back to absolute
+    positions. ``seg_lens`` = per-(doc, term) value counts (the block's
+    decoded tf array). Returns ``(flat_positions, seg_offsets)`` with
+    ``seg_offsets`` of length ``len(seg_lens) + 1`` — segment *i* is
+    ``flat[seg_offsets[i]:seg_offsets[i+1]]``, sorted ascending."""
+    lens = np.ascontiguousarray(seg_lens, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    gaps = varint_decode(buf)
+    if gaps.size == 0:
+        return gaps, offsets
+    c = np.cumsum(gaps, dtype=np.uint64)
+    starts = offsets[:-1][lens > 0]
+    base = c[starts] - gaps[starts]
+    flat = c - np.repeat(base, lens[lens > 0])
+    return flat, offsets

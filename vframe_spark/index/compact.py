@@ -201,8 +201,15 @@ def purge_tombstones(spark: SparkSession, out_dir: str, batch_rows: int = 8192) 
     import pandas as pd
 
     from .builder import IndexPaths, load_tombstones
-    from .build import POSTINGS_SCHEMA
-    from .codec import for_decode, for_encode, pfor_delta_decode, pfor_delta_encode
+    from .build import POSTINGS_POS_SCHEMA, POSTINGS_SCHEMA
+    from .codec import (
+        for_decode,
+        for_encode,
+        pfor_delta_decode,
+        pfor_delta_encode,
+        positions_decode,
+        varint_encode_segments,
+    )
 
     paths = IndexPaths(out_dir)
     repair_compaction(out_dir)
@@ -236,13 +243,17 @@ def purge_tombstones(spark: SparkSession, out_dir: str, batch_rows: int = 8192) 
 
     dead_arr = np.asarray(sorted(set(dead)), dtype=np.int64)
     bc_dead = spark.sparkContext.broadcast(dead_arr)
-    out_cols = [c.split(" ")[0] for c in POSTINGS_SCHEMA.split(", ")]
 
     def rewrite(batches):
         dv = bc_dead.value
         for b in batches:
             if not len(b):
                 continue
+            has_pos = "pos" in b.columns
+            out_cols = [
+                c.split(" ")[0]
+                for c in (POSTINGS_POS_SCHEMA if has_pos else POSTINGS_SCHEMA).split(", ")
+            ]
             keep_mask = np.ones(len(b), dtype=bool)
             rows = {c: list(b[c]) for c in out_cols}
             for i in range(len(b)):
@@ -259,7 +270,20 @@ def purge_tombstones(spark: SparkSession, out_dir: str, batch_rows: int = 8192) 
                 if is_dead.all():
                     keep_mask[i] = False
                     continue
-                tfs = for_decode(b["tfs"].iloc[i], n)[~is_dead]
+                tfs_all = for_decode(b["tfs"].iloc[i], n)
+                if has_pos:
+                    # drop the dead docs' position segments, re-encode the rest
+                    flat, offs = positions_decode(
+                        b["pos"].iloc[i], tfs_all.astype(np.int64)
+                    )
+                    keep_idx = np.flatnonzero(~is_dead)
+                    segs = [flat[offs[j]: offs[j + 1]] for j in keep_idx]
+                    allv = np.concatenate(segs).astype(np.uint64)
+                    seg_starts = np.concatenate(
+                        ([0], np.cumsum([len(s) for s in segs[:-1]], dtype=np.int64))
+                    )
+                    rows["pos"][i] = b"".join(varint_encode_segments(allv, seg_starts))
+                tfs = tfs_all[~is_dead]
                 dls = for_decode(b["dls"].iloc[i], n)[~is_dead]
                 ids = ids[~is_dead]
                 rows["n"][i] = int(ids.size)
@@ -278,7 +302,8 @@ def purge_tombstones(spark: SparkSession, out_dir: str, batch_rows: int = 8192) 
     # 1. postings: narrow rewrite → new compacted generation
     post_raw = spark.read.parquet(paths.postings)
     has_bucket = "bucket" in post_raw.columns
-    schema = POSTINGS_SCHEMA + (", bucket int" if has_bucket else "")
+    base_schema = POSTINGS_POS_SCHEMA if "pos" in post_raw.columns else POSTINGS_SCHEMA
+    schema = base_schema + (", bucket int" if has_bucket else "")
     tmp = os.path.join(out_dir, "_purge_tmp_postings")
     shutil.rmtree(tmp, ignore_errors=True)
     purged = post_raw.drop("slice").mapInPandas(rewrite, schema)

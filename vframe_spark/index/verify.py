@@ -1,0 +1,78 @@
+"""Row-level index↔source integrity verification.
+
+The build stores ``sha2(content, 256)`` per document in ``doc_stats``
+(north_rule: "per-row content sha256 equality enforced against the
+source table"). :func:`verify_content` re-derives the hash from the
+live source table and reports every divergence, so an index can be
+audited against its Iceberg/parquet source at any time — after
+partial rebuilds, compactions, tombstone purges, or source rewrites.
+
+Reference analog: the sha256-keyed dedup cache that lets vframe decide
+whether a media file was already processed (/root/reference/src/
+commands/dedup/sha256.py:74-133) — the same content-hash identity, used
+here as a verifiable build invariant instead of a skip cache.
+
+Scale shape: one projection of (id, sha) on each side, one equi-join on
+``doc_id`` (co-partitioned if the source is bucketed by the same key),
+and a filter that keeps only mismatches — the output is empty unless
+something is actually wrong, so nothing big ever leaves the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: status values in the verification report
+STATUS_OK = "ok"
+STATUS_MISMATCH = "sha_mismatch"       # content changed since indexing
+STATUS_MISSING_IN_INDEX = "missing_in_index"   # source doc never indexed
+STATUS_MISSING_IN_SOURCE = "missing_in_source"  # indexed doc gone from source
+
+
+def source_sha(docs: DataFrame, id_col: str = "doc_id",
+               content_col: str = "content") -> DataFrame:
+    """``(doc_id, source_sha)`` projection of the live source table.
+
+    NULL content hashes like the empty string — the same convention the
+    build uses — so a NULL→'' rewrite is not a false positive.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.coalesce(F.col(content_col).cast("string"), F.lit("")), 256)
+        .alias("source_sha"),
+    )
+
+
+def verify_content(
+    doc_stats: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    include_ok: bool = False,
+) -> DataFrame:
+    """Compare the indexed ``content_sha`` against the source table.
+
+    Returns ``(doc_id, indexed_sha, source_sha, status)``; by default
+    only rows whose status is not ``ok`` (empty result == index and
+    source agree row-for-row). ``include_ok=True`` returns every row,
+    which is what the oracle-checked contract query uses.
+    """
+    if "content_sha" not in doc_stats.columns:
+        raise ValueError(
+            "doc_stats has no content_sha column — index predates "
+            "format pfor-v3; rebuild to enable verification"
+        )
+    idx = doc_stats.select("doc_id", F.col("content_sha").alias("indexed_sha"))
+    src = source_sha(docs, id_col=id_col, content_col=content_col)
+    joined = idx.join(src, "doc_id", "full_outer").select(
+        "doc_id",
+        "indexed_sha",
+        "source_sha",
+        F.when(F.col("indexed_sha").isNull(), F.lit(STATUS_MISSING_IN_INDEX))
+        .when(F.col("source_sha").isNull(), F.lit(STATUS_MISSING_IN_SOURCE))
+        .when(F.col("indexed_sha") == F.col("source_sha"), F.lit(STATUS_OK))
+        .otherwise(F.lit(STATUS_MISMATCH))
+        .alias("status"),
+    )
+    return joined if include_ok else joined.filter(F.col("status") != STATUS_OK)

@@ -122,6 +122,46 @@ def count_phrase_hits(tokens: list[str], terms: list[str]) -> int:
     return int(m.sum())
 
 
+def count_hits_positions(pos_lists: list[np.ndarray], slop: int = 0) -> int:
+    """Hit count from per-ordered-term position arrays (sorted asc) —
+    the single source of truth for phrase/proximity matching, shared by
+    the re-tokenize verifier (below) and the positional index engine
+    (`query.positional`), so the two paths are match-identical.
+
+    ``slop=0``: tf = |{p ∈ P₀ : p+j ∈ Pⱼ ∀j}| (adjacent runs,
+    overlapping counted), fully vectorized. ``slop>0``: exact
+    reachable-set sweep per start (greedy is provably wrong — see
+    :func:`count_phrase_hits_slop`'s docstring/fuzz test).
+    """
+    if not pos_lists or any(len(p) == 0 for p in pos_lists):
+        return 0
+    if slop <= 0:
+        starts = np.asarray(pos_lists[0], dtype=np.int64)
+        for j, pj in enumerate(pos_lists[1:], start=1):
+            starts = starts[np.isin(starts + j, np.asarray(pj, dtype=np.int64))]
+            if starts.size == 0:
+                return 0
+        return int(starts.size)
+    import bisect
+
+    hits = 0
+    lists = [list(map(int, p)) for p in pos_lists]
+    for s in lists[0]:
+        reach = [s]
+        for lst in lists[1:]:
+            nxt: set[int] = set()
+            for r in reach:
+                a = bisect.bisect_right(lst, r)
+                z = bisect.bisect_right(lst, r + 1 + slop)
+                nxt.update(lst[a:z])
+            if not nxt:
+                reach = []
+                break
+            reach = sorted(nxt)
+        hits += bool(reach)
+    return hits
+
+
 def count_phrase_hits_slop(tokens: list[str], terms: list[str], slop: int) -> int:
     """Sloppy (proximity) variant: tf = number of positions of the
     FIRST term from which an in-order chain of the remaining terms
@@ -223,6 +263,19 @@ def phrase_scores(
         F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")
     ).join(cands, "doc_id")
     verified = verify_phrases(cand_docs, phrases, "content", slop)
+    return rank_verified(verified, meta, exclude_doc_ids=exclude_doc_ids)
+
+
+def rank_verified(
+    verified: DataFrame,
+    meta: dict,
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """(qid, doc_id, tf, dl) verified matches → (qid, doc_id, tf,
+    score): BM25 with the phrase as one synthetic term (tf = hit count,
+    df = verified match count, N/avgdl from index stats). Shared by the
+    two-phase and the positional engines so their scores are identical.
+    """
     dfq = verified.groupBy("qid").agg(F.count("*").alias("df"))
     n_docs, avgdl = float(meta["n_docs"]), float(meta["avgdl"])
     idf = F.log(

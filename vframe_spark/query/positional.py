@@ -1,0 +1,156 @@
+"""Single-phase phrase/proximity retrieval off a positional index.
+
+When the index is built with ``build_index(..., positions=True)`` the
+posting blocks carry per-doc token positions (gap+varint segments —
+`index.codec.positions_decode`), so a phrase query resolves entirely
+inside the index scan: candidate intersection AND positional
+verification happen in one ``(qid, shard)`` kernel pass, and the
+source table is never touched. Compare `query.phrase` (two-phase:
+index candidates → re-read + re-tokenize candidates), whose
+verification cost is proportional to candidate *content* volume; here
+it is proportional to candidate *position-list* volume — KBs of index
+per shard at any corpus size.
+
+The two engines are match-identical by construction: both count hits
+with `query.phrase.count_hits_positions` and score with the same
+synthetic-term BM25 (`query.phrase.rank_verified`); a pytest
+cross-checks rank equality on the same corpus.
+
+Scan shape (same as `bm25_topk_wand` / `phrase_candidates`): term
+``isin`` pushdown to the parquet/Iceberg scan, bucket partition
+pruning, broadcast of the tiny query table, ONE shuffle to the
+``(qid, shard)`` groups, ≤ verified-rows out.
+
+Reference parity: positions generalize the reference's frame-index
+dimension of detections (`/root/reference/src/vframe/models/
+media.py:246-260` keeps per-frame indexes so downstream ops can reason
+about adjacency); the adjacency verify itself mirrors
+`count_phrase_hits` (query/phrase.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_py
+from ..index.codec import for_decode, pfor_delta_decode, positions_decode
+from .phrase import VERIFY_SCHEMA, count_hits_positions
+
+
+def _group_verify(
+    pdf: pd.DataFrame, ordered_terms: dict[int, list[str]], slop: int
+) -> pd.DataFrame:
+    """One (qid, shard) group: decode each query term's postings +
+    positions, intersect the doc sets, then count phrase hits per
+    surviving doc from the position lists alone."""
+    qid = int(pdf["qid"].iloc[0])
+    terms = ordered_terms.get(qid)
+    empty = pd.DataFrame({"qid": [], "doc_id": [], "tf": [], "dl": []}).astype(
+        {"qid": "int32", "doc_id": "int64", "tf": "int64", "dl": "int64"}
+    )
+    if not terms:
+        return empty
+    need = sorted(set(terms))
+    if pdf["term"].nunique() < len(need):
+        return empty
+    # per distinct term: doc_id -> (positions array), plus doc -> dl
+    pos_by_term: dict[str, dict[int, np.ndarray]] = {}
+    dl_by_doc: dict[int, int] = {}
+    for term, g in pdf.groupby("term"):
+        docs_pos: dict[int, np.ndarray] = {}
+        for buf, n, first, tfs_buf, dls_buf, pos_buf in zip(
+            g["doc_ids"], g["n"], g["first_doc"], g["tfs"], g["dls"], g["pos"]
+        ):
+            n = int(n)
+            ids = pfor_delta_decode(buf, n, int(first)).astype(np.int64)
+            tfs = for_decode(tfs_buf, n).astype(np.int64)
+            dls = for_decode(dls_buf, n).astype(np.int64)
+            flat, offs = positions_decode(pos_buf, tfs)
+            for i in range(n):
+                docs_pos[int(ids[i])] = flat[offs[i]: offs[i + 1]].astype(np.int64)
+            dl_by_doc.update(zip(ids.tolist(), dls.tolist()))
+        pos_by_term[term] = docs_pos
+    # conjunctive doc intersection across the phrase's distinct terms
+    doc_sets = [set(pos_by_term[t]) for t in need]
+    cand = set.intersection(*doc_sets) if doc_sets else set()
+    out_d, out_tf = [], []
+    for doc in cand:
+        tf = count_hits_positions([pos_by_term[t][doc] for t in terms], slop)
+        if tf > 0:
+            out_d.append(doc)
+            out_tf.append(tf)
+    return pd.DataFrame(
+        {
+            "qid": np.full(len(out_d), qid, np.int32),
+            "doc_id": np.asarray(out_d, dtype=np.int64),
+            "tf": np.asarray(out_tf, dtype=np.int64),
+            "dl": np.asarray([dl_by_doc[d] for d in out_d], dtype=np.int64),
+        }
+    )
+
+
+def phrase_verified_positional(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    phrases: list[tuple[int, str]],
+    slop: int = 0,
+) -> DataFrame:
+    """(qid, doc_id, tf, dl) of exact phrase matches — pure index scan."""
+    if not meta.get("positions"):
+        raise ValueError(
+            "index has no positions — build with build_index(..., "
+            "positions=True) or use the two-phase query.phrase engine"
+        )
+    spark: SparkSession = postings.sparkSession
+    ordered = {qid: tokenize_py(p) for qid, p in phrases}
+    all_terms = sorted({t for ts in ordered.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], VERIFY_SCHEMA)
+    have = {
+        r["term"]
+        for r in term_stats.filter(F.col("term").isin(all_terms)).select("term").collect()
+    }
+    qrows = [
+        (qid, t)
+        for qid, ts in ordered.items()
+        if ts and all(t in have for t in ts)
+        for t in sorted(set(ts))
+    ]
+    if not qrows:
+        return spark.createDataFrame([], VERIFY_SCHEMA)
+    qdf = spark.createDataFrame(qrows, "qid int, term string")
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(F.broadcast(qdf), "term")
+    return matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _group_verify(pdf, ordered, slop), VERIFY_SCHEMA
+    )
+
+
+def phrase_topk_positional(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    slop: int = 0,
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Top-k phrase retrieval → (qid, rank, doc_id, score), no source
+    read. Rank-identical to `query.phrase.phrase_topk` on the same
+    corpus (shared verify kernel + shared scorer)."""
+    from .bm25 import topk
+    from .phrase import rank_verified
+
+    verified = phrase_verified_positional(postings, term_stats, meta, phrases, slop)
+    scores = rank_verified(verified, meta, exclude_doc_ids=exclude_doc_ids)
+    return topk(scores.select("qid", "doc_id", "score"), k)

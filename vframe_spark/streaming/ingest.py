@@ -40,6 +40,7 @@ from ..index.build import (
     DEFAULT_TERM_BUCKETS,
     build_doc_stats,
     build_postings,
+    doc_stats_with_sha,
     tokenize_docs,
 )
 from ..index.builder import IndexPaths, _finalize, _write_manifest_row, _write_slice
@@ -80,11 +81,14 @@ def incremental_index_stream(
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
     trigger_available_now: bool = True,
+    positions: bool = False,
 ):
     """Start (and return) the streaming query appending slices to ``out_dir``.
 
     After every micro-batch the index on disk is complete and queryable
-    via :func:`vframe_spark.index.builder.load_index`.
+    via :func:`vframe_spark.index.builder.load_index`. ``positions=True``
+    builds positional slices (must match the batch-built index's flag —
+    the slice schemas are unioned at read time).
     """
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -111,12 +115,12 @@ def incremental_index_stream(
         docs = assign_doc_ids(batch_df, list(order_cols)).withColumn(
             "doc_id", F.col("doc_id") + F.lit(slice_lo * span)
         )
-        tokens = tokenize_docs(docs).persist()
+        tokens = tokenize_docs(docs, positions=positions).persist()
         postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
         slice_dir = os.path.join(paths.postings, f"slice={slice_lo}")
         spark = batch_df.sparkSession
         row = _write_slice(
-            spark, paths, slice_lo, postings, build_doc_stats(tokens),
+            spark, paths, slice_lo, postings, doc_stats_with_sha(docs, tokens),
             slice_dir, term_buckets,
         )
         tokens.unpersist()
@@ -124,7 +128,8 @@ def incremental_index_stream(
         row["elapsed_sec"] = _time.time() - t0
         _write_manifest_row(paths, row)
         # Refresh global stats so the index is queryable between batches.
-        _stream_finalize(spark, paths, shard_size, block_size, term_buckets)
+        _stream_finalize(spark, paths, shard_size, block_size, term_buckets,
+                         positions=positions)
 
     writer = stream_docs.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -135,10 +140,12 @@ def incremental_index_stream(
 
 
 def _stream_finalize(spark: SparkSession, paths: IndexPaths, shard_size: int,
-                     block_size: int, term_buckets: int) -> None:
+                     block_size: int, term_buckets: int,
+                     positions: bool = False) -> None:
     # Unlike the batch builder, a stream has no fixed slice count — every
     # committed manifest row is final, so finalize unconditionally.
-    _finalize(spark, paths, shard_size, block_size, term_buckets)
+    _finalize(spark, paths, shard_size, block_size, term_buckets,
+              positions=positions)
 
 
 def ingest_stats_stream(stream_docs: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"):
