@@ -206,6 +206,77 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+# Negated (NOT) variant: ranked union over positive terms, minus docs
+# containing ANY negated term (exclusion before the k cut).
+BM25_NEG_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {{QVALUES}}),
+nq(qid, term) AS (VALUES {{NVALUES}}),
+negdocs AS (SELECT DISTINCT nq.qid, tf.doc_id FROM nq JOIN tf ON tf.term = nq.term),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+alive AS (
+  SELECT s.* FROM score s
+  WHERE NOT EXISTS (SELECT 1 FROM negdocs n WHERE n.qid = s.qid AND n.doc_id = s.doc_id)
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM alive
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+# Facet counts over the FULL match set (docs containing >= 1 query term).
+FACETS_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {{QVALUES}}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+SELECT m.qid::INT AS qid, d.lang AS facet, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+def _signed_qterms_values_sql(queries) -> tuple[str, str]:
+    """(positive VALUES, negated VALUES) for a signed query set."""
+    from vframe_spark.oracle import parse_signed_query
+
+    pos_rows, neg_rows = [], []
+    for qid, q in queries:
+        p, n = parse_signed_query(q)
+        pos_rows.extend(f"({qid}, '{t}')" for t in sorted(set(p)))
+        neg_rows.extend(f"({qid}, '{t}')" for t in sorted(set(n) - set(p)))
+    return ", ".join(pos_rows), ", ".join(neg_rows)
+
+
+def _plain_qterms_values_sql(queries) -> str:
+    rows = []
+    for qid, q in queries:
+        for t in sorted(set(tokenize_py(q))):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
 def _rounded_rank(df: DataFrame, k: int) -> DataFrame:
     """Round score to 4dp, then rank (score DESC, doc_id ASC) and cut k."""
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -291,6 +362,45 @@ def q_ft_bm25_conjunctive(spark, sf_dir):
         postings, term_stats, meta, FT_QUERIES, k=3 * FT_K, mode="and"
     )
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+# Negated (boolean NOT) query set: `-term` chunks exclude docs that
+# contain them, applied before the k cut (Lucene NOT semantics).
+FT_NEG_QUERIES = [
+    (1, "data analysis -parse"),
+    (2, "hash -table"),
+    (3, "window sort -zzzmissing"),   # out-of-vocab negation = no-op
+]
+
+# Facet query set: match-set counts per `lang` facet value.
+FT_FACET_QUERIES = [
+    (1, "data analysis"),
+    (2, "parse hash table"),
+]
+
+
+def q_ft_bm25_negated(spark, sf_dir):
+    """Ranked union over positive terms, minus every doc containing a
+    `-term` negated term — exclusion decided inside the local scorer
+    (the negated blocks ride the same pruned scan; shards are doc-id
+    ranges so no extra shuffle)."""
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(
+        postings, term_stats, meta, FT_NEG_QUERIES, k=3 * FT_K, negation=True
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def q_ft_facets(spark, sf_dir):
+    """Faceted search: per-query MATCH-SET counts by `lang` — pruned
+    posting decode → distinct (qid, doc) → facet equi-join → count."""
+    from vframe_spark.query.facets import facet_counts
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return facet_counts(postings, meta, FT_FACET_QUERIES, docs, "lang").select(
+        "qid", "facet", F.col("n_docs").cast("bigint").alias("n_docs")
+    )
 
 
 def q_ft_phrase_topk(spark, sf_dir):
@@ -1548,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_exhaustive": q_ft_bm25_exhaustive,
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
+        "ft_bm25_negated": q_ft_bm25_negated,
+        "ft_facets": q_ft_facets,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
         "ft_phrase_positional_slop": q_ft_phrase_positional_slop,
@@ -1653,6 +1765,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_wand": bm25,
         "ft_bm25_conjunctive": BM25_CONJ_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
+        ),
+        "ft_bm25_negated": BM25_NEG_ORACLE_SQL.replace(
+            "{QVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[0]
+        ).replace("{NVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[1]),
+        "ft_facets": FACETS_ORACLE_SQL.replace(
+            "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
         ),
         "ft_phrase_topk": _phrase_oracle_sql(),
         "ft_phrase_positional": _phrase_oracle_sql(),

@@ -275,3 +275,116 @@ def test_wildcard_no_match_prefix_falls_back_to_exact(spark, corpus, index):
     assert {(r["rank"], r["doc_id"]) for r in wild} == {
         (r["rank"], r["doc_id"]) for r in exact
     }
+
+
+# ------------------------------------------------ negation (boolean NOT)
+
+NEG_QUERIES = [
+    (1, "data -parse"),
+    (2, "parse hash -table"),
+    (3, "data -zzzmissing"),     # out-of-vocab negation = plain query
+    (4, "index -value"),         # negate a Zipf-head term (many exclusions)
+    (5, "-data"),                # no positive terms → empty
+]
+
+
+def test_wand_negated_matches_oracle_bitwise(spark, corpus, index):
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    rows = bm25_topk_wand(
+        postings, term_stats, meta, NEG_QUERIES, k=20, negation=True
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in NEG_QUERIES:
+        expect = oracle.topk_negated(q, 20)
+        mine = sorted(got.get(qid, []))
+        assert len(mine) == len(expect), (qid, q, len(mine), len(expect))
+        for (rank, doc_id, score), (edoc, escore) in zip(mine, expect):
+            assert doc_id == edoc, (qid, q, rank, doc_id, edoc)
+            assert score == escore, (qid, q, rank, score, escore)  # bitwise
+
+
+def test_wand_negation_excludes_before_k_cut(spark, corpus, index):
+    """Every excluded doc is gone AND the survivors are the true top-k of
+    the surviving set (not a post-filtered page)."""
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    rows = bm25_topk_wand(
+        postings, term_stats, meta, [(1, "data -parse")], k=10, negation=True
+    ).collect()
+    assert rows
+    parse_docs = {d for d, c in oracle.tf.items() if c.get("parse", 0) > 0}
+    assert all(r["doc_id"] not in parse_docs for r in rows)
+    # survivors ranked exactly as the oracle ranks the surviving set
+    plain = [(d, s) for d, s in oracle.topk("data", oracle.n_docs) if d not in parse_docs]
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [
+        d for d, _ in plain[:10]
+    ]
+
+
+def test_local_engine_negated_matches_distributed(spark, corpus, index):
+    from vframe_spark.query.local import LocalQueryEngine
+
+    postings, term_stats, _, meta = index
+    eng = LocalQueryEngine(postings, term_stats, meta)
+    for qid, q in NEG_QUERIES:
+        dist = bm25_topk_wand(
+            postings, term_stats, meta, [(qid, q)], k=15, negation=True
+        ).collect()
+        local = eng.topk(q, k=15, negation=True)
+        assert [(r["doc_id"], r["score"]) for r in sorted(dist, key=lambda r: r["rank"])] == local
+
+
+# --------------------------------------------------------------- facets
+
+def test_match_set_or_and_vs_oracle(spark, corpus, index):
+    from vframe_spark.query.facets import match_set
+
+    _, oracle = corpus
+    postings, _, _, meta = index
+    qs = [(1, "data parse"), (2, "hash table index")]
+    got_or = {
+        (r["qid"], r["doc_id"])
+        for r in match_set(postings, meta, qs, mode="or").collect()
+    }
+    got_and = {
+        (r["qid"], r["doc_id"])
+        for r in match_set(postings, meta, qs, mode="and").collect()
+    }
+    from vframe_spark.oracle import parse_query_terms
+
+    exp_or, exp_and = set(), set()
+    for qid, q in qs:
+        terms = sorted(set(parse_query_terms(q)))
+        for d, c in oracle.tf.items():
+            if any(c.get(t, 0) > 0 for t in terms):
+                exp_or.add((qid, d))
+            if all(c.get(t, 0) > 0 for t in terms):
+                exp_and.add((qid, d))
+    assert got_or == exp_or
+    assert got_and == exp_and
+
+
+def test_facet_counts_match_bruteforce(spark, corpus, index):
+    from vframe_spark.query.facets import facet_counts
+    from vframe_spark.oracle import parse_query_terms
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    qs = [(1, "data parse"), (2, "zzznope")]
+    out = facet_counts(
+        postings, meta, qs, docs.select("doc_id", "lang"), "lang"
+    ).collect()
+    got = {(r["qid"], r["facet"]): r["n_docs"] for r in out}
+    lang_of = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    exp: dict = {}
+    for qid, q in qs:
+        terms = sorted(set(parse_query_terms(q)))
+        for d, c in oracle.tf.items():
+            if any(c.get(t, 0) > 0 for t in terms):
+                key = (qid, lang_of[d])
+                exp[key] = exp.get(key, 0) + 1
+    assert got == exp
+    assert all(r["qid"] != 2 for r in out)  # no-match query → no facet rows

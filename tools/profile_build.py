@@ -1,0 +1,118 @@
+"""Per-phase wall-clock profile of one index build (scaling diagnosis).
+
+Runs the same phases `build_index` runs, each forced with its own
+action, and prints a JSON dict of phase → seconds. Pin externally:
+
+    taskset -c 0-1 python tools/profile_build.py --cores 2
+    taskset -c 2-9 python tools/profile_build.py --cores 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--corpus", default="/tmp/vf_scaling_corpus_20000_120_400.parquet")
+    args = ap.parse_args()
+    cores = args.cores
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from vframe_spark.index.build import (
+        build_postings, doc_stats_with_sha, term_bucket_expr, tokenize_docs,
+    )
+    from vframe_spark.session import spark_session
+
+    spark = spark_session(
+        f"profile_{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 4
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _w(it):
+        for b in it:
+            yield b
+
+    spark.range(0, cores * 4, 1, cores * 4).mapInPandas(_w, "id long").count()
+
+    docs = spark.read.parquet(args.corpus).repartition(cores * 8).localCheckpoint()
+    docs.count()
+
+    # warm the full path once (JIT/codegen/imports)
+    warm = tempfile.mkdtemp(prefix="vf_prof_warm_")
+    from vframe_spark.index.builder import build_index
+    build_index(docs.limit(2000), os.path.join(warm, "idx"),
+                shard_size=16384, block_size=128, shards_per_slice=32)
+    shutil.rmtree(warm, ignore_errors=True)
+
+    work = tempfile.mkdtemp(prefix="vf_prof_")
+    t: dict[str, float] = {}
+    tot0 = time.time()
+
+    t0 = time.time()
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    t["max_id"] = time.time() - t0
+
+    t0 = time.time()
+    tokens = tokenize_docs(docs).persist()
+    tokens.count()
+    t["tokenize_persist"] = time.time() - t0
+
+    t0 = time.time()
+    postings = build_postings(tokens, shard_size=16384, block_size=128)
+    obs_p = Observation("p")
+    (
+        postings.withColumn("bucket", term_bucket_expr(F.col("term"), 16))
+        .repartition(16, "bucket")
+        .observe(obs_p, F.sum("n").alias("np"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(os.path.join(work, "postings"))
+    )
+    t["postings_write"] = time.time() - t0
+
+    t0 = time.time()
+    dstats = doc_stats_with_sha(docs, tokens)
+    dstats.write.mode("overwrite").parquet(os.path.join(work, "doc_stats"))
+    t["doc_stats_write"] = time.time() - t0
+
+    t0 = time.time()
+    committed = spark.read.parquet(os.path.join(work, "postings"))
+    (
+        committed.groupBy("term", "shard").agg(F.sum("n").alias("sz"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(os.path.join(work, "partials"))
+    )
+    t["term_partials"] = time.time() - t0
+
+    t0 = time.time()
+    docs.count()
+    t["part_count"] = time.time() - t0
+
+    t0 = time.time()
+    partials = spark.read.parquet(os.path.join(work, "partials"))
+    partials.groupBy("term").agg(F.sum("sz").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "term_stats"))
+    t["finalize"] = time.time() - t0
+
+    t["TOTAL"] = time.time() - tot0
+    tokens.unpersist()
+    shutil.rmtree(work, ignore_errors=True)
+    print("PROFILE " + json.dumps({"cores": cores, **{k: round(v, 2) for k, v in t.items()}}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Stage-level profile of ONE real `build_index` run (scaling diagnosis).
+
+Runs the integrated build at N pinned cores with the UI enabled, then
+dumps every stage's wall duration, summed task time, and task-time
+tail (max task vs mean) from the status REST API:
+
+    taskset -c 0-1 python tools/profile_stages.py --cores 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--corpus", default="/tmp/vf_scaling_corpus_20000_120_400.parquet")
+    ap.add_argument("--port", type=int, default=4099)
+    args = ap.parse_args()
+    cores = args.cores
+
+    from vframe_spark.index.builder import build_index
+    from vframe_spark.session import spark_session
+
+    spark = spark_session(
+        f"stageprof_{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores * 4,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(args.port)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _w(it):
+        for b in it:
+            yield b
+
+    spark.range(0, cores * 4, 1, cores * 4).mapInPandas(_w, "id long").count()
+    docs = spark.read.parquet(args.corpus).repartition(cores * 8).localCheckpoint()
+
+    warm = tempfile.mkdtemp(prefix="vf_sp_warm_")
+    build_index(docs.limit(2000), os.path.join(warm, "idx"),
+                shard_size=16384, block_size=128, shards_per_slice=32)
+    shutil.rmtree(warm, ignore_errors=True)
+
+    app_id = spark.sparkContext.applicationId
+    base = f"http://localhost:{args.port}/api/v1/applications/{app_id}"
+    # stages before the timed build → subtract
+    pre = {s["stageId"] for s in json.load(urllib.request.urlopen(f"{base}/stages"))}
+
+    work = tempfile.mkdtemp(prefix="vf_sp_")
+    t0 = time.time()
+    build_index(docs, os.path.join(work, "idx"),
+                shard_size=16384, block_size=128, shards_per_slice=32)
+    wall = time.time() - t0
+    shutil.rmtree(work, ignore_errors=True)
+
+    stages = json.load(urllib.request.urlopen(f"{base}/stages?status=complete"))
+    rows = []
+    for s in stages:
+        if s["stageId"] in pre:
+            continue
+        rows.append(
+            {
+                "id": s["stageId"],
+                "name": s["name"].split("\n")[0][:60],
+                "tasks": s["numCompleteTasks"],
+                "wall": round(
+                    (time.mktime(time.strptime(s["completionTime"][:19], "%Y-%m-%dT%H:%M:%S"))
+                     - time.mktime(time.strptime(s["firstTaskLaunchedTime"][:19], "%Y-%m-%dT%H:%M:%S"))),
+                    1,
+                ) if s.get("completionTime") and s.get("firstTaskLaunchedTime") else None,
+                "task_sec": round(s["executorRunTime"] / 1000.0, 1),
+                "cpu_sec": round(s.get("executorCpuTime", 0) / 1e9, 1),
+                "shuffle_wr_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+            }
+        )
+    rows.sort(key=lambda r: -(r["task_sec"] or 0))
+    print(f"WALL {wall:.2f} cores={cores}")
+    for r in rows:
+        print(json.dumps(r))
+    # task-metric quantiles for the 3 heaviest stages: where does the
+    # non-CPU task time go (GC? shuffle write? scheduler?)
+    for r in rows[:3]:
+        try:
+            ts = json.load(urllib.request.urlopen(
+                f"{base}/stages/{r['id']}/0/taskSummary?quantiles=0.5,1.0"))
+            picked = {
+                k: ts[k]
+                for k in (
+                    "executorRunTime", "executorCpuTime", "jvmGcTime",
+                    "executorDeserializeTime", "resultSerializationTime",
+                    "gettingResultTime", "schedulerDelay",
+                )
+                if k in ts
+            }
+            sw = ts.get("shuffleWriteMetrics", {})
+            if sw:
+                picked["shuffleWriteTime"] = sw.get("writeTime")
+            print(f"STAGE {r['id']} quantiles[p50,max]: " + json.dumps(picked))
+        except Exception as e:  # noqa: BLE001
+            print(f"STAGE {r['id']} taskSummary failed: {e}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

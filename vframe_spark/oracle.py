@@ -74,6 +74,25 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def topk_negated(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Ranked union over the positive terms, minus every doc that
+        contains ANY ``-term``-negated term (Lucene `NOT` semantics,
+        applied BEFORE the k cut). Scoring/sum order identical to
+        :meth:`topk` — bitwise-comparable with the engine."""
+        pos, neg = parse_signed_query(query)
+        if not pos:
+            return []
+        negset = set(neg)
+        scored = []
+        for d, c in self.tf.items():
+            if negset and any(c.get(t, 0) > 0 for t in negset):
+                continue
+            s = self.score(pos, d)
+            if s > 0.0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def topk_conjunctive(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Strict AND: only docs containing EVERY query term score; any
         out-of-vocabulary query term empties the result. Same per-doc
@@ -109,3 +128,20 @@ def _rejoin_lang_terms(query: str, terms: list[str]) -> list[str]:
 def parse_query_terms(query: str) -> list[str]:
     """Canonical query-string → term list (shared with the Spark engine)."""
     return _rejoin_lang_terms(query, tokenize_py(query))
+
+
+def parse_signed_query(query: str) -> tuple[list[str], list[str]]:
+    """Split a query with `-term` negations → (positive, negated) term
+    lists, each canonically tokenized. The sign applies to the whole
+    whitespace chunk (`-camelCase` negates both split halves), matching
+    how a user scopes an exclusion."""
+    pos_chunks, neg_chunks = [], []
+    for chunk in str(query).split():
+        if chunk.startswith("-") and len(chunk) > 1:
+            neg_chunks.append(chunk[1:])
+        else:
+            pos_chunks.append(chunk)
+    return (
+        parse_query_terms(" ".join(pos_chunks)),
+        parse_query_terms(" ".join(neg_chunks)),
+    )

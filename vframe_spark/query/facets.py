@@ -1,0 +1,141 @@
+"""Faceted search: per-query match counts grouped by a facet column.
+
+The search-engine sidebar numbers ("python: 1,204 · java: 312") are
+counts over the FULL match set, not the top-k page. Execution shape:
+
+1. the query terms prune the posting scan exactly like WAND
+   (bucket partition dirs + ``term isin`` pushdown) — only the queries'
+   posting blocks are read;
+2. an Arrow pass decodes block doc-ids → (qid, doc_id), locally deduped
+   per batch (a doc matching several query terms collapses before the
+   shuffle);
+3. global ``dropDuplicates`` (one shuffle on (qid, doc_id)), equi-join
+   to the facet table on doc_id, then a partial-agg count per
+   (qid, facet).
+
+No all-pairs step anywhere; the dominant cost is proportional to the
+match-set size — the same lower bound any facet counter has.
+
+Reference parity: `summarize-json` per-label counts over a filtered set
+(/root/reference/src/commands/utils/summarize-json.py:29-105).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.codec import pfor_delta_decode
+from ..oracle import parse_query_terms
+
+
+def match_set(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    mode: str = "or",
+) -> DataFrame:
+    """→ distinct (qid, doc_id) of docs matching each query.
+
+    ``mode="or"``: docs containing ≥1 query term. ``mode="and"``: docs
+    containing EVERY query term (decided per (qid, doc): occurrence
+    count across term lists equals the term count — each posting list
+    holds a doc at most once).
+    """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be or|and, got {mode!r}")
+    spark: SparkSession = postings.sparkSession
+    rows = [
+        (qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))
+    ]
+    if not rows:
+        return spark.createDataFrame([], "qid int, doc_id bigint")
+    n_by_qid: dict[int, int] = {}
+    for qid, _ in rows:
+        n_by_qid[qid] = n_by_qid.get(qid, 0) + 1
+    all_terms = sorted({t for _, t in rows})
+    qdf = spark.createDataFrame(
+        [(q, t, n_by_qid[q]) for q, t in rows], "qid int, term string, n_terms int"
+    )
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qdf), "term"
+    )
+
+    conj = mode == "and"
+
+    def explode_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            qids, ids = [], []
+            for qid, n, buf, first in zip(
+                b["qid"], b["n"], b["doc_ids"], b["first_doc"]
+            ):
+                d = pfor_delta_decode(buf, int(n), int(first)).astype(np.int64)
+                ids.append(d)
+                qids.append(np.full(d.size, int(qid), dtype=np.int64))
+            q = np.concatenate(qids)
+            d = np.concatenate(ids)
+            if conj:
+                # local (per-batch) occurrence count; finished globally
+                yield pd.DataFrame({"qid": q, "doc_id": d, "hits": np.ones(d.size, np.int64)})
+            else:
+                # local dedup before the shuffle
+                key = pd.MultiIndex.from_arrays([q, d])
+                mask = ~key.duplicated()
+                yield pd.DataFrame({"qid": q[mask], "doc_id": d[mask]})
+
+    if conj:
+        counted = matched.select("qid", "n", "doc_ids", "first_doc", "n_terms")
+        hits = counted.mapInPandas(
+            explode_ids, "qid int, doc_id bigint, hits bigint"
+        )
+        need = qdf.select("qid", "n_terms").distinct()
+        return (
+            hits.groupBy("qid", "doc_id")
+            .agg(F.sum("hits").alias("hits"))
+            .join(F.broadcast(need), "qid")
+            .filter(F.col("hits") == F.col("n_terms"))
+            .select("qid", "doc_id")
+        )
+    exploded = matched.select("qid", "n", "doc_ids", "first_doc").mapInPandas(
+        explode_ids, "qid int, doc_id bigint"
+    )
+    return exploded.dropDuplicates(["qid", "doc_id"])
+
+
+def facet_counts(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    facets: DataFrame,
+    facet_col: str,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """→ (qid, facet, n_docs): match-set counts per facet value.
+
+    ``facets`` maps ``id_col`` → ``facet_col`` (e.g. the source table's
+    (doc_id, lang)); docs missing from it simply don't count — pass a
+    complete mapping for totals to equal the match-set size.
+    """
+    m = match_set(postings, meta, queries, mode=mode)
+    f = facets.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")
+    )
+    return (
+        m.join(f, "doc_id")
+        .groupBy("qid", "facet")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -119,25 +119,40 @@ class LocalQueryEngine:
             return pd.DataFrame()
         return pd.concat(parts, ignore_index=True)
 
-    def topk(self, query: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+    def topk(
+        self, query: str, k: int = 10, mode: str = "or", negation: bool = False
+    ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] ranked (score DESC, doc_id ASC).
 
         ``mode="and"`` = strict posting-list intersection (any
         out-of-vocabulary query term → empty), same as the distributed
-        path."""
-        q_terms = sorted(set(parse_query_terms(query)))
-        dfs = self._get_dfs(q_terms)
-        terms = sorted(dfs)
+        path. ``negation=True`` = ``-term`` chunks exclude docs
+        containing them (before the k cut), same as the batch engine.
+        """
+        if negation:
+            from ..oracle import parse_signed_query
+
+            pos_t, neg_t = parse_signed_query(query)
+            q_terms = sorted(set(pos_t))
+            neg_req = sorted(set(neg_t) - set(q_terms))
+        else:
+            q_terms = sorted(set(parse_query_terms(query)))
+            neg_req = []
+        dfs = self._get_dfs(q_terms + neg_req)
+        terms = sorted(t for t in q_terms if t in dfs)
+        negs = sorted(t for t in neg_req if t in dfs)
         if not terms or (mode == "and" and len(terms) < len(q_terms)):
             return []
-        pdf = self._fetch(terms)
+        pdf = self._fetch(terms + negs)
         if pdf.empty:
             return []
         pdf = pdf.copy()
         pdf["qid"] = 0
         pdf["idf"] = pdf["term"].map(
             {t: idf_value(self._n_docs, dfs[t]) for t in terms}
-        )
+        ).fillna(0.0)
+        if negation:
+            pdf["neg"] = pdf["term"].isin(negs)
         if mode == "and":
             pdf["n_terms"] = len(terms)
         out_parts = []

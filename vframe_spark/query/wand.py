@@ -78,10 +78,31 @@ def _local_topk(
     """
     qid = int(pdf["qid"].iloc[0])
     conj = mode == "and"
-    n_required = int(pdf["n_terms"].iloc[0]) if conj else 0
     empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
         {"qid": "int32", "doc_id": "int64", "score": "float64"}
     )
+    # `-term` negation: the group may carry the negated terms' blocks
+    # (neg=True rows). Docs holding any negated term are dropped BEFORE
+    # candidates count toward k — exact top-k of surviving docs. Shards
+    # are doc-id ranges, so a doc's negated postings are in THIS group.
+    per_neg: list[dict] = []
+    if "neg" in pdf.columns:
+        negs = pdf[pdf["neg"]]
+        pdf = pdf[~pdf["neg"]]
+        if pdf.empty:
+            return empty
+        for t in sorted(negs["term"].unique()):
+            g = negs[negs["term"] == t].sort_values("block")
+            per_neg.append(
+                {
+                    "firsts": g["first_doc"].to_numpy(np.int64),
+                    "lasts": g["last_doc"].to_numpy(np.int64),
+                    "ns": g["n"].to_numpy(np.int64),
+                    "doc_ids": g["doc_ids"].tolist(),
+                    "cache": {},
+                }
+            )
+    n_required = int(pdf["n_terms"].iloc[0]) if conj else 0
     if conj and pdf["term"].nunique() < n_required:
         return empty
     # Per-term block arrays, terms in sorted order (deterministic sums).
@@ -186,6 +207,28 @@ def _local_topk(
             uniq, scores = uniq[hit], scores[hit]
             if uniq.size == 0:
                 continue
+        for t in per_neg:
+            if uniq.size == 0:
+                break
+            # every neg block overlapping [lo, hi) — neg blocks need not
+            # align to the positive segments, so range-overlap, not
+            # "contains seg_lo": blocks with last ≥ lo and first < hi
+            b0 = int(np.searchsorted(t["lasts"], lo, side="left"))
+            b1 = int(np.searchsorted(t["firsts"], hi, side="left"))
+            for bi in range(b0, b1):
+                ids = t["cache"].get(bi)
+                if ids is None:
+                    ids = pfor_delta_decode(
+                        t["doc_ids"][bi], int(t["ns"][bi]), int(t["firsts"][bi])
+                    ).astype(np.int64)
+                    t["cache"][bi] = ids
+                pos = np.searchsorted(ids, uniq)
+                dead = (pos < ids.size) & (ids[np.clip(pos, 0, ids.size - 1)] == uniq)
+                uniq, scores = uniq[~dead], scores[~dead]
+                if uniq.size == 0:
+                    break
+        if uniq.size == 0:
+            continue
         if exclude is not None and exclude.size and uniq.size:
             # tombstones drop out BEFORE candidates count toward k, so
             # the final top-k is exactly the top-k of surviving docs
@@ -223,12 +266,20 @@ def bm25_topk_wand(
     k: int = 10,
     mode: str = "or",
     exclude_doc_ids: list[int] | None = None,
+    negation: bool = False,
 ) -> DataFrame:
     """Batch top-k over the compressed index. Returns (qid, rank, doc_id, score).
 
     ``mode="or"``: ranked union (WAND). ``mode="and"``: posting-list
     intersection — only docs containing EVERY query term score; a query
     with any out-of-vocabulary term returns no rows (strict AND).
+
+    ``negation=True``: ``-term`` chunks in the query string become NOT
+    terms — docs containing ANY of them are excluded before the k cut
+    (Lucene `NOT`). The negated terms' posting blocks ride the same
+    pruned scan + broadcast join; exclusion is decided inside the local
+    scorer (shards are doc-id ranges, so a doc's negated postings are
+    in the same group as its scored ones — no extra shuffle).
 
     ``exclude_doc_ids`` (e.g. ``index.builder.load_tombstones``): docs
     filtered out inside the local scorers BEFORE the k cut, so results
@@ -239,12 +290,22 @@ def bm25_topk_wand(
         raise ValueError(f"mode must be or|and, got {mode!r}")
     spark: SparkSession = postings.sparkSession
     n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
-    rows = [
-        (qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))
-    ]
+    neg_rows: list[tuple[int, str]] = []
+    if negation:
+        from ..oracle import parse_signed_query
+
+        rows = []
+        for qid, q in queries:
+            pos, neg = parse_signed_query(q)
+            rows.extend((qid, t) for t in sorted(set(pos)))
+            neg_rows.extend((qid, t) for t in sorted(set(neg) - set(pos)))
+    else:
+        rows = [
+            (qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))
+        ]
     if not rows:
         return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
-    all_terms = sorted({t for _, t in rows})
+    all_terms = sorted({t for _, t in rows} | {t for _, t in neg_rows})
 
     # Query terms are few → pull their dfs to the driver and compute idf
     # with math.log: one tiny job instead of a distributed join, and
@@ -269,11 +330,23 @@ def bm25_topk_wand(
             if qid not in dead
         ]
         schema = "qid int, term string, idf double, n_terms int"
+        if negation:
+            qstat_rows = [r + (False,) for r in qstat_rows] + [
+                (qid, t, 0.0, n_by_qid.get(qid, 0), True)
+                for qid, t in neg_rows
+                if t in dfs and qid not in dead
+            ]
+            schema += ", neg boolean"
     else:
         qstat_rows = [
             (qid, t, idf_value(n_docs, dfs[t])) for qid, t in rows if t in dfs
         ]
         schema = "qid int, term string, idf double"
+        if negation:
+            qstat_rows = [r + (False,) for r in qstat_rows] + [
+                (qid, t, 0.0, True) for qid, t in neg_rows if t in dfs
+            ]
+            schema += ", neg boolean"
     if not qstat_rows:
         return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
     qstats = spark.createDataFrame(qstat_rows, schema)

@@ -116,6 +116,7 @@ def incremental_index_stream(
             "doc_id", F.col("doc_id") + F.lit(slice_lo * span)
         )
         tokens = tokenize_docs(docs, positions=positions).persist()
+        tokens.count()  # materialize once — _write_slice runs two concurrent jobs
         postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
         slice_dir = os.path.join(paths.postings, f"slice={slice_lo}")
         spark = batch_df.sparkSession
