@@ -1,0 +1,141 @@
+"""Cross-index merge: merged index ≡ scratch build over the union corpus.
+
+The rebase is metadata-only (PFor-delta payloads are base-relative), so
+the merged posting rows must be IDENTICAL to the scratch build's — not
+just rank-identical: same blocks, same bytes, same stats.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, delete_docs, load_index, load_tombstones
+from vframe_spark.index.merge import merge_indexes, repair_merge
+from vframe_spark.queries import reference_queries
+from vframe_spark.query.wand import bm25_topk_wand
+
+SHARD, BLOCK = 64, 16
+
+
+@pytest.fixture(scope="module")
+def merged_and_scratch(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("merge")
+    all_docs = assign_doc_ids(
+        synth_docs(spark, 300, partitions=4), ["repo", "path", "commit"],
+        num_partitions=4,
+    ).cache()
+    a_docs = all_docs.filter("doc_id < 150")
+    b_docs = all_docs.filter("doc_id >= 150").withColumn(
+        "doc_id", F.col("doc_id") - 150
+    )
+
+    a_dir, b_dir, u_dir = str(root / "a"), str(root / "b"), str(root / "u")
+    build_index(a_docs, a_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+    build_index(b_docs, b_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+
+    meta = merge_indexes(spark, a_dir, b_dir)
+    offset = meta["doc_id_offset"]
+
+    union = a_docs.unionByName(
+        b_docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    )
+    build_index(union, u_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+    return a_dir, b_dir, u_dir, offset
+
+
+def test_merged_meta_equals_scratch(spark, merged_and_scratch):
+    a_dir, _, u_dir, _ = merged_and_scratch
+    m = json.load(open(os.path.join(a_dir, "meta.json")))
+    u = json.load(open(os.path.join(u_dir, "meta.json")))
+    for k in ("n_docs", "total_len", "avgdl", "shard_size", "block_size", "positions"):
+        assert m[k] == u[k], k
+
+
+def test_merged_postings_byte_identical_to_scratch(spark, merged_and_scratch):
+    a_dir, _, u_dir, _ = merged_and_scratch
+    cols = ["term", "shard", "block", "n", "doc_ids", "tfs", "dls",
+            "max_tf", "min_dl", "first_doc", "last_doc"]
+    pm, _, _, _ = load_index(spark, a_dir)
+    pu, _, _, _ = load_index(spark, u_dir)
+    rm = sorted(
+        (tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r))
+        for r in pm.select(*cols).collect()
+    )
+    ru = sorted(
+        (tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r))
+        for r in pu.select(*cols).collect()
+    )
+    assert rm == ru
+
+
+def test_merged_topk_bitwise_vs_scratch(spark, merged_and_scratch):
+    a_dir, _, u_dir, _ = merged_and_scratch
+    pm, tm, _, mm = load_index(spark, a_dir)
+    pu, tu, _, mu = load_index(spark, u_dir)
+    qs = [(qid, q) for qid, q, _ in reference_queries(20)]
+    rm = sorted(
+        (r["qid"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk_wand(pm, tm, mm, qs, k=10).collect()
+    )
+    ru = sorted(
+        (r["qid"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk_wand(pu, tu, mu, qs, k=10).collect()
+    )
+    assert rm == ru
+
+
+def test_merge_carries_shifted_tombstones(spark, tmp_path):
+    all_docs = assign_doc_ids(
+        synth_docs(spark, 120, partitions=2), ["repo", "path", "commit"],
+        num_partitions=2,
+    )
+    a_docs = all_docs.filter("doc_id < 60")
+    b_docs = all_docs.filter("doc_id >= 60").withColumn("doc_id", F.col("doc_id") - 60)
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(a_docs, a_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+    build_index(b_docs, b_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+    delete_docs(spark, b_dir, [5, 7])
+    meta = merge_indexes(spark, a_dir, b_dir)
+    off = meta["doc_id_offset"]
+    assert set(load_tombstones(spark, a_dir)) == {5 + off, 7 + off}
+
+
+def test_merge_rejects_incompatible_layout(spark, tmp_path):
+    docs = assign_doc_ids(
+        synth_docs(spark, 80, partitions=2), ["repo", "path", "commit"],
+        num_partitions=2,
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(docs, a_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+    build_index(docs, b_dir, shard_size=SHARD, block_size=8, shards_per_slice=2)
+    with pytest.raises(ValueError, match="incompatible block_size"):
+        merge_indexes(spark, a_dir, b_dir)
+
+
+def test_interrupted_merge_rolls_back(spark, tmp_path):
+    docs = assign_doc_ids(
+        synth_docs(spark, 80, partitions=2), ["repo", "path", "commit"],
+        num_partitions=2,
+    )
+    a_dir = str(tmp_path / "a")
+    build_index(docs, a_dir, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+    before = sorted(
+        r["doc_id"] for r in load_index(spark, a_dir)[2].select("doc_id").collect()
+    )
+    # simulate a crash after the marker + a partial slice dir, before the
+    # manifest row: repair must delete the orphan and leave A untouched
+    orphan = os.path.join(a_dir, "postings", "slice=99")
+    os.makedirs(orphan, exist_ok=True)
+    open(os.path.join(orphan, "junk.parquet"), "wb").close()
+    with open(os.path.join(a_dir, "_merge_inprogress.json"), "w") as fh:
+        json.dump({"slice_id": 99, "created": [orphan], "offset": 128}, fh)
+    assert repair_merge(a_dir, spark)
+    assert not os.path.exists(orphan)
+    after = sorted(
+        r["doc_id"] for r in load_index(spark, a_dir)[2].select("doc_id").collect()
+    )
+    assert before == after

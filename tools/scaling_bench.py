@@ -595,8 +595,12 @@ Target ≥ 0.8 between N and 4N: {verdict} (basis: {basis}).
 Why the plan itself scales (all structural, all tested): the build has
 ONE shuffle keyed on (term, shard) with a structural shard_size cap on
 any task (Zipf-head terms split — test_index_build); no driver-side
-serial stage (metrics ride the write jobs via `Observation`); slices
-build independently and resume idempotently (test_resume); map-side
+serial stage (metrics ride the write jobs via `Observation`); the
+postings and doc_stats writes run as CONCURRENT jobs so small-job
+tails overlap the big job (round 2 — per-stage attribution showed
+~3.5 s of sequential tail jobs was the dominant efficiency loss, and a
+redundant per-slice corpus count was removed outright); slices build
+independently and resume idempotently (test_resume); map-side
 tokenize/TF never shuffles the token stream (test_plans); file-level
 bucket pruning applies at query time (test_plans). On a real cluster
 4× executors means 4× machines with 4× memory bandwidth — better than

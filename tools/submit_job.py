@@ -49,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--docs-parquet", default=None,
                    help="docs table for phrase verification (mode=phrase)")
     q.add_argument("--content-col", default="content")
+    q.add_argument("--negation", action="store_true",
+                   help="-term chunks exclude docs containing them (or/and modes)")
 
     d = sub.add_parser("delete", help="soft-delete docs (tombstones)")
     d.add_argument("--index", required=True)
@@ -58,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--purge", action="store_true",
                    help="hard-delete tombstoned docs and fold corpus stats")
+
+    m = sub.add_parser("merge", help="fold another index into this one (doc ids rebased)")
+    m.add_argument("--index", required=True, help="destination index (mutated)")
+    m.add_argument("--src", required=True, help="source index (read-only)")
 
     args = ap.parse_args(argv)
 
@@ -100,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
             out["purge"] = purge_tombstones(spark, args.index)
         out["compact"] = compact_index(spark, args.index)
         print(json.dumps(out))
+    elif args.cmd == "merge":
+        from vframe_spark.index.merge import merge_indexes
+
+        print(json.dumps({"merged": True, **merge_indexes(spark, args.index, args.src)}))
     else:
         from vframe_spark.index.builder import load_index, load_tombstones
         from vframe_spark.query.wand import bm25_topk_wand
@@ -131,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             rows = bm25_topk_wand(
                 postings, term_stats, meta, queries, k=args.k, mode=args.mode,
-                exclude_doc_ids=dead or None,
+                exclude_doc_ids=dead or None, negation=args.negation,
             ).collect()
         for r in rows:
             print(json.dumps({"qid": r["qid"], "rank": r["rank"],

@@ -71,6 +71,7 @@ class SearchIndex:
         window: int = 8,
         content_col: str = "content",
         slop: int = 0,
+        negation: bool = False,
     ) -> DataFrame:
         """Top-k retrieval → (qid, rank, doc_id, score[, n_hit, snippet]).
 
@@ -79,7 +80,8 @@ class SearchIndex:
         ``slop`` > 0 allows proximity gaps), "wildcard" (prefix
         expansion — also auto-detected from ``foo*`` tokens in an
         "or"-mode string query). ``snippets=True`` attaches best-window
-        highlights (needs ``docs``).
+        highlights (needs ``docs``). ``negation=True``: ``-term``
+        chunks exclude docs containing them (or/and modes).
         """
         postings, term_stats, _, meta = self._parts()
         queries = [(1, query)] if isinstance(query, str) else list(query)
@@ -120,7 +122,7 @@ class SearchIndex:
 
             ranked = bm25_topk_wand(
                 postings, term_stats, meta, queries, k=k, mode=mode,
-                exclude_doc_ids=dead,
+                exclude_doc_ids=dead, negation=negation,
             )
         if snippets:
             if docs is None:
@@ -132,6 +134,24 @@ class SearchIndex:
                 "qid", "rank", "doc_id", "score", "n_hit", "snippet"
             )
         return ranked
+
+    def facets(
+        self,
+        query: str | list[tuple[int, str]],
+        facets: DataFrame,
+        facet_col: str,
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Match-set counts per facet value → (qid, facet, n_docs);
+        see `query.facets.facet_counts`."""
+        from .query.facets import facet_counts
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return facet_counts(
+            postings, meta, queries, facets, facet_col, id_col=id_col, mode=mode
+        )
 
     # -- maintenance -------------------------------------------------------
 
@@ -154,6 +174,16 @@ class SearchIndex:
         from .index.compact import compact_index
 
         out = compact_index(self.spark, self.out_dir)
+        self._loaded = None
+        return out
+
+    def merge_from(self, src_dir: str) -> dict:
+        """Fold another complete, layout-compatible index into this one
+        (doc ids rebased; see `index.merge.merge_indexes`). Returns the
+        updated meta incl. ``doc_id_offset``."""
+        from .index.merge import merge_indexes
+
+        out = merge_indexes(self.spark, self.out_dir, src_dir)
         self._loaded = None
         return out
 

@@ -331,9 +331,12 @@ def load_index(spark: SparkSession, out_dir: str):
     from .codec import FORMAT_VERSION
     from .compact import repair_compaction
 
-    # an interrupted compaction must never be read mid-swap (it would
-    # double-count); finishing it here is a cheap marker-file check
+    # an interrupted compaction/merge must never be read mid-swap (it
+    # would double-count); finishing them here is a cheap marker check
     repair_compaction(out_dir)
+    from .merge import repair_merge
+
+    repair_merge(out_dir, spark)
     paths = IndexPaths(out_dir)
     meta = json.load(open(paths.meta))
     if meta.get("format", FORMAT_VERSION) != FORMAT_VERSION:

@@ -1,0 +1,178 @@
+"""Cross-index merge: fold one built index into another, rebasing doc ids.
+
+Two corpora indexed independently (two teams, two time ranges, two
+clusters) become one queryable index WITHOUT re-tokenizing anything:
+
+* Posting payloads are **byte-identical** under a doc-id rebase: block
+  doc ids are PFor-delta coded relative to the block's ``first_doc``
+  (codec.pfor_delta_encode), so adding a constant offset changes only
+  the ``first_doc`` / ``last_doc`` / ``shard`` *columns* — a pure
+  column-arithmetic Spark rewrite, no decode, no re-encode, no shuffle
+  beyond the bucket-layout write. Positional payloads hold within-doc
+  offsets and are untouched.
+* The offset is the next shard boundary past the destination's max doc
+  id, so source and destination shard ranges are disjoint — the
+  builder's invariant ((term, shard) groups never overlap across
+  slices) holds and query-time block order stays a plain shard sort.
+* Stats compose: doc_stats rows shift by the offset; term partials
+  shift shard; ``_finalize`` then re-derives term_stats / N / avgdl
+  from the merged partials + manifest exactly as an incremental build
+  would — BM25 over the merged index equals a scratch build over the
+  union corpus (asserted bit-for-bit in tests).
+
+Crash safety follows the compaction discipline: a marker records the
+planned slice BEFORE any destination mutation; ``repair_merge`` (run by
+``load_index``) rolls an interrupted merge back (manifest row absent)
+or forward (row present, finalize pending).
+
+Reference analog: `merge-json` accumulate-merge of independently
+produced detection stores (/root/reference/src/commands/utils/
+merge-json.py) — here applied to the index artifact itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .builder import IndexPaths, _finalize, _write_manifest_row, read_manifest
+
+_MERGE_MARKER = "_merge_inprogress.json"
+
+_COMPAT_KEYS = ("shard_size", "block_size", "term_buckets", "positions", "format")
+
+
+def repair_merge(out_dir: str, spark: SparkSession | None = None) -> bool:
+    """Finish or roll back an interrupted merge. Safe when idle.
+
+    Marker present + manifest row present ⇒ the data committed but the
+    global-stats finalize may not have run: roll FORWARD (re-finalize —
+    idempotent). Marker present + row absent ⇒ roll BACK (delete the
+    dirs the merge created; destination is exactly its pre-merge self).
+    """
+    marker = os.path.join(out_dir, _MERGE_MARKER)
+    if not os.path.exists(marker):
+        return False
+    plan = json.load(open(marker))
+    paths = IndexPaths(out_dir)
+    manifest = read_manifest(paths)
+    if int(plan["slice_id"]) in manifest:
+        if spark is None:
+            raise RuntimeError(
+                f"interrupted merge at {out_dir} needs finalize; call "
+                "repair_merge(out_dir, spark) or load_index first"
+            )
+        meta = json.load(open(paths.meta))
+        _finalize(
+            spark, paths, meta["shard_size"], meta["block_size"],
+            term_buckets=meta["term_buckets"],
+            positions=meta.get("positions", False),
+        )
+        os.remove(marker)
+        return True
+    # manifest row absent — roll BACK: delete any dirs the merge created
+    for d in plan["created"]:
+        shutil.rmtree(d, ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
+def merge_indexes(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
+    """Merge the (complete) index at ``src_dir`` into ``dst_dir``.
+
+    Returns the updated destination meta. Source is read-only. The
+    source's doc ids appear in the destination shifted by ``offset``
+    (returned in the stats via manifest row ``slice_id``'s doc range);
+    callers tracking external ids should keep the returned
+    ``doc_id_offset``.
+    """
+    repair_merge(dst_dir, spark)
+    dp, sp = IndexPaths(dst_dir), IndexPaths(src_dir)
+    dmeta, smeta = json.load(open(dp.meta)), json.load(open(sp.meta))
+    if not (dmeta.get("complete") and smeta.get("complete")):
+        raise ValueError("merge_indexes: both indexes must be complete")
+    for k in _COMPAT_KEYS:
+        if dmeta.get(k) != smeta.get(k):
+            raise ValueError(
+                f"merge_indexes: incompatible {k}: {dmeta.get(k)!r} != {smeta.get(k)!r}"
+            )
+    shard_size = int(dmeta["shard_size"])
+
+    max_doc = spark.read.parquet(dp.doc_stats).agg(F.max("doc_id")).collect()[0][0]
+    offset = ((int(max_doc) // shard_size) + 1) * shard_size
+    shard_shift = offset // shard_size
+
+    manifest = read_manifest(dp)
+    nonneg = [sid for sid in manifest if sid >= 0]
+    slice_id = (max(nonneg) + 1) if nonneg else 0
+
+    created = [
+        os.path.join(dp.postings, f"slice={slice_id}"),
+        os.path.join(dp.doc_stats, f"slice={slice_id}"),
+        os.path.join(dp.term_partials, f"slice={slice_id}"),
+    ]
+    marker = os.path.join(dst_dir, _MERGE_MARKER)
+    with open(marker, "w") as fh:
+        json.dump({"slice_id": slice_id, "created": created, "offset": offset}, fh)
+
+    # postings: column-arithmetic rebase, payload bytes untouched
+    post = spark.read.parquet(sp.postings).drop("slice")
+    post = (
+        post.withColumn("shard", (F.col("shard") + F.lit(shard_shift)).cast("int"))
+        .withColumn("first_doc", F.col("first_doc") + F.lit(offset))
+        .withColumn("last_doc", F.col("last_doc") + F.lit(offset))
+    )
+    n_buckets = int(dmeta.get("term_buckets", 16))
+    (
+        post.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "term", "shard", "block")
+        .write.partitionBy("bucket").mode("overwrite").parquet(created[0])
+    )
+
+    dstats = spark.read.parquet(sp.doc_stats).drop("slice")
+    dstats.withColumn("doc_id", F.col("doc_id") + F.lit(offset)).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(created[1])
+
+    if os.path.isdir(sp.term_partials):
+        tp = spark.read.option("recursiveFileLookup", "true").parquet(sp.term_partials)
+        tp.withColumn("shard", (F.col("shard") + F.lit(shard_shift)).cast("int")).coalesce(
+            4
+        ).write.mode("overwrite").parquet(created[2])
+
+    # source tombstones carry over, shifted
+    stomb = os.path.join(src_dir, "tombstones")
+    if os.path.isdir(stomb):
+        spark.read.parquet(stomb).select(
+            (F.col("doc_id") + F.lit(offset)).alias("doc_id")
+        ).coalesce(1).write.mode("append").parquet(os.path.join(dst_dir, "tombstones"))
+
+    # manifest row LAST (data-before-manifest, same as the builder), then
+    # global stats; the marker guards the window in between
+    src_manifest = read_manifest(sp).values()
+    _write_manifest_row(
+        dp,
+        {
+            "slice_id": slice_id,
+            "status": "done",
+            "n_docs": int(sum(r["n_docs"] for r in src_manifest)),
+            "total_len": int(sum(r["total_len"] for r in src_manifest)),
+            "n_postings": int(sum(r["n_postings"] for r in src_manifest)),
+            "bytes_compressed": int(sum(r["bytes_compressed"] for r in src_manifest)),
+            "skew_ratio": float(max((r["skew_ratio"] for r in src_manifest), default=0.0)),
+            "elapsed_sec": 0.0,
+            "updated_at": __import__("datetime").datetime.utcnow(),
+        },
+    )
+    _finalize(
+        spark, dp, shard_size, int(dmeta["block_size"]),
+        term_buckets=n_buckets, positions=bool(dmeta.get("positions", False)),
+    )
+    os.remove(marker)
+    out = json.load(open(dp.meta))
+    out["doc_id_offset"] = offset
+    return out
