@@ -144,6 +144,8 @@ def main() -> None:
     headline = [
         "ft_bm25_wand",
         "ft_bm25_conjunctive",
+        "ft_bm25_negated",
+        "ft_facets",
         "ft_phrase_topk",
         "ft_phrase_positional",
         "ft_snippets",

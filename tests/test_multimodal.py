@@ -43,3 +43,34 @@ def test_features_normalized(spark):
         v = np.asarray(r["feature"])
         assert v.shape == (16,)
         assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+def test_detect_objects_deterministic_and_composable(spark):
+    from vframe_spark.operators.multimodal import (
+        decode_image, detect_objects, synth_media,
+    )
+    from vframe_spark.operators.detections import filter_by_detections
+
+    media = synth_media(spark, 24)
+    decoded = decode_image(media)
+    dets = detect_objects(decoded, threshold=8.0)
+    rows = {r["media_id"]: r["detections"] for r in dets.collect()}
+    assert set(rows) == set(range(24))  # one row per frame, even empty
+    rows2 = {r["media_id"]: r["detections"] for r in detect_objects(
+        decode_image(media), threshold=8.0).collect()}
+    assert rows == rows2  # deterministic
+    # the sha-tiled fake pixels are periodic (halves cancel) — drive the
+    # firing path with a genuine contrast image: bright top, dark bottom
+    grad = spark.createDataFrame(
+        [(100, 16, 16, [255] * (16 * 8) + [0] * (16 * 8))],
+        "media_id bigint, width int, height int, pixels array<smallint>",
+    )
+    fired = detect_objects(grad, threshold=24.0).collect()[0]["detections"]
+    assert fired, "edge image must fire the Haar contrast feature"
+    for d in fired:
+        assert 0.0 <= d["conf"] <= 1.0 and d["x2"] > d["x1"] and d["y2"] > d["y1"]
+        assert d["label"] == "haar_edge"
+    # composes with the named detection filters (same struct fields)
+    kept = filter_by_detections(detect_objects(grad, threshold=24.0),
+                                "detections", min_conf=0.05, labels=["haar_edge"])
+    assert kept.count() == 1

@@ -97,3 +97,33 @@ def test_bucket_hashes_agree_and_prune(spark, small_index):
     topk = bm25_topk_wand(postings, term_stats, meta, [(1, "data parse")], k=5)
     plan = plan_of(topk)
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_negated_wand_prunes_scan_and_broadcasts(spark, small_index):
+    """The negated terms ride the SAME pruned scan + broadcast join —
+    no extra shuffle or second scan appears in the plan."""
+    postings, term_stats, _, meta = load_index(spark, small_index)
+    plain = bm25_topk_wand(postings, term_stats, meta, [(1, "data")], k=5)
+    topk = bm25_topk_wand(
+        postings, term_stats, meta, [(1, "data -parse")], k=5, negation=True
+    )
+    def final_section(df) -> str:
+        # AQE toString may append "== Initial Plan ==" after the final
+        # plan; count nodes in the executed (final) section only
+        s = plan_of(df)
+        return s.split("== Initial Plan ==")[0]
+
+    plan = final_section(topk)
+    assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:200]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # negation adds NO extra scan: positive and negated terms share one
+    assert plan.count("FileScan") == final_section(plain).count("FileScan") == 1
+
+
+def test_facet_match_set_prunes_scan(spark, small_index):
+    from vframe_spark.query.facets import match_set
+
+    postings, _, _, meta = load_index(spark, small_index)
+    m = match_set(postings, meta, [(1, "data parse")])
+    plan = plan_of(m)
+    assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:200]

@@ -388,3 +388,27 @@ def test_facet_counts_match_bruteforce(spark, corpus, index):
                 exp[key] = exp.get(key, 0) + 1
     assert got == exp
     assert all(r["qid"] != 2 for r in out)  # no-match query → no facet rows
+
+
+# ---------------------------------------------------- search_after paging
+
+def test_local_engine_search_after_pages_exactly(spark, corpus, index):
+    """Paging with after=(score, doc_id) must reconstruct the full
+    ranking: page1 + page2 + page3 == one big top-k, bitwise."""
+    from vframe_spark.query.local import LocalQueryEngine
+
+    postings, term_stats, _, meta = index
+    eng = LocalQueryEngine(postings, term_stats, meta)
+    q = "data parse index"
+    full = eng.topk(q, k=15)
+    assert len(full) == 15
+    pages, cursor = [], None
+    for _ in range(3):
+        page = eng.topk(q, k=5, after=cursor)
+        assert len(page) == 5
+        pages.extend(page)
+        cursor = page[-1]
+    assert pages == full
+    # paging off the end returns empty, not an error
+    tail = eng.topk(q, k=5, after=(1 << 60, float("-inf")))
+    assert tail == []

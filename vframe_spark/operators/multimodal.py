@@ -127,3 +127,66 @@ def extract_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "feature"])
 
     return decoded.mapInPandas(go, "media_id bigint, feature array<double>")
+
+
+def detect_objects(
+    decoded: DataFrame,
+    window: int = 8,
+    stride: int = 4,
+    threshold: float = 24.0,
+    max_detections: int = 4,
+) -> DataFrame:
+    """Haar-style sliding-window detector over decoded frames
+    (≙ `pipe haardetect`, /root/reference/src/commands/pipe/detect.py +
+    haar cascade processor).
+
+    Real structure, stubbed weights: an integral image gives O(1)
+    two-rectangle Haar contrast (top half vs bottom half) per window;
+    windows scoring past ``threshold`` become detection structs
+    (bbox + label + conf), best-first, capped at ``max_detections``.
+    Swap the feature/threshold table for trained cascade stages and the
+    batched init-once plumbing stays identical. Output composes with
+    `operators.detections.filter_by_detections` / `functions.geometry`
+    NMS (same ``conf``/``label`` struct fields).
+    """
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples():
+                img = np.asarray(r.pixels, dtype=np.int64).reshape(r.height, r.width)
+                dets = []
+                if r.height >= window and r.width >= window:
+                    ii = np.pad(img, ((1, 0), (1, 0))).cumsum(0).cumsum(1)
+
+                    def rect(y0, x0, y1, x1):
+                        # inclusive-exclusive [y0,y1) x [x0,x1) sum via integral image
+                        return ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+
+                    half = window // 2
+                    ys = range(0, r.height - window + 1, stride)
+                    xs = range(0, r.width - window + 1, stride)
+                    for y in ys:
+                        for x in xs:
+                            top = rect(y, x, y + half, x + window)
+                            bot = rect(y + half, x, y + window, x + window)
+                            score = abs(float(top) - float(bot)) / (half * window)
+                            if score >= threshold:
+                                dets.append(
+                                    (
+                                        float(x), float(y),
+                                        float(x + window), float(y + window),
+                                        "haar_edge",
+                                        min(score / 255.0, 1.0),
+                                    )
+                                )
+                    dets.sort(key=lambda d: (-d[5], d[0], d[1]))
+                    dets = dets[:max_detections]
+                out.append((r.media_id, dets))
+            yield pd.DataFrame(out, columns=["media_id", "detections"])
+
+    return decoded.mapInPandas(
+        go,
+        "media_id bigint, detections array<struct<"
+        "x1:double, y1:double, x2:double, y2:double, label:string, conf:double>>",
+    )

@@ -120,7 +120,8 @@ class LocalQueryEngine:
         return pd.concat(parts, ignore_index=True)
 
     def topk(
-        self, query: str, k: int = 10, mode: str = "or", negation: bool = False
+        self, query: str, k: int = 10, mode: str = "or", negation: bool = False,
+        after: tuple[int, float] | None = None,
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] ranked (score DESC, doc_id ASC).
 
@@ -128,6 +129,9 @@ class LocalQueryEngine:
         out-of-vocabulary query term → empty), same as the distributed
         path. ``negation=True`` = ``-term`` chunks exclude docs
         containing them (before the k cut), same as the batch engine.
+        ``after=(doc_id, score)`` = search-after pagination: return the
+        exact top-k of the docs ranking strictly after the cursor —
+        pass the previous page's last tuple verbatim (``after=page[-1]``).
         """
         if negation:
             from ..oracle import parse_signed_query
@@ -158,7 +162,10 @@ class LocalQueryEngine:
         out_parts = []
         for _, g in pdf.groupby("shard"):
             out_parts.append(
-                _local_topk(g.reset_index(drop=True), k, self._avgdl, mode, self._exclude)
+                _local_topk(
+                    g.reset_index(drop=True), k, self._avgdl, mode,
+                    self._exclude, after=after,
+                )
             )
         allp = pd.concat(out_parts, ignore_index=True)
         allp = allp.sort_values(

@@ -62,6 +62,7 @@ def _local_topk(
     avgdl: float,
     mode: str = "or",
     exclude: np.ndarray | None = None,
+    after: tuple[int, float] | None = None,
 ) -> pd.DataFrame:
     """Exact top-k for one (qid, shard) group with segment pruning.
 
@@ -229,6 +230,17 @@ def _local_topk(
                     break
         if uniq.size == 0:
             continue
+        if after is not None:
+            # search_after pagination: only docs ranking STRICTLY after
+            # the (doc_id, score) cursor — the exact tuple shape topk
+            # returns, so `after=page[-1]` — count toward k. Applied
+            # before candidates enter the heap, so page N+1 is the exact
+            # top-k of the remaining ranking (Lucene searchAfter).
+            cd, cs = after
+            keep = (scores < cs) | ((scores == cs) & (uniq > cd))
+            uniq, scores = uniq[keep], scores[keep]
+            if uniq.size == 0:
+                continue
         if exclude is not None and exclude.size and uniq.size:
             # tombstones drop out BEFORE candidates count toward k, so
             # the final top-k is exactly the top-k of surviving docs
