@@ -40,3 +40,21 @@ def test_render_template(spark):
         S.render_template("f=@filestem p=@parentname n=@n @unknown!", acc).alias("s")
     ).collect()[0]["s"]
     assert out == "f=tok p=util n=42 @unknown!"
+
+
+def test_oddify_evenify_sha_tree(spark):
+    from pyspark.sql import functions as F
+    from vframe_spark.functions.strings import evenify, oddify, sha_tree_path
+
+    df = spark.createDataFrame([(3,), (4,)], "n int").select(
+        "n", oddify("n").alias("o"), evenify("n").alias("e")
+    )
+    rows = {r["n"]: (r["o"], r["e"]) for r in df.collect()}
+    assert rows == {3: (3, 4), 4: (5, 4)}
+
+    out = (
+        spark.createDataFrame([("abcdef0123",)], "sha string")
+        .select(sha_tree_path("sha").alias("p"))
+        .collect()[0]["p"]
+    )
+    assert out == "ab/cd/ef/abcdef0123"

@@ -1,0 +1,66 @@
+"""Secondary scaling pair (8→32) with the alternating paired-ratio
+protocol. Does NOT touch the BENCH.md primary block — prints JSON for a
+manually appended secondary paragraph.
+
+32 cores can't host disjoint 8+32 sets, so the legs OVERLAP (lo pinned
+0-7, hi pinned 0-31); only one JVM computes at a time (the idle one
+burns ~no CPU), so alternation still samples shared host windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import scaling_bench as sb  # noqa: E402  (tools/ sibling)
+
+
+def main() -> None:
+    import statistics
+
+    n_docs = int(os.environ.get("SCALING_BENCH_DOCS", "50000"))
+    reps = int(os.environ.get("SCALING_BENCH_REPS", "7"))
+    sb.prepare_corpus(n_docs)
+    lo_srv = sb._spawn_server(8, 0, n_docs)    # taskset 0-7
+    hi_srv = sb._spawn_server(32, 0, n_docs)   # taskset 0-31 (overlap)
+    try:
+        sb._wait_for(lo_srv, "READY")
+        sb._wait_for(hi_srv, "READY")
+        lo_runs, hi_runs = [], []
+        for _ in range(reps):
+            lo_runs.append(sb._ask(lo_srv))
+            hi_runs.append(sb._ask(hi_srv))
+        for p in (lo_srv, hi_srv):
+            p.stdin.write("QUIT\n")
+            p.stdin.flush()
+    finally:
+        for p in (lo_srv, hi_srv):
+            try:
+                p.wait(timeout=60)
+            except Exception:
+                p.kill()
+    lo = [r["sec"] for r in lo_runs]
+    hi = [r["sec"] for r in hi_runs]
+    ratios = sorted(l / h for l, h in zip(lo, hi))
+    probes_lo = [max(r["probe_pre"], r["probe_post"]) for r in lo_runs]
+    probes_hi = [max(r["probe_pre"], r["probe_post"]) for r in hi_runs]
+    delivered = statistics.median(probes_hi) / statistics.median(probes_lo)
+    speedup = statistics.median(ratios)
+    print(json.dumps({
+        "pair": [8, 32], "n_docs": n_docs, "reps": reps,
+        "lo_secs": [round(x, 2) for x in lo],
+        "hi_secs": [round(x, 2) for x in hi],
+        "pair_ratios": [round(r, 3) for r in ratios],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / 4.0, 3),
+        "best_speedup": round(min(lo) / min(hi), 3),
+        "delivered_ratio": round(delivered, 3),
+        "norm_efficiency": round(speedup / delivered, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,27 @@ def doc_accessors(df) -> dict[str, Column]:
     for c in df.columns:
         out.setdefault(c, F.col(c))
     return out
+
+
+def oddify(n: Column | str) -> Column:
+    """Round up to the nearest odd integer (≙ misc_utils.oddify,
+    /root/reference/src/vframe/utils/misc_utils.py:15-23 — kernel sizes
+    must be odd)."""
+    c = F.col(n) if isinstance(n, str) else n
+    return F.when(c % 2 == 0, c + 1).otherwise(c)
+
+
+def evenify(n: Column | str) -> Column:
+    """Round up to the nearest even integer (misc_utils.py:25-33)."""
+    c = F.col(n) if isinstance(n, str) else n
+    return F.when(c % 2 == 1, c + 1).otherwise(c)
+
+
+def sha_tree_path(sha: Column | str, depth: int = 3, width: int = 2) -> Column:
+    """Content-hash → sharded storage path: ``ab/cd/ef/abcdef…``
+    (≙ sha256_tree, /root/reference/src/vframe/utils/hash_utils.py:32-40
+    — fans a flat corpus into bounded-size directories). Pure Catalyst:
+    at 10^12 files this runs in the projection, no UDF."""
+    c = F.col(sha) if isinstance(sha, str) else sha
+    parts = [F.substring(c, 1 + i * width, width) for i in range(depth)]
+    return F.concat_ws("/", *parts, c)
