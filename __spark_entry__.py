@@ -1641,6 +1641,301 @@ def q_rel_having(spark, sf_dir):
     )
 
 
+# -------------------------------------------------- hybrid / fuzzy / sampling
+
+# Hybrid retrieval: lexical qid ↔ vector query pairing (query vector =
+# embedding of vec_id 100·qid), fused with reciprocal-rank fusion.
+RRF_LEG_DEPTH = 20
+RRF_K = 60  # the standard RRF constant
+
+# Fuzzy (edit-distance ≤ 1) query set: typos of in-vocab terms plus an
+# unfixable term (no vocab word within distance 1 → contributes nothing).
+FT_FUZZY_QUERIES = [
+    (1, "dta analysis"),
+    (2, "windw merge"),
+    (3, "hash tabel"),
+    (4, "zzzqq"),
+]
+FT_FUZZY_MAX_EXP = 8
+
+# Embedding near-dup threshold: the synthetic embeddings are near-random
+# (max pairwise cosine ≈ 0.51 at sf0.01), so the "duplicate" bar sits at
+# the far tail of the cosine distribution rather than a semantic 0.9.
+EMB_PAIR_THRESHOLD = 0.35
+
+# Training-mix sampling rates per language stratum.
+SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+
+
+def q_ft_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: block-max WAND BM25 leg + brute-force cosine
+    leg (each cut to RRF_LEG_DEPTH on rounded scores), fused by
+    reciprocal-rank fusion. The fusion touches only the two small rank
+    tables — the corpus is read once per leg, never again."""
+    from vframe_spark.query.fusion import rrf_fuse
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * RRF_LEG_DEPTH)
+    lex = _rounded_rank(raw.select("qid", "doc_id", "score"), RRF_LEG_DEPTH).select(
+        F.col("qid").cast("int").alias("qid"), "rank", "doc_id"
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec_rows = emb.filter(
+        (F.col("vec_id") % 100 == 0)
+        & (F.col("vec_id") >= 100)
+        & (F.col("vec_id") <= 100 * len(FT_QUERIES))
+    ).collect()
+    by_qid = {int(r["vec_id"] // 100): list(r["embedding"]) for r in qvec_rows}
+    queries = [(qid, by_qid[qid]) for qid, _ in FT_QUERIES]
+    vec_raw = cosine_topk_bruteforce(emb, queries, k=RRF_LEG_DEPTH)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    vec = (
+        vec_raw.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_LEG_DEPTH)
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            "rank",
+            F.col("vec_id").alias("doc_id"),
+        )
+    )
+    fused = rrf_fuse([lex, vec], k=FT_K, k_rrf=RRF_K)
+    return fused.select("qid", "rank", "doc_id", "rrf")
+
+
+def q_ft_collapse_topk(spark, sf_dir):
+    """Field-collapsed retrieval (dedup-aware serving): best doc per
+    `source` host, then top-5 sources per query — the Lucene collapse /
+    "one result per site" shape."""
+    from vframe_spark.query.bm25 import bm25_scores, query_terms_df
+    from vframe_spark.query.fusion import collapse_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_docs(
+        docs.select("doc_id", F.col("text").alias("content")), lang_col=None
+    ).cache()
+    n_docs = docs.count()
+    total = toks.groupBy("doc_id").agg(F.max("doc_len").alias("dl")).agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(total) / n_docs
+    tstats = toks.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = query_terms_df(spark, FT_QUERIES)
+    scores = bm25_scores(toks, tstats, qterms, n_docs, avgdl)
+    groups = docs.select("doc_id", "source")
+    return collapse_topk(scores, groups, "source", k=5)
+
+
+def q_ft_fuzzy_topk(spark, sf_dir):
+    """Fuzzy retrieval (`term~1`): each query term expands to vocabulary
+    terms within Levenshtein distance 1 (df-capped), the expanded bag is
+    scored as plain BM25. Oracle replays the SAME expansion in SQL
+    (DuckDB levenshtein)."""
+    from vframe_spark.query.bm25 import bm25_scores
+    from vframe_spark.query.fuzzy import fuzzy_expand
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    toks = tokenize_docs(docs, lang_col=None).cache()
+    n_docs = docs.count()
+    total = toks.groupBy("doc_id").agg(F.max("doc_len").alias("dl")).agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(total) / n_docs
+    tstats = toks.groupBy("term").agg(F.count("*").alias("df"))
+    exp = fuzzy_expand(tstats, FT_FUZZY_QUERIES, max_dist=1, max_expansions=FT_FUZZY_MAX_EXP)
+    scores = bm25_scores(toks, tstats, exp, n_docs, avgdl)
+    return _rounded_rank(scores, FT_K)
+
+
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, EXACT: blocked all-pairs GEMM
+    (cogroup-free block-pair sharding — O(n·B) shuffle, O(n²/B²) work
+    per task). Threshold applies to the raw cosine; display rounded."""
+    from vframe_spark.operators.similarity import cosine_pairs_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_exact(emb, EMB_PAIR_THRESHOLD, n_blocks=8, round_dp=None)
+    return pairs.select(
+        "vec_id_a", "vec_id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs, LSH-banded scale path (equi-join on
+    band collisions, exact cosine verify — precision 1.0 by
+    construction). Engine hashing isn't SQL-expressible (rows-only), so
+    measured accuracy is surfaced IN the output: ``recall`` = fraction
+    of the exact pair set recovered."""
+    from vframe_spark.operators.similarity import cosine_pairs_exact, lsh_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    approx = lsh_cosine_pairs(
+        emb, EMB_PAIR_THRESHOLD, dim=dim, n_bands=8, bits_per_band=4
+    )
+    exact = cosine_pairs_exact(emb, EMB_PAIR_THRESHOLD, n_blocks=8).select(
+        "vec_id_a", "vec_id_b"
+    )
+    n_exact = exact.count()
+    n_hit = approx.join(exact, ["vec_id_a", "vec_id_b"], "left_semi").count()
+    recall = round(n_hit / max(n_exact, 1), 4)
+    return approx.select(
+        "vec_id_a", "vec_id_b", "cosine", F.lit(recall).alias("recall")
+    )
+
+
+def q_curate_sample_stratified(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (training-mix
+    construction): portable hash ⇒ the DuckDB oracle selects the SAME
+    rows, proving reproducibility across engines/reruns — the property
+    that makes a 100 TB sampling job resumable."""
+    from vframe_spark.operators.curate import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", SAMPLE_RATES).select("doc_id", "lang")
+
+
+_BM25_CORE_CTES = f"""
+toks AS (SELECT doc_id, {{TOK}} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+"""
+
+_BM25_CONTRIB = f"""
+  SELECT {{QSRC}}.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM {{QSRC}}
+  JOIN tf ON tf.term = {{QSRC}}.term
+  JOIN dfreq ON dfreq.term = {{QSRC}}.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+"""
+
+
+def _hybrid_oracle_sql() -> str:
+    core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
+    contrib = _BM25_CONTRIB.replace("{QSRC}", "q")
+    vq_values = ", ".join(f"({qid}, {100 * qid})" for qid, _ in FT_QUERIES)
+    return f"""
+WITH {core},
+q(qid, term) AS (VALUES {_ft_qterms_values_sql()}),
+contrib AS ({contrib}),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+lex0 AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id
+  FROM score
+),
+lex AS (SELECT * FROM lex0 WHERE rank <= {RRF_LEG_DEPTH}),
+vq(qid, qvid) AS (VALUES {vq_values}),
+qv AS (SELECT vq.qid, e.embedding AS qvec FROM vq JOIN embeddings e ON e.vec_id = vq.qvid),
+sims AS (
+  SELECT qv.qid, e.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], qv.qvec::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv.qvec::DOUBLE[], qv.qvec::DOUBLE[]))), 4) AS cosine
+  FROM embeddings e CROSS JOIN qv
+),
+vec0 AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id AS doc_id
+  FROM sims
+),
+vec AS (SELECT * FROM vec0 WHERE rank <= {RRF_LEG_DEPTH}),
+legs AS (
+  SELECT qid, doc_id, 1.0 / ({RRF_K} + rank) AS c FROM lex
+  UNION ALL
+  SELECT qid, doc_id, 1.0 / ({RRF_K} + rank) AS c FROM vec
+),
+fused AS (SELECT qid, doc_id, round(sum(c), 6) AS rrf FROM legs GROUP BY 1, 2),
+ranked AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)::INT AS rank,
+         doc_id, rrf
+  FROM fused
+)
+SELECT qid, rank, doc_id, rrf FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def _collapse_oracle_sql() -> str:
+    core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
+    contrib = _BM25_CONTRIB.replace("{QSRC}", "q")
+    return f"""
+WITH {core},
+q(qid, term) AS (VALUES {_ft_qterms_values_sql()}),
+contrib AS ({contrib}),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+s2 AS (
+  SELECT score.qid, score.doc_id, score.score, d.source
+  FROM score JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY qid, source ORDER BY score DESC, doc_id ASC) AS rn
+  FROM s2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, source ASC)::INT AS rank,
+         source, doc_id, score
+  FROM best WHERE rn = 1
+)
+SELECT qid, rank, source, doc_id, score FROM ranked WHERE rank <= 5
+"""
+
+
+def _fuzzy_oracle_sql() -> str:
+    from vframe_spark.query.fuzzy import fuzzy_expand_duckdb_sql
+
+    rows = []
+    for qid, q in FT_FUZZY_QUERIES:
+        for t in sorted(set(tokenize_py(q))):
+            rows.append(f"({qid}, '{t}')")
+    core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
+    frag = fuzzy_expand_duckdb_sql(", ".join(rows), max_dist=1, max_expansions=FT_FUZZY_MAX_EXP)
+    contrib = _BM25_CONTRIB.replace("{QSRC}", "fexp")
+    return f"""
+WITH {core},
+{frag.strip()},
+contrib AS ({contrib}),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+EMB_PAIRS_ORACLE_SQL = f"""
+WITH p AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, round(cos, 4) AS cosine
+FROM p WHERE cos >= {EMB_PAIR_THRESHOLD}
+"""
+
+
+def _stratified_oracle_sql() -> str:
+    from vframe_spark.operators.curate import stratified_sample_duckdb_sql
+
+    where = stratified_sample_duckdb_sql("lang", SAMPLE_RATES)
+    return f"SELECT doc_id, lang FROM documents WHERE {where}"
+
+
 # --------------------------------------------------------------- the contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1714,6 +2009,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_having": q_rel_having,
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
+        "ft_hybrid_rrf": q_ft_hybrid_rrf,
+        "ft_collapse_topk": q_ft_collapse_topk,
+        "ft_fuzzy_topk": q_ft_fuzzy_topk,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "curate_sample_stratified": q_curate_sample_stratified,
     }
 
 
@@ -2203,9 +2504,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN iv ON o_orderdate >= lo AND o_orderdate < hi
             GROUP BY 1
         """,
+        "ft_hybrid_rrf": _hybrid_oracle_sql(),
+        "ft_collapse_topk": _collapse_oracle_sql(),
+        "ft_fuzzy_topk": _fuzzy_oracle_sql(),
+        "dedup_embedding_pairs": EMB_PAIRS_ORACLE_SQL,
+        "curate_sample_stratified": _stratified_oracle_sql(),
         # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
         # hash functions are engine-specific (xxhash64 / siphash) — rows-only
         # checks by design. geo_nms_merge: greedy NMS is iterative, not
         # SQL-expressible — rows-only; the pairwise algebra it builds on IS
         # oracle-checked via geo_iou_pairs / geo_bbox_transform.
+        # dedup_embedding_lsh: hyperplane hashing is engine-side — rows-only,
+        # with measured recall vs the oracle-checked exact pair set IN the
+        # output.
     }

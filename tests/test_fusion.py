@@ -1,0 +1,157 @@
+"""Rank fusion, field collapsing, fuzzy expansion — serving-side ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.query.fusion import collapse_topk, rrf_fuse
+from vframe_spark.query.fuzzy import fuzzy_expand
+
+
+def test_rrf_fuse_hand_case(spark):
+    """Two legs, hand-computed RRF: a doc in both legs outranks docs in
+    one leg; missing-leg docs contribute 0 for that leg."""
+    lex = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30)], "qid int, rank int, doc_id bigint"
+    )
+    vec = spark.createDataFrame(
+        [(1, 1, 20), (1, 2, 40)], "qid int, rank int, doc_id bigint"
+    )
+    out = {r["doc_id"]: (r["rank"], r["rrf"]) for r in rrf_fuse([lex, vec], k=10).collect()}
+    # doc 20: 1/62 + 1/61 ; doc 10: 1/61 ; doc 40: 1/62 ; doc 30: 1/63
+    assert out[20][0] == 1
+    assert out[10][0] == 2  # 1/61 > 1/62
+    assert out[40][0] == 3
+    assert out[30][0] == 4
+    assert abs(out[20][1] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+
+
+def test_rrf_tie_breaks_on_id(spark):
+    a = spark.createDataFrame([(1, 1, 7), (1, 2, 5)], "qid int, rank int, doc_id bigint")
+    b = spark.createDataFrame([(1, 2, 7), (1, 1, 5)], "qid int, rank int, doc_id bigint")
+    rows = sorted(rrf_fuse([a, b], k=2).collect(), key=lambda r: r["rank"])
+    # identical rrf → lower doc_id first
+    assert [r["doc_id"] for r in rows] == [5, 7]
+
+
+def test_collapse_topk(spark):
+    """Best doc per group survives; groups ranked by their best score."""
+    scores = spark.createDataFrame(
+        [
+            (1, 100, 5.0),
+            (1, 101, 9.0),  # best of g1
+            (1, 200, 7.0),  # best of g2
+            (1, 201, 6.5),
+            (1, 300, 1.0),  # only doc of g3
+        ],
+        "qid int, doc_id bigint, score double",
+    )
+    groups = spark.createDataFrame(
+        [(100, "g1"), (101, "g1"), (200, "g2"), (201, "g2"), (300, "g3")],
+        "doc_id bigint, grp string",
+    )
+    rows = sorted(collapse_topk(scores, groups, "grp", k=2).collect(), key=lambda r: r["rank"])
+    assert [(r["grp"], r["doc_id"], r["score"]) for r in rows] == [
+        ("g1", 101, 9.0),
+        ("g2", 200, 7.0),
+    ]
+
+
+def test_collapse_tie_breaks(spark):
+    """Equal scores: doc tie → lower doc_id represents the group; group
+    tie → lower group value ranks first."""
+    scores = spark.createDataFrame(
+        [(1, 11, 3.0), (1, 10, 3.0), (1, 20, 3.0)], "qid int, doc_id bigint, score double"
+    )
+    groups = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (20, "b")], "doc_id bigint, grp string"
+    )
+    rows = sorted(collapse_topk(scores, groups, "grp", k=5).collect(), key=lambda r: r["rank"])
+    assert [(r["rank"], r["grp"], r["doc_id"]) for r in rows] == [(1, "a", 10), (2, "b", 20)]
+
+
+@pytest.fixture()
+def vocab(spark):
+    return spark.createDataFrame(
+        [
+            ("data", 100),
+            ("date", 80),
+            ("dates", 30),
+            ("gate", 20),
+            ("datum", 10),
+            ("merge", 50),
+            ("marge", 5),
+            ("zzz", 1),
+        ],
+        "term string, df bigint",
+    )
+
+
+def test_fuzzy_expand_distance_and_cap(spark, vocab):
+    out = fuzzy_expand(vocab, [(1, "data")], max_dist=1, max_expansions=8)
+    got = {r["term"] for r in out.collect()}
+    # dist ≤ 1 from 'data': data(0), date(1), gate? d-a-t-a → g-a-t-e is 2.
+    assert got == {"data", "date"}
+
+    out2 = fuzzy_expand(vocab, [(1, "date")], max_dist=1, max_expansions=2)
+    got2 = {r["term"] for r in out2.collect()}
+    # candidates: date(80), data(100), dates(30), gate(20), datum? dist 2 → no.
+    # cap 2 keeps the two highest-df: data(100), date(80)
+    assert got2 == {"data", "date"}
+
+
+def test_fuzzy_expand_union_distinct(spark, vocab):
+    out = fuzzy_expand(vocab, [(1, "data merge")], max_dist=1, max_expansions=8)
+    got = sorted(r["term"] for r in out.collect())
+    assert got == ["data", "date", "marge", "merge"]
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Same call → same rows; raising a rate strictly grows the sample;
+    per-stratum rates land near target."""
+    from vframe_spark.operators.curate import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    s1 = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5, "zh": 0.2}).collect()}
+    s2 = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5, "zh": 0.2}).collect()}
+    assert s1 == s2
+
+    en = [i for i in s1 if i % 2 == 0]
+    zh = [i for i in s1 if i % 2 == 1]
+    assert abs(len(en) / 2000 - 0.5) < 0.06
+    assert abs(len(zh) / 2000 - 0.2) < 0.06
+
+    bigger = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", {"en": 0.8, "zh": 0.2}).collect()
+    }
+    assert s1 <= bigger  # nested samples
+
+    # default_rate drops unlisted strata
+    none_zh = {
+        r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5}).collect()
+    }
+    assert all(i % 2 == 0 for i in none_zh)
+
+
+def test_stratified_sample_matches_duckdb(spark):
+    """The DuckDB WHERE twin selects the SAME doc_ids (portable hash)."""
+    import duckdb
+
+    from vframe_spark.operators.curate import (
+        stratified_sample,
+        stratified_sample_duckdb_sql,
+    )
+
+    rows = [(i, ["en", "zh", "fr"][i % 3]) for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    rates = {"en": 0.4, "zh": 0.1}
+    got = sorted(
+        r["doc_id"] for r in stratified_sample(docs, "lang", rates, default_rate=0.9).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(rows, columns=["doc_id", "lang"]))
+    where = stratified_sample_duckdb_sql("lang", rates, default_rate=0.9)
+    want = [r[0] for r in con.sql(f"SELECT doc_id FROM docs WHERE {where} ORDER BY 1").fetchall()]
+    assert got == want and len(got) > 0

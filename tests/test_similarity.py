@@ -138,6 +138,70 @@ def test_ivf_partial_probe_recall(spark, emb):
     assert hits / total >= 0.5  # probing half the lists
 
 
+@pytest.fixture(scope="module")
+def neardup_emb(spark):
+    """150 base vectors + 30 planted near-duplicates (small noise)."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((150, DIM))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(150)]
+    for j in range(30):
+        noisy = base[j] + 0.03 * rng.standard_normal(DIM)
+        rows.append((150 + j, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    return df, ids, mat
+
+
+def _exact_pairs_oracle(ids, mat, threshold, dp=4):
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = np.round(mn @ mn.T, dp)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= threshold:
+                a, b = int(ids[i]), int(ids[j])
+                out.add((min(a, b), max(a, b), float(sims[i, j])))
+    return out
+
+
+def test_cosine_pairs_exact_matches_allpairs(spark, neardup_emb):
+    """Blocked exact pairs == the O(n²) numpy oracle, for several block
+    counts (block partitioning must not change the answer)."""
+    from vframe_spark.operators.similarity import cosine_pairs_exact
+
+    df, ids, mat = neardup_emb
+    expect = _exact_pairs_oracle(ids, mat, 0.97)
+    assert len(expect) >= 25  # the planted dups are found by the oracle
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["vec_id_a"], r["vec_id_b"], r["cosine"])
+            for r in cosine_pairs_exact(df, 0.97, n_blocks=n_blocks).collect()
+        }
+        assert got == expect, f"n_blocks={n_blocks}"
+
+
+def test_lsh_cosine_pairs_subset_and_recall(spark, neardup_emb):
+    """LSH-banded pairs: exact precision (subset of the exact pair set)
+    and high recall on the planted near-dups at 8×4-bit bands."""
+    from vframe_spark.operators.similarity import (
+        cosine_pairs_exact,
+        lsh_cosine_pairs,
+    )
+
+    df, ids, mat = neardup_emb
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in cosine_pairs_exact(df, 0.97, n_blocks=4).collect()
+    }
+    approx = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in lsh_cosine_pairs(df, 0.97, dim=DIM, n_bands=8, bits_per_band=4).collect()
+    }
+    assert approx <= exact  # verified candidates only: precision 1.0
+    assert len(approx) / len(exact) >= 0.8  # near-dups collide on ≥1 band
+
+
 def test_ivf_train_deterministic_and_assign_balanced(spark, emb):
     """Same seed → identical centroids; no empty inverted list after
     the empty-list re-seed rule."""

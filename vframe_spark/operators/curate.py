@@ -70,3 +70,75 @@ def curation_summary(docs: DataFrame, curated: DataFrame) -> dict:
     """Counts for the curation report: in, out, kept fraction."""
     n_in, n_out = docs.count(), curated.count()
     return {"n_in": n_in, "n_out": n_out, "kept": (n_out / n_in) if n_in else 0.0}
+
+
+SAMPLE_DENOM = 10000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the training-mix
+    constructor ("keep 80% of en, 30% of zh, drop the rest").
+
+    A row survives iff ``portable_hash(id ∥ salt) mod 10000 <
+    rate(stratum) × 10000``. Properties that matter for corpus work:
+
+    * **Deterministic & engine-portable** — the hash is the repo's
+      polynomial rolling hash (integer math only), so reruns, resumed
+      jobs and external engines (the DuckDB oracle) select the *same
+      rows*, not just the same fraction.
+    * **Consistent across rates** — raising a stratum's rate strictly
+      grows its sample (nested samples), the property you need for
+      data-scaling-law sweeps.
+    * **One narrow plan** — hash + threshold is a whole-stage-codegen
+      filter on the scan; the tiny rate table folds in as a literal
+      CASE, no join, no shuffle, no sort — the same cost at 10^12 rows.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; unlisted
+    strata use ``default_rate``. Change ``salt`` to draw an independent
+    sample. Returns the surviving rows unchanged.
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    # Knuth multiplicative mix after the rolling hash: consecutive ids
+    # produce near-consecutive polynomial hashes, which would turn
+    # `mod 10000` into contiguous id ranges; the multiply decorrelates.
+    # fp < 2^31 and 2654435761 < 2^32, so the product stays inside int64
+    # on engines that error on overflow.
+    mixed = F.pmod(X.fingerprint_poly(key) * F.lit(2654435761), F.lit((1 << 31) - 1))
+    bucket = F.pmod(mixed, F.lit(SAMPLE_DENOM))
+    thresh = None
+    for value, rate in sorted(rates.items()):
+        cut = int(round(float(rate) * SAMPLE_DENOM))
+        branch = F.when(F.col(strata_col) == value, F.lit(cut))
+        thresh = branch if thresh is None else thresh.when(F.col(strata_col) == value, F.lit(cut))
+    default_cut = int(round(float(default_rate) * SAMPLE_DENOM))
+    thresh = F.lit(default_cut) if thresh is None else thresh.otherwise(F.lit(default_cut))
+    return docs.filter(bucket < thresh)
+
+
+def stratified_sample_duckdb_sql(
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` as a WHERE-clause body
+    (same hash, same thresholds) for oracle queries."""
+    from ..functions.text import fingerprint_poly_duckdb_sql
+
+    key = f"(CAST({id_col} AS VARCHAR) || '{salt}')"
+    fp = fingerprint_poly_duckdb_sql(key)
+    mixed = f"((({fp}) * 2654435761) % {(1 << 31) - 1})"
+    cases = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {int(round(float(r) * SAMPLE_DENOM))}"
+        for v, r in sorted(rates.items())
+    )
+    default_cut = int(round(float(default_rate) * SAMPLE_DENOM))
+    return f"({mixed} % {SAMPLE_DENOM}) < (CASE {cases} ELSE {default_cut} END)"

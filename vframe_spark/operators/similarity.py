@@ -169,6 +169,163 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate PAIRS (the all-pairs complement of the
+# query-side top-k above): exact blocked variant + LSH-banded scale path
+# ---------------------------------------------------------------------------
+
+
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup: every (a, b) with a < b and
+    rounded cosine ≥ ``threshold`` → (vec_id_a, vec_id_b, cosine).
+
+    Plan shape: rows are hashed into ``n_blocks`` blocks; each of the
+    ``B(B+1)/2`` block *pairs* is one cogroup task that runs a single
+    float64 GEMM between its two sides and emits only the pairs above
+    threshold. Work is inherently O(n²) (it is exact), but it is evenly
+    sharded — no single task ever holds more than 2 blocks — and each
+    row is replicated ≤ B+1 times, so the shuffle is O(n·B), never
+    O(n²). Growing ``n_blocks`` with the corpus keeps per-task memory
+    flat. (The sub-quadratic path is :func:`lsh_cosine_pairs`.)
+
+    Reference parity: `pipe skip-cnn`'s pairwise embedding cosine
+    (/root/reference/src/commands/pipe/skip-cnn.py:82-87) applied
+    corpus-wide instead of stream-adjacent.
+    """
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    src = src.withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+    spark = embeddings.sparkSession
+    # role table: block-pair task pid gets block bi as side L, bj as side R
+    # (one broadcast join — no self-join, no ambiguous lineage)
+    role_rows = []
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            pid = i * n_blocks + j
+            role_rows.append((pid, i, "L"))
+            role_rows.append((pid, j, "R"))
+    roles = spark.createDataFrame(role_rows, "pid int, blk int, side string")
+    tagged = src.join(F.broadcast(roles), "blk")
+
+    thr = float(threshold)
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["vec_id_a", "vec_id_b", "cosine"]
+        lb = pdf[pdf["side"] == "L"]
+        rb = pdf[pdf["side"] == "R"]
+        if lb.empty or rb.empty:
+            return pd.DataFrame(columns=cols)
+        la = np.array(lb["vec"].tolist(), dtype=np.float64)
+        ra = np.array(rb["vec"].tolist(), dtype=np.float64)
+        la /= np.maximum(np.linalg.norm(la, axis=1, keepdims=True), 1e-12)
+        ra /= np.maximum(np.linalg.norm(ra, axis=1, keepdims=True), 1e-12)
+        sims = la @ ra.T
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
+        lid = lb["vec_id"].to_numpy(dtype=np.int64)
+        rid = rb["vec_id"].to_numpy(dtype=np.int64)
+        ii, jj = np.nonzero(sims >= thr)
+        a, b, c = lid[ii], rid[jj], sims[ii, jj]
+        keep = a != b
+        a, b, c = a[keep], b[keep], c[keep]
+        if lb["blk"].iat[0] == rb["blk"].iat[0]:
+            # same-block task sees both orientations: keep the a < b half
+            keep2 = a < b
+            a, b, c = a[keep2], b[keep2], c[keep2]
+        else:
+            # cross-block: each unordered pair meets exactly one task;
+            # normalize the id order
+            swap = a > b
+            a, b = np.where(swap, b, a), np.where(swap, a, b)
+        return pd.DataFrame({"vec_id_a": a, "vec_id_b": b, "cosine": c})
+
+    return tagged.groupBy("pid").applyInPandas(
+        gemm, "vec_id_a bigint, vec_id_b bigint, cosine double"
+    )
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs at scale: random-hyperplane
+    signatures split into ``n_bands`` bands; two vectors are CANDIDATES
+    iff they collide on ≥1 full band (equi-join — never all-pairs);
+    candidates are verified with exact float64 cosine ≥ ``threshold``.
+
+    Recall intuition: a pair at angle θ collides on one band with
+    p = (1 − θ/π)^bits_per_band, and on ≥1 of b bands with
+    1 − (1−p)^b — more bands ⇒ higher recall ⇒ more candidates to
+    verify. Precision is exact (every emitted pair is verified).
+    Measured recall vs :func:`cosine_pairs_exact` is surfaced by the
+    contract query and pinned in tests.
+    """
+    total_bits = n_bands * bits_per_band
+    planes = _hyperplanes(dim, total_bits, seed)
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            proj = mat @ planes.T > 0  # (B, total_bits)
+            frames = []
+            for band in range(n_bands):
+                sl = proj[:, band * bits_per_band : (band + 1) * bits_per_band]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": b["vec_id"],
+                            "vec": b["vec"],
+                            "band": band,
+                            "val": (sl * weights).sum(axis=1),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    sigs = src.mapInPandas(sig, "vec_id bigint, vec array<float>, band int, val bigint")
+
+    a = sigs.select(
+        F.col("band"), F.col("val"),
+        F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("vec_a"),
+    )
+    b = sigs.select(
+        F.col("band"), F.col("val"),
+        F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vec_b"),
+    )
+    cands = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .dropDuplicates(["vec_id_a", "vec_id_b"])  # collapse multi-band collisions
+    )
+    cos = cosine_expr(
+        F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
+    )
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    return (
+        cands.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= float(threshold))
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-Flat: coarse k-means quantizer + inverted lists (the FAISS-style
 # scale path, complementary to hyperplane LSH)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,92 @@
+"""Rank fusion and field collapsing — the serving-side rerankers.
+
+* :func:`rrf_fuse` — reciprocal-rank fusion of N independent rankings
+  (the standard hybrid-retrieval combiner: lexical BM25 + vector ANN).
+  RRF(d) = Σ_legs 1/(k_rrf + rank_leg(d)); docs missing from a leg
+  contribute 0. Pure relational: union of the (small, already-top-N)
+  rank tables → one groupBy — the corpus is never touched again.
+* :func:`collapse_topk` — field collapsing (dedup-aware serving): keep
+  only the best-scoring doc per group key (e.g. duplicate-cluster id,
+  repo, source host), then rank the surviving group representatives.
+  Two windows over the score table; no extra corpus scan.
+
+Both consume score/rank tables whose size is O(queries × matched docs),
+so they cost the same at 100 TB corpus scale as at test scale.
+
+Reference parity: `pipe skip-cnn` + `dedup sha256` compose the same
+"retrieve, then collapse near-identical hits" flow row-at-a-time
+(/root/reference/src/commands/pipe/skip-cnn.py:82-96,
+/root/reference/src/commands/dedup/sha256.py:124-133); fusion mirrors
+the multi-signal ranking the reference applies across detector scores
+(/root/reference/src/vframe/image/processors/base.py:132-146).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fuse rank tables [(qid, rank, id_col), ...] by reciprocal-rank.
+
+    Returns (qid, rank, id_col, rrf) — the fused top-k per qid, ranked
+    by rrf DESC with id tie-break. Contributions are rounded AFTER the
+    sum (integer ranks make each term exact in float64, so the sum is
+    engine-reproducible; rounding only trims display noise).
+    """
+    legs = [
+        r.select("qid", F.col(id_col), (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank"))).alias("c"))
+        for r in rankings
+    ]
+    allc = reduce(lambda a, b: a.unionByName(b), legs)
+    fused = allc.groupBy("qid", id_col).agg(F.round(F.sum("c"), round_dp).alias("rrf"))
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", id_col, "rrf")
+    )
+
+
+def collapse_topk(
+    scores: DataFrame,
+    groups: DataFrame,
+    group_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Field-collapsed top-k: best doc per (qid, group), then top-k
+    groups per qid → (qid, rank, group_col, id_col, score_col).
+
+    ``scores`` = per-(qid, doc) scores; ``groups`` = (id_col, group_col)
+    mapping (a dimension projection — broadcast if small, shuffle-join
+    otherwise; either way bounded by matched docs, not corpus size).
+    Deterministic: scores rounded before both windows; ties break on
+    id ASC inside a group and on group value ASC across groups.
+    """
+    s = scores.withColumn(score_col, F.round(F.col(score_col), round_dp)).join(
+        groups.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    w_in = Window.partitionBy("qid", group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    best = s.withColumn("_rn", F.row_number().over(w_in)).filter(F.col("_rn") == 1).drop("_rn")
+    w_out = Window.partitionBy("qid").orderBy(
+        F.col(score_col).desc(), F.col(group_col).asc()
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w_out))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", group_col, id_col, score_col)
+    )

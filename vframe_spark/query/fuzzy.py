@@ -1,0 +1,82 @@
+"""Fuzzy (edit-distance) query expansion over the index vocabulary.
+
+Lucene's ``term~1`` shape: each query term expands to every vocabulary
+term within Levenshtein distance ≤ ``max_dist``; the expansions are
+capped per source term (highest df first — the matches users mean) and
+the union of expanded terms is scored as a plain BM25 bag.
+
+Plan shape at scale: the vocabulary (term_stats) is scanned ONCE with a
+cheap length-window prefilter (|len(t) − len(q)| ≤ max_dist) before the
+levenshtein evaluation, via a broadcast of the tiny query-term table —
+no shuffle of the vocab. The cap is a per-(qid, qterm) window over only
+the surviving matches. A real deployment would add an n-gram/trigram
+prefilter on top; the length window already removes the bulk at code
+vocabularies where term lengths spread wide.
+
+Reference parity: the reference's nearest query surface is substring
+file matching in `utils filter-files` (/root/reference/src/commands/
+utils/filelist.py) — fuzzy term match generalizes it to typo distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_py
+
+
+def fuzzy_expand(
+    term_stats: DataFrame,
+    queries: list[tuple[int, str]],
+    max_dist: int = 1,
+    max_expansions: int = 8,
+) -> DataFrame:
+    """(qid, query) → distinct expanded (qid, term) rows.
+
+    Expansion order per source term: df DESC, term ASC, capped at
+    ``max_expansions``; the per-qid term set is the DISTINCT union of
+    all its source terms' expansions.
+    """
+    spark: SparkSession = term_stats.sparkSession
+    rows = []
+    for qid, q in queries:
+        for t in sorted(set(tokenize_py(q))):
+            rows.append((qid, t))
+    qdf = spark.createDataFrame(rows, "qid int, qterm string")
+
+    vocab = term_stats.select("term", "df")
+    cond = (
+        (F.abs(F.length(vocab["term"]) - F.length(qdf["qterm"])) <= max_dist)
+        & (F.levenshtein(vocab["term"], qdf["qterm"]) <= max_dist)
+    )
+    matched = vocab.join(F.broadcast(qdf), cond)
+    w = Window.partitionBy("qid", "qterm").orderBy(F.col("df").desc(), F.col("term").asc())
+    capped = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+    )
+    return capped.select("qid", "term").distinct()
+
+
+def fuzzy_expand_duckdb_sql(
+    qvalues: str, max_dist: int = 1, max_expansions: int = 8
+) -> str:
+    """DuckDB twin of :func:`fuzzy_expand` as a CTE body producing
+    (qid, term); expects a ``dfreq(term, df)`` CTE in scope and a
+    VALUES list of (qid, qterm) pairs."""
+    return f"""
+fq(qid, qterm) AS (VALUES {qvalues}),
+fmatch AS (
+  SELECT fq.qid, fq.qterm, dfreq.term, dfreq.df
+  FROM fq JOIN dfreq
+    ON abs(length(dfreq.term) - length(fq.qterm)) <= {max_dist}
+   AND levenshtein(dfreq.term, fq.qterm) <= {max_dist}
+),
+fcapped AS (
+  SELECT qid, term,
+         row_number() OVER (PARTITION BY qid, qterm ORDER BY df DESC, term ASC) AS rn
+  FROM fmatch
+),
+fexp AS (SELECT DISTINCT qid, term FROM fcapped WHERE rn <= {max_expansions})
+"""
