@@ -1792,6 +1792,61 @@ def q_curate_sample_stratified(spark, sf_dir):
     return stratified_sample(docs, "lang", SAMPLE_RATES).select("doc_id", "lang")
 
 
+# More-like-this seeds (document-as-query): fixed ids present at every SF.
+MLT_SEED_IDS = [7, 40, 123]
+MLT_M = 10
+
+# Decontamination: the held-out "benchmark" slice is every 97th doc; a
+# corpus doc is contaminated if it shares any token n-gram with that slice.
+DECON_BENCH_MOD = 97
+# Real pipelines use 13-gram collisions; the synthetic docs are short
+# sentences, so the contract query uses 4-grams to exercise a non-empty
+# hit set (n=13 matches nothing at sf0.01 — verified).
+DECON_N = 4
+
+REP_N = 2  # repetition-stats gram width
+
+
+def q_ft_more_like_this(spark, sf_dir):
+    """Document-as-query retrieval (Lucene MoreLikeThis): top tf·idf
+    terms of each seed doc become a WAND query; the seed is excluded
+    from its own ranking. Term selection is two pushed-down driver-side
+    jobs; ranking is one standard batch over the compressed index."""
+    from vframe_spark.query.mlt import more_like_this
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    raw = more_like_this(
+        postings, term_stats, meta, docs, MLT_SEED_IDS, m=MLT_M, k=3 * FT_K
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def q_curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram collision): corpus
+    docs sharing any token 8-gram with the held-out slice, with hit
+    counts. The benchmark gram set is broadcast; the corpus streams
+    through the join inside its scan — one corpus read, no corpus
+    shuffle before the per-doc hit aggregation."""
+    from vframe_spark.operators.curate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return decontaminate(corpus, bench, n=DECON_N, report=True)
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher/MassiveText repetition metrics: duplicate-line fraction
+    (pure scan expression) + most-frequent-2-gram character coverage
+    (one (doc, gram) groupBy + one per-doc window — the tokenize-TF
+    shuffle shape)."""
+    from vframe_spark.operators.curate import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return repetition_stats(docs, n=REP_N)
+
+
 _BM25_CORE_CTES = f"""
 toks AS (SELECT doc_id, {{TOK}} AS t FROM documents),
 tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -1929,6 +1984,81 @@ FROM p WHERE cos >= {EMB_PAIR_THRESHOLD}
 """
 
 
+def _mlt_oracle_sql() -> str:
+    from vframe_spark.query.mlt import mlt_terms_oracle_sql
+
+    core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
+    qcte = mlt_terms_oracle_sql(MLT_SEED_IDS, MLT_M)
+    contrib = _BM25_CONTRIB.replace("{QSRC}", "q")
+    return f"""
+WITH {core},
+{qcte.strip()},
+contrib AS ({contrib}),
+score AS (
+  SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib
+  WHERE doc_id != qid GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def _decontaminate_oracle_sql() -> str:
+    n = DECON_N
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id % {DECON_BENCH_MOD} != 0)
+SELECT c.doc_id, count(DISTINCT c.gram)::BIGINT AS n_hit_grams
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY 1
+"""
+
+
+def _repetition_oracle_sql() -> str:
+    n = REP_N
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         {TOK_SQL} AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines,
+         round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6) AS dup_line_frac,
+         length(array_to_string(t, ' ')) AS stream_chars,
+         array_to_string(t[i:i + {n - 1}], ' ') AS gram
+  FROM base, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+),
+counts AS (
+  SELECT doc_id, n_lines, dup_line_frac, stream_chars, gram, count(*)::BIGINT AS cnt
+  FROM grams GROUP BY 1, 2, 3, 4, 5
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY cnt DESC, gram DESC
+  ) AS rn
+  FROM counts
+)
+SELECT doc_id, n_lines, dup_line_frac, gram AS top_gram,
+       round(cnt * length(gram)::DOUBLE / stream_chars, 6) AS top_gram_frac
+FROM best WHERE rn = 1
+"""
+
+
 def _stratified_oracle_sql() -> str:
     from vframe_spark.operators.curate import stratified_sample_duckdb_sql
 
@@ -2015,6 +2145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "curate_sample_stratified": q_curate_sample_stratified,
+        "ft_more_like_this": q_ft_more_like_this,
+        "curate_decontaminate": q_curate_decontaminate,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -2509,6 +2642,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_fuzzy_topk": _fuzzy_oracle_sql(),
         "dedup_embedding_pairs": EMB_PAIRS_ORACLE_SQL,
         "curate_sample_stratified": _stratified_oracle_sql(),
+        "ft_more_like_this": _mlt_oracle_sql(),
+        "curate_decontaminate": _decontaminate_oracle_sql(),
+        "text_repetition": _repetition_oracle_sql(),
         # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
         # hash functions are engine-specific (xxhash64 / siphash) — rows-only
         # checks by design. geo_nms_merge: greedy NMS is iterative, not

@@ -149,6 +149,9 @@ def main() -> None:
         "ft_phrase_topk",
         "ft_phrase_positional",
         "ft_snippets",
+        "ft_hybrid_rrf",
+        "ft_fuzzy_topk",
+        "ft_more_like_this",
         "sim_ivf_topk",
         "ft_tokenize_tf",
         "dedup_exact_groups",
@@ -156,6 +159,10 @@ def main() -> None:
         "dedup_simhash_pairs",
         "sim_cosine_topk",
         "sim_lsh_topk",
+        "dedup_embedding_pairs",
+        "curate_decontaminate",
+        "curate_sample_stratified",
+        "text_repetition",
         "det_conf_filter",
         "text_quality",
         "text_lang_id",

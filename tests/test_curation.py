@@ -1,0 +1,138 @@
+"""Decontamination, repetition stats, and more-like-this — each checked
+against a small brute-force Python oracle on hand-built corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.functions.tokenizer import tokenize_py
+from vframe_spark.operators.curate import decontaminate, repetition_stats
+
+
+def _grams(text: str, n: int) -> set[str]:
+    ts = tokenize_py(text)
+    return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "a quick brown fox jumps over anything"),  # shares a 4-gram with 1
+    (4, "entirely unrelated words here flow calmly"),
+    (5, "short doc"),  # fewer tokens than n
+]
+BENCH = [
+    (100, "quick brown fox jumps over the moon"),
+    (101, "five dozen liquor jugs exactly"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, content string")
+    bench = spark.createDataFrame(BENCH, "doc_id long, content string")
+    return docs, bench
+
+
+def test_decontaminate_report_matches_bruteforce(frames):
+    docs, bench = frames
+    n = 4
+    bench_grams = set().union(*(_grams(t, n) for _, t in BENCH))
+    expect = {}
+    for did, t in CORPUS:
+        hits = _grams(t, n) & bench_grams
+        if hits:
+            expect[did] = len(hits)
+    got = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in decontaminate(docs, bench, n=n, report=True).collect()
+    }
+    assert got == expect
+    assert got, "fixture must actually produce contamination"
+
+
+def test_decontaminate_drops_exactly_the_hit_docs(frames):
+    docs, bench = frames
+    n = 4
+    bench_grams = set().union(*(_grams(t, n) for _, t in BENCH))
+    expect_clean = {did for did, t in CORPUS if not (_grams(t, n) & bench_grams)}
+    clean = decontaminate(docs, bench, n=n)
+    assert {r["doc_id"] for r in clean.select("doc_id").collect()} == expect_clean
+    # survivors keep their original columns untouched
+    assert clean.columns == docs.columns
+
+
+def test_decontaminate_short_docs_are_never_contaminated(frames):
+    docs, bench = frames
+    out = decontaminate(docs, bench, n=4, report=True)
+    assert 5 not in {r["doc_id"] for r in out.collect()}
+
+
+def test_repetition_stats_hand_example(spark):
+    # "aa bb aa bb aa" → 2-grams: "aa bb"×2, "bb aa"×2 → tie broken by
+    # gram DESC → "bb aa"; stream chars = len("aa bb aa bb aa") = 14.
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb aa"), (2, "x\ny\nx\nz")], "doc_id long, content string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    r1 = rows[1]
+    assert r1["top_gram"] == "bb aa"
+    assert r1["top_gram_frac"] == round(2 * len("bb aa") / len("aa bb aa bb aa"), 6)
+    assert r1["dup_line_frac"] == 0.0
+    r2 = rows[2]
+    assert r2["n_lines"] == 4
+    assert r2["dup_line_frac"] == round(1 - 3 / 4, 6)
+
+
+def test_more_like_this_excludes_seed_and_matches_pretokenized_wand(spark, sf001_dir):
+    from vframe_spark.ids import assign_doc_ids  # noqa: F401  (import parity)
+    from vframe_spark.index.builder import build_index, load_index
+    from vframe_spark.query.mlt import mlt_terms, more_like_this
+    from vframe_spark.query.wand import bm25_topk_wand
+    import math
+    import tempfile
+
+    docs = (
+        spark.read.parquet(f"{sf001_dir}/documents.parquet")
+        .select("doc_id", F.col("text").alias("content"))
+    )
+    out = tempfile.mkdtemp(prefix="vf_mlt_idx_")
+    build_index(docs, out, shard_size=256, block_size=64, shards_per_slice=4, lang_col=None)
+    postings, term_stats, _, meta = load_index(spark, out)
+
+    seeds = [7, 40]
+    terms = mlt_terms(docs, term_stats, meta, seeds, m=10)
+
+    # brute-force the term selection for seed 7
+    from vframe_spark.functions.tokenizer import tokenize_py
+    from vframe_spark.query.bm25 import idf_value
+
+    text7 = docs.filter(F.col("doc_id") == 7).collect()[0]["content"]
+    tf = {}
+    for t in tokenize_py(text7):
+        tf[t] = tf.get(t, 0) + 1
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(list(tf))).collect()
+    }
+    w = sorted(
+        ((-round(c * idf_value(meta["n_docs"], dfs[t]), 6), t) for t, c in tf.items()),
+    )
+    assert terms[7] == [t for _, t in w[:10]]
+
+    res = more_like_this(postings, term_stats, meta, docs, seeds, m=10, k=5)
+    rows = res.collect()
+    assert {r["qid"] for r in rows} == set(seeds)
+    for r in rows:
+        assert r["doc_id"] != r["qid"], "seed must not rank in its own results"
+    # ranking equals a plain pre-tokenized WAND run with the same terms
+    raw = bm25_topk_wand(
+        postings, term_stats, meta, [(s, terms[s]) for s in seeds], k=6, pre_tokenized=True
+    ).collect()
+    for s in seeds:
+        mine = [(r["doc_id"], round(r["score"], 9)) for r in rows if r["qid"] == s]
+        ref = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in sorted((x for x in raw if x["qid"] == s), key=lambda x: x["rank"])
+            if r["doc_id"] != s
+        ][: len(mine)]
+        assert mine == ref

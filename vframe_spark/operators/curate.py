@@ -122,6 +122,144 @@ def stratified_sample(
     return docs.filter(bucket < thresh)
 
 
+def _gram_exprs(ts: F.Column, n: int) -> F.Column:
+    """Token n-grams of an array column as space-joined strings.
+
+    Pure Catalyst (sequence → transform → slice → array_join): the gram
+    stream is generated inside whole-stage codegen, never in Python.
+    Spark's ``sequence(1, 0)`` counts DOWN, so short docs are guarded to
+    an empty array explicitly.
+
+    ``ts`` is lambda-bound via ``transform(array(ts), t -> …)[0]`` so an
+    expensive token expression (the tokenizer) is evaluated ONCE per
+    row — otherwise CollapseProject inlines it into every ``slice(ts,
+    i, n)`` call, turning an O(len) tokenize into O(len × n_grams)
+    (measured 12 s → ~2 s on the sf0.1 decontamination query).
+    """
+
+    def gen(t: F.Column) -> F.Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+        return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(ts), gen)[0]
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    bench_text_col: str | None = None,
+    report: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop (or report) corpus docs sharing
+    any token ``n``-gram with an evaluation set — the GPT-3/PaLM-style
+    13-gram collision rule that keeps test questions out of a training
+    corpus.
+
+    Scale shape: the benchmark side is, by definition, tiny next to the
+    corpus (thousands of eval docs vs 10^12 training files), so its
+    distinct gram set is **broadcast**; the corpus side streams its
+    grams through the broadcast hash join inside the scan pipeline —
+    the corpus is read ONCE, nothing about it is shuffled, and no gram
+    string ever leaves its executor. ``report=False`` is a broadcast
+    left-anti join (survivors pass through unchanged); ``report=True``
+    aggregates hits per doc, shuffling only the matched (doc_id, gram)
+    pairs.
+
+    Both sides tokenize with the canonical code-aware tokenizer
+    (`functions.tokenizer`), so decontamination sees through formatting
+    differences exactly as retrieval does.
+
+    Reference parity: `dedup sha256`'s corpus-vs-cache exclusion join
+    (/root/reference/src/commands/dedup/sha256.py:124-133) generalized
+    from whole-file identity to n-gram collision.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(_gram_exprs(tokenize_expr(F.col(bcol)), n)).alias("gram"))
+        .distinct()
+    )
+    corpus = docs.select(
+        id_col, F.explode(_gram_exprs(tokenize_expr(F.col(text_col)), n)).alias("gram")
+    )
+    if not report:
+        hit_ids = (
+            corpus.join(F.broadcast(bench_grams), "gram", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        return docs.join(hit_ids, id_col, "left_anti")
+    return (
+        corpus
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").cast("bigint").alias("n_hit_grams"))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition metrics per document:
+
+    * ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line (1 − distinct/total), a pure array expression on the
+      scan (no shuffle).
+    * ``top_gram_frac`` — fraction of the token stream's characters
+      covered by the single most frequent token ``n``-gram
+      (count × gram_chars ÷ joined-stream chars); the filter that
+      catches boilerplate/keyword-stuffed pages exact dedup misses.
+      Tie-break: highest (count, gram) pair.
+
+    One groupBy on (doc, gram) + one per-doc window — both keyed by
+    doc_id, so at cluster scale this is the tokenize-TF shuffle shape,
+    nothing worse. Returns (doc_id, n_lines, dup_line_frac,
+    top_gram, top_gram_frac).
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    lines = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        id_col,
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6
+        ).alias("dup_line_frac"),
+        tokenize_expr(F.col(text_col)).alias("_ts"),
+    ).withColumn("_stream_chars", F.length(F.array_join("_ts", " ")))
+    grams = base.select(
+        id_col, "n_lines", "dup_line_frac", "_stream_chars",
+        F.explode(_gram_exprs(F.col("_ts"), n)).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "n_lines", "dup_line_frac", "_stream_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("gram").desc())
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            F.col("gram").alias("top_gram"),
+            F.round(
+                F.col("cnt") * F.length("gram") / F.col("_stream_chars"), 6
+            ).alias("top_gram_frac"),
+        )
+    )
+
+
 def stratified_sample_duckdb_sql(
     strata_col: str,
     rates: dict[str, float],

@@ -1,0 +1,131 @@
+"""More-like-this: document-as-query retrieval (Lucene MoreLikeThis).
+
+Given seed doc ids, select each seed's ``m`` most informative terms by
+tf·idf over the *index* statistics, then run them as a ranked-union
+WAND query, excluding the seed itself from its own results.
+
+Scale shape: seeds are a handful of rows, so term selection is two
+tiny pushed-down jobs (seed tokenize with an `IN (seeds)` scan filter;
+df fetch with a term `isin` that rides the term_stats bucket pruning)
+— the corpus-sized work is exactly one standard WAND batch over the
+compressed index, identical to any other query. Nothing new shuffles.
+
+Determinism: tf·idf weights are rounded to 6 dp before ranking and
+ties break on ascending term — the same cross-engine discipline the
+BM25 score path uses (4 dp), so the DuckDB oracle selects the
+identical term set.
+
+Reference parity: `pipe skip-cnn`'s query-by-example similarity gate
+(/root/reference/src/commands/pipe/skip-cnn.py:60-87) re-expressed
+over lexical index statistics instead of CNN features.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .bm25 import idf_value
+from .wand import bm25_topk_wand
+
+
+def mlt_terms(
+    docs: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    seed_ids: list[int],
+    m: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> dict[int, list[str]]:
+    """Top-``m`` tf·idf terms per seed doc, selected driver-side.
+
+    Both jobs are pushdown-pruned: the seed scan filters ``id_col IN
+    seeds`` at the source; the df fetch filters ``term IN (seed
+    vocabulary)`` (a few hundred terms). Weight = tf × idf(n_docs, df)
+    with the engine's BM25 idf, rounded to 6 dp; ties → term ASC.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    seeds = [int(s) for s in seed_ids]
+    tf_rows = (
+        docs.filter(F.col(id_col).isin(seeds))
+        .select(F.col(id_col).alias("sid"), F.explode(tokenize_expr(F.col(text_col))).alias("term"))
+        .groupBy("sid", "term")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    )
+    vocab = sorted({r["term"] for r in tf_rows})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(vocab)).collect()
+    }
+    n_docs = int(meta["n_docs"])
+    by_seed: dict[int, list[tuple[float, str]]] = {s: [] for s in seeds}
+    for r in tf_rows:
+        df = dfs.get(r["term"])
+        if df is None:
+            continue
+        w = round(int(r["tf"]) * idf_value(n_docs, df), 6)
+        by_seed[int(r["sid"])].append((-w, r["term"]))
+    return {s: [t for _, t in sorted(pairs)[:m]] for s, pairs in by_seed.items()}
+
+
+def more_like_this(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    docs: DataFrame,
+    seed_ids: list[int],
+    m: int = 10,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Top-``k`` docs most similar to each seed: (qid=seed doc_id, rank,
+    doc_id, score), seed excluded from its own ranking.
+
+    Asks WAND for k+1 and drops the seed afterwards: whether or not the
+    seed lands in the top k+1, the first k survivors are exactly the
+    top-k of the remaining ranking — no second query, no rank gap.
+    """
+    terms = mlt_terms(docs, term_stats, meta, seed_ids, m, id_col, text_col)
+    queries = [(s, ts) for s, ts in sorted(terms.items()) if ts]
+    if not queries:
+        spark = postings.sparkSession
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    raw = bm25_topk_wand(postings, term_stats, meta, queries, k=k + 1, pre_tokenized=True)
+    w = Window.partitionBy("qid").orderBy(F.col("rank").asc())
+    return (
+        raw.filter(F.col("doc_id") != F.col("qid").cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def mlt_terms_oracle_sql(seed_ids: list[int], m: int) -> str:
+    """DuckDB CTE chain ending in ``q(qid, term)`` — the oracle twin of
+    :func:`mlt_terms` (same idf, same 6 dp rounding, same tie-break).
+    Expects the shared BM25 core CTEs (tf/dfreq/stats) already in scope;
+    splice ahead of the shared scoring CTE."""
+    seeds = ", ".join(f"({int(s)})" for s in sorted(seed_ids))
+    return f"""
+seeds(qid) AS (VALUES {seeds}),
+seed_w AS (
+  SELECT s.qid, tf.term,
+         round(tf.tf * ln(1.0 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) AS w
+  FROM seeds s
+  JOIN tf ON tf.doc_id = s.qid
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN stats st
+),
+q AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term) AS rn
+    FROM seed_w
+  ) WHERE rn <= {int(m)}
+)"""

@@ -279,6 +279,7 @@ def bm25_topk_wand(
     mode: str = "or",
     exclude_doc_ids: list[int] | None = None,
     negation: bool = False,
+    pre_tokenized: bool = False,
 ) -> DataFrame:
     """Batch top-k over the compressed index. Returns (qid, rank, doc_id, score).
 
@@ -300,6 +301,8 @@ def bm25_topk_wand(
     """
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be or|and, got {mode!r}")
+    if pre_tokenized and negation:
+        raise ValueError("pre_tokenized queries cannot carry -term negation syntax")
     spark: SparkSession = postings.sparkSession
     n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
     neg_rows: list[tuple[int, str]] = []
@@ -311,6 +314,12 @@ def bm25_topk_wand(
             pos, neg = parse_signed_query(q)
             rows.extend((qid, t) for t in sorted(set(pos)))
             neg_rows.extend((qid, t) for t in sorted(set(neg) - set(pos)))
+    elif pre_tokenized:
+        # queries are (qid, [terms]) — terms used verbatim, no re-tokenize
+        # (callers like more_like_this derive terms FROM tokenizer output;
+        # round-tripping them through the tokenizer must not be assumed
+        # idempotent for digit-adjacent tokens)
+        rows = [(qid, t) for qid, ts in queries for t in sorted(set(ts))]
     else:
         rows = [
             (qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))
