@@ -1847,6 +1847,37 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(docs, n=REP_N)
 
 
+def _ngram_pairs(spark, sf_dir):
+    """The exact-Jaccard pair set (same params as q_dedup_ngram_jaccard)
+    — the SQL-replayable edge source for the clustering queries."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_shingle_df=10_000
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate clusters via distributed connected
+    components (large-star/small-star, O(log n) rounds of node-keyed
+    groupBy-min + equi-join — never an adjacency matrix or driver-side
+    union-find). Oracle: DuckDB recursive-CTE transitive closure over
+    the same SQL-replayed pair set."""
+    from vframe_spark.operators.cluster import duplicate_clusters
+
+    return duplicate_clusters(_ngram_pairs(spark, sf_dir))
+
+
+def q_dedup_keep_canonical(spark, sf_dir):
+    """Transitive-closure dedup materialization: one doc per duplicate
+    cluster (min id) plus every uncollided doc; the corpus itself never
+    shuffles — losers are removed with a left-anti join on doc_id."""
+    from vframe_spark.operators.cluster import dedup_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup_keep_canonical(docs, _ngram_pairs(spark, sf_dir))
+    return kept.select("doc_id", "lang")
+
+
 _BM25_CORE_CTES = f"""
 toks AS (SELECT doc_id, {{TOK}} AS t FROM documents),
 tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -2059,6 +2090,77 @@ FROM best WHERE rn = 1
 """
 
 
+# Shared SQL replay of the ngram_jaccard_pairs edge source (same
+# params as the dedup_ngram_jaccard oracle) for the clustering queries.
+_NGRAM_PAIR_CTES = """
+cw AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+cg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM cw
+  WHERE len(ws) >= 3
+),
+ck AS (SELECT shingle FROM cg GROUP BY 1 HAVING count(*) <= 10000),
+cg2 AS (SELECT g.* FROM cg g JOIN ck USING (shingle)),
+cs AS (SELECT doc_id, count(*)::BIGINT AS sz FROM cg2 GROUP BY 1),
+ci AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM cg2 a JOIN cg2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM ci
+  JOIN cs sa ON sa.doc_id = id_a
+  JOIN cs sb ON sb.doc_id = id_b
+  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+)
+""".strip()
+
+# Recursive transitive closure: min reachable label per node == the
+# component id the Spark large-star/small-star algorithm converges to.
+_CC_CLOSURE_CTES = """
+cc_edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT s, s FROM cc_edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN cc_edges e ON e.s = r.node
+),
+cc AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY 1)
+""".strip()
+
+
+def _clusters_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{_NGRAM_PAIR_CTES},
+{_CC_CLOSURE_CTES}
+SELECT doc_id, component,
+       (count(*) OVER (PARTITION BY component))::BIGINT AS cluster_size
+FROM cc
+"""
+
+
+def _keep_canonical_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{_NGRAM_PAIR_CTES},
+{_CC_CLOSURE_CTES}
+SELECT d.doc_id, d.lang
+FROM documents d
+LEFT JOIN (SELECT doc_id FROM cc WHERE doc_id != component) l USING (doc_id)
+WHERE l.doc_id IS NULL
+"""
+
+
 def _stratified_oracle_sql() -> str:
     from vframe_spark.operators.curate import stratified_sample_duckdb_sql
 
@@ -2148,6 +2250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_more_like_this": q_ft_more_like_this,
         "curate_decontaminate": q_curate_decontaminate,
         "text_repetition": q_text_repetition,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_canonical": q_dedup_keep_canonical,
     }
 
 
@@ -2645,6 +2749,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_more_like_this": _mlt_oracle_sql(),
         "curate_decontaminate": _decontaminate_oracle_sql(),
         "text_repetition": _repetition_oracle_sql(),
+        "dedup_clusters": _clusters_oracle_sql(),
+        "dedup_keep_canonical": _keep_canonical_oracle_sql(),
         # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
         # hash functions are engine-specific (xxhash64 / siphash) — rows-only
         # checks by design. geo_nms_merge: greedy NMS is iterative, not

@@ -160,6 +160,7 @@ def main() -> None:
         "sim_cosine_topk",
         "sim_lsh_topk",
         "dedup_embedding_pairs",
+        "dedup_clusters",
         "curate_decontaminate",
         "curate_sample_stratified",
         "text_repetition",

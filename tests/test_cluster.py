@@ -1,0 +1,99 @@
+"""Connected-components duplicate clustering vs a union-find oracle."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from vframe_spark.operators.cluster import (
+    connected_components,
+    dedup_keep_canonical,
+    duplicate_clusters,
+)
+
+
+def _uf_components(edges):
+    """Reference union-find: {node: min-id-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:  # self-loops carry no duplicate information
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    want = set(_uf_components(edges).items())
+    assert got == want
+
+
+def test_cc_hand_graph(spark):
+    # two components, a chain (multi-round convergence) and a triangle,
+    # plus duplicate + reversed + self-loop edges
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain 1..6
+        (10, 11), (11, 12), (12, 10),             # triangle
+        (2, 1), (1, 2), (7, 7),                   # noise (7,7) drops out
+    ]
+    _run(spark, edges)
+
+
+def test_cc_long_chain(spark):
+    # diameter 40: naive label propagation needs 40 rounds; star steps
+    # must converge well inside max_iter=50 (log-round contraction)
+    _run(spark, [(i, i + 1) for i in range(100, 140)])
+
+
+def test_cc_skewed_star(spark):
+    # one hub with 200 spokes + a second component
+    edges = [(500, 500 + i) for i in range(1, 201)] + [(9000, 9001)]
+    _run(spark, edges)
+
+
+def test_cc_random_vs_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(300))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(250)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _run(spark, edges)
+
+
+def test_duplicate_clusters_and_keep_canonical(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: bigint, id_b: bigint"
+    )
+    clusters = {
+        (r["doc_id"], r["component"], r["cluster_size"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {
+        (1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2),
+    }
+
+    docs = spark.range(0, 13).select(F.col("id").alias("doc_id"))
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    # singletons pass through; one keeper (min id) per cluster
+    assert kept == [0, 1, 4, 5, 6, 7, 8, 9, 10, 12]
+
+
+def test_cc_empty_edges(spark):
+    empty = spark.createDataFrame([], "src: bigint, dst: bigint")
+    assert connected_components(empty, "src", "dst").count() == 0

@@ -62,6 +62,11 @@ def test_minhash_pairs_and_dedup(spark, docs):
     ids = {r["id"] for r in kept.collect()}
     assert 0 in ids and 1 not in ids
     assert 3 in ids
+    # transitive mode keeps exactly one doc per pair-graph component
+    kept_t = minhash_dedup(docs, "text", "id", threshold=0.5, transitive=True)
+    ids_t = {r["id"] for r in kept_t.collect()}
+    assert 0 in ids_t and 1 not in ids_t and 3 in ids_t and 4 in ids_t
+    assert ids_t <= ids  # transitive closure can only drop more
 
 
 def test_simhash(spark, docs):

@@ -1,0 +1,168 @@
+"""Duplicate-cluster construction: distributed connected components.
+
+The near-dup family (`operators.dedup`, `operators.similarity`) emits
+*pairs*; a real curation pipeline needs *clusters* — near-duplication
+is transitive in practice (A≈B, B≈C ⇒ one cluster), and the keep-one
+decision must be made once per cluster, not once per pair (pair-greedy
+keeps both endpoints of A–C when only A–B and B–C collided).
+
+``connected_components`` is the alternating **large-star / small-star**
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): each round is two groupBy-min + equi-join passes on
+the node id, and the edge set contracts toward star graphs
+``(component_min → member)`` in O(log n) rounds — the web-scale
+alternative to naive label propagation, whose round count is the graph
+*diameter* (long dup-chains are common in boilerplate corpora).
+
+Scale shape: every step shuffles on a node id (int), never materializes
+adjacency lists on the driver, and never widens beyond the current edge
+set (stars strictly contract it). High-degree nodes — the skew case —
+are exactly what the star steps collapse first. Lineage is truncated
+with ``localCheckpoint`` each round so the plan does not grow with the
+iteration count (swap for ``checkpoint`` + a reliable dir on a real
+cluster if executor loss must be survivable mid-algorithm).
+
+Reference parity: vframe's dedup keeps one file per *exact* sha256
+group (/root/reference/src/commands/dedup/sha256.py:96-123); clusters
+generalize that keep-first to near-dup pair graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as distinct (u < v) pairs, self-loops dropped."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than u to u's current minimum.
+
+    Emitted edges (m, v) keep m = min(N(u) ∪ {u}) ≤ u < v, so the
+    output is already canonical (smaller id first) with no self-loops.
+    """
+    nbrs = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), "v")
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor SMALLER than v (and v itself) to their min.
+
+    Input edges are canonical (u < v), so grouping by v collects exactly
+    the smaller neighborhood; m = min(N_small(v)) ≤ u < v keeps the
+    output canonical.
+    """
+    mins = e.groupBy("v").agg(F.min("u").alias("m"))
+    members = e.join(mins, "v").select(F.col("m").alias("u"), F.col("u").alias("v"))
+    roots = mins.select(F.col("m").alias("u"), "v")
+    return (
+        members.unionByName(roots)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: immune to ANSI long-overflow for any edge count
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id of the node's component.
+
+    Convergence is detected by an order-insensitive (count, hash-sum)
+    fingerprint; on a fingerprint hit the stability is *proven* with an
+    exact set comparison before returning (the fingerprint only decides
+    when to pay for that check).
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        fp2 = _fingerprint(e2)
+        if fp2 == fp and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        e, fp = e2, fp2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    # Converged edge set is a union of stars (component_min, member).
+    return (
+        e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+        .unionByName(
+            e.select(F.col("u").alias("node"), F.col("u").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment for every doc in a near-dup pair set:
+    (out_id_col, component, cluster_size). Only docs that collided with
+    something appear (cluster_size ≥ 2 by construction)."""
+    cc = connected_components(pairs, id_a, id_b)
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return cc.join(sizes, "component").select(
+        F.col("node").alias(out_id_col), "component", "cluster_size"
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep exactly one doc per duplicate cluster (the minimum id) and
+    every doc that collided with nothing — the transitive-closure
+    version of pair-greedy dedup. The corpus never shuffles: losers are
+    a (small) id set removed with a left-anti join."""
+    cc = connected_components(pairs, id_a, id_b)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -233,10 +233,21 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    transitive: bool = False,
 ) -> DataFrame:
-    """Drop near-duplicates: of each candidate pair, the higher id goes."""
+    """Drop near-duplicates. Default (pair-greedy): of each candidate
+    pair, the higher id goes — one pass, but when A–B and B–C collided
+    without an A–C pair it keeps BOTH A and C. ``transitive=True``
+    clusters the pair graph first (operators.cluster connected
+    components) and keeps exactly one doc (min id) per cluster — the
+    standard corpus-curation semantics, at the cost of O(log n)
+    clustering rounds over the (small) pair set."""
     sigs = minhash_signatures(df, content_col, id_col, n_hashes, shingle_n)
     pairs = minhash_lsh_pairs(sigs, bands, threshold, n_hashes=n_hashes)
+    if transitive:
+        from .cluster import dedup_keep_canonical
+
+        return dedup_keep_canonical(df, pairs, id_col=id_col)
     losers = pairs.select(F.col("id_b").alias("id")).distinct()
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
 
