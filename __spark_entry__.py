@@ -1847,6 +1847,63 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(docs, n=REP_N)
 
 
+# Duplicate-span window width (short synthetic sentences: n=4 yields a
+# non-trivial repeated-window set at sf0.01, like DECON_N).
+DUP_SPAN_N = 4
+
+
+def q_curate_dup_spans(spark, sf_dir):
+    """Cross-doc repeated token windows (exact-substring-dedup signal):
+    token 4-grams appearing in ≥2 distinct docs with their document
+    frequency. One (doc, gram)-distinct pass + one gram groupBy."""
+    from vframe_spark.operators.curate import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return duplicate_spans(docs, n=DUP_SPAN_N, min_df=2)
+
+
+def q_curate_span_coverage(spark, sf_dir):
+    """Per-doc fraction of tokens inside a cross-doc repeated window —
+    the rank key for span-level dedup candidates."""
+    from vframe_spark.operators.curate import duplicate_span_coverage
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return duplicate_span_coverage(docs, n=DUP_SPAN_N, min_df=2)
+
+
+def _pii_text(spark, sf_dir):
+    """The synthetic corpus carries no PII, so the contract query plants
+    deterministic PII per doc_id (every doc an email; mod-3 an IPv4;
+    mod-5 a phone; mod-7 an SSN) — replayed verbatim in the oracle."""
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" ip 10."), (d % 200).cast("string"), F.lit(".0.1"))
+               ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" call +1 (555) 867-5309")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", txt.alias("pii"))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction as a pure regexp_replace chain: per-doc
+    match counts per kind and the sha256 of the fully scrubbed text —
+    the oracle runs the byte-identical chain in DuckDB (Java-regex ∩ RE2
+    pattern subset), so the hash equality proves the redacted BYTES
+    match, not just the counts."""
+    from vframe_spark.functions.pii import pii_counts, scrub_pii
+
+    pii = _pii_text(spark, sf_dir)
+    return pii.select(
+        "doc_id",
+        *pii_counts(F.col("pii")),
+        F.sha2(scrub_pii(F.col("pii")), 256).alias("scrubbed_sha"),
+    )
+
+
 def _ngram_pairs(spark, sf_dir):
     """The exact-Jaccard pair set (same params as q_dedup_ngram_jaccard)
     — the SQL-replayable edge source for the clustering queries."""
@@ -2090,6 +2147,73 @@ FROM best WHERE rn = 1
 """
 
 
+def _dup_spans_oracle_sql() -> str:
+    n = DUP_SPAN_N
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+)
+SELECT gram, count(*)::BIGINT AS n_docs
+FROM grams GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def _span_coverage_oracle_sql() -> str:
+    n = DUP_SPAN_N
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+pg AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i + {n - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+),
+dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pg)
+  GROUP BY 1 HAVING count(*) >= 2
+),
+cov AS (
+  SELECT doc_id, count(DISTINCT ti)::BIGINT AS covered
+  FROM pg JOIN dup USING (gram), UNNEST(range(pos, pos + {n})) AS v(ti)
+  GROUP BY 1
+),
+base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(c.covered, 0)::BIGINT AS covered_tokens,
+       round(coalesce(c.covered, 0)::DOUBLE / greatest(b.n_tokens, 1), 6)
+         AS dup_span_frac
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+def _pii_oracle_sql() -> str:
+    from vframe_spark.functions.pii import (
+        pii_counts_duckdb_sql,
+        scrub_pii_duckdb_sql,
+    )
+
+    counts = ",\n       ".join(pii_counts_duckdb_sql("pii"))
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' ip 10.' || (doc_id % 200) || '.0.1' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' call +1 (555) 867-5309' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' ssn 123-45-6789' ELSE '' END AS pii
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       sha256({scrub_pii_duckdb_sql("pii")}) AS scrubbed_sha
+FROM p
+"""
+
+
 # Shared SQL replay of the ngram_jaccard_pairs edge source (same
 # params as the dedup_ngram_jaccard oracle) for the clustering queries.
 _NGRAM_PAIR_CTES = """
@@ -2252,6 +2376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
+        "curate_dup_spans": q_curate_dup_spans,
+        "curate_span_coverage": q_curate_span_coverage,
+        "text_pii_scrub": q_text_pii_scrub,
     }
 
 
@@ -2751,6 +2878,9 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _repetition_oracle_sql(),
         "dedup_clusters": _clusters_oracle_sql(),
         "dedup_keep_canonical": _keep_canonical_oracle_sql(),
+        "curate_dup_spans": _dup_spans_oracle_sql(),
+        "curate_span_coverage": _span_coverage_oracle_sql(),
+        "text_pii_scrub": _pii_oracle_sql(),
         # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
         # hash functions are engine-specific (xxhash64 / siphash) — rows-only
         # checks by design. geo_nms_merge: greedy NMS is iterative, not

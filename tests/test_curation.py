@@ -136,3 +136,103 @@ def test_more_like_this_excludes_seed_and_matches_pretokenized_wand(spark, sf001
             if r["doc_id"] != s
         ][: len(mine)]
         assert mine == ref
+
+
+# ------------------------------------------------------- duplicate spans
+
+def test_duplicate_spans_matches_bruteforce(frames):
+    from vframe_spark.operators.curate import duplicate_spans
+
+    docs, _ = frames
+    n = 4
+    df_by_gram = {}
+    for did, text in CORPUS:
+        for g in _grams(text, n):
+            df_by_gram.setdefault(g, set()).add(did)
+    expect = {(g, len(ds)) for g, ds in df_by_gram.items() if len(ds) >= 2}
+    got = {
+        (r["gram"], r["n_docs"])
+        for r in duplicate_spans(docs, n=n, min_df=2).collect()
+    }
+    assert got == expect
+    assert got  # corpus was built to share at least one 4-gram
+
+
+def test_span_coverage_matches_bruteforce(frames):
+    from vframe_spark.operators.curate import duplicate_span_coverage
+
+    docs, _ = frames
+    n = 4
+    df_by_gram = {}
+    toks = {did: tokenize_py(t) for did, t in CORPUS}
+    for did, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            df_by_gram.setdefault(" ".join(ts[i : i + n]), set()).add(did)
+    dup = {g for g, ds in df_by_gram.items() if len(ds) >= 2}
+    expect = {}
+    for did, ts in toks.items():
+        covered = set()
+        for i in range(len(ts) - n + 1):
+            if " ".join(ts[i : i + n]) in dup:
+                covered.update(range(i, i + n))
+        frac = round(len(covered) / max(len(ts), 1), 6)
+        expect[did] = (len(ts), len(covered), frac)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["dup_span_frac"])
+        for r in duplicate_span_coverage(docs, n=n, min_df=2).collect()
+    }
+    assert got == expect
+    assert any(c > 0 for _, c, _ in expect.values())
+
+
+# ----------------------------------------------------------------- PII
+
+def test_pii_scrub_and_counts(spark):
+    import re
+
+    from vframe_spark.functions.pii import (
+        PII_PATTERNS,
+        pii_counts,
+        scrub_pii,
+        scrub_pii_duckdb_sql,
+    )
+
+    rows = [
+        (1, "mail a.b+c@sub.example.org or root@h.io now"),
+        (2, "server at 192.168.0.1 and backup 10.0.0.255 up"),
+        (3, "call +44 20 7946 0958 or +1 (555) 867-5309"),
+        (4, "ssn 123-45-6789 not a phone"),
+        (5, "clean text with number 123 and date 2024-01-02"),
+        (6, "v1.2.3.4 is a version but 1.2.3.4 is an ip"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *pii_counts(F.col("t")), scrub_pii(F.col("t")).alias("s")
+        ).collect()
+    }
+    assert out[1]["n_email"] == 2 and "<email>" in out[1]["s"]
+    assert "@" not in out[1]["s"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_email"] == 0
+    assert out[3]["n_phone"] == 2
+    assert out[4]["n_ssn"] == 1 and out[4]["n_phone"] == 0
+    assert all(out[5][f"n_{k}"] == 0 for k in PII_PATTERNS)
+    assert out[5]["s"] == rows[4][1]  # untouched
+    # "v1.2.3.4": \b between "v" and "1" does not fire -> only bare ip hits
+    assert out[6]["n_ipv4"] >= 1 and "1.2.3.4 is an ip" not in out[6]["s"]
+
+    # python re agrees with the Spark chain (same pattern subset)
+    for did, t in rows:
+        s = t
+        for k, pat in PII_PATTERNS.items():
+            s = re.sub(pat, f"<{k}>", s)
+        assert s == out[did]["s"]
+
+    # duckdb replays the chain byte-identically
+    import duckdb
+
+    for did, t in rows:
+        sql = scrub_pii_duckdb_sql("?::VARCHAR")
+        got = duckdb.execute(f"SELECT {sql}", [t]).fetchone()[0]
+        assert got == out[did]["s"]

@@ -1,0 +1,99 @@
+"""PII scrubbing for training-corpus curation: detect and redact
+emails, IPv4 addresses, international phone numbers, and SSN-shaped
+ids as pure Catalyst ``regexp_replace`` chains — whole-stage codegen,
+zero shuffle, the text equivalent of vframe's `pipe redact` ROI fill
+(/root/reference/src/commands/pipe/redact.py:21-77: mask regions the
+downstream consumer must never see).
+
+Pattern syntax is restricted to the Java-regex ∩ RE2 subset (character
+classes, bounded repeats, ``\\b``; no lookaround, no backrefs) so the
+SAME pattern string runs on Spark executors and in the DuckDB oracle —
+`scrub_pii_duckdb_sql` emits the byte-identical replacement chain,
+letting the contract compare a sha256 of the scrubbed text, not just
+match counts.
+
+Order matters and is fixed: ssn before phone (a bare 123-45-6789 would
+otherwise partially match the phone pattern), email before ipv4 (hosts
+like 1.2.3.4 inside an email are consumed by the email redaction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Insertion-ordered: the scrub chain applies top to bottom.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+[0-9]{1,3}[ .-]?\(?[0-9]{1,4}\)?[ .-]?[0-9]{3,4}[ .-]?[0-9]{3,4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def _kinds(kinds: list[str] | None) -> list[str]:
+    if kinds is None:
+        return list(PII_PATTERNS)
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    # preserve canonical chain order regardless of caller order
+    return [k for k in PII_PATTERNS if k in kinds]
+
+
+def scrub_pii(
+    col: Column,
+    kinds: list[str] | None = None,
+    replacement_fmt: str = "<{kind}>",
+) -> Column:
+    """Text with every PII match replaced by ``<kind>`` markers."""
+    out = col
+    for k in _kinds(kinds):
+        out = F.regexp_replace(out, PII_PATTERNS[k], replacement_fmt.format(kind=k))
+    return out
+
+
+def pii_counts(col: Column, kinds: list[str] | None = None) -> list[Column]:
+    """One bigint ``n_<kind>`` column per kind, counted on the SCRUB
+    CHAIN's intermediate text so counts agree with what scrub_pii
+    actually redacts (an email's host is never double-counted as ipv4)."""
+    out = []
+    cur = col
+    for k in _kinds(kinds):
+        out.append(F.regexp_count(cur, F.lit(PII_PATTERNS[k])).cast("bigint").alias(f"n_{k}"))
+        cur = F.regexp_replace(cur, PII_PATTERNS[k], f"<{k}>")
+    return out
+
+
+def _sql_quote(pat: str) -> str:
+    # DuckDB single-quoted strings are standard SQL: backslash is a
+    # literal character, so the regex passes through byte-identically —
+    # only the quote needs doubling.
+    return pat.replace("'", "''")
+
+
+def scrub_pii_duckdb_sql(
+    col: str,
+    kinds: list[str] | None = None,
+    replacement_fmt: str = "<{kind}>",
+) -> str:
+    """DuckDB expression applying the identical replacement chain
+    (RE2 'g' flag == Spark's replace-all default)."""
+    out = col
+    for k in _kinds(kinds):
+        out = (
+            f"regexp_replace({out}, '{_sql_quote(PII_PATTERNS[k])}', "
+            f"'{replacement_fmt.format(kind=k)}', 'g')"
+        )
+    return out
+
+
+def pii_counts_duckdb_sql(col: str, kinds: list[str] | None = None) -> list[str]:
+    """DuckDB ``n_<kind>`` expressions mirroring pii_counts."""
+    out = []
+    cur = col
+    for k in _kinds(kinds):
+        pat = _sql_quote(PII_PATTERNS[k])
+        out.append(f"len(regexp_extract_all({cur}, '{pat}'))::BIGINT AS n_{k}")
+        cur = f"regexp_replace({cur}, '{pat}', '<{k}>', 'g')"
+    return out

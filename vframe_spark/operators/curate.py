@@ -260,6 +260,101 @@ def repetition_stats(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Cross-document repeated token windows — the signal behind exact
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): a length-``n`` token window appearing in
+    ≥ ``min_df`` distinct docs is boilerplate/license/header text a
+    training corpus should drop once, not per copy.
+
+    Returns (gram, n_docs). ``max_df`` caps hot grams the same way
+    ngram_jaccard_pairs caps hot shingles — a stop-gram in 10^8 docs is
+    noise, and dropping it bounds the downstream coverage join. One
+    (doc, gram)-distinct pass + one groupBy on the gram — the
+    tokenize-TF shuffle shape; gram generation is whole-stage codegen
+    (`_gram_exprs`), never Python.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    df = (
+        docs.select(
+            id_col,
+            F.explode(_gram_exprs(tokenize_expr(F.col(text_col)), n)).alias("gram"),
+        )
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+    )
+    if max_df is not None:
+        df = df.filter(F.col("n_docs") <= max_df)
+    return df
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Per-document fraction of tokens covered by a cross-doc repeated
+    window: (doc_id, n_tokens, covered_tokens, dup_span_frac). Docs
+    with high coverage are candidates for span-level dedup.
+
+    Shape: position-tagged grams semi-join the duplicated-gram set
+    (keyed on the gram), then each hit fans out to its ≤ n covered
+    token indexes and a per-doc count-distinct folds overlaps — worst
+    case O(tokens × n) intermediate rows, all map-side until the final
+    doc_id-keyed aggregation. For corpora where most text is duplicated
+    (n× blow-up matters), replace the fan-out with a per-doc sorted
+    interval sweep in applyInPandas; for the common sparse case this
+    all-Catalyst plan wins.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    toks = docs.select(
+        F.col(id_col), tokenize_expr(F.col(text_col)).alias("_ts")
+    ).select(id_col, F.size("_ts").cast("bigint").alias("n_tokens"), "_ts")
+    pos_grams = toks.select(
+        id_col,
+        "n_tokens",
+        F.posexplode(_gram_exprs(F.col("_ts"), n)).alias("pos", "gram"),
+    )
+    dup = duplicate_spans(docs, n, min_df, max_df, id_col, text_col).select("gram")
+    covered = (
+        pos_grams.join(dup, "gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("_ti"),
+        )
+        .groupBy(id_col)
+        .agg(F.count_distinct("_ti").cast("bigint").alias("covered_tokens"))
+    )
+    return (
+        toks.select(id_col, "n_tokens")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
 def stratified_sample_duckdb_sql(
     strata_col: str,
     rates: dict[str, float],
