@@ -33,12 +33,15 @@ def _uf_components(edges):
 
 def _run(spark, edges):
     df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
-    got = {
-        (r["node"], r["component"])
-        for r in connected_components(df, "src", "dst").collect()
-    }
     want = set(_uf_components(edges).items())
-    assert got == want
+    for threshold in (1_000_000, 0):  # driver fast path AND distributed stars
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                df, "src", "dst", driver_threshold=threshold
+            ).collect()
+        }
+        assert got == want, f"driver_threshold={threshold}"
 
 
 def test_cc_hand_graph(spark):

@@ -95,22 +95,63 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_cc(e: DataFrame) -> DataFrame:
+    """Union-find on the collected edge list — the small-graph fast path.
+
+    One Arrow transfer + one in-memory pass beats ~10 scheduler rounds
+    of the star algorithm by ~20× when the pair graph fits the driver
+    (it usually does: banding emits collisions, not the corpus).
+    """
+    spark = e.sparkSession
+    node_type = e.schema["u"].dataType.simpleString()
+    pdf = e.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(
+        rows, f"node: {node_type}, component: {node_type}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id of the node's component.
 
-    Convergence is detected by an order-insensitive (count, hash-sum)
-    fingerprint; on a fingerprint hit the stability is *proven* with an
-    exact set comparison before returning (the fingerprint only decides
-    when to pay for that check).
+    Hybrid execution: the edge count is measured once (one cheap agg);
+    at or below ``driver_threshold`` edges the graph is collected and
+    solved with union-find on the driver (≤ ~100 MB at the default
+    threshold — near-dup pair graphs are *collisions*, tiny next to the
+    corpus), above it the distributed star algorithm runs. Set
+    ``driver_threshold=0`` to force the distributed path.
+
+    Distributed convergence is detected by an order-insensitive
+    (count, hash-sum) fingerprint; on a fingerprint hit the stability
+    is *proven* with an exact set comparison before returning (the
+    fingerprint only decides when to pay for that check).
     """
     e = _canonical_edges(edges, src, dst).localCheckpoint()
     fp = _fingerprint(e)
+    if fp[0] <= driver_threshold:
+        return _driver_cc(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
         fp2 = _fingerprint(e2)
