@@ -1852,6 +1852,30 @@ def q_text_repetition(spark, sf_dir):
 DUP_SPAN_N = 4
 
 
+# Token-budget training mix: whitespace-token budgets per lang (totals
+# at sf0.01: en 11757, de 3549, zh 4143, fr 3758, es 3958 — every
+# branch of the bucketed plan is exercised: partial keep via boundary
+# slice (en/de + default fr/es), full drop (zh 0)).
+TOKEN_BUDGETS = {"en": 5000, "de": 1500, "zh": 0}
+TOKEN_BUDGET_DEFAULT = 2000
+
+
+def q_curate_token_budget(spark, sf_dir):
+    """Token-budget stratified sampling (data-mixture recipes are
+    written in tokens, not row fractions): deterministic hash-order
+    greedy prefix per stratum, computed with a bucketed prefix-sum —
+    only the single boundary slice per stratum pays a window sort."""
+    from vframe_spark.operators.curate import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("text").alias("content")
+    )
+    out = token_budget_sample(
+        docs, "lang", TOKEN_BUDGETS, default_budget=TOKEN_BUDGET_DEFAULT
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_curate_dup_spans(spark, sf_dir):
     """Cross-doc repeated token windows (exact-substring-dedup signal):
     token 4-grams appearing in ≥2 distinct docs with their document
@@ -2147,6 +2171,19 @@ FROM best WHERE rn = 1
 """
 
 
+def _token_budget_oracle_sql() -> str:
+    from vframe_spark.operators.curate import token_budget_sample_duckdb_sql
+
+    n_ws = "len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))"
+    inner = token_budget_sample_duckdb_sql(
+        "lang",
+        TOKEN_BUDGETS,
+        token_count_sql=n_ws,
+        default_budget=TOKEN_BUDGET_DEFAULT,
+    )
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
 def _dup_spans_oracle_sql() -> str:
     n = DUP_SPAN_N
     return f"""
@@ -2376,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
+        "curate_token_budget": q_curate_token_budget,
         "curate_dup_spans": q_curate_dup_spans,
         "curate_span_coverage": q_curate_span_coverage,
         "text_pii_scrub": q_text_pii_scrub,
@@ -2878,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _repetition_oracle_sql(),
         "dedup_clusters": _clusters_oracle_sql(),
         "dedup_keep_canonical": _keep_canonical_oracle_sql(),
+        "curate_token_budget": _token_budget_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),
         "text_pii_scrub": _pii_oracle_sql(),

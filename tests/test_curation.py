@@ -236,3 +236,64 @@ def test_pii_scrub_and_counts(spark):
         sql = scrub_pii_duckdb_sql("?::VARCHAR")
         got = duckdb.execute(f"SELECT {sql}", [t]).fetchone()[0]
         assert got == out[did]["s"]
+
+
+# ------------------------------------------------------ token budgets
+
+def _tb_bruteforce(rows, budgets, default_budget, salt=""):
+    """Greedy hash-order prefix per stratum, same portable hash."""
+    from vframe_spark.functions.text import fingerprint_poly_py
+
+    out = set()
+    by_s = {}
+    for did, s, text in rows:
+        if s is None:
+            continue
+        h = (fingerprint_poly_py(f"{did}{salt}") * 2654435761) % ((1 << 31) - 1)
+        by_s.setdefault(s, []).append((h, did, len(text.split())))
+    for s, docs in by_s.items():
+        budget = budgets.get(s, default_budget)
+        cum = 0
+        for h, did, tk in sorted(docs):
+            if cum < budget:
+                out.add(did)
+            cum += tk
+    return out
+
+
+def test_token_budget_sample_matches_bruteforce(spark):
+    from vframe_spark.operators.curate import token_budget_sample
+
+    rows = [
+        (i, ["en", "de", "zh", None][i % 4], " ".join(["w"] * (3 + i % 7)))
+        for i in range(120)
+    ]
+    budgets = {"en": 60, "de": 25, "zh": 0}
+    df = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    for n_buckets in (1, 4, 1024):  # 1 = pure window; 4 = real boundaries
+        got = {
+            r["doc_id"]
+            for r in token_budget_sample(
+                df, "lang", budgets, default_budget=10, n_buckets=n_buckets
+            ).collect()
+        }
+        want = _tb_bruteforce(rows, budgets, default_budget=10)
+        assert got == want, f"n_buckets={n_buckets}"
+    assert want  # non-trivial
+    # nesting: a bigger budget strictly grows the sample
+    bigger = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            df, "lang", {"en": 120, "de": 50, "zh": 5}, default_budget=10
+        ).collect()
+    }
+    assert want <= bigger
+
+
+def test_token_budget_keep_all_and_drop_all(spark):
+    from vframe_spark.operators.curate import token_budget_sample
+
+    rows = [(i, "en", "a b c") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    assert token_budget_sample(df, "lang", {"en": 10**9}).count() == 10
+    assert token_budget_sample(df, "lang", {"en": 0}).count() == 0

@@ -142,3 +142,15 @@ def fingerprint_poly_duckdb_sql(col: str, mod: int = (1 << 31) - 1, base: int = 
         f"CASE WHEN {col} IS NULL THEN NULL "
         f"WHEN length({norm}) = 0 THEN 0 ELSE {red} END"
     )
+
+
+def fingerprint_poly_py(s: str, mod: int = (1 << 31) - 1, base: int = 31) -> int:
+    """Driver/test-side twin of :func:`fingerprint_poly` (same math,
+    same normalization) for brute-force oracles and planning code."""
+    import re
+
+    norm = re.sub(r"\s+", " ", s.strip().lower())
+    acc = 0
+    for ch in norm:
+        acc = (acc * base + ord(ch)) % mod
+    return acc

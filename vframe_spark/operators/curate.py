@@ -73,6 +73,29 @@ def curation_summary(docs: DataFrame, curated: DataFrame) -> dict:
 
 
 SAMPLE_DENOM = 10000
+_SAMPLE_MOD = (1 << 31) - 1
+
+
+def _sample_hash(id_col: str, salt: str) -> F.Column:
+    """Deterministic engine-portable per-row hash in [0, 2^31-1).
+
+    Knuth multiplicative mix after the polynomial rolling hash:
+    consecutive ids produce near-consecutive polynomial hashes, which
+    would turn modular bucketing into contiguous id ranges; the
+    multiply decorrelates. fp < 2^31 and 2654435761 < 2^32, so the
+    product stays inside int64 on engines that error on overflow.
+    """
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return F.pmod(X.fingerprint_poly(key) * F.lit(2654435761), F.lit(_SAMPLE_MOD))
+
+
+def sample_hash_duckdb_sql(id_col: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`_sample_hash` for oracle queries."""
+    from ..functions.text import fingerprint_poly_duckdb_sql
+
+    key = f"(CAST({id_col} AS VARCHAR) || '{salt}')"
+    fp = fingerprint_poly_duckdb_sql(key)
+    return f"((({fp}) * 2654435761) % {_SAMPLE_MOD})"
 
 
 def stratified_sample(
@@ -104,14 +127,7 @@ def stratified_sample(
     strata use ``default_rate``. Change ``salt`` to draw an independent
     sample. Returns the surviving rows unchanged.
     """
-    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    # Knuth multiplicative mix after the rolling hash: consecutive ids
-    # produce near-consecutive polynomial hashes, which would turn
-    # `mod 10000` into contiguous id ranges; the multiply decorrelates.
-    # fp < 2^31 and 2654435761 < 2^32, so the product stays inside int64
-    # on engines that error on overflow.
-    mixed = F.pmod(X.fingerprint_poly(key) * F.lit(2654435761), F.lit((1 << 31) - 1))
-    bucket = F.pmod(mixed, F.lit(SAMPLE_DENOM))
+    bucket = F.pmod(_sample_hash(id_col, salt), F.lit(SAMPLE_DENOM))
     thresh = None
     for value, rate in sorted(rates.items()):
         cut = int(round(float(rate) * SAMPLE_DENOM))
@@ -120,6 +136,132 @@ def stratified_sample(
     default_cut = int(round(float(default_rate) * SAMPLE_DENOM))
     thresh = F.lit(default_cut) if thresh is None else thresh.otherwise(F.lit(default_cut))
     return docs.filter(bucket < thresh)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    strata_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    token_count: F.Column | None = None,
+    default_budget: int = 0,
+    salt: str = "",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Training-mix construction by TOKEN budget, not row fraction:
+    "2B tokens of en, 500M of zh" — the unit data-mixture recipes are
+    actually written in.
+
+    Semantics: within each stratum, docs are ranked by the deterministic
+    portable sample hash (ties by id); a doc survives iff the tokens
+    *before* it in that order are still under the stratum's budget
+    (greedy prefix — so one doc may overshoot, none is truncated).
+    Deterministic, engine-portable (the DuckDB oracle replays it), and
+    nested: a bigger budget strictly grows the sample.
+
+    Scale shape — NO whole-stratum sort: the hash range is cut into
+    ``n_buckets`` ordered slices and a per-(stratum, slice) token-sum
+    pre-pass (one small agg, |S|×n_buckets rows to the driver) freezes
+    each stratum's cut as literals: slices fully inside the budget pass
+    as a pure filter, slices past it are dropped, and only the ONE
+    boundary slice per stratum (~1/n_buckets of the data) pays a window
+    sort. Same distributed prefix-sum pattern as ``ids.assign_doc_ids``.
+
+    Rows with a NULL stratum are dropped (no budget can name them).
+    """
+    if token_count is None:
+        token_count = X.token_count_ws(F.col(text_col))
+    h = _sample_hash(id_col, salt)
+    bwidth = _SAMPLE_MOD // n_buckets + 1
+    d = docs.withColumn("_h", h).withColumn(
+        "_tk", token_count.cast("bigint")
+    ).withColumn("_b", F.floor(F.col("_h") / F.lit(bwidth)).cast("int"))
+
+    sums = {
+        (r["s"], r["b"]): r["tk"]
+        for r in d.groupBy(
+            F.col(strata_col).alias("s"), F.col("_b").alias("b")
+        ).agg(F.sum("_tk").alias("tk")).collect()
+    }
+    # Per stratum: walk slices in hash order, freeze (boundary slice,
+    # tokens consumed before it). boundary=-1 → budget 0 (drop all);
+    # boundary=n_buckets → budget ≥ total (keep all).
+    strata = sorted({s for s, _ in sums if s is not None}, key=str)
+    boundary: dict = {}
+    offset: dict = {}
+    for s in strata:
+        budget = int(budgets.get(s, default_budget))
+        cum = 0
+        boundary[s], offset[s] = n_buckets, 0
+        if budget <= 0:
+            boundary[s] = -1
+            continue
+        for b in range(n_buckets):
+            nxt = cum + (sums.get((s, b)) or 0)
+            if nxt > budget:  # first slice straddling the budget
+                boundary[s], offset[s] = b, cum
+                break
+            cum = nxt
+
+    def _case(mapping: dict, default: int) -> F.Column:
+        expr = None
+        for s in strata:
+            branch = (F.col(strata_col) == s, F.lit(int(mapping[s])))
+            expr = F.when(*branch) if expr is None else expr.when(*branch)
+        return F.lit(default) if expr is None else expr.otherwise(F.lit(default))
+
+    bnd = _case(boundary, -1)
+    full = d.filter(F.col("_b") < bnd)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget_expr = None
+    for s in strata:
+        b = (F.col(strata_col) == s, F.lit(int(budgets.get(s, default_budget))))
+        budget_expr = F.when(*b) if budget_expr is None else budget_expr.when(*b)
+    budget_expr = (
+        F.lit(int(default_budget)) if budget_expr is None
+        else budget_expr.otherwise(F.lit(int(default_budget)))
+    )
+    edge = (
+        d.filter(F.col("_b") == bnd)
+        .withColumn("_before", F.coalesce(F.sum("_tk").over(w), F.lit(0)) + _case(offset, 0))
+        .filter(F.col("_before") < budget_expr)
+        .drop("_before")
+    )
+    return full.unionByName(edge).drop("_h", "_tk", "_b")
+
+
+def token_budget_sample_duckdb_sql(
+    strata_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    token_count_sql: str = "len(string_split(text, ' '))",
+    default_budget: int = 0,
+    salt: str = "",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`token_budget_sample`: the simple global
+    window form (per-stratum hash-order prefix sum) — the semantics the
+    bucketed Spark plan must reproduce exactly."""
+    h = sample_hash_duckdb_sql(id_col, salt)
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(b)}"
+        for s, b in sorted(budgets.items())
+    )
+    budget = f"(CASE {cases} ELSE {int(default_budget)} END)"
+    return f"""
+SELECT * EXCLUDE (_h, _tk, _before) FROM (
+  SELECT *, coalesce(sum(_tk) OVER (
+           PARTITION BY {strata_col} ORDER BY _h, {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _before
+  FROM (SELECT *, {h} AS _h, ({token_count_sql})::BIGINT AS _tk FROM {table})
+)
+WHERE _before < {budget}
+"""
 
 
 def _gram_exprs(ts: F.Column, n: int) -> F.Column:
@@ -364,11 +506,7 @@ def stratified_sample_duckdb_sql(
 ) -> str:
     """DuckDB twin of :func:`stratified_sample` as a WHERE-clause body
     (same hash, same thresholds) for oracle queries."""
-    from ..functions.text import fingerprint_poly_duckdb_sql
-
-    key = f"(CAST({id_col} AS VARCHAR) || '{salt}')"
-    fp = fingerprint_poly_duckdb_sql(key)
-    mixed = f"((({fp}) * 2654435761) % {(1 << 31) - 1})"
+    mixed = sample_hash_duckdb_sql(id_col, salt)
     cases = " ".join(
         f"WHEN {strata_col} = '{v}' THEN {int(round(float(r) * SAMPLE_DENOM))}"
         for v, r in sorted(rates.items())
