@@ -1852,6 +1852,21 @@ def q_text_repetition(spark, sf_dir):
 DUP_SPAN_N = 4
 
 
+# Autocomplete prefixes: fixed batch present at every SF.
+SUGGEST_PREFIXES = [(1, "s"), (2, "c"), (3, "qu")]
+SUGGEST_K = 5
+
+
+def q_ft_suggest(spark, sf_dir):
+    """Autocomplete from the index vocabulary: top-k completions per
+    prefix by (df DESC, term ASC) — one broadcast starts_with join, the
+    vocab never leaves the executors."""
+    from vframe_spark.query.prefix import suggest
+
+    _, term_stats, _, _ = _ft_index(spark, sf_dir)
+    return suggest(term_stats, SUGGEST_PREFIXES, k=SUGGEST_K)
+
+
 # Token-budget training mix: whitespace-token budgets per lang (totals
 # at sf0.01: en 11757, de 3549, zh 4143, fr 3758, es 3958 — every
 # branch of the bucketed plan is exercised: partial keep via boundary
@@ -1874,6 +1889,17 @@ def q_curate_token_budget(spark, sf_dir):
         docs, "lang", TOKEN_BUDGETS, default_budget=TOKEN_BUDGET_DEFAULT
     )
     return out.select("doc_id", "lang")
+
+
+def q_curate_temperature(spark, sf_dir):
+    """Temperature mixture rebalancing (α=0.5): per-lang keep-rate
+    (n_min/n_i)^0.5 frozen from one count agg; zero-shuffle hash filter.
+    The oracle recomputes counts, cuts, and the predicate in SQL —
+    row-identical, exercising the cross-engine IEEE-sqrt guarantee."""
+    from vframe_spark.operators.curate import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(docs, "lang", alpha=0.5).select("doc_id", "lang")
 
 
 def q_curate_dup_spans(spark, sf_dir):
@@ -2171,6 +2197,22 @@ FROM best WHERE rn = 1
 """
 
 
+def _suggest_oracle_sql() -> str:
+    vals = ", ".join(f"({q}, '{p}')" for q, p in SUGGEST_PREFIXES)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+stats AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+p(qid, pfx) AS (SELECT * FROM (VALUES {vals})),
+m AS (
+  SELECT qid, term, df,
+         row_number() OVER (PARTITION BY qid ORDER BY df DESC, term ASC) AS rank
+  FROM stats JOIN p ON starts_with(term, pfx)
+)
+SELECT qid::INT AS qid, rank::INT AS rank, term, df
+FROM m WHERE rank <= {SUGGEST_K}
+"""
+
+
 def _token_budget_oracle_sql() -> str:
     from vframe_spark.operators.curate import token_budget_sample_duckdb_sql
 
@@ -2181,6 +2223,13 @@ def _token_budget_oracle_sql() -> str:
         token_count_sql=n_ws,
         default_budget=TOKEN_BUDGET_DEFAULT,
     )
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
+def _temperature_oracle_sql() -> str:
+    from vframe_spark.operators.curate import temperature_sample_duckdb_sql
+
+    inner = temperature_sample_duckdb_sql("lang")
     return f"SELECT doc_id, lang FROM ({inner})"
 
 
@@ -2413,7 +2462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
+        "ft_suggest": q_ft_suggest,
         "curate_token_budget": q_curate_token_budget,
+        "curate_temperature": q_curate_temperature,
         "curate_dup_spans": q_curate_dup_spans,
         "curate_span_coverage": q_curate_span_coverage,
         "text_pii_scrub": q_text_pii_scrub,
@@ -2916,7 +2967,9 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _repetition_oracle_sql(),
         "dedup_clusters": _clusters_oracle_sql(),
         "dedup_keep_canonical": _keep_canonical_oracle_sql(),
+        "ft_suggest": _suggest_oracle_sql(),
         "curate_token_budget": _token_budget_oracle_sql(),
+        "curate_temperature": _temperature_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),
         "text_pii_scrub": _pii_oracle_sql(),

@@ -297,3 +297,36 @@ def test_token_budget_keep_all_and_drop_all(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string, content string")
     assert token_budget_sample(df, "lang", {"en": 10**9}).count() == 10
     assert token_budget_sample(df, "lang", {"en": 0}).count() == 0
+
+
+def test_temperature_sample(spark):
+    import math
+
+    from vframe_spark.functions.text import fingerprint_poly_py
+    from vframe_spark.operators.curate import SAMPLE_DENOM, temperature_sample
+
+    rows = [(i, "en" if i < 80 else ("de" if i < 100 else "zh"), "x")
+            for i in range(110)]  # en 80, de 20, zh 10
+    df = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+
+    def brute(alpha):
+        counts = {"en": 80, "de": 20, "zh": 10}
+        cuts = {
+            s: math.floor(SAMPLE_DENOM * (10 / c) ** (1.0 - alpha))
+            for s, c in counts.items()
+        }
+        keep = set()
+        for did, s, _ in rows:
+            h = (fingerprint_poly_py(str(did)) * 2654435761) % ((1 << 31) - 1)
+            if h % SAMPLE_DENOM < cuts[s]:
+                keep.add(did)
+        return keep
+
+    for alpha in (0.5, 0.3, 1.0):
+        got = {r["doc_id"] for r in temperature_sample(df, "lang", alpha).collect()}
+        assert got == brute(alpha), f"alpha={alpha}"
+    # alpha=1 keeps the natural distribution (every row)
+    assert temperature_sample(df, "lang", 1.0).count() == 110
+    # smallest stratum always fully kept
+    kept = temperature_sample(df, "lang", 0.5)
+    assert kept.filter(F.col("lang") == "zh").count() == 10

@@ -155,3 +155,21 @@ def test_stratified_sample_matches_duckdb(spark):
     where = stratified_sample_duckdb_sql("lang", rates, default_rate=0.9)
     want = [r[0] for r in con.sql(f"SELECT doc_id FROM docs WHERE {where} ORDER BY 1").fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_suggest_ranking(spark):
+    from vframe_spark.query.prefix import suggest
+
+    stats = spark.createDataFrame(
+        [("scan", 10), ("sort", 10), ("spark", 25), ("slow", 3),
+         ("table", 7), ("query", 9)],
+        "term: string, df: long",
+    )
+    out = suggest(stats, [(1, "s"), (2, "qu"), (3, "zz")], k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["term"], r["df"]))
+    # df DESC, term ASC tie-break; k caps; no rows for a dead prefix
+    assert sorted(by_q[1]) == [(1, "spark", 25), (2, "scan", 10), (3, "sort", 10)]
+    assert sorted(by_q[2]) == [(1, "query", 9)]
+    assert 3 not in by_q

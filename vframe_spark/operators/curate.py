@@ -127,15 +127,93 @@ def stratified_sample(
     strata use ``default_rate``. Change ``salt`` to draw an independent
     sample. Returns the surviving rows unchanged.
     """
+    cuts = {v: int(round(float(r) * SAMPLE_DENOM)) for v, r in rates.items()}
+    default_cut = int(round(float(default_rate) * SAMPLE_DENOM))
+    return _cut_filter(docs, strata_col, cuts, default_cut, id_col, salt)
+
+
+def _cut_filter(
+    docs: DataFrame,
+    strata_col: str,
+    cuts: dict,
+    default_cut: int,
+    id_col: str,
+    salt: str,
+) -> DataFrame:
+    """Keep rows with ``sample_hash mod DENOM < cut(stratum)`` — the
+    shared whole-stage-codegen filter under every hash sampler."""
     bucket = F.pmod(_sample_hash(id_col, salt), F.lit(SAMPLE_DENOM))
     thresh = None
-    for value, rate in sorted(rates.items()):
-        cut = int(round(float(rate) * SAMPLE_DENOM))
-        branch = F.when(F.col(strata_col) == value, F.lit(cut))
-        thresh = branch if thresh is None else thresh.when(F.col(strata_col) == value, F.lit(cut))
-    default_cut = int(round(float(default_rate) * SAMPLE_DENOM))
+    for value, cut in sorted(cuts.items(), key=lambda kv: str(kv[0])):
+        branch = F.when(F.col(strata_col) == value, F.lit(int(cut)))
+        thresh = branch if thresh is None else thresh.when(
+            F.col(strata_col) == value, F.lit(int(cut))
+        )
     thresh = F.lit(default_cut) if thresh is None else thresh.otherwise(F.lit(default_cut))
     return docs.filter(bucket < thresh)
+
+
+def temperature_sample(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-LM
+    ``p_i ∝ n_i^α`` recipe, XLM-R §3.1): stratum keep-rate
+    ``(n_min / n_i)^(1-α)`` — the smallest stratum keeps everything,
+    big strata are downsampled toward a flatter mix; α=1 keeps the
+    natural distribution, α→0 equalizes doc counts.
+
+    One count aggregation freezes per-stratum cut points as literals;
+    the filter itself is the same zero-shuffle hash predicate as
+    stratified_sample. α=0.5 computes via sqrt — correctly-rounded IEEE
+    in every engine, so the DuckDB oracle reproduces cut points exactly
+    from the same counts.
+    """
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r["s"]: r["c"]
+        for r in docs.filter(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    if not counts:
+        return docs.filter(F.lit(False))
+    n_min = min(counts.values())
+    cuts = {}
+    for s, c in counts.items():
+        ratio = n_min / c
+        rate = math.sqrt(ratio) if alpha == 0.5 else math.pow(ratio, 1.0 - alpha)
+        cuts[s] = int(math.floor(SAMPLE_DENOM * rate))
+    return _cut_filter(docs, strata_col, cuts, 0, id_col, salt)
+
+
+def temperature_sample_duckdb_sql(
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`temperature_sample` at α=0.5 (sqrt — the
+    IEEE-exact case): recomputes counts, cuts, and the hash predicate."""
+    mixed = sample_hash_duckdb_sql(id_col, salt)
+    return f"""
+SELECT d.* FROM {table} d
+JOIN (
+  SELECT s, floor({SAMPLE_DENOM} * sqrt(m::DOUBLE / c::DOUBLE))::BIGINT AS cut
+  FROM (SELECT {strata_col} AS s, count(*)::BIGINT AS c FROM {table}
+        WHERE {strata_col} IS NOT NULL GROUP BY 1),
+       (SELECT min(c2) AS m FROM (SELECT count(*)::BIGINT AS c2 FROM {table}
+        WHERE {strata_col} IS NOT NULL GROUP BY {strata_col}))
+) cuts ON cuts.s = d.{strata_col}
+WHERE ({mixed} % {SAMPLE_DENOM}) < cuts.cut
+"""
 
 
 def token_budget_sample(

@@ -84,3 +84,32 @@ def wildcard_topk(
     return bm25_topk_wand(
         postings, term_stats, meta, rewritten, k=k, exclude_doc_ids=exclude_doc_ids
     )
+
+
+def suggest(
+    term_stats: DataFrame,
+    prefixes: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Autocomplete: top-``k`` vocabulary completions per prefix →
+    (qid, rank, term, df), ranked df DESC (popularity) with term-ASC
+    tie-break.
+
+    One distributed pass for the whole prefix batch: the (tiny) prefix
+    table broadcasts into a starts_with theta-join against the vocab —
+    the vocab never collects to the driver and never shuffles (the
+    per-qid top-k window moves only the matched completions). On a
+    term-sorted vocab table each prefix is a contiguous range, so the
+    scan prunes to the matching row groups.
+    """
+    from pyspark.sql import Window
+
+    spark = term_stats.sparkSession
+    p = spark.createDataFrame(prefixes, "qid: int, pfx: string")
+    w = Window.partitionBy("qid").orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        term_stats.join(F.broadcast(p), F.col("term").startswith(F.col("pfx")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "term", F.col("df").cast("bigint").alias("df"))
+    )
