@@ -1852,6 +1852,29 @@ def q_text_repetition(spark, sf_dir):
 DUP_SPAN_N = 4
 
 
+PRF_R = 5  # pseudo-relevance feedback depth (docs assumed relevant)
+PRF_M = 5  # expansion terms per query
+
+
+def q_ft_feedback_topk(spark, sf_dir):
+    """Pseudo-relevance feedback (Rocchio-lite): BM25 pass 1 → top-R
+    docs assumed relevant → their top-M tf·idf terms join the query →
+    BM25 pass 2. Both passes are standard WAND batches; the feedback
+    set is r×|Q| driver rows. Oracle replays both passes + the
+    expansion selection in SQL."""
+    from vframe_spark.query.feedback import pseudo_feedback_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    raw = pseudo_feedback_topk(
+        postings, term_stats, meta, docs, FT_QUERIES,
+        k=3 * FT_K, r=PRF_R, m=PRF_M,
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
 # Autocomplete prefixes: fixed batch present at every SF.
 SUGGEST_PREFIXES = [(1, "s"), (2, "c"), (3, "qu")]
 SUGGEST_K = 5
@@ -2197,6 +2220,57 @@ FROM best WHERE rn = 1
 """
 
 
+def _feedback_oracle_sql() -> str:
+    core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
+    c1 = _BM25_CONTRIB.replace("{QSRC}", "q1")
+    c2 = _BM25_CONTRIB.replace("{QSRC}", "q")
+    return f"""
+WITH {core},
+q1(qid, term) AS (VALUES {_ft_qterms_values_sql()}),
+c1 AS ({c1}),
+s1 AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM c1 GROUP BY 1, 2),
+fb AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+    FROM s1
+  ) WHERE rn <= {PRF_R}
+),
+sumtf AS (
+  SELECT f.qid, tf.term, sum(tf.tf) AS stf
+  FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+  GROUP BY 1, 2
+),
+fbw AS (
+  SELECT st2.qid, st2.term,
+         round(st2.stf * ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) AS w
+  FROM sumtf st2
+  JOIN dfreq ON dfreq.term = st2.term
+  CROSS JOIN stats s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q1 WHERE q1.qid = st2.qid AND q1.term = st2.term
+  )
+),
+exp AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term) AS rn
+    FROM fbw
+  ) WHERE rn <= {PRF_M}
+),
+q AS (SELECT qid, term FROM q1 UNION SELECT qid, term FROM exp),
+contrib AS ({c2}),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def _suggest_oracle_sql() -> str:
     vals = ", ".join(f"({q}, '{p}')" for q, p in SUGGEST_PREFIXES)
     return f"""
@@ -2462,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_canonical": q_dedup_keep_canonical,
+        "ft_feedback_topk": q_ft_feedback_topk,
         "ft_suggest": q_ft_suggest,
         "curate_token_budget": q_curate_token_budget,
         "curate_temperature": q_curate_temperature,
@@ -2967,6 +3042,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _repetition_oracle_sql(),
         "dedup_clusters": _clusters_oracle_sql(),
         "dedup_keep_canonical": _keep_canonical_oracle_sql(),
+        "ft_feedback_topk": _feedback_oracle_sql(),
         "ft_suggest": _suggest_oracle_sql(),
         "curate_token_budget": _token_budget_oracle_sql(),
         "curate_temperature": _temperature_oracle_sql(),

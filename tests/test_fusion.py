@@ -173,3 +173,40 @@ def test_suggest_ranking(spark):
     assert sorted(by_q[1]) == [(1, "spark", 25), (2, "scan", 10), (3, "sort", 10)]
     assert sorted(by_q[2]) == [(1, "query", 9)]
     assert 3 not in by_q
+
+
+def test_pseudo_feedback_expansion(spark, tmp_path_factory):
+    """Feedback recovers a vocabulary-mismatch doc: 'defect' docs
+    co-occur with 'bug' in the feedback set, so a 'bug' query retrieves
+    the pure-'defect' doc on pass 2."""
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.index.builder import build_index, load_index
+    from vframe_spark.query.feedback import expansion_terms, pseudo_feedback_topk
+
+    rows = [
+        (0, "bug defect defect parser"),
+        (1, "bug defect defect lexer"),
+        (2, "bug defect defect triage"),
+        (3, "defect planner"),                   # no 'bug': pass-1 miss
+        (4, "unrelated garden flowers bloom"),
+        (5, "unrelated kitchen recipes baking"),
+    ]
+    rows = [(i, t, "py") for i, t in rows]
+    docs = spark.createDataFrame(rows, "src long, content string, lang string")
+    docs = assign_doc_ids(docs, ["src"])
+    out = str(tmp_path_factory.mktemp("prfidx"))
+    build_index(docs, out, shard_size=8, block_size=4, shards_per_slice=2)
+    p, t, d, meta = load_index(spark, out)
+
+    got = pseudo_feedback_topk(
+        p, t, meta, docs, [(1, "bug")], k=6, r=3, m=2
+    ).collect()
+    hit_ids = {r["doc_id"] for r in got}
+    # doc with src=3 ('defect' only) must now appear
+    src3 = {r["doc_id"] for r in docs.filter("src = 3").collect()}
+    assert src3 <= hit_ids
+
+    # expansion never re-adds original terms and respects m
+    fb = {1: sorted(hit_ids)[:3]}
+    exp = expansion_terms(docs, t, meta, fb, {1: ["bug"]}, m=2)
+    assert "bug" not in exp[1] and len(exp[1]) <= 2

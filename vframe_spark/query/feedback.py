@@ -1,0 +1,129 @@
+"""Pseudo-relevance feedback: Rocchio-style automatic query expansion.
+
+Classic two-pass retrieval (Rocchio 1971; Lucene's MoreLikeThis applied
+to the result set): run the query, assume the top ``r`` results are
+relevant, add their ``m`` strongest tf·idf terms to the query, and
+re-run. Recovers vocabulary-mismatch misses (query says "bug", corpus
+says "defect") with no model and no training data.
+
+Scale shape: pass 1 is a standard WAND batch; the feedback set is
+``r × |queries|`` rows (driver-side by construction); term statistics
+for the expansion come from two pushdown-pruned tiny jobs (the same
+jobs MLT uses); pass 2 is again one standard WAND batch over ≤
+``orig + m`` terms per query. The corpus is never scanned outside the
+two index-pruned passes.
+
+Determinism: expansion weights round to 6 dp with term-ASC tie-break;
+pass-1 relevance cuts use the engine's cross-engine rank discipline
+(4 dp score rounding, doc_id ASC ties) so the DuckDB oracle selects
+the identical feedback set.
+
+Reference parity: vframe's two-stage detect→refine pipelines (a cheap
+pass gates an expensive pass, e.g. detect + skip-cnn re-rank,
+/root/reference/src/commands/pipe/skip-cnn.py:60-87) — here both
+passes are index-pruned BM25.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_expr, tokenize_py
+from .bm25 import idf_value
+from .wand import bm25_topk_wand
+
+
+def _rank_cut(raw: DataFrame, k: int) -> DataFrame:
+    """4 dp rounding + (score DESC, doc_id ASC) rank, cut at k — the
+    engine's cross-engine tie discipline."""
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def expansion_terms(
+    docs: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    fb_docs: dict[int, list[int]],
+    orig_terms: dict[int, list[str]],
+    m: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> dict[int, list[str]]:
+    """Top-``m`` new terms per query from its feedback docs: weight =
+    (Σ tf over the feedback set) × idf, 6 dp, term-ASC ties; terms
+    already in the query are never re-added."""
+    all_ids = sorted({d for ds in fb_docs.values() for d in ds})
+    if not all_ids:
+        return {qid: [] for qid in fb_docs}
+    tf_rows = (
+        docs.filter(F.col(id_col).isin(all_ids))
+        .select(F.col(id_col).alias("fid"), F.explode(tokenize_expr(F.col(text_col))).alias("term"))
+        .groupBy("fid", "term")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    )
+    vocab = sorted({r["term"] for r in tf_rows})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(vocab)).collect()
+    }
+    tf_by_doc: dict[int, dict[str, int]] = {}
+    for r in tf_rows:
+        tf_by_doc.setdefault(int(r["fid"]), {})[r["term"]] = int(r["tf"])
+    n_docs = int(meta["n_docs"])
+    out: dict[int, list[str]] = {}
+    for qid, ds in fb_docs.items():
+        orig = set(orig_terms.get(qid, []))
+        sumtf: dict[str, int] = {}
+        for d in ds:
+            for t, tf in tf_by_doc.get(int(d), {}).items():
+                sumtf[t] = sumtf.get(t, 0) + tf
+        scored = sorted(
+            (-round(tf * idf_value(n_docs, dfs[t]), 6), t)
+            for t, tf in sumtf.items()
+            if t not in orig and t in dfs
+        )
+        out[qid] = [t for _, t in scored[:m]]
+    return out
+
+
+def pseudo_feedback_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    r: int = 5,
+    m: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Two-pass feedback retrieval → (qid, rank, doc_id, score) of the
+    EXPANDED query. Queries whose first pass matches nothing run
+    unexpanded (their original terms still score)."""
+    first = bm25_topk_wand(postings, term_stats, meta, queries, k=3 * r)
+    fb_rows = _rank_cut(first, r).select("qid", "doc_id").collect()
+    fb_docs: dict[int, list[int]] = {qid: [] for qid, _ in queries}
+    for row in fb_rows:
+        fb_docs[int(row["qid"])].append(int(row["doc_id"]))
+    orig = {qid: sorted(set(tokenize_py(q))) for qid, q in queries}
+    exp = expansion_terms(
+        docs, term_stats, meta, fb_docs, orig, m, id_col, text_col
+    )
+    expanded = [
+        (qid, sorted(set(orig[qid]) | set(exp.get(qid, []))))
+        for qid, _ in queries
+        if orig[qid] or exp.get(qid)
+    ]
+    if not expanded:
+        spark = postings.sparkSession
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    raw = bm25_topk_wand(postings, term_stats, meta, expanded, k=k, pre_tokenized=True)
+    return raw.select("qid", "rank", "doc_id", "score")
