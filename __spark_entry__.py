@@ -1852,6 +1852,53 @@ def q_text_repetition(spark, sf_dir):
 DUP_SPAN_N = 4
 
 
+# Synthetic per-doc URLs (corpus has no url column): host varies by
+# doc_id mod 5, exercising subdomain rollup + a blocklisted domain.
+_URL_HOSTS = [
+    "news.example.com", "cdn.example.com", "spam.biz",
+    "www.other.org", "blog.other.org",
+]
+URL_BLOCKLIST = ["spam.biz"]
+
+
+def _with_urls(spark, sf_dir):
+    d = F.col("doc_id")
+    host = None
+    for i, h in enumerate(_URL_HOSTS):
+        b = (d % 5 == i, F.lit(h))
+        host = F.when(*b) if host is None else host.when(*b)
+    url = F.concat(F.lit("https://user@"), host, F.lit("/p/"), d.cast("string"))
+    return _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+
+
+def _urls_synth_sql() -> str:
+    cases = " ".join(
+        f"WHEN doc_id % 5 = {i} THEN '{h}'" for i, h in enumerate(_URL_HOSTS)
+    )
+    return (
+        f"SELECT doc_id, 'https://user@' || (CASE {cases} END) "
+        f"|| '/p/' || doc_id AS url FROM documents"
+    )
+
+
+def q_web_domain_stats(spark, sf_dir):
+    """Per-registered-domain doc counts + corpus share — the provenance
+    rollup behind per-domain share caps. One groupBy on the short
+    domain key; regexes replayed byte-identically in the oracle."""
+    from vframe_spark.functions.urls import domain_stats
+
+    return domain_stats(_with_urls(spark, sf_dir), "url")
+
+
+def q_web_domain_filter(spark, sf_dir):
+    """Blocklist filter: drop docs whose registered domain is listed —
+    a pure whole-stage-codegen predicate, no join, no shuffle."""
+    from vframe_spark.functions.urls import domain_filter, url_domain
+
+    kept = domain_filter(_with_urls(spark, sf_dir), "url", blocklist=URL_BLOCKLIST)
+    return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
+
+
 PRF_R = 5  # pseudo-relevance feedback depth (docs assumed relevant)
 PRF_M = 5  # expansion terms per query
 
@@ -2220,6 +2267,30 @@ FROM best WHERE rn = 1
 """
 
 
+def _domain_stats_oracle_sql() -> str:
+    from vframe_spark.functions.urls import url_domain_duckdb_sql
+
+    dom = url_domain_duckdb_sql("url")
+    return f"""
+WITH u AS ({_urls_synth_sql()}),
+c AS (SELECT {dom} AS domain, count(*)::BIGINT AS n_docs FROM u GROUP BY 1)
+SELECT domain, n_docs,
+       round(n_docs::DOUBLE / (SELECT sum(n_docs) FROM c), 6) AS share
+FROM c
+"""
+
+
+def _domain_filter_oracle_sql() -> str:
+    from vframe_spark.functions.urls import url_domain_duckdb_sql
+
+    dom = url_domain_duckdb_sql("url")
+    blocked = ", ".join(f"'{d}'" for d in URL_BLOCKLIST)
+    return f"""
+WITH u AS ({_urls_synth_sql()})
+SELECT doc_id, {dom} AS domain FROM u WHERE {dom} NOT IN ({blocked})
+"""
+
+
 def _feedback_oracle_sql() -> str:
     core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
     c1 = _BM25_CONTRIB.replace("{QSRC}", "q1")
@@ -2538,6 +2609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "ft_feedback_topk": q_ft_feedback_topk,
         "ft_suggest": q_ft_suggest,
+        "web_domain_stats": q_web_domain_stats,
+        "web_domain_filter": q_web_domain_filter,
         "curate_token_budget": q_curate_token_budget,
         "curate_temperature": q_curate_temperature,
         "curate_dup_spans": q_curate_dup_spans,
@@ -3044,6 +3117,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_canonical": _keep_canonical_oracle_sql(),
         "ft_feedback_topk": _feedback_oracle_sql(),
         "ft_suggest": _suggest_oracle_sql(),
+        "web_domain_stats": _domain_stats_oracle_sql(),
+        "web_domain_filter": _domain_filter_oracle_sql(),
         "curate_token_budget": _token_budget_oracle_sql(),
         "curate_temperature": _temperature_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),

@@ -112,3 +112,53 @@ def test_curate_corpus_gates_and_dedup(spark):
     assert kept[1]["lang_guess"] == "en"
     s = curation_summary(docs, out)
     assert s["n_in"] == 5 and s["n_out"] == 2
+
+
+def test_url_domain_functions(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from vframe_spark.functions.urls import (
+        domain_filter,
+        domain_stats,
+        extract_host,
+        url_domain,
+        url_domain_duckdb_sql,
+    )
+
+    rows = [
+        (1, "https://news.example.com/a?x=1"),
+        (2, "http://user:pw@CDN.Example.com:8080/b#frag"),
+        (3, "https://spam.biz/"),
+        (4, "ftp://files.sub.other.org/path"),
+        (5, "https://localhost/x"),
+        (6, "not a url at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: (r["h"], r["d"])
+        for r in df.select(
+            "doc_id",
+            extract_host(F.col("url")).alias("h"),
+            url_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert got[1] == ("news.example.com", "example.com")
+    assert got[2] == ("cdn.example.com", "example.com")  # userinfo+port+case
+    assert got[3] == ("spam.biz", "spam.biz")
+    assert got[4] == ("files.sub.other.org", "other.org")
+    assert got[5] == ("localhost", "localhost")  # single label passes through
+    assert got[6] == ("", "")
+
+    # duckdb twin agrees value-for-value
+    sql = url_domain_duckdb_sql("?::VARCHAR")
+    for did, url in rows:
+        assert duckdb.execute(f"SELECT {sql}", [url]).fetchone()[0] == got[did][1]
+
+    kept = {r["doc_id"] for r in domain_filter(df, "url", blocklist=["SPAM.biz"]).collect()}
+    assert kept == {1, 2, 4, 5, 6}
+    only = {r["doc_id"] for r in domain_filter(df, "url", allowlist=["example.com"]).collect()}
+    assert only == {1, 2}
+
+    stats = {r["domain"]: (r["n_docs"], r["share"]) for r in domain_stats(df, "url").collect()}
+    assert stats["example.com"] == (2, round(2 / 6, 6))

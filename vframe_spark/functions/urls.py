@@ -1,0 +1,81 @@
+"""URL/domain functions for web-corpus curation: host extraction,
+registered-domain rollup, and blocklist filtering — the provenance
+gates (drop spam domains, cap per-domain share) every web-scale
+training pipeline applies before content-level filters, since they
+prune whole partitions for the cost of one regexp on a short column.
+
+Patterns stay in the Java-regex ∩ RE2 subset so the DuckDB oracle
+replays them byte-identically (same discipline as `functions.pii`).
+
+Reference parity: vframe's filelist include/exclude path filtering
+(/root/reference/src/commands/pipe/open.py:63-87 — select inputs by
+where they came from, before decoding anything).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://[userinfo@]HOST[:port][/...] — group 1 is the host
+URL_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def extract_host(col: Column) -> Column:
+    """Lowercased hostname of a URL ('' when the value isn't a URL)."""
+    return F.lower(F.regexp_extract(col, URL_HOST_PATTERN, 1))
+
+
+def registered_domain(col: Column) -> Column:
+    """Last-two-label domain of a host (``a.b.example.com`` →
+    ``example.com``); single-label hosts pass through. A heuristic, not
+    the public-suffix list — good enough for share caps and blocklists;
+    swap in a PSL lookup table (broadcast join) where ``co.uk``-style
+    suffixes matter."""
+    return F.regexp_extract(col, r"([^.]+\.[^.]+)$|^([^.]+)$", 0)
+
+
+def url_domain(col: Column) -> Column:
+    """registered_domain ∘ extract_host."""
+    return registered_domain(extract_host(col))
+
+
+def domain_stats(
+    docs: DataFrame, url_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(domain, n_docs, share) — one groupBy on the (short) domain key;
+    the share denominator folds in via a single-row cross join, not a
+    second corpus pass."""
+    d = docs.select(url_domain(F.col(url_col)).alias("domain"), id_col)
+    counts = d.groupBy("domain").agg(F.count("*").cast("bigint").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "domain", "n_docs", F.round(F.col("n_docs") / F.col("_t"), 6).alias("share")
+    )
+
+
+def domain_filter(
+    docs: DataFrame,
+    url_col: str,
+    blocklist: list[str] | None = None,
+    allowlist: list[str] | None = None,
+) -> DataFrame:
+    """Drop rows whose registered domain is blocklisted (or keep only
+    allowlisted ones). The list folds in as an ``isin`` literal —
+    whole-stage-codegen filter, no join, no shuffle; for million-entry
+    lists switch to a broadcast anti/semi join on the domain column."""
+    if (blocklist is None) == (allowlist is None):
+        raise ValueError("pass exactly one of blocklist / allowlist")
+    dom = url_domain(F.col(url_col))
+    if blocklist is not None:
+        return docs.filter(~dom.isin([d.lower() for d in blocklist]))
+    return docs.filter(dom.isin([d.lower() for d in allowlist]))
+
+
+def url_domain_duckdb_sql(col: str) -> str:
+    """DuckDB twin of :func:`url_domain` (same two regexes)."""
+    host = f"lower(coalesce(regexp_extract({col}, '{URL_HOST_PATTERN}', 1), ''))"
+    return (
+        f"coalesce(regexp_extract({host}, "
+        f"'([^.]+\\.[^.]+)$|^([^.]+)$', 0), '')"
+    )
