@@ -1899,6 +1899,19 @@ def q_web_domain_filter(spark, sf_dir):
     return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
 
 
+URL_MAX_SHARE = 0.25  # per-domain corpus share cap
+
+
+def q_web_domain_cap(spark, sf_dir):
+    """Per-domain share cap: hash-downsample any registered domain above
+    25% of the corpus. Cut arithmetic is all-integer, so the oracle
+    reproduces every cut exactly."""
+    from vframe_spark.functions.urls import domain_cap_sample, url_domain
+
+    kept = domain_cap_sample(_with_urls(spark, sf_dir), "url", URL_MAX_SHARE)
+    return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
+
+
 PRF_R = 5  # pseudo-relevance feedback depth (docs assumed relevant)
 PRF_M = 5  # expansion terms per query
 
@@ -2291,6 +2304,19 @@ SELECT doc_id, {dom} AS domain FROM u WHERE {dom} NOT IN ({blocked})
 """
 
 
+def _domain_cap_oracle_sql() -> str:
+    from vframe_spark.functions.urls import (
+        domain_cap_sample_duckdb_sql,
+        url_domain_duckdb_sql,
+    )
+
+    inner = domain_cap_sample_duckdb_sql(
+        "url", URL_MAX_SHARE, table=f"({_urls_synth_sql()})"
+    )
+    dom = url_domain_duckdb_sql("url")
+    return f"SELECT doc_id, {dom} AS domain FROM ({inner})"
+
+
 def _feedback_oracle_sql() -> str:
     core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
     c1 = _BM25_CONTRIB.replace("{QSRC}", "q1")
@@ -2611,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": q_ft_suggest,
         "web_domain_stats": q_web_domain_stats,
         "web_domain_filter": q_web_domain_filter,
+        "web_domain_cap": q_web_domain_cap,
         "curate_token_budget": q_curate_token_budget,
         "curate_temperature": q_curate_temperature,
         "curate_dup_spans": q_curate_dup_spans,
@@ -3119,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest": _suggest_oracle_sql(),
         "web_domain_stats": _domain_stats_oracle_sql(),
         "web_domain_filter": _domain_filter_oracle_sql(),
+        "web_domain_cap": _domain_cap_oracle_sql(),
         "curate_token_budget": _token_budget_oracle_sql(),
         "curate_temperature": _temperature_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),

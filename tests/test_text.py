@@ -162,3 +162,24 @@ def test_url_domain_functions(spark):
 
     stats = {r["domain"]: (r["n_docs"], r["share"]) for r in domain_stats(df, "url").collect()}
     assert stats["example.com"] == (2, round(2 / 6, 6))
+
+
+def test_domain_cap_sample(spark):
+    from pyspark.sql import functions as F
+    from vframe_spark.functions.urls import domain_cap_sample, url_domain
+
+    # big.com 80 docs, small.org 20 docs; cap at 30% of 100 = 30 docs
+    rows = [(i, f"https://{'big.com' if i < 80 else 'small.org'}/{i}")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = domain_cap_sample(df, "url", 0.30)
+    by_dom = {
+        r["d"]: r["n"]
+        for r in kept.select(url_domain(F.col("url")).alias("d"))
+        .groupBy("d").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom["small.org"] == 20          # under the cap: untouched
+    assert 15 <= by_dom["big.com"] <= 45      # hash-sampled toward 30
+    # deterministic: second run keeps the identical rows
+    again = {r["doc_id"] for r in domain_cap_sample(df, "url", 0.30).collect()}
+    assert again == {r["doc_id"] for r in kept.collect()}

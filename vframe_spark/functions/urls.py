@@ -79,3 +79,78 @@ def url_domain_duckdb_sql(col: str) -> str:
         f"coalesce(regexp_extract({host}, "
         f"'([^.]+\\.[^.]+)$|^([^.]+)$', 0), '')"
     )
+
+
+def domain_cap_sample(
+    docs: DataFrame,
+    url_col: str,
+    max_share: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Cap any registered domain at ``max_share`` of the corpus by
+    deterministic hash downsampling — the anti-head-domain gate (one
+    site must not dominate the training mix).
+
+    cap = floor(max_share × total); a domain with n_i ≤ cap keeps
+    everything, a bigger one keeps ≈ cap docs via the portable hash
+    predicate ``hash mod DENOM < floor(DENOM × cap / n_i)``. ALL cut
+    arithmetic is integer, so the DuckDB oracle reproduces every cut
+    exactly — no float rounding to disagree on.
+
+    Shape: one count agg over the (short) domain key; the filter joins
+    per-domain cuts back by domain — broadcast when the domain table is
+    small, a plain shuffle-on-domain otherwise; the doc bodies move
+    only if their row survives downstream.
+    """
+    from ..operators.curate import SAMPLE_DENOM, _sample_hash
+
+    d = docs.withColumn("_dom", url_domain(F.col(url_col)))
+    counts = d.groupBy("_dom").agg(F.count("*").alias("_n"))
+    total = counts.agg(F.sum("_n")).first()[0] or 0
+    import math
+
+    cap = int(math.floor(float(max_share) * total))
+    # `div` (integral division): exact at any magnitude — a double `/`
+    # would silently lose precision past 2^53 at real corpus sizes.
+    cuts = counts.select(
+        "_dom",
+        F.least(
+            F.lit(SAMPLE_DENOM).cast("bigint"),
+            F.expr(f"CAST({SAMPLE_DENOM * cap} AS BIGINT) div _n"),
+        ).alias("_cut"),
+    )
+    bucket = F.pmod(_sample_hash(id_col, salt), F.lit(SAMPLE_DENOM))
+    return (
+        d.join(F.broadcast(cuts), "_dom")
+        .filter(bucket < F.col("_cut"))
+        .drop("_dom", "_cut")
+    )
+
+
+def domain_cap_sample_duckdb_sql(
+    url_col: str,
+    max_share: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`domain_cap_sample` (same integer cuts)."""
+    from ..operators.curate import SAMPLE_DENOM, sample_hash_duckdb_sql
+
+    dom = url_domain_duckdb_sql(url_col)
+    h = sample_hash_duckdb_sql(id_col, salt)
+    return f"""
+SELECT * EXCLUDE (_dom, _cut) FROM (
+  SELECT t.*, c._cut FROM (SELECT *, {dom} AS _dom FROM {table}) t
+  JOIN (
+    -- floor() before the cast: DuckDB CAST rounds, Python int() floors
+    SELECT _dom,
+           least({SAMPLE_DENOM},
+                 ({SAMPLE_DENOM} * CAST(floor({max_share} * (SELECT count(*) FROM {table})) AS BIGINT)
+                  // count(*))::BIGINT) AS _cut
+    FROM (SELECT {dom} AS _dom FROM {table}) GROUP BY 1
+  ) c USING (_dom)
+)
+WHERE ({h} % {SAMPLE_DENOM}) < _cut
+"""
