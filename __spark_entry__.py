@@ -1899,6 +1899,32 @@ def q_web_domain_filter(spark, sf_dir):
     return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
 
 
+EXPLAIN_TOP = 3  # explain the per-term anatomy of each query's top docs
+
+
+def q_ft_explain(spark, sf_dir):
+    """Lucene-explain parity: per-TERM BM25 breakdown (tf, df, idf,
+    tf_norm, contrib at 6 dp) for each reference query's top docs —
+    the scoring pipeline with the final aggregation left off; summing
+    contrib reproduces the score the ranker assigned."""
+    from vframe_spark.query.bm25 import bm25_scores, explain_scores, query_terms_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    tokens = tokenize_docs(docs, lang_col=None).cache()
+    n_docs = docs.count()
+    total = (
+        tokens.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+        .agg(F.sum("dl")).collect()[0][0]
+    )
+    avgdl = float(total) / n_docs
+    tstats = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = query_terms_df(spark, FT_QUERIES)
+    scores = bm25_scores(tokens, tstats, qterms, n_docs, avgdl)
+    top = _rounded_rank(scores, EXPLAIN_TOP).select("qid", "doc_id")
+    ex = explain_scores(tokens, tstats, qterms, n_docs, avgdl)
+    return ex.join(F.broadcast(top), ["qid", "doc_id"])
+
+
 URL_MAX_SHARE = 0.25  # per-domain corpus share cap
 
 
@@ -2304,6 +2330,39 @@ SELECT doc_id, {dom} AS domain FROM u WHERE {dom} NOT IN ({blocked})
 """
 
 
+def _explain_oracle_sql() -> str:
+    core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
+    idf = "ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+    tfn = f"(tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))"
+    return f"""
+WITH {core},
+q(qid, term) AS (VALUES {_ft_qterms_values_sql()}),
+ex AS (
+  SELECT q.qid, tf.doc_id, q.term,
+         tf.tf::BIGINT AS tf, dfreq.df::BIGINT AS df,
+         round({idf}, 6) AS idf,
+         round({tfn}, 6) AS tf_norm,
+         round({idf} * {tfn}, 6) AS contrib,
+         {idf} * {tfn} AS c_raw
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (SELECT qid, doc_id, round(sum(c_raw), 4) AS score FROM ex GROUP BY 1, 2),
+top AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+    FROM score
+  ) WHERE rn <= {EXPLAIN_TOP}
+)
+SELECT e.qid::INT AS qid, e.doc_id, e.term, e.tf, e.df, e.idf, e.tf_norm, e.contrib
+FROM ex e JOIN top USING (qid, doc_id)
+"""
+
+
 def _domain_cap_oracle_sql() -> str:
     from vframe_spark.functions.urls import (
         domain_cap_sample_duckdb_sql,
@@ -2635,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "ft_feedback_topk": q_ft_feedback_topk,
         "ft_suggest": q_ft_suggest,
+        "ft_explain": q_ft_explain,
         "web_domain_stats": q_web_domain_stats,
         "web_domain_filter": q_web_domain_filter,
         "web_domain_cap": q_web_domain_cap,
@@ -3144,6 +3204,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_canonical": _keep_canonical_oracle_sql(),
         "ft_feedback_topk": _feedback_oracle_sql(),
         "ft_suggest": _suggest_oracle_sql(),
+        "ft_explain": _explain_oracle_sql(),
         "web_domain_stats": _domain_stats_oracle_sql(),
         "web_domain_filter": _domain_filter_oracle_sql(),
         "web_domain_cap": _domain_cap_oracle_sql(),

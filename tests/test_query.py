@@ -412,3 +412,32 @@ def test_local_engine_search_after_pages_exactly(spark, corpus, index):
     # paging off the end returns empty, not an error
     tail = eng.topk(q, k=5, after=(1 << 60, float("-inf")))
     assert tail == []
+
+
+def test_explain_contributions_sum_to_score(spark, corpus):
+    from pyspark.sql import functions as F
+    from vframe_spark.index.build import tokenize_docs
+    from vframe_spark.query.bm25 import bm25_scores, explain_scores, query_terms_df
+
+    docs, _ = corpus
+    tokens = tokenize_docs(docs, lang_col=None).cache()
+    n_docs = docs.count()
+    avgdl = (
+        tokens.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+        .agg(F.avg("dl")).collect()[0][0]
+    )
+    tstats = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    queries = [(1, "data analysis"), (2, "spark streaming")]
+    qterms = query_terms_df(spark, queries)
+    scores = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in bm25_scores(tokens, tstats, qterms, n_docs, avgdl).collect()
+    }
+    ex = explain_scores(tokens, tstats, qterms, n_docs, avgdl).collect()
+    sums = {}
+    for r in ex:
+        sums[(r["qid"], r["doc_id"])] = sums.get((r["qid"], r["doc_id"]), 0.0) + r["contrib"]
+        assert r["tf"] >= 1 and r["df"] >= 1 and r["idf"] > 0
+    assert set(sums) == set(scores)
+    for key, s in sums.items():
+        assert abs(s - scores[key]) < 1e-4, key

@@ -141,3 +141,46 @@ def bm25f_topk_df(
 ) -> DataFrame:
     """Top-k field-weighted BM25 → (qid, rank, doc_id, score)."""
     return topk(bm25f_scores(docs, fields, queries, id_col), k)
+
+
+def explain_scores(
+    tokens: DataFrame,
+    term_stats: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """Lucene-explain parity: the per-TERM anatomy of every (query, doc)
+    BM25 score — (qid, doc_id, term, tf, df, idf, tf_norm, contrib),
+    components rounded to 6 dp for cross-engine comparison. Summing
+    ``contrib`` per (qid, doc_id) reproduces :func:`bm25_scores` —
+    the plan is the same broadcast-join pipeline with the final
+    aggregation left off, so explaining costs no more than scoring.
+    """
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    qstats = term_stats.join(F.broadcast(qterms), "term").withColumn("idf", idf)
+    tfnorm = (
+        F.col("tf")
+        * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(float(avgdl)))
+        )
+    )
+    return (
+        tokens.join(F.broadcast(qstats), "term")
+        .select(
+            "qid",
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("idf", 6).alias("idf"),
+            F.round(tfnorm, 6).alias("tf_norm"),
+            F.round(F.col("idf") * tfnorm, 6).alias("contrib"),
+        )
+    )
