@@ -127,3 +127,51 @@ def test_facet_match_set_prunes_scan(spark, small_index):
     m = match_set(postings, meta, [(1, "data parse")])
     plan = plan_of(m)
     assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:200]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from vframe_spark.operators.curate import decontaminate
+
+    docs = synth_docs(spark, 80, partitions=2).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    bench = docs.limit(5)
+    out = decontaminate(docs, bench, n=3, report=True)
+    plan = plan_of(out)
+    # the benchmark gram set broadcasts — the corpus gram stream must
+    # never be the shuffled side of a sort-merge join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hash_samplers_are_shuffle_free(spark):
+    from vframe_spark.operators.curate import stratified_sample, temperature_sample
+
+    docs = synth_docs(spark, 80, partitions=2).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    strat = stratified_sample(docs, "lang", {"py": 0.5}, default_rate=0.2)
+    assert "Exchange" not in plan_of(strat), "stratified_sample shuffles"
+    temp = temperature_sample(docs, "lang", alpha=0.5)
+    assert "Exchange" not in plan_of(temp), "temperature filter shuffles"
+
+
+def test_domain_filter_is_shuffle_free(spark):
+    from vframe_spark.functions.urls import domain_filter
+
+    docs = synth_docs(spark, 60, partitions=2).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    ).withColumn("url", F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com/x")))
+    out = domain_filter(docs, "url", blocklist=["example.com"])
+    assert "Exchange" not in plan_of(out), "domain_filter shuffles"
+
+
+def test_suggest_broadcasts_prefixes(spark):
+    from vframe_spark.query.prefix import suggest
+
+    stats = spark.range(0, 500).select(
+        F.concat(F.lit("term"), F.col("id").cast("string")).alias("term"),
+        (F.col("id") % 50).alias("df"),
+    )
+    plan = plan_of(suggest(stats, [(1, "term1"), (2, "term2")], k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
