@@ -65,3 +65,30 @@ def test_custom_step_and_errors(spark, docs):
         Pipeline([("filter", {})])(docs)
     desc = Pipeline([("limit", {"n": 3})]).describe()
     assert desc == "limit(n=3)"
+
+
+def test_curation_steps_chain(spark):
+    """The full curation surface composes as one declarative chain."""
+    from vframe_spark.pipeline import Pipeline
+
+    rows = [
+        (i,
+         ("clean text " * 5 + f"doc {i}") if i % 3 else "mail me a@b.io now ok",
+         "en" if i % 2 else "de",
+         f"https://{'spam.biz' if i % 5 == 0 else 'ok.org'}/{i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string, url string")
+    pipe = Pipeline([
+        ("domain_filter", {"url_col": "url", "blocklist": ["spam.biz"]}),
+        ("scrub_pii", {"text_col": "content"}),
+        ("temperature_sample", {"strata_col": "lang", "alpha": 1.0}),
+        ("token_budget", {"strata_col": "lang",
+                          "budgets": {"en": 10**6, "de": 10**6}}),
+    ])
+    out = pipe(df)
+    rows_out = out.collect()
+    assert 0 < len(rows_out) <= 60
+    assert all("@" not in r["content"] for r in rows_out)   # pii scrubbed
+    assert all("spam.biz" not in r["url"] for r in rows_out)
+    assert set(out.columns) == {"doc_id", "content", "lang", "url"}

@@ -191,3 +191,70 @@ def _assign_ids(df, order_cols: list[str], id_col: str = "doc_id"):
 @register_step("limit")
 def _limit(df, n: int):
     return df.limit(n)
+
+
+@register_step("stratified_sample")
+def _stratified_sample(df, strata_col: str, rates: dict, id_col: str = "doc_id",
+                       default_rate: float = 0.0, salt: str = ""):
+    from .operators.curate import stratified_sample
+
+    return stratified_sample(df, strata_col, rates, id_col, default_rate, salt)
+
+
+@register_step("temperature_sample")
+def _temperature_sample(df, strata_col: str, alpha: float = 0.5,
+                        id_col: str = "doc_id", salt: str = ""):
+    from .operators.curate import temperature_sample
+
+    return temperature_sample(df, strata_col, alpha, id_col, salt)
+
+
+@register_step("token_budget")
+def _token_budget(df, strata_col: str, budgets: dict, id_col: str = "doc_id",
+                  text_col: str = "content", default_budget: int = 0,
+                  salt: str = ""):
+    from .operators.curate import token_budget_sample
+
+    return token_budget_sample(df, strata_col, budgets, id_col, text_col,
+                               default_budget=default_budget, salt=salt)
+
+
+@register_step("decontaminate")
+def _decontaminate(df, benchmark, n: int = 13, id_col: str = "doc_id",
+                   text_col: str = "content"):
+    """benchmark: a DataFrame (passed as a param — steps are data +
+    frames, like the reference's priors-file step)."""
+    from .operators.curate import decontaminate
+
+    return decontaminate(df, benchmark, n=n, id_col=id_col, text_col=text_col)
+
+
+@register_step("scrub_pii")
+def _scrub_pii(df, text_col: str = "content", kinds: list[str] | None = None):
+    from .functions.pii import scrub_pii
+
+    return df.withColumn(text_col, scrub_pii(F.col(text_col), kinds))
+
+
+@register_step("domain_filter")
+def _domain_filter(df, url_col: str, blocklist: list[str] | None = None,
+                   allowlist: list[str] | None = None):
+    from .functions.urls import domain_filter
+
+    return domain_filter(df, url_col, blocklist, allowlist)
+
+
+@register_step("domain_cap")
+def _domain_cap(df, url_col: str, max_share: float, id_col: str = "doc_id",
+                salt: str = ""):
+    from .functions.urls import domain_cap_sample
+
+    return domain_cap_sample(df, url_col, max_share, id_col, salt)
+
+
+@register_step("dedup_clusters")
+def _dedup_clusters_step(df, pairs, id_col: str = "doc_id"):
+    """Keep one doc per duplicate cluster of a precomputed pair frame."""
+    from .operators.cluster import dedup_keep_canonical
+
+    return dedup_keep_canonical(df, pairs, id_col=id_col)
