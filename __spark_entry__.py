@@ -2000,6 +2000,23 @@ def q_curate_token_budget(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 16, 12  # overlapping windows at sf0.01 doc sizes
+
+
+def q_text_chunks(spark, sf_dir):
+    """LM sequence chunking: fixed whitespace-token windows with
+    overlap (16-token chunks, stride 12) — pure codegen slice windows,
+    zero shuffle; chunk ids are plan-stable functions of the row."""
+    from vframe_spark.operators.curate import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE, min_tokens=2
+    )
+
+
 def q_curate_temperature(spark, sf_dir):
     """Temperature mixture rebalancing (α=0.5): per-lang keep-rate
     (n_min/n_i)^0.5 frozen from one count agg; zero-shuffle hash filter.
@@ -2456,6 +2473,14 @@ def _token_budget_oracle_sql() -> str:
     return f"SELECT doc_id, lang FROM ({inner})"
 
 
+def _chunks_oracle_sql() -> str:
+    from vframe_spark.operators.curate import chunk_documents_duckdb_sql
+
+    return chunk_documents_duckdb_sql(
+        CHUNK_TOKENS, CHUNK_STRIDE, min_tokens=2
+    )
+
+
 def _temperature_oracle_sql() -> str:
     from vframe_spark.operators.curate import temperature_sample_duckdb_sql
 
@@ -2700,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_cap": q_web_domain_cap,
         "curate_token_budget": q_curate_token_budget,
         "curate_temperature": q_curate_temperature,
+        "text_chunks": q_text_chunks,
         "curate_dup_spans": q_curate_dup_spans,
         "curate_span_coverage": q_curate_span_coverage,
         "text_pii_scrub": q_text_pii_scrub,
@@ -3210,6 +3236,7 @@ def oracle_sql() -> dict[str, str]:
         "web_domain_cap": _domain_cap_oracle_sql(),
         "curate_token_budget": _token_budget_oracle_sql(),
         "curate_temperature": _temperature_oracle_sql(),
+        "text_chunks": _chunks_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),
         "text_pii_scrub": _pii_oracle_sql(),

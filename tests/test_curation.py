@@ -330,3 +330,42 @@ def test_temperature_sample(spark):
     # smallest stratum always fully kept
     kept = temperature_sample(df, "lang", 0.5)
     assert kept.filter(F.col("lang") == "zh").count() == 10
+
+
+def test_chunk_documents_matches_bruteforce(spark):
+    from vframe_spark.operators.curate import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(25))),  # 25 tokens
+        (2, "a b c"),                               # shorter than one chunk
+        (3, ""),                                    # empty -> no chunks
+        (4, " ".join(f"x{i}" for i in range(10))),  # exact boundary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+
+    def brute(chunk, stride, min_tokens):
+        out = []
+        for did, text in rows:
+            ws = text.split()
+            start = 1
+            while start <= max(len(ws), 1):
+                c = ws[start - 1 : start - 1 + chunk]
+                if len(c) >= min_tokens:
+                    out.append((did, (start - 1) // stride, start, len(c), " ".join(c)))
+                start += stride
+        return set(out)
+
+    for chunk, stride, mn in [(10, 10, 1), (10, 6, 2), (5, 3, 3)]:
+        got = {
+            (r["doc_id"], r["chunk_id"], r["start_token"], r["n_tokens"], r["text"])
+            for r in chunk_documents(
+                df, chunk_tokens=chunk, stride=stride, min_tokens=mn
+            ).collect()
+        }
+        assert got == brute(chunk, stride, mn), (chunk, stride, mn)
+    # overlap property: consecutive chunks share chunk-stride tokens
+    c = sorted(
+        (r["chunk_id"], r["text"])
+        for r in chunk_documents(df.filter("doc_id = 1"), 10, 6).collect()
+    )
+    assert c[0][1].split()[6:] == c[1][1].split()[:4]

@@ -591,3 +591,78 @@ def stratified_sample_duckdb_sql(
     )
     default_cut = int(round(float(default_rate) * SAMPLE_DENOM))
     return f"({mixed} % {SAMPLE_DENOM}) < (CASE {cases} ELSE {default_cut} END)"
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Split documents into fixed-size whitespace-token windows — the
+    sequence-packing precursor every LM training pipeline runs (long
+    docs become ``chunk_tokens``-token examples; ``stride`` <
+    ``chunk_tokens`` gives overlapping context windows).
+
+    Returns (id, chunk_id, start_token, n_tokens, text): windows start
+    at 1, 1+stride, …; each takes up to ``chunk_tokens`` tokens; tails
+    shorter than ``min_tokens`` drop. ``chunk_id = (start-1) / stride``
+    — a pure function of the row, so ids are plan-stable. Whitespace
+    tokens (not the code tokenizer) so chunk text reassembles the
+    original wording with normalized spacing.
+
+    Pure Catalyst (split → sequence → posexplode-free slice windows):
+    whole-stage codegen, zero shuffle, cost linear in corpus size with
+    a ×(chunk/stride) output factor the caller chose.
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    ws = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    d = docs.select(F.col(id_col), ws.alias("_ws")).withColumn("_n", F.size("_ws"))
+    starts = F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1)), F.lit(stride))
+    c = F.slice(F.col("_ws"), F.col("start_token"), chunk_tokens)
+    return (
+        d.select(id_col, "_ws", F.explode(starts).alias("start_token"))
+        .withColumn("_c", c)
+        .filter(F.size("_c") >= min_tokens)
+        .select(
+            id_col,
+            ((F.col("start_token") - 1) / F.lit(stride)).cast("int").alias("chunk_id"),
+            "start_token",
+            F.size("_c").cast("bigint").alias("n_tokens"),
+            F.array_join("_c", " ").alias("text"),
+        )
+    )
+
+
+def chunk_documents_duckdb_sql(
+    chunk_tokens: int,
+    stride: int,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (same window rule)."""
+    return f"""
+WITH w AS (
+  SELECT {id_col},
+         list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS ws
+  FROM {table}
+),
+s AS (
+  SELECT {id_col}, ws, i AS start_token
+  FROM w, UNNEST(range(1, greatest(len(ws), 1) + 1, {stride})) AS u(i)
+),
+c AS (SELECT *, ws[start_token:start_token + {chunk_tokens - 1}] AS ck FROM s)
+SELECT {id_col},
+       ((start_token - 1) // {stride})::INT AS chunk_id,
+       start_token,
+       len(ck)::BIGINT AS n_tokens,
+       array_to_string(ck, ' ') AS text
+FROM c WHERE len(ck) >= {min_tokens}
+"""
