@@ -152,6 +152,8 @@ def main() -> None:
         "ft_hybrid_rrf",
         "ft_fuzzy_topk",
         "ft_more_like_this",
+        "ft_feedback_topk",
+        "ft_suggest",
         "sim_ivf_topk",
         "ft_tokenize_tf",
         "dedup_exact_groups",
@@ -163,6 +165,11 @@ def main() -> None:
         "dedup_clusters",
         "curate_decontaminate",
         "curate_sample_stratified",
+        "curate_token_budget",
+        "curate_temperature",
+        "text_chunks",
+        "web_domain_cap",
+        "text_pii_scrub",
         "text_repetition",
         "det_conf_filter",
         "text_quality",
@@ -176,6 +183,14 @@ def main() -> None:
         "rel_range_join",
     ]
     qfns = E.queries()
+    # Attribute the one-off contract-index builds to their own rows so
+    # per-query timings reflect query cost, not first-touch build cost.
+    t0 = time.time()
+    E._ft_index(spark, SF_DIR)
+    timings["ft_index_build_sf"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    E._ft_index_pos(spark, SF_DIR)
+    timings["ft_index_build_pos_sf"] = round(time.time() - t0, 3)
     for name in headline:
         t0 = time.time()
         materialize(qfns[name](spark, SF_DIR))
