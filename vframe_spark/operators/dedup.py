@@ -373,6 +373,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams (SQL-expressible oracle).
 
@@ -385,6 +386,14 @@ def ngram_jaccard_pairs(
     with df = 10^6 emits ~10^12 pairs — correct at toy scale, a
     scale-killer at 100 TB; such shingles carry ~no Jaccard signal.
     ``None`` disables the cap (exact textbook Jaccard).
+
+    ``materialize=True`` localCheckpoints the capped shingle table —
+    it feeds three consumers (sizes + both self-join sides) and the
+    optimizer plans each from scratch (no ReusedExchange across them).
+    Measured at sf0.1 the recompute is largely hidden by scan/stage
+    reuse (warm runs tie within noise), so lazy stays the default; flip
+    it when the shingle pass is expensive relative to its output (big
+    docs, small distinct-shingle sets).
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(content_col), n)).alias("shingle"))
@@ -398,6 +407,8 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
+    if materialize:
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
