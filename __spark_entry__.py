@@ -1899,6 +1899,28 @@ def q_web_domain_filter(spark, sf_dir):
     return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
 
 
+# Regex search: mixed accelerated / fallback patterns. RE2 ∩ Java-regex
+# syntax so the DuckDB oracle runs the identical pattern.
+REGEX_QUERIES = [
+    (1, r"\bdata\b \banalysis\b"),   # auto-prefilter ['analysis','data']
+    (2, r"\bspark\b \bstream\w*"),   # prefilter ['spark'], verify tail
+    (3, r"window merge"),            # no safe prefilter -> full scan
+]
+
+
+def q_ft_regex_search(spark, sf_dir):
+    """Zoekt-style index-accelerated grep: required whole-token literals
+    (conservatively auto-extracted) prune candidates through the
+    conjunctive posting match set; the exact regex verifies only the
+    candidates via a doc_id semi-join. Unprunable patterns full-scan.
+    The DuckDB full-scan oracle IS the losslessness check."""
+    from vframe_spark.query.grep import regex_search
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return regex_search(docs, REGEX_QUERIES, postings=postings, meta=meta)
+
+
 EXPLAIN_TOP = 3  # explain the per-term anatomy of each query's top docs
 
 
@@ -2347,6 +2369,15 @@ SELECT doc_id, {dom} AS domain FROM u WHERE {dom} NOT IN ({blocked})
 """
 
 
+def _regex_oracle_sql() -> str:
+    vals = ", ".join(f"({q}, '{p}')" for q, p in REGEX_QUERIES)
+    return f"""
+WITH p(qid, pat) AS (SELECT * FROM (VALUES {vals}))
+SELECT p.qid::INT AS qid, d.doc_id
+FROM p JOIN documents d ON regexp_matches(d.text, p.pat)
+"""
+
+
 def _explain_oracle_sql() -> str:
     core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
     idf = "ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))"
@@ -2720,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_feedback_topk": q_ft_feedback_topk,
         "ft_suggest": q_ft_suggest,
         "ft_explain": q_ft_explain,
+        "ft_regex_search": q_ft_regex_search,
         "web_domain_stats": q_web_domain_stats,
         "web_domain_filter": q_web_domain_filter,
         "web_domain_cap": q_web_domain_cap,
@@ -3231,6 +3263,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_feedback_topk": _feedback_oracle_sql(),
         "ft_suggest": _suggest_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
+        "ft_regex_search": _regex_oracle_sql(),
         "web_domain_stats": _domain_stats_oracle_sql(),
         "web_domain_filter": _domain_filter_oracle_sql(),
         "web_domain_cap": _domain_cap_oracle_sql(),

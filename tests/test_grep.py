@@ -1,0 +1,61 @@
+"""Index-accelerated regex search: prefilter soundness + full-scan parity."""
+
+from vframe_spark.query.grep import regex_search, safe_prefilter_tokens
+
+
+def test_safe_prefilter_extraction():
+    # both words explicitly \b-bounded -> both required
+    assert safe_prefilter_tokens(r"\bspark\b\s+\bstream\b") == ["spark", "stream"]
+    # unanchored head and \w*-suffixed tail are NOT whole-token-safe
+    assert safe_prefilter_tokens(r"spark\s+stream\w*") == []
+    # end-of-pattern is not a boundary (substring semantics)
+    assert safe_prefilter_tokens("data analysis") == []
+    # alternation/groups/classes: nothing is *required*
+    assert safe_prefilter_tokens(r"\b(spark|flink)\b") == []
+    assert safe_prefilter_tokens(r"\b[sf]park\b") == []
+    # ^ anchors, \s+ right boundary is fine; \s? is not (can match empty)
+    assert safe_prefilter_tokens(r"^data\s+rest") == ["data"]
+    assert safe_prefilter_tokens(r"\bspark\s?thing\b") == []
+    # quantified right space can match empty
+    assert safe_prefilter_tokens(r"\bspark\s*x") == []
+
+
+def test_regex_search_accelerated_equals_full_scan(spark, tmp_path_factory):
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.index.builder import build_index, load_index
+
+    rows = [
+        (0, "the spark stream runs fast", "py"),
+        (1, "pyspark streams are different", "py"),      # substring trap
+        (2, "spark streaming with state", "py"),
+        (3, "data analysisfoo mangled", "py"),           # tail trap
+        (4, "clean data analysis here", "py"),
+        (5, "nothing relevant at all", "py"),
+    ]
+    docs = spark.createDataFrame(rows, "src long, content string, lang string")
+    docs = assign_doc_ids(docs, ["src"])
+    out = str(tmp_path_factory.mktemp("grepidx"))
+    build_index(docs, out, shard_size=8, block_size=4, shards_per_slice=2)
+    p, t, d, meta = load_index(spark, out)
+
+    queries = [
+        (1, r"\bspark\b \bstream\b"),     # safe two-token prefilter
+        (2, r"spark\s+stream\w*"),        # no safe prefilter -> full scan
+        (3, r"data analysis"),            # substring match incl. doc 3
+        (4, r"\bzzz\b \bmissing\b"),      # no hits
+    ]
+    accel = {
+        (r["qid"], r["doc_id"])
+        for r in regex_search(docs, queries, postings=p, meta=meta).collect()
+    }
+    full = {
+        (r["qid"], r["doc_id"])
+        for r in regex_search(docs, queries).collect()
+    }
+    assert accel == full
+    # sanity on the traps: qid 2 must include the pyspark row via full
+    # scan only if the regex really matches it ("pyspark streams" does)
+    ids_by_src = {r["src"]: r["doc_id"] for r in docs.collect()}
+    assert (2, ids_by_src[1]) in full
+    assert (3, ids_by_src[3]) in full and (3, ids_by_src[4]) in full
+    assert not any(q == 4 for q, _ in full)

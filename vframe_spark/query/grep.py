@@ -1,0 +1,97 @@
+"""Index-accelerated regex search over the corpus (code-grep mode).
+
+Zoekt/Google-Code-Search shape adapted to a TOKEN index: required
+whole-token literals extracted from (or supplied with) the pattern
+prune candidates through the inverted index's conjunctive match set —
+only those queries' posting blocks are read — and the exact regex then
+verifies ONLY the candidate docs (their ids semi-join the source scan,
+so the corpus is never regex-scanned). Patterns with no safe required
+token fall back to a full rlike scan, which is always correct, just
+unpruned.
+
+Losslessness: a prefilter token is sound iff *every* text matching the
+pattern contains it as a complete code-tokenizer token.
+``safe_prefilter_tokens`` guarantees that by construction — it only
+accepts lowercase-alnum literals explicitly bounded by ``\\b``/``\\s``/
+space on BOTH sides, and bails to "no prefilter" whenever the pattern
+contains alternation, groups, or classes (a qualified literal inside
+``(a|b)`` is not *required*). Callers may pass stronger prefilters
+they can vouch for; pytest cross-checks accelerated == full scan.
+
+Reference parity: vframe's `skip-file --if` predicate scan over file
+paths (/root/reference/src/commands/pipe/skip-file.py) generalized to
+content regex with index pruning.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A literal qualifies only when bracketed by explicit boundary atoms.
+# Left boundary is CONSUMED, so a quantifier between it and the literal
+# (e.g. '\s?spark') breaks the match and the literal is skipped — safe.
+# Right boundary is a lookahead, so it must itself refuse a following
+# '*'/'?' ('spark\s*' can match "sparkfoo" with zero whitespace), and
+# END OF PATTERN is NOT a boundary (rlike is substring search: pattern
+# 'data analysis' matches inside "…data analysisfoo…", where 'analysis'
+# is not a whole token).
+_BOUND_L = r"(?:\\b|\\s\+?|\^| )"
+_BOUND_R = r"(?:\\b(?![*?])|\\s(?![*?])|\$| (?![*?]))"
+_SAFE_LITERAL = re.compile(_BOUND_L + r"([a-z0-9]+)(?=" + _BOUND_R + r")")
+_UNSAFE_CHARS = ("|", "(", "[", "{")
+
+
+def safe_prefilter_tokens(pattern: str) -> list[str]:
+    """Required whole-token literals of ``pattern``, conservatively:
+    [] (no pruning, full scan) whenever in doubt."""
+    if any(c in pattern for c in _UNSAFE_CHARS):
+        return []
+    return sorted({m.group(1) for m in _SAFE_LITERAL.finditer(pattern)})
+
+
+def regex_search(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    postings: DataFrame | None = None,
+    meta: dict | None = None,
+    prefilters: dict[int, list[str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """→ (qid, doc_id) of docs whose text matches each regex.
+
+    With an index: each query's prefilter tokens (explicit via
+    ``prefilters``, else auto-extracted) select candidates through the
+    conjunctive match set; the regex verifies candidates only. Without
+    an index or a usable prefilter, that query full-scans.
+    """
+    from .facets import match_set
+
+    spark = docs.sparkSession
+    outs: list[DataFrame] = []
+    for qid, pattern in queries:
+        toks = (prefilters or {}).get(qid)
+        if toks is None:
+            toks = safe_prefilter_tokens(pattern)
+        hit = F.col(text_col).rlike(pattern)
+        if toks and postings is not None and meta is not None:
+            cand = match_set(
+                postings, meta, [(qid, " ".join(sorted(set(toks))))], mode="and"
+            ).select(F.col("doc_id").alias(id_col))
+            base = docs.join(cand, id_col, "left_semi")
+        else:
+            base = docs
+        outs.append(
+            base.filter(hit).select(
+                F.lit(int(qid)).alias("qid"), F.col(id_col).alias("doc_id")
+            )
+        )
+    if not outs:
+        return spark.createDataFrame([], "qid int, doc_id bigint")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
