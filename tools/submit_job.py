@@ -43,9 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--query", action="append", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=("or", "and", "phrase"), default="or",
+    q.add_argument("--mode", choices=("or", "and", "phrase", "grep"), default="or",
                    help="or = ranked union (WAND); and = posting-list intersection; "
-                        "phrase = adjacent-run match (needs --docs-parquet)")
+                        "phrase = adjacent-run match (needs --docs-parquet); "
+                        "grep = regex over content, index-accelerated when the "
+                        "pattern carries safe whole-token literals "
+                        "(needs --docs-parquet)")
     q.add_argument("--docs-parquet", default=None,
                    help="docs table for phrase verification (mode=phrase)")
     q.add_argument("--content-col", default="content")
@@ -118,6 +121,23 @@ def main(argv: list[str] | None = None) -> int:
         # soft-deleted docs are excluded on every query path by default
         dead = load_tombstones(spark, args.index)
         queries = [(i + 1, s) for i, s in enumerate(args.query)]
+        if args.mode == "grep":
+            if not args.docs_parquet:
+                ap.error("mode=grep requires --docs-parquet")
+            from vframe_spark.query.grep import regex_search
+
+            docs = spark.read.parquet(args.docs_parquet)
+            if args.content_col != "content":
+                docs = docs.withColumnRenamed(args.content_col, "content")
+            hits = regex_search(docs, queries, postings=postings, meta=meta)
+            if dead:
+                from pyspark.sql import functions as F
+
+                hits = hits.filter(~F.col("doc_id").isin(list(dead)))
+            for r in hits.collect():
+                print(json.dumps({"qid": r["qid"], "doc_id": r["doc_id"]}))
+            spark.stop()
+            return 0
         if args.mode == "phrase":
             if meta.get("positions"):
                 # positional index → resolve the phrase inside the scan
