@@ -348,3 +348,46 @@ def test_near_dedup_stream_banded_equals_exact_and_bounded_state(spark, tmp_path
     got2 = {r["path"] for r in spark.read.parquet(sink2).collect()}
     # all 5 distinct kept; dup0 re-admitted because its twin was evicted
     assert got2 == {f"d{i}.py" for i in range(5)} | {"dup0.py"}
+
+
+def test_stream_ingest_with_curation_gate(spark, tmp_path):
+    """A curation Pipeline applied per micro-batch keeps gated docs out
+    of the streamed index entirely."""
+    from pyspark.sql import functions as F
+
+    from vframe_spark.pipeline import Pipeline
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    docs = synth_docs(spark, 60, partitions=2)
+    # poison half the docs with a marker the gate removes
+    poisoned = docs.withColumn(
+        "content",
+        F.when(F.xxhash64("path") % 2 == 0,
+               F.concat(F.lit("ZZDROPME "), F.col("content"))
+               ).otherwise(F.col("content")),
+    )
+    poisoned.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as _g
+    import shutil as _sh
+
+    _sh.copy(_g.glob(str(tmp_path / "stage" / "*.parquet"))[0],
+             os.path.join(src, "drop_0.parquet"))
+
+    gate = Pipeline([("filter", {"where": "content NOT LIKE 'ZZDROPME%'"})])
+    q = incremental_index_stream(
+        read_doc_stream(spark, src),
+        idx, ckpt, shard_size=SHARD, block_size=BLOCK, shards_per_slice=SPS,
+        curate=gate,
+    )
+    q.awaitTermination(120)
+
+    postings, term_stats, doc_stats, meta = load_index(spark, idx)
+    n_poisoned = poisoned.filter("content LIKE 'ZZDROPME%'").count()
+    assert 0 < n_poisoned < 60
+    assert meta["n_docs"] == 60 - n_poisoned
+    # the marker token never reached the index
+    assert term_stats.filter(F.col("term") == "zzdropme").count() == 0

@@ -71,6 +71,11 @@ def regex_search(
     from .facets import match_set
 
     spark = docs.sparkSession
+    for qid, pattern in queries:
+        try:
+            re.compile(pattern)
+        except re.error as e:  # fail fast on the driver, not per-task
+            raise ValueError(f"query {qid}: invalid regex {pattern!r}: {e}") from e
     outs: list[DataFrame] = []
     for qid, pattern in queries:
         toks = (prefilters or {}).get(qid)

@@ -82,6 +82,7 @@ def incremental_index_stream(
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
     trigger_available_now: bool = True,
     positions: bool = False,
+    curate=None,
 ):
     """Start (and return) the streaming query appending slices to ``out_dir``.
 
@@ -89,6 +90,14 @@ def incremental_index_stream(
     via :func:`vframe_spark.index.builder.load_index`. ``positions=True``
     builds positional slices (must match the batch-built index's flag —
     the slice schemas are unioned at read time).
+
+    ``curate``: optional DataFrame→DataFrame transform (e.g. a
+    ``pipeline.Pipeline`` of quality/PII/domain gates) applied to each
+    micro-batch BEFORE indexing — foreachBatch hands us a static frame,
+    so the full batch curation surface composes unchanged. Per-batch
+    semantics: corpus-relative steps (temperature/token budgets) see one
+    batch at a time — use stateless gates here and run mixture sampling
+    as a batch job over the finished corpus.
     """
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -97,6 +106,8 @@ def incremental_index_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
 
+        if curate is not None:
+            batch_df = curate(batch_df)
         n = batch_df.count()
         if n == 0:
             return
