@@ -67,3 +67,32 @@ def test_delete_then_purge(spark, tmp_path, corpus):
     stats = idx.compact()
     assert "postings" in stats
     assert victim not in {r["doc_id"] for r in idx.search("data", k=5).collect()}
+
+
+def test_facade_round2_surfaces(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from vframe_spark.api import SearchIndex
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 80, partitions=2), ["repo", "path", "commit"]
+    ).cache()
+    out = str(tmp_path_factory.mktemp("apiidx2"))
+    idx = SearchIndex.build(docs, out, shard_size=32, block_size=8,
+                            shards_per_slice=2)
+
+    sug = idx.suggest("d", k=3).collect()
+    assert sug and all(r["term"].startswith("d") for r in sug)
+
+    seed = docs.select(F.min("doc_id")).first()[0]
+    mlt = idx.more_like_this(docs, [int(seed)], m=5, k=4).collect()
+    assert mlt and all(r["doc_id"] != seed for r in mlt)
+
+    fb = idx.feedback_search(docs, "data analysis", k=5).collect()
+    assert len(fb) == 5
+
+    hits = idx.grep(docs, r"\bdata\b").collect()
+    full = docs.filter(F.col("content").rlike(r"\bdata\b")).count()
+    assert len(hits) == full

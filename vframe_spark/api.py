@@ -198,3 +198,52 @@ class SearchIndex:
         _, _, doc_stats, _ = self._parts()
         return verify_content(doc_stats, docs, id_col=id_col,
                               content_col=content_col, include_ok=include_ok)
+
+    # -- round-2-final query surfaces ---------------------------------------
+
+    def suggest(self, prefix: str | list[tuple[int, str]], k: int = 10) -> DataFrame:
+        """Autocomplete from the index vocabulary → (qid, rank, term, df)."""
+        from .query.prefix import suggest
+
+        _, term_stats, _, _ = self._parts()
+        prefixes = [(1, prefix)] if isinstance(prefix, str) else list(prefix)
+        return suggest(term_stats, prefixes, k=k)
+
+    def more_like_this(self, docs: DataFrame, seed_ids: list[int],
+                       m: int = 10, k: int = 10,
+                       id_col: str = "doc_id",
+                       content_col: str = "content") -> DataFrame:
+        """Document-as-query retrieval → (qid=seed id, rank, doc_id, score)."""
+        from .query.mlt import more_like_this
+
+        postings, term_stats, _, meta = self._parts()
+        return more_like_this(postings, term_stats, meta, docs, seed_ids,
+                              m=m, k=k, id_col=id_col, text_col=content_col)
+
+    def feedback_search(self, docs: DataFrame,
+                        query: str | list[tuple[int, str]],
+                        k: int = 10, r: int = 5, m: int = 5,
+                        id_col: str = "doc_id",
+                        content_col: str = "content") -> DataFrame:
+        """Pseudo-relevance-feedback retrieval (two-pass Rocchio)."""
+        from .query.feedback import pseudo_feedback_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return pseudo_feedback_topk(postings, term_stats, meta, docs, queries,
+                                    k=k, r=r, m=m, id_col=id_col,
+                                    text_col=content_col)
+
+    def grep(self, docs: DataFrame, pattern: str | list[tuple[int, str]],
+             prefilters: dict[int, list[str]] | None = None,
+             id_col: str = "doc_id",
+             content_col: str = "content") -> DataFrame:
+        """Regex search → (qid, doc_id); index-accelerated when the
+        pattern carries safe whole-token literals."""
+        from .query.grep import regex_search
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, pattern)] if isinstance(pattern, str) else list(pattern)
+        return regex_search(docs, queries, postings=postings, meta=meta,
+                            prefilters=prefilters, id_col=id_col,
+                            text_col=content_col)
