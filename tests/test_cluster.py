@@ -100,3 +100,36 @@ def test_duplicate_clusters_and_keep_canonical(spark):
 def test_cc_empty_edges(spark):
     empty = spark.createDataFrame([], "src: bigint, dst: bigint")
     assert connected_components(empty, "src", "dst").count() == 0
+
+
+def test_cc_hypothesis_random_graphs(spark):
+    """Property: CC == union-find on arbitrary random edge lists,
+    through BOTH execution paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 60), st.integers(0, 60)),
+            min_size=0, max_size=80,
+        )
+    )
+    def check(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(
+            edges or [(0, 0)], "src: bigint, dst: bigint"
+        )
+        if not edges:
+            df = df.filter("src != dst")
+        want = set(_uf_components(edges).items())
+        for threshold in (10**6, 0):
+            got = {
+                (r["node"], r["component"])
+                for r in connected_components(
+                    df, "src", "dst", driver_threshold=threshold
+                ).collect()
+            }
+            assert got == want
+
+    check()

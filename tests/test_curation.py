@@ -369,3 +369,33 @@ def test_chunk_documents_matches_bruteforce(spark):
         for r in chunk_documents(df.filter("doc_id = 1"), 10, 6).collect()
     )
     assert c[0][1].split()[6:] == c[1][1].split()[:4]
+
+
+def test_chunking_hypothesis_total_coverage(spark):
+    """Property: with stride == chunk (no overlap) and min_tokens=1,
+    chunks partition the token stream exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vframe_spark.operators.curate import chunk_documents
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.lists(word, min_size=0, max_size=40), min_size=1, max_size=5),
+           st.integers(1, 9))
+    def check(doc_tokens, chunk):
+        rows = [(i, " ".join(ts)) for i, ts in enumerate(doc_tokens)]
+        df = spark.createDataFrame(rows, "doc_id long, content string")
+        got = chunk_documents(df, chunk_tokens=chunk).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["text"])
+            )
+        for i, ts in enumerate(doc_tokens):
+            parts = [t for _, t in sorted(by_doc.get(i, []))]
+            rejoined = " ".join(p for p in parts if p)
+            assert rejoined == " ".join(ts)
+
+    check()
