@@ -1899,6 +1899,24 @@ def q_web_domain_filter(spark, sf_dir):
     return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
 
 
+SESSION_GAP_S = 600  # sessionization gap
+
+
+def q_rel_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag-flag-cumsum over a per-user window)
+    rolled up to session stats — the batch form of the reference's
+    per-group scene segmentation."""
+    from vframe_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=SESSION_GAP_S)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
+
+
 # Regex search: mixed accelerated / fallback patterns. RE2 ∩ Java-regex
 # syntax so the DuckDB oracle runs the identical pattern.
 REGEX_QUERIES = [
@@ -2369,6 +2387,29 @@ SELECT doc_id, {dom} AS domain FROM u WHERE {dom} NOT IN ({blocked})
 """
 
 
+def _sessionize_oracle_sql() -> str:
+    g = SESSION_GAP_S
+    return f"""
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {g} * 1000000
+              THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+y AS (
+  SELECT user_id, ts,
+         (sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+  FROM x
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(ts) AS t_start, max(ts) AS t_end
+FROM y GROUP BY 1, 2
+"""
+
+
 def _regex_oracle_sql() -> str:
     vals = ", ".join(f"({q}, '{p}')" for q, p in REGEX_QUERIES)
     return f"""
@@ -2752,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": q_ft_suggest,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
+        "rel_sessionize": q_rel_sessionize,
         "web_domain_stats": q_web_domain_stats,
         "web_domain_filter": q_web_domain_filter,
         "web_domain_cap": q_web_domain_cap,
@@ -3264,6 +3306,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest": _suggest_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
+        "rel_sessionize": _sessionize_oracle_sql(),
         "web_domain_stats": _domain_stats_oracle_sql(),
         "web_domain_filter": _domain_filter_oracle_sql(),
         "web_domain_cap": _domain_cap_oracle_sql(),

@@ -110,3 +110,32 @@ def test_range_join_timestamps_closed_both(spark):
     assert {r["pid"] for r in left_closed.collect()} == set(range(10))
     both = range_join(points, intervals, "ts", "lo", "hi", bucket_width=3600 * 4, closed="both")
     assert {r["pid"] for r in both.collect()} == set(range(11))
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    from vframe_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),                                  # u1 s0
+        (1, t0 + dt.timedelta(seconds=100)),      # u1 s0
+        (1, t0 + dt.timedelta(seconds=800)),      # gap 700 > 600 -> s1
+        (1, t0 + dt.timedelta(seconds=900)),      # u1 s1
+        (2, t0),                                  # u2 s0
+        (2, t0 + dt.timedelta(seconds=601)),      # gap 601 -> s1
+        (2, t0 + dt.timedelta(seconds=1201)),     # gap 600 (not >) -> s1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["ts"]): (r["session_id"], r["is_session_start"])
+        for r in sessionize(df, gap_seconds=600).collect()
+    }
+    assert got[(1, rows[0][1])] == (0, True)
+    assert got[(1, rows[1][1])] == (0, False)
+    assert got[(1, rows[2][1])] == (1, True)
+    assert got[(1, rows[3][1])] == (1, False)
+    assert got[(2, rows[4][1])] == (0, True)
+    assert got[(2, rows[5][1])] == (1, True)
+    assert got[(2, rows[6][1])] == (1, False)  # exactly-gap stays

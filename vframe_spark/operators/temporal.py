@@ -154,3 +154,44 @@ def range_join(
         else (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     )
     return joined.filter(bound).drop("_bucket")
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever a key's
+    inter-event gap exceeds ``gap_seconds``. Appends ``session_id`` (0-based per
+    key, so (key, session_id) is the session key) and ``is_session_start``.
+
+    One shuffle on the key + an ordered window — the canonical
+    lag-flag-cumsum plan every warehouse uses; at cluster scale the
+    window sorts only within each key's partition slice. For unbounded
+    streams use session_window() in Structured Streaming; this is the
+    batch/backfill form.
+
+    Reference parity: vframe's save-video per-group open/flush writer
+    segments a frame stream into contiguous scenes the same way
+    (/root/reference/src/commands/pipe/save-video.py — group until the
+    stream breaks).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_flag = F.when(
+        prev_us.isNull()
+        | (us - prev_us > int(gap_seconds) * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        events.withColumn("is_session_start", new_flag)
+        .withColumn(
+            "session_id",
+            (F.sum("is_session_start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ) - F.lit(1)).cast("bigint"),
+        )
+        .withColumn("is_session_start", F.col("is_session_start") == 1)
+    )
