@@ -1899,6 +1899,35 @@ def q_web_domain_filter(spark, sf_dir):
     return kept.select("doc_id", url_domain(F.col("url")).alias("domain"))
 
 
+def q_rel_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of event value per type — Spark's
+    percentile() and DuckDB's quantile_cont share the definition, so
+    values match to rounding."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def q_rel_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity date, counted
+    again at each later activity day offset — two shuffles (per-user
+    min, then (cohort, offset) distinct-count), nothing user-quadratic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort", F.datediff("d", "cohort").alias("day_offset"))
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
 SESSION_GAP_S = 600  # sessionization gap
 
 
@@ -2387,6 +2416,25 @@ SELECT doc_id, {dom} AS domain FROM u WHERE {dom} NOT IN ({blocked})
 """
 
 
+_PERCENTILES_ORACLE_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1
+"""
+
+_RETENTION_ORACLE_SQL = """
+WITH e AS (SELECT user_id, ts::DATE AS d FROM events),
+f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+SELECT f.cohort, (e.d - f.cohort)::INT AS day_offset,
+       count(DISTINCT e.user_id)::BIGINT AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def _sessionize_oracle_sql() -> str:
     g = SESSION_GAP_S
     return f"""
@@ -2794,6 +2842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "rel_sessionize": q_rel_sessionize,
+        "rel_percentiles": q_rel_percentiles,
+        "rel_retention_cohorts": q_rel_retention_cohorts,
         "web_domain_stats": q_web_domain_stats,
         "web_domain_filter": q_web_domain_filter,
         "web_domain_cap": q_web_domain_cap,
@@ -3307,6 +3357,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "rel_sessionize": _sessionize_oracle_sql(),
+        "rel_percentiles": _PERCENTILES_ORACLE_SQL,
+        "rel_retention_cohorts": _RETENTION_ORACLE_SQL,
         "web_domain_stats": _domain_stats_oracle_sql(),
         "web_domain_filter": _domain_filter_oracle_sql(),
         "web_domain_cap": _domain_cap_oracle_sql(),
