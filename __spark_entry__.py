@@ -1928,6 +1928,35 @@ def q_rel_retention_cohorts(spark, sf_dir):
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_rel_funnel(spark, sf_dir):
+    """Ordered funnel: users reaching each step with strictly increasing
+    first-times (first view < first click after it < …). One conditional
+    pivot per user (single shuffle), then a scalar rollup — the standard
+    warehouse funnel, never a per-user path explosion."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    # step k reached iff t0 < t1 < ... < tk (strict, all non-null)
+    reached = []
+    cond = F.col("t0").isNotNull()
+    reached.append(F.sum(cond.cast("long")).alias("step_1_view"))
+    for i in range(1, len(FUNNEL_STEPS)):
+        cond = cond & F.col(f"t{i}").isNotNull() & (
+            F.col(f"t{i}") > F.col(f"t{i - 1}")
+        )
+        reached.append(
+            F.sum(cond.cast("long")).alias(f"step_{i + 1}_{FUNNEL_STEPS[i]}")
+        )
+    return per_user.agg(*reached)
+
+
 SESSION_GAP_S = 600  # sessionization gap
 
 
@@ -2416,6 +2445,22 @@ SELECT doc_id, {dom} AS domain FROM u WHERE {dom} NOT IN ({blocked})
 """
 
 
+_FUNNEL_ORACLE_SQL = """
+WITH p AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY 1
+)
+SELECT sum((t0 IS NOT NULL)::INT)::BIGINT AS step_1_view,
+       sum((t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0)::INT)::BIGINT
+         AS step_2_click,
+       sum((t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+            AND t2 IS NOT NULL AND t2 > t1)::INT)::BIGINT AS step_3_purchase
+FROM p
+"""
+
 _PERCENTILES_ORACLE_SQL = """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -2843,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_regex_search": q_ft_regex_search,
         "rel_sessionize": q_rel_sessionize,
         "rel_percentiles": q_rel_percentiles,
+        "rel_funnel": q_rel_funnel,
         "rel_retention_cohorts": q_rel_retention_cohorts,
         "web_domain_stats": q_web_domain_stats,
         "web_domain_filter": q_web_domain_filter,
@@ -3358,6 +3404,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_regex_search": _regex_oracle_sql(),
         "rel_sessionize": _sessionize_oracle_sql(),
         "rel_percentiles": _PERCENTILES_ORACLE_SQL,
+        "rel_funnel": _FUNNEL_ORACLE_SQL,
         "rel_retention_cohorts": _RETENTION_ORACLE_SQL,
         "web_domain_stats": _domain_stats_oracle_sql(),
         "web_domain_filter": _domain_filter_oracle_sql(),
