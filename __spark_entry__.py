@@ -1975,6 +1975,50 @@ def q_rel_sessionize(spark, sf_dir):
     )
 
 
+_INDEX_TRI_CACHE: dict[str, str] = {}
+
+
+def _ft_index_tri(spark, sf_dir):
+    """Build (once per sf_dir) the character-TRIGRAM index — substring-
+    lossless regex acceleration (index/trigram.py) reusing the sharded
+    posting stack over hex-encoded trigram tokens."""
+    from vframe_spark.index.trigram import build_trigram_index
+
+    if sf_dir not in _INDEX_TRI_CACHE:
+        from vframe_spark.index.codec import FORMAT_VERSION
+
+        tag = hashlib.md5(f"{FORMAT_VERSION}:tri:{sf_dir}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
+        docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+        build_trigram_index(
+            docs, out, shard_size=256, block_size=64, shards_per_slice=4
+        )
+        _INDEX_TRI_CACHE[sf_dir] = out
+    return load_index(spark, _INDEX_TRI_CACHE[sf_dir])
+
+
+# Trigram regex set: substring literals the TOKEN index cannot prune
+# (cross-token 'k j', mid-identifier), plus an unprunable alternation.
+TRIGRAM_REGEX_QUERIES = [
+    (1, r"spark\s+stream"),      # unanchored literals, token path can't prune
+    (2, r"sort table"),          # cross-token (space inside the literal)
+    (3, r"streams?"),            # quantifier -> prefix literal
+    (4, r"(data|value) merge"),  # alternation: conservative parser -> full scan
+]
+
+
+def q_ft_trigram_regex(spark, sf_dir):
+    """Zoekt-proper regex acceleration: EVERY ≥3-char literal (across
+    token boundaries) prunes through the trigram index's conjunctive
+    match set, exact rlike verifies candidates only. The DuckDB
+    full-scan oracle is the losslessness proof."""
+    from vframe_spark.index.trigram import trigram_regex_search
+
+    postings, _, _, meta = _ft_index_tri(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return trigram_regex_search(docs, TRIGRAM_REGEX_QUERIES, postings, meta)
+
+
 # Regex search: mixed accelerated / fallback patterns. RE2 ∩ Java-regex
 # syntax so the DuckDB oracle runs the identical pattern.
 REGEX_QUERIES = [
@@ -2480,6 +2524,15 @@ GROUP BY 1, 2
 """
 
 
+def _trigram_regex_oracle_sql() -> str:
+    vals = ", ".join(f"({q}, '{p}')" for q, p in TRIGRAM_REGEX_QUERIES)
+    return f"""
+WITH p(qid, pat) AS (SELECT * FROM (VALUES {vals}))
+SELECT p.qid::INT AS qid, d.doc_id
+FROM p JOIN documents d ON regexp_matches(d.text, p.pat)
+"""
+
+
 def _sessionize_oracle_sql() -> str:
     g = SESSION_GAP_S
     return f"""
@@ -2886,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": q_ft_suggest,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
+        "ft_trigram_regex": q_ft_trigram_regex,
         "rel_sessionize": q_rel_sessionize,
         "rel_percentiles": q_rel_percentiles,
         "rel_funnel": q_rel_funnel,
@@ -3402,6 +3456,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest": _suggest_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
+        "ft_trigram_regex": _trigram_regex_oracle_sql(),
         "rel_sessionize": _sessionize_oracle_sql(),
         "rel_percentiles": _PERCENTILES_ORACLE_SQL,
         "rel_funnel": _FUNNEL_ORACLE_SQL,

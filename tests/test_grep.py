@@ -59,3 +59,74 @@ def test_regex_search_accelerated_equals_full_scan(spark, tmp_path_factory):
     assert (2, ids_by_src[1]) in full
     assert (3, ids_by_src[3]) in full and (3, ids_by_src[4]) in full
     assert not any(q == 4 for q, _ in full)
+
+
+# ------------------------------------------------------- trigram index
+
+def test_required_literals():
+    from vframe_spark.index.trigram import required_literals
+
+    assert required_literals(r"spark\s+stream") == ["spark", "stream"]
+    assert required_literals(r"\bdata\b \banalysis\b") == [" ", "analysis", "data"][1:]
+    # quantifier makes the run's last char optional -> prefix kept
+    assert required_literals(r"streams?") == ["stream"]
+    assert required_literals(r"ab+c") == []          # conservative pops 'b'
+    assert required_literals(r"Spark2Flink") == ["spark2flink"]  # lowercased
+    assert required_literals(r"(spark|flink)") == []  # alternation bails
+    assert required_literals(r"sp.rk") == []          # runs under min_len
+    assert required_literals(r"xy") == []
+
+
+def test_trigram_regex_search_equals_full_scan(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.index.builder import load_index
+    from vframe_spark.index.trigram import (
+        build_trigram_index,
+        trigram_regex_search,
+        trigram_tokens_expr,
+    )
+
+    rows = [
+        (0, "the spark stream runs fast", "py"),
+        (1, "pyspark streams are different", "py"),   # cross-token substring
+        (2, "spark streaming with state", "py"),
+        (3, "data analysisfoo mangled", "py"),
+        (4, "clean data analysis here", "py"),
+        (5, "nothing relevant at all", "py"),
+        (6, "sp", "py"),                              # shorter than a trigram
+    ]
+    docs = spark.createDataFrame(rows, "src long, content string, lang string")
+    docs = assign_doc_ids(docs, ["src"])
+    out = str(tmp_path_factory.mktemp("triidx"))
+    build_trigram_index(docs, out, shard_size=8, block_size=4, shards_per_slice=2)
+    p, t, d, meta = load_index(spark, out)
+
+    queries = [
+        (1, r"spark\s+stream"),   # accelerated, must catch "pyspark streams"
+        (2, r"data analysis"),    # accelerated, substring incl. doc 3
+        (3, r"streams?"),         # prefix-literal acceleration
+        (4, r"(a|b)cde"),         # no safe literal -> full scan
+        (5, r"zzznotthere"),      # accelerated, zero candidates
+    ]
+    accel = {
+        (r["qid"], r["doc_id"])
+        for r in trigram_regex_search(docs, queries, p, meta).collect()
+    }
+    full = set()
+    for qid, pat in queries:
+        for r in docs.filter(F.col("content").rlike(pat)).collect():
+            full.add((qid, r["doc_id"]))
+    assert accel == full
+    ids = {r["src"]: r["doc_id"] for r in docs.collect()}
+    assert (1, ids[1]) in accel          # the pyspark trap IS caught
+    assert (2, ids[3]) in accel
+    assert not any(q == 5 for q, _ in accel)
+
+    # expr/py trigram twins agree
+    from vframe_spark.index.trigram import hex_trigrams_py
+
+    row = docs.select(trigram_tokens_expr(F.col("content")).alias("g"),
+                      "content").first()
+    assert sorted(set(row["g"])) == hex_trigrams_py(row["content"])

@@ -1,0 +1,176 @@
+"""Character-trigram index: substring-lossless regex acceleration.
+
+The token index accelerates regexes only when a literal is a whole
+code-tokenizer token (`query.grep`); Google Code Search / Zoekt instead
+index every CHARACTER TRIGRAM, so *any* literal of ≥3 chars — across
+token boundaries, inside identifiers, spanning spaces — prunes
+candidates. This module builds that index by REUSING the entire posting
+stack (sharding, PFor-delta blocks, manifest, resumability, tombstones,
+compaction): each doc's lowercased text becomes a stream of hex-encoded
+trigram tokens (`lower(hex(utf8(tri)))` — lowercase-alnum, so the
+canonical tokenizer passes them through untouched), and `build_index`
+does the rest.
+
+Query side: conservative literal extraction walks the pattern (escapes
+are opaque, alternation/classes/groups bail, a trailing quantifier
+drops the run's last char), lowercases the literals (doc trigrams are
+lowercased, and case-sensitive matches still contain the lowercased
+trigrams), ANDs all their trigrams through the conjunctive match set,
+and verifies ONLY candidates with the exact regex. Patterns with no
+≥3-char literal full-scan. Lossless by construction: text matching a
+pattern that contains literal L contains L, hence every trigram of
+lower(L).
+
+Reference parity: the reference's domain is retrieval over source
+archives; this is the standard industrial design for regex over code
+(Cox, "Regular Expression Matching with a Trigram Index", 2012 —
+public google/codesearch design notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def trigram_tokens_expr(col: Column) -> Column:
+    """array<string> of hex-encoded trigrams of ``lower(col)`` (empty
+    for texts shorter than 3 chars). Pure Catalyst — whole-stage
+    codegen, never Python."""
+    lc = F.lower(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(lc) - F.lit(2)),
+        lambda i: F.lower(F.hex(F.encode(F.substring(lc, i, 3), "utf-8"))),
+    )
+    return F.when(F.length(lc) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def hex_trigrams_py(literal: str) -> list[str]:
+    """Driver-side twin of the per-trigram encoding (sorted, distinct)."""
+    s = literal.lower()
+    return sorted(
+        {s[i : i + 3].encode("utf-8").hex().lower() for i in range(len(s) - 2)}
+    )
+
+
+def build_trigram_index(
+    docs: DataFrame,
+    out_dir: str,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    **build_kwargs,
+):
+    """Build the trigram index next to (not instead of) the token index.
+
+    Same resumable sharded builder; the derived "documents" are the
+    space-joined trigram token streams. Trigram vocabulary is bounded
+    (≤ alphabet³ distinct grams), so term-hash partitioning faces heavy
+    df skew — exactly what the builder's (term, shard) structural cap
+    already handles for stopword-class tokens.
+    """
+    from .builder import build_index
+
+    derived = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(trigram_tokens_expr(F.col(content_col)), " ").alias("content"),
+    )
+    return build_index(derived, out_dir, content_col="content",
+                       lang_col=None, **build_kwargs)
+
+
+_UNSAFE = ("|", "(", "[", "{")
+_QUANT = ("?", "*", "+", "{")
+
+
+def required_literals(pattern: str, min_len: int = 3) -> list[str]:
+    """Literal substrings every match must contain, conservatively.
+
+    Walk the pattern: a backslash makes the next char opaque (escape),
+    any alternation/group/class anywhere bails to [] (a literal inside
+    one is not *required*), '.' and other metachars break the run, and
+    a quantifier after a run makes its LAST char optional — the run
+    keeps its prefix. Lowercased (trigram side is lowercased)."""
+    if any(c in pattern for c in _UNSAFE):
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+    i = 0
+    meta = set(".^$?*+)]}")
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            i += 2  # escape: opaque atom
+            continue
+        if ch in _QUANT:
+            if cur:
+                cur.pop()  # quantifier binds the previous char
+                runs.append("".join(cur))
+                cur = []
+            i += 1
+            continue
+        if ch in meta:
+            if cur:
+                runs.append("".join(cur))
+                cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if cur:
+        runs.append("".join(cur))
+    return sorted({r.lower() for r in runs if len(r) >= min_len})
+
+
+def trigram_regex_search(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    postings: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """→ (qid, doc_id): regex matches, trigram-pruned where possible.
+
+    Per query: required literals → their trigram tokens ANDed through
+    the match set → candidates verified with the exact regex via a
+    doc_id semi-join; no usable literal → full scan for that query.
+    """
+    import re
+
+    from ..query.facets import match_set
+
+    spark = docs.sparkSession
+    for qid, pattern in queries:
+        try:
+            re.compile(pattern)
+        except re.error as e:
+            raise ValueError(f"query {qid}: invalid regex {pattern!r}: {e}") from e
+    outs: list[DataFrame] = []
+    for qid, pattern in queries:
+        grams: list[str] = []
+        for lit in required_literals(pattern):
+            grams.extend(hex_trigrams_py(lit))
+        hit = F.col(text_col).rlike(pattern)
+        if grams:
+            cand = match_set(
+                postings, meta, [(qid, " ".join(sorted(set(grams))))], mode="and"
+            ).select(F.col("doc_id").alias(id_col))
+            base = docs.join(cand, id_col, "left_semi")
+        else:
+            base = docs
+        outs.append(
+            base.filter(hit).select(
+                F.lit(int(qid)).alias("qid"), F.col(id_col).alias("doc_id")
+            )
+        )
+    if not outs:
+        return spark.createDataFrame([], "qid int, doc_id bigint")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
