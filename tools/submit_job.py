@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--shards-per-slice", type=int, default=4)
     b.add_argument("--positions", action="store_true",
                    help="store token positions (single-phase phrase queries)")
+    b.add_argument("--trigram", action="store_true",
+                   help="build a character-trigram index (substring-lossless "
+                        "regex pruning; see index.trigram) instead of the token index")
     b.add_argument("--synth-docs", type=int, default=0,
                    help="generate a synthetic corpus of N docs instead of reading --docs-parquet")
 
@@ -52,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--docs-parquet", default=None,
                    help="docs table for phrase verification (mode=phrase)")
     q.add_argument("--content-col", default="content")
+    q.add_argument("--trigram-index", default=None,
+                   help="mode=grep: use this trigram index (index.trigram) for "
+                        "substring-lossless pruning instead of the token index")
     q.add_argument("--negation", action="store_true",
                    help="-term chunks exclude docs containing them (or/and modes)")
 
@@ -87,14 +93,23 @@ def main(argv: list[str] | None = None) -> int:
         if "doc_id" not in docs.columns:
             order = [c for c in ("repo", "path", "commit") if c in docs.columns] or docs.columns[:1]
             docs = assign_doc_ids(docs, list(order))
-        from vframe_spark.index.builder import build_index
+        if args.trigram:
+            from vframe_spark.index.trigram import build_trigram_index
 
-        meta = build_index(
-            docs, args.index, shard_size=args.shard_size, block_size=args.block_size,
-            shards_per_slice=args.shards_per_slice,
-            content_col=args.content_col, lang_col=args.lang_col,
-            positions=args.positions,
-        )
+            meta = build_trigram_index(
+                docs, args.index, content_col=args.content_col,
+                shard_size=args.shard_size, block_size=args.block_size,
+                shards_per_slice=args.shards_per_slice,
+            )
+        else:
+            from vframe_spark.index.builder import build_index
+
+            meta = build_index(
+                docs, args.index, shard_size=args.shard_size, block_size=args.block_size,
+                shards_per_slice=args.shards_per_slice,
+                content_col=args.content_col, lang_col=args.lang_col,
+                positions=args.positions,
+            )
         print(json.dumps({"built": True, **meta}))
     elif args.cmd == "delete":
         from vframe_spark.index.builder import delete_docs
@@ -124,12 +139,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.mode == "grep":
             if not args.docs_parquet:
                 ap.error("mode=grep requires --docs-parquet")
-            from vframe_spark.query.grep import regex_search
-
             docs = spark.read.parquet(args.docs_parquet)
             if args.content_col != "content":
                 docs = docs.withColumnRenamed(args.content_col, "content")
-            hits = regex_search(docs, queries, postings=postings, meta=meta)
+            if args.trigram_index:
+                from vframe_spark.index.trigram import trigram_regex_search
+
+                tp, _, _, tmeta = load_index(spark, args.trigram_index)
+                hits = trigram_regex_search(docs, queries, tp, tmeta)
+            else:
+                from vframe_spark.query.grep import regex_search
+
+                hits = regex_search(docs, queries, postings=postings, meta=meta)
             if dead:
                 from pyspark.sql import functions as F
 
