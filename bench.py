@@ -154,6 +154,13 @@ def main() -> None:
         "ft_more_like_this",
         "ft_feedback_topk",
         "ft_suggest",
+        "ft_regex_search",
+        "ft_trigram_regex",
+        "ft_explain",
+        "rel_sessionize",
+        "rel_funnel",
+        "rel_retention_cohorts",
+        "rel_percentiles",
         "sim_ivf_topk",
         "ft_tokenize_tf",
         "dedup_exact_groups",
@@ -191,6 +198,9 @@ def main() -> None:
     t0 = time.time()
     E._ft_index_pos(spark, SF_DIR)
     timings["ft_index_build_pos_sf"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    E._ft_index_tri(spark, SF_DIR)
+    timings["ft_index_build_tri_sf"] = round(time.time() - t0, 3)
     for name in headline:
         t0 = time.time()
         materialize(qfns[name](spark, SF_DIR))

@@ -70,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--purge", action="store_true",
                    help="hard-delete tombstoned docs and fold corpus stats")
 
+    st = sub.add_parser("stats", help="print per-slice lineage/metrics + totals")
+    st.add_argument("--index", required=True)
+
     m = sub.add_parser("merge", help="fold another index into this one (doc ids rebased)")
     m.add_argument("--index", required=True, help="destination index (mutated)")
     m.add_argument("--src", required=True, help="source index (read-only)")
@@ -124,6 +127,20 @@ def main(argv: list[str] | None = None) -> int:
             out["purge"] = purge_tombstones(spark, args.index)
         out["compact"] = compact_index(spark, args.index)
         print(json.dumps(out))
+    elif args.cmd == "stats":
+        from vframe_spark.index.builder import IndexPaths, load_index, read_manifest
+
+        _, _, _, meta = load_index(spark, args.index)
+        slices = list(read_manifest(IndexPaths(args.index)).values())
+        tot = {
+            "n_docs": meta.get("n_docs"),
+            "avgdl": meta.get("avgdl"),
+            "n_slices": len(slices),
+            "postings": sum(s.get("n_postings", 0) for s in slices),
+            "bytes_compressed": sum(s.get("bytes_compressed", 0) for s in slices),
+            "max_skew_ratio": max((s.get("skew_ratio") or 0.0 for s in slices), default=0.0),
+        }
+        print(json.dumps({"meta": meta, "totals": tot, "slices": slices}, default=str))
     elif args.cmd == "merge":
         from vframe_spark.index.merge import merge_indexes
 
