@@ -190,17 +190,18 @@ def main() -> None:
         "rel_range_join",
     ]
     qfns = E.queries()
-    # Attribute the one-off contract-index builds to their own rows so
-    # per-query timings reflect query cost, not first-touch build cost.
-    t0 = time.time()
-    E._ft_index(spark, SF_DIR)
-    timings["ft_index_build_sf"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    E._ft_index_pos(spark, SF_DIR)
-    timings["ft_index_build_pos_sf"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    E._ft_index_tri(spark, SF_DIR)
-    timings["ft_index_build_tri_sf"] = round(time.time() - t0, 3)
+    # One-time contract-index builds are SETUP, not headline work: they
+    # amortize over every query that reuses the on-disk index, so they
+    # report under extras (ft_build above remains the build headline)
+    # and per-query rows measure query cost only.
+    for label, fn in (
+        ("index_build_sf_sec", E._ft_index),
+        ("index_build_pos_sf_sec", E._ft_index_pos),
+        ("index_build_tri_sf_sec", E._ft_index_tri),
+    ):
+        t0 = time.time()
+        fn(spark, SF_DIR)
+        extras[label] = round(time.time() - t0, 3)
     for name in headline:
         t0 = time.time()
         materialize(qfns[name](spark, SF_DIR))
