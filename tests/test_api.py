@@ -96,3 +96,22 @@ def test_facade_round2_surfaces(spark, tmp_path_factory):
     hits = idx.grep(docs, r"\bdata\b").collect()
     full = docs.filter(F.col("content").rlike(r"\bdata\b")).count()
     assert len(hits) == full
+
+
+def test_trigram_index_facade(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from vframe_spark.api import TrigramIndex
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 60, partitions=2), ["repo", "path", "commit"]
+    ).cache()
+    out = str(tmp_path_factory.mktemp("triapi"))
+    tri = TrigramIndex.build(docs, out, shard_size=32, block_size=8,
+                             shards_per_slice=2)
+    pat = r"data\s+\w+"
+    hits = {r["doc_id"] for r in tri.grep(docs, pat).collect()}
+    full = {r["doc_id"] for r in docs.filter(F.col("content").rlike(pat)).collect()}
+    assert hits == full and hits

@@ -247,3 +247,39 @@ class SearchIndex:
         return regex_search(docs, queries, postings=postings, meta=meta,
                             prefilters=prefilters, id_col=id_col,
                             text_col=content_col)
+
+
+class TrigramIndex:
+    """Handle to an on-disk character-trigram index (index.trigram) —
+    the substring-lossless regex companion to :class:`SearchIndex`
+    (separate directory: trigram postings index a different token
+    universe). Same resumable builder underneath."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        self._loaded = None
+
+    @classmethod
+    def build(cls, docs: DataFrame, out_dir: str,
+              content_col: str = "content", **build_kwargs) -> "TrigramIndex":
+        from .index.trigram import build_trigram_index
+
+        build_trigram_index(docs, out_dir, content_col=content_col, **build_kwargs)
+        return cls(docs.sparkSession, out_dir)
+
+    def _parts(self):
+        if self._loaded is None:
+            self._loaded = load_index(self.spark, self.out_dir)
+        return self._loaded
+
+    def grep(self, docs: DataFrame, pattern: str | list[tuple[int, str]],
+             id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+        """Regex search → (qid, doc_id), every ≥3-char literal pruning
+        through the trigram match set."""
+        from .index.trigram import trigram_regex_search
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, pattern)] if isinstance(pattern, str) else list(pattern)
+        return trigram_regex_search(docs, queries, postings, meta,
+                                    id_col=id_col, text_col=content_col)
