@@ -2003,7 +2003,7 @@ TRIGRAM_REGEX_QUERIES = [
     (1, r"spark\s+stream"),      # unanchored literals, token path can't prune
     (2, r"sort table"),          # cross-token (space inside the literal)
     (3, r"streams?"),            # quantifier -> prefix literal
-    (4, r"(data|value) merge"),  # alternation: conservative parser -> full scan
+    (4, r"(data|value) merge"),  # alternation: OR-of-AND candidate sets
 ]
 
 

@@ -130,3 +130,60 @@ def test_trigram_regex_search_equals_full_scan(spark, tmp_path_factory):
     row = docs.select(trigram_tokens_expr(F.col("content")).alias("g"),
                       "content").first()
     assert sorted(set(row["g"])) == hex_trigrams_py(row["content"])
+
+
+def test_trigram_plan():
+    from vframe_spark.index.trigram import trigram_plan
+
+    assert trigram_plan(r"spark\s+stream") == (["spark", "stream"], [])
+    assert trigram_plan(r"(data|value) merge") == ([" merge"], [[["data"], ["value"]]])
+    assert trigram_plan(r"(a|value) merge") == ([" merge"], [])   # short branch
+    assert trigram_plan(r"(data|value)? merge") == ([" merge"], [])  # optional
+    assert trigram_plan(r"data|value") == ([], [[["data"], ["value"]]])
+    assert trigram_plan(r"((a|b)c)d") is None                     # nested
+    assert trigram_plan(r"ab{2}c") is None                        # counted
+    assert trigram_plan(r"[sf]park table") == (["park table"], [])  # class opaque
+    assert trigram_plan(r"streams?") == (["stream"], [])
+
+
+def test_trigram_alternation_accelerated_equals_full_scan(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.index.builder import load_index
+    from vframe_spark.index.trigram import build_trigram_index, trigram_regex_search
+
+    rows = [
+        (0, "the data merge path", "py"),
+        (1, "a value merge here", "py"),
+        (2, "no relevant merge term", "py"),    # ' merge' but wrong branch
+        (3, "data only no m-word", "py"),
+        (4, "value without the m-word", "py"),
+        (5, "spark table scans", "py"),
+        (6, "fpark table oddity", "py"),        # [sf]park class trap
+    ]
+    docs = spark.createDataFrame(rows, "src long, content string, lang string")
+    docs = assign_doc_ids(docs, ["src"])
+    out = str(tmp_path_factory.mktemp("trialt"))
+    build_trigram_index(docs, out, shard_size=8, block_size=4, shards_per_slice=2)
+    p, t, d, meta = load_index(spark, out)
+
+    queries = [
+        (1, r"(data|value) merge"),
+        (2, r"data|value"),
+        (3, r"[sf]park table"),
+        (4, r"(data|x) merge"),    # short branch -> AND-only pruning
+    ]
+    accel = {
+        (r["qid"], r["doc_id"])
+        for r in trigram_regex_search(docs, queries, p, meta).collect()
+    }
+    full = set()
+    for qid, pat in queries:
+        for r in docs.filter(F.col("content").rlike(pat)).collect():
+            full.add((qid, r["doc_id"]))
+    assert accel == full
+    ids = {r["src"]: r["doc_id"] for r in docs.collect()}
+    assert (1, ids[0]) in accel and (1, ids[1]) in accel
+    assert (1, ids[2]) not in accel
+    assert (3, ids[5]) in accel and (3, ids[6]) in accel

@@ -136,9 +136,13 @@ def trigram_regex_search(
 ) -> DataFrame:
     """→ (qid, doc_id): regex matches, trigram-pruned where possible.
 
-    Per query: required literals → their trigram tokens ANDed through
-    the match set → candidates verified with the exact regex via a
-    doc_id semi-join; no usable literal → full scan for that query.
+    Per query the Cox-style plan from :func:`trigram_plan` drives the
+    candidate algebra: the AND-literal trigrams form one conjunctive
+    match set, each alternation dimension intersects it with the UNION
+    of its branches' conjunctive sets, and the exact regex verifies only
+    the survivors via a doc_id semi-join. Unplannable patterns (or
+    plans with no ≥3-char literal anywhere) full-scan — always correct,
+    just unpruned.
     """
     import re
 
@@ -150,21 +154,34 @@ def trigram_regex_search(
             re.compile(pattern)
         except re.error as e:
             raise ValueError(f"query {qid}: invalid regex {pattern!r}: {e}") from e
+
+    def and_set(lits: list[str]) -> DataFrame | None:
+        grams = sorted({g for lit in lits for g in hex_trigrams_py(lit)})
+        if not grams:
+            return None
+        return match_set(
+            postings, meta, [(0, " ".join(grams))], mode="and"
+        ).select(F.col("doc_id").alias(id_col))
+
     outs: list[DataFrame] = []
     for qid, pattern in queries:
-        grams: list[str] = []
-        for lit in required_literals(pattern):
-            grams.extend(hex_trigrams_py(lit))
-        hit = F.col(text_col).rlike(pattern)
-        if grams:
-            cand = match_set(
-                postings, meta, [(qid, " ".join(sorted(set(grams))))], mode="and"
-            ).select(F.col("doc_id").alias(id_col))
-            base = docs.join(cand, id_col, "left_semi")
-        else:
-            base = docs
+        plan = trigram_plan(pattern)
+        cand: DataFrame | None = None
+        if plan is not None:
+            and_lits, or_dims = plan
+            cand = and_set(and_lits)
+            for dim in or_dims:
+                branch_sets = [and_set(b) for b in dim]
+                if any(b is None for b in branch_sets):
+                    continue  # an unprunable branch: dim prunes nothing
+                u = branch_sets[0]
+                for b in branch_sets[1:]:
+                    u = u.unionByName(b)
+                u = u.distinct()
+                cand = u if cand is None else cand.join(u, id_col, "left_semi")
+        base = docs if cand is None else docs.join(cand, id_col, "left_semi")
         outs.append(
-            base.filter(hit).select(
+            base.filter(F.col(text_col).rlike(pattern)).select(
                 F.lit(int(qid)).alias("qid"), F.col(id_col).alias("doc_id")
             )
         )
@@ -174,3 +191,159 @@ def trigram_regex_search(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ------------------------------------------------- alternation planner
+
+def _scan_segments(p: str):
+    """Tokenize a pattern (no nesting) into ('lit', s) runs and opaque
+    markers: ('atom', …) single opaque atoms, ('group', content),
+    ('alt',) top-level '|'. Returns None when structure is beyond the
+    planner (nested groups, backrefs via '{', unterminated syntax)."""
+    out = []
+    i, cur = 0, []
+
+    def flush():
+        if cur:
+            out.append(("lit", "".join(cur)))
+            cur.clear()
+
+    while i < len(p):
+        ch = p[i]
+        if ch == "\\":
+            flush()
+            out.append(("atom", p[i : i + 2]))
+            i += 2
+            continue
+        if ch == "{":
+            return None  # counted repeats: out of scope
+        if ch == "[":
+            j = i + 1
+            if j < len(p) and p[j] == "^":
+                j += 1
+            if j < len(p) and p[j] == "]":
+                j += 1
+            while j < len(p) and p[j] != "]":
+                j += 2 if p[j] == "\\" else 1
+            if j >= len(p):
+                return None
+            flush()
+            out.append(("atom", p[i : j + 1]))
+            i = j + 1
+            continue
+        if ch == "(":
+            depth, j = 1, i + 1
+            while j < len(p) and depth:
+                if p[j] == "\\":
+                    j += 2
+                    continue
+                if p[j] == "(":
+                    return None  # nested groups: out of scope
+                if p[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                return None
+            flush()
+            out.append(("group", p[i + 1 : j - 1]))
+            i = j
+            continue
+        if ch == ")":
+            return None
+        if ch == "|":
+            flush()
+            out.append(("alt",))
+            i += 1
+            continue
+        if ch in "?*+":
+            # quantifier binds the previous atom: a literal loses its
+            # last char; a group/atom becomes optional (drop it)
+            if cur:
+                cur.pop()
+                flush()
+            elif out and out[-1][0] in ("group", "atom"):
+                out.pop()
+            i += 1
+            continue
+        if ch in ".^$":
+            flush()
+            out.append(("atom", ch))
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    flush()
+    return out
+
+
+def _branch_literals(segments) -> list[str] | None:
+    """AND-literals of one alternation-free branch; None = unplannable."""
+    lits = []
+    for seg in segments:
+        if seg[0] == "alt":
+            return None
+        if seg[0] == "lit":
+            if len(seg[1]) >= 3:
+                lits.append(seg[1].lower())
+        elif seg[0] == "group":
+            inner = trigram_plan(seg[1])
+            if inner is None:
+                return None
+            g_and, g_or = inner
+            lits.extend(g_and)
+            # an OR inside an AND branch is handled only one level up;
+            # here it prunes nothing (conservative)
+    return lits
+
+
+def trigram_plan(pattern: str):
+    """(and_literals, or_branch_literal_sets) — the Cox-style trigram
+    query for ``pattern``, one alternation level deep.
+
+    * every literal in ``and_literals`` must appear in any match;
+    * additionally, for each entry of ``or_branch_literal_sets`` (a
+      non-empty list of branch AND-sets), at least one branch's full
+      literal set must appear.
+
+    Returns None when the pattern is beyond the planner (full scan).
+    An OR group where ANY branch yields no ≥3-char literal contributes
+    nothing (that branch can't be pruned, so neither can the OR).
+    """
+    segs = _scan_segments(pattern)
+    if segs is None:
+        return None
+    # split top level on 'alt'
+    branches, cur = [], []
+    for seg in segs:
+        if seg[0] == "alt":
+            branches.append(cur)
+            cur = []
+        else:
+            cur.append(seg)
+    branches.append(cur)
+    if len(branches) > 1:
+        sets = []
+        for b in branches:
+            lits = _branch_literals(b)
+            if lits is None:
+                return None
+            if not lits:
+                return ([], [])  # one unprunable branch → no pruning
+            sets.append(sorted(set(lits)))
+        return ([], [sets])
+    # single branch: AND of its literals, plus one OR dimension per
+    # alternation group
+    and_lits: list[str] = []
+    or_dims: list[list[list[str]]] = []
+    for seg in branches[0]:
+        if seg[0] == "lit":
+            if len(seg[1]) >= 3:
+                and_lits.append(seg[1].lower())
+        elif seg[0] == "group":
+            inner = trigram_plan(seg[1])
+            if inner is None:
+                return None
+            g_and, g_or = inner
+            and_lits.extend(g_and)
+            or_dims.extend(g_or)
+    return (sorted(set(and_lits)), or_dims)
