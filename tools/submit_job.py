@@ -163,7 +163,8 @@ def main(argv: list[str] | None = None) -> int:
                 from vframe_spark.index.trigram import trigram_regex_search
 
                 tp, _, _, tmeta = load_index(spark, args.trigram_index)
-                hits = trigram_regex_search(docs, queries, tp, tmeta)
+                hits = trigram_regex_search(docs, queries, tp, tmeta,
+                                            exclude_doc_ids=dead or None)
             else:
                 from vframe_spark.query.grep import regex_search
 

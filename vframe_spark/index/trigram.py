@@ -133,8 +133,11 @@ def trigram_regex_search(
     meta: dict,
     id_col: str = "doc_id",
     text_col: str = "content",
+    exclude_doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """→ (qid, doc_id): regex matches, trigram-pruned where possible.
+    ``exclude_doc_ids`` (e.g. soft-delete tombstones) drop before the
+    verify scan.
 
     Per query the Cox-style plan from :func:`trigram_plan` drives the
     candidate algebra: the AND-literal trigrams form one conjunctive
@@ -180,6 +183,8 @@ def trigram_regex_search(
                 u = u.distinct()
                 cand = u if cand is None else cand.join(u, id_col, "left_semi")
         base = docs if cand is None else docs.join(cand, id_col, "left_semi")
+        if exclude_doc_ids:
+            base = base.filter(~F.col(id_col).isin(list(exclude_doc_ids)))
         outs.append(
             base.filter(F.col(text_col).rlike(pattern)).select(
                 F.lit(int(qid)).alias("qid"), F.col(id_col).alias("doc_id")
