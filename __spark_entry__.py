@@ -2159,6 +2159,20 @@ def q_text_chunks(spark, sf_dir):
     )
 
 
+COLLOC_MIN_COUNT = 20
+
+
+def q_text_collocations(spark, sf_dir):
+    """Bigram PMI collocations over the token stream (≥20 occurrences):
+    the phrase-vocabulary mining pass, two groupBys + a bounded join."""
+    from vframe_spark.operators.curate import collocations
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return collocations(docs, min_count=COLLOC_MIN_COUNT)
+
+
 def q_curate_temperature(spark, sf_dir):
     """Temperature mixture rebalancing (α=0.5): per-lang keep-rate
     (n_min/n_i)^0.5 frozen from one count agg; zero-shuffle hash filter.
@@ -2699,6 +2713,35 @@ def _chunks_oracle_sql() -> str:
     )
 
 
+def _collocations_oracle_sql() -> str:
+    n = 2
+    return f"""
+WITH toks AS (SELECT {TOK_SQL} AS t FROM documents),
+pairs AS (
+  SELECT array_to_string(t[i:i + 1], ' ') AS pair
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= {n}
+),
+pc AS (
+  SELECT pair, count(*)::BIGINT AS n_pair FROM pairs GROUP BY 1
+  HAVING count(*) >= {COLLOC_MIN_COUNT}
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS n_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+tot AS (SELECT sum(n_w)::DOUBLE AS nt FROM uni)
+SELECT string_split(pair, ' ')[1] AS w1,
+       string_split(pair, ' ')[2] AS w2,
+       n_pair, a.n_w AS n_w1, b.n_w AS n_w2,
+       round(ln(n_pair * tot.nt / (a.n_w * b.n_w)), 6) AS pmi
+FROM pc
+JOIN uni a ON a.w = string_split(pair, ' ')[1]
+JOIN uni b ON b.w = string_split(pair, ' ')[2]
+CROSS JOIN tot
+"""
+
+
 def _temperature_oracle_sql() -> str:
     from vframe_spark.operators.curate import temperature_sample_duckdb_sql
 
@@ -2950,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_token_budget": q_curate_token_budget,
         "curate_temperature": q_curate_temperature,
         "text_chunks": q_text_chunks,
+        "text_collocations": q_text_collocations,
         "curate_dup_spans": q_curate_dup_spans,
         "curate_span_coverage": q_curate_span_coverage,
         "text_pii_scrub": q_text_pii_scrub,
@@ -3467,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_token_budget": _token_budget_oracle_sql(),
         "curate_temperature": _temperature_oracle_sql(),
         "text_chunks": _chunks_oracle_sql(),
+        "text_collocations": _collocations_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),
         "text_pii_scrub": _pii_oracle_sql(),

@@ -399,3 +399,38 @@ def test_chunking_hypothesis_total_coverage(spark):
             assert rejoined == " ".join(ts)
 
     check()
+
+
+def test_collocations_bruteforce(spark):
+    import math
+
+    from vframe_spark.operators.curate import collocations
+
+    rows = [
+        (1, "new york is big and new york is old"),
+        (2, "york new is not new york at all"),
+        (3, "totally unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    toks = [tokenize_py(t) for _, t in rows]
+    uni = {}
+    pair = {}
+    for ts in toks:
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    nt = sum(uni.values())
+    expect = {
+        (a, b): (
+            c, uni[a], uni[b],
+            round(math.log(c * float(nt) / (uni[a] * uni[b])), 6),
+        )
+        for (a, b), c in pair.items() if c >= 2
+    }
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["n_w1"], r["n_w2"], r["pmi"])
+        for r in collocations(df, min_count=2).collect()
+    }
+    assert got == expect
+    assert ("new", "york") in got and got[("new", "york")][0] == 3

@@ -666,3 +666,52 @@ SELECT {id_col},
        array_to_string(ck, ' ') AS text
 FROM c WHERE len(ck) >= {min_tokens}
 """
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information:
+    (w1, w2, n_pair, n_w1, n_w2, pmi) for adjacent token pairs seen at
+    least ``min_count`` times — the corpus-statistics pass behind
+    phrase vocabularies ("new york"-style merges) and domain glossaries.
+
+    pmi = ln(n_pair · N_tokens / (n_w1 · n_w2)) over the token stream
+    (N_tokens = total tokens, unigram counts from the same stream, so
+    the estimate is self-consistent). Two groupBys (pair, unigram) over
+    the exploded stream + one broadcast of the unigram side bounded by
+    the pair vocabulary — the tokenize-TF shuffle shape.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    toks = docs.select(tokenize_expr(F.col(text_col)).alias("_ts"))
+    pairs = (
+        toks.select(F.explode(_gram_exprs(F.col("_ts"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .withColumn("w1", F.split("pair", " ")[0])
+        .withColumn("w2", F.split("pair", " ")[1])
+    )
+    uni = toks.select(F.explode("_ts").alias("w")).groupBy("w").agg(
+        F.count("*").alias("n_w")
+    )
+    n_tokens = uni.agg(F.sum("n_w")).first()[0] or 1
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        pairs.join(u1, "w1").join(u2, "w2")
+        .select(
+            "w1", "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("n_w1").cast("bigint").alias("n_w1"),
+            F.col("n_w2").cast("bigint").alias("n_w2"),
+            F.round(
+                F.log(F.col("n_pair") * F.lit(float(n_tokens))
+                      / (F.col("n_w1") * F.col("n_w2"))), 6
+            ).alias("pmi"),
+        )
+    )
