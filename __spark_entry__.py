@@ -2159,6 +2159,21 @@ def q_text_chunks(spark, sf_dir):
     )
 
 
+SIGTERM_K = 5
+
+
+def q_text_signature_terms(spark, sf_dir):
+    """c-TF-IDF signature terms per lang (BERTopic formula on a grouping
+    column): what vocabulary distinguishes each corpus slice — corpus
+    audit / mixture debugging."""
+    from vframe_spark.operators.curate import group_signature_terms
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("text").alias("content")
+    )
+    return group_signature_terms(docs, "lang", top_k=SIGTERM_K)
+
+
 COLLOC_MIN_COUNT = 20
 
 
@@ -2713,6 +2728,27 @@ def _chunks_oracle_sql() -> str:
     )
 
 
+def _signature_terms_oracle_sql() -> str:
+    return f"""
+WITH toks AS (SELECT lang, {TOK_SQL} AS t FROM documents WHERE lang IS NOT NULL),
+tok AS (SELECT lang AS grp, unnest(t) AS term FROM toks),
+gtf AS (SELECT grp, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+ng AS (SELECT count(DISTINCT grp)::DOUBLE AS n FROM gtf),
+gdf AS (SELECT term, count(*)::BIGINT AS gdf FROM gtf GROUP BY 1),
+s AS (
+  SELECT grp, term, tf, gdf, round(tf * ln(ng.n / gdf), 6) AS score
+  FROM gtf JOIN gdf USING (term) CROSS JOIN ng
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT grp AS lang, rank::INT AS rank, term, tf,
+       gdf AS n_groups_with_term, score
+FROM r WHERE rank <= {SIGTERM_K}
+"""
+
+
 def _collocations_oracle_sql() -> str:
     n = 2
     return f"""
@@ -2994,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_temperature": q_curate_temperature,
         "text_chunks": q_text_chunks,
         "text_collocations": q_text_collocations,
+        "text_signature_terms": q_text_signature_terms,
         "curate_dup_spans": q_curate_dup_spans,
         "curate_span_coverage": q_curate_span_coverage,
         "text_pii_scrub": q_text_pii_scrub,
@@ -3512,6 +3549,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_temperature": _temperature_oracle_sql(),
         "text_chunks": _chunks_oracle_sql(),
         "text_collocations": _collocations_oracle_sql(),
+        "text_signature_terms": _signature_terms_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),
         "text_pii_scrub": _pii_oracle_sql(),

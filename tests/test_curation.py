@@ -434,3 +434,46 @@ def test_collocations_bruteforce(spark):
     }
     assert got == expect
     assert ("new", "york") in got and got[("new", "york")][0] == 3
+
+
+def test_group_signature_terms_bruteforce(spark):
+    import math
+
+    from vframe_spark.operators.curate import group_signature_terms
+
+    rows = [
+        (1, "py", "def def def return lambda shared"),
+        (2, "py", "def yield shared common"),
+        (3, "java", "void static static final shared"),
+        (4, "java", "class void common shared"),
+        (5, None, "ignored row entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    toks = {}
+    for _, lang, text in rows:
+        if lang is None:
+            continue
+        for w in tokenize_py(text):
+            toks.setdefault(lang, {}).setdefault(w, 0)
+            toks[lang][w] += 1
+    n_groups = len(toks)
+    gdf = {}
+    for lang, tf in toks.items():
+        for w in tf:
+            gdf[w] = gdf.get(w, 0) + 1
+    expect = {}
+    for lang, tf in toks.items():
+        scored = sorted(
+            (-round(c * math.log(n_groups / gdf[w]), 6), w, c) for w, c in tf.items()
+        )
+        expect[lang] = [(i + 1, w, c, gdf[w], -s) for i, (s, w, c) in enumerate(scored[:3])]
+    got = {}
+    for r in group_signature_terms(df, "lang", top_k=3).collect():
+        got.setdefault(r["lang"], []).append(
+            (r["rank"], r["term"], r["tf"], r["n_groups_with_term"], r["score"])
+        )
+    for lang in got:
+        got[lang].sort()
+    assert got == expect
+    # 'def' is python-only and frequent -> its top signature term
+    assert expect["py"][0][1] == "def"

@@ -715,3 +715,54 @@ def collocations(
             ).alias("pmi"),
         )
     )
+
+
+def group_signature_terms(
+    docs: DataFrame,
+    group_col: str,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF idea applied to any
+    grouping column): the terms that CHARACTERIZE each group —
+    ``score = tf_in_group × ln(n_groups / n_groups_containing_term)``,
+    top_k per group by (score DESC, term ASC). "What words distinguish
+    the python slice from the java slice" for corpus audits and
+    mixture debugging.
+
+    Two groupBys over the exploded token stream ((group, term) tf and a
+    per-term group-df), one broadcast-sized join on term (vocab-bounded)
+    and one per-group top-k window — the tokenize-TF shuffle shape.
+    Deterministic: 6 dp score rounding, term-ASC ties. Rows with a NULL
+    group are ignored.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    toks = docs.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokenize_expr(F.col(text_col))).alias("term"),
+    )
+    gtf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    n_groups = gtf.select("grp").distinct().count()
+    gdf = gtf.groupBy("term").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        gtf.join(gdf, "term")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_groups)) / F.col("gdf")), 6
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("gdf").cast("bigint").alias("n_groups_with_term"),
+            "score",
+        )
+    )
