@@ -2159,6 +2159,18 @@ def q_text_chunks(spark, sf_dir):
     )
 
 
+def q_text_unigram_nll(spark, sf_dir):
+    """Perplexity-style quality score: per-doc NLL under the corpus's
+    own unigram LM (the SQL-replayable floor of CCNet's perplexity
+    filter)."""
+    from vframe_spark.operators.curate import unigram_nll
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return unigram_nll(docs)
+
+
 SIGTERM_K = 5
 
 
@@ -2728,6 +2740,20 @@ def _chunks_oracle_sql() -> str:
     )
 
 
+_UNIGRAM_NLL_ORACLE_SQL_TMPL = """
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+model AS (SELECT term, count(*)::BIGINT AS tf FROM tok GROUP BY 1),
+tot AS (SELECT sum(tf)::DOUBLE AS n FROM model),
+nl AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         round(-avg(ln(m.tf / tot.n)), 6) AS nll
+  FROM tok t JOIN model m USING (term) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, nll, round(exp(nll), 4) AS ppl FROM nl
+"""
+
+
 def _signature_terms_oracle_sql() -> str:
     return f"""
 WITH toks AS (SELECT lang, {TOK_SQL} AS t FROM documents WHERE lang IS NOT NULL),
@@ -3031,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_collocations": q_text_collocations,
         "text_signature_terms": q_text_signature_terms,
+        "text_unigram_nll": q_text_unigram_nll,
         "curate_dup_spans": q_curate_dup_spans,
         "curate_span_coverage": q_curate_span_coverage,
         "text_pii_scrub": q_text_pii_scrub,
@@ -3550,6 +3577,7 @@ def oracle_sql() -> dict[str, str]:
         "text_chunks": _chunks_oracle_sql(),
         "text_collocations": _collocations_oracle_sql(),
         "text_signature_terms": _signature_terms_oracle_sql(),
+        "text_unigram_nll": _UNIGRAM_NLL_ORACLE_SQL_TMPL.replace("{TOK}", TOK_SQL),
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),
         "text_pii_scrub": _pii_oracle_sql(),

@@ -477,3 +477,28 @@ def test_group_signature_terms_bruteforce(spark):
     assert got == expect
     # 'def' is python-only and frequent -> its top signature term
     assert expect["py"][0][1] == "def"
+
+
+def test_unigram_nll_bruteforce(spark):
+    import math
+
+    from vframe_spark.operators.curate import unigram_nll
+
+    rows = [
+        (1, "the the the the"),            # all mass on one word -> low nll
+        (2, "rare singleton tokens here"),  # all-singleton -> high nll
+        (3, "the the rare mix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    toks = {i: tokenize_py(t) for i, t in rows}
+    tf = {}
+    for ts in toks.values():
+        for w in ts:
+            tf[w] = tf.get(w, 0) + 1
+    n = sum(tf.values())
+    got = {r["doc_id"]: (r["n_tokens"], r["nll"], r["ppl"])
+           for r in unigram_nll(df).collect()}
+    for i, ts in toks.items():
+        nll = round(-sum(math.log(tf[w] / n) for w in ts) / len(ts), 6)
+        assert got[i] == (len(ts), nll, round(math.exp(nll), 4)), i
+    assert got[1][1] < got[3][1] < got[2][1]  # common < mixed < rare

@@ -766,3 +766,39 @@ def group_signature_terms(
             "score",
         )
     )
+
+
+def unigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's own
+    unigram language model — the perplexity-style quality filter
+    (CCNet ranks docs by LM perplexity; the unigram model is its
+    self-contained, SQL-replayable floor): gibberish and
+    keyword-stuffed docs score high, plain prose scores low.
+
+    nll = −(1/n) Σ ln(tf(w)/N) over the doc's tokens (model trained on
+    the same corpus, so every token has mass; no smoothing needed).
+    Shape: one (term) groupBy for the model, a vocab-bounded join onto
+    the exploded stream, one doc_id-keyed mean — tokenize-TF shuffle
+    class. Returns (doc_id, n_tokens, nll, ppl = exp(nll)).
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokenize_expr(F.col(text_col))).alias("term")
+    )
+    model = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    n_total = model.agg(F.sum("tf")).first()[0] or 1
+    logp = F.log(F.col("tf") / F.lit(float(n_total)))
+    return (
+        tok.join(model, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(-F.avg(logp), 6).alias("nll"),
+        )
+        .withColumn("ppl", F.round(F.exp("nll"), 4))
+    )
