@@ -178,6 +178,9 @@ def main() -> None:
         "web_domain_cap",
         "text_pii_scrub",
         "text_repetition",
+        "text_collocations",
+        "text_signature_terms",
+        "text_unigram_nll",
         "det_conf_filter",
         "text_quality",
         "text_lang_id",
