@@ -2159,6 +2159,20 @@ def q_text_chunks(spark, sf_dir):
     )
 
 
+KEYWORDS_K = 3
+
+
+def q_text_keywords(spark, sf_dir):
+    """Per-doc top tf·idf keywords over the whole corpus (the
+    distributed all-docs form of MLT's seed-term selection)."""
+    from vframe_spark.operators.curate import doc_keywords
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return doc_keywords(docs, k=KEYWORDS_K)
+
+
 def q_text_unigram_nll(spark, sf_dir):
     """Perplexity-style quality score: per-doc NLL under the corpus's
     own unigram LM (the SQL-replayable floor of CCNet's perplexity
@@ -2740,6 +2754,26 @@ def _chunks_oracle_sql() -> str:
     )
 
 
+def _keywords_oracle_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln(1.0 + (nd.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, rank::INT AS rank, term, tf, df, score
+FROM r WHERE rank <= {KEYWORDS_K}
+"""
+
+
 _UNIGRAM_NLL_ORACLE_SQL_TMPL = """
 WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
 model AS (SELECT term, count(*)::BIGINT AS tf FROM tok GROUP BY 1),
@@ -3058,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "text_signature_terms": q_text_signature_terms,
         "text_unigram_nll": q_text_unigram_nll,
+        "text_keywords": q_text_keywords,
         "curate_dup_spans": q_curate_dup_spans,
         "curate_span_coverage": q_curate_span_coverage,
         "text_pii_scrub": q_text_pii_scrub,
@@ -3578,6 +3613,7 @@ def oracle_sql() -> dict[str, str]:
         "text_collocations": _collocations_oracle_sql(),
         "text_signature_terms": _signature_terms_oracle_sql(),
         "text_unigram_nll": _UNIGRAM_NLL_ORACLE_SQL_TMPL.replace("{TOK}", TOK_SQL),
+        "text_keywords": _keywords_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),
         "text_pii_scrub": _pii_oracle_sql(),

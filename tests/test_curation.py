@@ -502,3 +502,42 @@ def test_unigram_nll_bruteforce(spark):
         nll = round(-sum(math.log(tf[w] / n) for w in ts) / len(ts), 6)
         assert got[i] == (len(ts), nll, round(math.exp(nll), 4)), i
     assert got[1][1] < got[3][1] < got[2][1]  # common < mixed < rare
+
+
+def test_doc_keywords_bruteforce(spark):
+    import math
+
+    from vframe_spark.operators.curate import doc_keywords
+
+    rows = [
+        (1, "alpha alpha beta shared shared shared"),
+        (2, "beta gamma shared"),
+        (3, "delta delta shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    toks = {i: tokenize_py(t) for i, t in rows}
+    n = len(rows)
+    dfreq = {}
+    for ts in toks.values():
+        for w in set(ts):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    expect = {}
+    for i, ts in toks.items():
+        tf = {}
+        for w in ts:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            (-round(c * math.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5)), 6), w, c)
+            for w, c in tf.items()
+        )
+        expect[i] = [(r + 1, w, c, dfreq[w], -s) for r, (s, w, c) in enumerate(scored[:2])]
+    got = {}
+    for r in doc_keywords(df, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"], r["score"])
+        )
+    for i in got:
+        got[i].sort()
+    assert got == expect
+    # the corpus-wide stopword never outranks distinctive terms
+    assert all(kw[0][1] != "shared" for kw in expect.values())

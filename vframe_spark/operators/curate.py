@@ -802,3 +802,48 @@ def unigram_nll(
         )
         .withColumn("ppl", F.round(F.exp("nll"), 4))
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Top-``k`` tf·idf keywords for EVERY document — the distributed
+    all-docs form of more-like-this's seed-term selection (query/mlt.py
+    does the same math driver-side for a handful of seeds): tagging,
+    faceting, and weak-label generation over the whole corpus.
+
+    score = tf × ln(1 + (N − df + 0.5)/(df + 0.5)) (the engine's BM25
+    idf), 6 dp, term-ASC ties. One (doc, term) groupBy, one term-keyed
+    df groupBy joined back (vocab-bounded), one per-doc top-k window —
+    tokenize-TF shuffle shape, nothing corpus-quadratic.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokenize_expr(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+        )
+    )
