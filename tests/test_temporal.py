@@ -139,3 +139,22 @@ def test_sessionize(spark):
     assert got[(2, rows[4][1])] == (0, True)
     assert got[(2, rows[5][1])] == (1, True)
     assert got[(2, rows[6][1])] == (1, False)  # exactly-gap stays
+
+
+def test_sessionize_equal_timestamps_deterministic(spark):
+    """Rows sharing a timestamp always land in the same session with the
+    same ids, whatever order the window visits them."""
+    import datetime as dt
+
+    from vframe_spark.operators.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0), (1, t0), (1, t0), (1, t0 + dt.timedelta(seconds=999))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp").repartition(4)
+    out = sessionize(df, gap_seconds=600).collect()
+    by_ts = {}
+    for r in out:
+        by_ts.setdefault(r["ts"], set()).add(r["session_id"])
+    assert by_ts[t0] == {0}           # all tied rows share session 0
+    assert by_ts[rows[3][1]] == {1}   # the late row opens session 1
+    assert sum(r["is_session_start"] for r in out) == 2
