@@ -1,0 +1,189 @@
+"""Cox regex→trigram compiler: structure, soundness, and index parity."""
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vframe_spark.index.regexq import (
+    ANY,
+    compile_trigram_query,
+    query_grams,
+)
+from vframe_spark.index.trigram import hex_trigrams_py
+
+
+def g(s):
+    return frozenset(hex_trigrams_py(s))
+
+
+def test_compile_structure():
+    cq = compile_trigram_query
+    # plain literals with metachar breaks
+    assert cq(r"spark\s+stream") == ("grams", g("spark") | g("stream"))
+    # optional tail keeps the subsumed branch only
+    assert cq(r"streams?") == ("grams", g("stream"))
+    # nested groups (old planner: full scan)
+    q = cq(r"((a|b)cde)f")
+    assert q[0] == "or" and query_grams(q) == set(g("acdef") | g("bcdef"))
+    # counted repeats expand exactly (old planner: full scan)
+    assert cq(r"ab{2}c") == ("grams", g("abbc"))
+    assert cq(r"ab{2,3}c") == ("grams", g("abbc"))  # abbbc absorbed
+    # small classes cross atom boundaries
+    q = cq(r"v[01]x")
+    assert q[0] == "or" and query_grams(q) == set(g("v0x") | g("v1x"))
+    # positive lookahead ANDs its sub-pattern in (doc-level pruning)
+    q = cq(r"(?=.*foobar)baz\w+qux")
+    gs = query_grams(q)
+    assert set(g("foobar")) <= gs and set(g("baz")) <= gs and set(g("qux")) <= gs
+    # anchors are zero-width: the run crosses them
+    assert cq(r"^data merge$") == ("grams", g("data merge"))
+    # repeats with min>=1 contribute one copy; min=0 contributes nothing
+    assert cq(r"(abcd)+") == ("grams", g("abcd"))
+    assert cq(r"(abcd)*") == ANY
+    # lowercased (the index side is lowercased)
+    assert cq(r"Spark2Flink") == ("grams", g("spark2flink"))
+    # atomic group / possessive quantifier (3.11 syntax)
+    assert cq(r"(?>abcd)e") == ("grams", g("abcde"))
+    assert cq(r"ab*+cde") == ("grams", g("cde"))
+
+
+def test_compile_conservative_fallbacks():
+    cq = compile_trigram_query
+    assert cq(r"[a-z]+") == ANY          # class too wide
+    assert cq(r".*") == ANY
+    assert cq(r"x\d+y") == ANY           # runs under trigram length
+    assert cq(r"data|ab") == ANY         # one unprunable branch
+    assert cq(r"(\w+) \1") == ANY        # backreference: opaque
+    assert cq(r"(?!bad)good stuff") == ("grams", g("good stuff"))
+    # java-only dialect: class intersection parses differently in
+    # python, so it must NOT be planned at all
+    assert cq(r"[a-z&&[^b]]xyz") is None
+    # java-only syntax python can't parse falls back via the parse error
+    assert cq(r"\p{Lower}xyz") is None
+    assert cq(r"\Qlit\E") is None
+
+
+# patterns spanning every compiler path; hypothesis draws strings that
+# CONTAIN a match (from_regex fullmatch=False), embeds them in noise,
+# and the compiled query must hold on the embedding — the exact
+# doc-level soundness contract trigram_regex_search relies on.
+_PATTERNS = [
+    r"spark\s+stream",
+    r"streams?",
+    r"((a|b)cde)f",
+    r"ab{2,3}c",
+    r"v[01]x",
+    r"(data|value) merge",
+    r"data|value|merge",
+    r"(?:left|right)_(?:join|semi)",
+    r"x(ab){1,2}y",
+    r"import (os|sys|json)",
+    r"def [a-z_]+\(self\)",
+    r"(abcd)+",
+    r"a.cdef",
+    r"cl[ao]ss\s+\w+",
+    r"end\)?;",
+    r"for\s*\(int i",
+]
+
+# lookarounds and \b filter too hard for hypothesis.from_regex —
+# checked deterministically on hand-built matching texts instead
+_DETERMINISTIC = [
+    (r"(?=.*foobar)baz", ["xx baz yy foobar zz", "bazfoobar"]),
+    (r"\bRDD\b|DataFrame", ["an RDD here", "use DataFrame ops"]),
+]
+
+
+@pytest.mark.parametrize("pattern,texts", _DETERMINISTIC)
+def test_soundness_deterministic(pattern, texts):
+    q = compile_trigram_query(pattern)
+    for text in texts:
+        assert re.search(pattern, text) is not None
+        assert _satisfies(q, text), (pattern, q, text)
+
+
+def _satisfies(q, text: str) -> bool:
+    if q is None or q == ANY:
+        return True
+    have = set(hex_trigrams_py(text))
+    if q[0] == "grams":
+        return q[1] <= have
+    if q[0] == "and":
+        return all(_satisfies(c, text) for c in q[1])
+    return any(_satisfies(c, text) for c in q[1])
+
+
+@pytest.mark.parametrize("pattern", _PATTERNS)
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_soundness_on_matching_texts(pattern, data):
+    q = compile_trigram_query(pattern)
+    s = data.draw(st.from_regex(pattern))
+    pre = data.draw(st.text(alphabet="ab \n", max_size=6))
+    suf = data.draw(st.text(alphabet="yz .", max_size=6))
+    text = pre + s + suf
+    assert re.search(pattern, text) is not None  # from_regex guarantee
+    assert _satisfies(q, text), (pattern, q, text)
+
+
+def test_index_parity_previously_unplannable(spark, tmp_path_factory):
+    """Patterns the literal-run planner full-scanned now prune AND stay
+    equal to the full scan on a real trigram index."""
+    from pyspark.sql import functions as F
+
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.index.builder import load_index
+    from vframe_spark.index.trigram import build_trigram_index, trigram_regex_search
+    from vframe_spark.index.trigram import trigram_plan
+
+    rows = [
+        (0, "the acdef marker lives here", "py"),
+        (1, "and bcdef lives there", "py"),
+        (2, "plain cdef without prefix", "py"),
+        (3, "abbc counted repeat", "py"),
+        (4, "abbbc longer repeat", "py"),
+        (5, "v0x class span", "py"),
+        (6, "v1x other span", "py"),
+        (7, "vax miss", "py"),
+        (8, "foobar then baz later", "py"),
+        (9, "baz without the lookahead word", "py"),
+        (10, "nothing relevant at all", "py"),
+    ]
+    docs = spark.createDataFrame(rows, "src long, content string, lang string")
+    docs = assign_doc_ids(docs, ["src"])
+    out = str(tmp_path_factory.mktemp("tricox"))
+    build_trigram_index(docs, out, shard_size=8, block_size=4, shards_per_slice=2)
+    p, t, d, meta = load_index(spark, out)
+
+    queries = [
+        (1, r"((a|b)cde)f"),
+        (2, r"ab{2,3}c"),
+        (3, r"v[01]x"),
+        (4, r"(?=.*foobar).*baz"),
+    ]
+    # each of these was unplannable for the legacy literal-run planner …
+    for _, pat in queries[:3]:
+        assert trigram_plan(pat) is None or compile_trigram_query(pat) != ANY
+    # … and is a real (non-ANY) plan for the Cox compiler
+    for _, pat in queries:
+        q = compile_trigram_query(pat)
+        assert q is not None and q != ANY, pat
+
+    accel = {
+        (r["qid"], r["doc_id"])
+        for r in trigram_regex_search(docs, queries, p, meta).collect()
+    }
+    full = set()
+    for qid, pat in queries:
+        for r in docs.filter(F.col("content").rlike(pat)).collect():
+            full.add((qid, r["doc_id"]))
+    assert accel == full
+    ids = {r["src"]: r["doc_id"] for r in docs.collect()}
+    assert (1, ids[0]) in accel and (1, ids[1]) in accel
+    assert (1, ids[2]) not in accel
+    assert (2, ids[3]) in accel and (2, ids[4]) in accel
+    assert (3, ids[5]) in accel and (3, ids[6]) in accel
+    assert (3, ids[7]) not in accel
+    assert (4, ids[8]) in accel and (4, ids[9]) not in accel

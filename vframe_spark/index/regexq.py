@@ -1,0 +1,252 @@
+"""Regex → trigram-query compiler: the full Cox RegexpQuery algebra.
+
+``index.trigram``'s literal-run scanner bails to a full corpus scan on
+nested groups, counted repeats, classes-adjacent-to-literals and
+lookarounds. This module compiles an ARBITRARY regular expression into
+a boolean query tree over character trigrams by walking Python's own
+regex AST (``re._parser``), per Cox's published design for Google Code
+Search ("Regular Expression Matching with a Trigram Index", 2012,
+swtch.com/~rsc/regexp/regexp4.html): every AST node yields
+
+* ``exact`` — the complete finite set of strings the node can match,
+  when that set is small (≤ ``_MAX_EXACT`` strings of ≤ ``_MAX_LEN``
+  chars); kept lowercased, because the trigram index is lowercased and
+  any cased variant of a match contains the same lowercased trigrams;
+* ``query`` — a sound AND/OR tree over trigram sets: every text the
+  node matches satisfies the query.
+
+Concatenation cross-multiplies adjacent ``exact`` sets into longer
+literals, so trigrams SPAN atom boundaries (``v[01]x`` prunes on
+``{v0x, v1x}``, not nothing); alternation unions; a repeat with
+min ≥ 1 contributes one copy's query (the first copy is a substring of
+any match); a positive lookaround's sub-pattern must occur somewhere in
+the document for the pattern to fire, so its query ANDs in — we prune
+*documents*, not match spans. Everything conservative degrades to
+``ANY`` (no pruning), never to a wrong answer; a pattern Python cannot
+parse compiles to ``None`` (caller full-scans).
+
+Java-dialect caveat: candidates are verified by Spark's ``rlike``
+(java.util.regex), so planning must never assume MORE than Java
+matches. The grammars agree on everything this planner exploits except
+character-class intersection (``[a-z&&[^b]]``), which Python parses as
+literal ``&`` — patterns containing ``&&`` therefore compile to
+``None``. Java-only syntax Python cannot parse (``\\p{Lower}``,
+``\\Q…\\E``) already falls back via the parse error.
+
+Query node forms (immutable, hashable):
+``("any",)`` | ``("grams", frozenset[str])`` | ``("and", (q, …))``
+| ``("or", (q, …))``.
+
+Reference parity: generalizes the reference's predicate file filtering
+(`/root/reference/src/commands/pipe/skip-file.py`) to content regex at
+corpus scale, same operator family as `query.grep` / `index.trigram`.
+"""
+
+from __future__ import annotations
+
+from re import _constants as C
+from re import _parser as P
+
+from .trigram import hex_trigrams_py
+
+ANY = ("any",)
+
+_MAX_EXACT = 16  # max strings in an exact set
+_MAX_LEN = 24  # max length of an exact string
+_MAX_REPEAT_EXPAND = 8  # max finite-repeat copies expanded exactly
+
+
+def _grams(s: str):
+    """Query for "the match contains literal ``s``"."""
+    if len(s) < 3:
+        return ANY
+    return ("grams", frozenset(hex_trigrams_py(s)))
+
+
+def _and(qs) -> tuple:
+    """AND with simplification: merge gram-sets (one conjunctive probe),
+    flatten nested ANDs, drop ANY; empty ⇒ ANY."""
+    grams: set[str] = set()
+    rest: list[tuple] = []
+    for q in qs:
+        for c in q[1] if q[0] == "and" else (q,):
+            if c == ANY:
+                continue
+            if c[0] == "grams":
+                grams |= c[1]
+            else:
+                rest.append(c)
+    out: list[tuple] = ([("grams", frozenset(grams))] if grams else []) + rest
+    if not out:
+        return ANY
+    if len(out) == 1:
+        return out[0]
+    return ("and", tuple(out))
+
+
+def _or(qs) -> tuple:
+    """OR with simplification: any ANY branch absorbs (that branch is
+    unprunable, hence so is the OR); flatten; dedupe."""
+    out: list[tuple] = []
+    for q in qs:
+        if q == ANY:
+            return ANY
+        out.extend(q[1] if q[0] == "or" else (q,))
+    if not out:
+        return ANY
+    uniq = list(dict.fromkeys(out))
+    # absorption: a grams-branch whose set is a SUPERSET of another
+    # grams-branch matches a subset of its docs — drop it (OR('stream',
+    # 'streams') ⇒ 'stream')
+    gram_sets = [q[1] for q in uniq if q[0] == "grams"]
+    uniq = [
+        q
+        for q in uniq
+        if q[0] != "grams"
+        or not any(gs < q[1] for gs in gram_sets)
+    ]
+    if len(uniq) == 1:
+        return uniq[0]
+    return ("or", tuple(uniq))
+
+
+def _exact_q(exact: list[str]) -> tuple:
+    return _or([_grams(s) for s in exact])
+
+
+def _bounded(strings) -> bool:
+    return len(strings) <= _MAX_EXACT and all(len(s) <= _MAX_LEN for s in strings)
+
+
+def _seq_info(items) -> tuple[list[str] | None, tuple]:
+    """(exact, query) of a concatenation of AST nodes.
+
+    Folds adjacent exact atoms into a running cross product so literals
+    span atom boundaries; on overflow or a non-exact atom the run's
+    query is flushed into the conjunction.
+    """
+    conj: list[tuple] = []
+    acc: list[str] = [""]
+    pure = True  # acc still equals the WHOLE sequence's match set
+    for node in items:
+        ex, q = _node_info(node)
+        if ex is not None:
+            new = sorted({a + b for a in acc for b in ex})
+            if _bounded(new):
+                acc = new
+                continue
+            # overflow: flush the current run, then start a fresh run
+            # with this atom (boundary-spanning trigrams are dropped —
+            # weaker pruning, still sound)
+            conj.append(_exact_q(acc))
+            pure = False
+            acc = sorted(set(ex)) if _bounded(ex) else [""]
+            continue
+        conj.append(_exact_q(acc))
+        conj.append(q)
+        acc = [""]
+        pure = False
+    if pure:
+        return acc, _exact_q(acc)
+    conj.append(_exact_q(acc))
+    return None, _and(conj)
+
+
+def _in_chars(items) -> list[str] | None:
+    """Finite lowercase char set of an IN class, or None (unbounded)."""
+    chars: set[str] = set()
+    for op, av in items:
+        if op is C.NEGATE:
+            return None
+        if op is C.LITERAL:
+            chars.add(chr(av).lower())
+        elif op is C.RANGE:
+            lo, hi = av
+            if hi - lo + 1 > _MAX_EXACT:
+                return None
+            chars.update(chr(c).lower() for c in range(lo, hi + 1))
+        else:  # CATEGORY (\d, \w, …) or anything exotic
+            return None
+        if len(chars) > _MAX_EXACT:
+            return None
+    return sorted(chars)
+
+
+def _node_info(node) -> tuple[list[str] | None, tuple]:
+    """(exact, query) of one AST node; query is sound when exact is None."""
+    op, av = node
+    if op is C.LITERAL:
+        return [chr(av).lower()], ANY
+    if op is C.AT:  # anchors are zero-width: exact run continues through
+        return [""], ANY
+    if op is C.IN:
+        chars = _in_chars(av)
+        return (chars, ANY) if chars is not None else (None, ANY)
+    if op is C.BRANCH:
+        infos = [_seq_info(b) for b in av[1]]
+        exacts = [e for e, _ in infos]
+        if all(e is not None for e in exacts):
+            union = sorted({s for e in exacts for s in e})
+            if _bounded(union):
+                return union, ANY
+        return None, _or(
+            [q if e is None else _exact_q(e) for e, q in infos]
+        )
+    if op is C.SUBPATTERN:
+        return _seq_info(av[3])
+    if op is getattr(C, "ATOMIC_GROUP", None):
+        return _seq_info(av)
+    if op in (C.MAX_REPEAT, C.MIN_REPEAT, getattr(C, "POSSESSIVE_REPEAT", None)):
+        lo, hi, item = av
+        ex, q = _seq_info(item)
+        item_q = _exact_q(ex) if ex is not None else q
+        if ex is not None and hi is not C.MAXREPEAT and hi <= _MAX_REPEAT_EXPAND:
+            # expand the finite repeat exactly: all concatenations of
+            # lo..hi copies (e.g. 'ab{2,3}c' → {abbc, abbbc})
+            combos: set[str] = set()
+            level = [""]
+            for k in range(hi + 1):
+                if k >= lo:
+                    combos.update(level)
+                level = [a + b for a in level for b in ex]
+                if not _bounded(level) or not _bounded(combos):
+                    combos = None  # type: ignore[assignment]
+                    break
+            if combos is not None and _bounded(combos):
+                return sorted(combos), ANY
+        if lo >= 1:
+            # at least one copy occurs as a substring of any match
+            return None, item_q
+        return None, ANY
+    if op is C.ASSERT:  # positive lookaround: sub-pattern occurs in doc
+        return None, _seq_info(av[1])[1]
+    # ASSERT_NOT, GROUPREF, GROUPREF_EXISTS, NOT_LITERAL, ANY (dot),
+    # FAILURE, and anything future: no information, still sound.
+    return None, ANY
+
+
+def compile_trigram_query(pattern: str, flags: int = 0):
+    """Trigram query tree for ``pattern``; ``None`` ⇒ caller must full-scan.
+
+    ``("any",)`` means "parsed, but nothing to prune on" — equivalent to
+    a full scan for that query.
+    """
+    if "&&" in pattern:  # java character-class intersection: dialects split
+        return None
+    try:
+        tree = P.parse(pattern, flags)
+    except Exception:
+        return None
+    ex, q = _seq_info(tree)
+    if ex is not None:
+        q = _exact_q(ex)
+    return q
+
+
+def query_grams(q) -> set[str]:
+    """All trigrams referenced by a query tree (diagnostics/tests)."""
+    if q is None or q == ANY:
+        return set()
+    if q[0] == "grams":
+        return set(q[1])
+    return {g for c in q[1] for g in query_grams(c)}

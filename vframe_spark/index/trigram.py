@@ -11,15 +11,17 @@ trigram tokens (`lower(hex(utf8(tri)))` — lowercase-alnum, so the
 canonical tokenizer passes them through untouched), and `build_index`
 does the rest.
 
-Query side: conservative literal extraction walks the pattern (escapes
-are opaque, alternation/classes/groups bail, a trailing quantifier
-drops the run's last char), lowercases the literals (doc trigrams are
-lowercased, and case-sensitive matches still contain the lowercased
-trigrams), ANDs all their trigrams through the conjunctive match set,
-and verifies ONLY candidates with the exact regex. Patterns with no
-≥3-char literal full-scan. Lossless by construction: text matching a
-pattern that contains literal L contains L, hence every trigram of
-lower(L).
+Query side: the full Cox query compiler (`index.regexq`) turns the
+pattern's AST into an AND/OR tree over trigram sets — nested groups,
+counted repeats, small character classes and lookarounds all
+contribute; `trigram_regex_search` evaluates the tree with index set
+algebra (conjunctive match set / semi-join / union-distinct) and
+verifies ONLY candidates with the exact regex. Patterns beyond the
+compiler (or with no ≥3-char literal anywhere) full-scan. Lossless by
+construction: every text matching the pattern satisfies the compiled
+query. (`required_literals` / `trigram_plan` below are the earlier,
+strictly weaker literal-run planners, kept as an independent
+cross-check in tests.)
 
 Reference parity: the reference's domain is retrieval over source
 archives; this is the standard industrial design for regex over code
@@ -139,17 +141,19 @@ def trigram_regex_search(
     ``exclude_doc_ids`` (e.g. soft-delete tombstones) drop before the
     verify scan.
 
-    Per query the Cox-style plan from :func:`trigram_plan` drives the
-    candidate algebra: the AND-literal trigrams form one conjunctive
-    match set, each alternation dimension intersects it with the UNION
-    of its branches' conjunctive sets, and the exact regex verifies only
-    the survivors via a doc_id semi-join. Unplannable patterns (or
-    plans with no ≥3-char literal anywhere) full-scan — always correct,
-    just unpruned.
+    Per query the full Cox-style query tree from
+    :func:`regexq.compile_trigram_query` (arbitrary nesting, counted
+    repeats, small classes, lookarounds) drives the candidate algebra:
+    ``grams`` leaves become conjunctive match sets, ``and`` nodes
+    semi-join, ``or`` nodes union-distinct, and the exact regex
+    verifies only the survivors via a doc_id semi-join. Unplannable
+    patterns (or trees with no gram anywhere) full-scan — always
+    correct, just unpruned.
     """
     import re
 
     from ..query.facets import match_set
+    from .regexq import ANY, compile_trigram_query
 
     spark = docs.sparkSession
     for qid, pattern in queries:
@@ -158,30 +162,36 @@ def trigram_regex_search(
         except re.error as e:
             raise ValueError(f"query {qid}: invalid regex {pattern!r}: {e}") from e
 
-    def and_set(lits: list[str]) -> DataFrame | None:
-        grams = sorted({g for lit in lits for g in hex_trigrams_py(lit)})
-        if not grams:
-            return None
+    def gram_set(grams: frozenset[str]) -> DataFrame:
         return match_set(
-            postings, meta, [(0, " ".join(grams))], mode="and"
+            postings, meta, [(0, " ".join(sorted(grams)))], mode="and"
         ).select(F.col("doc_id").alias(id_col))
+
+    def eval_q(q) -> DataFrame | None:
+        """Candidate doc set of a query tree; None = no pruning."""
+        if q is None or q == ANY:
+            return None
+        if q[0] == "grams":
+            return gram_set(q[1])
+        if q[0] == "and":
+            cand = None
+            for child in q[1]:
+                s = eval_q(child)
+                if s is None:
+                    continue  # an unprunable conjunct constrains nothing
+                cand = s if cand is None else cand.join(s, id_col, "left_semi")
+            return cand
+        sets = [eval_q(child) for child in q[1]]  # "or"
+        if any(s is None for s in sets):
+            return None  # one unprunable branch ⇒ the OR prunes nothing
+        u = sets[0]
+        for s in sets[1:]:
+            u = u.unionByName(s)
+        return u.distinct()
 
     outs: list[DataFrame] = []
     for qid, pattern in queries:
-        plan = trigram_plan(pattern)
-        cand: DataFrame | None = None
-        if plan is not None:
-            and_lits, or_dims = plan
-            cand = and_set(and_lits)
-            for dim in or_dims:
-                branch_sets = [and_set(b) for b in dim]
-                if any(b is None for b in branch_sets):
-                    continue  # an unprunable branch: dim prunes nothing
-                u = branch_sets[0]
-                for b in branch_sets[1:]:
-                    u = u.unionByName(b)
-                u = u.distinct()
-                cand = u if cand is None else cand.join(u, id_col, "left_semi")
+        cand = eval_q(compile_trigram_query(pattern))
         base = docs if cand is None else docs.join(cand, id_col, "left_semi")
         if exclude_doc_ids:
             base = base.filter(~F.col(id_col).isin(list(exclude_doc_ids)))
