@@ -2007,6 +2007,36 @@ TRIGRAM_REGEX_QUERIES = [
 ]
 
 
+# Unified-grep set: every pattern here needs the FULL Cox compiler
+# (nested alternation, counted repeat, class-span) or the token-index
+# whole-token prefilter; all parse identically in RE2 (DuckDB oracle),
+# java.util.regex (verify scan), and Python re (planner).
+UNIFIED_GREP_QUERIES = [
+    (1, r"((dat|val)(a|ue)) merge"),  # nested groups -> OR-of-grams
+    (2, r"mer{1,2}ge table"),         # counted repeat expands exactly
+    (3, r"s[oa]rt table"),            # small class spans the literal
+    (4, r"\bdata\b anal"),            # token prefilter + trigram tail
+]
+
+
+def q_ft_grep_unified(spark, sf_dir):
+    """Unified grep: token whole-token prefilter ∩ full-Cox trigram
+    candidates, exact rlike verify on survivors only
+    (query.grep.unified_regex_search + index.regexq). The DuckDB
+    full-scan oracle is the losslessness proof across both prefilters
+    and the compiler's nested/counted/class plans."""
+    from vframe_spark.query.grep import unified_regex_search
+
+    tpost, _, _, tmeta = _ft_index(spark, sf_dir)
+    gpost, _, _, gmeta = _ft_index_tri(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return unified_regex_search(
+        docs, UNIFIED_GREP_QUERIES,
+        token_postings=tpost, token_meta=tmeta,
+        tri_postings=gpost, tri_meta=gmeta,
+    )
+
+
 def q_ft_trigram_regex(spark, sf_dir):
     """Zoekt-proper regex acceleration: EVERY ≥3-char literal (across
     token boundaries) prunes through the trigram index's conjunctive
@@ -2588,6 +2618,15 @@ FROM p JOIN documents d ON regexp_matches(d.text, p.pat)
 """
 
 
+def _unified_grep_oracle_sql() -> str:
+    vals = ", ".join(f"({q}, '{p}')" for q, p in UNIFIED_GREP_QUERIES)
+    return f"""
+WITH p(qid, pat) AS (SELECT * FROM (VALUES {vals}))
+SELECT p.qid::INT AS qid, d.doc_id
+FROM p JOIN documents d ON regexp_matches(d.text, p.pat)
+"""
+
+
 def _sessionize_oracle_sql() -> str:
     g = SESSION_GAP_S
     return f"""
@@ -3079,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "ft_trigram_regex": q_ft_trigram_regex,
+        "ft_grep_unified": q_ft_grep_unified,
         "rel_sessionize": q_rel_sessionize,
         "rel_percentiles": q_rel_percentiles,
         "rel_funnel": q_rel_funnel,
@@ -3600,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),
+        "ft_grep_unified": _unified_grep_oracle_sql(),
         "rel_sessionize": _sessionize_oracle_sql(),
         "rel_percentiles": _PERCENTILES_ORACLE_SQL,
         "rel_funnel": _FUNNEL_ORACLE_SQL,

@@ -187,3 +187,81 @@ def test_trigram_alternation_accelerated_equals_full_scan(spark, tmp_path_factor
     assert (1, ids[0]) in accel and (1, ids[1]) in accel
     assert (1, ids[2]) not in accel
     assert (3, ids[5]) in accel and (3, ids[6]) in accel
+
+
+def test_unified_grep_both_indexes(spark, tmp_path_factory):
+    """token ∩ trigram pruning == full scan; token side is strictly
+    tighter on \\b-bounded literals; tombstones drop pre-verify."""
+    from pyspark.sql import functions as F
+
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.index.builder import build_index, load_index
+    from vframe_spark.index.trigram import (
+        build_trigram_index,
+        trigram_candidates,
+    )
+    from vframe_spark.query.grep import unified_regex_search
+
+    rows = [
+        (0, "the spark stream runs fast", "py"),
+        (1, "pyspark streams are different", "py"),  # substring-only hit
+        (2, "spark streaming with state", "py"),
+        (3, "acdef nested marker", "py"),
+        (4, "bcdef other branch", "py"),
+        (5, "nothing relevant at all", "py"),
+    ]
+    docs = spark.createDataFrame(rows, "src long, content string, lang string")
+    docs = assign_doc_ids(docs, ["src"])
+    tok_dir = str(tmp_path_factory.mktemp("uni_tok"))
+    tri_dir = str(tmp_path_factory.mktemp("uni_tri"))
+    build_index(docs, tok_dir, shard_size=8, block_size=4, shards_per_slice=2)
+    build_trigram_index(docs, tri_dir, shard_size=8, block_size=4,
+                        shards_per_slice=2)
+    p, t, d, meta = load_index(spark, tok_dir)
+    tp, tt, td, tmeta = load_index(spark, tri_dir)
+
+    queries = [
+        (1, r"\bspark\b \bstream\b"),  # token-prunable, trigram too
+        (2, r"((a|b)cde)f"),           # only the Cox trigram plan prunes
+        (3, r"spark\s+stream"),        # trigram catches cross-token hit
+    ]
+    uni = {
+        (r["qid"], r["doc_id"])
+        for r in unified_regex_search(
+            docs, queries, token_postings=p, token_meta=meta,
+            tri_postings=tp, tri_meta=tmeta,
+        ).collect()
+    }
+    full = set()
+    for qid, pat in queries:
+        for r in docs.filter(F.col("content").rlike(pat)).collect():
+            full.add((qid, r["doc_id"]))
+    assert uni == full
+    ids = {r["src"]: r["doc_id"] for r in docs.collect()}
+    assert (3, ids[1]) in uni          # pyspark cross-token hit kept
+    assert (2, ids[3]) in uni and (2, ids[4]) in uni
+
+    # strictness: trigram candidates for q1 include the pyspark doc
+    # (substring trigrams match); the token side must exclude it
+    tri_cand = {
+        r["doc_id"]
+        for r in trigram_candidates(r"\bspark\b \bstream\b", tp, tmeta).collect()
+    }
+    assert ids[1] in tri_cand
+    from vframe_spark.query.facets import match_set
+
+    tok_cand = {
+        r["doc_id"]
+        for r in match_set(p, meta, [(0, "spark stream")], mode="and").collect()
+    }
+    assert ids[1] not in tok_cand
+
+    # tombstones drop through the unified path
+    uni_dead = {
+        (r["qid"], r["doc_id"])
+        for r in unified_regex_search(
+            docs, queries, token_postings=p, token_meta=meta,
+            tri_postings=tp, tri_meta=tmeta, exclude_doc_ids=[ids[0]],
+        ).collect()
+    }
+    assert uni_dead == {(q, d) for q, d in full if d != ids[0]}

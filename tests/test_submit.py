@@ -46,3 +46,53 @@ def test_submit_build_then_query(tmp_path):
     assert rows and rows[0]["rank"] == 1
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_submit_grep_trigram_tombstone(tmp_path):
+    """CLI grep prunes through token+trigram indexes and honors soft
+    deletes: a deleted doc disappears from grep output without a
+    rebuild (NOTES round-2 gap: no tombstone-aware grep CLI test)."""
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import make
+
+    zip_path = make(str(tmp_path / "vframe_spark.zip"))
+    idx = str(tmp_path / "idx")
+    tri = str(tmp_path / "tri")
+    docs_pq = str(tmp_path / "docs.parquet")
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    common = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zip_path,
+        os.path.join(ROOT, "tools", "submit_job.py"),
+    ]
+
+    def run(*argv, timeout=420):
+        out = subprocess.run(common + list(argv), capture_output=True,
+                             text=True, timeout=timeout, env=env,
+                             cwd=str(tmp_path))
+        assert out.returncode == 0, out.stderr[-2000:]
+        return [json.loads(l) for l in out.stdout.splitlines()
+                if l.startswith("{")]
+
+    run("build", "--docs-parquet", "unused", "--synth-docs", "120",
+        "--index", idx, "--shard-size", "64", "--block-size", "16",
+        "--write-docs", docs_pq)
+    run("build", "--docs-parquet", docs_pq, "--index", tri, "--trigram",
+        "--shard-size", "64", "--block-size", "16")
+
+    pattern = r"(data|value) (pars|merg)e"  # Cox-planned alternation
+    hits = run("query", "--index", idx, "--mode", "grep",
+               "--query", pattern, "--docs-parquet", docs_pq,
+               "--trigram-index", tri)
+    assert hits, "expected grep hits on the synthetic corpus"
+    victim = hits[0]["doc_id"]
+
+    run("delete", "--index", idx, "--doc-id", str(victim))
+    hits_after = run("query", "--index", idx, "--mode", "grep",
+                     "--query", pattern, "--docs-parquet", docs_pq,
+                     "--trigram-index", tri)
+    ids_after = {h["doc_id"] for h in hits_after}
+    assert victim not in ids_after
+    assert ids_after == {h["doc_id"] for h in hits} - {victim}

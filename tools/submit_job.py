@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
                         "regex pruning; see index.trigram) instead of the token index")
     b.add_argument("--synth-docs", type=int, default=0,
                    help="generate a synthetic corpus of N docs instead of reading --docs-parquet")
+    b.add_argument("--write-docs", default=None,
+                   help="also persist the id-assigned corpus as parquet here "
+                        "(the docs side later grep/phrase verify scans need)")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -96,6 +99,9 @@ def main(argv: list[str] | None = None) -> int:
         if "doc_id" not in docs.columns:
             order = [c for c in ("repo", "path", "commit") if c in docs.columns] or docs.columns[:1]
             docs = assign_doc_ids(docs, list(order))
+        if args.write_docs:
+            docs.write.mode("overwrite").parquet(args.write_docs)
+            docs = spark.read.parquet(args.write_docs)  # reuse, don't recompute
         if args.trigram:
             from vframe_spark.index.trigram import build_trigram_index
 
@@ -159,20 +165,18 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.read.parquet(args.docs_parquet)
             if args.content_col != "content":
                 docs = docs.withColumnRenamed(args.content_col, "content")
+            # both indexes prune when available: token whole-token
+            # literals (strict boundaries) ∩ trigram Cox query (any
+            # >=3-char literal); tombstones drop before the verify scan
+            from vframe_spark.query.grep import unified_regex_search
+
+            tp = tmeta = None
             if args.trigram_index:
-                from vframe_spark.index.trigram import trigram_regex_search
-
                 tp, _, _, tmeta = load_index(spark, args.trigram_index)
-                hits = trigram_regex_search(docs, queries, tp, tmeta,
-                                            exclude_doc_ids=dead or None)
-            else:
-                from vframe_spark.query.grep import regex_search
-
-                hits = regex_search(docs, queries, postings=postings, meta=meta)
-            if dead:
-                from pyspark.sql import functions as F
-
-                hits = hits.filter(~F.col("doc_id").isin(list(dead)))
+            hits = unified_regex_search(
+                docs, queries, token_postings=postings, token_meta=meta,
+                tri_postings=tp, tri_meta=tmeta,
+                exclude_doc_ids=dead or None)
             for r in hits.collect():
                 print(json.dumps({"qid": r["qid"], "doc_id": r["doc_id"]}))
             spark.stop()

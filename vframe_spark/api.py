@@ -237,13 +237,22 @@ class SearchIndex:
     def grep(self, docs: DataFrame, pattern: str | list[tuple[int, str]],
              prefilters: dict[int, list[str]] | None = None,
              id_col: str = "doc_id",
-             content_col: str = "content") -> DataFrame:
+             content_col: str = "content",
+             trigram: "TrigramIndex | None" = None) -> DataFrame:
         """Regex search → (qid, doc_id); index-accelerated when the
-        pattern carries safe whole-token literals."""
-        from .query.grep import regex_search
+        pattern carries safe whole-token literals. Pass the companion
+        ``trigram`` index to ALSO prune on any ≥3-char literal (the two
+        candidate sets intersect — see query.grep.unified_regex_search)."""
+        from .query.grep import regex_search, unified_regex_search
 
         postings, _, _, meta = self._parts()
         queries = [(1, pattern)] if isinstance(pattern, str) else list(pattern)
+        if trigram is not None:
+            tp, _, _, tmeta = trigram._parts()
+            return unified_regex_search(
+                docs, queries, token_postings=postings, token_meta=meta,
+                tri_postings=tp, tri_meta=tmeta, prefilters=prefilters,
+                id_col=id_col, text_col=content_col)
         return regex_search(docs, queries, postings=postings, meta=meta,
                             prefilters=prefilters, id_col=id_col,
                             text_col=content_col)

@@ -128,6 +128,50 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
     return sorted({r.lower() for r in runs if len(r) >= min_len})
 
 
+def trigram_candidates(
+    pattern: str,
+    postings: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+) -> DataFrame | None:
+    """Candidate doc set for ``pattern`` via the Cox query tree, or
+    ``None`` when the pattern yields no pruning (caller full-scans).
+
+    ``grams`` leaves become ONE conjunctive match-set probe each,
+    ``and`` nodes semi-join, ``or`` nodes union-distinct. Every
+    returned doc set is a superset of the true match set (lossless)."""
+    from ..query.facets import match_set
+    from .regexq import ANY, compile_trigram_query
+
+    def gram_set(grams: frozenset[str]) -> DataFrame:
+        return match_set(
+            postings, meta, [(0, " ".join(sorted(grams)))], mode="and"
+        ).select(F.col("doc_id").alias(id_col))
+
+    def eval_q(q) -> DataFrame | None:
+        if q is None or q == ANY:
+            return None
+        if q[0] == "grams":
+            return gram_set(q[1])
+        if q[0] == "and":
+            cand = None
+            for child in q[1]:
+                s = eval_q(child)
+                if s is None:
+                    continue  # an unprunable conjunct constrains nothing
+                cand = s if cand is None else cand.join(s, id_col, "left_semi")
+            return cand
+        sets = [eval_q(child) for child in q[1]]  # "or"
+        if any(s is None for s in sets):
+            return None  # one unprunable branch ⇒ the OR prunes nothing
+        u = sets[0]
+        for s in sets[1:]:
+            u = u.unionByName(s)
+        return u.distinct()
+
+    return eval_q(compile_trigram_query(pattern))
+
+
 def trigram_regex_search(
     docs: DataFrame,
     queries: list[tuple[int, str]],
@@ -152,9 +196,6 @@ def trigram_regex_search(
     """
     import re
 
-    from ..query.facets import match_set
-    from .regexq import ANY, compile_trigram_query
-
     spark = docs.sparkSession
     for qid, pattern in queries:
         try:
@@ -162,36 +203,9 @@ def trigram_regex_search(
         except re.error as e:
             raise ValueError(f"query {qid}: invalid regex {pattern!r}: {e}") from e
 
-    def gram_set(grams: frozenset[str]) -> DataFrame:
-        return match_set(
-            postings, meta, [(0, " ".join(sorted(grams)))], mode="and"
-        ).select(F.col("doc_id").alias(id_col))
-
-    def eval_q(q) -> DataFrame | None:
-        """Candidate doc set of a query tree; None = no pruning."""
-        if q is None or q == ANY:
-            return None
-        if q[0] == "grams":
-            return gram_set(q[1])
-        if q[0] == "and":
-            cand = None
-            for child in q[1]:
-                s = eval_q(child)
-                if s is None:
-                    continue  # an unprunable conjunct constrains nothing
-                cand = s if cand is None else cand.join(s, id_col, "left_semi")
-            return cand
-        sets = [eval_q(child) for child in q[1]]  # "or"
-        if any(s is None for s in sets):
-            return None  # one unprunable branch ⇒ the OR prunes nothing
-        u = sets[0]
-        for s in sets[1:]:
-            u = u.unionByName(s)
-        return u.distinct()
-
     outs: list[DataFrame] = []
     for qid, pattern in queries:
-        cand = eval_q(compile_trigram_query(pattern))
+        cand = trigram_candidates(pattern, postings, meta, id_col=id_col)
         base = docs if cand is None else docs.join(cand, id_col, "left_semi")
         if exclude_doc_ids:
             base = base.filter(~F.col(id_col).isin(list(exclude_doc_ids)))

@@ -100,3 +100,78 @@ def regex_search(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def unified_regex_search(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    token_postings: DataFrame | None = None,
+    token_meta: dict | None = None,
+    tri_postings: DataFrame | None = None,
+    tri_meta: dict | None = None,
+    prefilters: dict[int, list[str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Regex search pruned through BOTH indexes when both are given.
+
+    The two prefilters are complementary, and their candidate sets
+    INTERSECT (both are lossless supersets of the true match set, so
+    the intersection still is):
+
+    * token index — whole-token literals (``safe_prefilter_tokens`` or
+      caller-supplied ``prefilters``) are *stricter* where they apply:
+      ``\\bspark\\b`` prunes docs whose only occurrence is inside
+      ``pyspark``, which trigrams cannot;
+    * trigram index — the Cox query tree prunes on ANY ≥3-char literal
+      (cross-token substrings, nested alternations, counted repeats),
+      where the token prefilter usually has nothing.
+
+    Either index alone degrades to that index's pruning; neither is a
+    full scan. The exact regex verifies survivors, so results are
+    IDENTICAL to a full ``rlike`` scan regardless of which indexes
+    exist — pruning only changes cost.
+    """
+    import re
+
+    from ..index.trigram import trigram_candidates
+    from .facets import match_set
+
+    spark = docs.sparkSession
+    for qid, pattern in queries:
+        try:
+            re.compile(pattern)
+        except re.error as e:
+            raise ValueError(f"query {qid}: invalid regex {pattern!r}: {e}") from e
+    outs: list[DataFrame] = []
+    for qid, pattern in queries:
+        cand: DataFrame | None = None
+        if tri_postings is not None and tri_meta is not None:
+            cand = trigram_candidates(pattern, tri_postings, tri_meta, id_col=id_col)
+        if token_postings is not None and token_meta is not None:
+            toks = (prefilters or {}).get(qid)
+            if toks is None:
+                toks = safe_prefilter_tokens(pattern)
+            if toks:
+                tok_cand = match_set(
+                    token_postings, token_meta,
+                    [(qid, " ".join(sorted(set(toks))))], mode="and",
+                ).select(F.col("doc_id").alias(id_col))
+                cand = tok_cand if cand is None else cand.join(
+                    tok_cand, id_col, "left_semi"
+                )
+        base = docs if cand is None else docs.join(cand, id_col, "left_semi")
+        if exclude_doc_ids:
+            base = base.filter(~F.col(id_col).isin(list(exclude_doc_ids)))
+        outs.append(
+            base.filter(F.col(text_col).rlike(pattern)).select(
+                F.lit(int(qid)).alias("qid"), F.col(id_col).alias("doc_id")
+            )
+        )
+    if not outs:
+        return spark.createDataFrame([], "qid int, doc_id bigint")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
