@@ -817,6 +817,26 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_portable(spark, sf_dir):
+    """MinHash-LSH with a FULL cross-engine oracle: every step
+    (tokenize → shingle → md5-derived 60-bit hash → (a·h+b) mod 2^61−1
+    → band keys → capped bucket self-join → agreement count) is exact
+    integer arithmetic DuckDB replays bit-identically
+    (operators.dedup.minhash_pairs_portable). This upgrades the
+    near-dup family from pytest-only verification to the driver's
+    DuckDB gate; the numpy/xxhash variant (dedup_minhash_pairs) stays
+    the fast path."""
+    from vframe_spark.operators.dedup import minhash_pairs_portable
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return minhash_pairs_portable(
+        docs, content_col="text", id_col="doc_id",
+        n_hashes=16, bands=4, shingle_n=3, max_bucket=200,
+    )
+
+
 def q_dedup_minhash_recall(spark, sf_dir):
     """Quantified accuracy of the MinHash-LSH path: ground truth is the
     exact shingle Jaccard (same 3-word shingle universe) computed by
@@ -2618,6 +2638,15 @@ FROM p JOIN documents d ON regexp_matches(d.text, p.pat)
 """
 
 
+def _minhash_portable_oracle_sql() -> str:
+    from vframe_spark.operators.dedup import minhash_portable_duckdb_sql
+
+    return minhash_portable_duckdb_sql(
+        text_expr="text", id_expr="doc_id", table="documents",
+        n_hashes=16, bands=4, shingle_n=3, max_bucket=200,
+    )
+
+
 def _unified_grep_oracle_sql() -> str:
     vals = ", ".join(f"({q}, '{p}')" for q, p in UNIFIED_GREP_QUERIES)
     return f"""
@@ -3059,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -3641,6 +3671,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),
         "ft_grep_unified": _unified_grep_oracle_sql(),
+        "dedup_minhash_portable": _minhash_portable_oracle_sql(),
         "rel_sessionize": _sessionize_oracle_sql(),
         "rel_percentiles": _PERCENTILES_ORACLE_SQL,
         "rel_funnel": _FUNNEL_ORACLE_SQL,

@@ -156,6 +156,7 @@ def main() -> None:
         "ft_suggest",
         "ft_regex_search",
         "ft_trigram_regex",
+        "ft_grep_unified",
         "ft_explain",
         "rel_sessionize",
         "rel_funnel",
@@ -165,6 +166,7 @@ def main() -> None:
         "ft_tokenize_tf",
         "dedup_exact_groups",
         "dedup_minhash_pairs",
+        "dedup_minhash_portable",
         "dedup_simhash_pairs",
         "sim_cosine_topk",
         "sim_lsh_topk",

@@ -205,3 +205,72 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     capped_cands = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.0, max_shingle_df=50)
     assert uncapped_cands.count() > 20000
     assert capped_cands.count() < 100
+
+
+def test_minhash_portable_cross_engine(spark):
+    """The portable minhash pipeline is bit-identical between Spark and
+    DuckDB — tokenize, shingle, md5-hash, mod-Mersenne permutations,
+    band keys, bucket cap, and agreement counts all replay exactly."""
+    import duckdb
+
+    from vframe_spark.operators.dedup import (
+        minhash_pairs_portable,
+        minhash_portable_duckdb_sql,
+    )
+
+    base = "solve the halting problem with one weird trick number"
+    rows = (
+        # near-dup cluster: one-token tail edits
+        [(i, f"{base} {i % 3} edition", ) for i in range(6)]
+        # exact duplicates
+        + [(10, "CamelCaseToken splits_the same WAY everywhere ok"),
+           (11, "CamelCaseToken splits_the same WAY everywhere ok")]
+        # unrelated
+        + [(20, "an entirely different document about iceberg manifests"),
+           (21, "short"), (22, "")]
+    )
+    docs = spark.createDataFrame([(i, t) for i, t in rows], "doc_id long, text string")
+    out = minhash_pairs_portable(docs, content_col="text", n_hashes=16, bands=4)
+    got = sorted((r.id_a, r.id_b, r.n_agree) for r in out.collect())
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    exp = sorted(tuple(r) for r in
+                 con.execute(minhash_portable_duckdb_sql(n_hashes=16, bands=4)).fetchall())
+    assert got == exp
+    # exact duplicates agree on every hash position
+    agree = {(a, b): n for a, b, n in got}
+    assert agree[(10, 11)] == 16
+    # plan shape: bucket equi-join only — no cartesian / nested-loop join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_portable_bucket_cap(spark):
+    """A degenerate bucket (many identical docs) is dropped by the
+    deterministic count cap in BOTH engines identically."""
+    import duckdb
+
+    from vframe_spark.operators.dedup import (
+        minhash_pairs_portable,
+        minhash_portable_duckdb_sql,
+    )
+
+    rows = [(i, "identical boilerplate header repeated across the corpus")
+            for i in range(10)] + [
+        (100, "unique document one about query planners and shuffles"),
+        (101, "unique document one about query planners and shuffling"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the boilerplate bucket size: its 45 pairs must vanish
+    out = minhash_pairs_portable(docs, content_col="text",
+                                 n_hashes=16, bands=4, max_bucket=5)
+    got = sorted((r.id_a, r.id_b) for r in out.collect())
+    assert all(a >= 100 for a, _ in got)
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    exp = sorted((r[0], r[1]) for r in con.execute(
+        minhash_portable_duckdb_sql(n_hashes=16, bands=4, max_bucket=5)
+    ).fetchall())
+    assert got == exp

@@ -430,3 +430,196 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ------------------------------------------- portable (cross-engine) minhash
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def portable_perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation params, each < 2^31.
+
+    Small multipliers keep ``a*h + b`` exact in decimal(38,0): the
+    shingle hash h takes 15 hex chars of md5 (< 2^60), so the product
+    stays under 2^91 ≈ 31 digits — no rounding in either engine."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_pairs_portable(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH candidate pairs whose hashing any SQL engine can REPLAY.
+
+    → (id_a, id_b, n_agree): banded-minhash bucket collisions with the
+    number of agreeing signature positions (n_agree/n_hashes estimates
+    Jaccard). Unlike :func:`minhash_lsh_pairs` (numpy/xxhash — fastest
+    per-core, engine-opaque), every step here is an exact integer
+    expression both Spark and DuckDB evaluate bit-identically, so the
+    driver's DuckDB oracle checks the *full* pipeline: tokenize →
+    shingle → md5-derived 60-bit hash → (a·h+b) mod 2^61−1 in
+    decimal(38,0) → per-band keys → bucket self-join → agreement count.
+    This closes the round-1 "near-dup family has no oracle" gap with a
+    cross-engine proof rather than a pytest-only one.
+
+    Scale shape (same as the numpy variant): candidates come from a
+    bucket EQUI-JOIN on (band, key) — never an all-pairs cross join —
+    and ``max_bucket`` drops degenerate buckets (boilerplate shared by
+    thousands of docs) whose pair count would grow quadratically; the
+    cap is count-based and deterministic, so the oracle replays it.
+    100% JVM expressions (whole-stage codegen) — no Python workers in
+    the hot path. Reference semantics: skip-phash near-dup
+    (/root/reference/src/commands/pipe/skip-phash.py:31-157)
+    generalized to shingle minhash.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    r = n_hashes // bands
+    ab = portable_perm_params(n_hashes, seed)
+
+    toks = tokenize_expr(F.col(content_col))
+    n_sh = F.size(toks) - (shingle_n - 1)
+    # guard: sequence(1, 0) would generate a DESCENDING range
+    sh = F.when(
+        n_sh >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(20,0)")
+    )
+    p_lit = F.lit(_MERSENNE61).cast("decimal(19,0)")
+
+    def sig_j(hv, a: int, b: int):
+        return F.array_min(
+            F.transform(
+                hv,
+                lambda h: (F.lit(a).cast("decimal(10,0)") * h + F.lit(b)) % p_lit,
+            )
+        ).cast("long")
+
+    # bind the shingle-hash array ONCE via a lambda variable —
+    # CollapseProject would otherwise inline `hs` into all n_hashes
+    # min-expressions and recompute the md5 walk n_hashes times
+    sig_struct = F.transform(
+        F.array(hs),
+        lambda hv: F.struct(
+            *[sig_j(hv, a, b).alias(f"s{j}") for j, (a, b) in enumerate(ab)]
+        ),
+    )[0]
+    sigs = (
+        docs.select(F.col(id_col).alias("_id"), sig_struct.alias("sig"))
+        .filter(F.col("sig.s0").isNotNull())  # docs with zero shingles
+    )
+
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"sig.s{bi * r + o}").cast("string") for o in range(r)],
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    b_df = sigs.select("_id", "sig", F.explode(band_arr).alias("bk")).select(
+        "_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    b_df = (
+        b_df.withColumn("_n", F.count("*").over(Window.partitionBy("band", "key")))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    lhs = b_df.select("band", "key", F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    rhs = b_df.select("band", "key", F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        lhs.join(rhs, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = sum(
+        F.when(F.col(f"sig_a.s{j}") == F.col(f"sig_b.s{j}"), 1).otherwise(0)
+        for j in range(n_hashes)
+    )
+    return pairs.select("id_a", "id_b", agree.cast("int").alias("n_agree"))
+
+
+def minhash_portable_duckdb_sql(
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    table: str = "documents",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> str:
+    """The DuckDB twin of :func:`minhash_pairs_portable` — same
+    literals, same integer arithmetic (HUGEINT there, decimal(38,0)
+    here), bit-identical output."""
+    from ..functions.tokenizer import tokenize_duckdb_sql
+
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    r = n_hashes // bands
+    ab = portable_perm_params(n_hashes, seed)
+    k1 = shingle_n - 1
+    tok = tokenize_duckdb_sql(text_expr)
+    sig_cols = ",\n         ".join(
+        f"min(({a}::HUGEINT * h + {b}) % {_MERSENNE61})::BIGINT AS s{j}"
+        for j, (a, b) in enumerate(ab)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT _id, {bi} AS band, {key} AS key FROM sig".format(
+            bi=bi,
+            key=" || '|' || ".join(f"s{bi * r + o}::VARCHAR" for o in range(r)),
+        )
+        for bi in range(bands)
+    )
+    agree = " + ".join(f"(sa.s{j} = sb.s{j})::INT" for j in range(n_hashes))
+    return f"""
+WITH tok AS (SELECT {id_expr} AS _id, {tok} AS toks FROM {table}),
+sh AS (
+  SELECT _id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - {k1}, 0) + 1),
+      i -> array_to_string(toks[i:i+{k1}], ' ')))) AS s
+  FROM tok),
+hv AS (SELECT _id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+sig AS (SELECT _id,
+         {sig_cols}
+        FROM hv GROUP BY _id),
+bandrows AS (
+  {band_rows}),
+capped AS (
+  SELECT * FROM bandrows
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket}),
+pairs AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM capped a JOIN capped b USING (band, key)
+  WHERE a._id < b._id)
+SELECT p.id_a, p.id_b, ({agree})::INT AS n_agree
+FROM pairs p
+JOIN sig sa ON sa._id = p.id_a
+JOIN sig sb ON sb._id = p.id_b
+"""
