@@ -837,6 +837,24 @@ def q_dedup_minhash_portable(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_portable(spark, sf_dir):
+    """SimHash near-dup with a FULL cross-engine oracle — 48-bit
+    md5-derived tf-weighted signature, max_hamming+1 band layout
+    (pigeonhole ⇒ 100% candidate recall at the threshold, the round-1
+    recall hole now proven by the gate, not asserted), deterministic
+    bucket cap, exact bit_count(xor) verify
+    (operators.dedup.simhash_pairs_portable)."""
+    from vframe_spark.operators.dedup import simhash_pairs_portable
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_pairs_portable(
+        docs, content_col="text", id_col="doc_id",
+        max_hamming=8, max_bucket=500,
+    )
+
+
 def q_dedup_minhash_recall(spark, sf_dir):
     """Quantified accuracy of the MinHash-LSH path: ground truth is the
     exact shingle Jaccard (same 3-word shingle universe) computed by
@@ -2647,6 +2665,15 @@ def _minhash_portable_oracle_sql() -> str:
     )
 
 
+def _simhash_portable_oracle_sql() -> str:
+    from vframe_spark.operators.dedup import simhash_portable_duckdb_sql
+
+    return simhash_portable_duckdb_sql(
+        text_expr="text", id_expr="doc_id", table="documents",
+        max_hamming=8, max_bucket=500,
+    )
+
+
 def _unified_grep_oracle_sql() -> str:
     vals = ", ".join(f"({q}, '{p}')" for q, p in UNIFIED_GREP_QUERIES)
     return f"""
@@ -3089,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_minhash_portable": q_dedup_minhash_portable,
+        "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -3672,6 +3700,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_trigram_regex": _trigram_regex_oracle_sql(),
         "ft_grep_unified": _unified_grep_oracle_sql(),
         "dedup_minhash_portable": _minhash_portable_oracle_sql(),
+        "dedup_simhash_portable": _simhash_portable_oracle_sql(),
         "rel_sessionize": _sessionize_oracle_sql(),
         "rel_percentiles": _PERCENTILES_ORACLE_SQL,
         "rel_funnel": _FUNNEL_ORACLE_SQL,

@@ -274,3 +274,47 @@ def test_minhash_portable_bucket_cap(spark):
         minhash_portable_duckdb_sql(n_hashes=16, bands=4, max_bucket=5)
     ).fetchall())
     assert got == exp
+
+
+def test_simhash_portable_cross_engine_and_recall(spark):
+    """Portable simhash: (1) Spark == DuckDB bit-identically, (2) the
+    band layout's pigeonhole recall holds — EVERY pair within the
+    Hamming threshold (all-pairs ground truth) appears in the banded
+    output."""
+    import itertools
+
+    import duckdb
+
+    from vframe_spark.operators.dedup import (
+        simhash_pairs_portable,
+        simhash_portable_duckdb_sql,
+    )
+
+    base = "distributed query engines shuffle data between executor stages"
+    rows = [(i, f"{base} variant {i % 4} with tail token {i % 2}")
+            for i in range(12)] + [
+        (50, "an unrelated essay on birds and their migratory patterns"),
+        (51, "an unrelated essay on birds and their migratory habits"),
+        (60, ""), (61, "one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = 6
+    out = simhash_pairs_portable(docs, content_col="text", max_hamming=mh)
+    got = sorted((r.id_a, r.id_b, r.hamming) for r in out.collect())
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    exp = sorted(tuple(r) for r in con.execute(
+        simhash_portable_duckdb_sql(max_hamming=mh)).fetchall())
+    assert got == exp
+
+    # all-pairs ground truth from the oracle's own signature CTE
+    sig_sql = simhash_portable_duckdb_sql(max_hamming=mh)
+    sig_sql = sig_sql[: sig_sql.index("bandrows AS")] + "x AS (SELECT 1)\nSELECT _id, sig FROM sig"
+    sigs = dict(con.execute(sig_sql).fetchall())
+    truth = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        d = bin(sigs[a] ^ sigs[b]).count("1")
+        if d <= mh:
+            truth.add((a, b, d))
+    assert truth == set(got)  # 100% recall AND no extras past the verify
