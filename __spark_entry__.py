@@ -1247,7 +1247,10 @@ def q_geo_poly_ops(spark, sf_dir):
 
 def q_geo_nms_merge(spark, sf_dir):
     """merge-bboxes analog: per-brand detection arrays → greedy NMS →
-    survivor count (rows-only check: greedy NMS isn't SQL-expressible)."""
+    survivor summary. Oracle-checked: the DuckDB twin replays the greedy
+    scan exactly as a recursive CTE (see _nms_oracle_sql) — conf-ranked
+    linear recursion carrying the kept set, bitwise-equal IoUs (integer
+    coordinates), same-order conf summation."""
     import vframe_spark.functions.geometry as G
 
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
@@ -1264,11 +1267,11 @@ def q_geo_nms_merge(spark, sf_dir):
     )
     kept = grouped.select("p_brand", G.nms_udf(0.5)(F.col("dets")).alias("kept"))
 
-    # self-evidencing invariant: greedy NMS guarantees every kept pair
-    # has IoU ≤ threshold, so max_kept_iou ≤ 0.5 must hold on every row
-    # (the quantified stand-in for a SQL oracle — greedy NMS itself is
-    # order-dependent and not SQL-expressible). Computed JVM-side; the
-    # array(kept)[0] lambda-bind evaluates the UDF column once.
+    # self-evidencing invariant (greedy NMS guarantees every kept pair
+    # has IoU ≤ threshold ⇒ max_kept_iou ≤ 0.5 on every row) AND part of
+    # the oracle comparison — the recursive-CTE twin recomputes it over
+    # its own kept set. Computed JVM-side; the array(kept)[0]
+    # lambda-bind evaluates the UDF column once.
     def _summary(k):
         pair_ious = F.flatten(
             F.transform(
@@ -2674,6 +2677,71 @@ def _simhash_portable_oracle_sql() -> str:
     )
 
 
+def _nms_oracle_sql() -> str:
+    """Greedy NMS replayed EXACTLY in SQL via a recursive CTE.
+
+    Round 1 called greedy NMS "not SQL-expressible"; it is — the greedy
+    scan is a linear recursion over conf-ranked detections carrying the
+    kept set (list of structs) and the running conf sum as state. Each
+    step suppresses the next box iff some kept box has IoU > 0.5
+    (clamped-area formula == _nms_one), appending otherwise. All
+    coordinates are small integers cast to double, so every IoU is a
+    correctly-rounded ratio of exact integers and the two engines agree
+    bitwise; sum_conf accumulates in the same kept order as the Spark
+    fold. max_kept_iou replays functions.geometry.bb_iou (unclamped
+    areas) over kept pairs, 0.0 when fewer than two survivors."""
+    iou_k_d = """(greatest(least(k.x2, d.x2) - greatest(k.x1, d.x1), 0.0)
+                   * greatest(least(k.y2, d.y2) - greatest(k.y1, d.y1), 0.0))
+                  / (greatest(k.x2 - k.x1, 0.0) * greatest(k.y2 - k.y1, 0.0)
+                     + greatest(d.x2 - d.x1, 0.0) * greatest(d.y2 - d.y1, 0.0)
+                     - (greatest(least(k.x2, d.x2) - greatest(k.x1, d.x1), 0.0)
+                        * greatest(least(k.y2, d.y2) - greatest(k.y1, d.y1), 0.0)))"""
+    suppressed = f"len(list_filter(s.kept, k -> {iou_k_d} > 0.5)) > 0"
+    return f"""
+WITH RECURSIVE det AS (
+  SELECT p_brand,
+         (p_partkey % 20)::DOUBLE AS x1,
+         (p_partkey % 13)::DOUBLE AS y1,
+         ((p_partkey % 20) + (p_size % 10 + 1))::DOUBLE AS x2,
+         ((p_partkey % 13) + (p_partkey % 7 + 1))::DOUBLE AS y2,
+         ((p_retailprice % 100) / 100)::DOUBLE AS conf,
+         p_type AS label
+  FROM part WHERE p_partkey <= 2000),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+            ORDER BY conf DESC, x1, y1, x2, y2, label) AS rn
+  FROM det),
+grp AS (SELECT DISTINCT p_brand FROM ranked),
+step AS (
+  SELECT p_brand, 0 AS i,
+         []::STRUCT(x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE, conf DOUBLE)[] AS kept,
+         0.0::DOUBLE AS sum_conf
+  FROM grp
+  UNION ALL
+  SELECT s.p_brand, s.i + 1,
+         CASE WHEN {suppressed} THEN s.kept
+              ELSE list_append(s.kept,
+                   {{'x1': d.x1, 'y1': d.y1, 'x2': d.x2, 'y2': d.y2, 'conf': d.conf}}) END,
+         CASE WHEN {suppressed} THEN s.sum_conf ELSE s.sum_conf + d.conf END
+  FROM step s JOIN ranked d ON d.p_brand = s.p_brand AND d.rn = s.i + 1),
+final AS (
+  SELECT p_brand, max_by(kept, i) AS kept, max_by(sum_conf, i) AS sum_conf
+  FROM step GROUP BY 1)
+SELECT p_brand,
+       len(kept)::BIGINT AS n_kept,
+       round(sum_conf, 4) AS sum_conf,
+       round(coalesce(list_aggregate(flatten(list_transform(kept, (a, i) ->
+           list_transform(kept[i+1:], b ->
+             (greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0.0)
+              * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0.0))
+             / ((a.x2 - a.x1) * (a.y2 - a.y1) + (b.x2 - b.x1) * (b.y2 - b.y1)
+                - (greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0.0)
+                   * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0.0)))))),
+         'max'), 0.0), 4) AS max_kept_iou
+FROM final
+"""
+
+
 def _unified_grep_oracle_sql() -> str:
     vals = ", ".join(f"({q}, '{p}')" for q, p in UNIFIED_GREP_QUERIES)
     return f"""
@@ -3701,6 +3769,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_grep_unified": _unified_grep_oracle_sql(),
         "dedup_minhash_portable": _minhash_portable_oracle_sql(),
         "dedup_simhash_portable": _simhash_portable_oracle_sql(),
+        "geo_nms_merge": _nms_oracle_sql(),
         "rel_sessionize": _sessionize_oracle_sql(),
         "rel_percentiles": _PERCENTILES_ORACLE_SQL,
         "rel_funnel": _FUNNEL_ORACLE_SQL,

@@ -166,8 +166,8 @@ def main() -> None:
         "ft_tokenize_tf",
         "dedup_exact_groups",
         "dedup_minhash_pairs",
-        "dedup_minhash_portable",
         "dedup_simhash_pairs",
+        "dedup_simhash_portable",
         "sim_cosine_topk",
         "sim_lsh_topk",
         "dedup_embedding_pairs",
