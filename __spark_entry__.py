@@ -27,6 +27,7 @@ from vframe_spark.functions import text as X
 from vframe_spark.functions.dates import time_bucket_duckdb_sql
 from vframe_spark.index.build import tokenize_docs
 from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.query.boolq import boolean_oracle_sql
 from vframe_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
@@ -377,6 +378,31 @@ FT_FACET_QUERIES = [
     (1, "data analysis"),
     (2, "parse hash table"),
 ]
+
+# Boolean-expression query set (full nested AND/OR/NOT grammar,
+# query/boolq.py): precedence, parens, implicit AND, double negation,
+# and an out-of-vocabulary OR branch.
+FT_BOOL_QUERIES = [
+    (1, "spark AND (stream OR window) NOT join"),
+    (2, "(hash AND join) OR (sort AND merge)"),
+    (3, "scan NOT (filter OR window)"),
+    (4, "data AND NOT (NOT table)"),
+    (5, "zzzabsentterm OR spark"),
+    (6, "NOT (scan OR NOT merge)"),
+]
+
+
+def q_ft_boolean(spark, sf_dir):
+    """Boolean-expression retrieval: the expressions compile to per-doc
+    bitmasks evaluated shard-locally off the compressed index (one
+    pruned posting scan, one (qid, shard) shuffle); matches rank by
+    BM25 over the expressions' positive terms. The oracle replays the
+    whole pipeline — the same compiler emits the predicate as SQL."""
+    from vframe_spark.query.boolq import boolean_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = boolean_topk(postings, term_stats, meta, FT_BOOL_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
 def q_ft_bm25_negated(spark, sf_dir):
@@ -998,6 +1024,45 @@ def q_sim_ivf_topk(spark, sf_dir):
     ]
     k = 5
     res = ivf_topk(emb, queries, dim=dim, k=k, n_lists=16, n_probes=8)
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "qid", F.col("vec_id").alias("bf_vec_id")
+    )
+    hit = (
+        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
+    return (
+        res.join(recall, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """Approximate ANN, product-quantization strategy: per-subspace
+    k-means codebooks (driver-trained, broadcast), vectors compress to
+    m uint8 codes, and retrieval is asymmetric-distance lookups over the
+    codes — the corpus scan never touches floats (Jégou et al. PQ, the
+    billion-scale memory shape). Engine k-means isn't SQL-expressible
+    (rows-only), so accuracy is surfaced IN the output: ``recall`` =
+    per-query overlap@k with the oracle-checked brute-force baseline."""
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    k = 5
+    res = pq_topk(emb, queries, dim=dim, k=k, m=8, ksub=32, refine=2)
     exact = cosine_topk_bruteforce(emb, queries, k=k).select(
         "qid", F.col("vec_id").alias("bf_vec_id")
     )
@@ -3171,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
+        "ft_boolean": q_ft_boolean,
         "ft_facets": q_ft_facets,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
@@ -3190,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_pq_topk": q_sim_pq_topk,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "text_token_counts": q_text_token_counts,
@@ -3317,6 +3384,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_negated": BM25_NEG_ORACLE_SQL.replace(
             "{QVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[0]
         ).replace("{NVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[1]),
+        "ft_boolean": boolean_oracle_sql(FT_BOOL_QUERIES, TOK_SQL, FT_K),
         "ft_facets": FACETS_ORACLE_SQL.replace(
             "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
         ),

@@ -1,0 +1,217 @@
+"""Boolean-expression retrieval vs a brute-force all-docs oracle.
+
+The engine (query/boolq.py) evaluates nested AND/OR/NOT over the
+compressed index via per-doc bitmasks; the oracle here evaluates the same
+tree over every document's full term set and scores with the shared
+OracleIndex BM25 — rank- and score-identical (tol=0.0) is the bar, same
+as the WAND suite.
+"""
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import OracleIndex
+from vframe_spark.query.boolq import (
+    BoolNode,
+    boolean_topk,
+    eval_mask_np,
+    evaluate,
+    expr_terms,
+    mask_predicate_sql,
+    parse_bool_query,
+    scoring_terms,
+)
+
+N_DOCS = 300
+
+# terms drawn from the synth_docs code vocabulary so match sets are
+# non-empty (guarded below — an all-empty comparison proves nothing)
+QUERIES = [
+    (1, "cache AND (stream OR buffer) NOT merge"),
+    (2, "(hash AND index) OR (parse AND token)"),
+    (3, "frame NOT (config OR handler)"),
+    (4, "data AND NOT (NOT value)"),
+    (5, "zzzabsentterm OR query"),
+    (6, "token stream"),  # implicit AND
+    (7, "NOT (cache OR NOT merge)"),  # anchored: == merge AND NOT cache
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, N_DOCS, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    return docs, oracle
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("bidx"))
+    meta = build_index(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    assert meta["complete"]
+    return load_index(spark, out)
+
+
+def brute_topk(oracle: OracleIndex, expr: str, k: int):
+    tree = parse_bool_query(expr)
+    sterms = scoring_terms(tree)
+    scored = []
+    for d, c in oracle.tf.items():
+        if evaluate(tree, frozenset(c)):
+            scored.append((d, oracle.score(sterms, d)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+# --- parser semantics ------------------------------------------------------
+
+
+def test_precedence_and_parens():
+    # OR binds loosest: a OR b AND c == a OR (b AND c)
+    t = parse_bool_query("spark OR merge AND scan")
+    assert t.op == "or" and t.kids[1].op == "and"
+    # parens override
+    t2 = parse_bool_query("(spark OR merge) AND scan")
+    assert t2.op == "and" and t2.kids[0].op == "or"
+
+
+def test_implicit_and_and_lucene_not():
+    assert repr(parse_bool_query("spark scan")) == repr(parse_bool_query("spark AND scan"))
+    # "a NOT b" is Lucene shorthand for a AND NOT b
+    t = parse_bool_query("spark NOT join")
+    assert t.op == "and" and t.kids[1].op == "not"
+
+
+def test_multi_token_word_conjoins():
+    # camelCase splits into an AND of its parts (code-aware tokenizer)
+    t = parse_bool_query("sparkContext")
+    assert t.op == "and"
+    assert {k.term for k in t.kids} >= {"spark", "context"}
+
+
+def test_unanchored_rejected():
+    for bad in ("NOT spark", "spark OR NOT merge", "NOT (spark AND merge)"):
+        with pytest.raises(ValueError, match="unanchored"):
+            parse_bool_query(bad)
+
+
+def test_syntax_errors():
+    for bad in ("spark AND", "(spark", "AND spark", "spark )"):
+        with pytest.raises(ValueError):
+            parse_bool_query(bad)
+
+
+def test_lowercase_and_is_a_term():
+    t = parse_bool_query("spark and merge")  # "and" is just a search term
+    assert t.op == "and" and len(t.kids) == 3
+
+
+# --- compilers agree with reference evaluate() -----------------------------
+
+
+def test_mask_compilers_match_reference():
+    import numpy as np
+
+    tree = parse_bool_query("(a AND b) OR (c NOT a)")
+    terms = expr_terms(tree)
+    bit_of = {t: i for i, t in enumerate(terms)}
+    masks = np.arange(2 ** len(terms), dtype=np.int64)
+    got = eval_mask_np(tree, bit_of, masks)
+    for m in masks:
+        present = frozenset(t for t, b in bit_of.items() if m & (1 << b))
+        assert bool(got[m]) == evaluate(tree, present), m
+
+
+def test_mask_sql_matches_reference():
+    import duckdb
+
+    tree = parse_bool_query("(a AND b) OR NOT (c OR a) AND d")
+    terms = expr_terms(tree)
+    bit_of = {t: i for i, t in enumerate(terms)}
+    pred = mask_predicate_sql(tree, bit_of, "m")
+    con = duckdb.connect()
+    for m in range(2 ** len(terms)):
+        (got,) = con.execute(f"SELECT {pred} FROM (SELECT {m}::BIGINT AS m)").fetchone()
+        present = frozenset(t for t, b in bit_of.items() if m & (1 << b))
+        assert bool(got) == evaluate(tree, present), m
+
+
+def test_oov_term_is_never_present():
+    import numpy as np
+
+    tree = BoolNode("or", kids=[BoolNode("term", term="zzz"), BoolNode("term", term="a")])
+    got = eval_mask_np(tree, {"a": 0}, np.array([0, 1], dtype=np.int64))
+    assert list(got) == [False, True]
+    assert mask_predicate_sql(BoolNode("term", term="zzz"), {"a": 0}) == "FALSE"
+
+
+# --- distributed engine vs brute force -------------------------------------
+
+
+def test_boolean_topk_matches_bruteforce(spark, corpus, index):
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    assert meta["n_docs"] == oracle.n_docs
+    k = 15
+    rows = boolean_topk(postings, term_stats, meta, QUERIES, k=k).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    n_nonempty = 0
+    for qid, q in QUERIES:
+        expect = brute_topk(oracle, q, k)
+        n_nonempty += bool(expect)
+        mine = sorted(got.get(qid, []))
+        assert len(mine) == len(expect), (qid, q, len(mine), len(expect))
+        for (rank, doc_id, score), (edoc, escore) in zip(mine, expect):
+            assert doc_id == edoc, (qid, q, rank, doc_id, edoc)
+            assert score == escore, (qid, q, rank, score, escore)  # bitwise
+    assert n_nonempty >= 6, f"only {n_nonempty} queries matched — trivial test"
+
+
+def test_boolean_matches_are_exact_set(spark, corpus, index):
+    """Every returned doc satisfies the expression; with k ≥ corpus size the
+    returned set IS the exact match set (no candidate-universe holes)."""
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    expr = "frame NOT (let OR struct)"  # mid-df exclusions → non-empty set
+    rows = boolean_topk(postings, term_stats, meta, [(1, expr)], k=N_DOCS + 1).collect()
+    tree = parse_bool_query(expr)
+    expect = {d for d, c in oracle.tf.items() if evaluate(tree, frozenset(c))}
+    assert expect, "match set empty — trivial test"
+    assert {r["doc_id"] for r in rows} == expect
+
+
+def test_facade_boolean_mode_and_tombstones(spark, corpus, tmp_path_factory):
+    """SearchIndex(mode="boolean") returns the engine result, and a
+    soft-deleted doc drops out BEFORE the k cut (a survivor replaces it)."""
+    from vframe_spark.api import SearchIndex
+
+    docs, oracle = corpus
+    out = str(tmp_path_factory.mktemp("bapi"))
+    ix = SearchIndex.build(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    expr = "(hash AND index) OR (parse AND token)"
+    k = 5
+    before = ix.search(expr, k=k, mode="boolean").collect()
+    expect = brute_topk(oracle, expr, k)
+    assert len(expect) == k, "match set too small — trivial test"
+    assert [(r["doc_id"], r["score"]) for r in sorted(before, key=lambda r: r["rank"])] == expect
+    top = before[0]["doc_id"]
+    assert ix.delete([top]) == 1
+    after = ix.reload().search(expr, k=k, mode="boolean").collect()
+    ids = [r["doc_id"] for r in sorted(after, key=lambda r: r["rank"])]
+    assert top not in ids
+    assert ids == [d for d, _ in brute_topk(oracle, expr, k + 1) if d != top][:k]
+
+
+def test_too_many_terms_rejected(spark, corpus, index):
+    postings, term_stats, _, meta = index
+    q = " OR ".join(f"term{i}x" for i in range(63))
+    with pytest.raises(ValueError, match="max 62"):
+        boolean_topk(postings, term_stats, meta, [(1, q)], k=5)

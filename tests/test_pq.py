@@ -1,0 +1,117 @@
+"""Product-quantization ANN: lossless-codebook exactness, recall on
+clustered data, refine re-rank, and determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    pq_assign,
+    pq_topk,
+    pq_train,
+)
+
+DIM = 16
+N = 160
+N_CLUSTERS = 8
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Clustered unit-ish vectors (the regime PQ is built for)."""
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((N_CLUSTERS, DIM))
+    rows = []
+    for i in range(N):
+        v = cents[i % N_CLUSTERS] + 0.15 * rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+    return df, rows
+
+
+def _ids(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    return {q: [v for _, v in sorted(rs)] for q, rs in out.items()}
+
+
+def test_train_shape_and_determinism(spark, vectors):
+    df, _ = vectors
+    b1 = pq_train(df, DIM, m=4, ksub=8, seed=3)
+    b2 = pq_train(df, DIM, m=4, ksub=8, seed=3)
+    assert b1.shape == (4, 8, 4)
+    assert np.array_equal(b1, b2)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, DIM, m=5)
+
+
+def test_assign_codes_shape(spark, vectors):
+    df, _ = vectors
+    books = pq_train(df, DIM, m=4, ksub=8)
+    codes = pq_assign(df, books).collect()
+    assert len(codes) == N
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_lossless_codebook_equals_bruteforce(spark, vectors):
+    """ksub ≥ n training vectors → every subvector is its own centroid →
+    zero quantization error → ADC top-k == exact top-k."""
+    df, rows = vectors
+    queries = [(i, rows[i][1]) for i in (0, 5, 11)]
+    books = pq_train(df, DIM, m=4, ksub=N, sample=N, iters=0)
+    got = _ids(pq_topk(df, queries, DIM, k=10, codebooks=books))
+    want = _ids(cosine_topk_bruteforce(df, queries, k=10))
+    assert got == want
+
+
+def test_recall_on_clustered_data(spark, vectors):
+    """Realistic compression (16 floats → 4 codes): recall@10 vs brute
+    force stays high when the data actually clusters."""
+    df, rows = vectors
+    queries = [(i, rows[i][1]) for i in range(0, N, 20)]
+    got = _ids(pq_topk(df, queries, DIM, k=10, m=8, ksub=32))
+    want = _ids(cosine_topk_bruteforce(df, queries, k=10))
+    recalls = [
+        len(set(got.get(q, [])) & set(want[q])) / len(want[q]) for q in want
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_refine_reranks_exactly_and_helps(spark, vectors):
+    """refine>0 re-ranks the ADC shortlist with EXACT cosine: every
+    returned (vec_id, cosine) matches brute-force's score for that doc,
+    and recall is ≥ the unrefined run."""
+    df, rows = vectors
+    queries = [(i, rows[i][1]) for i in range(0, N, 20)]
+    want = _ids(cosine_topk_bruteforce(df, queries, k=10))
+    plain = _ids(pq_topk(df, queries, DIM, k=10, m=4, ksub=16))
+    refined_df = pq_topk(df, queries, DIM, k=10, m=4, ksub=16, refine=5)
+    refined = _ids(refined_df)
+
+    def rec(got):
+        return sum(
+            len(set(got.get(q, [])) & set(want[q])) / len(want[q]) for q in want
+        ) / len(want)
+
+    assert rec(refined) >= rec(plain)
+    assert rec(refined) >= 0.9
+    # exact-score check: join refined scores to brute-force scores
+    bf = cosine_topk_bruteforce(df, queries, k=N)  # all docs, exact
+    j = refined_df.alias("a").join(
+        bf.alias("b"),
+        (F.col("a.qid") == F.col("b.qid")) & (F.col("a.vec_id") == F.col("b.vec_id")),
+    ).select(F.col("a.cosine").alias("got"), F.col("b.cosine").alias("want"))
+    for r in j.collect():
+        assert abs(r["got"] - r["want"]) < 1e-9
+
+
+def test_topk_determinism(spark, vectors):
+    df, rows = vectors
+    queries = [(1, rows[3][1])]
+    a = pq_topk(df, queries, DIM, k=5, m=4, ksub=16).collect()
+    b = pq_topk(df, queries, DIM, k=5, m=4, ksub=16).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

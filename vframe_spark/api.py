@@ -76,12 +76,13 @@ class SearchIndex:
         """Top-k retrieval → (qid, rank, doc_id, score[, n_hit, snippet]).
 
         ``mode``: "or" (WAND ranked union), "and" (posting-list
-        intersection), "phrase" (adjacent-run match; needs ``docs``;
-        ``slop`` > 0 allows proximity gaps), "wildcard" (prefix
-        expansion — also auto-detected from ``foo*`` tokens in an
-        "or"-mode string query). ``snippets=True`` attaches best-window
-        highlights (needs ``docs``). ``negation=True``: ``-term``
-        chunks exclude docs containing them (or/and modes).
+        intersection), "boolean" (full nested AND/OR/NOT expressions,
+        see `query.boolq`), "phrase" (adjacent-run match; needs
+        ``docs``; ``slop`` > 0 allows proximity gaps), "wildcard"
+        (prefix expansion — also auto-detected from ``foo*`` tokens in
+        an "or"-mode string query). ``snippets=True`` attaches
+        best-window highlights (needs ``docs``). ``negation=True``:
+        ``-term`` chunks exclude docs containing them (or/and modes).
         """
         postings, term_stats, _, meta = self._parts()
         queries = [(1, query)] if isinstance(query, str) else list(query)
@@ -107,6 +108,12 @@ class SearchIndex:
                     docs, postings, term_stats, meta, queries, k=k,
                     content_col=content_col, exclude_doc_ids=dead, slop=slop,
                 )
+        elif mode == "boolean":
+            from .query.boolq import boolean_topk
+
+            ranked = boolean_topk(
+                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
+            )
         elif mode == "wildcard" or (
             isinstance(query, str) and any(
                 w.endswith("*") and len(w) > 1 for w in query.split()

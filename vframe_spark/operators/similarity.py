@@ -443,3 +443,173 @@ def ivf_topk(
         "cosine", cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec"))
     )
     return _topk_window(joined.select("qid", "vec_id", "cosine"), k)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample: int = 20000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train product-quantization codebooks: the (unit-normalized) vector
+    splits into ``m`` subvectors of ``dim/m`` dims; each subspace gets its
+    own ``ksub``-centroid L2 k-means codebook → ``(m, ksub, dim/m)``.
+
+    Same scale shape as `ivf_train`: training touches at most ``sample``
+    rows (one bounded job), the k-means is driver-side numpy, and the
+    codebook is tiny (``m × ksub × dim/m`` floats — a few KB), broadcast
+    into every later pass. Compression: a vector stores as ``m`` uint8
+    codes (e.g. 64 floats → 8 bytes), which is what makes billion-scale
+    in-memory ANN possible (Jégou et al., PAMI 2011).
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    rows = (
+        embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(ksub, len(mat)), dsub), dtype=np.float64)
+    for mi in range(m):
+        sub = mat[:, mi * dsub : (mi + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=books.shape[1], replace=False)].copy()
+        for _ in range(iters):
+            # L2 assign: argmin ||x - c||^2 == argmax (x·c - ||c||²/2)
+            d = sub @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+            assign = d.argmax(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:  # re-seed an empty cell with the worst-served point
+                    cents[c] = sub[d.max(axis=1).argmin()]
+        books[mi] = cents
+    return books
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each (normalized) vector as its per-subspace nearest-centroid
+    codes → (vec_id, codes array<int>). One narrow Arrow pass; this is the
+    compressed representation a PQ index persists (m bytes/vector)."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    half_norms = 0.5 * (books * books).sum(axis=2)  # (m, ksub)
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                yield pd.DataFrame({"vec_id": [], "codes": []})
+                continue
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(mn), m), dtype=np.int32)
+            for mi in range(m):
+                sub = mn[:, mi * dsub : (mi + 1) * dsub]
+                codes[:, mi] = (sub @ books[mi].T - half_norms[mi]).argmax(axis=1)
+            yield pd.DataFrame({"vec_id": b["vec_id"], "codes": list(codes)})
+
+    return src.mapInPandas(assign, "vec_id bigint, codes array<int>")
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN: asymmetric distance computation over the compressed
+    codes → (qid, rank, vec_id, cosine).
+
+    Plan shape at 100 TB: each query precomputes a tiny ``(m, ksub)``
+    inner-product lookup table against the codebooks (driver-side, ships
+    in the task closure); the corpus scan then never touches floats —
+    per vector the approximate cosine is ``m`` table lookups summed, a
+    pure numpy gather over the uint8 codes. Partition-local top-k means
+    only ``partitions × k`` rows shuffle, the same bound as the exact
+    baseline but over 32×-smaller data.
+
+    ``refine > 0``: the ADC shortlist widens to ``refine × k`` and an
+    exact cosine re-rank over the RAW vectors of just those candidates
+    (one semi-join) produces the final k — the standard two-stage PQ
+    pipeline; with ``ksub`` ≥ distinct training vectors the codes are
+    lossless and even ``refine=0`` equals brute force (tested).
+    """
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, dim, m=m, ksub=ksub, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    # (Q, m, ksub): luts[q, mi, j] = q_sub(mi) · codebook[mi, j]
+    luts = np.einsum("qmd,mkd->qmk", qn.reshape(len(qn), m, dsub), books)
+    assigned = pq_assign(embeddings, books, id_col, vec_col)
+    shortlist = max(k, refine * k)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[float, int]]] = {int(q): [] for q in qids}
+        mcols = np.arange(m)[None, :]
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(b["codes"].to_numpy())  # (n, m)
+            for qi, qid in enumerate(qids):
+                row = luts[qi][mcols, codes].sum(axis=1)  # (n,) approx IP
+                take = min(shortlist, row.size)
+                idx = np.argpartition(-row, take - 1)[:take]
+                best[int(qid)].extend(zip(row[idx].tolist(), ids[idx].tolist()))
+                if len(best[int(qid)]) > 4 * shortlist:
+                    best[int(qid)] = sorted(
+                        best[int(qid)], key=lambda t: (-t[0], t[1])
+                    )[:shortlist]
+        rows = []
+        for qid, cands in best.items():
+            for cos, vid in sorted(cands, key=lambda t: (-t[0], t[1]))[:shortlist]:
+                rows.append((qid, vid, cos))
+        yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    partial = assigned.mapInPandas(adc, "qid bigint, vec_id bigint, cosine double")
+    if not refine:
+        return _topk_window(partial, k)
+    # exact re-rank: raw vectors of the shortlist only (equi-join on id)
+    cand = _topk_window(partial, shortlist).select("qid", "vec_id")
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid bigint, qvec array<double>",
+    )
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    exact = (
+        cand.join(src, "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .withColumn(
+            "cosine", cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec"))
+        )
+    )
+    return _topk_window(exact.select("qid", "vec_id", "cosine"), k)

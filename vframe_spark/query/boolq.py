@@ -1,0 +1,423 @@
+"""Boolean-expression retrieval: nested AND / OR / NOT with BM25 ranking.
+
+The reference pipeline composes skip-filters as chained include/exclude
+predicates (`skip-labels --include a --exclude b`, skip-detections.py:30-53);
+this is the general form — a full boolean query language over the inverted
+index, the Lucene `BooleanQuery` shape:
+
+    parse "spark AND (shuffle OR partition) NOT rdd"  →  expression tree
+
+Execution (one pruned scan + one shuffle, no per-doc Python in the plan):
+
+1. every term mentioned anywhere in the expression (positive OR negated)
+   rides the SAME bucket-dir + ``term isin`` pruned posting scan as WAND —
+   only the involved terms' blocks are ever read;
+2. shards are doc-id ranges, so ALL of a doc's postings for the involved
+   terms land in one (qid, shard) group: the boolean predicate is decidable
+   locally.  An Arrow-batched grouped kernel decodes the blocks, folds each
+   doc's term set into an int64 **bitmask** (one bit per query term), and
+   evaluates the expression as vectorized numpy bitwise ops over the mask
+   array — no per-doc Python;
+3. matching docs score BM25 over the expression's *positive* terms
+   (negated-only terms gate membership but contribute 0, Lucene
+   ``MUST_NOT`` semantics); each shard emits ≤ k candidates and the global
+   top-k is a single bounded window.
+
+Scale: cost ∝ postings of the involved terms (the same lower bound any
+boolean engine has); the only shuffle is the (qid, shard) group, cardinality
+≤ n_queries × n_shards.  Semantics guard: an expression satisfiable by a
+doc containing NONE of its terms (e.g. ``NOT a``, ``a OR NOT b``) would
+match the complement of a posting list — unbounded at 10^12 docs — and is
+rejected up front (`unanchored`), exactly Lucene's pure-negative rule.
+
+The same compiler emits the predicate as ANSI SQL over the bitmask column
+(`mask_predicate_sql`), so DuckDB can replay the full pipeline — parse →
+mask → predicate → BM25 → rank — for the driver's cross-engine oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.codec import for_decode, pfor_delta_decode
+from ..oracle import B, K1, parse_query_terms
+from .bm25 import idf_value, topk
+
+# ---------------------------------------------------------------------------
+# Parser: OR < AND < NOT < atom.  Operators are UPPERCASE keywords (lowercase
+# "and" is a search term, matching Lucene's classic QueryParser convention).
+# Adjacent atoms imply AND ("spark shuffle" == "spark AND shuffle").
+# A bare word runs through the code-aware tokenizer; a word that splits into
+# several index terms (camelCase, snake_case) becomes an AND of those terms.
+
+_TOKEN_RE = re.compile(r"\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+")
+
+
+class BoolNode:
+    """Expression tree node: op ∈ {term, and, or, not}."""
+
+    __slots__ = ("op", "term", "kids")
+
+    def __init__(self, op: str, term: str | None = None, kids: list | None = None):
+        self.op, self.term, self.kids = op, term, kids or []
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        if self.op == "term":
+            return self.term
+        if self.op == "not":
+            return f"(NOT {self.kids[0]!r})"
+        sep = f" {self.op.upper()} "
+        return "(" + sep.join(repr(k) for k in self.kids) + ")"
+
+
+def parse_bool_query(query: str) -> BoolNode:
+    """``"a AND (b OR c) NOT d"`` → expression tree.
+
+    Raises ``ValueError`` on syntax errors, on words the tokenizer reduces
+    to nothing, and on *unanchored* expressions (satisfiable by a document
+    containing none of the mentioned terms — see module docstring).
+    """
+    toks = _TOKEN_RE.findall(query)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or() -> BoolNode:
+        kids = [parse_and()]
+        while peek() == "OR":
+            take()
+            kids.append(parse_and())
+        return kids[0] if len(kids) == 1 else BoolNode("or", kids=kids)
+
+    def parse_and() -> BoolNode:
+        kids = [parse_not()]
+        # explicit AND, "NOT x" juxtaposed (Lucene: a NOT b == a AND NOT b),
+        # or plain adjacency — all conjoin
+        while peek() == "AND" or peek() == "NOT" or (
+            peek() is not None and peek() not in (")", "OR")
+        ):
+            if peek() == "AND":
+                take()
+            kids.append(parse_not())
+        return kids[0] if len(kids) == 1 else BoolNode("and", kids=kids)
+
+    def parse_not() -> BoolNode:
+        if peek() == "NOT":
+            take()
+            return BoolNode("not", kids=[parse_not()])
+        return parse_atom()
+
+    def parse_atom() -> BoolNode:
+        t = peek()
+        if t is None:
+            raise ValueError(f"boolean query ended unexpectedly: {query!r}")
+        if t == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError(f"missing ')' in boolean query: {query!r}")
+            take()
+            return node
+        if t in (")", "AND", "OR"):
+            raise ValueError(f"misplaced {t!r} in boolean query: {query!r}")
+        word = take()
+        terms = parse_query_terms(word)
+        if not terms:
+            raise ValueError(f"word {word!r} tokenizes to no index terms")
+        kids = [BoolNode("term", term=w) for w in dict.fromkeys(terms)]
+        return kids[0] if len(kids) == 1 else BoolNode("and", kids=kids)
+
+    tree = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in boolean query: {query!r}")
+    if evaluate(tree, frozenset()):
+        raise ValueError(
+            f"unanchored boolean query (matches docs containing none of its "
+            f"terms — unbounded complement at corpus scale): {query!r}"
+        )
+    return tree
+
+
+def evaluate(node: BoolNode, present: frozenset[str]) -> bool:
+    """Reference semantics: does a doc with term set ``present`` match?"""
+    if node.op == "term":
+        return node.term in present
+    if node.op == "not":
+        return not evaluate(node.kids[0], present)
+    if node.op == "and":
+        return all(evaluate(k, present) for k in node.kids)
+    return any(evaluate(k, present) for k in node.kids)
+
+
+def expr_terms(node: BoolNode) -> list[str]:
+    """All distinct terms mentioned anywhere in the expression (sorted)."""
+    out: set[str] = set()
+
+    def walk(n):
+        if n.op == "term":
+            out.add(n.term)
+        for k in n.kids:
+            walk(k)
+
+    walk(node)
+    return sorted(out)
+
+
+def scoring_terms(node: BoolNode) -> list[str]:
+    """Terms in a *positive* context (under an even number of NOTs) —
+    the ones whose BM25 contributions count (Lucene: MUST/SHOULD score,
+    MUST_NOT doesn't)."""
+    out: set[str] = set()
+
+    def walk(n, neg: bool):
+        if n.op == "term":
+            if not neg:
+                out.add(n.term)
+        elif n.op == "not":
+            walk(n.kids[0], not neg)
+        else:
+            for k in n.kids:
+                walk(k, neg)
+
+    walk(node, False)
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Compilers: the same tree → numpy bitwise eval / ANSI-SQL predicate.
+
+
+def eval_mask_np(node: BoolNode, bit_of: dict[str, int], mask: np.ndarray) -> np.ndarray:
+    """Vectorized predicate over an int64 bitmask array."""
+    if node.op == "term":
+        b = bit_of.get(node.term)
+        if b is None:  # out-of-vocabulary → present in no document
+            return np.zeros(mask.shape, dtype=bool)
+        return (mask & np.int64(1 << b)) != 0
+    if node.op == "not":
+        return ~eval_mask_np(node.kids[0], bit_of, mask)
+    parts = [eval_mask_np(k, bit_of, mask) for k in node.kids]
+    out = parts[0]
+    for p in parts[1:]:
+        out = (out & p) if node.op == "and" else (out | p)
+    return out
+
+
+def mask_predicate_sql(node: BoolNode, bit_of: dict[str, int], col: str = "mask") -> str:
+    """The predicate as ANSI SQL over an integer bitmask column, for the
+    DuckDB oracle replay (`&` and literals only — portable)."""
+    if node.op == "term":
+        b = bit_of.get(node.term)
+        if b is None:
+            return "FALSE"
+        return f"(({col} & {1 << b}) != 0)"
+    if node.op == "not":
+        return f"(NOT {mask_predicate_sql(node.kids[0], bit_of, col)})"
+    sep = " AND " if node.op == "and" else " OR "
+    return "(" + sep.join(mask_predicate_sql(k, bit_of, col) for k in node.kids) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Distributed execution over the compressed index.
+
+
+def _local_bool_topk(
+    pdf: pd.DataFrame, trees: dict[int, BoolNode], bits: dict[int, dict[str, int]],
+    k: int, avgdl: float, exclude: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """One (qid, shard) group: decode → per-doc (mask, score) → predicate →
+    local top-k.  Docs are shard-complete (shards are doc-id ranges), so the
+    mask is the doc's full term-presence vector for this query."""
+    empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
+        {"qid": "int32", "doc_id": "int64", "score": "float64"}
+    )
+    if pdf.empty:
+        return empty
+    qid = int(pdf["qid"].iloc[0])
+    bit_of = bits[qid]
+    ids_parts, mask_parts, contrib_parts = [], [], []
+    for term in sorted(pdf["term"].unique()):
+        g = pdf[pdf["term"] == term].sort_values("block")
+        idf = float(g["idf"].iloc[0])
+        bit = np.int64(1 << bit_of[term])
+        scoring = bool(g["scoring"].iloc[0])
+        for n_, buf, first, tfb, dlb in zip(
+            g["n"], g["doc_ids"], g["first_doc"], g["tfs"], g["dls"]
+        ):
+            n = int(n_)
+            ids = pfor_delta_decode(buf, n, int(first)).astype(np.int64)
+            ids_parts.append(ids)
+            mask_parts.append(np.full(n, bit, dtype=np.int64))
+            if scoring:
+                tf = for_decode(tfb, n).astype(np.float64)
+                dl = for_decode(dlb, n).astype(np.float64)
+                contrib_parts.append(
+                    idf * ((tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+                )
+            else:
+                contrib_parts.append(np.zeros(n, dtype=np.float64))
+    if not ids_parts:
+        return empty
+    all_ids = np.concatenate(ids_parts)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    mask = np.zeros(uniq.size, dtype=np.int64)
+    np.bitwise_or.at(mask, inv, np.concatenate(mask_parts))
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_parts))
+    hit = eval_mask_np(trees[qid], bit_of, mask)
+    uniq, scores = uniq[hit], scores[hit]
+    if exclude is not None and exclude.size and uniq.size:
+        # tombstones drop BEFORE the k cut (soft-delete semantics, same
+        # rule as the WAND scorer)
+        pos = np.searchsorted(exclude, uniq)
+        dead = (pos < exclude.size) & (exclude[np.clip(pos, 0, exclude.size - 1)] == uniq)
+        uniq, scores = uniq[~dead], scores[~dead]
+    if uniq.size == 0:
+        return empty
+    sel = np.lexsort((uniq, -scores))[:k]
+    return pd.DataFrame({"qid": qid, "doc_id": uniq[sel], "score": scores[sel]})
+
+
+def boolean_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    k: int = 10,
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Batch boolean retrieval → (qid, rank, doc_id, score).
+
+    ``queries`` = (qid, expression) pairs; see `parse_bool_query` for the
+    grammar.  Docs matching the expression are ranked by BM25 over the
+    expression's positive terms (score DESC, doc_id ASC tie-break); docs
+    matching through negation alone (zero positive terms present) score 0.0
+    and sort by doc_id at the bottom — still returned, they DID match.
+    """
+    spark: SparkSession = postings.sparkSession
+    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    trees: dict[int, BoolNode] = {}
+    bits: dict[int, dict[str, int]] = {}
+    rows: list[tuple[int, str, int, float, bool]] = []
+    all_terms: set[str] = set()
+    for qid, q in queries:
+        tree = parse_bool_query(q)
+        terms = expr_terms(tree)
+        if len(terms) > 62:
+            raise ValueError(f"boolean query has {len(terms)} terms (max 62)")
+        trees[int(qid)] = tree
+        bits[int(qid)] = {t: i for i, t in enumerate(terms)}
+        all_terms.update(terms)
+    if not trees:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(sorted(all_terms))).collect()
+    }
+    for qid, tree in trees.items():
+        scoring = set(scoring_terms(tree))
+        for t in expr_terms(tree):
+            if t in dfs:  # OOV terms have no postings — bit simply never set
+                rows.append(
+                    (qid, t, bits[qid][t],
+                     idf_value(n_docs, dfs[t]) if t in scoring else 0.0,
+                     t in scoring)
+                )
+    if not rows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    qstats = spark.createDataFrame(
+        rows, "qid int, term string, bit int, idf double, scoring boolean"
+    )
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in sorted(all_terms)})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(sorted(all_terms))).join(
+        F.broadcast(qstats), "term"
+    )
+    excl = (
+        np.asarray(sorted(set(exclude_doc_ids)), dtype=np.int64)
+        if exclude_doc_ids
+        else None
+    )
+    partials = matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _local_bool_topk(pdf, trees, bits, k, avgdl, excl),
+        "qid int, doc_id bigint, score double",
+    )
+    return topk(partials, k)
+
+
+def boolean_oracle_sql(
+    queries: Iterable[tuple[int, str]], tok_sql: str, k: int = 10
+) -> str:
+    """The whole pipeline as one DuckDB query over ``documents`` — the
+    driver's cross-engine oracle.  ``tok_sql`` = the canonical tokenizer as
+    a DuckDB expression over column ``text`` (functions.tokenizer.
+    tokenize_duckdb_sql).  Scores round to 4dp before ranking, the shared
+    cross-engine determinism rule."""
+    qrows, preds = [], []
+    for qid, q in queries:
+        tree = parse_bool_query(q)
+        bit_of = {t: i for i, t in enumerate(expr_terms(tree))}
+        scoring = set(scoring_terms(tree))
+        for t, b in sorted(bit_of.items()):
+            qrows.append(f"({int(qid)}, '{t}', {b}, {'TRUE' if t in scoring else 'FALSE'})")
+        preds.append(
+            f"WHEN {int(qid)} THEN {mask_predicate_sql(tree, bit_of, 'mask')}"
+        )
+    values = ", ".join(qrows)
+    case_pred = "CASE qid " + " ".join(preds) + " ELSE FALSE END"
+    return f"""
+WITH toks AS (SELECT doc_id, {tok_sql} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term, bit, scoring) AS (VALUES {values}),
+per_doc AS (
+  SELECT q.qid, tf.doc_id,
+         bit_or((1::BIGINT << q.bit))::BIGINT AS mask,
+         sum(CASE WHEN q.scoring THEN
+               ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * {K1 + 1.0})
+                 / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+             ELSE 0.0 END) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+alive AS (
+  SELECT qid, doc_id, round(score, 4) AS score FROM per_doc
+  WHERE {case_pred}
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM alive
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
