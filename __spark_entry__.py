@@ -28,6 +28,7 @@ from vframe_spark.functions.dates import time_bucket_duckdb_sql
 from vframe_spark.index.build import tokenize_docs
 from vframe_spark.index.builder import build_index, load_index
 from vframe_spark.query.boolq import boolean_oracle_sql
+from vframe_spark.query.synonyms import synonym_qterms_values_sql
 from vframe_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
@@ -413,6 +414,35 @@ def q_ft_bm25_negated(spark, sf_dir):
     postings, term_stats, _, meta = _ft_index(spark, sf_dir)
     raw = bm25_topk_wand(
         postings, term_stats, meta, FT_NEG_QUERIES, k=3 * FT_K, negation=True
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+# Synonym map + query set: aliases tokenize through the canonical
+# tokenizer, so multi-word and camelCase aliases land as index terms.
+FT_SYNONYMS = {
+    "fast": ["quick", "speedy"],
+    "data": ["value"],
+    "merge": ["join"],
+    "analysis": ["analytics"],
+}
+FT_SYN_QUERIES = [
+    (1, "fast data analysis"),
+    (2, "merge window"),
+    (3, "fast zzzabsentterm"),
+]
+
+
+def q_ft_synonym_topk(spark, sf_dir):
+    """Query-time synonym expansion (union scoring): each term ORs in
+    its aliases, every variant scored with its own df over the same
+    pruned WAND batch; the oracle replays the identical expansion as
+    SQL VALUES (query/synonyms.py)."""
+    from vframe_spark.query.synonyms import synonym_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = synonym_topk(
+        postings, term_stats, meta, FT_SYN_QUERIES, FT_SYNONYMS, k=3 * FT_K
     )
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
@@ -1546,6 +1576,25 @@ def q_rel_grouping_sets(spark, sf_dir):
         """
     ).select(
         "status", "priority", F.col("n").cast("bigint").alias("n"), "sum_price"
+    )
+
+
+def q_rel_pivot(spark, sf_dir):
+    """PIVOT: lineitem quantity cross-tab — rows by return flag, one
+    column per line status. Spark's `groupBy().pivot(values=...)`
+    compiles to a single-shuffle conditional aggregation (values
+    pinned → no extra distinct-scan job, deterministic columns); the
+    oracle replays it as portable FILTER aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "returnflag",
+            F.coalesce("F", F.lit(0.0)).alias("qty_f"),
+            F.coalesce("O", F.lit(0.0)).alias("qty_o"),
+        )
     )
 
 
@@ -3237,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
+        "ft_synonym_topk": q_ft_synonym_topk,
         "ft_facets": q_ft_facets,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
@@ -3281,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "rel_cube": q_rel_cube,
         "rel_grouping_sets": q_rel_grouping_sets,
+        "rel_pivot": q_rel_pivot,
         "rel_moving_avg": q_rel_moving_avg,
         "rel_histogram": q_rel_histogram,
         "rel_time_window": q_rel_time_window,
@@ -3385,6 +3436,9 @@ def oracle_sql() -> dict[str, str]:
             "{QVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[0]
         ).replace("{NVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[1]),
         "ft_boolean": boolean_oracle_sql(FT_BOOL_QUERIES, TOK_SQL, FT_K),
+        "ft_synonym_topk": BM25_ORACLE_SQL.replace(
+            "{QVALUES}", synonym_qterms_values_sql(FT_SYN_QUERIES, FT_SYNONYMS)
+        ),
         "ft_facets": FACETS_ORACLE_SQL.replace(
             "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
         ),
@@ -3696,6 +3750,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """,
+        "rel_pivot": """
+            SELECT l_returnflag AS returnflag,
+                   coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0) AS qty_f,
+                   coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0.0) AS qty_o
+            FROM lineitem
+            GROUP BY 1
         """,
         "rel_moving_avg": """
             WITH daily AS (

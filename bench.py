@@ -158,11 +158,13 @@ def main() -> None:
         "ft_trigram_regex",
         "ft_grep_unified",
         "ft_explain",
+        "ft_boolean",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",
         "rel_percentiles",
         "sim_ivf_topk",
+        "sim_pq_topk",
         "ft_tokenize_tf",
         "dedup_exact_groups",
         "dedup_minhash_pairs",

@@ -1,0 +1,76 @@
+"""Query-time synonym expansion: deterministic rewrite + rank identity
+with the union-of-terms oracle."""
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import OracleIndex
+from vframe_spark.query.synonyms import (
+    expand_synonym_queries,
+    synonym_qterms_values_sql,
+    synonym_topk,
+)
+
+SYN = {
+    "cache": ["buffer", "memo"],
+    "stream": ["flow"],
+    "token": ["lexeme"],
+}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, 250, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    return docs, OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("synidx"))
+    build_index(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    return load_index(spark, out)
+
+
+def test_expansion_is_deterministic_one_hop():
+    got = expand_synonym_queries([(1, "cache stream")], SYN)
+    assert got == [(1, ["buffer", "cache", "flow", "memo", "stream"])]
+    # one hop: even if an alias itself has aliases, they don't chain
+    chained = {"a": ["b"], "b": ["c"]}
+    assert expand_synonym_queries([(1, "a")], chained) == [(1, ["a", "b"])]
+
+
+def test_expansion_cap_and_tokenized_aliases():
+    syn = {"x": [f"alias{i}" for i in range(30)]}
+    (_, terms), = expand_synonym_queries([(1, "x")], syn, max_expansions=5)
+    assert len(terms) == 6  # x + 5 term-ASC aliases
+    # multi-word / camelCase aliases tokenize to index terms
+    (_, terms2), = expand_synonym_queries([(1, "x")], {"x": ["fooBar baz"]})
+    assert set(terms2) >= {"x", "foo", "bar", "baz"}
+
+
+def test_values_sql_matches_expansion():
+    sql = synonym_qterms_values_sql([(7, "cache")], SYN)
+    assert sql == "(7, 'buffer'), (7, 'cache'), (7, 'memo')"
+
+
+def test_synonym_topk_matches_union_oracle(spark, corpus, index):
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    queries = [(1, "cache stream"), (2, "token"), (3, "zzzmissing cache")]
+    k = 12
+    rows = synonym_topk(postings, term_stats, meta, queries, SYN, k=k).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in queries:
+        (_, terms), = expand_synonym_queries([(qid, q)], SYN)
+        expect = oracle.topk(" ".join(terms), k)
+        assert expect, (qid, q)  # non-trivial
+        mine = sorted(got.get(qid, []))
+        assert [(d, s) for _, d, s in mine] == expect, (qid, q)

@@ -72,6 +72,7 @@ class SearchIndex:
         content_col: str = "content",
         slop: int = 0,
         negation: bool = False,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Top-k retrieval → (qid, rank, doc_id, score[, n_hit, snippet]).
 
@@ -83,6 +84,8 @@ class SearchIndex:
         an "or"-mode string query). ``snippets=True`` attaches
         best-window highlights (needs ``docs``). ``negation=True``:
         ``-term`` chunks exclude docs containing them (or/and modes).
+        ``synonyms``: query-time alias map — each term ORs in its
+        aliases, union-scored ("or" mode only; see `query.synonyms`).
         """
         postings, term_stats, _, meta = self._parts()
         queries = [(1, query)] if isinstance(query, str) else list(query)
@@ -123,6 +126,15 @@ class SearchIndex:
 
             ranked = wildcard_topk(
                 postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
+            )
+        elif synonyms is not None:
+            if mode != "or":
+                raise ValueError("synonyms= is only supported with mode='or'")
+            from .query.synonyms import synonym_topk
+
+            ranked = synonym_topk(
+                postings, term_stats, meta, queries, synonyms, k=k,
+                exclude_doc_ids=dead,
             )
         else:
             from .query.wand import bm25_topk_wand
