@@ -1455,6 +1455,60 @@ def q_det_label_filter(spark, sf_dir):
     )
 
 
+def _sketch_hll_oracle_sql() -> str:
+    """DuckDB replay of the per-lang HLL token sketch + exact join."""
+    from vframe_spark.operators.sketch import hll_duckdb_sql
+
+    wl = (
+        "(SELECT d.lang, tok.term FROM "
+        f"(SELECT doc_id, unnest(t) AS term FROM "
+        f"(SELECT doc_id, {TOK_SQL} AS t FROM documents) toks) tok "
+        "JOIN documents d USING (doc_id)) wl"
+    )
+    hll = hll_duckdb_sql("term", wl, ["lang"], p=10)
+    return f"""
+WITH est AS ({hll}),
+exact AS (
+  SELECT d.lang, count(DISTINCT tok.term)::BIGINT AS exact_distinct FROM
+    (SELECT doc_id, unnest(t) AS term FROM
+      (SELECT doc_id, {TOK_SQL} AS t FROM documents) toks) tok
+  JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT est.lang, est.est AS est_distinct, exact.exact_distinct,
+       round((est.est - exact.exact_distinct) / exact.exact_distinct, 4) AS rel_err
+FROM est JOIN exact USING (lang)
+"""
+
+
+def q_sketch_hll_tokens(spark, sf_dir):
+    """Mergeable HyperLogLog distinct-token estimate per lang — the
+    bounded-memory form of COUNT(DISTINCT) (operators/sketch.py). The
+    sketch is portable by construction (md5-60bit hash, trailing-zeros
+    rank, harmonic estimator), so the DuckDB oracle replays it EXACTLY —
+    an oracle-checked *approximate* operator. ``rel_err`` vs the exact
+    count is surfaced in the output (|err| ≲ 3·1.04/√1024 ≈ 10%)."""
+    from vframe_spark.operators.sketch import approx_distinct_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_docs(
+        docs.select("doc_id", F.col("text").alias("content")), lang_col=None
+    )
+    wl = toks.join(docs.select("doc_id", "lang"), "doc_id")
+    est = approx_distinct_portable(wl, "term", by=["lang"], p=10)
+    exact = wl.groupBy("lang").agg(
+        F.countDistinct("term").alias("exact_distinct")
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        F.col("est").alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            (F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_err"),
+    )
+
+
 def q_text_top_terms(spark, sf_dir):
     """Corpus-wide top-50 terms by document frequency (the summary/plot
     aggregation family over tokenizer output; ties broken by term)."""
@@ -3339,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_union_merge": q_rel_union_merge,
         "rel_anti_join": q_rel_anti_join,
         "text_top_terms": q_text_top_terms,
+        "sketch_hll_tokens": q_sketch_hll_tokens,
         "rel_shipping_priority": q_rel_shipping_priority,
         "rel_semi_join": q_rel_semi_join,
         "rel_date_parts": q_rel_date_parts,
@@ -3806,6 +3861,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
             GROUP BY 1
         """,
+        "sketch_hll_tokens": _sketch_hll_oracle_sql(),
         "text_top_terms": f"""
             WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
             tf AS (SELECT term, doc_id FROM tok GROUP BY 1, 2),

@@ -188,6 +188,7 @@ def main() -> None:
         "det_conf_filter",
         "text_quality",
         "text_lang_id",
+        "sketch_hll_tokens",
         "rel_pricing_summary",
         "rel_join_revenue_by_nation",
         "rel_window_topk",

@@ -1,0 +1,88 @@
+"""Portable HyperLogLog: accuracy, mergeability, determinism, and the
+bit-for-bit DuckDB replay (registers AND estimate)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.operators.sketch import (
+    approx_distinct_portable,
+    hll_duckdb_sql,
+    hll_error_bound,
+    hll_estimate,
+    hll_merge,
+    hll_state,
+)
+
+P = 10  # 1024 registers → σ ≈ 3.3%
+
+
+@pytest.fixture(scope="module")
+def ints(spark):
+    # 20k rows, 5k distinct, two groups of different cardinality
+    rows = [(i % 5000, "a") for i in range(15000)] + [
+        (100000 + (i % 800), "b") for i in range(5000)
+    ]
+    return spark.createDataFrame(rows, "v bigint, g string").cache()
+
+
+def test_accuracy_within_bound(spark, ints):
+    (est,) = approx_distinct_portable(ints, "v", p=P).collect()
+    err = abs(est["est"] - 5800) / 5800
+    assert err < 3 * hll_error_bound(P), (est["est"], err)
+
+
+def test_grouped_estimates(spark, ints):
+    got = {r["g"]: r["est"] for r in approx_distinct_portable(ints, "v", by=["g"], p=P).collect()}
+    assert abs(got["a"] - 5000) / 5000 < 3 * hll_error_bound(P)
+    # 800 distinct in 1024 registers → linear-counting regime, still close
+    assert abs(got["b"] - 800) / 800 < 0.1
+
+
+def test_merge_equals_whole(spark, ints):
+    left = hll_state(ints.filter(F.col("v") % 2 == 0), "v", p=P)
+    right = hll_state(ints.filter(F.col("v") % 2 == 1), "v", p=P)
+    merged = hll_merge(left, right)
+    whole = hll_state(ints, "v", p=P)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    (em,) = hll_estimate(merged, p=P).collect()
+    (ew,) = hll_estimate(whole, p=P).collect()
+    assert em["est"] == ew["est"]
+
+
+def test_determinism_and_p_validation(spark, ints):
+    a = approx_distinct_portable(ints, "v", p=P).collect()
+    b = approx_distinct_portable(ints, "v", p=P).collect()
+    assert a == b
+    with pytest.raises(ValueError, match="p must be"):
+        hll_state(ints, "v", p=2)
+
+
+def test_duckdb_replay_is_identical(spark, ints):
+    """Same hash → same registers → same estimate, both engines."""
+    pdf = ints.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    # grouped estimates
+    got = {
+        r["g"]: r["est"]
+        for r in approx_distinct_portable(ints, "v", by=["g"], p=P).collect()
+    }
+    want = dict(con.execute(hll_duckdb_sql("v", "t", ["g"], p=P)).fetchall())
+    assert got == want
+    # register tables match exactly
+    regs_spark = sorted(map(tuple, hll_state(ints, "v", p=P).collect()))
+    regs_duck = sorted(
+        con.execute(
+            hll_duckdb_sql("v", "t", [], p=P)
+            .split("agg AS")[0]
+            + "agg AS (SELECT 1) SELECT reg, mrank FROM regs"
+        ).fetchall()
+    )
+    assert regs_spark == regs_duck
+
+
+def test_null_values_ignored(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,), (None,)], "v bigint")
+    (est,) = approx_distinct_portable(df, "v", p=P).collect()
+    assert abs(est["est"] - 2) < 0.1

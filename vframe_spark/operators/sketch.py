@@ -1,0 +1,156 @@
+"""Mergeable cardinality sketches (HyperLogLog), cross-engine portable.
+
+Exact COUNT(DISTINCT) at 100 TB costs a full shuffle of the distinct
+keys; an HLL register table is a few KB per group, merges associatively
+(pre-aggregate per partition / per day, fold later), and answers within
+~1.04/√m. This implementation is **portable by construction**: every
+step — the md5-derived 60-bit hash (the same trick the portable
+MinHash/SimHash family uses, dedup.py), the register split, the
+trailing-zeros rank, the bias-corrected harmonic estimator — is pure
+integer/float arithmetic expressible identically in Spark SQL and
+DuckDB, so the driver's oracle replays the sketch EXACTLY (same
+registers, same estimate), not just approximately.
+
+Rank statistic: HLL needs a geometric variable with P(rank ≥ j) =
+2^-(j-1); the position of the lowest set bit of the suffix delivers it
+exactly (Flajolet–Martin's original ρ), and — unlike the leading-zero
+form — computes exactly in both engines as ``bit_count((w & -w) - 1)``
+with no float log2 near-power-of-two hazards.
+
+Plan shape: ``hll_state`` is ONE partial-aggregated groupBy(by, reg)
+(≤ m rows survive per group), ``hll_estimate`` a second groupBy over ≤
+m rows per group; ``hll_merge`` is unionByName + the same max-fold —
+states from different slices/days/clusters combine without rescanning.
+
+Reference parity: reader throughput/summary stats (`media-attrs-
+summarize`, /root/reference/src/commands/utils/media-attrs.py:214-258)
+count distincts eagerly; this is the bounded-memory form.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 hex chars of md5 — positive in BIGINT everywhere
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_state(
+    df: DataFrame, col: str, by: list[str] | None = None, p: int = 12
+) -> DataFrame:
+    """→ (by..., reg int, mrank int): the HLL register table, the
+    mergeable sketch state. ``p`` register bits → m = 2^p registers;
+    absent registers mean rank 0."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    by = list(by or [])
+    m = 1 << p
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast("long")
+    w = F.shiftright(h, p)  # h < 2^60 and positive → plain shift is safe
+    rank = (
+        F.when(w == 0, F.lit(HASH_BITS - p + 1))
+        .otherwise(F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
+        .cast("int")
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*by, h.bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"), rank.alias("r"))
+        .groupBy(*by, "reg")
+        .agg(F.max("r").alias("mrank"))
+    )
+
+
+def hll_merge(*states: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Fold sketch states (same p!) — union + per-register max. The
+    associative merge is what makes per-slice / per-day pre-aggregation
+    free."""
+    by = list(by or [])
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*by, "reg").agg(F.max("mrank").alias("mrank"))
+
+
+def hll_estimate(
+    state: DataFrame, by: list[str] | None = None, p: int = 12
+) -> DataFrame:
+    """Register table → (by..., est double): bias-corrected harmonic
+    estimate with the small-range linear-counting correction (the
+    original HLL recipe; large-range correction is moot at 60 hash
+    bits)."""
+    by = list(by or [])
+    m = 1 << p
+    alpha = _alpha(m)
+    agg = state.groupBy(*by).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mrank"))).alias("s"),
+        F.count("*").alias("c"),
+    )
+    # absent registers contribute 2^0 = 1 each; zeros V = m - c
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("c")))
+    v = F.lit(m) - F.col("c")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(*by, F.round(est, 4).alias("est"))
+
+
+def approx_distinct_portable(
+    df: DataFrame, col: str, by: list[str] | None = None, p: int = 12
+) -> DataFrame:
+    """One-stop: (by..., est) — HLL distinct-count of ``col`` per group."""
+    return hll_estimate(hll_state(df, col, by, p), by, p)
+
+
+def hll_duckdb_sql(
+    val_expr: str, from_sql: str, by_cols: list[str] | None = None, p: int = 12
+) -> str:
+    """The identical sketch as a DuckDB query — same hash, registers,
+    rank, and estimator, so estimates match the engine to float
+    round-off. ``val_expr`` = the value expression, ``from_sql`` = the
+    source relation (may expose ``by_cols``)."""
+    by = list(by_cols or [])
+    m = 1 << p
+    alpha = _alpha(m)
+    sel_by = (", ".join(by) + ",") if by else ""
+    grp_by = ("GROUP BY " + ", ".join(by)) if by else ""
+    grp_reg = ", ".join(by + ["reg"])
+    return f"""
+WITH hv AS (
+  SELECT {sel_by} ('0x' || substr(md5(({val_expr})::VARCHAR), 1, 15))::BIGINT AS h
+  FROM {from_sql}
+  WHERE ({val_expr}) IS NOT NULL
+),
+rr AS (
+  SELECT {sel_by} (h & {m - 1})::INT AS reg,
+         CASE WHEN (h >> {p}) = 0 THEN {HASH_BITS - p + 1}
+              ELSE bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1 END AS r
+  FROM hv
+),
+regs AS (SELECT {grp_reg}, max(r) AS mrank FROM rr GROUP BY {grp_reg}),
+agg AS (
+  SELECT {sel_by} sum(pow(2.0, -mrank)) AS s, count(*) AS c
+  FROM regs {grp_by}
+)
+SELECT {sel_by}
+       round(CASE WHEN ({alpha * m * m} / (s + ({m} - c))) <= {2.5 * m} AND ({m} - c) > 0
+                  THEN {float(m)} * ln({float(m)} / ({m} - c))
+                  ELSE {alpha * m * m} / (s + ({m} - c)) END, 4) AS est
+FROM agg
+"""
+
+
+def hll_error_bound(p: int) -> float:
+    """The standard-error of an HLL with 2^p registers (≈1.04/√m)."""
+    return 1.04 / math.sqrt(1 << p)
