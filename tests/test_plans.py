@@ -175,3 +175,45 @@ def test_suggest_broadcasts_prefixes(spark):
     )
     plan = plan_of(suggest(stats, [(1, "term1"), (2, "term2")], k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_boolean_prunes_scan_and_broadcasts(spark, small_index):
+    """Boolean retrieval rides the same pruned-scan shape as WAND: term
+    isin reaches the parquet scan, the query-side stats broadcast, and
+    there is no nested-loop anywhere (the predicate is evaluated inside
+    the grouped kernel, never as a join)."""
+    from vframe_spark.query.boolq import boolean_topk
+
+    postings, term_stats, _, meta = load_index(spark, small_index)
+    topk = boolean_topk(
+        postings, term_stats, meta, [(1, "data AND (parse OR cache) NOT merge")], k=5
+    )
+    plan = plan_of(topk)
+    assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:200]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_synonym_expansion_prunes_scan(spark, small_index):
+    """Synonym expansion is driver-side: the plan is the ordinary WAND
+    shape over the EXPANDED term set (pushed to the scan)."""
+    from vframe_spark.query.synonyms import synonym_topk
+
+    postings, term_stats, _, meta = load_index(spark, small_index)
+    topk = synonym_topk(
+        postings, term_stats, meta, [(1, "cache")], {"cache": ["buffer"]}, k=5
+    )
+    plan = plan_of(topk)
+    assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:200]
+
+
+def test_hll_state_is_one_partial_agg(spark):
+    """The sketch is one groupBy(reg) with map-side partial aggregation —
+    exactly one Exchange, no join, no window."""
+    from vframe_spark.operators.sketch import hll_state
+
+    df = spark.range(0, 2000).select(F.col("id").alias("v"))
+    state = hll_state(df, "v", p=8)
+    plan = plan_of(state).split("== Initial Plan ==")[0]  # final plan only
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_max" in plan, plan
