@@ -1455,6 +1455,147 @@ def q_det_label_filter(spark, sf_dir):
     )
 
 
+# Candidate terms for the count-min point queries (mid/high df words of
+# the documents vocabulary + one never-seen control).
+CMS_ITEMS = [
+    "data", "spark", "merge", "window", "join", "hash",
+    "scan", "filter", "table", "stream", "zzzneverseen",
+]
+CMS_D, CMS_W = 4, 2048
+
+
+def q_sketch_cms_counts(spark, sf_dir):
+    """Count-min sketch token frequencies: the d×w counter matrix is one
+    partial-aggregated groupBy (mergeable cell-wise), point queries are
+    a broadcast join of candidate cells. Portable salted md5 hashes →
+    the DuckDB oracle replays counts and min-estimates exactly. The
+    overcount-only guarantee (est ≥ exact) is surfaced per row."""
+    from vframe_spark.operators.sketch import cms_lookup, cms_state
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_docs(
+        docs.select("doc_id", F.col("text").alias("content")), lang_col=None
+    )
+    state = cms_state(toks, "term", d=CMS_D, w=CMS_W, weight="tf")
+    est = cms_lookup(state, CMS_ITEMS, d=CMS_D, w=CMS_W)
+    exact = (
+        toks.groupBy(F.col("term").alias("item"))
+        .agg(F.sum("tf").cast("long").alias("exact_n"))
+    )
+    return (
+        est.join(exact, "item", "left")
+        .fillna(0, subset=["exact_n"])
+        .select("item", "est", "exact_n", (F.col("est") - F.col("exact_n")).alias("overcount"))
+    )
+
+
+def _sketch_cms_oracle_sql() -> str:
+    """DuckDB replay: identical CMS + exact join over the token stream."""
+    from vframe_spark.operators.sketch import cms_duckdb_sql
+
+    tok = (
+        f"(SELECT doc_id, unnest(t) AS term FROM "
+        f"(SELECT doc_id, {TOK_SQL} AS t FROM documents) toks) tok"
+    )
+    cms = cms_duckdb_sql("term", tok, CMS_ITEMS, d=CMS_D, w=CMS_W)
+    return f"""
+WITH est AS ({cms}),
+exact AS (
+  SELECT term AS item, count(*)::BIGINT AS exact_n FROM
+    (SELECT doc_id, unnest(t) AS term FROM
+      (SELECT doc_id, {TOK_SQL} AS t FROM documents) toks) tok
+  GROUP BY 1
+)
+SELECT est.item, est.est, coalesce(exact.exact_n, 0) AS exact_n,
+       est.est - coalesce(exact.exact_n, 0) AS overcount
+FROM est LEFT JOIN exact USING (item)
+"""
+
+
+KMV_K = 512
+
+
+def q_sketch_kmv_overlap(spark, sf_dir):
+    """KMV (bottom-k) set-overlap sketch: per-lang distinct-token
+    vocabularies compress to their k smallest hashes; every lang pair's
+    Jaccard/intersection estimate comes from the union's bottom-k (the
+    theta-sketch idea) — pair work is O(pairs × k), never touching the
+    corpora again. Portable hashes → the oracle replays estimates
+    exactly, and the exact Jaccard is joined alongside with an ``err``
+    column."""
+    from vframe_spark.operators.sketch import kmv_overlap, kmv_state
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_docs(
+        docs.select("doc_id", F.col("text").alias("content")), lang_col=None
+    )
+    wl = toks.join(docs.select("doc_id", "lang"), "doc_id").select("lang", "term")
+    est = kmv_overlap(kmv_state(wl, "term", by=["lang"], k=KMV_K), "lang", k=KMV_K)
+    # exact pairwise Jaccard of the per-lang vocabularies
+    v = wl.distinct()
+    a = v.select(F.col("lang").alias("g_a"), "term")
+    b = v.select(F.col("lang").alias("g_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = v.groupBy("lang").agg(F.count("*").alias("n"))
+    exact = (
+        inter.join(sizes.select(F.col("lang").alias("g_a"), F.col("n").alias("na")), "g_a")
+        .join(sizes.select(F.col("lang").alias("g_b"), F.col("n").alias("nb")), "g_b")
+        .select(
+            "g_a", "g_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4
+            ).alias("jaccard_exact"),
+        )
+    )
+    return (
+        est.join(exact, ["g_a", "g_b"])
+        .select(
+            "g_a", "g_b", "jaccard_est", "inter_est", "jaccard_exact",
+            F.round(F.col("jaccard_est") - F.col("jaccard_exact"), 4).alias("err"),
+        )
+    )
+
+
+def _sketch_kmv_oracle_sql() -> str:
+    from vframe_spark.operators.sketch import kmv_overlap_duckdb_sql
+
+    wl = (
+        f"(SELECT d.lang, tok.term FROM "
+        f"(SELECT doc_id, unnest(t) AS term FROM "
+        f"(SELECT doc_id, {TOK_SQL} AS t FROM documents) toks) tok "
+        "JOIN documents d USING (doc_id)) wl"
+    )
+    kmv = kmv_overlap_duckdb_sql("term", "lang", wl, k=KMV_K)
+    return f"""
+WITH est AS ({kmv}),
+v AS (SELECT DISTINCT d.lang, tok.term FROM
+    (SELECT doc_id, unnest(t) AS term FROM
+      (SELECT doc_id, {TOK_SQL} AS t FROM documents) toks) tok
+  JOIN documents d USING (doc_id)),
+sizes AS (SELECT lang, count(*)::BIGINT AS n FROM v GROUP BY 1),
+inter AS (
+  SELECT a.lang AS g_a, b.lang AS g_b, count(*)::BIGINT AS n_inter
+  FROM v a JOIN v b ON a.term = b.term AND a.lang < b.lang
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.g_a, i.g_b,
+         round(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter), 4) AS jaccard_exact
+  FROM inter i
+  JOIN sizes sa ON sa.lang = i.g_a
+  JOIN sizes sb ON sb.lang = i.g_b
+)
+SELECT est.g_a, est.g_b, est.jaccard_est, est.inter_est, exact.jaccard_exact,
+       round(est.jaccard_est - exact.jaccard_exact, 4) AS err
+FROM est JOIN exact USING (g_a, g_b)
+"""
+
+
 def _sketch_hll_oracle_sql() -> str:
     """DuckDB replay of the per-lang HLL token sketch + exact join."""
     from vframe_spark.operators.sketch import hll_duckdb_sql
@@ -3394,6 +3535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anti_join": q_rel_anti_join,
         "text_top_terms": q_text_top_terms,
         "sketch_hll_tokens": q_sketch_hll_tokens,
+        "sketch_cms_counts": q_sketch_cms_counts,
+        "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "rel_shipping_priority": q_rel_shipping_priority,
         "rel_semi_join": q_rel_semi_join,
         "rel_date_parts": q_rel_date_parts,
@@ -3862,6 +4005,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "sketch_hll_tokens": _sketch_hll_oracle_sql(),
+        "sketch_cms_counts": _sketch_cms_oracle_sql(),
+        "sketch_kmv_overlap": _sketch_kmv_oracle_sql(),
         "text_top_terms": f"""
             WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
             tf AS (SELECT term, doc_id FROM tok GROUP BY 1, 2),

@@ -159,6 +159,7 @@ def main() -> None:
         "ft_grep_unified",
         "ft_explain",
         "ft_boolean",
+        "ft_synonym_topk",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",
@@ -189,6 +190,8 @@ def main() -> None:
         "text_quality",
         "text_lang_id",
         "sketch_hll_tokens",
+        "sketch_cms_counts",
+        "sketch_kmv_overlap",
         "rel_pricing_summary",
         "rel_join_revenue_by_nation",
         "rel_window_topk",

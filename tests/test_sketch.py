@@ -86,3 +86,133 @@ def test_null_values_ignored(spark):
     df = spark.createDataFrame([(1,), (None,), (2,), (None,)], "v bigint")
     (est,) = approx_distinct_portable(df, "v", p=P).collect()
     assert abs(est["est"] - 2) < 0.1
+
+
+# --------------------------------------------------------------------------
+# count-min
+
+
+def test_cms_never_undercounts_and_is_tight(spark):
+    from vframe_spark.operators.sketch import cms_lookup, cms_state
+
+    rows = []
+    for i in range(60):
+        rows.extend([(f"item{i}",)] * (i + 1))  # skewed counts 1..60
+    df = spark.createDataFrame(rows, "v string")
+    state = cms_state(df, "v", d=4, w=512)
+    items = [f"item{i}" for i in range(0, 60, 7)] + ["neverseen"]
+    got = {r["item"]: r["est"] for r in cms_lookup(state, items, d=4, w=512).collect()}
+    n_total = len(rows)
+    for i in range(0, 60, 7):
+        true = i + 1
+        assert got[f"item{i}"] >= true  # CMS never undercounts
+        assert got[f"item{i}"] <= true + 2 * n_total / 512 + 3
+    assert got["neverseen"] <= 2 * n_total / 512 + 3
+
+
+def test_cms_merge_equals_whole(spark):
+    from pyspark.sql import functions as F2
+    from vframe_spark.operators.sketch import cms_merge, cms_state
+
+    df = spark.createDataFrame([(f"x{i % 40}", i) for i in range(500)], "v string, i int")
+    whole = cms_state(df, "v", d=3, w=128)
+    left = cms_state(df.filter(F2.col("i") % 2 == 0), "v", d=3, w=128)
+    right = cms_state(df.filter(F2.col("i") % 2 == 1), "v", d=3, w=128)
+    merged = cms_merge(left, right)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_weighted_counts(spark):
+    from vframe_spark.operators.sketch import cms_lookup, cms_state
+
+    df = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], "v string, n int")
+    state = cms_state(df, "v", d=4, w=256, weight="n")
+    got = {r["item"]: r["est"] for r in cms_lookup(state, ["a", "b"], d=4, w=256).collect()}
+    assert got["a"] >= 12 and got["b"] >= 1
+
+
+def test_cms_duckdb_replay_identical(spark):
+    import duckdb as ddb
+    from vframe_spark.operators.sketch import cms_duckdb_sql, cms_lookup, cms_state
+
+    df = spark.createDataFrame([(f"t{i % 25}",) for i in range(400)], "v string")
+    state = cms_state(df, "v", d=4, w=128)
+    items = [f"t{i}" for i in range(0, 25, 3)] + ["ghost"]
+    got = dict(
+        (r["item"], r["est"]) for r in cms_lookup(state, items, d=4, w=128).collect()
+    )
+    con = ddb.connect()
+    con.register("t", df.toPandas())
+    want = dict(con.execute(cms_duckdb_sql("v", "t", items, d=4, w=128)).fetchall())
+    assert got == want
+
+
+def test_cms_lookup_rejects_grouped_state(spark):
+    from vframe_spark.operators.sketch import cms_lookup, cms_state
+
+    df = spark.createDataFrame([("a", "g1")], "v string, g string")
+    state = cms_state(df, "v", by=["g"], d=2, w=64)
+    with pytest.raises(ValueError, match="global"):
+        cms_lookup(state, ["a"], d=2, w=64)
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k)
+
+
+def test_kmv_estimate_exact_when_small_and_close_when_large(spark):
+    from vframe_spark.operators.sketch import kmv_estimate, kmv_state
+
+    small = spark.createDataFrame([(i % 50,) for i in range(500)], "v bigint")
+    (est,) = kmv_estimate(kmv_state(small, "v", k=256), k=256).collect()
+    assert est["est"] == 50.0  # < k hashes → exact
+    big = spark.createDataFrame([(i,) for i in range(20000)], "v bigint")
+    (est2,) = kmv_estimate(kmv_state(big, "v", k=256), k=256).collect()
+    assert abs(est2["est"] - 20000) / 20000 < 0.2
+
+
+def test_kmv_merge_equals_whole(spark):
+    from pyspark.sql import functions as F2
+    from vframe_spark.operators.sketch import kmv_merge, kmv_state
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "v bigint")
+    whole = kmv_state(df, "v", k=64)
+    merged = kmv_merge(
+        kmv_state(df.filter(F2.col("v") % 2 == 0), "v", k=64),
+        kmv_state(df.filter(F2.col("v") % 2 == 1), "v", k=64),
+        k=64,
+    )
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in whole.collect()
+    )
+
+
+def test_kmv_overlap_accuracy(spark):
+    """Two groups with known 50% Jaccard: |A∩B|=2000, |A∪B|=4000."""
+    from vframe_spark.operators.sketch import kmv_overlap, kmv_state
+
+    rows = [(v, "a") for v in range(3000)] + [(v, "b") for v in range(1000, 4000)]
+    df = spark.createDataFrame(rows, "v bigint, g string")
+    st = kmv_state(df, "v", by=["g"], k=512)
+    (r,) = kmv_overlap(st, "g", k=512).collect()
+    assert (r["g_a"], r["g_b"]) == ("a", "b")
+    assert abs(r["jaccard_est"] - 0.5) < 0.1, r
+    assert abs(r["inter_est"] - 2000) / 2000 < 0.2, r
+
+
+def test_kmv_overlap_duckdb_replay_identical(spark):
+    import duckdb as ddb
+    from vframe_spark.operators.sketch import kmv_overlap, kmv_state
+
+    offs = {"x": 0, "y": 37, "z": 74}
+    rows = [(v, g) for g in ("x", "y", "z") for v in range(offs[g], 600)]
+    df = spark.createDataFrame(rows, "v bigint, g string")
+    got = sorted(
+        map(tuple, kmv_overlap(kmv_state(df, "v", by=["g"], k=128), "g", k=128).collect())
+    )
+    from vframe_spark.operators.sketch import kmv_overlap_duckdb_sql
+
+    con = ddb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(map(tuple, con.execute(kmv_overlap_duckdb_sql("v", "g", "t", k=128)).fetchall()))
+    assert got == want

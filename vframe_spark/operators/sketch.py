@@ -154,3 +154,302 @@ FROM agg
 def hll_error_bound(p: int) -> float:
     """The standard-error of an HLL with 2^p registers (≈1.04/√m)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: approximate frequencies with an overcount-only error
+# bound (est ≥ true, est ≤ true + εN w.h.p.), mergeable by cell-wise sum.
+# Same portability discipline as the HLL above: salted md5-60bit row
+# hashes, integer buckets — DuckDB replays counts and estimates exactly.
+
+
+def _cms_hash(col, depth_i: int):
+    # independent hash per row: salt the value with the depth index
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{depth_i}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def cms_state(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    d: int = 4,
+    w: int = 1024,
+    weight: str | None = None,
+) -> DataFrame:
+    """→ (by..., depth, bucket, cnt): the d×w counter matrix as rows.
+    One explode-by-d + ONE partial-aggregated groupBy; states merge by
+    summing cnt cell-wise (`cms_merge`). ``weight``: optional column of
+    per-row counts (defaults to 1 each)."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2, got d={d}, w={w}")
+    by = list(by or [])
+    wcol = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    rows = df.filter(F.col(col).isNotNull()).select(
+        *by,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        (_cms_hash(F.col(col), i) % w).cast("int").alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+        wcol.alias("n"),
+    )
+    return (
+        rows.select(*by, "cell.depth", "cell.bucket", "n")
+        .groupBy(*by, "depth", "bucket")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def cms_merge(*states: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Cell-wise sum of counter matrices (same d, w!)."""
+    by = list(by or [])
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*by, "depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    state: DataFrame,
+    items: list[str],
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point queries against a GLOBAL (ungrouped) counter matrix →
+    (item, est): est = min over depths of the item's cell, the classic
+    CMS estimate (never undercounts; an absent cell means true count 0).
+    The candidate cells are a tiny driver-built broadcast table; one
+    equi-join on (depth, bucket) against the counter rows. For grouped
+    states, filter to one group first — a missing (group, cell) row must
+    read as 0, which a bare left join can't express across groups."""
+    import hashlib
+
+    spark = state.sparkSession
+    if set(state.columns) != {"depth", "bucket", "cnt"}:
+        raise ValueError(
+            f"cms_lookup needs a global (depth, bucket, cnt) state, got {state.columns}"
+        )
+    cand = []
+    for it in items:
+        for i in range(d):
+            h = int(hashlib.md5(f"cms{i}:{it}".encode()).hexdigest()[:15], 16)
+            cand.append((str(it), i, int(h % w)))
+    cdf = spark.createDataFrame(cand, "item string, depth int, bucket int")
+    joined = cdf.join(state, ["depth", "bucket"], "left").fillna(0, subset=["cnt"])
+    return (
+        joined.groupBy("item")
+        .agg(F.min("cnt").alias("est"))
+        .select("item", F.col("est").cast("long").alias("est"))
+    )
+
+
+def cms_duckdb_sql(
+    val_expr: str,
+    from_sql: str,
+    items: list[str],
+    d: int = 4,
+    w: int = 1024,
+) -> str:
+    """The whole CMS pipeline (state + point queries) as one DuckDB
+    query — identical salted hashes, buckets, counts, min-estimates."""
+    import hashlib
+
+    depth_rows = []
+    for i in range(d):
+        depth_rows.append(
+            f"SELECT {i} AS depth, "
+            f"(('0x' || substr(md5('cms{i}:' || ({val_expr})::VARCHAR), 1, 15))::BIGINT % {w})::INT AS bucket "
+            f"FROM {from_sql} WHERE ({val_expr}) IS NOT NULL"
+        )
+    cand = []
+    for it in items:
+        for i in range(d):
+            h = int(hashlib.md5(f"cms{i}:{it}".encode()).hexdigest()[:15], 16)
+            cand.append(f"('{it}', {i}, {int(h % w)})")
+    return f"""
+WITH cells AS ({' UNION ALL '.join(depth_rows)}),
+state AS (SELECT depth, bucket, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+cand(item, depth, bucket) AS (VALUES {', '.join(cand)}),
+joined AS (
+  SELECT cand.item, cand.depth, coalesce(state.cnt, 0) AS cnt
+  FROM cand LEFT JOIN state USING (depth, bucket)
+)
+SELECT item, min(cnt)::BIGINT AS est FROM joined GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch: keeps the k smallest distinct
+# hashes per group. Unlike HLL it supports SET OPERATIONS: the k smallest
+# of a union of two states is exactly the union's bottom-k, so Jaccard /
+# intersection estimates fall out (the theta-sketch idea). Same
+# portability: md5-60bit hashes, integer compares — DuckDB replays it
+# bit-for-bit.
+
+
+def _kmv_hash(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_state(
+    df: DataFrame, col: str, by: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """→ (by..., h): the k smallest distinct hashes per group. One
+    distinct (hash-collapsed before the shuffle by partial agg) + one
+    bounded window; ≤ k rows survive per group. Merging two states =
+    union → bottom-k again (exactly the union's bottom-k — tested)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    dd = (
+        df.filter(F.col(col).isNotNull())
+        .select(*by, _kmv_hash(F.col(col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*by).orderBy("h")
+    return dd.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def kmv_merge(*states: DataFrame, by: list[str] | None = None, k: int = 256) -> DataFrame:
+    """Union → distinct → bottom-k: the merged state is exactly the
+    state of the concatenated inputs."""
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy(*by).orderBy("h")
+    return (
+        out.distinct().withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(
+    state: DataFrame, by: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """→ (by..., est): distinct-count estimate. A group holding fewer
+    than k hashes saw its whole distinct set (exact); otherwise the
+    classic (k-1)·2^60/h_(k) order-statistic estimate."""
+    by = list(by or [])
+    agg = state.groupBy(*by).agg(F.count("*").alias("c"), F.max("h").alias("hk"))
+    est = F.when(
+        F.col("c") < k, F.col("c").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(1 << HASH_BITS)) / F.col("hk"))
+    return agg.select(*by, F.round(est, 4).alias("est"))
+
+
+def kmv_overlap(
+    state: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """All-pairs set-overlap estimates between the groups of a KMV state
+    → (g_a, g_b, jaccard_est, inter_est) for g_a < g_b.
+
+    For each pair the union's bottom-k is a uniform sample of the union;
+    the fraction of its hashes present in BOTH sides estimates Jaccard,
+    and intersection = jaccard × union-estimate. Everything operates on
+    ≤ k rows per group — pair count × k rows total, driver-free."""
+    from pyspark.sql import Window
+
+    spark = state.sparkSession
+    groups = sorted(r[0] for r in state.select(group_col).distinct().collect())
+    pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]]
+    if not pairs:
+        return spark.createDataFrame(
+            [], f"g_a string, g_b string, jaccard_est double, inter_est double"
+        )
+    pdf = spark.createDataFrame(pairs, "g_a string, g_b string")
+    st = state.select(F.col(group_col).alias("g"), "h")
+    sides = (
+        pdf.join(st, F.col("g") == F.col("g_a")).select("g_a", "g_b", "h", F.lit(0).alias("side"))
+        .unionByName(
+            pdf.join(st, F.col("g") == F.col("g_b")).select("g_a", "g_b", "h", F.lit(1).alias("side"))
+        )
+    )
+    per_h = sides.groupBy("g_a", "g_b", "h").agg(
+        F.countDistinct("side").alias("n_sides")
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy("h")
+    bottomk = per_h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = bottomk.groupBy("g_a", "g_b").agg(
+        F.count("*").alias("kk"),
+        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0)).alias("matches"),
+        F.max("h").alias("hk"),
+    )
+    union_est = F.when(
+        F.col("kk") < k, F.col("kk").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(1 << HASH_BITS)) / F.col("hk"))
+    jacc = F.col("matches") / F.col("kk")
+    return agg.select(
+        "g_a",
+        "g_b",
+        F.round(jacc, 4).alias("jaccard_est"),
+        F.round(jacc * union_est, 4).alias("inter_est"),
+    )
+
+
+def kmv_overlap_duckdb_sql(
+    val_expr: str, group_col: str, from_sql: str, k: int = 256
+) -> str:
+    """The whole KMV overlap pipeline as one DuckDB query — identical
+    hashes, bottom-k cuts, and estimates."""
+    two60 = float(1 << HASH_BITS)
+    return f"""
+WITH dd AS (
+  SELECT DISTINCT {group_col} AS g,
+         ('0x' || substr(md5(({val_expr})::VARCHAR), 1, 15))::BIGINT AS h
+  FROM {from_sql}
+  WHERE ({val_expr}) IS NOT NULL
+),
+st AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dd
+  ) WHERE rn <= {k}
+),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b
+  FROM (SELECT DISTINCT g FROM st) a JOIN (SELECT DISTINCT g FROM st) b ON a.g < b.g
+),
+sides AS (
+  SELECT p.g_a, p.g_b, st.h, 0 AS side FROM pairs p JOIN st ON st.g = p.g_a
+  UNION ALL
+  SELECT p.g_a, p.g_b, st.h, 1 AS side FROM pairs p JOIN st ON st.g = p.g_b
+),
+per_h AS (
+  SELECT g_a, g_b, h, count(DISTINCT side) AS n_sides
+  FROM sides GROUP BY 1, 2, 3
+),
+bottomk AS (
+  SELECT * FROM (
+    SELECT g_a, g_b, h, n_sides,
+           row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
+    FROM per_h
+  ) WHERE rn <= {k}
+),
+agg AS (
+  SELECT g_a, g_b, count(*)::BIGINT AS kk,
+         sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS matches,
+         max(h) AS hk
+  FROM bottomk GROUP BY 1, 2
+)
+SELECT g_a, g_b,
+       round(matches::DOUBLE / kk, 4) AS jaccard_est,
+       round((matches::DOUBLE / kk) *
+             CASE WHEN kk < {k} THEN kk::DOUBLE ELSE {float(k - 1)} * {two60} / hk END,
+             4) AS inter_est
+FROM agg
+"""
