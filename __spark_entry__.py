@@ -418,6 +418,83 @@ def q_ft_bm25_negated(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+def q_ft_boosted_topk(spark, sf_dir):
+    """Function-score retrieval: BM25 × a per-doc boost column
+    (source-quality style, here a deterministic doc_id-derived factor).
+    Exact semantics — the boost applies to the FULL match set before
+    the k cut, so boosted docs from below the unboosted page surface
+    (query/boost.py; one pruned scan + one boost equi-join)."""
+    from vframe_spark.query.boost import boosted_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    boosts = docs.select(
+        "doc_id", (F.lit(1.0) + F.lit(0.2) * (F.col("doc_id") % 5)).alias("boost")
+    )
+    raw = boosted_topk(postings, term_stats, meta, FT_QUERIES, boosts, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+BM25_BOOSTED_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {{QVALUES}}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (
+  SELECT qid, doc_id,
+         round(sum(c) * (1.0 + 0.2 * (doc_id % 5)), 4) AS score
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def q_ft_mmr_diverse(spark, sf_dir):
+    """MMR diversification: the rounded BM25 top-30 page re-ranked so
+    results spread over the embedding space (λ=0.5 relevance/diversity
+    trade). Post-retrieval — one embedding equi-join + an O(k'²) greedy
+    per query, corpus untouched; the greedy is replayed EXACTLY in SQL
+    as a recursive CTE over list state (query/diversify.py)."""
+    from vframe_spark.query.diversify import mmr_rerank
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    cands = _rounded_rank(raw.select("qid", "doc_id", "score"), 3 * FT_K)
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(cands, emb, k=FT_K, lam=0.5)
+
+
+def _mmr_oracle_sql() -> str:
+    from vframe_spark.query.diversify import mmr_oracle_sql
+
+    cand = BM25_ORACLE_SQL.replace("{QVALUES}", _ft_qterms_values_sql()).replace(
+        f"WHERE rank <= {FT_K}", f"WHERE rank <= {3 * FT_K}"
+    )
+    return mmr_oracle_sql(cand, lam=0.5, k=FT_K)
+
+
 # Synonym map + query set: aliases tokenize through the canonical
 # tokenizer, so multi-word and camelCase aliases land as index terms.
 FT_SYNONYMS = {
@@ -3482,6 +3559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
         "ft_synonym_topk": q_ft_synonym_topk,
+        "ft_boosted_topk": q_ft_boosted_topk,
+        "ft_mmr_diverse": q_ft_mmr_diverse,
         "ft_facets": q_ft_facets,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
@@ -3637,6 +3716,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_synonym_topk": BM25_ORACLE_SQL.replace(
             "{QVALUES}", synonym_qterms_values_sql(FT_SYN_QUERIES, FT_SYNONYMS)
         ),
+        "ft_boosted_topk": BM25_BOOSTED_ORACLE_SQL.replace(
+            "{QVALUES}", _ft_qterms_values_sql()
+        ),
+        "ft_mmr_diverse": _mmr_oracle_sql(),
         "ft_facets": FACETS_ORACLE_SQL.replace(
             "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
         ),

@@ -160,6 +160,8 @@ def main() -> None:
         "ft_explain",
         "ft_boolean",
         "ft_synonym_topk",
+        "ft_boosted_topk",
+        "ft_mmr_diverse",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

@@ -1,0 +1,111 @@
+"""Function-score (boosted) retrieval: identity at boost=1, exactness of
+the boosted ranking vs brute force, and cut-correctness (a boosted doc
+from below the unboosted k enters the page)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import OracleIndex
+from vframe_spark.query.boost import boosted_topk, match_scores
+from vframe_spark.query.wand import bm25_topk_wand
+
+QUERIES = [(1, "cache stream"), (2, "token parse"), (3, "zzzmissing data")]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, 250, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    return docs, OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("bstidx"))
+    build_index(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    return load_index(spark, out)
+
+
+def _boost_of(doc_id: int) -> float:
+    return 1.0 + 0.2 * (doc_id % 5)
+
+
+@pytest.fixture(scope="module")
+def boosts(spark, corpus):
+    docs, _ = corpus
+    return docs.select(
+        "doc_id", (F.lit(1.0) + F.lit(0.2) * (F.col("doc_id") % 5)).alias("boost")
+    )
+
+
+def test_match_scores_equals_oracle_per_doc(spark, corpus, index):
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    rows = match_scores(postings, term_stats, meta, QUERIES).collect()
+    from vframe_spark.oracle import parse_query_terms
+
+    for r in rows:
+        qid, q = next((qq, s) for qq, s in QUERIES if qq == r["qid"])
+        want = oracle.score(sorted(set(parse_query_terms(q))), r["doc_id"])
+        assert r["score"] == want, (qid, r["doc_id"])  # bitwise
+    # the match set is complete: every positively-scoring doc appears
+    got_ids = {(r["qid"], r["doc_id"]) for r in rows}
+    for qid, q in QUERIES:
+        for d, s in oracle.topk(q, k=10**9):
+            assert (qid, d) in got_ids
+
+
+def test_unit_boost_is_identity(spark, corpus, index):
+    docs, _ = corpus
+    postings, term_stats, _, meta = index
+    ones = docs.select("doc_id", F.lit(1.0).alias("boost"))
+    a = boosted_topk(postings, term_stats, meta, QUERIES, ones, k=8).collect()
+    b = bm25_topk_wand(postings, term_stats, meta, QUERIES, k=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_boosted_ranking_matches_bruteforce(spark, corpus, index, boosts):
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    k = 10
+    rows = boosted_topk(postings, term_stats, meta, QUERIES, boosts, k=k).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    from vframe_spark.oracle import parse_query_terms
+
+    changed_order = False
+    for qid, q in QUERIES:
+        terms = sorted(set(parse_query_terms(q)))
+        scored = []
+        for d in oracle.tf:
+            s = oracle.score(terms, d)
+            if s > 0.0:
+                scored.append((d, s * _boost_of(d)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expect = scored[:k]
+        mine = sorted(got.get(qid, []))
+        assert [(d, s) for _, d, s in mine] == expect, (qid, q)
+        plain = [d for d, _ in oracle.topk(q, k)]
+        if [d for d, _ in expect] != plain:
+            changed_order = True
+    assert changed_order, "boosts never changed any ranking — trivial test"
+
+
+def test_missing_boost_defaults_to_one(spark, corpus, index, boosts):
+    docs, _ = corpus
+    postings, term_stats, _, meta = index
+    half = boosts.filter(F.col("doc_id") % 2 == 0)
+    rows = boosted_topk(postings, term_stats, meta, [(1, "cache")], half, k=300).collect()
+    full = {r["doc_id"]: r["score"] for r in
+            match_scores(postings, term_stats, meta, [(1, "cache")]).collect()}
+    for r in rows:
+        d = r["doc_id"]
+        want = full[d] * (_boost_of(d) if d % 2 == 0 else 1.0)
+        assert r["score"] == want

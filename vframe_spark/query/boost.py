@@ -1,0 +1,135 @@
+"""Function-score retrieval: BM25 × per-document boost (Lucene
+FunctionScoreQuery / Elasticsearch function_score).
+
+A per-doc boost (source quality, recency decay, popularity) changes the
+ORDER of results, so it cannot be bolted onto a top-k list after the
+cut — a doc ranked k+3 with a 2× boost belongs in the page. Exact
+semantics require scoring the full match set:
+
+1. the query terms ride the same bucket-dir + ``term isin`` pruned
+   posting scan as WAND;
+2. a grouped Arrow kernel decodes blocks and emits EVERY matched
+   (qid, doc_id, score) — cost ∝ match-set size, the same lower bound
+   faceting has (and any exact function-score engine pays);
+3. one equi-join applies the boost column (docs absent from ``boosts``
+   default to 1.0), then a bounded window takes the top-k of the
+   boosted ranking.
+
+Because shards are doc-id ranges, a bucketed/colocated boost table
+joins without shuffling the score side at scale; here Catalyst picks a
+broadcast when ``boosts`` is small.
+
+Reference parity: detection-confidence weighting before ranking
+(/root/reference/src/commands/pipe/skip-detections.py:30-53 applies
+per-row scalar gates; this is the ranked generalization).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.codec import for_decode, pfor_delta_decode
+from ..oracle import B, K1, parse_query_terms
+from .bm25 import idf_value, topk
+
+
+def match_scores(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+) -> DataFrame:
+    """→ (qid, doc_id, score): exact BM25 for EVERY doc matching ≥1
+    query term — the full match set, unranked and uncut."""
+    spark: SparkSession = postings.sparkSession
+    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    rows = [
+        (qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))
+    ]
+    if not rows:
+        return spark.createDataFrame([], "qid int, doc_id bigint, score double")
+    all_terms = sorted({t for _, t in rows})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(all_terms)).collect()
+    }
+    qrows = [(qid, t, idf_value(n_docs, dfs[t])) for qid, t in rows if t in dfs]
+    if not qrows:
+        return spark.createDataFrame([], "qid int, doc_id bigint, score double")
+    qstats = spark.createDataFrame(qrows, "qid int, term string, idf double")
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qstats), "term"
+    )
+
+    def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
+            {"qid": "int32", "doc_id": "int64", "score": "float64"}
+        )
+        if pdf.empty:
+            return empty
+        qid = int(pdf["qid"].iloc[0])
+        ids_parts, contrib_parts = [], []
+        for term in sorted(pdf["term"].unique()):  # term-sorted accumulation
+            g = pdf[pdf["term"] == term].sort_values("block")
+            idf = float(g["idf"].iloc[0])
+            for n_, buf, first, tfb, dlb in zip(
+                g["n"], g["doc_ids"], g["first_doc"], g["tfs"], g["dls"]
+            ):
+                n = int(n_)
+                ids_parts.append(pfor_delta_decode(buf, n, int(first)).astype(np.int64))
+                tf = for_decode(tfb, n).astype(np.float64)
+                dl = for_decode(dlb, n).astype(np.float64)
+                contrib_parts.append(
+                    idf * ((tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+                )
+        if not ids_parts:
+            return empty
+        all_ids = np.concatenate(ids_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(contrib_parts))
+        return pd.DataFrame({"qid": qid, "doc_id": uniq, "score": scores})
+
+    return matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: score_all(pdf), "qid int, doc_id bigint, score double"
+    )
+
+
+def boosted_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    boosts: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    boost_col: str = "boost",
+) -> DataFrame:
+    """→ (qid, rank, doc_id, score): top-k of the boosted ranking,
+    score = BM25 × boost (docs missing from ``boosts`` boost 1.0).
+    Exact: the boost applies to the FULL match set before any cut."""
+    scores = match_scores(postings, term_stats, meta, queries)
+    b = boosts.select(
+        F.col(id_col).alias("doc_id"), F.col(boost_col).cast("double").alias("_boost")
+    )
+    boosted = (
+        scores.join(b, "doc_id", "left")
+        .select(
+            "qid",
+            "doc_id",
+            (F.col("score") * F.coalesce("_boost", F.lit(1.0))).alias("score"),
+        )
+    )
+    return topk(boosted, k)

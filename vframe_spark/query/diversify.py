@@ -1,0 +1,140 @@
+"""MMR result diversification: re-rank a top-k' page so results cover
+the embedding space instead of clustering on one topic.
+
+Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): greedily
+select the candidate maximizing
+
+    obj = λ · score  −  (1 − λ) · max_{s ∈ selected} cos(cand, s)
+
+ties broken by doc_id ASC; the max-similarity term is 0 for the first
+pick. Determinism contract shared with the DuckDB oracle: candidate
+scores arrive rounded to 4 dp, every pairwise cosine rounds to 6 dp
+before entering the objective (float64 math; the two engines' dot
+products differ only in summation order, ~1e-15, far below the
+rounding grain).
+
+Scale shape: diversification is a POST-RETRIEVAL step over k' rows per
+query (k' ~ tens). One equi-join attaches candidate embeddings, then a
+grouped Arrow kernel runs the O(k'²) greedy per qid — the corpus is
+never touched. The greedy is replayed exactly in SQL as a recursive CTE
+over list-valued state (the same discipline as the NMS oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mmr_group(pdf: pd.DataFrame, k: int, lam: float) -> pd.DataFrame:
+    empty = pd.DataFrame(columns=["qid", "rank", "doc_id", "score"]).astype(
+        {"qid": "int32", "rank": "int32", "doc_id": "int64", "score": "float64"}
+    )
+    if pdf.empty:
+        return empty
+    qid = int(pdf["qid"].iloc[0])
+    # deterministic candidate order (doc_id) so index math is stable
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    scores = pdf["score"].to_numpy(np.float64)
+    mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+    n = len(ids)
+    selected: list[int] = []
+    remaining = np.ones(n, dtype=bool)
+    # true max cosine vs the selected set (MAY be negative — the textbook
+    # objective has no floor); -inf marks "empty set" → diversity term 0
+    max_sim = np.full(n, -np.inf, dtype=np.float64)
+    out = []
+    for rank in range(1, min(k, n) + 1):
+        div = np.where(np.isneginf(max_sim), 0.0, max_sim)
+        obj = lam * scores - (1.0 - lam) * div
+        obj[~remaining] = -np.inf
+        best_obj = obj.max()
+        # tie-break: smallest doc_id among the argmax set (ids sorted asc)
+        bi = int(np.nonzero(obj == best_obj)[0][0])
+        out.append((qid, rank, int(ids[bi]), float(scores[bi])))
+        remaining[bi] = False
+        selected.append(bi)
+        max_sim = np.maximum(max_sim, sims[:, bi])
+    return pd.DataFrame(out, columns=["qid", "rank", "doc_id", "score"])
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, doc_id, score) candidates → diversified (qid, rank, doc_id,
+    score), rank = MMR selection order. Candidates missing an embedding
+    are dropped (they can't be placed in the space)."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    vecs = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    joined = candidates.select("qid", "doc_id", "score").join(vecs, "doc_id")
+    return joined.groupBy("qid").applyInPandas(
+        lambda pdf: _mmr_group(pdf, k, lam),
+        "qid int, rank int, doc_id bigint, score double",
+    )
+
+
+def mmr_oracle_sql(
+    cand_sql: str, lam: float = 0.5, k: int = 10, emb_table: str = "embeddings"
+) -> str:
+    """The greedy MMR selection replayed EXACTLY in DuckDB as a recursive
+    CTE over list-valued state — no aggregation in the recursive term:
+    the argmax is a list_sort over the remaining candidates' objectives.
+
+    ``cand_sql`` must yield (qid, doc_id, score) with scores already
+    rounded to the shared 4 dp grain."""
+    cos = (
+        "round(list_dot_product(r.emb, s_emb) / "
+        "(sqrt(list_dot_product(r.emb, r.emb)) * sqrt(list_dot_product(s_emb, s_emb))), 6)"
+    )
+    # objective per remaining candidate, packed for lexicographic list_sort:
+    # (-obj ASC, doc_id ASC) → first element is the greedy pick
+    obj_struct = f"""list_transform(s.remaining, r -> {{
+        'negobj': -({lam} * r.score - (1.0 - {lam}) *
+            coalesce(list_aggregate(list_transform(s.sel_embs, s_emb -> {cos}), 'max'), 0.0)),
+        'doc_id': r.doc_id, 'score': r.score }})"""
+    return f"""
+WITH RECURSIVE cand AS ({cand_sql}),
+wvec AS (
+  SELECT c.qid, c.doc_id, c.score, e.embedding::DOUBLE[] AS emb
+  FROM cand c JOIN {emb_table} e ON e.vec_id = c.doc_id),
+packed AS (
+  SELECT qid,
+         list_transform(
+           list_sort(list({{'doc_id': doc_id, 'score': score, 'emb': emb}})),
+           x -> x) AS remaining
+  FROM wvec GROUP BY qid),
+step AS (
+  SELECT qid, 0 AS i, remaining,
+         []::STRUCT(rank INT, doc_id BIGINT, score DOUBLE)[] AS sel,
+         []::DOUBLE[][] AS sel_embs
+  FROM packed
+  UNION ALL
+  SELECT s.qid, s.i + 1,
+         list_filter(s.remaining, r -> r.doc_id != (list_sort({obj_struct}))[1].doc_id),
+         list_append(s.sel, {{
+           'rank': s.i + 1,
+           'doc_id': (list_sort({obj_struct}))[1].doc_id,
+           'score': (list_sort({obj_struct}))[1].score }}),
+         list_append(s.sel_embs,
+           (list_filter(s.remaining,
+              r -> r.doc_id = (list_sort({obj_struct}))[1].doc_id))[1].emb)
+  FROM step s
+  WHERE s.i < {k} AND len(s.remaining) > 0),
+final AS (SELECT qid, max_by(sel, i) AS sel FROM step GROUP BY 1)
+SELECT qid::INT AS qid, u.rank, u.doc_id, u.score
+FROM final, unnest(final.sel) AS t(u)
+WHERE u.rank <= {k}
+"""
