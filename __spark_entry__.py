@@ -471,6 +471,20 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+def q_ft_filtered_topk(spark, sf_dir):
+    """Filtered search (Lucene filter context): an attribute predicate
+    (lang = 'en') gates the ranking BEFORE the k cut — the page is the
+    exact top-k of the allowed subset, scores unchanged (filters don't
+    score). One semi-join on doc_id against the match-set scores."""
+    from vframe_spark.query.boost import filtered_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang") == "en").select("doc_id")
+    raw = filtered_topk(postings, term_stats, meta, FT_QUERIES, allowed, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
 def q_ft_mmr_diverse(spark, sf_dir):
     """MMR diversification: the rounded BM25 top-30 page re-ranked so
     results spread over the embedding space (λ=0.5 relevance/diversity
@@ -3561,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_synonym_topk": q_ft_synonym_topk,
         "ft_boosted_topk": q_ft_boosted_topk,
         "ft_mmr_diverse": q_ft_mmr_diverse,
+        "ft_filtered_topk": q_ft_filtered_topk,
         "ft_facets": q_ft_facets,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
@@ -3720,6 +3735,14 @@ def oracle_sql() -> dict[str, str]:
             "{QVALUES}", _ft_qterms_values_sql()
         ),
         "ft_mmr_diverse": _mmr_oracle_sql(),
+        "ft_filtered_topk": BM25_ORACLE_SQL.replace(
+            "{QVALUES}", _ft_qterms_values_sql()
+        ).replace(
+            "score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),",
+            "score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib "
+            "WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en') "
+            "GROUP BY 1, 2),",
+        ),
         "ft_facets": FACETS_ORACLE_SQL.replace(
             "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
         ),

@@ -162,6 +162,7 @@ def main() -> None:
         "ft_synonym_topk",
         "ft_boosted_topk",
         "ft_mmr_diverse",
+        "ft_filtered_topk",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

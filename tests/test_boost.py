@@ -109,3 +109,64 @@ def test_missing_boost_defaults_to_one(spark, corpus, index, boosts):
         d = r["doc_id"]
         want = full[d] * (_boost_of(d) if d % 2 == 0 else 1.0)
         assert r["score"] == want
+
+
+def test_filtered_topk_is_exact_topk_of_subset(spark, corpus, index):
+    from vframe_spark.query.boost import filtered_topk
+    from vframe_spark.oracle import parse_query_terms
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    allowed = docs.filter(F.col("lang") == "py").select("doc_id")
+    allowed_ids = {r["doc_id"] for r in allowed.collect()}
+    assert 0 < len(allowed_ids) < oracle.n_docs  # non-trivial filter
+    k = 8
+    rows = filtered_topk(postings, term_stats, meta, QUERIES, allowed, k=k).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in QUERIES:
+        terms = sorted(set(parse_query_terms(q)))
+        scored = [
+            (d, oracle.score(terms, d))
+            for d in oracle.tf
+            if d in allowed_ids and oracle.score(terms, d) > 0.0
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expect = scored[:k]
+        mine = sorted(got.get(qid, []))
+        assert [(d, s) for _, d, s in mine] == expect, (qid, q)
+        assert all(d in allowed_ids for _, d, _ in mine)
+
+
+def test_facade_boost_filter_diversify(spark, corpus, index, boosts, tmp_path_factory):
+    from vframe_spark.api import SearchIndex
+    from vframe_spark.query.boost import boosted_topk, filtered_topk
+
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("bfapi"))
+    ix = SearchIndex.build(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    postings, term_stats, _, meta = ix._parts()
+    q = "cache stream"
+    a = ix.search(q, k=6, boosts=boosts).collect()
+    b = boosted_topk(postings, term_stats, meta, [(1, q)], boosts, k=6).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    allowed = docs.filter(F.col("lang") == "py").select("doc_id")
+    fa = ix.search(q, k=6, filter_docs=allowed).collect()
+    fb = filtered_topk(postings, term_stats, meta, [(1, q)], allowed, k=6).collect()
+    assert sorted(map(tuple, fa)) == sorted(map(tuple, fb))
+    # boost + filter compose: results ⊆ allowed, scores boosted
+    both = ix.search(q, k=6, boosts=boosts, filter_docs=allowed).collect()
+    allowed_ids = {r["doc_id"] for r in allowed.collect()}
+    assert both and all(r["doc_id"] in allowed_ids for r in both)
+    # diversified page: k rows, rank = selection order, scores from the page
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(r["doc_id"], [float(x) for x in rng.standard_normal(8)])
+         for r in docs.select("doc_id").collect()],
+        "vec_id bigint, embedding array<float>",
+    )
+    dv = ix.search_diverse(q, emb, k=6, lam=0.5).collect()
+    assert len(dv) == 6 and sorted(r["rank"] for r in dv) == list(range(1, 7))

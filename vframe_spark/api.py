@@ -73,6 +73,8 @@ class SearchIndex:
         slop: int = 0,
         negation: bool = False,
         synonyms: dict[str, list[str]] | None = None,
+        boosts: DataFrame | None = None,
+        filter_docs: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k retrieval → (qid, rank, doc_id, score[, n_hit, snippet]).
 
@@ -86,6 +88,11 @@ class SearchIndex:
         ``-term`` chunks exclude docs containing them (or/and modes).
         ``synonyms``: query-time alias map — each term ORs in its
         aliases, union-scored ("or" mode only; see `query.synonyms`).
+        ``boosts``: (doc_id, boost) function-score table — BM25 × boost
+        over the FULL match set before the k cut. ``filter_docs``: a
+        doc_id relation gating the ranking (Lucene filter context) —
+        the page is the exact top-k of the allowed subset. Both "or"
+        mode only (see `query.boost`); they compose.
         """
         postings, term_stats, _, meta = self._parts()
         queries = [(1, query)] if isinstance(query, str) else list(query)
@@ -127,6 +134,35 @@ class SearchIndex:
             ranked = wildcard_topk(
                 postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
             )
+        elif boosts is not None or filter_docs is not None:
+            if mode != "or":
+                raise ValueError("boosts=/filter_docs= require mode='or'")
+            from .query.bm25 import topk as _topk
+            from .query.boost import match_scores
+
+            scores = match_scores(postings, term_stats, meta, queries)
+            if dead:
+                import pyspark.sql.functions as _F
+
+                scores = scores.filter(~_F.col("doc_id").isin([int(x) for x in dead]))
+            if filter_docs is not None:
+                keep = filter_docs.select(
+                    filter_docs.columns[0]
+                ).withColumnRenamed(filter_docs.columns[0], "doc_id").distinct()
+                scores = scores.join(keep, "doc_id", "left_semi")
+            if boosts is not None:
+                import pyspark.sql.functions as _F
+
+                b = boosts.select(
+                    _F.col(boosts.columns[0]).alias("doc_id"),
+                    _F.col("boost").cast("double").alias("_boost"),
+                )
+                scores = scores.join(b, "doc_id", "left").select(
+                    "qid",
+                    "doc_id",
+                    (_F.col("score") * _F.coalesce("_boost", _F.lit(1.0))).alias("score"),
+                )
+            ranked = _topk(scores, k)
         elif synonyms is not None:
             if mode != "or":
                 raise ValueError("synonyms= is only supported with mode='or'")
@@ -153,6 +189,28 @@ class SearchIndex:
                 "qid", "rank", "doc_id", "score", "n_hit", "snippet"
             )
         return ranked
+
+    def search_diverse(
+        self,
+        query: str | list[tuple[int, str]],
+        embeddings: DataFrame,
+        k: int = 10,
+        lam: float = 0.5,
+        overfetch: int = 3,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """MMR-diversified retrieval: the WAND top-(overfetch·k) page
+        re-ranked by maximal marginal relevance over ``embeddings``
+        (see `query.diversify`). Returns (qid, rank, doc_id, score),
+        rank = selection order."""
+        from .query.diversify import mmr_rerank
+
+        ranked = self.search(query, k=overfetch * k)
+        return mmr_rerank(
+            ranked.select("qid", "doc_id", "score"), embeddings,
+            k=k, lam=lam, id_col=id_col, vec_col=vec_col,
+        )
 
     def facets(
         self,

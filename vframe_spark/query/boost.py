@@ -133,3 +133,27 @@ def boosted_topk(
         )
     )
     return topk(boosted, k)
+
+
+def filtered_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    allowed: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filtered search (the Lucene filter-context shape): rank only docs
+    in ``allowed`` (any one-column doc-id relation, e.g. the output of an
+    attribute predicate over the source table), with the filter applied
+    BEFORE the k cut — the page is the exact top-k of the allowed subset,
+    scores unchanged (filters don't score).
+
+    Execution: full-match-set scoring off the pruned posting scan + one
+    LEFT SEMI join on doc_id + the bounded window. At scale the allowed
+    set stays distributed (semi-join, broadcast when small) — never a
+    collected id list."""
+    scores = match_scores(postings, term_stats, meta, queries)
+    keep = allowed.select(F.col(id_col).alias("doc_id")).distinct()
+    return topk(scores.join(keep, "doc_id", "left_semi"), k)
