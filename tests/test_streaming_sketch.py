@@ -1,0 +1,86 @@
+"""Streaming sketches: the running register/counter state over a file
+stream must equal the batch sketch over the concatenated data — the
+merge associativity IS the streamability."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.operators.sketch import (
+    cms_state,
+    hll_estimate,
+    hll_state,
+)
+from vframe_spark.streaming.sketch import cms_counts_stream, hll_distinct_stream
+
+P = 8
+SCHEMA = "v bigint, g string"
+
+
+@pytest.fixture(scope="module")
+def dropped(spark, tmp_path_factory):
+    """Three parquet drops of (v, g) rows with overlapping values."""
+    root = tmp_path_factory.mktemp("sketchstream")
+    src = str(root / "src")
+    os.makedirs(src)
+    batches = [
+        [(i, "a") for i in range(0, 800)],
+        [(i, "a") for i in range(400, 1200)] + [(i, "b") for i in range(100)],
+        [(i, "b") for i in range(50, 300)],
+    ]
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(root / f"chunk{i}")
+        )
+        import glob, shutil
+
+        f = glob.glob(str(root / f"chunk{i}" / "*.parquet"))[0]
+        shutil.copy(f, os.path.join(src, f"drop_{i}.parquet"))
+    whole = spark.createDataFrame(all_rows, SCHEMA)
+    return src, whole
+
+
+def _run_complete(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_hll_equals_batch(spark, dropped):
+    src, whole = dropped
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    regs = _run_complete(
+        spark, hll_distinct_stream(stream, "v", by=["g"], p=P), "hll_regs"
+    )
+    got = sorted(map(tuple, regs.collect()))
+    want = sorted(map(tuple, hll_state(whole, "v", by=["g"], p=P).collect()))
+    assert got == want
+    est_s = {r["g"]: r["est"] for r in hll_estimate(regs, by=["g"], p=P).collect()}
+    est_b = {
+        r["g"]: r["est"]
+        for r in hll_estimate(hll_state(whole, "v", by=["g"], p=P), by=["g"], p=P).collect()
+    }
+    assert est_s == est_b
+    # sanity: estimates near the true distincts (1200 for a, 300 for b)
+    assert abs(est_s["a"] - 1200) / 1200 < 0.25
+    assert abs(est_s["b"] - 300) / 300 < 0.25
+
+
+def test_streaming_cms_equals_batch(spark, dropped):
+    src, whole = dropped
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    cells = _run_complete(
+        spark, cms_counts_stream(stream, "v", d=3, w=128), "cms_cells"
+    )
+    got = sorted(map(tuple, cells.collect()))
+    want = sorted(map(tuple, cms_state(whole, "v", d=3, w=128).collect()))
+    assert got == want

@@ -1,0 +1,86 @@
+"""Streaming sketches: running HLL / count-min state over a document
+stream.
+
+The batch sketch states (operators/sketch.py) are plain partial
+aggregations, so they compose directly with Structured Streaming's
+incremental aggregation: each micro-batch folds into the running
+register/counter state, which is exactly the sketch MERGE (max per HLL
+register, sum per CMS cell) — the associativity that makes sketches
+mergeable is what makes them streamable. No watermark is needed: sketch
+state is bounded by construction (≤ 2^p registers / d×w cells per
+group), never by time eviction.
+
+Usage shape: `hll_distinct_stream(stream, ...)` returns the streaming
+register table; write it with ``outputMode("complete")`` to a memory/
+foreachBatch sink and apply `operators.sketch.hll_estimate` to the
+materialized rows (estimation is a cheap batch step over ≤ 2^p rows per
+group — keeping it out of the stream avoids a second stateful stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketch import _cms_hash, _kmv_hash  # shared portable hashes
+from ..operators.sketch import HASH_BITS
+
+
+def hll_distinct_stream(
+    stream: DataFrame, col: str, by: list[str] | None = None, p: int = 12
+) -> DataFrame:
+    """Streaming HLL register table: (by..., reg, mrank) maintained
+    incrementally across micro-batches (max-merge per register)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    by = list(by or [])
+    m = 1 << p
+    h = _kmv_hash(F.col(col))
+    w = F.shiftright(h, p)
+    rank = (
+        F.when(w == 0, F.lit(HASH_BITS - p + 1))
+        .otherwise(F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
+        .cast("int")
+    )
+    return (
+        stream.filter(F.col(col).isNotNull())
+        .select(*by, h.bitwiseAND(F.lit(m - 1)).cast("int").alias("reg"), rank.alias("r"))
+        .groupBy(*by, "reg")
+        .agg(F.max("r").alias("mrank"))
+    )
+
+
+def cms_counts_stream(
+    stream: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    d: int = 4,
+    w: int = 1024,
+    weight: str | None = None,
+) -> DataFrame:
+    """Streaming count-min counter matrix: (by..., depth, bucket, cnt)
+    maintained incrementally (sum-merge per cell)."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1, w >= 2, got d={d}, w={w}")
+    by = list(by or [])
+    wcol = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    rows = stream.filter(F.col(col).isNotNull()).select(
+        *by,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        (_cms_hash(F.col(col), i) % w).cast("int").alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+        wcol.alias("n"),
+    )
+    return (
+        rows.select(*by, "cell.depth", "cell.bucket", "n")
+        .groupBy(*by, "depth", "bucket")
+        .agg(F.sum("n").alias("cnt"))
+    )
