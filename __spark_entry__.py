@@ -471,6 +471,35 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+def q_emb_group_centroids(spark, sf_dir):
+    """Per-group embedding centroids (the class-centroid aggregate):
+    posexplode → partial-aggregated per-dimension avg, pure JVM (no
+    Python in the plan — asserted in tests). Output flattened to
+    (grp, pos, val) rows so the oracle compares scalars, not
+    array-string renderings."""
+    from vframe_spark.operators.similarity import group_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "grp", (F.col("vec_id") % 8).cast("int")
+    )
+    cents = group_centroids(emb, "grp")
+    return cents.select(
+        "grp", F.posexplode("centroid").alias("pos", "val")
+    ).select("grp", "pos", F.round("val", 6).alias("val"))
+
+
+EMB_CENTROID_ORACLE_SQL = """
+WITH ex AS (
+  SELECT (vec_id % 8)::INT AS grp,
+         unnest(list_transform(embedding::DOUBLE[],
+                               (x, i) -> {'pos': i - 1, 'val': x})) AS u
+  FROM embeddings
+)
+SELECT grp, u.pos::INT AS pos, round(avg(u.val), 6) AS val
+FROM ex GROUP BY 1, 2
+"""
+
+
 def q_ft_filtered_topk(spark, sf_dir):
     """Filtered search (Lucene filter context): an attribute predicate
     (lang = 'en') gates the ranking BEFORE the k cut — the page is the
@@ -3576,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boosted_topk": q_ft_boosted_topk,
         "ft_mmr_diverse": q_ft_mmr_diverse,
         "ft_filtered_topk": q_ft_filtered_topk,
+        "emb_group_centroids": q_emb_group_centroids,
         "ft_facets": q_ft_facets,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
@@ -3735,6 +3765,7 @@ def oracle_sql() -> dict[str, str]:
             "{QVALUES}", _ft_qterms_values_sql()
         ),
         "ft_mmr_diverse": _mmr_oracle_sql(),
+        "emb_group_centroids": EMB_CENTROID_ORACLE_SQL,
         "ft_filtered_topk": BM25_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ).replace(

@@ -224,3 +224,26 @@ def F_count():
     from pyspark.sql import functions as F
 
     return F.count("*").alias("n")
+
+
+def test_group_centroids_match_numpy_and_stay_jvm(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from vframe_spark.operators.similarity import group_centroids
+
+    rng = np.random.default_rng(3)
+    rows = [(i, i % 3, [float(x) for x in rng.standard_normal(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, g int, embedding array<float>")
+    got = {r["g"]: list(r["centroid"]) for r in group_centroids(df, "g").collect()}
+    for g in range(3):
+        mat = np.array([v for _, gg, v in rows if gg == g], dtype=np.float64)
+        want = mat.mean(axis=0)
+        assert np.allclose(got[g], want, atol=1e-12)
+    # normalized variant is unit length
+    nrm = group_centroids(df, "g", normalize=True).collect()
+    for r in nrm:
+        assert abs(sum(x * x for x in r["centroid"]) - 1.0) < 1e-9
+    # plan hygiene: no Python evaluation anywhere
+    plan = group_centroids(df, "g")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_avg" in plan

@@ -613,3 +613,42 @@ def pq_topk(
         )
     )
     return _topk_window(exact.select("qid", "vec_id", "cosine"), k)
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    by,
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Per-group mean vector → (by..., centroid array<double>).
+
+    Class centroids are the workhorse embedding aggregate (nearest-
+    centroid classifiers, cluster summaries, IVF list statistics). The
+    plan stays entirely JVM-side: posexplode → partial-aggregated
+    groupBy(by, pos) avg → array re-assembly via array_sort over
+    (pos, avg) structs — no Python UDF, map-side combine does the heavy
+    lifting, and the shuffle carries only (groups × dim) rows.
+
+    ``normalize=True`` unit-normalizes the centroid (spherical-k-means
+    style, matching `ivf_train`'s convention).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    exploded = embeddings.select(
+        *by, F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    )
+    per_dim = exploded.groupBy(*by, "pos").agg(F.avg("x").alias("m"))
+    packed = per_dim.groupBy(*by).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    if not normalize:
+        return packed
+    norm = F.sqrt(F.aggregate("centroid", F.lit(0.0), lambda a, v: a + v * v))
+    return packed.select(
+        *by,
+        F.transform("centroid", lambda v: v / F.greatest(norm, F.lit(1e-12))).alias(
+            "centroid"
+        ),
+    )
