@@ -1716,6 +1716,14 @@ FROM est JOIN exact USING (g_a, g_b)
 """
 
 
+def _quality_model_oracle_sql() -> str:
+    from vframe_spark.operators.quality_model import quality_model_sql
+
+    return f"""
+SELECT doc_id, round({quality_model_sql()}, 6) AS model_score FROM documents
+"""
+
+
 def _sketch_hll_oracle_sql() -> str:
     """DuckDB replay of the per-lang HLL token sketch + exact join."""
     from vframe_spark.operators.sketch import hll_duckdb_sql
@@ -1740,6 +1748,20 @@ SELECT est.lang, est.est AS est_distinct, exact.exact_distinct,
        round((est.est - exact.exact_distinct) / exact.exact_distinct, 4) AS rel_err
 FROM est JOIN exact USING (lang)
 """
+
+
+def q_text_quality_model(spark, sf_dir):
+    """Learned quality gate: logistic regression over JVM text features
+    scored as ONE projection (no Python in the plan — whole-stage
+    codegen end to end). Training is deterministic, so the oracle
+    replays the entire model — features, weights, sigmoid — in SQL
+    (operators/quality_model.py)."""
+    from vframe_spark.operators.quality_model import score_quality_lr
+
+    docs = _t(spark, sf_dir, "documents")
+    return score_quality_lr(docs, "text").select(
+        "doc_id", F.round("model_score", 6).alias("model_score")
+    )
 
 
 def q_sketch_hll_tokens(spark, sf_dir):
@@ -3658,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_union_merge": q_rel_union_merge,
         "rel_anti_join": q_rel_anti_join,
         "text_top_terms": q_text_top_terms,
+        "text_quality_model": q_text_quality_model,
         "sketch_hll_tokens": q_sketch_hll_tokens,
         "sketch_cms_counts": q_sketch_cms_counts,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
@@ -4141,6 +4164,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
             GROUP BY 1
         """,
+        "text_quality_model": _quality_model_oracle_sql(),
         "sketch_hll_tokens": _sketch_hll_oracle_sql(),
         "sketch_cms_counts": _sketch_cms_oracle_sql(),
         "sketch_kmv_overlap": _sketch_kmv_oracle_sql(),

@@ -192,6 +192,7 @@ def main() -> None:
         "det_conf_filter",
         "text_quality",
         "text_lang_id",
+        "text_quality_model",
         "sketch_hll_tokens",
         "sketch_cms_counts",
         "sketch_kmv_overlap",

@@ -217,3 +217,16 @@ def test_hll_state_is_one_partial_agg(spark):
     plan = plan_of(state).split("== Initial Plan ==")[0]  # final plan only
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_max" in plan, plan
+
+
+def test_match_scores_prunes_scan_no_bnlj(spark, small_index):
+    """Full-match-set scoring (boost/filter substrate) keeps the WAND
+    scan shape: term pushdown, broadcast query side, no nested loop."""
+    from vframe_spark.query.boost import match_scores
+
+    postings, term_stats, _, meta = load_index(spark, small_index)
+    scores = match_scores(postings, term_stats, meta, [(1, "data parse")])
+    plan = plan_of(scores)
+    assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:200]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -183,3 +183,58 @@ def test_domain_cap_sample(spark):
     # deterministic: second run keeps the identical rows
     again = {r["doc_id"] for r in domain_cap_sample(df, "url", 0.30).collect()}
     assert again == {r["doc_id"] for r in kept.collect()}
+
+
+# --------------------------------------------------------------------------
+# learned quality gate (operators/quality_model.py)
+
+
+def test_quality_lr_training_deterministic_and_sane():
+    import numpy as np
+    from vframe_spark.operators.quality_model import (
+        _synth_prior,
+        train_quality_lr,
+    )
+
+    w1, w2 = train_quality_lr(), train_quality_lr()
+    assert w1 == w2 and len(w1) == 5
+    # the model must actually separate the prior it was trained on
+    x, y = _synth_prior()
+    z = x @ np.array(w1)
+    p = 1.0 / (1.0 + np.exp(-z))
+    acc = ((p > 0.5) == (y > 0.5)).mean()
+    assert acc > 0.85, acc
+    # punctuation hurts quality; weight must be negative
+    assert w1[2] < 0
+
+
+def test_quality_lr_scores_stay_jvm_and_match_duckdb(spark):
+    import duckdb
+    from vframe_spark.operators.quality_model import (
+        quality_model_sql,
+        score_quality_lr,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and that is fine for all of us"),
+        (1, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (2, "x " * 500),
+        (3, ""),
+        (4, "supercalifragilisticexpialidocious " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = score_quality_lr(df, "text")
+    got = {r["doc_id"]: round(r["model_score"], 6) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, round({quality_model_sql()}, 6) FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    # natural text scores above junk
+    assert got[0] > got[1]
+    # plan hygiene: one projection, no Python stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,128 @@
+"""Learned quality gate: logistic regression scored as pure Catalyst
+expressions — model inference with NO Python in the hot path.
+
+The fastText/C4-style quality classifiers gate trillions of documents,
+so the scoring pass must stay inside whole-stage codegen: features are
+the engine's existing JVM text expressions (length, punctuation,
+stopword ratio, word shape), the trained weight vector is a handful of
+literals baked into the plan, and the sigmoid is `1/(1+exp(-z))` — the
+whole model is one projection, no UDF, no shuffle.
+
+Training is a deterministic driver-side numpy gradient descent over a
+seeded synthetic prior encoding the classic heuristics (good text: mid
+length, low punctuation, natural stopword rate, ordinary word length).
+Deterministic weights mean the DuckDB oracle can replay the entire
+model — features AND inference — as SQL with the same literals, making
+this an oracle-checked *learned* operator. Swap `train_quality_lr` for
+real labeled data without touching the scoring path.
+
+Reference parity: threshold gates in `skip-file --if` chains
+(/root/reference/src/commands/pipe/skip-file.py) — this is the learned
+generalization of hand-tuned per-attribute thresholds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# feature order is the weight-vector contract — keep in sync with
+# quality_feature_cols() and quality_model_sql()
+FEATURES = ["bias", "log_len", "punct_ratio", "stopword_ratio_en", "mean_word_len"]
+
+
+def _synth_prior(n: int = 4000, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded synthetic feature/label sample encoding the heuristics."""
+    rng = np.random.default_rng(seed)
+    n_ws = np.exp(rng.uniform(0.0, 10.0, n))  # 1 .. 22k tokens, log-spread
+    punct = rng.uniform(0.0, 0.5, n)
+    sw = rng.uniform(0.0, 0.8, n)
+    mwl = rng.uniform(0.0, 20.0, n)
+    good = (
+        (n_ws >= 10) & (n_ws <= 10_000)
+        & (punct < 0.2)
+        & (sw > 0.05) & (sw < 0.6)
+        & (mwl >= 2.0) & (mwl <= 12.0)
+    )
+    x = np.column_stack([np.ones(n), np.log1p(n_ws), punct, sw, mwl])
+    return x, good.astype(np.float64)
+
+
+def train_quality_lr(
+    iters: int = 400, lr: float = 0.3, seed: int = 42, l2: float = 1e-3
+) -> list[float]:
+    """→ weight list (len == len(FEATURES)); pure numpy, deterministic,
+    millisecond-cheap — both the engine and the oracle call this and get
+    identical literals."""
+    x, y = _synth_prior(seed=seed)
+    # standardize non-bias features for stable GD, then fold the
+    # standardization back into the weights so inference is raw-feature
+    mu = x.mean(axis=0)
+    sd = x.std(axis=0)
+    mu[0], sd[0] = 0.0, 1.0
+    xs = (x - mu) / sd
+    w = np.zeros(x.shape[1])
+    for _ in range(iters):
+        z = xs @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = xs.T @ (p - y) / len(y) + l2 * w
+        w -= lr * g
+    raw = w / sd
+    raw[0] = w[0] - float((w[1:] * mu[1:] / sd[1:]).sum())
+    return [round(float(v), 10) for v in raw]
+
+
+def quality_feature_cols(col: Column | str) -> list[Column]:
+    """The FEATURES as JVM expressions over a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.lit(1.0),
+        F.log1p(T.token_count_ws(c).cast("double")),
+        T.punct_ratio(c),
+        T.stopword_ratio(c, "en"),
+        T.mean_word_len(c),
+    ]
+
+
+def score_quality_lr(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: list[float] | None = None,
+    out_col: str = "model_score",
+) -> DataFrame:
+    """Append ``sigmoid(w · features)`` — one projection, whole-stage
+    codegen end to end."""
+    w = weights if weights is not None else train_quality_lr()
+    feats = quality_feature_cols(text_col)
+    if len(w) != len(feats):
+        raise ValueError(f"need {len(feats)} weights, got {len(w)}")
+    z = F.lit(0.0)
+    for wi, fi in zip(w, feats):
+        z = z + F.lit(float(wi)) * fi
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def quality_model_sql(weights: list[float] | None = None, text: str = "text") -> str:
+    """The identical model as a DuckDB scalar expression (features +
+    literals + sigmoid) — the oracle replay."""
+    w = weights if weights is not None else train_quality_lr()
+    words_raw = f"list_filter(regexp_split_to_array({text}, '\\s+'), x -> x <> '')"
+    words_lc = f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), x -> x <> '')"
+    sw_en = "'the','and','of','to','in','is','that','for','with','as'"
+    punct_len = f"length(regexp_replace({text}, '[A-Za-z0-9\\s]', '', 'g'))"
+    feats = [
+        "1.0",
+        f"ln(1.0 + len({words_raw})::DOUBLE)",
+        f"(CASE WHEN length({text}) > 0 THEN {punct_len}::DOUBLE / length({text}) ELSE 0.0 END)",
+        f"(CASE WHEN len({words_lc}) > 0 THEN "
+        f"len(list_filter({words_lc}, x -> x IN ({sw_en})))::DOUBLE / len({words_lc}) "
+        f"ELSE 0.0 END)",
+        f"(CASE WHEN len({words_raw}) > 0 THEN "
+        f"coalesce(list_sum(list_transform({words_raw}, x -> length(x))), 0)::DOUBLE / len({words_raw}) "
+        f"ELSE 0.0 END)",
+    ]
+    z = " + ".join(f"({wi!r}) * {fi}" for wi, fi in zip(w, feats))
+    return f"1.0 / (1.0 + exp(-({z})))"
