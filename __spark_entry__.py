@@ -514,6 +514,48 @@ def q_ft_filtered_topk(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+def q_ft_match_counts(spark, sf_dir):
+    """Result-count surface: TOTAL match-set size per query (both OR
+    and AND modes side by side) — the pruned posting decode with a
+    partial-aggregated distinct count, no ranking."""
+    from vframe_spark.query.facets import match_counts
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    or_counts = match_counts(postings, meta, FT_QUERIES, mode="or").select(
+        "qid", F.col("n_docs").alias("n_or")
+    )
+    and_counts = match_counts(postings, meta, FT_QUERIES, mode="and").select(
+        "qid", F.col("n_docs").alias("n_and")
+    )
+    return (
+        or_counts.join(and_counts, "qid", "left")
+        .fillna(0, subset=["n_and"])
+        .select("qid", "n_or", "n_and")
+    )
+
+
+FT_MATCH_COUNTS_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {{QVALUES}}),
+qn AS (SELECT qid, count(DISTINCT term) AS nt FROM q GROUP BY 1),
+m AS (
+  SELECT q.qid, tok.doc_id, count(DISTINCT tok.term) AS hit
+  FROM q JOIN tok ON tok.term = q.term
+  GROUP BY 1, 2
+),
+or_c AS (SELECT qid, count(*)::BIGINT AS n_or FROM m GROUP BY 1),
+and_c AS (
+  SELECT m.qid, count(*)::BIGINT AS n_and
+  FROM m JOIN qn ON qn.qid = m.qid
+  WHERE m.hit = qn.nt
+  GROUP BY 1
+)
+SELECT or_c.qid::INT AS qid, or_c.n_or, coalesce(and_c.n_and, 0) AS n_and
+FROM or_c LEFT JOIN and_c USING (qid)
+"""
+
+
 def q_ft_mmr_diverse(spark, sf_dir):
     """MMR diversification: the rounded BM25 top-30 page re-ranked so
     results spread over the embedding space (λ=0.5 relevance/diversity
@@ -1914,6 +1956,38 @@ def q_rel_grouping_sets(spark, sf_dir):
     ).select(
         "status", "priority", F.col("n").cast("bigint").alias("n"), "sum_price"
     )
+
+
+ZORDER_RANGES = {"ka": (0.0, 255.0), "kb": (0.0, 255.0)}
+
+
+def q_rel_zorder_codes(spark, sf_dir):
+    """Z-order (Morton) layout codes: the bit-interleave that clusters
+    data for simultaneous min/max skipping on several columns
+    (layout.zorder_by runs this before write; the code itself is pure
+    integer shift/mask arithmetic, oracle-replayed exactly)."""
+    from vframe_spark.layout import zvalue_expr
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 256).alias("ka"),
+        (F.col("o_custkey") % 256).alias("kb"),
+    )
+    return o.select(
+        "o_orderkey", zvalue_expr(["ka", "kb"], ZORDER_RANGES, bits=8).alias("zvalue")
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from vframe_spark.layout import zvalue_duckdb_sql
+
+    z = zvalue_duckdb_sql(["ka", "kb"], ZORDER_RANGES, bits=8)
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderkey % 256 AS ka, o_custkey % 256 AS kb FROM orders
+)
+SELECT o_orderkey, {z} AS zvalue FROM o
+"""
 
 
 def q_rel_pivot(spark, sf_dir):
@@ -3628,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_mmr_diverse": q_ft_mmr_diverse,
         "ft_filtered_topk": q_ft_filtered_topk,
         "emb_group_centroids": q_emb_group_centroids,
+        "ft_match_counts": q_ft_match_counts,
         "ft_facets": q_ft_facets,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
@@ -3673,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": q_rel_cube,
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_pivot": q_rel_pivot,
+        "rel_zorder_codes": q_rel_zorder_codes,
         "rel_moving_avg": q_rel_moving_avg,
         "rel_histogram": q_rel_histogram,
         "rel_time_window": q_rel_time_window,
@@ -3789,6 +3865,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_mmr_diverse": _mmr_oracle_sql(),
         "emb_group_centroids": EMB_CENTROID_ORACLE_SQL,
+        "ft_match_counts": FT_MATCH_COUNTS_ORACLE_SQL.replace(
+            "{QVALUES}", _ft_qterms_values_sql()
+        ),
         "ft_filtered_topk": BM25_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ).replace(
@@ -4109,6 +4188,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """,
+        "rel_zorder_codes": _zorder_oracle_sql(),
         "rel_pivot": """
             SELECT l_returnflag AS returnflag,
                    coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0) AS qty_f,

@@ -1,0 +1,96 @@
+"""Z-order layout: Morton-code correctness (vs a python reference and
+the DuckDB twin) and the actual skipping win — per-partition value
+spans shrink on BOTH columns vs a single-column sort."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.layout import zorder_by, zvalue_duckdb_sql, zvalue_expr
+
+BITS = 8
+N = 4096
+
+
+def py_morton(vals: list[int], bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            z += ((v >> b) & 1) << (b * len(vals) + i)
+    return z
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    rows = [(i, i % 64, (i * 2654435761) % 64) for i in range(N)]  # b ⟂ a
+    return spark.createDataFrame(rows, "pk bigint, a bigint, b bigint").cache()
+
+
+def test_zvalue_matches_python_reference(spark, grid):
+    ranges = {"a": (0, 63), "b": (0, 63)}
+    got = {
+        r["pk"]: r["z"]
+        for r in grid.select("pk", zvalue_expr(["a", "b"], ranges, 6).alias("z")).collect()
+    }
+    for r in grid.collect():
+        # identity scaling: span 63 over 6 bits maps v -> v exactly
+        assert got[r["pk"]] == py_morton([r["a"], r["b"]], 6), r
+
+
+def test_zvalue_matches_duckdb(spark, grid):
+    ranges = {"a": (0, 63), "b": (0, 63)}
+    got = sorted(
+        (r["pk"], r["z"])
+        for r in grid.select("pk", zvalue_expr(["a", "b"], ranges, BITS).alias("z")).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", grid.toPandas())
+    want = sorted(
+        con.execute(
+            f"SELECT pk, {zvalue_duckdb_sql(['a', 'b'], ranges, BITS)} AS z FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_zorder_shrinks_spans_on_both_columns(spark, grid):
+    """The skipping property: after z-order, each partition's (max-min)
+    span is small on BOTH a and b; after a plain sort on a, the span on
+    b stays ~full-range."""
+
+    def spans(df, col):
+        g = (
+            df.withColumn("part", F.spark_partition_id())
+            .groupBy("part")
+            .agg((F.max(col) - F.min(col)).alias("span"), F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        rows = g.collect()
+        return sum(r["span"] for r in rows) / len(rows)
+
+    parts = 16
+    z = zorder_by(grid, ["a", "b"], bits=6, num_partitions=parts).cache()
+    z.count()
+    linear = grid.repartitionByRange(parts, "a").sortWithinPartitions("a").cache()
+    linear.count()
+    # linear layout: a is tight, b is ~uniform over its 64-value range
+    assert spans(linear, "b") > 40
+    # z-order: both dimensions localized
+    assert spans(z, "a") < 32, spans(z, "a")
+    assert spans(z, "b") < 32, spans(z, "b")
+    # and no rows lost
+    assert z.count() == N
+
+
+def test_range_validation_and_bits_cap(spark, grid):
+    with pytest.raises(ValueError, match="exceeds 62"):
+        zvalue_expr(["a", "b"], {"a": (0, 1), "b": (0, 1)}, 32)
+    # degenerate range → constant 0 code, still runs
+    out = grid.select(zvalue_expr(["a"], {"a": (5, 5)}, 8).alias("z")).distinct().collect()
+    assert [r["z"] for r in out] == [0]
+
+
+def test_computed_ranges_roundtrip(spark, grid):
+    z = zorder_by(grid, ["a", "b"], bits=6, num_partitions=8, keep_code=True)
+    rows = z.collect()
+    assert len(rows) == N and all(r["_zvalue"] >= 0 for r in rows)

@@ -190,6 +190,19 @@ class SearchIndex:
             )
         return ranked
 
+    def count(
+        self,
+        query: str | list[tuple[int, str]],
+        mode: str = "or",
+    ) -> DataFrame:
+        """Total match-set size per query → (qid, n_docs) — the
+        result-count surface, no ranking work."""
+        from .query.facets import match_counts
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return match_counts(postings, meta, queries, mode=mode)
+
     def search_diverse(
         self,
         query: str | list[tuple[int, str]],

@@ -1,0 +1,105 @@
+"""Z-order (Morton-curve) layout clustering for multi-column data skipping.
+
+A sort on `a` gives parquet row-group min/max pruning on `a` and nothing
+on `b`; interleaving the bits of both columns into one Morton code and
+range-partitioning + sorting on it gives *simultaneous* locality on
+every participating column — the Delta/Iceberg `OPTIMIZE ZORDER BY`
+idea, here as a plain DataFrame transform you run before `write`.
+
+Everything is integer shift/mask arithmetic in pure Catalyst
+expressions (identical in DuckDB for the oracle): each column scales to
+``bits`` bits inside a caller-supplied (or computed) [min, max] range,
+then bit b of column i lands at position ``b·ncols + i`` of the code.
+
+Scale shape: one pass to compute codes (projection, whole-stage
+codegen), one `repartitionByRange` shuffle on the code (the same
+shuffle ANY layout rewrite pays), and a partition-local sort. Skipping
+wins are measured in tests as per-partition value-span shrinkage on the
+non-leading column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _scaled(col: Column, lo: float, hi: float, bits: int) -> Column:
+    m = (1 << bits) - 1
+    span = float(hi) - float(lo)
+    if span <= 0:
+        return F.lit(0).cast("long")
+    x = (col.cast("double") - F.lit(float(lo))) / F.lit(span)
+    x = F.least(F.greatest(x, F.lit(0.0)), F.lit(1.0))
+    return F.least(F.floor(x * (m + 1)).cast("long"), F.lit(m).cast("long"))
+
+
+def zvalue_expr(
+    cols: list, ranges: dict[str, tuple[float, float]], bits: int = 16
+) -> Column:
+    """Morton code over ``cols`` (names), each scaled to ``bits`` bits
+    within its ``ranges[col] = (min, max)``. bits × ncols must fit a
+    signed 64-bit int (≤ 62)."""
+    names = list(cols)
+    n = len(names)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if bits * n > 62:
+        raise ValueError(f"bits*ncols = {bits * n} exceeds 62 (int64)")
+    scaled = [
+        _scaled(F.col(c), ranges[c][0], ranges[c][1], bits) for c in names
+    ]
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z + (F.shiftright(s, b).bitwiseAND(F.lit(1)) * F.lit(1 << (b * n + i)))
+    return z
+
+
+def zvalue_duckdb_sql(
+    cols: list, ranges: dict[str, tuple[float, float]], bits: int = 16
+) -> str:
+    """The identical Morton code as a DuckDB scalar expression."""
+    names = list(cols)
+    n = len(names)
+    m = (1 << bits) - 1
+    scaled = []
+    for c in names:
+        lo, hi = float(ranges[c][0]), float(ranges[c][1])
+        span = hi - lo
+        if span <= 0:
+            scaled.append("0")
+            continue
+        x = f"least(greatest((({c})::DOUBLE - {lo}) / {span}, 0.0), 1.0)"
+        scaled.append(f"least(floor({x} * {m + 1})::BIGINT, {m})")
+    terms = [
+        f"((({s}) >> {b}) & 1) * {1 << (b * n + i)}"
+        for b in range(bits)
+        for i, s in enumerate(scaled)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list,
+    bits: int = 16,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    num_partitions: int | None = None,
+    keep_code: bool = False,
+) -> DataFrame:
+    """Cluster ``df`` along the Morton curve of ``cols`` — run before
+    ``write.parquet`` so row-group min/max stats prune on EVERY listed
+    column. ``ranges`` default to one min/max aggregation pass (exact
+    bounds; at 10^12 rows pass cached/approximate bounds instead)."""
+    names = list(cols)
+    if ranges is None:
+        aggs = []
+        for c in names:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        ranges = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in names}
+    out = df.withColumn("_zvalue", zvalue_expr(names, ranges, bits))
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    out = out.repartitionByRange(parts, "_zvalue").sortWithinPartitions("_zvalue")
+    return out if keep_code else out.drop("_zvalue")

@@ -139,3 +139,17 @@ def facet_counts(
         .groupBy("qid", "facet")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def match_counts(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    mode: str = "or",
+) -> DataFrame:
+    """→ (qid, n_docs): the TOTAL match-set size per query (the Lucene
+    ``count()`` / search-result-total surface). Same pruned decode as
+    `match_set`; the count is a partial-aggregated fold of the distinct
+    (qid, doc) stream — no facet join, no top-k."""
+    m = match_set(postings, meta, queries, mode=mode)
+    return m.groupBy("qid").agg(F.count("*").alias("n_docs"))
