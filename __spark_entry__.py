@@ -1990,6 +1990,43 @@ SELECT o_orderkey, {z} AS zvalue FROM o
 """
 
 
+def _sample_k_oracle_sql() -> str:
+    from vframe_spark.operators.curate import sample_k_per_group_duckdb_sql
+
+    return sample_k_per_group_duckdb_sql(
+        "documents", ["lang"], k=7, cols=["lang", "doc_id"], salt="r2"
+    )
+
+
+def q_curate_sample_k(spark, sf_dir):
+    """Deterministic uniform k-per-group sample (inspection slices):
+    rows rank by the engine-portable hash — reproducible across runs,
+    engines, cluster sizes; one bounded window per group."""
+    from vframe_spark.operators.curate import sample_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, "lang", k=7, salt="r2").select(
+        "lang", "doc_id"
+    )
+
+
+def q_rel_window_range(spark, sf_dir):
+    """RANGE-frame window: 7-day trailing revenue sum per order date —
+    the value-based frame next to the existing ROWS-frame moving
+    average (frame bound by DATE VALUE, not row count)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day", "revenue", F.round(F.sum("revenue").over(w), 2).alias("rev_7d")
+    )
+
+
 def q_rel_pivot(spark, sf_dir):
     """PIVOT: lineitem quantity cross-tab — rows by return flag, one
     column per line status. Spark's `groupBy().pivot(values=...)`
@@ -3749,6 +3786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_pivot": q_rel_pivot,
         "rel_zorder_codes": q_rel_zorder_codes,
+        "rel_window_range": q_rel_window_range,
+        "curate_sample_k": q_curate_sample_k,
         "rel_moving_avg": q_rel_moving_avg,
         "rel_histogram": q_rel_histogram,
         "rel_time_window": q_rel_time_window,
@@ -4189,6 +4228,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """,
         "rel_zorder_codes": _zorder_oracle_sql(),
+        "rel_window_range": """
+            WITH daily AS (
+              SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1
+            )
+            SELECT day, revenue,
+                   round(sum(revenue) OVER (
+                     ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+                   ), 2) AS rev_7d
+            FROM daily
+        """,
+        "curate_sample_k": _sample_k_oracle_sql(),
         "rel_pivot": """
             SELECT l_returnflag AS returnflag,
                    coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0) AS qty_f,

@@ -541,3 +541,20 @@ def test_doc_keywords_bruteforce(spark):
     assert got == expect
     # the corpus-wide stopword never outranks distinctive terms
     assert all(kw[0][1] != "shared" for kw in expect.values())
+
+
+def test_sample_k_per_group_deterministic_and_bounded(spark):
+    from pyspark.sql import functions as F2
+    from vframe_spark.operators.curate import sample_k_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    a = sorted(map(tuple, sample_k_per_group(df, "lang", k=5).collect()))
+    b = sorted(map(tuple, sample_k_per_group(df, "lang", k=5).collect()))
+    assert a == b  # reproducible
+    counts = {r["lang"]: r["n"] for r in
+              sample_k_per_group(df, "lang", k=5).groupBy("lang").agg(F2.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}  # min(k, |group|)
+    # a different salt reshuffles
+    c = sorted(map(tuple, sample_k_per_group(df, "lang", k=5, salt="x").collect()))
+    assert c != a

@@ -847,3 +847,51 @@ def doc_keywords(
             "score",
         )
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    by: str | list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform k-sample PER GROUP: rank rows by the
+    engine-portable per-row hash (hash order == a fixed random shuffle)
+    and keep the first k of each group — the inspection-sample / eval-
+    slice primitive ("show me 100 random docs per language"), exactly
+    reproducible across runs, engines, and cluster sizes.
+
+    One bounded window per group (the same shape as every top-k here);
+    ``salt`` reshuffles without touching the data.
+    """
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*by).orderBy(
+        _sample_hash(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def sample_k_per_group_duckdb_sql(
+    table: str, by: list[str], k: int, cols: list[str],
+    id_col: str = "doc_id", salt: str = "",
+) -> str:
+    """DuckDB replay of :func:`sample_k_per_group` (same hash ranking)."""
+    h = sample_hash_duckdb_sql(id_col, salt)
+    sel = ", ".join(cols)
+    part = ", ".join(by)
+    return f"""
+SELECT {sel} FROM (
+  SELECT {sel}, row_number() OVER (
+    PARTITION BY {part} ORDER BY {h} ASC, {id_col} ASC) AS rk
+  FROM {table}
+) WHERE rk <= {k}
+"""
