@@ -514,6 +514,50 @@ def q_ft_filtered_topk(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+_FED_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _ft_fed_indexes(spark, sf_dir):
+    """Two half-corpus indexes split on a slice boundary (cached)."""
+    if sf_dir not in _FED_CACHE:
+        from vframe_spark.index.codec import FORMAT_VERSION
+
+        tag = hashlib.md5(f"fed:{FORMAT_VERSION}:{sf_dir}".encode()).hexdigest()[:10]
+        root = os.path.join(tempfile.gettempdir(), f"vffed_{tag}")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        span = 64 * 2  # shard_size × shards_per_slice below
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        cut = max(span, ((int(max_id) + 1) // 2 // span) * span)
+        a, b = os.path.join(root, "a"), os.path.join(root, "b")
+        build_index(docs.filter(F.col("doc_id") < cut), a,
+                    shard_size=64, block_size=32, shards_per_slice=2,
+                    content_col="content", lang_col=None)
+        build_index(docs.filter(F.col("doc_id") >= cut), b,
+                    shard_size=64, block_size=32, shards_per_slice=2,
+                    content_col="content", lang_col=None)
+        _FED_CACHE[sf_dir] = (a, b)
+    a, b = _FED_CACHE[sf_dir]
+    pa, ta, _, ma = load_index(spark, a)
+    pb, tb, _, mb = load_index(spark, b)
+    return [(pa, ta, ma), (pb, tb, mb)]
+
+
+def q_ft_federated(spark, sf_dir):
+    """Federated retrieval over TWO half-corpus indexes with GLOBAL
+    statistics (the dfs_query_then_fetch discipline): a tiny stats pass
+    combines n_docs / total token length / per-term dfs, every index
+    scores with the global values, and the merged page equals a single
+    whole-corpus index EXACTLY — so the oracle is the ordinary
+    whole-corpus BM25 SQL (query/federated.py)."""
+    from vframe_spark.query.federated import federated_topk
+
+    indexes = _ft_fed_indexes(spark, sf_dir)
+    raw = federated_topk(indexes, FT_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
 def q_ft_match_counts(spark, sf_dir):
     """Result-count surface: TOTAL match-set size per query (both OR
     and AND modes side by side) — the pruned posting decode with a
@@ -3740,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_filtered_topk": q_ft_filtered_topk,
         "emb_group_centroids": q_emb_group_centroids,
         "ft_match_counts": q_ft_match_counts,
+        "ft_federated": q_ft_federated,
         "ft_facets": q_ft_facets,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
@@ -3907,6 +3952,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_match_counts": FT_MATCH_COUNTS_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ),
+        # federation with global stats == one whole-corpus index, so the
+        # oracle is the PLAIN whole-corpus BM25 — that identity IS the claim
+        "ft_federated": bm25,
         "ft_filtered_topk": BM25_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ).replace(

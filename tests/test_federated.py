@@ -1,0 +1,84 @@
+"""Federated search with global statistics: the merged page over two
+half-corpus indexes must equal the single whole-corpus index BITWISE —
+the dfs_query_then_fetch guarantee."""
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.query.federated import federated_topk, global_stats
+from vframe_spark.query.wand import bm25_topk_wand
+
+N = 240
+QUERIES = [(1, "cache stream"), (2, "token parse config"), (3, "zzzmissing data")]
+
+
+@pytest.fixture(scope="module")
+def three_indexes(spark, tmp_path_factory):
+    docs = assign_doc_ids(
+        synth_docs(spark, N, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+    root = tmp_path_factory.mktemp("fed")
+    whole = str(root / "whole")
+    build_index(docs, whole, shard_size=32, block_size=8, shards_per_slice=2)
+    # split on a slice boundary (span 64) so both halves keep their ids
+    half_a = str(root / "a")
+    half_b = str(root / "b")
+    build_index(docs.filter(docs.doc_id < 128), half_a,
+                shard_size=32, block_size=8, shards_per_slice=2)
+    build_index(docs.filter(docs.doc_id >= 128), half_b,
+                shard_size=32, block_size=8, shards_per_slice=2)
+    return spark, whole, half_a, half_b
+
+
+def _parts(spark, d):
+    p, t, _, m = load_index(spark, d)
+    return p, t, m
+
+
+def test_global_stats_recombine_exactly(three_indexes):
+    spark, whole, a, b = three_indexes
+    pw, tw, mw = _parts(spark, whole)
+    ia, ib = _parts(spark, a), _parts(spark, b)
+    g_stats, g_meta = global_stats([ia, ib])
+    assert g_meta["n_docs"] == mw["n_docs"]
+    assert g_meta["avgdl"] == mw["avgdl"]  # bitwise (exact total_len ints)
+    got = {r["term"]: r["df"] for r in g_stats.collect()}
+    want = {r["term"]: r["df"] for r in tw.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_federated_equals_whole_corpus_bitwise(three_indexes, mode):
+    spark, whole, a, b = three_indexes
+    pw, tw, mw = _parts(spark, whole)
+    want = sorted(
+        map(tuple, bm25_topk_wand(pw, tw, mw, QUERIES, k=12, mode=mode).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            federated_topk(
+                [_parts(spark, a), _parts(spark, b)], QUERIES, k=12, mode=mode
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert want, "whole-corpus ranking empty — trivial test"
+
+
+def test_local_stats_would_differ(three_indexes):
+    """The reason the stats pass exists: scoring each half with LOCAL
+    stats produces different scores from the global ranking."""
+    spark, whole, a, b = three_indexes
+    pw, tw, mw = _parts(spark, whole)
+    pa, ta, ma = _parts(spark, a)
+    naive = bm25_topk_wand(pa, ta, ma, [(1, "cache stream")], k=5).collect()
+    fed = federated_topk(
+        [_parts(spark, a), _parts(spark, b)], [(1, "cache stream")], k=5
+    ).collect()
+    naive_scores = {r["doc_id"]: r["score"] for r in naive}
+    fed_scores = {r["doc_id"]: r["score"] for r in fed}
+    common = set(naive_scores) & set(fed_scores)
+    assert common and any(naive_scores[d] != fed_scores[d] for d in common)

@@ -265,17 +265,30 @@ def _write_slice(
         fd.result()
     # (term, shard)-grain partials from the committed slice: feeds both the
     # incremental term_stats merge AND the skew metric in one pass.
-    committed = spark.read.parquet(slice_postings)
-    obs_s = Observation(f"slice{slice_id}_skew")
-    (
-        committed.groupBy("term", "shard")
-        .agg(F.sum("n").alias("sz"))
-        .coalesce(4)  # vocab-sized — don't emit one file per shuffle task
-        .observe(obs_s, F.max("sz").alias("mx"), F.avg("sz").alias("mean"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(paths.term_partials, f"slice={slice_id}"))
+    # A slice whose doc-id range holds no documents (gaps are normal
+    # after heavy filtering, tombstone purges, or federated splits)
+    # commits zero data files — re-reading it would fail schema
+    # inference, and there are no partials to write.
+    import glob as _glob
+
+    committed_files = _glob.glob(
+        os.path.join(slice_postings, "**", "*.parquet"), recursive=True
     )
-    pm, dm, sm = obs_p.get, obs_d.get, obs_s.get
+    if committed_files:
+        committed = spark.read.parquet(slice_postings)
+        obs_s = Observation(f"slice{slice_id}_skew")
+        (
+            committed.groupBy("term", "shard")
+            .agg(F.sum("n").alias("sz"))
+            .coalesce(4)  # vocab-sized — don't emit one file per shuffle task
+            .observe(obs_s, F.max("sz").alias("mx"), F.avg("sz").alias("mean"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(paths.term_partials, f"slice={slice_id}"))
+        )
+        sm = obs_s.get
+    else:
+        sm = {"mx": 0, "mean": 0.0}
+    pm, dm = obs_p.get, obs_d.get
     return {
         "slice_id": slice_id,
         "status": "done",

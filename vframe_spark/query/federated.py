@@ -1,0 +1,79 @@
+"""Federated search: one query over MANY indexes with GLOBAL statistics.
+
+The multi-cluster / multi-tenant shape: each index (a datacenter, a
+tenant, a time slice) stays where it is; a query fans out and the pages
+merge. Naive federation scores each index with its LOCAL df/N/avgdl —
+rankings from different indexes aren't comparable and the merged page
+is wrong. This implements the `dfs_query_then_fetch` discipline
+(Lucene/Elasticsearch): a stats pass first combines document counts,
+total lengths, and per-term dfs across all indexes, then every index
+scores with the GLOBAL statistics — so the merged top-k is EXACTLY the
+top-k of a single index over the union corpus (tested bitwise; the
+contract oracle is the ordinary whole-corpus BM25 SQL).
+
+Cost shape: the stats pass touches only the queries' term_stats rows
+per index (pruned scan, tiny); retrieval is the ordinary per-index WAND
+fan-out; the merge is a union of ≤ k rows per index + one bounded
+window. Requirement: doc-id ranges must be disjoint across indexes
+(the builder's slice allocation and `merge_indexes` rebase both
+guarantee this).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bm25 import topk
+from .wand import bm25_topk_wand
+
+
+def global_stats(
+    indexes: list[tuple[DataFrame, DataFrame, dict]],
+) -> tuple[DataFrame, dict]:
+    """Combine (postings, term_stats, meta) triples → (global term_stats,
+    global meta). df sums per term; n_docs sums; avgdl recombines from
+    each index's exact total token count (n_docs × avgdl)."""
+    if not indexes:
+        raise ValueError("need at least one index")
+    stats = indexes[0][1].select("term", "df")
+    for _, ts, _ in indexes[1:]:
+        stats = stats.unionByName(ts.select("term", "df"))
+    g_stats = stats.groupBy("term").agg(F.sum("df").alias("df"))
+    n_docs = sum(int(m["n_docs"]) for _, _, m in indexes)
+    # exact integer token totals when the index provides them → the global
+    # avgdl is bit-identical to a single whole-corpus build
+    total_len = sum(
+        int(m["total_len"])
+        if m.get("total_len") is not None
+        else float(m["avgdl"]) * int(m["n_docs"])
+        for _, _, m in indexes
+    )
+    g_meta = {"n_docs": n_docs, "avgdl": (total_len / n_docs) if n_docs else 0.0}
+    return g_stats, g_meta
+
+
+def federated_topk(
+    indexes: list[tuple[DataFrame, DataFrame, dict]],
+    queries: Iterable[tuple[int, str]],
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """→ (qid, rank, doc_id, score): the exact top-k over the union
+    corpus. ``indexes`` = [(postings, term_stats, meta), ...]; each
+    index keeps its own posting layout (bucket pruning and shard
+    grouping run per index — only g_stats is shared)."""
+    queries = list(queries)
+    g_stats, g_meta = global_stats(indexes)
+    pages = []
+    for postings, _, m in indexes:
+        meta = dict(m)
+        meta["n_docs"], meta["avgdl"] = g_meta["n_docs"], g_meta["avgdl"]
+        page = bm25_topk_wand(postings, g_stats, meta, queries, k=k, mode=mode)
+        pages.append(page.select("qid", "doc_id", "score"))
+    merged = pages[0]
+    for p in pages[1:]:
+        merged = merged.unionByName(p)
+    return topk(merged, k)
