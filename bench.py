@@ -163,6 +163,8 @@ def main() -> None:
         "ft_boosted_topk",
         "ft_mmr_diverse",
         "ft_filtered_topk",
+        "ft_match_counts",
+        "ft_federated",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",
@@ -203,6 +205,10 @@ def main() -> None:
         "rel_anti_join",
         "rel_asof_join",
         "rel_range_join",
+        "rel_pivot",
+        "rel_window_range",
+        "rel_zorder_codes",
+        "curate_sample_k",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they
@@ -213,6 +219,7 @@ def main() -> None:
         ("index_build_sf_sec", E._ft_index),
         ("index_build_pos_sf_sec", E._ft_index_pos),
         ("index_build_tri_sf_sec", E._ft_index_tri),
+        ("index_build_fed_sf_sec", E._ft_fed_indexes),
     ):
         t0 = time.time()
         fn(spark, SF_DIR)
