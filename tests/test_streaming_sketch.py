@@ -84,3 +84,44 @@ def test_streaming_cms_equals_batch(spark, dropped):
     got = sorted(map(tuple, cells.collect()))
     want = sorted(map(tuple, cms_state(whole, "v", d=3, w=128).collect()))
     assert got == want
+
+
+def test_streaming_kmv_equals_batch(spark, dropped, tmp_path):
+    """Bottom-k state maintained across micro-batches (bounded
+    applyInPandasWithState) equals the batch kmv_state over the
+    concatenated drops — including the estimates built on it."""
+    from vframe_spark.operators.sketch import kmv_estimate, kmv_state
+    from vframe_spark.streaming.sketch import kmv_latest, kmv_state_stream
+
+    K = 64
+    src, whole = dropped
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one drop per micro-batch
+        .parquet(src)
+    )
+    q = (
+        kmv_state_stream(stream, "v", by=["g"], k=K)
+        .writeStream.format("memory")
+        .queryName("kmv_snaps")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = spark.table("kmv_snaps")
+    # multiple snapshots per group prove multi-batch state maintenance
+    assert snaps.filter("g = 'a'").select("ver").distinct().count() >= 2
+    latest = kmv_latest(snaps, by=["g"])
+    got = sorted(map(tuple, latest.select("g", "h").collect()))
+    want = sorted(map(tuple, kmv_state(whole, "v", by=["g"], k=K).collect()))
+    assert got == want
+    # bounded state: never more than k hashes per group
+    assert latest.groupBy("g").count().agg(F.max("count")).first()[0] <= K
+    est_s = {r["g"]: r["est"] for r in kmv_estimate(latest, by=["g"], k=K).collect()}
+    est_b = {
+        r["g"]: r["est"]
+        for r in kmv_estimate(kmv_state(whole, "v", by=["g"], k=K), by=["g"], k=K).collect()
+    }
+    assert est_s == est_b

@@ -19,8 +19,14 @@ group — keeping it out of the stream avoids a second stateful stage).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..operators.sketch import _cms_hash, _kmv_hash  # shared portable hashes
 from ..operators.sketch import HASH_BITS
@@ -83,4 +89,88 @@ def cms_counts_stream(
         rows.select(*by, "cell.depth", "cell.bucket", "n")
         .groupBy(*by, "depth", "bucket")
         .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def kmv_state_stream(
+    stream: DataFrame, col: str, by: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Streaming KMV bottom-k state: (by..., ver, h).
+
+    KMV is NOT a per-cell max/sum like HLL/CMS, so Spark's incremental
+    aggregation can't maintain it (there is no bounded built-in
+    collect-min-k agg). The mergeability is still there — bottom-k of a
+    union equals bottom-k of (bottom-k(A) ∪ B) — so the state IS
+    bounded (≤ k hashes per group) and lives in
+    ``applyInPandasWithState``: hashes are computed as the portable
+    Catalyst expression BEFORE the stateful stage (same md5-60bit as the
+    batch op), each micro-batch unions into the retained bottom-k, and
+    the group's full current state is re-emitted with a monotonically
+    increasing ``ver`` so a sink holding multiple snapshots can keep the
+    latest per group (``kmv_latest``). Feed the latest rows to
+    ``operators.sketch.kmv_estimate`` / ``kmv_overlap`` — the state
+    equals the batch ``kmv_state`` over the concatenated drops exactly
+    (tested).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    by = list(by or [])
+    hashed = stream.filter(F.col(col).isNotNull()).select(
+        *by, _kmv_hash(F.col(col)).alias("h")
+    )
+    key_cols = by or ["_g"]
+    if not by:
+        hashed = hashed.withColumn("_g", F.lit(0))
+    out_schema = StructType(
+        [stream.schema[c] for c in by]
+        + [StructField("ver", LongType()), StructField("h", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("hs", ArrayType(LongType())), StructField("ver", LongType())]
+    )
+    n_by = len(by)
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur: set[int]
+        if state.exists:
+            cur, ver = set(state.get[0]), int(state.get[1])
+        else:
+            cur, ver = set(), 0
+        for pdf in pdfs:
+            cur.update(int(x) for x in pdf["h"])
+        hs = sorted(cur)[:k]
+        ver += 1
+        state.update((hs, ver))
+        out = {}
+        for i in range(n_by):
+            out[by[i]] = [key[i]] * len(hs)
+        out["ver"] = [ver] * len(hs)
+        out["h"] = hs
+        yield pd.DataFrame(out)
+
+    return hashed.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def kmv_latest(snapshots: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Latest KMV snapshot per group from an update-mode sink table
+    (each group's rows carry the ``ver`` they were emitted at) →
+    (by..., h), directly consumable by ``kmv_estimate``/``kmv_overlap``.
+    The window runs over ≤ a few snapshots × k rows per group — sink-
+    table sized, not corpus sized."""
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    w = Window.partitionBy(*[F.col(c) for c in by])
+    return (
+        snapshots.withColumn("_mv", F.max("ver").over(w))
+        .filter(F.col("ver") == F.col("_mv"))
+        .drop("_mv", "ver")
     )
