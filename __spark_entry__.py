@@ -390,6 +390,11 @@ FT_BOOL_QUERIES = [
     (4, "data AND NOT (NOT table)"),
     (5, "zzzabsentterm OR spark"),
     (6, "NOT (scan OR NOT merge)"),
+    # >62 distinct terms → multi-word bitmasks; the OOV aaaNNx fillers
+    # sort first, pushing every present term's bit above 62 so BOTH
+    # engines exercise the multi-word path (query/boolq.py WORD_BITS)
+    (7, "(" + " OR ".join(f"aaa{i:02d}x" for i in range(70))
+        + ") OR (sort AND merge) OR scan NOT join"),
 ]
 
 

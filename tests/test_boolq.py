@@ -210,8 +210,59 @@ def test_facade_boolean_mode_and_tombstones(spark, corpus, tmp_path_factory):
     assert ids == [d for d, _ in brute_topk(oracle, expr, k + 1) if d != top][:k]
 
 
-def test_too_many_terms_rejected(spark, corpus, index):
+def test_wide_query_multiword_masks(spark, corpus, index):
+    """>62 distinct terms spill into multi-word masks; results still match
+    the brute-force oracle bitwise. The OOV filler terms sort BEFORE the
+    real ones, pushing every present term's bit above 62 — the multi-word
+    path is genuinely exercised, not just permitted."""
+    _, oracle = corpus
     postings, term_stats, _, meta = index
-    q = " OR ".join(f"term{i}x" for i in range(63))
-    with pytest.raises(ValueError, match="max 62"):
+    filler = " OR ".join(f"aaa{i:02d}x" for i in range(70))
+    q = f"({filler}) OR (token AND stream) OR cache NOT merge"
+    tree = parse_bool_query(q)
+    assert len(expr_terms(tree)) > 62
+    k = 15
+    rows = sorted(
+        boolean_topk(postings, term_stats, meta, [(1, q)], k=k).collect(),
+        key=lambda r: r["rank"],
+    )
+    expect = brute_topk(oracle, q, k)
+    assert len(expect) >= 5, "match set too small — trivial test"
+    assert [(r["doc_id"], r["score"]) for r in rows] == expect
+
+
+def test_multiword_mask_compilers_match_reference():
+    """Bits forced into three different words: numpy and SQL compilers
+    agree with the reference evaluator over every presence combination."""
+    import duckdb
+    import numpy as np
+
+    from vframe_spark.query.boolq import WORD_BITS, eval_mask_np, n_mask_words
+
+    tree = parse_bool_query("(a AND b) OR (c NOT a) OR NOT (b OR d) AND c")
+    terms = expr_terms(tree)  # a b c d
+    bit_of = dict(zip(terms, [1, WORD_BITS + 3, 2 * WORD_BITS + 5, 7]))
+    nw = n_mask_words(bit_of)
+    assert nw == 3
+    con = duckdb.connect()
+    for combo in range(2 ** len(terms)):
+        present = frozenset(t for i, t in enumerate(terms) if combo & (1 << i))
+        mask = np.zeros((1, nw), dtype=np.int64)
+        for t in present:
+            w, r = divmod(bit_of[t], WORD_BITS)
+            mask[0, w] |= 1 << r
+        want = evaluate(tree, present)
+        assert bool(eval_mask_np(tree, bit_of, mask)[0]) == want, combo
+        pred = mask_predicate_sql(tree, bit_of, "m", nw)
+        sel = ", ".join(f"{mask[0, w]}::BIGINT AS m{w}" for w in range(nw))
+        (got,) = con.execute(f"SELECT {pred} FROM (SELECT {sel})").fetchone()
+        assert bool(got) == want, combo
+
+
+def test_too_many_terms_rejected(spark, corpus, index):
+    from vframe_spark.query.boolq import MAX_TERMS
+
+    postings, term_stats, _, meta = index
+    q = " OR ".join(f"term{i}x" for i in range(MAX_TERMS + 1))
+    with pytest.raises(ValueError, match=f"max {MAX_TERMS}"):
         boolean_topk(postings, term_stats, meta, [(1, q)], k=5)

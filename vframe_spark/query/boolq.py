@@ -198,15 +198,32 @@ def scoring_terms(node: BoolNode) -> list[str]:
 
 # ---------------------------------------------------------------------------
 # Compilers: the same tree → numpy bitwise eval / ANSI-SQL predicate.
+#
+# Expressions wider than one machine word use MULTI-WORD masks: bit i of
+# the expression lives in word i // 62, bit i % 62. 62 bits per int64
+# word keeps every mask value strictly positive in BIGINT, so the SQL
+# replay needs no unsigned/sign-bit gymnastics in either engine. A
+# single-word expression keeps the 1-D mask / bare `mask` column shape.
+
+WORD_BITS = 62
+MAX_TERMS = 4096  # driver-side broadcast stays trivially small
+
+
+def n_mask_words(bit_of: dict[str, int]) -> int:
+    return (max(bit_of.values()) // WORD_BITS + 1) if bit_of else 1
 
 
 def eval_mask_np(node: BoolNode, bit_of: dict[str, int], mask: np.ndarray) -> np.ndarray:
-    """Vectorized predicate over an int64 bitmask array."""
+    """Vectorized predicate over an int64 bitmask array — 1-D for ≤62-term
+    expressions, (n_docs, n_words) 2-D beyond."""
+    n_rows = mask.shape[0]
     if node.op == "term":
         b = bit_of.get(node.term)
         if b is None:  # out-of-vocabulary → present in no document
-            return np.zeros(mask.shape, dtype=bool)
-        return (mask & np.int64(1 << b)) != 0
+            return np.zeros(n_rows, dtype=bool)
+        w, r = divmod(b, WORD_BITS)
+        col = mask[:, w] if mask.ndim == 2 else mask
+        return (col & np.int64(1 << r)) != 0
     if node.op == "not":
         return ~eval_mask_np(node.kids[0], bit_of, mask)
     parts = [eval_mask_np(k, bit_of, mask) for k in node.kids]
@@ -216,18 +233,32 @@ def eval_mask_np(node: BoolNode, bit_of: dict[str, int], mask: np.ndarray) -> np
     return out
 
 
-def mask_predicate_sql(node: BoolNode, bit_of: dict[str, int], col: str = "mask") -> str:
-    """The predicate as ANSI SQL over an integer bitmask column, for the
-    DuckDB oracle replay (`&` and literals only — portable)."""
+def mask_predicate_sql(
+    node: BoolNode,
+    bit_of: dict[str, int],
+    col: str = "mask",
+    n_words: int | None = None,
+) -> str:
+    """The predicate as ANSI SQL over integer bitmask column(s), for the
+    DuckDB oracle replay (`&` and literals only — portable). One word →
+    the bare ``col``; multi-word → ``col0 … colN-1``."""
+    if n_words is None:
+        n_words = n_mask_words(bit_of)
     if node.op == "term":
         b = bit_of.get(node.term)
         if b is None:
             return "FALSE"
-        return f"(({col} & {1 << b}) != 0)"
+        w, r = divmod(b, WORD_BITS)
+        name = col if n_words == 1 else f"{col}{w}"
+        return f"(({name} & {1 << r}) != 0)"
     if node.op == "not":
-        return f"(NOT {mask_predicate_sql(node.kids[0], bit_of, col)})"
+        return f"(NOT {mask_predicate_sql(node.kids[0], bit_of, col, n_words)})"
     sep = " AND " if node.op == "and" else " OR "
-    return "(" + sep.join(mask_predicate_sql(k, bit_of, col) for k in node.kids) + ")"
+    return (
+        "("
+        + sep.join(mask_predicate_sql(k, bit_of, col, n_words) for k in node.kids)
+        + ")"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -248,11 +279,13 @@ def _local_bool_topk(
         return empty
     qid = int(pdf["qid"].iloc[0])
     bit_of = bits[qid]
-    ids_parts, mask_parts, contrib_parts = [], [], []
+    n_words = n_mask_words(bit_of)
+    ids_parts, word_parts, mask_parts, contrib_parts = [], [], [], []
     for term in sorted(pdf["term"].unique()):
         g = pdf[pdf["term"] == term].sort_values("block")
         idf = float(g["idf"].iloc[0])
-        bit = np.int64(1 << bit_of[term])
+        w_idx, r = divmod(bit_of[term], WORD_BITS)
+        bit = np.int64(1 << r)
         scoring = bool(g["scoring"].iloc[0])
         for n_, buf, first, tfb, dlb in zip(
             g["n"], g["doc_ids"], g["first_doc"], g["tfs"], g["dls"]
@@ -260,6 +293,7 @@ def _local_bool_topk(
             n = int(n_)
             ids = pfor_delta_decode(buf, n, int(first)).astype(np.int64)
             ids_parts.append(ids)
+            word_parts.append(np.full(n, w_idx, dtype=np.int16))
             mask_parts.append(np.full(n, bit, dtype=np.int64))
             if scoring:
                 tf = for_decode(tfb, n).astype(np.float64)
@@ -273,8 +307,17 @@ def _local_bool_topk(
         return empty
     all_ids = np.concatenate(ids_parts)
     uniq, inv = np.unique(all_ids, return_inverse=True)
-    mask = np.zeros(uniq.size, dtype=np.int64)
-    np.bitwise_or.at(mask, inv, np.concatenate(mask_parts))
+    words = np.concatenate(word_parts)
+    bits_flat = np.concatenate(mask_parts)
+    if n_words == 1:
+        mask = np.zeros(uniq.size, dtype=np.int64)
+        np.bitwise_or.at(mask, inv, bits_flat)
+    else:
+        mask = np.zeros((uniq.size, n_words), dtype=np.int64)
+        for w in range(n_words):
+            sel = words == w
+            if sel.any():
+                np.bitwise_or.at(mask[:, w], inv[sel], bits_flat[sel])
     scores = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(scores, inv, np.concatenate(contrib_parts))
     hit = eval_mask_np(trees[qid], bit_of, mask)
@@ -316,8 +359,10 @@ def boolean_topk(
     for qid, q in queries:
         tree = parse_bool_query(q)
         terms = expr_terms(tree)
-        if len(terms) > 62:
-            raise ValueError(f"boolean query has {len(terms)} terms (max 62)")
+        if len(terms) > MAX_TERMS:
+            raise ValueError(
+                f"boolean query has {len(terms)} terms (max {MAX_TERMS})"
+            )
         trees[int(qid)] = tree
         bits[int(qid)] = {t: i for i, t in enumerate(terms)}
         all_terms.update(terms)
@@ -372,17 +417,30 @@ def boolean_oracle_sql(
     tokenize_duckdb_sql).  Scores round to 4dp before ranking, the shared
     cross-engine determinism rule."""
     qrows, preds = [], []
+    n_words = 1
+    parsed = []
     for qid, q in queries:
         tree = parse_bool_query(q)
         bit_of = {t: i for i, t in enumerate(expr_terms(tree))}
+        n_words = max(n_words, n_mask_words(bit_of))
+        parsed.append((int(qid), tree, bit_of))
+    for qid, tree, bit_of in parsed:
         scoring = set(scoring_terms(tree))
         for t, b in sorted(bit_of.items()):
-            qrows.append(f"({int(qid)}, '{t}', {b}, {'TRUE' if t in scoring else 'FALSE'})")
+            qrows.append(f"({qid}, '{t}', {b}, {'TRUE' if t in scoring else 'FALSE'})")
         preds.append(
-            f"WHEN {int(qid)} THEN {mask_predicate_sql(tree, bit_of, 'mask')}"
+            f"WHEN {qid} THEN {mask_predicate_sql(tree, bit_of, 'mask', n_words)}"
         )
     values = ", ".join(qrows)
     case_pred = "CASE qid " + " ".join(preds) + " ELSE FALSE END"
+    if n_words == 1:
+        mask_cols = "bit_or((1::BIGINT << q.bit))::BIGINT AS mask"
+    else:
+        mask_cols = ",\n         ".join(
+            f"bit_or(CASE WHEN q.bit >= {WORD_BITS * w} AND q.bit < {WORD_BITS * (w + 1)} "
+            f"THEN (1::BIGINT << (q.bit - {WORD_BITS * w})) ELSE 0::BIGINT END)::BIGINT AS mask{w}"
+            for w in range(n_words)
+        )
     return f"""
 WITH toks AS (SELECT doc_id, {tok_sql} AS t FROM documents),
 tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -396,7 +454,7 @@ dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
 q(qid, term, bit, scoring) AS (VALUES {values}),
 per_doc AS (
   SELECT q.qid, tf.doc_id,
-         bit_or((1::BIGINT << q.bit))::BIGINT AS mask,
+         {mask_cols},
          sum(CASE WHEN q.scoring THEN
                ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
                  * (tf.tf * {K1 + 1.0})
