@@ -68,6 +68,36 @@ def test_federated_equals_whole_corpus_bitwise(three_indexes, mode):
     assert want, "whole-corpus ranking empty — trivial test"
 
 
+def test_federated_per_index_tombstones(three_indexes):
+    """A doc soft-deleted in ONE member drops from the merged page before
+    the k cut (a union-corpus survivor backfills), bitwise equal to the
+    whole-corpus index queried with the same exclusion. Driven through
+    the FederatedIndex facade so tombstones load from each member's own
+    store."""
+    from vframe_spark.api import FederatedIndex
+    from vframe_spark.index.builder import delete_docs
+
+    spark, whole, a, b = three_indexes
+    pw, tw, mw = _parts(spark, whole)
+    q = [(1, "cache stream")]
+    fed = FederatedIndex(spark, [a, b])
+    before = sorted(map(tuple, fed.search(q, k=5).collect()))
+    top = min(before)[2]  # rank-1 doc of qid 1
+    # delete through the facade: both members record it, only the owner's
+    # postings ever match it
+    assert fed.delete([top]) == 1
+    got = sorted(map(tuple, fed.search(q, k=5).collect()))
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk_wand(pw, tw, mw, q, k=5, exclude_doc_ids=[top]).collect(),
+        )
+    )
+    assert got == want
+    assert all(r[2] != top for r in got)
+    assert len(got) == 5, "survivor did not backfill the page"
+
+
 def test_local_stats_would_differ(three_indexes):
     """The reason the stats pass exists: scoring each half with LOCAL
     stats produces different scores from the global ranking."""

@@ -382,3 +382,66 @@ class TrigramIndex:
         queries = [(1, pattern)] if isinstance(pattern, str) else list(pattern)
         return trigram_regex_search(docs, queries, postings, meta,
                                     id_col=id_col, text_col=content_col)
+
+
+class FederatedIndex:
+    """N on-disk indexes queried as ONE corpus with global statistics
+    (`query.federated` — the dfs_query_then_fetch discipline). Each
+    member keeps its own layout AND its own tombstone store: per-index
+    soft deletes load automatically on every search, exactly as
+    :class:`SearchIndex` does for a single index. Doc-id ranges must be
+    disjoint across members (the builder's slice allocation guarantees
+    it for splits; `merge_indexes` rebases otherwise)."""
+
+    def __init__(self, spark: SparkSession, dirs: list[str]):
+        if not dirs:
+            raise ValueError("need at least one index dir")
+        self.spark = spark
+        self.dirs = list(dirs)
+        self._loaded = None
+
+    def _parts(self):
+        if self._loaded is None:
+            loaded = []
+            for d in self.dirs:
+                postings, term_stats, _, meta = load_index(self.spark, d)
+                dead = load_tombstones(self.spark, d) or None
+                loaded.append((postings, term_stats, meta, dead))
+            self._loaded = loaded
+        return self._loaded
+
+    def reload(self) -> "FederatedIndex":
+        self._loaded = None
+        return self
+
+    @property
+    def meta(self) -> dict:
+        from .query.federated import global_stats
+
+        _, g_meta = global_stats(self._parts())
+        return g_meta
+
+    def search(
+        self,
+        query: str | list[tuple[int, str]],
+        k: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """Exact top-k over the union corpus → (qid, rank, doc_id, score).
+        ``mode``: "or" (WAND) or "and" (intersection). Every member's own
+        tombstones drop inside its shard scorers before the k cut."""
+        from .query.federated import federated_topk
+
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return federated_topk(self._parts(), queries, k=k, mode=mode)
+
+    def delete(self, doc_ids) -> int:
+        """Soft-delete ids across the federation: every member records
+        the full id list (a tombstone for a doc an index never held is
+        inert — ids are matched against that index's own postings), so
+        callers need not know which member owns which id range."""
+        n = 0
+        for d in self.dirs:
+            n = max(n, delete_docs(self.spark, d, doc_ids))
+        self.reload()
+        return n

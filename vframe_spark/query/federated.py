@@ -30,26 +30,44 @@ from .bm25 import topk
 from .wand import bm25_topk_wand
 
 
+def _norm(indexes) -> list[tuple[DataFrame, DataFrame, dict, list[int] | None]]:
+    """Accept (postings, term_stats, meta) or (postings, term_stats, meta,
+    exclude_doc_ids) per index — the 4th element is that index's own
+    tombstone list (soft deletes, applied at query time; stats stay
+    un-adjusted until a purge, the Lucene deleted-docs discipline the
+    single-index path already follows)."""
+    out = []
+    for ix in indexes:
+        if len(ix) == 3:
+            p, t, m = ix
+            out.append((p, t, m, None))
+        else:
+            p, t, m, excl = ix
+            out.append((p, t, m, list(excl) if excl else None))
+    return out
+
+
 def global_stats(
     indexes: list[tuple[DataFrame, DataFrame, dict]],
 ) -> tuple[DataFrame, dict]:
-    """Combine (postings, term_stats, meta) triples → (global term_stats,
-    global meta). df sums per term; n_docs sums; avgdl recombines from
-    each index's exact total token count (n_docs × avgdl)."""
+    """Combine (postings, term_stats, meta[, excludes]) tuples → (global
+    term_stats, global meta). df sums per term; n_docs sums; avgdl
+    recombines from each index's exact total token count (n_docs × avgdl)."""
     if not indexes:
         raise ValueError("need at least one index")
+    indexes = _norm(indexes)
     stats = indexes[0][1].select("term", "df")
-    for _, ts, _ in indexes[1:]:
+    for _, ts, _, _ in indexes[1:]:
         stats = stats.unionByName(ts.select("term", "df"))
     g_stats = stats.groupBy("term").agg(F.sum("df").alias("df"))
-    n_docs = sum(int(m["n_docs"]) for _, _, m in indexes)
+    n_docs = sum(int(m["n_docs"]) for _, _, m, _ in indexes)
     # exact integer token totals when the index provides them → the global
     # avgdl is bit-identical to a single whole-corpus build
     total_len = sum(
         int(m["total_len"])
         if m.get("total_len") is not None
         else float(m["avgdl"]) * int(m["n_docs"])
-        for _, _, m in indexes
+        for _, _, m, _ in indexes
     )
     g_meta = {"n_docs": n_docs, "avgdl": (total_len / n_docs) if n_docs else 0.0}
     return g_stats, g_meta
@@ -62,16 +80,24 @@ def federated_topk(
     mode: str = "or",
 ) -> DataFrame:
     """→ (qid, rank, doc_id, score): the exact top-k over the union
-    corpus. ``indexes`` = [(postings, term_stats, meta), ...]; each
+    corpus. ``indexes`` = [(postings, term_stats, meta), ...] or
+    [(postings, term_stats, meta, exclude_doc_ids), ...] — the optional
+    4th element is that index's own tombstone list, dropped inside its
+    shard scorers BEFORE the k cut (per-index soft deletes; disjoint
+    doc-id ranges make a per-index exclude exact for the union). Each
     index keeps its own posting layout (bucket pruning and shard
     grouping run per index — only g_stats is shared)."""
     queries = list(queries)
+    indexes = _norm(indexes)
     g_stats, g_meta = global_stats(indexes)
     pages = []
-    for postings, _, m in indexes:
+    for postings, _, m, excl in indexes:
         meta = dict(m)
         meta["n_docs"], meta["avgdl"] = g_meta["n_docs"], g_meta["avgdl"]
-        page = bm25_topk_wand(postings, g_stats, meta, queries, k=k, mode=mode)
+        page = bm25_topk_wand(
+            postings, g_stats, meta, queries, k=k, mode=mode,
+            exclude_doc_ids=excl,
+        )
         pages.append(page.select("qid", "doc_id", "score"))
     merged = pages[0]
     for p in pages[1:]:
