@@ -94,3 +94,39 @@ def test_computed_ranges_roundtrip(spark, grid):
     z = zorder_by(grid, ["a", "b"], bits=6, num_partitions=8, keep_code=True)
     rows = z.collect()
     assert len(rows) == N and all(r["_zvalue"] >= 0 for r in rows)
+
+
+def test_parquet_rowgroups_actually_skip(spark, grid, tmp_path):
+    """Not just span shrinkage: read the WRITTEN parquet footers (the
+    min/max stats every pruning reader uses) and count row groups a
+    point-range predicate must touch. Linear sort on `a` prunes only
+    `a`; z-order prunes BOTH columns."""
+    from vframe_spark.layout import parquet_rowgroup_stats, rowgroups_matching
+
+    parts = 16
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_by(grid, ["a", "b"], bits=6, num_partitions=parts).write.parquet(zdir)
+    (
+        grid.repartitionByRange(parts, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(ldir)
+    )
+    zs = parquet_rowgroup_stats(zdir, ["a", "b"])
+    ls = parquet_rowgroup_stats(ldir, ["a", "b"])
+    assert len(zs) >= parts and len(ls) >= parts
+
+    # predicate: col BETWEEN 8 AND 15 (an eighth of the 0..63 range)
+    za_hit, za_tot = rowgroups_matching(zs, "a", 8, 15)
+    zb_hit, zb_tot = rowgroups_matching(zs, "b", 8, 15)
+    la_hit, la_tot = rowgroups_matching(ls, "a", 8, 15)
+    lb_hit, lb_tot = rowgroups_matching(ls, "b", 8, 15)
+    # linear: tight on the sort column, useless on the other
+    assert la_hit / la_tot <= 0.25, (la_hit, la_tot)
+    assert lb_hit / lb_tot > 0.9, (lb_hit, lb_tot)
+    # z-order: a real skip on BOTH columns (≥ half the groups skippable)
+    assert za_hit / za_tot <= 0.5, (za_hit, za_tot)
+    assert zb_hit / zb_tot <= 0.5, (zb_hit, zb_tot)
+    # and the result the reader returns is unchanged by layout
+    got = spark.read.parquet(zdir).filter("b between 8 and 15").count()
+    want = spark.read.parquet(ldir).filter("b between 8 and 15").count()
+    assert got == want == grid.filter("b between 8 and 15").count()

@@ -103,3 +103,41 @@ def zorder_by(
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     out = out.repartitionByRange(parts, "_zvalue").sortWithinPartitions("_zvalue")
     return out if keep_code else out.drop("_zvalue")
+
+
+# ---------------------------------------------------------------------------
+# Footer-level proof of the win: what a min/max-pruning reader actually skips.
+
+
+def parquet_rowgroup_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-row-group min/max stats straight from the parquet footers under
+    ``path`` → [{"file", "row_group", "n_rows", col: (min, max), ...}].
+    This is the very metadata Spark/Trino/DuckDB row-group pruning reads,
+    so it measures data-skipping potential without trusting any engine's
+    reporting."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            rec: dict = {"file": os.path.basename(f), "row_group": rg,
+                         "n_rows": g.num_rows}
+            for c in cols:
+                st = g.column(name_to_idx[c]).statistics
+                rec[c] = (st.min, st.max)
+            out.append(rec)
+    return out
+
+
+def rowgroups_matching(stats: list[dict], col: str, lo, hi) -> tuple[int, int]:
+    """(row groups a ``col BETWEEN lo AND hi`` scan must read, total row
+    groups) given ``parquet_rowgroup_stats`` output — the skipping a
+    min/max-pruning reader achieves on that predicate."""
+    hit = sum(1 for r in stats if not (r[col][1] < lo or r[col][0] > hi))
+    return hit, len(stats)
