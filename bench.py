@@ -229,6 +229,12 @@ def main() -> None:
         materialize(qfns[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
+    # ---- ANN accuracy/cost sweep: recall@probes curves (extras only) ----
+    # The contract queries surface recall at ONE operating point; the
+    # sweep quantifies the knob — how recall buys cost across probe
+    # counts, against the same oracle-checked brute-force baseline.
+    extras["ann_recall_sweep"] = ann_sweep(spark)
+
     out = {
         "metric": "vframe_spark headline wall-clock",
         "value": round(sum(timings.values()), 3),
@@ -240,6 +246,51 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def ann_sweep(spark, k: int = 5) -> dict:
+    """Mean recall@k and wall sec per probe count for the LSH and IVF
+    ANN paths vs exact brute force (computed once)."""
+    from pyspark.sql import functions as F
+
+    from vframe_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).cache()
+    emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    exact: dict[int, set] = {}
+    for r in cosine_topk_bruteforce(emb, queries, k=k).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    def mean_recall(res) -> tuple[float, float]:
+        t0 = time.time()
+        got: dict[int, set] = {}
+        for r in res.collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        dt = time.time() - t0
+        rec = [len(got.get(q, set()) & hits) / len(hits) for q, hits in exact.items()]
+        return round(sum(rec) / len(rec), 4), round(dt, 3)
+
+    sweep: dict[str, list] = {"lsh": [], "ivf": []}
+    for probes in (1, 2, 4, 8, 16):
+        r, dt = mean_recall(
+            lsh_topk(emb, queries, dim=dim, k=k, bits=6, n_probes=probes)
+        )
+        sweep["lsh"].append({"probes": probes, "recall": r, "sec": dt})
+        r, dt = mean_recall(
+            ivf_topk(emb, queries, dim=dim, k=k, n_lists=16, n_probes=probes)
+        )
+        sweep["ivf"].append({"probes": probes, "recall": r, "sec": dt})
+    emb.unpersist()
+    return sweep
 
 
 if __name__ == "__main__":
