@@ -28,6 +28,7 @@ from vframe_spark.functions.dates import time_bucket_duckdb_sql
 from vframe_spark.index.build import tokenize_docs
 from vframe_spark.index.builder import build_index, load_index
 from vframe_spark.query.boolq import boolean_oracle_sql
+from vframe_spark.query.lmdir import lm_dirichlet_oracle_sql
 from vframe_spark.query.synonyms import synonym_qterms_values_sql
 from vframe_spark.operators.dedup import (
     minhash_lsh_pairs,
@@ -352,6 +353,18 @@ def q_ft_bm25_wand(spark, sf_dir):
     Retrieves 3k then re-ranks on rounded scores (same rounding as SQL)."""
     postings, term_stats, _, meta = _ft_index(spark, sf_dir)
     raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def q_ft_lm_dirichlet(spark, sf_dir):
+    """LM-Dirichlet similarity (Zhai-Lafferty / Lucene LMDirichlet) over
+    the same compressed index: cf(t) decoded from the pruned posting
+    scan, smoothed-LM scores in the shard kernels, one bounded window.
+    Retrieves 3k then re-ranks on rounded scores (the shared grain)."""
+    from vframe_spark.query.lmdir import lm_dirichlet_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = lm_dirichlet_topk(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
@@ -3783,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
+        "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_synonym_topk": q_ft_synonym_topk,
         "ft_boosted_topk": q_ft_boosted_topk,
         "ft_mmr_diverse": q_ft_mmr_diverse,
@@ -3946,6 +3960,7 @@ def oracle_sql() -> dict[str, str]:
             "{QVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[0]
         ).replace("{NVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[1]),
         "ft_boolean": boolean_oracle_sql(FT_BOOL_QUERIES, TOK_SQL, FT_K),
+        "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),
         "ft_synonym_topk": BM25_ORACLE_SQL.replace(
             "{QVALUES}", synonym_qterms_values_sql(FT_SYN_QUERIES, FT_SYNONYMS)
         ),

@@ -159,6 +159,7 @@ def main() -> None:
         "ft_grep_unified",
         "ft_explain",
         "ft_boolean",
+        "ft_lm_dirichlet",
         "ft_synonym_topk",
         "ft_boosted_topk",
         "ft_mmr_diverse",

@@ -1,0 +1,129 @@
+"""LM-Dirichlet retrieval vs a brute-force all-docs oracle.
+
+The engine (query/lmdir.py) scores matched docs off the compressed
+index; the oracle here replays the smoothed-LM formula over every
+document's full term stats. Scores agree to tight float tolerance
+(transcendentals inside the Arrow kernel — np.log's vectorized path —
+can differ from scalar libm by 1 ulp, so bitwise is NOT the bar here;
+the repo-wide 4-dp rounded ranking is, same as the DuckDB contract)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import OracleIndex, parse_query_terms
+from vframe_spark.query.lmdir import collection_tf, lm_dirichlet_topk
+
+N_DOCS = 300
+MU = 2000.0
+QUERIES = [
+    (1, "cache stream"),
+    (2, "token parse config"),
+    (3, "hash join merge"),
+    (4, "zzzabsentterm data"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, N_DOCS, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    return docs, oracle
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("lmidx"))
+    meta = build_index(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    assert meta["complete"]
+    return load_index(spark, out)
+
+
+def brute_lm_topk(oracle: OracleIndex, query: str, k: int, mu: float = MU):
+    terms = sorted(set(parse_query_terms(query)))
+    total_len = sum(oracle.doc_len.values())
+    cf = {t: sum(c.get(t, 0) for c in oracle.tf.values()) for t in terms}
+    scored = []
+    for d, c in oracle.tf.items():
+        dl = oracle.doc_len[d]
+        s = 0.0
+        for t in terms:  # same term-sorted summation order as the kernel
+            tf = c.get(t, 0)
+            if tf == 0 or not cf[t]:
+                continue
+            denom = mu * (cf[t] / total_len)
+            s += float(np.log(1.0 + tf / denom)) + float(np.log(mu / (dl + mu)))
+        if s != 0.0:
+            scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_collection_tf_exact(spark, corpus, index):
+    _, oracle = corpus
+    postings, _, _, meta = index
+    terms = ["cache", "stream", "token", "zzzabsentterm"]
+    got = collection_tf(postings, meta, terms)
+    for t in terms:
+        want = sum(c.get(t, 0) for c in oracle.tf.values())
+        assert got.get(t, 0) == want, t
+
+
+def test_lm_topk_matches_bruteforce(spark, corpus, index):
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    assert meta["n_docs"] == oracle.n_docs
+    k = 12
+    rows = lm_dirichlet_topk(postings, term_stats, meta, QUERIES, k=k).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    n_nonempty = 0
+    for qid, q in QUERIES:
+        expect = brute_lm_topk(oracle, q, k)
+        n_nonempty += bool(expect)
+        mine = sorted(got.get(qid, []))
+        assert len(mine) == len(expect), (qid, q, len(mine), len(expect))
+        for (rank, doc_id, score), (edoc, escore) in zip(mine, expect):
+            assert doc_id == edoc, (qid, q, rank, doc_id, edoc)
+            assert math.isclose(score, escore, rel_tol=1e-12), (qid, q, rank)
+            # the cross-engine grain: identical at 4 dp
+            assert round(score, 4) == round(escore, 4), (qid, q, rank)
+    assert n_nonempty >= 3, "too few non-empty queries — trivial test"
+
+
+def test_lm_vs_bm25_orderings_differ(spark, corpus, index):
+    """Sanity that this is a different similarity, not a re-skin: at
+    least one query ranks docs differently under LM vs BM25."""
+    from vframe_spark.query.wand import bm25_topk_wand
+
+    postings, term_stats, _, meta = index
+    q = [(1, "cache stream"), (2, "token parse config")]
+    lm = lm_dirichlet_topk(postings, term_stats, meta, q, k=10).collect()
+    bm = bm25_topk_wand(postings, term_stats, meta, q, k=10).collect()
+    lm_order = sorted((r["qid"], r["rank"], r["doc_id"]) for r in lm)
+    bm_order = sorted((r["qid"], r["rank"], r["doc_id"]) for r in bm)
+    assert lm_order != bm_order
+
+
+def test_lm_tombstones_drop_before_cut(spark, corpus, index):
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    q = [(1, "cache stream")]
+    k = 5
+    full = brute_lm_topk(oracle, "cache stream", k + 1)
+    top = full[0][0]
+    got = lm_dirichlet_topk(
+        postings, term_stats, meta, q, k=k, exclude_doc_ids=[top]
+    ).collect()
+    ids = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert top not in ids
+    assert ids == [d for d, _ in full if d != top][:k]

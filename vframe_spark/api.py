@@ -80,7 +80,8 @@ class SearchIndex:
 
         ``mode``: "or" (WAND ranked union), "and" (posting-list
         intersection), "boolean" (full nested AND/OR/NOT expressions,
-        see `query.boolq`), "phrase" (adjacent-run match; needs
+        see `query.boolq`), "lm" (LM-Dirichlet smoothed language-model
+        similarity, see `query.lmdir`), "phrase" (adjacent-run match; needs
         ``docs``; ``slop`` > 0 allows proximity gaps), "wildcard"
         (prefix expansion — also auto-detected from ``foo*`` tokens in
         an "or"-mode string query). ``snippets=True`` attaches
@@ -122,6 +123,12 @@ class SearchIndex:
             from .query.boolq import boolean_topk
 
             ranked = boolean_topk(
+                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
+            )
+        elif mode == "lm":
+            from .query.lmdir import lm_dirichlet_topk
+
+            ranked = lm_dirichlet_topk(
                 postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
             )
         elif mode == "wildcard" or (

@@ -1,0 +1,218 @@
+"""Language-model retrieval with Dirichlet smoothing — the standard
+alternative similarity to BM25 (Zhai & Lafferty 2001; Lucene
+``LMDirichletSimilarity``).
+
+Score of doc d for query q, summed over the MATCHED query terms only:
+
+    score(q, d) = Σ_t  ln(1 + tf(t,d) / (μ · p(t|C)))  +  ln(μ / (dl(d) + μ))
+
+with the collection model p(t|C) = cf(t) / total_len (collection term
+frequency over total corpus tokens). Unlike BM25, the statistics pass
+needs cf(t), which term_stats does not store (df only) — so the engine
+derives it at query time from the SAME pruned posting scan the scorer
+uses: decode the query terms' tf blocks, sum per term (one narrow Arrow
+pass, cost ∝ the query terms' postings — the scan the query pays
+anyway; a build-time cf column in term_stats is the at-scale shortcut
+and would drop this pass entirely).
+
+Execution shape mirrors the other index scorers (query/boost.py): the
+bucket-dir + ``term isin`` pruned scan, a grouped Arrow kernel per
+(qid, shard) — shards are doc-id ranges, so each doc's full matched-term
+set is local — emitting ≤ k rows per shard, then one bounded window.
+
+Cross-engine contract: every float step is written identically in the
+DuckDB replay (`lm_dirichlet_oracle_sql`) — ``ln(1 + x)`` (not log1p),
+the same association ``tf / (μ · (cf / total_len))`` — so per-doc sums
+agree to the repo-wide 4-dp rounding grain.
+
+Reference analog: ranked retrieval over extracted metadata
+(/root/reference/src/commands/pipe/skip-cnn.py:60-104 ranks by a
+similarity score; this is the probabilistic-LM ranking family).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.codec import for_decode, pfor_delta_decode
+from ..oracle import parse_query_terms
+from .bm25 import topk
+
+DEFAULT_MU = 2000.0
+
+
+def collection_tf(postings: DataFrame, meta: dict, terms: list[str]) -> dict[str, int]:
+    """cf(t) = Σ tf over t's posting list, for the given terms only —
+    decoded from the pruned block scan (bucket + term pushdown)."""
+    terms = sorted(set(terms))
+    if not terms:
+        return {}
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    blocks = pruned.filter(F.col("term").isin(terms)).select("term", "n", "tfs")
+
+    def decode_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cfs = [
+                int(for_decode(buf, int(n)).sum())
+                for n, buf in zip(pdf["n"], pdf["tfs"])
+            ]
+            yield pd.DataFrame({"term": pdf["term"], "cf_part": cfs})
+
+    parts = blocks.mapInPandas(decode_sum, "term string, cf_part bigint")
+    return {
+        r["term"]: int(r["cf"])
+        for r in parts.groupBy("term").agg(F.sum("cf_part").alias("cf")).collect()
+    }
+
+
+def _local_lm_topk(
+    pdf: pd.DataFrame, k: int, mu: float, exclude: np.ndarray | None
+) -> pd.DataFrame:
+    empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
+        {"qid": "int32", "doc_id": "int64", "score": "float64"}
+    )
+    if pdf.empty:
+        return empty
+    qid = int(pdf["qid"].iloc[0])
+    ids_parts, contrib_parts = [], []
+    for term in sorted(pdf["term"].unique()):
+        g = pdf[pdf["term"] == term].sort_values("block")
+        denom = float(g["denom"].iloc[0])  # μ · p(t|C), precomputed once
+        for n_, buf, first, tfb, dlb in zip(
+            g["n"], g["doc_ids"], g["first_doc"], g["tfs"], g["dls"]
+        ):
+            n = int(n_)
+            ids_parts.append(pfor_delta_decode(buf, n, int(first)).astype(np.int64))
+            tf = for_decode(tfb, n).astype(np.float64)
+            dl = for_decode(dlb, n).astype(np.float64)
+            # ln(1 + x) written exactly as the SQL replay writes it
+            contrib_parts.append(
+                np.log(1.0 + tf / denom) + np.log(mu / (dl + mu))
+            )
+    if not ids_parts:
+        return empty
+    all_ids = np.concatenate(ids_parts)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_parts))
+    if exclude is not None and exclude.size and uniq.size:
+        pos = np.searchsorted(exclude, uniq)
+        dead = (pos < exclude.size) & (exclude[np.clip(pos, 0, exclude.size - 1)] == uniq)
+        uniq, scores = uniq[~dead], scores[~dead]
+    if uniq.size == 0:
+        return empty
+    sel = np.lexsort((uniq, -scores))[:k]
+    return pd.DataFrame({"qid": qid, "doc_id": uniq[sel], "score": scores[sel]})
+
+
+def lm_dirichlet_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    k: int = 10,
+    mu: float = DEFAULT_MU,
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Batch LM-Dirichlet top-k → (qid, rank, doc_id, score). Docs
+    matching ≥1 query term rank by the smoothed LM score over their
+    MATCHED terms (score DESC, doc_id ASC tie-break); ``mu`` is the
+    Dirichlet pseudo-count (Lucene default 2000)."""
+    spark: SparkSession = postings.sparkSession
+    total_len = meta.get("total_len")
+    if total_len is None:  # older metas: exact integer not stored
+        total_len = int(round(float(meta["avgdl"]) * int(meta["n_docs"])))
+    total_len = int(total_len)
+    if total_len <= 0:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    rows = [
+        (int(qid), t)
+        for qid, q in queries
+        for t in sorted(set(parse_query_terms(q)))
+    ]
+    all_terms = sorted({t for _, t in rows})
+    cfs = collection_tf(postings, meta, all_terms)
+    qrows = [
+        (qid, t, mu * (cfs[t] / total_len)) for qid, t in rows if cfs.get(t)
+    ]
+    if not qrows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    qstats = spark.createDataFrame(qrows, "qid int, term string, denom double")
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qstats), "term"
+    )
+    excl = (
+        np.asarray(sorted(set(exclude_doc_ids)), dtype=np.int64)
+        if exclude_doc_ids
+        else None
+    )
+    partials = matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _local_lm_topk(pdf, k, mu, excl),
+        "qid int, doc_id bigint, score double",
+    )
+    return topk(partials, k)
+
+
+def lm_dirichlet_oracle_sql(
+    queries: Iterable[tuple[int, str]],
+    tok_sql: str,
+    k: int = 10,
+    mu: float = DEFAULT_MU,
+) -> str:
+    """The full pipeline as one DuckDB query over ``documents`` — cf and
+    total_len from the same tokenization, scores at the shared 4-dp
+    grain."""
+    qrows = []
+    for qid, q in queries:
+        for t in sorted(set(parse_query_terms(q))):
+            qrows.append(f"({int(qid)}, '{t}')")
+    values = ", ".join(qrows)
+    return f"""
+WITH toks AS (SELECT doc_id, {tok_sql} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+stats AS (SELECT (SELECT sum(dl) FROM dl)::BIGINT AS total_len),
+q(qid, term) AS (VALUES {values}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1 + tf.tf / ({mu} * (cf.cf / stats.total_len)))
+           + ln({mu} / (dl.dl + {mu})) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN cf ON cf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+per_doc AS (
+  SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM per_doc
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
