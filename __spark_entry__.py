@@ -259,6 +259,37 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
 
+# Sort-by-field retrieval: full match set ordered by n_chars ASC, doc_id ASC.
+SORTED_TOPK_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {{QVALUES}}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+j AS (SELECT m.qid, m.doc_id, d.n_chars FROM m
+      JOIN documents d USING (doc_id) WHERE d.n_chars IS NOT NULL),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY n_chars, doc_id)::INT AS rank,
+         doc_id, n_chars::BIGINT AS n_chars
+  FROM j
+)
+SELECT qid, rank, doc_id, n_chars FROM ranked WHERE rank <= {{K}}
+"""
+
+# Histogram facet: floor(n_chars / interval) * interval buckets per query.
+HISTOGRAM_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {{QVALUES}}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+SELECT m.qid::INT AS qid,
+       floor(d.n_chars / 100.0) * 100.0 AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1, 2
+"""
+
 
 def _signed_qterms_values_sql(queries) -> tuple[str, str]:
     """(positive VALUES, negated VALUES) for a signed query set."""
@@ -681,6 +712,35 @@ def q_ft_facets(spark, sf_dir):
     return facet_counts(postings, meta, FT_FACET_QUERIES, docs, "lang").select(
         "qid", "facet", F.col("n_docs").cast("bigint").alias("n_docs")
     )
+
+
+def q_ft_sorted_topk(spark, sf_dir):
+    """Sort-by-stored-field retrieval (the Lucene/ES `sort` surface):
+    the FULL match set ordered by `n_chars` instead of relevance, with
+    a two-phase per-partition top-k so no task ever holds the whole
+    match set (query/facets.py field_sorted_topk)."""
+    from vframe_spark.query.facets import field_sorted_topk
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return field_sorted_topk(
+        postings, meta, FT_FACET_QUERIES, docs, "n_chars", k=FT_K
+    ).select(
+        "qid", "rank", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+def q_ft_histogram(spark, sf_dir):
+    """Histogram facet over the match set (the ES `histogram` agg):
+    bucket = floor(n_chars / 100) * 100 per query — one match-set
+    decode, one equi-join, one partial-agg count."""
+    from vframe_spark.query.facets import histogram_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return histogram_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "n_chars", interval=100.0
+    ).select("qid", "bucket", F.col("n_docs").cast("bigint").alias("n_docs"))
 
 
 def q_ft_phrase_topk(spark, sf_dir):
@@ -3805,6 +3865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_match_counts": q_ft_match_counts,
         "ft_federated": q_ft_federated,
         "ft_facets": q_ft_facets,
+        "ft_sorted_topk": q_ft_sorted_topk,
+        "ft_histogram": q_ft_histogram,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
         "ft_phrase_positional_slop": q_ft_phrase_positional_slop,
@@ -3984,6 +4046,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2),",
         ),
         "ft_facets": FACETS_ORACLE_SQL.replace(
+            "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
+        ),
+        "ft_sorted_topk": SORTED_TOPK_ORACLE_SQL.replace(
+            "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
+        ).replace("{K}", str(FT_K)),
+        "ft_histogram": HISTOGRAM_ORACLE_SQL.replace(
             "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
         ),
         "ft_phrase_topk": _phrase_oracle_sql(),

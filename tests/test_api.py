@@ -115,3 +115,31 @@ def test_trigram_index_facade(spark, tmp_path_factory):
     hits = {r["doc_id"] for r in tri.grep(docs, pat).collect()}
     full = {r["doc_id"] for r in docs.filter(F.col("content").rlike(pat)).collect()}
     assert hits == full and hits
+
+
+def test_facade_sort_and_histogram(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from vframe_spark.api import SearchIndex
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 80, partitions=2), ["repo", "path", "commit"]
+    ).cache()
+    out = str(tmp_path_factory.mktemp("apiidx3"))
+    idx = SearchIndex.build(docs, out, shard_size=32, block_size=8,
+                            shards_per_slice=2)
+
+    fields = docs.select("doc_id", F.length("content").alias("nchars"))
+    srt = idx.sort_by("data", fields, "nchars", k=5).collect()
+    assert [r["rank"] for r in sorted(srt, key=lambda r: r["rank"])] == list(
+        range(1, len(srt) + 1)
+    )
+    vals = [r["nchars"] for r in sorted(srt, key=lambda r: r["rank"])]
+    assert vals == sorted(vals)
+
+    hist = idx.histogram("data", fields, "nchars", interval=200.0).collect()
+    n_match = idx.count("data").collect()[0]["n_docs"]
+    assert sum(r["n_docs"] for r in hist) == n_match
+    assert all(r["bucket"] % 200.0 == 0.0 for r in hist)

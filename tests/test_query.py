@@ -441,3 +441,70 @@ def test_explain_contributions_sum_to_score(spark, corpus):
     assert set(sums) == set(scores)
     for key, s in sums.items():
         assert abs(s - scores[key]) < 1e-4, key
+
+
+# ------------------------------------------- sort-by-field / histogram facets
+
+def test_field_sorted_topk_bruteforce(spark, corpus, index):
+    """Sort-by-stored-field retrieval must equal a brute-force sort of
+    the exact match set (ascending AND descending, NULLs dropped)."""
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import field_sorted_topk
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    # NULL every 7th field value to exercise the drop rule.
+    fields = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.length("content"))
+        .alias("nchars"),
+    )
+    nchars = {r["doc_id"]: r["nchars"] for r in fields.collect()}
+    qs = [(1, "data parse"), (2, "zzznope"), (3, "hash")]
+    for ascending in (True, False):
+        out = field_sorted_topk(
+            postings, meta, qs, fields, "nchars", k=5, ascending=ascending
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["nchars"]))
+        for qid, q in qs:
+            terms = sorted(set(parse_query_terms(q)))
+            match = [
+                d for d, c in oracle.tf.items()
+                if any(c.get(t, 0) > 0 for t in terms) and nchars[d] is not None
+            ]
+            sign = 1 if ascending else -1
+            match.sort(key=lambda d: (sign * nchars[d], d))
+            expect = [(i + 1, d, nchars[d]) for i, d in enumerate(match[:5])]
+            assert sorted(got.get(qid, [])) == expect, (qid, ascending)
+
+
+def test_histogram_facets_bruteforce(spark, corpus, index):
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import histogram_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    values = docs.select("doc_id", F.length("content").alias("nchars"))
+    nchars = {r["doc_id"]: r["nchars"] for r in values.collect()}
+    qs = [(1, "data analysis"), (2, "zzznope")]
+    interval = 150.0
+    out = histogram_facets(
+        postings, meta, qs, values, "nchars", interval=interval
+    ).collect()
+    got = {(r["qid"], r["bucket"]): r["n_docs"] for r in out}
+    exp: dict = {}
+    for qid, q in qs:
+        terms = sorted(set(parse_query_terms(q)))
+        for d, c in oracle.tf.items():
+            if any(c.get(t, 0) > 0 for t in terms):
+                b = float(nchars[d] // interval * interval)
+                exp[(qid, b)] = exp.get((qid, b), 0) + 1
+    assert got == exp
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        histogram_facets(postings, meta, qs, values, "nchars", interval=0)

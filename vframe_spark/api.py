@@ -250,6 +250,48 @@ class SearchIndex:
             postings, meta, queries, facets, facet_col, id_col=id_col, mode=mode
         )
 
+    def sort_by(
+        self,
+        query: str | list[tuple[int, str]],
+        fields: DataFrame,
+        sort_col: str,
+        k: int = 10,
+        ascending: bool = True,
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Sort-by-stored-field retrieval (the Lucene/ES ``sort``
+        surface) → (qid, rank, doc_id, <sort_col>); see
+        `query.facets.field_sorted_topk`."""
+        from .query.facets import field_sorted_topk
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return field_sorted_topk(
+            postings, meta, queries, fields, sort_col,
+            k=k, ascending=ascending, id_col=id_col, mode=mode,
+        )
+
+    def histogram(
+        self,
+        query: str | list[tuple[int, str]],
+        values: DataFrame,
+        value_col: str,
+        interval: float,
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Histogram facet over the match set → (qid, bucket, n_docs);
+        see `query.facets.histogram_facets`."""
+        from .query.facets import histogram_facets
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return histogram_facets(
+            postings, meta, queries, values, value_col,
+            interval=interval, id_col=id_col, mode=mode,
+        )
+
     # -- maintenance -------------------------------------------------------
 
     def delete(self, doc_ids) -> int:

@@ -141,6 +141,82 @@ def facet_counts(
     )
 
 
+def field_sorted_topk(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    fields: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = True,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Sort-by-field retrieval (the Lucene/ES ``sort`` surface): the FULL
+    match set ordered by a stored field instead of a relevance score →
+    (qid, rank, doc_id, <sort_col>). Docs with a NULL field drop (they
+    have no position in the order); ties break doc_id ASC.
+
+    Two-phase top-k keeps it bounded at scale: each partition emits its
+    own k per qid (window on (qid, partition)), so the final per-qid
+    ordering sees ≤ n_partitions × k rows — never the whole match set in
+    one task."""
+    from pyspark.sql import Window
+
+    m = match_set(postings, meta, queries, mode=mode)
+    f = fields.select(
+        F.col(id_col).alias("doc_id"), F.col(sort_col).alias("_sv")
+    ).filter(F.col(sort_col).isNotNull())
+    joined = m.join(f, "doc_id")
+    order = [
+        F.col("_sv").asc() if ascending else F.col("_sv").desc(),
+        F.col("doc_id").asc(),
+    ]
+    local = Window.partitionBy("qid", F.spark_partition_id()).orderBy(*order)
+    pre = (
+        joined.withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", F.col("_sv").alias(sort_col))
+    )
+
+
+def histogram_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    interval: float,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Histogram aggregation over the match set (the ES ``histogram``
+    facet): bucket = floor(v / interval) · interval → (qid, bucket,
+    n_docs). Same cost shape as `facet_counts` — one match-set decode,
+    one equi-join, one partial-agg count."""
+    if interval <= 0:
+        raise ValueError(f"interval must be > 0, got {interval}")
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    bucket = (F.floor(F.col("_v") / F.lit(float(interval))) * F.lit(float(interval))).alias(
+        "bucket"
+    )
+    return (
+        m.join(v, "doc_id")
+        .select("qid", bucket)
+        .groupBy("qid", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def match_counts(
     postings: DataFrame,
     meta: dict,
