@@ -2873,6 +2873,33 @@ def q_ft_suggest(spark, sf_dir):
     return suggest(term_stats, SUGGEST_PREFIXES, k=SUGGEST_K)
 
 
+# Spell-correction query set: misspellings of common corpus terms, a
+# hopeless string (no candidate within distance 2), and an in-vocab
+# term (must yield no suggestion rows).
+FT_SPELL_QUERIES = [
+    (1, "dta analyssi"),
+    (2, "windw mrge"),
+    (3, "qqqqqqqqqqqq data"),
+    (4, "streem custmer"),
+    (5, "qury batc sprk"),
+]
+SPELL_MAX_DIST, SPELL_TOPN = 2, 3
+
+
+def q_ft_spell_suggest(spark, sf_dir):
+    """Did-you-mean spell correction from the index vocabulary
+    (query/spell.py): out-of-vocab query terms get Levenshtein-≤2
+    candidates ranked (dist ASC, df DESC, term ASC) — one broadcast
+    length-window+levenshtein probe of the vocab scan, no vocab
+    shuffle. Integer-exact order, replayed bit-identically in SQL."""
+    from vframe_spark.query.spell import did_you_mean
+
+    _, term_stats, _, _ = _ft_index(spark, sf_dir)
+    return did_you_mean(
+        term_stats, FT_SPELL_QUERIES, max_dist=SPELL_MAX_DIST, topn=SPELL_TOPN
+    ).select("qid", "qterm", "rank", "suggestion", "dist", F.col("df").cast("bigint").alias("df"))
+
+
 # Token-budget training mix: whitespace-token budgets per lang (totals
 # at sf0.01: en 11757, de 3549, zh 4143, fr 3758, es 3958 — every
 # branch of the bucketed plan is exercised: partial keep via boundary
@@ -3580,6 +3607,41 @@ FROM m WHERE rank <= {SUGGEST_K}
 """
 
 
+def _spell_oracle_sql() -> str:
+    rows = sorted(
+        {(qid, t) for qid, q in FT_SPELL_QUERIES for t in tokenize_py(q)}
+    )
+    vals = ", ".join(f"({q}, '{t}')" for q, t in rows)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+q(qid, qterm) AS (SELECT * FROM (VALUES {vals})),
+need AS (
+  SELECT q.qid, q.qterm FROM q
+  LEFT JOIN vocab v ON v.term = q.qterm
+  WHERE coalesce(v.df, 0) < 1
+),
+cand AS (
+  SELECT n.qid, n.qterm, v.term AS suggestion,
+         levenshtein(v.term, n.qterm) AS dist, v.df
+  FROM need n JOIN vocab v
+    ON v.term <> n.qterm
+   AND abs(length(v.term) - length(n.qterm)) <= {SPELL_MAX_DIST}
+   AND levenshtein(v.term, n.qterm) <= {SPELL_MAX_DIST}
+),
+ranked AS (
+  SELECT qid::INT AS qid, qterm,
+         row_number() OVER (
+           PARTITION BY qid, qterm ORDER BY dist, df DESC, suggestion
+         )::INT AS rank,
+         suggestion, dist::INT AS dist, df
+  FROM cand
+)
+SELECT qid, qterm, rank, suggestion, dist, df
+FROM ranked WHERE rank <= {SPELL_TOPN}
+"""
+
+
 def _token_budget_oracle_sql() -> str:
     from vframe_spark.operators.curate import token_budget_sample_duckdb_sql
 
@@ -3945,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": q_dedup_keep_canonical,
         "ft_feedback_topk": q_ft_feedback_topk,
         "ft_suggest": q_ft_suggest,
+        "ft_spell_suggest": q_ft_spell_suggest,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "ft_trigram_regex": q_ft_trigram_regex,
@@ -4521,6 +4584,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_canonical": _keep_canonical_oracle_sql(),
         "ft_feedback_topk": _feedback_oracle_sql(),
         "ft_suggest": _suggest_oracle_sql(),
+        "ft_spell_suggest": _spell_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),

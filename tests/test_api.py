@@ -143,3 +143,19 @@ def test_facade_sort_and_histogram(spark, tmp_path_factory):
     n_match = idx.count("data").collect()[0]["n_docs"]
     assert sum(r["n_docs"] for r in hist) == n_match
     assert all(r["bucket"] % 200.0 == 0.0 for r in hist)
+
+
+def test_facade_did_you_mean(spark, tmp_path_factory):
+    from vframe_spark.api import SearchIndex
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 60, partitions=2), ["repo", "path", "commit"]
+    )
+    out = str(tmp_path_factory.mktemp("apiidx4"))
+    idx = SearchIndex.build(docs, out, shard_size=32, block_size=8,
+                            shards_per_slice=2)
+    rows = idx.did_you_mean("dta analysis").collect()
+    assert rows and all(r["qterm"] == "dta" for r in rows)
+    assert rows[0]["suggestion"]  # ranked candidates exist

@@ -1,0 +1,97 @@
+"""Spell correction vs a brute-force Levenshtein oracle."""
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import OracleIndex
+from vframe_spark.query.spell import corrected_queries, did_you_mean
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, 200, partitions=4), ["repo", "path", "commit"]
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    return docs, oracle
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("spellidx"))
+    build_index(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    return load_index(spark, out)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(dfs: dict[str, int], qterm: str, max_dist: int, topn: int):
+    cands = []
+    for term, df in dfs.items():
+        if term == qterm:
+            continue
+        d = _lev(term, qterm)
+        if d <= max_dist:
+            cands.append((d, -df, term))
+    cands.sort()
+    return [(i + 1, t, d, -ndf) for i, (d, ndf, t) in enumerate(cands[:topn])]
+
+
+def test_did_you_mean_matches_bruteforce(spark, corpus, index):
+    docs, oracle = corpus
+    _, term_stats, _, _ = index
+    dfs: dict[str, int] = {}
+    for counts in oracle.tf.values():
+        for t in counts:
+            dfs[t] = dfs.get(t, 0) + 1
+
+    # misspellings of real vocab terms + one hopeless string + one
+    # well-spelled term (must produce NO suggestions at min_df=1)
+    qs = [(1, "dta analysis"), (2, "windw"), (3, "qqqqqqqqqq"), (4, "merrge hsah")]
+    out = did_you_mean(term_stats, qs, max_dist=2, topn=3).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault((r["qid"], r["qterm"]), []).append(
+            (r["rank"], r["suggestion"], r["dist"], r["df"])
+        )
+
+    from vframe_spark.functions.tokenizer import tokenize_py
+
+    for qid, q in qs:
+        for t in set(tokenize_py(q)):
+            key = (qid, t)
+            if dfs.get(t, 0) >= 1:  # in-vocab → no correction rows
+                assert key not in got, key
+                continue
+            expect = _brute(dfs, t, 2, 3)
+            assert sorted(got.get(key, [])) == expect, (key, got.get(key), expect)
+
+
+def test_corrected_queries_rewrites_oov_terms(spark, corpus, index):
+    docs, oracle = corpus
+    _, term_stats, _, _ = index
+    fixed = corrected_queries(term_stats, [(1, "dta analysis")], max_dist=2)
+    assert len(fixed) == 1 and fixed[0][0] == 1
+    toks = fixed[0][1].split()
+    assert "analysis" in toks and "dta" not in toks
+
+
+def test_did_you_mean_validates_args(spark, index):
+    _, term_stats, _, _ = index
+    with pytest.raises(ValueError):
+        did_you_mean(term_stats, [(1, "x")], max_dist=0)
+    with pytest.raises(ValueError):
+        did_you_mean(term_stats, [(1, "x")], topn=0)
+    assert did_you_mean(term_stats, []).count() == 0

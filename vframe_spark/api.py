@@ -348,6 +348,24 @@ class SearchIndex:
         prefixes = [(1, prefix)] if isinstance(prefix, str) else list(prefix)
         return suggest(term_stats, prefixes, k=k)
 
+    def did_you_mean(
+        self,
+        query: str | list[tuple[int, str]],
+        max_dist: int = 2,
+        topn: int = 3,
+        min_df: int = 1,
+    ) -> DataFrame:
+        """Spell correction from the index vocabulary →
+        (qid, qterm, rank, suggestion, dist, df); see
+        `query.spell.did_you_mean`."""
+        from .query.spell import did_you_mean
+
+        _, term_stats, _, _ = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return did_you_mean(
+            term_stats, queries, max_dist=max_dist, topn=topn, min_df=min_df
+        )
+
     def more_like_this(self, docs: DataFrame, seed_ids: list[int],
                        m: int = 10, k: int = 10,
                        id_col: str = "doc_id",

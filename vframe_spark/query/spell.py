@@ -1,0 +1,117 @@
+"""Spell correction ("did you mean") over the index vocabulary.
+
+Lucene's ``DirectSpellChecker`` shape: a query term that is rare or
+absent in the corpus gets replacement candidates from the indexed
+vocabulary within a Levenshtein budget, ranked by how plausible each
+candidate is as the intended term — here (edit distance ASC, document
+frequency DESC, term ASC), the standard suggest order.
+
+Plan shape at scale: the vocabulary (term_stats) is scanned ONCE; the
+handful of query terms broadcast against it with a cheap length-window
+prefilter (|len(t) − len(q)| ≤ max_dist — a necessary condition for
+edit distance ≤ max_dist) before the levenshtein evaluation, so the
+expensive comparison runs on a sliver of the vocab and the vocab never
+shuffles. The per-term rank is a window over only the surviving
+candidates (≪ vocab). Both the distance function and the rank order
+are integer-exact, so a SQL engine replays the output bit-identically.
+
+Reference parity: the reference has no spell surface; nearest is the
+fuzzy substring filter in `utils filter-files`
+(/root/reference/src/commands/utils/filelist.py) — this is the
+vocabulary-backed typo-correction generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_py
+
+
+def did_you_mean(
+    term_stats: DataFrame,
+    queries: list[tuple[int, str]],
+    max_dist: int = 2,
+    topn: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """→ (qid, qterm, rank, suggestion, dist, df): correction candidates
+    for every query term whose corpus df < ``min_df`` (default 1 =
+    out-of-vocabulary terms only; raise it to also correct rare terms,
+    Lucene's ``suggestMode=SUGGEST_MORE_POPULAR``).
+
+    Candidates are vocabulary terms ≠ the query term within Levenshtein
+    distance ≤ ``max_dist``, ranked (dist ASC, df DESC, term ASC) and
+    cut at ``topn`` per query term. Well-spelled terms produce no rows.
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if topn < 1:
+        raise ValueError(f"topn must be >= 1, got {topn}")
+    spark: SparkSession = term_stats.sparkSession
+    rows = sorted({(qid, t) for qid, q in queries for t in tokenize_py(q)})
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid int, qterm string, rank int, suggestion string, dist int, df bigint"
+        )
+    qdf = spark.createDataFrame(rows, "qid int, qterm string")
+    vocab = term_stats.select("term", F.col("df").cast("bigint").alias("df"))
+
+    # Which query terms need correcting: df below threshold (absent = 0).
+    # The query terms' own dfs come from a term-pushdown filter on the
+    # vocab scan (a handful of rows), never a vocab-wide join.
+    qterms = sorted({t for _, t in rows})
+    have = (
+        vocab.filter(F.col("term").isin(qterms))
+        .withColumnRenamed("term", "qterm")
+        .withColumnRenamed("df", "_qdf")
+    )
+    need = (
+        qdf.join(F.broadcast(have), "qterm", "left")
+        .filter(F.coalesce("_qdf", F.lit(0)) < min_df)
+        .select("qid", "qterm")
+    )
+
+    cand = vocab.join(
+        F.broadcast(need),
+        (F.abs(F.length(vocab["term"]) - F.length(need["qterm"])) <= max_dist)
+        & (vocab["term"] != need["qterm"])
+        & (F.levenshtein(vocab["term"], need["qterm"]) <= max_dist),
+    ).select(
+        "qid",
+        "qterm",
+        F.col("term").alias("suggestion"),
+        F.levenshtein("term", "qterm").cast("int").alias("dist"),
+        "df",
+    )
+    w = Window.partitionBy("qid", "qterm").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("suggestion").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topn)
+        .select("qid", "qterm", "rank", "suggestion", "dist", "df")
+    )
+
+
+def corrected_queries(
+    term_stats: DataFrame,
+    queries: list[tuple[int, str]],
+    max_dist: int = 2,
+    min_df: int = 1,
+) -> list[tuple[int, str]]:
+    """Rewrite each query replacing every correctable term with its #1
+    suggestion (terms with no candidate stay). Driver-side: the result
+    is a new tiny query list, ready for any retrieval entry point."""
+    best = {
+        (r["qid"], r["qterm"]): r["suggestion"]
+        for r in did_you_mean(
+            term_stats, queries, max_dist=max_dist, topn=1, min_df=min_df
+        ).collect()
+    }
+    out = []
+    for qid, q in queries:
+        toks = [best.get((qid, t), t) for t in tokenize_py(q)]
+        out.append((qid, " ".join(toks)))
+    return out
