@@ -2873,6 +2873,32 @@ def q_ft_suggest(spark, sf_dir):
     return suggest(term_stats, SUGGEST_PREFIXES, k=SUGGEST_K)
 
 
+# Minimum-should-match query set: ≥2 of the clauses must match. Query 3
+# carries an out-of-vocabulary clause (counts as an unsatisfiable
+# should-clause, Lucene-style); query 4 can only be satisfied by docs
+# holding both surviving terms.
+FT_MSM_QUERIES = [
+    (1, "data scan batch"),
+    (2, "window merge line sort"),
+    (3, "zzzabsentterm data scan"),
+    (4, "customer zzzmissing stream"),
+]
+MSM_M = 2
+
+
+def q_ft_msm_topk(spark, sf_dir):
+    """Minimum-should-match retrieval (ES minimum_should_match): docs
+    containing ≥ MSM_M distinct query terms, BM25-ranked — the exact
+    middle ground between ranked union and conjunctive AND, one pruned
+    posting scan with per-doc hit counts free in the shard kernel
+    (query/boost.py msm_topk)."""
+    from vframe_spark.query.boost import msm_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = msm_topk(postings, term_stats, meta, FT_MSM_QUERIES, MSM_M, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
 # Spell-correction query set: misspellings of common corpus terms, a
 # hopeless string (no candidate within distance 2), and an in-vocab
 # term (must yield no suggestion rows).
@@ -3607,6 +3633,54 @@ FROM m WHERE rank <= {SUGGEST_K}
 """
 
 
+def _msm_oracle_sql() -> str:
+    rows = []
+    for qid, q in FT_MSM_QUERIES:
+        for t in sorted(set(tokenize_py(q))):
+            rows.append(f"({qid}, '{t}')")
+    vals = ", ".join(rows)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {vals}),
+cand AS (
+  SELECT q.qid, tf.doc_id
+  FROM q JOIN tf ON tf.term = q.term
+  GROUP BY q.qid, tf.doc_id
+  HAVING count(DISTINCT tf.term) >= {MSM_M}
+),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (
+  SELECT contrib.qid, contrib.doc_id, round(sum(c), 4) AS score
+  FROM contrib JOIN cand ON cand.qid = contrib.qid AND cand.doc_id = contrib.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def _spell_oracle_sql() -> str:
     rows = sorted(
         {(qid, t) for qid, q in FT_SPELL_QUERIES for t in tokenize_py(q)}
@@ -4008,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_feedback_topk": q_ft_feedback_topk,
         "ft_suggest": q_ft_suggest,
         "ft_spell_suggest": q_ft_spell_suggest,
+        "ft_msm_topk": q_ft_msm_topk,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "ft_trigram_regex": q_ft_trigram_regex,
@@ -4585,6 +4660,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_feedback_topk": _feedback_oracle_sql(),
         "ft_suggest": _suggest_oracle_sql(),
         "ft_spell_suggest": _spell_oracle_sql(),
+        "ft_msm_topk": _msm_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),

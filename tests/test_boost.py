@@ -170,3 +170,95 @@ def test_facade_boost_filter_diversify(spark, corpus, index, boosts, tmp_path_fa
     )
     dv = ix.search_diverse(q, emb, k=6, lam=0.5).collect()
     assert len(dv) == 6 and sorted(r["rank"] for r in dv) == list(range(1, 7))
+
+
+# ------------------------------------------------------ minimum_should_match
+
+def _msm_brute(oracle, query, m, k):
+    from vframe_spark.oracle import parse_query_terms
+
+    terms = sorted(set(parse_query_terms(query)))
+    scored = []
+    for d, c in oracle.tf.items():
+        hits = sum(1 for t in terms if c.get(t, 0) > 0)
+        if hits >= m:
+            s = oracle.score(terms, d)
+            if s > 0.0:
+                scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_msm_topk_matches_bruteforce(spark, corpus, index):
+    from vframe_spark.query.boost import msm_topk
+
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    qs = [(1, "cache stream parse"), (2, "token data hash merge"),
+          (3, "zzzmissing data scan")]
+    for m in (1, 2, 3):
+        out = msm_topk(postings, term_stats, meta, qs, m, k=8).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+        for qid, q in qs:
+            expect = _msm_brute(oracle, q, m, 8)
+            mine = sorted(got.get(qid, []))
+            assert len(mine) == len(expect), (qid, m, mine, expect)
+            for (rank, doc_id, score), (edoc, escore) in zip(mine, expect):
+                assert doc_id == edoc and abs(score - escore) < 1e-9, (qid, m, rank)
+
+
+def test_msm_extremes_equal_union_and_conjunction(spark, corpus, index):
+    """m=1 == WAND's ranked union; m=n_terms == conjunctive AND."""
+    from vframe_spark.query.boost import msm_topk
+
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    qs = [(1, "cache stream parse")]
+    union = msm_topk(postings, term_stats, meta, qs, 1, k=10).collect()
+    both = bm25_topk_wand(postings, term_stats, meta, qs, k=10).collect()
+    assert sorted((r["rank"], r["doc_id"]) for r in union) == sorted(
+        (r["rank"], r["doc_id"]) for r in both
+    )
+    conj = msm_topk(postings, term_stats, meta, qs, 3, k=10).collect()
+    conj2 = bm25_topk_wand(postings, term_stats, meta, qs, k=10, mode="and").collect()
+    assert sorted((r["rank"], r["doc_id"]) for r in conj) == sorted(
+        (r["rank"], r["doc_id"]) for r in conj2
+    )
+
+
+def test_msm_fraction_and_validation(spark, corpus, index):
+    from vframe_spark.query.boost import msm_topk
+
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    qs = [(1, "cache stream parse")]  # 3 clauses; 0.67 -> floor(2.01)=2
+    frac = msm_topk(postings, term_stats, meta, qs, 0.67, k=10).collect()
+    absolute = msm_topk(postings, term_stats, meta, qs, 2, k=10).collect()
+    assert sorted((r["rank"], r["doc_id"]) for r in frac) == sorted(
+        (r["rank"], r["doc_id"]) for r in absolute
+    )
+    with pytest.raises(ValueError):
+        msm_topk(postings, term_stats, meta, qs, 0, k=10)
+    with pytest.raises(ValueError):
+        msm_topk(postings, term_stats, meta, qs, 1.5, k=10)
+
+
+def test_facade_min_should_match(spark, corpus, index, tmp_path_factory):
+    from vframe_spark.api import SearchIndex
+    from vframe_spark.query.boost import msm_topk
+
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("msmidx"))
+    idx = SearchIndex.build(docs, out, shard_size=64, block_size=16,
+                            shards_per_slice=2)
+    postings, term_stats, _, meta = index
+    via_facade = idx.search("cache stream parse", k=6, min_should_match=2).collect()
+    direct = msm_topk(postings, term_stats, meta, [(1, "cache stream parse")],
+                      2, k=6).collect()
+    assert sorted((r["rank"], r["doc_id"]) for r in via_facade) == sorted(
+        (r["rank"], r["doc_id"]) for r in direct
+    )
+    with pytest.raises(ValueError):
+        idx.search("a b", min_should_match=2, mode="and")

@@ -75,6 +75,7 @@ class SearchIndex:
         synonyms: dict[str, list[str]] | None = None,
         boosts: DataFrame | None = None,
         filter_docs: DataFrame | None = None,
+        min_should_match: int | float | None = None,
     ) -> DataFrame:
         """Top-k retrieval → (qid, rank, doc_id, score[, n_hit, snippet]).
 
@@ -94,6 +95,9 @@ class SearchIndex:
         doc_id relation gating the ranking (Lucene filter context) —
         the page is the exact top-k of the allowed subset. Both "or"
         mode only (see `query.boost`); they compose.
+        ``min_should_match``: docs must contain at least this many
+        distinct query terms (int) or this fraction of them (float,
+        ES-style floor) — see `query.boost.msm_topk` ("or" mode only).
         """
         postings, term_stats, _, meta = self._parts()
         queries = [(1, query)] if isinstance(query, str) else list(query)
@@ -140,6 +144,17 @@ class SearchIndex:
 
             ranked = wildcard_topk(
                 postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
+            )
+        elif min_should_match is not None:
+            if mode != "or" or boosts is not None or filter_docs is not None:
+                raise ValueError(
+                    "min_should_match= requires mode='or' without boosts/filter"
+                )
+            from .query.boost import msm_topk
+
+            ranked = msm_topk(
+                postings, term_stats, meta, queries, min_should_match, k=k,
+                exclude_doc_ids=dead,
             )
         elif boosts is not None or filter_docs is not None:
             if mode != "or":

@@ -43,16 +43,27 @@ def match_scores(
     term_stats: DataFrame,
     meta: dict,
     queries: Iterable[tuple[int, str]],
+    with_hits: bool = False,
 ) -> DataFrame:
     """→ (qid, doc_id, score): exact BM25 for EVERY doc matching ≥1
-    query term — the full match set, unranked and uncut."""
+    query term — the full match set, unranked and uncut.
+
+    ``with_hits=True`` appends ``n_hit int`` — how many DISTINCT query
+    terms the doc contains. Free inside the shard kernel: shards are
+    doc-id ranges, so the (qid, shard) group sees every term hit a doc
+    has, and each term's posting list holds the doc at most once — the
+    doc's occurrence count across the decoded lists IS the global
+    distinct-term count."""
     spark: SparkSession = postings.sparkSession
     n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    out_schema = "qid int, doc_id bigint, score double" + (
+        ", n_hit int" if with_hits else ""
+    )
     rows = [
         (qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))
     ]
     if not rows:
-        return spark.createDataFrame([], "qid int, doc_id bigint, score double")
+        return spark.createDataFrame([], out_schema)
     all_terms = sorted({t for _, t in rows})
     dfs = {
         r["term"]: int(r["df"])
@@ -60,7 +71,7 @@ def match_scores(
     }
     qrows = [(qid, t, idf_value(n_docs, dfs[t])) for qid, t in rows if t in dfs]
     if not qrows:
-        return spark.createDataFrame([], "qid int, doc_id bigint, score double")
+        return spark.createDataFrame([], out_schema)
     qstats = spark.createDataFrame(qrows, "qid int, term string, idf double")
     pruned = postings
     if "bucket" in postings.columns and meta.get("term_buckets"):
@@ -74,9 +85,10 @@ def match_scores(
     )
 
     def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
-            {"qid": "int32", "doc_id": "int64", "score": "float64"}
-        )
+        cols = {"qid": "int32", "doc_id": "int64", "score": "float64"}
+        if with_hits:
+            cols["n_hit"] = "int32"
+        empty = pd.DataFrame(columns=list(cols)).astype(cols)
         if pdf.empty:
             return empty
         qid = int(pdf["qid"].iloc[0])
@@ -97,13 +109,18 @@ def match_scores(
         if not ids_parts:
             return empty
         all_ids = np.concatenate(ids_parts)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
+        uniq, inv, counts = np.unique(
+            all_ids, return_inverse=True, return_counts=True
+        )
         scores = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(scores, inv, np.concatenate(contrib_parts))
-        return pd.DataFrame({"qid": qid, "doc_id": uniq, "score": scores})
+        out = {"qid": qid, "doc_id": uniq, "score": scores}
+        if with_hits:
+            out["n_hit"] = counts.astype(np.int32)
+        return pd.DataFrame(out)
 
     return matched.groupBy("qid", "shard").applyInPandas(
-        lambda pdf: score_all(pdf), "qid int, doc_id bigint, score double"
+        lambda pdf: score_all(pdf), out_schema
     )
 
 
@@ -157,3 +174,66 @@ def filtered_topk(
     scores = match_scores(postings, term_stats, meta, queries)
     keep = allowed.select(F.col(id_col).alias("doc_id")).distinct()
     return topk(scores.join(keep, "doc_id", "left_semi"), k)
+
+
+def msm_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    min_should_match: int | float,
+    k: int = 10,
+    exclude_doc_ids=None,
+) -> DataFrame:
+    """Minimum-should-match retrieval (Elasticsearch
+    ``minimum_should_match`` on a bool/should query): rank only docs
+    containing at least ``m`` DISTINCT query terms, scored by BM25 over
+    the terms they do contain — the middle ground between WAND's ranked
+    union (m=1) and conjunctive AND (m = all terms).
+
+    ``min_should_match``: an int is an absolute clause floor; a float in
+    (0, 1] is a fraction of the query's distinct-term count, floored
+    ES-style (``"75%"``), never below 1. Clauses count the TOKENIZED
+    distinct terms — an out-of-vocabulary term still counts as a clause
+    it's impossible to satisfy, exactly like a Lucene should-clause
+    that matches nothing.
+
+    Execution: the full-match-set kernel with per-doc hit counts (one
+    pruned posting scan, counts are shard-local and exact), a per-qid
+    clause-floor filter, then the bounded window. Cost ∝ match-set
+    size, the same lower bound exact msm semantics impose."""
+    queries = list(queries)
+    spark: SparkSession = postings.sparkSession
+    floors = []
+    for qid, q in queries:
+        n_clauses = len(set(parse_query_terms(q)))
+        if n_clauses == 0:
+            continue
+        if isinstance(min_should_match, float):
+            if not (0.0 < min_should_match <= 1.0):
+                raise ValueError(
+                    f"fractional min_should_match must be in (0, 1], got "
+                    f"{min_should_match}"
+                )
+            m = max(1, int(min_should_match * n_clauses))
+        else:
+            m = int(min_should_match)
+            if m < 1:
+                raise ValueError(f"min_should_match must be >= 1, got {m}")
+        floors.append((qid, m))
+    if not floors:
+        return spark.createDataFrame(
+            [], "qid int, rank int, doc_id bigint, score double"
+        )
+    fdf = spark.createDataFrame(floors, "qid int, m int")
+    scored = match_scores(postings, term_stats, meta, queries, with_hits=True)
+    kept = (
+        scored.join(F.broadcast(fdf), "qid")
+        .filter(F.col("n_hit") >= F.col("m"))
+        .select("qid", "doc_id", "score")
+    )
+    if exclude_doc_ids:
+        kept = kept.filter(
+            ~F.col("doc_id").isin([int(x) for x in exclude_doc_ids])
+        )
+    return topk(kept, k)
