@@ -291,6 +291,60 @@ GROUP BY 1, 2
 """
 
 
+# Top hits per (query, lang) bucket: exact BM25, rounded 4-dp grain.
+TOP_HITS_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {{QVALUES}}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT s.qid::INT AS qid, d.lang AS facet,
+         row_number() OVER (
+           PARTITION BY s.qid, d.lang ORDER BY s.score DESC, s.doc_id
+         )::INT AS rank,
+         s.doc_id, s.score
+  FROM score s JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL
+)
+SELECT qid, facet, rank, doc_id, score FROM ranked WHERE rank <= {{K}}
+"""
+
+# Stats facet over the match set: n_docs counts every match, the value
+# stats cover non-NULL n_chars.
+FIELD_STATS_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {{QVALUES}}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+SELECT m.qid::INT AS qid,
+       count(*)::BIGINT AS n_docs,
+       count(d.n_chars)::BIGINT AS n_vals,
+       min(d.n_chars)::DOUBLE AS min_v,
+       max(d.n_chars)::DOUBLE AS max_v,
+       round(sum(d.n_chars)::DOUBLE, 4) AS sum_v,
+       round(sum(d.n_chars)::DOUBLE / count(d.n_chars), 6) AS avg_v
+FROM m LEFT JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
 def _signed_qterms_values_sql(queries) -> tuple[str, str]:
     """(positive VALUES, negated VALUES) for a signed query set."""
     from vframe_spark.oracle import parse_signed_query
@@ -741,6 +795,54 @@ def q_ft_histogram(spark, sf_dir):
     return histogram_facets(
         postings, meta, FT_FACET_QUERIES, docs, "n_chars", interval=100.0
     ).select("qid", "bucket", F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
+TOP_HITS_K = 3
+
+
+def q_ft_top_hits(spark, sf_dir):
+    """Top hits per facet bucket (ES top_hits sub-aggregation): the
+    TOP_HITS_K best docs by exact BM25 within every (query, lang)
+    bucket — full-match-set kernel + facet equi-join + bounded
+    per-bucket window (query/facets.py grouped_topk). Retrieves 3k per
+    bucket raw, re-ranks on the rounded 4-dp grain shared with SQL."""
+    from vframe_spark.query.facets import grouped_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    raw = grouped_topk(
+        postings, term_stats, meta, FT_FACET_QUERIES, docs, "lang",
+        k=3 * TOP_HITS_K,
+    )
+    w = Window.partitionBy("qid", "facet").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_HITS_K)
+        .select("qid", "facet", "rank", "doc_id", "score")
+    )
+
+
+def q_ft_field_stats(spark, sf_dir):
+    """Stats aggregation over the match set (ES stats facet): count /
+    min / max / sum / avg of n_chars per query — one match-set decode,
+    one equi-join, one partial agg (query/facets.py field_stats)."""
+    from vframe_spark.query.facets import field_stats
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = field_stats(postings, meta, FT_FACET_QUERIES, docs, "n_chars")
+    return out.select(
+        "qid",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_vals").cast("bigint").alias("n_vals"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+        F.round("sum", 4).alias("sum_v"),
+        F.round("avg", 6).alias("avg_v"),
+    )
 
 
 def q_ft_phrase_topk(spark, sf_dir):
@@ -4003,6 +4105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facets": q_ft_facets,
         "ft_sorted_topk": q_ft_sorted_topk,
         "ft_histogram": q_ft_histogram,
+        "ft_top_hits": q_ft_top_hits,
+        "ft_field_stats": q_ft_field_stats,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
         "ft_phrase_positional_slop": q_ft_phrase_positional_slop,
@@ -4190,6 +4294,12 @@ def oracle_sql() -> dict[str, str]:
             "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
         ).replace("{K}", str(FT_K)),
         "ft_histogram": HISTOGRAM_ORACLE_SQL.replace(
+            "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
+        ),
+        "ft_top_hits": TOP_HITS_ORACLE_SQL.replace(
+            "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
+        ).replace("{K}", str(TOP_HITS_K)),
+        "ft_field_stats": FIELD_STATS_ORACLE_SQL.replace(
             "{QVALUES}", _plain_qterms_values_sql(FT_FACET_QUERIES)
         ),
         "ft_phrase_topk": _phrase_oracle_sql(),

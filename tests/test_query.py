@@ -508,3 +508,64 @@ def test_histogram_facets_bruteforce(spark, corpus, index):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         histogram_facets(postings, meta, qs, values, "nchars", interval=0)
+
+
+def test_grouped_topk_bruteforce(spark, corpus, index):
+    """Per-(query, facet) top-k must equal brute force over exact BM25."""
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import grouped_topk
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    qs = [(1, "data parse"), (2, "hash window")]
+    out = grouped_topk(postings, term_stats, meta, qs, docs, "lang", k=3).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault((r["qid"], r["facet"]), []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, q in qs:
+        terms = sorted(set(parse_query_terms(q)))
+        per_facet: dict = {}
+        for d, c in oracle.tf.items():
+            s = oracle.score(terms, d)
+            if s > 0.0 and langs[d] is not None:
+                per_facet.setdefault(langs[d], []).append((d, s))
+        for facet, scored in per_facet.items():
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            expect = [(i + 1, d, s) for i, (d, s) in enumerate(scored[:3])]
+            mine = sorted(got.pop((qid, facet)))
+            assert len(mine) == len(expect), (qid, facet)
+            for (rank, doc_id, score), (er, ed, es) in zip(mine, expect):
+                assert (rank, doc_id) == (er, ed) and abs(score - es) < 1e-9
+    assert not got  # no spurious buckets
+
+
+def test_field_stats_bruteforce(spark, corpus, index):
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import field_stats
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    vals = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+        .otherwise(F.length("content")).alias("nchars"),
+    )
+    nchars = {r["doc_id"]: r["nchars"] for r in vals.collect()}
+    qs = [(1, "data parse"), (2, "zzznope")]
+    out = {r["qid"]: r for r in field_stats(postings, meta, qs, vals, "nchars").collect()}
+    for qid, q in qs:
+        terms = sorted(set(parse_query_terms(q)))
+        match = [d for d, c in oracle.tf.items() if any(c.get(t, 0) > 0 for t in terms)]
+        if not match:
+            assert qid not in out
+            continue
+        present = [float(nchars[d]) for d in match if nchars[d] is not None]
+        r = out[qid]
+        assert r["n_docs"] == len(match) and r["n_vals"] == len(present)
+        assert r["min"] == min(present) and r["max"] == max(present)
+        assert abs(r["sum"] - sum(present)) < 1e-6
+        assert abs(r["avg"] - sum(present) / len(present)) < 1e-9

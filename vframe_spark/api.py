@@ -307,6 +307,44 @@ class SearchIndex:
             interval=interval, id_col=id_col, mode=mode,
         )
 
+    def top_hits(
+        self,
+        query: str | list[tuple[int, str]],
+        facets: DataFrame,
+        facet_col: str,
+        k: int = 3,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Top-k docs per facet bucket → (qid, facet, rank, doc_id,
+        score); see `query.facets.grouped_topk`."""
+        from .query.facets import grouped_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return grouped_topk(
+            postings, term_stats, meta, queries, facets, facet_col,
+            k=k, id_col=id_col,
+        )
+
+    def stats(
+        self,
+        query: str | list[tuple[int, str]],
+        values: DataFrame,
+        value_col: str,
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Stats facet over the match set → (qid, n_docs, n_vals, min,
+        max, sum, avg); see `query.facets.field_stats`."""
+        from .query.facets import field_stats
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return field_stats(
+            postings, meta, queries, values, value_col,
+            id_col=id_col, mode=mode,
+        )
+
     # -- maintenance -------------------------------------------------------
 
     def delete(self, doc_ids) -> int:

@@ -26,7 +26,7 @@ from collections.abc import Iterable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..index.codec import pfor_delta_decode
@@ -229,3 +229,70 @@ def match_counts(
     (qid, doc) stream — no facet join, no top-k."""
     m = match_set(postings, meta, queries, mode=mode)
     return m.groupBy("qid").agg(F.count("*").alias("n_docs"))
+
+
+def grouped_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    facets: DataFrame,
+    facet_col: str,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top hits per facet bucket (the ES ``top_hits`` sub-aggregation /
+    Lucene grouping): for each (query, facet value), the k best docs by
+    exact BM25 → (qid, facet, rank, doc_id, score).
+
+    Execution: the full-match-set score kernel (one pruned posting
+    scan), one equi-join to the facet table, then a bounded window per
+    (qid, facet) — ≤ k rows survive per bucket, so the final shuffle
+    carries buckets × k rows. Docs with a NULL facet (or absent from
+    ``facets``) drop, like any bucket agg."""
+    from .boost import match_scores
+
+    scores = match_scores(postings, term_stats, meta, queries)
+    f = facets.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")
+    ).filter(F.col(facet_col).isNotNull())
+    w = Window.partitionBy("qid", "facet").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.join(f, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "facet", "rank", "doc_id", "score")
+    )
+
+
+def field_stats(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Stats aggregation over the match set (the ES ``stats`` facet) →
+    (qid, n_docs, n_vals, min, max, sum, avg). ``n_docs`` counts every
+    matched doc; ``n_vals``/min/max/sum/avg cover docs with a non-NULL
+    value — one match-set decode, one equi-join, one partial agg."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    )
+    return (
+        m.join(v, "doc_id", "left")
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("_v").alias("n_vals"),
+            F.min("_v").alias("min"),
+            F.max("_v").alias("max"),
+            F.sum("_v").alias("sum"),
+            F.avg("_v").alias("avg"),
+        )
+    )
