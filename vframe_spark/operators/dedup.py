@@ -395,9 +395,14 @@ def ngram_jaccard_pairs(
     it when the shingle pass is expensive relative to its output (big
     docs, small distinct-shingle sets).
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(content_col), n)).alias("shingle"))
-        .distinct()
+    # per-doc shingle dedup happens map-side in the array (array_distinct
+    # before the explode) — no (id, shingle)-keyed DISTINCT shuffle of
+    # every shingle instance.
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(content_col), n))).alias(
+            "shingle"
+        ),
     )
     if max_shingle_df is not None:
         keep = (
