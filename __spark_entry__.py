@@ -2852,12 +2852,15 @@ def q_ft_grep_unified(spark, sf_dir):
     from vframe_spark.query.grep import unified_regex_search
 
     tpost, _, _, tmeta = _ft_index(spark, sf_dir)
-    gpost, _, _, gmeta = _ft_index_tri(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    gpost, gstats, _, gmeta = _ft_index_tri(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    ).repartition(spark.sparkContext.defaultParallelism)
     return unified_regex_search(
         docs, UNIFIED_GREP_QUERIES,
         token_postings=tpost, token_meta=tmeta,
         tri_postings=gpost, tri_meta=gmeta,
+        tri_term_stats=gstats,
     )
 
 
@@ -2868,9 +2871,13 @@ def q_ft_trigram_regex(spark, sf_dir):
     full-scan oracle is the losslessness proof."""
     from vframe_spark.index.trigram import trigram_regex_search
 
-    postings, _, _, meta = _ft_index_tri(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    return trigram_regex_search(docs, TRIGRAM_REGEX_QUERIES, postings, meta)
+    postings, tstats, _, meta = _ft_index_tri(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return trigram_regex_search(
+        docs, TRIGRAM_REGEX_QUERIES, postings, meta, term_stats=tstats
+    )
 
 
 # Regex search: mixed accelerated / fallback patterns. RE2 ∩ Java-regex

@@ -166,6 +166,12 @@ def main() -> None:
         "ft_filtered_topk",
         "ft_match_counts",
         "ft_federated",
+        "ft_sorted_topk",
+        "ft_histogram",
+        "ft_top_hits",
+        "ft_field_stats",
+        "ft_msm_topk",
+        "ft_spell_suggest",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

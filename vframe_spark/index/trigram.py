@@ -128,24 +128,56 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
     return sorted({r.lower() for r in runs if len(r) >= min_len})
 
 
+def tree_grams(pattern: str) -> set[str]:
+    """Every hex-trigram the pattern's Cox query tree can probe —
+    feed these through a term_stats df lookup once per query batch to
+    enable rarest-gram selection in :func:`trigram_candidates`."""
+    from .regexq import ANY, compile_trigram_query
+
+    def walk(q) -> set[str]:
+        if q is None or q == ANY:
+            return set()
+        if q[0] == "grams":
+            return set(q[1])
+        out: set[str] = set()
+        for child in q[1]:
+            out |= walk(child)
+        return out
+
+    return walk(compile_trigram_query(pattern))
+
+
 def trigram_candidates(
     pattern: str,
     postings: DataFrame,
     meta: dict,
     id_col: str = "doc_id",
+    term_dfs: dict[str, int] | None = None,
+    max_grams: int = 8,
 ) -> DataFrame | None:
     """Candidate doc set for ``pattern`` via the Cox query tree, or
     ``None`` when the pattern yields no pruning (caller full-scans).
 
     ``grams`` leaves become ONE conjunctive match-set probe each,
     ``and`` nodes semi-join, ``or`` nodes union-distinct. Every
-    returned doc set is a superset of the true match set (lossless)."""
+    returned doc set is a superset of the true match set (lossless).
+
+    ``term_dfs`` (gram → document frequency, absent = 0) enables
+    Zoekt-style rarest-gram selection: a conjunctive leaf with more
+    than ``max_grams`` grams probes only its ``max_grams`` rarest —
+    dropping a conjunct only widens the candidate superset (still
+    lossless) while skipping the decode of the common grams' long
+    posting lists, which dominate the probe cost. Absent grams sort
+    first (df 0 ⇒ empty intersection — the perfect prune)."""
     from ..query.facets import match_set
     from .regexq import ANY, compile_trigram_query
 
     def gram_set(grams: frozenset[str]) -> DataFrame:
+        gs = sorted(grams)
+        if term_dfs is not None and len(gs) > max_grams:
+            gs = sorted(gs, key=lambda g: (term_dfs.get(g, 0), g))[:max_grams]
         return match_set(
-            postings, meta, [(0, " ".join(sorted(grams)))], mode="and"
+            postings, meta, [(0, " ".join(gs))], mode="and"
         ).select(F.col("doc_id").alias(id_col))
 
     def eval_q(q) -> DataFrame | None:
@@ -172,6 +204,25 @@ def trigram_candidates(
     return eval_q(compile_trigram_query(pattern))
 
 
+def collect_gram_dfs(
+    term_stats: DataFrame, queries: list[tuple[int, str]]
+) -> dict[str, int]:
+    """One pushdown probe of the trigram index's term_stats for every
+    gram any of the queries' plans can touch → {gram: df}. Feeds
+    rarest-gram selection; a handful of rows, never the vocab."""
+    grams: set[str] = set()
+    for _, p in queries:
+        grams |= tree_grams(p)
+    if not grams:
+        return {}
+    return {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(
+            F.col("term").isin(sorted(grams))
+        ).select("term", "df").collect()
+    }
+
+
 def trigram_regex_search(
     docs: DataFrame,
     queries: list[tuple[int, str]],
@@ -180,21 +231,38 @@ def trigram_regex_search(
     id_col: str = "doc_id",
     text_col: str = "content",
     exclude_doc_ids: list[int] | None = None,
+    term_stats: DataFrame | None = None,
+    max_grams: int = 8,
 ) -> DataFrame:
     """→ (qid, doc_id): regex matches, trigram-pruned where possible.
     ``exclude_doc_ids`` (e.g. soft-delete tombstones) drop before the
     verify scan.
 
-    Per query the full Cox-style query tree from
-    :func:`regexq.compile_trigram_query` (arbitrary nesting, counted
-    repeats, small classes, lookarounds) drives the candidate algebra:
-    ``grams`` leaves become conjunctive match sets, ``and`` nodes
-    semi-join, ``or`` nodes union-distinct, and the exact regex
-    verifies only the survivors via a doc_id semi-join. Unplannable
-    patterns (or trees with no gram anywhere) full-scan — always
-    correct, just unpruned.
+    The whole query batch runs as ONE batched plan (a per-query chain
+    of probes and semi-joins measures stage-scheduling floor, not
+    engine work):
+
+    1. every pattern's Cox query tree (:func:`regexq.compile_trigram_
+       query` — arbitrary nesting, counted repeats, small classes,
+       lookarounds) is simplified to its prunable ``grams`` leaves;
+    2. ALL leaves of ALL patterns probe the index in one conjunctive
+       `match_set` call (one pruned posting decode, one shuffle);
+    3. per (pattern, doc) the matched leaves fold into a bitmask
+       (``bit_or`` agg — the boolq trick) and the tree's AND/OR
+       structure evaluates as a pure bitmask predicate;
+    4. survivors verify against the exact regex in one docs join with a
+       per-query pattern column — one scan for the whole batch.
+
+    Unplannable patterns (no gram anywhere, or >62 leaves) full-scan —
+    always correct, just unpruned. Every candidate set is a superset of
+    the true match set (lossless); with ``term_stats`` given, leaves
+    wider than ``max_grams`` probe only their rarest grams (Zoekt's
+    trick — still lossless, skips the long common-gram lists).
     """
     import re
+
+    from ..query.facets import match_set
+    from .regexq import ANY, compile_trigram_query
 
     spark = docs.sparkSession
     for qid, pattern in queries:
@@ -202,24 +270,130 @@ def trigram_regex_search(
             re.compile(pattern)
         except re.error as e:
             raise ValueError(f"query {qid}: invalid regex {pattern!r}: {e}") from e
+    if not queries:
+        return spark.createDataFrame([], "qid int, doc_id bigint")
+
+    term_dfs = (
+        collect_gram_dfs(term_stats, queries) if term_stats is not None else None
+    )
+    cand, full_scan = batched_trigram_candidates(
+        spark, queries, postings, meta, term_dfs=term_dfs, max_grams=max_grams
+    )
+    base = docs
+    if exclude_doc_ids:
+        base = base.filter(~F.col(id_col).isin(list(exclude_doc_ids)))
 
     outs: list[DataFrame] = []
-    for qid, pattern in queries:
-        cand = trigram_candidates(pattern, postings, meta, id_col=id_col)
-        base = docs if cand is None else docs.join(cand, id_col, "left_semi")
-        if exclude_doc_ids:
-            base = base.filter(~F.col(id_col).isin(list(exclude_doc_ids)))
-        outs.append(
-            base.filter(F.col(text_col).rlike(pattern)).select(
-                F.lit(int(qid)).alias("qid"), F.col(id_col).alias("doc_id")
-            )
+    if cand is not None:
+        pats = spark.createDataFrame(
+            [(q, p) for q, p in queries if q not in full_scan],
+            "qid int, pattern string",
         )
-    if not outs:
-        return spark.createDataFrame([], "qid int, doc_id bigint")
+        outs.append(
+            base.withColumnRenamed(id_col, "doc_id")
+            .join(cand, "doc_id")
+            .join(F.broadcast(pats), "qid")
+            .filter(F.regexp_like(F.col(text_col), F.col("pattern")))
+            .select("qid", "doc_id")
+        )
+    if full_scan:
+        fpats = spark.createDataFrame(
+            [(q, p) for q, p in queries if q in full_scan], "qid int, pattern string"
+        )
+        outs.append(
+            base.withColumnRenamed(id_col, "doc_id")
+            .crossJoin(F.broadcast(fpats))
+            .filter(F.regexp_like(F.col(text_col), F.col("pattern")))
+            .select("qid", "doc_id")
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def batched_trigram_candidates(
+    spark,
+    queries: list[tuple[int, str]],
+    postings: DataFrame,
+    meta: dict,
+    term_dfs: dict[str, int] | None = None,
+    max_grams: int = 8,
+) -> tuple[DataFrame | None, set[int]]:
+    """(candidates, full_scan_qids): (qid, doc_id) lossless candidate
+    supersets for every prunable query, computed by ONE index probe —
+    all patterns' leaves go through a single conjunctive `match_set`
+    call, matched leaves fold into a per-(query, doc) bitmask
+    (``bit_or``), and each Cox tree evaluates as a bitmask predicate.
+    Unprunable patterns (no gram, or >62 leaves) land in
+    ``full_scan_qids`` and are absent from the candidate frame."""
+    from ..query.facets import match_set
+    from .regexq import ANY, compile_trigram_query
+
+    def simplify(q):
+        """Tree over 'grams' leaves; True = unprunable subtree."""
+        if q is None or q == ANY:
+            return True
+        if q[0] == "grams":
+            return q
+        kids = [simplify(c) for c in q[1]]
+        if q[0] == "and":
+            kids = [k for k in kids if k is not True]
+            if not kids:
+                return True
+            return kids[0] if len(kids) == 1 else ("and", kids)
+        if any(k is True for k in kids):  # "or"
+            return True
+        return kids[0] if len(kids) == 1 else ("or", kids)
+
+    def count_leaves(t) -> int:
+        if t[0] == "grams":
+            return 1
+        return sum(count_leaves(c) for c in t[1])
+
+    leaf_rows: list[tuple[int, str]] = []      # (gid, gram query string)
+    leafmap_rows: list[tuple[int, int, int]] = []  # (gid, qid, bit)
+    conds: dict[int, str] = {}                 # qid -> mask predicate SQL
+    full_scan: set[int] = set()
+    for qid, pattern in queries:
+        t = simplify(compile_trigram_query(pattern))
+        if t is True or count_leaves(t) > 62:
+            full_scan.add(qid)
+            continue
+        bits_used = 0
+
+        def emit(node) -> str:
+            nonlocal bits_used
+            if node[0] == "grams":
+                gs = sorted(node[1])
+                if term_dfs is not None and len(gs) > max_grams:
+                    gs = sorted(gs, key=lambda g: (term_dfs.get(g, 0), g))[:max_grams]
+                gid = len(leaf_rows)
+                bit = 1 << bits_used
+                bits_used += 1
+                leaf_rows.append((gid, " ".join(gs)))
+                leafmap_rows.append((gid, qid, bit))
+                return f"(mask & {bit}) != 0"
+            op = " AND " if node[0] == "and" else " OR "
+            return "(" + op.join(emit(c) for c in node[1]) + ")"
+
+        conds[qid] = emit(t)
+
+    if not conds:
+        return None, full_scan
+    probe = match_set(postings, meta, leaf_rows, mode="and")
+    lm = spark.createDataFrame(leafmap_rows, "gid int, q int, bit long")
+    masks = (
+        probe.withColumnRenamed("qid", "gid")
+        .join(F.broadcast(lm), "gid")
+        .groupBy("q", "doc_id")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    keep = None
+    for qid, c in conds.items():
+        cc = (F.col("q") == qid) & F.expr(c)
+        keep = cc if keep is None else (keep | cc)
+    return masks.filter(keep).select(F.col("q").alias("qid"), "doc_id"), full_scan
 
 
 # ------------------------------------------------- alternation planner

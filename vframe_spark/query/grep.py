@@ -113,6 +113,8 @@ def unified_regex_search(
     id_col: str = "doc_id",
     text_col: str = "content",
     exclude_doc_ids: list[int] | None = None,
+    tri_term_stats: DataFrame | None = None,
+    max_grams: int = 8,
 ) -> DataFrame:
     """Regex search pruned through BOTH indexes when both are given.
 
@@ -135,7 +137,6 @@ def unified_regex_search(
     """
     import re
 
-    from ..index.trigram import trigram_candidates
     from .facets import match_set
 
     spark = docs.sparkSession
@@ -144,33 +145,92 @@ def unified_regex_search(
             re.compile(pattern)
         except re.error as e:
             raise ValueError(f"query {qid}: invalid regex {pattern!r}: {e}") from e
-    outs: list[DataFrame] = []
-    for qid, pattern in queries:
-        cand: DataFrame | None = None
-        if tri_postings is not None and tri_meta is not None:
-            cand = trigram_candidates(pattern, tri_postings, tri_meta, id_col=id_col)
-        if token_postings is not None and token_meta is not None:
+    if not queries:
+        return spark.createDataFrame([], "qid int, doc_id bigint")
+
+    # --- trigram candidates: ONE probe for the whole batch ---------------
+    tri_cand: DataFrame | None = None
+    tri_qids: set[int] = set()
+    if tri_postings is not None and tri_meta is not None:
+        from ..index.trigram import batched_trigram_candidates, collect_gram_dfs
+
+        term_dfs = (
+            collect_gram_dfs(tri_term_stats, queries)
+            if tri_term_stats is not None
+            else None
+        )
+        tri_cand, tri_unprunable = batched_trigram_candidates(
+            spark, queries, tri_postings, tri_meta,
+            term_dfs=term_dfs, max_grams=max_grams,
+        )
+        tri_qids = {q for q, _ in queries} - tri_unprunable
+
+    # --- token candidates: ONE conjunctive probe for the whole batch -----
+    tok_cand: DataFrame | None = None
+    tok_qids: set[int] = set()
+    tok_probe_rows: list[tuple[int, str]] = []
+    if token_postings is not None and token_meta is not None:
+        for qid, pattern in queries:
             toks = (prefilters or {}).get(qid)
             if toks is None:
                 toks = safe_prefilter_tokens(pattern)
             if toks:
-                tok_cand = match_set(
-                    token_postings, token_meta,
-                    [(qid, " ".join(sorted(set(toks))))], mode="and",
-                ).select(F.col("doc_id").alias(id_col))
-                cand = tok_cand if cand is None else cand.join(
-                    tok_cand, id_col, "left_semi"
-                )
-        base = docs if cand is None else docs.join(cand, id_col, "left_semi")
-        if exclude_doc_ids:
-            base = base.filter(~F.col(id_col).isin(list(exclude_doc_ids)))
-        outs.append(
-            base.filter(F.col(text_col).rlike(pattern)).select(
-                F.lit(int(qid)).alias("qid"), F.col(id_col).alias("doc_id")
+                tok_probe_rows.append((qid, " ".join(sorted(set(toks)))))
+                tok_qids.add(qid)
+        if tok_probe_rows:
+            tok_cand = match_set(
+                token_postings, token_meta, tok_probe_rows, mode="and"
+            )
+
+    # --- combine per qid: both → intersect; one → it; none → full scan ---
+    both = sorted(tri_qids & tok_qids)
+    parts: list[DataFrame] = []
+    if both and tri_cand is not None and tok_cand is not None:
+        parts.append(
+            tri_cand.filter(F.col("qid").isin(both)).join(
+                tok_cand.filter(F.col("qid").isin(both)),
+                ["qid", "doc_id"],
+                "left_semi",
             )
         )
-    if not outs:
-        return spark.createDataFrame([], "qid int, doc_id bigint")
+    tri_only = sorted(tri_qids - tok_qids)
+    if tri_only and tri_cand is not None:
+        parts.append(tri_cand.filter(F.col("qid").isin(tri_only)))
+    tok_only = sorted(tok_qids - tri_qids)
+    if tok_only and tok_cand is not None:
+        parts.append(tok_cand.filter(F.col("qid").isin(tok_only)))
+    full_scan = sorted({q for q, _ in queries} - tri_qids - tok_qids)
+
+    base = docs
+    if exclude_doc_ids:
+        base = base.filter(~F.col(id_col).isin(list(exclude_doc_ids)))
+    base = base.withColumnRenamed(id_col, "doc_id")
+
+    outs: list[DataFrame] = []
+    if parts:
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        pats = spark.createDataFrame(
+            [(q, p) for q, p in queries if q not in full_scan],
+            "qid int, pattern string",
+        )
+        outs.append(
+            base.join(cand, "doc_id")
+            .join(F.broadcast(pats), "qid")
+            .filter(F.regexp_like(F.col(text_col), F.col("pattern")))
+            .select("qid", "doc_id")
+        )
+    if full_scan:
+        fpats = spark.createDataFrame(
+            [(q, p) for q, p in queries if q in full_scan],
+            "qid int, pattern string",
+        )
+        outs.append(
+            base.crossJoin(F.broadcast(fpats))
+            .filter(F.regexp_like(F.col(text_col), F.col("pattern")))
+            .select("qid", "doc_id")
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
