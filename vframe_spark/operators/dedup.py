@@ -205,12 +205,6 @@ def minhash_lsh_pairs(
     right = banded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
     )
-    cand = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
     est = (
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -219,9 +213,16 @@ def minhash_lsh_pairs(
         )
         / F.lit(float(n_hashes))
     ).alias("est_jaccard")
+    # estimate + threshold BEFORE the pair dedup: the verify is pure
+    # codegen on the join output, so sub-threshold candidates die
+    # map-side and the dropDuplicates shuffle carries (id_a, id_b, est)
+    # for true pairs only — never the full signature arrays.
     return (
-        cand.select("id_a", "id_b", est)
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est)
         .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -354,13 +355,15 @@ def simhash_pairs(
         F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band_id", "band_val"
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
+    # verify before the pair dedup: bit_count is pure codegen on the
+    # join output, so failed candidates die map-side and the
+    # dropDuplicates shuffle carries only true pairs (≤ n_bands copies)
     return (
         left.join(right, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -558,16 +561,19 @@ def minhash_pairs_portable(
     )
     lhs = b_df.select("band", "key", F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
     rhs = b_df.select("band", "key", F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    pairs = (
-        lhs.join(rhs, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
     agree = sum(
         F.when(F.col(f"sig_a.s{j}") == F.col(f"sig_b.s{j}"), 1).otherwise(0)
         for j in range(n_hashes)
     )
-    return pairs.select("id_a", "id_b", agree.cast("int").alias("n_agree"))
+    # agree computed BEFORE the pair dedup (pure codegen on the join
+    # output): the dropDuplicates shuffle carries (id_a, id_b, n_agree),
+    # never the two full signature structs per candidate copy.
+    return (
+        lhs.join(rhs, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", agree.cast("int").alias("n_agree"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def minhash_portable_duckdb_sql(

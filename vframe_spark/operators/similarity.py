@@ -308,20 +308,20 @@ def lsh_cosine_pairs(
         F.col("band"), F.col("val"),
         F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vec_b"),
     )
-    cands = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .dropDuplicates(["vec_id_a", "vec_id_b"])  # collapse multi-band collisions
-    )
     cos = cosine_expr(
         F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
     )
     if round_dp is not None:
         cos = F.round(cos, round_dp)
+    # cosine verify BEFORE the multi-band dedup: sub-threshold candidates
+    # die map-side on the join output, and the dropDuplicates shuffle
+    # carries (ids, cosine) — never the two embedding vectors per copy.
     return (
-        cands.withColumn("cosine", cos)
+        a.join(b, ["band", "val"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= float(threshold))
-        .select("vec_id_a", "vec_id_b", "cosine")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
 
 
