@@ -954,6 +954,37 @@ def q_ft_phrase_positional_slop(spark, sf_dir):
     return _rounded_rank(scored.select("qid", "doc_id", "score"), FT_K)
 
 
+# Proximity-boost query set: 2-term (distinct) so the SQL oracle's
+# pairwise min-|Δp| replays the engine's k-list min-cover window
+# exactly (engine handles k terms; the k=3 path is pytest-bruteforced).
+FT_PROX_QUERIES = [
+    (1, "data scan"),
+    (2, "window merge"),
+    (3, "customer stream"),
+    (4, "zzzabsentterm data"),
+]
+
+
+def q_ft_proximity_topk(spark, sf_dir):
+    """Proximity-boosted conjunctive retrieval off the positional index
+    (query/positional.py proximity_topk): BM25 × (1 + 1/(span−n+1)),
+    span = smallest token window covering all query terms — resolved
+    entirely inside the pruned index scan, source never read."""
+    from vframe_spark.query.positional import proximity_topk
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    raw = proximity_topk(postings, term_stats, meta, FT_PROX_QUERIES, k=3 * FT_K)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= FT_K)
+        .select("qid", "rank", "doc_id", "score", F.col("span").cast("int").alias("span"))
+    )
+
+
 def q_ft_phrase_slop(spark, sf_dir):
     """Proximity ("sloppy") phrase retrieval: in-order chains advancing
     ≤ 1+slop positions per step; tf = starts admitting a chain (exact
@@ -3752,6 +3783,62 @@ FROM m WHERE rank <= {SUGGEST_K}
 """
 
 
+def _proximity_oracle_sql() -> str:
+    pairs = []
+    for qid, q in FT_PROX_QUERIES:
+        ts = sorted(set(tokenize_py(q)))
+        assert len(ts) == 2, f"proximity oracle needs 2-term queries, got {q!r}"
+        pairs.append(f"({qid}, '{ts[0]}', '{ts[1]}')")
+    qvals = ", ".join(pairs)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+pos AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qp(qid, t1, t2) AS (VALUES {qvals}),
+q(qid, term) AS (
+  SELECT qid, t1 FROM qp UNION ALL SELECT qid, t2 FROM qp
+),
+span AS (
+  SELECT qp.qid, a.doc_id, min(abs(a.p - b.p))::BIGINT AS minabs
+  FROM qp
+  JOIN pos a ON a.term = qp.t1
+  JOIN pos b ON b.term = qp.t2 AND b.doc_id = a.doc_id
+  GROUP BY 1, 2
+),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+base AS (SELECT qid, doc_id, sum(c) AS base FROM contrib GROUP BY 1, 2),
+score AS (
+  SELECT b.qid, b.doc_id,
+         round(b.base * (1.0 + 1.0 / sp.minabs), 4) AS score,
+         (sp.minabs + 1)::INT AS span
+  FROM base b JOIN span sp ON sp.qid = b.qid AND sp.doc_id = b.doc_id
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score, span
+  FROM score
+)
+SELECT qid, rank, doc_id, score, span FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def _msm_oracle_sql() -> str:
     rows = []
     for qid, q in FT_MSM_QUERIES:
@@ -4204,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": q_ft_suggest,
         "ft_spell_suggest": q_ft_spell_suggest,
         "ft_msm_topk": q_ft_msm_topk,
+        "ft_proximity_topk": q_ft_proximity_topk,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "ft_trigram_regex": q_ft_trigram_regex,
@@ -4788,6 +4876,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest": _suggest_oracle_sql(),
         "ft_spell_suggest": _spell_oracle_sql(),
         "ft_msm_topk": _msm_oracle_sql(),
+        "ft_proximity_topk": _proximity_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),

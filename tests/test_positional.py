@@ -167,3 +167,91 @@ def test_positional_purge(spark, corpus, pos_index):
     s_post, s_ts, _, s_meta = load_index(spark, scratch)
     want = phrase_topk_positional(s_post, s_ts, s_meta, PHRASES, k=10)
     assert _ranked(got) == _ranked(want)
+
+
+# ------------------------------------------------------- proximity boosting
+
+def _brute_min_cover(pos_lists):
+    import itertools
+    best = None
+    for combo in itertools.product(*[list(p) for p in pos_lists]):
+        w = max(combo) - min(combo) + 1
+        best = w if best is None else min(best, w)
+    return best
+
+
+def test_min_cover_window_bruteforce():
+    import random
+    from vframe_spark.query.positional import min_cover_window
+
+    rng = random.Random(7)
+    for _ in range(200):
+        k = rng.randint(1, 4)
+        lists = [
+            np.asarray(sorted(rng.sample(range(40), rng.randint(1, 6))),
+                       dtype=np.int64)
+            for _ in range(k)
+        ]
+        assert min_cover_window(lists) == _brute_min_cover(lists)
+
+
+def test_proximity_topk_bruteforce(spark, corpus, pos_index):
+    from vframe_spark.functions.tokenizer import tokenize_py
+    from vframe_spark.oracle import OracleIndex
+    from vframe_spark.query.positional import min_cover_window, proximity_topk
+
+    rows = corpus.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    toks = {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+    postings, term_stats, _, meta = load_index(spark, pos_index)
+
+    qs = [(1, "data parse"), (2, "hash window table"), (3, "zzznope data")]
+    out = proximity_topk(postings, term_stats, meta, qs, k=8).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["score"], r["span"])
+        )
+    for qid, q in qs:
+        terms = sorted(set(tokenize_py(q)))
+        scored = []
+        for d, tk in toks.items():
+            pls = [
+                np.asarray([i for i, t in enumerate(tk) if t == term],
+                           dtype=np.int64)
+                for term in terms
+            ]
+            if any(p.size == 0 for p in pls):
+                continue
+            base = oracle.score(terms, d)
+            w = min_cover_window(pls)
+            scored.append((d, base * (1.0 + 1.0 / (w - len(terms) + 1)), w))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expect = [(i + 1, d, s, w) for i, (d, s, w) in enumerate(scored[:8])]
+        mine = sorted(got.get(qid, []))
+        assert len(mine) == len(expect), (qid, mine, expect)
+        for (rank, doc, score, span), (er, ed, es, ew) in zip(mine, expect):
+            assert (rank, doc, span) == (er, ed, ew), (qid, rank)
+            assert abs(score - es) < 1e-9, (qid, rank, score, es)
+
+
+def test_proximity_requires_positions(spark, corpus, plain_index):
+    from vframe_spark.query.positional import proximity_topk
+
+    postings, term_stats, _, meta = load_index(spark, plain_index)
+    with pytest.raises(ValueError):
+        proximity_topk(postings, term_stats, meta, [(1, "data parse")])
+
+
+def test_facade_proximity_mode(spark, corpus, pos_index):
+    from vframe_spark.api import SearchIndex
+    from vframe_spark.query.positional import proximity_topk
+
+    idx = SearchIndex(spark, pos_index)
+    postings, term_stats, _, meta = load_index(spark, pos_index)
+    via = idx.search("data parse", k=5, mode="proximity").collect()
+    direct = proximity_topk(postings, term_stats, meta,
+                            [(1, "data parse")], k=5).collect()
+    assert sorted((r["rank"], r["doc_id"]) for r in via) == sorted(
+        (r["rank"], r["doc_id"]) for r in direct
+    )

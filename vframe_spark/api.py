@@ -82,7 +82,9 @@ class SearchIndex:
         ``mode``: "or" (WAND ranked union), "and" (posting-list
         intersection), "boolean" (full nested AND/OR/NOT expressions,
         see `query.boolq`), "lm" (LM-Dirichlet smoothed language-model
-        similarity, see `query.lmdir`), "phrase" (adjacent-run match; needs
+        similarity, see `query.lmdir`), "proximity" (conjunctive BM25 ×
+        min-cover-window boost; needs a positional index, see
+        `query.positional.proximity_topk`), "phrase" (adjacent-run match; needs
         ``docs``; ``slop`` > 0 allows proximity gaps), "wildcard"
         (prefix expansion — also auto-detected from ``foo*`` tokens in
         an "or"-mode string query). ``snippets=True`` attaches
@@ -123,6 +125,12 @@ class SearchIndex:
                     docs, postings, term_stats, meta, queries, k=k,
                     content_col=content_col, exclude_doc_ids=dead, slop=slop,
                 )
+        elif mode == "proximity":
+            from .query.positional import proximity_topk
+
+            ranked = proximity_topk(
+                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
+            )
         elif mode == "boolean":
             from .query.boolq import boolean_topk
 

@@ -154,3 +154,168 @@ def phrase_topk_positional(
     verified = phrase_verified_positional(postings, term_stats, meta, phrases, slop)
     scores = rank_verified(verified, meta, exclude_doc_ids=exclude_doc_ids)
     return topk(scores.select("qid", "doc_id", "score"), k)
+
+
+# ------------------------------------------------------- proximity boosting
+
+def min_cover_window(pos_lists: list[np.ndarray]) -> int:
+    """Length (token count) of the smallest window containing at least
+    one position from EVERY list — the classic k-pointer sweep over the
+    merged position stream, O(total · log total)."""
+    k = len(pos_lists)
+    if k == 0:
+        return 0
+    if k == 1:
+        return 1
+    tagged = np.concatenate(
+        [np.stack([p, np.full(p.size, i, dtype=np.int64)], axis=1)
+         for i, p in enumerate(pos_lists)]
+    )
+    tagged = tagged[np.argsort(tagged[:, 0], kind="stable")]
+    counts = np.zeros(k, dtype=np.int64)
+    covered = 0
+    best = np.iinfo(np.int64).max
+    lo = 0
+    for hi in range(tagged.shape[0]):
+        s = tagged[hi, 1]
+        if counts[s] == 0:
+            covered += 1
+        counts[s] += 1
+        while covered == k:
+            best = min(best, int(tagged[hi, 0] - tagged[lo, 0]) + 1)
+            s0 = tagged[lo, 1]
+            counts[s0] -= 1
+            if counts[s0] == 0:
+                covered -= 1
+            lo += 1
+    return int(best)
+
+
+PROX_SCHEMA = "qid int, doc_id bigint, score double, span int"
+
+
+def proximity_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Proximity-boosted conjunctive retrieval (the Lucene sloppy-
+    phrase / Büttcher-MinDist ranking shape) → (qid, rank, doc_id,
+    score, span): docs containing EVERY query term, scored
+
+        BM25(q, d) × (1 + 1 / (span − n_terms + 1))
+
+    where ``span`` is the smallest token window in d covering all
+    distinct query terms (adjacent terms double the score; far-apart
+    terms converge to plain BM25). Resolves entirely inside the
+    positional index scan — term-pushdown pruned, one (qid, shard)
+    kernel, ≤ conjunctive-match rows out, the source is never read.
+    Single-term queries get span 1 (factor 1.5 uniformly — rank equals
+    plain conjunctive BM25).
+
+    Reference parity: proximity generalizes the reference's frame-
+    adjacency reasoning (media.py:246-260); the window sweep is the
+    k-list generalization of count_phrase_hits' two-pointer walk.
+    """
+    from .bm25 import idf_value, topk
+
+    if not meta.get("positions"):
+        raise ValueError(
+            "index has no positions — build with build_index(..., "
+            "positions=True)"
+        )
+    spark: SparkSession = postings.sparkSession
+    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    ordered = {qid: sorted(set(tokenize_py(q))) for qid, q in queries}
+    all_terms = sorted({t for ts in ordered.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double, span int")
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(all_terms))
+        .select("term", "df").collect()
+    }
+    # conjunctive: a query with an unindexed term matches nothing
+    live = {qid: ts for qid, ts in ordered.items() if ts and all(t in dfs for t in ts)}
+    qrows = [(qid, t) for qid, ts in live.items() for t in ts]
+    if not qrows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double, span int")
+    idf = {t: idf_value(n_docs, dfs[t]) for ts in live.values() for t in ts}
+    K1, B = 1.2, 0.75
+
+    qdf = spark.createDataFrame(qrows, "qid int, term string")
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qdf), "term"
+    )
+
+    def group_prox(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "doc_id": [], "score": [], "span": []}).astype(
+            {"qid": "int32", "doc_id": "int64", "score": "float64", "span": "int32"}
+        )
+        if pdf.empty:
+            return empty
+        qid = int(pdf["qid"].iloc[0])
+        terms = live.get(qid)
+        if not terms or pdf["term"].nunique() < len(terms):
+            return empty
+        pos_by_term: dict[str, dict[int, np.ndarray]] = {}
+        dl_by_doc: dict[int, int] = {}
+        for term, g in pdf.groupby("term"):
+            docs_pos: dict[int, np.ndarray] = {}
+            for buf, n, first, tfs_buf, dls_buf, pos_buf in zip(
+                g["doc_ids"], g["n"], g["first_doc"], g["tfs"], g["dls"], g["pos"]
+            ):
+                n = int(n)
+                ids = pfor_delta_decode(buf, n, int(first)).astype(np.int64)
+                tfs = for_decode(tfs_buf, n).astype(np.int64)
+                dls = for_decode(dls_buf, n).astype(np.int64)
+                flat, offs = positions_decode(pos_buf, tfs)
+                for i in range(n):
+                    docs_pos[int(ids[i])] = flat[offs[i]: offs[i + 1]].astype(np.int64)
+                dl_by_doc.update(zip(ids.tolist(), dls.tolist()))
+            pos_by_term[term] = docs_pos
+        cand = set.intersection(*[set(pos_by_term[t]) for t in terms])
+        n_t = len(terms)
+        out_d, out_s, out_w = [], [], []
+        for doc in sorted(cand):
+            dl = float(dl_by_doc[doc])
+            base = 0.0
+            for t in terms:  # fixed (sorted) summation order
+                tf = float(pos_by_term[t][doc].size)
+                base += idf[t] * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * dl / avgdl)
+                )
+            w = min_cover_window([pos_by_term[t][doc] for t in terms])
+            out_d.append(doc)
+            out_w.append(w)
+            out_s.append(base * (1.0 + 1.0 / (w - n_t + 1)))
+        return pd.DataFrame(
+            {
+                "qid": np.full(len(out_d), qid, np.int32),
+                "doc_id": np.asarray(out_d, dtype=np.int64),
+                "score": np.asarray(out_s, dtype=np.float64),
+                "span": np.asarray(out_w, dtype=np.int32),
+            }
+        )
+
+    scored = matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: group_prox(pdf), PROX_SCHEMA
+    )
+    if exclude_doc_ids:
+        scored = scored.filter(
+            ~F.col("doc_id").isin([int(x) for x in exclude_doc_ids])
+        )
+    ranked = topk(scored.select("qid", "doc_id", "score"), k)
+    return ranked.join(
+        scored.select("qid", "doc_id", "span"), ["qid", "doc_id"]
+    ).select("qid", "rank", "doc_id", "score", "span")
