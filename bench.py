@@ -172,6 +172,7 @@ def main() -> None:
         "ft_field_stats",
         "ft_msm_topk",
         "ft_spell_suggest",
+        "ft_proximity_topk",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

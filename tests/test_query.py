@@ -569,3 +569,33 @@ def test_field_stats_bruteforce(spark, corpus, index):
         assert r["min"] == min(present) and r["max"] == max(present)
         assert abs(r["sum"] - sum(present)) < 1e-6
         assert abs(r["avg"] - sum(present) / len(present)) < 1e-9
+
+
+def test_field_sorted_search_after_pages_reconstruct(spark, corpus, index):
+    """Pages via after=(value, doc_id) cursors must reconstruct the
+    full field-sorted ranking exactly, both directions."""
+    from pyspark.sql import functions as F
+    from vframe_spark.query.facets import field_sorted_topk
+
+    docs, _ = corpus
+    postings, _, _, meta = index
+    fields = docs.select("doc_id", F.length("content").alias("nchars"))
+    qs = [(1, "data parse")]
+    for ascending in (True, False):
+        full = field_sorted_topk(
+            postings, meta, qs, fields, "nchars", k=1000, ascending=ascending
+        ).orderBy("rank").collect()
+        paged, cursor = [], None
+        while True:
+            page = field_sorted_topk(
+                postings, meta, qs, fields, "nchars", k=7,
+                ascending=ascending, after=cursor,
+            ).orderBy("rank").collect()
+            if not page:
+                break
+            assert [r["rank"] for r in page] == list(range(1, len(page) + 1))
+            paged.extend(page)
+            cursor = (page[-1]["nchars"], page[-1]["doc_id"])
+        assert [(r["doc_id"], r["nchars"]) for r in paged] == [
+            (r["doc_id"], r["nchars"]) for r in full
+        ], ascending

@@ -282,9 +282,11 @@ class SearchIndex:
         ascending: bool = True,
         id_col: str = "doc_id",
         mode: str = "or",
+        after: tuple | None = None,
     ) -> DataFrame:
         """Sort-by-stored-field retrieval (the Lucene/ES ``sort``
-        surface) → (qid, rank, doc_id, <sort_col>); see
+        surface) → (qid, rank, doc_id, <sort_col>); ``after=(value,
+        doc_id)`` pages past that cursor (ES search_after); see
         `query.facets.field_sorted_topk`."""
         from .query.facets import field_sorted_topk
 
@@ -292,7 +294,7 @@ class SearchIndex:
         queries = [(1, query)] if isinstance(query, str) else list(query)
         return field_sorted_topk(
             postings, meta, queries, fields, sort_col,
-            k=k, ascending=ascending, id_col=id_col, mode=mode,
+            k=k, ascending=ascending, id_col=id_col, mode=mode, after=after,
         )
 
     def histogram(

@@ -151,11 +151,18 @@ def field_sorted_topk(
     ascending: bool = True,
     id_col: str = "doc_id",
     mode: str = "or",
+    after: tuple | None = None,
 ) -> DataFrame:
     """Sort-by-field retrieval (the Lucene/ES ``sort`` surface): the FULL
     match set ordered by a stored field instead of a relevance score →
     (qid, rank, doc_id, <sort_col>). Docs with a NULL field drop (they
     have no position in the order); ties break doc_id ASC.
+
+    ``after=(value, doc_id)`` is ES ``search_after`` pagination: only
+    docs strictly beyond that sort position qualify, so page N+1 is the
+    exact continuation of page N at the SAME bounded cost (the cursor
+    is a pure filter pushed below the windows — no deep-page offset
+    scan; ``rank`` restarts at 1 per page).
 
     Two-phase top-k keeps it bounded at scale: each partition emits its
     own k per qid (window on (qid, partition)), so the final per-qid
@@ -168,6 +175,14 @@ def field_sorted_topk(
         F.col(id_col).alias("doc_id"), F.col(sort_col).alias("_sv")
     ).filter(F.col(sort_col).isNotNull())
     joined = m.join(f, "doc_id")
+    if after is not None:
+        av, ad = after
+        beyond = (
+            (F.col("_sv") > F.lit(av)) if ascending else (F.col("_sv") < F.lit(av))
+        )
+        joined = joined.filter(
+            beyond | ((F.col("_sv") == F.lit(av)) & (F.col("doc_id") > F.lit(int(ad))))
+        )
     order = [
         F.col("_sv").asc() if ascending else F.col("_sv").desc(),
         F.col("doc_id").asc(),
