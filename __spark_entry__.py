@@ -845,6 +845,39 @@ def q_ft_field_stats(spark, sf_dir):
     )
 
 
+SIG_K, SIG_MIN_FG = 5, 2
+
+
+def q_ft_significant_terms(spark, sf_dir):
+    """Significant-terms agg (ES significant_terms, JLH score): terms
+    over-represented in the match set vs the corpus — match set off the
+    pruned probe, map-side-deduped foreground tokenize, background df
+    from the index's term_stats, bounded window (query/significant.py).
+    Retrieves 3k raw, re-ranks on the rounded 6-dp JLH grain."""
+    from vframe_spark.query.significant import significant_terms
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    raw = significant_terms(
+        postings, term_stats, meta, FT_FACET_QUERIES, docs,
+        k=3 * SIG_K, min_fg_df=SIG_MIN_FG,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("jlh").desc(), F.col("term").asc())
+    return (
+        raw.withColumn("jlh", F.round("jlh", 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= SIG_K)
+        .select(
+            "qid", "rank", "term",
+            F.col("fg_df").cast("bigint").alias("fg_df"),
+            F.col("bg_df").cast("bigint").alias("bg_df"),
+            "jlh",
+        )
+    )
+
+
 def q_ft_phrase_topk(spark, sf_dir):
     """Phrase retrieval, two-phase: conjunctive candidates from the
     compressed index (docs holding every phrase term), then exact
@@ -3783,6 +3816,50 @@ FROM m WHERE rank <= {SUGGEST_K}
 """
 
 
+def _significant_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM tok GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+fs AS (SELECT qid, count(*)::DOUBLE AS fg_size FROM m GROUP BY 1),
+fg AS (
+  SELECT m.qid, tok.term, count(*)::BIGINT AS fg_df
+  FROM m JOIN tok USING (doc_id)
+  GROUP BY 1, 2
+  HAVING count(*) >= {SIG_MIN_FG}
+),
+fgx AS (
+  SELECT fg.* FROM fg
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q WHERE q.qid = fg.qid AND q.term = fg.term
+  )
+),
+scored AS (
+  SELECT f.qid, f.term, f.fg_df, bg.bg_df,
+         round(
+           (f.fg_df / fs.fg_size - bg.bg_df / n.n)
+             * ((f.fg_df / fs.fg_size) / (bg.bg_df / n.n)),
+           6
+         ) AS jlh
+  FROM fgx f
+  JOIN bg USING (term)
+  JOIN fs ON fs.qid = f.qid
+  CROSS JOIN n
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY jlh DESC, term)::INT AS rank,
+         term, fg_df, bg_df, jlh
+  FROM scored
+)
+SELECT qid, rank, term, fg_df, bg_df, jlh FROM ranked WHERE rank <= {SIG_K}
+"""
+
+
 def _proximity_oracle_sql() -> str:
     pairs = []
     for qid, q in FT_PROX_QUERIES:
@@ -4292,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_spell_suggest": q_ft_spell_suggest,
         "ft_msm_topk": q_ft_msm_topk,
         "ft_proximity_topk": q_ft_proximity_topk,
+        "ft_significant_terms": q_ft_significant_terms,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "ft_trigram_regex": q_ft_trigram_regex,
@@ -4877,6 +4955,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_spell_suggest": _spell_oracle_sql(),
         "ft_msm_topk": _msm_oracle_sql(),
         "ft_proximity_topk": _proximity_oracle_sql(),
+        "ft_significant_terms": _significant_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),

@@ -173,6 +173,7 @@ def main() -> None:
         "ft_msm_topk",
         "ft_spell_suggest",
         "ft_proximity_topk",
+        "ft_significant_terms",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

@@ -599,3 +599,46 @@ def test_field_sorted_search_after_pages_reconstruct(spark, corpus, index):
         assert [(r["doc_id"], r["nchars"]) for r in paged] == [
             (r["doc_id"], r["nchars"]) for r in full
         ], ascending
+
+
+def test_significant_terms_bruteforce(spark, corpus, index):
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.significant import significant_terms
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    qs = [(1, "data parse"), (2, "zzznope")]
+    out = significant_terms(
+        postings, term_stats, meta, qs, docs, k=5, min_fg_df=2
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["term"], r["fg_df"], r["bg_df"], r["jlh"])
+        )
+    n = oracle.n_docs
+    for qid, q in qs:
+        qt = set(parse_query_terms(q))
+        match = [d for d, c in oracle.tf.items() if any(c.get(t, 0) > 0 for t in qt)]
+        if not match:
+            assert qid not in got
+            continue
+        fg_size = len(match)
+        fg: dict = {}
+        for d in match:
+            for t in oracle.tf[d]:
+                fg[t] = fg.get(t, 0) + 1
+        scored = []
+        for t, fdf in fg.items():
+            if fdf < 2 or t in qt:
+                continue
+            bdf = oracle.df[t]
+            fr, br = fdf / fg_size, bdf / n
+            scored.append((t, fdf, bdf, (fr - br) * (fr / br)))
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        expect = [(i + 1, t, fdf, bdf, s) for i, (t, fdf, bdf, s) in enumerate(scored[:5])]
+        mine = sorted(got[qid])
+        assert len(mine) == len(expect), (qid, mine, expect)
+        for (rank, t, fdf, bdf, s), (er, et, ef, eb, es) in zip(mine, expect):
+            assert (rank, t, fdf, bdf) == (er, et, ef, eb), (qid, rank)
+            assert abs(s - es) < 1e-9

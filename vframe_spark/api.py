@@ -317,6 +317,29 @@ class SearchIndex:
             interval=interval, id_col=id_col, mode=mode,
         )
 
+    def significant_terms(
+        self,
+        query: str | list[tuple[int, str]],
+        docs: DataFrame,
+        k: int = 10,
+        min_fg_df: int = 2,
+        id_col: str = "doc_id",
+        content_col: str = "content",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Terms over-represented in the match set vs the corpus →
+        (qid, rank, term, fg_df, bg_df, jlh); see
+        `query.significant.significant_terms`."""
+        from .query.significant import significant_terms
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return significant_terms(
+            postings, term_stats, meta, queries, docs,
+            k=k, min_fg_df=min_fg_df, id_col=id_col,
+            content_col=content_col, mode=mode,
+        )
+
     def top_hits(
         self,
         query: str | list[tuple[int, str]],

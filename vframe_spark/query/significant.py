@@ -1,0 +1,97 @@
+"""Significant-terms aggregation: terms over-represented in a query's
+match set vs the background corpus (the Elasticsearch
+``significant_terms`` bucket agg / "what is this result set *about*").
+
+Scoring is ES's JLH: with fg = term's share of matched docs and
+bg = its share of the corpus,
+
+    jlh = (fg − bg) · (fg / bg)
+
+— the absolute-lift × relative-lift product that rewards terms both
+common in the foreground and rare in the background. Query terms
+themselves are excluded (they are significant by construction).
+
+Execution shape at scale:
+
+1. the match set comes off the pruned index probe (`facets.match_set`);
+2. matched docs' content tokenizes with per-doc dedup map-side
+   (``array_distinct`` before the explode — the doc-term stream never
+   carries duplicates into the shuffle), cost ∝ matched content, the
+   same lower bound ES pays;
+3. foreground counts are one partial-agg groupBy; the BACKGROUND df
+   comes from the index's term_stats (already materialized at build
+   time) via one equi-join — the corpus is never re-scanned;
+4. a bounded window takes the per-query top-k.
+
+Reference parity: per-label summarize counts over a filtered subset
+(summarize-json.py:29-105) generalized to set-vs-corpus contrast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_expr
+from ..oracle import parse_query_terms
+from .facets import match_set
+
+
+def significant_terms(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: list[tuple[int, str]],
+    docs: DataFrame,
+    k: int = 10,
+    min_fg_df: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    mode: str = "or",
+) -> DataFrame:
+    """→ (qid, rank, term, fg_df, bg_df, jlh): the k most significant
+    terms of each query's match set, ranked (jlh DESC, term ASC).
+    ``min_fg_df`` drops one-off terms (noise floor); query terms are
+    excluded."""
+    if min_fg_df < 1:
+        raise ValueError(f"min_fg_df must be >= 1, got {min_fg_df}")
+    n_docs = int(meta["n_docs"])
+    m = match_set(postings, meta, queries, mode=mode)
+    fg_sizes = m.groupBy("qid").agg(F.count("*").alias("fg_size"))
+
+    body = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize_expr(F.col(content_col)))).alias("term"),
+    )
+    fg = (
+        m.join(body, "doc_id")
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_fg_df)
+    )
+    qterms = [
+        (qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))
+    ]
+    if qterms:
+        qdf = fg.sparkSession.createDataFrame(qterms, "qid int, term string")
+        fg = fg.join(F.broadcast(qdf), ["qid", "term"], "left_anti")
+
+    bg = term_stats.select("term", F.col("df").cast("long").alias("bg_df"))
+    jlh = (
+        (F.col("fg_df") / F.col("fg_size") - F.col("bg_df") / F.lit(float(n_docs)))
+        * (
+            (F.col("fg_df") / F.col("fg_size"))
+            / (F.col("bg_df") / F.lit(float(n_docs)))
+        )
+    ).alias("jlh")
+    scored = (
+        fg.join(bg, "term")
+        .join(F.broadcast(fg_sizes), "qid")
+        .select("qid", "term", "fg_df", "bg_df", jlh)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("jlh").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "term", "fg_df", "bg_df", "jlh")
+    )
