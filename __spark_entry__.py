@@ -845,6 +845,65 @@ def q_ft_field_stats(spark, sf_dir):
     )
 
 
+DECAY_ORIGIN, DECAY_SCALE = 300.0, 150.0
+
+
+def q_ft_decay_topk(spark, sf_dir):
+    """Gaussian decay function-score (ES function_score `gauss`):
+    boost = exp(ln(0.5)·(n_chars−origin)²/scale²) as one codegen
+    expression feeding the exact full-match-set boosted ranking
+    (query/boost.py gauss_decay + boosted_topk)."""
+    from vframe_spark.query.boost import boosted_topk, gauss_decay
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    boosts = docs.select(
+        "doc_id",
+        gauss_decay("n_chars", DECAY_ORIGIN, DECAY_SCALE).alias("boost"),
+    )
+    raw = boosted_topk(postings, term_stats, meta, FT_QUERIES, boosts, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+FT_PCTS = [0.5, 0.95]
+CARD_P = 12
+
+
+def q_ft_percentiles(spark, sf_dir):
+    """Percentiles facet over the match set (ES percentiles, exact
+    interpolated — Spark percentile() == SQL quantile_cont): p50/p95 of
+    n_chars per query (query/facets.py field_percentiles)."""
+    from vframe_spark.query.facets import field_percentiles
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = field_percentiles(
+        postings, meta, FT_FACET_QUERIES, docs, "n_chars", percentiles=FT_PCTS
+    )
+    return out.select(
+        "qid",
+        F.col("n_vals").cast("bigint").alias("n_vals"),
+        F.round("p_0_5", 6).alias("p50"),
+        F.round("p_0_95", 6).alias("p95"),
+    )
+
+
+def q_ft_cardinality(spark, sf_dir):
+    """Cardinality facet (ES cardinality): HLL distinct-count of `lang`
+    across each query's matched docs — the portable sketch, so the
+    DuckDB oracle replays registers AND estimate bit-for-bit: an
+    oracle-checked APPROXIMATE facet (query/facets.py
+    field_cardinality)."""
+    from vframe_spark.query.facets import field_cardinality
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = field_cardinality(
+        postings, meta, FT_FACET_QUERIES, docs, "lang", p=CARD_P
+    )
+    return out.select("qid", F.round("est_distinct", 6).alias("est_distinct"))
+
+
 SIG_K, SIG_MIN_FG = 5, 2
 
 
@@ -3816,6 +3875,86 @@ FROM m WHERE rank <= {SUGGEST_K}
 """
 
 
+def _decay_oracle_sql() -> str:
+    import math
+
+    lam = math.log(0.5) / DECAY_SCALE**2
+    qvals = _ft_qterms_values_sql()
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (
+  SELECT contrib.qid, contrib.doc_id,
+         round(
+           sum(c) * exp({lam!r} * (d.n_chars::DOUBLE - {DECAY_ORIGIN!r})
+                                * (d.n_chars::DOUBLE - {DECAY_ORIGIN!r})),
+           4
+         ) AS score
+  FROM contrib JOIN documents d ON d.doc_id = contrib.doc_id
+  GROUP BY 1, 2, d.n_chars
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
+def _percentiles_facet_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+SELECT m.qid::INT AS qid,
+       count(d.n_chars)::BIGINT AS n_vals,
+       round(quantile_cont(d.n_chars::DOUBLE, 0.5), 6) AS p50,
+       round(quantile_cont(d.n_chars::DOUBLE, 0.95), 6) AS p95
+FROM m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1
+"""
+
+
+def _cardinality_oracle_sql() -> str:
+    from vframe_spark.operators.sketch import hll_duckdb_sql
+
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    matched = f"""(
+  WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+  tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+  q(qid, term) AS (VALUES {qvals}),
+  m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+  SELECT m.qid, d.lang FROM m JOIN documents d USING (doc_id)
+) matched"""
+    inner = hll_duckdb_sql("lang", matched, by_cols=["qid"], p=CARD_P)
+    return f"""
+SELECT qid::INT AS qid, round(est, 6) AS est_distinct FROM ({inner})
+"""
+
+
 def _significant_oracle_sql() -> str:
     qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
     return f"""
@@ -4370,6 +4509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_msm_topk": q_ft_msm_topk,
         "ft_proximity_topk": q_ft_proximity_topk,
         "ft_significant_terms": q_ft_significant_terms,
+        "ft_percentiles": q_ft_percentiles,
+        "ft_cardinality": q_ft_cardinality,
+        "ft_decay_topk": q_ft_decay_topk,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "ft_trigram_regex": q_ft_trigram_regex,
@@ -4956,6 +5098,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_msm_topk": _msm_oracle_sql(),
         "ft_proximity_topk": _proximity_oracle_sql(),
         "ft_significant_terms": _significant_oracle_sql(),
+        "ft_percentiles": _percentiles_facet_oracle_sql(),
+        "ft_cardinality": _cardinality_oracle_sql(),
+        "ft_decay_topk": _decay_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),

@@ -174,6 +174,9 @@ def main() -> None:
         "ft_spell_suggest",
         "ft_proximity_topk",
         "ft_significant_terms",
+        "ft_percentiles",
+        "ft_cardinality",
+        "ft_decay_topk",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

@@ -262,3 +262,37 @@ def test_facade_min_should_match(spark, corpus, index, tmp_path_factory):
     )
     with pytest.raises(ValueError):
         idx.search("a b", min_should_match=2, mode="and")
+
+
+def test_gauss_decay_properties(spark, corpus, index):
+    import math
+    from pyspark.sql import functions as F
+    from vframe_spark.query.boost import boosted_topk, gauss_decay
+
+    docs, _ = corpus
+    postings, term_stats, _, meta = index
+    vals = docs.select("doc_id", F.length("content").alias("nchars"))
+    rows = vals.select(
+        "doc_id", "nchars", gauss_decay("nchars", 100.0, 50.0).alias("b")
+    ).collect()
+    for r in rows:
+        expect = math.exp(math.log(0.5) / 50.0**2 * (r["nchars"] - 100.0) ** 2)
+        assert abs(r["b"] - expect) < 1e-12
+        # exp underflows to exactly 0.0 for docs far from origin — valid
+        assert 0.0 <= r["b"] <= 1.0
+    # exactly `decay` at distance `scale`
+    one = spark.range(1).select(
+        gauss_decay(F.lit(150.0), 100.0, 50.0).alias("b")
+    ).collect()[0]["b"]
+    assert abs(one - 0.5) < 1e-12
+    with pytest.raises(ValueError):
+        gauss_decay("nchars", 0.0, -1.0)
+    with pytest.raises(ValueError):
+        gauss_decay("nchars", 0.0, 1.0, decay=1.5)
+    # composes with boosted_topk (ranked output, rank contiguity)
+    boosts = vals.select("doc_id", gauss_decay("nchars", 100.0, 50.0).alias("boost"))
+    out = boosted_topk(postings, term_stats, meta, [(1, "cache stream")],
+                       boosts, k=5).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, len(out) + 1)
+    )

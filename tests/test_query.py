@@ -642,3 +642,49 @@ def test_significant_terms_bruteforce(spark, corpus, index):
         for (rank, t, fdf, bdf, s), (er, et, ef, eb, es) in zip(mine, expect):
             assert (rank, t, fdf, bdf) == (er, et, ef, eb), (qid, rank)
             assert abs(s - es) < 1e-9
+
+
+def test_field_percentiles_bruteforce(spark, corpus, index):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import field_percentiles
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    vals = docs.select("doc_id", F.length("content").alias("nchars"))
+    nchars = {r["doc_id"]: r["nchars"] for r in vals.collect()}
+    qs = [(1, "data parse")]
+    out = {r["qid"]: r for r in field_percentiles(
+        postings, meta, qs, vals, "nchars", percentiles=[0.5, 0.9]
+    ).collect()}
+    terms = sorted(set(parse_query_terms("data parse")))
+    xs = [float(nchars[d]) for d, c in oracle.tf.items()
+          if any(c.get(t, 0) > 0 for t in terms)]
+    r = out[1]
+    assert r["n_vals"] == len(xs)
+    assert abs(r["p_0_5"] - np.percentile(xs, 50)) < 1e-9
+    assert abs(r["p_0_9"] - np.percentile(xs, 90)) < 1e-9
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        field_percentiles(postings, meta, qs, vals, "nchars", percentiles=[1.5])
+
+
+def test_field_cardinality_tracks_exact(spark, corpus, index):
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import field_cardinality
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    vals = docs.select("doc_id", "lang")
+    langs = {r["doc_id"]: r["lang"] for r in vals.collect()}
+    qs = [(1, "data parse")]
+    est = {r["qid"]: r["est_distinct"] for r in field_cardinality(
+        postings, meta, qs, vals, "lang", p=12
+    ).collect()}
+    terms = sorted(set(parse_query_terms("data parse")))
+    exact = len({langs[d] for d, c in oracle.tf.items()
+                 if any(c.get(t, 0) > 0 for t in terms)})
+    assert exact > 0
+    assert abs(est[1] - exact) / exact < 0.15

@@ -317,6 +317,46 @@ class SearchIndex:
             interval=interval, id_col=id_col, mode=mode,
         )
 
+    def percentiles(
+        self,
+        query: str | list[tuple[int, str]],
+        values: DataFrame,
+        value_col: str,
+        pcts: list[float] = (0.5, 0.95, 0.99),
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Exact percentiles facet over the match set → (qid, n_vals,
+        p_<pct>...); see `query.facets.field_percentiles`."""
+        from .query.facets import field_percentiles
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return field_percentiles(
+            postings, meta, queries, values, value_col,
+            percentiles=list(pcts), id_col=id_col, mode=mode,
+        )
+
+    def cardinality(
+        self,
+        query: str | list[tuple[int, str]],
+        values: DataFrame,
+        value_col: str,
+        p: int = 12,
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """HLL distinct-count facet over the match set → (qid,
+        est_distinct); see `query.facets.field_cardinality`."""
+        from .query.facets import field_cardinality
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return field_cardinality(
+            postings, meta, queries, values, value_col,
+            p=p, id_col=id_col, mode=mode,
+        )
+
     def significant_terms(
         self,
         query: str | list[tuple[int, str]],

@@ -30,7 +30,7 @@ from collections.abc import Iterable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.codec import for_decode, pfor_delta_decode
@@ -237,3 +237,27 @@ def msm_topk(
             ~F.col("doc_id").isin([int(x) for x in exclude_doc_ids])
         )
     return topk(kept, k)
+
+
+def gauss_decay(
+    col: Column | str,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+) -> Column:
+    """Gaussian decay boost (the ES function_score ``gauss`` shape):
+    1.0 at ``origin``, exactly ``decay`` at distance ``scale``, smooth
+    in between — ``exp(λ·d²)`` with ``λ = ln(decay)/scale²``. A pure
+    codegen expression: feed it as the ``boost`` column of
+    :func:`boosted_topk` (recency/length/geo-distance preferences
+    without hard filters)."""
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    import math
+
+    lam = math.log(decay) / float(scale) ** 2
+    d = F.col(col) if isinstance(col, str) else col
+    diff = d.cast("double") - F.lit(float(origin))
+    return F.exp(F.lit(lam) * diff * diff)

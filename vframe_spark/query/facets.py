@@ -311,3 +311,62 @@ def field_stats(
             F.avg("_v").alias("avg"),
         )
     )
+
+
+def field_percentiles(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    percentiles: list[float] = (0.5, 0.95, 0.99),
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Percentiles aggregation over the match set (the ES
+    ``percentiles`` facet, exact) → (qid, n_vals, p_<pct>...). Exact
+    interpolated percentiles (Spark ``percentile`` == SQL
+    ``quantile_cont``); NULL values drop from the distribution. One
+    match-set decode + equi-join + one agg — the same shape every other
+    facet has."""
+    for p in percentiles:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentile must be in [0, 1], got {p}")
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    aggs = [F.count("_v").alias("n_vals")] + [
+        F.expr(f"percentile(_v, {p!r})").alias(f"p_{str(p).replace('.', '_')}")
+        for p in percentiles
+    ]
+    return m.join(v, "doc_id").groupBy("qid").agg(*aggs)
+
+
+def field_cardinality(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    p: int = 12,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Cardinality aggregation over the match set (the ES
+    ``cardinality`` facet) → (qid, est_distinct): HLL distinct-count of
+    a field across matched docs, in bounded memory per query. The
+    sketch is the engine's portable HLL (operators/sketch.py —
+    md5-60bit hash, trailing-zeros rank), so a SQL engine replays the
+    registers AND the estimate bit-for-bit: an oracle-checkable
+    *approximate* facet."""
+    from ..operators.sketch import approx_distinct_portable
+
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).alias("_v")
+    )
+    joined = m.join(v, "doc_id")
+    return approx_distinct_portable(joined, "_v", by=["qid"], p=p).select(
+        "qid", F.col("est").alias("est_distinct")
+    )
