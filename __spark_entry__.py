@@ -904,6 +904,68 @@ def q_ft_cardinality(spark, sf_dir):
     return out.select("qid", F.round("est_distinct", 6).alias("est_distinct"))
 
 
+def q_ft_date_histogram(spark, sf_dir):
+    """Calendar date-histogram facet over the match set (ES
+    `date_histogram`, calendar_interval=month): bucket =
+    date_trunc('month', ts) per query. The corpus has no timestamp, so
+    a deterministic crawl date is derived from doc_id — both engines
+    compute DATE '2025-01-01' + (doc_id % 400) days, so the bucketing
+    itself is what's checked (query/facets.py date_histogram_facets)."""
+    from vframe_spark.query.facets import date_histogram_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.date_add(
+            F.to_date(F.lit("2025-01-01")), (F.col("doc_id") % 400).cast("int")
+        ).alias("crawl_ts"),
+    )
+    out = date_histogram_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "crawl_ts", unit="month"
+    )
+    return out.select(
+        "qid",
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+FT_RANGES = [("short", None, 200.0), ("mid", 200.0, 400.0),
+             ("long", 400.0, None), ("all", None, None)]
+
+
+def q_ft_range_facet(spark, sf_dir):
+    """Range facet over the match set (ES `range` agg): half-open
+    [lo, hi) buckets over n_chars, including an unbounded overlapping
+    'all' range — a doc counts once per range it falls in, ES
+    semantics (query/facets.py range_facets)."""
+    from vframe_spark.query.facets import range_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = range_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "n_chars", FT_RANGES
+    )
+    return out.select(
+        "qid", "range_key", F.col("n_docs").cast("bigint").alias("n_docs")
+    )
+
+
+DISMAX_TIE = 0.3
+
+
+def q_ft_dismax_topk(spark, sf_dir):
+    """Dis-max multi-field retrieval (Lucene `dis_max` / ES multi_match
+    best_fields, tie_breaker=0.3): score = best field + 0.3 × the rest,
+    per-field BM25 corpora identical to ft_bm25_fielded
+    (query/bm25.py dismax_scores)."""
+    from vframe_spark.query.bm25 import dismax_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = dismax_scores(docs, FTF_FIELDS, FTF_QUERIES, tie_breaker=DISMAX_TIE)
+    return _rounded_rank(scored, FT_K)
+
+
 SIG_K, SIG_MIN_FG = 5, 2
 
 
@@ -3955,6 +4017,95 @@ SELECT qid::INT AS qid, round(est, 6) AS est_distinct FROM ({inner})
 """
 
 
+def _date_histogram_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+v AS (SELECT doc_id, DATE '2025-01-01' + ((doc_id % 400)::INT) AS ts FROM documents)
+SELECT m.qid::INT AS qid,
+       strftime(date_trunc('month', v.ts), '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM m JOIN v USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+def _range_facet_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    legs = []
+    for key, lo, hi in FT_RANGES:
+        conds = ["d.n_chars IS NOT NULL"]
+        if lo is not None:
+            conds.append(f"d.n_chars::DOUBLE >= {float(lo)!r}")
+        if hi is not None:
+            conds.append(f"d.n_chars::DOUBLE < {float(hi)!r}")
+        legs.append(
+            f"SELECT m.qid::INT AS qid, '{key}' AS range_key, count(*)::BIGINT AS n_docs "
+            f"FROM m JOIN documents d USING (doc_id) WHERE {' AND '.join(conds)} GROUP BY 1"
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+{union}
+"""
+
+
+def _dismax_oracle_sql() -> str:
+    """DuckDB dis-max: the BM25F per-field CTE chains, per-field sums,
+    then max + tie_breaker × (sum − max) across fields."""
+    field_ctes, fsums = [], []
+    for i, (col, w) in enumerate(FTF_FIELDS):
+        tok_f = tokenize_duckdb_sql(col)
+        field_ctes.append(
+            f"""toks{i} AS (SELECT doc_id, {tok_f} AS t FROM documents),
+tok{i} AS (SELECT doc_id, unnest(t) AS term FROM toks{i}),
+dl{i} AS (SELECT doc_id, len(t) AS dl FROM toks{i} WHERE len(t) > 0),
+tf{i} AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok{i} GROUP BY 1, 2),
+dfr{i} AS (SELECT term, count(*)::BIGINT AS df FROM tf{i} GROUP BY 1),
+st{i} AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl{i})::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+c{i} AS (
+  SELECT q.qid, tf.doc_id,
+         {w} * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf{i} tf ON tf.term = q.term
+  JOIN dfr{i} d ON d.term = q.term
+  JOIN dl{i} dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st{i} s
+),
+fs{i} AS (SELECT qid, doc_id, sum(c) AS s FROM c{i} GROUP BY 1, 2)"""
+        )
+        fsums.append(f"SELECT qid, doc_id, s FROM fs{i}")
+    ctes_sql = ",\n".join(field_ctes)
+    union_sql = " UNION ALL ".join(fsums)
+    return f"""
+WITH q(qid, term) AS (VALUES {_ftf_qterms_values_sql()}),
+{ctes_sql},
+fsum AS ({union_sql}),
+score AS (
+  SELECT qid, doc_id,
+         round(max(s) + {DISMAX_TIE!r} * (sum(s) - max(s)), 4) AS score
+  FROM fsum GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def _significant_oracle_sql() -> str:
     qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
     return f"""
@@ -4512,6 +4663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percentiles": q_ft_percentiles,
         "ft_cardinality": q_ft_cardinality,
         "ft_decay_topk": q_ft_decay_topk,
+        "ft_date_histogram": q_ft_date_histogram,
+        "ft_range_facet": q_ft_range_facet,
+        "ft_dismax_topk": q_ft_dismax_topk,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "ft_trigram_regex": q_ft_trigram_regex,
@@ -5101,6 +5255,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_percentiles": _percentiles_facet_oracle_sql(),
         "ft_cardinality": _cardinality_oracle_sql(),
         "ft_decay_topk": _decay_oracle_sql(),
+        "ft_date_histogram": _date_histogram_oracle_sql(),
+        "ft_range_facet": _range_facet_oracle_sql(),
+        "ft_dismax_topk": _dismax_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),

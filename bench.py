@@ -177,6 +177,9 @@ def main() -> None:
         "ft_percentiles",
         "ft_cardinality",
         "ft_decay_topk",
+        "ft_date_histogram",
+        "ft_range_facet",
+        "ft_dismax_topk",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

@@ -688,3 +688,92 @@ def test_field_cardinality_tracks_exact(spark, corpus, index):
                  if any(c.get(t, 0) > 0 for t in terms)})
     assert exact > 0
     assert abs(est[1] - exact) / exact < 0.15
+
+
+def test_range_and_date_histogram_facets(spark, corpus, index):
+    import datetime
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import date_histogram_facets, range_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    vals = docs.select("doc_id", F.length("content").alias("nchars"))
+    nchars = {r["doc_id"]: r["nchars"] for r in vals.collect()}
+    qs = [(1, "data parse")]
+    terms = sorted(set(parse_query_terms("data parse")))
+    matched = [d for d, c in oracle.tf.items()
+               if any(c.get(t, 0) > 0 for t in terms)]
+    ranges = [("lo", None, 150.0), ("hi", 150.0, None), ("mid", 100.0, 300.0)]
+    got = {(r["qid"], r["range_key"]): r["n_docs"] for r in range_facets(
+        postings, meta, qs, vals, "nchars", ranges
+    ).collect()}
+    for key, lo, hi in ranges:
+        expect = sum(
+            1 for d in matched
+            if (lo is None or nchars[d] >= lo) and (hi is None or nchars[d] < hi)
+        )
+        assert got.get((1, key), 0) == expect, key
+    # overlapping ranges double-count by design (ES semantics)
+    assert sum(got.values()) >= len(matched)
+    with pytest.raises(ValueError):
+        range_facets(postings, meta, qs, vals, "nchars", [])
+    with pytest.raises(ValueError):
+        range_facets(postings, meta, qs, vals, "nchars", [("bad", 5.0, 5.0)])
+
+    dated = docs.select(
+        "doc_id",
+        F.date_add(F.to_date(F.lit("2025-01-01")),
+                   (F.col("doc_id") % 90).cast("int")).alias("ts"),
+    )
+    gotd = {(r["qid"], r["bucket"].date()): r["n_docs"] for r in
+            date_histogram_facets(postings, meta, qs, dated, "ts",
+                                  unit="month").collect()}
+    expectd = {}
+    for d in matched:
+        day = datetime.date(2025, 1, 1) + datetime.timedelta(days=d % 90)
+        b = day.replace(day=1)
+        expectd[(1, b)] = expectd.get((1, b), 0) + 1
+    assert gotd == expectd
+    with pytest.raises(ValueError):
+        date_histogram_facets(postings, meta, qs, dated, "ts", unit="fortnight")
+
+
+def test_dismax_scores_vs_bruteforce(spark, corpus):
+    from pyspark.sql import functions as F
+    from vframe_spark.query.bm25 import bm25f_scores, dismax_scores
+
+    docs, _ = corpus
+    fielded = docs.select(
+        "doc_id",
+        F.col("content"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+    )
+    fields = [("fname", 2.0), ("content", 1.0)]
+    qs = [(1, "data parse"), (2, "stream cache")]
+
+    def tbl(df):
+        return {(r["qid"], r["doc_id"]): r["score"] for r in df.collect()}
+
+    per_field = {}
+    for col, w in fields:
+        part = tbl(bm25f_scores(fielded, [(col, w)], qs))
+        for k, v in part.items():
+            per_field.setdefault(k, []).append(v)
+
+    # tie_breaker=1 degenerates to the BM25F weighted sum
+    sums = tbl(bm25f_scores(fielded, fields, qs))
+    dm1 = tbl(dismax_scores(fielded, fields, qs, tie_breaker=1.0))
+    assert set(dm1) == set(sums)
+    for k in sums:
+        assert abs(dm1[k] - sums[k]) < 1e-9
+    # tie_breaker=0 is pure best-field; 0.3 is max + 0.3*(sum-max)
+    dm0 = tbl(dismax_scores(fielded, fields, qs, tie_breaker=0.0))
+    dm3 = tbl(dismax_scores(fielded, fields, qs, tie_breaker=0.3))
+    assert set(dm0) == set(per_field)
+    for k, vs in per_field.items():
+        mx, sm = max(vs), sum(vs)
+        assert abs(dm0[k] - mx) < 1e-9, k
+        assert abs(dm3[k] - (mx + 0.3 * (sm - mx))) < 1e-9, k
+    with pytest.raises(ValueError):
+        dismax_scores(fielded, fields, qs, tie_breaker=1.5)

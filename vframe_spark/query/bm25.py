@@ -107,6 +107,19 @@ def bm25f_scores(
     (qid, doc_id) partial-aggregated groupBy. Cost is proportional to
     matched postings across fields, not corpus size × fields.
     """
+    allp = _per_field_scores(docs, fields, queries, id_col)
+    return allp.groupBy("qid", "doc_id").agg(F.sum("score").alias("score"))
+
+
+def _per_field_scores(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Union of weighted per-field BM25 score tables — one row per
+    (qid, doc, field-with-a-match). Shared kernel of `bm25f_scores`
+    (sum combination) and `dismax_scores` (max + tie_breaker)."""
     from ..index.build import tokenize_docs
 
     spark = docs.sparkSession
@@ -129,7 +142,43 @@ def bm25f_scores(
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
-    return allp.groupBy("qid", "doc_id").agg(F.sum("score").alias("score"))
+    return allp
+
+
+def dismax_scores(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    queries: list[tuple[int, str]],
+    tie_breaker: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene ``dis_max`` / ES ``multi_match best_fields`` multi-field
+    combination: a doc's score is its BEST field's score plus
+    ``tie_breaker`` × the other fields' scores —
+    ``max + tie_breaker·(sum − max)``. ``tie_breaker=0`` is pure
+    best-field (the ES default), ``tie_breaker=1`` degenerates to
+    `bm25f_scores`' weighted sum. Same execution shape as BM25F: the
+    per-field score tables union shuffle-free into ONE partial-agg
+    groupBy carrying (max, sum)."""
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    allp = _per_field_scores(docs, fields, queries, id_col)
+    tb = F.lit(float(tie_breaker))
+    return allp.groupBy("qid", "doc_id").agg(
+        (F.max("score") + tb * (F.sum("score") - F.max("score"))).alias("score")
+    )
+
+
+def dismax_topk_df(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k dis-max multi-field BM25 → (qid, rank, doc_id, score)."""
+    return topk(dismax_scores(docs, fields, queries, tie_breaker, id_col), k)
 
 
 def bm25f_topk_df(

@@ -370,3 +370,87 @@ def field_cardinality(
     return approx_distinct_portable(joined, "_v", by=["qid"], p=p).select(
         "qid", F.col("est").alias("est_distinct")
     )
+
+
+_DATE_UNITS = ("year", "quarter", "month", "week", "day", "hour")
+
+
+def date_histogram_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    ts_col: str,
+    unit: str = "month",
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Calendar date-histogram aggregation over the match set (the ES
+    ``date_histogram`` facet) → (qid, bucket, n_docs): bucket =
+    ``date_trunc(unit, ts)`` (week starts Monday, matching both Spark
+    and ANSI SQL). NULL timestamps drop. Same cost shape as every other
+    facet: one match-set decode + equi-join + partial-agg count."""
+    if unit not in _DATE_UNITS:
+        raise ValueError(f"unit must be one of {_DATE_UNITS}, got {unit!r}")
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"),
+        F.date_trunc(unit, F.col(ts_col).cast("timestamp")).alias("bucket"),
+    ).filter(F.col(ts_col).isNotNull())
+    return (
+        m.join(v, "doc_id")
+        .groupBy("qid", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def range_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    ranges: list[tuple[str, float | None, float | None]],
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Range aggregation over the match set (the ES ``range`` facet) →
+    (qid, range_key, n_docs). Each range is (key, lo, hi) counting docs
+    with ``lo <= v < hi`` (half-open, ES semantics); ``None`` bounds are
+    unbounded; ranges MAY overlap — a doc counts once per range it
+    falls in, exactly like ES. Empty ranges emit no row (count them as
+    0 on the client, or outer-join the key list).
+
+    The range membership test is a pure codegen expression — a literal
+    array of (key, lo, hi) structs filtered per row then exploded —
+    so the only data-sized costs remain the match-set decode, one
+    equi-join, and a partial-agg count."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    for key, lo, hi in ranges:
+        if lo is not None and hi is not None and not (lo < hi):
+            raise ValueError(f"range {key!r}: lo must be < hi, got {lo}, {hi}")
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    arr = F.array(*[
+        F.struct(
+            F.lit(str(key)).alias("k"),
+            F.lit(None if lo is None else float(lo)).cast("double").alias("lo"),
+            F.lit(None if hi is None else float(hi)).cast("double").alias("hi"),
+        )
+        for key, lo, hi in ranges
+    ])
+    hit = F.filter(
+        arr,
+        lambda r: (r["lo"].isNull() | (F.col("_v") >= r["lo"]))
+        & (r["hi"].isNull() | (F.col("_v") < r["hi"])),
+    )
+    return (
+        m.join(v, "doc_id")
+        .select("qid", F.explode(hit).alias("r"))
+        .select("qid", F.col("r.k").alias("range_key"))
+        .groupBy("qid", "range_key")
+        .agg(F.count("*").alias("n_docs"))
+    )
