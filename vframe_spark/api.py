@@ -317,6 +317,47 @@ class SearchIndex:
             interval=interval, id_col=id_col, mode=mode,
         )
 
+    def date_histogram(
+        self,
+        query: str | list[tuple[int, str]],
+        values: DataFrame,
+        ts_col: str,
+        unit: str = "month",
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Calendar date-histogram facet over the match set → (qid,
+        bucket, n_docs); see `query.facets.date_histogram_facets`."""
+        from .query.facets import date_histogram_facets
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return date_histogram_facets(
+            postings, meta, queries, values, ts_col,
+            unit=unit, id_col=id_col, mode=mode,
+        )
+
+    def range_facet(
+        self,
+        query: str | list[tuple[int, str]],
+        values: DataFrame,
+        value_col: str,
+        ranges: list[tuple[str, float | None, float | None]],
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Range facet over the match set (overlapping half-open
+        buckets) → (qid, range_key, n_docs); see
+        `query.facets.range_facets`."""
+        from .query.facets import range_facets
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return range_facets(
+            postings, meta, queries, values, value_col,
+            ranges, id_col=id_col, mode=mode,
+        )
+
     def percentiles(
         self,
         query: str | list[tuple[int, str]],
