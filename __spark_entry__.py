@@ -966,6 +966,25 @@ def q_ft_dismax_topk(spark, sf_dir):
     return _rounded_rank(scored, FT_K)
 
 
+RESCORE_WINDOW, RESCORE_QW, RESCORE_RW, RESCORE_MU = 20, 1.0, 0.5, 2000.0
+
+
+def q_ft_rescore_topk(spark, sf_dir):
+    """Two-phase rescoring (ES `rescore` / Lucene QueryRescorer): WAND
+    BM25 selects a top-20 window per query, LM-Dirichlet(2000) rescores
+    ONLY the window, final = 1.0·bm25 + 0.5·lmdir (score_mode total) —
+    the expensive scorer touches window_size docs, never the match set
+    (query/rescore.py)."""
+    from vframe_spark.query.rescore import rescore_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    return rescore_topk(
+        postings, term_stats, meta, FT_QUERIES, k=FT_K,
+        window_size=RESCORE_WINDOW, mu=RESCORE_MU,
+        query_weight=RESCORE_QW, rescore_weight=RESCORE_RW,
+    )
+
+
 SIG_K, SIG_MIN_FG = 5, 2
 
 
@@ -4106,6 +4125,67 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+def _rescore_oracle_sql() -> str:
+    """DuckDB rescore replay: BM25 per-doc (4 dp) → window rank ≤ W,
+    LM-Dirichlet per-doc (4 dp), weighted sum (4 dp), final rank ≤ k."""
+    qvals = _ft_qterms_values_sql()
+    mu, qw, rw = RESCORE_MU, RESCORE_QW, RESCORE_RW
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl,
+         (SELECT sum(dl) FROM dl)::BIGINT AS total_len
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {qvals}),
+bcontrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+bscore AS (SELECT qid, doc_id, round(sum(c), 4) AS b FROM bcontrib GROUP BY 1, 2),
+bwin AS (
+  SELECT qid, doc_id, b,
+         row_number() OVER (PARTITION BY qid ORDER BY b DESC, doc_id) AS r
+  FROM bscore
+),
+win AS (SELECT qid, doc_id, b FROM bwin WHERE r <= {RESCORE_WINDOW}),
+lmc AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1 + tf.tf / ({mu!r} * (cf.cf / s.total_len)))
+           + ln({mu!r} / (dl.dl + {mu!r})) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN cf ON cf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+lms AS (SELECT qid, doc_id, round(sum(c), 4) AS l FROM lmc GROUP BY 1, 2),
+fin AS (
+  SELECT win.qid, win.doc_id,
+         round({qw!r} * win.b + {rw!r} * coalesce(lms.l, 0.0), 4) AS score
+  FROM win LEFT JOIN lms ON lms.qid = win.qid AND lms.doc_id = win.doc_id
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM fin
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def _significant_oracle_sql() -> str:
     qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
     return f"""
@@ -4666,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_date_histogram": q_ft_date_histogram,
         "ft_range_facet": q_ft_range_facet,
         "ft_dismax_topk": q_ft_dismax_topk,
+        "ft_rescore_topk": q_ft_rescore_topk,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "ft_trigram_regex": q_ft_trigram_regex,
@@ -5258,6 +5339,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_date_histogram": _date_histogram_oracle_sql(),
         "ft_range_facet": _range_facet_oracle_sql(),
         "ft_dismax_topk": _dismax_oracle_sql(),
+        "ft_rescore_topk": _rescore_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),

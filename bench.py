@@ -180,6 +180,7 @@ def main() -> None:
         "ft_date_histogram",
         "ft_range_facet",
         "ft_dismax_topk",
+        "ft_rescore_topk",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

@@ -127,3 +127,43 @@ def test_lm_tombstones_drop_before_cut(spark, corpus, index):
     ids = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert top not in ids
     assert ids == [d for d, _ in full if d != top][:k]
+
+
+def test_rescore_topk_bruteforce(spark, corpus, index):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from vframe_spark.query.rescore import rescore_topk
+
+    def r4(x: float) -> float:
+        # Spark's round() = HALF_UP on the shortest decimal repr —
+        # python round() is banker's, which splits exact .xxxx5 ties
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    qs = [(1, "cache stream"), (2, "token parse config")]
+    W, K, QW, RW = 12, 5, 1.0, 0.5
+    got = {}
+    for r in rescore_topk(
+        postings, term_stats, meta, qs, k=K, window_size=W,
+        mu=MU, query_weight=QW, rescore_weight=RW,
+    ).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+
+    for qid, q in qs:
+        # brute window: full BM25 ranking at the 4-dp grain
+        bm = [(d, r4(s)) for d, s in oracle.topk(q, oracle.n_docs)]
+        bm.sort(key=lambda x: (-x[1], x[0]))
+        window = bm[:W]
+        lm = {d: r4(s) for d, s in brute_lm_topk(oracle, q, oracle.n_docs)}
+        fin = [(d, r4(QW * b + RW * lm.get(d, 0.0))) for d, b in window]
+        fin.sort(key=lambda x: (-x[1], x[0]))
+        expect = fin[:K]
+        mine = sorted(got[qid])
+        assert len(mine) == len(expect), qid
+        for (rank, d, s), (ed, es) in zip(mine, expect):
+            assert d == ed, (qid, rank, d, ed)
+            assert abs(s - es) <= 1e-9, (qid, rank, s, es)
+
+    with pytest.raises(ValueError):
+        rescore_topk(postings, term_stats, meta, qs, k=20, window_size=10)

@@ -317,6 +317,28 @@ class SearchIndex:
             interval=interval, id_col=id_col, mode=mode,
         )
 
+    def rescore(
+        self,
+        query: str | list[tuple[int, str]],
+        k: int = 10,
+        window_size: int = 30,
+        mu: float = 2000.0,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> DataFrame:
+        """Two-phase rescoring (ES `rescore`): WAND BM25 window,
+        LM-Dirichlet rescore, weighted total → (qid, rank, doc_id,
+        score); see `query.rescore.rescore_topk`."""
+        from .query.rescore import rescore_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return rescore_topk(
+            postings, term_stats, meta, queries, k=k,
+            window_size=window_size, mu=mu,
+            query_weight=query_weight, rescore_weight=rescore_weight,
+        )
+
     def date_histogram(
         self,
         query: str | list[tuple[int, str]],

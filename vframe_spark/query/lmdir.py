@@ -79,7 +79,11 @@ def collection_tf(postings: DataFrame, meta: dict, terms: list[str]) -> dict[str
 
 
 def _local_lm_topk(
-    pdf: pd.DataFrame, k: int, mu: float, exclude: np.ndarray | None
+    pdf: pd.DataFrame,
+    k: int,
+    mu: float,
+    exclude: np.ndarray | None,
+    include_by_qid: dict[int, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
         {"qid": "int32", "doc_id": "int64", "score": "float64"}
@@ -112,6 +116,16 @@ def _local_lm_topk(
         pos = np.searchsorted(exclude, uniq)
         dead = (pos < exclude.size) & (exclude[np.clip(pos, 0, exclude.size - 1)] == uniq)
         uniq, scores = uniq[~dead], scores[~dead]
+    if include_by_qid is not None:
+        incl = include_by_qid.get(qid)
+        if incl is None or incl.size == 0 or uniq.size == 0:
+            return empty
+        pos = np.searchsorted(incl, uniq)
+        keep = (pos < incl.size) & (incl[np.clip(pos, 0, incl.size - 1)] == uniq)
+        uniq, scores = uniq[keep], scores[keep]
+        # restricted mode emits the whole (tiny) include set — no k cut
+        sel = np.lexsort((uniq, -scores))
+        return pd.DataFrame({"qid": qid, "doc_id": uniq[sel], "score": scores[sel]})
     if uniq.size == 0:
         return empty
     sel = np.lexsort((uniq, -scores))[:k]
@@ -171,6 +185,61 @@ def lm_dirichlet_topk(
         "qid int, doc_id bigint, score double",
     )
     return topk(partials, k)
+
+
+def lm_dirichlet_scores_for(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    docs_by_qid: dict[int, list[int]],
+    mu: float = DEFAULT_MU,
+) -> DataFrame:
+    """LM-Dirichlet scores RESTRICTED to the given per-query doc sets →
+    (qid, doc_id, score): the rescoring primitive (query/rescore.py).
+    Same pruned scan and shard kernel as `lm_dirichlet_topk`, but each
+    (qid, shard) group emits only its docs in ``docs_by_qid[qid]``
+    (driver-small by construction — a top-N window), uncut. Docs whose
+    matched-term set is empty (no query term has cf > 0 in them) emit
+    no row — coalesce to 0 on the caller's side."""
+    spark: SparkSession = postings.sparkSession
+    empty = spark.createDataFrame([], "qid int, doc_id bigint, score double")
+    total_len = meta.get("total_len")
+    if total_len is None:
+        total_len = int(round(float(meta["avgdl"]) * int(meta["n_docs"])))
+    total_len = int(total_len)
+    if total_len <= 0:
+        return empty
+    rows = [
+        (int(qid), t)
+        for qid, q in queries
+        for t in sorted(set(parse_query_terms(q)))
+    ]
+    all_terms = sorted({t for _, t in rows})
+    cfs = collection_tf(postings, meta, all_terms)
+    qrows = [
+        (qid, t, mu * (cfs[t] / total_len)) for qid, t in rows if cfs.get(t)
+    ]
+    if not qrows:
+        return empty
+    qstats = spark.createDataFrame(qrows, "qid int, term string, denom double")
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qstats), "term"
+    )
+    incl = {
+        int(q): np.asarray(sorted({int(d) for d in ds}), dtype=np.int64)
+        for q, ds in docs_by_qid.items()
+    }
+    return matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _local_lm_topk(pdf, 0, mu, None, include_by_qid=incl),
+        "qid int, doc_id bigint, score double",
+    )
 
 
 def lm_dirichlet_oracle_sql(

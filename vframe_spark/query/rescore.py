@@ -1,0 +1,99 @@
+"""Two-phase rescoring — the ES ``rescore`` / Lucene ``QueryRescorer``
+surface: a cheap first-pass ranking (block-max WAND BM25) selects a
+top-``window_size`` window per query, a second, different scorer
+(LM-Dirichlet) re-scores ONLY that window, and the final ranking
+combines both::
+
+    final = query_weight · bm25  +  rescore_weight · lmdir
+
+(the ES ``score_mode: total`` default). Rescoring buys second-scorer
+quality at first-pass cost: the expensive scorer touches ``window_size``
+docs per query, never the match set.
+
+Scale shape: pass 1 is the standard WAND batch (block-max pruned);
+the window is |queries| × window_size driver rows by construction;
+pass 2 re-uses the SAME pruned posting scan the window's query paid,
+with the shard kernel restricted to the window's doc ids
+(`lmdir.lm_dirichlet_scores_for`) — each (qid, shard) group emits ≤
+window_size rows. The corpus is never scanned.
+
+Cross-engine determinism: the window cut and the final ranking both
+use the engine's rank discipline (4 dp score rounding, doc_id ASC
+ties), and each component rounds to 4 dp BEFORE the weighted sum, so
+a SQL engine replays window selection and final order exactly.
+
+Reference parity: vframe's cheap-pass-gates-expensive-pass pipelines
+(detect → skip-cnn re-rank, /root/reference/src/commands/pipe/
+skip-cnn.py:60-87) — here both passes are index-pruned rankers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .lmdir import DEFAULT_MU, lm_dirichlet_scores_for
+from .wand import bm25_topk_wand
+
+
+def rescore_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    k: int = 10,
+    window_size: int = 30,
+    mu: float = DEFAULT_MU,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+) -> DataFrame:
+    """→ (qid, rank, doc_id, score): WAND BM25 top-``window_size``
+    window per query, LM-Dirichlet(μ) rescored, combined
+    ``query_weight·bm25 + rescore_weight·lmdir`` (both components at
+    the 4 dp grain), ranked (score DESC, doc_id ASC) and cut at ``k``.
+    A window doc the rescorer can't score (no query term with cf > 0)
+    keeps its weighted first-pass score, like ES."""
+    queries = list(queries)
+    if k > window_size:
+        raise ValueError(f"k ({k}) must be <= window_size ({window_size})")
+    # Pass 1: over-fetch, then cut the window on the cross-engine grain.
+    raw = bm25_topk_wand(postings, term_stats, meta, queries, k=3 * window_size)
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    window = (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= window_size)
+        .select("qid", "doc_id", F.col("score").alias("bm25"))
+    )
+    wrows = window.collect()  # |queries| × window_size rows by construction
+    docs_by_qid: dict[int, list[int]] = {}
+    for r in wrows:
+        docs_by_qid.setdefault(int(r["qid"]), []).append(int(r["doc_id"]))
+    spark = postings.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(r["qid"]), int(r["doc_id"]), float(r["bm25"])) for r in wrows],
+        "qid int, doc_id bigint, bm25 double",
+    )
+    # Pass 2: the expensive scorer, restricted to the window.
+    lm = lm_dirichlet_scores_for(postings, meta, queries, docs_by_qid, mu=mu).select(
+        "qid", "doc_id", F.round("score", 4).alias("lm")
+    )
+    combined = (
+        wdf.join(lm, ["qid", "doc_id"], "left")
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(float(query_weight)) * F.col("bm25")
+                + F.lit(float(rescore_weight)) * F.coalesce(F.col("lm"), F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        combined.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
