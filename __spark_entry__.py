@@ -88,6 +88,14 @@ FT_WILDCARD = [
 ]
 FT_WILD_MAX_EXP = 16
 
+# Infix/leading-star wildcard set (Lucene WildcardQuery: * anywhere).
+FT_WILDCARD_INFIX = [
+    (1, "pa*se stream"),
+    (2, "*tion data"),
+    (3, "c*fig"),
+    (4, "*zzznothing* hash"),
+]
+
 # Fielded (BM25F-lite) query set: source tokens hit the boosted field.
 FTF_FIELDS = [("source", 2.0), ("text", 1.0)]
 FTF_QUERIES = [
@@ -1235,6 +1243,78 @@ def q_ft_wildcard_topk(spark, sf_dir):
         max_expansions=FT_WILD_MAX_EXP,
     )
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def q_ft_wildcard_infix(spark, sf_dir):
+    """Full Lucene WildcardQuery retrieval: `*` ANYWHERE in a token
+    (`pa*se`, `*tion`) expands against the vocab via LIKE (≤16 terms,
+    df DESC / term ASC) and scores as a ranked WAND union; the oracle
+    repeats the glob→LIKE expansion IN SQL (query/prefix.py
+    expand_wildcard)."""
+    from vframe_spark.query.prefix import wildcard_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = wildcard_topk(
+        postings, term_stats, meta, FT_WILDCARD_INFIX, k=3 * FT_K,
+        max_expansions=FT_WILD_MAX_EXP,
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _wildcard_infix_oracle_sql() -> str:
+    from vframe_spark.query.prefix import glob_to_like, parse_wildcard_query
+
+    vals = []
+    for qid, q in FT_WILDCARD_INFIX:
+        exact, prefixes, globs = parse_wildcard_query(q)
+        for t in sorted(set(exact)):
+            vals.append(f"({qid}, 'exact', '{t}')")
+        for p in prefixes:
+            vals.append(f"({qid}, 'glob', '{glob_to_like(p)}%')")
+        for g in globs:
+            vals.append(f"({qid}, 'glob', '{glob_to_like(g)}')")
+    vals_sql = ", ".join(vals)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+raw_q(qid, kind, val) AS (VALUES {vals_sql}),
+exp AS (
+  SELECT rq.qid, d.term,
+         row_number() OVER (PARTITION BY rq.qid, rq.val ORDER BY d.df DESC, d.term) AS rn
+  FROM raw_q rq JOIN dfreq d ON d.term LIKE rq.val ESCAPE '\\'
+  WHERE rq.kind = 'glob'
+),
+q AS (
+  SELECT DISTINCT qid, val AS term FROM raw_q WHERE kind = 'exact'
+  UNION
+  SELECT qid, term FROM exp WHERE rn <= {FT_WILD_MAX_EXP}
+),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
 
 
 def _wildcard_oracle_sql() -> str:
@@ -4747,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_range_facet": q_ft_range_facet,
         "ft_dismax_topk": q_ft_dismax_topk,
         "ft_rescore_topk": q_ft_rescore_topk,
+        "ft_wildcard_infix": q_ft_wildcard_infix,
         "ft_explain": q_ft_explain,
         "ft_regex_search": q_ft_regex_search,
         "ft_trigram_regex": q_ft_trigram_regex,
@@ -5340,6 +5421,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_range_facet": _range_facet_oracle_sql(),
         "ft_dismax_topk": _dismax_oracle_sql(),
         "ft_rescore_topk": _rescore_oracle_sql(),
+        "ft_wildcard_infix": _wildcard_infix_oracle_sql(),
         "ft_explain": _explain_oracle_sql(),
         "ft_regex_search": _regex_oracle_sql(),
         "ft_trigram_regex": _trigram_regex_oracle_sql(),

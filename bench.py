@@ -181,6 +181,7 @@ def main() -> None:
         "ft_range_facet",
         "ft_dismax_topk",
         "ft_rescore_topk",
+        "ft_wildcard_infix",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

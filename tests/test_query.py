@@ -777,3 +777,38 @@ def test_dismax_scores_vs_bruteforce(spark, corpus):
         assert abs(dm3[k] - (mx + 0.3 * (sm - mx))) < 1e-9, k
     with pytest.raises(ValueError):
         dismax_scores(fielded, fields, qs, tie_breaker=1.5)
+
+
+def test_wildcard_infix_expansion_and_topk(spark, corpus, index):
+    import fnmatch
+    from vframe_spark.query.prefix import (
+        expand_wildcard, glob_to_like, parse_wildcard_query, wildcard_topk,
+    )
+    from vframe_spark.query.wand import bm25_topk_wand
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    vocab = {r["term"]: r["df"] for r in term_stats.collect()}
+
+    for pat in ["pa*se", "*tion", "c*f*g", "*data*"]:
+        got = expand_wildcard(term_stats, pat, max_expansions=8)
+        match = [t for t in vocab if fnmatch.fnmatchcase(t, pat)]
+        match.sort(key=lambda t: (-vocab[t], t))
+        assert got == match[:8], pat
+
+    # escaping: literal % / _ in a term never acts as a SQL wildcard
+    assert glob_to_like("a_b*c%") == "a\\_b%c\\%"
+
+    # parse: infix token -> glob, trailing-star -> prefix, rest exact
+    exact, prefixes, globs = parse_wildcard_query("data pa*se conf*")
+    assert exact == ["data"] and prefixes == ["conf"] and globs == ["pa*se"]
+
+    # retrieval == WAND over the expanded union
+    qs = [(1, "pa*se data")]
+    exp = sorted(set(["data"] + expand_wildcard(term_stats, "pa*se", 16)))
+    wild = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+            for r in wildcard_topk(postings, term_stats, meta, qs, k=5).collect()}
+    ref = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 6))
+           for r in bm25_topk_wand(postings, term_stats, meta,
+                                   [(1, " ".join(exp))], k=5).collect()}
+    assert wild == ref

@@ -39,20 +39,76 @@ def expand_prefix(
     return [r["term"] for r in rows]
 
 
-def parse_wildcard_query(query: str) -> tuple[list[str], list[str]]:
-    """Split a query string into (exact_terms, prefixes). A trailing
-    ``*`` marks a prefix token; everything else tokenizes canonically."""
+def glob_to_like(pattern: str) -> str:
+    """Wildcard glob → SQL LIKE: ``*`` becomes ``%``; literal ``%`` and
+    ``_`` are escaped (backslash, the Spark and ANSI default)."""
+    return (
+        pattern.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+    )
+
+
+def expand_wildcard(
+    term_stats: DataFrame, pattern: str, max_expansions: int = 16
+) -> list[str]:
+    """The ≤ ``max_expansions`` vocabulary terms matching a glob with
+    ``*`` ANYWHERE (Lucene WildcardQuery: ``par*se``, ``*tion``),
+    highest-df first (ties: term ASC). Trailing-star-only patterns
+    should go through `expand_prefix` (range-prunable on a term-sorted
+    vocab); a leading/infix star necessarily scans the vocab — still
+    vocab-sized, never the postings."""
+    rows = (
+        term_stats.filter(F.col("term").like(glob_to_like(pattern)))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def _glob_token(raw: str) -> str | None:
+    """Normalize a ``*``-bearing token: each literal chunk passes the
+    canonical tokenizer (lowercasing etc.), stars survive. Returns None
+    if no literal chunk yields a canonical term."""
+    chunks = raw.split("*")
+    norm = []
+    for ch in chunks:
+        if not ch:
+            norm.append("")
+            continue
+        toks = tokenize_py(ch)
+        if not toks:
+            return None
+        norm.append("".join(toks) if len(toks) == 1 else toks[-1])
+    pat = "*".join(norm)
+    return pat if pat.strip("*") else None
+
+
+def parse_wildcard_query(
+    query: str,
+) -> tuple[list[str], list[str], list[str]]:
+    """Split a query string into (exact_terms, prefixes, globs). A
+    trailing ``*`` marks a prefix token (range-prunable expansion); a
+    ``*`` anywhere else makes the token a glob (Lucene WildcardQuery);
+    everything else tokenizes canonically."""
     exact: list[str] = []
     prefixes: list[str] = []
+    globs: list[str] = []
     for raw in query.split():
-        if raw.endswith("*") and len(raw) > 1:
+        if "*" in raw[:-1] and len(raw.strip("*")) > 0:
+            g = _glob_token(raw)
+            if g is not None:
+                globs.append(g)
+        elif raw.endswith("*") and len(raw) > 1:
             toks = tokenize_py(raw[:-1])
             if toks:
                 prefixes.append(toks[-1])
                 exact.extend(toks[:-1])
         else:
             exact.extend(tokenize_py(raw))
-    return exact, prefixes
+    return exact, prefixes, globs
 
 
 def wildcard_topk(
@@ -72,10 +128,12 @@ def wildcard_topk(
 
     rewritten: list[tuple[int, str]] = []
     for qid, q in queries:
-        exact, prefixes = parse_wildcard_query(q)
+        exact, prefixes, globs = parse_wildcard_query(q)
         terms = list(exact)
         for p in prefixes:
             terms.extend(expand_prefix(term_stats, p, max_expansions))
+        for g in globs:
+            terms.extend(expand_wildcard(term_stats, g, max_expansions))
         if terms:
             rewritten.append((qid, " ".join(sorted(set(terms)))))
     if not rewritten:
