@@ -517,6 +517,32 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+# Boolean expressions with quoted PHRASE clauses (match_phrase inside
+# bool): adjacency decided from the positional index inside the same
+# bitmask kernel — a phrase owns its own mask bit.
+FT_BOOLP_QUERIES = [
+    (1, '"hash join" AND scan'),
+    (2, 'data NOT "sort merge"'),
+    (3, '("table scan" OR "spark sql") NOT filter'),
+    (4, '"agg row scan" window'),
+]
+
+
+def q_ft_boolean_phrase(spark, sf_dir):
+    """Boolean retrieval with quoted phrase clauses (`"hash join" AND
+    scan` — ES match_phrase inside bool): each phrase gets its own mask
+    bit, set only when the positional index verifies adjacency, inside
+    the SAME shard-local bitmask kernel; positive phrases score their
+    constituent terms' BM25. One pruned scan, one shuffle, source never
+    read. The oracle replays phrase bits via zipped-unnest position
+    self-joins (query/boolq.py)."""
+    from vframe_spark.query.boolq import boolean_topk
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    raw = boolean_topk(postings, term_stats, meta, FT_BOOLP_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
 def q_ft_bm25_negated(spark, sf_dir):
     """Ranked union over positive terms, minus every doc containing a
     `-term` negated term — exclusion decided inside the local scorer
@@ -4725,6 +4751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
+        "ft_boolean_phrase": q_ft_boolean_phrase,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_synonym_topk": q_ft_synonym_topk,
         "ft_boosted_topk": q_ft_boosted_topk,
@@ -4905,6 +4932,7 @@ def oracle_sql() -> dict[str, str]:
             "{QVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[0]
         ).replace("{NVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[1]),
         "ft_boolean": boolean_oracle_sql(FT_BOOL_QUERIES, TOK_SQL, FT_K),
+        "ft_boolean_phrase": boolean_oracle_sql(FT_BOOLP_QUERIES, TOK_SQL, FT_K),
         "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),
         "ft_synonym_topk": BM25_ORACLE_SQL.replace(
             "{QVALUES}", synonym_qterms_values_sql(FT_SYN_QUERIES, FT_SYNONYMS)

@@ -182,6 +182,7 @@ def main() -> None:
         "ft_dismax_topk",
         "ft_rescore_topk",
         "ft_wildcard_infix",
+        "ft_boolean_phrase",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

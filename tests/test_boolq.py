@@ -266,3 +266,74 @@ def test_too_many_terms_rejected(spark, corpus, index):
     q = " OR ".join(f"term{i}x" for i in range(MAX_TERMS + 1))
     with pytest.raises(ValueError, match=f"max {MAX_TERMS}"):
         boolean_topk(postings, term_stats, meta, [(1, q)], k=5)
+
+
+def test_boolean_phrase_clauses(spark, corpus, tmp_path_factory):
+    from vframe_spark.functions.tokenizer import tokenize_py
+    from vframe_spark.query.boolq import (
+        boolean_topk, evaluate, expr_phrases, parse_bool_query, phrase_key,
+        scoring_terms,
+    )
+
+    docs, oracle = corpus
+    out = str(tmp_path_factory.mktemp("bpidx"))
+    meta = build_index(
+        docs, out, shard_size=64, block_size=16, shards_per_slice=2,
+        positions=True,
+    )
+    assert meta["complete"]
+    postings, term_stats, _, m = load_index(spark, out)
+
+    toks_by_doc = {
+        r["doc_id"]: tokenize_py(r["content"])
+        for r in docs.select("doc_id", "content").collect()
+    }
+
+    def has_phrase(toks, p):
+        return any(toks[i:i + len(p)] == p for i in range(len(toks) - len(p) + 1))
+
+    exprs = [
+        (1, '"return value" AND scan'),
+        (2, 'data NOT "item value"'),
+        (3, '("name value" OR "main value") NOT filter'),
+        (4, 'NOT "return value" AND merge'),
+        (5, '"rank value" "value init"'),
+    ]
+    got = {}
+    for r in boolean_topk(postings, term_stats, m, exprs, k=8).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+
+    any_phrase_hits = 0
+    for qid, expr in exprs:
+        tree = parse_bool_query(expr)
+        phrases = expr_phrases(tree)
+        sterms = scoring_terms(tree)
+        scored = []
+        for d, toks in toks_by_doc.items():
+            present = set(toks)
+            for p in phrases:
+                if has_phrase(toks, p):
+                    present.add(phrase_key(p))
+                    any_phrase_hits += 1
+            if evaluate(tree, frozenset(present)):
+                scored.append((d, oracle.score(sterms, d)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expect = scored[:8]
+        mine = sorted(got.get(qid, []))
+        assert len(mine) == len(expect), (qid, expr, len(mine), len(expect))
+        for (rank, d, s), (ed, es) in zip(mine, expect):
+            assert d == ed, (qid, expr, rank, d, ed)
+            assert abs(s - es) < 1e-9, (qid, expr, rank)
+    assert any_phrase_hits > 0  # the corpus genuinely exercises adjacency
+
+    # parser edges: quoted single word == plain term; empty phrase raises
+    t1 = parse_bool_query('"hash" AND join')
+    assert expr_phrases(t1) == []
+    with pytest.raises(ValueError):
+        parse_bool_query('"  " AND join')
+    # phrases need positions
+    np_idx = str(tmp_path_factory.mktemp("bpnp"))
+    build_index(docs, np_idx, shard_size=64, block_size=16, shards_per_slice=2)
+    p2, t2, _, m2 = load_index(spark, np_idx)
+    with pytest.raises(ValueError):
+        boolean_topk(p2, t2, m2, [(1, '"hash join" scan')], k=3).collect()

@@ -56,11 +56,18 @@ from .bm25 import idf_value, topk
 # A bare word runs through the code-aware tokenizer; a word that splits into
 # several index terms (camelCase, snake_case) becomes an AND of those terms.
 
-_TOKEN_RE = re.compile(r"\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+")
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+')
 
 
 class BoolNode:
-    """Expression tree node: op ∈ {term, and, or, not}."""
+    """Expression tree node: op ∈ {term, phrase, and, or, not}.
+
+    A ``phrase`` node is an exact-adjacency clause (``"hash table"`` —
+    the ES ``match_phrase``-inside-``bool`` shape): ``term`` holds its
+    pseudo-key (the space-joined ordered canonical terms, quoted) and
+    ``kids`` the ordered term atoms. At the mask level a phrase owns
+    its OWN bit, set only when positional verification succeeds — term
+    presence alone never satisfies it."""
 
     __slots__ = ("op", "term", "kids")
 
@@ -70,10 +77,19 @@ class BoolNode:
     def __repr__(self):  # pragma: no cover - debug aid
         if self.op == "term":
             return self.term
+        if self.op == "phrase":
+            return self.term
         if self.op == "not":
             return f"(NOT {self.kids[0]!r})"
         sep = f" {self.op.upper()} "
         return "(" + sep.join(repr(k) for k in self.kids) + ")"
+
+
+def phrase_key(ordered_terms: list[str]) -> str:
+    """Pseudo-key for a phrase clause's mask bit — quoted so it can
+    never collide with a real index term (terms contain no spaces or
+    quotes)."""
+    return '"' + " ".join(ordered_terms) + '"'
 
 
 def parse_bool_query(query: str) -> BoolNode:
@@ -134,6 +150,19 @@ def parse_bool_query(query: str) -> BoolNode:
         if t in (")", "AND", "OR"):
             raise ValueError(f"misplaced {t!r} in boolean query: {query!r}")
         word = take()
+        if word.startswith('"') and word.endswith('"'):
+            from ..functions.tokenizer import tokenize_py
+
+            ordered = tokenize_py(word[1:-1])  # order matters for adjacency
+            if not ordered:
+                raise ValueError(f"phrase {word!r} tokenizes to no index terms")
+            if len(ordered) == 1:
+                return BoolNode("term", term=ordered[0])
+            return BoolNode(
+                "phrase",
+                term=phrase_key(ordered),
+                kids=[BoolNode("term", term=w) for w in ordered],
+            )
         terms = parse_query_terms(word)
         if not terms:
             raise ValueError(f"word {word!r} tokenizes to no index terms")
@@ -152,8 +181,14 @@ def parse_bool_query(query: str) -> BoolNode:
 
 
 def evaluate(node: BoolNode, present: frozenset[str]) -> bool:
-    """Reference semantics: does a doc with term set ``present`` match?"""
+    """Reference semantics: does a doc with atom set ``present`` match?
+    ``present`` holds real terms the doc contains PLUS the
+    `phrase_key`s of phrases it positionally satisfies — a phrase node
+    checks its own pseudo-key, never mere term presence (matching the
+    mask-bit semantics exactly)."""
     if node.op == "term":
+        return node.term in present
+    if node.op == "phrase":
         return node.term in present
     if node.op == "not":
         return not evaluate(node.kids[0], present)
@@ -163,7 +198,9 @@ def evaluate(node: BoolNode, present: frozenset[str]) -> bool:
 
 
 def expr_terms(node: BoolNode) -> list[str]:
-    """All distinct terms mentioned anywhere in the expression (sorted)."""
+    """All distinct REAL terms mentioned anywhere in the expression —
+    including phrase constituents (they all ride the posting scan);
+    sorted."""
     out: set[str] = set()
 
     def walk(n):
@@ -176,6 +213,21 @@ def expr_terms(node: BoolNode) -> list[str]:
     return sorted(out)
 
 
+def expr_phrases(node: BoolNode) -> list[list[str]]:
+    """Distinct phrase clauses (ordered term lists), sorted by
+    pseudo-key."""
+    out: dict[str, list[str]] = {}
+
+    def walk(n):
+        if n.op == "phrase":
+            out[n.term] = [k.term for k in n.kids]
+        for k in n.kids:
+            walk(k)
+
+    walk(node)
+    return [out[k] for k in sorted(out)]
+
+
 def scoring_terms(node: BoolNode) -> list[str]:
     """Terms in a *positive* context (under an even number of NOTs) —
     the ones whose BM25 contributions count (Lucene: MUST/SHOULD score,
@@ -186,6 +238,9 @@ def scoring_terms(node: BoolNode) -> list[str]:
         if n.op == "term":
             if not neg:
                 out.add(n.term)
+        elif n.op == "phrase":
+            if not neg:  # a positive phrase scores its constituent terms
+                out.update(k.term for k in n.kids)
         elif n.op == "not":
             walk(n.kids[0], not neg)
         else:
@@ -209,6 +264,17 @@ WORD_BITS = 62
 MAX_TERMS = 4096  # driver-side broadcast stays trivially small
 
 
+def atom_bits(tree: BoolNode) -> dict[str, int]:
+    """Bit assignment for every atom the mask must carry: the sorted
+    real terms (including phrase constituents), then the sorted phrase
+    pseudo-keys. The SAME builder feeds the engine kernel and the SQL
+    oracle, so bit numbering always agrees."""
+    atoms = sorted(expr_terms(tree)) + sorted(
+        phrase_key(p) for p in expr_phrases(tree)
+    )
+    return {a: i for i, a in enumerate(atoms)}
+
+
 def n_mask_words(bit_of: dict[str, int]) -> int:
     return (max(bit_of.values()) // WORD_BITS + 1) if bit_of else 1
 
@@ -217,7 +283,7 @@ def eval_mask_np(node: BoolNode, bit_of: dict[str, int], mask: np.ndarray) -> np
     """Vectorized predicate over an int64 bitmask array — 1-D for ≤62-term
     expressions, (n_docs, n_words) 2-D beyond."""
     n_rows = mask.shape[0]
-    if node.op == "term":
+    if node.op in ("term", "phrase"):
         b = bit_of.get(node.term)
         if b is None:  # out-of-vocabulary → present in no document
             return np.zeros(n_rows, dtype=bool)
@@ -244,7 +310,7 @@ def mask_predicate_sql(
     the bare ``col``; multi-word → ``col0 … colN-1``."""
     if n_words is None:
         n_words = n_mask_words(bit_of)
-    if node.op == "term":
+    if node.op in ("term", "phrase"):
         b = bit_of.get(node.term)
         if b is None:
             return "FALSE"
@@ -268,10 +334,14 @@ def mask_predicate_sql(
 def _local_bool_topk(
     pdf: pd.DataFrame, trees: dict[int, BoolNode], bits: dict[int, dict[str, int]],
     k: int, avgdl: float, exclude: np.ndarray | None = None,
+    phrase_defs: dict[int, list[tuple[str, list[str]]]] | None = None,
 ) -> pd.DataFrame:
     """One (qid, shard) group: decode → per-doc (mask, score) → predicate →
     local top-k.  Docs are shard-complete (shards are doc-id ranges), so the
-    mask is the doc's full term-presence vector for this query."""
+    mask is the doc's full term-presence vector for this query — and, when
+    the query has phrase clauses, the positional index's position lists for
+    the phrase terms are shard-complete too, so phrase bits verify locally
+    (same adjacency kernel as `query.positional`)."""
     empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
         {"qid": "int32", "doc_id": "int64", "score": "float64"}
     )
@@ -280,6 +350,9 @@ def _local_bool_topk(
     qid = int(pdf["qid"].iloc[0])
     bit_of = bits[qid]
     n_words = n_mask_words(bit_of)
+    phrases = (phrase_defs or {}).get(qid, [])
+    need_pos = {t for _, ts in phrases for t in ts}
+    pos_by_term: dict[str, dict[int, np.ndarray]] = {t: {} for t in need_pos}
     ids_parts, word_parts, mask_parts, contrib_parts = [], [], [], []
     for term in sorted(pdf["term"].unique()):
         g = pdf[pdf["term"] == term].sort_values("block")
@@ -287,22 +360,32 @@ def _local_bool_topk(
         w_idx, r = divmod(bit_of[term], WORD_BITS)
         bit = np.int64(1 << r)
         scoring = bool(g["scoring"].iloc[0])
-        for n_, buf, first, tfb, dlb in zip(
-            g["n"], g["doc_ids"], g["first_doc"], g["tfs"], g["dls"]
-        ):
-            n = int(n_)
+        want_pos = term in need_pos
+        for row in g.itertuples(index=False):
+            n = int(row.n)
+            buf, first, tfb, dlb = row.doc_ids, row.first_doc, row.tfs, row.dls
             ids = pfor_delta_decode(buf, n, int(first)).astype(np.int64)
             ids_parts.append(ids)
             word_parts.append(np.full(n, w_idx, dtype=np.int16))
             mask_parts.append(np.full(n, bit, dtype=np.int64))
+            tf = None
+            if scoring or want_pos:
+                tf = for_decode(tfb, n).astype(np.int64)
             if scoring:
-                tf = for_decode(tfb, n).astype(np.float64)
+                tff = tf.astype(np.float64)
                 dl = for_decode(dlb, n).astype(np.float64)
                 contrib_parts.append(
-                    idf * ((tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+                    idf * ((tff * (K1 + 1.0)) / (tff + K1 * (1.0 - B + B * dl / avgdl)))
                 )
             else:
                 contrib_parts.append(np.zeros(n, dtype=np.float64))
+            if want_pos:
+                from ..index.codec import positions_decode
+
+                flat, offs = positions_decode(row.pos, tf)
+                dpos = pos_by_term[term]
+                for i in range(n):
+                    dpos[int(ids[i])] = flat[offs[i]: offs[i + 1]].astype(np.int64)
     if not ids_parts:
         return empty
     all_ids = np.concatenate(ids_parts)
@@ -318,6 +401,25 @@ def _local_bool_topk(
             sel = words == w
             if sel.any():
                 np.bitwise_or.at(mask[:, w], inv[sel], bits_flat[sel])
+    if phrases:
+        from .phrase import count_hits_positions
+
+        for pkey, pterms in phrases:
+            sets = [pos_by_term.get(t, {}) for t in dict.fromkeys(pterms)]
+            if not sets or any(not s for s in sets):
+                continue
+            cand = set(sets[0]).intersection(*map(set, sets[1:]))
+            if not cand:
+                continue
+            w_idx, r = divmod(bit_of[pkey], WORD_BITS)
+            bit = np.int64(1 << r)
+            for doc in cand:
+                if count_hits_positions([pos_by_term[t][doc] for t in pterms]) > 0:
+                    idx = int(np.searchsorted(uniq, doc))
+                    if n_words == 1:
+                        mask[idx] |= bit
+                    else:
+                        mask[idx, w_idx] |= bit
     scores = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(scores, inv, np.concatenate(contrib_parts))
     hit = eval_mask_np(trees[qid], bit_of, mask)
@@ -354,6 +456,7 @@ def boolean_topk(
     n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
     trees: dict[int, BoolNode] = {}
     bits: dict[int, dict[str, int]] = {}
+    phrase_defs: dict[int, list[tuple[str, list[str]]]] = {}
     rows: list[tuple[int, str, int, float, bool]] = []
     all_terms: set[str] = set()
     for qid, q in queries:
@@ -364,7 +467,15 @@ def boolean_topk(
                 f"boolean query has {len(terms)} terms (max {MAX_TERMS})"
             )
         trees[int(qid)] = tree
-        bits[int(qid)] = {t: i for i, t in enumerate(terms)}
+        bits[int(qid)] = atom_bits(tree)
+        ph = expr_phrases(tree)
+        if ph:
+            if not meta.get("positions"):
+                raise ValueError(
+                    "boolean query has phrase clauses but the index has no "
+                    "positions — build with build_index(..., positions=True)"
+                )
+            phrase_defs[int(qid)] = [(phrase_key(p), p) for p in ph]
         all_terms.update(terms)
     if not trees:
         return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
@@ -402,7 +513,7 @@ def boolean_topk(
         else None
     )
     partials = matched.groupBy("qid", "shard").applyInPandas(
-        lambda pdf: _local_bool_topk(pdf, trees, bits, k, avgdl, excl),
+        lambda pdf: _local_bool_topk(pdf, trees, bits, k, avgdl, excl, phrase_defs),
         "qid int, doc_id bigint, score double",
     )
     return topk(partials, k)
@@ -421,29 +532,52 @@ def boolean_oracle_sql(
     parsed = []
     for qid, q in queries:
         tree = parse_bool_query(q)
-        bit_of = {t: i for i, t in enumerate(expr_terms(tree))}
+        bit_of = atom_bits(tree)
         n_words = max(n_words, n_mask_words(bit_of))
         parsed.append((int(qid), tree, bit_of))
+    phrase_ctes, phrase_rows = [], []
     for qid, tree, bit_of in parsed:
         scoring = set(scoring_terms(tree))
-        for t, b in sorted(bit_of.items()):
-            qrows.append(f"({qid}, '{t}', {b}, {'TRUE' if t in scoring else 'FALSE'})")
+        for t in sorted(expr_terms(tree)):
+            qrows.append(
+                f"({qid}, '{t}', {bit_of[t]}, {'TRUE' if t in scoring else 'FALSE'})"
+            )
+        for pi, pterms in enumerate(expr_phrases(tree)):
+            bit = bit_of[phrase_key(pterms)]
+            joins = " ".join(
+                f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+                f"AND p{i}.term = '{t}'"
+                for i, t in enumerate(pterms)
+                if i > 0
+            )
+            phrase_ctes.append(
+                f"ph{qid}_{pi} AS (SELECT DISTINCT p0.doc_id FROM pos p0 {joins} "
+                f"WHERE p0.term = '{pterms[0]}')"
+            )
+            phrase_rows.append(
+                f"SELECT {qid} AS qid, doc_id, {bit} AS bit, 0.0 AS c FROM ph{qid}_{pi}"
+            )
         preds.append(
             f"WHEN {qid} THEN {mask_predicate_sql(tree, bit_of, 'mask', n_words)}"
         )
     values = ", ".join(qrows)
     case_pred = "CASE qid " + " ".join(preds) + " ELSE FALSE END"
     if n_words == 1:
-        mask_cols = "bit_or((1::BIGINT << q.bit))::BIGINT AS mask"
+        mask_cols = "bit_or((1::BIGINT << bit))::BIGINT AS mask"
     else:
         mask_cols = ",\n         ".join(
-            f"bit_or(CASE WHEN q.bit >= {WORD_BITS * w} AND q.bit < {WORD_BITS * (w + 1)} "
-            f"THEN (1::BIGINT << (q.bit - {WORD_BITS * w})) ELSE 0::BIGINT END)::BIGINT AS mask{w}"
+            f"bit_or(CASE WHEN bit >= {WORD_BITS * w} AND bit < {WORD_BITS * (w + 1)} "
+            f"THEN (1::BIGINT << (bit - {WORD_BITS * w})) ELSE 0::BIGINT END)::BIGINT AS mask{w}"
             for w in range(n_words)
         )
+    phrase_ctes_sql = ("," + ",\n".join(phrase_ctes)) if phrase_ctes else ""
+    phrase_union = (
+        (" UNION ALL " + " UNION ALL ".join(phrase_rows)) if phrase_rows else ""
+    )
     return f"""
 WITH toks AS (SELECT doc_id, {tok_sql} AS t FROM documents),
 tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+pos AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS pos FROM toks),
 dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
 stats AS (
@@ -451,20 +585,25 @@ stats AS (
          (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
 ),
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-q(qid, term, bit, scoring) AS (VALUES {values}),
-per_doc AS (
-  SELECT q.qid, tf.doc_id,
-         {mask_cols},
-         sum(CASE WHEN q.scoring THEN
+q(qid, term, bit, scoring) AS (VALUES {values}){phrase_ctes_sql},
+atom_rows AS (
+  SELECT q.qid, tf.doc_id, q.bit,
+         CASE WHEN q.scoring THEN
                ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
                  * (tf.tf * {K1 + 1.0})
                  / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
-             ELSE 0.0 END) AS score
+             ELSE 0.0 END AS c
   FROM q
   JOIN tf ON tf.term = q.term
   JOIN dfreq ON dfreq.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats s
+  CROSS JOIN stats s{phrase_union}
+),
+per_doc AS (
+  SELECT qid, doc_id,
+         {mask_cols},
+         sum(c) AS score
+  FROM atom_rows
   GROUP BY 1, 2
 ),
 alive AS (
