@@ -517,6 +517,117 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+# ---- upsert lifecycle: delete -> delta build -> merge -> purge --------
+
+UPSERT_MOD = 37
+UPSERT_SUFFIX = " upserted marker content"
+UPSERT_SHARD = 256
+UPSERT_QUERIES = [
+    (1, "data analysis"),
+    (2, "upserted marker"),
+    (3, "hash table"),
+]
+_UPSERT_CACHE: dict[str, str] = {}
+
+
+def _ft_index_upsert(spark, sf_dir):
+    """ES-style document update, end-to-end: build a base index, soft-
+    delete every doc_id % UPSERT_MOD == 0, build a delta index over the
+    updated copies (text + UPSERT_SUFFIX), merge it in (ids rebase by
+    the structural offset), then purge — stats fold to exactly the live
+    corpus (purge == scratch-rebuild, test_compact). Cached per sf_dir;
+    a DONE marker keeps the mutation sequence idempotent across
+    processes (build_index alone resumes as a no-op)."""
+    if sf_dir not in _UPSERT_CACHE:
+        from vframe_spark.index.builder import delete_docs
+        from vframe_spark.index.codec import FORMAT_VERSION
+        from vframe_spark.index.compact import purge_tombstones
+        from vframe_spark.index.merge import merge_indexes
+
+        tag = hashlib.md5(f"{FORMAT_VERSION}:upsert:{sf_dir}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
+        done = os.path.join(out, "UPSERT_DONE")
+        if not os.path.exists(done):
+            docs = _t(spark, sf_dir, "documents").select(
+                "doc_id", F.col("text").alias("content")
+            )
+            build_index(
+                docs, out, shard_size=UPSERT_SHARD, block_size=64,
+                shards_per_slice=4, content_col="content", lang_col=None,
+            )
+            upd = docs.filter(F.col("doc_id") % UPSERT_MOD == 0).withColumn(
+                "content", F.concat(F.col("content"), F.lit(UPSERT_SUFFIX))
+            )
+            ids = [r["doc_id"] for r in upd.select("doc_id").collect()]
+            delete_docs(spark, out, ids)
+            delta = out + "_delta"
+            build_index(
+                upd, delta, shard_size=UPSERT_SHARD, block_size=64,
+                shards_per_slice=4, content_col="content", lang_col=None,
+            )
+            merge_indexes(spark, out, delta)
+            purge_tombstones(spark, out)
+            with open(done, "w") as fh:
+                fh.write("done")
+        _UPSERT_CACHE[sf_dir] = out
+    return load_index(spark, _UPSERT_CACHE[sf_dir])
+
+
+def q_ft_upsert_topk(spark, sf_dir):
+    """BM25 retrieval AFTER a full upsert lifecycle (soft-delete →
+    delta-index merge → tombstone purge): updated docs reappear under
+    rebased ids with their new content searchable, stats identical to a
+    scratch rebuild of the live corpus — the oracle is plain BM25 SQL
+    over the mutated corpus, so every maintenance step is checked."""
+    postings, term_stats, _, meta = _ft_index_upsert(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, UPSERT_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _upsert_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(UPSERT_QUERIES)
+    return f"""
+WITH off AS (
+  SELECT ((max(doc_id) // {UPSERT_SHARD}) + 1) * {UPSERT_SHARD} AS v FROM documents
+),
+base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {UPSERT_MOD} != 0
+  UNION ALL
+  SELECT doc_id + (SELECT v FROM off) AS doc_id,
+         text || '{UPSERT_SUFFIX}' AS text
+  FROM documents WHERE doc_id % {UPSERT_MOD} = 0
+),
+toks AS (SELECT doc_id, {TOK_SQL} AS t FROM base),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM base)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM base) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 # Boolean expressions with quoted PHRASE clauses (match_phrase inside
 # bool): adjacency decided from the positional index inside the same
 # bitmask kernel — a phrase owns its own mask bit.
@@ -4752,6 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
         "ft_boolean_phrase": q_ft_boolean_phrase,
+        "ft_upsert_topk": q_ft_upsert_topk,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_synonym_topk": q_ft_synonym_topk,
         "ft_boosted_topk": q_ft_boosted_topk,
@@ -4933,6 +5045,7 @@ def oracle_sql() -> dict[str, str]:
         ).replace("{NVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[1]),
         "ft_boolean": boolean_oracle_sql(FT_BOOL_QUERIES, TOK_SQL, FT_K),
         "ft_boolean_phrase": boolean_oracle_sql(FT_BOOLP_QUERIES, TOK_SQL, FT_K),
+        "ft_upsert_topk": _upsert_oracle_sql(),
         "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),
         "ft_synonym_topk": BM25_ORACLE_SQL.replace(
             "{QVALUES}", synonym_qterms_values_sql(FT_SYN_QUERIES, FT_SYNONYMS)

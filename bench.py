@@ -179,10 +179,13 @@ def main() -> None:
         "ft_decay_topk",
         "ft_date_histogram",
         "ft_range_facet",
-        "ft_dismax_topk",
+        # ft_dismax_topk / ft_bm25_fielded are query-time corpus-scan
+        # scorers (no index) — oracle-checked but not headline rows
         "ft_rescore_topk",
         "ft_wildcard_infix",
         "ft_boolean_phrase",
+        # ft_upsert_topk is an index-lifecycle op (delete+merge+purge,
+        # one-time cached build) — oracle-checked, not a latency row
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

@@ -159,3 +159,41 @@ def test_facade_did_you_mean(spark, tmp_path_factory):
     rows = idx.did_you_mean("dta analysis").collect()
     assert rows and all(r["qterm"] == "dta" for r in rows)
     assert rows[0]["suggestion"]  # ranked candidates exist
+
+
+def test_facade_upsert_lifecycle(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ups_idx"))
+    ix = SearchIndex.build(corpus.select("doc_id", "content"), out,
+                           shard_size=64, block_size=16,
+                           shards_per_slice=2, lang_col=None)
+    n0 = ix.count("data")[0]["n_docs"] if ix.count("data").collect() else 0
+
+    # update 5 docs: append a unique token, keep everything else
+    upd = (
+        corpus.filter(F.col("doc_id") < 5)
+        .select("doc_id", F.concat("content", F.lit(" zzzupserted")).alias("content"))
+    )
+    stats = ix.upsert(upd, str(tmp_path_factory.mktemp("ups_delta")), purge=True)
+    assert stats["n_tombstoned"] == 5
+
+    # the new content is searchable, under rebased ids
+    hits = ix.search("zzzupserted", k=10).collect()
+    assert len(hits) == 5
+    assert all(r["doc_id"] >= 64 for r in hits)  # rebased past the old range
+    # the old copies are gone: total doc count is unchanged
+    _, _, _, meta = ix._parts()
+    assert meta["n_docs"] == corpus.count()
+    # purge folded stats: a scratch rebuild over the mutated corpus ranks
+    # identically for a query that touches updated docs
+    mutated = corpus.filter(F.col("doc_id") >= 5).select("doc_id", "content").unionByName(
+        upd.withColumn("doc_id", F.col("doc_id") + stats["doc_id_offset"])
+    )
+    scratch = SearchIndex.build(
+        mutated, str(tmp_path_factory.mktemp("ups_scratch")),
+        shard_size=64, block_size=16, shards_per_slice=2, lang_col=None,
+    )
+    a = [(r["rank"], r["doc_id"], round(r["score"], 9))
+         for r in ix.search("data parse", k=10).collect()]
+    b = [(r["rank"], r["doc_id"], round(r["score"], 9))
+         for r in scratch.search("data parse", k=10).collect()]
+    assert a == b

@@ -19,6 +19,7 @@ the `submit_job` CLI contract.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .index.builder import build_index, delete_docs, load_index, load_tombstones
 
@@ -503,6 +504,47 @@ class SearchIndex:
 
         out = compact_index(self.spark, self.out_dir)
         self._loaded = None
+        return out
+
+    def upsert(
+        self,
+        docs: DataFrame,
+        delta_dir: str,
+        id_col: str = "doc_id",
+        content_col: str = "content",
+        lang_col: str | None = None,
+        purge: bool = False,
+    ) -> dict:
+        """ES-style document update: tombstone the given docs' CURRENT
+        ids, build a delta index over their new content (layout params
+        copied from this index's meta so merge compatibility is
+        guaranteed), and fold it in — the updated docs reappear under
+        rebased ids (returned ``doc_id_offset``). ``purge=True`` then
+        hard-deletes the tombstones so corpus statistics fold to exactly
+        the live corpus (purge == scratch rebuild). The whole sequence
+        is the contract query `ft_upsert_topk`'s oracle-checked path.
+        ``lang_col`` must match how the base index was built (meta does
+        not record it) — lang-tagged and untagged terms don't mix."""
+        _, _, _, meta = self._parts()
+        ids = [int(r[id_col]) for r in docs.select(id_col).collect()]
+        n_deleted = self.delete(ids)
+        cols = [F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")]
+        if lang_col is not None:
+            cols.append(F.col(lang_col).alias(lang_col))
+        build_index(
+            docs.select(*cols),
+            delta_dir,
+            shard_size=int(meta["shard_size"]),
+            block_size=int(meta["block_size"]),
+            term_buckets=int(meta.get("term_buckets", 16)),
+            positions=bool(meta.get("positions", False)),
+            content_col="content",
+            lang_col=lang_col,
+        )
+        out = self.merge_from(delta_dir)
+        out["n_tombstoned"] = n_deleted
+        if purge:
+            out["purge"] = self.purge()
         return out
 
     def merge_from(self, src_dir: str) -> dict:
