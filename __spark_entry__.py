@@ -517,6 +517,80 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+PERC_QUERIES = [
+    (1, "data analysis"),
+    (2, "hash table merge"),
+    (3, "stream window"),
+]
+TV_DOC_IDS = [0, 7, 42]
+
+
+def q_ft_percolate(spark, sf_dir):
+    """Percolation (ES percolate — reverse search): which stored
+    queries match each incoming doc. Stored queries broadcast, docs
+    tokenize map-side, presence-join + per-(doc, qid) count — the
+    corpus never shuffles (query/percolate.py)."""
+    from vframe_spark.query.percolate import percolate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return percolate(docs, PERC_QUERIES, mode="and").select(
+        "doc_id", "qid", F.col("n_hit").cast("int").alias("n_hit")
+    )
+
+
+def q_ft_term_vectors(spark, sf_dir):
+    """Per-document term statistics (ES _termvectors): tf from a
+    pushdown-pruned re-tokenize of ONLY the requested docs, df/idf from
+    the index's term_stats (query/percolate.py term_vectors)."""
+    from vframe_spark.query.percolate import term_vectors
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    out = term_vectors(docs, term_stats, meta, TV_DOC_IDS)
+    return out.select(
+        "doc_id", "term", "tf", "df", F.round("idf", 6).alias("idf")
+    )
+
+
+def _percolate_oracle_sql() -> str:
+    rows = []
+    for qid, q in PERC_QUERIES:
+        terms = sorted(set(tokenize_py(q)))
+        for t in terms:
+            rows.append(f"({qid}, '{t}', {len(terms)})")
+    vals = ", ".join(rows)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term, n_terms) AS (VALUES {vals}),
+hits AS (
+  SELECT tok.doc_id, q.qid, q.n_terms, count(*)::INT AS n_hit
+  FROM tok JOIN q ON q.term = tok.term
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, qid::INT AS qid, n_hit FROM hits WHERE n_hit = n_terms
+"""
+
+
+def _term_vectors_oracle_sql() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf_all AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf_all GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT tf_all.doc_id, tf_all.term, tf_all.tf, dfreq.df,
+       round(ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) AS idf
+FROM tf_all JOIN dfreq USING (term) CROSS JOIN n
+WHERE tf_all.doc_id IN ({ids})
+"""
+
+
 # ---- upsert lifecycle: delete -> delta build -> merge -> purge --------
 
 UPSERT_MOD = 37
@@ -4864,6 +4938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boolean": q_ft_boolean,
         "ft_boolean_phrase": q_ft_boolean_phrase,
         "ft_upsert_topk": q_ft_upsert_topk,
+        "ft_percolate": q_ft_percolate,
+        "ft_term_vectors": q_ft_term_vectors,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_synonym_topk": q_ft_synonym_topk,
         "ft_boosted_topk": q_ft_boosted_topk,
@@ -5046,6 +5122,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_boolean": boolean_oracle_sql(FT_BOOL_QUERIES, TOK_SQL, FT_K),
         "ft_boolean_phrase": boolean_oracle_sql(FT_BOOLP_QUERIES, TOK_SQL, FT_K),
         "ft_upsert_topk": _upsert_oracle_sql(),
+        "ft_percolate": _percolate_oracle_sql(),
+        "ft_term_vectors": _term_vectors_oracle_sql(),
         "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),
         "ft_synonym_topk": BM25_ORACLE_SQL.replace(
             "{QVALUES}", synonym_qterms_values_sql(FT_SYN_QUERIES, FT_SYNONYMS)

@@ -186,6 +186,7 @@ def main() -> None:
         "ft_boolean_phrase",
         # ft_upsert_topk is an index-lifecycle op (delete+merge+purge,
         # one-time cached build) — oracle-checked, not a latency row
+        "ft_percolate",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

@@ -812,3 +812,51 @@ def test_wildcard_infix_expansion_and_topk(spark, corpus, index):
            for r in bm25_topk_wand(postings, term_stats, meta,
                                    [(1, " ".join(exp))], k=5).collect()}
     assert wild == ref
+
+
+def test_percolate_and_term_vectors(spark, corpus, index):
+    import math
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.percolate import percolate, term_vectors
+
+    docs, oracle = corpus
+    _, term_stats, _, meta = index
+    stored = [(1, "data parse"), (2, "cache stream merge"), (3, "zzznothing data")]
+
+    got_and = {(r["doc_id"], r["qid"]): r["n_hit"]
+               for r in percolate(docs, stored, mode="and").collect()}
+    got_or = {(r["doc_id"], r["qid"]): r["n_hit"]
+              for r in percolate(docs, stored, mode="or").collect()}
+    for qid, q in stored:
+        terms = sorted(set(parse_query_terms(q)))
+        for d, c in oracle.tf.items():
+            nh = sum(1 for t in terms if c.get(t, 0) > 0)
+            assert ((d, qid) in got_and) == (nh == len(terms)), (d, qid)
+            assert ((d, qid) in got_or) == (nh >= 1), (d, qid)
+            if nh >= 1:
+                assert got_or[(d, qid)] == nh
+    with pytest.raises(ValueError):
+        percolate(docs, stored, mode="xor")
+    with pytest.raises(ValueError):
+        percolate(docs, [(9, "...")])
+
+    ids = sorted(oracle.tf)[:3]
+    tv = term_vectors(docs, term_stats, meta, ids).collect()
+    by_doc = {}
+    for r in tv:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = (r["tf"], r["df"], r["idf"])
+    n = oracle.n_docs
+    dfs = {}
+    for c in oracle.tf.values():
+        for t in c:
+            dfs[t] = dfs.get(t, 0) + 1
+    for d in ids:
+        # the fixture oracle carries lang: pseudo-terms; term_vectors
+        # tokenizes content only
+        expect = {t: v for t, v in oracle.tf[d].items()
+                  if not t.startswith("lang:")}
+        assert set(by_doc[d]) == set(expect)
+        for t, (tf, df, idf) in by_doc[d].items():
+            assert tf == expect[t]
+            assert df == dfs[t]
+            assert abs(idf - math.log(1.0 + (n - df + 0.5) / (df + 0.5))) < 1e-12

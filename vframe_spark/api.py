@@ -506,6 +506,37 @@ class SearchIndex:
         self._loaded = None
         return out
 
+    def percolate(
+        self,
+        docs: DataFrame,
+        queries: list[tuple[int, str]],
+        mode: str = "and",
+        id_col: str = "doc_id",
+        content_col: str = "content",
+    ) -> DataFrame:
+        """Reverse search (ES percolate): which stored queries match
+        each incoming doc → (doc_id, qid, n_hit); see
+        `query.percolate.percolate` (index-free — works on any batch or
+        foreachBatch micro-batch)."""
+        from .query.percolate import percolate as _perc
+
+        return _perc(docs, queries, mode=mode, id_col=id_col, content_col=content_col)
+
+    def term_vectors(
+        self,
+        docs: DataFrame,
+        doc_ids: list[int],
+        id_col: str = "doc_id",
+        content_col: str = "content",
+    ) -> DataFrame:
+        """Per-document term statistics (ES _termvectors) → (doc_id,
+        term, tf, df, idf); df/idf come from this index's term_stats."""
+        from .query.percolate import term_vectors as _tv
+
+        _, term_stats, _, meta = self._parts()
+        return _tv(docs, term_stats, meta, doc_ids, id_col=id_col,
+                   content_col=content_col)
+
     def upsert(
         self,
         docs: DataFrame,

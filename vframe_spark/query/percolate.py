@@ -1,0 +1,116 @@
+"""Percolation — reverse search (the ES ``percolate`` query): a table
+of STORED queries, a stream/batch of incoming documents, and the answer
+to "which saved searches does each new doc match?" (alerting, saved
+searches, routing).
+
+Execution shape (inverted from normal retrieval, but the same
+scale discipline):
+
+1. the stored queries compile driver-side to (qid, term, n_terms) rows —
+   a query table that is tiny by construction (saved searches are
+   human-authored) and **broadcasts**;
+2. incoming docs tokenize map-side (the canonical code-aware tokenizer,
+   distinct terms per doc — presence, not tf, decides matching);
+3. one broadcast equi-join term↔term, then a partial-aggregated
+   count per (doc, qid): ``= n_terms`` → AND match, ``≥ 1`` → OR match.
+
+No index probe, no shuffle of the corpus: cost ∝ (doc tokens ×
+matching stored terms), the same bound ES's percolator pays per doc.
+The corpus never materializes per-query state, so this runs identically
+over a batch DataFrame or inside a `foreachBatch` streaming sink.
+
+Reference parity: the reference's skip-filter chains applied to a NEW
+file deciding which pipelines fire (/root/reference/src/commands/pipe/
+skip-labels.py:22-43 include/exclude sets) — percolation is that
+decision for a whole saved-query table at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import parse_query_terms
+
+
+def percolate(
+    docs: DataFrame,
+    queries: Iterable[tuple[int, str]],
+    mode: str = "and",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """→ (doc_id, qid, n_hit): which stored queries match each doc.
+
+    ``mode="and"``: every query term must be present (ES ``match`` with
+    ``operator: and`` — the percolator default posture for alerts);
+    ``mode="or"``: ≥ 1 term. ``n_hit`` = how many distinct query terms
+    the doc contains (useful for minimum-should-match post-filters).
+    """
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be and|or, got {mode!r}")
+    from ..index.build import tokenize_docs
+
+    spark = docs.sparkSession
+    rows = []
+    for qid, q in queries:
+        terms = sorted(set(parse_query_terms(q)))
+        if not terms:
+            raise ValueError(f"stored query {qid} tokenizes to no terms")
+        for t in terms:
+            rows.append((int(qid), t, len(terms)))
+    if not rows:
+        return spark.createDataFrame([], "doc_id bigint, qid int, n_hit int")
+    qdf = spark.createDataFrame(rows, "qid int, term string, n_terms int")
+    # tokenize_docs emits one (doc, term) row per distinct term (map-side
+    # TF) — presence is already distinct, no dedup shuffle needed
+    toks = tokenize_docs(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")),
+        lang_col=None,
+    ).select("doc_id", "term")
+    hits = (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy("doc_id", "qid", "n_terms")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    if mode == "and":
+        hits = hits.filter(F.col("n_hit") == F.col("n_terms"))
+    return hits.select("doc_id", "qid", F.col("n_hit").cast("int").alias("n_hit"))
+
+
+def term_vectors(
+    docs: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    doc_ids: list[int],
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-document term statistics (the ES ``_termvectors`` surface) →
+    (doc_id, term, tf, df, idf): the doc's distinct terms with their
+    in-doc frequency and corpus-wide document frequency / BM25 idf from
+    ``term_stats`` — the index is the statistics source, only the
+    requested docs re-tokenize (pushdown-pruned scan)."""
+    from ..index.build import tokenize_docs
+
+    ids = sorted({int(i) for i in doc_ids})
+    n_docs = int(meta["n_docs"])
+    picked = docs.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")
+    )
+    # tokenize_docs already emits map-side TF: one (doc, term, tf) row
+    tf = tokenize_docs(picked, lang_col=None).select("doc_id", "term", "tf")
+    stats = term_stats.select("term", F.col("df").cast("bigint").alias("df"))
+    out = tf.join(stats, "term", "left").fillna(0, subset=["df"])
+    # the scorer's exact idf formula (query/bm25.py idf_value), as a
+    # codegen expression
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    return out.select(
+        "doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+        "df", idf.alias("idf"),
+    )
