@@ -1877,6 +1877,55 @@ SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+SIM_FILTER_LABEL = 1
+
+
+def q_sim_filtered_topk(spark, sf_dir):
+    """Filtered kNN (vector-store metadata filter): exact cosine top-5
+    among ONLY label=1 vectors — the predicate pre-filters the scan
+    before the GEMM kernel, so results are the exact top-k of the
+    allowed subset (post-filtering a global top-k silently under-fills;
+    operators/similarity.py cosine_topk_filtered)."""
+    from vframe_spark.operators.similarity import cosine_topk_filtered
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") % 100 == 0).collect()
+    }
+    queries = [(int(vid), vec) for vid, vec in sorted(qvecs.items())]
+    res = cosine_topk_filtered(
+        emb, queries, predicate=F.col("label") == SIM_FILTER_LABEL, k=5
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        res.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("qid").cast("bigint").alias("qid"), "rank", "vec_id", "cosine")
+    )
+
+
+SIM_FILTERED_ORACLE_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = {SIM_FILTER_LABEL}
+),
+ranked AS (
+  SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, cosine
+  FROM sims
+)
+SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH multi-probe + exact rerank
     inside the probed buckets — the scale path next to brute force.
@@ -4969,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_filtered_topk": q_sim_filtered_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_pq_topk": q_sim_pq_topk,
@@ -5212,6 +5262,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
         """,
         "sim_cosine_topk": SIM_ORACLE_SQL,
+        "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""
             SELECT doc_id, {n_ws} AS n_ws,
                    (coalesce(list_sum(list_transform({alpha}, w -> cast(ceil(length(w)/4.0) AS INT))), 0)

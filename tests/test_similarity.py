@@ -247,3 +247,40 @@ def test_group_centroids_match_numpy_and_stay_jvm(spark):
     plan = group_centroids(df, "g")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_avg" in plan
+
+
+def test_cosine_topk_filtered(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from vframe_spark.operators.similarity import (
+        cosine_topk_bruteforce, cosine_topk_filtered,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 200, 8
+    vecs = rng.normal(size=(n, dim))
+    labels = (np.arange(n) % 3).tolist()
+    rows = [(i, vecs[i].tolist(), labels[i]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    queries = [(1, vecs[0].tolist()), (2, vecs[5].tolist())]
+
+    got = cosine_topk_filtered(emb, queries, predicate=F.col("label") == 1, k=5)
+    ref = cosine_topk_bruteforce(emb.filter("label = 1"), queries, k=5)
+    a = sorted((r["qid"], r["rank"], r["vec_id"]) for r in got.collect())
+    b = sorted((r["qid"], r["rank"], r["vec_id"]) for r in ref.collect())
+    assert a == b and len(a) == 10
+    # exact top-k of the SUBSET: every result passes the filter, and a
+    # brute-force numpy check agrees
+    allowed = {i for i in range(n) if labels[i] == 1}
+    assert {v for _, _, v in a} <= allowed
+    qn = vecs[0] / np.linalg.norm(vecs[0])
+    sims = {i: float((vecs[i] / np.linalg.norm(vecs[i])) @ qn) for i in allowed}
+    expect = [i for i, _ in sorted(sims.items(), key=lambda t: (-t[1], t[0]))[:5]]
+    assert [v for q, r, v in sorted(a) if q == 1] == expect
+
+    # allowed_ids table path composes with the predicate
+    ids = spark.createDataFrame([(i,) for i in range(0, n, 2)], "id bigint")
+    both = cosine_topk_filtered(
+        emb, queries, predicate=F.col("label") == 1, allowed_ids=ids, k=5
+    ).collect()
+    assert all(r["vec_id"] % 2 == 0 and labels[r["vec_id"]] == 1 for r in both)

@@ -652,3 +652,39 @@ def group_centroids(
             "centroid"
         ),
     )
+
+
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    predicate=None,
+    allowed_ids: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered kNN (the vector-store "metadata filter" shape): exact
+    cosine top-k among ONLY the vectors passing a filter →
+    (qid, rank, vec_id, cosine).
+
+    The filter applies BEFORE scoring — a *pre-filter*: results are the
+    exact top-k of the allowed subset, at cost proportional to the
+    subset (the predicate pushes into the parquet scan; an
+    ``allowed_ids`` table prunes via a left-semi join, broadcast when
+    small). Post-filtering a global top-k — the tempting shortcut —
+    silently returns < k or empty when the filter is selective; this
+    operator never does that.
+
+    ``predicate``: a Column or SQL string over the embeddings table's
+    columns. ``allowed_ids``: a one-column DataFrame of permitted ids.
+    Both compose (AND).
+    """
+    src = embeddings
+    if predicate is not None:
+        src = src.filter(predicate)
+    if allowed_ids is not None:
+        ids = allowed_ids.select(
+            F.col(allowed_ids.columns[0]).alias(id_col)
+        ).dropDuplicates()
+        src = src.join(F.broadcast(ids), id_col, "left_semi")
+    return cosine_topk_bruteforce(src, queries, k=k, id_col=id_col, vec_col=vec_col)
