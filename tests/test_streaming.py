@@ -391,3 +391,49 @@ def test_stream_ingest_with_curation_gate(spark, tmp_path):
     assert meta["n_docs"] == 60 - n_poisoned
     # the marker token never reached the index
     assert term_stats.filter(F.col("term") == "zzdropme").count() == 0
+
+
+def test_percolate_in_foreach_batch(spark, tmp_path):
+    """Percolation over a stream: running `percolate` inside
+    foreachBatch accumulates exactly the batch answer over the
+    concatenated drops (the operator is index-free and stateless, so
+    micro-batching is trivially correct — asserted, not assumed)."""
+    import glob as _g
+    import shutil as _sh
+
+    from vframe_spark.query.percolate import percolate
+
+    src = str(tmp_path / "psrc")
+    os.makedirs(src)
+    full = assign_doc_ids(
+        synth_docs(spark, 90, partitions=2), ["repo", "path", "commit"],
+        num_partitions=2,
+    ).cache()
+    for i, (lo, hi) in enumerate([(0, 30), (30, 60), (60, 90)]):
+        chunk = full.filter((full.doc_id >= lo) & (full.doc_id < hi))
+        chunk.coalesce(1).write.parquet(str(tmp_path / f"pchunk{i}"))
+        f = _g.glob(str(tmp_path / f"pchunk{i}" / "*.parquet"))[0]
+        _sh.copy(f, os.path.join(src, f"drop_{i}.parquet"))
+
+    stored = [(1, "data parse"), (2, "cache stream")]
+    got: list[tuple[int, int, int]] = []
+
+    def sink(batch_df, batch_id):
+        for r in percolate(batch_df, stored, mode="and").collect():
+            got.append((r["doc_id"], r["qid"], r["n_hit"]))
+
+    stream = (
+        spark.readStream.schema(full.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "pckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+
+    expect = sorted(
+        (r["doc_id"], r["qid"], r["n_hit"])
+        for r in percolate(full, stored, mode="and").collect()
+    )
+    assert sorted(got) == expect
+    assert expect  # the corpus matches something
