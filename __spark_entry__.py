@@ -517,6 +517,69 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+BOOSTING_NEG = [(1, "parse"), (2, "table"), (3, "merge")]
+BOOSTING_NB = 0.4
+
+
+def q_ft_boosting_topk(spark, sf_dir):
+    """ES `boosting` query: positive BM25 ranking with docs matching the
+    per-query NEGATIVE query demoted by ×0.4 (a soft exclusion — they
+    still rank; contrast ft_bm25_negated's hard NOT). Positive scores +
+    negative match SET both off pruned scans (query/boost.py
+    boosting_topk)."""
+    from vframe_spark.query.boost import boosting_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = boosting_topk(
+        postings, term_stats, meta, FT_QUERIES, BOOSTING_NEG,
+        negative_boost=BOOSTING_NB, k=3 * FT_K,
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _boosting_oracle_sql() -> str:
+    qvals = _ft_qterms_values_sql()
+    nvals = _plain_qterms_values_sql(BOOSTING_NEG)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {qvals}),
+nq(qid, term) AS (VALUES {nvals}),
+neg AS (SELECT DISTINCT nq.qid, tf.doc_id FROM nq JOIN tf ON tf.term = nq.term),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (
+  SELECT contrib.qid, contrib.doc_id,
+         round(sum(c) * (CASE WHEN neg.doc_id IS NOT NULL THEN {BOOSTING_NB!r} ELSE 1.0 END), 4) AS score
+  FROM contrib
+  LEFT JOIN neg ON neg.qid = contrib.qid AND neg.doc_id = contrib.doc_id
+  GROUP BY 1, 2, (neg.doc_id IS NOT NULL)
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 PERC_QUERIES = [
     (1, "data analysis"),
     (2, "hash table merge"),
@@ -4987,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boolean": q_ft_boolean,
         "ft_boolean_phrase": q_ft_boolean_phrase,
         "ft_upsert_topk": q_ft_upsert_topk,
+        "ft_boosting_topk": q_ft_boosting_topk,
         "ft_percolate": q_ft_percolate,
         "ft_term_vectors": q_ft_term_vectors,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
@@ -5172,6 +5236,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_boolean": boolean_oracle_sql(FT_BOOL_QUERIES, TOK_SQL, FT_K),
         "ft_boolean_phrase": boolean_oracle_sql(FT_BOOLP_QUERIES, TOK_SQL, FT_K),
         "ft_upsert_topk": _upsert_oracle_sql(),
+        "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),
         "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),

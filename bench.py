@@ -187,6 +187,7 @@ def main() -> None:
         # ft_upsert_topk is an index-lifecycle op (delete+merge+purge,
         # one-time cached build) — oracle-checked, not a latency row
         "ft_percolate",
+        "ft_boosting_topk",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",

@@ -296,3 +296,41 @@ def test_gauss_decay_properties(spark, corpus, index):
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
         range(1, len(out) + 1)
     )
+
+
+def test_boosting_topk_demotes(spark, corpus, index):
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.boost import boosting_topk
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    qs = [(1, "data parse")]
+    neg = [(1, "cache")]
+    nb = 0.3
+    got = {r["doc_id"]: (r["rank"], r["score"]) for r in boosting_topk(
+        postings, term_stats, meta, qs, neg, negative_boost=nb, k=10**6
+    ).collect()}
+
+    pos_terms = sorted(set(parse_query_terms("data parse")))
+    neg_terms = sorted(set(parse_query_terms("cache")))
+    expect = []
+    for d, c in oracle.tf.items():
+        if not any(c.get(t, 0) > 0 for t in pos_terms):
+            continue
+        s = oracle.score(pos_terms, d)
+        if any(c.get(t, 0) > 0 for t in neg_terms):
+            s *= nb
+        expect.append((d, s))
+    expect.sort(key=lambda x: (-x[1], x[0]))
+    mine = sorted(got.items(), key=lambda kv: kv[1][0])
+    assert len(mine) == len(expect)
+    for (d, (rank, s)), (ed, es) in zip(mine, expect):
+        assert d == ed, (rank, d, ed)
+        assert abs(s - es) < 1e-9
+    # demoted docs still present (soft exclusion), unlike hard NOT
+    demoted = [d for d, c in oracle.tf.items()
+               if any(c.get(t, 0) > 0 for t in pos_terms)
+               and any(c.get(t, 0) > 0 for t in neg_terms)]
+    assert demoted and all(d in got for d in demoted)
+    with pytest.raises(ValueError):
+        boosting_topk(postings, term_stats, meta, qs, neg, negative_boost=1.5)

@@ -176,6 +176,44 @@ def filtered_topk(
     return topk(scores.join(keep, "doc_id", "left_semi"), k)
 
 
+def boosting_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    negative_queries: Iterable[tuple[int, str]],
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """The ES/Lucene ``boosting`` query: docs matching the positive
+    query rank by BM25, but any that ALSO match the per-qid negative
+    query have their score multiplied by ``negative_boost`` — a demote,
+    not the hard exclusion of `-term` negation. → (qid, rank, doc_id,
+    score).
+
+    Execution: positive full-match-set scores off the pruned scan (the
+    usual kernel), the negative match SET (membership only, never
+    scored) from the same pruned-scan machinery, one left join flagging
+    demoted docs, then the bounded top-k window. Both sides cost ∝
+    their own postings."""
+    if not (0.0 <= negative_boost <= 1.0):
+        raise ValueError(
+            f"negative_boost must be in [0, 1], got {negative_boost}"
+        )
+    from .facets import match_set
+
+    scores = match_scores(postings, term_stats, meta, queries)
+    neg = match_set(postings, meta, negative_queries, mode="or").withColumn(
+        "_neg", F.lit(True)
+    )
+    demoted = scores.join(neg, ["qid", "doc_id"], "left").withColumn(
+        "score",
+        F.when(F.col("_neg"), F.col("score") * F.lit(float(negative_boost)))
+        .otherwise(F.col("score")),
+    ).drop("_neg")
+    return topk(demoted, k)
+
+
 def msm_topk(
     postings: DataFrame,
     term_stats: DataFrame,
