@@ -517,6 +517,47 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+COMPOSITE_SIZE, COMPOSITE_AFTER = 4, "src12"
+
+
+def q_ft_composite_facets(spark, sf_dir):
+    """Composite (paginated) facet buckets (ES `composite` agg):
+    `source` buckets (20 values) over the match set, key-ascending,
+    page of 4 resuming strictly after 'src12' — keyset pagination so
+    every page costs the same (query/facets.py composite_facets)."""
+    from vframe_spark.query.facets import composite_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = composite_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "source",
+        size=COMPOSITE_SIZE, after=COMPOSITE_AFTER,
+    )
+    return out.select("qid", "facet", F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
+def _composite_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+counts AS (
+  SELECT m.qid, d.source AS facet, count(*)::BIGINT AS n_docs
+  FROM m JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL AND d.source > '{COMPOSITE_AFTER}'
+  GROUP BY 1, 2
+),
+paged AS (
+  SELECT qid::INT AS qid, facet, n_docs,
+         row_number() OVER (PARTITION BY qid ORDER BY facet) AS r
+  FROM counts
+)
+SELECT qid, facet, n_docs FROM paged WHERE r <= {COMPOSITE_SIZE}
+"""
+
+
 BOOSTING_NEG = [(1, "parse"), (2, "table"), (3, "merge")]
 BOOSTING_NB = 0.4
 
@@ -5051,6 +5092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boolean_phrase": q_ft_boolean_phrase,
         "ft_upsert_topk": q_ft_upsert_topk,
         "ft_boosting_topk": q_ft_boosting_topk,
+        "ft_composite_facets": q_ft_composite_facets,
         "ft_percolate": q_ft_percolate,
         "ft_term_vectors": q_ft_term_vectors,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
@@ -5237,6 +5279,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_boolean_phrase": boolean_oracle_sql(FT_BOOLP_QUERIES, TOK_SQL, FT_K),
         "ft_upsert_topk": _upsert_oracle_sql(),
         "ft_boosting_topk": _boosting_oracle_sql(),
+        "ft_composite_facets": _composite_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),
         "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),

@@ -860,3 +860,35 @@ def test_percolate_and_term_vectors(spark, corpus, index):
             assert tf == expect[t]
             assert df == dfs[t]
             assert abs(idf - math.log(1.0 + (n - df + 0.5) / (df + 0.5))) < 1e-12
+
+
+def test_composite_facets_paginate_all_buckets(spark, corpus, index):
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import composite_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    vals = docs.select("doc_id", "lang")
+    langs = {r["doc_id"]: r["lang"] for r in vals.collect()}
+    qs = [(1, "data parse")]
+    terms = sorted(set(parse_query_terms("data parse")))
+    matched = [d for d, c in oracle.tf.items()
+               if any(c.get(t, 0) > 0 for t in terms)]
+    expect = {}
+    for d in matched:
+        expect[langs[d]] = expect.get(langs[d], 0) + 1
+
+    # walk all buckets in pages of 2; pages must reconstruct the whole
+    # count table in key order with no gaps or repeats
+    pages, after = [], None
+    while True:
+        page = sorted(
+            (r["facet"], r["n_docs"]) for r in composite_facets(
+                postings, meta, qs, vals, "lang", size=2, after=after
+            ).collect()
+        )
+        if not page:
+            break
+        pages.extend(page)
+        after = page[-1][0]
+    assert pages == sorted(expect.items())

@@ -454,3 +454,43 @@ def range_facets(
         .groupBy("qid", "range_key")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def composite_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    facets: DataFrame,
+    facet_col: str,
+    size: int = 10,
+    after: str | None = None,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Paginated facet buckets (the ES ``composite`` aggregation) →
+    (qid, facet, n_docs): buckets ordered by facet KEY ascending, at
+    most ``size`` per query, resuming strictly after the ``after`` key —
+    the keyset-pagination form that lets a client walk ALL buckets of an
+    unbounded-cardinality facet in bounded pages (a terms agg's top-N
+    can't be resumed; a composite agg can).
+
+    The cursor is a pure filter on the facet value pushed below the
+    count — page N+1 costs the same as page 1 (one match-set decode +
+    join + partial agg + bounded per-qid window), never an offset scan."""
+    m = match_set(postings, meta, queries, mode=mode)
+    f = facets.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")
+    ).filter(F.col(facet_col).isNotNull())
+    if after is not None:
+        f = f.filter(F.col("facet") > F.lit(after))
+    counts = (
+        m.join(f, "doc_id")
+        .groupBy("qid", "facet")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("facet").asc())
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= size)
+        .drop("_r")
+    )
