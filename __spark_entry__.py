@@ -517,6 +517,59 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+def q_ft_bucket_pipeline(spark, sf_dir):
+    """Pipeline aggregations (ES derivative + cumulative_sum) over the
+    date-histogram buckets: per query in bucket order, deriv = count −
+    previous count (NULL first bucket, ES semantics) and cum = running
+    total — pure windows over the bucket table, corpus never re-read
+    (query/facets.py bucket_pipeline)."""
+    from vframe_spark.query.facets import bucket_pipeline, date_histogram_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.date_add(
+            F.to_date(F.lit("2025-01-01")), (F.col("doc_id") % 400).cast("int")
+        ).alias("crawl_ts"),
+    )
+    buckets = date_histogram_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "crawl_ts", unit="month"
+    )
+    out = bucket_pipeline(buckets)
+    return out.select(
+        "qid",
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("deriv").cast("bigint").alias("deriv"),
+        F.col("cum").cast("bigint").alias("cum"),
+    )
+
+
+def _bucket_pipeline_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+v AS (SELECT doc_id, DATE '2025-01-01' + ((doc_id % 400)::INT) AS ts FROM documents),
+b AS (
+  SELECT m.qid, date_trunc('month', v.ts) AS bucket, count(*)::BIGINT AS n_docs
+  FROM m JOIN v USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT qid::INT AS qid,
+       strftime(bucket, '%Y-%m-%d') AS bucket,
+       n_docs,
+       (n_docs - lag(n_docs) OVER (PARTITION BY qid ORDER BY bucket))::BIGINT AS deriv,
+       sum(n_docs) OVER (
+         PARTITION BY qid ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS cum
+FROM b
+"""
+
+
 COMPOSITE_SIZE, COMPOSITE_AFTER = 4, "src12"
 
 
@@ -5093,6 +5146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_upsert_topk": q_ft_upsert_topk,
         "ft_boosting_topk": q_ft_boosting_topk,
         "ft_composite_facets": q_ft_composite_facets,
+        "ft_bucket_pipeline": q_ft_bucket_pipeline,
         "ft_percolate": q_ft_percolate,
         "ft_term_vectors": q_ft_term_vectors,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
@@ -5280,6 +5334,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_upsert_topk": _upsert_oracle_sql(),
         "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_composite_facets": _composite_oracle_sql(),
+        "ft_bucket_pipeline": _bucket_pipeline_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),
         "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),

@@ -892,3 +892,29 @@ def test_composite_facets_paginate_all_buckets(spark, corpus, index):
         pages.extend(page)
         after = page[-1][0]
     assert pages == sorted(expect.items())
+
+
+def test_bucket_pipeline_derivative_and_cumsum(spark, corpus, index):
+    from pyspark.sql import functions as F
+    from vframe_spark.query.facets import bucket_pipeline, histogram_facets
+
+    docs, _ = corpus
+    postings, _, _, meta = index
+    vals = docs.select("doc_id", F.length("content").alias("nchars"))
+    qs = [(1, "data parse")]
+    buckets = histogram_facets(postings, meta, qs, vals, "nchars", interval=100.0)
+    rows = sorted(
+        bucket_pipeline(buckets).collect(), key=lambda r: (r["qid"], r["bucket"])
+    )
+    assert rows
+    run = 0
+    prev = None
+    for r in rows:
+        if prev is None:
+            assert r["deriv"] is None  # ES: first bucket has no derivative
+        else:
+            assert r["deriv"] == r["n_docs"] - prev
+        run += r["n_docs"]
+        assert r["cum"] == run
+        prev = r["n_docs"]
+    assert run == sum(r["n_docs"] for r in rows)

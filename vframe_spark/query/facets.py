@@ -494,3 +494,38 @@ def composite_facets(
         .filter(F.col("_r") <= size)
         .drop("_r")
     )
+
+
+def bucket_pipeline(
+    buckets: DataFrame,
+    metric_col: str = "n_docs",
+    bucket_col: str = "bucket",
+    derivative: bool = True,
+    cumulative: bool = True,
+) -> DataFrame:
+    """Pipeline aggregations over a bucketed facet table (the ES
+    `derivative` / `cumulative_sum` sub-aggregation family): given any
+    (qid, bucket, metric) output — `histogram_facets`,
+    `date_histogram_facets` — append, per query in bucket order,
+
+    * ``deriv``: metric − previous bucket's metric (NULL for the first
+      bucket, exactly ES's missing first derivative);
+    * ``cum``: running total.
+
+    Pure window functions over the (tiny) bucket table — the pipeline
+    step costs O(buckets), the corpus is never re-read; that's the whole
+    point of ES pipeline aggs and it holds here structurally."""
+    w = Window.partitionBy("qid").orderBy(F.col(bucket_col).asc())
+    out = buckets
+    if derivative:
+        out = out.withColumn(
+            "deriv", F.col(metric_col) - F.lag(metric_col, 1).over(w)
+        )
+    if cumulative:
+        out = out.withColumn(
+            "cum",
+            F.sum(metric_col).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    return out
