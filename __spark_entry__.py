@@ -517,6 +517,47 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+_FIELD_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ft_index_field(spark, sf_dir, col):
+    """Per-FIELD inverted index (the Lucene per-field posting design):
+    same layout as the main contract index, content = the given
+    column."""
+    key = (sf_dir, col)
+    if key not in _FIELD_INDEX_CACHE:
+        from vframe_spark.index.codec import FORMAT_VERSION
+
+        tag = hashlib.md5(f"{FORMAT_VERSION}:f:{col}:{sf_dir}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col(col).alias("content")
+        )
+        build_index(
+            docs, out, shard_size=256, block_size=64, shards_per_slice=4,
+            content_col="content", lang_col=None,
+        )
+        _FIELD_INDEX_CACHE[key] = out
+    return load_index(spark, _FIELD_INDEX_CACHE[key])
+
+
+def q_ft_bm25f_indexed(spark, sf_dir):
+    """Index-backed BM25F — the at-scale form of ft_bm25_fielded: one
+    inverted index PER FIELD (source 2×, text 1×), each scoring its
+    pruned posting match set with its own statistics, weighted
+    contributions summed (query/bm25.py bm25f_topk_indexed). Shares
+    ft_bm25_fielded's oracle: the two forms are rank-identical by
+    construction — cost ∝ query postings instead of fields × corpus."""
+    from vframe_spark.query.bm25 import bm25f_topk_indexed
+
+    field_indexes = []
+    for col, w in FTF_FIELDS:
+        p, t, _, m = _ft_index_field(spark, sf_dir, col)
+        field_indexes.append((p, t, m, w))
+    raw = bm25f_topk_indexed(field_indexes, FTF_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
 def q_ft_bucket_pipeline(spark, sf_dir):
     """Pipeline aggregations (ES derivative + cumulative_sum) over the
     date-histogram buckets: per query in bucket order, deriv = count −
@@ -5147,6 +5188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boosting_topk": q_ft_boosting_topk,
         "ft_composite_facets": q_ft_composite_facets,
         "ft_bucket_pipeline": q_ft_bucket_pipeline,
+        "ft_bm25f_indexed": q_ft_bm25f_indexed,
         "ft_percolate": q_ft_percolate,
         "ft_term_vectors": q_ft_term_vectors,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
@@ -5335,6 +5377,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_composite_facets": _composite_oracle_sql(),
         "ft_bucket_pipeline": _bucket_pipeline_oracle_sql(),
+        "ft_bm25f_indexed": _bm25f_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),
         "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),

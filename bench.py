@@ -188,6 +188,9 @@ def main() -> None:
         # one-time cached build) — oracle-checked, not a latency row
         "ft_percolate",
         "ft_boosting_topk",
+        "ft_bm25f_indexed",
+        "ft_composite_facets",
+        "ft_bucket_pipeline",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",
@@ -243,6 +246,8 @@ def main() -> None:
         ("index_build_pos_sf_sec", E._ft_index_pos),
         ("index_build_tri_sf_sec", E._ft_index_tri),
         ("index_build_fed_sf_sec", E._ft_fed_indexes),
+        ("index_build_field_sf_sec",
+         lambda s, d: [E._ft_index_field(s, d, c) for c, _ in E.FTF_FIELDS]),
     ):
         t0 = time.time()
         fn(spark, SF_DIR)

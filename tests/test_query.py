@@ -918,3 +918,35 @@ def test_bucket_pipeline_derivative_and_cumsum(spark, corpus, index):
         assert r["cum"] == run
         prev = r["n_docs"]
     assert run == sum(r["n_docs"] for r in rows)
+
+
+def test_bm25f_indexed_equals_querytime(spark, corpus, tmp_path_factory):
+    from pyspark.sql import functions as F
+    from vframe_spark.query.bm25 import bm25f_topk_df, bm25f_topk_indexed
+
+    docs, _ = corpus
+    fielded = docs.select(
+        "doc_id", "content",
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+    ).cache()
+    fields = [("fname", 2.0), ("content", 1.0)]
+    qs = [(1, "data parse"), (2, "stream cache util")]
+
+    field_indexes = []
+    for col, w in fields:
+        out = str(tmp_path_factory.mktemp(f"f_{col}"))
+        build_index(
+            fielded.select("doc_id", F.col(col).alias("content")), out,
+            shard_size=SHARD, block_size=BLOCK, shards_per_slice=2,
+            lang_col=None,
+        )
+        p, t, _, m = load_index(spark, out)
+        field_indexes.append((p, t, m, w))
+
+    a = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+         for r in bm25f_topk_indexed(field_indexes, qs, k=8).collect()]
+    b = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9))
+         for r in bm25f_topk_df(fielded, fields, qs, k=8).collect()]
+    assert sorted(a) == sorted(b) and a
+    with pytest.raises(ValueError):
+        bm25f_topk_indexed([], qs)

@@ -233,3 +233,38 @@ def explain_scores(
             F.round(F.col("idf") * tfnorm, 6).alias("contrib"),
         )
     )
+
+
+def bm25f_topk_indexed(
+    field_indexes: list[tuple[DataFrame, DataFrame, dict, float]],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Index-backed BM25F — the at-scale form of `bm25f_scores`: each
+    field has its OWN inverted index (the Lucene per-field posting
+    design), each scores the full match set off its pruned posting scan
+    with its own df/avgdl statistics, and the weighted contributions sum
+    per (qid, doc). ``field_indexes`` = [(postings, term_stats, meta,
+    weight), ...] — doc ids must be shared across the field indexes
+    (same corpus, same id assignment).
+
+    Rank-identical to the query-time `bm25f_scores` on the same corpus
+    (same statistics, same formula), but cost ∝ the query terms'
+    postings per field instead of fields × corpus tokenize — the
+    difference between a query and a scan at 10^12 docs. → (qid, rank,
+    doc_id, score)."""
+    from .boost import match_scores
+
+    if not field_indexes:
+        raise ValueError("field_indexes must be non-empty")
+    parts = []
+    for postings, term_stats, meta, weight in field_indexes:
+        scores = match_scores(postings, term_stats, meta, queries).withColumn(
+            "score", F.col("score") * F.lit(float(weight))
+        )
+        parts.append(scores)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    summed = allp.groupBy("qid", "doc_id").agg(F.sum("score").alias("score"))
+    return topk(summed, k)
