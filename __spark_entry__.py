@@ -652,6 +652,164 @@ SELECT qid, facet, n_docs FROM paged WHERE r <= {COMPOSITE_SIZE}
 """
 
 
+def _date_bucket_cte() -> str:
+    """Shared oracle CTE: the FT_FACET_QUERIES month date-histogram
+    bucket table `b(qid, bucket, n_docs)` over the derived crawl date —
+    the base every pipeline-agg oracle windows over."""
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+v AS (SELECT doc_id, DATE '2025-01-01' + ((doc_id % 400)::INT) AS ts FROM documents),
+b AS (
+  SELECT m.qid, date_trunc('month', v.ts) AS bucket, count(*)::BIGINT AS n_docs
+  FROM m JOIN v USING (doc_id)
+  GROUP BY 1, 2
+)"""
+
+
+def _date_buckets(spark, sf_dir):
+    from vframe_spark.query.facets import date_histogram_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.date_add(
+            F.to_date(F.lit("2025-01-01")), (F.col("doc_id") % 400).cast("int")
+        ).alias("crawl_ts"),
+    )
+    return date_histogram_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "crawl_ts", unit="month"
+    )
+
+
+def q_ft_bucket_stats(spark, sf_dir):
+    """Sibling pipeline aggregations (ES avg_bucket / max_bucket /
+    min_bucket / sum_bucket / stats_bucket): the date-histogram bucket
+    table collapsed to one row per query — count/sum/avg/min/max of the
+    bucket metric plus the earliest bucket key attaining each extremum.
+    One partial agg over the tiny bucket table, corpus never re-read
+    (query/facets.py bucket_stats)."""
+    from vframe_spark.query.facets import bucket_stats
+
+    out = bucket_stats(_date_buckets(spark, sf_dir))
+    return out.select(
+        "qid",
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.col("sum_v").cast("bigint").alias("sum_docs"),
+        F.round("avg_v", 6).alias("avg_docs"),
+        F.col("min_v").cast("bigint").alias("min_docs"),
+        F.col("max_v").cast("bigint").alias("max_docs"),
+        F.date_format("min_key", "yyyy-MM-dd").alias("min_bucket"),
+        F.date_format("max_key", "yyyy-MM-dd").alias("max_bucket"),
+    )
+
+
+def _bucket_stats_oracle_sql() -> str:
+    return f"""{_date_bucket_cte()},
+s AS (
+  SELECT qid, bucket, n_docs,
+         min(n_docs) OVER (PARTITION BY qid) AS mnv,
+         max(n_docs) OVER (PARTITION BY qid) AS mxv
+  FROM b
+)
+SELECT qid::INT AS qid,
+       count(*)::BIGINT AS n_buckets,
+       sum(n_docs)::BIGINT AS sum_docs,
+       round(avg(n_docs), 6) AS avg_docs,
+       min(n_docs)::BIGINT AS min_docs,
+       max(n_docs)::BIGINT AS max_docs,
+       strftime(min(CASE WHEN n_docs = mnv THEN bucket END), '%Y-%m-%d') AS min_bucket,
+       strftime(min(CASE WHEN n_docs = mxv THEN bucket END), '%Y-%m-%d') AS max_bucket
+FROM s GROUP BY 1
+"""
+
+
+MOVFN_WINDOW, SDIFF_LAG = 3, 2
+
+
+def q_ft_bucket_movfn(spark, sf_dir):
+    """ES moving_fn + serial_diff over the date-histogram buckets: per
+    query in bucket order, mov_avg = unweighted average of the trailing
+    3-bucket window ending at the current bucket (partial leading
+    windows use the available values, ES semantics) and sdiff = metric
+    minus the metric 2 buckets earlier (NULL while unavailable). Pure
+    ROWS-frame windows, O(buckets) (query/facets.py moving_metric +
+    serial_diff)."""
+    from vframe_spark.query.facets import moving_metric, serial_diff
+
+    out = serial_diff(
+        moving_metric(_date_buckets(spark, sf_dir), window=MOVFN_WINDOW,
+                      fn="avg", out_col="mov"),
+        lag=SDIFF_LAG,
+    )
+    return out.select(
+        "qid",
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("mov", 6).alias("mov_avg"),
+        F.col("sdiff").cast("bigint").alias("sdiff"),
+    )
+
+
+def _bucket_movfn_oracle_sql() -> str:
+    return f"""{_date_bucket_cte()}
+SELECT qid::INT AS qid,
+       strftime(bucket, '%Y-%m-%d') AS bucket,
+       n_docs,
+       round(avg(n_docs) OVER (
+         PARTITION BY qid ORDER BY bucket
+         ROWS BETWEEN {MOVFN_WINDOW - 1} PRECEDING AND CURRENT ROW
+       ), 6) AS mov_avg,
+       (n_docs - lag(n_docs, {SDIFF_LAG}) OVER (
+         PARTITION BY qid ORDER BY bucket
+       ))::BIGINT AS sdiff
+FROM b
+"""
+
+
+BSEL_MIN_DOCS, BSORT_SIZE = 3, 5
+
+
+def q_ft_bucket_selector(spark, sf_dir):
+    """ES bucket_selector + bucket_sort: drop date-histogram buckets
+    with fewer than 3 matching docs, then re-rank the survivors per
+    query by count descending (tie: bucket key ascending) and keep the
+    top 5 with their 1-based position — a filter plus one bounded
+    per-query window over the bucket table (query/facets.py
+    bucket_selector + bucket_sort)."""
+    from vframe_spark.query.facets import bucket_selector, bucket_sort
+
+    out = bucket_sort(
+        bucket_selector(_date_buckets(spark, sf_dir), f"n_docs >= {BSEL_MIN_DOCS}"),
+        by="n_docs", size=BSORT_SIZE,
+    )
+    return out.select(
+        "qid",
+        F.col("pos").cast("int").alias("pos"),
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def _bucket_selector_oracle_sql() -> str:
+    return f"""{_date_bucket_cte()},
+sel AS (SELECT * FROM b WHERE n_docs >= {BSEL_MIN_DOCS}),
+r AS (
+  SELECT qid, bucket, n_docs,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY n_docs DESC, bucket ASC
+         ) AS pos
+  FROM sel
+)
+SELECT qid::INT AS qid, pos::INT AS pos,
+       strftime(bucket, '%Y-%m-%d') AS bucket, n_docs
+FROM r WHERE pos <= {BSORT_SIZE}
+"""
+
+
 BOOSTING_NEG = [(1, "parse"), (2, "table"), (3, "merge")]
 BOOSTING_NB = 0.4
 
@@ -5188,6 +5346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boosting_topk": q_ft_boosting_topk,
         "ft_composite_facets": q_ft_composite_facets,
         "ft_bucket_pipeline": q_ft_bucket_pipeline,
+        "ft_bucket_stats": q_ft_bucket_stats,
+        "ft_bucket_movfn": q_ft_bucket_movfn,
+        "ft_bucket_selector": q_ft_bucket_selector,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
         "ft_percolate": q_ft_percolate,
         "ft_term_vectors": q_ft_term_vectors,
@@ -5377,6 +5538,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_composite_facets": _composite_oracle_sql(),
         "ft_bucket_pipeline": _bucket_pipeline_oracle_sql(),
+        "ft_bucket_stats": _bucket_stats_oracle_sql(),
+        "ft_bucket_movfn": _bucket_movfn_oracle_sql(),
+        "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_bm25f_indexed": _bm25f_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),

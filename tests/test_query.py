@@ -920,6 +920,65 @@ def test_bucket_pipeline_derivative_and_cumsum(spark, corpus, index):
     assert run == sum(r["n_docs"] for r in rows)
 
 
+def test_bucket_stats_selector_movfn_bruteforce(spark, corpus, index):
+    from pyspark.sql import functions as F
+    from vframe_spark.query.facets import (
+        bucket_selector, bucket_sort, bucket_stats, histogram_facets,
+        moving_metric, serial_diff,
+    )
+
+    docs, _ = corpus
+    postings, _, _, meta = index
+    vals = docs.select("doc_id", F.length("content").alias("nchars"))
+    qs = [(1, "data parse")]
+    buckets = histogram_facets(postings, meta, qs, vals, "nchars", interval=100.0)
+    base = sorted(buckets.collect(), key=lambda r: r["bucket"])
+    counts = [r["n_docs"] for r in base]
+    assert len(counts) >= 3
+
+    # sibling aggs
+    s = bucket_stats(buckets).collect()
+    assert len(s) == 1
+    row = s[0]
+    assert row["n_buckets"] == len(counts)
+    assert row["sum_v"] == sum(counts)
+    assert row["min_v"] == min(counts)
+    assert row["max_v"] == max(counts)
+    assert abs(row["avg_v"] - sum(counts) / len(counts)) < 1e-9
+    assert row["min_key"] == min(
+        r["bucket"] for r in base if r["n_docs"] == min(counts)
+    )
+    assert row["max_key"] == min(
+        r["bucket"] for r in base if r["n_docs"] == max(counts)
+    )
+
+    # selector drops failing buckets; sort ranks by metric desc, key asc
+    thr = sorted(counts)[len(counts) // 2]
+    kept = bucket_sort(bucket_selector(buckets, f"n_docs >= {thr}"), by="n_docs")
+    got = sorted(kept.collect(), key=lambda r: r["pos"])
+    want = sorted(
+        [r for r in base if r["n_docs"] >= thr],
+        key=lambda r: (-r["n_docs"], r["bucket"]),
+    )
+    assert [(r["bucket"], r["n_docs"]) for r in got] == [
+        (r["bucket"], r["n_docs"]) for r in want
+    ]
+    assert [r["pos"] for r in got] == list(range(1, len(want) + 1))
+
+    # moving_fn trailing inclusive window + serial_diff lag semantics
+    out = sorted(
+        serial_diff(moving_metric(buckets, window=3, fn="avg"), lag=2).collect(),
+        key=lambda r: r["bucket"],
+    )
+    for i, r in enumerate(out):
+        win = counts[max(0, i - 2): i + 1]
+        assert abs(r["mov"] - sum(win) / len(win)) < 1e-9
+        if i < 2:
+            assert r["sdiff"] is None
+        else:
+            assert r["sdiff"] == counts[i] - counts[i - 2]
+
+
 def test_bm25f_indexed_equals_querytime(spark, corpus, tmp_path_factory):
     from pyspark.sql import functions as F
     from vframe_spark.query.bm25 import bm25f_topk_df, bm25f_topk_indexed

@@ -529,3 +529,108 @@ def bucket_pipeline(
             ),
         )
     return out
+
+
+def bucket_stats(
+    buckets: DataFrame,
+    metric_col: str = "n_docs",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Sibling pipeline aggregations (the ES ``avg_bucket`` /
+    ``max_bucket`` / ``min_bucket`` / ``sum_bucket`` / ``stats_bucket``
+    family): collapse a (qid, bucket, metric) facet table to ONE row per
+    query —
+
+    ``n_buckets, sum_v, avg_v, min_v, max_v, min_key, max_key``
+
+    where ``min_key`` / ``max_key`` are the bucket keys attaining the
+    extremum (ES returns the full key list; here the EARLIEST such
+    bucket, a deterministic representative). One partial aggregation
+    over the tiny bucket table — the corpus is never re-read."""
+    # earliest-key-at-extremum in ONE aggregation: min over
+    # (metric, key) / (-metric, key) structs — the struct compare picks
+    # the extreme metric first, then the smallest key among ties
+    # (min_by/max_by would break ties arbitrarily). Metric is numeric
+    # (a count/sum), so negation is safe.
+    v = F.col(metric_col).cast("double")
+    return buckets.groupBy("qid").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(metric_col).alias("sum_v"),
+        F.avg(metric_col).alias("avg_v"),
+        F.min(metric_col).alias("min_v"),
+        F.max(metric_col).alias("max_v"),
+        F.min(F.struct(v.alias("v"), F.col(bucket_col).alias("k")))["k"].alias("min_key"),
+        F.min(F.struct((-v).alias("v"), F.col(bucket_col).alias("k")))["k"].alias("max_key"),
+    )
+
+
+def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+    """ES ``bucket_selector``: drop buckets failing a predicate over the
+    bucket row (e.g. ``"n_docs >= 3"``). The predicate is a SQL
+    expression compiled by Catalyst — a pure filter on the bucket table,
+    O(buckets)."""
+    return buckets.filter(F.expr(predicate))
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    by: str = "n_docs",
+    size: int | None = None,
+    ascending: bool = False,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES ``bucket_sort``: re-rank buckets per query by a metric and
+    optionally truncate to ``size``. Emits ``pos`` (1-based rank,
+    deterministic tie-break on the bucket key ascending) — one bounded
+    per-qid window over the bucket table."""
+    key = F.col(by).asc() if ascending else F.col(by).desc()
+    w = Window.partitionBy("qid").orderBy(key, F.col(bucket_col).asc())
+    out = buckets.withColumn("pos", F.row_number().over(w))
+    if size is not None:
+        out = out.filter(F.col("pos") <= size)
+    return out
+
+
+def moving_metric(
+    buckets: DataFrame,
+    window: int = 3,
+    fn: str = "avg",
+    metric_col: str = "n_docs",
+    bucket_col: str = "bucket",
+    out_col: str = "mov",
+) -> DataFrame:
+    """ES ``moving_fn`` (unweightedAvg / min / max / sum): the metric
+    aggregated over a trailing window of up to ``window`` buckets ending
+    at (and including) the current bucket, per query in bucket order.
+    Partial leading windows aggregate whatever values exist — ES
+    evaluates the function on the available window the same way. A pure
+    ROWS-frame window over the bucket table."""
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+    if fn not in fns:
+        raise ValueError(f"fn must be one of {sorted(fns)}, got {fn!r}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = (
+        Window.partitionBy("qid")
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return buckets.withColumn(out_col, fns[fn](metric_col).over(w))
+
+
+def serial_diff(
+    buckets: DataFrame,
+    lag: int = 1,
+    metric_col: str = "n_docs",
+    bucket_col: str = "bucket",
+    out_col: str = "sdiff",
+) -> DataFrame:
+    """ES ``serial_diff``: metric − metric ``lag`` buckets earlier, per
+    query in bucket order; NULL while no bucket exists that far back
+    (the ES missing-value semantics, same as the first derivative)."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    w = Window.partitionBy("qid").orderBy(F.col(bucket_col).asc())
+    return buckets.withColumn(
+        out_col, F.col(metric_col) - F.lag(metric_col, lag).over(w)
+    )
