@@ -2795,6 +2795,68 @@ FROM est LEFT JOIN exact USING (item)
 """
 
 
+BLOOM_M, BLOOM_K = 4096, 3
+
+
+def q_sketch_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership (the bounded-memory seen-before gate for
+    streaming dedup): the even-doc_id half of the corpus inserts its
+    text into an m=4096, k=3 filter (packed 62-bit words, one bit_or
+    groupBy), then EVERY doc probes it — contained (filter verdict) vs
+    actual (exact semi-join on text). No false negatives by
+    construction; false positives at the (1-e^{-kn/m})^k rate, each one
+    visible in the false_positive column. Portable salted md5 positions
+    → the oracle replays words and verdicts bit-for-bit
+    (operators/sketch.py bloom_state/bloom_contains)."""
+    from vframe_spark.operators.sketch import bloom_contains, bloom_state
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(F.col("text").alias("v"))
+    state = bloom_state(seen, "v", m=BLOOM_M, k=BLOOM_K)
+    probe = docs.select("doc_id", F.col("text").alias("v"))
+    out = bloom_contains(state, probe, "v", m=BLOOM_M, k=BLOOM_K)
+    seen_texts = (
+        docs.filter(F.col("doc_id") % 2 == 0).select(F.col("text")).distinct()
+    )
+    actual_ids = (
+        docs.join(seen_texts, "text", "left_semi")
+        .select("doc_id", F.lit(True).alias("actual"))
+    )
+    return (
+        out.join(actual_ids, "doc_id", "left")
+        .fillna(False, subset=["actual"])
+        .select(
+            "doc_id",
+            "contained",
+            "actual",
+            (F.col("contained") & ~F.col("actual")).alias("false_positive"),
+        )
+    )
+
+
+def _sketch_bloom_oracle_sql() -> str:
+    from vframe_spark.operators.sketch import bloom_duckdb_sql
+
+    bloom = bloom_duckdb_sql(
+        "text", "(SELECT text FROM documents WHERE doc_id % 2 = 0) bd",
+        "text", "documents", probe_keys="doc_id", m=BLOOM_M, k=BLOOM_K,
+    )
+    return f"""
+WITH c AS ({bloom}),
+actual AS (
+  SELECT d.doc_id,
+         EXISTS (
+           SELECT 1 FROM documents e
+           WHERE e.doc_id % 2 = 0 AND e.text = d.text
+         ) AS actual
+  FROM documents d
+)
+SELECT c.doc_id, c.contained, a.actual,
+       (c.contained AND NOT a.actual) AS false_positive
+FROM c JOIN actual a USING (doc_id)
+"""
+
+
 KMV_K = 512
 
 
@@ -5423,6 +5485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_model": q_text_quality_model,
         "sketch_hll_tokens": q_sketch_hll_tokens,
         "sketch_cms_counts": q_sketch_cms_counts,
+        "sketch_bloom_membership": q_sketch_bloom_membership,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
         "rel_shipping_priority": q_rel_shipping_priority,
         "rel_semi_join": q_rel_semi_join,
@@ -5963,6 +6026,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_model": _quality_model_oracle_sql(),
         "sketch_hll_tokens": _sketch_hll_oracle_sql(),
         "sketch_cms_counts": _sketch_cms_oracle_sql(),
+        "sketch_bloom_membership": _sketch_bloom_oracle_sql(),
         "sketch_kmv_overlap": _sketch_kmv_oracle_sql(),
         "text_top_terms": f"""
             WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),

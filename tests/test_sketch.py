@@ -216,3 +216,85 @@ def test_kmv_overlap_duckdb_replay_identical(spark):
     con.register("t", df.toPandas())
     want = sorted(map(tuple, con.execute(kmv_overlap_duckdb_sql("v", "g", "t", k=128)).fetchall()))
     assert got == want
+
+
+# --------------------------------------------------------------------- bloom
+
+
+@pytest.fixture(scope="module")
+def bloom_keys(spark):
+    seen = [(f"key-{i}",) for i in range(400)]
+    other = [(f"other-{i}",) for i in range(400)]
+    return (
+        spark.createDataFrame(seen, "v string").cache(),
+        spark.createDataFrame(other, "v string").cache(),
+    )
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark, bloom_keys):
+    from vframe_spark.operators.sketch import bloom_contains, bloom_state
+
+    seen, other = bloom_keys
+    m, k = 8192, 4
+    state = bloom_state(seen, "v", m=m, k=k)
+    # every inserted key must be contained — no false negatives, ever
+    got = bloom_contains(state, seen, "v", m=m, k=k).collect()
+    assert all(r["contained"] for r in got)
+    # non-members false-positive at roughly (1 - e^{-kn/m})^k ≈ 0.3%
+    fp = sum(r["contained"] for r in bloom_contains(state, other, "v", m=m, k=k).collect())
+    assert fp <= 20, fp  # generous: 5% ceiling on a 0.3%-rate draw
+
+
+def test_bloom_merge_equals_whole(spark, bloom_keys):
+    from vframe_spark.operators.sketch import bloom_merge, bloom_state
+
+    seen, other = bloom_keys
+    m, k = 4096, 3
+    whole = bloom_state(seen.unionByName(other), "v", m=m, k=k)
+    merged = bloom_merge(
+        bloom_state(seen, "v", m=m, k=k),
+        bloom_state(other, "v", m=m, k=k),
+    )
+    a = {(r["word"], r["bits"]) for r in whole.collect()}
+    b = {(r["word"], r["bits"]) for r in merged.collect()}
+    assert a == b
+
+
+def test_bloom_python_twin_and_word_packing(spark, bloom_keys):
+    from vframe_spark.operators.sketch import (
+        WORD_BITS_BLOOM, bloom_contains, bloom_contains_py, bloom_state,
+    )
+
+    seen, other = bloom_keys
+    m, k = 2048, 3
+    state = bloom_state(seen, "v", m=m, k=k)
+    rows = state.collect()
+    # 62-bit packing: every word index in range, every word positive
+    assert all(0 <= r["word"] <= (m - 1) // WORD_BITS_BLOOM for r in rows)
+    assert all(r["bits"] > 0 for r in rows)
+    words = {r["word"]: r["bits"] for r in rows}
+    probe = seen.unionByName(other)
+    got = {r["v"]: r["contained"] for r in bloom_contains(state, probe, "v", m=m, k=k).collect()}
+    for v, contained in got.items():
+        assert bloom_contains_py(words, v, m=m, k=k) == contained
+
+
+def test_bloom_duckdb_replay_identical(spark, bloom_keys):
+    from vframe_spark.operators.sketch import bloom_contains, bloom_duckdb_sql, bloom_state
+
+    seen, other = bloom_keys
+    m, k = 4096, 3
+    state = bloom_state(seen, "v", m=m, k=k)
+    probe = seen.unionByName(other)
+    mine = {
+        r["v"]: r["contained"]
+        for r in bloom_contains(state, probe, "v", m=m, k=k).collect()
+    }
+    con = duckdb.connect()
+    con.register("seen_t", seen.toPandas())
+    con.register("probe_t", probe.toPandas())
+    sql = bloom_duckdb_sql(
+        "v", "seen_t", "v", "probe_t", probe_keys="v", m=m, k=k
+    )
+    theirs = {r[0]: bool(r[1]) for r in con.execute(sql).fetchall()}
+    assert mine == theirs

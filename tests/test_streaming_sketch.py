@@ -125,3 +125,24 @@ def test_streaming_kmv_equals_batch(spark, dropped, tmp_path):
         for r in kmv_estimate(kmv_state(whole, "v", by=["g"], k=K), by=["g"], k=K).collect()
     }
     assert est_s == est_b
+
+
+def test_streaming_bloom_equals_batch(spark, dropped):
+    """Running Bloom words (bit_or incremental agg) equal the batch
+    bloom_state over the concatenated drops — and the membership
+    verdicts built on them have no false negatives."""
+    from vframe_spark.operators.sketch import bloom_contains, bloom_state
+    from vframe_spark.streaming.sketch import bloom_state_stream
+
+    M, K = 2048, 3
+    src, whole = dropped
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    words = _run_complete(
+        spark, bloom_state_stream(stream, "v", m=M, k=K), "bloom_words"
+    )
+    got = sorted(map(tuple, words.collect()))
+    want = sorted(map(tuple, bloom_state(whole, "v", m=M, k=K).collect()))
+    assert got == want
+    seen = whole.select("v").distinct()
+    res = bloom_contains(words, seen, "v", m=M, k=K).collect()
+    assert all(r["contained"] for r in res)

@@ -453,3 +453,166 @@ SELECT g_a, g_b,
              4) AS inter_est
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: approximate set membership with NO false negatives and a
+# tunable false-positive rate ((1 - e^{-kn/m})^k), mergeable by word-wise
+# bit OR — the classic seen-before gate for streaming/incremental dedup
+# at scales where the exact key set no longer fits (reference parity:
+# skip-phash's seen-hash set, /root/reference/src/commands/pipe/
+# skip-phash.py:101-147, whose exact dict this bounds).
+#
+# Same portability discipline as the sketches above: salted md5-60bit
+# positions, 62-bit words (the sign and 63rd bits stay clear so every
+# word is a positive BIGINT in BOTH engines — no shift-overflow edge),
+# integer arithmetic only ⇒ DuckDB replays words AND membership verdicts
+# bit-for-bit.
+
+WORD_BITS_BLOOM = 62
+
+
+def _bloom_hash(col, i: int):
+    # independent position per probe: salt the value with the probe index
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"bloom{i}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def bloom_state(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    m: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """→ (by..., word, bits): the m-bit filter as packed 62-bit words.
+    One explode-by-k + ONE partial-aggregated bit_or groupBy (≤ ⌈m/62⌉
+    rows per group survive); states merge by word-wise OR
+    (`bloom_merge`) — the associativity that makes it streamable."""
+    if m < 2 or k < 1:
+        raise ValueError(f"need m >= 2, k >= 1, got m={m}, k={k}")
+    by = list(by or [])
+    rows = df.filter(F.col(col).isNotNull()).select(
+        *by,
+        F.explode(
+            F.array(*[(_bloom_hash(F.col(col), i) % m) for i in range(k)])
+        ).alias("pos"),
+    )
+    return (
+        rows.select(
+            *by,
+            (F.col("pos") / WORD_BITS_BLOOM).cast("int").alias("word"),
+            # shiftleft with a COLUMN shift count only exists in SQL form
+            F.expr(f"shiftleft(1L, cast(pos % {WORD_BITS_BLOOM} as int))").alias("b"),
+        )
+        .groupBy(*by, "word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_merge(*states: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Word-wise OR of filters (same m, k!)."""
+    by = list(by or [])
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*by, "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    state: DataFrame,
+    df: DataFrame,
+    col: str,
+    m: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """Membership test against a GLOBAL (ungrouped) filter → df +
+    ``contained`` (boolean): true iff all k probe bits are set. The probe
+    positions are pure codegen; the filter (≤ ⌈m/62⌉ rows) broadcasts to
+    one left equi-join on word — a missing word reads as all-zero. NO
+    false negatives by construction; false positives at the (1-e^{-kn/m})^k
+    rate. For grouped states, filter to one group first."""
+    if set(state.columns) != {"word", "bits"}:
+        raise ValueError(
+            f"bloom_contains needs a global (word, bits) state, got {state.columns}"
+        )
+    probes = df.select(
+        "*",
+        F.posexplode(
+            F.array(*[(_bloom_hash(F.col(col), i) % m) for i in range(k)])
+        ).alias("_i", "pos"),
+    ).select(
+        *df.columns,
+        "_i",
+        (F.col("pos") / WORD_BITS_BLOOM).cast("int").alias("word"),
+        (F.col("pos") % WORD_BITS_BLOOM).cast("int").alias("bit"),
+    )
+    hit = probes.join(F.broadcast(state), "word", "left").withColumn(
+        "_hit", F.expr("shiftright(coalesce(bits, 0L), bit) & 1L")
+    )
+    return (
+        hit.groupBy(*df.columns)
+        .agg((F.min("_hit") == 1).alias("contained"))
+    )
+
+
+def bloom_contains_py(words: dict[int, int], item, m: int = 8192, k: int = 4) -> bool:
+    """Driver-side replay of one membership test (the twin used by
+    tests): `words` maps word → packed bits, e.g.
+    ``{r['word']: r['bits'] for r in state.collect()}``."""
+    import hashlib
+
+    for i in range(k):
+        h = int(hashlib.md5(f"bloom{i}:{item}".encode()).hexdigest()[:15], 16)
+        pos = h % m
+        if not (words.get(pos // WORD_BITS_BLOOM, 0) >> (pos % WORD_BITS_BLOOM)) & 1:
+            return False
+    return True
+
+
+def bloom_duckdb_sql(
+    build_val: str,
+    build_from: str,
+    probe_val: str,
+    probe_from: str,
+    probe_keys: str,
+    m: int = 8192,
+    k: int = 4,
+) -> str:
+    """The whole Bloom pipeline (build + probe) as one DuckDB query →
+    (probe_keys..., contained) — identical salted positions, 62-bit
+    words, bit tests. ``probe_keys``: the probe table's output column
+    list (SQL fragment)."""
+    build_legs = [
+        f"SELECT (('0x' || substr(md5('bloom{i}:' || ({build_val})::VARCHAR), 1, 15))::BIGINT % {m}) AS pos "
+        f"FROM {build_from} WHERE ({build_val}) IS NOT NULL"
+        for i in range(k)
+    ]
+    probe_legs = [
+        f"SELECT {probe_keys}, (('0x' || substr(md5('bloom{i}:' || ({probe_val})::VARCHAR), 1, 15))::BIGINT % {m}) AS pos "
+        f"FROM {probe_from} WHERE ({probe_val}) IS NOT NULL"
+        for i in range(k)
+    ]
+    return f"""
+WITH bpos AS ({' UNION ALL '.join(build_legs)}),
+state AS (
+  SELECT (pos // {WORD_BITS_BLOOM})::INT AS word,
+         bit_or(1::BIGINT << (pos % {WORD_BITS_BLOOM})::INT) AS bits
+  FROM bpos GROUP BY 1
+),
+ppos AS ({' UNION ALL '.join(probe_legs)}),
+probe AS (
+  SELECT {probe_keys}, (pos // {WORD_BITS_BLOOM})::INT AS word,
+         (pos % {WORD_BITS_BLOOM})::INT AS bit
+  FROM ppos
+),
+hits AS (
+  SELECT {probe_keys},
+         ((coalesce(state.bits, 0) >> probe.bit) & 1) AS hit
+  FROM probe LEFT JOIN state USING (word)
+)
+SELECT {probe_keys}, (min(hit) = 1) AS contained FROM hits GROUP BY {probe_keys}
+"""

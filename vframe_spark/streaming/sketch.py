@@ -92,6 +92,39 @@ def cms_counts_stream(
     )
 
 
+def bloom_state_stream(
+    stream: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    m: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """Streaming Bloom filter: (by..., word, bits) maintained
+    incrementally (bit_or-merge per word) — the bounded-memory
+    seen-before gate kept live over a document stream; probe the
+    materialized words with ``operators.sketch.bloom_contains``."""
+    from ..operators.sketch import WORD_BITS_BLOOM, _bloom_hash
+
+    if m < 2 or k < 1:
+        raise ValueError(f"need m >= 2, k >= 1, got m={m}, k={k}")
+    by = list(by or [])
+    rows = stream.filter(F.col(col).isNotNull()).select(
+        *by,
+        F.explode(
+            F.array(*[(_bloom_hash(F.col(col), i) % m) for i in range(k)])
+        ).alias("pos"),
+    )
+    return (
+        rows.select(
+            *by,
+            (F.col("pos") / WORD_BITS_BLOOM).cast("int").alias("word"),
+            F.expr(f"shiftleft(1L, cast(pos % {WORD_BITS_BLOOM} as int))").alias("b"),
+        )
+        .groupBy(*by, "word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
 def kmv_state_stream(
     stream: DataFrame, col: str, by: list[str] | None = None, k: int = 256
 ) -> DataFrame:
