@@ -810,6 +810,42 @@ FROM r WHERE pos <= {BSORT_SIZE}
 """
 
 
+FT_ADJ_FILTERS = [("A", "data analysis"), ("B", "parse hash"), ("C", "window merge")]
+
+
+def q_ft_adjacency(spark, sf_dir):
+    """ES adjacency_matrix aggregation: three named filter queries →
+    per-filter match counts on the diagonal and pairwise-intersection
+    counts off it (key_a < key_b, empty intersections omitted). One
+    pruned posting scan feeds all match sets; the pair counts are one
+    doc_id equi-self-join of the (key, doc_id) table — the n² is in the
+    filter count, never the corpus (query/facets.py adjacency_matrix)."""
+    from vframe_spark.query.facets import adjacency_matrix
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    out = adjacency_matrix(postings, meta, FT_ADJ_FILTERS)
+    return out.select(
+        "key_a", "key_b", F.col("n_docs").cast("bigint").alias("n_docs")
+    )
+
+
+def _adjacency_oracle_sql() -> str:
+    rows = []
+    for key, q in FT_ADJ_FILTERS:
+        for t in sorted(set(tokenize_py(q))):
+            rows.append(f"('{key}', '{t}')")
+    qvals = ", ".join(rows)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(key, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.key, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+SELECT a.key AS key_a, b.key AS key_b, count(*)::BIGINT AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.key <= b.key
+GROUP BY 1, 2
+"""
+
+
 BOOSTING_NEG = [(1, "parse"), (2, "table"), (3, "merge")]
 BOOSTING_NB = 0.4
 
@@ -5411,6 +5447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_stats": q_ft_bucket_stats,
         "ft_bucket_movfn": q_ft_bucket_movfn,
         "ft_bucket_selector": q_ft_bucket_selector,
+        "ft_adjacency": q_ft_adjacency,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
         "ft_percolate": q_ft_percolate,
         "ft_term_vectors": q_ft_term_vectors,
@@ -5604,6 +5641,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_stats": _bucket_stats_oracle_sql(),
         "ft_bucket_movfn": _bucket_movfn_oracle_sql(),
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
+        "ft_adjacency": _adjacency_oracle_sql(),
         "ft_bm25f_indexed": _bm25f_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),

@@ -390,6 +390,38 @@ def test_facet_counts_match_bruteforce(spark, corpus, index):
     assert all(r["qid"] != 2 for r in out)  # no-match query → no facet rows
 
 
+def test_adjacency_matrix_bruteforce(spark, corpus, index):
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import adjacency_matrix
+
+    _, oracle = corpus
+    postings, _, _, meta = index
+    filters = [("A", "data parse"), ("B", "hash table"), ("C", "zzznope")]
+    got = {
+        (r["key_a"], r["key_b"]): r["n_docs"]
+        for r in adjacency_matrix(postings, meta, filters).collect()
+    }
+    sets = {}
+    for key, q in filters:
+        terms = sorted(set(parse_query_terms(q)))
+        sets[key] = {
+            d for d, c in oracle.tf.items() if any(c.get(t, 0) > 0 for t in terms)
+        }
+    exp = {}
+    ks = sorted(sets)
+    for i, a in enumerate(ks):
+        for b in ks[i:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                exp[(a, b)] = n
+    assert got == exp
+    assert not any("C" in k for k in got)  # no-match filter emits nothing
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        adjacency_matrix(postings, meta, [("A", "x"), ("A", "y")])
+
+
 # ---------------------------------------------------- search_after paging
 
 def test_local_engine_search_after_pages_exactly(spark, corpus, index):

@@ -274,6 +274,17 @@ class SearchIndex:
             postings, meta, queries, facets, facet_col, id_col=id_col, mode=mode
         )
 
+    def adjacency(
+        self, filters: list[tuple[str, str]], mode: str = "or"
+    ) -> DataFrame:
+        """ES adjacency_matrix: named filter queries → per-filter and
+        pairwise-intersection match counts (key_a, key_b, n_docs); see
+        `query.facets.adjacency_matrix`."""
+        from .query.facets import adjacency_matrix
+
+        postings, _, _, meta = self._parts()
+        return adjacency_matrix(postings, meta, filters, mode=mode)
+
     def sort_by(
         self,
         query: str | list[tuple[int, str]],

@@ -496,6 +496,42 @@ def composite_facets(
     )
 
 
+def adjacency_matrix(
+    postings: DataFrame,
+    meta: dict,
+    filters: list[tuple[str, str]],
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: named filter queries →
+    (key_a, key_b, n_docs) where the diagonal (key_a == key_b) counts
+    each filter's match set and off-diagonal rows count pairwise
+    INTERSECTIONS (key_a < key_b lexicographically, each unordered pair
+    once). Empty intersections emit no row, ES semantics.
+
+    Shape at scale: each match set is bounded by its query's posting
+    lists (one pruned scan for all filters); the pair counts come from
+    ONE doc_id equi-self-join of the (key, doc_id) match table — never
+    an all-pairs document join, and the ES n² blowup is in the number
+    of FILTERS (tiny), not docs."""
+    spark: SparkSession = postings.sparkSession
+    keys = [k for k, _ in filters]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"filter keys must be unique, got {keys}")
+    m = match_set(postings, meta, list(enumerate(q for _, q in filters)), mode=mode)
+    kdf = spark.createDataFrame(list(enumerate(keys)), "qid int, key string")
+    mk = m.join(F.broadcast(kdf), "qid").select("key", "doc_id")
+    a, b = mk.alias("a"), mk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.key") <= F.col("b.key")),
+        )
+        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def bucket_pipeline(
     buckets: DataFrame,
     metric_col: str = "n_docs",
