@@ -846,6 +846,92 @@ GROUP BY 1, 2
 """
 
 
+TA_SIZE, TA_SHARD_SIZE, TA_SHARDS = 6, 3, 8
+
+
+def q_ft_terms_approx(spark, sf_dir):
+    """Distributed terms aggregation with ES's error accounting: shards
+    (pmod(doc_id, 8)) each report only their local top-3 `source`
+    buckets; the coordinator sums reported counts, ranks the union, and
+    returns per-bucket doc_count_error_upper_bound = Σ of the smallest
+    reported count over shards that omitted the bucket. exact_n (the
+    true count) and bound_ok verify doc_count ≤ true ≤ doc_count+err_ub
+    on every returned row — the oracle replays shard tops, sums, and
+    bounds integer-exactly (query/facets.py approx_terms_facets)."""
+    from vframe_spark.query.facets import approx_terms_facets, facet_counts
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = approx_terms_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "source",
+        size=TA_SIZE, shard_size=TA_SHARD_SIZE, n_shards=TA_SHARDS,
+    )
+    exact = facet_counts(postings, meta, FT_FACET_QUERIES, docs, "source").select(
+        "qid", "facet", F.col("n_docs").alias("exact_n")
+    )
+    return (
+        out.join(exact, ["qid", "facet"])
+        .select(
+            "qid", "facet",
+            F.col("doc_count").cast("bigint").alias("doc_count"),
+            F.col("err_ub").cast("bigint").alias("err_ub"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            (
+                (F.col("doc_count") <= F.col("exact_n"))
+                & (F.col("exact_n") <= F.col("doc_count") + F.col("err_ub"))
+            ).alias("bound_ok"),
+        )
+    )
+
+
+def _terms_approx_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+rws AS (
+  SELECT m.qid, d.source AS facet, m.doc_id, (m.doc_id % {TA_SHARDS})::INT AS shard
+  FROM m JOIN documents d USING (doc_id) WHERE d.source IS NOT NULL
+),
+pc AS (SELECT qid, shard, facet, count(*)::BIGINT AS cnt FROM rws GROUP BY 1, 2, 3),
+top AS (
+  SELECT * FROM (
+    SELECT qid, shard, facet, cnt,
+           row_number() OVER (PARTITION BY qid, shard ORDER BY cnt DESC, facet ASC) AS rn
+    FROM pc
+  ) WHERE rn <= {TA_SHARD_SIZE}
+),
+bound AS (
+  SELECT qid, shard,
+         CASE WHEN max(rn) = {TA_SHARD_SIZE} THEN min(cnt) ELSE 0 END AS b
+  FROM top GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT qid, facet FROM top),
+summed AS (SELECT qid, facet, sum(cnt)::BIGINT AS doc_count FROM top GROUP BY 1, 2),
+err AS (
+  SELECT c.qid, c.facet,
+         sum(CASE WHEN t.facet IS NULL THEN b.b ELSE 0 END)::BIGINT AS err_ub
+  FROM cand c
+  JOIN bound b ON b.qid = c.qid
+  LEFT JOIN top t ON t.qid = c.qid AND t.shard = b.shard AND t.facet = c.facet
+  GROUP BY 1, 2
+),
+exact AS (SELECT qid, facet, count(*)::BIGINT AS exact_n FROM rws GROUP BY 1, 2),
+fin AS (
+  SELECT s.qid, s.facet, s.doc_count, e.err_ub, x.exact_n,
+         row_number() OVER (PARTITION BY s.qid ORDER BY s.doc_count DESC, s.facet ASC) AS r
+  FROM summed s
+  JOIN err e ON e.qid = s.qid AND e.facet = s.facet
+  JOIN exact x ON x.qid = s.qid AND x.facet = s.facet
+)
+SELECT qid::INT AS qid, facet, doc_count, err_ub, exact_n,
+       (doc_count <= exact_n AND exact_n <= doc_count + err_ub) AS bound_ok
+FROM fin WHERE r <= {TA_SIZE}
+"""
+
+
 BOOSTING_NEG = [(1, "parse"), (2, "table"), (3, "merge")]
 BOOSTING_NB = 0.4
 
@@ -5448,6 +5534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_movfn": q_ft_bucket_movfn,
         "ft_bucket_selector": q_ft_bucket_selector,
         "ft_adjacency": q_ft_adjacency,
+        "ft_terms_approx": q_ft_terms_approx,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
         "ft_percolate": q_ft_percolate,
         "ft_term_vectors": q_ft_term_vectors,
@@ -5642,6 +5729,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_movfn": _bucket_movfn_oracle_sql(),
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_adjacency": _adjacency_oracle_sql(),
+        "ft_terms_approx": _terms_approx_oracle_sql(),
         "ft_bm25f_indexed": _bm25f_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),

@@ -390,6 +390,62 @@ def test_facet_counts_match_bruteforce(spark, corpus, index):
     assert all(r["qid"] != 2 for r in out)  # no-match query → no facet rows
 
 
+def test_approx_terms_bounds_and_bruteforce(spark, corpus, index):
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import approx_terms_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    qs = [(1, "data parse")]
+    fac = docs.select("doc_id", "lang")
+    n_shards, shard_size, size = 4, 2, 5
+    got = approx_terms_facets(
+        postings, meta, qs, fac, "lang",
+        size=size, shard_size=shard_size, n_shards=n_shards,
+    ).collect()
+    assert got and len(got) <= size
+
+    # python replay of the ES shard-top protocol
+    lang_of = {r["doc_id"]: r["lang"] for r in fac.collect()}
+    terms = sorted(set(parse_query_terms("data parse")))
+    matched = [d for d, c in oracle.tf.items() if any(c.get(t, 0) > 0 for t in terms)]
+    per_shard: dict = {}
+    exact: dict = {}
+    for d in matched:
+        lg = lang_of.get(d)
+        if lg is None:
+            continue
+        per_shard.setdefault(d % n_shards, {}).setdefault(lg, 0)
+        per_shard[d % n_shards][lg] += 1
+        exact[lg] = exact.get(lg, 0) + 1
+    tops, bounds = {}, {}
+    for s, counts in per_shard.items():
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:shard_size]
+        tops[s] = dict(ranked)
+        bounds[s] = ranked[-1][1] if len(ranked) == shard_size else 0
+    summed, err = {}, {}
+    for s, t in tops.items():
+        for k, v in t.items():
+            summed[k] = summed.get(k, 0) + v
+    for k in summed:
+        err[k] = sum(b for s, b in bounds.items() if k not in tops[s])
+    want = sorted(summed.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+    assert {(r["facet"], r["doc_count"], r["err_ub"]) for r in got} == {
+        (k, v, err[k]) for k, v in want
+    }
+    # the documented guarantee on every returned row
+    for r in got:
+        assert r["doc_count"] <= exact[r["facet"]] <= r["doc_count"] + r["err_ub"]
+
+    # exhaustive shards (shard_size >= distinct buckets) → exact, zero error
+    full = approx_terms_facets(
+        postings, meta, qs, fac, "lang",
+        size=50, shard_size=1000, n_shards=n_shards,
+    ).collect()
+    assert all(r["err_ub"] == 0 for r in full)
+    assert {(r["facet"], r["doc_count"]) for r in full} == set(exact.items())
+
+
 def test_adjacency_matrix_bruteforce(spark, corpus, index):
     from vframe_spark.oracle import parse_query_terms
     from vframe_spark.query.facets import adjacency_matrix

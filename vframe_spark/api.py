@@ -274,6 +274,28 @@ class SearchIndex:
             postings, meta, queries, facets, facet_col, id_col=id_col, mode=mode
         )
 
+    def terms_approx(
+        self,
+        query: str | list[tuple[int, str]],
+        facets: DataFrame,
+        facet_col: str,
+        size: int = 10,
+        shard_size: int | None = None,
+        n_shards: int = 8,
+        mode: str = "or",
+    ) -> DataFrame:
+        """Distributed terms agg with ES error accounting →
+        (qid, facet, doc_count, err_ub); see
+        `query.facets.approx_terms_facets`."""
+        from .query.facets import approx_terms_facets
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return approx_terms_facets(
+            postings, meta, queries, facets, facet_col,
+            size=size, shard_size=shard_size, n_shards=n_shards, mode=mode,
+        )
+
     def adjacency(
         self, filters: list[tuple[str, str]], mode: str = "or"
     ) -> DataFrame:

@@ -496,6 +496,99 @@ def composite_facets(
     )
 
 
+def approx_terms_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    facets: DataFrame,
+    facet_col: str,
+    size: int = 10,
+    shard_size: int | None = None,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """The DISTRIBUTED terms aggregation with ES's documented error
+    accounting (`terms` agg `doc_count_error_upper_bound`): each shard
+    reports only its local top ``shard_size`` facet buckets, the
+    coordinator sums the reported counts per bucket and ranks the union
+    — so a bucket's returned ``doc_count`` can undercount by at most the
+    sum, over shards that did NOT report it, of that shard's smallest
+    reported count (0 for a shard that returned ALL its buckets). That
+    per-bucket bound is returned as ``err_ub``; the truth always
+    satisfies doc_count ≤ true ≤ doc_count + err_ub.
+
+    Shards are ``pmod(doc_id, n_shards)`` — deterministic and
+    engine-portable, so the whole pipeline (shard tops, sums, bounds)
+    replays exactly in SQL. ``shard_size`` defaults to ES's
+    ``size * 1.5 + 10``.
+
+    Shape at scale: one (qid, shard, facet) partial-agg count, one
+    BOUNDED per-(qid, shard) window (≤ shard_size rows survive per
+    shard), then coordinator-sized joins over ≤ n_shards × shard_size
+    rows per query — the corpus-sized data never passes a global
+    window. This is exactly why ES shards return truncated tops: the
+    error is made explicit instead of paying the exact shuffle."""
+    if shard_size is None:
+        shard_size = int(size * 1.5 + 10)
+    if size < 1 or shard_size < 1 or n_shards < 1:
+        raise ValueError(
+            f"need size, shard_size, n_shards >= 1, got {size}, {shard_size}, {n_shards}"
+        )
+    m = match_set(postings, meta, queries, mode=mode)
+    f = facets.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")
+    ).filter(F.col(facet_col).isNotNull())
+    rows = m.join(f, "doc_id").withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    per_shard = rows.groupBy("qid", "shard", "facet").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("qid", "shard").orderBy(
+        F.col("cnt").desc(), F.col("facet").asc()
+    )
+    top = (
+        per_shard.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shard_size)
+        .cache()
+    )
+    # a shard that filled its budget may have truncated: its unseen
+    # buckets are bounded by its smallest REPORTED count; an exhaustive
+    # shard (fewer buckets than the budget) contributes no error
+    bound = top.groupBy("qid", "shard").agg(
+        F.when(F.max("rn") == shard_size, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("b")
+    )
+    cand = top.select("qid", "facet").distinct()
+    summed = top.groupBy("qid", "facet").agg(F.sum("cnt").alias("doc_count"))
+    err = (
+        cand.join(bound, "qid")
+        .join(
+            top.select("qid", "shard", "facet", F.lit(1).alias("_seen")),
+            ["qid", "shard", "facet"],
+            "left",
+        )
+        .groupBy("qid", "facet")
+        .agg(
+            F.sum(F.when(F.col("_seen").isNull(), F.col("b")).otherwise(0))
+            .cast("long")
+            .alias("err_ub")
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("doc_count").desc(), F.col("facet").asc()
+    )
+    return (
+        summed.join(err, ["qid", "facet"])
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= size)
+        .drop("_r")
+    )
+
+
 def adjacency_matrix(
     postings: DataFrame,
     meta: dict,
