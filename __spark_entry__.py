@@ -4102,6 +4102,106 @@ FT_SPELL_QUERIES = [
 SPELL_MAX_DIST, SPELL_TOPN = 2, 3
 
 
+PSUG_QUERIES = [
+    (1, "dta analysis"),
+    (2, "windw mrge"),
+    (3, "hash tabel"),
+    (4, "data"),
+]
+PSUG_MAX_DIST, PSUG_PER_TERM, PSUG_TOPN, PSUG_ALPHA = 2, 2, 3, 0.5
+
+
+def q_ft_phrase_suggest(spark, sf_dir):
+    """Whole-phrase spell correction (the ES `phrase` suggester):
+    OOV positions offer their did_you_mean candidates, the candidate-
+    phrase cross product is ranked by a Laplace bigram LM over the
+    corpus token stream — "windw mrge" corrects toward phrases whose
+    words co-occur, not just toward close spellings. Position-ordered
+    float fold + 6-dp rank grain make the whole pipeline (candidates,
+    counts, scores, ranks) SQL-replayable (query/spell.py
+    phrase_suggest)."""
+    from vframe_spark.query.spell import phrase_suggest
+
+    _, term_stats, _, _ = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return phrase_suggest(
+        term_stats, docs, PSUG_QUERIES,
+        max_dist=PSUG_MAX_DIST, per_term=PSUG_PER_TERM,
+        topn=PSUG_TOPN, alpha=PSUG_ALPHA,
+    )
+
+
+def _phrase_suggest_oracle_sql() -> str:
+    alpha = PSUG_ALPHA
+    ctes = [
+        f"tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)",
+        "vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)",
+        "uni AS (SELECT term AS w, count(*)::BIGINT AS n FROM tok GROUP BY 1)",
+        "nv AS (SELECT sum(n)::DOUBLE AS N, count(*)::DOUBLE AS V FROM uni)",
+        f"toksarr AS (SELECT {TOK_SQL} AS t FROM documents)",
+        "bi AS (SELECT array_to_string(t[i:i + 1], ' ') AS pair, count(*)::BIGINT AS n "
+        "FROM toksarr, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2 GROUP BY 1)",
+    ]
+    legs = []
+    for qid, q in PSUG_QUERIES:
+        toks = tokenize_py(q)
+        for p, t in enumerate(toks):
+            # exactly did_you_mean's candidate rule: OOV positions only,
+            # (dist ASC, df DESC, term ASC), original term always kept
+            ctes.append(
+                f"""cand_{qid}_{p} AS (
+  SELECT '{t}' AS s
+  UNION ALL
+  SELECT s FROM (
+    SELECT v.term AS s,
+           row_number() OVER (
+             ORDER BY levenshtein(v.term, '{t}'), v.df DESC, v.term
+           ) AS rk
+    FROM vocab v
+    WHERE NOT EXISTS (SELECT 1 FROM vocab x WHERE x.term = '{t}')
+      AND v.term <> '{t}'
+      AND abs(length(v.term) - {len(t)}) <= {PSUG_MAX_DIST}
+      AND levenshtein(v.term, '{t}') <= {PSUG_MAX_DIST}
+  ) WHERE rk <= {PSUG_PER_TERM}
+)"""
+            )
+        sel_cols = ", ".join(f"c{p}.s AS w{p}" for p in range(len(toks)))
+        crosses = " CROSS JOIN ".join(
+            f"cand_{qid}_{p} c{p}" for p in range(len(toks))
+        )
+        ctes.append(f"ph_{qid} AS (SELECT {sel_cols} FROM {crosses})")
+        phrase_expr = " || ' ' || ".join(f"w{p}" for p in range(len(toks)))
+        parts = [f"ln((coalesce(u0.n, 0) + {alpha}) / (nv.N + {alpha} * nv.V))"]
+        joins = ["CROSS JOIN nv", "LEFT JOIN uni u0 ON u0.w = w0"]
+        for p in range(1, len(toks)):
+            joins.append(f"LEFT JOIN uni up{p} ON up{p}.w = w{p - 1}")
+            joins.append(f"LEFT JOIN bi b{p} ON b{p}.pair = w{p - 1} || ' ' || w{p}")
+            parts.append(
+                f"ln((coalesce(b{p}.n, 0) + {alpha}) "
+                f"/ (coalesce(up{p}.n, 0) + {alpha} * nv.V))"
+            )
+        score = " + ".join(parts)
+        legs.append(
+            f"SELECT {qid} AS qid, {phrase_expr} AS phrase, "
+            f"round({score}, 6) AS score FROM ph_{qid} " + " ".join(joins)
+        )
+    cte_sql = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH {cte_sql},
+allsc AS ({union}),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, phrase)::INT AS rank,
+         phrase, score
+  FROM allsc
+)
+SELECT qid, rank, phrase, score FROM ranked WHERE rank <= {PSUG_TOPN}
+"""
+
+
 def q_ft_spell_suggest(spark, sf_dir):
     """Did-you-mean spell correction from the index vocabulary
     (query/spell.py): out-of-vocab query terms get Levenshtein-≤2
@@ -5535,6 +5635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_selector": q_ft_bucket_selector,
         "ft_adjacency": q_ft_adjacency,
         "ft_terms_approx": q_ft_terms_approx,
+        "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
         "ft_percolate": q_ft_percolate,
         "ft_term_vectors": q_ft_term_vectors,
@@ -5730,6 +5831,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_adjacency": _adjacency_oracle_sql(),
         "ft_terms_approx": _terms_approx_oracle_sql(),
+        "ft_phrase_suggest": _phrase_suggest_oracle_sql(),
         "ft_bm25f_indexed": _bm25f_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),

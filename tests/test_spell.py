@@ -95,3 +95,66 @@ def test_did_you_mean_validates_args(spark, index):
     with pytest.raises(ValueError):
         did_you_mean(term_stats, [(1, "x")], topn=0)
     assert did_you_mean(term_stats, []).count() == 0
+
+
+def test_phrase_suggest_bruteforce(spark, corpus, index):
+    """Whole-phrase suggester vs a full python replay: candidate
+    enumeration (did_you_mean rule), Laplace bigram LM scoring in
+    position order, 6-dp rank grain."""
+    import itertools
+    import math
+
+    from vframe_spark.functions.tokenizer import tokenize_py
+    from vframe_spark.query.spell import phrase_suggest
+
+    docs, oracle = corpus
+    _, term_stats, _, _ = index
+    queries = [(1, "dta parse"), (2, "strem cache"), (3, "data parse")]
+    MD, PT, TN, A = 2, 2, 3, 0.5
+
+    got = {
+        (r["qid"], r["rank"]): (r["phrase"], r["score"])
+        for r in phrase_suggest(
+            term_stats, docs, queries,
+            max_dist=MD, per_term=PT, topn=TN, alpha=A,
+        ).collect()
+    }
+
+    # python LM over the same token stream
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for r in docs.select("content").collect():
+        ts = tokenize_py(r["content"])
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    N, V = sum(uni.values()), len(uni)
+    dfs = {t: d for t, d in ((r["term"], r["df"]) for r in term_stats.collect())}
+
+    exp: dict = {}
+    for qid, q in queries:
+        toks = tokenize_py(q)
+        opts = []
+        for t in toks:
+            if dfs.get(t, 0) >= 1:
+                opts.append([t])
+            else:
+                opts.append([t] + [s for _, s, _, _ in _brute(dfs, t, MD, PT)])
+        scored = []
+        for combo in itertools.product(*opts):
+            s = math.log((uni.get(combo[0], 0) + A) / (N + A * V))
+            for a, b in zip(combo, combo[1:]):
+                s += math.log((bi.get((a, b), 0) + A) / (uni.get(a, 0) + A * V))
+            scored.append((" ".join(combo), round(s, 6)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for i, (ph, sc) in enumerate(scored[:TN], 1):
+            exp[(qid, i)] = (ph, sc)
+
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], (k, got[k], exp[k])
+        assert abs(got[k][1] - exp[k][1]) < 1e-6
+    # an all-in-vocab query suggests exactly itself
+    assert got[(3, 1)][0] == "data parse"
+    assert (3, 2) not in got

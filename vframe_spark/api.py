@@ -661,6 +661,28 @@ class SearchIndex:
             term_stats, queries, max_dist=max_dist, topn=topn, min_df=min_df
         )
 
+    def phrase_suggest(
+        self,
+        docs: DataFrame,
+        query: str | list[tuple[int, str]],
+        max_dist: int = 2,
+        per_term: int = 2,
+        topn: int = 3,
+        alpha: float = 0.5,
+        text_col: str = "content",
+    ) -> DataFrame:
+        """Whole-phrase did-you-mean (ES phrase suggester): candidate
+        phrases ranked by a corpus bigram LM; see
+        `query.spell.phrase_suggest`."""
+        from .query.spell import phrase_suggest
+
+        _, term_stats, _, _ = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return phrase_suggest(
+            term_stats, docs, queries, max_dist=max_dist,
+            per_term=per_term, topn=topn, alpha=alpha, text_col=text_col,
+        )
+
     def more_like_this(self, docs: DataFrame, seed_ids: list[int],
                        m: int = 10, k: int = 10,
                        id_col: str = "doc_id",

@@ -95,6 +95,156 @@ def did_you_mean(
     )
 
 
+def phrase_suggest(
+    term_stats: DataFrame,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    max_dist: int = 2,
+    per_term: int = 2,
+    topn: int = 3,
+    alpha: float = 0.5,
+    text_col: str = "content",
+) -> DataFrame:
+    """Whole-PHRASE spell correction (the ES `phrase` suggester): per
+    query → (qid, rank, phrase, score), candidate phrases ranked by a
+    Laplace-smoothed corpus bigram language model instead of per-term
+    edit distance alone — "windw mrge" corrects to the phrase whose
+    words actually co-occur.
+
+    Candidate generation (ES direct_generator, suggest_mode=missing):
+    an in-vocabulary position keeps only its original term; an OOV
+    position offers its original plus its top ``per_term``
+    `did_you_mean` suggestions. The cross product (bounded:
+    (per_term+1)^oov_positions, capped) enumerates candidate phrases —
+    including the input phrase itself, so its score is visible the way
+    ES's `confidence` cut uses it.
+
+    Scoring: score(w_0..w_{n-1}) = ln P(w_0) + Σ ln P(w_i | w_{i-1})
+    with P(w_0) = (c(w_0)+α)/(N+αV) and P(w_i|w_{i-1}) =
+    (c(w_{i-1} w_i)+α)/(c(w_{i-1})+αV), counts from the corpus token
+    stream (N tokens, V distinct). Contributions are summed in POSITION
+    order via an ordered array fold, and ranking runs on the 6-dp
+    rounded score (phrase ASC ties) — both choices make the result
+    engine-portable, so a SQL oracle replays ranks exactly.
+
+    Shape at scale: the unigram/bigram count tables are the standard
+    LM sidecar (two token-stream groupBys — precompute and persist them
+    alongside the index in production); only counts for the handful of
+    candidate words/pairs are fetched (isin pushdown), and everything
+    after that is coordinator-sized."""
+    import itertools
+
+    from ..operators.curate import _gram_exprs
+    from ..functions.tokenizer import tokenize_expr
+
+    if per_term < 1 or topn < 1 or alpha <= 0:
+        raise ValueError(
+            f"need per_term, topn >= 1 and alpha > 0, got {per_term}, {topn}, {alpha}"
+        )
+    spark: SparkSession = term_stats.sparkSession
+    sugg = did_you_mean(
+        term_stats, queries, max_dist=max_dist, topn=per_term, min_df=1
+    ).collect()
+    cand_by: dict[tuple[int, str], list[str]] = {}
+    for r in sorted(sugg, key=lambda r: (r["qid"], r["qterm"], r["rank"])):
+        cand_by.setdefault((r["qid"], r["qterm"]), []).append(r["suggestion"])
+
+    unit_rows: list[tuple[int, str, int, str | None, str]] = []
+    for qid, q in queries:
+        toks = tokenize_py(q)
+        if not toks:
+            continue
+        opts = []
+        for t in toks:
+            cs = [t] + [s for s in cand_by.get((qid, t), []) if s != t]
+            opts.append(list(dict.fromkeys(cs)))
+        n_combo = 1
+        for o in opts:
+            n_combo *= len(o)
+        if n_combo > 1024:
+            raise ValueError(
+                f"query {qid}: {n_combo} candidate phrases; lower per_term/max_dist"
+            )
+        for combo in itertools.product(*opts):
+            phrase = " ".join(combo)
+            unit_rows.append((qid, phrase, 0, None, combo[0]))
+            for i in range(1, len(combo)):
+                unit_rows.append((qid, phrase, i, combo[i - 1], combo[i]))
+    if not unit_rows:
+        return spark.createDataFrame(
+            [], "qid int, rank int, phrase string, score double"
+        )
+
+    toks_arr = docs.select(tokenize_expr(F.col(text_col)).alias("_ts"))
+    uni_all = (
+        toks_arr.select(F.explode("_ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .cache()
+    )
+    tot = uni_all.agg(
+        F.sum("n").alias("N"), F.count("*").alias("V")
+    ).first()
+    n_tok, v_size = float(tot["N"] or 0), float(tot["V"] or 0)
+    denom0 = n_tok + alpha * v_size
+
+    need_w = sorted({r[4] for r in unit_rows} | {r[3] for r in unit_rows if r[3]})
+    need_p = sorted({f"{r[3]} {r[4]}" for r in unit_rows if r[3]})
+    uni = uni_all.filter(F.col("w").isin(need_w))
+    bi = (
+        toks_arr.select(F.explode(_gram_exprs(F.col("_ts"), 2)).alias("pair"))
+        .filter(F.col("pair").isin(need_p))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+
+    units = spark.createDataFrame(
+        unit_rows, "qid int, phrase string, pos int, wp string, wc string"
+    )
+    u_c = uni.select(F.col("w").alias("wc"), F.col("n").alias("_nc"))
+    u_p = uni.select(F.col("w").alias("wp"), F.col("n").alias("_np"))
+    joined = (
+        units.join(F.broadcast(u_c), "wc", "left")
+        .join(F.broadcast(u_p), "wp", "left")
+        .join(
+            F.broadcast(bi.select(F.col("pair"), F.col("n").alias("_nb"))),
+            F.concat_ws(" ", "wp", "wc") == F.col("pair"),
+            "left",
+        )
+    )
+    contrib = F.when(
+        F.col("pos") == 0,
+        F.log((F.coalesce("_nc", F.lit(0)) + alpha) / F.lit(denom0)),
+    ).otherwise(
+        F.log(
+            (F.coalesce("_nb", F.lit(0)) + alpha)
+            / (F.coalesce("_np", F.lit(0)) + alpha * v_size)
+        )
+    )
+    # fold contributions in POSITION order — float addition isn't
+    # associative, and the oracle sums left-to-right
+    scored = (
+        joined.withColumn("_c", contrib)
+        .groupBy("qid", "phrase")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("pos", "_c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["_c"],
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("phrase").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topn)
+        .select("qid", "rank", "phrase", "score")
+    )
+
+
 def corrected_queries(
     term_stats: DataFrame,
     queries: list[tuple[int, str]],
