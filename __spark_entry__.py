@@ -517,6 +517,76 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+_STREAM_IDX_SPAN = 100  # shard_size 50 × shards_per_slice 2
+
+
+def _ft_index_stream(spark, sf_dir):
+    """Index built by STREAMING the corpus in three file drops through
+    incremental_index_stream (cached per sf_dir behind a DONE marker —
+    rm the /tmp/vfidx_* dir to re-exercise). Drop boundaries sit on
+    slice spans and per-batch ids rank by the source id, so streamed
+    doc_ids == source doc_ids and the index is oracle-comparable."""
+    from vframe_spark.index.codec import FORMAT_VERSION
+
+    tag = hashlib.md5(f"{FORMAT_VERSION}:stream:{sf_dir}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
+    idx = os.path.join(out, "idx")
+    done = os.path.join(out, "STREAM_DONE")
+    if not os.path.exists(done):
+        import glob as _glob
+        import shutil as _shutil
+
+        from vframe_spark.streaming.ingest import incremental_index_stream
+
+        _shutil.rmtree(out, ignore_errors=True)
+        src = os.path.join(out, "src")
+        os.makedirs(src)
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("src_id"), F.col("text").alias("content")
+        )
+        span = _STREAM_IDX_SPAN
+        cuts = [(0, span), (span, 3 * span), (3 * span, None)]
+        for i, (lo, hi) in enumerate(cuts):
+            chunk = docs.filter(F.col("src_id") >= lo)
+            if hi is not None:
+                chunk = chunk.filter(F.col("src_id") < hi)
+            cdir = os.path.join(out, f"chunk{i}")
+            chunk.coalesce(1).write.parquet(cdir)
+            _shutil.copy(
+                _glob.glob(os.path.join(cdir, "*.parquet"))[0],
+                os.path.join(src, f"drop_{i}.parquet"),
+            )
+            # one stream run per drop: the shared checkpoint skips
+            # already-processed files, so each run is one micro-batch
+            stream = (
+                spark.readStream.schema("src_id bigint, content string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = incremental_index_stream(
+                stream, idx, os.path.join(out, "ckpt"),
+                shard_size=50, block_size=64, shards_per_slice=2,
+                order_cols=("src_id",), lang_col=None,
+            )
+            q.awaitTermination(300)
+        open(done, "w").write("ok")
+    return load_index(spark, idx)
+
+
+def q_ft_stream_index_topk(spark, sf_dir):
+    """Near-real-time streaming indexing end-to-end: the corpus arrives
+    as three file drops consumed by incremental_index_stream
+    (foreachBatch → slice-aligned index appends, checkpointed and
+    idempotent; the index is queryable after every micro-batch). The
+    streamed index carries the SOURCE doc_ids by construction here, so
+    its WAND top-k must rank IDENTICALLY to plain whole-corpus BM25 —
+    the oracle is the same SQL as ft_bm25_wand; the identity is the
+    claim (streaming/ingest.py incremental_index_stream)."""
+    postings, term_stats, _, meta = _ft_index_stream(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
 _FIELD_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -5622,6 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_content_verify": q_ft_content_verify,
         "ft_bm25_exhaustive": q_ft_bm25_exhaustive,
         "ft_bm25_wand": q_ft_bm25_wand,
+        "ft_stream_index_topk": q_ft_stream_index_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
@@ -5814,6 +5885,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ft_bm25_exhaustive": bm25,
         "ft_bm25_wand": bm25,
+        "ft_stream_index_topk": bm25,
         "ft_bm25_conjunctive": BM25_CONJ_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ),

@@ -83,6 +83,7 @@ def incremental_index_stream(
     trigger_available_now: bool = True,
     positions: bool = False,
     curate=None,
+    lang_col: str | None = "lang",
 ):
     """Start (and return) the streaming query appending slices to ``out_dir``.
 
@@ -126,7 +127,7 @@ def incremental_index_stream(
         docs = assign_doc_ids(batch_df, list(order_cols)).withColumn(
             "doc_id", F.col("doc_id") + F.lit(slice_lo * span)
         )
-        tokens = tokenize_docs(docs, positions=positions).persist()
+        tokens = tokenize_docs(docs, positions=positions, lang_col=lang_col).persist()
         tokens.count()  # materialize once — _write_slice runs two concurrent jobs
         postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
         slice_dir = os.path.join(paths.postings, f"slice={slice_lo}")
