@@ -880,6 +880,57 @@ FROM r WHERE pos <= {BSORT_SIZE}
 """
 
 
+def q_ft_matrix_stats(spark, sf_dir):
+    """ES matrix_stats aggregation over the match set: pairwise moments
+    (n, means, sample variance/covariance, Pearson correlation) between
+    n_chars and the whitespace count of matched docs — one partial agg
+    per field pair over the matched rows, corpus read once. var/cov are
+    4-dp (cancellation grain), means/corr 6-dp — both engines reproduce
+    those grains (query/facets.py field_matrix_stats)."""
+    from vframe_spark.query.facets import field_matrix_stats
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).cast("double").alias("n_spaces"),
+    )
+    return field_matrix_stats(
+        postings, meta, FT_FACET_QUERIES, docs, ["n_chars", "n_spaces"]
+    )
+
+
+def _matrix_stats_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    legs = []
+    for a, b in [("n_chars", "n_spaces"), ("n_chars", "n_chars"),
+                 ("n_spaces", "n_spaces")]:
+        legs.append(f"""SELECT m.qid::INT AS qid, '{a}' AS col_a, '{b}' AS col_b,
+       count(*)::BIGINT AS n,
+       round(avg(v.{a}), 6) AS mean_a, round(avg(v.{b}), 6) AS mean_b,
+       round(var_samp(v.{a}), 4) AS var_a,
+       round(covar_samp(v.{a}, v.{b}), 4) AS cov,
+       round(corr(v.{a}, v.{b}), 6) AS corr
+FROM m JOIN v USING (doc_id)
+WHERE v.{a} IS NOT NULL AND v.{b} IS NOT NULL
+GROUP BY 1""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+v AS (
+  SELECT doc_id, n_chars::DOUBLE AS n_chars,
+         (length(text) - length(replace(text, ' ', '')))::DOUBLE AS n_spaces
+  FROM documents
+)
+{union}
+"""
+
+
 FT_ADJ_FILTERS = [("A", "data analysis"), ("B", "parse hash"), ("C", "window merge")]
 
 
@@ -5705,6 +5756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_movfn": q_ft_bucket_movfn,
         "ft_bucket_selector": q_ft_bucket_selector,
         "ft_adjacency": q_ft_adjacency,
+        "ft_matrix_stats": q_ft_matrix_stats,
         "ft_terms_approx": q_ft_terms_approx,
         "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
@@ -5902,6 +5954,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_movfn": _bucket_movfn_oracle_sql(),
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_adjacency": _adjacency_oracle_sql(),
+        "ft_matrix_stats": _matrix_stats_oracle_sql(),
         "ft_terms_approx": _terms_approx_oracle_sql(),
         "ft_phrase_suggest": _phrase_suggest_oracle_sql(),
         "ft_bm25f_indexed": _bm25f_oracle_sql(),

@@ -390,6 +390,46 @@ def test_facet_counts_match_bruteforce(spark, corpus, index):
     assert all(r["qid"] != 2 for r in out)  # no-match query → no facet rows
 
 
+def test_matrix_stats_bruteforce(spark, corpus, index):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import field_matrix_stats
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    qs = [(1, "data parse")]
+    vals = docs.select(
+        "doc_id",
+        F.length("content").cast("double").alias("nchars"),
+        (F.col("doc_id") % 7).cast("double").alias("mod7"),
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in field_matrix_stats(postings, meta, qs, vals, ["nchars", "mod7"]).collect()
+    }
+    assert set(got) == {("mod7", "mod7"), ("mod7", "nchars"), ("nchars", "nchars")}
+
+    terms = sorted(set(parse_query_terms("data parse")))
+    matched = sorted(
+        d for d, c in oracle.tf.items() if any(c.get(t, 0) > 0 for t in terms)
+    )
+    by_id = {r["doc_id"]: (r["nchars"], r["mod7"]) for r in vals.collect()}
+    nc = np.array([by_id[d][0] for d in matched])
+    m7 = np.array([by_id[d][1] for d in matched])
+    series = {"nchars": nc, "mod7": m7}
+    for (a, b), r in got.items():
+        x, y = series[a], series[b]
+        assert r["n"] == len(matched)
+        assert abs(r["mean_a"] - round(float(x.mean()), 6)) < 1e-9
+        assert abs(r["mean_b"] - round(float(y.mean()), 6)) < 1e-9
+        assert abs(r["var_a"] - round(float(x.var(ddof=1)), 4)) < 1e-6
+        cov = float(np.cov(x, y, ddof=1)[0, 1])
+        assert abs(r["cov"] - round(cov, 4)) < 1e-6
+        corr = float(np.corrcoef(x, y)[0, 1])
+        assert abs(r["corr"] - round(corr, 6)) < 1e-5
+
+
 def test_approx_terms_bounds_and_bruteforce(spark, corpus, index):
     from vframe_spark.oracle import parse_query_terms
     from vframe_spark.query.facets import approx_terms_facets

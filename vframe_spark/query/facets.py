@@ -589,6 +589,57 @@ def approx_terms_facets(
     )
 
 
+def field_matrix_stats(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    cols: list[str],
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: pairwise second-order statistics
+    between numeric fields over the match set → one row per (qid,
+    col_a ≤ col_b): n (docs with both fields non-null), mean_a, mean_b,
+    var_a (sample), cov (sample covariance), corr (Pearson). Rows join
+    the match set once per pair; all moments come from ONE partial
+    aggregation per pair over the matched rows — corpus read once.
+
+    Cross-engine note: means/corr are stable at 6 dp; var/cov carry
+    cancellation, so they're rounded to 4 dp — the grain both engines
+    reproduce."""
+    m = match_set(postings, meta, queries, mode=mode)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(sorted(cols))
+        for b in sorted(cols)[i:]
+    ]
+    v = values.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c).cast("double").alias(c) for c in sorted(cols)],
+    )
+    joined = m.join(v, "doc_id")
+    outs = []
+    for a, b in pairs:
+        rows = joined.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+        outs.append(
+            rows.groupBy("qid").agg(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.count("*").cast("long").alias("n"),
+                F.round(F.avg(a), 6).alias("mean_a"),
+                F.round(F.avg(b), 6).alias("mean_b"),
+                F.round(F.var_samp(a), 4).alias("var_a"),
+                F.round(F.covar_samp(a, b), 4).alias("cov"),
+                F.round(F.corr(a, b), 6).alias("corr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def adjacency_matrix(
     postings: DataFrame,
     meta: dict,
