@@ -880,6 +880,114 @@ FROM r WHERE pos <= {BSORT_SIZE}
 """
 
 
+BJ_CHUNK, BJ_STRIDE, BJ_K = 32, 32, 10
+
+_BJ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ft_index_children(spark, sf_dir):
+    """Child (chunk) index for parent-child retrieval: documents split
+    into 32-token whitespace windows, each chunk indexed as its own
+    child document with dense ids; returns the loaded index parts plus
+    the (child_id, parent_id) map (recomputed — it's a deterministic
+    function of the corpus)."""
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.index.codec import FORMAT_VERSION
+    from vframe_spark.operators.curate import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    chunks = chunk_documents(
+        docs, chunk_tokens=BJ_CHUNK, stride=BJ_STRIDE, min_tokens=2
+    ).select(
+        F.col("doc_id").alias("parent_id"), "chunk_id",
+        F.col("text").alias("content"),
+    )
+    children = assign_doc_ids(chunks, ["parent_id", "chunk_id"])
+    if sf_dir not in _BJ_INDEX_CACHE:
+        tag = hashlib.md5(f"{FORMAT_VERSION}:bj:{sf_dir}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
+        build_index(
+            children, out, shard_size=256, block_size=64, shards_per_slice=4,
+            content_col="content", lang_col=None,
+        )
+        _BJ_INDEX_CACHE[sf_dir] = out
+    parent_of = children.select(F.col("doc_id").alias("child_id"), "parent_id")
+    return load_index(spark, _BJ_INDEX_CACHE[sf_dir]), parent_of
+
+
+def q_ft_block_join(spark, sf_dir):
+    """Parent-child retrieval (Lucene ToParentBlockJoinQuery / ES
+    nested): the index holds 32-token CHUNKS as child docs; each query
+    scores the full child match set with chunk-corpus BM25, folds to
+    parents with score_mode=max, and ranks parents on the 4-dp grain.
+    The oracle replays chunking, child BM25, fold, and rank in SQL
+    (query/blockjoin.py block_join_topk)."""
+    from vframe_spark.query.blockjoin import block_join_topk
+
+    (postings, term_stats, _, meta), parent_of = _ft_index_children(spark, sf_dir)
+    return block_join_topk(
+        postings, term_stats, meta, FT_QUERIES, parent_of,
+        k=BJ_K, score_mode="max",
+    ).select(
+        "qid", "rank", "parent_id", "score",
+        F.col("n_child_matches").cast("bigint").alias("n_child_matches"),
+    )
+
+
+def _block_join_oracle_sql() -> str:
+    from vframe_spark.operators.curate import chunk_documents_duckdb_sql
+
+    chunk_sql = chunk_documents_duckdb_sql(
+        BJ_CHUNK, BJ_STRIDE, min_tokens=2, id_col="doc_id",
+        text_col="text", table="documents",
+    )
+    qvals = _ft_qterms_values_sql()
+    return f"""
+WITH ch AS (SELECT * FROM ({chunk_sql})),
+toks AS (SELECT doc_id, chunk_id, {TOK_SQL} AS t FROM ch),
+tok AS (SELECT doc_id, chunk_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, chunk_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (
+  SELECT doc_id, chunk_id, term, count(*)::BIGINT AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM ch)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM ch) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.qid, tf.doc_id, tf.chunk_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.chunk_id = tf.chunk_id
+  CROSS JOIN stats s
+),
+cscore AS (
+  SELECT qid, doc_id, chunk_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3
+),
+folded AS (
+  SELECT qid, doc_id AS parent_id, round(max(score), 4) AS score,
+         count(*)::BIGINT AS n_child_matches
+  FROM cscore GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, parent_id)::INT AS rank,
+         parent_id, score, n_child_matches
+  FROM folded
+)
+SELECT qid, rank, parent_id, score, n_child_matches
+FROM ranked WHERE rank <= {BJ_K}
+"""
+
+
 def q_ft_matrix_stats(spark, sf_dir):
     """ES matrix_stats aggregation over the match set: pairwise moments
     (n, means, sample variance/covariance, Pearson correlation) between
@@ -5757,6 +5865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_selector": q_ft_bucket_selector,
         "ft_adjacency": q_ft_adjacency,
         "ft_matrix_stats": q_ft_matrix_stats,
+        "ft_block_join": q_ft_block_join,
         "ft_terms_approx": q_ft_terms_approx,
         "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
@@ -5955,6 +6064,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_adjacency": _adjacency_oracle_sql(),
         "ft_matrix_stats": _matrix_stats_oracle_sql(),
+        "ft_block_join": _block_join_oracle_sql(),
         "ft_terms_approx": _terms_approx_oracle_sql(),
         "ft_phrase_suggest": _phrase_suggest_oracle_sql(),
         "ft_bm25f_indexed": _bm25f_oracle_sql(),

@@ -390,6 +390,55 @@ def test_facet_counts_match_bruteforce(spark, corpus, index):
     assert all(r["qid"] != 2 for r in out)  # no-match query → no facet rows
 
 
+def test_block_join_topk_bruteforce(spark, corpus, index):
+    """Parent-child fold: treat the corpus docs as children with
+    parent = doc_id % 17; every score_mode vs a python replay of
+    (exact child BM25 → fold → 4-dp rank)."""
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.blockjoin import block_join_topk
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    parent_of = docs.select(
+        F.col("doc_id").alias("child_id"),
+        (F.col("doc_id") % 17).alias("parent_id"),
+    )
+    qs = [(1, "data parse"), (2, "hash table")]
+    K = 6
+
+    for mode in ["max", "sum", "avg", "min"]:
+        got = [
+            (r["qid"], r["rank"], r["parent_id"], r["score"], r["n_child_matches"])
+            for r in block_join_topk(
+                postings, term_stats, meta, qs, parent_of, k=K, score_mode=mode
+            ).collect()
+        ]
+        exp = []
+        for qid, q in qs:
+            terms = sorted(set(parse_query_terms(q)))
+            per_parent: dict = {}
+            for d, c in oracle.tf.items():
+                if not any(c.get(t, 0) > 0 for t in terms):
+                    continue
+                s = oracle.score(terms, d)
+                per_parent.setdefault(d % 17, []).append(s)
+            folded = []
+            for p, ss in per_parent.items():
+                v = {"max": max, "sum": sum, "min": min,
+                     "avg": lambda x: sum(x) / len(x)}[mode](ss)
+                folded.append((p, round(v, 4), len(ss)))
+            folded.sort(key=lambda x: (-x[1], x[0]))
+            exp.extend(
+                (qid, i + 1, p, s, n) for i, (p, s, n) in enumerate(folded[:K])
+            )
+        assert sorted(got) == sorted(exp), mode
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        block_join_topk(postings, term_stats, meta, qs, parent_of, score_mode="bogus")
+
+
 def test_matrix_stats_bruteforce(spark, corpus, index):
     import numpy as np
     from pyspark.sql import functions as F

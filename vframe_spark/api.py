@@ -274,6 +274,28 @@ class SearchIndex:
             postings, meta, queries, facets, facet_col, id_col=id_col, mode=mode
         )
 
+    def block_join(
+        self,
+        query: str | list[tuple[int, str]],
+        parent_of: DataFrame,
+        k: int = 10,
+        score_mode: str = "max",
+        child_col: str = "child_id",
+        parent_col: str = "parent_id",
+    ) -> DataFrame:
+        """Parent-child retrieval (this index holds the CHILD docs):
+        fold child BM25 to parents under score_mode; see
+        `query.blockjoin.block_join_topk`."""
+        from .query.blockjoin import block_join_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return block_join_topk(
+            postings, term_stats, meta, queries, parent_of,
+            k=k, score_mode=score_mode,
+            child_col=child_col, parent_col=parent_col,
+        )
+
     def terms_approx(
         self,
         query: str | list[tuple[int, str]],

@@ -1,0 +1,81 @@
+"""Parent-child retrieval: score child documents, rank their parents.
+
+The Lucene ``ToParentBlockJoinQuery`` / ES ``nested`` query shape: the
+index holds CHILD units (chunks, functions, paragraphs, detections),
+the result page holds PARENTS (files, documents), and a parent's score
+folds its matching children's scores under a ``score_mode``
+(max / sum / avg / min / none — Lucene's ScoreMode enum).
+
+Execution shape: the children's exact BM25 match set comes off the
+pruned posting scan (`boost.match_scores` — cost ∝ child matches, the
+same lower bound any child-level scorer has), one equi-join maps child
+→ parent (the map is a column of the child table — Lucene encodes it
+as block adjacency, here it's explicit data), then one partial
+aggregation per (qid, parent) and a bounded top-k window. No corpus
+scan, no per-parent fan-out: a parent with 10 000 children costs its
+matching children only.
+
+Reference parity: the reference groups frame-level detections into
+file-level rows before filtering (save-detections grouping,
+/root/reference/src/commands/pipe/save-detections.py:36-74) — the same
+child→parent fold, here with ranked retrieval semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .boost import match_scores
+
+_MODES = {
+    "max": F.max,
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+}
+
+
+def block_join_topk(
+    child_postings: DataFrame,
+    child_term_stats: DataFrame,
+    child_meta: dict,
+    queries: Iterable[tuple[int, str]],
+    parent_of: DataFrame,
+    k: int = 10,
+    score_mode: str = "max",
+    child_col: str = "child_id",
+    parent_col: str = "parent_id",
+) -> DataFrame:
+    """→ (qid, rank, parent_id, score, n_child_matches): top-k PARENTS
+    by folded child BM25 under ``score_mode``; ``n_child_matches`` =
+    how many of the parent's children matched. Ranking runs on the 4-dp
+    rounded folded score (parent_id ASC ties) — the shared cross-engine
+    grain. ``parent_of``: (child_id, parent_id) mapping; children
+    missing from it drop (orphans can't vote)."""
+    if score_mode not in _MODES:
+        raise ValueError(f"score_mode must be one of {sorted(_MODES)}, got {score_mode!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cs = match_scores(child_postings, child_term_stats, child_meta, queries)
+    pmap = parent_of.select(
+        F.col(child_col).alias("doc_id"), F.col(parent_col).alias("parent_id")
+    )
+    folded = (
+        cs.join(pmap, "doc_id")
+        .groupBy("qid", "parent_id")
+        .agg(
+            F.round(_MODES[score_mode]("score"), 4).alias("score"),
+            F.count("*").cast("long").alias("n_child_matches"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("parent_id").asc()
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "parent_id", "score", "n_child_matches")
+    )
