@@ -2372,6 +2372,120 @@ def q_ft_snippets(spark, sf_dir):
     )
 
 
+HL_W, HL_NFRAG, HL_PRE, HL_POST = 8, 3, "<em>", "</em>"
+
+
+def q_ft_highlights(spark, sf_dir):
+    """Multi-fragment highlighting (ES highlight, number_of_fragments=3):
+    up to 3 greedy NON-OVERLAPPING 8-token best windows per top-3 hit,
+    query terms wrapped in <em> tags inside the canonical-token render.
+    Fragments touch only the join-back rows; the oracle replays the
+    greedy selection UNROLLED (each round excludes starts within a
+    window of every chosen start) plus the tag render
+    (query/snippet.py highlights)."""
+    from vframe_spark.query.snippet import topk_highlights
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, SNIP_QUERIES, k=3 * FT_K)
+    ranked = _rounded_rank(raw.select("qid", "doc_id", "score"), 3)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return topk_highlights(
+        docs, ranked, SNIP_QUERIES, window=HL_W, n_fragments=HL_NFRAG,
+        pre_tag=HL_PRE, post_tag=HL_POST,
+    ).select(
+        "qid",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.col("frag").cast("int").alias("frag"),
+        F.col("n_hit").cast("int").alias("n_hit"),
+        "fragment",
+    )
+
+
+def _highlights_oracle_sql() -> str:
+    """The greedy multi-fragment selection unrolled to HL_NFRAG SQL
+    steps over the single-window candidate table, plus the per-query
+    literal-term-list tag render."""
+    snip_qvalues = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in SNIP_QUERIES
+        for t in sorted(set(tokenize_py(q)))
+    )
+    bm25 = BM25_ORACLE_SQL.replace("{QVALUES}", snip_qvalues)
+    w = HL_W
+    # unrolled greedy: f1 = global best; f_i = best among starts at
+    # least w away from every previously chosen start
+    frag_ctes = [
+        """f1 AS (
+  SELECT qid, doc_id, start, n_hit FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid, doc_id ORDER BY n_hit DESC, start) AS rn
+    FROM cov
+  ) WHERE rn = 1
+)"""
+    ]
+    for i in range(2, HL_NFRAG + 1):
+        excl = " AND ".join(
+            f"abs(c.start - f{j}.start) >= {w}" for j in range(1, i)
+        )
+        joins = " ".join(
+            f"JOIN f{j} ON f{j}.qid = c.qid AND f{j}.doc_id = c.doc_id"
+            for j in range(1, i)
+        )
+        frag_ctes.append(
+            f"""f{i} AS (
+  SELECT qid, doc_id, start, n_hit FROM (
+    SELECT c.qid, c.doc_id, c.start, c.n_hit,
+           row_number() OVER (PARTITION BY c.qid, c.doc_id ORDER BY c.n_hit DESC, c.start) AS rn
+    FROM cov c {joins}
+    WHERE {excl}
+  ) WHERE rn = 1
+)"""
+        )
+    frags_union = "\nUNION ALL\n".join(
+        f"SELECT qid, doc_id, {i} AS frag, start, n_hit FROM f{i}"
+        for i in range(1, HL_NFRAG + 1)
+    )
+    # tag render needs the query's term set as literals → one leg per qid
+    render_legs = []
+    for qid, q in SNIP_QUERIES:
+        terms = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(q))))
+        render_legs.append(
+            f"""SELECT r.qid, r.rank, r.doc_id, fr.frag, fr.n_hit,
+       array_to_string(list_transform(
+         toks.t[fr.start : fr.start + {w - 1}],
+         x -> CASE WHEN x IN ({terms}) THEN '{HL_PRE}' || x || '{HL_POST}' ELSE x END
+       ), ' ') AS fragment
+FROM ranked3 r
+JOIN frags fr ON fr.qid = r.qid AND fr.doc_id = r.doc_id
+JOIN toks ON toks.doc_id = r.doc_id
+WHERE r.qid = {qid}"""
+        )
+    frag_cte_sql = ",\n".join(frag_ctes)
+    render_sql = "\nUNION ALL\n".join(render_legs)
+    return f"""
+WITH ranked3 AS (SELECT * FROM ({bm25}) WHERE rank <= 3),
+toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS pos FROM toks),
+q(qid, term) AS (VALUES {snip_qvalues}),
+starts AS (
+  SELECT DISTINCT q.qid, p.doc_id, p.pos AS start
+  FROM pos p
+  JOIN q ON q.term = p.term
+  JOIN ranked3 r ON r.qid = q.qid AND r.doc_id = p.doc_id
+),
+cov AS (
+  SELECT s.qid, s.doc_id, s.start, count(DISTINCT p2.term)::INT AS n_hit
+  FROM starts s
+  JOIN pos p2 ON p2.doc_id = s.doc_id AND p2.pos >= s.start AND p2.pos < s.start + {w}
+  JOIN q ON q.qid = s.qid AND q.term = p2.term
+  GROUP BY 1, 2, 3
+),
+{frag_cte_sql},
+frags AS ({frags_union})
+{render_sql}
+"""
+
+
 def _snippet_oracle_sql() -> str:
     """DuckDB snippets over the same tokenization/ranking: candidate
     starts = query-term positions, coverage via a range join on pos,
@@ -5889,6 +6003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_positional_slop": q_ft_phrase_positional_slop,
         "ft_bm25_fielded": q_ft_bm25_fielded,
         "ft_snippets": q_ft_snippets,
+        "ft_highlights": q_ft_highlights,
         "ft_wildcard_topk": q_ft_wildcard_topk,
         "ft_phrase_slop": q_ft_phrase_slop,
         "ft_bm25_with_docs": q_ft_bm25_with_docs,
@@ -6113,6 +6228,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_positional_slop": _phrase_slop_oracle_sql(),
         "ft_bm25_fielded": _bm25f_oracle_sql(),
         "ft_snippets": _snippet_oracle_sql(),
+        "ft_highlights": _highlights_oracle_sql(),
         "ft_wildcard_topk": _wildcard_oracle_sql(),
         "ft_phrase_slop": _phrase_slop_oracle_sql(),
         "ft_bm25_with_docs": f"""

@@ -51,3 +51,50 @@ def test_topk_snippets_joinback(spark):
         for r in topk_snippets(docs, ranked, [(1, "alpha beta")], window=2).collect()
     )
     assert out == [(1, 1, 10, 2), (1, 2, 11, 2)]
+
+
+def test_best_windows_greedy_nonoverlap():
+    from vframe_spark.query.snippet import best_window, best_windows
+
+    toks = "a x x q1 q2 x x x x x x q1 x x x x x x x x q2 q1 q2 x".split()
+    qt = {"q1", "q2"}
+    w = 4
+    got = best_windows(toks, qt, w, 3)
+    # round 1 equals the single best window
+    assert got[0] == best_window(toks, qt, w)
+    # windows pairwise non-overlapping (same length → |a-b| >= w)
+    starts = [s for s, _ in got]
+    assert all(abs(a - b) >= w for i, a in enumerate(starts) for b in starts[i + 1:])
+    # selection order is by coverage then earliest start
+    covs = [c for _, c in got]
+    assert covs == sorted(covs, reverse=True) or all(
+        covs[i] > covs[i + 1] or starts[i] < starts[i + 1] for i in range(len(got) - 1)
+    )
+    # no query terms → no fragments
+    assert best_windows(toks, {"zzz"}, w, 3) == []
+
+
+def test_highlights_tags_and_fragment_count(spark):
+    import pandas as pd
+    from vframe_spark.query.snippet import highlights
+
+    rows = spark.createDataFrame(
+        pd.DataFrame({
+            "qid": [1],
+            "doc_id": [7],
+            "content": ["alpha beta gamma alpha zzz yyy xxx www vvv uuu alpha beta"],
+        })
+    )
+    out = highlights(
+        rows, [(1, "alpha beta")], window=4, n_fragments=2,
+        pre_tag="[", post_tag="]",
+    ).collect()
+    assert len(out) == 2
+    assert [r["frag"] for r in sorted(out, key=lambda r: r["frag"])] == [1, 2]
+    for r in out:
+        assert "[alpha]" in r["fragment"] or "[beta]" in r["fragment"]
+        toks = r["fragment"].split()
+        assert len(toks) <= 4
+        for t in toks:
+            if t.startswith("["):
+                assert t.strip("[]") in {"alpha", "beta"}

@@ -81,6 +81,107 @@ def snippets(
     return ranked_docs.mapInPandas(run, SNIPPET_SCHEMA)
 
 
+def best_windows(
+    tokens: list[str], qterms: set[str], window: int, n_fragments: int
+) -> list[tuple[int, int]]:
+    """Greedy NON-OVERLAPPING best windows → [(start, coverage), ...]
+    in selection order (ES returns fragments by score the same way):
+    each round picks the max-coverage window (earliest start on ties)
+    among candidate starts at least ``window`` apart from every chosen
+    start, stopping at ``n_fragments`` or when no candidate remains.
+    Windows share a length, so disjoint ⇔ |p − s| ≥ window — the rule a
+    SQL replay states directly."""
+    hits = [i for i, t in enumerate(tokens) if t in qterms]
+    n = len(tokens)
+    chosen: list[tuple[int, int]] = []
+    for _ in range(n_fragments):
+        best: tuple[int, int] | None = None
+        for p in hits:
+            if any(abs(p - s) < window for s, _ in chosen):
+                continue
+            cov = len(
+                {tokens[i] for i in range(p, min(p + window, n)) if tokens[i] in qterms}
+            )
+            if best is None or cov > best[1] or (cov == best[1] and p < best[0]):
+                best = (p, cov)
+        if best is None:
+            break
+        chosen.append(best)
+    return chosen
+
+
+def highlights(
+    ranked_docs: DataFrame,
+    queries: list[tuple[int, str]],
+    window: int = 8,
+    n_fragments: int = 3,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    content_col: str = "content",
+) -> DataFrame:
+    """Multi-fragment highlighting (ES ``highlight`` with
+    ``number_of_fragments``): (qid, doc_id, content) rows →
+    (qid, doc_id, frag, n_hit, fragment) with up to ``n_fragments``
+    greedy non-overlapping best windows per row, query terms wrapped in
+    ``pre_tag``/``post_tag`` inside the canonical-token rendering.
+    Fragments are computed only for the rows given (top-k join-back),
+    in one Arrow batch pass — the corpus is never re-read."""
+    terms_by_qid = {qid: set(parse_query_terms(q)) for qid, q in queries}
+
+    def render(tok: list[str], start: int, qterms: set[str]) -> str:
+        return " ".join(
+            f"{pre_tag}{t}{post_tag}" if t in qterms else t
+            for t in tok[start : start + window]
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            toks = tokenize_series(b[content_col])
+            out: dict[str, list] = {"qid": [], "doc_id": [], "frag": [], "n_hit": [], "fragment": []}
+            for qid, doc_id, tok in zip(b["qid"], b["doc_id"], toks):
+                qterms = terms_by_qid.get(int(qid), set())
+                for i, (start, cov) in enumerate(
+                    best_windows(tok, qterms, window, n_fragments), 1
+                ):
+                    out["qid"].append(int(qid))
+                    out["doc_id"].append(int(doc_id))
+                    out["frag"].append(i)
+                    out["n_hit"].append(int(cov))
+                    out["fragment"].append(render(tok, start, qterms))
+            yield pd.DataFrame(out)
+
+    return ranked_docs.mapInPandas(
+        run, "qid int, doc_id bigint, frag int, n_hit int, fragment string"
+    )
+
+
+def topk_highlights(
+    docs: DataFrame,
+    ranked: DataFrame,
+    queries: list[tuple[int, str]],
+    window: int = 8,
+    n_fragments: int = 3,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Join a (qid, rank, doc_id, ...) result table back to docs and
+    attach tagged fragments → (qid, rank, doc_id, frag, n_hit,
+    fragment)."""
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+    hits = ranked.select("qid", "rank", "doc_id").join(src, "doc_id")
+    frags = highlights(
+        hits.select("qid", "doc_id", "content"), queries,
+        window, n_fragments, pre_tag, post_tag, "content",
+    )
+    return (
+        ranked.select("qid", "rank", "doc_id")
+        .join(frags, ["qid", "doc_id"])
+        .select("qid", "rank", "doc_id", "frag", "n_hit", "fragment")
+    )
+
+
 def topk_snippets(
     docs: DataFrame,
     ranked: DataFrame,
