@@ -1,0 +1,110 @@
+"""Snapshot/restore and alias lifecycle: consistency across mutations,
+atomic swaps, integrity checks."""
+
+import os
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.index.snapshot import (
+    drop_alias,
+    list_aliases,
+    list_snapshots,
+    load_index_by_alias,
+    resolve_alias,
+    restore_snapshot,
+    set_alias,
+    snapshot_index,
+)
+from vframe_spark.query.wand import bm25_topk_wand
+
+Q = [(1, "data parse")]
+
+
+def _topk(spark, d):
+    p, t, _, m = load_index(spark, d)
+    rows = bm25_topk_wand(p, t, m, Q, k=5).collect()
+    return sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("snap")
+    idx = str(root / "idx")
+    docs = assign_doc_ids(synth_docs(spark, 120, partitions=2), ["repo", "path", "commit"])
+    build_index(docs, idx, shard_size=64, block_size=16, shards_per_slice=2)
+    return str(root), idx
+
+
+def test_snapshot_restore_survives_mutation(spark, built):
+    from vframe_spark.index.compact import purge_tombstones
+    from vframe_spark.index.builder import delete_docs
+
+    root, idx = built
+    snaps = os.path.join(root, "snaps")
+    before = _topk(spark, idx)
+    meta = snapshot_index(idx, snaps, "pre-delete")
+    assert meta["n_files"] > 0 and meta["bytes"] > 0
+    assert list_snapshots(snaps) == ["pre-delete"]
+
+    # mutate the live index: hard-delete the current top doc
+    top_doc = before[0][2]
+    delete_docs(spark, idx, [top_doc])
+    purge_tombstones(spark, idx)
+    mutated = _topk(spark, idx)
+    assert mutated != before
+    assert all(r[2] != top_doc for r in mutated)
+
+    # restore elsewhere → pre-mutation ranking, bitwise
+    restored = os.path.join(root, "restored")
+    restore_snapshot(snaps, "pre-delete", restored)
+    assert _topk(spark, restored) == before
+    assert not os.path.exists(os.path.join(restored, "SNAPSHOT.json"))
+
+    # snapshots are immutable; restore refuses to clobber silently
+    with pytest.raises(FileExistsError):
+        snapshot_index(idx, snaps, "pre-delete")
+    with pytest.raises(FileExistsError):
+        restore_snapshot(snaps, "pre-delete", restored)
+    # overwrite=True swaps atomically over the mutated live index
+    restore_snapshot(snaps, "pre-delete", idx, overwrite=True)
+    assert _topk(spark, idx) == before
+
+
+def test_alias_swap_is_atomic_repoint(spark, built, tmp_path):
+    root, idx = built
+    aliases = os.path.join(root, "aliases")
+    set_alias(aliases, "prod", idx)
+    assert resolve_alias(aliases, "prod") == os.path.abspath(idx)
+    p1 = _topk(spark, idx)
+    _, _, _, meta = load_index_by_alias(spark, aliases, "prod")
+    assert meta["complete"]
+
+    # zero-downtime reindex: build a DIFFERENT corpus, repoint alias
+    idx2 = str(tmp_path / "idx2")
+    docs = assign_doc_ids(synth_docs(spark, 60, partitions=2), ["repo", "path", "commit"])
+    build_index(docs, idx2, shard_size=64, block_size=16, shards_per_slice=2)
+    set_alias(aliases, "prod", idx2)
+    assert resolve_alias(aliases, "prod") == os.path.abspath(idx2)
+    assert _topk(spark, resolve_alias(aliases, "prod")) == _topk(spark, idx2)
+    assert list_aliases(aliases) == {"prod": os.path.abspath(idx2)}
+    # the old tree is untouched by the swap
+    assert _topk(spark, idx) == p1
+
+    drop_alias(aliases, "prod")
+    with pytest.raises(FileNotFoundError):
+        resolve_alias(aliases, "prod")
+
+
+def test_snapshot_validates_inputs(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snapshot_index(str(tmp_path / "nope"), str(tmp_path / "s"), "a")
+    os.makedirs(tmp_path / "notindex")
+    with pytest.raises(FileNotFoundError):
+        snapshot_index(str(tmp_path / "notindex"), str(tmp_path / "s"), "a")
+    with pytest.raises(ValueError):
+        set_alias(str(tmp_path / "al"), "../evil", str(tmp_path))
+    assert list_snapshots(str(tmp_path / "missing")) == []
+    assert list_aliases(str(tmp_path / "missing")) == {}

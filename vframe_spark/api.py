@@ -561,6 +561,31 @@ class SearchIndex:
         self._loaded = None
         return out
 
+    def snapshot(self, snap_dir: str, name: str) -> dict:
+        """Point-in-time immutable copy under ``snap_dir/name``; see
+        `index.snapshot.snapshot_index`."""
+        from .index.snapshot import snapshot_index
+
+        return snapshot_index(self.out_dir, snap_dir, name)
+
+    @classmethod
+    def restore(cls, spark: SparkSession, snap_dir: str, name: str,
+                dest_dir: str, overwrite: bool = False) -> "SearchIndex":
+        """Restore a snapshot into ``dest_dir`` and open it."""
+        from .index.snapshot import restore_snapshot
+
+        restore_snapshot(snap_dir, name, dest_dir, overwrite=overwrite)
+        return cls(spark, dest_dir)
+
+    @classmethod
+    def from_alias(cls, spark: SparkSession, alias_dir: str,
+                   alias: str) -> "SearchIndex":
+        """Open whatever index the alias currently points at (the
+        zero-downtime swap pattern; see `index.snapshot.set_alias`)."""
+        from .index.snapshot import resolve_alias
+
+        return cls(spark, resolve_alias(alias_dir, alias))
+
     def percolate(
         self,
         docs: DataFrame,

@@ -1,0 +1,153 @@
+"""Index snapshots, restore, and atomic aliases — the operational
+lifecycle around a long-lived search index (ES snapshot/restore +
+index aliases; Lucene's commit-point snapshots).
+
+Snapshots are plain directory copies taken BETWEEN mutations: every
+mutation in this engine (slice append, compact, merge, purge) is
+marker-guarded and roll-forward/back safe, so the on-disk tree is
+always a consistent commit point once no operation is in flight. A
+snapshot copies into a hidden staging dir and atomically renames into
+place — a crashed snapshot leaves only a ``.tmp-`` dir that is ignored
+and reaped on the next attempt, never a half-visible snapshot.
+
+Aliases map a stable name → an index directory via a one-line JSON
+file swapped with ``os.replace`` — the zero-downtime reindex pattern:
+build the new index in a fresh dir, verify it, then repoint the alias;
+readers that resolve the alias see the old tree or the new tree, never
+a mix.
+
+Reference parity: the reference persists re-openable JSON state next
+to its outputs and resumes from it (save-detections → open --priors,
+/root/reference/src/commands/pipe/save-detections.py:36-74) — this is
+that checkpoint discipline promoted to whole-index granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+def _tree_stats(root: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a directory tree — the cheap integrity
+    fingerprint compared after every copy."""
+    n, total = 0, 0
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            n += 1
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return n, total
+
+
+def _copy_tree_atomic(src: str, dest: str, overwrite: bool = False) -> dict:
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"source index dir missing: {src}")
+    if os.path.exists(dest) and not overwrite:
+        raise FileExistsError(f"destination exists: {dest} (overwrite=False)")
+    parent = os.path.dirname(os.path.abspath(dest)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{os.path.basename(dest)}")
+    shutil.rmtree(tmp, ignore_errors=True)  # reap a crashed prior attempt
+    shutil.copytree(src, tmp)
+    want = _tree_stats(src)
+    got = _tree_stats(tmp)
+    if want != got:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise IOError(f"copy integrity mismatch: src={want} copy={got}")
+    if os.path.exists(dest):
+        old = tmp + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(dest, old)
+        os.rename(tmp, dest)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, dest)
+    return {"n_files": got[0], "bytes": got[1]}
+
+
+def snapshot_index(out_dir: str, snap_dir: str, name: str) -> dict:
+    """Point-in-time copy of the index at ``out_dir`` →
+    ``snap_dir/name``; returns {name, n_files, bytes}. Refuses to
+    overwrite an existing snapshot (snapshots are immutable)."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"bad snapshot name: {name!r}")
+    if not os.path.exists(os.path.join(out_dir, "meta.json")):
+        raise FileNotFoundError(f"not an index dir (no meta.json): {out_dir}")
+    dest = os.path.join(snap_dir, name)
+    stats = _copy_tree_atomic(out_dir, dest, overwrite=False)
+    meta = {"name": name, "source": os.path.abspath(out_dir), **stats}
+    with open(os.path.join(dest, "SNAPSHOT.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def list_snapshots(snap_dir: str) -> list[str]:
+    if not os.path.isdir(snap_dir):
+        return []
+    return sorted(
+        d for d in os.listdir(snap_dir)
+        if not d.startswith(".") and os.path.isdir(os.path.join(snap_dir, d))
+    )
+
+
+def restore_snapshot(snap_dir: str, name: str, dest_dir: str,
+                     overwrite: bool = False) -> dict:
+    """Copy snapshot ``name`` to ``dest_dir`` (atomic swap when
+    ``overwrite=True``); the SNAPSHOT.json marker is dropped from the
+    restored tree so a restored index is a plain index."""
+    src = os.path.join(snap_dir, name)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no such snapshot: {name} in {snap_dir}")
+    stats = _copy_tree_atomic(src, dest_dir, overwrite=overwrite)
+    marker = os.path.join(dest_dir, "SNAPSHOT.json")
+    if os.path.exists(marker):
+        os.remove(marker)
+    return {"name": name, "dest": os.path.abspath(dest_dir), **stats}
+
+
+# ------------------------------------------------------------------ aliases
+
+
+def set_alias(alias_dir: str, alias: str, target: str) -> None:
+    """Atomically point ``alias`` at index dir ``target`` (os.replace —
+    readers see the old target or the new one, never a torn file)."""
+    if not alias or "/" in alias or alias.startswith("."):
+        raise ValueError(f"bad alias name: {alias!r}")
+    os.makedirs(alias_dir, exist_ok=True)
+    p = os.path.join(alias_dir, f"{alias}.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"target": os.path.abspath(target)}, fh)
+    os.replace(tmp, p)
+
+
+def resolve_alias(alias_dir: str, alias: str) -> str:
+    p = os.path.join(alias_dir, f"{alias}.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no such alias: {alias} in {alias_dir}")
+    return json.load(open(p))["target"]
+
+
+def drop_alias(alias_dir: str, alias: str) -> None:
+    p = os.path.join(alias_dir, f"{alias}.json")
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def list_aliases(alias_dir: str) -> dict[str, str]:
+    if not os.path.isdir(alias_dir):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(alias_dir)):
+        if f.endswith(".json") and not f.startswith("."):
+            out[f[:-5]] = json.load(open(os.path.join(alias_dir, f)))["target"]
+    return out
+
+
+def load_index_by_alias(spark, alias_dir: str, alias: str):
+    """Resolve and load in one step — the reader-side entry point for
+    the zero-downtime swap pattern."""
+    from .builder import load_index
+
+    return load_index(spark, resolve_alias(alias_dir, alias))
