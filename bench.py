@@ -191,6 +191,18 @@ def main() -> None:
         "ft_bm25f_indexed",
         "ft_composite_facets",
         "ft_bucket_pipeline",
+        "ft_bucket_stats",
+        "ft_bucket_movfn",
+        "ft_bucket_selector",
+        "ft_adjacency",
+        "ft_terms_approx",
+        "ft_matrix_stats",
+        "ft_highlights",
+        "ft_phrase_suggest",
+        # ft_stream_index_topk is an ingest-lifecycle op (3 cached
+        # micro-batch builds) — oracle-checked, not a latency row
+        "ft_block_join",
+        "sketch_bloom_membership",
         "rel_sessionize",
         "rel_funnel",
         "rel_retention_cohorts",
@@ -248,6 +260,7 @@ def main() -> None:
         ("index_build_fed_sf_sec", E._ft_fed_indexes),
         ("index_build_field_sf_sec",
          lambda s, d: [E._ft_index_field(s, d, c) for c, _ in E.FTF_FIELDS]),
+        ("index_build_child_sf_sec", E._ft_index_children),
     ):
         t0 = time.time()
         fn(spark, SF_DIR)
