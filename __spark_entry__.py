@@ -988,6 +988,76 @@ FROM ranked WHERE rank <= {BJ_K}
 """
 
 
+RARE_MAX_DC = 18
+
+
+def q_ft_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation: `source` buckets whose match-set
+    count is ≤ 18 — the long tail a top-N terms agg silently drops.
+    Same partial-agg shape as the terms agg with the ≤ filter bounding
+    what survives (query/facets.py rare_terms_facets)."""
+    from vframe_spark.query.facets import rare_terms_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = rare_terms_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "source",
+        max_doc_count=RARE_MAX_DC,
+    )
+    return out.select("qid", "facet", F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
+def q_ft_missing_facet(spark, sf_dir):
+    """ES missing aggregation: matched docs with no field value —
+    NULL (source nulled for doc_id % 5 == 0) or absent from the facet
+    table entirely (rows dropped for doc_id % 7 == 0); ES counts both
+    as missing. One left join from the match set (query/facets.py
+    missing_count)."""
+    from vframe_spark.query.facets import missing_count
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("source")).alias("src"),
+    )
+    out = missing_count(postings, meta, FT_FACET_QUERIES, docs, "src")
+    return out.select("qid", F.col("n_missing").cast("bigint").alias("n_missing"))
+
+
+def _rare_terms_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+SELECT m.qid::INT AS qid, d.source AS facet, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+WHERE d.source IS NOT NULL
+GROUP BY 1, 2
+HAVING count(*) <= {RARE_MAX_DC}
+"""
+
+
+def _missing_facet_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS src
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT m.qid::INT AS qid,
+       sum(CASE WHEN v.src IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing
+FROM m LEFT JOIN (SELECT doc_id, src FROM v WHERE src IS NOT NULL) v USING (doc_id)
+GROUP BY 1
+"""
+
+
 def q_ft_matrix_stats(spark, sf_dir):
     """ES matrix_stats aggregation over the match set: pairwise moments
     (n, means, sample variance/covariance, Pearson correlation) between
@@ -5979,6 +6049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_selector": q_ft_bucket_selector,
         "ft_adjacency": q_ft_adjacency,
         "ft_matrix_stats": q_ft_matrix_stats,
+        "ft_rare_terms": q_ft_rare_terms,
+        "ft_missing_facet": q_ft_missing_facet,
         "ft_block_join": q_ft_block_join,
         "ft_terms_approx": q_ft_terms_approx,
         "ft_phrase_suggest": q_ft_phrase_suggest,
@@ -6179,6 +6251,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_adjacency": _adjacency_oracle_sql(),
         "ft_matrix_stats": _matrix_stats_oracle_sql(),
+        "ft_rare_terms": _rare_terms_oracle_sql(),
+        "ft_missing_facet": _missing_facet_oracle_sql(),
         "ft_block_join": _block_join_oracle_sql(),
         "ft_terms_approx": _terms_approx_oracle_sql(),
         "ft_phrase_suggest": _phrase_suggest_oracle_sql(),

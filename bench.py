@@ -197,6 +197,8 @@ def main() -> None:
         "ft_adjacency",
         "ft_terms_approx",
         "ft_matrix_stats",
+        "ft_rare_terms",
+        "ft_missing_facet",
         "ft_highlights",
         "ft_phrase_suggest",
         # ft_stream_index_topk is an ingest-lifecycle op (3 cached

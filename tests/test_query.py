@@ -390,6 +390,47 @@ def test_facet_counts_match_bruteforce(spark, corpus, index):
     assert all(r["qid"] != 2 for r in out)  # no-match query → no facet rows
 
 
+def test_rare_terms_and_missing_bruteforce(spark, corpus, index):
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.facets import missing_count, rare_terms_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    qs = [(1, "data parse")]
+    fac = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lg"),
+    )
+    terms = sorted(set(parse_query_terms("data parse")))
+    matched = {d for d, c in oracle.tf.items() if any(c.get(t, 0) > 0 for t in terms)}
+    lang_of = {
+        r["doc_id"]: r["lg"] for r in fac.collect()
+    }
+    counts: dict = {}
+    n_missing = 0
+    for d in matched:
+        lg = lang_of[d]
+        if lg is None:
+            n_missing += 1
+        else:
+            counts[lg] = counts.get(lg, 0) + 1
+    thr = sorted(counts.values())[len(counts) // 2]
+    got = {
+        (r["facet"], r["n_docs"])
+        for r in rare_terms_facets(postings, meta, qs, fac, "lg", max_doc_count=thr).collect()
+    }
+    assert got == {(k, v) for k, v in counts.items() if v <= thr}
+    (mrow,) = missing_count(postings, meta, qs, fac, "lg").collect()
+    assert mrow["n_missing"] == n_missing
+    # docs absent from the facet table entirely also count missing
+    fac2 = fac.filter(F.col("doc_id") % 3 != 0)
+    lang2 = {r["doc_id"]: r["lg"] for r in fac2.collect()}
+    exp2 = sum(1 for d in matched if lang2.get(d) is None)
+    (mrow2,) = missing_count(postings, meta, qs, fac2, "lg").collect()
+    assert mrow2["n_missing"] == exp2
+
+
 def test_block_join_topk_bruteforce(spark, corpus, index):
     """Parent-child fold: treat the corpus docs as children with
     parent = doc_id % 17; every score_mode vs a python replay of

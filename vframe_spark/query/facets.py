@@ -589,6 +589,66 @@ def approx_terms_facets(
     )
 
 
+def rare_terms_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    facets: DataFrame,
+    facet_col: str,
+    max_doc_count: int = 1,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the long-tail complement of the
+    terms agg → facet buckets whose match-set count is ≤
+    ``max_doc_count``, every qualifying bucket (rare buckets are what
+    top-N truncation silently drops — this is the query that finds
+    them). ES approximates membership with a CuckooFilter to bound
+    coordinator memory; here the count comes from the same partial agg
+    the terms agg runs, and the ≤ filter IS the bound on what survives.
+    One match-set decode + equi-join + partial-agg count + filter."""
+    if max_doc_count < 1:
+        raise ValueError(f"max_doc_count must be >= 1, got {max_doc_count}")
+    m = match_set(postings, meta, queries, mode=mode)
+    f = facets.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("facet")
+    ).filter(F.col(facet_col).isNotNull())
+    return (
+        m.join(f, "doc_id")
+        .groupBy("qid", "facet")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= max_doc_count)
+    )
+
+
+def missing_count(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    facets: DataFrame,
+    facet_col: str,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``missing`` aggregation → (qid, n_missing): matched docs with
+    NO value for the field — NULL in the facet table or absent from it
+    entirely (both mean "field missing" in ES). One left join from the
+    match set, one partial-agg count."""
+    m = match_set(postings, meta, queries, mode=mode)
+    f = facets.select(
+        F.col(id_col).alias("doc_id"), F.col(facet_col).alias("_v")
+    ).filter(F.col(facet_col).isNotNull())
+    return (
+        m.join(f, "doc_id", "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing")
+        )
+    )
+
+
 def field_matrix_stats(
     postings: DataFrame,
     meta: dict,
