@@ -988,6 +988,86 @@ FROM ranked WHERE rank <= {BJ_K}
 """
 
 
+REVAL_K, REVAL_T = 10, 2
+
+
+def q_ft_rank_eval(spark, sf_dir):
+    """Ranking evaluation (ES _rank_eval / TREC metrics): the WAND
+    BM25 page scored against graded judgments — rel(doc) = how many
+    distinct query terms the doc contains (a deterministic graded
+    qrel both engines derive from the corpus). nDCG@10 with the
+    (2^rel−1)/log2(rank+1) gain, MRR / precision / recall at rel ≥ 2.
+    All arithmetic over the k×queries page + one judgments aggregate
+    (query/eval.py rank_eval)."""
+    from vframe_spark.query.eval import rank_eval
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    ranked = _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    tokens = tokenize_docs(docs, lang_col=None)  # one row per DISTINCT (doc, term)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, q in FT_QUERIES for t in sorted(set(tokenize_py(q)))],
+        "qid int, term string",
+    )
+    qrels = (
+        tokens.join(F.broadcast(qdf), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").cast("int").alias("rel"))
+    )
+    return rank_eval(ranked, qrels, k=REVAL_K, rel_threshold=REVAL_T)
+
+
+def _rank_eval_oracle_sql() -> str:
+    bm25 = BM25_ORACLE_SQL.replace("{QVALUES}", _ft_qterms_values_sql())
+    qvals = _ft_qterms_values_sql()
+    return f"""
+WITH ranked AS (SELECT * FROM ({bm25})),
+toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+qrels AS (
+  SELECT q.qid, tok.doc_id, count(*)::INT AS rel
+  FROM q JOIN tok ON tok.term = q.term
+  GROUP BY 1, 2
+),
+page AS (
+  SELECT r.qid, r.rank, r.doc_id, coalesce(qr.rel, 0)::DOUBLE AS rel
+  FROM ranked r
+  LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+  WHERE r.rank <= {REVAL_K}
+),
+perq AS (
+  SELECT qid,
+         sum((pow(2, rel) - 1) / (ln(rank + 1) / ln(2))) AS dcg,
+         min(CASE WHEN rel >= {REVAL_T} THEN rank END) AS fh,
+         sum(CASE WHEN rel >= {REVAL_T} THEN 1 ELSE 0 END) AS nh
+  FROM page GROUP BY 1
+),
+ideal AS (
+  SELECT qid, sum((pow(2, rel) - 1) / (ln(rnk + 1) / ln(2))) AS idcg
+  FROM (
+    SELECT qid, rel::DOUBLE AS rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS rnk
+    FROM qrels WHERE rel > 0
+  ) WHERE rnk <= {REVAL_K}
+  GROUP BY 1
+),
+tot AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels WHERE rel >= {REVAL_T} GROUP BY 1)
+SELECT p.qid::INT AS qid,
+       round(CASE WHEN coalesce(i.idcg, 0) > 0 THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg,
+       round(CASE WHEN p.fh IS NOT NULL THEN 1.0 / p.fh ELSE 0 END, 6) AS mrr,
+       round(p.nh / {float(REVAL_K)}, 6) AS prec,
+       round(CASE WHEN coalesce(t.n_rel, 0) > 0 THEN p.nh::DOUBLE / t.n_rel ELSE 0 END, 6) AS recall,
+       coalesce(t.n_rel, 0) AS n_rel
+FROM perq p
+LEFT JOIN ideal i ON i.qid = p.qid
+LEFT JOIN tot t ON t.qid = p.qid
+"""
+
+
 RARE_MAX_DC = 18
 
 
@@ -6050,6 +6130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_adjacency": q_ft_adjacency,
         "ft_matrix_stats": q_ft_matrix_stats,
         "ft_rare_terms": q_ft_rare_terms,
+        "ft_rank_eval": q_ft_rank_eval,
         "ft_missing_facet": q_ft_missing_facet,
         "ft_block_join": q_ft_block_join,
         "ft_terms_approx": q_ft_terms_approx,
@@ -6252,6 +6333,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_adjacency": _adjacency_oracle_sql(),
         "ft_matrix_stats": _matrix_stats_oracle_sql(),
         "ft_rare_terms": _rare_terms_oracle_sql(),
+        "ft_rank_eval": _rank_eval_oracle_sql(),
         "ft_missing_facet": _missing_facet_oracle_sql(),
         "ft_block_join": _block_join_oracle_sql(),
         "ft_terms_approx": _terms_approx_oracle_sql(),

@@ -199,6 +199,7 @@ def main() -> None:
         "ft_matrix_stats",
         "ft_rare_terms",
         "ft_missing_facet",
+        "ft_rank_eval",
         "ft_highlights",
         "ft_phrase_suggest",
         # ft_stream_index_topk is an ingest-lifecycle op (3 cached

@@ -1227,3 +1227,34 @@ def test_bm25f_indexed_equals_querytime(spark, corpus, tmp_path_factory):
     assert sorted(a) == sorted(b) and a
     with pytest.raises(ValueError):
         bm25f_topk_indexed([], qs)
+
+
+def test_rank_eval_hand_computed(spark):
+    import math
+    from vframe_spark.query.eval import rank_eval
+
+    ranked = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30), (1, 4, 40),
+         (2, 1, 10), (2, 2, 20)],
+        "qid int, rank int, doc_id bigint",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 3), (1, 30, 1), (1, 40, 2), (1, 50, 3)],
+        "qid int, doc_id bigint, rel int",
+    )
+    got = {r["qid"]: r for r in rank_eval(ranked, qrels, k=4, rel_threshold=2).collect()}
+
+    lg2 = lambda x: math.log(x) / math.log(2)
+    dcg = 7 / lg2(2) + 0 + 1 / lg2(4) + 3 / lg2(5)
+    idcg = 7 / lg2(2) + 7 / lg2(3) + 3 / lg2(4) + 1 / lg2(5)
+    r1 = got[1]
+    assert abs(r1["ndcg"] - round(dcg / idcg, 6)) < 1e-9
+    assert r1["mrr"] == 1.0
+    assert abs(r1["prec"] - 0.5) < 1e-9
+    assert abs(r1["recall"] - round(2 / 3, 6)) < 1e-9
+    assert r1["n_rel"] == 3
+    # query with no judged docs: every metric zero, never NULL
+    r2 = got[2]
+    assert (r2["ndcg"], r2["mrr"], r2["prec"], r2["recall"], r2["n_rel"]) == (
+        0.0, 0.0, 0.0, 0.0, 0,
+    )

@@ -1,0 +1,91 @@
+"""Ranking evaluation (the ES ``_rank_eval`` API / TREC metrics):
+score a ranked result table against graded relevance judgments.
+
+Metrics per query, all over the top-``k`` page:
+
+* ``ndcg``  — nDCG@k with the standard (2^rel − 1)/log2(rank+1) gain
+  and the ideal ordering (rel DESC, doc_id ASC) as the normalizer;
+* ``mrr``   — 1/rank of the first hit with rel ≥ ``rel_threshold``
+  (0 when none);
+* ``prec``  — fraction of the page with rel ≥ threshold (ES
+  divides by k, counting an under-filled page against the engine);
+* ``recall``    — relevant-retrieved / total-relevant (0 when the
+  query has no relevant docs);
+* ``n_rel``     — total relevant docs in the judgments.
+
+Everything is arithmetic over the k×queries page rows plus one
+aggregate over the judgments — coordinator-sized, corpus untouched —
+and every expression is engine-portable (pow/ln/division on exact
+integer inputs, 6-dp output grain), so a SQL replica reproduces the
+numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    rel_threshold: int = 1,
+) -> DataFrame:
+    """``ranked``: (qid, rank, doc_id, ...) — 1-based ranks.
+    ``qrels``: (qid, doc_id, rel) graded judgments (missing pair = 0).
+    → (qid, ndcg, mrr, precision, recall, n_rel), 6-dp floats."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    j = qrels.select("qid", "doc_id", F.col("rel").cast("double").alias("rel"))
+    page = (
+        ranked.select("qid", "rank", "doc_id")
+        .filter(F.col("rank") <= k)
+        .join(j, ["qid", "doc_id"], "left")
+        .fillna(0.0, subset=["rel"])
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / (
+        F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0))
+    )
+    hit = F.col("rel") >= rel_threshold
+    per_q = page.groupBy("qid").agg(
+        F.sum(gain).alias("_dcg"),
+        F.min(F.when(hit, F.col("rank"))).alias("_first_hit"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("_n_hit"),
+    )
+    # ideal DCG from the judgments alone (rel DESC, doc_id ASC ties)
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    ideal = (
+        j.filter(F.col("rel") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("qid")
+        .agg(F.sum(gain).alias("_idcg"))
+    )
+    totals = j.filter(F.col("rel") >= rel_threshold).groupBy("qid").agg(
+        F.count("*").alias("n_rel")
+    )
+    return (
+        per_q.join(ideal, "qid", "left")
+        .join(totals, "qid", "left")
+        .fillna(0, subset=["n_rel"])
+        .select(
+            "qid",
+            F.round(
+                F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")).otherwise(0.0),
+                6,
+            ).alias("ndcg"),
+            F.round(
+                F.when(
+                    F.col("_first_hit").isNotNull(), 1.0 / F.col("_first_hit")
+                ).otherwise(0.0),
+                6,
+            ).alias("mrr"),
+            F.round(F.col("_n_hit") / F.lit(float(k)), 6).alias("prec"),
+            F.round(
+                F.when(F.col("n_rel") > 0, F.col("_n_hit") / F.col("n_rel")).otherwise(0.0),
+                6,
+            ).alias("recall"),
+            F.col("n_rel").cast("long").alias("n_rel"),
+        )
+    )
