@@ -988,6 +988,72 @@ FROM ranked WHERE rank <= {BJ_K}
 """
 
 
+GEO_CENTER_LAT, GEO_CENTER_LON = 52.52, 13.405  # Berlin
+
+
+def q_rel_geo_distance(spark, sf_dir):
+    """ES geo_distance aggregation: events get deterministic derived
+    coordinates (pure functions of event_id — the corpus has no geo
+    columns), great-circle distance to a fixed center via the haversine
+    Catalyst expression, ring buckets + per-ring distance stats. The
+    oracle replays the identical formula (products, not pow — last-ulp
+    parity), distances on the 4-dp grain
+    (functions/geometry.py haversine_km)."""
+    from vframe_spark.functions.geometry import haversine_km
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 1700) / 10.0 - 85.0).alias("lat"),
+        ((F.col("event_id") % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    d = haversine_km(
+        F.col("lat"), F.col("lon"),
+        F.lit(GEO_CENTER_LAT), F.lit(GEO_CENTER_LON),
+    )
+    ring = (
+        F.when(d < 2000.0, "0-2000")
+        .when(d < 5000.0, "2000-5000")
+        .when(d < 10000.0, "5000-10000")
+        .otherwise("10000+")
+    )
+    return (
+        ev.select(d.alias("dist"), ring.alias("ring"))
+        .groupBy("ring")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.min("dist"), 4).alias("min_km"),
+            F.round(F.max("dist"), 4).alias("max_km"),
+            F.round(F.avg("dist"), 4).alias("avg_km"),
+        )
+    )
+
+
+def _geo_distance_oracle_sql() -> str:
+    from vframe_spark.functions.geometry import haversine_sql
+
+    dist = haversine_sql("lat", "lon", str(GEO_CENTER_LAT), str(GEO_CENTER_LON))
+    return f"""
+WITH ev AS (
+  SELECT (event_id % 1700) / 10.0 - 85.0 AS lat,
+         (event_id % 3600) / 10.0 - 180.0 AS lon
+  FROM events
+),
+d AS (SELECT {dist} AS dist FROM ev),
+r AS (
+  SELECT dist,
+         CASE WHEN dist < 2000.0 THEN '0-2000'
+              WHEN dist < 5000.0 THEN '2000-5000'
+              WHEN dist < 10000.0 THEN '5000-10000'
+              ELSE '10000+' END AS ring
+  FROM d
+)
+SELECT ring, count(*)::BIGINT AS n_events,
+       round(min(dist), 4) AS min_km,
+       round(max(dist), 4) AS max_km,
+       round(avg(dist), 4) AS avg_km
+FROM r GROUP BY 1
+"""
+
+
 REVAL_K, REVAL_T = 10, 2
 
 
@@ -6198,6 +6264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_pivot": q_rel_pivot,
         "rel_zorder_codes": q_rel_zorder_codes,
+        "rel_geo_distance": q_rel_geo_distance,
         "rel_window_range": q_rel_window_range,
         "curate_sample_k": q_curate_sample_k,
         "rel_moving_avg": q_rel_moving_avg,
@@ -6691,6 +6758,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """,
         "rel_zorder_codes": _zorder_oracle_sql(),
+        "rel_geo_distance": _geo_distance_oracle_sql(),
         "rel_window_range": """
             WITH daily AS (
               SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue

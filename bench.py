@@ -249,6 +249,7 @@ def main() -> None:
         "rel_pivot",
         "rel_window_range",
         "rel_zorder_codes",
+        "rel_geo_distance",
         "curate_sample_k",
     ]
     qfns = E.queries()

@@ -248,3 +248,33 @@ def test_nms_contract_invariant_max_kept_iou(spark, sf001_dir):
     for r in rows:
         assert r["n_kept"] >= 1
         assert r["max_kept_iou"] <= 0.5 + 1e-9, r
+
+
+def test_haversine_known_distances_and_sql_twin(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+    from vframe_spark.functions.geometry import haversine_km, haversine_sql
+
+    # Berlin → Paris ≈ 878 km; Berlin → Berlin = 0; antipodal ≈ πR
+    rows = spark.createDataFrame(
+        [(1, 52.52, 13.405, 48.8566, 2.3522),
+         (2, 52.52, 13.405, 52.52, 13.405),
+         (3, 0.0, 0.0, 0.0, 180.0)],
+        "i int, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in rows.select(
+            "i", haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+        ).collect()
+    }
+    assert abs(got[1] - 878) < 5
+    assert got[2] == 0.0
+    assert abs(got[3] - 3.141592653589793 * 6371.0) < 1e-6
+
+    con = duckdb.connect()
+    con.register("t", rows.toPandas())
+    sql = haversine_sql("lat1", "lon1", "lat2", "lon2")
+    theirs = {r[0]: r[1] for r in con.execute(f"SELECT i, {sql} FROM t").fetchall()}
+    for i in got:
+        assert abs(got[i] - theirs[i]) < 1e-9, i

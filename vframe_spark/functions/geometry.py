@@ -406,3 +406,33 @@ def poly_contains_point(p: Column, x, y) -> Column:
         ).otherwise(0),
     )
     return crossings % 2 == 1
+
+
+# ------------------------------------------------------------ geo (sphere)
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km (haversine) as a pure Catalyst
+    expression — the ES `geo_distance` query/aggregation primitive.
+    2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))); numerically the
+    standard form, engine-portable (same IEEE doubles in SQL), so
+    oracles replay distances to ≪ the 4-dp grain used downstream."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlam = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dphi) * F.sin(dphi) + F.cos(p1) * F.cos(p2) * F.sin(dlam) * F.sin(dlam)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """The same formula as a SQL fragment (DuckDB twin)."""
+    # products, not pow(x, 2): pow may differ from x*x in the last ulp
+    sp = f"sin(radians(({lat2}) - ({lat1})) / 2.0)"
+    sl = f"sin(radians(({lon2}) - ({lon1})) / 2.0)"
+    return (
+        f"2.0 * {EARTH_RADIUS_KM} * asin(sqrt("
+        f"{sp} * {sp} + cos(radians({lat1})) * cos(radians({lat2})) "
+        f"* {sl} * {sl}))"
+    )
