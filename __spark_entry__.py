@@ -988,6 +988,44 @@ FROM ranked WHERE rank <= {BJ_K}
 """
 
 
+SHUF_SHARDS, SHUF_SALT = 8, "r2s6"
+
+
+def q_curate_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into training shards (WebDataset-
+    style export assignment): shard = pmod(portable hash, 8) — pure
+    codegen, zero shuffle — and pos = position in hash order inside the
+    shard (bounded per-shard window). Row-identical across runs,
+    engines, and cluster sizes; the oracle recomputes the same hash
+    (operators/curate.py shuffle_shards)."""
+    from vframe_spark.operators.curate import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_shards(docs, SHUF_SHARDS, salt=SHUF_SALT)
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.col("pos").cast("bigint").alias("pos"),
+    )
+
+
+def _shuffle_shards_oracle_sql() -> str:
+    from vframe_spark.operators.curate import sample_hash_duckdb_sql
+
+    h = sample_hash_duckdb_sql("doc_id", SHUF_SALT)
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS h FROM documents
+),
+assigned AS (
+  SELECT doc_id, h, (h % {SHUF_SHARDS})::INT AS shard FROM hashed
+)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT AS pos
+FROM assigned
+"""
+
+
 GEO_CENTER_LAT, GEO_CENTER_LON = 52.52, 13.405  # Berlin
 
 
@@ -6265,6 +6303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot": q_rel_pivot,
         "rel_zorder_codes": q_rel_zorder_codes,
         "rel_geo_distance": q_rel_geo_distance,
+        "curate_shuffle_shards": q_curate_shuffle_shards,
         "rel_window_range": q_rel_window_range,
         "curate_sample_k": q_curate_sample_k,
         "rel_moving_avg": q_rel_moving_avg,
@@ -6759,6 +6798,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_zorder_codes": _zorder_oracle_sql(),
         "rel_geo_distance": _geo_distance_oracle_sql(),
+        "curate_shuffle_shards": _shuffle_shards_oracle_sql(),
         "rel_window_range": """
             WITH daily AS (
               SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue

@@ -251,6 +251,7 @@ def main() -> None:
         "rel_zorder_codes",
         "rel_geo_distance",
         "curate_sample_k",
+        "curate_shuffle_shards",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they

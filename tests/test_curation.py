@@ -558,3 +558,37 @@ def test_sample_k_per_group_deterministic_and_bounded(spark):
     # a different salt reshuffles
     c = sorted(map(tuple, sample_k_per_group(df, "lang", k=5, salt="x").collect()))
     assert c != a
+
+
+def test_shuffle_shards_deterministic_and_complete(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from vframe_spark.operators.curate import shuffle_export, shuffle_shards
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(docs, 8, salt="s1")
+    b = shuffle_shards(docs.repartition(13), 8, salt="s1")  # layout-independent
+    ra = {(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()}
+    rb = {(r["doc_id"], r["shard"], r["pos"]) for r in b.collect()}
+    assert ra == rb and len(ra) == 500
+    # every shard's positions are dense 0..n_k-1
+    by_shard: dict = {}
+    for _, s, p in ra:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # a different salt is a different permutation
+    c = {(r["doc_id"], r["shard"], r["pos"]) for r in shuffle_shards(docs, 8, salt="s2").collect()}
+    assert c != ra
+
+    # export: one dir per shard, rows readable in shuffle order
+    out = str(tmp_path / "shards")
+    info = shuffle_export(docs, out, 4, salt="s1")
+    assert info == {"n_rows": 500, "n_shards": 4}
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == set(range(4))
+    exp = {(r["doc_id"], r["shard"], r["pos"])
+           for r in shuffle_shards(docs, 4, salt="s1").collect()}
+    got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.collect()}
+    assert got == exp

@@ -895,3 +895,56 @@ SELECT {sel} FROM (
   FROM {table}
 ) WHERE rk <= {k}
 """
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards
+    (the WebDataset / TFRecord shard-writer assignment): df +
+    ``shard`` (pmod of the portable per-row hash — pure codegen, ZERO
+    shuffle for the assignment itself) + ``pos`` (the row's position
+    inside its shard, ordered by (hash, id) — a bounded per-shard
+    window). Hash order == a fixed seeded shuffle: reruns, engines,
+    and cluster sizes all produce the SAME shard/pos for every row, so
+    a resumed export never duplicates or reorders examples. ``salt``
+    reshuffles without touching the data.
+
+    Shard sizes are binomial around n/n_shards (hash-mod, the same
+    tradeoff ES sliced scroll makes) — exact equality would need a
+    global rank, i.e. a full sort; the ±√n wobble is what you pay for
+    zero shuffle at 10^12 rows.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _sample_hash(id_col, salt)
+    out = df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy(h.asc(), F.col(id_col).asc())
+    return out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+
+
+def shuffle_export(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> dict:
+    """Materialize :func:`shuffle_shards` as one parquet directory per
+    shard (``shard=K/``), rows stored in shuffle order — the training-
+    data export layout. One repartition on shard + in-partition sort;
+    returns {n_rows, n_shards}."""
+    assigned = shuffle_shards(df, n_shards, id_col=id_col, salt=salt)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return {"n_rows": df.count(), "n_shards": n_shards}
