@@ -2318,6 +2318,117 @@ FT_PROX_QUERIES = [
 ]
 
 
+FT_IV_QUERIES = [(1, "data analysis"), (2, "hash table scan"), (3, "sort merge")]
+IV_GAPS_UNORD, IV_GAPS_ORD = 3, 6
+
+
+def _q_ft_intervals(spark, sf_dir, ordered: bool, gaps: int):
+    from vframe_spark.query.positional import interval_topk
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    raw = interval_topk(
+        postings, term_stats, meta, FT_IV_QUERIES,
+        max_gaps=gaps, ordered=ordered, k=3 * FT_K,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= FT_K)
+        .select("qid", "rank", "doc_id", "score",
+                F.col("width").cast("int").alias("width"))
+    )
+
+
+def q_ft_intervals_unordered(spark, sf_dir):
+    """Interval queries (Lucene/ES `intervals` match, unordered,
+    max_gaps=3): docs where all query terms fall inside some window
+    with ≤ 3 non-matching tokens, ranked by conjunctive BM25, minimal
+    width surfaced. Resolved inside the positional index scan; the
+    minimal window is exact so the oracle enumerates position
+    combinations and agrees (query/positional.py interval_topk)."""
+    return _q_ft_intervals(spark, sf_dir, ordered=False, gaps=IV_GAPS_UNORD)
+
+
+def q_ft_intervals_ordered(spark, sf_dir):
+    """Ordered interval queries (max_gaps=6): terms must additionally
+    appear in QUERY order (p₁ < p₂ < …); minimal ordered width via
+    greedy successor chains — exact, so the oracle's all-chain
+    enumeration agrees (query/positional.py interval_topk +
+    min_ordered_window)."""
+    return _q_ft_intervals(spark, sf_dir, ordered=True, gaps=IV_GAPS_ORD)
+
+
+def _intervals_oracle_sql(ordered: bool, gaps: int) -> str:
+    qvals = _plain_qterms_values_sql(FT_IV_QUERIES)
+    legs = []
+    for qid, q in FT_IV_QUERIES:
+        seq = tokenize_py(q)
+        dist = sorted(set(seq))
+        order_terms = seq if ordered else dist
+        n = len(order_terms)
+        n_t = len(seq) if ordered else len(dist)
+        joins = []
+        conds = [f"p1.term = '{order_terms[0]}'"]
+        for i in range(2, n + 1):
+            joins.append(f"JOIN pos p{i} ON p{i}.doc_id = p1.doc_id")
+            conds.append(f"p{i}.term = '{order_terms[i - 1]}'")
+            if ordered:
+                conds.append(f"p{i}.pos > p{i - 1}.pos")
+        if ordered:
+            width = f"p{n}.pos - p1.pos + 1" if n > 1 else "1"
+        else:
+            ps = ", ".join(f"p{i}.pos" for i in range(1, n + 1))
+            width = f"greatest({ps}) - least({ps}) + 1" if n > 1 else "1"
+        legs.append(
+            f"""SELECT {qid} AS qid, w.doc_id, round(sum(c.c), 4) AS score,
+       min(w.width)::INT AS width
+FROM (
+  SELECT p1.doc_id, min({width})::INT AS width
+  FROM pos p1 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY 1
+) w
+JOIN contrib c ON c.doc_id = w.doc_id AND c.qid = {qid}
+WHERE w.width - {n_t} <= {gaps}
+GROUP BY 1, 2"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS pos FROM toks),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+allm AS ({union}),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score, width
+  FROM allm
+)
+SELECT qid, rank, doc_id, score, width FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def q_ft_proximity_topk(spark, sf_dir):
     """Proximity-boosted conjunctive retrieval off the positional index
     (query/positional.py proximity_topk): BM25 × (1 + 1/(span−n+1)),
@@ -6257,6 +6368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_stats": q_ft_field_stats,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
+        "ft_intervals_unordered": q_ft_intervals_unordered,
+        "ft_intervals_ordered": q_ft_intervals_ordered,
         "ft_phrase_positional_slop": q_ft_phrase_positional_slop,
         "ft_bm25_fielded": q_ft_bm25_fielded,
         "ft_snippets": q_ft_snippets,
@@ -6487,6 +6600,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_phrase_topk": _phrase_oracle_sql(),
         "ft_phrase_positional": _phrase_oracle_sql(),
+        "ft_intervals_unordered": _intervals_oracle_sql(False, IV_GAPS_UNORD),
+        "ft_intervals_ordered": _intervals_oracle_sql(True, IV_GAPS_ORD),
         "ft_phrase_positional_slop": _phrase_slop_oracle_sql(),
         "ft_bm25_fielded": _bm25f_oracle_sql(),
         "ft_snippets": _snippet_oracle_sql(),

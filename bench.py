@@ -173,6 +173,8 @@ def main() -> None:
         "ft_msm_topk",
         "ft_spell_suggest",
         "ft_proximity_topk",
+        "ft_intervals_unordered",
+        "ft_intervals_ordered",
         "ft_significant_terms",
         "ft_percentiles",
         "ft_cardinality",

@@ -255,3 +255,78 @@ def test_facade_proximity_mode(spark, corpus, pos_index):
     assert sorted((r["rank"], r["doc_id"]) for r in via) == sorted(
         (r["rank"], r["doc_id"]) for r in direct
     )
+
+
+# ------------------------------------------------------- interval queries
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 60), min_size=1, max_size=8).map(
+            lambda v: np.asarray(sorted(set(v)), dtype=np.int64)
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_min_ordered_window_matches_enumeration(lists):
+    import itertools
+
+    from vframe_spark.query.positional import min_ordered_window
+
+    got = min_ordered_window(lists)
+    best = 0
+    for combo in itertools.product(*[l.tolist() for l in lists]):
+        if all(a < b for a, b in zip(combo, combo[1:])):
+            w = combo[-1] - combo[0] + 1
+            if best == 0 or w < best:
+                best = w
+    assert got == best
+
+
+def test_interval_topk_bruteforce(spark, corpus, pos_index):
+    from vframe_spark.functions.tokenizer import tokenize_py
+    from vframe_spark.oracle import OracleIndex
+    from vframe_spark.query.positional import interval_topk
+
+    postings, term_stats, _, meta = load_index(spark, pos_index)
+    rows = corpus.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    toks_of = {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+    qs = [(1, "data parse"), (2, "index scan"), (3, "data zzznope")]
+
+    for ordered, gaps in [(False, 2), (True, 4), (False, 0)]:
+        got = {
+            (r["qid"], r["doc_id"]): (r["rank"], round(r["score"], 9), r["width"])
+            for r in interval_topk(
+                postings, term_stats, meta, qs, max_gaps=gaps,
+                ordered=ordered, k=50,
+            ).collect()
+        }
+        exp = {}
+        for qid, q in qs:
+            seq = tokenize_py(q)
+            terms = sorted(set(seq))
+            scored = []
+            for d, toks in toks_of.items():
+                pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+                if any(not pos[t] for t in terms):
+                    continue
+                # enumerate all windows exactly
+                import itertools
+                best = 0
+                order_lists = [pos[t] for t in (seq if ordered else terms)]
+                for combo in itertools.product(*order_lists):
+                    if ordered and not all(a < b for a, b in zip(combo, combo[1:])):
+                        continue
+                    w = max(combo) - min(combo) + 1
+                    if best == 0 or w < best:
+                        best = w
+                n_t = len(seq) if ordered else len(terms)
+                if best and best - n_t <= gaps:
+                    scored.append((d, oracle.score(terms, d), best))
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            for i, (d, s, w) in enumerate(scored[:50], 1):
+                exp[(qid, d)] = (i, round(s, 9), w)
+        assert got == exp, (ordered, gaps)
+        assert not any(q == 3 for q, _ in got)

@@ -319,3 +319,157 @@ def proximity_topk(
     return ranked.join(
         scored.select("qid", "doc_id", "span"), ["qid", "doc_id"]
     ).select("qid", "rank", "doc_id", "score", "span")
+
+
+def min_ordered_window(pos_lists: list[np.ndarray]) -> int:
+    """Length of the smallest window containing one position from every
+    list IN ORDER (p₁ < p₂ < … < pₙ) — the Lucene intervals `ordered`
+    width. For each start in the first list the greedy smallest-valid-
+    successor chain minimizes the end (exchange argument), so the min
+    over starts is exact. Returns 0 when no ordered chain exists."""
+    if not pos_lists:
+        return 0
+    if len(pos_lists) == 1:
+        return 1 if pos_lists[0].size else 0
+    best = 0
+    for p in pos_lists[0].tolist():
+        cur = p
+        ok = True
+        for nxt in pos_lists[1:]:
+            j = int(np.searchsorted(nxt, cur, side="right"))
+            if j == nxt.size:
+                ok = False
+                break
+            cur = int(nxt[j])
+        if ok:
+            w = cur - p + 1
+            if best == 0 or w < best:
+                best = w
+    return best
+
+
+def interval_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: list[tuple[int, str]],
+    max_gaps: int = 0,
+    ordered: bool = False,
+    k: int = 10,
+) -> DataFrame:
+    """Interval queries (Lucene/ES `intervals` `match` with ``max_gaps``
+    and ``ordered``) → (qid, rank, doc_id, score, width): docs where
+    ALL query terms occur inside some token window with at most
+    ``max_gaps`` non-matching tokens (window width − n_terms ≤
+    max_gaps); ``ordered=True`` additionally requires the terms to
+    appear in query order. Matching docs rank by conjunctive BM25;
+    ``width`` is the minimal qualifying window.
+
+    Resolves entirely inside the positional index scan — the same
+    term-pushdown pruned, (qid, shard)-kernel shape as
+    :func:`proximity_topk`; the source is never read. The minimal
+    ordered width is exact (greedy successor chains), so a SQL replay
+    enumerating all chains agrees."""
+    from .bm25 import idf_value, topk
+
+    if not meta.get("positions"):
+        raise ValueError(
+            "index has no positions — build with build_index(..., positions=True)"
+        )
+    if max_gaps < 0:
+        raise ValueError(f"max_gaps must be >= 0, got {max_gaps}")
+    spark: SparkSession = postings.sparkSession
+    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    seq = {qid: tokenize_py(q) for qid, q in queries}
+    dist = {qid: sorted(set(ts)) for qid, ts in seq.items()}
+    all_terms = sorted({t for ts in dist.values() for t in ts})
+    out_schema = "qid int, rank int, doc_id bigint, score double, width int"
+    if not all_terms:
+        return spark.createDataFrame([], out_schema)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(all_terms))
+        .select("term", "df").collect()
+    }
+    live = {qid: ts for qid, ts in dist.items() if ts and all(t in dfs for t in ts)}
+    qrows = [(qid, t) for qid, ts in live.items() for t in ts]
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    idf = {t: idf_value(n_docs, dfs[t]) for ts in live.values() for t in ts}
+    K1, B = 1.2, 0.75
+
+    qdf = spark.createDataFrame(qrows, "qid int, term string")
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qdf), "term"
+    )
+    iv_schema = "qid int, doc_id bigint, score double, width int"
+
+    def group_iv(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "doc_id": [], "score": [], "width": []}).astype(
+            {"qid": "int32", "doc_id": "int64", "score": "float64", "width": "int32"}
+        )
+        if pdf.empty:
+            return empty
+        qid = int(pdf["qid"].iloc[0])
+        terms = live.get(qid)
+        if not terms or pdf["term"].nunique() < len(terms):
+            return empty
+        pos_by_term: dict[str, dict[int, np.ndarray]] = {}
+        dl_by_doc: dict[int, int] = {}
+        for term, g in pdf.groupby("term"):
+            docs_pos: dict[int, np.ndarray] = {}
+            for buf, n, first, tfs_buf, dls_buf, pos_buf in zip(
+                g["doc_ids"], g["n"], g["first_doc"], g["tfs"], g["dls"], g["pos"]
+            ):
+                n = int(n)
+                ids = pfor_delta_decode(buf, n, int(first)).astype(np.int64)
+                tfs = for_decode(tfs_buf, n).astype(np.int64)
+                dls = for_decode(dls_buf, n).astype(np.int64)
+                flat, offs = positions_decode(pos_buf, tfs)
+                for i in range(n):
+                    docs_pos[int(ids[i])] = flat[offs[i]: offs[i + 1]].astype(np.int64)
+                dl_by_doc.update(zip(ids.tolist(), dls.tolist()))
+            pos_by_term[term] = docs_pos
+        cand = set.intersection(*[set(pos_by_term[t]) for t in terms])
+        n_t = len(seq[qid]) if ordered else len(terms)
+        out_d, out_s, out_w = [], [], []
+        for doc in sorted(cand):
+            if ordered:
+                w = min_ordered_window([pos_by_term[t][doc] for t in seq[qid]])
+            else:
+                w = min_cover_window([pos_by_term[t][doc] for t in terms])
+            if w == 0 or w - n_t > max_gaps:
+                continue
+            dl = float(dl_by_doc[doc])
+            base = 0.0
+            for t in terms:  # fixed (sorted) summation order
+                tf = float(pos_by_term[t][doc].size)
+                base += idf[t] * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * dl / avgdl)
+                )
+            out_d.append(doc)
+            out_w.append(w)
+            out_s.append(base)
+        return pd.DataFrame(
+            {
+                "qid": np.full(len(out_d), qid, np.int32),
+                "doc_id": np.asarray(out_d, dtype=np.int64),
+                "score": np.asarray(out_s, dtype=np.float64),
+                "width": np.asarray(out_w, dtype=np.int32),
+            }
+        )
+
+    scored = matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: group_iv(pdf), iv_schema
+    )
+    ranked = topk(scored.select("qid", "doc_id", "score"), k)
+    return ranked.join(
+        scored.select("qid", "doc_id", "width"), ["qid", "doc_id"]
+    ).select("qid", "rank", "doc_id", "score", "width")
