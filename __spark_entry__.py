@@ -2318,6 +2318,55 @@ FT_PROX_QUERIES = [
 ]
 
 
+PERC_BOOL_QUERIES = [
+    (1, "spark AND (stream OR window) NOT join"),
+    (2, "(hash AND join) OR (sort AND merge)"),
+    (3, "data AND NOT (NOT table)"),
+    (4, "scan NOT (filter OR window)"),
+]
+
+
+def q_ft_percolate_boolean(spark, sf_dir):
+    """Boolean percolation (ES percolator with `bool` queries): four
+    stored nested AND/OR/NOT saved searches evaluated against every
+    doc — per-(doc, qid) presence bitmask via one broadcast atom join +
+    bit_or, predicate as one codegen CASE emitted by the SAME compiler
+    that writes the oracle's SQL (query/percolate.py
+    percolate_boolean)."""
+    from vframe_spark.query.percolate import percolate_boolean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return percolate_boolean(docs, PERC_BOOL_QUERIES)
+
+
+def _percolate_boolean_oracle_sql() -> str:
+    from vframe_spark.query.boolq import (
+        atom_bits, mask_predicate_sql, parse_bool_query,
+    )
+
+    legs = []
+    for qid, q in PERC_BOOL_QUERIES:
+        tree = parse_bool_query(q)
+        bit_of = atom_bits(tree)
+        vals = ", ".join(f"('{t}', {b})" for t, b in sorted(bit_of.items()))
+        pred = mask_predicate_sql(tree, bit_of, col="mask")
+        legs.append(
+            f"""SELECT m.doc_id, {qid} AS qid FROM (
+  SELECT tok.doc_id, bit_or(1::BIGINT << a.bit) AS mask
+  FROM tok JOIN (SELECT * FROM (VALUES {vals}) AS t(term, bit)) a USING (term)
+  GROUP BY 1
+) m WHERE {pred}"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+{union}
+"""
+
+
 FT_IV_QUERIES = [(1, "data analysis"), (2, "hash table scan"), (3, "sort merge")]
 IV_GAPS_UNORD, IV_GAPS_ORD = 3, 6
 
@@ -6352,6 +6401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
         "ft_percolate": q_ft_percolate,
+        "ft_percolate_boolean": q_ft_percolate_boolean,
         "ft_term_vectors": q_ft_term_vectors,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_synonym_topk": q_ft_synonym_topk,
@@ -6559,6 +6609,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_suggest": _phrase_suggest_oracle_sql(),
         "ft_bm25f_indexed": _bm25f_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
+        "ft_percolate_boolean": _percolate_boolean_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),
         "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),
         "ft_synonym_topk": BM25_ORACLE_SQL.replace(

@@ -189,6 +189,7 @@ def main() -> None:
         # ft_upsert_topk is an index-lifecycle op (delete+merge+purge,
         # one-time cached build) — oracle-checked, not a latency row
         "ft_percolate",
+        "ft_percolate_boolean",
         "ft_boosting_topk",
         "ft_bm25f_indexed",
         "ft_composite_facets",

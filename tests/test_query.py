@@ -1258,3 +1258,34 @@ def test_rank_eval_hand_computed(spark):
     assert (r2["ndcg"], r2["mrr"], r2["prec"], r2["recall"], r2["n_rel"]) == (
         0.0, 0.0, 0.0, 0.0, 0,
     )
+
+
+def test_percolate_boolean_bruteforce(spark, corpus):
+    from vframe_spark.functions.tokenizer import tokenize_py
+    from vframe_spark.query.boolq import evaluate, parse_bool_query
+    from vframe_spark.query.percolate import percolate_boolean
+
+    docs, _ = corpus
+    stored = [
+        (1, "data AND (parse OR stream) NOT cache"),
+        (2, "(hash AND table) OR (sort AND merge)"),
+        (3, "scan AND NOT (NOT index)"),
+    ]
+    got = {
+        (r["doc_id"], r["qid"])
+        for r in percolate_boolean(docs, stored).collect()
+    }
+    exp = set()
+    trees = {qid: parse_bool_query(q) for qid, q in stored}
+    for r in docs.select("doc_id", "content").collect():
+        present = frozenset(tokenize_py(r["content"]))
+        for qid, t in trees.items():
+            if evaluate(t, present):
+                exp.add((r["doc_id"], qid))
+    assert got == exp and got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        percolate_boolean(docs, [(9, "NOT spark")])  # unanchored
+    with _pytest.raises(ValueError):
+        percolate_boolean(docs, [(9, '"hash join" AND scan')])  # phrase

@@ -274,6 +274,25 @@ class SearchIndex:
             postings, meta, queries, facets, facet_col, id_col=id_col, mode=mode
         )
 
+    def intervals(
+        self,
+        query: str | list[tuple[int, str]],
+        max_gaps: int = 0,
+        ordered: bool = False,
+        k: int = 10,
+    ) -> DataFrame:
+        """Interval queries (ES `intervals` match with max_gaps /
+        ordered) over the positional index; see
+        `query.positional.interval_topk`."""
+        from .query.positional import interval_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return interval_topk(
+            postings, term_stats, meta, queries,
+            max_gaps=max_gaps, ordered=ordered, k=k,
+        )
+
     def block_join(
         self,
         query: str | list[tuple[int, str]],
@@ -601,6 +620,21 @@ class SearchIndex:
         from .query.percolate import percolate as _perc
 
         return _perc(docs, queries, mode=mode, id_col=id_col, content_col=content_col)
+
+    def percolate_boolean(
+        self,
+        docs: DataFrame,
+        queries: list[tuple[int, str]],
+        id_col: str = "doc_id",
+        content_col: str = "content",
+    ) -> DataFrame:
+        """Boolean percolation: stored nested AND/OR/NOT saved searches
+        matched per doc; see `query.percolate.percolate_boolean`."""
+        from .query.percolate import percolate_boolean
+
+        return percolate_boolean(
+            docs, queries, id_col=id_col, content_col=content_col
+        )
 
     def term_vectors(
         self,

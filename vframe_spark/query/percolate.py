@@ -114,3 +114,82 @@ def term_vectors(
         "doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
         "df", idf.alias("idf"),
     )
+
+
+def percolate_boolean(
+    docs: DataFrame,
+    queries: Iterable[tuple[int, str]],
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Boolean percolation → (doc_id, qid): which stored BOOLEAN saved
+    searches (full nested AND/OR/NOT grammar, `query.boolq`) match each
+    incoming doc — the ES percolator with `bool` queries.
+
+    The same compiler drives everything: each stored query parses once
+    driver-side, its atoms get mask bits, and its predicate is emitted
+    BOTH as the Catalyst expression evaluated here and as the SQL an
+    oracle replays. Docs tokenize map-side (presence only), one
+    broadcast atom join builds a per-(doc, qid) int64 bitmask with a
+    partial-aggregated bit_or, and the predicate is one codegen CASE —
+    no index, no corpus shuffle, foreachBatch-safe like `percolate`.
+
+    Unanchored queries (those matching the empty document, e.g. pure
+    negation) are rejected exactly like `boolean_topk` — a doc with no
+    atom hits produces no mask row, which only reads as "no match"
+    when the predicate is false on the empty presence set."""
+    from .boolq import (
+        WORD_BITS,
+        atom_bits,
+        evaluate,
+        expr_phrases,
+        mask_predicate_sql,
+        n_mask_words,
+        parse_bool_query,
+    )
+    from ..index.build import tokenize_docs
+
+    spark = docs.sparkSession
+    atom_rows: list[tuple[int, str, int]] = []
+    preds: list[tuple[int, str]] = []
+    for qid, q in queries:
+        tree = parse_bool_query(q)
+        if expr_phrases(tree):
+            raise ValueError(
+                f"stored query {qid}: phrase clauses need the positional "
+                "index — not supported in index-free percolation"
+            )
+        if evaluate(tree, frozenset()):
+            raise ValueError(
+                f"stored query {qid} is unanchored (matches the empty document)"
+            )
+        bit_of = atom_bits(tree)
+        if n_mask_words(bit_of) > 1:
+            raise ValueError(
+                f"stored query {qid}: more than {WORD_BITS} atoms unsupported here"
+            )
+        for t, b in bit_of.items():
+            atom_rows.append((int(qid), t, int(b)))
+        preds.append((int(qid), mask_predicate_sql(tree, bit_of, col="mask")))
+    if not atom_rows:
+        return spark.createDataFrame([], "doc_id bigint, qid int")
+
+    qdf = spark.createDataFrame(atom_rows, "qid int, term string, bit int")
+    toks = tokenize_docs(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")),
+        lang_col=None,
+    ).select("doc_id", "term")
+    masks = (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy("doc_id", "qid")
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(bit as int))")).alias("mask"))
+    )
+    pred = None
+    for qid, sql in preds:
+        branch = F.when(F.col("qid") == qid, F.expr(sql))
+        pred = branch if pred is None else pred.when(F.col("qid") == qid, F.expr(sql))
+    return (
+        masks.withColumn("_m", pred)
+        .filter(F.col("_m"))
+        .select("doc_id", "qid")
+    )
