@@ -891,30 +891,39 @@ def _ft_index_children(spark, sf_dir):
     child document with dense ids; returns the loaded index parts plus
     the (child_id, parent_id) map (recomputed — it's a deterministic
     function of the corpus)."""
-    from vframe_spark.ids import assign_doc_ids
     from vframe_spark.index.codec import FORMAT_VERSION
-    from vframe_spark.operators.curate import chunk_documents
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").alias("content")
-    )
-    chunks = chunk_documents(
-        docs, chunk_tokens=BJ_CHUNK, stride=BJ_STRIDE, min_tokens=2
-    ).select(
-        F.col("doc_id").alias("parent_id"), "chunk_id",
-        F.col("text").alias("content"),
-    )
-    children = assign_doc_ids(chunks, ["parent_id", "chunk_id"])
     if sf_dir not in _BJ_INDEX_CACHE:
         tag = hashlib.md5(f"{FORMAT_VERSION}:bj:{sf_dir}".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
-        build_index(
-            children, out, shard_size=256, block_size=64, shards_per_slice=4,
-            content_col="content", lang_col=None,
-        )
+        pmap_dir = os.path.join(out, "parent_of")
+        if not os.path.exists(pmap_dir):
+            from vframe_spark.ids import assign_doc_ids
+            from vframe_spark.operators.curate import chunk_documents
+
+            docs = _t(spark, sf_dir, "documents").select(
+                "doc_id", F.col("text").alias("content")
+            )
+            chunks = chunk_documents(
+                docs, chunk_tokens=BJ_CHUNK, stride=BJ_STRIDE, min_tokens=2
+            ).select(
+                F.col("doc_id").alias("parent_id"), "chunk_id",
+                F.col("text").alias("content"),
+            )
+            children = assign_doc_ids(chunks, ["parent_id", "chunk_id"])
+            build_index(
+                children, out, shard_size=256, block_size=64, shards_per_slice=4,
+                content_col="content", lang_col=None,
+            )
+            # the child→parent map is index SIDECAR data: persist it with
+            # the index, don't recompute chunk ids on every query
+            children.select(
+                F.col("doc_id").alias("child_id"), "parent_id"
+            ).write.mode("overwrite").parquet(pmap_dir)
         _BJ_INDEX_CACHE[sf_dir] = out
-    parent_of = children.select(F.col("doc_id").alias("child_id"), "parent_id")
-    return load_index(spark, _BJ_INDEX_CACHE[sf_dir]), parent_of
+    out = _BJ_INDEX_CACHE[sf_dir]
+    parent_of = spark.read.parquet(os.path.join(out, "parent_of"))
+    return load_index(spark, out), parent_of
 
 
 def q_ft_block_join(spark, sf_dir):
