@@ -1,0 +1,89 @@
+"""Request cache: materialized results keyed on (index state, query).
+
+Mirrors the ES shard-request cache at whole-query granularity
+(reference semantics: repeated identical pipe invocations over an
+unchanged corpus short-circuit; vframe skip-file/cache resume,
+src/commands/pipe/open.py — here generalized to the query side).
+"""
+
+import pytest
+
+from vframe_spark.api import SearchIndex
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.query.cache import cache_key, cached_query, index_fingerprint
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return assign_doc_ids(
+        synth_docs(spark, 150, partitions=2), ["repo", "path", "commit"], num_partitions=2
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cache_idx"))
+    return SearchIndex.build(corpus, out, shard_size=64, block_size=16, shards_per_slice=2)
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 6)) for r in df.orderBy("rank").collect()]
+
+
+def test_miss_then_hit_identical(spark, idx, tmp_path):
+    cdir = str(tmp_path / "rc")
+    r1, hit1 = idx.search_cached("data parse", cdir, k=5)
+    r2, hit2 = idx.search_cached("data parse", cdir, k=5)
+    assert (hit1, hit2) == (False, True)
+    assert _rows(r1) == _rows(r2)
+    # the hit must be a pure parquet scan — no posting-list scan node
+    plan = r2._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan
+
+
+def test_spec_is_part_of_the_key(spark, idx, tmp_path):
+    cdir = str(tmp_path / "rc2")
+    _, h1 = idx.search_cached("data parse", cdir, k=5)
+    _, h2 = idx.search_cached("data parse", cdir, k=7)   # different k
+    _, h3 = idx.search_cached("data", cdir, k=5)          # different query
+    _, h4 = idx.search_cached("data parse", cdir, k=5, mode="and")
+    assert (h1, h2, h3, h4) == (False, False, False, False)
+    # and all four are now warm
+    assert all(
+        idx.search_cached(q, cdir, k=k, mode=m)[1]
+        for q, k, m in [("data parse", 5, "or"), ("data parse", 7, "or"),
+                        ("data", 5, "or"), ("data parse", 5, "and")]
+    )
+
+
+def test_mutation_invalidates(spark, corpus, tmp_path):
+    out = str(tmp_path / "mut_idx")
+    cdir = str(tmp_path / "mut_rc")
+    idx = SearchIndex.build(corpus, out, shard_size=64, block_size=16, shards_per_slice=2)
+    r1, h1 = idx.search_cached("data", cdir, k=5)
+    fp1 = index_fingerprint(out)
+    victim = r1.orderBy("rank").first()["doc_id"]
+    assert idx.delete([victim]) == 1
+    fp2 = index_fingerprint(out)
+    assert fp1 != fp2  # tombstone write changed the fingerprint
+    r2, h2 = idx.search_cached("data", cdir, k=5)
+    assert h2 is False  # stale entry structurally unreachable
+    assert victim not in {r["doc_id"] for r in r2.collect()}
+    # re-query post-mutation: warm again
+    _, h3 = idx.search_cached("data", cdir, k=5)
+    assert h3 is True
+
+
+def test_crashed_write_is_invisible(spark, idx, tmp_path):
+    """An entry without DONE is overwritten, never served."""
+    import os
+
+    cdir = str(tmp_path / "rc3")
+    spec = {"op": "search", "query": "data", "k": 3, "mode": "or"}
+    key = cache_key(idx.out_dir, spec)
+    os.makedirs(os.path.join(cdir, key, "data"), exist_ok=True)  # torn write, no DONE
+    df, hit = cached_query(
+        spark, idx.out_dir, cdir, spec, lambda: idx.search("data", k=3)
+    )
+    assert hit is False and df.count() > 0

@@ -580,6 +580,26 @@ class SearchIndex:
         self._loaded = None
         return out
 
+    def search_cached(
+        self,
+        query: str | list[tuple[int, str]],
+        cache_dir: str,
+        k: int = 10,
+        mode: str = "or",
+    ) -> tuple[DataFrame, bool]:
+        """Request-cached retrieval → (result, was_hit): re-running an
+        unchanged query against an unchanged index reads the previously
+        materialized page; ANY index mutation (append/merge/purge/
+        delete) changes the fingerprint and misses. See
+        `query.cache.cached_query`."""
+        from .query.cache import cached_query
+
+        spec = {"op": "search", "query": query, "k": k, "mode": mode}
+        return cached_query(
+            self.spark, self.out_dir, cache_dir, spec,
+            lambda: self.search(query, k=k, mode=mode),
+        )
+
     def snapshot(self, snap_dir: str, name: str) -> dict:
         """Point-in-time immutable copy under ``snap_dir/name``; see
         `index.snapshot.snapshot_index`."""

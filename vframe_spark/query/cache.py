@@ -1,0 +1,88 @@
+"""Request cache: materialized query results keyed by index state.
+
+The ES shard-request-cache idea at whole-query granularity: a query
+against an index that hasn't changed returns the previously
+materialized result instead of re-running the plan. The cache key is
+
+    sha256(index fingerprint ∥ query spec)
+
+where the *index fingerprint* digests everything that can change a
+result: ``meta.json`` (stats, slice count, format version), the
+manifest rows, and the tombstone set. Every mutation in this engine
+rewrites at least one of those (slice append / merge / purge touch
+meta + manifest; delete writes a tombstone file), so a stale hit is
+structurally impossible — no TTLs, no explicit invalidation API.
+
+Entries are parquet directories committed with a DONE marker (a
+crashed write is invisible and overwritten on the next miss). The
+cache is driver-coordinated but the data never passes through the
+driver: hits are a parquet scan, misses run the real plan and write
+its result.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def index_fingerprint(out_dir: str) -> str:
+    """Digest of the index state that affects query results."""
+    h = hashlib.sha256()
+    meta_p = os.path.join(out_dir, "meta.json")
+    if not os.path.exists(meta_p):
+        raise FileNotFoundError(f"not an index dir (no meta.json): {out_dir}")
+    with open(meta_p, "rb") as fh:
+        h.update(fh.read())
+    manifest = os.path.join(out_dir, "_manifest")
+    if os.path.isdir(manifest):
+        for f in sorted(os.listdir(manifest)):
+            p = os.path.join(manifest, f)
+            h.update(f.encode())
+            h.update(str(os.path.getsize(p)).encode())
+    tombs = os.path.join(out_dir, "tombstones")
+    if os.path.isdir(tombs):
+        for f in sorted(os.listdir(tombs)):
+            p = os.path.join(tombs, f)
+            h.update(f.encode())
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()
+
+
+def cache_key(out_dir: str, spec: dict) -> str:
+    """Combine the index fingerprint with a JSON-canonical query spec."""
+    payload = index_fingerprint(out_dir) + "\x00" + json.dumps(
+        spec, sort_keys=True, default=str
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+def cached_query(
+    spark: SparkSession,
+    out_dir: str,
+    cache_dir: str,
+    spec: dict,
+    run: Callable[[], DataFrame],
+) -> tuple[DataFrame, bool]:
+    """→ (result, was_hit). On miss, ``run()`` executes and its result
+    materializes under ``cache_dir/<key>`` (parquet + DONE marker +
+    the spec for debuggability); on hit the parquet is read back —
+    the plan never re-runs."""
+    key = cache_key(out_dir, spec)
+    entry = os.path.join(cache_dir, key)
+    done = os.path.join(entry, "DONE")
+    data = os.path.join(entry, "data")
+    if os.path.exists(done):
+        return spark.read.parquet(data), True
+    df = run()
+    df.write.mode("overwrite").parquet(data)
+    with open(os.path.join(entry, "spec.json"), "w") as fh:
+        json.dump(spec, fh, sort_keys=True, default=str)
+    with open(done, "w") as fh:
+        fh.write(key)
+    return spark.read.parquet(data), False
