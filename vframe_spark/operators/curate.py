@@ -441,42 +441,87 @@ def repetition_stats(
       catches boilerplate/keyword-stuffed pages exact dedup misses.
       Tie-break: highest (count, gram) pair.
 
-    One groupBy on (doc, gram) + one per-doc window — both keyed by
-    doc_id, so at cluster scale this is the tokenize-TF shuffle shape,
-    nothing worse. Returns (doc_id, n_lines, dup_line_frac,
-    top_gram, top_gram_frac).
+    ZERO shuffle: the per-doc mode is a per-row expression — sort the
+    gram array and take the longest run via a single ``F.aggregate``
+    fold (struct accumulator: current run + best-so-far). Ascending
+    sort order means equal-count runs close in ascending gram order, so
+    ``run >= best`` keeps the lexicographically largest gram — exactly
+    the (count desc, gram desc) tie rule of the groupBy formulation it
+    replaces. At 100 TB this is the difference between shuffling the
+    entire n-gram stream (corpus × n strings) and a pure map stage.
+    Docs with fewer than ``n`` tokens have no grams and drop out, as
+    before. Returns (doc_id, n_lines, dup_line_frac, top_gram,
+    top_gram_frac).
     """
     from ..functions.tokenizer import tokenize_expr
 
     lines = F.split(F.col(text_col), "\n")
-    base = docs.select(
-        id_col,
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6
-        ).alias("dup_line_frac"),
-        tokenize_expr(F.col(text_col)).alias("_ts"),
-    ).withColumn("_stream_chars", F.length(F.array_join("_ts", " ")))
-    grams = base.select(
-        id_col, "n_lines", "dup_line_frac", "_stream_chars",
-        F.explode(_gram_exprs(F.col("_ts"), n)).alias("gram"),
-    )
-    counts = grams.groupBy(id_col, "n_lines", "dup_line_frac", "_stream_chars", "gram").agg(
-        F.count("*").alias("cnt")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("gram").desc())
-    return (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            id_col,
-            "n_lines",
-            "dup_line_frac",
-            F.col("gram").alias("top_gram"),
-            F.round(
-                F.col("cnt") * F.length("gram") / F.col("_stream_chars"), 6
-            ).alias("top_gram_frac"),
+
+    def close_run(acc: F.Column) -> F.Column:
+        """Fold the open run into best-so-far (count, gram)."""
+        better = (acc["run"] > F.lit(0)) & (acc["run"] >= acc["best_cnt"])
+        return F.struct(
+            F.when(better, acc["run"]).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, acc["prev"]).otherwise(acc["best_gram"]).alias("best_gram"),
         )
+
+    def step(acc: F.Column, g: F.Column) -> F.Column:
+        closed = close_run(acc)
+        return F.when(
+            acc["prev"].eqNullSafe(g),
+            F.struct(
+                g.alias("prev"),
+                (acc["run"] + F.lit(1)).alias("run"),
+                acc["best_cnt"].alias("best_cnt"),
+                acc["best_gram"].alias("best_gram"),
+            ),
+        ).otherwise(
+            F.struct(
+                g.alias("prev"),
+                F.lit(1).cast("bigint").alias("run"),
+                closed["best_cnt"].alias("best_cnt"),
+                closed["best_gram"].alias("best_gram"),
+            )
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best_cnt"),
+        F.lit(None).cast("string").alias("best_gram"),
+    )
+    # Filter on token count BETWEEN the tokenize and fold projections:
+    # predicate pushdown then duplicates only the tokenizer below the
+    # scan, never the fold (a filter on _best would re-evaluate the
+    # entire aggregate once in the Filter and again in the Project).
+    base = (
+        docs.select(
+            id_col,
+            F.size(lines).cast("bigint").alias("n_lines"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 6
+            ).alias("dup_line_frac"),
+            tokenize_expr(F.col(text_col)).alias("_ts"),
+        )
+        .filter(F.size("_ts") >= n)
+        .select(
+            id_col, "n_lines", "dup_line_frac",
+            F.length(F.array_join("_ts", " ")).alias("_stream_chars"),
+            F.aggregate(
+                F.array_sort(_gram_exprs(F.col("_ts"), n)), init, step, close_run
+            ).alias("_best"),
+        )
+    )
+    return base.select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        F.col("_best")["best_gram"].alias("top_gram"),
+        F.round(
+            F.col("_best")["best_cnt"] * F.length(F.col("_best")["best_gram"])
+            / F.col("_stream_chars"),
+            6,
+        ).alias("top_gram_frac"),
     )
 
 
