@@ -6372,6 +6372,327 @@ def _stratified_oracle_sql() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {where}"
 
 
+# -------------------------------------------------- metric-agg facet family
+# (session 7: the remaining ES numeric facets — weighted_avg,
+# extended_stats, median_absolute_deviation, boxplot, top_metrics,
+# string_stats, t_test, sampler/diversified_sampler,
+# auto_date_histogram. Reference semantics: summarize-json stats over
+# a filtered set, /root/reference/src/commands/utils/summarize-json.py.)
+
+
+def _facet_m_cte() -> str:
+    """The shared match-set CTE prefix every facet oracle starts from."""
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)"""
+
+
+def q_ft_weighted_avg(spark, sf_dir):
+    """ES weighted_avg facet: Σ(v·w)/Σ(w) over the match set, weight
+    derived deterministically (doc_id % 5 + 1) since the corpus carries
+    no native weight (query/facets.py weighted_avg_facets)."""
+    from vframe_spark.query.facets import weighted_avg_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        (F.col("doc_id") % 5 + 1).cast("double").alias("w"),
+    )
+    return weighted_avg_facets(postings, meta, FT_FACET_QUERIES, docs, "n_chars", "w")
+
+
+def _weighted_avg_oracle_sql() -> str:
+    return f"""{_facet_m_cte()},
+v AS (SELECT doc_id, n_chars::DOUBLE AS v, (doc_id % 5 + 1)::DOUBLE AS w FROM documents)
+SELECT m.qid::INT AS qid, count(*)::BIGINT AS n_vals,
+       round(sum(v.v * v.w), 4) AS w_sum,
+       round(sum(v.v * v.w) / sum(v.w), 6) AS w_avg
+FROM m JOIN v USING (doc_id) GROUP BY 1
+"""
+
+
+def q_ft_extended_stats(spark, sf_dir):
+    """ES extended_stats facet over n_chars: population variance via
+    the ES sum_sq/n − avg² formula + σ=2 bounds
+    (query/facets.py extended_stats_facets)."""
+    from vframe_spark.query.facets import extended_stats_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return extended_stats_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "n_chars", sigma=2.0
+    )
+
+
+def _extended_stats_oracle_sql() -> str:
+    return f"""{_facet_m_cte()},
+v AS (SELECT doc_id, n_chars::DOUBLE AS v FROM documents),
+a AS (
+  SELECT m.qid, count(*)::BIGINT AS n_vals, min(v.v) AS min_v, max(v.v) AS max_v,
+         sum(v.v) AS s, avg(v.v) AS mu, sum(v.v * v.v) AS sq
+  FROM m JOIN v USING (doc_id) GROUP BY 1
+)
+SELECT qid::INT AS qid, n_vals, min_v, max_v,
+       round(s, 4) AS sum_v, round(mu, 6) AS avg_v, round(sq, 4) AS sum_sq,
+       round(sq / n_vals - mu * mu, 4) AS variance,
+       round(sqrt(sq / n_vals - mu * mu), 4) AS std_dev,
+       round(mu + 2.0 * sqrt(sq / n_vals - mu * mu), 4) AS upper,
+       round(mu - 2.0 * sqrt(sq / n_vals - mu * mu), 4) AS lower
+FROM a
+"""
+
+
+def q_ft_mad(spark, sf_dir):
+    """ES median_absolute_deviation facet (exact): median of
+    |v − median(v)| over matched docs' n_chars
+    (query/facets.py mad_facets)."""
+    from vframe_spark.query.facets import mad_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return mad_facets(postings, meta, FT_FACET_QUERIES, docs, "n_chars")
+
+
+def _mad_oracle_sql() -> str:
+    return f"""{_facet_m_cte()},
+v AS (SELECT doc_id, n_chars::DOUBLE AS v FROM documents),
+j AS (SELECT m.qid, v.v FROM m JOIN v USING (doc_id)),
+med AS (SELECT qid, quantile_cont(v, 0.5) AS med, count(*)::BIGINT AS n_vals
+        FROM j GROUP BY 1)
+SELECT j.qid::INT AS qid, any_value(med.n_vals) AS n_vals,
+       round(any_value(med.med), 6) AS median_v,
+       round(quantile_cont(abs(j.v - med.med), 0.5), 6) AS mad
+FROM j JOIN med USING (qid) GROUP BY 1
+"""
+
+
+def q_ft_boxplot(spark, sf_dir):
+    """ES boxplot facet (exact interpolated quartiles) over matched
+    docs' n_chars (query/facets.py boxplot_facets)."""
+    from vframe_spark.query.facets import boxplot_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return boxplot_facets(postings, meta, FT_FACET_QUERIES, docs, "n_chars")
+
+
+def _boxplot_oracle_sql() -> str:
+    return f"""{_facet_m_cte()},
+v AS (SELECT doc_id, n_chars::DOUBLE AS v FROM documents)
+SELECT m.qid::INT AS qid, count(*)::BIGINT AS n_vals,
+       min(v.v) AS min_v,
+       round(quantile_cont(v.v, 0.25), 6) AS q1,
+       round(quantile_cont(v.v, 0.5), 6) AS q2,
+       round(quantile_cont(v.v, 0.75), 6) AS q3,
+       max(v.v) AS max_v,
+       round(quantile_cont(v.v, 0.75) - quantile_cont(v.v, 0.25), 6) AS iqr
+FROM m JOIN v USING (doc_id) GROUP BY 1
+"""
+
+
+TOP_METRICS_N = 3
+
+
+def q_ft_top_metrics(spark, sf_dir):
+    """ES top_metrics: lang/source of the 3 longest matched docs per
+    query, ties on ascending doc_id (query/facets.py
+    top_metrics_facets)."""
+    from vframe_spark.query.facets import top_metrics_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return top_metrics_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "n_chars",
+        ["lang", "source"], n=TOP_METRICS_N,
+    )
+
+
+def _top_metrics_oracle_sql() -> str:
+    return f"""{_facet_m_cte()},
+r AS (
+  SELECT m.qid, d.doc_id, d.n_chars::DOUBLE AS n_chars, d.lang, d.source,
+         row_number() OVER (
+           PARTITION BY m.qid ORDER BY d.n_chars DESC, d.doc_id ASC
+         ) AS rank
+  FROM m JOIN documents d USING (doc_id)
+)
+SELECT qid::INT AS qid, rank::INT AS rank, doc_id, n_chars, lang, source
+FROM r WHERE rank <= {TOP_METRICS_N}
+"""
+
+
+def q_ft_string_stats(spark, sf_dir):
+    """ES string_stats (+ show_distribution entropy) over matched docs'
+    `source`: length stats + Shannon entropy of the char distribution
+    (query/facets.py string_stats_facets)."""
+    from vframe_spark.query.facets import string_stats_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return string_stats_facets(postings, meta, FT_FACET_QUERIES, docs, "source")
+
+
+def _string_stats_oracle_sql() -> str:
+    # chars via per-position substring (DuckDB string_split('', …) has
+    # no char mode); entropy = −Σ p·log2 p over the per-qid histogram
+    return f"""{_facet_m_cte()},
+v AS (SELECT doc_id, source AS s FROM documents WHERE source IS NOT NULL),
+j AS (SELECT m.qid, v.s FROM m JOIN v USING (doc_id)),
+lens AS (
+  SELECT qid, count(*)::BIGINT AS n_vals,
+         min(length(s))::BIGINT AS min_len, max(length(s))::BIGINT AS max_len,
+         round(avg(length(s)), 6) AS avg_len
+  FROM j GROUP BY 1
+),
+chars AS (
+  SELECT qid, substring(s, i, 1) AS ch, count(*) AS cnt
+  FROM j, UNNEST(range(1, length(s) + 1)) AS u(i)
+  GROUP BY 1, 2
+),
+ent AS (
+  SELECT qid, round(-sum(p * log2(p)), 6) AS entropy
+  FROM (SELECT qid, cnt::DOUBLE / sum(cnt) OVER (PARTITION BY qid) AS p FROM chars)
+  GROUP BY 1
+)
+SELECT lens.qid::INT AS qid, n_vals, min_len, max_len, avg_len, entropy
+FROM lens JOIN ent USING (qid)
+"""
+
+
+def q_ft_t_test(spark, sf_dir):
+    """ES t_test (Welch's, heteroscedastic) between n_chars and the
+    whitespace count over the match set (query/facets.py
+    t_test_facets)."""
+    from vframe_spark.query.facets import t_test_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).cast("double").alias("n_spaces"),
+    )
+    return t_test_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "n_chars", "n_spaces"
+    )
+
+
+def _t_test_oracle_sql() -> str:
+    return f"""{_facet_m_cte()},
+v AS (
+  SELECT doc_id, n_chars::DOUBLE AS a,
+         (length(text) - length(replace(text, ' ', '')))::DOUBLE AS b
+  FROM documents
+),
+agg AS (
+  SELECT m.qid, count(v.a)::BIGINT AS n_a, count(v.b)::BIGINT AS n_b,
+         avg(v.a) AS ma, avg(v.b) AS mb, var_samp(v.a) AS va, var_samp(v.b) AS vb
+  FROM m JOIN v USING (doc_id) GROUP BY 1
+)
+SELECT qid::INT AS qid, n_a, n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_value
+FROM agg
+"""
+
+
+SAMPLER_SIZE, SAMPLER_MAX_PER = 40, 10
+
+
+def q_ft_sampler(spark, sf_dir):
+    """ES diversified_sampler → sampler chain: ≤10 docs per `source`
+    (md5(doc_id) order), first 40 survivors per query, lang facet
+    counts over the bounded sample (query/facets.py sampler_facets)."""
+    from vframe_spark.query.facets import sampler_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return sampler_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "lang",
+        shard_size=SAMPLER_SIZE, dedup_col="source",
+        max_docs_per_value=SAMPLER_MAX_PER,
+    )
+
+
+def _sampler_oracle_sql() -> str:
+    return f"""{_facet_m_cte()},
+j AS (
+  SELECT m.qid, d.doc_id, d.lang, d.source, md5(d.doc_id::VARCHAR) AS h
+  FROM m JOIN documents d USING (doc_id)
+),
+dd AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid, source ORDER BY h ASC, doc_id ASC
+  ) AS dr FROM j
+),
+sample AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY h ASC, doc_id ASC
+  ) AS sr FROM dd WHERE dr <= {SAMPLER_MAX_PER}
+)
+SELECT qid::INT AS qid, lang AS facet, count(*)::BIGINT AS n_docs
+FROM sample WHERE sr <= {SAMPLER_SIZE} GROUP BY 1, 2
+"""
+
+
+AUTO_DH_TARGET = 10
+
+
+def q_ft_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram: finest calendar unit with ≤10 buckets
+    per query over the derived crawl date (same derivation as
+    ft_date_histogram) — unit choice + histogram both checked
+    (query/facets.py auto_date_histogram_facets)."""
+    from vframe_spark.query.facets import auto_date_histogram_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.date_add(
+            F.to_date(F.lit("2025-01-01")), (F.col("doc_id") % 400).cast("int")
+        ).alias("crawl_ts"),
+    )
+    out = auto_date_histogram_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "crawl_ts",
+        target_buckets=AUTO_DH_TARGET,
+    )
+    return out.select(
+        "qid", "unit",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def _auto_dh_oracle_sql() -> str:
+    units = ["hour", "day", "week", "month", "quarter", "year"]
+    n_cols = ", ".join(
+        f"count(DISTINCT date_trunc('{u}', ts)) AS n_{u}" for u in units
+    )
+    # finest unit with n <= target; fall back to the coarsest
+    pick = "'year'"
+    for u in reversed(units):
+        pick = f"CASE WHEN n_{u} <= {AUTO_DH_TARGET} THEN '{u}' ELSE {pick} END"
+    trunc = "CASE " + " ".join(
+        f"WHEN c.unit = '{u}' THEN date_trunc('{u}', j.ts)" for u in units
+    ) + " END"
+    return f"""{_facet_m_cte()},
+v AS (SELECT doc_id, (DATE '2025-01-01' + ((doc_id % 400)::INT))::TIMESTAMP AS ts
+      FROM documents),
+j AS (SELECT m.qid, v.doc_id, v.ts FROM m JOIN v USING (doc_id)),
+counts AS (SELECT qid, {n_cols} FROM j GROUP BY 1),
+chosen AS (SELECT qid, {pick} AS unit FROM counts)
+SELECT j.qid::INT AS qid, c.unit AS unit,
+       strftime({trunc}, '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM j JOIN chosen c USING (qid)
+GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------- the contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6402,6 +6723,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_selector": q_ft_bucket_selector,
         "ft_adjacency": q_ft_adjacency,
         "ft_matrix_stats": q_ft_matrix_stats,
+        "ft_weighted_avg": q_ft_weighted_avg,
+        "ft_extended_stats": q_ft_extended_stats,
+        "ft_mad": q_ft_mad,
+        "ft_boxplot": q_ft_boxplot,
+        "ft_top_metrics": q_ft_top_metrics,
+        "ft_string_stats": q_ft_string_stats,
+        "ft_t_test": q_ft_t_test,
+        "ft_sampler": q_ft_sampler,
+        "ft_auto_date_histogram": q_ft_auto_date_histogram,
         "ft_rare_terms": q_ft_rare_terms,
         "ft_rank_eval": q_ft_rank_eval,
         "ft_missing_facet": q_ft_missing_facet,
@@ -6610,6 +6940,15 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_adjacency": _adjacency_oracle_sql(),
         "ft_matrix_stats": _matrix_stats_oracle_sql(),
+        "ft_weighted_avg": _weighted_avg_oracle_sql(),
+        "ft_extended_stats": _extended_stats_oracle_sql(),
+        "ft_mad": _mad_oracle_sql(),
+        "ft_boxplot": _boxplot_oracle_sql(),
+        "ft_top_metrics": _top_metrics_oracle_sql(),
+        "ft_string_stats": _string_stats_oracle_sql(),
+        "ft_t_test": _t_test_oracle_sql(),
+        "ft_sampler": _sampler_oracle_sql(),
+        "ft_auto_date_histogram": _auto_dh_oracle_sql(),
         "ft_rare_terms": _rare_terms_oracle_sql(),
         "ft_rank_eval": _rank_eval_oracle_sql(),
         "ft_missing_facet": _missing_facet_oracle_sql(),

@@ -200,6 +200,15 @@ def main() -> None:
         "ft_adjacency",
         "ft_terms_approx",
         "ft_matrix_stats",
+        "ft_weighted_avg",
+        "ft_extended_stats",
+        "ft_mad",
+        "ft_boxplot",
+        "ft_top_metrics",
+        "ft_string_stats",
+        "ft_t_test",
+        "ft_sampler",
+        "ft_auto_date_histogram",
         "ft_rare_terms",
         "ft_missing_facet",
         "ft_rank_eval",

@@ -1,0 +1,248 @@
+"""Metric-aggregation facet family (session 7): brute-force checks of
+weighted_avg / extended_stats / MAD / boxplot / top_metrics /
+string_stats / t_test / sampler / auto_date_histogram against a pure
+Python oracle over a tiny real index."""
+
+import datetime
+import hashlib
+import math
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import OracleIndex, parse_query_terms
+
+QS = [(1, "data parse"), (2, "hash table")]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, 150, partitions=2), ["repo", "path", "commit"], num_partitions=2
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    return docs, oracle
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("midx"))
+    meta = build_index(docs, out, shard_size=64, block_size=16, shards_per_slice=2)
+    assert meta["complete"]
+    return load_index(spark, out)
+
+
+def _matches(oracle, q):
+    terms = sorted(set(parse_query_terms(q)))
+    return sorted(
+        d for d, c in oracle.tf.items() if any(c.get(t, 0) > 0 for t in terms)
+    )
+
+
+@pytest.fixture(scope="module")
+def vals(spark, corpus):
+    docs, _ = corpus
+    return docs.select(
+        "doc_id", "lang",
+        F.length("content").cast("double").alias("v"),
+        (F.col("doc_id") % 4 + 1).cast("double").alias("w"),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def byid(vals):
+    return {r["doc_id"]: (r["v"], r["w"], r["lang"]) for r in vals.collect()}
+
+
+def test_weighted_avg(spark, corpus, index, vals, byid):
+    from vframe_spark.query.facets import weighted_avg_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    out = {r["qid"]: r for r in
+           weighted_avg_facets(postings, meta, QS, vals, "v", "w").collect()}
+    for qid, q in QS:
+        m = _matches(oracle, q)
+        exp = sum(byid[d][0] * byid[d][1] for d in m) / sum(byid[d][1] for d in m)
+        assert out[qid]["n_vals"] == len(m)
+        assert abs(out[qid]["w_avg"] - exp) < 1e-5
+
+
+def test_extended_stats_population_variance(spark, corpus, index, vals, byid):
+    from vframe_spark.query.facets import extended_stats_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    out = {r["qid"]: r for r in
+           extended_stats_facets(postings, meta, QS, vals, "v", sigma=2.0).collect()}
+    for qid, q in QS:
+        vs = [byid[d][0] for d in _matches(oracle, q)]
+        mu = sum(vs) / len(vs)
+        var = sum(x * x for x in vs) / len(vs) - mu * mu  # population, ES formula
+        r = out[qid]
+        assert r["min_v"] == min(vs) and r["max_v"] == max(vs)
+        assert abs(r["variance"] - var) < 1e-3
+        assert abs(r["upper"] - (mu + 2 * math.sqrt(var))) < 1e-3
+
+
+def test_mad_and_boxplot(spark, corpus, index, vals, byid):
+    from vframe_spark.query.facets import boxplot_facets, mad_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    mad = {r["qid"]: r for r in mad_facets(postings, meta, QS, vals, "v").collect()}
+    box = {r["qid"]: r for r in boxplot_facets(postings, meta, QS, vals, "v").collect()}
+    for qid, q in QS:
+        vs = sorted(byid[d][0] for d in _matches(oracle, q))
+        med = statistics.median(vs)
+        exp_mad = statistics.median(sorted(abs(x - med) for x in vs))
+        assert abs(mad[qid]["median_v"] - med) < 1e-5
+        assert abs(mad[qid]["mad"] - exp_mad) < 1e-5
+        q1, q2, q3 = statistics.quantiles(vs, n=4, method="inclusive")
+        assert abs(box[qid]["q1"] - q1) < 1e-5
+        assert abs(box[qid]["q2"] - q2) < 1e-5
+        assert abs(box[qid]["q3"] - q3) < 1e-5
+        assert abs(box[qid]["iqr"] - (q3 - q1)) < 1e-5
+
+
+def test_top_metrics_order_and_ties(spark, corpus, index, vals, byid):
+    from vframe_spark.query.facets import top_metrics_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    out = top_metrics_facets(
+        postings, meta, QS, vals, "v", ["lang"], n=4
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["v"], r["lang"]))
+    for qid, q in QS:
+        m = _matches(oracle, q)
+        exp = sorted(m, key=lambda d: (-byid[d][0], d))[:4]
+        mine = [d for _, d, _, _ in sorted(got[qid])]
+        assert mine == exp
+        for _, d, v, lang in got[qid]:
+            assert (v, lang) == (byid[d][0], byid[d][2])
+
+
+def test_string_stats_entropy(spark, corpus, index):
+    from vframe_spark.query.facets import string_stats_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    svals = docs.select("doc_id", F.col("lang").alias("s"))
+    lang = {r["doc_id"]: r["s"] for r in svals.collect()}
+    out = {r["qid"]: r for r in
+           string_stats_facets(postings, meta, QS, svals, "s").collect()}
+    for qid, q in QS:
+        blob = "".join(lang[d] for d in _matches(oracle, q))
+        hist = {}
+        for ch in blob:
+            hist[ch] = hist.get(ch, 0) + 1
+        n = len(blob)
+        exp = -sum(c / n * math.log2(c / n) for c in hist.values())
+        assert abs(out[qid]["entropy"] - exp) < 1e-5
+        assert out[qid]["avg_len"] == pytest.approx(
+            sum(len(lang[d]) for d in _matches(oracle, q)) / out[qid]["n_vals"], abs=1e-6
+        )
+
+
+def test_t_test_welch(spark, corpus, index, vals, byid):
+    from vframe_spark.query.facets import t_test_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    out = {r["qid"]: r for r in
+           t_test_facets(postings, meta, QS, vals, "v", "w").collect()}
+    for qid, q in QS:
+        a = [byid[d][0] for d in _matches(oracle, q)]
+        b = [byid[d][1] for d in _matches(oracle, q)]
+        t = (statistics.mean(a) - statistics.mean(b)) / math.sqrt(
+            statistics.variance(a) / len(a) + statistics.variance(b) / len(b)
+        )
+        assert abs(out[qid]["t_value"] - t) < 1e-3
+
+
+def test_sampler_bound_and_determinism(spark, corpus, index, vals, byid):
+    from vframe_spark.query.facets import sampler_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    out = sampler_facets(
+        postings, meta, QS, vals, "lang", shard_size=15,
+        dedup_col="lang", max_docs_per_value=5,
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], {})[r["facet"]] = r["n_docs"]
+    for qid, q in QS:
+        facets = per_q[qid]
+        assert sum(facets.values()) <= 15          # sampler bound
+        assert all(v <= 5 for v in facets.values())  # diversity bound
+        # replay the deterministic draw
+        m = _matches(oracle, q)
+        ranked = sorted(m, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        seen, kept = {}, []
+        for d in ranked:
+            k = byid[d][2]
+            if seen.get(k, 0) < 5:
+                seen[k] = seen.get(k, 0) + 1
+                kept.append(d)
+        kept = kept[:15]
+        exp = {}
+        for d in kept:
+            exp[byid[d][2]] = exp.get(byid[d][2], 0) + 1
+        assert facets == exp
+
+
+def test_auto_date_histogram_unit_choice(spark, corpus, index):
+    from vframe_spark.query.facets import auto_date_histogram_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    tvals = docs.select(
+        "doc_id",
+        F.date_add(F.to_date(F.lit("2024-01-01")), (F.col("doc_id") % 300).cast("int"))
+        .cast("timestamp").alias("ts"),
+    )
+    out = auto_date_histogram_facets(
+        postings, meta, QS, tvals, "ts", target_buckets=12
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], []).append(r)
+    for qid, q in QS:
+        rows = per_q[qid]
+        units = {r["unit"] for r in rows}
+        assert len(units) == 1  # one unit per query
+        assert len(rows) <= 12 or units == {"year"}  # target respected or coarsest
+        # bucket counts sum to the match-set size (every doc has a ts)
+        assert sum(r["n_docs"] for r in rows) == len(_matches(oracle, q))
+        # replay the unit rule: finest calendar unit with <= 12 buckets
+        m = _matches(oracle, q)
+        days = {d: datetime.date(2024, 1, 1) + datetime.timedelta(days=d % 300) for d in m}
+
+        def nb(unit):
+            def trunc(dt):
+                if unit == "hour" or unit == "day":
+                    return dt
+                if unit == "week":
+                    return dt - datetime.timedelta(days=dt.weekday())
+                if unit == "month":
+                    return dt.replace(day=1)
+                if unit == "quarter":
+                    return dt.replace(month=(dt.month - 1) // 3 * 3 + 1, day=1)
+                return dt.replace(month=1, day=1)
+            return len({trunc(v) for v in days.values()})
+
+        exp_unit = "year"
+        for u in ("year", "quarter", "month", "week", "day", "hour"):
+            if nb(u) <= 12:
+                exp_unit = u
+        assert units == {exp_unit}

@@ -874,3 +874,382 @@ def serial_diff(
     return buckets.withColumn(
         out_col, F.col(metric_col) - F.lag(metric_col, lag).over(w)
     )
+
+
+# ---------------------------------------------------------------------------
+# Metric-aggregation family completion: the remaining ES numeric facets.
+# Every operator below shares the one cost shape: match-set decode →
+# equi-join on doc_id → partial aggregation. Nothing here adds a second
+# pass over the corpus or an all-pairs step, so at 100 TB each costs
+# O(match set) after the pruned posting scan.
+# ---------------------------------------------------------------------------
+
+
+def weighted_avg_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation over the match set →
+    (qid, n_vals, w_sum, w_avg): Σ(v·w) / Σ(w) over matched docs where
+    BOTH value and weight are non-NULL (the ES default drops a doc
+    missing either side). One partial agg; 6-dp grain on the ratio."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("double").alias("_w"),
+    ).filter(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+    return (
+        m.join(v, "doc_id")
+        .groupBy("qid")
+        .agg(
+            F.count("*").cast("long").alias("n_vals"),
+            F.round(F.sum(F.col("_v") * F.col("_w")), 4).alias("w_sum"),
+            F.round(
+                F.sum(F.col("_v") * F.col("_w")) / F.sum("_w"), 6
+            ).alias("w_avg"),
+        )
+    )
+
+
+def extended_stats_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    sigma: float = 2.0,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``extended_stats`` over the match set → (qid, n_vals, min_v,
+    max_v, sum_v, avg_v, sum_sq, variance, std_dev, upper, lower).
+    Variance is the POPULATION variance computed the way ES does it —
+    sum_sq/n − avg² — so the oracle can restate the identical formula;
+    the σ-bounds are avg ± sigma·std. Cancellation in the naive form
+    puts variance/std/bounds on the 4-dp grain, avg at 6 dp."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    agg = (
+        m.join(v, "doc_id")
+        .groupBy("qid")
+        .agg(
+            F.count("*").cast("long").alias("n_vals"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.sum("_v").alias("_sum"),
+            F.avg("_v").alias("_avg"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_sum_sq"),
+        )
+    )
+    var = F.col("_sum_sq") / F.col("n_vals") - F.col("_avg") * F.col("_avg")
+    std = F.sqrt(var)
+    return agg.select(
+        "qid", "n_vals", "min_v", "max_v",
+        F.round("_sum", 4).alias("sum_v"),
+        F.round("_avg", 6).alias("avg_v"),
+        F.round("_sum_sq", 4).alias("sum_sq"),
+        F.round(var, 4).alias("variance"),
+        F.round(std, 4).alias("std_dev"),
+        F.round(F.col("_avg") + F.lit(sigma) * std, 4).alias("upper"),
+        F.round(F.col("_avg") - F.lit(sigma) * std, 4).alias("lower"),
+    )
+
+
+def mad_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` (exact form) over the match set
+    → (qid, n_vals, median_v, mad): median of |v − median(v)|. Two
+    chained aggregations over the SAME joined match set (per-qid median
+    first, broadcast back, then the deviation median) — the corpus and
+    the index are still read once; exact interpolated percentile
+    (Spark ``percentile`` == SQL ``quantile_cont``), 6-dp grain."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    joined = m.join(v, "doc_id")
+    med = joined.groupBy("qid").agg(
+        F.expr("percentile(_v, 0.5)").alias("_med"),
+        F.count("*").cast("long").alias("n_vals"),
+    )
+    return (
+        joined.join(F.broadcast(med), "qid")
+        .groupBy("qid", "n_vals")
+        .agg(
+            F.round(F.first("_med"), 6).alias("median_v"),
+            F.round(
+                F.expr("percentile(abs(_v - _med), 0.5)"), 6
+            ).alias("mad"),
+        )
+        .select("qid", "n_vals", "median_v", "mad")
+    )
+
+
+def boxplot_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``boxplot`` aggregation (exact form) over the match set →
+    (qid, n_vals, min_v, q1, q2, q3, max_v, iqr): exact interpolated
+    quartiles, 6-dp grain."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    return (
+        m.join(v, "doc_id")
+        .groupBy("qid")
+        .agg(
+            F.count("*").cast("long").alias("n_vals"),
+            F.min("_v").alias("min_v"),
+            F.round(F.expr("percentile(_v, 0.25)"), 6).alias("q1"),
+            F.round(F.expr("percentile(_v, 0.5)"), 6).alias("q2"),
+            F.round(F.expr("percentile(_v, 0.75)"), 6).alias("q3"),
+            F.max("_v").alias("max_v"),
+            F.round(
+                F.expr("percentile(_v, 0.75) - percentile(_v, 0.25)"), 6
+            ).alias("iqr"),
+        )
+    )
+
+
+def top_metrics_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    sort_col: str,
+    metric_cols: list[str],
+    n: int = 3,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``top_metrics``: the metric fields of the n docs with the
+    largest (or smallest) sort field per query → (qid, rank, doc_id,
+    sort value, metrics…). Ties break on ascending doc_id — total
+    order, both engines reproduce it. Bounded per-qid window over the
+    joined match set (the grouped-top-k shape grouped_topk uses)."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sort_col).cast("double").alias("_s"),
+        *[F.col(c) for c in metric_cols],
+    ).filter(F.col(sort_col).isNotNull())
+    order = F.col("_s").asc() if ascending else F.col("_s").desc()
+    w = Window.partitionBy("qid").orderBy(order, F.col("doc_id").asc())
+    return (
+        m.join(v, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("qid", "rank", "doc_id", F.col("_s").alias(sort_col), *metric_cols)
+    )
+
+
+def string_stats_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``string_stats`` (with ``show_distribution``'s entropy) over
+    the match set → (qid, n_vals, min_len, max_len, avg_len, entropy):
+    Shannon entropy (bits) of the CHARACTER distribution across all
+    matched values. The char histogram is one explode + two-level agg —
+    the alphabet is tiny, so the second agg is O(distinct chars), never
+    O(corpus). 6-dp grain on avg_len/entropy."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("string").alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    joined = m.join(v, "doc_id")
+    lens = joined.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_vals"),
+        F.min(F.length("_v")).cast("long").alias("min_len"),
+        F.max(F.length("_v")).cast("long").alias("max_len"),
+        F.round(F.avg(F.length("_v")), 6).alias("avg_len"),
+    )
+    chars = (
+        joined.select("qid", F.explode(F.split("_v", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("qid", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = Window.partitionBy("qid")
+    ent = (
+        chars.withColumn("_p", F.col("cnt") / F.sum("cnt").over(tot))
+        .groupBy("qid")
+        .agg(
+            F.round(
+                -F.sum(F.col("_p") * F.log2("_p")), 6
+            ).alias("entropy")
+        )
+    )
+    return lens.join(ent, "qid").select(
+        "qid", "n_vals", "min_len", "max_len", "avg_len", "entropy"
+    )
+
+
+def t_test_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``t_test`` (heteroscedastic / Welch's) between two numeric
+    fields over the match set → (qid, n_a, n_b, mean_a, mean_b,
+    t_value): t = (ā − b̄) / √(s²ₐ/nₐ + s²ᵦ/nᵦ) with SAMPLE variances
+    and per-field non-NULL counts. Means 6 dp; t 4 dp (variance
+    cancellation grain)."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(col_a).cast("double").alias("_a"),
+        F.col(col_b).cast("double").alias("_b"),
+    )
+    agg = (
+        m.join(v, "doc_id")
+        .groupBy("qid")
+        .agg(
+            F.count("_a").cast("long").alias("n_a"),
+            F.count("_b").cast("long").alias("n_b"),
+            F.avg("_a").alias("_ma"),
+            F.avg("_b").alias("_mb"),
+            F.var_samp("_a").alias("_va"),
+            F.var_samp("_b").alias("_vb"),
+        )
+    )
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(
+        F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    )
+    return agg.select(
+        "qid", "n_a", "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(t, 4).alias("t_value"),
+    )
+
+
+def sampler_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    facet_col: str,
+    shard_size: int = 100,
+    dedup_col: str | None = None,
+    max_docs_per_value: int = 1,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``sampler`` / ``diversified_sampler``: facet counts over a
+    BOUNDED deterministic sample of the match set → (qid, facet,
+    n_docs). The sample is the first ``shard_size`` matched docs per
+    query in md5(doc_id) order — a seeded uniform draw both engines
+    replay exactly. With ``dedup_col``, at most ``max_docs_per_value``
+    docs per dedup value survive BEFORE the size cut (the diversified
+    variant — stops one over-represented source from eating the
+    sample). Two bounded windows, then the usual facet count; the
+    sample never exceeds qid × shard_size rows regardless of corpus
+    size — the whole point at 100 TB."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(facet_col).alias("_facet"),
+        *([F.col(dedup_col).alias("_dd")] if dedup_col else []),
+    )
+    joined = m.join(v, "doc_id").withColumn(
+        "_h", F.md5(F.col("doc_id").cast("string"))
+    )
+    if dedup_col:
+        wd = Window.partitionBy("qid", "_dd").orderBy(
+            F.col("_h").asc(), F.col("doc_id").asc()
+        )
+        joined = joined.withColumn("_dr", F.row_number().over(wd)).filter(
+            F.col("_dr") <= max_docs_per_value
+        )
+    ws = Window.partitionBy("qid").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    sample = joined.withColumn("_sr", F.row_number().over(ws)).filter(
+        F.col("_sr") <= shard_size
+    )
+    return (
+        sample.groupBy("qid", F.col("_facet").alias("facet"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+_AUTO_DATE_UNITS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def auto_date_histogram_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    ts_col: str,
+    target_buckets: int = 10,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``auto_date_histogram``: per query, the FINEST calendar unit
+    (hour → day → week → month → quarter → year) whose bucket count
+    fits ``target_buckets``, then the histogram at that unit →
+    (qid, unit, bucket, n_docs). Unit choice is one distinct-count agg
+    per (qid, unit) over the joined match set (six cheap columns in a
+    single partial agg, not six passes); the chosen unit broadcasts
+    back. Falls back to the coarsest unit when even 'year' overflows
+    (ES then widens intervals; calendar units stop at year here)."""
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(ts_col).cast("timestamp").alias("_ts")
+    ).filter(F.col(ts_col).isNotNull())
+    joined = m.join(v, "doc_id")
+    counts = joined.groupBy("qid").agg(
+        *[
+            F.countDistinct(F.date_trunc(u, "_ts")).alias(f"_n_{u}")
+            for u in _AUTO_DATE_UNITS
+        ]
+    )
+    unit = F.lit(_AUTO_DATE_UNITS[-1])
+    for u in reversed(_AUTO_DATE_UNITS):  # coarse → fine; finest wins
+        unit = F.when(F.col(f"_n_{u}") <= target_buckets, F.lit(u)).otherwise(unit)
+    chosen = counts.select("qid", unit.alias("unit"))
+    bucket = F.coalesce(
+        *[
+            F.when(F.col("unit") == u, F.date_trunc(u, "_ts"))
+            for u in _AUTO_DATE_UNITS
+        ]
+    )
+    return (
+        joined.join(F.broadcast(chosen), "qid")
+        .groupBy("qid", "unit", bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
