@@ -1101,6 +1101,52 @@ FROM r GROUP BY 1
 """
 
 
+GEOTILE_ZOOM = 3
+
+
+def q_rel_geotile_grid(spark, sf_dir):
+    """ES geotile_grid aggregation: web-mercator tile buckets at
+    zoom 3 over the events' derived coordinates (same derivation as
+    rel_geo_distance) → per-tile count + value stats. The tile key is
+    one Catalyst expression; the oracle replays the identical clamp +
+    floor arithmetic (functions/geometry.py geotile_key)."""
+    from vframe_spark.functions.geometry import geotile_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 1700) / 10.0 - 85.0).alias("lat"),
+        ((F.col("event_id") % 3600) / 10.0 - 180.0).alias("lon"),
+        F.col("value"),
+    )
+    return (
+        ev.select(
+            geotile_key(F.col("lat"), F.col("lon"), GEOTILE_ZOOM).alias("tile"),
+            "value",
+        )
+        .groupBy("tile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def _geotile_oracle_sql() -> str:
+    from vframe_spark.functions.geometry import geotile_sql
+
+    tile = geotile_sql("lat", "lon", GEOTILE_ZOOM)
+    return f"""
+WITH ev AS (
+  SELECT (event_id % 1700) / 10.0 - 85.0 AS lat,
+         (event_id % 3600) / 10.0 - 180.0 AS lon,
+         value
+  FROM events
+)
+SELECT {tile} AS tile, count(*)::BIGINT AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM ev GROUP BY 1
+"""
+
+
 REVAL_K, REVAL_T = 10, 2
 
 
@@ -6805,6 +6851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot": q_rel_pivot,
         "rel_zorder_codes": q_rel_zorder_codes,
         "rel_geo_distance": q_rel_geo_distance,
+        "rel_geotile_grid": q_rel_geotile_grid,
         "curate_shuffle_shards": q_curate_shuffle_shards,
         "rel_window_range": q_rel_window_range,
         "curate_sample_k": q_curate_sample_k,
@@ -7312,6 +7359,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_zorder_codes": _zorder_oracle_sql(),
         "rel_geo_distance": _geo_distance_oracle_sql(),
+        "rel_geotile_grid": _geotile_oracle_sql(),
         "curate_shuffle_shards": _shuffle_shards_oracle_sql(),
         "rel_window_range": """
             WITH daily AS (

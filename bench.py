@@ -262,6 +262,7 @@ def main() -> None:
         "rel_window_range",
         "rel_zorder_codes",
         "rel_geo_distance",
+        "rel_geotile_grid",
         "curate_sample_k",
         "curate_shuffle_shards",
     ]

@@ -278,3 +278,24 @@ def test_haversine_known_distances_and_sql_twin(spark):
     theirs = {r[0]: r[1] for r in con.execute(f"SELECT i, {sql} FROM t").fetchall()}
     for i in got:
         assert abs(got[i] - theirs[i]) < 1e-9, i
+
+
+def test_geotile_key_known_tiles(spark):
+    from vframe_spark.functions.geometry import geotile_key
+
+    import pyspark.sql.functions as F
+
+    pts = spark.createDataFrame(
+        [(0.0, 0.0), (90.0, 0.0), (-90.0, 0.0), (52.52, 13.405), (0.0, -180.0), (0.0, 179.99)],
+        "lat double, lon double",
+    )
+    out = [
+        r["tile"]
+        for r in pts.select(
+            geotile_key(F.col("lat"), F.col("lon"), 2).alias("tile")
+        ).collect()
+    ]
+    # lat 0 lon 0 at z=2: x=2, y=2; poles clamp to rows 0 / 3;
+    # Berlin at z=2 → x=2 (13.4E), y=1 (north of equator);
+    # lon=-180 → x=0; lon→180⁻ → x=3 (clamped inside range)
+    assert out == ["2/2/2", "2/2/0", "2/2/3", "2/2/1", "2/0/2", "2/3/2"]

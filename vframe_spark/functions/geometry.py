@@ -436,3 +436,49 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"{sp} * {sp} + cos(radians({lat1})) * cos(radians({lat2})) "
         f"* {sl} * {sl}))"
     )
+
+
+# Web-mercator max latitude: atan(sinh(pi)) — beyond it y diverges.
+MERCATOR_MAX_LAT = 85.05112878
+
+
+def geotile_key(lat: Column, lon: Column, zoom: int) -> Column:
+    """ES ``geotile_grid`` bucket key "z/x/y" as a pure Catalyst
+    expression: web-mercator tile of a point at ``zoom``.
+    x = ⌊(λ+180)/360·2^z⌋; y = ⌊(1 − ln(tanφ + 1/cosφ)/π)/2·2^z⌋ with
+    φ clamped to ±85.05112878 (the mercator singularity guard ES
+    applies). The identical arithmetic runs in SQL (`geotile_sql`) —
+    floor of a transcendental is exact-measure-zero risk at tile
+    boundaries, same acceptance as every other grain in this engine."""
+    import math as _math
+
+    n = float(1 << zoom)
+    latc = F.greatest(
+        F.least(lat.cast("double"), F.lit(MERCATOR_MAX_LAT)),
+        F.lit(-MERCATOR_MAX_LAT),
+    )
+    x = F.floor((lon.cast("double") + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    x = F.least(F.greatest(x, F.lit(0).cast("long")), F.lit(int(n) - 1).cast("long"))
+    latr = F.radians(latc)
+    y = F.floor(
+        (F.lit(1.0) - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr)) / F.lit(_math.pi))
+        / F.lit(2.0) * F.lit(n)
+    )
+    y = F.least(F.greatest(y, F.lit(0).cast("long")), F.lit(int(n) - 1).cast("long"))
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"), y.cast("string"))
+
+
+def geotile_sql(lat: str, lon: str, zoom: int) -> str:
+    """The same tile key as a SQL fragment (DuckDB twin) — identical
+    clamp, identical operation order, pi() == the IEEE double Spark
+    uses."""
+    n = float(1 << zoom)
+    latc = f"greatest(least(({lat})::DOUBLE, {MERCATOR_MAX_LAT}), -{MERCATOR_MAX_LAT})"
+    x = f"floor((({lon})::DOUBLE + 180.0) / 360.0 * {n})"
+    xc = f"least(greatest({x}, 0), {int(n) - 1})"
+    y = (
+        f"floor((1.0 - ln(tan(radians({latc})) + 1.0 / cos(radians({latc}))) / pi())"
+        f" / 2.0 * {n})"
+    )
+    yc = f"least(greatest({y}, 0), {int(n) - 1})"
+    return f"concat('{zoom}', '/', ({xc})::BIGINT::VARCHAR, '/', ({yc})::BIGINT::VARCHAR)"
