@@ -1000,6 +1000,76 @@ FROM ranked WHERE rank <= {BJ_K}
 SHUF_SHARDS, SHUF_SALT = 8, "r2s6"
 
 
+DEDUP_LINE_W, DEDUP_LINE_MIN = 6, 15
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-wide exact line dedup, keep-first (CCNet/RefinedWeb
+    boilerplate removal): the corpus is single-line, so both engines
+    derive identical 6-token lines first; a line ≥15 chars that already
+    appeared at an earlier (doc, pos) is removed and the doc rebuilt.
+    Skew-safe: winner per line is a partial-aggregable min-struct, not
+    a per-line window (operators/dedup.py dedup_lines)."""
+    from vframe_spark.operators.dedup import dedup_lines
+
+    W = DEDUP_LINE_W
+    ws = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+
+    def to_lines(t):
+        starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(W))
+        return F.array_join(
+            F.transform(starts, lambda i: F.array_join(F.slice(t, i, W), " ")),
+            "\n",
+        )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(F.array(ws), to_lines)[0].alias("content"),
+    )
+    return dedup_lines(docs, min_chars=DEDUP_LINE_MIN)
+
+
+def _dedup_lines_oracle_sql() -> str:
+    from vframe_spark.operators.dedup import dedup_lines_duckdb_sql
+
+    W = DEDUP_LINE_W
+    inner = f"""(
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(1, greatest(len(ws), 1) + 1, {W}),
+                          i -> array_to_string(ws[i:i + {W - 1}], ' ')),
+           chr(10)) AS text
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents)
+)"""
+    return dedup_lines_duckdb_sql(DEDUP_LINE_MIN, table=inner)
+
+
+PACK_SEQ_LEN = 512
+
+
+def q_curate_pack_sequences(spark, sf_dir):
+    """GPT-style sequence-packing manifest: the hash-shuffled token
+    stream of the whole corpus cut at 512-token boundaries, one row per
+    (sequence, document) overlap with the within-doc token span. The
+    global offset prefix-sum runs as a distributed two-phase scan; the
+    oracle replays it as ONE SQL window over the identical (hash, id)
+    order (operators/curate.py pack_sequences)."""
+    from vframe_spark.operators.curate import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return pack_sequences(docs, seq_len=PACK_SEQ_LEN)
+
+
+def _pack_sequences_oracle_sql() -> str:
+    from vframe_spark.operators.curate import pack_sequences_duckdb_sql
+
+    return pack_sequences_duckdb_sql(PACK_SEQ_LEN)
+
+
 def q_curate_shuffle_shards(spark, sf_dir):
     """Deterministic global shuffle into training shards (WebDataset-
     style export assignment): shard = pmod(portable hash, 8) — pure
@@ -6853,6 +6923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_geo_distance": q_rel_geo_distance,
         "rel_geotile_grid": q_rel_geotile_grid,
         "curate_shuffle_shards": q_curate_shuffle_shards,
+        "curate_pack_sequences": q_curate_pack_sequences,
+        "dedup_lines_keepfirst": q_dedup_lines,
         "rel_window_range": q_rel_window_range,
         "curate_sample_k": q_curate_sample_k,
         "rel_moving_avg": q_rel_moving_avg,
@@ -7361,6 +7433,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_geo_distance": _geo_distance_oracle_sql(),
         "rel_geotile_grid": _geotile_oracle_sql(),
         "curate_shuffle_shards": _shuffle_shards_oracle_sql(),
+        "curate_pack_sequences": _pack_sequences_oracle_sql(),
+        "dedup_lines_keepfirst": _dedup_lines_oracle_sql(),
         "rel_window_range": """
             WITH daily AS (
               SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue

@@ -265,6 +265,8 @@ def main() -> None:
         "rel_geotile_grid",
         "curate_sample_k",
         "curate_shuffle_shards",
+        "curate_pack_sequences",
+        "dedup_lines_keepfirst",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they

@@ -592,3 +592,44 @@ def test_shuffle_shards_deterministic_and_complete(spark, tmp_path):
            for r in shuffle_shards(docs, 4, salt="s1").collect()}
     got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.collect()}
     assert got == exp
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing manifest: sequences are exactly seq_len tokens (except
+    the tail), per-doc spans tile [0, n_tokens) contiguously, and the
+    output is partitioning-invariant (the two-phase scan equals a
+    global cumsum)."""
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.operators.curate import pack_sequences
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 120, partitions=3), ["repo", "path", "commit"], num_partitions=3
+    ).cache()
+    L = 64
+    out = pack_sequences(docs, seq_len=L, num_partitions=4).collect()
+
+    # per-sequence coverage
+    per_seq = {}
+    for r in out:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + (r["tok_to"] - r["tok_from"])
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))  # dense sequence ids
+    for s, tot in per_seq.items():
+        assert tot == L or (s == last and 0 < tot <= L)
+
+    # per-doc tiling
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["seq_id"], r["tok_from"], r["tok_to"], r["n_tokens"]))
+    for d, spans in per_doc.items():
+        spans.sort()
+        assert spans[0][1] == 0
+        assert spans[-1][2] == spans[0][3]  # == n_tokens
+        for (s1, _, t1, _), (s2, f2, _, _) in zip(spans, spans[1:]):
+            assert s2 == s1 + 1 and f2 == t1  # contiguous, boundary-split
+
+    # partitioning invariance (distributed scan == global scan)
+    out2 = pack_sequences(docs, seq_len=L, num_partitions=11).collect()
+    key = lambda r: (r["seq_id"], r["doc_id"], r["tok_from"], r["tok_to"], r["n_tokens"])
+    assert sorted(map(key, out)) == sorted(map(key, out2))

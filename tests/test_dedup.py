@@ -318,3 +318,29 @@ def test_simhash_portable_cross_engine_and_recall(spark):
         if d <= mh:
             truth.add((a, b, d))
     assert truth == set(got)  # 100% recall AND no extras past the verify
+
+
+def test_dedup_lines_keepfirst(spark):
+    """Boilerplate line removal: the first (doc, pos) occurrence of a
+    long line survives, later exact copies drop; short lines never
+    dedup; docs rebuild in original order; empty survivors → ''."""
+    from vframe_spark.operators.dedup import dedup_lines
+
+    header = "Licensed under the Apache License, Version 2.0"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header}\nalpha body line one\n{{"),
+            (2, f"{header}\nbeta body line two\n{{"),
+            (3, f"alpha body line one\n{header}"),
+            (4, header),
+        ],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_chars=15).collect()}
+    assert out[1]["text_clean"] == f"{header}\nalpha body line one\n{{"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "beta body line two\n{"  # header deduped, brace kept
+    assert out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] == ""  # both lines seen earlier
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (2, 2)
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 1

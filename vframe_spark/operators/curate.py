@@ -993,3 +993,127 @@ def shuffle_export(
         .parquet(out_dir)
     )
     return {"n_rows": df.count(), "n_shards": n_shards}
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    salt: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing manifest: concatenate every document's
+    whitespace-token stream in a deterministic hash-shuffled order and
+    cut the stream at ``seq_len`` boundaries — documents SPAN sequence
+    boundaries (the standard LM-pretraining packing, zero padding
+    waste). Returns one row per (sequence, document) overlap:
+    (seq_id, doc_id, tok_from, tok_to, n_tokens) — ``tok_from``/
+    ``tok_to`` are the 0-based [from, to) within-document token span
+    the loader copies into sequence ``seq_id``; ``n_tokens`` is the
+    document's total. Empty docs drop.
+
+    The global token-offset prefix sum is a DISTRIBUTED two-phase scan,
+    never a single-task global window: range-partition on the hash
+    order key, per-partition token subtotals (one tiny P-row agg)
+    broadcast back as partition offsets, then a per-partition bounded
+    window adds the local cumsum. Order is (hash, id) — the same seeded
+    shuffle contract shuffle_shards has, so reruns and other engines
+    reproduce every offset exactly; the oracle replays the identical
+    cumsum as ONE SQL window.
+    """
+    from pyspark.sql import Window
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    ws = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    d = (
+        docs.select(
+            F.col(id_col),
+            F.size(ws).cast("long").alias("n_tokens"),
+            _sample_hash(id_col, salt).alias("_h"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    parts = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    d = (
+        d.repartitionByRange(parts, "_h", id_col)
+        .sortWithinPartitions("_h", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    # phase 1: per-partition subtotals → exclusive partition offsets.
+    # P rows total — the only driver-tiny window in the plan.
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_psum"))
+        .withColumn("_poff", F.coalesce(F.sum("_psum").over(wp), F.lit(0)))
+        .select("_pid", "_poff")
+    )
+    # phase 2: bounded per-partition cumsum + the broadcast offset
+    wl = Window.partitionBy("_pid").orderBy("_h", id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spans = (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cend", F.sum("n_tokens").over(wl) + F.col("_poff"))
+        .withColumn("_cstart", F.col("_cend") - F.col("n_tokens"))
+    )
+    # explode each doc into the sequences it overlaps
+    first_seq = F.floor(F.col("_cstart") / seq_len)
+    last_seq = F.floor((F.col("_cend") - 1) / seq_len)
+    return (
+        spans.select(
+            id_col, "n_tokens", "_cstart", "_cend",
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            id_col,
+            (
+                F.greatest(F.col("seq_id") * seq_len, F.col("_cstart"))
+                - F.col("_cstart")
+            ).cast("long").alias("tok_from"),
+            (
+                F.least((F.col("seq_id") + 1) * seq_len, F.col("_cend"))
+                - F.col("_cstart")
+            ).cast("long").alias("tok_to"),
+            "n_tokens",
+        )
+    )
+
+
+def pack_sequences_duckdb_sql(
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` — the two-phase scan
+    collapses to one SQL window over the same (hash, id) order."""
+    h = sample_hash_duckdb_sql(id_col, salt)
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         len(list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+         {h} AS h
+  FROM {table}
+),
+c AS (
+  SELECT {id_col}, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, {id_col})::BIGINT AS cend
+  FROM t WHERE n_tokens > 0
+),
+s AS (SELECT {id_col}, n_tokens, cend, cend - n_tokens AS cstart FROM c),
+e AS (
+  SELECT s.*, u.seq_id
+  FROM s, UNNEST(range(cstart // {seq_len}, (cend - 1) // {seq_len} + 1)) AS u(seq_id)
+)
+SELECT seq_id::BIGINT AS seq_id, {id_col},
+       (greatest(seq_id * {seq_len}, cstart) - cstart)::BIGINT AS tok_from,
+       (least((seq_id + 1) * {seq_len}, cend) - cstart)::BIGINT AS tok_to,
+       n_tokens
+FROM e
+"""

@@ -809,3 +809,107 @@ pairs AS (
   GROUP BY 1, 2)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 """
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_chars: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup, keep-first — the CCNet/RefinedWeb
+    boilerplate-removal pass: a line that already appeared at an
+    earlier (doc, position) anywhere in the corpus is removed from
+    later docs (license headers, nav bars, repeated footers). Lines
+    shorter than ``min_chars`` are never dedup targets (short braces/
+    blank lines are structure, not boilerplate).
+
+    Returns (id, text_clean, n_lines, n_removed): the doc rebuilt from
+    its surviving lines in original order (empty string when nothing
+    survives).
+
+    Scale shape: the winner per distinct line is ``min(struct(id,
+    pos))`` — a partial-aggregable groupBy, so a million-df boilerplate
+    line combines map-side instead of serializing through one reducer
+    (the row_number-over-line formulation would). Then ONE equi-join
+    back (1 match per row, no explosion) and a per-doc rebuild. No
+    all-pairs anywhere; cost ∝ corpus line count.
+
+    Reference parity: skip-phash's seen-before drop discipline
+    (/root/reference/src/commands/pipe/skip-phash.py:134-142) applied
+    at line granularity instead of frame granularity.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    winners = (
+        lines.filter(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col("_id").alias("i"), F.col("pos").alias("p"))).alias("_w"))
+    )
+    kept = (
+        lines.join(winners, "line", "left")
+        .filter(
+            (F.length("line") < min_chars)
+            | ((F.col("_w.i") == F.col("_id")) & (F.col("_w.p") == F.col("pos")))
+        )
+        .groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+            F.count("*").cast("long").alias("_n_kept"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return (
+        base.join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
+def dedup_lines_duckdb_sql(
+    min_chars: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dedup_lines` (row_number formulation —
+    same winner as the min-struct agg)."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, string_split({text_col}, chr(10)) AS arr FROM {table}
+),
+l AS (
+  SELECT id, i AS pos, arr[i] AS line
+  FROM base, UNNEST(range(1, len(arr) + 1)) AS u(i)
+),
+r AS (
+  SELECT *, CASE WHEN length(line) >= {min_chars} THEN
+    row_number() OVER (PARTITION BY line ORDER BY id, pos) ELSE 1 END AS rn
+  FROM l
+),
+kept AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         count(*)::BIGINT AS n_kept
+  FROM r WHERE rn = 1 GROUP BY id
+)
+SELECT b.id AS {id_col},
+       coalesce(k.text_clean, '') AS text_clean,
+       len(b.arr)::BIGINT AS n_lines,
+       (len(b.arr) - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+FROM base b LEFT JOIN kept k USING (id)
+"""
