@@ -1000,6 +1000,51 @@ FROM ranked WHERE rank <= {BJ_K}
 SHUF_SHARDS, SHUF_SALT = 8, "r2s6"
 
 
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's oracle gate runs here
+
+
+def q_text_quality_weak(spark, sf_dir):
+    """Weak-supervision quality model: labels come from the CORPUS (a
+    crude rule over the same JVM features), a deterministic hash sample
+    trains the LR, and inference is still one codegen projection. The
+    weight literals derive from a DuckDB extraction both engines share
+    bit-for-bit (the Spark extraction is tested equal — the driver
+    collects a 5-double frame either way at any scale); the oracle
+    replays features, weights, sigmoid AND the weak rule
+    (operators/quality_model.py weak_* / train_quality_lr_weak_duckdb)."""
+    from vframe_spark.operators.quality_model import (
+        score_quality_lr,
+        train_quality_lr_weak_duckdb,
+        weak_label_expr,
+    )
+
+    w = train_quality_lr_weak_duckdb(os.path.join(sf_dir, "documents.parquet"))
+    docs = _t(spark, sf_dir, "documents")
+    return score_quality_lr(docs, "text", weights=w).select(
+        "doc_id",
+        F.round("model_score", 6).alias("model_score"),
+        weak_label_expr("text").alias("weak_label"),
+    )
+
+
+def _quality_weak_oracle_sql() -> str:
+    from vframe_spark.operators.quality_model import (
+        quality_model_sql,
+        train_quality_lr_weak_duckdb,
+        weak_label_sql,
+    )
+
+    w = train_quality_lr_weak_duckdb(
+        os.path.join(_ORACLE_SF_DIR, "documents.parquet")
+    )
+    return f"""
+SELECT doc_id,
+       round({quality_model_sql(w)}, 6) AS model_score,
+       {weak_label_sql()} AS weak_label
+FROM documents
+"""
+
+
 DEDUP_LINE_W, DEDUP_LINE_MIN = 6, 15
 
 
@@ -6925,6 +6970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_shuffle_shards": q_curate_shuffle_shards,
         "curate_pack_sequences": q_curate_pack_sequences,
         "dedup_lines_keepfirst": q_dedup_lines,
+        "text_quality_weak": q_text_quality_weak,
         "rel_window_range": q_rel_window_range,
         "curate_sample_k": q_curate_sample_k,
         "rel_moving_avg": q_rel_moving_avg,
@@ -7435,6 +7481,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_shuffle_shards": _shuffle_shards_oracle_sql(),
         "curate_pack_sequences": _pack_sequences_oracle_sql(),
         "dedup_lines_keepfirst": _dedup_lines_oracle_sql(),
+        "text_quality_weak": _quality_weak_oracle_sql(),
         "rel_window_range": """
             WITH daily AS (
               SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue

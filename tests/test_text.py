@@ -238,3 +238,34 @@ def test_quality_lr_scores_stay_jvm_and_match_duckdb(spark):
     # plan hygiene: one projection, no Python stage
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weak_quality_training_spark_duckdb_parity(spark, sf001_dir):
+    """The Spark-side weak-training extraction must train to the SAME
+    weight literals as the DuckDB extraction (identical hash sample,
+    features, label rule, and summation order) — the property the
+    contract query's oracle relies on."""
+    from vframe_spark.operators.quality_model import (
+        score_quality_lr,
+        train_quality_lr_weak_duckdb,
+        train_quality_lr_weak_from_frame,
+        weak_training_frame,
+    )
+
+    pq = f"{sf001_dir}/documents.parquet"
+    docs = spark.read.parquet(pq)
+    w_spark = train_quality_lr_weak_from_frame(
+        weak_training_frame(docs, "text").toPandas()
+    )
+    w_duck = train_quality_lr_weak_duckdb(pq)
+    assert w_spark == w_duck
+    # and the model separates the weak classes on average
+    from pyspark.sql import functions as F
+    from vframe_spark.operators.quality_model import weak_label_expr
+
+    scored = score_quality_lr(docs, "text", weights=w_duck).select(
+        "model_score", weak_label_expr("text").alias("y")
+    )
+    m = {r["y"]: r["avg"] for r in
+         scored.groupBy("y").agg(F.avg("model_score").alias("avg")).collect()}
+    assert m[1.0] > m[0.0]

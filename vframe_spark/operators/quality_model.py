@@ -126,3 +126,150 @@ def quality_model_sql(weights: list[float] | None = None, text: str = "text") ->
     ]
     z = " + ".join(f"({wi!r}) * {fi}" for wi, fi in zip(w, feats))
     return f"1.0 / (1.0 + exp(-({z})))"
+
+
+# --------------------------------------------------------------------------
+# Weak supervision: labels derived from the corpus itself (session 7).
+
+# The weak rule — a crude keep/drop heuristic the model SMOOTHES into a
+# calibrated probability (the fastText-quality-classifier bootstrap:
+# noisy rule labels in, graded scores out). Thresholds sit inside the
+# corpus feature ranges so both classes are populated.
+WEAK_MIN_WORDS, WEAK_MAX_WORDS = 30, 90
+WEAK_MIN_SW, WEAK_MAX_MWL = 0.01, 4.9
+
+
+def weak_label_expr(col: Column | str) -> Column:
+    """The weak rule as one JVM expression → 1.0 / 0.0."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = T.token_count_ws(c)
+    ok = (
+        (n >= WEAK_MIN_WORDS) & (n <= WEAK_MAX_WORDS)
+        & (T.stopword_ratio(c, "en") >= WEAK_MIN_SW)
+        & (T.mean_word_len(c) <= WEAK_MAX_MWL)
+    )
+    return F.when(ok, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def weak_label_sql(text: str = "text") -> str:
+    """DuckDB twin of :func:`weak_label_expr`."""
+    words_raw = f"list_filter(regexp_split_to_array({text}, '\\s+'), x -> x <> '')"
+    words_lc = f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), x -> x <> '')"
+    sw_en = "'the','and','of','to','in','is','that','for','with','as'"
+    n = f"len({words_raw})"
+    sw = (
+        f"(CASE WHEN len({words_lc}) > 0 THEN "
+        f"len(list_filter({words_lc}, x -> x IN ({sw_en})))::DOUBLE / len({words_lc}) "
+        f"ELSE 0.0 END)"
+    )
+    mwl = (
+        f"(CASE WHEN len({words_raw}) > 0 THEN "
+        f"coalesce(list_sum(list_transform({words_raw}, x -> length(x))), 0)::DOUBLE / len({words_raw}) "
+        f"ELSE 0.0 END)"
+    )
+    return (
+        f"(CASE WHEN {n} >= {WEAK_MIN_WORDS} AND {n} <= {WEAK_MAX_WORDS} "
+        f"AND {sw} >= {WEAK_MIN_SW} AND {mwl} <= {WEAK_MAX_MWL} "
+        f"THEN 1.0 ELSE 0.0 END)"
+    )
+
+
+def _fit_lr(x: "np.ndarray", y: "np.ndarray", iters: int, lr: float, l2: float) -> list[float]:
+    """Standardized deterministic GD, weights folded back to raw scale
+    (shared by the synthetic-prior and weak-label trainers)."""
+    mu = x.mean(axis=0)
+    sd = x.std(axis=0)
+    sd[sd == 0.0] = 1.0
+    mu[0], sd[0] = 0.0, 1.0
+    xs = (x - mu) / sd
+    w = np.zeros(x.shape[1])
+    for _ in range(iters):
+        z = xs @ w
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = xs.T @ (p - y) / len(y) + l2 * w
+        w -= lr * g
+    raw = w / sd
+    raw[0] = w[0] - float((w[1:] * mu[1:] / sd[1:]).sum())
+    return [round(float(v), 10) for v in raw]
+
+
+WEAK_SAMPLE_MOD = 3  # hash-sample ~1/3 of docs as the training set
+
+
+def weak_training_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic hash-sampled (features, weak label) training frame —
+    the Spark-side extraction: sample_hash(id) % MOD == 0, one narrow
+    projection (at 10^12 rows this is the ONLY stage that scans text;
+    the collected frame is |corpus|/MOD rows of 6 doubles)."""
+    from .curate import _sample_hash
+
+    feats = quality_feature_cols(text_col)
+    return docs.filter(
+        F.pmod(_sample_hash(id_col, ""), F.lit(WEAK_SAMPLE_MOD)) == 0
+    ).select(
+        F.col(id_col).alias("_tid"),
+        *[f.alias(f"f{i}") for i, f in enumerate(feats)],
+        weak_label_expr(text_col).alias("label"),
+    )
+
+
+def train_quality_lr_weak_from_frame(
+    frame, iters: int = 400, lr: float = 0.3, l2: float = 1e-3
+) -> list[float]:
+    """Train on a collected (f0..f4, label) frame (Spark `.toPandas()`
+    of :func:`weak_training_frame`, or the DuckDB twin) → raw-scale
+    weight literals."""
+    if "_tid" in frame.columns:  # fix the float-summation order: GD is
+        frame = frame.sort_values("_tid")  # order-sensitive at the last ulp
+    cols = [c for c in frame.columns if c.startswith("f")]
+    x = np.column_stack([frame[c].to_numpy(dtype=float) for c in sorted(cols)])
+    y = frame["label"].to_numpy(dtype=float)
+    if len(set(y.tolist())) < 2:
+        raise ValueError("weak rule labeled everything identically — adjust thresholds")
+    return _fit_lr(x, y, iters, lr, l2)
+
+
+def weak_training_duckdb_sql(text: str = "text", id_col: str = "doc_id",
+                             table: str = "documents") -> str:
+    """DuckDB twin of :func:`weak_training_frame` (same hash sample,
+    same features, same label rule) — lets the ORACLE derive the exact
+    training set, so engine and oracle train on identical bits."""
+    from .curate import sample_hash_duckdb_sql
+
+    words_raw = f"list_filter(regexp_split_to_array({text}, '\\s+'), x -> x <> '')"
+    words_lc = f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), x -> x <> '')"
+    sw_en = "'the','and','of','to','in','is','that','for','with','as'"
+    punct_len = f"length(regexp_replace({text}, '[A-Za-z0-9\\s]', '', 'g'))"
+    h = sample_hash_duckdb_sql(id_col)
+    return f"""
+SELECT {id_col} AS _tid,
+       1.0 AS f0,
+       ln(1.0 + len({words_raw})::DOUBLE) AS f1,
+       (CASE WHEN length({text}) > 0 THEN {punct_len}::DOUBLE / length({text}) ELSE 0.0 END) AS f2,
+       (CASE WHEN len({words_lc}) > 0 THEN
+          len(list_filter({words_lc}, x -> x IN ({sw_en})))::DOUBLE / len({words_lc})
+        ELSE 0.0 END) AS f3,
+       (CASE WHEN len({words_raw}) > 0 THEN
+          coalesce(list_sum(list_transform({words_raw}, x -> length(x))), 0)::DOUBLE / len({words_raw})
+        ELSE 0.0 END) AS f4,
+       {weak_label_sql(text)} AS label
+FROM {table}
+WHERE ({h}) % {WEAK_SAMPLE_MOD} = 0
+ORDER BY {id_col}
+"""
+
+
+def train_quality_lr_weak_duckdb(
+    parquet_path: str, iters: int = 400, lr: float = 0.3, l2: float = 1e-3
+) -> list[float]:
+    """Corpus-derived weights via the DuckDB extraction — the literal
+    source BOTH the contract query and its oracle use, so their plans
+    carry bit-identical weights (Spark-side extraction is provided and
+    tested equal; see tests/test_quality_model weak-parity test)."""
+    import duckdb
+
+    sql = weak_training_duckdb_sql(table=f"read_parquet('{parquet_path}')")
+    frame = duckdb.sql(sql).fetchdf()
+    return train_quality_lr_weak_from_frame(frame, iters, lr, l2)
