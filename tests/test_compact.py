@@ -242,3 +242,54 @@ def test_purge_resumes_from_journal(spark, tmp_path):
     assert meta1["n_docs"] == meta0["n_docs"] - n_rm
     rows = bm25_topk_wand(*load_index(spark, out)[:2], meta1, QUERIES, k=10).collect()
     assert not {r["doc_id"] for r in rows} & set(victims)
+
+
+# --------------------------------------------------------- tiered merges
+
+
+def test_plan_tiered_merges_policy():
+    from vframe_spark.index.compact import plan_tiered_merges
+
+    K = 1 << 20
+    # 6 floor-tier slices + 1 big one: merge the 6 smallest, leave the big
+    sizes = {0: K, 1: K // 2, 2: K, 3: K, 4: K // 4, 5: K, 6: 40 * K}
+    plans = plan_tiered_merges(sizes, segments_per_tier=4, max_merge_at_once=8)
+    assert plans == [[0, 1, 2, 3, 4, 5]]
+    # within budget → no merges proposed
+    assert plan_tiered_merges({0: K, 1: K, 2: K, 6: 40 * K}) == []
+    # max_merge_at_once caps a single merge
+    many = {i: K for i in range(10)}
+    plans = plan_tiered_merges(many, segments_per_tier=4, max_merge_at_once=4)
+    assert plans[0] == [0, 1, 2, 3]
+    # deterministic: same input, same plan
+    assert plans == plan_tiered_merges(many, segments_per_tier=4, max_merge_at_once=4)
+
+
+def test_tiered_compact_bit_identical_and_bounded(spark, tmp_path):
+    from vframe_spark.index.compact import (
+        plan_tiered_merges,
+        slice_sizes,
+        tiered_compact,
+    )
+
+    out = str(tmp_path / "tidx")
+    docs = assign_doc_ids(
+        synth_docs(spark, 300, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    )
+    meta = build_index(docs, out, shard_size=32, block_size=8, shards_per_slice=2)
+    assert meta["complete"]
+    paths = IndexPaths(out)
+    n_slices = len([d for d in os.listdir(paths.postings) if d.startswith("slice=")])
+    assert n_slices >= 4
+
+    before = _results(spark, out)
+    res = tiered_compact(spark, out, segments_per_tier=2, max_merge_at_once=3)
+    assert res["rounds"] >= 1
+    assert _results(spark, out) == before  # bit-identical queries
+
+    # steady state: no tier exceeds segments_per_tier
+    assert plan_tiered_merges(
+        slice_sizes(out), segments_per_tier=2, max_merge_at_once=3
+    ) == []
+    remaining = [d for d in os.listdir(paths.postings) if d.startswith("slice=")]
+    assert 1 <= len(remaining) < n_slices

@@ -580,6 +580,23 @@ class SearchIndex:
         self._loaded = None
         return out
 
+    def force_merge(
+        self, segments_per_tier: int = 4, max_merge_at_once: int = 8
+    ) -> dict:
+        """Tiered merge (Lucene TieredMergePolicy shape): fold only the
+        over-populated size tiers, leaving big generations alone —
+        O(log corpus) write amplification instead of compact()'s full
+        rewrite. See `index.compact.tiered_compact`."""
+        from .index.compact import tiered_compact
+
+        out = tiered_compact(
+            self.spark, self.out_dir,
+            segments_per_tier=segments_per_tier,
+            max_merge_at_once=max_merge_at_once,
+        )
+        self._loaded = None
+        return out
+
     def search_cached(
         self,
         query: str | list[tuple[int, str]],

@@ -353,3 +353,156 @@ def purge_tombstones(spark: SparkSession, out_dir: str, batch_rows: int = 8192) 
     os.remove(journal_path)
     bc_dead.destroy()
     return {"purged": len(dead), "n_docs": meta["n_docs"], "skipped": False}
+
+
+# ---------------------------------------------------------------------------
+# Tiered merge policy (session 7): pick WHICH slices to merge, Lucene
+# TieredMergePolicy-style, instead of always folding the whole store.
+
+
+def slice_sizes(out_dir: str) -> dict[int, int]:
+    """Committed postings bytes per slice id (the size a merge policy
+    reasons about) — footer-free, just the on-disk parquet bytes."""
+    paths = IndexPaths(out_dir)
+    out: dict[int, int] = {}
+    for d in _slice_dirs(paths.postings):
+        sid = int(d.split("=", 1)[1])
+        total = 0
+        for root, _, files in os.walk(os.path.join(paths.postings, d)):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        out[sid] = total
+    return out
+
+
+def plan_tiered_merges(
+    sizes: dict[int, int],
+    segments_per_tier: int = 4,
+    max_merge_at_once: int = 8,
+    floor_bytes: int = 1 << 20,
+) -> list[list[int]]:
+    """The Lucene TieredMergePolicy decision, deterministic: slices
+    bucket into geometric size tiers (``floor_bytes ×
+    segments_per_tier^k``; sub-floor slices round up to the floor
+    tier), and any tier holding more than ``segments_per_tier`` slices
+    proposes a merge of its smallest ``max_merge_at_once`` members
+    (ties → lower slice id first). Returns merge groups, largest-gain
+    first; empty list = nothing to do. Repeatedly plan+apply to reach
+    the steady state Lucene maintains: ≤ segments_per_tier segments
+    per tier, write amplification O(log corpus) per doc — the reason
+    real engines never re-merge the whole store on every flush."""
+    if segments_per_tier < 2 or max_merge_at_once < 2:
+        raise ValueError("segments_per_tier and max_merge_at_once must be >= 2")
+    tiers: dict[int, list[tuple[int, int]]] = {}
+    for sid, b in sizes.items():
+        eff = max(int(b), floor_bytes)
+        tier = 0
+        t = floor_bytes
+        while eff > t:
+            t *= segments_per_tier
+            tier += 1
+        tiers.setdefault(tier, []).append((int(b), sid))
+    plans = []
+    for tier in sorted(tiers):
+        members = sorted(tiers[tier], key=lambda p: (p[0], p[1]))
+        while len(members) > segments_per_tier:
+            take = members[:max_merge_at_once]
+            members = members[max_merge_at_once:]
+            if len(take) < 2:
+                break
+            plans.append(sorted(sid for _, sid in take))
+    return plans
+
+
+def compact_slices(spark: SparkSession, out_dir: str, slice_ids: list[int]) -> dict:
+    """Merge ONLY ``slice_ids`` of each store into one new compacted
+    generation — the executor of :func:`plan_tiered_merges`. Identical
+    layout, sort locality, and two-phase crash-safety discipline as
+    :func:`compact_index` (same marker; `repair_compaction` finishes an
+    interrupted partial merge too); every query result is bit-identical
+    before/after because (term, shard, block) rows move, never change."""
+    if len(slice_ids) < 2:
+        raise ValueError("compact_slices needs at least 2 slices")
+    paths = IndexPaths(out_dir)
+    meta = json.load(open(paths.meta))
+    if not meta.get("complete"):
+        raise ValueError("compact_slices: index build is not complete")
+    repair_compaction(out_dir)
+    wanted = {f"slice={i}" for i in slice_ids}
+
+    stats: dict[str, dict] = {}
+    jobs = [
+        (paths.postings, "bucket", ["bucket", "term", "shard", "block"]),
+        (paths.doc_stats, None, ["doc_id"]),
+        (paths.term_partials, None, ["term", "shard"]),
+    ]
+    for store, part_col, sort_cols in jobs:
+        dirs = [d for d in _slice_dirs(store) if d in wanted]
+        if len(dirs) < 2:
+            stats[os.path.basename(store)] = {"skipped": True, "merged": 0}
+            continue
+        gen = _next_gen(store)
+        dest = os.path.join(store, f"slice={gen}")
+        tmp = os.path.join(out_dir, f"_compact_tmp_{os.path.basename(store)}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        # basePath anchors partition discovery at the store root, so
+        # the selected slice dirs parse as `slice` partitions (and the
+        # nested bucket=… level keeps its meaning); drop the synthetic
+        # slice column exactly like the full compaction does
+        df = spark.read.option("basePath", store).parquet(
+            *[os.path.join(store, d) for d in dirs]
+        ).drop("slice")
+        if part_col is not None:
+            n_part = int(meta.get("term_buckets", 16))
+            (
+                df.repartition(n_part, part_col)
+                .sortWithinPartitions(*sort_cols)
+                .write.partitionBy(part_col)
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+        else:
+            df.coalesce(4).sortWithinPartitions(*sort_cols).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+
+        marker = os.path.join(out_dir, _MARKER)
+        with open(marker, "w") as fh:
+            json.dump(
+                {"tmp": tmp, "dest": dest,
+                 "victims": [os.path.join(store, d) for d in dirs]},
+                fh,
+            )
+        for d in dirs:
+            shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+        shutil.move(tmp, dest)
+        os.remove(marker)
+        stats[os.path.basename(store)] = {"skipped": False, "merged": len(dirs), "gen": gen}
+    return stats
+
+
+def tiered_compact(
+    spark: SparkSession,
+    out_dir: str,
+    segments_per_tier: int = 4,
+    max_merge_at_once: int = 8,
+    floor_bytes: int = 1 << 20,
+    max_rounds: int = 20,
+) -> dict:
+    """Plan + apply tiered merges until the store is at its steady
+    state. Returns {"rounds": n, "merges": [group, ...]}."""
+    applied = []
+    for _ in range(max_rounds):
+        plans = plan_tiered_merges(
+            slice_sizes(out_dir), segments_per_tier, max_merge_at_once, floor_bytes
+        )
+        if not plans:
+            break
+        for group in plans:
+            compact_slices(spark, out_dir, group)
+            applied.append(group)
+    return {"rounds": len(applied), "merges": applied}
