@@ -1,0 +1,99 @@
+"""ILM-style rollover: generation lifecycle + federated read path.
+
+The key invariant: the rollover search over N generations equals the
+exhaustive BM25 ranking over the union corpus (global stats via
+query/federated.py) — rolling is an ops decision, never a semantics
+change.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.index.builder import load_index
+from vframe_spark.index.rollover import (
+    _load,
+    gen_dir,
+    load_rollover,
+    rollover_append,
+    rollover_search,
+)
+from vframe_spark.oracle import OracleIndex
+from vframe_spark.query.wand import bm25_topk_wand
+
+QS = [(1, "data parse"), (2, "hash table")]
+KW = dict(shard_size=32, block_size=8, shards_per_slice=2)
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    docs = synth_docs(spark, 240, partitions=2).cache()
+    b = docs.withColumn("_b", F.abs(F.xxhash64("repo", "path", "commit")) % 3)
+    return [b.filter(F.col("_b") == i).drop("_b").cache() for i in range(3)]
+
+
+@pytest.fixture(scope="module")
+def lifecycle(spark, batches, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("ilm"))
+    stats = [rollover_append(b, base, max_docs=100, **KW) for b in batches]
+    return base, stats
+
+
+def test_rollover_lifecycle(spark, lifecycle, batches):
+    base, stats = lifecycle
+    assert (stats[0]["gen"], stats[0]["rolled"]) == (0, False)
+    # ~80-doc batches: second append stays in gen 0 and overshoots 100,
+    # third append rolls (the ES max_docs overshoot-by-one-batch rule)
+    assert stats[1]["gen"] == 0 and stats[1]["gen_docs"] > 100
+    assert stats[2]["rolled"] is True and stats[2]["gen"] == 1
+    state = _load(base)
+    assert state["gens"]["0"]["sealed"] is True
+
+    # ids are globally unique across generations (slice-stride layout)
+    ids = []
+    for g in (0, 1):
+        _, _, d, _ = load_index(spark, gen_dir(base, g))
+        ids.extend(r["doc_id"] for r in d.select("doc_id").collect())
+    assert len(ids) == len(set(ids)) == sum(b.count() for b in batches)
+
+
+def test_rollover_search_matches_union_oracle(spark, lifecycle, batches):
+    base, _ = lifecycle
+    # recover the engine's id assignment via content sha (doc_stats
+    # carries sha2(content, 256) for exactly this kind of audit)
+    sha_to_id = {}
+    for g in (0, 1):
+        _, _, d, _ = load_index(spark, gen_dir(base, g))
+        for r in d.select("doc_id", "content_sha").collect():
+            sha_to_id[r["content_sha"]] = r["doc_id"]
+    rows = []
+    for b in batches:
+        for r in b.select("content", "lang").collect():
+            sha = hashlib.sha256(r["content"].encode()).hexdigest()
+            rows.append((sha_to_id[sha], r["content"], r["lang"]))
+    assert len(rows) == len(sha_to_id)
+    oracle = OracleIndex(rows)
+
+    got = rollover_search(spark, base, QS, k=10).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in QS:
+        expect = oracle.topk(q, k=10)
+        mine = sorted(per_q[qid])
+        assert [d for _, d, _ in mine] == [d for d, _ in expect]
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert abs(s - es) < 1e-9
+
+
+def test_rollover_append_accumulates_slices(spark, batches, tmp_path):
+    base = str(tmp_path / "ilm2")
+    rollover_append(batches[0], base, max_docs=10_000, **KW)
+    rollover_append(batches[1], base, max_docs=10_000, **KW)
+    p, t, d, m = load_index(spark, gen_dir(base, 0))
+    n = d.count()
+    assert n == batches[0].count() + batches[1].count()
+    assert d.select("doc_id").distinct().count() == n
+    assert bm25_topk_wand(p, t, m, QS, k=5).collect()

@@ -1,0 +1,168 @@
+"""Index lifecycle: rollover generations (the ES ILM `_rollover` shape).
+
+Write path: an append lands in the current WRITE GENERATION — its own
+complete index dir ``gen-%06d`` under the lifecycle root. When the
+generation's document count reaches ``max_docs`` it SEALS (becomes
+immutable; optionally tiered-compacts its accumulated slices) and the
+next append opens a fresh generation. Read path: a query fans out over
+every generation with GLOBAL statistics (`query.federated`), so the
+merged page is exactly the single-index ranking over the union corpus —
+generations are an ops boundary, never a semantics boundary.
+
+Doc-id discipline: generation ``g`` allocates slice ids from
+``g × SLICE_STRIDE``, and the builder derives doc ids as
+``slice_id × span + rank`` — so id ranges across generations are
+disjoint BY CONSTRUCTION (the federated contract), with no cross-
+generation coordination on the write path: appends to different
+generations could run from different drivers without ever talking.
+
+Crash safety: the state file commits via os.replace AFTER the
+generation's manifest row commits; a crash between the two replays the
+append idempotently (same slice ids → same doc ids → overwrite, the
+ingest discipline in streaming/ingest.py).
+
+Reference parity: the reference's `--subdirs` date-stamped output
+rotation (save-detections.py) is the same idea — bound the active
+write target, accumulate immutable past targets — generalized to
+query-able index generations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ids import assign_doc_ids
+from .build import build_postings, doc_stats_with_sha, tokenize_docs
+from .builder import DEFAULT_BLOCK_SIZE, DEFAULT_SHARD_SIZE, DEFAULT_TERM_BUCKETS, IndexPaths, load_index
+
+_STATE = "rollover.json"
+# Slices per generation. Doc ids are slice×span-based and shard ids
+# (doc_id // shard_size) must stay inside int32, so the stride budgets
+# both: 2^22 slices/gen × span docs/slice (≈ 4×10^9 docs/gen at the
+# default 1024-doc span, far above any max_docs rollover threshold)
+# while shard ids reach 2^31 only past gen ~500/shards_per_slice.
+SLICE_STRIDE = 1 << 22
+
+
+def _state_path(base_dir: str) -> str:
+    return os.path.join(base_dir, _STATE)
+
+
+def _load(base_dir: str) -> dict:
+    p = _state_path(base_dir)
+    if os.path.exists(p):
+        return json.load(open(p))
+    return {"write_gen": 0, "gens": {}}
+
+
+def _save(base_dir: str, state: dict) -> None:
+    tmp = _state_path(base_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, _state_path(base_dir))
+
+
+def gen_dir(base_dir: str, gen: int) -> str:
+    return os.path.join(base_dir, f"gen-{gen:06d}")
+
+
+def rollover_append(
+    docs: DataFrame,
+    base_dir: str,
+    max_docs: int,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    shards_per_slice: int = 4,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+    order_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    seal_compact: bool = False,
+) -> dict:
+    """Append a batch to the lifecycle at ``base_dir``; roll the write
+    generation first when it is already at/over ``max_docs`` (the ES
+    rollover condition — a generation may overshoot by one batch,
+    exactly like `max_docs` in ILM). Returns {"gen", "rolled",
+    "n_docs", "gen_docs"}. ``seal_compact=True`` tiered-compacts a
+    generation as it seals (background force-merge in ES terms)."""
+    from .builder import _finalize, _write_manifest_row, _write_slice
+
+    os.makedirs(base_dir, exist_ok=True)
+    state = _load(base_dir)
+    gen = int(state["write_gen"])
+    gen_docs = int(state["gens"].get(str(gen), {}).get("n_docs", 0))
+    rolled = False
+    if gen_docs >= max_docs and gen_docs > 0:
+        if seal_compact:
+            from .compact import tiered_compact
+
+            tiered_compact(docs.sparkSession, gen_dir(base_dir, gen))
+        state["gens"][str(gen)]["sealed"] = True
+        gen += 1
+        state["write_gen"] = gen
+        gen_docs = 0
+        rolled = True
+        _save(base_dir, state)
+
+    out_dir = gen_dir(base_dir, gen)
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    span = shard_size * shards_per_slice
+    n = docs.count()
+    if n == 0:
+        return {"gen": gen, "rolled": rolled, "n_docs": 0, "gen_docs": gen_docs}
+
+    next_rel = int(state["gens"].get(str(gen), {}).get("next_slice", 0))
+    slice_lo = gen * SLICE_STRIDE + next_rel
+    n_slices = (n + span - 1) // span
+
+    batch = assign_doc_ids(docs, list(order_cols)).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(slice_lo * span)
+    )
+    spark = docs.sparkSession
+    tokens = tokenize_docs(batch).persist()
+    tokens.count()
+    postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
+    slice_pq = os.path.join(paths.postings, f"slice={slice_lo}")
+    row = _write_slice(
+        spark, paths, slice_lo, postings, doc_stats_with_sha(batch, tokens),
+        slice_pq, term_buckets,
+    )
+    tokens.unpersist()
+    row["n_docs"] = int(n)
+    _write_manifest_row(paths, row)
+    _finalize(spark, paths, shard_size, block_size, term_buckets)
+
+    g = state["gens"].setdefault(str(gen), {"n_docs": 0, "next_slice": 0})
+    g["n_docs"] = int(g["n_docs"]) + int(n)
+    g["next_slice"] = next_rel + n_slices
+    _save(base_dir, state)
+    return {"gen": gen, "rolled": rolled, "n_docs": int(n), "gen_docs": g["n_docs"]}
+
+
+def load_rollover(spark: SparkSession, base_dir: str) -> list[tuple]:
+    """→ [(postings, term_stats, meta), …] for every generation, oldest
+    first — feed straight into `query.federated.federated_topk` (or
+    attach per-generation tombstone lists as a 4th element)."""
+    state = _load(base_dir)
+    out = []
+    for gen in sorted(int(g) for g in state["gens"]):
+        p, t, _, m = load_index(spark, gen_dir(base_dir, gen))
+        out.append((p, t, m))
+    return out
+
+
+def rollover_search(
+    spark: SparkSession,
+    base_dir: str,
+    queries,
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """Top-k over ALL generations with global statistics — bitwise the
+    single-index ranking over the union corpus (query/federated.py)."""
+    from ..query.federated import federated_topk
+
+    return federated_topk(load_rollover(spark, base_dir), queries, k=k, mode=mode)
