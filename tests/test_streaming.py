@@ -437,3 +437,58 @@ def test_percolate_in_foreach_batch(spark, tmp_path):
     )
     assert sorted(got) == expect
     assert expect  # the corpus matches something
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """Streamed session assignment over time-ordered drops == the batch
+    lag-flag-cumsum operator over the union, row for row."""
+    from vframe_spark.operators.temporal import sessionize
+    from vframe_spark.streaming.sessions import read_event_stream, sessionize_stream
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .cache()
+    )
+    from pyspark.sql import functions as F
+
+    # two event-time-ordered drops (split at the median ts)
+    mid = events.selectExpr("percentile(unix_micros(cast(ts AS timestamp)), 0.5) AS m").first()["m"]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    a = events.filter(F.unix_micros(F.col("ts").cast("timestamp")) <= mid)
+    b = events.filter(F.unix_micros(F.col("ts").cast("timestamp")) > mid)
+    a.coalesce(1).write.parquet(str(tmp_path / "d0"))
+    b.coalesce(1).write.parquet(str(tmp_path / "d1"))
+    import glob as g
+    import shutil as sh
+
+    for i in range(2):
+        sh.copy(g.glob(str(tmp_path / f"d{i}" / "*.parquet"))[0], f"{src}/drop_{i}.parquet")
+
+    GAP = 3600
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    # one stream run per drop pins micro-batch order to event time
+    for i in range(2):
+        q = (
+            sessionize_stream(
+                read_event_stream(spark, src, max_files_per_trigger=1), gap_seconds=GAP
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    got = {
+        r["event_id"]: (r["session_id"], r["is_session_start"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expect = {
+        r["event_id"]: (r["session_id"], r["is_session_start"])
+        for r in sessionize(events, gap_seconds=GAP).collect()
+    }
+    assert len(got) == len(expect)
+    assert got == expect
