@@ -2936,6 +2936,66 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+def q_ft_combined_fields(spark, sf_dir):
+    """ES combined_fields: term-centric multi-field BM25 — fields merge
+    into one synthetic field (tf/dl weighted sums, shared df/idf) before
+    a single BM25 pass; a cross-field term match never double-dips idf,
+    the defining contrast with BM25F (query/bm25.py
+    combined_fields_scores)."""
+    from vframe_spark.query.bm25 import combined_fields_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = combined_fields_scores(docs, FTF_FIELDS, FTF_QUERIES)
+    return _rounded_rank(scored, FT_K)
+
+
+def _combined_fields_oracle_sql() -> str:
+    """DuckDB combined_fields: weighted per-field tf/dl rows union →
+    ONE combined BM25 chain."""
+    tf_rows, dl_rows = [], []
+    for col, w in FTF_FIELDS:
+        tok_f = tokenize_duckdb_sql(col)
+        tf_rows.append(
+            f"""SELECT doc_id, term, {w} * count(*)::DOUBLE AS wtf
+  FROM (SELECT doc_id, unnest({tok_f}) AS term FROM documents) GROUP BY 1, 2"""
+        )
+        dl_rows.append(
+            f"SELECT doc_id, {w} * len({tok_f})::DOUBLE AS wdl FROM documents WHERE len({tok_f}) > 0"
+        )
+    tf_union = " UNION ALL ".join(tf_rows)
+    dl_union = " UNION ALL ".join(dl_rows)
+    return f"""
+WITH q(qid, term) AS (VALUES {_ftf_qterms_values_sql()}),
+tfp AS ({tf_union}),
+combined AS (SELECT doc_id, term, sum(wtf) AS tf FROM tfp GROUP BY 1, 2),
+dlp AS ({dl_union}),
+dl AS (SELECT doc_id, sum(wdl) AS dl FROM dlp GROUP BY 1),
+dfr AS (SELECT term, count(*)::BIGINT AS df FROM combined GROUP BY 1),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+contrib AS (
+  SELECT q.qid, c.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (c.tf * {K1 + 1.0}) / (c.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN combined c ON c.term = q.term
+  JOIN dfr d ON d.term = q.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN st s
+),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def q_ft_snippets(spark, sf_dir):
     """Best-window highlight for the top-3 of every query: the 8-token
     span covering the most distinct query terms (earliest on ties),
@@ -6900,6 +6960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_approx": q_ft_terms_approx,
         "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
+        "ft_combined_fields": q_ft_combined_fields,
         "ft_percolate": q_ft_percolate,
         "ft_percolate_boolean": q_ft_percolate_boolean,
         "ft_term_vectors": q_ft_term_vectors,
@@ -7168,6 +7229,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_intervals_ordered": _intervals_oracle_sql(True, IV_GAPS_ORD),
         "ft_phrase_positional_slop": _phrase_slop_oracle_sql(),
         "ft_bm25_fielded": _bm25f_oracle_sql(),
+        "ft_combined_fields": _combined_fields_oracle_sql(),
         "ft_snippets": _snippet_oracle_sql(),
         "ft_highlights": _highlights_oracle_sql(),
         "ft_wildcard_topk": _wildcard_oracle_sql(),

@@ -1289,3 +1289,67 @@ def test_percolate_boolean_bruteforce(spark, corpus):
         percolate_boolean(docs, [(9, "NOT spark")])  # unanchored
     with _pytest.raises(ValueError):
         percolate_boolean(docs, [(9, '"hash join" AND scan')])  # phrase
+
+
+def test_combined_fields_vs_python_reference(spark):
+    """combined_fields == plain BM25 over the weighted synthetic field
+    (tf/dl weighted sums, SHARED df) — checked against a tiny pure-
+    python replay, including the cross-field single-idf property that
+    distinguishes it from BM25F."""
+    import math
+
+    from vframe_spark.functions.tokenizer import tokenize_py
+    from vframe_spark.query.bm25 import K1, B, combined_fields_scores
+
+    rows = [
+        (1, "alpha search", "alpha beta gamma alpha"),
+        (2, "index", "alpha delta"),
+        (3, "search engine", "beta beta gamma"),
+        (4, "misc", "delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    fields = [("source", 2.0), ("text", 1.0)]
+    qs = [(1, "alpha"), (2, "search beta")]
+
+    # python reference over the synthetic combined field
+    tf, dl = {}, {}
+    for d, src, txt in rows:
+        c = {}
+        for col, w in (("s", 2.0), ("t", 1.0)):
+            toks = tokenize_py(src if col == "s" else txt)
+            for t in toks:
+                c[t] = c.get(t, 0.0) + w
+            dl[d] = dl.get(d, 0.0) + w * len(toks)
+        tf[d] = c
+    n = len(rows)
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for c in tf.values():
+        for t in c:
+            df[t] = df.get(t, 0) + 1
+
+    def score(qid_terms, d):
+        s = 0.0
+        for t in sorted(set(qid_terms)):
+            f = tf[d].get(t, 0.0)
+            if not f:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * f * (K1 + 1.0) / (f + K1 * (1.0 - B + B * dl[d] / avgdl))
+        return s
+
+    got = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in combined_fields_scores(docs, fields, qs).collect()
+    }
+    for qid, q in qs:
+        terms = tokenize_py(q)
+        for d, _, _ in rows:
+            exp = score(terms, d)
+            if exp == 0.0:
+                assert (qid, d) not in got
+            else:
+                assert abs(got[(qid, d)] - exp) < 1e-9
+    # 'alpha' appears in BOTH fields of doc 1: df counts it once (3 docs
+    # total hold alpha → df=3, not 4 as two per-field corpora would see)
+    assert df["alpha"] == 2  # docs 1 and 2

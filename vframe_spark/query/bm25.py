@@ -268,3 +268,58 @@ def bm25f_topk_indexed(
         allp = allp.unionByName(p)
     summed = allp.groupBy("qid", "doc_id").agg(F.sum("score").alias("score"))
     return topk(summed, k)
+
+
+def combined_fields_scores(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES/Lucene ``combined_fields`` — the TERM-CENTRIC multi-field
+    query, the third member of the family next to BM25F (field-centric
+    weighted sum) and dis_max (best field): all fields merge into ONE
+    synthetic field before scoring. tf(t,d) = Σ_f w_f·tf_f, doc length
+    = Σ_f w_f·dl_f, df/avgdl computed on the combined field, then plain
+    BM25 once. Distinguishing behavior: a term's df counts a doc ONCE
+    even when it appears in several fields, and idf is shared — so
+    cross-field term matches don't double-dip idf the way BM25F does.
+
+    Scale shape: per-field map-side tokenize (no token shuffle), one
+    (doc, term) combine groupBy, one per-doc length groupBy — the same
+    two partial-aggregable shuffles the single-field exhaustive path
+    pays, independent of field count.
+    """
+    from ..index.build import tokenize_docs
+
+    spark = docs.sparkSession
+    qterms = query_terms_df(spark, queries)
+    n_docs = docs.count()
+    tf_parts, dl_parts = [], []
+    for col_name, weight in fields:
+        toks = tokenize_docs(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(col_name).alias("content")),
+            lang_col=None,
+        )
+        tf_parts.append(
+            toks.select(
+                "doc_id", "term", (F.col("tf") * F.lit(float(weight))).alias("wtf")
+            )
+        )
+        dl_parts.append(
+            toks.groupBy("doc_id").agg(
+                (F.max("doc_len") * F.lit(float(weight))).alias("wdl")
+            )
+        )
+    tf_all = tf_parts[0]
+    for p in tf_parts[1:]:
+        tf_all = tf_all.unionByName(p)
+    combined = tf_all.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tf"))
+    dl_all = dl_parts[0]
+    for p in dl_parts[1:]:
+        dl_all = dl_all.unionByName(p)
+    dl = dl_all.groupBy("doc_id").agg(F.sum("wdl").alias("doc_len"))
+    tokens = combined.join(dl, "doc_id")
+    avgdl = (dl.agg(F.sum("doc_len")).collect()[0][0] or 0.0) / n_docs
+    tstats = combined.groupBy("term").agg(F.count("*").alias("df"))
+    return bm25_scores(tokens, tstats, qterms, n_docs, avgdl)
