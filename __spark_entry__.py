@@ -2936,6 +2936,63 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+PINNED_DOCS = {1: [7, 3], 2: [499, 0], 3: [12]}
+
+
+def q_ft_pinned(spark, sf_dir):
+    """ES pinned query: promoted ids occupy the top ranks in list order
+    (score shown when they match organically, 0.0 when not), organic
+    BM25 fills the rest with the pins removed (query/boost.py
+    pinned_topk). Scores round to 4 dp BEFORE ranking — the shared
+    cross-engine grain."""
+    from vframe_spark.query.boost import match_scores, pinned_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    scores = match_scores(postings, term_stats, meta, FT_QUERIES).select(
+        "qid", "doc_id", F.round("score", 4).alias("score")
+    )
+    out = pinned_topk(
+        postings, term_stats, meta, FT_QUERIES, PINNED_DOCS, k=FT_K, scores=scores
+    )
+    return out.select(
+        "qid", F.col("rank").cast("int").alias("rank"), "doc_id", "score", "pinned"
+    )
+
+
+def _pinned_oracle_sql() -> str:
+    pins = ", ".join(
+        f"({qid}, {d}, {pos})"
+        for qid, ids in PINNED_DOCS.items()
+        for pos, d in enumerate(ids)
+    )
+    base = BM25_ORACLE_SQL.replace("{QVALUES}", _ft_qterms_values_sql())
+    # reuse the chain up to `score` (full match set), not the k-cut tail
+    chain = base.split("ranked AS (")[0].rstrip().rstrip(",")
+    return f"""{chain},
+pins(qid, doc_id, pos) AS (VALUES {pins}),
+organic AS (
+  SELECT s.qid, s.doc_id, s.score,
+         1000000 + row_number() OVER (
+           PARTITION BY s.qid ORDER BY s.score DESC, s.doc_id ASC
+         ) AS ord, FALSE AS pinned
+  FROM score s ANTI JOIN pins p ON p.qid = s.qid AND p.doc_id = s.doc_id
+),
+pinrows AS (
+  SELECT p.qid, p.doc_id, coalesce(s.score, 0.0) AS score, p.pos AS ord,
+         TRUE AS pinned
+  FROM pins p LEFT JOIN score s ON s.qid = p.qid AND s.doc_id = p.doc_id
+),
+merged AS (SELECT * FROM pinrows UNION ALL SELECT * FROM organic),
+final AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY ord ASC)::INT AS rank,
+         doc_id, score, pinned
+  FROM merged
+)
+SELECT qid, rank, doc_id, score, pinned FROM final WHERE rank <= {FT_K}
+"""
+
+
 def q_ft_combined_fields(spark, sf_dir):
     """ES combined_fields: term-centric multi-field BM25 — fields merge
     into one synthetic field (tf/dl weighted sums, shared df/idf) before
@@ -6961,6 +7018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
         "ft_combined_fields": q_ft_combined_fields,
+        "ft_pinned": q_ft_pinned,
         "ft_percolate": q_ft_percolate,
         "ft_percolate_boolean": q_ft_percolate_boolean,
         "ft_term_vectors": q_ft_term_vectors,
@@ -7230,6 +7288,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_positional_slop": _phrase_slop_oracle_sql(),
         "ft_bm25_fielded": _bm25f_oracle_sql(),
         "ft_combined_fields": _combined_fields_oracle_sql(),
+        "ft_pinned": _pinned_oracle_sql(),
         "ft_snippets": _snippet_oracle_sql(),
         "ft_highlights": _highlights_oracle_sql(),
         "ft_wildcard_topk": _wildcard_oracle_sql(),

@@ -334,3 +334,33 @@ def test_boosting_topk_demotes(spark, corpus, index):
     assert demoted and all(d in got for d in demoted)
     with pytest.raises(ValueError):
         boosting_topk(postings, term_stats, meta, qs, neg, negative_boost=1.5)
+
+
+def test_pinned_topk_contract(spark, corpus, index):
+    """Pins occupy the top ranks in list order (score 0.0 when they
+    don't match), organic ranking follows with pins removed."""
+    from vframe_spark.query.boost import match_scores, pinned_topk
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    qs = [(1, "data parse")]
+    organic = {
+        r["doc_id"]: r["score"]
+        for r in match_scores(postings, term_stats, meta, qs).collect()
+    }
+    ranked = sorted(organic, key=lambda d: (-organic[d], d))
+    nonmatch = next(d for d in sorted(oracle.tf) if d not in organic)
+    pins = [ranked[2], nonmatch]  # one organic hit out of order + one miss
+    out = sorted(
+        (r["rank"], r["doc_id"], r["score"], r["pinned"])
+        for r in pinned_topk(
+            postings, term_stats, meta, qs, {1: pins}, k=6
+        ).collect()
+    )
+    assert [d for _, d, _, _ in out[:2]] == pins
+    assert out[0][2] == organic[ranked[2]] and out[0][3] is True
+    assert out[1][2] == 0.0 and out[1][3] is True
+    # organic tail: best non-pinned docs in order
+    expect_tail = [d for d in ranked if d not in pins][:4]
+    assert [d for _, d, _, _ in out[2:]] == expect_tail
+    assert all(not p for _, _, _, p in out[2:])

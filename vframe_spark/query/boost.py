@@ -30,7 +30,7 @@ from collections.abc import Iterable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..index.codec import for_decode, pfor_delta_decode
@@ -299,3 +299,54 @@ def gauss_decay(
     d = F.col(col) if isinstance(col, str) else col
     diff = d.cast("double") - F.lit(float(origin))
     return F.exp(F.lit(lam) * diff * diff)
+
+
+def pinned_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    pinned: dict[int, list[int]],
+    k: int = 10,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """ES ``pinned`` query: per query, the listed doc ids occupy the
+    top ranks IN LIST ORDER (whether or not they match organically),
+    followed by the organic BM25 ranking with the pinned ids removed →
+    (qid, rank, doc_id, score, pinned). Pinned rows keep their organic
+    score when they match, 0.0 otherwise — visible relevance, fixed
+    position, exactly the ES contract. One small union + the usual
+    bounded window; the pinned relation is driver-tiny and broadcast."""
+    queries = list(queries)
+    spark = postings.sparkSession
+    if scores is None:  # precomputed/rounded (qid, doc_id, score) accepted
+        scores = match_scores(postings, term_stats, meta, queries)
+    rows = [
+        (int(qid), int(d), pos)
+        for qid, ids in pinned.items()
+        for pos, d in enumerate(ids)
+    ]
+    pins = spark.createDataFrame(rows or [(None, None, None)],
+                                 "qid int, doc_id long, pos int").dropna()
+    organic = scores.join(F.broadcast(pins), ["qid", "doc_id"], "left_anti")
+    pinned_rows = (
+        pins.join(scores, ["qid", "doc_id"], "left")
+        .select("qid", "doc_id", "pos", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+    w_org = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    org_ranked = organic.withColumn("_r", F.row_number().over(w_org)).select(
+        "qid", "doc_id", "score",
+        (F.col("_r") + F.lit(1_000_000)).alias("_ord"),  # after every pin
+        F.lit(False).alias("pinned"),
+    )
+    pin_ranked = pinned_rows.select(
+        "qid", "doc_id", "score", F.col("pos").cast("long").alias("_ord"),
+        F.lit(True).alias("pinned"),
+    )
+    merged = pin_ranked.unionByName(org_ranked)
+    w = Window.partitionBy("qid").orderBy(F.col("_ord").asc())
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score", "pinned")
+    )
