@@ -96,3 +96,56 @@ def test_submit_grep_trigram_tombstone(tmp_path):
     ids_after = {h["doc_id"] for h in hits_after}
     assert victim not in ids_after
     assert ids_after == {h["doc_id"] for h in hits} - {victim}
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_submit_rollover_and_force_merge(tmp_path):
+    """The ILM verbs through the spark-submit contract: two appends roll
+    the generation at --max-docs; the cross-generation query returns a
+    ranked page; force-merge reports a (possibly empty) tiered plan."""
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import make
+
+    zip_path = make(str(tmp_path / "vframe_spark.zip"))
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    common = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zip_path,
+        os.path.join(ROOT, "tools", "submit_job.py"),
+    ]
+    # make two doc drops with a bare spark job through the same contract
+    drops = str(tmp_path / "drops")
+    out = subprocess.run(
+        common + ["build", "--docs-parquet", "unused", "--synth-docs", "120",
+                  "--index", str(tmp_path / "seed_idx"), "--shard-size", "64",
+                  "--block-size", "16", "--write-docs", drops],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    base = str(tmp_path / "ilm")
+    for i in range(2):
+        out = subprocess.run(
+            common + ["rollover", "--base", base, "--docs-parquet", drops,
+                      "--max-docs", "100", "--shard-size", "64",
+                      "--block-size", "16", "--shards-per-slice", "2"]
+            + (["--query", "data parse", "--k", "3"] if i == 1 else []),
+            capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        rows = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+        assert rows[0]["gen"] == i  # second append rolls (120 >= 100)
+        if i == 1:
+            assert rows[0]["rolled"] is True
+            page = rows[1:]
+            assert len(page) == 3 and page[0]["rank"] == 1
+
+    out = subprocess.run(
+        common + ["force-merge", "--index", os.path.join(base, "gen-000000"),
+                  "--segments-per-tier", "2", "--max-merge-at-once", "4"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert "merges" in res

@@ -80,6 +80,24 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--index", required=True, help="destination index (mutated)")
     m.add_argument("--src", required=True, help="source index (read-only)")
 
+    fm = sub.add_parser("force-merge", help="tiered partial compaction "
+                        "(Lucene TieredMergePolicy shape)")
+    fm.add_argument("--index", required=True)
+    fm.add_argument("--segments-per-tier", type=int, default=4)
+    fm.add_argument("--max-merge-at-once", type=int, default=8)
+
+    ro = sub.add_parser("rollover", help="ILM lifecycle: append a batch, "
+                        "rolling the write generation at --max-docs")
+    ro.add_argument("--base", required=True, help="lifecycle root dir")
+    ro.add_argument("--docs-parquet", required=True)
+    ro.add_argument("--max-docs", type=int, required=True)
+    ro.add_argument("--shard-size", type=int, default=1024)
+    ro.add_argument("--block-size", type=int, default=128)
+    ro.add_argument("--shards-per-slice", type=int, default=4)
+    ro.add_argument("--query", default=None,
+                    help="after appending, run this query over ALL generations")
+    ro.add_argument("--k", type=int, default=10)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -133,6 +151,29 @@ def main(argv: list[str] | None = None) -> int:
             out["purge"] = purge_tombstones(spark, args.index)
         out["compact"] = compact_index(spark, args.index)
         print(json.dumps(out))
+    elif args.cmd == "force-merge":
+        from vframe_spark.index.compact import tiered_compact
+
+        out = tiered_compact(
+            spark, args.index,
+            segments_per_tier=args.segments_per_tier,
+            max_merge_at_once=args.max_merge_at_once,
+        )
+        print(json.dumps(out))
+    elif args.cmd == "rollover":
+        from vframe_spark.index.rollover import rollover_append, rollover_search
+
+        docs = spark.read.parquet(args.docs_parquet)
+        out = rollover_append(
+            docs, args.base, max_docs=args.max_docs,
+            shard_size=args.shard_size, block_size=args.block_size,
+            shards_per_slice=args.shards_per_slice,
+        )
+        print(json.dumps(out))
+        if args.query:
+            for r in rollover_search(spark, args.base, [(1, args.query)], k=args.k).collect():
+                print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
+                                  "score": round(r["score"], 4)}))
     elif args.cmd == "stats":
         from vframe_spark.index.builder import IndexPaths, load_index, read_manifest
 
