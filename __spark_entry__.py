@@ -2993,6 +2993,50 @@ SELECT qid, rank, doc_id, score, pinned FROM final WHERE rank <= {FT_K}
 """
 
 
+RF_PIVOT = 250.0
+
+
+def q_ft_rank_feature(spark, sf_dir):
+    """ES rank_feature query: BM25 × (1 + saturation(n_chars, pivot))
+    — the bounded monotone feature boost (query/boost.py
+    saturation_boost ∘ boosted_topk); scores 4-dp before ranking, the
+    shared grain."""
+    from vframe_spark.query.boost import boosted_topk, saturation_boost
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    boosts = docs.select(
+        "doc_id",
+        (F.lit(1.0) + saturation_boost("n_chars", RF_PIVOT)).alias("boost"),
+    )
+    raw = boosted_topk(postings, term_stats, meta, FT_QUERIES, boosts, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _rank_feature_oracle_sql() -> str:
+    base = BM25_ORACLE_SQL.replace("{QVALUES}", _ft_qterms_values_sql())
+    chain = base.split("score AS (")[0].rstrip().rstrip(",")
+    return f"""{chain},
+raw AS (SELECT qid, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+b AS (
+  SELECT doc_id,
+         1.0 + greatest(n_chars::DOUBLE, 0.0) / (greatest(n_chars::DOUBLE, 0.0) + {RF_PIVOT}) AS boost
+  FROM documents
+),
+boosted AS (
+  SELECT r.qid, r.doc_id, round(r.score * b.boost, 4) AS score
+  FROM raw r JOIN b USING (doc_id)
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM boosted
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def q_ft_combined_fields(spark, sf_dir):
     """ES combined_fields: term-centric multi-field BM25 — fields merge
     into one synthetic field (tf/dl weighted sums, shared df/idf) before
@@ -7019,6 +7063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
         "ft_combined_fields": q_ft_combined_fields,
         "ft_pinned": q_ft_pinned,
+        "ft_rank_feature": q_ft_rank_feature,
         "ft_percolate": q_ft_percolate,
         "ft_percolate_boolean": q_ft_percolate_boolean,
         "ft_term_vectors": q_ft_term_vectors,
@@ -7289,6 +7334,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_fielded": _bm25f_oracle_sql(),
         "ft_combined_fields": _combined_fields_oracle_sql(),
         "ft_pinned": _pinned_oracle_sql(),
+        "ft_rank_feature": _rank_feature_oracle_sql(),
         "ft_snippets": _snippet_oracle_sql(),
         "ft_highlights": _highlights_oracle_sql(),
         "ft_wildcard_topk": _wildcard_oracle_sql(),

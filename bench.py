@@ -191,6 +191,9 @@ def main() -> None:
         "ft_percolate",
         "ft_percolate_boolean",
         "ft_boosting_topk",
+        "ft_rank_feature",
+        "ft_combined_fields",
+        "ft_pinned",
         "ft_bm25f_indexed",
         "ft_composite_facets",
         "ft_bucket_pipeline",

@@ -364,3 +364,33 @@ def test_pinned_topk_contract(spark, corpus, index):
     expect_tail = [d for d in ranked if d not in pins][:4]
     assert [d for _, d, _, _ in out[2:]] == expect_tail
     assert all(not p for _, _, _, p in out[2:])
+
+
+def test_rank_feature_functions():
+    """Saturation is bounded (0,1), monotone, 0.5 at the pivot; log is
+    ln(1+k·S); both clamp negatives to 0."""
+    import math
+
+    from vframe_spark.query.boost import log_boost, saturation_boost
+    from vframe_spark.session import spark_session
+    from pyspark.sql import functions as F
+
+    spark = spark_session("rf", master="local[2]", shuffle_partitions=2)
+    df = spark.createDataFrame(
+        [(0.0,), (10.0,), (100.0,), (1000.0,), (-5.0,)], "v double"
+    )
+    rows = df.select(
+        saturation_boost("v", 100.0).alias("s"),
+        log_boost("v", 2.0).alias("l"),
+        "v",
+    ).collect()
+    got = {r["v"]: (r["s"], r["l"]) for r in rows}
+    assert got[0.0] == (0.0, 0.0)
+    assert abs(got[100.0][0] - 0.5) < 1e-12          # pivot → 0.5
+    assert got[10.0][0] < got[100.0][0] < got[1000.0][0] < 1.0
+    assert abs(got[1000.0][1] - math.log(1 + 2.0 * 1000.0)) < 1e-12
+    assert got[-5.0] == (0.0, 0.0)                   # clamped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        saturation_boost("v", 0.0)

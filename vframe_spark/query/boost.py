@@ -350,3 +350,24 @@ def pinned_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score", "pinned")
     )
+
+
+def saturation_boost(col, pivot: float):
+    """ES ``rank_feature`` saturation function: S / (S + pivot) — a
+    bounded (0, 1) monotone boost for positive feature columns
+    (pagerank, url_length, freshness). Pure codegen; feeds
+    :func:`boosted_topk` exactly like gauss_decay."""
+    if pivot <= 0:
+        raise ValueError(f"pivot must be > 0, got {pivot}")
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.greatest(c.cast("double"), F.lit(0.0))
+    return s / (s + F.lit(float(pivot)))
+
+
+def log_boost(col, scaling_factor: float = 1.0):
+    """ES ``rank_feature`` log function: ln(1 + scaling_factor·S)."""
+    if scaling_factor <= 0:
+        raise ValueError(f"scaling_factor must be > 0, got {scaling_factor}")
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.greatest(c.cast("double"), F.lit(0.0))
+    return F.log(F.lit(1.0) + F.lit(float(scaling_factor)) * s)
