@@ -2996,6 +2996,48 @@ SELECT qid, rank, doc_id, score, pinned FROM final WHERE rank <= {FT_K}
 RF_PIVOT = 250.0
 
 
+VWH_BUCKETS = 4
+
+
+def q_ft_var_width_histogram(spark, sf_dir):
+    """ES variable_width_histogram (deterministic variant): centroids
+    seeded at the interior quantiles of the per-query match-set
+    distribution (6-dp grain), every value assigned to the nearest
+    centroid, lower bucket on ties
+    (query/facets.py variable_width_histogram_facets)."""
+    from vframe_spark.query.facets import variable_width_histogram_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return variable_width_histogram_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "n_chars", buckets=VWH_BUCKETS
+    )
+
+
+def _vwh_oracle_sql() -> str:
+    B = VWH_BUCKETS
+    qpts = ", ".join(repr((2 * i + 1) / (2.0 * B)) for i in range(B))
+    return f"""{_facet_m_cte()},
+v AS (SELECT doc_id, n_chars::DOUBLE AS v FROM documents),
+j AS (SELECT m.qid, v.doc_id, v.v FROM m JOIN v USING (doc_id)),
+cents AS (
+  SELECT qid,
+         list_transform(quantile_cont(v, [{qpts}]), c -> round(c, 6)) AS cents
+  FROM j GROUP BY 1
+),
+assigned AS (
+  SELECT j.qid, j.v,
+         (list_position(list_transform(c.cents, x -> abs(j.v - x)),
+                        list_min(list_transform(c.cents, x -> abs(j.v - x)))) - 1)::INT
+           AS bucket
+  FROM j JOIN cents c USING (qid)
+)
+SELECT qid::INT AS qid, bucket, count(*)::BIGINT AS n_docs,
+       min(v) AS min_v, max(v) AS max_v, round(avg(v), 6) AS avg_v
+FROM assigned GROUP BY 1, 2
+"""
+
+
 def q_ft_rank_feature(spark, sf_dir):
     """ES rank_feature query: BM25 × (1 + saturation(n_chars, pivot))
     — the bounded monotone feature boost (query/boost.py
@@ -7064,6 +7106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_combined_fields": q_ft_combined_fields,
         "ft_pinned": q_ft_pinned,
         "ft_rank_feature": q_ft_rank_feature,
+        "ft_var_width_histogram": q_ft_var_width_histogram,
         "ft_percolate": q_ft_percolate,
         "ft_percolate_boolean": q_ft_percolate_boolean,
         "ft_term_vectors": q_ft_term_vectors,
@@ -7335,6 +7378,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_combined_fields": _combined_fields_oracle_sql(),
         "ft_pinned": _pinned_oracle_sql(),
         "ft_rank_feature": _rank_feature_oracle_sql(),
+        "ft_var_width_histogram": _vwh_oracle_sql(),
         "ft_snippets": _snippet_oracle_sql(),
         "ft_highlights": _highlights_oracle_sql(),
         "ft_wildcard_topk": _wildcard_oracle_sql(),

@@ -212,6 +212,7 @@ def main() -> None:
         "ft_t_test",
         "ft_sampler",
         "ft_auto_date_histogram",
+        "ft_var_width_histogram",
         "ft_rare_terms",
         "ft_missing_facet",
         "ft_rank_eval",

@@ -246,3 +246,38 @@ def test_auto_date_histogram_unit_choice(spark, corpus, index):
             if nb(u) <= 12:
                 exp_unit = u
         assert units == {exp_unit}
+
+
+def test_variable_width_histogram_bruteforce(spark, corpus, index, vals, byid):
+    from vframe_spark.query.facets import variable_width_histogram_facets
+
+    docs, oracle = corpus
+    postings, _, _, meta = index
+    B = 3
+    out = variable_width_histogram_facets(
+        postings, meta, QS, vals, "v", buckets=B
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], {})[r["bucket"]] = r
+    import statistics
+
+    for qid, q in QS:
+        vs = sorted(byid[d][0] for d in _matches(oracle, q))
+        # quantile-seeded centroids at (2i+1)/(2B), linear interpolation
+        import numpy as np
+
+        cents = [round(float(np.percentile(vs, 100 * (2 * i + 1) / (2 * B),
+                                           method="linear")), 6) for i in range(B)]
+        exp = {}
+        for x in vs:
+            dists = [abs(x - c) for c in cents]
+            b = dists.index(min(dists))
+            exp.setdefault(b, []).append(x)
+        got = per_q[qid]
+        assert set(got) == set(exp)
+        for b, xs in exp.items():
+            r = got[b]
+            assert r["n_docs"] == len(xs)
+            assert r["min_v"] == min(xs) and r["max_v"] == max(xs)
+            assert abs(r["avg_v"] - sum(xs) / len(xs)) < 1e-5

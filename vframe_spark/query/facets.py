@@ -1253,3 +1253,64 @@ def auto_date_histogram_facets(
         .groupBy("qid", "unit", bucket.alias("bucket"))
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def variable_width_histogram_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    buckets: int = 4,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """ES ``variable_width_histogram``, deterministic variant: ES's
+    streaming one-pass clustering is arrival-order-dependent, so this
+    engine seeds the ``buckets`` centroids at the interior quantiles
+    (2i+1)/(2B) of the per-query match-set distribution (exact
+    interpolated — engine-portable) and assigns every value to the
+    NEAREST centroid (ties → lower bucket index). Output (qid, bucket,
+    n_docs, min_v, max_v, avg_v) with the ES row shape. Cost: one
+    quantile agg per qid + one nearest-centroid array expression per
+    matched row + one partial agg — O(match set)."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    joined = m.join(v, "doc_id")
+    qpts = [((2 * i + 1) / (2.0 * buckets)) for i in range(buckets)]
+    # centroids round to 6 dp — the cross-engine grain: both engines'
+    # exact interpolated quantiles agree far below it, and equal-round
+    # centroids make the nearest-centroid ties break identically
+    cents = joined.groupBy("qid").agg(
+        F.expr(
+            "transform(percentile(_v, array("
+            + ", ".join(repr(p) for p in qpts)
+            + ")), c -> round(c, 6))"
+        ).alias("_cents")
+    )
+    # nearest centroid as ONE array expression (no ×B explode):
+    # array_position returns the FIRST index of the min distance, i.e.
+    # the lower bucket on ties — the documented rule
+    best = (
+        joined.join(F.broadcast(cents), "qid")
+        .select(
+            "qid", "doc_id", "_v",
+            F.expr(
+                "array_position(transform(_cents, c -> abs(_v - c)), "
+                "array_min(transform(_cents, c -> abs(_v - c)))) - 1"
+            ).cast("int").alias("bucket"),
+        )
+    )
+    return (
+        best.groupBy("qid", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.round(F.avg("_v"), 6).alias("avg_v"),
+        )
+    )
