@@ -6964,13 +6964,15 @@ FROM agg
 """
 
 
-SAMPLER_SIZE, SAMPLER_MAX_PER = 40, 10
+SAMPLER_SIZE, SAMPLER_MAX_PER, SAMPLER_SHARDS = 12, 4, 4
 
 
 def q_ft_sampler(spark, sf_dir):
-    """ES diversified_sampler → sampler chain: ≤10 docs per `source`
-    (md5(doc_id) order), first 40 survivors per query, lang facet
-    counts over the bounded sample (query/facets.py sampler_facets)."""
+    """ES diversified_sampler → sampler chain with the EXACT per-shard
+    semantics: 4 pmod(doc_id) shards, ≤4 docs per `source` per shard
+    (md5 order), first 12 survivors per shard, lang facet counts over
+    the bounded sample — every window is shard-local, no per-qid
+    global sort (query/facets.py sampler_facets)."""
     from vframe_spark.query.facets import sampler_facets
 
     postings, _, _, meta = _ft_index(spark, sf_dir)
@@ -6978,24 +6980,25 @@ def q_ft_sampler(spark, sf_dir):
     return sampler_facets(
         postings, meta, FT_FACET_QUERIES, docs, "lang",
         shard_size=SAMPLER_SIZE, dedup_col="source",
-        max_docs_per_value=SAMPLER_MAX_PER,
+        max_docs_per_value=SAMPLER_MAX_PER, n_shards=SAMPLER_SHARDS,
     )
 
 
 def _sampler_oracle_sql() -> str:
     return f"""{_facet_m_cte()},
 j AS (
-  SELECT m.qid, d.doc_id, d.lang, d.source, md5(d.doc_id::VARCHAR) AS h
+  SELECT m.qid, d.doc_id, d.lang, d.source, md5(d.doc_id::VARCHAR) AS h,
+         d.doc_id % {SAMPLER_SHARDS} AS shard
   FROM m JOIN documents d USING (doc_id)
 ),
 dd AS (
   SELECT *, row_number() OVER (
-    PARTITION BY qid, source ORDER BY h ASC, doc_id ASC
+    PARTITION BY qid, shard, source ORDER BY h ASC, doc_id ASC
   ) AS dr FROM j
 ),
 sample AS (
   SELECT *, row_number() OVER (
-    PARTITION BY qid ORDER BY h ASC, doc_id ASC
+    PARTITION BY qid, shard ORDER BY h ASC, doc_id ASC
   ) AS sr FROM dd WHERE dr <= {SAMPLER_MAX_PER}
 )
 SELECT qid::INT AS qid, lang AS facet, count(*)::BIGINT AS n_docs

@@ -174,30 +174,33 @@ def test_sampler_bound_and_determinism(spark, corpus, index, vals, byid):
 
     docs, oracle = corpus
     postings, _, _, meta = index
+    S = 3  # shards
     out = sampler_facets(
-        postings, meta, QS, vals, "lang", shard_size=15,
-        dedup_col="lang", max_docs_per_value=5,
+        postings, meta, QS, vals, "lang", shard_size=8,
+        dedup_col="lang", max_docs_per_value=4, n_shards=S,
     ).collect()
     per_q = {}
     for r in out:
         per_q.setdefault(r["qid"], {})[r["facet"]] = r["n_docs"]
     for qid, q in QS:
         facets = per_q[qid]
-        assert sum(facets.values()) <= 15          # sampler bound
-        assert all(v <= 5 for v in facets.values())  # diversity bound
-        # replay the deterministic draw
+        assert sum(facets.values()) <= S * 8          # sampler bound
+        # replay the deterministic per-shard draw (the ES semantics)
         m = _matches(oracle, q)
-        ranked = sorted(m, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
-        seen, kept = {}, []
-        for d in ranked:
-            k = byid[d][2]
-            if seen.get(k, 0) < 5:
-                seen[k] = seen.get(k, 0) + 1
-                kept.append(d)
-        kept = kept[:15]
         exp = {}
-        for d in kept:
-            exp[byid[d][2]] = exp.get(byid[d][2], 0) + 1
+        for sh in range(S):
+            shard = [d for d in m if d % S == sh]
+            ranked = sorted(
+                shard, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+            )
+            seen, kept = {}, []
+            for d in ranked:
+                k = byid[d][2]
+                if seen.get(k, 0) < 4:
+                    seen[k] = seen.get(k, 0) + 1
+                    kept.append(d)
+            for d in kept[:8]:
+                exp[byid[d][2]] = exp.get(byid[d][2], 0) + 1
         assert facets == exp
 
 

@@ -1167,36 +1167,48 @@ def sampler_facets(
     shard_size: int = 100,
     dedup_col: str | None = None,
     max_docs_per_value: int = 1,
+    n_shards: int = 1,
     id_col: str = "doc_id",
     mode: str = "or",
 ) -> DataFrame:
     """ES ``sampler`` / ``diversified_sampler``: facet counts over a
     BOUNDED deterministic sample of the match set → (qid, facet,
-    n_docs). The sample is the first ``shard_size`` matched docs per
-    query in md5(doc_id) order — a seeded uniform draw both engines
-    replay exactly. With ``dedup_col``, at most ``max_docs_per_value``
-    docs per dedup value survive BEFORE the size cut (the diversified
-    variant — stops one over-represented source from eating the
-    sample). Two bounded windows, then the usual facet count; the
-    sample never exceeds qid × shard_size rows regardless of corpus
-    size — the whole point at 100 TB."""
+    n_docs). EXACTLY the ES per-shard semantics: the match set splits
+    into ``n_shards`` deterministic shards (pmod(doc_id) — both engines
+    replay it), each shard contributes its first ``shard_size`` docs in
+    md5(doc_id) order, and with ``dedup_col`` at most
+    ``max_docs_per_value`` docs per dedup value survive PER SHARD
+    before the size cut (ES's dedup guarantee is also shard-local).
+    The sample never exceeds qid × n_shards × shard_size rows.
+
+    Scale shape: every window partitions on (qid, shard[, dedup]) — at
+    cluster scale ``n_shards`` matches the real shard count, so no
+    single task ever sorts the whole match set (the per-qid global
+    window this replaces is the one-reducer trap ES avoids the same
+    way)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     m = match_set(postings, meta, queries, mode=mode)
     v = values.select(
         F.col(id_col).alias("doc_id"),
         F.col(facet_col).alias("_facet"),
         *([F.col(dedup_col).alias("_dd")] if dedup_col else []),
     )
-    joined = m.join(v, "doc_id").withColumn(
-        "_h", F.md5(F.col("doc_id").cast("string"))
+    joined = (
+        m.join(v, "doc_id")
+        .withColumn("_h", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("_shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))
     )
     if dedup_col:
-        wd = Window.partitionBy("qid", "_dd").orderBy(
+        wd = Window.partitionBy("qid", "_shard", "_dd").orderBy(
             F.col("_h").asc(), F.col("doc_id").asc()
         )
         joined = joined.withColumn("_dr", F.row_number().over(wd)).filter(
             F.col("_dr") <= max_docs_per_value
         )
-    ws = Window.partitionBy("qid").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    ws = Window.partitionBy("qid", "_shard").orderBy(
+        F.col("_h").asc(), F.col("doc_id").asc()
+    )
     sample = joined.withColumn("_sr", F.row_number().over(ws)).filter(
         F.col("_sr") <= shard_size
     )
