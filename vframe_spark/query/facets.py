@@ -1049,19 +1049,30 @@ def top_metrics_facets(
     """ES ``top_metrics``: the metric fields of the n docs with the
     largest (or smallest) sort field per query → (qid, rank, doc_id,
     sort value, metrics…). Ties break on ascending doc_id — total
-    order, both engines reproduce it. Bounded per-qid window over the
-    joined match set (the grouped-top-k shape grouped_topk uses)."""
+    order, both engines reproduce it. Two-phase top-k (the
+    field_sorted_topk discipline): each partition pre-cuts its own n
+    per qid, so the final per-qid ordering sees ≤ n_partitions × n
+    rows — never the whole match set in one task."""
     m = match_set(postings, meta, queries, mode=mode)
     v = values.select(
         F.col(id_col).alias("doc_id"),
         F.col(sort_col).cast("double").alias("_s"),
         *[F.col(c) for c in metric_cols],
     ).filter(F.col(sort_col).isNotNull())
-    order = F.col("_s").asc() if ascending else F.col("_s").desc()
-    w = Window.partitionBy("qid").orderBy(order, F.col("doc_id").asc())
+    order = [
+        F.col("_s").asc() if ascending else F.col("_s").desc(),
+        F.col("doc_id").asc(),
+    ]
+    joined = m.join(v, "doc_id")
+    local = Window.partitionBy("qid", F.spark_partition_id()).orderBy(*order)
+    pre = (
+        joined.withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= n)
+        .drop("_lr")
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
     return (
-        m.join(v, "doc_id")
-        .withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
         .select("qid", "rank", "doc_id", F.col("_s").alias(sort_col), *metric_cols)
     )
