@@ -1021,6 +1021,13 @@ def pack_sequences(
     shuffle contract shuffle_shards has, so reruns and other engines
     reproduce every offset exactly; the oracle replays the identical
     cumsum as ONE SQL window.
+
+    The shuffled token-count table is ``.cache()``-ed because two
+    consumers need it (the offsets aggregate and the span join) and
+    Spark won't reuse the exchange across them in this shape; it is a
+    3-column frame (≈24 B/doc). Unpersist via
+    ``spark.catalog.clearCache()`` when building many manifests in one
+    session.
     """
     from pyspark.sql import Window
 
