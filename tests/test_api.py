@@ -197,3 +197,25 @@ def test_facade_upsert_lifecycle(spark, corpus, tmp_path_factory):
     b = [(r["rank"], r["doc_id"], round(r["score"], 9))
          for r in scratch.search("data parse", k=10).collect()]
     assert a == b
+
+
+def test_metric_facet_door(spark, idx, corpus):
+    from pyspark.sql import functions as F
+
+    vals = corpus.select(
+        "doc_id", "lang", F.length("content").cast("double").alias("v"),
+        (F.col("doc_id") % 3 + 1).cast("double").alias("w"),
+    )
+    wa = idx.metric_facet("weighted_avg", "data parse", vals, "v", "w").collect()
+    assert wa and wa[0]["w_avg"] > 0
+    bp = idx.metric_facet("boxplot", "data parse", vals, "v").collect()
+    assert bp and bp[0]["q1"] <= bp[0]["q2"] <= bp[0]["q3"]
+    sm = idx.metric_facet(
+        "sampler", "data parse", vals, "lang",
+        shard_size=5, n_shards=2,
+    ).collect()
+    assert sm and sum(r["n_docs"] for r in sm) <= 10
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        idx.metric_facet("nope", "x", vals, "v")

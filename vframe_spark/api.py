@@ -495,6 +495,43 @@ class SearchIndex:
             p=p, id_col=id_col, mode=mode,
         )
 
+    def metric_facet(
+        self,
+        kind: str,
+        query,
+        values: DataFrame,
+        *cols: str,
+        mode: str = "or",
+        **kw,
+    ) -> DataFrame:
+        """One door to the session-7 metric-aggregation family —
+        ``kind`` ∈ weighted_avg | extended_stats | mad | boxplot |
+        top_metrics | string_stats | t_test | sampler |
+        auto_date_histogram | variable_width_histogram. ``cols`` are
+        the kind's positional column args (e.g. (value, weight) for
+        weighted_avg); ``kw`` forwards (sigma=, n=, buckets=,
+        shard_size=, …). See the same-named ``*_facets`` functions in
+        `query.facets`."""
+        from .query import facets as FX
+
+        fns = {
+            "weighted_avg": FX.weighted_avg_facets,
+            "extended_stats": FX.extended_stats_facets,
+            "mad": FX.mad_facets,
+            "boxplot": FX.boxplot_facets,
+            "top_metrics": FX.top_metrics_facets,
+            "string_stats": FX.string_stats_facets,
+            "t_test": FX.t_test_facets,
+            "sampler": FX.sampler_facets,
+            "auto_date_histogram": FX.auto_date_histogram_facets,
+            "variable_width_histogram": FX.variable_width_histogram_facets,
+        }
+        if kind not in fns:
+            raise ValueError(f"unknown metric facet {kind!r}; one of {sorted(fns)}")
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return fns[kind](postings, meta, queries, values, *cols, mode=mode, **kw)
+
     def significant_terms(
         self,
         query: str | list[tuple[int, str]],
