@@ -463,13 +463,13 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
     import glob as g
     import shutil as sh
 
-    for i in range(2):
-        sh.copy(g.glob(str(tmp_path / f"d{i}" / "*.parquet"))[0], f"{src}/drop_{i}.parquet")
-
     GAP = 3600
     out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
-    # one stream run per drop pins micro-batch order to event time
+    # copy THEN run, one stream run per drop: FileStreamSource orders
+    # ties by modification time, so pre-copying both files can process
+    # the later drop first — pin batch order to event time instead
     for i in range(2):
+        sh.copy(g.glob(str(tmp_path / f"d{i}" / "*.parquet"))[0], f"{src}/drop_{i}.parquet")
         q = (
             sessionize_stream(
                 read_event_stream(spark, src, max_files_per_trigger=1), gap_seconds=GAP
