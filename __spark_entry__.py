@@ -3466,6 +3466,50 @@ def q_sim_cosine_topk(spark, sf_dir):
     )
 
 
+def q_sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-5 most-similar vectors with a DIFFERENT label — broadcast
+    queries, partition-local GEMM, per-batch label mask
+    (operators/similarity.py hard_negatives). Rounded-cosine re-rank =
+    the shared grain."""
+    from vframe_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") % 100 == 0).collect()
+    queries = sorted(
+        (int(r["vec_id"]), list(r["embedding"]), r["label"]) for r in qrows
+    )
+    res = hard_negatives(emb, queries, k=5)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        res.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("qid").cast("bigint").alias("qid"), "rank", "vec_id", "cosine")
+    )
+
+
+HARD_NEG_ORACLE_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlbl
+           FROM embeddings WHERE vec_id % 100 = 0),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.qlbl
+),
+ranked AS (
+  SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, cosine
+  FROM sims
+)
+SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 SIM_ORACLE_SQL = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
 sims AS (
@@ -7145,6 +7189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_hard_negatives": q_sim_hard_negatives,
         "sim_filtered_topk": q_sim_filtered_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -7429,6 +7474,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
         """,
         "sim_cosine_topk": SIM_ORACLE_SQL,
+        "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""
             SELECT doc_id, {n_ws} AS n_ws,

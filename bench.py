@@ -234,6 +234,7 @@ def main() -> None:
         "dedup_simhash_pairs",
         "dedup_simhash_portable",
         "sim_cosine_topk",
+        "sim_hard_negatives",
         "sim_lsh_topk",
         "dedup_embedding_pairs",
         "dedup_clusters",

@@ -284,3 +284,40 @@ def test_cosine_topk_filtered(spark):
         emb, queries, predicate=F.col("label") == 1, allowed_ids=ids, k=5
     ).collect()
     assert all(r["vec_id"] % 2 == 0 and labels[r["vec_id"]] == 1 for r in both)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    import numpy as np
+
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce, hard_negatives
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, rng.normal(size=8).tolist(), int(i % 3)) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    queries = [(i, v, l) for i, v, l in rows[:4]]
+    out = hard_negatives(emb, queries, k=5).collect()
+    byid = {i: (v, l) for i, v, l in rows}
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, qv, ql in queries:
+        got = sorted(per_q[qid])
+        # never the query itself, never its label
+        assert all(byid[v][1] != ql for _, v, _ in got)
+        # equals the brute-force ranking restricted to other labels
+        import math
+
+        def cos(a, b):
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+        exp = sorted(
+            ((cos(qv, v), i) for i, (v, l) in byid.items() if l != ql),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        assert [v for _, v, _ in got] == [i for _, i in exp]
+        for (_, _, c), (ec, _) in zip(got, exp):
+            assert abs(c - ec) < 1e-9

@@ -688,3 +688,62 @@ def cosine_topk_filtered(
         ).dropDuplicates()
         src = src.join(F.broadcast(ids), id_col, "left_semi")
     return cosine_topk_bruteforce(src, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float], object]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/Contriever
+    data-prep op): for every query (qid, vector, label), the top-k most
+    cosine-similar corpus vectors whose label DIFFERS — the
+    semantically-close-but-wrong examples a bi-encoder learns most
+    from. Same plan as `cosine_topk_bruteforce` (broadcast queries,
+    partition-local GEMM top-k, ≤ P×k rows shuffle) plus a per-batch
+    label mask inside the kernel; self never appears (it shares its own
+    label). → (qid, rank, vec_id, cosine)."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qlabels = [q[2] for q in queries]
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.col(label_col).alias("lbl"),
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[float, int]]] = {int(q): [] for q in qids}
+        for b in batches:
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            lbl = b["lbl"].to_numpy()
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = qn @ mn.T  # (Q, B)
+            for qi, qid in enumerate(qids):
+                mask = lbl != qlabels[qi]
+                if not mask.any():
+                    continue
+                row = sims[qi][mask]
+                cand_ids = ids[mask]
+                take = min(k, row.size)
+                idx = np.argpartition(-row, take - 1)[:take]
+                best[int(qid)].extend(zip(row[idx].tolist(), cand_ids[idx].tolist()))
+                if len(best[int(qid)]) > 4 * k:
+                    best[int(qid)] = sorted(
+                        best[int(qid)], key=lambda t: (-t[0], t[1])
+                    )[:k]
+        rows = []
+        for qid, cands in best.items():
+            for cos, vid in sorted(cands, key=lambda t: (-t[0], t[1]))[:k]:
+                rows.append((qid, vid, cos))
+        yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    partial = src.mapInPandas(score, "qid bigint, vec_id bigint, cosine double")
+    return _topk_window(partial, k)
