@@ -172,6 +172,55 @@ ranked AS (
 SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
+# Rollover variant: same whole-corpus BM25, but doc ids remapped to the
+# rollover id discipline (index/rollover.py): chunk cuts at src_id 100 /
+# 300 (the _ft_index_rollover drops), generation g allocates ids from
+# g × SLICE_STRIDE × span = g × 2^22 × 100, rank within a generation by
+# src_id. The remap is monotone in src_id (cuts ascend, offsets ascend),
+# so score ties break identically to the source ranking.
+_ROLLOVER_ID_OFFSET = (1 << 22) * 100
+BM25_ROLLOVER_ORACLE_SQL = f"""
+WITH ids AS (
+  SELECT doc_id AS src_id,
+         (CASE WHEN doc_id < 100 THEN 0 WHEN doc_id < 300 THEN 1 ELSE 2 END)
+           * {_ROLLOVER_ID_OFFSET}::BIGINT
+         + row_number() OVER (
+             PARTITION BY (CASE WHEN doc_id < 100 THEN 0
+                                WHEN doc_id < 300 THEN 1 ELSE 2 END)
+             ORDER BY doc_id) - 1 AS new_id
+  FROM documents
+),
+toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {{QVALUES}}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+ranked AS (
+  SELECT score.qid::INT AS qid,
+         row_number() OVER (PARTITION BY score.qid
+                            ORDER BY score.score DESC, ids.new_id)::INT AS rank,
+         ids.new_id AS doc_id, score.score
+  FROM score JOIN ids ON ids.src_id = score.doc_id
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
 # Conjunctive (AND) variant: only docs containing EVERY query term score;
 # a query with an out-of-vocabulary term yields no rows.
 BM25_CONJ_ORACLE_SQL = f"""
@@ -584,6 +633,59 @@ def q_ft_stream_index_topk(spark, sf_dir):
     claim (streaming/ingest.py incremental_index_stream)."""
     postings, term_stats, _, meta = _ft_index_stream(spark, sf_dir)
     raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _ft_index_rollover(spark, sf_dir):
+    """Rollover lifecycle built from the contract corpus: three appends
+    with ``max_docs=1`` so every append seals the previous write
+    generation — chunk ``i`` lands in generation ``i`` (index/
+    rollover.py rollover_append). Cached per sf_dir behind a DONE
+    marker. Doc ids are ``gen × SLICE_STRIDE × span + rank(src_id)`` by
+    the builder's id discipline, which the DuckDB oracle replays as a
+    window function — the id remap that previously blocked this oracle
+    is deterministic, not engine-private."""
+    from vframe_spark.index.codec import FORMAT_VERSION
+
+    tag = hashlib.md5(f"{FORMAT_VERSION}:rollover:{sf_dir}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
+    base = os.path.join(out, "gens")
+    done = os.path.join(out, "ROLLOVER_DONE")
+    if not os.path.exists(done):
+        import shutil as _shutil
+
+        from vframe_spark.index.rollover import rollover_append
+
+        _shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("src_id"), F.col("text").alias("content")
+        )
+        span = _STREAM_IDX_SPAN
+        cuts = [(0, span), (span, 3 * span), (3 * span, None)]
+        for lo, hi in cuts:
+            chunk = docs.filter(F.col("src_id") >= lo)
+            if hi is not None:
+                chunk = chunk.filter(F.col("src_id") < hi)
+            rollover_append(
+                chunk, base, max_docs=1, shard_size=50, block_size=64,
+                shards_per_slice=2, order_cols=("src_id",), lang_col=None,
+            )
+        open(done, "w").write("ok")
+    return base
+
+
+def q_ft_rollover_topk(spark, sf_dir):
+    """ILM rollover end-to-end: three appends → three sealed/write
+    generations, then a federated global-stats search over ALL
+    generations. Scores must equal whole-corpus BM25 (the federated
+    rank-identity invariant) and doc ids must equal the rollover id
+    discipline gen×SLICE_STRIDE×span + rank — the oracle replays both
+    (index/rollover.py rollover_search; query/federated.py)."""
+    from vframe_spark.index.rollover import rollover_search
+
+    base = _ft_index_rollover(spark, sf_dir)
+    raw = rollover_search(spark, base, FT_QUERIES, k=3 * FT_K)
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
@@ -7121,6 +7223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_exhaustive": q_ft_bm25_exhaustive,
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_stream_index_topk": q_ft_stream_index_topk,
+        "ft_rollover_topk": q_ft_rollover_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
@@ -7343,6 +7446,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_exhaustive": bm25,
         "ft_bm25_wand": bm25,
         "ft_stream_index_topk": bm25,
+        "ft_rollover_topk": BM25_ROLLOVER_ORACLE_SQL.replace(
+            "{QVALUES}", _ft_qterms_values_sql()
+        ),
         "ft_bm25_conjunctive": BM25_CONJ_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ),

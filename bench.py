@@ -218,8 +218,8 @@ def main() -> None:
         "ft_rank_eval",
         "ft_highlights",
         "ft_phrase_suggest",
-        # ft_stream_index_topk is an ingest-lifecycle op (3 cached
-        # micro-batch builds) — oracle-checked, not a latency row
+        # ft_stream_index_topk / ft_rollover_topk are ingest-lifecycle
+        # ops (3 cached builds each) — oracle-checked, not latency rows
         "ft_block_join",
         "sketch_bloom_membership",
         "rel_sessionize",

@@ -97,3 +97,22 @@ def test_rollover_append_accumulates_slices(spark, batches, tmp_path):
     assert n == batches[0].count() + batches[1].count()
     assert d.select("doc_id").distinct().count() == n
     assert bm25_topk_wand(p, t, m, QS, k=5).collect()
+
+
+def test_rollover_one_gen_per_append_id_discipline(spark, batches, tmp_path):
+    """max_docs=1 seals every generation at the next append — the
+    contract-query configuration (__spark_entry__._ft_index_rollover).
+    Ids must follow gen × SLICE_STRIDE × span + rank(order_cols), the
+    formula the DuckDB oracle replays."""
+    from vframe_spark.index.rollover import SLICE_STRIDE
+
+    base = str(tmp_path / "ilm3")
+    stats = [rollover_append(b, base, max_docs=1, **KW) for b in batches]
+    assert [s["gen"] for s in stats] == [0, 1, 2]
+    assert [s["rolled"] for s in stats] == [False, True, True]
+    span = KW["shard_size"] * KW["shards_per_slice"]
+    for g, b in enumerate(batches):
+        _, _, d, _ = load_index(spark, gen_dir(base, g))
+        got = sorted(r["doc_id"] for r in d.select("doc_id").collect())
+        base_id = g * SLICE_STRIDE * span
+        assert got == list(range(base_id, base_id + b.count()))

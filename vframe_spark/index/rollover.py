@@ -80,6 +80,7 @@ def rollover_append(
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
     seal_compact: bool = False,
+    lang_col: str | None = "lang",
 ) -> dict:
     """Append a batch to the lifecycle at ``base_dir``; roll the write
     generation first when it is already at/over ``max_docs`` (the ES
@@ -122,7 +123,7 @@ def rollover_append(
         "doc_id", F.col("doc_id") + F.lit(slice_lo * span)
     )
     spark = docs.sparkSession
-    tokens = tokenize_docs(batch).persist()
+    tokens = tokenize_docs(batch, lang_col=lang_col).persist()
     tokens.count()
     postings = build_postings(tokens, shard_size=shard_size, block_size=block_size)
     slice_pq = os.path.join(paths.postings, f"slice={slice_lo}")
