@@ -15,6 +15,7 @@ tie-breaks so rank columns are deterministic too.
 from __future__ import annotations
 
 import hashlib
+import itertools
 import os
 import tempfile
 from collections.abc import Callable
@@ -634,6 +635,70 @@ def q_ft_stream_index_topk(spark, sf_dir):
     postings, term_stats, _, meta = _ft_index_stream(spark, sf_dir)
     raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+_WTERMS_SEQ = itertools.count()
+
+
+def q_ft_stream_windowed_terms(spark, sf_dir):
+    """Streaming windowed top-k terms (streaming/terms.py): the corpus
+    arrives as three file drops with synthetic event times ts =
+    2024-01-01 + doc_id minutes; the stream folds tokenize→explode→
+    window(1 hour) counts across micro-batches, then a batch cut ranks
+    the top 5 terms per window. Event times are a deterministic
+    function of doc_id, so the whole pipeline is SQL-replayable —
+    a full oracle for a Structured Streaming operator."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from vframe_spark.streaming.terms import (
+        top_terms_per_window,
+        windowed_term_counts_stream,
+    )
+
+    tag = hashlib.md5(f"wterms:{sf_dir}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"vfstream_{tag}")
+    src = os.path.join(out, "src")
+    done = os.path.join(out, "DONE")
+    if not os.path.exists(done):
+        _shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(src)
+        docs = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("src_id"),
+            F.col("text").alias("content"),
+            F.expr(
+                "timestampadd(MINUTE, doc_id, TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+            ).alias("ts"),
+        )
+        span = _STREAM_IDX_SPAN
+        cuts = [(0, span), (span, 3 * span), (3 * span, None)]
+        for i, (lo, hi) in enumerate(cuts):
+            chunk = docs.filter(F.col("src_id") >= lo)
+            if hi is not None:
+                chunk = chunk.filter(F.col("src_id") < hi)
+            cdir = os.path.join(out, f"chunk{i}")
+            chunk.coalesce(1).write.parquet(cdir)
+            _shutil.copy(
+                _glob.glob(os.path.join(cdir, "*.parquet"))[0],
+                os.path.join(src, f"drop_{i}.parquet"),
+            )
+        open(done, "w").write("ok")
+    stream = (
+        spark.readStream.schema("src_id bigint, content string, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = windowed_term_counts_stream(stream, ts_col="ts", window="1 hour")
+    name = f"wterms_{tag}_{next(_WTERMS_SEQ)}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return top_terms_per_window(spark.table(name), k=5)
 
 
 def _ft_index_rollover(spark, sf_dir):
@@ -7224,6 +7289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_wand": q_ft_bm25_wand,
         "ft_stream_index_topk": q_ft_stream_index_topk,
         "ft_rollover_topk": q_ft_rollover_topk,
+        "ft_stream_windowed_terms": q_ft_stream_windowed_terms,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
@@ -7449,6 +7515,22 @@ def oracle_sql() -> dict[str, str]:
         "ft_rollover_topk": BM25_ROLLOVER_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ),
+        "ft_stream_windowed_terms": f"""
+            WITH src AS (
+              SELECT TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+                     {TOK_SQL} AS t
+              FROM documents
+            ),
+            tok AS (SELECT date_trunc('hour', ts) AS win_start, unnest(t) AS term FROM src),
+            counts AS (SELECT win_start, term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+            ranked AS (
+              SELECT win_start, term, cnt,
+                     row_number() OVER (PARTITION BY win_start
+                                        ORDER BY cnt DESC, term)::INT AS rank
+              FROM counts
+            )
+            SELECT win_start, term, cnt, rank FROM ranked WHERE rank <= 5
+        """,
         "ft_bm25_conjunctive": BM25_CONJ_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ),

@@ -1,0 +1,134 @@
+"""Streaming windowed top-k terms: the windowed counts folded across
+micro-batches must equal the batch window aggregate over the
+concatenated drops (complete mode), and append mode must emit exactly
+the watermark-finalized windows, once each."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.functions.tokenizer import tokenize_expr
+from vframe_spark.streaming.terms import top_terms_per_window, windowed_term_counts_stream
+
+SCHEMA = "content string, ts timestamp_ntz"
+_BASE = "2024-01-01 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def dropped(spark, tmp_path_factory):
+    """Three drops of (content, ts) rows spanning three 1-hour windows,
+    with vocabulary overlap across drops and windows."""
+    root = tmp_path_factory.mktemp("termstream")
+    src = str(root / "src")
+    os.makedirs(src)
+    texts = [
+        "alpha beta gamma alpha",
+        "beta gamma delta",
+        "alpha alpha epsilon",
+        "gamma delta delta zeta",
+        "beta beta alpha",
+    ]
+    batches = [
+        [(texts[i % 5], i) for i in range(0, 50)],
+        [(texts[(i + 2) % 5], i) for i in range(50, 130)],
+        [(texts[(i + 4) % 5], i) for i in range(130, 180)],
+    ]
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows.extend(rows)
+        df = spark.createDataFrame(rows, "content string, m bigint").select(
+            "content",
+            F.expr(f"timestampadd(MINUTE, m, TIMESTAMP_NTZ '{_BASE}')").alias("ts"),
+        )
+        df.coalesce(1).write.parquet(str(root / f"chunk{i}"))
+        f = glob.glob(str(root / f"chunk{i}" / "*.parquet"))[0]
+        shutil.copy(f, os.path.join(src, f"drop_{i}.parquet"))
+    whole = spark.createDataFrame(all_rows, "content string, m bigint").select(
+        "content",
+        F.expr(f"timestampadd(MINUTE, m, TIMESTAMP_NTZ '{_BASE}')").alias("ts"),
+    )
+    return src, whole
+
+
+def _batch_counts(whole, window="1 hour", slide=None):
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        whole.select("ts", F.explode(tokenize_expr(F.col("content"))).alias("term"))
+        .groupBy(win.alias("win"), "term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["win"]["start"].isoformat(), r["term"], r["cnt"]) for r in df.collect()
+    )
+
+
+def _run(spark, sdf, name, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_complete_mode_equals_batch(spark, dropped):
+    src, whole = dropped
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    got = _run(spark, windowed_term_counts_stream(stream), "wterms_c", "complete")
+    assert _rows(got) == _rows(_batch_counts(whole))
+
+
+def test_sliding_window_equals_batch(spark, dropped):
+    src, whole = dropped
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    sdf = windowed_term_counts_stream(stream, window="1 hour", slide="30 minutes")
+    got = _run(spark, sdf, "wterms_s", "complete")
+    assert _rows(got) == _rows(_batch_counts(whole, slide="30 minutes"))
+
+
+def test_append_mode_emits_finalized_windows_once(spark, dropped):
+    src, whole = dropped
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    sdf = windowed_term_counts_stream(stream, watermark="10 minutes")
+    got = _run(spark, sdf, "wterms_a", "append")
+    rows = _rows(got)
+    # exactly once per (window, term)
+    assert len(rows) == len({(w, t) for w, t, _ in rows})
+    # every emitted window is final == equals the batch aggregate
+    batch = _rows(_batch_counts(whole))
+    emitted_windows = {w for w, _, _ in rows}
+    assert rows == [r for r in batch if r[0] in emitted_windows]
+    # the finalized prefix: hours 0 and 1 closed (max event 02:59,
+    # watermark 02:49 > 02:00); the open hour-2 window must NOT emit
+    assert emitted_windows == {
+        "2024-01-01T00:00:00",
+        "2024-01-01T01:00:00",
+    }
+
+
+def test_top_terms_per_window_cut(spark, dropped):
+    _, whole = dropped
+    counts = _batch_counts(whole)
+    top = top_terms_per_window(counts, k=2)
+    assert set(top.columns) == {"win_start", "term", "cnt", "rank"}
+    per_win = {}
+    for r in top.collect():
+        per_win.setdefault(r["win_start"], []).append((r["rank"], r["cnt"], r["term"]))
+    full = {}
+    for w, t, c in _rows(counts):
+        full.setdefault(w, []).append((-c, t))
+    for w, rows in per_win.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        # rank order == (cnt DESC, term ASC) over the full window
+        expect = sorted(full[w.isoformat()])[: len(rows)]
+        assert [(t, -nc) for nc, t in expect] == [(t, c) for _, c, t in rows]

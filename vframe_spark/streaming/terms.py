@@ -1,0 +1,92 @@
+"""Streaming windowed top-k terms: the trending-vocabulary monitor over
+a live document stream.
+
+The reference's reader-stats loop (/root/reference/src/vframe/models/
+media.py:232-244) keeps running per-window counters as frames stream by;
+here the counted unit is the TERM and the window is event time. Shape:
+tokenize with the pure-Catalyst expression backend (functions/
+tokenizer.py tokenize_expr — no Python in the stream), explode, and fold
+``groupBy(window(ts), term).count()`` into Spark's incremental
+aggregation state. Counts are sum-mergeable, so the micro-batch fold IS
+the window aggregate — the same associativity argument as streaming/
+sketch.py.
+
+Two run modes, both bounded:
+
+* ``watermark=`` set → append mode: a window's counts emit ONCE, when
+  the watermark passes its end — the production shape (state is dropped
+  after emission; late rows beyond the watermark are discarded).
+* ``watermark=None`` → complete/update mode against a bounded sink
+  (state = live windows × vocabulary-per-window, fine for dashboards
+  and for the oracle tests, which need every window including the last).
+
+The top-k cut runs as a small BATCH step over the materialized counts
+(`top_terms_per_window`) — ranking inside the stream would need a
+second stateful stage for no benefit; the sink table is already
+windows × terms, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.tokenizer import tokenize_expr
+
+
+def windowed_term_counts_stream(
+    stream: DataFrame,
+    text_col: str = "content",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Streaming (win, by..., term, cnt) table — event-time windowed
+    term frequencies, incrementally folded across micro-batches.
+
+    ``slide`` turns the tumbling window into a sliding one (a term then
+    counts toward every window containing its event time, the standard
+    Spark window-explode). The stream carries NO per-doc state: tokenize
+    is a projection, the only stateful stage is the windowed count.
+    """
+    by = list(by or [])
+    src = stream
+    if watermark is not None:
+        # Watermarks require an instant (TIMESTAMP); a TIMESTAMP_NTZ
+        # event-time column (the parquet/Iceberg default for naive
+        # timestamps) is cast through the session zone — the engine
+        # pins sessions to UTC (session.py), so the reading is stable.
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(src.schema[ts_col].dataType, TimestampNTZType):
+            src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        src = src.withWatermark(ts_col, watermark)
+    toks = src.select(
+        F.col(ts_col), *by, F.explode(tokenize_expr(F.col(text_col))).alias("term")
+    )
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        toks.groupBy(win.alias("win"), *by, "term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def top_terms_per_window(
+    counts: DataFrame, k: int = 10, by: list[str] | None = None
+) -> DataFrame:
+    """Batch top-k cut over a materialized windowed-counts table →
+    (win_start, by..., term, cnt, rank); deterministic tie-break
+    (cnt DESC, term ASC). Runs over the sink table (windows × terms per
+    group), never the document stream."""
+    by = list(by or [])
+    w = Window.partitionBy(F.col("win"), *[F.col(c) for c in by]).orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("win.start").alias("win_start"), *by, "term", "cnt", "rank")
+    )
