@@ -7271,6 +7271,30 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_rel_salted_join(spark, sf_dir):
+    """Salted skew join (operators/skew.py): least(l_partkey, 50) makes
+    key 50 hold ~97.5% of lineitem — the single-reducer pathology. The
+    hot key's left rows split across 8 hash salts, the dim's hot rows
+    replicate 8×; the result must equal the plain join bit-for-bit
+    (north rule: partitioning/shuffle/skew handled explicitly)."""
+    from vframe_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.least(F.col("l_partkey"), F.lit(50).cast("long")).alias("k"),
+        "l_quantity",
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 50)
+        .select(F.col("p_partkey").alias("k"), "p_brand")
+    )
+    j = salted_join(li, pt, "k", salts=8, hot=[50])
+    return j.groupBy("p_brand").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
 # --------------------------------------------------------------- the contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7290,6 +7314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_stream_index_topk": q_ft_stream_index_topk,
         "ft_rollover_topk": q_ft_rollover_topk,
         "ft_stream_windowed_terms": q_ft_stream_windowed_terms,
+        "rel_salted_join": q_rel_salted_join,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
@@ -7515,6 +7540,15 @@ def oracle_sql() -> dict[str, str]:
         "ft_rollover_topk": BM25_ROLLOVER_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ),
+        "rel_salted_join": """
+            WITH l AS (SELECT least(l_partkey, 50) AS k, l_quantity FROM lineitem),
+            p AS (SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey <= 50)
+            SELECT p.p_brand AS p_brand,
+                   round(sum(l.l_quantity), 4) AS sum_qty,
+                   count(*)::BIGINT AS n
+            FROM l JOIN p USING (k)
+            GROUP BY 1
+        """,
         "ft_stream_windowed_terms": f"""
             WITH src AS (
               SELECT TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,

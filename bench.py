@@ -221,6 +221,7 @@ def main() -> None:
         # ft_stream_index_topk / ft_rollover_topk are ingest-lifecycle
         # ops (3 cached builds each) — oracle-checked, not latency rows
         "ft_stream_windowed_terms",
+        "rel_salted_join",
         "ft_block_join",
         "sketch_bloom_membership",
         "rel_sessionize",

@@ -1,0 +1,114 @@
+"""Salted skew join: result-set equality with the plain join is exact,
+the salt actually spreads the hot key, and the salted key reaches the
+shuffle plan when broadcast is disabled."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.operators.skew import hot_keys, salted_join
+
+N_HOT = 4000
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """Left: one pathological key (0) holding N_HOT rows, tail keys
+    1..199 with ~20 rows each. Right: a dim over keys 0..149 (so some
+    left keys dangle), with key 0 carrying TWO dim rows — the join must
+    fan out exactly like the plain join does."""
+    left = (
+        spark.range(N_HOT + 200 * 20)
+        .select(
+            F.when(F.col("id") < N_HOT, 0)
+            .otherwise(1 + F.pmod(F.col("id") - N_HOT, 200))
+            .cast("long")
+            .alias("k"),
+            (F.col("id") * 7 % 1000).alias("v"),
+        )
+        .cache()
+    )
+    right = (
+        spark.range(150)
+        .select(F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name"))
+        .union(spark.createDataFrame([(0, "d0-extra")], "k long, name string"))
+        .cache()
+    )
+    left.count(), right.count()
+    return left, right
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_hot_keys_detects_the_head(spark, skewed):
+    left, _ = skewed
+    assert hot_keys(left, "k", top=1) == [0]
+    assert hot_keys(left, "k", min_count=1000) == [0]
+    assert hot_keys(left, "k", min_count=10**9) == []
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_salted_join_equals_plain_join(spark, skewed, how):
+    left, right = skewed
+    got = salted_join(left, right, "k", how=how, salts=8, hot=[0])
+    want = left.join(right, ["k"], how)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _sorted(got.select(*sorted(got.columns))) == _sorted(
+        want.select(*sorted(want.columns))
+    )
+
+
+def test_salted_join_autodetect_and_composite(spark, skewed):
+    left, right = skewed
+    # auto-detected hot list (one extra agg job) — same result
+    got = salted_join(left, right, "k", salts=8, hot_min_count=1000)
+    want = left.join(right, ["k"], "inner")
+    assert got.count() == want.count()
+    # composite key: (k, parity)
+    l2 = left.withColumn("p", F.pmod(F.col("v"), F.lit(2)))
+    r2 = right.withColumn("p", F.pmod(F.length("name"), F.lit(2)))
+    got2 = salted_join(l2, r2, ["k", "p"], salts=4, hot=[(0, 0), (0, 1)])
+    want2 = l2.join(r2, ["k", "p"], "inner")
+    assert _sorted(got2.select(*sorted(got2.columns))) == _sorted(
+        want2.select(*sorted(want2.columns))
+    )
+
+
+def test_salt_spreads_the_hot_key(spark, skewed):
+    """The hot key's left rows must land on >1 salt value — the whole
+    point. Reconstruct the salt expression's distribution."""
+    left, _ = skewed
+    salts = 8
+    dist = (
+        left.filter(F.col("k") == 0)
+        .select(
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)).alias(
+                "s"
+            )
+        )
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(dist) == salts  # all 8 sub-keys populated
+    counts = [r["count"] for r in dist]
+    assert max(counts) < N_HOT * 0.5  # no residual single-task pile-up
+
+
+def test_salted_key_reaches_the_shuffle(spark, skewed):
+    left, right = skewed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = salted_join(left, right, "k", salts=8, hot=[0])._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "_vf_salt" in plan  # the salt is a join/partition key, not a projection
+
+
+def test_rejects_right_preserving_joins(spark, skewed):
+    left, right = skewed
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full", hot=[0])
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", salts=1, hot=[0])

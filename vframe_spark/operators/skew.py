@@ -1,0 +1,118 @@
+"""Explicit skew handling: hot-key detection and salted equi-join as
+first-class operators.
+
+The index builder already salts its one big shuffle internally
+(index/build.py: the (term, shard) key IS a salted term — Zipf-head
+terms split across shard tasks). This module exposes the same
+discipline as a reusable relational operator for ANY skewed join: the
+north rule's "partitioning / shuffle / skew handled explicitly" as API,
+not folklore.
+
+Shape: a plain equi-join shuffles both sides on the key, so one hot key
+lands its entire row mass on one reducer — at 100 TB that task runs for
+hours while 999 executors idle. ``salted_join`` pre-splits each hot
+key's LEFT rows across ``salts`` sub-keys (a deterministic hash salt,
+so retries re-produce the same placement) and replicates only the hot
+keys' RIGHT rows once per salt. Non-hot keys ride salt 0 untouched —
+the inflation is |hot keys on the right| × salts rows, never the big
+table. Result-set equality with the plain join is exact (pytest +
+DuckDB contract oracle).
+
+When NOT to reach for this: AQE's skew-join optimization
+(spark.sql.adaptive.skewJoin) already splits oversized sort-merge
+partitions at runtime — prefer it when it applies. Salting remains the
+explicit tool when the hot side must ALSO aggregate per key afterward,
+when join strategy is forced (hints), or when the skew is known ahead
+of time and the plan should be deterministic rather than re-planned.
+
+Reference parity: the reference pipeline avoids the problem class by
+being single-node (no shuffle exists to skew) — this operator is what
+its join semantics (priors join, filelist lookup join — src/commands/
+dedup/sha256.py:74-133) need to survive the 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_vf_salt"
+
+
+def hot_keys(
+    df: DataFrame,
+    on: str | list[str],
+    min_count: int | None = None,
+    top: int = 20,
+) -> list:
+    """The heaviest join keys of ``df``: keys with more than
+    ``min_count`` rows (if given), else the ``top`` heaviest. ONE
+    aggregate job that shuffles only the key columns; the result is
+    ≤ ``top`` driver-side values (the hot list is broadcast-sized by
+    definition — if it weren't, the key wasn't skewed). Returns
+    scalars for a single key column, tuples for a composite key."""
+    keys = [on] if isinstance(on, str) else list(on)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    if min_count is not None:
+        counts = counts.filter(F.col("_n") > min_count)
+    rows = counts.orderBy(F.col("_n").desc(), *keys).limit(top).collect()
+    if isinstance(on, str):
+        return [r[on] for r in rows]
+    return [tuple(r[k] for k in keys) for r in rows]
+
+
+def _is_hot(keys: list[str], hot: list) -> F.Column:
+    if len(keys) == 1:
+        return F.col(keys[0]).isin(list(hot))
+    cond = F.lit(False)
+    for tup in hot:
+        this = F.lit(True)
+        for k, v in zip(keys, tup):
+            this = this & (F.col(k) == F.lit(v))
+        cond = cond | this
+    return cond
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salts: int = 16,
+    hot: list | None = None,
+    hot_min_count: int | None = None,
+) -> DataFrame:
+    """Equi-join with hot keys pre-split across ``salts`` shuffle
+    sub-keys. ``hot`` lists the skewed key values (scalars for a single
+    key, tuples for composite); omit it to detect them from the LEFT
+    side with :func:`hot_keys` (one extra aggregate job —
+    ``hot_min_count`` sets its threshold). Row-level semantics are
+    IDENTICAL to ``left.join(right, on, how)`` for ``how`` in
+    {inner, left, left_semi, left_anti}: every left row keeps exactly
+    one salt, so no join shape that emits left rows can duplicate them;
+    right/full outer would duplicate unmatched replicated right rows
+    and are rejected."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join supports left-preserving joins only, got {how!r}")
+    if salts < 2:
+        raise ValueError(f"salts must be >= 2, got {salts}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if hot is None:
+        hot = hot_keys(left, on, min_count=hot_min_count)
+    if not hot:
+        return left.join(right, keys, how)
+
+    is_hot = _is_hot(keys, hot)
+    # Deterministic left salt: hash the whole row so duplicates of a hot
+    # key spread evenly AND a task retry reproduces the same placement.
+    lsalt = F.when(
+        is_hot, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    ).otherwise(F.lit(0)).cast("int")
+    l2 = left.withColumn(_SALT, lsalt)
+    rsalt = F.explode(
+        F.when(is_hot, F.sequence(F.lit(0), F.lit(salts - 1))).otherwise(
+            F.array(F.lit(0))
+        )
+    )
+    r2 = right.withColumn(_SALT, rsalt)  # sequence/array of int literals → int
+    return l2.join(r2, keys + [_SALT], how).drop(_SALT)
