@@ -5921,6 +5921,19 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+def _dsir_oracle_sql() -> str:
+    from vframe_spark.operators.curate import dsir_weights_duckdb_sql
+
+    inner = dsir_weights_duckdb_sql("lang = 'en'")
+    return f"""
+WITH w AS ({inner})
+SELECT doc_id, round(weight, 4) AS weight,
+       row_number() OVER (ORDER BY round(weight, 4) DESC, doc_id)::INT AS rank
+FROM w
+QUALIFY rank <= 100
+"""
+
+
 def _decontaminate_oracle_sql() -> str:
     n = DECON_N
     return f"""
@@ -7271,6 +7284,28 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_curate_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/curate.py dsir_weights, Xie et
+    al. 2023): hashed-bigram importance log-ratios against the English
+    subset as the target distribution — the top-100 docs most like the
+    target, ranked at the 4-dp grain (float sums are order-sensitive
+    across engines; the grain is the cross-engine contract)."""
+    from vframe_spark.operators.curate import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content"), "lang"
+    )
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target).select(
+        "doc_id", F.round("weight", 4).alias("weight")
+    )
+    # distributed TakeOrdered cut FIRST; the rank window then runs over
+    # 100 rows, never the corpus (no single-partition global window)
+    top = w.orderBy(F.col("weight").desc(), F.col("doc_id")).limit(100)
+    win = Window.orderBy(F.col("weight").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(win).cast("int"))
+
+
 def q_rel_salted_join(spark, sf_dir):
     """Salted skew join (operators/skew.py): least(l_partkey, 50) makes
     key 50 hold ~97.5% of lineitem — the single-reducer pathology. The
@@ -7315,6 +7350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rollover_topk": q_ft_rollover_topk,
         "ft_stream_windowed_terms": q_ft_stream_windowed_terms,
         "rel_salted_join": q_rel_salted_join,
+        "curate_dsir_select": q_curate_dsir_select,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
@@ -7540,6 +7576,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_rollover_topk": BM25_ROLLOVER_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()
         ),
+        "curate_dsir_select": _dsir_oracle_sql(),
         "rel_salted_join": """
             WITH l AS (SELECT least(l_partkey, 50) AS k, l_quantity FROM lineitem),
             p AS (SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey <= 50)

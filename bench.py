@@ -222,6 +222,7 @@ def main() -> None:
         # ops (3 cached builds each) — oracle-checked, not latency rows
         "ft_stream_windowed_terms",
         "rel_salted_join",
+        "curate_dsir_select",
         "ft_block_join",
         "sketch_bloom_membership",
         "rel_sessionize",

@@ -1,0 +1,124 @@
+"""DSIR importance resampling: Spark weights must match a pure-Python
+brute force of the same hashed-ngram multinomial log-ratio, and the
+selection must prefer target-like documents."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.functions.tokenizer import tokenize_py
+from vframe_spark.operators.curate import dsir_log_ratios, dsir_select, dsir_weights
+
+N, BUCKETS, ALPHA = 2, 64, 0.5
+
+DOCS = [
+    (0, "def parse_config(path): return json.load(open(path))"),
+    (1, "def parse_args(argv): return parser.parse_args(argv)"),
+    (2, "SELECT count(*) FROM lineitem WHERE l_quantity > 10"),
+    (3, "SELECT sum(total) FROM orders GROUP BY region"),
+    (4, "import numpy as np; x = np.zeros(10)"),
+    (5, "la lluvia en sevilla es una pura maravilla hoy"),
+    (6, "der schnelle braune fuchs springt heute hoch"),
+    (7, "short"),  # < n tokens → weight 0
+    (8, "def load_json(path): return json.load(open(path))"),
+    (9, "SELECT avg(price) FROM part WHERE p_size < 5"),
+]
+TARGET_IDS = {0, 1, 4, 8}  # "python code" target distribution
+
+
+def _bucket(gram: str) -> int:
+    return int(hashlib.md5(f"dsir:{gram}".encode()).hexdigest()[:15], 16) % BUCKETS
+
+
+def _grams(text: str) -> list[int]:
+    t = tokenize_py(text)
+    return [_bucket(" ".join(t[i : i + N])) for i in range(len(t) - N + 1)]
+
+
+def _brute_weights() -> dict[int, float]:
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for did, text in DOCS:
+        bs = _grams(text)
+        per_doc[did] = bs
+        for b in bs:
+            raw[b] = raw.get(b, 0) + 1
+            if did in TARGET_IDS:
+                tgt[b] = tgt.get(b, 0) + 1
+    r_tot, t_tot = sum(raw.values()), sum(tgt.values())
+    ab = ALPHA * BUCKETS
+
+    def lr(b):
+        return math.log((tgt.get(b, 0) + ALPHA) / (t_tot + ab)) - math.log(
+            (raw.get(b, 0) + ALPHA) / (r_tot + ab)
+        )
+
+    return {did: sum(lr(b) for b in bs) for did, bs in per_doc.items()}
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, content string").cache()
+    target = docs.filter(F.col("doc_id").isin(list(TARGET_IDS))).cache()
+    return docs, target
+
+
+def test_weights_match_brute_force(spark, frames):
+    docs, target = frames
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(docs, target, n=N, buckets=BUCKETS, alpha=ALPHA).collect()
+    }
+    want = _brute_weights()
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did] == pytest.approx(want[did], abs=1e-9), did
+    assert got[7] == 0.0  # sub-n doc
+
+
+def test_log_ratio_table_is_bounded_and_complete(spark, frames):
+    docs, target = frames
+    ratios = dsir_log_ratios(docs, target, n=N, buckets=BUCKETS, alpha=ALPHA)
+    rows = ratios.collect()
+    assert len(rows) <= BUCKETS
+    seen = {r["bucket"] for r in rows}
+    for did, text in DOCS:
+        assert set(_grams(text)) <= seen
+
+
+def test_select_prefers_target_like_docs(spark, frames):
+    docs, target = frames
+    sel = dsir_select(docs, target, k=4, n=N, buckets=BUCKETS, alpha=ALPHA)
+    assert "weight" in sel.columns and "content" in sel.columns
+    want = _brute_weights()
+    expect = sorted(want, key=lambda d: (-want[d], d))[:4]
+    got = sorted(r["doc_id"] for r in sel.collect())
+    assert got == sorted(expect)
+    # the python-code target pulls python-looking docs ahead of prose
+    assert {0, 1, 8} <= set(got)
+    assert 5 not in got and 6 not in got
+
+
+def test_duckdb_twin_matches_spark(spark, frames):
+    import duckdb
+    import pandas as pd
+
+    from vframe_spark.operators.curate import dsir_weights_duckdb_sql
+
+    docs, target = frames
+    pdf = pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    pred = f"doc_id IN ({', '.join(str(i) for i in sorted(TARGET_IDS))})"
+    sql = dsir_weights_duckdb_sql(pred, n=N, buckets=BUCKETS, alpha=ALPHA)
+    oracle = {int(r[0]): float(r[1]) for r in con.sql(sql).fetchall()}
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights(docs, target, n=N, buckets=BUCKETS, alpha=ALPHA).collect()
+    }
+    assert set(oracle) == set(got)
+    for did in got:
+        assert got[did] == pytest.approx(oracle[did], abs=1e-9), did

@@ -1124,3 +1124,184 @@ SELECT seq_id::BIGINT AS seq_id, {id_col},
        n_tokens
 FROM e
 """
+
+
+# ---------------------------------------- DSIR importance resampling
+
+def _dsir_bucket(gram: F.Column, buckets: int) -> F.Column:
+    """Hashed-feature bucket of one n-gram — the portable md5-60-bit
+    hash family (operators/sketch.py), so DuckDB replays it exactly."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dsir:"), gram)), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(buckets)).cast("int")
+
+
+def _dsir_doc_buckets(
+    df: DataFrame, text_col: str, id_col: str | None, n: int, buckets: int
+) -> DataFrame:
+    from ..functions.tokenizer import tokenize_expr
+
+    ids = [id_col] if id_col else []
+    grams = df.select(
+        *ids, F.explode(_gram_exprs(tokenize_expr(F.col(text_col)), n)).alias("gram")
+    )
+    return grams.select(*ids, _dsir_bucket(F.col("gram"), buckets).alias("bucket"))
+
+
+def dsir_log_ratios(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "content",
+    target_text_col: str | None = None,
+    n: int = 2,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-bucket importance log-ratio table (bucket, log_ratio) for
+    DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): hashed n-gram bag features, Laplace-smoothed
+    multinomial estimates for the target distribution (the corpus you
+    WANT more of) and the raw distribution (the corpus you're drawing
+    from), log θ̂_target[h] − log θ̂_raw[h] per bucket.
+
+    The table is ≤ ``buckets`` rows by construction — broadcast-sized
+    at any corpus scale; that bound is the whole point of hashing the
+    open n-gram vocabulary into a fixed feature space."""
+    raw = (
+        _dsir_doc_buckets(docs, text_col, None, n, buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("double").alias("r_cnt"))
+    )
+    tgt = (
+        _dsir_doc_buckets(target, target_text_col or text_col, None, n, buckets)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("double").alias("t_cnt"))
+    )
+    r_tot = raw.agg(F.sum("r_cnt").alias("r_tot"))
+    t_tot = tgt.agg(F.coalesce(F.sum("t_cnt"), F.lit(0.0)).alias("t_tot"))
+    ab = float(alpha) * buckets
+    return (
+        raw.join(tgt, "bucket", "full")
+        .crossJoin(r_tot)
+        .crossJoin(t_tot)
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("t_cnt"), F.lit(0.0)) + F.lit(float(alpha)))
+                    / (F.col("t_tot") + F.lit(ab))
+                )
+                - F.log(
+                    (F.coalesce(F.col("r_cnt"), F.lit(0.0)) + F.lit(float(alpha)))
+                    / (F.col("r_tot") + F.lit(ab))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    target_text_col: str | None = None,
+    n: int = 2,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document DSIR importance weight (id, weight): the sum of its
+    hashed n-gram buckets' log-ratios — log p̂_target(doc) −
+    log p̂_raw(doc) under the bag-of-hashed-ngrams multinomial. Docs
+    with no n-gram (shorter than ``n`` tokens) weigh 0.
+
+    Scale shape: the ratio table broadcasts (≤ ``buckets`` rows); the
+    corpus streams its gram buckets through that broadcast join inside
+    the scan pipeline and partial-aggregates per doc map-side — the
+    ONLY shuffle is the (doc, partial-sum) combine keyed on the id.
+    Nothing corpus-sized is ever collected or replicated."""
+    ratios = dsir_log_ratios(
+        docs, target, text_col, target_text_col, n, buckets, alpha
+    )
+    sums = (
+        _dsir_doc_buckets(docs, text_col, id_col, n, buckets)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("log_ratio").alias("weight"))
+    )
+    return docs.select(id_col).join(sums, id_col, "left").select(
+        id_col, F.coalesce("weight", F.lit(0.0)).alias("weight")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    target_text_col: str | None = None,
+    n: int = 2,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The ``k`` docs most like the target distribution: top-k by
+    (weight DESC, id ASC) — deterministic rank, distributed TakeOrdered
+    cut (never a global sort). Returns the full doc rows + ``weight``.
+
+    DSIR proper resamples with Gumbel noise for diversity; the
+    deterministic top-k is the reproducible-pipeline variant (seeded
+    noise can be added upstream as a column when diversity matters)."""
+    w = dsir_weights(
+        docs, target, id_col, text_col, target_text_col, n, buckets, alpha
+    )
+    top = w.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)
+    return docs.join(top, id_col)
+
+
+def dsir_weights_duckdb_sql(
+    target_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    n: int = 2,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` for a target defined as a
+    PREDICATE over the same table (how the contract query frames it).
+    Same md5 bucket hash, same Laplace estimates; the float sum is
+    order-sensitive, so consumers compare at a rounded grain."""
+    from ..functions.tokenizer import tokenize_duckdb_sql
+
+    tok = tokenize_duckdb_sql(text_col)
+    ab = float(alpha) * buckets
+    return f"""
+WITH toks AS (SELECT {id_col} AS _id, ({target_pred}) AS is_t, {tok} AS t FROM {table}),
+grams AS (
+  SELECT _id, is_t, array_to_string(t[i:i + {n - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+),
+db AS (
+  SELECT _id, is_t,
+         ((('0x' || substr(md5('dsir:' || gram), 1, 15))::BIGINT % {buckets}))::INT AS bucket
+  FROM grams
+),
+rc AS (SELECT bucket, count(*)::DOUBLE AS r_cnt FROM db GROUP BY 1),
+tc AS (SELECT bucket, count(*)::DOUBLE AS t_cnt FROM db WHERE is_t GROUP BY 1),
+tots AS (
+  SELECT (SELECT count(*) FROM db)::DOUBLE AS r_tot,
+         (SELECT count(*) FROM db WHERE is_t)::DOUBLE AS t_tot
+),
+ratio AS (
+  SELECT rc.bucket,
+         ln((coalesce(tc.t_cnt, 0) + {float(alpha)}) / (t.t_tot + {ab}))
+       - ln((rc.r_cnt + {float(alpha)}) / (t.r_tot + {ab})) AS log_ratio
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tots t
+),
+w AS (SELECT db._id, sum(log_ratio) AS weight FROM db JOIN ratio USING (bucket) GROUP BY 1)
+SELECT d.{id_col}, coalesce(w.weight, 0.0) AS weight
+FROM {table} d LEFT JOIN w ON w._id = d.{id_col}
+"""
