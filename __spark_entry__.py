@@ -5921,6 +5921,22 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+def _leakage_split_oracle_sql() -> str:
+    from vframe_spark.operators.curate import _SAMPLE_MOD, sample_hash_duckdb_sql
+
+    comp = "coalesce(cc.component, d.doc_id)"
+    h = sample_hash_duckdb_sql(comp, "split")
+    cut = int(0.2 * _SAMPLE_MOD)
+    return f"""
+WITH RECURSIVE
+{_NGRAM_PAIR_CTES},
+{_CC_CLOSURE_CTES}
+SELECT d.doc_id, d.lang, {comp} AS component,
+       CASE WHEN {h} < {cut} THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+"""
+
+
 def _dsir_oracle_sql() -> str:
     from vframe_spark.operators.curate import dsir_weights_duckdb_sql
 
@@ -7284,6 +7300,19 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_curate_leakage_split(spark, sf_dir):
+    """Leakage-safe train/test split (operators/cluster.py
+    leakage_safe_split): assignment unit = transitive near-dup cluster
+    over the exact-Jaccard pair set, so no near-duplicate pair ever
+    straddles the split — eval-set contamination is structurally
+    impossible. Oracle: recursive-CTE closure + the portable sample
+    hash on the component id."""
+    from vframe_spark.operators.cluster import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return leakage_safe_split(docs, _ngram_pairs(spark, sf_dir), test_frac=0.2)
+
+
 def q_curate_dsir_select(spark, sf_dir):
     """DSIR data selection (operators/curate.py dsir_weights, Xie et
     al. 2023): hashed-bigram importance log-ratios against the English
@@ -7351,6 +7380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_stream_windowed_terms": q_ft_stream_windowed_terms,
         "rel_salted_join": q_rel_salted_join,
         "curate_dsir_select": q_curate_dsir_select,
+        "curate_leakage_split": q_curate_leakage_split,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
@@ -7577,6 +7607,7 @@ def oracle_sql() -> dict[str, str]:
             "{QVALUES}", _ft_qterms_values_sql()
         ),
         "curate_dsir_select": _dsir_oracle_sql(),
+        "curate_leakage_split": _leakage_split_oracle_sql(),
         "rel_salted_join": """
             WITH l AS (SELECT least(l_partkey, 50) AS k, l_quantity FROM lineitem),
             p AS (SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey <= 50)

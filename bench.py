@@ -223,6 +223,7 @@ def main() -> None:
         "ft_stream_windowed_terms",
         "rel_salted_join",
         "curate_dsir_select",
+        "curate_leakage_split",
         "ft_block_join",
         "sketch_bloom_membership",
         "rel_sessionize",

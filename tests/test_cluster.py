@@ -133,3 +133,47 @@ def test_cc_hypothesis_random_graphs(spark):
             assert got == want
 
     check()
+
+
+def test_leakage_safe_split_never_separates_pairs(spark):
+    from vframe_spark.operators.cluster import leakage_safe_split
+
+    random.seed(7)
+    n = 400
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = [(random.randrange(n), random.randrange(n)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs, test_frac=0.3).collect()
+    assert len(out) == n
+    side = {r["doc_id"]: r["split"] for r in out}
+    comp = {r["doc_id"]: r["component"] for r in out}
+    for a, b in edges:
+        assert side[a] == side[b], (a, b)
+        assert comp[a] == comp[b]
+    # both sides populated at a 30% cut over ~hundreds of clusters
+    n_test = sum(1 for s in side.values() if s == "test")
+    assert 0.15 * n < n_test < 0.45 * n
+    # deterministic: same salt reproduces, different salt moves docs
+    again = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(docs, pairs, test_frac=0.3).collect()}
+    assert again == side
+    other = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(docs, pairs, test_frac=0.3, salt="x").collect()}
+    assert other != side
+
+
+def test_leakage_safe_split_singletons_and_bounds(spark):
+    from vframe_spark.operators.cluster import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs, test_frac=0.0).collect()
+    assert {r["split"] for r in out} == {"train"}
+    assert all(r["component"] == r["doc_id"] for r in out)
+    out2 = leakage_safe_split(docs, pairs, test_frac=1.0).collect()
+    assert {r["split"] for r in out2} == {"test"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        leakage_safe_split(docs, pairs, test_frac=1.5)

@@ -207,3 +207,48 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    test_frac: float = 0.1,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/test split that never separates near-duplicates: the unit
+    of assignment is the duplicate CLUSTER, not the document. A doc and
+    its near-copies land on the same side by construction, so held-out
+    evaluation can't be contaminated by a training-set twin — the
+    split-level complement of :func:`dedup_keep_canonical` (keep the
+    dups, but quarantine them together).
+
+    Every doc gets a component (its transitive near-dup cluster via
+    :func:`connected_components`; uncollided docs are their own
+    singleton), then the component id hashes into [0, 1) with the
+    engine-portable sample hash (curate._sample_hash — deterministic,
+    salt-keyed, DuckDB-replayable) and components below ``test_frac``
+    go to ``test``. Returns ``df`` + (component, split).
+
+    Scale shape: the component table is collision-sized (docs that
+    matched something), not corpus-sized; the corpus takes one left
+    join on its id and a pure projection — nothing corpus-sized
+    shuffles beyond that join.
+    """
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
+    from .curate import _SAMPLE_MOD, _sample_hash
+
+    cc = connected_components(pairs, id_a, id_b).withColumnRenamed("node", id_col)
+    comp = df.join(cc, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    cut = int(test_frac * _SAMPLE_MOD)
+    return comp.withColumn(
+        "split",
+        F.when(_sample_hash("component", salt) < cut, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
