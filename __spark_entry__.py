@@ -5921,6 +5921,17 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+def _categorize_oracle_sql() -> str:
+    from vframe_spark.functions.text import categorize_key_duckdb_sql
+
+    key = categorize_key_duckdb_sql("text")
+    return f"""
+SELECT {key} AS category, count(*)::BIGINT AS n_docs, min(doc_id) AS example_id
+FROM documents
+GROUP BY 1
+"""
+
+
 def _leakage_split_oracle_sql() -> str:
     from vframe_spark.operators.curate import _SAMPLE_MOD, sample_hash_duckdb_sql
 
@@ -7300,6 +7311,24 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_text_categorize(spark, sf_dir):
+    """ES categorize_text (functions/text.py categorize_key): messages
+    group by their first-5-pure-alpha-token skeleton — numbers/ids/
+    paths (the variable parts) drop out. Pure-JVM key expression; ONE
+    count shuffle on the key."""
+    from vframe_spark.functions.text import categorize_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(categorize_key(F.col("text")).alias("category"), "doc_id")
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("example_id"),
+        )
+    )
+
+
 def q_curate_leakage_split(spark, sf_dir):
     """Leakage-safe train/test split (operators/cluster.py
     leakage_safe_split): assignment unit = transitive near-dup cluster
@@ -7381,6 +7410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_salted_join": q_rel_salted_join,
         "curate_dsir_select": q_curate_dsir_select,
         "curate_leakage_split": q_curate_leakage_split,
+        "text_categorize": q_text_categorize,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
@@ -7608,6 +7638,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curate_dsir_select": _dsir_oracle_sql(),
         "curate_leakage_split": _leakage_split_oracle_sql(),
+        "text_categorize": _categorize_oracle_sql(),
         "rel_salted_join": """
             WITH l AS (SELECT least(l_partkey, 50) AS k, l_quantity FROM lineitem),
             p AS (SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey <= 50)

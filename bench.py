@@ -224,6 +224,7 @@ def main() -> None:
         "rel_salted_join",
         "curate_dsir_select",
         "curate_leakage_split",
+        "text_categorize",
         "ft_block_join",
         "sketch_bloom_membership",
         "rel_sessionize",

@@ -269,3 +269,35 @@ def test_weak_quality_training_spark_duckdb_parity(spark, sf001_dir):
     m = {r["y"]: r["avg"] for r in
          scored.groupBy("y").agg(F.avg("model_score").alias("avg")).collect()}
     assert m[1.0] > m[0.0]
+
+
+def test_categorize_key_groups_log_variables(spark):
+    """Messages differing only in numbers/ids/paths share a category;
+    the DuckDB twin produces bit-identical keys."""
+    import duckdb
+    import pandas as pd
+
+    from vframe_spark.functions.text import categorize_key, categorize_key_duckdb_sql
+
+    rows = [
+        (0, "Connection from 10.0.0.1 port 22 refused"),
+        (1, "Connection from 192.168.7.9 port 8443 refused"),
+        (2, "Task 0x7fa3 failed after 3 retries at /var/log/app.log"),
+        (3, "Task 0xdead failed after 17 retries at /opt/x.log"),
+        (4, "disk usage 91% on /dev/sda1"),
+        (5, ""),
+        (6, "12345 67890 42"),  # no alpha tokens → empty key
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in df.select("doc_id", categorize_key(F.col("text")).alias("k")).collect()
+    }
+    assert got[0] == got[1] == "connection from port refused"
+    assert got[2] == got[3] == "task failed after retries at"
+    assert got[5] == got[6] == ""
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = f"SELECT doc_id, {categorize_key_duckdb_sql('text')} AS k FROM t"
+    oracle = {int(r[0]): r[1] for r in con.sql(sql).fetchall()}
+    assert oracle == got

@@ -154,3 +154,25 @@ def fingerprint_poly_py(s: str, mod: int = (1 << 31) - 1, base: int = 31) -> int
     for ch in norm:
         acc = (acc * base + ord(ch)) % mod
     return acc
+
+
+def categorize_key(col, n_tokens: int = 5) -> Column:
+    """Log/message categorization key (the ES `categorize_text` shape,
+    drain-style): the message's first ``n_tokens`` PURE-ALPHA
+    whitespace tokens, lowercased and space-joined. Numbers, hex ids,
+    paths, timestamps — the variable parts of a log line — drop out,
+    so messages differing only in their variables share a key.
+    Pure Catalyst (split → filter → slice → join): codegens into the
+    scan, no shuffle until the caller aggregates per key."""
+    toks = F.split(F.lower(col), r"\s+")
+    alpha = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    return F.array_join(F.slice(alpha, 1, n_tokens), " ")
+
+
+def categorize_key_duckdb_sql(expr: str, n_tokens: int = 5) -> str:
+    """DuckDB twin of :func:`categorize_key` — same tokenization, same
+    alpha filter, same slice; bit-identical keys."""
+    toks = f"regexp_split_to_array(lower({expr}), '\\s+')"
+    alpha = f"list_filter({toks}, t -> regexp_matches(t, '^[a-z]+$'))"
+    # DuckDB slices an empty list to NULL where Spark joins to ''
+    return f"coalesce(array_to_string(({alpha})[1:{n_tokens}], ' '), '')"
