@@ -122,3 +122,36 @@ def test_duckdb_twin_matches_spark(spark, frames):
     assert set(oracle) == set(got)
     for did in got:
         assert got[did] == pytest.approx(oracle[did], abs=1e-9), did
+
+
+def test_gumbel_sample_is_deterministic_and_weight_biased(spark, frames):
+    from vframe_spark.functions.text import fingerprint_poly_py
+    from vframe_spark.operators.curate import _SAMPLE_MOD, dsir_sample
+
+    docs, target = frames
+
+    def brute_sample(salt, k):
+        want = _brute_weights()
+
+        def g(did):
+            h = (fingerprint_poly_py(f"{did}{salt}") * 2654435761) % _SAMPLE_MOD
+            u = (h + 0.5) / float(_SAMPLE_MOD)
+            return -math.log(-math.log(u))
+
+        keyed = sorted(want, key=lambda d: (-(want[d] + g(d)), d))
+        return set(keyed[:k])
+
+    for salt in ("dsir", "s1", "s2"):
+        sel = dsir_sample(
+            docs, target, k=4, n=N, buckets=BUCKETS, alpha=ALPHA, salt=salt
+        )
+        got = {r["doc_id"] for r in sel.collect()}
+        assert got == brute_sample(salt, 4), salt
+    # bias sanity: across many salts, the highest-weight doc is included
+    # more often than the lowest-weight doc (python-only resample loop)
+    want = _brute_weights()
+    hi = max(want, key=want.get)
+    lo = min(want, key=want.get)
+    n_hi = sum(hi in brute_sample(f"r{i}", 4) for i in range(60))
+    n_lo = sum(lo in brute_sample(f"r{i}", 4) for i in range(60))
+    assert n_hi > n_lo

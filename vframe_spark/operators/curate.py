@@ -1305,3 +1305,45 @@ w AS (SELECT db._id, sum(log_ratio) AS weight FROM db JOIN ratio USING (bucket) 
 SELECT d.{id_col}, coalesce(w.weight, 0.0) AS weight
 FROM {table} d LEFT JOIN w ON w._id = d.{id_col}
 """
+
+
+def gumbel_noise(id_col: str, salt: str = "dsir") -> F.Column:
+    """Salt-keyed deterministic Gumbel(0,1) noise per row: u =
+    (portable_hash + 0.5) / MOD ∈ (0,1), g = −ln(−ln u). Same noise on
+    every engine and every re-run — the derandomized sampling trick
+    shared with :func:`temperature_sample`'s hash thresholding."""
+    u = (_sample_hash(id_col, salt) + F.lit(0.5)) / F.lit(float(_SAMPLE_MOD))
+    return -F.log(-F.log(u))
+
+
+def gumbel_noise_duckdb_sql(id_col: str, salt: str = "dsir") -> str:
+    """DuckDB twin of :func:`gumbel_noise` (same hash, same algebra)."""
+    h = sample_hash_duckdb_sql(id_col, salt)
+    return f"(-ln(-ln((({h}) + 0.5) / {float(_SAMPLE_MOD)})))"
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    target_text_col: str | None = None,
+    n: int = 2,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR's actual resampling step: k docs WITHOUT replacement with
+    inclusion probability ∝ exp(importance weight), via the Gumbel
+    top-k identity (top-k of weight + Gumbel(0,1) noise IS such a
+    sample). Deterministic per ``salt`` — re-runs reproduce the sample,
+    a new salt redraws it; :func:`dsir_select` is the noise-free
+    argmax variant. Returns the selected doc rows + (weight, key).
+    Distributed TakeOrdered cut, never a global sort."""
+    w = dsir_weights(
+        docs, target, id_col, text_col, target_text_col, n, buckets, alpha
+    )
+    keyed = w.withColumn("key", F.col("weight") + gumbel_noise(id_col, salt))
+    top = keyed.orderBy(F.col("key").desc(), F.col(id_col)).limit(k)
+    return docs.join(top, id_col)
