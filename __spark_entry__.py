@@ -3696,6 +3696,59 @@ SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_sim_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN (operators/similarity.py sq_topk):
+    global [lo, hi] bounds over the normalized corpus, uint8 codes,
+    asymmetric dot product lo·Σq + Δ·(q·codes) — the corpus scan reads
+    only int8. Unlike PQ/IVF (k-means, rows-only) the whole pipeline is
+    closed-form arithmetic, so DuckDB replays it EXACTLY — a full
+    oracle for a quantized ANN path."""
+    from vframe_spark.operators.similarity import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    raw = sq_topk(emb, queries, k=15)  # 3× cushion, re-cut at the grain
+    scored = raw.select("qid", "vec_id", F.round("cosine", 4).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cosine")
+    )
+
+
+SQ_ORACLE_SQL = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)) AS vn
+  FROM embeddings
+),
+b AS (SELECT min(list_min(vn)) AS lo, max(list_max(vn)) AS hi FROM n),
+c AS (
+  SELECT vec_id,
+         list_transform(vn, x -> least(greatest(round((x - b.lo) / ((b.hi - b.lo) / 255.0)), 0.0), 255.0)) AS codes
+  FROM n CROSS JOIN b
+),
+q AS (SELECT vec_id AS qid, vn AS qn FROM n WHERE vec_id % 200 = 0),
+sims AS (
+  SELECT q.qid, c.vec_id,
+         round(b.lo * list_sum(q.qn)
+               + ((b.hi - b.lo) / 255.0) * list_dot_product(q.qn, c.codes), 4) AS cosine
+  FROM c CROSS JOIN q CROSS JOIN b
+),
+ranked AS (
+  SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, cosine
+  FROM sims
+)
+SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 SIM_FILTER_LABEL = 1
 
 
@@ -7484,6 +7537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_pq_topk": q_sim_pq_topk,
+        "sim_sq_topk": q_sim_sq_topk,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "text_token_counts": q_text_token_counts,
@@ -7795,6 +7849,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
         """,
         "sim_cosine_topk": SIM_ORACLE_SQL,
+        "sim_sq_topk": SQ_ORACLE_SQL,
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""

@@ -233,6 +233,7 @@ def main() -> None:
         "rel_percentiles",
         "sim_ivf_topk",
         "sim_pq_topk",
+        "sim_sq_topk",
         "ft_tokenize_tf",
         "dedup_exact_groups",
         "dedup_minhash_pairs",

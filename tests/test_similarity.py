@@ -321,3 +321,48 @@ def test_hard_negatives_excludes_same_label(spark):
         assert [v for _, v, _ in got] == [i for _, i in exp]
         for (_, _, c), (ec, _) in zip(got, exp):
             assert abs(c - ec) < 1e-9
+
+
+def test_sq_codes_shape_and_bounds(spark, emb):
+    from vframe_spark.operators.similarity import sq_assign, sq_train
+
+    df, vecs = emb
+    lo, hi = sq_train(df)
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    assert lo == pytest.approx(vn.min(), abs=1e-6)
+    assert hi == pytest.approx(vn.max(), abs=1e-6)
+    rows = sq_assign(df, lo, hi).collect()
+    assert len(rows) == N
+    for r in rows:
+        assert len(r["codes"]) == DIM
+        assert all(0 <= c <= 255 for c in r["codes"])
+        assert r["csum"] == sum(r["codes"])
+
+
+def test_sq_topk_recall_and_refine(spark, emb):
+    from vframe_spark.operators.similarity import sq_topk
+
+    df, vecs = emb
+    queries = [(1, vecs[17].tolist()), (2, vecs[99].tolist()), (3, vecs[3].tolist())]
+    k = 5
+    # raw int8 ADC: near-exact at 8 bits — every true top-k member found
+    raw = sq_topk(df, queries, k=k)
+    got = {}
+    for r in raw.collect():
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+    for qid, qvec in queries:
+        expect = [i for i, _ in _oracle_topk(vecs.astype(np.float64), np.asarray(qvec, float), k)]
+        overlap = len(set(got[qid]) & set(expect))
+        assert overlap >= k - 1, (qid, got[qid], expect)
+    # refined: exact re-rank over the shortlist == brute force exactly
+    ref = sq_topk(df, queries, k=k, refine=3)
+    by_q = {}
+    for r in ref.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, qvec in queries:
+        expect = _oracle_topk(vecs.astype(np.float64), np.asarray(qvec, float), k)
+        mine = sorted(by_q[qid])
+        assert [m[1] for m in mine] == [e[0] for e in expect]
+        for (_, _, c), (_, ec) in zip(mine, expect):
+            assert abs(c - ec) < 1e-9

@@ -747,3 +747,134 @@ def hard_negatives(
 
     partial = src.mapInPandas(score, "qid bigint, vec_id bigint, cosine double")
     return _topk_window(partial, k)
+
+
+# ------------------------------------------- int8 scalar quantization (SQ)
+
+def sq_train(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[float, float]:
+    """Global [lo, hi] component bounds of the UNIT-NORMALIZED corpus —
+    the int8 scalar-quantization range (the Lucene
+    Int8ScalarQuantizer shape, global range rather than per-dim).
+    One pure-JVM aggregate over (array_min/array_max ÷ ‖v‖): nothing
+    collects but two doubles."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.greatest(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), F.lit(1e-12)
+    )
+    row = embeddings.select(
+        (F.array_min(v) / norm).alias("lo"), (F.array_max(v) / norm).alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    lo, hi = float(row["lo"]), float(row["hi"])
+    if hi <= lo:
+        hi = lo + 1e-12
+    return lo, hi
+
+
+def sq_assign(
+    embeddings: DataFrame,
+    lo: float,
+    hi: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each unit-normalized vector to uint8 codes c_i =
+    round((x_i − lo)/Δ) clipped to [0, 255], Δ = (hi−lo)/255 →
+    (vec_id, codes array<int>, csum bigint). ``csum`` (Σ codes) is the
+    per-vector correction the asymmetric dot product needs; the pair is
+    the persisted representation (1 byte/dim + 8 bytes vs 4 bytes/dim —
+    the 4× that turns a 100 TB float corpus into 25 TB)."""
+    delta = (hi - lo) / 255.0
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                yield pd.DataFrame({"vec_id": [], "codes": [], "csum": []})
+                continue
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.clip(np.rint((mn - lo) / delta), 0, 255).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"], "codes": list(codes), "csum": codes.sum(axis=1)}
+            )
+
+    return src.mapInPandas(enc, "vec_id bigint, codes array<int>, csum bigint")
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Scalar-quantized ANN → (qid, rank, vec_id, cosine): the
+    asymmetric dot product keeps the query full-precision —
+    x·q ≈ lo·Σq_i + Δ·(q · codes) — so the corpus scan reads ONLY the
+    int8 codes (one float GEMM over the code matrix per Arrow batch,
+    identical partition-local top-k bound to the exact kernel:
+    partitions × k rows shuffle).
+
+    ``refine > 0`` widens the shortlist to refine×k and exact-cosine
+    re-ranks just those raw vectors (one semi-join) — the standard
+    two-stage pipeline shared with `pq_topk`. SQ sits between brute
+    force and PQ on the accuracy/compression curve: 4× smaller with
+    near-exact recall, vs PQ's 32× with coarser recall."""
+    if bounds is None:
+        bounds = sq_train(embeddings, id_col, vec_col)
+    lo, hi = bounds
+    delta = (hi - lo) / 255.0
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    qsum = qn.sum(axis=1)  # (Q,)
+    assigned = sq_assign(embeddings, lo, hi, id_col, vec_col)
+    shortlist = max(k, refine * k)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[float, int]]] = {int(q): [] for q in qids}
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(b["codes"].to_numpy()).astype(np.float64)  # (n, d)
+            sims = lo * qsum[:, None] + delta * (qn @ codes.T)  # (Q, n)
+            for qi, qid in enumerate(qids):
+                row = sims[qi]
+                take = min(shortlist, row.size)
+                idx = np.argpartition(-row, take - 1)[:take]
+                best[int(qid)].extend(zip(row[idx].tolist(), ids[idx].tolist()))
+                if len(best[int(qid)]) > 4 * shortlist:
+                    best[int(qid)] = sorted(
+                        best[int(qid)], key=lambda t: (-t[0], t[1])
+                    )[:shortlist]
+        rows = []
+        for qid, cands in best.items():
+            for cos, vid in sorted(cands, key=lambda t: (-t[0], t[1]))[:shortlist]:
+                rows.append((qid, vid, cos))
+        yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    partial = assigned.mapInPandas(adc, "qid bigint, vec_id bigint, cosine double")
+    if not refine:
+        return _topk_window(partial, k)
+    cand = _topk_window(partial, shortlist).select("qid", "vec_id")
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid bigint, qvec array<double>",
+    )
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    exact = (
+        cand.join(src, "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .withColumn(
+            "cosine", cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec"))
+        )
+    )
+    return _topk_window(exact.select("qid", "vec_id", "cosine"), k)
