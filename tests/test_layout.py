@@ -130,3 +130,55 @@ def test_parquet_rowgroups_actually_skip(spark, grid, tmp_path):
     got = spark.read.parquet(zdir).filter("b between 8 and 15").count()
     want = spark.read.parquet(ldir).filter("b between 8 and 15").count()
     assert got == want == grid.filter("b between 8 and 15").count()
+
+
+def test_bucketed_join_skips_the_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count sort-merge-join with
+    NO Exchange — the write-once shuffle amortized across every later
+    join. The same join over plain parquet pays the shuffle."""
+    from pyspark.sql import functions as F
+
+    from vframe_spark.layout import read_bucketed, write_bucketed
+
+    left = spark.range(10_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    write_bucketed(left, "tb_left", "k", 8, path=str(tmp_path / "l"), sort_by="k")
+    write_bucketed(right, "tb_right", "k", 8, path=str(tmp_path / "r"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bj = read_bucketed(spark, "tb_left").join(read_bucketed(spark, "tb_right"), "k")
+        bplan = bj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in bplan, bplan
+        pl, pr = str(tmp_path / "pl"), str(tmp_path / "pr")
+        left.write.parquet(pl)
+        right.write.parquet(pr)
+        pj = spark.read.parquet(pl).join(spark.read.parquet(pr), "k")
+        pplan = pj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pplan
+        # layout changes the plan, never the result
+        assert sorted(tuple(r) for r in bj.collect()) == sorted(
+            tuple(r) for r in pj.collect()
+        )
+
+        # aggregation on the bucket key also rides the layout: no Exchange
+        ag = read_bucketed(spark, "tb_left").groupBy("k").count()
+        aplan = ag._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+
+        # equality filter prunes to one bucket's files (autoBucketedScan
+        # demotes a filter-only scan to unbucketed, hiding the pruning —
+        # pin it off for the assert)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        fl = read_bucketed(spark, "tb_left").filter(F.col("k") == 7)
+        fplan = fl._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in fplan, fplan
+        assert fl.count() == 20
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS tb_left")
+        spark.sql("DROP TABLE IF EXISTS tb_right")

@@ -141,3 +141,46 @@ def rowgroups_matching(stats: list[dict], col: str, lo, hi) -> tuple[int, int]:
     min/max-pruning reader achieves on that predicate."""
     hit = sum(1 for r in stats if not (r[col][1] < lo or r[col][0] > hi))
     return hit, len(stats)
+
+
+# ---------------------------------------------- bucketed (co-located) layout
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    by: str | list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-BUCKETED parquet table: rows land in
+    ``n_buckets`` files per partition by ``hash(by) % n_buckets``, and
+    the layout is recorded in the catalog (bucketing is table METADATA
+    — only ``saveAsTable`` carries it; a plain ``.parquet(path)`` write
+    loses it, which is why this helper exists).
+
+    What it buys at scale: two tables bucketed on the same keys with
+    the same count sort-merge-join WITHOUT EXCHANGE — the shuffle that
+    dominates every big equi-join is paid ONCE at write time and
+    amortized over every subsequent join/aggregation on those keys
+    (asserted in tests/test_layout.py: no Exchange in the joined plan,
+    SelectedBucketsCount pruning on equality filters). The index
+    builder's bucket(term) layout (index/build.py) is this same
+    discipline hand-rolled for the posting store; this is the general
+    relational form. ``path`` makes the table external at that
+    location; default lands in the session warehouse dir."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = df.write.format("parquet").bucketBy(n_buckets, *by)
+    if sort_by:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.mode(mode).saveAsTable(table)
+
+
+def read_bucketed(spark, table: str) -> DataFrame:
+    """Catalog read of a bucketed table (the bucket metadata rides the
+    catalog entry — `spark.table`, never `spark.read.parquet`)."""
+    return spark.table(table)
