@@ -155,3 +155,29 @@ def test_gumbel_sample_is_deterministic_and_weight_biased(spark, frames):
     n_hi = sum(hi in brute_sample(f"r{i}", 4) for i in range(60))
     n_lo = sum(lo in brute_sample(f"r{i}", 4) for i in range(60))
     assert n_hi > n_lo
+
+
+def test_dsir_gate_filters_stream_batches(spark, frames):
+    from vframe_spark.operators.curate import (
+        dsir_gate,
+        dsir_log_ratios,
+        dsir_weights_from_ratios,
+    )
+
+    docs, target = frames
+    ratios = dsir_log_ratios(docs, target, n=N, buckets=BUCKETS, alpha=ALPHA).cache()
+    want = _brute_weights()
+    cut = sorted(want.values())[len(want) // 2]  # median threshold
+    gate = dsir_gate(ratios, cut, n=N, buckets=BUCKETS)
+    # a micro-batch is just a static frame — apply the gate to a slice
+    batch = docs.filter(F.col("doc_id") < 6)
+    kept = sorted(r["doc_id"] for r in gate(batch).collect())
+    expect = sorted(d for d, _ in DOCS if d < 6 and want[d] >= cut)
+    assert kept == expect
+    # serving path == training-corpus path for the same ratio table
+    w1 = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_weights_from_ratios(docs, ratios, n=N, buckets=BUCKETS).collect()
+    }
+    for did, wv in want.items():
+        assert w1[did] == pytest.approx(wv, abs=1e-9)

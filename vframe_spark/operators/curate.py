@@ -1224,6 +1224,23 @@ def dsir_weights(
     ratios = dsir_log_ratios(
         docs, target, text_col, target_text_col, n, buckets, alpha
     )
+    return dsir_weights_from_ratios(docs, ratios, id_col, text_col, n, buckets)
+
+
+def dsir_weights_from_ratios(
+    docs: DataFrame,
+    ratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    n: int = 2,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Score docs against an ALREADY-TRAINED ratio table — the serving
+    half of DSIR. ``n``/``buckets`` must match the training call. This
+    is the piece a stream applies per micro-batch (the ratio table is
+    static, offline-trained — see :func:`dsir_gate`). Buckets unseen at
+    training time carry no ratio row and contribute 0 (inner join),
+    matching the 'unknown feature is uninformative' convention."""
     sums = (
         _dsir_doc_buckets(docs, text_col, id_col, n, buckets)
         .join(F.broadcast(ratios), "bucket")
@@ -1233,6 +1250,30 @@ def dsir_weights(
     return docs.select(id_col).join(sums, id_col, "left").select(
         id_col, F.coalesce("weight", F.lit(0.0)).alias("weight")
     )
+
+
+def dsir_gate(
+    ratios: DataFrame,
+    min_weight: float,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    n: int = 2,
+    buckets: int = 4096,
+):
+    """Batch-transform closure for streaming ingest: keep docs whose
+    DSIR weight against the offline-trained ``ratios`` is ≥
+    ``min_weight``. Pass as ``incremental_index_stream(curate=...)`` —
+    the right split for corpus-relative curation in a stream: global
+    statistics train batch-side ONCE (`dsir_log_ratios` over a
+    reference corpus), the stream applies them statelessly per
+    micro-batch (no cross-batch state, no drift)."""
+
+    def gate(batch: DataFrame) -> DataFrame:
+        w = dsir_weights_from_ratios(batch, ratios, id_col, text_col, n, buckets)
+        keep = w.filter(F.col("weight") >= min_weight).select(id_col)
+        return batch.join(keep, id_col, "left_semi")
+
+    return gate
 
 
 def dsir_select(
