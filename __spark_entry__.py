@@ -3720,6 +3720,57 @@ def q_sim_sq_topk(spark, sf_dir):
     )
 
 
+def q_sim_maxsim_topk(spark, sf_dir):
+    """Late-interaction retrieval (operators/similarity.py maxsim_topk,
+    the ColBERT MaxSim shape): docs = 4-token-vector groups of the
+    embeddings table, score = Σ_i max_j (q̂_i·d̂_j). The whole pipeline
+    is closed-form (normalize, dot, max, sum) — full DuckDB oracle.
+    Each query is a doc's own token set, so it must retrieve itself
+    first (checked implicitly: rank-1 ids hash into the oracle
+    compare)."""
+    from vframe_spark.operators.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "doc_id", F.expr("vec_id div 4")
+    )
+    grouped = emb.groupBy("doc_id").agg(F.collect_list("embedding").alias("vecs"))
+    qrows = grouped.filter(F.col("doc_id") % 25 == 0).collect()
+    queries = [
+        (int(r["doc_id"]), [list(v) for v in r["vecs"]]) for r in qrows
+    ]
+    raw = maxsim_topk(grouped, queries, k=15)
+    scored = raw.select("qid", "doc_id", F.round("score", 4).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+MAXSIM_ORACLE_SQL = """
+WITH t AS (
+  SELECT vec_id // 4 AS doc_id, vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)) AS tn
+  FROM embeddings
+),
+q AS (SELECT doc_id AS qid, vec_id AS qtok, tn AS qt FROM t WHERE doc_id % 25 = 0),
+mx AS (
+  SELECT q.qid, q.qtok, t.doc_id, max(list_dot_product(q.qt, t.tn)) AS m
+  FROM q CROSS JOIN t
+  GROUP BY 1, 2, 3
+),
+score AS (SELECT qid, doc_id, round(sum(m), 4) AS score FROM mx GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 5
+"""
+
+
 SQ_ORACLE_SQL = """
 WITH n AS (
   SELECT vec_id,
@@ -7538,6 +7589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_sq_topk": q_sim_sq_topk,
+        "sim_maxsim_topk": q_sim_maxsim_topk,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "text_token_counts": q_text_token_counts,
@@ -7850,6 +7902,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_cosine_topk": SIM_ORACLE_SQL,
         "sim_sq_topk": SQ_ORACLE_SQL,
+        "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""

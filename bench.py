@@ -234,6 +234,7 @@ def main() -> None:
         "sim_ivf_topk",
         "sim_pq_topk",
         "sim_sq_topk",
+        "sim_maxsim_topk",
         "ft_tokenize_tf",
         "dedup_exact_groups",
         "dedup_minhash_pairs",

@@ -366,3 +366,37 @@ def test_sq_topk_recall_and_refine(spark, emb):
         assert [m[1] for m in mine] == [e[0] for e in expect]
         for (_, _, c), (_, ec) in zip(mine, expect):
             assert abs(c - ec) < 1e-9
+
+
+def test_maxsim_matches_brute_force(spark, emb):
+    from vframe_spark.operators.similarity import maxsim_topk
+
+    df, vecs = emb
+    G = 4  # token vectors per doc
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    docs = {d: vn[d * G : (d + 1) * G] for d in range(N // G)}
+
+    def brute(qtoks, k):
+        scores = {}
+        for d, m in docs.items():
+            sims = qtoks @ m.T  # (tq, td)
+            scores[d] = float(sims.max(axis=1).sum())
+        order = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+        return [(d, scores[d]) for d in order]
+
+    rows = [(d, [v.tolist() for v in m]) for d, m in docs.items()]
+    ddf = spark.createDataFrame(rows, "doc_id long, vecs array<array<double>>")
+    queries = [(1, docs[5].tolist()), (2, docs[30].tolist())]
+    res = maxsim_topk(ddf, queries, k=5, vec_col="vecs")
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, qtoks in queries:
+        expect = brute(np.array(qtoks), 5)
+        mine = sorted(by_q[qid])
+        assert [m[1] for m in mine] == [e[0] for e in expect], qid
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert abs(s - es) < 1e-9
+        # a query built from a doc's own tokens retrieves that doc first
+        assert mine[0][1] == {1: 5, 2: 30}[qid]
