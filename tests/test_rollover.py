@@ -116,3 +116,82 @@ def test_rollover_one_gen_per_append_id_discipline(spark, batches, tmp_path):
         got = sorted(r["doc_id"] for r in d.select("doc_id").collect())
         base_id = g * SLICE_STRIDE * span
         assert got == list(range(base_id, base_id + b.count()))
+
+
+def test_rollover_append_batch_key_is_exactly_once(spark, batches, tmp_path):
+    """A keyed replay (foreachBatch redelivery) overwrites the same
+    allocation instead of double-appending."""
+    base = str(tmp_path / "ilm4")
+    r1 = rollover_append(batches[0], base, max_docs=1, batch_key="b0", **KW)
+    r2 = rollover_append(batches[0], base, max_docs=1, batch_key="b0", **KW)  # replay
+    assert (r1["gen"], r2["gen"]) == (0, 0)
+    assert r2["rolled"] is False and r2["gen_docs"] == r1["gen_docs"]
+    _, _, d, _ = load_index(spark, gen_dir(base, 0))
+    assert d.count() == batches[0].count()  # no duplicates
+    # a NEW key after the replay still seals gen 0 and opens gen 1
+    r3 = rollover_append(batches[1], base, max_docs=1, batch_key="b1", **KW)
+    assert r3["gen"] == 1 and r3["rolled"] is True
+    ids0 = {r["doc_id"] for r in d.select("doc_id").collect()}
+    _, _, d1, _ = load_index(spark, gen_dir(base, 1))
+    ids1 = {r["doc_id"] for r in d1.select("doc_id").collect()}
+    assert not (ids0 & ids1)
+
+
+def test_rollover_index_stream_equals_batch_bm25(spark, batches, tmp_path):
+    """Streaming ILM end-to-end: three drops through
+    rollover_index_stream roll generations exactly like three batch
+    appends, and the federated search ranks identically to the
+    exhaustive union oracle."""
+    import glob
+    import os
+    import shutil
+
+    from vframe_spark.streaming.ingest import rollover_index_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = str(tmp_path / "ilm5")
+    for i, b in enumerate(batches):
+        cdir = str(tmp_path / f"chunk{i}")
+        b.coalesce(1).write.parquet(cdir)
+        shutil.copy(
+            glob.glob(os.path.join(cdir, "*.parquet"))[0],
+            os.path.join(src, f"drop_{i}.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(batches[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = rollover_index_stream(
+            stream, base, str(tmp_path / "ckpt"), max_docs=1,
+            shard_size=KW["shard_size"], block_size=KW["block_size"],
+            shards_per_slice=KW["shards_per_slice"],
+        )
+        q.awaitTermination(300)
+    state = _load(base)
+    assert sorted(int(g) for g in state["gens"]) == [0, 1, 2]
+    assert state["gens"]["0"]["sealed"] and state["gens"]["1"]["sealed"]
+
+    # rank identity vs the exhaustive oracle over the union corpus
+    sha_to_id = {}
+    for g in (0, 1, 2):
+        _, _, d, _ = load_index(spark, gen_dir(base, g))
+        for r in d.select("doc_id", "content_sha").collect():
+            sha_to_id[r["content_sha"]] = r["doc_id"]
+    rows = []
+    for b in batches:
+        for r in b.select("content", "lang").collect():
+            sha = hashlib.sha256(r["content"].encode()).hexdigest()
+            rows.append((sha_to_id[sha], r["content"], r["lang"]))
+    oracle = OracleIndex(rows)
+    got = rollover_search(spark, base, QS, k=10).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in QS:
+        expect = oracle.topk(q, k=10)
+        mine = sorted(per_q[qid])
+        assert [d for _, d, _ in mine] == [d for d, _ in expect]
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert abs(s - es) < 1e-9

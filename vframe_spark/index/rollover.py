@@ -81,43 +81,77 @@ def rollover_append(
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
     seal_compact: bool = False,
     lang_col: str | None = "lang",
+    batch_key: str | None = None,
 ) -> dict:
     """Append a batch to the lifecycle at ``base_dir``; roll the write
     generation first when it is already at/over ``max_docs`` (the ES
     rollover condition — a generation may overshoot by one batch,
     exactly like `max_docs` in ILM). Returns {"gen", "rolled",
     "n_docs", "gen_docs"}. ``seal_compact=True`` tiered-compacts a
-    generation as it seals (background force-merge in ES terms)."""
+    generation as it seals (background force-merge in ES terms).
+
+    ``batch_key`` makes the append EXACTLY-ONCE under retries (the
+    streaming contract — foreachBatch re-delivers a batch after a
+    crash): the key's (gen, slice range) allocation persists in the
+    state file BEFORE any data is written, so a replay re-reads its
+    prior allocation and overwrites the same slice dirs and manifest
+    rows (all keyed files) instead of allocating new ids — the same
+    discipline as streaming/ingest.py stream_state.json."""
     from .builder import _finalize, _write_manifest_row, _write_slice
 
     os.makedirs(base_dir, exist_ok=True)
     state = _load(base_dir)
-    gen = int(state["write_gen"])
-    gen_docs = int(state["gens"].get(str(gen), {}).get("n_docs", 0))
-    rolled = False
-    if gen_docs >= max_docs and gen_docs > 0:
-        if seal_compact:
-            from .compact import tiered_compact
+    span = shard_size * shards_per_slice
+    replay = batch_key is not None and batch_key in state.get("batches", {})
+    if replay:
+        alloc = state["batches"][batch_key]
+        gen, slice_lo, rolled = int(alloc["gen"]), int(alloc["slice_lo"]), False
+        n = int(alloc["n_docs"])
+        gen_docs = int(state["gens"][str(gen)]["n_docs"])
+        if n == 0:
+            return {"gen": gen, "rolled": False, "n_docs": 0, "gen_docs": gen_docs}
+    else:
+        gen = int(state["write_gen"])
+        gen_docs = int(state["gens"].get(str(gen), {}).get("n_docs", 0))
+        rolled = False
+        if gen_docs >= max_docs and gen_docs > 0:
+            if seal_compact:
+                from .compact import tiered_compact
 
-            tiered_compact(docs.sparkSession, gen_dir(base_dir, gen))
-        state["gens"][str(gen)]["sealed"] = True
-        gen += 1
-        state["write_gen"] = gen
-        gen_docs = 0
-        rolled = True
-        _save(base_dir, state)
+                tiered_compact(docs.sparkSession, gen_dir(base_dir, gen))
+            state["gens"][str(gen)]["sealed"] = True
+            gen += 1
+            state["write_gen"] = gen
+            gen_docs = 0
+            rolled = True
+            _save(base_dir, state)
+
+        n = docs.count()
+        if n == 0:
+            if batch_key is not None:
+                state.setdefault("batches", {})[batch_key] = {
+                    "gen": gen, "slice_lo": 0, "n_docs": 0,
+                }
+                _save(base_dir, state)
+            return {"gen": gen, "rolled": rolled, "n_docs": 0, "gen_docs": gen_docs}
+
+        next_rel = int(state["gens"].get(str(gen), {}).get("next_slice", 0))
+        slice_lo = gen * SLICE_STRIDE + next_rel
+        n_slices = (n + span - 1) // span
+        # commit the allocation (and, for keyed appends, the counters)
+        # BEFORE data lands: a crash/retry then replays the SAME ids
+        if batch_key is not None:
+            state.setdefault("batches", {})[batch_key] = {
+                "gen": gen, "slice_lo": slice_lo, "n_docs": int(n),
+            }
+            g = state["gens"].setdefault(str(gen), {"n_docs": 0, "next_slice": 0})
+            g["n_docs"] = int(g["n_docs"]) + int(n)
+            g["next_slice"] = next_rel + n_slices
+            _save(base_dir, state)
 
     out_dir = gen_dir(base_dir, gen)
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    span = shard_size * shards_per_slice
-    n = docs.count()
-    if n == 0:
-        return {"gen": gen, "rolled": rolled, "n_docs": 0, "gen_docs": gen_docs}
-
-    next_rel = int(state["gens"].get(str(gen), {}).get("next_slice", 0))
-    slice_lo = gen * SLICE_STRIDE + next_rel
-    n_slices = (n + span - 1) // span
 
     batch = assign_doc_ids(docs, list(order_cols)).withColumn(
         "doc_id", F.col("doc_id") + F.lit(slice_lo * span)
@@ -136,11 +170,17 @@ def rollover_append(
     _write_manifest_row(paths, row)
     _finalize(spark, paths, shard_size, block_size, term_buckets)
 
-    g = state["gens"].setdefault(str(gen), {"n_docs": 0, "next_slice": 0})
-    g["n_docs"] = int(g["n_docs"]) + int(n)
-    g["next_slice"] = next_rel + n_slices
-    _save(base_dir, state)
-    return {"gen": gen, "rolled": rolled, "n_docs": int(n), "gen_docs": g["n_docs"]}
+    if batch_key is None:
+        n_slices = (n + span - 1) // span
+        next_rel = slice_lo - gen * SLICE_STRIDE
+        g = state["gens"].setdefault(str(gen), {"n_docs": 0, "next_slice": 0})
+        g["n_docs"] = int(g["n_docs"]) + int(n)
+        g["next_slice"] = next_rel + n_slices
+        _save(base_dir, state)
+        gen_docs = g["n_docs"]
+    else:
+        gen_docs = int(_load(base_dir)["gens"][str(gen)]["n_docs"])
+    return {"gen": gen, "rolled": rolled, "n_docs": int(n), "gen_docs": gen_docs}
 
 
 def load_rollover(spark: SparkSession, base_dir: str) -> list[tuple]:

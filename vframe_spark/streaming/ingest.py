@@ -178,3 +178,48 @@ def ingest_stats_stream(stream_docs: DataFrame, window: str = "1 minute", waterm
             F.sum(F.length("content")).alias("bytes"),
         )
     )
+
+
+def rollover_index_stream(
+    stream_docs: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    max_docs: int,
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    shards_per_slice: int = 4,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+    order_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    trigger_available_now: bool = True,
+    lang_col: str | None = "lang",
+    curate=None,
+):
+    """Streaming ILM: every micro-batch appends into the rollover
+    lifecycle at ``base_dir`` (index/rollover.py), sealing and opening
+    write generations as ``max_docs`` fills — the always-on composition
+    of NRT ingest and index lifecycle. After every batch the lifecycle
+    is queryable via ``rollover_search`` with exhaustive-union rank
+    identity (the federated invariant).
+
+    Exactly-once: the micro-batch id is the ``batch_key`` —
+    ``rollover_append`` persists the key's (generation, slice range)
+    allocation before any data lands, so a foreachBatch redelivery
+    overwrites the same keyed files instead of double-appending."""
+    from ..index.rollover import rollover_append
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if curate is not None:
+            batch_df = curate(batch_df)
+        rollover_append(
+            batch_df, base_dir, max_docs=max_docs, shard_size=shard_size,
+            block_size=block_size, shards_per_slice=shards_per_slice,
+            term_buckets=term_buckets, order_cols=order_cols,
+            lang_col=lang_col, batch_key=f"stream:{batch_id}",
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
