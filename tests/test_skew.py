@@ -112,3 +112,37 @@ def test_rejects_right_preserving_joins(spark, skewed):
         salted_join(left, right, "k", how="full", hot=[0])
     with pytest.raises(ValueError):
         salted_join(left, right, "k", salts=1, hot=[0])
+
+
+def test_salted_join_hypothesis_equality(spark):
+    """Property: salted_join == plain join on arbitrary frames for any
+    hot list (hot or not, present on the right or dangling), any salt
+    count, both inner and left."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 12), st.integers(0, 99)),
+                 min_size=0, max_size=60),
+        st.lists(st.tuples(st.integers(0, 12), st.integers(0, 9)),
+                 min_size=0, max_size=20),
+        st.lists(st.integers(0, 14), min_size=0, max_size=3),
+        st.sampled_from([2, 3, 8]),
+        st.sampled_from(["inner", "left"]),
+    )
+    def check(lrows, rrows, hot, salts, how):
+        left = spark.createDataFrame(lrows or [(0, 0)], "k long, v long")
+        right = spark.createDataFrame(rrows or [(0, 0)], "k long, w long")
+        if not lrows:
+            left = left.filter("k < 0")
+        if not rrows:
+            right = right.filter("k < 0")
+        got = salted_join(left, right, "k", how=how, salts=salts, hot=hot)
+        want = left.join(right, ["k"], how)
+        key = lambda df: sorted(
+            tuple(r) for r in df.select(*sorted(df.columns)).collect()
+        )
+        assert key(got) == key(want)
+
+    check()
