@@ -149,3 +149,39 @@ def test_submit_rollover_and_force_merge(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
     assert "merges" in res
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_submit_dsir_select(tmp_path):
+    """The DSIR selection verb ships through --py-files like every
+    other verb: select the 20 docs most like the lang='en' subset of
+    the sf0.001 documents table in a fresh JVM."""
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import make
+
+    zip_path = make(str(tmp_path / "vframe_spark.zip"))
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    out_dir = str(tmp_path / "sel")
+    docs_dir = str(tmp_path / "docs")
+    # stage (doc_id, content, lang) from the testdata documents table
+    prep = subprocess.run(
+        [sys.executable, "-c",
+         "import duckdb; duckdb.sql(\"COPY (SELECT doc_id, text AS content, lang "
+         "FROM '/root/testdata/sf0.001/documents.parquet') TO '" + docs_dir +
+         "' (FORMAT parquet)\")"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert prep.returncode == 0, prep.stderr[-1000:]
+    out = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         os.path.join(ROOT, "tools", "submit_job.py"),
+         "select", "--docs-parquet", docs_dir,
+         "--target-where", "lang = 'en'", "--k", "20", "--out", out_dir],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["selected"] == 20 and res["mode"] == "argmax"
+    assert res["target_docs"] > 0

@@ -98,6 +98,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="after appending, run this query over ALL generations")
     ro.add_argument("--k", type=int, default=10)
 
+    sel = sub.add_parser("select", help="DSIR data selection: the --k docs "
+                         "most like the --target-where subset (or a Gumbel "
+                         "sample with --sample)")
+    sel.add_argument("--docs-parquet", required=True)
+    sel.add_argument("--target-where", required=True,
+                     help="SQL predicate over the docs defining the target "
+                          "distribution, e.g. \"lang = 'en'\"")
+    sel.add_argument("--k", type=int, required=True)
+    sel.add_argument("--out", required=True, help="output parquet dir")
+    sel.add_argument("--sample", action="store_true",
+                     help="Gumbel-top-k sample ∝ exp(weight) instead of argmax")
+    sel.add_argument("--salt", default="dsir")
+    sel.add_argument("--text-col", default="content")
+    sel.add_argument("--id-col", default="doc_id")
+    sel.add_argument("--ngram", type=int, default=2)
+    sel.add_argument("--buckets", type=int, default=4096)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -174,6 +191,25 @@ def main(argv: list[str] | None = None) -> int:
             for r in rollover_search(spark, args.base, [(1, args.query)], k=args.k).collect():
                 print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
                                   "score": round(r["score"], 4)}))
+    elif args.cmd == "select":
+        from vframe_spark.operators.curate import dsir_sample, dsir_select
+
+        docs = spark.read.parquet(args.docs_parquet)
+        target = docs.filter(args.target_where)
+        fn = dsir_sample if args.sample else dsir_select
+        kw = dict(
+            id_col=args.id_col, text_col=args.text_col,
+            n=args.ngram, buckets=args.buckets,
+        )
+        if args.sample:
+            kw["salt"] = args.salt
+        sel = fn(docs, target, args.k, **kw)
+        sel.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "selected": spark.read.parquet(args.out).count(),
+            "target_docs": target.count(),
+            "mode": "sample" if args.sample else "argmax",
+        }))
     elif args.cmd == "stats":
         from vframe_spark.index.builder import IndexPaths, load_index, read_manifest
 
