@@ -92,3 +92,37 @@ def test_curation_steps_chain(spark):
     assert all("@" not in r["content"] for r in rows_out)   # pii scrubbed
     assert all("spam.biz" not in r["url"] for r in rows_out)
     assert set(out.columns) == {"doc_id", "content", "lang", "url"}
+
+
+def test_session8_steps_compose(spark):
+    """DSIR gate / select, leakage split, and categorize register as
+    pipeline steps and chain into one plan."""
+    from vframe_spark.operators.curate import dsir_log_ratios
+    from vframe_spark.pipeline import Pipeline
+
+    rows = [
+        (i, ("def fn_%d(): return x" % i) if i % 2 else ("error %d at line" % i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    target = df.filter("doc_id % 2 = 1")  # the python-looking half
+    ratios = dsir_log_ratios(df, target, n=2, buckets=64)
+
+    gate = Pipeline([
+        ("dsir_gate", {"ratios": ratios, "min_weight": 0.0, "n": 2, "buckets": 64}),
+        ("categorize", {"text_col": "content", "n_tokens": 3}),
+    ])
+    out = gate(df)
+    got = out.collect()
+    assert 0 < len(got) < 40
+    kept = {r["doc_id"] for r in got}
+    assert all(i % 2 == 1 for i in kept)  # gate keeps the target-like half
+    assert {r["category"] for r in got} == {"def return x"}
+
+    sel = Pipeline([("dsir_select", {"target": target, "k": 5, "n": 2, "buckets": 64})])
+    assert sel(df).count() == 5
+
+    pairs = spark.createDataFrame([(0, 2), (2, 4)], "id_a long, id_b long")
+    sp = Pipeline([("leakage_split", {"pairs": pairs, "test_frac": 0.5})])
+    srows = {r["doc_id"]: (r["component"], r["split"]) for r in sp(df).collect()}
+    assert srows[0] == srows[2] == srows[4]  # one cluster, one side

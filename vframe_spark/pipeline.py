@@ -258,3 +258,42 @@ def _dedup_clusters_step(df, pairs, id_col: str = "doc_id"):
     from .operators.cluster import dedup_keep_canonical
 
     return dedup_keep_canonical(df, pairs, id_col=id_col)
+
+
+@register_step("dsir_gate")
+def _dsir_gate_step(df, ratios, min_weight: float, id_col: str = "doc_id",
+                    text_col: str = "content", n: int = 2, buckets: int = 4096):
+    """Keep docs whose DSIR weight against OFFLINE-trained ``ratios``
+    clears ``min_weight`` — the stream-safe corpus-relative gate
+    (ratios train once batch-side; this step is stateless per call)."""
+    from .operators.curate import dsir_gate
+
+    return dsir_gate(ratios, min_weight, id_col, text_col, n, buckets)(df)
+
+
+@register_step("dsir_select")
+def _dsir_select_step(df, target, k: int, id_col: str = "doc_id",
+                      text_col: str = "content", n: int = 2,
+                      buckets: int = 4096, alpha: float = 0.5):
+    """Top-k docs most like the ``target`` frame's distribution."""
+    from .operators.curate import dsir_select
+
+    return dsir_select(df, target, k, id_col, text_col, None, n, buckets, alpha)
+
+
+@register_step("leakage_split")
+def _leakage_split_step(df, pairs, test_frac: float = 0.1,
+                        id_col: str = "doc_id", salt: str = "split"):
+    """Attach (component, split) with near-dup clusters never straddling."""
+    from .operators.cluster import leakage_safe_split
+
+    return leakage_safe_split(df, pairs, test_frac, id_col, salt=salt)
+
+
+@register_step("categorize")
+def _categorize_step(df, text_col: str = "content", n_tokens: int = 5,
+                     out_col: str = "category"):
+    """Attach the log-categorization skeleton key."""
+    from .functions.text import categorize_key
+
+    return df.withColumn(out_col, categorize_key(F.col(text_col), n_tokens))
