@@ -1353,3 +1353,27 @@ def test_combined_fields_vs_python_reference(spark):
     # 'alpha' appears in BOTH fields of doc 1: df counts it once (3 docs
     # total hold alpha → df=3, not 4 as two per-field corpora would see)
     assert df["alpha"] == 2  # docs 1 and 2
+
+
+def test_local_engine_profile(spark, corpus, index):
+    """profile() wraps the SAME topk code path: identical results, sane
+    stage timings/counters, and cache-hit counters that move on repeat."""
+    from vframe_spark.query.local import LocalQueryEngine
+
+    postings, term_stats, _, meta = index
+    eng = LocalQueryEngine(postings, term_stats, meta)
+    q = "data parse zzzneverterm"
+    res, prof = eng.profile(q, k=5)
+    assert res == eng.topk(q, k=5)
+    assert prof["terms"] == 3 and prof["terms_absent"] == 1
+    assert prof["df_cache_hits"] == 0 and prof["shards"] >= 1
+    assert prof["blocks_scored"] > 0
+    for key in ("parse_ms", "dfs_ms", "fetch_ms", "score_ms", "total_ms"):
+        assert prof[key] >= 0.0
+    assert prof["total_ms"] >= prof["score_ms"]
+    # warm repeat: every df and every block served from the LRUs
+    res2, prof2 = eng.profile(q, k=5)
+    assert res2 == res
+    assert prof2["df_cache_hits"] == 3
+    assert prof2["block_cache_hits"] == 2  # both present terms cached
+    assert prof2["fetch_ms"] <= prof["fetch_ms"]

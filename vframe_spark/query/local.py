@@ -119,9 +119,25 @@ class LocalQueryEngine:
             return pd.DataFrame()
         return pd.concat(parts, ignore_index=True)
 
-    def topk(
+    def profile(
         self, query: str, k: int = 10, mode: str = "or", negation: bool = False,
         after: tuple[int, float] | None = None,
+    ) -> tuple[list[tuple[int, float]], dict]:
+        """ES ``_profile`` analog: run :meth:`topk` instrumented →
+        (results, profile). The profile carries per-stage wall times in
+        ms (``parse_ms``, ``dfs_ms``, ``fetch_ms``, ``score_ms``,
+        ``total_ms``) and work counters (``terms``, ``terms_absent``,
+        ``df_cache_hits``, ``block_cache_hits`` — terms served from the
+        LRU without touching the store —, ``blocks_scored``,
+        ``shards``). Same code path as ``topk`` (the timers wrap it),
+        so profiling can never report a plan the query didn't run."""
+        prof: dict = {}
+        res = self.topk(query, k, mode, negation, after, _prof=prof)
+        return res, prof
+
+    def topk(
+        self, query: str, k: int = 10, mode: str = "or", negation: bool = False,
+        after: tuple[int, float] | None = None, _prof: dict | None = None,
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] ranked (score DESC, doc_id ASC).
 
@@ -133,6 +149,9 @@ class LocalQueryEngine:
         exact top-k of the docs ranking strictly after the cursor —
         pass the previous page's last tuple verbatim (``after=page[-1]``).
         """
+        from time import perf_counter as _pc
+
+        t_start = _pc()
         if negation:
             from ..oracle import parse_signed_query
 
@@ -142,12 +161,35 @@ class LocalQueryEngine:
         else:
             q_terms = sorted(set(parse_query_terms(query)))
             neg_req = []
-        dfs = self._get_dfs(q_terms + neg_req)
+        t_parsed = _pc()
+        req = q_terms + neg_req
+        df_hits = sum(1 for t in req if t in self._dfs)
+        dfs = self._get_dfs(req)
+        t_dfs = _pc()
         terms = sorted(t for t in q_terms if t in dfs)
         negs = sorted(t for t in neg_req if t in dfs)
+        if _prof is not None:
+            _prof.update(
+                terms=len(req), terms_absent=len(req) - len(terms) - len(negs),
+                df_cache_hits=df_hits,
+                parse_ms=round((t_parsed - t_start) * 1e3, 3),
+                dfs_ms=round((t_dfs - t_parsed) * 1e3, 3),
+                fetch_ms=0.0, score_ms=0.0, block_cache_hits=0,
+                blocks_scored=0, shards=0,
+                total_ms=round((_pc() - t_start) * 1e3, 3),
+            )
         if not terms or (mode == "and" and len(terms) < len(q_terms)):
             return []
+        blk_hits = sum(1 for t in terms + negs if t in self._blocks)
         pdf = self._fetch(terms + negs)
+        t_fetch = _pc()
+        if _prof is not None:
+            _prof.update(
+                block_cache_hits=blk_hits,
+                fetch_ms=round((t_fetch - t_dfs) * 1e3, 3),
+                blocks_scored=int(len(pdf)),
+                total_ms=round((_pc() - t_start) * 1e3, 3),
+            )
         if pdf.empty:
             return []
         pdf = pdf.copy()
@@ -171,4 +213,10 @@ class LocalQueryEngine:
         allp = allp.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
+        if _prof is not None:
+            _prof.update(
+                shards=len(out_parts),
+                score_ms=round((_pc() - t_fetch) * 1e3, 3),
+                total_ms=round((_pc() - t_start) * 1e3, 3),
+            )
         return list(zip(allp["doc_id"].astype(int), allp["score"].astype(float)))
