@@ -7415,6 +7415,71 @@ GROUP BY 1, 2, 3
 """
 
 
+NOVELTY_N, NOVELTY_M, NOVELTY_K, NOVELTY_REF_MOD = 3, 65536, 4, 4
+
+
+def q_text_novelty(spark, sf_dir):
+    """N-gram novelty vs a reference-corpus Bloom filter (operators/
+    curate.py novelty_scores): docs with id % 4 == 0 form the "already
+    trained on" reference; every other doc scores the fraction of its
+    distinct trigrams absent from the reference filter — the
+    memorization/novelty probe. The salted-md5 bloom is the portable
+    sketch family, so DuckDB replays build + probe bit-for-bit."""
+    from vframe_spark.operators.curate import novelty_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    ref = docs.filter(F.col("doc_id") % NOVELTY_REF_MOD == 0)
+    probe = docs.filter(F.col("doc_id") % NOVELTY_REF_MOD != 0)
+    return novelty_scores(probe, ref, n=NOVELTY_N, m=NOVELTY_M, k=NOVELTY_K)
+
+
+def _novelty_oracle_sql() -> str:
+    n, m, k, mod = NOVELTY_N, NOVELTY_M, NOVELTY_K, NOVELTY_REF_MOD
+    w = 62
+    hashes = [
+        f"SELECT {{keys}} (('0x' || substr(md5('bloom{i}:' || gram), 1, 15))::BIGINT % {m}) AS pos "
+        f"FROM gr WHERE {{pred}}"
+        for i in range(k)
+    ]
+    bpos = " UNION ALL ".join(h.format(keys="", pred=f"doc_id % {mod} = 0") for h in hashes)
+    ppos = " UNION ALL ".join(
+        h.format(keys="doc_id, gram,", pred=f"doc_id % {mod} != 0") for h in hashes
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+gr AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i + {n - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+),
+bpos AS ({bpos}),
+state AS (
+  SELECT (pos // {w})::INT AS word, bit_or(1::BIGINT << (pos % {w})::INT) AS bits
+  FROM bpos GROUP BY 1
+),
+ppos AS ({ppos}),
+probe AS (
+  SELECT doc_id, gram, (pos // {w})::INT AS word, (pos % {w})::INT AS bit FROM ppos
+),
+hits AS (
+  SELECT doc_id, gram, ((coalesce(state.bits, 0) >> probe.bit) & 1) AS hit
+  FROM probe LEFT JOIN state USING (word)
+),
+cont AS (SELECT doc_id, gram, (min(hit) = 1) AS contained FROM hits GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         round(1.0 - avg(contained::INT), 6) AS novelty
+  FROM cont GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.novelty, 0.0) AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % {mod} != 0
+"""
+
+
 def q_text_categorize(spark, sf_dir):
     """ES categorize_text (functions/text.py categorize_key): messages
     group by their first-5-pure-alpha-token skeleton — numbers/ids/
@@ -7515,6 +7580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_dsir_select": q_curate_dsir_select,
         "curate_leakage_split": q_curate_leakage_split,
         "text_categorize": q_text_categorize,
+        "text_novelty": q_text_novelty,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
@@ -7745,6 +7811,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_dsir_select": _dsir_oracle_sql(),
         "curate_leakage_split": _leakage_split_oracle_sql(),
         "text_categorize": _categorize_oracle_sql(),
+        "text_novelty": _novelty_oracle_sql(),
         "rel_salted_join": """
             WITH l AS (SELECT least(l_partkey, 50) AS k, l_quantity FROM lineitem),
             p AS (SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey <= 50)

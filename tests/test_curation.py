@@ -633,3 +633,53 @@ def test_pack_sequences_invariants(spark):
     out2 = pack_sequences(docs, seq_len=L, num_partitions=11).collect()
     key = lambda r: (r["seq_id"], r["doc_id"], r["tok_from"], r["tok_to"], r["n_tokens"])
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_novelty_scores_match_bloom_replay(spark):
+    """novelty == 1 − mean(bloom membership) over each doc's distinct
+    grams, replayed driver-side with the portable bloom twin; a doc made
+    of reference text scores ~0, alien text scores 1 (no false
+    negatives ⇒ novelty never inflates)."""
+    from vframe_spark.functions.tokenizer import tokenize_py
+    from vframe_spark.operators.curate import novelty_scores
+    from vframe_spark.operators.sketch import bloom_contains_py
+
+    N_GRAM, M, K = 3, 4096, 4
+    ref_rows = [(100 + i, f"shared phrase number {i} appears in the reference set")
+                for i in range(20)]
+    docs_rows = [
+        (0, "shared phrase number 3 appears in the reference set"),  # all seen
+        (1, "totally alien walrus sentence nobody indexed anywhere before"),
+        (2, "shared phrase number 7 appears with an alien walrus twist"),
+        (3, "ab"),  # < n tokens → 0 grams
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, content string")
+    docs = spark.createDataFrame(docs_rows, "doc_id long, content string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novelty"])
+        for r in novelty_scores(docs, ref, n=N_GRAM, m=M, k=K).collect()
+    }
+
+    def grams(text):
+        t = tokenize_py(text)
+        return sorted({" ".join(t[i:i + N_GRAM]) for i in range(len(t) - N_GRAM + 1)})
+
+    ref_grams = {g for _, txt in ref_rows for g in grams(txt)}
+    # build the same filter driver-side
+    import hashlib as _h
+    words: dict[int, int] = {}
+    for g in sorted(ref_grams):
+        for i in range(K):
+            pos = int(_h.md5(f"bloom{i}:{g}".encode()).hexdigest()[:15], 16) % M
+            words[pos // 62] = words.get(pos // 62, 0) | (1 << (pos % 62))
+    for did, txt in docs_rows:
+        gs = grams(txt)
+        if not gs:
+            assert got[did] == (0, 0.0)
+            continue
+        contained = [bloom_contains_py(words, g, m=M, k=K) for g in gs]
+        want = round(1.0 - sum(contained) / len(gs), 6)
+        assert got[did] == (len(gs), want), did
+    assert got[0][1] == 0.0          # fully seen
+    assert got[1][1] == 1.0          # fully novel (no false positives here)
+    assert 0.0 < got[2][1] < 1.0     # mixed

@@ -1388,3 +1388,66 @@ def dsir_sample(
     keyed = w.withColumn("key", F.col("weight") + gumbel_noise(id_col, salt))
     top = keyed.orderBy(F.col("key").desc(), F.col(id_col)).limit(k)
     return docs.join(top, id_col)
+
+
+# ---------------------------------------------- n-gram novelty scoring
+
+def novelty_scores(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    m: int = 65536,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Per-doc novelty vs a reference corpus → (id, n_grams, novelty):
+    the fraction of the doc's DISTINCT token n-grams NOT present in the
+    reference, membership-tested against a Bloom filter of the
+    reference's grams (operators/sketch.py — the portable salted-md5
+    filter, so the whole pipeline is SQL-replayable).
+
+    This is the memorization/novelty probe of training-data analysis
+    (how much of a doc is already in the pretraining corpus?). It
+    complements :func:`decontaminate`: decontaminate broadcasts the
+    EXACT gram set of a small benchmark; novelty bounds memory at
+    ⌈m/62⌉ words when the reference is itself corpus-sized — the filter
+    broadcasts at any reference scale, with false positives
+    (reference-gram collisions) DEFLATING novelty at the standard
+    (1−e^{−kn/m})^k rate and never inflating it (no false negatives).
+
+    Scale shape: reference grams fold into the filter with one
+    word-keyed combine; doc grams stream through the broadcast
+    membership join inside the scan; the only corpus-keyed shuffle is
+    the per-doc (id, partial-avg) combine. Docs with no n-gram score
+    novelty 0 with n_grams 0.
+    """
+    from ..functions.tokenizer import tokenize_expr
+    from .sketch import bloom_contains, bloom_state
+
+    rcol = ref_text_col or text_col
+    ref_grams = reference.select(
+        F.explode(
+            F.array_distinct(_gram_exprs(tokenize_expr(F.col(rcol)), n))
+        ).alias("gram")
+    )
+    state = bloom_state(ref_grams, "gram", m=m, k=k)
+    doc_grams = docs.select(
+        id_col,
+        F.explode(
+            F.array_distinct(_gram_exprs(tokenize_expr(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+    hit = bloom_contains(state, doc_grams, "gram", m=m, k=k)
+    per_doc = hit.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.round(
+            F.lit(1.0) - F.avg(F.col("contained").cast("double")), 6
+        ).alias("novelty"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+        F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+    )
