@@ -2815,6 +2815,107 @@ SELECT qid, rank, doc_id, score, width FROM ranked WHERE rank <= {FT_K}
 """
 
 
+# match_phrase_prefix (search-as-you-type): last token is a prefix,
+# expanded against the vocab (df DESC, term ASC, capped) — qid 3's "s"
+# exercises the expansion cap, qid 4 is a single-slot pure prefix, qid
+# 5's absent fixed term matches nothing.
+FT_SAYT_QUERIES = [
+    (1, "table sc"),
+    (2, "hash jo"),
+    (3, "window s"),
+    (4, "que"),
+    (5, "zzzmissing ta"),
+]
+SAYT_MAX_EXP = 3
+
+
+def q_ft_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix / search-as-you-type (query/positional.py
+    match_phrase_prefix_topk): the last query token expands against the
+    vocabulary (df DESC, term ASC, ≤ 3 expansions — the deterministic
+    Lucene rewrite order), then the whole query runs as a MultiPhrase
+    with the expansion set at the final slot, entirely inside the
+    positional index scan. Scored as one synthetic phrase term (tf =
+    adjacency hits over ANY expansion); the oracle replays expansion,
+    adjacency, and BM25 in SQL."""
+    from vframe_spark.query.phrase import rank_verified
+    from vframe_spark.query.positional import multi_phrase_verified_positional
+    from vframe_spark.query.prefix import expand_prefix
+    from vframe_spark.functions.tokenizer import tokenize_py as _tok
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    mqueries = []
+    for qid, q in FT_SAYT_QUERIES:
+        toks = _tok(q)
+        exp = expand_prefix(term_stats, toks[-1], SAYT_MAX_EXP)
+        if not exp:
+            continue
+        mqueries.append((qid, [[t] for t in toks[:-1]] + [exp]))
+    verified = multi_phrase_verified_positional(postings, term_stats, meta, mqueries)
+    scored = rank_verified(verified, meta)
+    return _rounded_rank(scored.select("qid", "doc_id", "score"), FT_K)
+
+
+def _phrase_prefix_oracle_sql() -> str:
+    exp_ctes, match_ctes, unions = [], [], []
+    for qid, q in FT_SAYT_QUERIES:
+        toks = tokenize_py(q)
+        fixed, pfx = toks[:-1], toks[-1]
+        exp_ctes.append(
+            f"exp{qid} AS (SELECT term FROM vocab WHERE term LIKE '{pfx}%' "
+            f"ORDER BY df DESC, term LIMIT {SAYT_MAX_EXP})"
+        )
+        last = len(toks) - 1
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+            f"AND p{i}.term = '{t}'"
+            for i, t in enumerate(fixed)
+            if i > 0
+        )
+        if last == 0:
+            where = f"p0.term IN (SELECT term FROM exp{qid})"
+        else:
+            joins += (
+                f" JOIN pos p{last} ON p{last}.doc_id = p0.doc_id "
+                f"AND p{last}.pos = p0.pos + {last} "
+                f"AND p{last}.term IN (SELECT term FROM exp{qid})"
+            )
+            where = f"p0.term = '{fixed[0]}'"
+        match_ctes.append(
+            f"m{qid} AS (SELECT p0.doc_id, count(*)::BIGINT AS tf FROM pos p0 {joins} "
+            f"WHERE {where} GROUP BY 1)"
+        )
+        unions.append(f"SELECT {qid} AS qid, doc_id, tf FROM m{qid}")
+    ctes_sql = ",\n".join(exp_ctes + match_ctes)
+    unions_sql = " UNION ALL ".join(unions)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+pos AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS pos FROM toks),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+{ctes_sql},
+matches AS ({unions_sql}),
+dfq AS (SELECT qid, count(*)::BIGINT AS df FROM matches GROUP BY 1),
+scored AS (
+  SELECT m.qid, m.doc_id,
+         round(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (m.tf * {K1 + 1.0}) / (m.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), 4) AS score
+  FROM matches m JOIN dfq USING (qid) JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def q_ft_proximity_topk(spark, sf_dir):
     """Proximity-boosted conjunctive retrieval off the positional index
     (query/positional.py proximity_topk): BM25 × (1 + 1/(span−n+1)),
@@ -7632,6 +7733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_stats": q_ft_field_stats,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
+        "ft_phrase_prefix": q_ft_phrase_prefix,
         "ft_intervals_unordered": q_ft_intervals_unordered,
         "ft_intervals_ordered": q_ft_intervals_ordered,
         "ft_phrase_positional_slop": q_ft_phrase_positional_slop,
@@ -7913,6 +8015,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_phrase_topk": _phrase_oracle_sql(),
         "ft_phrase_positional": _phrase_oracle_sql(),
+        "ft_phrase_prefix": _phrase_prefix_oracle_sql(),
         "ft_intervals_unordered": _intervals_oracle_sql(False, IV_GAPS_UNORD),
         "ft_intervals_ordered": _intervals_oracle_sql(True, IV_GAPS_ORD),
         "ft_phrase_positional_slop": _phrase_slop_oracle_sql(),

@@ -14,6 +14,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from vframe_spark.corpus import synth_docs
+from vframe_spark.functions.tokenizer import tokenize_py
 from vframe_spark.ids import assign_doc_ids
 from vframe_spark.index.builder import build_index, delete_docs, load_index
 from vframe_spark.index.codec import positions_decode, varint_encode_segments
@@ -330,3 +331,128 @@ def test_interval_topk_bruteforce(spark, corpus, pos_index):
                 exp[(qid, d)] = (i, round(s, 9), w)
         assert got == exp, (ordered, gaps)
         assert not any(q == 3 for q, _ in got)
+
+
+# ------------------------------------- MultiPhrase / match_phrase_prefix
+
+def _brute_multi_tf(toks, slots):
+    """Count start positions p with toks[p+j] ∈ slots[j] for every j."""
+    n = len(slots)
+    return sum(
+        1
+        for p in range(len(toks) - n + 1)
+        if all(toks[p + j] in slots[j] for j in range(n))
+    )
+
+
+def test_multi_phrase_singleton_slots_equals_phrase(spark, corpus, pos_index):
+    from vframe_spark.query.positional import (
+        multi_phrase_verified_positional, phrase_verified_positional,
+    )
+
+    postings, term_stats, _, meta = load_index(spark, pos_index)
+    singles = [(qid, [[t] for t in tokenize_py(q)]) for qid, q in PHRASES]
+    got = multi_phrase_verified_positional(postings, term_stats, meta, singles)
+    want = phrase_verified_positional(postings, term_stats, meta, PHRASES)
+    key = lambda r: (r["qid"], r["doc_id"], r["tf"], r["dl"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_multi_phrase_union_slots_bruteforce(spark, corpus, pos_index):
+    from vframe_spark.query.positional import multi_phrase_verified_positional
+
+    postings, term_stats, _, meta = load_index(spark, pos_index)
+    toks_of = {
+        r["doc_id"]: tokenize_py(r["content"])
+        for r in corpus.select("doc_id", "content").collect()
+    }
+    queries = [
+        (1, [["data", "the"], ["data"]]),
+        (2, [["return"], ["result", "value", "data"]]),
+        (3, [["data"], ["zzznope"]]),          # unexpandable slot
+        (4, [["the"], ["data", "zzznope"]]),   # alt pruned, slot survives
+    ]
+    got = {
+        (r["qid"], r["doc_id"]): r["tf"]
+        for r in multi_phrase_verified_positional(
+            postings, term_stats, meta, queries
+        ).collect()
+    }
+    vocab = {t for toks in toks_of.values() for t in toks}
+    exp = {}
+    for qid, slots in queries:
+        pruned = [[t for t in alts if t in vocab] for alts in slots]
+        if not all(pruned):
+            continue
+        sets = [set(a) for a in pruned]
+        for d, toks in toks_of.items():
+            tf = _brute_multi_tf(toks, sets)
+            if tf > 0:
+                exp[(qid, d)] = tf
+    assert got == exp
+    assert not any(q == 3 for q, _ in got)
+
+
+def test_match_phrase_prefix_bruteforce(spark, corpus, pos_index):
+    from vframe_spark.query.phrase import rank_verified
+    from vframe_spark.query.positional import match_phrase_prefix_topk
+    from vframe_spark.query.prefix import expand_prefix
+
+    postings, term_stats, _, meta = load_index(spark, pos_index)
+    toks_of = {
+        r["doc_id"]: tokenize_py(r["content"])
+        for r in corpus.select("doc_id", "content").collect()
+    }
+    MAXEXP = 3
+    queries = [
+        (1, "data pa"),      # multi-expansion last slot
+        (2, "re"),           # single-slot pure prefix, df-capped
+        (3, "zzznope da"),   # absent fixed term -> no rows
+        (4, "data zzzno"),   # unexpandable prefix -> no rows
+    ]
+    got = {
+        (r["qid"], r["doc_id"]): (r["rank"], round(r["score"], 9))
+        for r in match_phrase_prefix_topk(
+            postings, term_stats, meta, queries, k=50, max_expansions=MAXEXP
+        ).collect()
+    }
+
+    # brute expansion: vocab terms with the prefix, df DESC then term ASC
+    df_of = {}
+    for toks in toks_of.values():
+        for t in set(toks):
+            df_of[t] = df_of.get(t, 0) + 1
+    n_docs = meta["n_docs"]
+    avgdl = float(meta["avgdl"])
+    from vframe_spark.query.bm25 import K1, B
+
+    exp = {}
+    for qid, q in queries:
+        toks = tokenize_py(q)
+        fixed, pfx = toks[:-1], toks[-1]
+        expn = sorted(
+            (t for t in df_of if t.startswith(pfx)),
+            key=lambda t: (-df_of[t], t),
+        )[:MAXEXP]
+        if not expn or any(t not in df_of for t in fixed):
+            continue
+        slots = [{t} for t in fixed] + [set(expn)]
+        matches = {
+            d: tf
+            for d, t in toks_of.items()
+            if (tf := _brute_multi_tf(t, slots)) > 0
+        }
+        dfq = len(matches)
+        import math
+
+        scored = []
+        for d, tf in matches.items():
+            idf = math.log(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5))
+            dl = len(toks_of[d])
+            s = idf * (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for i, (d, s) in enumerate(scored[:50], 1):
+            exp[(qid, d)] = (i, round(s, 9))
+    assert got == exp
+    assert not any(q in (3, 4) for q, _ in got)

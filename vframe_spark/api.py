@@ -798,6 +798,25 @@ class SearchIndex:
         prefixes = [(1, prefix)] if isinstance(prefix, str) else list(prefix)
         return suggest(term_stats, prefixes, k=k)
 
+    def search_as_you_type(
+        self,
+        query: str | list[tuple[int, str]],
+        k: int = 10,
+        max_expansions: int = 16,
+        slop: int = 0,
+    ) -> DataFrame:
+        """ES match_phrase_prefix: the last token is a prefix expanded
+        against the vocabulary; needs a positional index → (qid, rank,
+        doc_id, score); see `query.positional.match_phrase_prefix_topk`."""
+        from .query.positional import match_phrase_prefix_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return match_phrase_prefix_topk(
+            postings, term_stats, meta, queries, k=k,
+            max_expansions=max_expansions, slop=slop,
+        )
+
     def did_you_mean(
         self,
         query: str | list[tuple[int, str]],

@@ -40,23 +40,15 @@ from ..index.codec import for_decode, pfor_delta_decode, positions_decode
 from .phrase import VERIFY_SCHEMA, count_hits_positions
 
 
-def _group_verify(
-    pdf: pd.DataFrame, ordered_terms: dict[int, list[str]], slop: int
-) -> pd.DataFrame:
-    """One (qid, shard) group: decode each query term's postings +
-    positions, intersect the doc sets, then count phrase hits per
-    surviving doc from the position lists alone."""
-    qid = int(pdf["qid"].iloc[0])
-    terms = ordered_terms.get(qid)
-    empty = pd.DataFrame({"qid": [], "doc_id": [], "tf": [], "dl": []}).astype(
+def _EMPTY_VERIFY() -> pd.DataFrame:
+    return pd.DataFrame({"qid": [], "doc_id": [], "tf": [], "dl": []}).astype(
         {"qid": "int32", "doc_id": "int64", "tf": "int64", "dl": "int64"}
     )
-    if not terms:
-        return empty
-    need = sorted(set(terms))
-    if pdf["term"].nunique() < len(need):
-        return empty
-    # per distinct term: doc_id -> (positions array), plus doc -> dl
+
+
+def _decode_group(pdf: pd.DataFrame):
+    """Decode one (qid, shard) group's posting blocks → per distinct
+    term: doc_id → positions array, plus doc_id → dl."""
     pos_by_term: dict[str, dict[int, np.ndarray]] = {}
     dl_by_doc: dict[int, int] = {}
     for term, g in pdf.groupby("term"):
@@ -73,6 +65,24 @@ def _group_verify(
                 docs_pos[int(ids[i])] = flat[offs[i]: offs[i + 1]].astype(np.int64)
             dl_by_doc.update(zip(ids.tolist(), dls.tolist()))
         pos_by_term[term] = docs_pos
+    return pos_by_term, dl_by_doc
+
+
+def _group_verify(
+    pdf: pd.DataFrame, ordered_terms: dict[int, list[str]], slop: int
+) -> pd.DataFrame:
+    """One (qid, shard) group: decode each query term's postings +
+    positions, intersect the doc sets, then count phrase hits per
+    surviving doc from the position lists alone."""
+    qid = int(pdf["qid"].iloc[0])
+    terms = ordered_terms.get(qid)
+    empty = _EMPTY_VERIFY()
+    if not terms:
+        return empty
+    need = sorted(set(terms))
+    if pdf["term"].nunique() < len(need):
+        return empty
+    pos_by_term, dl_by_doc = _decode_group(pdf)
     # conjunctive doc intersection across the phrase's distinct terms
     doc_sets = [set(pos_by_term[t]) for t in need]
     cand = set.intersection(*doc_sets) if doc_sets else set()
@@ -152,6 +162,155 @@ def phrase_topk_positional(
     from .phrase import rank_verified
 
     verified = phrase_verified_positional(postings, term_stats, meta, phrases, slop)
+    scores = rank_verified(verified, meta, exclude_doc_ids=exclude_doc_ids)
+    return topk(scores.select("qid", "doc_id", "score"), k)
+
+
+# --------------------------------------- multi-phrase / search-as-you-type
+
+def _group_verify_multi(
+    pdf: pd.DataFrame, slots_of: dict[int, list[list[str]]], slop: int
+) -> pd.DataFrame:
+    """One (qid, shard) group of the MultiPhrase kernel: each phrase
+    slot admits a SET of alternative terms; a slot's per-doc position
+    list is the sorted union of its alternatives' positions (one token
+    per position ⇒ the union is duplicate-free), then the shared
+    adjacency counter runs unchanged."""
+    qid = int(pdf["qid"].iloc[0])
+    slots = slots_of.get(qid)
+    if not slots:
+        return _EMPTY_VERIFY()
+    pos_by_term, dl_by_doc = _decode_group(pdf)
+    per_slot_docs = []
+    for alts in slots:
+        docs: set[int] = set()
+        for t in alts:
+            docs.update(pos_by_term.get(t, ()))
+        if not docs:
+            return _EMPTY_VERIFY()
+        per_slot_docs.append(docs)
+    cand = set.intersection(*per_slot_docs)
+    out_d, out_tf = [], []
+    for doc in cand:
+        pos_lists = []
+        for alts in slots:
+            arrs = [
+                pos_by_term[t][doc]
+                for t in alts
+                if doc in pos_by_term.get(t, ())
+            ]
+            merged = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+            pos_lists.append(merged)
+        tf = count_hits_positions(pos_lists, slop)
+        if tf > 0:
+            out_d.append(doc)
+            out_tf.append(tf)
+    return pd.DataFrame(
+        {
+            "qid": np.full(len(out_d), qid, np.int32),
+            "doc_id": np.asarray(out_d, dtype=np.int64),
+            "tf": np.asarray(out_tf, dtype=np.int64),
+            "dl": np.asarray([dl_by_doc[d] for d in out_d], dtype=np.int64),
+        }
+    )
+
+
+def multi_phrase_verified_positional(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: list[tuple[int, list[list[str]]]],
+    slop: int = 0,
+) -> DataFrame:
+    """(qid, doc_id, tf, dl) matches of MultiPhrase queries — Lucene's
+    ``MultiPhraseQuery``: a token-position template where every slot is
+    a list of acceptable terms (``[["hash"], ["join", "joins"]]``).
+    Pure positional-index scan, same shape as the single-term engine:
+    term-``isin`` pushdown, bucket pruning, broadcast query table, one
+    (qid, shard) kernel. Slots are pruned to vocabulary terms; a query
+    with an empty slot after pruning matches nothing (ES semantics for
+    an unexpandable clause)."""
+    if not meta.get("positions"):
+        raise ValueError(
+            "index has no positions — build with build_index(..., "
+            "positions=True)"
+        )
+    spark: SparkSession = postings.sparkSession
+    raw_terms = sorted({t for _, slots in queries for alts in slots for t in alts})
+    if not raw_terms:
+        return spark.createDataFrame([], VERIFY_SCHEMA)
+    have = {
+        r["term"]
+        for r in term_stats.filter(F.col("term").isin(raw_terms)).select("term").collect()
+    }
+    slots_of: dict[int, list[list[str]]] = {}
+    for qid, slots in queries:
+        pruned_slots = [[t for t in alts if t in have] for alts in slots]
+        if pruned_slots and all(pruned_slots):
+            slots_of[qid] = pruned_slots
+    if not slots_of:
+        return spark.createDataFrame([], VERIFY_SCHEMA)
+    all_terms = sorted({t for slots in slots_of.values() for alts in slots for t in alts})
+    qrows = [
+        (qid, t)
+        for qid, slots in slots_of.items()
+        for t in sorted({t for alts in slots for t in alts})
+    ]
+    qdf = spark.createDataFrame(qrows, "qid int, term string")
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = pruned.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(F.broadcast(qdf), "term")
+    return matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _group_verify_multi(pdf, slots_of, slop), VERIFY_SCHEMA
+    )
+
+
+def match_phrase_prefix_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 16,
+    slop: int = 0,
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (search-as-you-type) → (qid, rank,
+    doc_id, score): the query's last token is a prefix, expanded against
+    the vocabulary to ≤ ``max_expansions`` terms (df DESC, term ASC —
+    the deterministic `prefix.expand_prefix` order), and the whole query
+    runs as a MultiPhrase with the expansion set at the final slot.
+    Scored as one synthetic phrase term (tf = hit count over ANY
+    expansion, df = verified match count) by the shared
+    `phrase.rank_verified` — so "hash jo" ranks docs where "hash" is
+    immediately followed by any vocab completion of "jo".
+
+    Scale shape: expansion is one range-prunable vocab scan (never the
+    postings); retrieval costs one MultiPhrase pass over ≤ n_fixed +
+    max_expansions pushed-down terms. An unexpandable prefix or an
+    absent fixed term matches nothing (ES semantics).
+    """
+    from .bm25 import topk
+    from .phrase import rank_verified
+    from .prefix import expand_prefix
+
+    mqueries: list[tuple[int, list[list[str]]]] = []
+    for qid, q in queries:
+        toks = tokenize_py(q)
+        if not toks:
+            continue
+        exp = expand_prefix(term_stats, toks[-1], max_expansions)
+        if not exp:
+            continue
+        mqueries.append((qid, [[t] for t in toks[:-1]] + [exp]))
+    verified = multi_phrase_verified_positional(
+        postings, term_stats, meta, mqueries, slop
+    )
     scores = rank_verified(verified, meta, exclude_doc_ids=exclude_doc_ids)
     return topk(scores.select("qid", "doc_id", "score"), k)
 
