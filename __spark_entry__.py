@@ -2916,6 +2916,87 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+# Phrase-through-synonyms: slot 1 of qid 1 keeps only "fast" (its
+# aliases are out-of-vocabulary — the prune-but-survive path); qids 2/3
+# have live alternatives at one slot.
+FT_SYNPH_QUERIES = [
+    (1, "fast table"),
+    (2, "data scan"),
+    (3, "sort merge"),
+]
+
+
+def q_ft_phrase_synonym(spark, sf_dir):
+    """ES match_phrase through a synonym filter (query/synonyms.py
+    synonym_phrase_topk): each phrase position accepts the token or any
+    single-token synonym — Lucene MultiPhraseQuery with per-slot
+    alternative sets, resolved inside the positional index scan and
+    scored as one synthetic phrase term. The oracle replays the same
+    slot expansion as IN-lists over the zipped-unnest position table."""
+    from vframe_spark.query.phrase import rank_verified
+    from vframe_spark.query.positional import multi_phrase_verified_positional
+    from vframe_spark.query.synonyms import expand_synonym_slots
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    mq = [
+        (qid, expand_synonym_slots(p, FT_SYNONYMS))
+        for qid, p in FT_SYNPH_QUERIES
+    ]
+    verified = multi_phrase_verified_positional(postings, term_stats, meta, mq)
+    scored = rank_verified(verified, meta)
+    return _rounded_rank(scored.select("qid", "doc_id", "score"), FT_K)
+
+
+def _phrase_synonym_oracle_sql() -> str:
+    from vframe_spark.query.synonyms import expand_synonym_slots
+
+    match_ctes, unions = [], []
+    for qid, q in FT_SYNPH_QUERIES:
+        slots = expand_synonym_slots(q, FT_SYNONYMS)
+
+        def in_list(alts):
+            return "(" + ", ".join(f"'{t}'" for t in alts) + ")"
+
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+            f"AND p{i}.term IN {in_list(alts)}"
+            for i, alts in enumerate(slots)
+            if i > 0
+        )
+        match_ctes.append(
+            f"m{qid} AS (SELECT p0.doc_id, count(*)::BIGINT AS tf FROM pos p0 {joins} "
+            f"WHERE p0.term IN {in_list(slots[0])} GROUP BY 1)"
+        )
+        unions.append(f"SELECT {qid} AS qid, doc_id, tf FROM m{qid}")
+    ctes_sql = ",\n".join(match_ctes)
+    unions_sql = " UNION ALL ".join(unions)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+pos AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS pos FROM toks),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+{ctes_sql},
+matches AS ({unions_sql}),
+dfq AS (SELECT qid, count(*)::BIGINT AS df FROM matches GROUP BY 1),
+scored AS (
+  SELECT m.qid, m.doc_id,
+         round(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (m.tf * {K1 + 1.0}) / (m.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), 4) AS score
+  FROM matches m JOIN dfq USING (qid) JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def q_ft_proximity_topk(spark, sf_dir):
     """Proximity-boosted conjunctive retrieval off the positional index
     (query/positional.py proximity_topk): BM25 × (1 + 1/(span−n+1)),
@@ -7734,6 +7815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_positional": q_ft_phrase_positional,
         "ft_phrase_prefix": q_ft_phrase_prefix,
+        "ft_phrase_synonym": q_ft_phrase_synonym,
         "ft_intervals_unordered": q_ft_intervals_unordered,
         "ft_intervals_ordered": q_ft_intervals_ordered,
         "ft_phrase_positional_slop": q_ft_phrase_positional_slop,
@@ -8016,6 +8098,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_topk": _phrase_oracle_sql(),
         "ft_phrase_positional": _phrase_oracle_sql(),
         "ft_phrase_prefix": _phrase_prefix_oracle_sql(),
+        "ft_phrase_synonym": _phrase_synonym_oracle_sql(),
         "ft_intervals_unordered": _intervals_oracle_sql(False, IV_GAPS_UNORD),
         "ft_intervals_ordered": _intervals_oracle_sql(True, IV_GAPS_ORD),
         "ft_phrase_positional_slop": _phrase_slop_oracle_sql(),

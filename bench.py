@@ -148,6 +148,8 @@ def main() -> None:
         "ft_facets",
         "ft_phrase_topk",
         "ft_phrase_positional",
+        "ft_phrase_prefix",
+        "ft_phrase_synonym",
         "ft_snippets",
         "ft_hybrid_rrf",
         "ft_fuzzy_topk",
@@ -225,6 +227,7 @@ def main() -> None:
         "curate_dsir_select",
         "curate_leakage_split",
         "text_categorize",
+        "text_novelty",
         "ft_block_join",
         "sketch_bloom_membership",
         "rel_sessionize",

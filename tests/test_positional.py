@@ -456,3 +456,50 @@ def test_match_phrase_prefix_bruteforce(spark, corpus, pos_index):
             exp[(qid, d)] = (i, round(s, 9))
     assert got == exp
     assert not any(q in (3, 4) for q, _ in got)
+
+
+def test_synonym_phrase_bruteforce(spark, corpus, pos_index):
+    from vframe_spark.query.synonyms import (
+        expand_synonym_slots, synonym_phrase_topk,
+    )
+
+    postings, term_stats, _, meta = load_index(spark, pos_index)
+    syn = {
+        "data": ["value", "zzznope"],       # one live alt, one OOV alt
+        "return": ["yield"],
+        "missing": ["alsomissing"],
+    }
+    queries = [(1, "data analysis"), (2, "return result"), (3, "missing data")]
+    got = {
+        (r["qid"], r["doc_id"]): r["rank"]
+        for r in synonym_phrase_topk(
+            postings, term_stats, meta, queries, syn, k=100
+        ).collect()
+    }
+    toks_of = {
+        r["doc_id"]: tokenize_py(r["content"])
+        for r in corpus.select("doc_id", "content").collect()
+    }
+    vocab = {t for toks in toks_of.values() for t in toks}
+    exp_pairs = set()
+    for qid, q in queries:
+        slots = [
+            {t for t in alts if t in vocab}
+            for alts in expand_synonym_slots(q, syn)
+        ]
+        if not all(slots):
+            continue
+        for d, toks in toks_of.items():
+            if _brute_multi_tf(toks, slots) > 0:
+                exp_pairs.add((qid, d))
+    assert set(got) == exp_pairs
+    assert not any(q == 3 for q, _ in got)     # fully-OOV slot drops query
+    # "data value" alternation matches strictly more docs than plain "data ..."
+    from vframe_spark.query.positional import phrase_verified_positional
+    plain = {
+        r["doc_id"]
+        for r in phrase_verified_positional(
+            postings, term_stats, meta, [(1, "data analysis")]
+        ).collect()
+    }
+    assert plain <= {d for q, d in exp_pairs if q == 1}

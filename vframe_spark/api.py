@@ -817,6 +817,24 @@ class SearchIndex:
             max_expansions=max_expansions, slop=slop,
         )
 
+    def search_phrase_synonyms(
+        self,
+        query: str | list[tuple[int, str]],
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        slop: int = 0,
+    ) -> DataFrame:
+        """Phrase search through a synonym filter: each position accepts
+        the token or a single-token synonym; needs a positional index.
+        See `query.synonyms.synonym_phrase_topk`."""
+        from .query.synonyms import synonym_phrase_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return synonym_phrase_topk(
+            postings, term_stats, meta, queries, synonyms, k=k, slop=slop,
+        )
+
     def did_you_mean(
         self,
         query: str | list[tuple[int, str]],
