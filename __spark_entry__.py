@@ -18,6 +18,8 @@ import hashlib
 import itertools
 import os
 import tempfile
+
+import numpy as np
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -5316,6 +5318,67 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+SEM_K, SEM_T = 8, 0.35
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic near-dup removal (operators/similarity.py
+    semantic_dedup): nearest-centroid cluster assignment (cosine, 6-dp
+    grain, ties → lowest index) → within-cluster pair GEMM (4-dp cosine
+    ≥ t) → connected components → keep the min id per component. The
+    contract pins the closed-form centroid choice — the first SEM_K
+    vectors by id — so DuckDB replays assignment, pairs, closure, and
+    the keep flag exactly (cosine is normalization-invariant, so the
+    oracle needs no normalization step)."""
+    from vframe_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = np.array(
+        [
+            list(r["embedding"])
+            for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(SEM_K).collect()
+        ],
+        dtype=np.float64,
+    )
+    return semantic_dedup(emb, centroids=cents, threshold=SEM_T)
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    def cos_expr(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+            f" (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) *"
+            f" sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+        )
+
+    acos = cos_expr("v.embedding", "c.embedding")
+    pcos = cos_expr("ea.embedding", "eb.embedding")
+    return f"""
+WITH RECURSIVE
+cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {SEM_K}),
+assign AS (
+  SELECT v.vec_id, c.cid, round({acos}, 6) AS cos
+  FROM embeddings v CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, cid AS list_id FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM best a JOIN best b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({pcos}, 4) >= {SEM_T}
+),
+{_CC_CLOSURE_CTES}
+SELECT b.vec_id, b.list_id,
+       coalesce(cc.component, b.vec_id) AS component,
+       (coalesce(cc.component, b.vec_id) = b.vec_id) AS keep
+FROM best b LEFT JOIN cc ON cc.doc_id = b.vec_id
+"""
+
+
 def q_curate_sample_stratified(spark, sf_dir):
     """Deterministic hash-based stratified sampling (training-mix
     construction): portable hash ⇒ the DuckDB oracle selects the SAME
@@ -7897,6 +7960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_collapse_topk": q_ft_collapse_topk,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_semantic": q_dedup_semantic,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "curate_sample_stratified": q_curate_sample_stratified,
         "ft_more_like_this": q_ft_more_like_this,
@@ -8574,6 +8638,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_collapse_topk": _collapse_oracle_sql(),
         "ft_fuzzy_topk": _fuzzy_oracle_sql(),
         "dedup_embedding_pairs": EMB_PAIRS_ORACLE_SQL,
+        "dedup_semantic": _semantic_dedup_oracle_sql(),
         "curate_sample_stratified": _stratified_oracle_sql(),
         "ft_more_like_this": _mlt_oracle_sql(),
         "curate_decontaminate": _decontaminate_oracle_sql(),

@@ -247,6 +247,7 @@ def main() -> None:
         "sim_hard_negatives",
         "sim_lsh_topk",
         "dedup_embedding_pairs",
+        "dedup_semantic",
         "dedup_clusters",
         "curate_decontaminate",
         "curate_sample_stratified",

@@ -344,3 +344,58 @@ def test_dedup_lines_keepfirst(spark):
     assert out[3]["text_clean"] == ""  # both lines seen earlier
     assert (out[3]["n_lines"], out[3]["n_removed"]) == (2, 2)
     assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 1
+
+
+def test_semantic_dedup_numpy_replay(spark):
+    """semantic_dedup == a driver-side numpy replay of the whole
+    pipeline (assign → within-cluster pairs → union-find → keep min id)
+    on random vectors with planted duplicate groups."""
+    import numpy as np
+
+    from vframe_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 16))
+    # plant near-duplicate groups: rows 50..54 copy row 0, 55..59 row 1
+    for i in range(5):
+        base[50 + i] = base[0] + rng.normal(scale=1e-3, size=16)
+        base[55 + i] = base[1] + rng.normal(scale=1e-3, size=16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>",
+    )
+    K, T = 4, 0.98
+    cents = base[:K]
+    got = {
+        r["vec_id"]: (r["list_id"], r["component"], r["keep"])
+        for r in semantic_dedup(emb, centroids=cents, threshold=T).collect()
+    }
+
+    # numpy replay — float32 round-trip first (array<float> storage)
+    m = base.astype(np.float32).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = np.round(mn @ cn.T, 6).argmax(axis=1)
+    parent = list(range(len(m)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sims = np.round(mn @ mn.T, 4)
+    for a in range(len(m)):
+        for b in range(a + 1, len(m)):
+            if assign[a] == assign[b] and sims[a, b] >= T:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = [min(i for i in range(len(m)) if find(i) == find(v)) for v in range(len(m))]
+    want = {
+        v: (int(assign[v]), comp[v], comp[v] == v) for v in range(len(m))
+    }
+    assert got == want
+    # the planted groups actually collapsed
+    assert sum(1 for _, (_, c, _) in got.items() if c == got[50][1]) >= 5
+    assert not got[51][2] and got[got[51][1]][2]

@@ -959,3 +959,159 @@ def maxsim_topk(
         .withColumnRenamed("vec_id", "doc_id")
         .withColumnRenamed("cosine", "score")
     )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+def cluster_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment by COSINE → (vec_id, vec, list_id,
+    cos). Like :func:`ivf_assign` but (a) centroids are unit-normalized
+    inside the kernel so the compared value IS the cosine, and (b) the
+    cosine can be rounded to ``round_dp`` BEFORE the argmax (ties →
+    lowest centroid index) — the grain at which a SQL oracle replays
+    the assignment exactly."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mn @ cents.T
+            if round_dp is not None:
+                sims = np.round(sims, round_dp)
+            best = sims.argmax(axis=1)  # first max ⇒ lowest centroid idx
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "vec": b["vec"],
+                    "list_id": best.astype(np.int64),
+                    "cos": sims[np.arange(len(best)), best],
+                }
+            )
+
+    return src.mapInPandas(
+        assign, "vec_id bigint, vec array<float>, list_id bigint, cos double"
+    )
+
+
+def cluster_cosine_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    round_dp: int | None = 4,
+    cluster_col: str = "list_id",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Within-cluster near-dup pairs → (vec_id_a, vec_id_b, list_id,
+    cosine) with a < b and rounded cosine ≥ ``threshold``. One GEMM per
+    cluster (row-blocked to bound task memory); only above-threshold
+    pairs leave the kernel. This is SemDeDup's candidate bound: pair
+    work is Σ cᵢ² over cluster sizes, never corpus², and growing the
+    cluster count with the corpus keeps cᵢ — and so per-task cost —
+    flat."""
+    thr = float(threshold)
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["vec_id_a", "vec_id_b", "list_id", "cosine"]
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=cols)
+        lid = int(pdf[cluster_col].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ids), block_rows):
+            blk = slice(lo, lo + block_rows)
+            sims = mat[blk] @ mat.T
+            if round_dp is not None:
+                sims = np.round(sims, round_dp)
+            ii, jj = np.nonzero(sims >= thr)
+            a, b, c = ids[blk][ii], ids[jj], sims[ii, jj]
+            keep = a < b
+            out_a.append(a[keep]); out_b.append(b[keep]); out_c.append(c[keep])
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.concatenate(out_a),
+                "vec_id_b": np.concatenate(out_b),
+                "list_id": np.full(sum(map(len, out_a)), lid, np.int64),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return assigned.groupBy(cluster_col).applyInPandas(
+        gemm, "vec_id_a bigint, vec_id_b bigint, list_id bigint, cosine double"
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    dim: int | None = None,
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    sample: int = 20000,
+    iters: int = 10,
+    assign_round_dp: int | None = 6,
+    pair_round_dp: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    over an embedding column → (vec_id, list_id, component, keep).
+
+    Pipeline: spherical k-means centroids (``ivf_train`` on a bounded
+    deterministic sample, or caller-provided ``centroids`` — e.g. the
+    first-k closed form when a SQL-replayable contract is wanted) →
+    broadcast nearest-centroid assignment (one GEMM pass, cosine
+    rounded to ``assign_round_dp``, ties → lowest index) →
+    within-cluster pair GEMM (rounded cosine ≥ ``threshold``) →
+    connected components over the pair graph → keep the minimum id per
+    component (singletons keep themselves). ``keep`` marks the
+    canonical representative of each semantic-duplicate group.
+
+    Scale shape: training touches ≤ ``sample`` rows; centroids
+    broadcast; assignment + pair GEMMs are partition-local; the only
+    corpus-keyed shuffle is the groupBy(list_id); the cc runs on the
+    collision pairs (tiny next to the corpus — same hybrid as
+    `cluster.connected_components`). Pair work is bounded per cluster,
+    so n_clusters should grow with the corpus (SemDeDup's own recipe).
+    """
+    from .cluster import connected_components
+
+    if centroids is None:
+        if dim is None:
+            raise ValueError("semantic_dedup needs dim= when training centroids")
+        centroids = ivf_train(
+            embeddings, dim, n_lists=n_clusters, seed=seed, sample=sample,
+            iters=iters, id_col=id_col, vec_col=vec_col,
+        )
+    assigned = cluster_assign(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col,
+        round_dp=assign_round_dp,
+    )
+    pairs = cluster_cosine_pairs(assigned, threshold, round_dp=pair_round_dp)
+    cc = connected_components(
+        pairs, "vec_id_a", "vec_id_b", driver_threshold=driver_threshold
+    )
+    out = (
+        assigned.select("vec_id", "list_id")
+        .join(cc.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.coalesce("component", F.col("vec_id")).alias("component"),
+            (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+        )
+    )
+    return out
