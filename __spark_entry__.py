@@ -703,6 +703,91 @@ def q_ft_stream_windowed_terms(spark, sf_dir):
     return top_terms_per_window(spark.table(name), k=5)
 
 
+ATTR_WITHIN_MIN = 360
+_ATTR_SEQ = itertools.count()
+
+
+def q_ev_stream_attribution(spark, sf_dir):
+    """Stream-stream interval join (streaming/joins.py
+    stream_interval_join): the events table splits into a VIEW stream
+    and a CLICK stream, each arriving as two time-ordered file drops;
+    the watermarked join attributes every click to the same user's
+    views in the preceding 6 hours. Inner stream-stream joins emit
+    exactly the matched pair set regardless of batch boundaries, so the
+    result is a plain interval self-join in SQL — a full oracle for a
+    two-stream stateful operator. Watermark (12 h) > join reach (6 h):
+    no in-window state is evicted before the other side arrives."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from vframe_spark.streaming.joins import stream_interval_join
+
+    tag = hashlib.md5(f"attr:{sf_dir}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"vfstream_{tag}")
+    done = os.path.join(out, "DONE")
+    if not os.path.exists(done):
+        _shutil.rmtree(out, ignore_errors=True)
+        for side, etype in (("views", "view"), ("clicks", "click")):
+            os.makedirs(os.path.join(out, side))
+            ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == etype)
+            for i, (lo, hi) in enumerate(
+                [(None, "2024-01-16"), ("2024-01-16", None)]
+            ):
+                chunk = ev
+                if lo:
+                    chunk = chunk.filter(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+                if hi:
+                    chunk = chunk.filter(F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+                cdir = os.path.join(out, f"{side}_chunk{i}")
+                chunk.coalesce(1).write.parquet(cdir)
+                _shutil.copy(
+                    _glob.glob(os.path.join(cdir, "*.parquet"))[0],
+                    os.path.join(out, side, f"drop_{i}.parquet"),
+                )
+        open(done, "w").write("ok")
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    views = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(out, "views"))
+        .select("event_id", "ts", "user_id")
+    )
+    clicks = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(out, "clicks"))
+        .select("event_id", "ts", "user_id")
+    )
+    joined = stream_interval_join(
+        views, clicks, key="user_id",
+        within=f"{ATTR_WITHIN_MIN} minutes", watermark="12 hours",
+    )
+    name = f"attr_{tag}_{next(_ATTR_SEQ)}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.col("event_id_l").alias("view_id"),
+        F.col("event_id_r").alias("click_id"),
+        (F.unix_micros("ts_r") - F.unix_micros("ts_l")).alias("gap_us"),
+    )
+
+
+def _stream_attribution_oracle_sql() -> str:
+    return f"""
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+FROM events v JOIN events c
+  ON v.event_type = 'view' AND c.event_type = 'click'
+ AND v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {ATTR_WITHIN_MIN} MINUTE
+"""
+
+
 def _ft_index_rollover(spark, sf_dir):
     """Rollover lifecycle built from the contract corpus: three appends
     with ``max_docs=1`` so every append seals the previous write
@@ -7821,6 +7906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_stream_index_topk": q_ft_stream_index_topk,
         "ft_rollover_topk": q_ft_rollover_topk,
         "ft_stream_windowed_terms": q_ft_stream_windowed_terms,
+        "ev_stream_attribution": q_ev_stream_attribution,
         "rel_salted_join": q_rel_salted_join,
         "curate_dsir_select": q_curate_dsir_select,
         "curate_leakage_split": q_curate_leakage_split,
@@ -8069,6 +8155,7 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN p USING (k)
             GROUP BY 1
         """,
+        "ev_stream_attribution": _stream_attribution_oracle_sql(),
         "ft_stream_windowed_terms": f"""
             WITH src AS (
               SELECT TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,

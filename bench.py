@@ -223,6 +223,7 @@ def main() -> None:
         # ft_stream_index_topk / ft_rollover_topk are ingest-lifecycle
         # ops (3 cached builds each) — oracle-checked, not latency rows
         "ft_stream_windowed_terms",
+        "ev_stream_attribution",
         "rel_salted_join",
         "curate_dsir_select",
         "curate_leakage_split",

@@ -492,3 +492,81 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
     }
     assert len(got) == len(expect)
     assert got == expect
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Streamed view→click attribution over two drops per side == the
+    batch interval self-join; the drop boundary is placed INSIDE a
+    matched pair's (view, click) interval so a cross-batch pair must
+    survive (watermark > join reach)."""
+    import glob as g
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from vframe_spark.streaming.joins import stream_interval_join
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type")
+        .cache()
+    )
+    WITHIN_MIN = 720
+
+    v = events.filter(F.col("event_type") == "view").alias("v")
+    c = events.filter(F.col("event_type") == "click").alias("c")
+    want_df = v.join(
+        c,
+        (F.col("v.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("v.ts"))
+        & (F.col("c.ts") <= F.col("v.ts") + F.expr(f"INTERVAL {WITHIN_MIN} minutes")),
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("vid"),
+        F.col("c.event_id").alias("cid"),
+        F.unix_micros(F.col("v.ts").cast("timestamp")).alias("vus"),
+        F.unix_micros(F.col("c.ts").cast("timestamp")).alias("cus"),
+    )
+    pairs = want_df.collect()
+    want = {(r["user_id"], r["vid"], r["cid"]) for r in pairs}
+    widest = max(pairs, key=lambda r: r["cus"] - r["vus"])
+    assert widest["cus"] > widest["vus"], "need a strict-gap pair to cut through"
+    cut_us = (widest["vus"] + widest["cus"]) // 2
+
+    for side, etype in (("views", "view"), ("clicks", "click")):
+        os.makedirs(str(tmp_path / side))
+        ev = events.filter(F.col("event_type") == etype).withColumn(
+            "us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        chunks = [ev.filter(F.col("us") < cut_us), ev.filter(F.col("us") >= cut_us)]
+        for i, ch in enumerate(chunks):
+            ch.drop("us").coalesce(1).write.parquet(str(tmp_path / f"{side}_d{i}"))
+            sh.copy(
+                g.glob(str(tmp_path / f"{side}_d{i}" / "*.parquet"))[0],
+                str(tmp_path / side / f"drop_{i}.parquet"),
+            )
+    schema = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string"
+
+    def rd(side):
+        return (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / side))
+            .select("event_id", "ts", "user_id")
+        )
+
+    joined = stream_interval_join(
+        rd("views"), rd("clicks"), key="user_id",
+        within=f"{WITHIN_MIN} minutes", watermark="24 hours",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("attr_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_id_l"], r["event_id_r"])
+        for r in spark.table("attr_test").collect()
+    }
+    assert got == want and len(got) > 0
+    # the pair the cut runs through crosses the drop boundary
+    assert (widest["user_id"], widest["vid"], widest["cid"]) in got

@@ -1,0 +1,76 @@
+"""Stream-stream interval join: event-time attribution over two live
+streams.
+
+The reference's pipe chains correlate two item streams positionally
+(`/root/reference/src/commands/pipe/merge-json.py` pairs a detection
+stream with a media stream file-by-file); the relational generalization
+is the watermarked stream-stream join — each side buffers only the
+event-time range the join condition can still reach, and Spark evicts
+state as the global watermark (min over both sides) advances.
+
+Shape notes for 100 TB/day streams:
+
+* The equi-key (``key``) is the shuffle partition key on BOTH sides —
+  co-partitioned state stores, no broadcast, no driver involvement.
+* The time-range predicate bounds state: each side holds at most
+  ``watermark`` worth of rows per partition. ``watermark`` must be ≥
+  ``within`` or cross-batch matches inside the join window can be
+  evicted before the other side arrives.
+* INNER joins emit eagerly (a match emits in the batch where the later
+  side arrives) and are therefore deterministic as a result SET even
+  when batch boundaries shift. OUTER variants additionally emit
+  null-padded rows only when the watermark proves no match can come —
+  rows near end-of-stream may never emit their null row under
+  ``availableNow`` (the watermark stops advancing), which is Spark
+  semantics, not a bug; tests assert subset behaviour for outer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+    lsuffix: str = "_l",
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """Join two streams on ``key`` where the right event lands inside
+    ``[left_ts, left_ts + within]`` → one row per qualifying pair.
+
+    Output columns: ``key``, then every other left column suffixed
+    ``lsuffix``, every other right column suffixed ``rsuffix``.
+    TIMESTAMP_NTZ event times are cast through the (UTC-pinned) session
+    zone, as everywhere else in the streaming package.
+    """
+
+    def prep(df: DataFrame, ts: str) -> DataFrame:
+        if isinstance(df.schema[ts].dataType, TimestampNTZType):
+            df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+        return df.withWatermark(ts, watermark)
+
+    l = prep(left, left_ts).alias("l")
+    r = prep(right, right_ts).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    joined = l.join(r, cond, how)
+    cols = [F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)]
+    cols += [
+        F.col(f"l.{c}").alias(c + lsuffix) for c in left.columns if c != key
+    ]
+    cols += [
+        F.col(f"r.{c}").alias(c + rsuffix) for c in right.columns if c != key
+    ]
+    return joined.select(*cols)
