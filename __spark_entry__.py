@@ -5864,6 +5864,82 @@ def q_ft_msm_topk(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+FT_TSET_QUERIES = [
+    (1, "data table scan window"),
+    (2, "hash join merge"),
+    (3, "customer order line part"),
+]
+TSET_MSM_MOD = 3  # per-doc floor = 1 + doc_id % 3
+
+
+def q_ft_terms_set(spark, sf_dir):
+    """ES terms_set query (query/boost.py terms_set_topk): the clause
+    floor is per-document — here the minimum_should_match_script shape,
+    msm = 1 + doc_id % 3 derived from the doc table — so the same query
+    demands 1, 2, or 3 distinct matching terms depending on the doc.
+    One pruned match-set scan with per-doc hit counts, one equi-join
+    against the msm projection; the oracle states the floor directly in
+    its HAVING clause."""
+    from vframe_spark.query.boost import terms_set_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    msm = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % TSET_MSM_MOD).alias("msm")
+    )
+    raw = terms_set_topk(
+        postings, term_stats, meta, FT_TSET_QUERIES, msm, k=3 * FT_K
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _terms_set_oracle_sql() -> str:
+    rows = []
+    for qid, q in FT_TSET_QUERIES:
+        for t in sorted(set(tokenize_py(q))):
+            rows.append(f"({qid}, '{t}')")
+    vals = ", ".join(rows)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {vals}),
+cand AS (
+  SELECT q.qid, tf.doc_id
+  FROM q JOIN tf ON tf.term = q.term
+  GROUP BY q.qid, tf.doc_id
+  HAVING count(DISTINCT tf.term) >= greatest(1 + (tf.doc_id % {TSET_MSM_MOD}), 1)
+),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+score AS (
+  SELECT contrib.qid, contrib.doc_id, round(sum(c), 4) AS score
+  FROM contrib JOIN cand ON cand.qid = contrib.qid AND cand.doc_id = contrib.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 # Spell-correction query set: misspellings of common corpus terms, a
 # hopeless string (no candidate within distance 2), and an in-vocab
 # term (must yield no suggestion rows).
@@ -8058,6 +8134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": q_ft_suggest,
         "ft_spell_suggest": q_ft_spell_suggest,
         "ft_msm_topk": q_ft_msm_topk,
+        "ft_terms_set": q_ft_terms_set,
         "ft_proximity_topk": q_ft_proximity_topk,
         "ft_significant_terms": q_ft_significant_terms,
         "ft_percentiles": q_ft_percentiles,
@@ -8736,6 +8813,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest": _suggest_oracle_sql(),
         "ft_spell_suggest": _spell_oracle_sql(),
         "ft_msm_topk": _msm_oracle_sql(),
+        "ft_terms_set": _terms_set_oracle_sql(),
         "ft_proximity_topk": _proximity_oracle_sql(),
         "ft_significant_terms": _significant_oracle_sql(),
         "ft_percentiles": _percentiles_facet_oracle_sql(),

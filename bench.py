@@ -150,6 +150,7 @@ def main() -> None:
         "ft_phrase_positional",
         "ft_phrase_prefix",
         "ft_phrase_synonym",
+        "ft_terms_set",
         "ft_snippets",
         "ft_hybrid_rrf",
         "ft_fuzzy_topk",

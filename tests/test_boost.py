@@ -394,3 +394,54 @@ def test_rank_feature_functions():
 
     with _pytest.raises(ValueError):
         saturation_boost("v", 0.0)
+
+
+def test_terms_set_per_doc_floor(spark, corpus, index):
+    """terms_set == msm_topk when the floor is constant; with a per-doc
+    floor each doc obeys ITS OWN threshold (brute-checked against the
+    oracle's per-doc hit counts)."""
+    from vframe_spark.query.boost import msm_topk, terms_set_topk
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    qs = [(1, "cache stream parse"), (2, "token parse data")]
+
+    const = docs.select("doc_id", F.lit(2).alias("msm"))
+    a = terms_set_topk(postings, term_stats, meta, qs, const, k=50).collect()
+    b = msm_topk(postings, term_stats, meta, qs, 2, k=50).collect()
+    key = lambda rows: [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows]
+    assert key(a) == key(b)
+
+    vary = docs.select("doc_id", (F.lit(1) + F.col("doc_id") % 3).alias("msm"))
+    got = {
+        (r["qid"], r["doc_id"])
+        for r in terms_set_topk(postings, term_stats, meta, qs, vary, k=10**6).collect()
+    }
+    from vframe_spark.functions.tokenizer import tokenize_py
+
+    toks_of = {
+        r["doc_id"]: set(tokenize_py(r["content"]))
+        for r in docs.select("doc_id", "content").collect()
+    }
+    want = set()
+    for qid, q in qs:
+        terms = set(tokenize_py(q))
+        for d, toks in toks_of.items():
+            n_hit = len(terms & toks)
+            if n_hit >= max(1, 1 + d % 3):
+                want.add((qid, d))
+    assert got == want
+
+    # msm=0 clamps to 1 (a doc with zero hits can never match)
+    zero = docs.select("doc_id", F.lit(0).alias("msm"))
+    z = {
+        (r["qid"], r["doc_id"])
+        for r in terms_set_topk(postings, term_stats, meta, qs, zero, k=10**6).collect()
+    }
+    w1 = {
+        (qid, d)
+        for qid, q in qs
+        for d, toks in toks_of.items()
+        if len(set(tokenize_py(q)) & toks) >= 1
+    }
+    assert z == w1

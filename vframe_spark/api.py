@@ -798,6 +798,23 @@ class SearchIndex:
         prefixes = [(1, prefix)] if isinstance(prefix, str) else list(prefix)
         return suggest(term_stats, prefixes, k=k)
 
+    def terms_set(
+        self,
+        query: str | list[tuple[int, str]],
+        msm: DataFrame,
+        k: int = 10,
+        msm_col: str = "msm",
+    ) -> DataFrame:
+        """ES terms_set: per-document minimum_should_match from a
+        (doc_id, msm) frame; see `query.boost.terms_set_topk`."""
+        from .query.boost import terms_set_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return terms_set_topk(
+            postings, term_stats, meta, queries, msm, k=k, msm_col=msm_col,
+        )
+
     def search_as_you_type(
         self,
         query: str | list[tuple[int, str]],

@@ -277,6 +277,54 @@ def msm_topk(
     return topk(kept, k)
 
 
+def terms_set_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    msm: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    msm_col: str = "msm",
+    exclude_doc_ids=None,
+) -> DataFrame:
+    """ES ``terms_set`` query: like :func:`msm_topk` but the clause
+    floor is PER DOCUMENT — ``msm`` is a (doc_id, msm) frame carrying
+    each doc's required match count (ES
+    ``minimum_should_match_field`` when it's a stored column,
+    ``minimum_should_match_script`` when it's any derived expression
+    over the doc table). A doc ranks iff it contains ≥ its own floor
+    of the query's distinct terms, scored by BM25 over the terms it
+    does contain.
+
+    Floors clamp to ≥ 1: the match kernel only ever sees docs with at
+    least one hit (Lucene's CoveringQuery has the same lower bound).
+    Docs absent from ``msm`` never match (inner join — ES docs missing
+    the field behave the same).
+
+    Execution: the full-match-set kernel with per-doc hit counts, then
+    ONE equi-join of the match set (collision-sized, not corpus-sized)
+    against the msm projection, then the bounded window. At scale the
+    join shuffles only the match set; the msm side prunes to two
+    columns at the scan."""
+    queries = list(queries)
+    scored = match_scores(postings, term_stats, meta, queries, with_hits=True)
+    thr = msm.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.col(msm_col).cast("int"), F.lit(1)).alias("_vf_msm"),
+    )
+    kept = (
+        scored.join(thr, "doc_id")
+        .filter(F.col("n_hit") >= F.col("_vf_msm"))
+        .select("qid", "doc_id", "score")
+    )
+    if exclude_doc_ids:
+        kept = kept.filter(
+            ~F.col("doc_id").isin([int(x) for x in exclude_doc_ids])
+        )
+    return topk(kept, k)
+
+
 def gauss_decay(
     col: Column | str,
     origin: float,
