@@ -4119,11 +4119,12 @@ SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
 
 
 def q_sim_lsh_topk(spark, sf_dir):
-    """Approximate ANN: random-hyperplane LSH multi-probe + exact rerank
-    inside the probed buckets — the scale path next to brute force.
-    Engine hashing isn't SQL-expressible (rows-only), so accuracy is
-    surfaced IN the output: ``recall`` = per-query overlap@k with the
-    oracle-checked brute-force baseline."""
+    """Approximate ANN: random-hyperplane LSH, multi-probe × multi-table
+    (OR-amplification across 4 independent tables — the lever that
+    breaks the single-table recall ceiling) + exact rerank inside the
+    probed buckets. Engine hashing isn't SQL-expressible (rows-only),
+    so accuracy is surfaced IN the output: ``recall`` = per-query
+    overlap@k with the oracle-checked brute-force baseline."""
     from vframe_spark.operators.similarity import cosine_topk_bruteforce, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4133,7 +4134,7 @@ def q_sim_lsh_topk(spark, sf_dir):
         for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
     ]
     k = 5
-    res = lsh_topk(emb, queries, dim=dim, k=k, bits=6, n_probes=8)
+    res = lsh_topk(emb, queries, dim=dim, k=k, bits=6, n_probes=8, n_tables=4)
     exact = cosine_topk_bruteforce(emb, queries, k=k).select(
         "qid", F.col("vec_id").alias("bf_vec_id")
     )

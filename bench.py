@@ -358,12 +358,16 @@ def ann_sweep(spark, k: int = 5) -> dict:
         rec = [len(got.get(q, set()) & hits) / len(hits) for q, hits in exact.items()]
         return round(sum(rec) / len(rec), 4), round(dt, 3)
 
-    sweep: dict[str, list] = {"lsh": [], "ivf": []}
+    sweep: dict[str, list] = {"lsh": [], "lsh_mt4": [], "ivf": []}
     for probes in (1, 2, 4, 8, 16):
         r, dt = mean_recall(
             lsh_topk(emb, queries, dim=dim, k=k, bits=6, n_probes=probes)
         )
         sweep["lsh"].append({"probes": probes, "recall": r, "sec": dt})
+        r, dt = mean_recall(
+            lsh_topk(emb, queries, dim=dim, k=k, bits=6, n_probes=probes, n_tables=4)
+        )
+        sweep["lsh_mt4"].append({"probes": probes, "recall": r, "sec": dt})
         r, dt = mean_recall(
             ivf_topk(emb, queries, dim=dim, k=k, n_lists=16, n_probes=probes)
         )

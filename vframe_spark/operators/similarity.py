@@ -125,6 +125,60 @@ def lsh_signatures(
     return src.mapInPandas(sig, "vec_id bigint, vec array<float>, bucket bigint")
 
 
+def lsh_signatures_tables(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table layout: ``n_tables`` independent hyperplane tables
+    (table t seeds its planes with ``seed + t``) → one row per (vector,
+    table): (vec_id, vec, tbl, bucket). ONE pass over the corpus
+    computes every table's projection (a single (B, L·bits) GEMM)."""
+    all_planes = np.concatenate(
+        [_hyperplanes(dim, bits, seed + t) for t in range(n_tables)]
+    )  # (L*bits, dim)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                yield pd.DataFrame({"vec_id": [], "vec": [], "tbl": [], "bucket": []})
+                continue
+            proj = (mat @ all_planes.T > 0).reshape(len(mat), n_tables, bits)
+            buckets = (proj * weights).sum(axis=2)  # (B, L)
+            n = len(mat)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(b["vec_id"].to_numpy(np.int64), n_tables),
+                    "vec": b["vec"].iloc[np.repeat(np.arange(n), n_tables)].to_numpy(),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int64), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(
+        sig, "vec_id bigint, vec array<float>, tbl bigint, bucket bigint"
+    )
+
+
+def _probe_buckets(planes: np.ndarray, weights: np.ndarray, vec, n_probes: int):
+    """The query's bucket plus the (n_probes − 1) smallest-|margin| bit
+    flips — nearest alternative buckets first."""
+    v = np.asarray(vec, dtype=np.float64)
+    proj = planes @ v
+    bucket = int(((proj > 0) * weights).sum())
+    buckets = [bucket]
+    for bit in np.argsort(np.abs(proj))[: max(0, n_probes - 1)]:
+        buckets.append(bucket ^ int(weights[bit]))
+    return buckets
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -135,6 +189,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Bucketed ANN: probe the query's bucket(s), exact rerank inside.
 
@@ -143,29 +198,52 @@ def lsh_topk(
     the standard multi-probe LSH recall booster (touches n_probes/2^bits
     of the corpus instead of 1/2^bits, no extra index). Probes are extra
     rows in the broadcast query table, so the plan stays one equi-join.
-    """
-    planes = _hyperplanes(dim, bits, seed)
-    weights = (1 << np.arange(bits)).astype(np.int64)
-    sigs = lsh_signatures(embeddings, dim, bits, seed, id_col, vec_col)
 
+    Multi-table (``n_tables`` > 1): OR-amplification — L independent
+    hyperplane tables, candidates = union over tables, deduped before
+    the exact rerank. This is the lever that breaks the single-table
+    recall ceiling (miss probability (1−p^bits) decays to
+    (1−p^bits)^L); cost is an L× larger signature side of the same
+    single equi-join (at scale: L small-int columns per row, not L
+    copies of the corpus — vectors travel once per probed bucket).
+    Probes compose per table.
+    """
+    spark = embeddings.sparkSession
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    if n_tables <= 1:
+        planes = _hyperplanes(dim, bits, seed)
+        sigs = lsh_signatures(embeddings, dim, bits, seed, id_col, vec_col)
+        qrows = []
+        for qid, vec in queries:
+            for bkt in _probe_buckets(planes, weights, vec, n_probes):
+                qrows.append((qid, [float(x) for x in vec], bkt))
+        qdf = spark.createDataFrame(qrows, "qid bigint, qvec array<double>, bucket bigint")
+        joined = sigs.join(F.broadcast(qdf), "bucket").withColumn(
+            "cosine", cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec"))
+        )
+        return _topk_window(joined.select("qid", "vec_id", "cosine"), k)
+
+    sigs = lsh_signatures_tables(
+        embeddings, dim, bits, n_tables, seed, id_col, vec_col
+    )
     qrows = []
     for qid, vec in queries:
-        v = np.asarray(vec, dtype=np.float64)
-        proj = planes @ v
-        bucket = int(((proj > 0) * weights).sum())
-        buckets = [bucket]
-        # flip bits in order of |margin| — nearest alternative buckets first
-        for bit in np.argsort(np.abs(proj))[: max(0, n_probes - 1)]:
-            buckets.append(bucket ^ int(weights[bit]))
-        for bkt in buckets:
-            qrows.append((qid, [float(x) for x in vec], bkt))
-    spark = embeddings.sparkSession
-    qdf = spark.createDataFrame(qrows, "qid bigint, qvec array<double>, bucket bigint")
-
-    joined = sigs.join(F.broadcast(qdf), "bucket").withColumn(
-        "cosine", cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec"))
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, bits, seed + t)
+            for bkt in _probe_buckets(planes, weights, vec, n_probes):
+                qrows.append((qid, [float(x) for x in vec], t, bkt))
+    qdf = spark.createDataFrame(
+        qrows, "qid bigint, qvec array<double>, tbl bigint, bucket bigint"
     )
-    return _topk_window(joined.select("qid", "vec_id", "cosine"), k)
+    cand = (
+        sigs.join(F.broadcast(qdf), ["tbl", "bucket"])
+        .dropDuplicates(["qid", "vec_id"])  # union over tables/probes
+        .withColumn(
+            "cosine", cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec"))
+        )
+    )
+    return _topk_window(cand.select("qid", "vec_id", "cosine"), k)
 
 
 # ---------------------------------------------------------------------------
