@@ -6135,6 +6135,69 @@ def q_text_unigram_nll(spark, sf_dir):
     return unigram_nll(docs)
 
 
+BG_REF_MOD = 4
+
+
+def q_text_bigram_ppl(spark, sf_dir):
+    """Held-out bigram perplexity (operators/curate.py bigram_nll —
+    the CCNet quality-filter shape one order above unigram NLL): a
+    Laplace-smoothed bigram LM trains on the reference slice
+    (doc_id % 4 == 0) and scores every other doc; fluent text scores
+    low, unseen-bigram text high. Pure counts + ln, so DuckDB replays
+    the model and the scoring exactly at the 6-dp grain."""
+    from vframe_spark.operators.curate import bigram_nll
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    ref = docs.filter(F.col("doc_id") % BG_REF_MOD == 0)
+    probe = docs.filter(F.col("doc_id") % BG_REF_MOD != 0)
+    return bigram_nll(probe, ref)
+
+
+def _bigram_ppl_oracle_sql() -> str:
+    mod = BG_REF_MOD
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+c2 AS (
+  SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg
+  WHERE doc_id % {mod} = 0 GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, count(*)::BIGINT AS c1 FROM bg
+  WHERE doc_id % {mod} = 0 GROUP BY 1
+),
+v AS (
+  SELECT count(DISTINCT w)::DOUBLE AS v
+  FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % {mod} = 0)
+),
+scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(c2.c2, 0) + 1.0) / (coalesce(c1.c1, 0) + v.v)) AS logp
+  FROM bg b
+  LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+  LEFT JOIN c1 ON c1.w1 = b.w1
+  CROSS JOIN v
+  WHERE b.doc_id % {mod} != 0
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(-avg(logp), 6) AS nll
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(p.nll, 0.0) AS nll,
+       coalesce(round(exp(p.nll), 4), 1.0) AS ppl
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % {mod} != 0
+"""
+
+
 SIGTERM_K = 5
 
 
@@ -8163,6 +8226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "text_signature_terms": q_text_signature_terms,
         "text_unigram_nll": q_text_unigram_nll,
+        "text_bigram_ppl": q_text_bigram_ppl,
         "text_keywords": q_text_keywords,
         "curate_dup_spans": q_curate_dup_spans,
         "curate_span_coverage": q_curate_span_coverage,
@@ -8845,6 +8909,7 @@ def oracle_sql() -> dict[str, str]:
         "text_collocations": _collocations_oracle_sql(),
         "text_signature_terms": _signature_terms_oracle_sql(),
         "text_unigram_nll": _UNIGRAM_NLL_ORACLE_SQL_TMPL.replace("{TOK}", TOK_SQL),
+        "text_bigram_ppl": _bigram_ppl_oracle_sql(),
         "text_keywords": _keywords_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),

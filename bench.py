@@ -230,6 +230,7 @@ def main() -> None:
         "curate_leakage_split",
         "text_categorize",
         "text_novelty",
+        "text_bigram_ppl",
         "ft_block_join",
         "sketch_bloom_membership",
         "rel_sessionize",

@@ -683,3 +683,29 @@ def test_novelty_scores_match_bloom_replay(spark):
     assert got[0][1] == 0.0          # fully seen
     assert got[1][1] == 1.0          # fully novel (no false positives here)
     assert 0.0 < got[2][1] < 1.0     # mixed
+
+
+def test_bigram_nll_hand_case(spark):
+    """Laplace bigram LM replayed by hand: trained on 'a b c a b',
+    c2={ab:2, bc:1, ca:1}, c1(non-final)={a:2, b:1, c:1}, V=3."""
+    import math
+
+    from vframe_spark.operators.curate import bigram_nll
+
+    ref = spark.createDataFrame([(100, "a b c a b")], "doc_id long, content string")
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "z z"), (3, "a")], "doc_id long, content string"
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"], r["ppl"])
+        for r in bigram_nll(docs, ref).collect()
+    }
+    nll1 = round(-(math.log(3 / 5) + math.log(2 / 4)) / 2, 6)
+    assert out[1] == (2, nll1, round(math.exp(nll1), 4))
+    # unseen context z: P = 1/V
+    assert out[2] == (1, round(math.log(3), 6), 3.0)
+    # < 2 tokens -> no bigrams, ppl 1
+    assert out[3] == (0, 0.0, 1.0)
+    # self-trained (reference=None) path runs and covers every doc
+    self_out = {r["doc_id"]: r["nll"] for r in bigram_nll(docs).collect()}
+    assert set(self_out) == {1, 2, 3} and all(v >= 0 for v in self_out.values())

@@ -1451,3 +1451,91 @@ def novelty_scores(
         F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
         F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
     )
+
+
+# ------------------------------------------- held-out bigram perplexity
+
+def bigram_nll(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Per-doc perplexity under a Laplace-smoothed bigram LM trained on
+    ``reference`` (or on ``docs`` itself when None) → (doc_id,
+    n_bigrams, nll, ppl).
+
+    This is the CCNet quality-filter shape one order up from
+    :func:`unigram_nll`: the LM is trained on a TRUSTED corpus and
+    scores the candidate corpus, so fluent text (bigrams the reference
+    has seen) scores low and gibberish scores high.
+
+        P(w2 | w1) = (c2(w1,w2) + 1) / (c1(w1) + V)
+        nll = −mean ln P,   ppl = e^nll
+
+    with c2 = reference bigram counts, c1(w) = reference occurrences of
+    w in NON-FINAL position (so c1(w1) = Σ_w2 c2(w1,w2) — a proper
+    conditional), V = reference distinct-unigram count. Unseen contexts
+    fall back to 1/V. Docs with < 2 tokens score (0, 0.0, 1.0).
+
+    Shape: two reference groupBys (bigram, context) build the model;
+    scoring is two equi-joins of the probe bigram stream against the
+    model tables (key-hashed shuffles, model never collected) and one
+    doc-keyed mean. Everything is exact integer counts + ln, so the
+    DuckDB twin replays it bit-for-bit at the 6-dp grain.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    rcol = ref_text_col or text_col
+    ref = docs if reference is None else reference
+
+    def bigrams_of(frame: DataFrame, col: str, keep_id: bool):
+        toks = frame.select(
+            *([F.col(id_col)] if keep_id else []),
+            tokenize_expr(F.col(col)).alias("_t"),
+        )
+        bg = F.explode(
+            F.expr(
+                "transform(slice(_t, 1, size(_t) - 1), "
+                "(w, i) -> struct(w AS w1, element_at(_t, i + 2) AS w2))"
+            )
+        ).alias("bg")
+        out = toks.select(*([id_col] if keep_id else []), bg)
+        return out.select(
+            *([id_col] if keep_id else []),
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+
+    ref_bg = bigrams_of(ref, rcol, keep_id=False)
+    c2 = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = ref_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = (
+        ref.select(F.explode(tokenize_expr(F.col(rcol))).alias("w"))
+        .agg(F.countDistinct("w"))
+        .first()[0]
+        or 1
+    )
+
+    probe_bg = bigrams_of(docs, text_col, keep_id=True)
+    logp = F.log(
+        (F.coalesce("c2", F.lit(0)) + F.lit(1.0))
+        / (F.coalesce("c1", F.lit(0)) + F.lit(float(v)))
+    )
+    per_doc = (
+        probe_bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(-F.avg(logp), 6).alias("nll"),
+        )
+        .withColumn("ppl", F.round(F.exp("nll"), 4))
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+        F.coalesce("nll", F.lit(0.0)).alias("nll"),
+        F.coalesce("ppl", F.lit(1.0)).alias("ppl"),
+    )
