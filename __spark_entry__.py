@@ -5327,6 +5327,104 @@ def q_ft_hybrid_rrf(spark, sf_dir):
     return fused.select("qid", "rank", "doc_id", "rrf")
 
 
+HYB_ALPHA = 0.7  # lexical weight; vector leg gets 1 − α
+
+
+def q_ft_hybrid_linear(spark, sf_dir):
+    """Hybrid retrieval, normalized-linear-combination variant (the
+    "alpha blend" next to RRF — query/fusion.py linear_fuse): the same
+    two legs as ft_hybrid_rrf (WAND BM25, brute-force cosine), each
+    leg's scores min-max normalized per query over its top-20, fused as
+    0.7·lex + 0.3·vec. Unlike RRF this keeps score MAGNITUDE: a leg
+    that strongly prefers a doc outvotes shallow agreement."""
+    from vframe_spark.query.fusion import linear_fuse
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * RRF_LEG_DEPTH)
+    lex = _rounded_rank(raw.select("qid", "doc_id", "score"), RRF_LEG_DEPTH).select(
+        F.col("qid").cast("int").alias("qid"), "doc_id", "score"
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec_rows = emb.filter(
+        (F.col("vec_id") % 100 == 0)
+        & (F.col("vec_id") >= 100)
+        & (F.col("vec_id") <= 100 * len(FT_QUERIES))
+    ).collect()
+    by_qid = {int(r["vec_id"] // 100): list(r["embedding"]) for r in qvec_rows}
+    queries = [(qid, by_qid[qid]) for qid, _ in FT_QUERIES]
+    vec_raw = cosine_topk_bruteforce(emb, queries, k=RRF_LEG_DEPTH)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    vec = (
+        vec_raw.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_LEG_DEPTH)
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("cosine").alias("score"),
+        )
+    )
+    fused = linear_fuse([(lex, HYB_ALPHA), (vec, 1.0 - HYB_ALPHA)], k=FT_K)
+    return fused.select("qid", "rank", "doc_id", "hybrid")
+
+
+def _hybrid_linear_oracle_sql() -> str:
+    core = _BM25_CORE_CTES.replace("{TOK}", TOK_SQL)
+    contrib = _BM25_CONTRIB.replace("{QSRC}", "q")
+    vq_values = ", ".join(f"({qid}, {100 * qid})" for qid, _ in FT_QUERIES)
+    a, b = HYB_ALPHA, 1.0 - HYB_ALPHA
+    return f"""
+WITH {core},
+q(qid, term) AS (VALUES {_ft_qterms_values_sql()}),
+contrib AS ({contrib}),
+score AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2),
+lex0 AS (
+  SELECT qid::INT AS qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank
+  FROM score
+),
+lex AS (SELECT qid, doc_id, score FROM lex0 WHERE rank <= {RRF_LEG_DEPTH}),
+vq(qid, qvid) AS (VALUES {vq_values}),
+qv AS (SELECT vq.qid, e.embedding AS qvec FROM vq JOIN embeddings e ON e.vec_id = vq.qvid),
+sims AS (
+  SELECT qv.qid, e.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], qv.qvec::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qv.qvec::DOUBLE[], qv.qvec::DOUBLE[]))), 4) AS cosine
+  FROM embeddings e CROSS JOIN qv
+),
+vec0 AS (
+  SELECT qid::INT AS qid, vec_id AS doc_id, cosine AS score,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank
+  FROM sims
+),
+vec AS (SELECT qid, doc_id, score FROM vec0 WHERE rank <= {RRF_LEG_DEPTH}),
+legs AS (
+  SELECT qid, doc_id,
+         round(CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END, 6) * {a} AS c
+  FROM (SELECT qid, doc_id, score,
+               min(score) OVER (PARTITION BY qid) AS mn,
+               max(score) OVER (PARTITION BY qid) AS mx FROM lex)
+  UNION ALL
+  SELECT qid, doc_id,
+         round(CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END, 6) * {b} AS c
+  FROM (SELECT qid, doc_id, score,
+               min(score) OVER (PARTITION BY qid) AS mn,
+               max(score) OVER (PARTITION BY qid) AS mx FROM vec)
+),
+fused AS (SELECT qid, doc_id, round(sum(c), 6) AS hybrid FROM legs GROUP BY 1, 2),
+ranked AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY hybrid DESC, doc_id)::INT AS rank,
+         doc_id, hybrid
+  FROM fused
+)
+SELECT qid, rank, doc_id, hybrid FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def q_ft_collapse_topk(spark, sf_dir):
     """Field-collapsed retrieval (dedup-aware serving): best doc per
     `source` host, then top-5 sources per query — the Lucene collapse /
@@ -8183,6 +8281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
+        "ft_hybrid_linear": q_ft_hybrid_linear,
         "ft_collapse_topk": q_ft_collapse_topk,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
@@ -8864,6 +8963,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "ft_hybrid_rrf": _hybrid_oracle_sql(),
+        "ft_hybrid_linear": _hybrid_linear_oracle_sql(),
         "ft_collapse_topk": _collapse_oracle_sql(),
         "ft_fuzzy_topk": _fuzzy_oracle_sql(),
         "dedup_embedding_pairs": EMB_PAIRS_ORACLE_SQL,

@@ -153,6 +153,7 @@ def main() -> None:
         "ft_terms_set",
         "ft_snippets",
         "ft_hybrid_rrf",
+        "ft_hybrid_linear",
         "ft_fuzzy_topk",
         "ft_more_like_this",
         "ft_feedback_topk",

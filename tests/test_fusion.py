@@ -210,3 +210,39 @@ def test_pseudo_feedback_expansion(spark, tmp_path_factory):
     fb = {1: sorted(hit_ids)[:3]}
     exp = expansion_terms(docs, t, meta, fb, {1: ["bug"]}, m=2)
     assert "bug" not in exp[1] and len(exp[1]) <= 2
+
+
+def test_linear_fuse_hand_and_degenerate(spark):
+    from vframe_spark.query.fusion import linear_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (1, 12, 0.0)], "qid int, doc_id long, score double"
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 0.9), (1, 13, 0.5)], "qid int, doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: (r["rank"], r["hybrid"])
+        for r in linear_fuse([(lex, 0.7), (vec, 0.3)], k=10).collect()
+    }
+    # norms: lex 10→1, 11→0.5, 12→0 ; vec 11→1, 13→0
+    assert out[10] == (1, 0.7)
+    assert out[11] == (2, round(0.7 * 0.5 + 0.3, 6))
+    assert out[12] == (3, 0.0)
+    assert out[13] == (4, 0.0)  # present only in vec, min of its leg
+    # 0.0 tie → lower id first
+    assert out[12][0] < out[13][0]
+
+    # alpha=1 → pure lex ranking
+    solo = [r["doc_id"] for r in linear_fuse([(lex, 1.0)], k=10).collect()]
+    assert solo == [10, 11, 12]
+
+    # degenerate leg (all scores equal) → presence counts as 1.0
+    flat = spark.createDataFrame(
+        [(1, 20, 5.0), (1, 21, 5.0)], "qid int, doc_id long, score double"
+    )
+    d = {
+        r["doc_id"]: r["hybrid"]
+        for r in linear_fuse([(flat, 1.0)], k=10).collect()
+    }
+    assert d == {20: 1.0, 21: 1.0}

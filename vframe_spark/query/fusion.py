@@ -90,3 +90,52 @@ def collapse_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", group_col, id_col, score_col)
     )
+
+
+def linear_fuse(
+    scorings: list[tuple[DataFrame, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Normalized linear combination of score tables — the "hybrid
+    alpha" next to :func:`rrf_fuse` (ES 8 normalized linear combination
+    / vector-DB alpha blending): each leg's scores min-max normalize
+    PER QUERY over that leg's retained rows, then fuse as
+    Σ w_leg · norm_leg, docs missing from a leg contributing 0.
+
+    Returns (qid, rank, id_col, hybrid), ranked hybrid DESC with id
+    tie-break. Grain: normalized values round to ``round_dp`` before
+    weighting and the sum rounds again after — the cross-engine
+    contract a SQL twin replays. A degenerate leg (max == min for a
+    qid) scores 1.0 for every doc it retained: presence in a leg is
+    still signal. Like RRF, fusion touches only the already-cut rank
+    tables — O(queries × leg depth), corpus-free.
+    """
+    legs = []
+    for df, wgt in scorings:
+        stats = df.groupBy("qid").agg(
+            F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
+        )
+        norm = F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col(score_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        ).otherwise(F.lit(1.0))
+        legs.append(
+            df.join(stats, "qid").select(
+                "qid",
+                F.col(id_col),
+                (F.round(norm, round_dp) * F.lit(float(wgt))).alias("c"),
+            )
+        )
+    allc = reduce(lambda a, b: a.unionByName(b), legs)
+    fused = allc.groupBy("qid", id_col).agg(
+        F.round(F.sum("c"), round_dp).alias("hybrid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("hybrid").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", id_col, "hybrid")
+    )
