@@ -230,3 +230,65 @@ def test_match_scores_prunes_scan_no_bnlj(spark, small_index):
     assert "PushedFilters: [" in plan and "term" in plan.split("PushedFilters")[1][:200]
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_single_cluster_exchange(spark):
+    """cluster_cosine_pairs shuffles ONCE, on the cluster key; the
+    assignment GEMM itself is partition-local (no Exchange above it)."""
+    import numpy as np
+
+    from vframe_spark.operators.similarity import (
+        cluster_assign, cluster_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(80, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = cluster_assign(emb, base[:4], round_dp=6)
+    plan = plan_of(assigned)
+    assert "Exchange" not in plan  # broadcast centroids, one local pass
+    pairs = cluster_cosine_pairs(assigned, 0.5)
+    final = plan_of(pairs).split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert "list_id" in final[final.index("Exchange"):].split("\n")[0]
+
+
+def test_lsh_multitable_broadcasts_probe_table(spark):
+    """The multi-table candidate join broadcasts the probe side (qid ×
+    tables × probes rows) — the corpus-side signature stream never
+    shuffles for the join itself."""
+    import numpy as np
+
+    from vframe_spark.operators.similarity import lsh_topk
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(60, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = [(1, [float(x) for x in base[0]])]
+    res = lsh_topk(emb, qs, dim=8, k=3, bits=4, n_tables=4, n_probes=2)
+    plan = plan_of(res)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_terms_set_no_cartesian(spark, small_index):
+    """terms_set joins the match set against the msm projection as an
+    equi-join — no BroadcastNestedLoopJoin / CartesianProduct."""
+    from vframe_spark.query.boost import terms_set_topk
+
+    postings, term_stats, _, meta = load_index(spark, small_index)
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.lit(1) + F.col("id") % 3).alias("msm")
+    )
+    res = terms_set_topk(
+        postings, term_stats, meta, [(1, "data parse cache")], docs, k=5
+    )
+    plan = plan_of(res)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan  # term pruning still reaches the scan
