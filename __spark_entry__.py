@@ -5563,6 +5563,47 @@ FROM best b LEFT JOIN cc ON cc.doc_id = b.vec_id
 """
 
 
+EDECON_MOD, EDECON_T = 25, 0.4
+
+
+def q_curate_embedding_decon(spark, sf_dir):
+    """Semantic decontamination (operators/similarity.py
+    embedding_decontaminate): every corpus vector's MAX cosine to any
+    benchmark vector (vec_id % 25 == 0 plays the eval set), flagged at
+    ≥ 0.4 — the embedding-space complement of the n-gram decontaminate
+    that catches paraphrased eval items. Broadcast benchmark matrix,
+    one partition-local GEMM, no shuffle; the oracle replays the max
+    over a cross join."""
+    from vframe_spark.operators.similarity import embedding_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") % EDECON_MOD == 0)
+        .orderBy("vec_id").collect()
+    ]
+    probe = emb.filter(F.col("vec_id") % EDECON_MOD != 0)
+    return embedding_decontaminate(probe, bench, EDECON_T)
+
+
+def _embedding_decon_oracle_sql() -> str:
+    return f"""
+WITH bench AS (SELECT embedding FROM embeddings WHERE vec_id % {EDECON_MOD} = 0),
+mx AS (
+  SELECT v.vec_id,
+         round(max(
+           list_dot_product(v.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         ), 4) AS max_cos
+  FROM embeddings v CROSS JOIN bench b
+  WHERE v.vec_id % {EDECON_MOD} != 0
+  GROUP BY 1
+)
+SELECT vec_id, max_cos, (max_cos >= {EDECON_T}) AS contaminated FROM mx
+"""
+
+
 def q_curate_sample_stratified(spark, sf_dir):
     """Deterministic hash-based stratified sampling (training-mix
     construction): portable hash ⇒ the DuckDB oracle selects the SAME
@@ -8306,6 +8347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_semantic": q_dedup_semantic,
+        "curate_embedding_decon": q_curate_embedding_decon,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "curate_sample_stratified": q_curate_sample_stratified,
         "ft_more_like_this": q_ft_more_like_this,
@@ -8989,6 +9031,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_fuzzy_topk": _fuzzy_oracle_sql(),
         "dedup_embedding_pairs": EMB_PAIRS_ORACLE_SQL,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
+        "curate_embedding_decon": _embedding_decon_oracle_sql(),
         "curate_sample_stratified": _stratified_oracle_sql(),
         "ft_more_like_this": _mlt_oracle_sql(),
         "curate_decontaminate": _decontaminate_oracle_sql(),

@@ -253,6 +253,7 @@ def main() -> None:
         "sim_lsh_topk",
         "dedup_embedding_pairs",
         "dedup_semantic",
+        "curate_embedding_decon",
         "dedup_clusters",
         "curate_decontaminate",
         "curate_sample_stratified",

@@ -452,3 +452,31 @@ def test_lsh_multitable_recall_and_dedup(spark):
         for r in lsh_topk(emb, queries, dim=dim, k=3, bits=6, n_tables=1).collect()
     )
     assert a == b
+
+
+def test_embedding_decontaminate_numpy_replay(spark):
+    import numpy as np
+
+    from vframe_spark.operators.similarity import embedding_decontaminate
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((50, 8))
+    base[40] = base[0] * 2.0          # scaled copy of a benchmark row → cos 1
+    base[41] = -base[1]               # antipode → cos −1
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(10, 50)],
+        "vec_id long, embedding array<float>",
+    )
+    bench = base[:10]
+    got = {
+        r["vec_id"]: (r["max_cos"], r["contaminated"])
+        for r in embedding_decontaminate(emb, bench, 0.9).collect()
+    }
+    m = base[10:].astype(np.float32).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    bn = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+    want_mx = np.round((mn @ bn.T).max(axis=1), 4)
+    for i, vid in enumerate(range(10, 50)):
+        assert got[vid] == (want_mx[i], bool(want_mx[i] >= 0.9)), vid
+    assert got[40] == (1.0, True)
+    assert not got[41][1]

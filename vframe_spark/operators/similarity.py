@@ -1193,3 +1193,43 @@ def semantic_dedup(
         )
     )
     return out
+
+
+def embedding_decontaminate(
+    embeddings: DataFrame,
+    benchmark: list[list[float]] | np.ndarray,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Semantic decontamination against a benchmark's embeddings →
+    (vec_id, max_cos, contaminated): each corpus vector's MAX cosine to
+    any benchmark vector, flagged when the rounded max reaches
+    ``threshold``. The embedding-space complement of the n-gram
+    `curate.decontaminate` — catches paraphrased eval items exact
+    n-grams miss.
+
+    Scale shape: the benchmark matrix broadcasts with the closure
+    (eval sets are thousands of rows, not corpus-sized); the corpus
+    streams through one partition-local (B, n_bench) GEMM — no
+    shuffle, no join, output is one row per corpus vector."""
+    bm = np.asarray(benchmark, dtype=np.float64)
+    bn = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+    thr = float(threshold)
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            mx = np.round((mn @ bn.T).max(axis=1), round_dp)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"], "max_cos": mx, "contaminated": mx >= thr}
+            )
+
+    return src.mapInPandas(
+        score, "vec_id bigint, max_cos double, contaminated boolean"
+    )
