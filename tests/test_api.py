@@ -219,3 +219,34 @@ def test_metric_facet_door(spark, idx, corpus):
 
     with _p.raises(ValueError):
         idx.metric_facet("nope", "x", vals, "v")
+
+
+def test_facade_search_hybrid(spark, tmp_path_factory):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vframe_spark.api import SearchIndex
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 80, partitions=2), ["repo", "path", "commit"]
+    ).cache()
+    out = str(tmp_path_factory.mktemp("apihyb"))
+    ix = SearchIndex.build(docs, out, shard_size=32, block_size=8,
+                           shards_per_slice=2)
+    rng = np.random.default_rng(4)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in rng.standard_normal(8)]
+    rrf = ix.search_hybrid("data parse", emb, qv, k=5).collect()
+    assert rrf and [r["rank"] for r in rrf] == list(range(1, len(rrf) + 1))
+    assert "rrf" in rrf[0].asDict()
+    lin = ix.search_hybrid("data parse", emb, qv, k=5, alpha=0.6).collect()
+    assert lin and "hybrid" in lin[0].asDict()
+    # alpha=1 reduces to the lexical leg's ranking order
+    lex_only = [r["doc_id"] for r in ix.search("data parse", k=5).collect()]
+    lin1 = [r["doc_id"] for r in ix.search_hybrid("data parse", emb, qv, k=5, alpha=1.0).collect()]
+    assert lin1 == lex_only

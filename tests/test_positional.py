@@ -503,3 +503,46 @@ def test_synonym_phrase_bruteforce(spark, corpus, pos_index):
         ).collect()
     }
     assert plain <= {d for q, d in exp_pairs if q == 1}
+
+
+@given(
+    st.lists(st.sampled_from("ab cd ef gh".split()), min_size=1, max_size=40),
+    st.lists(
+        st.sets(st.sampled_from("ab cd ef".split()), min_size=1, max_size=3),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(0, 2),
+)
+@settings(max_examples=80, deadline=None)
+def test_multislot_kernel_matches_bruteforce(tokens, slots, slop):
+    """The MultiPhrase per-slot position-union + shared adjacency
+    counter == direct brute force over the token list (chain search
+    with ≤ 1+slop advance per step), for random corpora and slots."""
+    pos_lists = [
+        np.asarray(
+            sorted(i for i, t in enumerate(tokens) if t in alts), dtype=np.int64
+        )
+        for alts in slots
+    ]
+    got = (
+        0
+        if any(p.size == 0 for p in pos_lists)
+        else count_hits_positions(pos_lists, slop)
+    )
+
+    def chains_from(start, j):
+        if j == len(slots):
+            return True
+        lo, hi = start + 1, start + 1 + slop
+        return any(
+            tokens[p] in slots[j] and chains_from(p, j + 1)
+            for p in range(lo, min(hi + 1, len(tokens)))
+        )
+
+    want = sum(
+        1
+        for p, t in enumerate(tokens)
+        if t in slots[0] and chains_from(p, 1)
+    )
+    assert got == want

@@ -256,6 +256,53 @@ class SearchIndex:
             k=k, lam=lam, id_col=id_col, vec_col=vec_col,
         )
 
+    def search_hybrid(
+        self,
+        query: str | list[tuple[int, str]],
+        embeddings: DataFrame,
+        qvecs: dict[int, list[float]] | list[float],
+        k: int = 10,
+        alpha: float | None = None,
+        leg_depth: int = 20,
+        k_rrf: int = 60,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Hybrid lexical + vector retrieval in one call: the WAND BM25
+        leg and the exact-cosine leg (each cut to ``leg_depth``), fused
+        by RRF when ``alpha`` is None or by the normalized linear blend
+        ``alpha·lex + (1−alpha)·vec`` otherwise (`query.fusion`).
+        ``qvecs``: one vector (single query) or {qid: vector}."""
+        from .query.fusion import linear_fuse, rrf_fuse
+        from .operators.similarity import cosine_topk_bruteforce
+
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        if not isinstance(qvecs, dict):
+            qvecs = {1: list(qvecs)}
+        lex_raw = self.search(queries, k=leg_depth)
+        vq = [(qid, qvecs[qid]) for qid, _ in queries if qid in qvecs]
+        vec_raw = cosine_topk_bruteforce(
+            embeddings, vq, k=leg_depth, id_col=id_col, vec_col=vec_col
+        ).withColumnRenamed("vec_id", "doc_id")
+        if alpha is None:
+            return rrf_fuse(
+                [lex_raw.select("qid", "rank", "doc_id"),
+                 vec_raw.select("qid", "rank", "doc_id")],
+                k=k, k_rrf=k_rrf,
+            )
+        return linear_fuse(
+            [
+                (lex_raw.select("qid", "doc_id", "score"), float(alpha)),
+                (
+                    vec_raw.select(
+                        "qid", "doc_id", F.col("cosine").alias("score")
+                    ),
+                    1.0 - float(alpha),
+                ),
+            ],
+            k=k,
+        )
+
     def facets(
         self,
         query: str | list[tuple[int, str]],
