@@ -3025,6 +3025,109 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+FT_SPANNOT_QUERIES = [
+    (1, "data analysis", "table"),
+    (2, "hash scan", "join"),
+    (3, "sort merge", "zzzabsent"),
+]
+SPANNOT_GAPS = 4
+
+
+def q_ft_intervals_not_containing(spark, sf_dir):
+    """ES intervals + not_containing filter (Lucene span_not —
+    query/positional.py interval_not_containing_topk): all include
+    terms inside a ≤ max_gaps window containing NO occurrence of the
+    exclude term. Exclude positions segment the token axis, so the
+    minimal qualifying window is exact per segment; an absent exclude
+    term (qid 3) imposes no constraint. The oracle enumerates position
+    combinations with a NOT EXISTS between the window bounds."""
+    from vframe_spark.query.positional import interval_not_containing_topk
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    raw = interval_not_containing_topk(
+        postings, term_stats, meta, FT_SPANNOT_QUERIES,
+        max_gaps=SPANNOT_GAPS, k=3 * FT_K,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= FT_K)
+        .select("qid", "rank", "doc_id", "score",
+                F.col("width").cast("int").alias("width"))
+    )
+
+
+def _intervals_not_containing_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql([(q, t) for q, t, _ in FT_SPANNOT_QUERIES])
+    legs = []
+    for qid, q, ex in FT_SPANNOT_QUERIES:
+        dist = sorted(set(tokenize_py(q)))
+        ext = tokenize_py(ex)[0]
+        n = len(dist)
+        joins = []
+        conds = [f"p1.term = '{dist[0]}'"]
+        for i in range(2, n + 1):
+            joins.append(f"JOIN pos p{i} ON p{i}.doc_id = p1.doc_id")
+            conds.append(f"p{i}.term = '{dist[i - 1]}'")
+        ps = ", ".join(f"p{i}.pos" for i in range(1, n + 1))
+        width = f"greatest({ps}) - least({ps}) + 1" if n > 1 else "1"
+        lo = f"least({ps})" if n > 1 else "p1.pos"
+        hi = f"greatest({ps})" if n > 1 else "p1.pos"
+        legs.append(
+            f"""SELECT {qid} AS qid, w.doc_id, round(sum(c.c), 4) AS score,
+       min(w.width)::INT AS width
+FROM (
+  SELECT p1.doc_id, min({width})::INT AS width
+  FROM pos p1 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+    AND NOT EXISTS (
+      SELECT 1 FROM pos e
+      WHERE e.doc_id = p1.doc_id AND e.term = '{ext}'
+        AND e.pos BETWEEN {lo} AND {hi}
+    )
+  GROUP BY 1
+) w
+JOIN contrib c ON c.doc_id = w.doc_id AND c.qid = {qid}
+WHERE w.width - {n} <= {SPANNOT_GAPS}
+GROUP BY 1, 2"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS term, unnest(generate_series(1, len(t))) AS pos FROM toks),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+allm AS ({union}),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score, width
+  FROM allm
+)
+SELECT qid, rank, doc_id, score, width FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 # Phrase-through-synonyms: slot 1 of qid 1 keeps only "fast" (its
 # aliases are out-of-vocabulary — the prune-but-survive path); qids 2/3
 # have live alternatives at one slot.
@@ -8286,6 +8389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_positional": q_ft_phrase_positional,
         "ft_phrase_prefix": q_ft_phrase_prefix,
         "ft_phrase_synonym": q_ft_phrase_synonym,
+        "ft_intervals_not_containing": q_ft_intervals_not_containing,
         "ft_intervals_unordered": q_ft_intervals_unordered,
         "ft_intervals_ordered": q_ft_intervals_ordered,
         "ft_phrase_positional_slop": q_ft_phrase_positional_slop,
@@ -8576,6 +8680,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_positional": _phrase_oracle_sql(),
         "ft_phrase_prefix": _phrase_prefix_oracle_sql(),
         "ft_phrase_synonym": _phrase_synonym_oracle_sql(),
+        "ft_intervals_not_containing": _intervals_not_containing_oracle_sql(),
         "ft_intervals_unordered": _intervals_oracle_sql(False, IV_GAPS_UNORD),
         "ft_intervals_ordered": _intervals_oracle_sql(True, IV_GAPS_ORD),
         "ft_phrase_positional_slop": _phrase_slop_oracle_sql(),

@@ -179,6 +179,7 @@ def main() -> None:
         "ft_proximity_topk",
         "ft_intervals_unordered",
         "ft_intervals_ordered",
+        "ft_intervals_not_containing",
         "ft_significant_terms",
         "ft_percentiles",
         "ft_cardinality",

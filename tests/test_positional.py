@@ -546,3 +546,55 @@ def test_multislot_kernel_matches_bruteforce(tokens, slots, slop):
         if t in slots[0] and chains_from(p, 1)
     )
     assert got == want
+
+
+def test_interval_not_containing_bruteforce(spark, corpus, pos_index):
+    """span_not: minimal include-window containing no exclude position,
+    enumerated exactly over re-tokenized docs."""
+    import itertools
+
+    from vframe_spark.oracle import OracleIndex
+    from vframe_spark.query.positional import interval_not_containing_topk
+
+    postings, term_stats, _, meta = load_index(spark, pos_index)
+    rows = corpus.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    toks_of = {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+    qs = [
+        (1, "data parse", "the"),       # frequent exclude — really bites
+        (2, "index scan", "data"),
+        (3, "data parse", "zzznope"),   # absent exclude — no constraint
+    ]
+    GAPS = 3
+    got = {
+        (r["qid"], r["doc_id"]): (r["rank"], round(r["score"], 9), r["width"])
+        for r in interval_not_containing_topk(
+            postings, term_stats, meta, qs, max_gaps=GAPS, k=100
+        ).collect()
+    }
+    exp = {}
+    for qid, q, ex in qs:
+        terms = sorted(set(tokenize_py(q)))
+        scored = []
+        for d, toks in toks_of.items():
+            pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+            if any(not pos[t] for t in terms):
+                continue
+            expos = [i for i, x in enumerate(toks) if x == ex]
+            best = 0
+            for combo in itertools.product(*[pos[t] for t in terms]):
+                lo, hi = min(combo), max(combo)
+                if any(lo <= e <= hi for e in expos):
+                    continue
+                w = hi - lo + 1
+                if best == 0 or w < best:
+                    best = w
+            if best and best - len(terms) <= GAPS:
+                scored.append((d, oracle.score(terms, d), best))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for i, (d, s, w) in enumerate(scored[:100], 1):
+            exp[(qid, d)] = (i, round(s, 9), w)
+    assert got == exp
+    # the absent-exclude leg is non-empty and ≥ the constrained leg
+    assert any(q == 3 for q, _ in got)
+    assert sum(1 for q, _ in got if q == 3) >= sum(1 for q, _ in got if q == 1)

@@ -632,3 +632,157 @@ def interval_topk(
     return ranked.join(
         scored.select("qid", "doc_id", "width"), ["qid", "doc_id"]
     ).select("qid", "rank", "doc_id", "score", "width")
+
+
+def _min_window_excluding(
+    pos_lists: list[np.ndarray], excl: np.ndarray
+) -> int:
+    """Smallest window covering one position from every list while
+    containing NO position from ``excl`` — exclude positions cut the
+    axis into open segments; the minimal cover is computed per segment
+    (a window that avoids every exclude lies strictly inside one
+    segment). 0 = no qualifying window."""
+    if any(p.size == 0 for p in pos_lists):
+        return 0
+    if excl.size == 0:
+        return min_cover_window(pos_lists)
+    seg_ids = [np.searchsorted(excl, p) for p in pos_lists]
+    common = set(seg_ids[0])
+    for s in seg_ids[1:]:
+        common &= set(s.tolist() if hasattr(s, "tolist") else s)
+    best = 0
+    for seg in common:
+        seg_lists = [p[s == seg] for p, s in zip(pos_lists, seg_ids)]
+        w = min_cover_window(seg_lists)
+        if w and (best == 0 or w < best):
+            best = w
+    return best
+
+
+def interval_not_containing_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: list[tuple[int, str, str]],
+    max_gaps: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """ES `intervals` with a `not_containing` filter (Lucene span_not):
+    docs where all include terms fall inside some ≤ ``max_gaps`` window
+    that contains NO occurrence of the exclude term → (qid, rank,
+    doc_id, score, width). Queries are (qid, include_text,
+    exclude_term). An exclude term absent from the vocabulary imposes
+    no constraint (a span_not over nothing). Matching docs rank by
+    conjunctive BM25 over the include terms; ``width`` is the minimal
+    qualifying window.
+
+    Same execution shape as :func:`interval_topk`: term-pushdown pruned
+    scan (include + exclude terms fetched together), one (qid, shard)
+    kernel, the source never read. Exclude positions segment the token
+    axis, so the minimal qualifying window is exact — a SQL replay
+    enumerating combinations with a NOT EXISTS between the window
+    bounds agrees.
+    """
+    from .bm25 import idf_value, topk
+
+    if not meta.get("positions"):
+        raise ValueError(
+            "index has no positions — build with build_index(..., positions=True)"
+        )
+    if max_gaps < 0:
+        raise ValueError(f"max_gaps must be >= 0, got {max_gaps}")
+    spark: SparkSession = postings.sparkSession
+    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    inc = {qid: sorted(set(tokenize_py(q))) for qid, q, _ in queries}
+    exc = {}
+    for qid, _, e in queries:
+        ts = tokenize_py(e)
+        if len(ts) != 1:
+            raise ValueError(f"exclude must be one term, got {e!r}")
+        exc[qid] = ts[0]
+    all_inc = sorted({t for ts in inc.values() for t in ts})
+    out_schema = "qid int, rank int, doc_id bigint, score double, width int"
+    if not all_inc:
+        return spark.createDataFrame([], out_schema)
+    fetch = sorted(set(all_inc) | set(exc.values()))
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(fetch))
+        .select("term", "df").collect()
+    }
+    live = {qid: ts for qid, ts in inc.items() if ts and all(t in dfs for t in ts)}
+    qrows = [
+        (qid, t)
+        for qid, ts in live.items()
+        for t in sorted(set(ts) | ({exc[qid]} if exc[qid] in dfs else set()))
+    ]
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    idf = {t: idf_value(n_docs, dfs[t]) for ts in live.values() for t in ts}
+    K1, B = 1.2, 0.75
+
+    qdf = spark.createDataFrame(qrows, "qid int, term string")
+    have_terms = sorted({t for _, t in qrows})
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in have_terms})
+        pruned = pruned.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(have_terms)).join(
+        F.broadcast(qdf), "term"
+    )
+    iv_schema = "qid int, doc_id bigint, score double, width int"
+    _EMPTY = np.asarray([], dtype=np.int64)
+
+    def group_iv(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "doc_id": [], "score": [], "width": []}).astype(
+            {"qid": "int32", "doc_id": "int64", "score": "float64", "width": "int32"}
+        )
+        if pdf.empty:
+            return empty
+        qid = int(pdf["qid"].iloc[0])
+        terms = live.get(qid)
+        if not terms:
+            return empty
+        pos_by_term, dl_by_doc = _decode_group(pdf)
+        if any(t not in pos_by_term for t in terms):
+            return empty
+        ex_map = pos_by_term.get(exc[qid], {})
+        cand = set.intersection(*[set(pos_by_term[t]) for t in terms])
+        n_t = len(terms)
+        out_d, out_s, out_w = [], [], []
+        for doc in sorted(cand):
+            w = _min_window_excluding(
+                [pos_by_term[t][doc] for t in terms],
+                ex_map.get(doc, _EMPTY),
+            )
+            if w == 0 or w - n_t > max_gaps:
+                continue
+            dl = float(dl_by_doc[doc])
+            base = 0.0
+            for t in terms:
+                tf = float(pos_by_term[t][doc].size)
+                base += idf[t] * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * dl / avgdl)
+                )
+            out_d.append(doc)
+            out_w.append(w)
+            out_s.append(base)
+        return pd.DataFrame(
+            {
+                "qid": np.full(len(out_d), qid, np.int32),
+                "doc_id": np.asarray(out_d, dtype=np.int64),
+                "score": np.asarray(out_s, dtype=np.float64),
+                "width": np.asarray(out_w, dtype=np.int32),
+            }
+        )
+
+    scored = matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: group_iv(pdf), iv_schema
+    )
+    ranked = topk(scored.select("qid", "doc_id", "score"), k)
+    return ranked.join(
+        scored.select("qid", "doc_id", "width"), ["qid", "doc_id"]
+    ).select("qid", "rank", "doc_id", "score", "width")
