@@ -126,3 +126,65 @@ def test_session8_steps_compose(spark):
     sp = Pipeline([("leakage_split", {"pairs": pairs, "test_frac": 0.5})])
     srows = {r["doc_id"]: (r["component"], r["split"]) for r in sp(df).collect()}
     assert srows[0] == srows[2] == srows[4]  # one cluster, one side
+
+
+def test_session9_curation_steps(spark):
+    import numpy as np
+
+    from vframe_spark.pipeline import Pipeline
+
+    rows = [(i, f"shared body text number {i % 3} repeats") for i in range(12)]
+    rows += [(100, "totally alien walrus content nobody saw")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    ref = df.filter("doc_id < 6")
+
+    # novelty gate: the alien doc is the only one above 0.9
+    nov = Pipeline([
+        ("novelty_filter", {"reference": ref, "min_novelty": 0.9, "m": 4096}),
+    ])(df.filter("doc_id >= 6"))
+    assert {r["doc_id"] for r in nov.collect()} == {100}
+
+    # perplexity gate: the alien doc scores strictly worse than the rest,
+    # so a cut between the two bands drops exactly it
+    from vframe_spark.operators.curate import bigram_nll
+
+    scores = {
+        r["doc_id"]: r["ppl"]
+        for r in bigram_nll(df.filter("doc_id >= 6"), ref).collect()
+    }
+    cut = (scores[100] + max(v for d, v in scores.items() if d != 100)) / 2
+    assert scores[100] > max(v for d, v in scores.items() if d != 100)
+    ppl = Pipeline([
+        ("perplexity_filter", {"reference": ref, "max_ppl": cut}),
+    ])(df.filter("doc_id >= 6"))
+    kept = {r["doc_id"] for r in ppl.collect()}
+    assert 100 not in kept and len(kept) == len(scores) - 1
+
+    # semantic dedup + embedding decon over a planted embedding table
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((13, 8))
+    base[1] = base[0]  # duplicate pair → one survivor
+    ids = [r[0] for r in rows]
+    emb = spark.createDataFrame(
+        [(ids[i], [float(x) for x in base[i]]) for i in range(13)],
+        "doc_id long, embedding array<float>",
+    )
+    sd = Pipeline([
+        ("semantic_dedup", {
+            "embeddings": emb, "threshold": 0.999,
+            "n_clusters": 2, "dim": 8,
+        }),
+    ])(df)
+    kept_sd = {r["doc_id"] for r in sd.collect()}
+    assert ids[0] in kept_sd and ids[1] not in kept_sd
+    assert len(kept_sd) == 12
+
+    dec = Pipeline([
+        ("embedding_decontaminate", {
+            "embeddings": emb, "benchmark": [list(map(float, base[0]))],
+            "threshold": 0.999,
+        }),
+    ])(df)
+    kept_dec = {r["doc_id"] for r in dec.collect()}
+    assert ids[0] not in kept_dec and ids[1] not in kept_dec
+    assert len(kept_dec) == 11

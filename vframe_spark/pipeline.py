@@ -297,3 +297,77 @@ def _categorize_step(df, text_col: str = "content", n_tokens: int = 5,
     from .functions.text import categorize_key
 
     return df.withColumn(out_col, categorize_key(F.col(text_col), n_tokens))
+
+
+@register_step("novelty_filter")
+def _novelty_filter_step(df, reference, min_novelty: float = 0.0,
+                         max_novelty: float = 1.0, n: int = 3,
+                         m: int = 65536, k: int = 4,
+                         id_col: str = "doc_id", text_col: str = "content"):
+    """Keep docs whose n-gram novelty vs ``reference`` falls in
+    [min_novelty, max_novelty] — drop near-memorized (low) or
+    off-distribution (high) docs."""
+    from .operators.curate import novelty_scores
+
+    nv = novelty_scores(df, reference, n, m, k, id_col, text_col).select(
+        id_col, "novelty"
+    )
+    return (
+        df.join(nv, id_col)
+        .filter(F.col("novelty").between(min_novelty, max_novelty))
+        .drop("novelty")
+    )
+
+
+@register_step("perplexity_filter")
+def _perplexity_filter_step(df, reference=None, max_ppl: float | None = None,
+                            min_ppl: float | None = None,
+                            id_col: str = "doc_id", text_col: str = "content"):
+    """CCNet-style gate: keep docs whose bigram-LM perplexity under the
+    ``reference`` model lies inside the band."""
+    from .operators.curate import bigram_nll
+
+    sc = bigram_nll(df, reference, id_col, text_col).select(id_col, "ppl")
+    out = df.join(sc, id_col)
+    if min_ppl is not None:
+        out = out.filter(F.col("ppl") >= min_ppl)
+    if max_ppl is not None:
+        out = out.filter(F.col("ppl") <= max_ppl)
+    return out.drop("ppl")
+
+
+@register_step("semantic_dedup")
+def _semantic_dedup_step(df, embeddings, threshold: float = 0.95,
+                         n_clusters: int = 64, dim: int | None = None,
+                         id_col: str = "doc_id", vec_col: str = "embedding"):
+    """Keep one representative per semantic-duplicate group (SemDeDup):
+    join the keep flags from `similarity.semantic_dedup` and filter."""
+    from .operators.similarity import semantic_dedup
+
+    keep = (
+        semantic_dedup(
+            embeddings, dim=dim, n_clusters=n_clusters, threshold=threshold,
+            id_col=id_col if id_col in embeddings.columns else "vec_id",
+            vec_col=vec_col,
+        )
+        .filter(F.col("keep"))
+        .select(F.col("vec_id").alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+@register_step("embedding_decontaminate")
+def _embedding_decon_step(df, embeddings, benchmark, threshold: float = 0.95,
+                          id_col: str = "doc_id", vec_col: str = "embedding"):
+    """Drop docs whose embedding's max cosine to any benchmark vector
+    reaches ``threshold`` (semantic eval-set contamination)."""
+    from .operators.similarity import embedding_decontaminate
+
+    eid = id_col if id_col in embeddings.columns else "vec_id"
+    bad = (
+        embedding_decontaminate(embeddings, benchmark, threshold,
+                                id_col=eid, vec_col=vec_col)
+        .filter(F.col("contaminated"))
+        .select(F.col("vec_id").alias(id_col))
+    )
+    return df.join(bad, id_col, "left_anti")
