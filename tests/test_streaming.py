@@ -570,3 +570,61 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # the pair the cut runs through crosses the drop boundary
     assert (widest["user_id"], widest["vid"], widest["cid"]) in got
+
+
+def test_embedding_dedup_stream_equals_replay(spark, tmp_path):
+    """Streamed skip-cnn gate: cosine near-dups dropped across batches;
+    kept set equals a sequential driver replay (exact, no pruning)."""
+    import glob as g
+    import shutil as sh
+
+    import numpy as np
+
+    from vframe_spark.streaming.dedup import embedding_dedup_stream
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((30, 8))
+    base[10] = base[0] + rng.normal(scale=1e-3, size=8)   # dup inside drop 1
+    base[20] = base[3] + rng.normal(scale=1e-3, size=8)   # dup ACROSS drops
+    base[25] = base[20] + rng.normal(scale=1e-3, size=8)  # dup of a dropped row
+    rows = [("k", i, [float(x) for x in base[i]]) for i in range(30)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "key string, vec_id long, embedding array<float>"
+    for di, sl in enumerate((slice(0, 15), slice(15, 30))):
+        spark.createDataFrame(rows[sl], schema).coalesce(1).write.parquet(
+            str(tmp_path / f"d{di}")
+        )
+        sh.copy(
+            g.glob(str(tmp_path / f"d{di}" / "*.parquet"))[0],
+            os.path.join(src, f"drop_{di}.parquet"),
+        )
+    T = 0.98
+    out = embedding_dedup_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        threshold=T,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("embdd")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["vec_id"] for r in spark.table("embdd").collect())
+
+    # sequential driver replay over float32 round-tripped vectors
+    kept, R = [], []
+    for i in range(30):
+        v = base[i].astype(np.float32).astype(np.float64)
+        vn = v / np.linalg.norm(v)
+        if R and max(float(np.dot(r, vn)) for r in R) >= T:
+            continue
+        kept.append(i)
+        R.append(vn)
+    assert got == kept
+    assert 10 not in got and 20 not in got
+    # row 25 duplicates a DROPPED row — whether it survives is decided
+    # by the retained set, and the replay agrees
+    assert (25 in got) == (25 in kept)

@@ -25,6 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    FloatType,
     LongType,
     StringType,
     StructField,
@@ -163,6 +164,82 @@ def near_dedup_stream(
         near_fn,
         outputStructType=OUT_SCHEMA,
         stateStructType=NEAR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EMB_OUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+EMB_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+
+def embedding_dedup_stream(
+    stream_vecs: DataFrame,
+    threshold: float = 0.95,
+    key_col: str = "key",
+    max_retained: int = 10_000,
+) -> DataFrame:
+    """Streaming semantic near-dup filter — `skip-cnn` parity on a live
+    stream (/root/reference/src/commands/pipe/skip-cnn.py:82-96): per
+    key, a vector is DROPPED when its cosine to ANY retained vector
+    reaches ``threshold``, else kept and retained. Exact (no candidate
+    pruning): each row scores one GEMV against the retained float32
+    matrix, so per-row cost is bounded by ``max_retained × dim`` —
+    state is capped (oldest evicted first; eviction can only re-admit
+    a dup later, never drop a novel vector). The corpus-scale batch
+    path is `operators.similarity.semantic_dedup`; this is the serving
+    / ingest-gate half.
+
+    Input: (key_col, vec_id, embedding array<float>) stream. Output:
+    kept rows as (key, vec_id, embedding).
+    """
+    import numpy as np
+
+    thr = float(threshold)
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            arr = np.frombuffer(state.get[0], dtype=np.float32)
+        else:
+            arr = np.empty(0, dtype=np.float32)
+        retained = None  # (n, dim) built lazily once dim is known
+
+        for pdf in pdfs:
+            keep = []
+            for vec in pdf["embedding"]:
+                v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+                d = v.size
+                if retained is None:
+                    retained = arr.reshape(-1, d).astype(np.float64) if arr.size else np.empty((0, d))
+                vn = v / max(float(np.linalg.norm(v)), 1e-12)
+                dup = bool(retained.size) and float((retained @ vn).max()) >= thr
+                keep.append(not dup)
+                if not dup:
+                    retained = np.vstack([retained, vn[None, :]])
+            out = pdf.loc[keep, :]
+            if len(out):
+                yield pd.DataFrame(
+                    {
+                        "key": out[key_col].astype(str),
+                        "vec_id": out["vec_id"],
+                        "embedding": out["embedding"],
+                    }
+                )
+        if retained is not None:
+            if len(retained) > max_retained:
+                retained = retained[-max_retained:]
+            state.update((retained.astype(np.float32).tobytes(),))
+
+    return stream_vecs.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=EMB_OUT_SCHEMA,
+        stateStructType=EMB_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
