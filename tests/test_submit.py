@@ -185,3 +185,46 @@ def test_submit_dsir_select(tmp_path):
     res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
     assert res["selected"] == 20 and res["mode"] == "argmax"
     assert res["target_docs"] > 0
+
+
+def test_submit_dedup_minhash(tmp_path):
+    """The dedup verb: minhash near-dup removal over a staged corpus
+    with planted exact+near duplicates, through --py-files in a fresh
+    JVM; dropped count must be ≥ the planted dups."""
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import make
+
+    zip_path = make(str(tmp_path / "vframe_spark.zip"))
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "kept")
+    body = " ".join(f"token{i} shared body content" for i in range(30))
+    prep = subprocess.run(
+        [sys.executable, "-c", f"""
+import duckdb
+rows = []
+for i in range(20):
+    rows.append((i, '{body} uniq%d' % i))
+rows.append((100, rows[0][1]))                     # exact dup
+rows.append((101, rows[1][1] + ' tail'))           # near dup
+duckdb.sql("CREATE TABLE t(doc_id BIGINT, content VARCHAR)")
+for d, c in rows:
+    duckdb.sql("INSERT INTO t VALUES (%d, '%s')" % (d, c))
+duckdb.sql("COPY t TO '{docs_dir}' (FORMAT parquet)")
+"""],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert prep.returncode == 0, prep.stderr[-1000:]
+    out = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         os.path.join(ROOT, "tools", "submit_job.py"),
+         "dedup", "--mode", "minhash", "--threshold", "0.8",
+         "--docs-parquet", docs_dir, "--out", out_dir],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["docs_in"] == 22
+    assert res["dropped"] >= 2 and res["docs_kept"] <= 20

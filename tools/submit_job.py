@@ -115,6 +115,22 @@ def main(argv: list[str] | None = None) -> int:
     sel.add_argument("--ngram", type=int, default=2)
     sel.add_argument("--buckets", type=int, default=4096)
 
+    dd = sub.add_parser("dedup", help="near-duplicate removal over a docs "
+                        "parquet: --mode exact|minhash|semantic; writes the "
+                        "kept corpus to --out")
+    dd.add_argument("--docs-parquet", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--mode", choices=["exact", "minhash", "semantic"],
+                    default="exact")
+    dd.add_argument("--threshold", type=float, default=0.8,
+                    help="minhash Jaccard / semantic cosine threshold")
+    dd.add_argument("--embeddings-parquet", default=None,
+                    help="(semantic) parquet with (vec_id, embedding); "
+                         "vec_id must match --id-col values")
+    dd.add_argument("--n-clusters", type=int, default=64)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="content")
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -209,6 +225,53 @@ def main(argv: list[str] | None = None) -> int:
             "selected": spark.read.parquet(args.out).count(),
             "target_docs": target.count(),
             "mode": "sample" if args.sample else "argmax",
+        }))
+    elif args.cmd == "dedup":
+        docs = spark.read.parquet(args.docs_parquet)
+        n_in = docs.count()
+        if args.mode == "exact":
+            from vframe_spark.operators.dedup import dedup_exact
+
+            kept = dedup_exact(docs, content_col=args.text_col, id_col=args.id_col)
+        elif args.mode == "minhash":
+            from vframe_spark.operators.cluster import dedup_keep_canonical
+            from vframe_spark.operators.dedup import (
+                minhash_lsh_pairs, minhash_signatures,
+            )
+
+            N_HASHES = 64
+            sigs = minhash_signatures(
+                docs, content_col=args.text_col, id_col=args.id_col,
+                n_hashes=N_HASHES,
+            )
+            pairs = minhash_lsh_pairs(
+                sigs, threshold=args.threshold, n_hashes=N_HASHES
+            )
+            kept = dedup_keep_canonical(
+                docs, pairs, id_col=args.id_col,
+                id_a="id_a", id_b="id_b",
+            )
+        else:
+            from pyspark.sql import functions as F
+
+            from vframe_spark.operators.similarity import semantic_dedup
+
+            emb = spark.read.parquet(args.embeddings_parquet)
+            dim = len(emb.select("embedding").first()["embedding"])
+            keep = (
+                semantic_dedup(
+                    emb, dim=dim, n_clusters=args.n_clusters,
+                    threshold=args.threshold,
+                )
+                .filter(F.col("keep"))
+                .select(F.col("vec_id").alias(args.id_col))
+            )
+            kept = docs.join(keep, args.id_col, "left_semi")
+        kept.write.mode("overwrite").parquet(args.out)
+        n_out = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "mode": args.mode, "docs_in": n_in, "docs_kept": n_out,
+            "dropped": n_in - n_out,
         }))
     elif args.cmd == "stats":
         from vframe_spark.index.builder import IndexPaths, load_index, read_manifest
