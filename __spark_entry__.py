@@ -2514,6 +2514,46 @@ def q_ft_percentiles(spark, sf_dir):
     )
 
 
+FT_PCT_RANK_AT = [150.0, 250.0]
+
+
+def q_ft_percentile_ranks(spark, sf_dir):
+    """Percentile-ranks facet (ES percentile_ranks — the inverse of the
+    percentiles facet): for each given n_chars value, the percentage of
+    the match set at or below it (query/facets.py
+    percentile_ranks_facets)."""
+    from vframe_spark.query.facets import percentile_ranks_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = percentile_ranks_facets(
+        postings, meta, FT_FACET_QUERIES, docs, "n_chars", FT_PCT_RANK_AT
+    )
+    return out.select(
+        "qid",
+        F.col("n_vals").cast("bigint").alias("n_vals"),
+        F.col("rank_150_0").alias("rank150"),
+        F.col("rank_250_0").alias("rank250"),
+    )
+
+
+def _percentile_ranks_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term)
+SELECT m.qid::INT AS qid,
+       count(d.n_chars)::BIGINT AS n_vals,
+       round(100.0 * avg((d.n_chars <= 150.0)::INT), 6) AS rank150,
+       round(100.0 * avg((d.n_chars <= 250.0)::INT), 6) AS rank250
+FROM m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_ft_cardinality(spark, sf_dir):
     """Cardinality facet (ES cardinality): HLL distinct-count of `lang`
     across each query's matched docs — the portable sketch, so the
@@ -8489,6 +8529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_proximity_topk": q_ft_proximity_topk,
         "ft_significant_terms": q_ft_significant_terms,
         "ft_percentiles": q_ft_percentiles,
+        "ft_percentile_ranks": q_ft_percentile_ranks,
         "ft_cardinality": q_ft_cardinality,
         "ft_decay_topk": q_ft_decay_topk,
         "ft_date_histogram": q_ft_date_histogram,
@@ -9173,6 +9214,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_proximity_topk": _proximity_oracle_sql(),
         "ft_significant_terms": _significant_oracle_sql(),
         "ft_percentiles": _percentiles_facet_oracle_sql(),
+        "ft_percentile_ranks": _percentile_ranks_oracle_sql(),
         "ft_cardinality": _cardinality_oracle_sql(),
         "ft_decay_topk": _decay_oracle_sql(),
         "ft_date_histogram": _date_histogram_oracle_sql(),

@@ -182,6 +182,7 @@ def main() -> None:
         "ft_intervals_not_containing",
         "ft_significant_terms",
         "ft_percentiles",
+        "ft_percentile_ranks",
         "ft_cardinality",
         "ft_decay_topk",
         "ft_date_histogram",

@@ -502,6 +502,27 @@ class SearchIndex:
             ranges, id_col=id_col, mode=mode,
         )
 
+    def percentile_ranks(
+        self,
+        query: str | list[tuple[int, str]],
+        values: DataFrame,
+        value_col: str,
+        at_values: list[float],
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Inverse-percentiles facet (ES percentile_ranks) → (qid,
+        n_vals, rank_<v>...); see
+        `query.facets.percentile_ranks_facets`."""
+        from .query.facets import percentile_ranks_facets
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return percentile_ranks_facets(
+            postings, meta, queries, values, value_col,
+            at_values=list(at_values), id_col=id_col, mode=mode,
+        )
+
     def percentiles(
         self,
         query: str | list[tuple[int, str]],

@@ -1337,3 +1337,33 @@ def variable_width_histogram_facets(
             F.round(F.avg("_v"), 6).alias("avg_v"),
         )
     )
+
+
+def percentile_ranks_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    value_col: str,
+    at_values: list[float],
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Percentile-ranks aggregation (the ES ``percentile_ranks`` facet,
+    exact — the inverse of :func:`field_percentiles`): for each given
+    value v, the percentage of the match set's field values ≤ v →
+    (qid, n_vals, rank_<v>...). NULLs drop from the distribution; same
+    match-set decode + equi-join + one agg shape as every facet."""
+    if not at_values:
+        raise ValueError("at_values must be non-empty")
+    m = match_set(postings, meta, queries, mode=mode)
+    v = values.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col(value_col).isNotNull())
+    aggs = [F.count("_v").alias("n_vals")] + [
+        F.round(
+            F.lit(100.0) * F.avg((F.col("_v") <= F.lit(float(x))).cast("double")), 6
+        ).alias(f"rank_{str(x).replace('.', '_').replace('-', 'm')}")
+        for x in at_values
+    ]
+    return m.join(v, "doc_id").groupBy("qid").agg(*aggs)
