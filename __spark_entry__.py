@@ -2514,6 +2514,52 @@ def q_ft_percentiles(spark, sf_dir):
     )
 
 
+FT_FILTER_BUCKETS = {
+    "short": "n_chars < 180",
+    "en": "lang = 'en'",
+    "long_py": "n_chars >= 180 AND lang = 'py'",
+}
+
+
+def q_ft_filters_facet(spark, sf_dir):
+    """Named-predicate buckets over the match set (ES `filters` agg,
+    query/facets.py filters_facets): overlapping SQL predicates count
+    matching docs per named bucket, plus the _other_ bucket for docs
+    satisfying none — zero-doc buckets keep their key."""
+    from vframe_spark.query.facets import filters_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return filters_facets(
+        postings, meta, FT_FACET_QUERIES, docs, FT_FILTER_BUCKETS,
+        other_bucket=True,
+    )
+
+
+def _filters_facet_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    legs = [
+        f"SELECT qid, '{name}' AS bucket, "
+        f"coalesce(sum(({pred})::INT), 0)::BIGINT AS n_docs "
+        f"FROM md GROUP BY 1"
+        for name, pred in FT_FILTER_BUCKETS.items()
+    ]
+    none_of = " AND ".join(f"NOT ({p})" for p in FT_FILTER_BUCKETS.values())
+    legs.append(
+        f"SELECT qid, '_other_' AS bucket, "
+        f"coalesce(sum(({none_of})::INT), 0)::BIGINT AS n_docs FROM md GROUP BY 1"
+    )
+    union = " UNION ALL ".join(legs)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+md AS (SELECT m.qid::INT AS qid, d.* FROM m JOIN documents d USING (doc_id))
+{union}
+"""
+
+
 FT_PCT_RANK_AT = [150.0, 250.0]
 
 
@@ -8530,6 +8576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_significant_terms": q_ft_significant_terms,
         "ft_percentiles": q_ft_percentiles,
         "ft_percentile_ranks": q_ft_percentile_ranks,
+        "ft_filters_facet": q_ft_filters_facet,
         "ft_cardinality": q_ft_cardinality,
         "ft_decay_topk": q_ft_decay_topk,
         "ft_date_histogram": q_ft_date_histogram,
@@ -9215,6 +9262,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_significant_terms": _significant_oracle_sql(),
         "ft_percentiles": _percentiles_facet_oracle_sql(),
         "ft_percentile_ranks": _percentile_ranks_oracle_sql(),
+        "ft_filters_facet": _filters_facet_oracle_sql(),
         "ft_cardinality": _cardinality_oracle_sql(),
         "ft_decay_topk": _decay_oracle_sql(),
         "ft_date_histogram": _date_histogram_oracle_sql(),

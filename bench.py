@@ -183,6 +183,7 @@ def main() -> None:
         "ft_significant_terms",
         "ft_percentiles",
         "ft_percentile_ranks",
+        "ft_filters_facet",
         "ft_cardinality",
         "ft_decay_topk",
         "ft_date_histogram",

@@ -502,6 +502,26 @@ class SearchIndex:
             ranges, id_col=id_col, mode=mode,
         )
 
+    def filters_facet(
+        self,
+        query: str | list[tuple[int, str]],
+        values: DataFrame,
+        filters: dict[str, str],
+        other_bucket: bool = False,
+        id_col: str = "doc_id",
+        mode: str = "or",
+    ) -> DataFrame:
+        """Named-predicate buckets over the match set (ES filters agg)
+        → (qid, bucket, n_docs); see `query.facets.filters_facets`."""
+        from .query.facets import filters_facets
+
+        postings, _, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return filters_facets(
+            postings, meta, queries, values, filters,
+            id_col=id_col, mode=mode, other_bucket=other_bucket,
+        )
+
     def percentile_ranks(
         self,
         query: str | list[tuple[int, str]],

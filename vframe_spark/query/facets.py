@@ -1367,3 +1367,45 @@ def percentile_ranks_facets(
         for x in at_values
     ]
     return m.join(v, "doc_id").groupBy("qid").agg(*aggs)
+
+
+def filters_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    filters: dict[str, str],
+    id_col: str = "doc_id",
+    mode: str = "or",
+    other_bucket: bool = False,
+) -> DataFrame:
+    """Named-predicate buckets over the match set (the ES ``filters``
+    aggregation) → (qid, bucket, n_docs): each named SQL predicate over
+    ``values`` counts the matching docs that satisfy it (buckets
+    overlap freely, like ES). ``other_bucket=True`` appends an
+    ``_other_`` bucket counting match-set docs satisfying NO predicate.
+    Buckets with zero docs still appear (count 0) — ES keeps the named
+    key. One match-set decode + equi-join + one agg."""
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    m = match_set(postings, meta, queries, mode=mode)
+    joined = m.join(values.withColumnRenamed(id_col, "doc_id"), "doc_id")
+    aggs = [
+        F.sum(F.expr(pred).cast("long")).alias(name)
+        for name, pred in filters.items()
+    ]
+    if other_bucket:
+        none_of = " AND ".join(f"NOT ({p})" for p in filters.values())
+        aggs.append(F.sum(F.expr(none_of).cast("long")).alias("_other_"))
+    wide = joined.groupBy("qid").agg(*aggs)
+    names = list(filters) + (["_other_"] if other_bucket else [])
+    stacked = wide.select(
+        "qid",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(n) for n in names]),
+                F.array(*[F.coalesce(F.col(n), F.lit(0)) for n in names]),
+            )
+        ).alias("bucket", "n_docs"),
+    )
+    return stacked.select("qid", "bucket", F.col("n_docs").cast("bigint").alias("n_docs"))
