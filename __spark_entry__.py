@@ -5815,6 +5815,107 @@ SELECT vec_id, max_cos, (max_cos >= {EDECON_T}) AS contaminated FROM mx
 """
 
 
+ANNIDX_K, ANNIDX_PROBES = 5, 3
+_ANNIDX_CACHE: dict[str, str] = {}
+
+
+def _ann_index_dir(spark, sf_dir):
+    """Build (once per sf_dir) the persisted IVF index over the
+    embeddings table with closed-form first-SEM_K centroids."""
+    if sf_dir not in _ANNIDX_CACHE:
+        from vframe_spark.index.ann import write_ann_index
+
+        tag = hashlib.md5(f"annidx:{SEM_K}:{sf_dir}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"vfann_{tag}")
+        done = os.path.join(out, "DONE")
+        if not os.path.exists(done):
+            emb = _t(spark, sf_dir, "embeddings")
+            cents = np.array(
+                [
+                    list(r["embedding"])
+                    for r in emb.select("vec_id", "embedding")
+                    .orderBy("vec_id").limit(SEM_K).collect()
+                ],
+                dtype=np.float64,
+            )
+            write_ann_index(emb, out, centroids=cents)
+            open(done, "w").write("ok")
+        _ANNIDX_CACHE[sf_dir] = out
+    return _ANNIDX_CACHE[sf_dir]
+
+
+def q_sim_ann_index_topk(spark, sf_dir):
+    """Persisted-ANN-index retrieval (index/ann.py): the IVF assignment
+    is written ONCE partitioned by list_id; each query probes its 3
+    nearest lists (6-dp rounded cosine, ties → lowest list) and the
+    scan reads ONLY those partitions — the serving shape where the
+    index is an artifact, not a per-job recompute. Closed-form first-k
+    centroids make build, probe, and rank fully SQL-replayable."""
+    from vframe_spark.index.ann import ann_index_topk
+
+    out = _ann_index_dir(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    raw = ann_index_topk(spark, out, queries, k=10 * ANNIDX_K, n_probes=ANNIDX_PROBES)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        raw.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANNIDX_K)
+        .select("qid", "rank", "vec_id", "cosine")
+    )
+
+
+def _ann_index_oracle_sql() -> str:
+    def cos_expr(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+            f" (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) *"
+            f" sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+        )
+
+    acos = cos_expr("v.embedding", "c.embedding")
+    qcos = cos_expr("q.embedding", "c.embedding")
+    pcos = cos_expr("e.embedding", "qe.embedding")
+    return f"""
+WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {SEM_K}),
+assign AS (
+  SELECT v.vec_id, c.cid, round({acos}, 6) AS cos
+  FROM embeddings v CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, cid AS list_id FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
+),
+qv AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 200 = 0),
+qprobe AS (
+  SELECT qid, cid AS list_id FROM (
+    SELECT q.qid, c.cid, round({qcos}, 6) AS cos
+    FROM qv q CROSS JOIN cents c
+  ) QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= {ANNIDX_PROBES}
+),
+cand AS (
+  SELECT p.qid, b.vec_id FROM qprobe p JOIN best b ON b.list_id = p.list_id
+),
+scored AS (
+  SELECT cand.qid, cand.vec_id, round({pcos}, 4) AS cosine
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  JOIN embeddings qe ON qe.vec_id = cand.qid
+),
+ranked AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, cosine
+  FROM scored
+)
+SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= {ANNIDX_K}
+"""
+
+
 def q_curate_sample_stratified(spark, sf_dir):
     """Deterministic hash-based stratified sampling (training-mix
     construction): portable hash ⇒ the DuckDB oracle selects the SAME
@@ -8560,6 +8661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_semantic": q_dedup_semantic,
         "curate_embedding_decon": q_curate_embedding_decon,
+        "sim_ann_index_topk": q_sim_ann_index_topk,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "curate_sample_stratified": q_curate_sample_stratified,
         "ft_more_like_this": q_ft_more_like_this,
@@ -9247,6 +9349,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": EMB_PAIRS_ORACLE_SQL,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "curate_embedding_decon": _embedding_decon_oracle_sql(),
+        "sim_ann_index_topk": _ann_index_oracle_sql(),
         "curate_sample_stratified": _stratified_oracle_sql(),
         "ft_more_like_this": _mlt_oracle_sql(),
         "curate_decontaminate": _decontaminate_oracle_sql(),

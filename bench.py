@@ -245,6 +245,7 @@ def main() -> None:
         "sim_ivf_topk",
         "sim_pq_topk",
         "sim_sq_topk",
+        "sim_ann_index_topk",
         "sim_maxsim_topk",
         "ft_tokenize_tf",
         "dedup_exact_groups",

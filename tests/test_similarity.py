@@ -480,3 +480,56 @@ def test_embedding_decontaminate_numpy_replay(spark):
         assert got[vid] == (want_mx[i], bool(want_mx[i] >= 0.9)), vid
     assert got[40] == (1.0, True)
     assert not got[41][1]
+
+
+def test_ann_index_prunes_partitions_and_retrieves(spark, tmp_path):
+    """Persisted IVF index: queries read ONLY their probed list_id
+    partitions (PartitionFilters reach the scan), each query's own
+    vector comes back at rank 1, and candidates == the assignment's
+    probed lists exactly (numpy replay)."""
+    import numpy as np
+
+    from vframe_spark.index.ann import ann_index_topk, load_ann_index, write_ann_index
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((120, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "annidx")
+    meta = write_ann_index(emb, out, centroids=base[:6])
+    assert meta["n_lists"] == 6 and meta["n_vectors"] == 120
+
+    queries = [(i, [float(x) for x in base[i]]) for i in (0, 33, 77)]
+    res = ann_index_topk(spark, out, queries, k=5, n_probes=2)
+    rows = res.collect()
+    got = {(r["qid"], r["rank"]): r["vec_id"] for r in rows}
+    for qid, _ in queries:
+        assert got[(qid, 1)] == qid  # self at rank 1 (own list always probed)
+
+    # candidate set == numpy replay of assign + probe
+    m = base.astype(np.float32).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cn = base[:6] / np.linalg.norm(base[:6], axis=1, keepdims=True)
+    assign = np.round(mn @ cn.T, 6).argmax(axis=1)
+    res_all = ann_index_topk(spark, out, queries, k=10**6, n_probes=2)
+    got_cand = {}
+    for r in res_all.collect():
+        got_cand.setdefault(r["qid"], set()).add(r["vec_id"])
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        vn = v / np.linalg.norm(v)
+        sims = np.round(cn @ vn, 6)
+        probes = set(np.lexsort((np.arange(6), -sims))[:2].tolist())
+        want = {i for i in range(120) if assign[i] in probes}
+        assert got_cand[qid] == want
+
+    # the probe scan prunes at the partition level
+    from pyspark.sql import functions as F
+
+    vectors, cents, _ = load_ann_index(spark, out)
+    pruned = vectors.filter(F.col("list_id").isin([0, 3]))
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
