@@ -533,3 +533,35 @@ def test_ann_index_prunes_partitions_and_retrieves(spark, tmp_path):
     pruned.collect()
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ann_index_append_equals_rebuild(spark, tmp_path):
+    """append_ann_index == a scratch build over the union: same stored
+    centroids ⇒ same assignment ⇒ identical retrieval."""
+    import numpy as np
+
+    from vframe_spark.index.ann import (
+        ann_index_topk, append_ann_index, write_ann_index,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((100, 8))
+    mk = lambda sl: spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in sl],
+        "vec_id long, embedding array<float>",
+    )
+    inc = str(tmp_path / "inc")
+    write_ann_index(mk(range(60)), inc, centroids=base[:5])
+    meta = append_ann_index(mk(range(60, 100)), inc)
+    assert meta["n_vectors"] == 100
+
+    full = str(tmp_path / "full")
+    write_ann_index(mk(range(100)), full, centroids=base[:5])
+
+    queries = [(i, [float(x) for x in base[i]]) for i in (7, 64, 99)]
+    key = lambda rows: sorted(
+        (r["qid"], r["rank"], r["vec_id"], round(r["cosine"], 9)) for r in rows
+    )
+    a = key(ann_index_topk(spark, inc, queries, k=8, n_probes=2).collect())
+    b = key(ann_index_topk(spark, full, queries, k=8, n_probes=2).collect())
+    assert a == b and len(a) > 0

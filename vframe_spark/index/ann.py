@@ -153,3 +153,41 @@ def ann_index_topk(
         gemm, "qid bigint, vec_id bigint, cosine double"
     )
     return _topk_window(scored, k)
+
+
+def append_ann_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append new vectors to a persisted index WITHOUT rebuilding: the
+    stored centroid matrix assigns the batch (same rounded-cosine grain
+    as the build) and the new lists append into the existing
+    ``list_id=`` partitions — queries see the union immediately, and
+    the index equals a scratch build over the union by construction
+    (same centroids ⇒ same assignment; tested). Centroids do NOT
+    retrain on append — the IVF contract (retrain = rebuild), exactly
+    like Faiss's add() after train()."""
+    from ..operators.similarity import cluster_assign
+
+    spark = embeddings.sparkSession
+    cents = np.load(os.path.join(out_dir, "centroids.npy"))
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assigned = cluster_assign(
+        embeddings, cents, id_col=id_col, vec_col=vec_col,
+        round_dp=int(meta["round_dp"]),
+    )
+    (
+        assigned.select("vec_id", "vec", "list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    meta["n_vectors"] = int(
+        spark.read.parquet(os.path.join(out_dir, "vectors")).count()
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
