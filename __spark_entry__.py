@@ -2560,6 +2560,46 @@ md AS (SELECT m.qid::INT AS qid, d.* FROM m JOIN documents d USING (doc_id))
 """
 
 
+MT_K = 8
+
+
+def q_ft_multi_terms(spark, sf_dir):
+    """Compound-key terms agg (ES multi_terms, query/facets.py
+    multi_terms_facets): match-set doc counts per (lang, source)
+    combination, top-8 per query with the deterministic terms-cut
+    tie-break."""
+    from vframe_spark.query.facets import multi_terms_facets
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return multi_terms_facets(
+        postings, meta, FT_FACET_QUERIES, docs, ["lang", "source"], k=MT_K
+    )
+
+
+def _multi_terms_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+counted AS (
+  SELECT m.qid::INT AS qid, d.lang, d.source, count(*)::BIGINT AS n_docs
+  FROM m JOIN documents d USING (doc_id)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT qid, lang, source, n_docs,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY n_docs DESC, lang ASC, source ASC
+         )::INT AS rank
+  FROM counted
+)
+SELECT qid, lang, source, n_docs, rank FROM ranked WHERE rank <= {MT_K}
+"""
+
+
 FT_PCT_RANK_AT = [150.0, 250.0]
 
 
@@ -8679,6 +8719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percentiles": q_ft_percentiles,
         "ft_percentile_ranks": q_ft_percentile_ranks,
         "ft_filters_facet": q_ft_filters_facet,
+        "ft_multi_terms": q_ft_multi_terms,
         "ft_cardinality": q_ft_cardinality,
         "ft_decay_topk": q_ft_decay_topk,
         "ft_date_histogram": q_ft_date_histogram,
@@ -9366,6 +9407,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_percentiles": _percentiles_facet_oracle_sql(),
         "ft_percentile_ranks": _percentile_ranks_oracle_sql(),
         "ft_filters_facet": _filters_facet_oracle_sql(),
+        "ft_multi_terms": _multi_terms_oracle_sql(),
         "ft_cardinality": _cardinality_oracle_sql(),
         "ft_decay_topk": _decay_oracle_sql(),
         "ft_date_histogram": _date_histogram_oracle_sql(),

@@ -184,6 +184,7 @@ def main() -> None:
         "ft_percentiles",
         "ft_percentile_ranks",
         "ft_filters_facet",
+        "ft_multi_terms",
         "ft_cardinality",
         "ft_decay_topk",
         "ft_date_histogram",

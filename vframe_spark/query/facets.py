@@ -1409,3 +1409,38 @@ def filters_facets(
         ).alias("bucket", "n_docs"),
     )
     return stacked.select("qid", "bucket", F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
+def multi_terms_facets(
+    postings: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    values: DataFrame,
+    facet_cols: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    mode: str = "or",
+) -> DataFrame:
+    """Compound-key terms aggregation (the ES ``multi_terms`` agg) →
+    (qid, <facet_cols...>, n_docs, rank): match-set doc counts per
+    COMBINATION of the facet columns, top-k per query (n_docs DESC,
+    then the key columns ASC — deterministic, like every terms cut).
+    Same match-set decode + equi-join + one agg shape; the shuffle key
+    is (qid, key-combination)."""
+    if len(facet_cols) < 2:
+        raise ValueError("multi_terms needs >= 2 facet columns; use facet_counts")
+    m = match_set(postings, meta, queries, mode=mode)
+    f = values.select(F.col(id_col).alias("doc_id"), *facet_cols)
+    counted = (
+        m.join(f, "doc_id")
+        .groupBy("qid", *facet_cols)
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_docs").desc(), *[F.col(c).asc() for c in facet_cols]
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", *facet_cols, "n_docs", "rank")
+    )
