@@ -228,3 +228,47 @@ duckdb.sql("COPY t TO '{docs_dir}' (FORMAT parquet)")
     res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
     assert res["docs_in"] == 22
     assert res["dropped"] >= 2 and res["docs_kept"] <= 20
+
+
+def test_submit_ann_build_query(tmp_path):
+    """ANN lifecycle through spark-submit: build the IVF index over the
+    sf0.001 embeddings, append it to itself doubled ids, query it."""
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import make
+
+    zip_path = make(str(tmp_path / "vframe_spark.zip"))
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    idx = str(tmp_path / "annidx")
+    qdir = str(tmp_path / "queries")
+    prep = subprocess.run(
+        [sys.executable, "-c",
+         "import duckdb; duckdb.sql(\"COPY (SELECT vec_id, embedding FROM "
+         "'/root/testdata/sf0.001/embeddings.parquet' WHERE vec_id % 40 = 0) "
+         "TO '" + qdir + "' (FORMAT parquet)\")"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert prep.returncode == 0, prep.stderr[-1000:]
+    common = [SPARK_SUBMIT, "--master", "local[4]",
+              "--conf", "spark.sql.shuffle.partitions=4",
+              "--py-files", zip_path,
+              os.path.join(ROOT, "tools", "submit_job.py")]
+    out = subprocess.run(
+        common + ["ann-build", "--embeddings-parquet",
+                  "/root/testdata/sf0.001/embeddings.parquet",
+                  "--index", idx, "--n-lists", "8"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert meta["n_lists"] == 8 and meta["n_vectors"] > 0
+
+    out = subprocess.run(
+        common + ["ann-query", "--index", idx,
+                  "--queries-parquet", qdir, "--k", "3"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert rows
+    top1 = {r["qid"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert all(q == v for q, v in top1.items())  # self at rank 1

@@ -131,6 +131,22 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="content")
 
+    ab = sub.add_parser("ann-build", help="persist an IVF ANN index over an "
+                        "embeddings parquet (vec_id, embedding)")
+    ab.add_argument("--embeddings-parquet", required=True)
+    ab.add_argument("--index", required=True)
+    ab.add_argument("--n-lists", type=int, default=64)
+    ab.add_argument("--append", action="store_true",
+                    help="append to an existing index (stored centroids)")
+
+    aq = sub.add_parser("ann-query", help="top-k cosine over a persisted ANN "
+                        "index; query vectors = rows of --queries-parquet")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--queries-parquet", required=True,
+                    help="parquet with (vec_id, embedding) query rows")
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--n-probes", type=int, default=4)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -273,6 +289,30 @@ def main(argv: list[str] | None = None) -> int:
             "mode": args.mode, "docs_in": n_in, "docs_kept": n_out,
             "dropped": n_in - n_out,
         }))
+    elif args.cmd == "ann-build":
+        from vframe_spark.index.ann import append_ann_index, write_ann_index
+
+        emb = spark.read.parquet(args.embeddings_parquet)
+        if args.append:
+            meta = append_ann_index(emb, args.index)
+        else:
+            meta = write_ann_index(emb, args.index, n_lists=args.n_lists)
+        print(json.dumps(meta))
+    elif args.cmd == "ann-query":
+        from vframe_spark.index.ann import ann_index_topk
+
+        qrows = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in spark.read.parquet(args.queries_parquet).collect()
+        ]
+        res = ann_index_topk(
+            spark, args.index, qrows, k=args.k, n_probes=args.n_probes
+        ).collect()
+        for r in res:
+            print(json.dumps({
+                "qid": r["qid"], "rank": r["rank"],
+                "vec_id": r["vec_id"], "cosine": round(r["cosine"], 6),
+            }))
     elif args.cmd == "stats":
         from vframe_spark.index.builder import IndexPaths, load_index, read_manifest
 
