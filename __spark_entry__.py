@@ -5676,6 +5676,93 @@ SELECT qid, rank, doc_id, hybrid FROM ranked WHERE rank <= {FT_K}
 """
 
 
+KNNR_WINDOW, KNNR_QW, KNNR_RW = 20, 1.0, 5.0
+
+
+def q_ft_knn_rescore(spark, sf_dir):
+    """Semantic (kNN) rescore — retrieve-then-rerank (query/rescore.py
+    knn_rescore_topk): WAND BM25 top-20 window per query, each window
+    doc rescored by cosine between its embedding and the query's
+    vector, final = 1.0·bm25 + 5.0·cosine at the 4-dp grain. The vector
+    math touches |queries| × 20 rows, never the corpus; window docs
+    without an embedding keep their weighted first-pass score."""
+    from vframe_spark.query.rescore import knn_rescore_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec_rows = emb.filter(
+        (F.col("vec_id") % 100 == 0)
+        & (F.col("vec_id") >= 100)
+        & (F.col("vec_id") <= 100 * len(FT_QUERIES))
+    ).collect()
+    qvecs = {int(r["vec_id"] // 100): list(r["embedding"]) for r in qvec_rows}
+    return knn_rescore_topk(
+        postings, term_stats, meta, FT_QUERIES, qvecs, emb,
+        k=FT_K, window_size=KNNR_WINDOW,
+        query_weight=KNNR_QW, rescore_weight=KNNR_RW,
+    )
+
+
+def _knn_rescore_oracle_sql() -> str:
+    qvals = _ft_qterms_values_sql()
+    vq_values = ", ".join(f"({qid}, {100 * qid})" for qid, _ in FT_QUERIES)
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], qe.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {qvals}),
+bcontrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+bscore AS (SELECT qid, doc_id, round(sum(c), 4) AS b FROM bcontrib GROUP BY 1, 2),
+bwin AS (
+  SELECT qid, doc_id, b,
+         row_number() OVER (PARTITION BY qid ORDER BY b DESC, doc_id) AS r
+  FROM bscore
+),
+win AS (SELECT qid, doc_id, b FROM bwin WHERE r <= {KNNR_WINDOW}),
+vq(qid, qvid) AS (VALUES {vq_values}),
+cosj AS (
+  SELECT w.qid, w.doc_id, w.b,
+         round({cos}, 4) AS cos
+  FROM win w
+  JOIN vq ON vq.qid = w.qid
+  LEFT JOIN embeddings e ON e.vec_id = w.doc_id
+  LEFT JOIN embeddings qe ON qe.vec_id = vq.qvid
+),
+final AS (
+  SELECT qid, doc_id,
+         round({KNNR_QW} * b + coalesce({KNNR_RW} * cos, 0.0), 4) AS score
+  FROM cosj
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM final
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def q_ft_collapse_topk(spark, sf_dir):
     """Field-collapsed retrieval (dedup-aware serving): best doc per
     `source` host, then top-5 sources per query — the Lucene collapse /
@@ -8696,6 +8783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": q_rel_range_join,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "ft_hybrid_linear": q_ft_hybrid_linear,
+        "ft_knn_rescore": q_ft_knn_rescore,
         "ft_collapse_topk": q_ft_collapse_topk,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
@@ -9385,6 +9473,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ft_hybrid_rrf": _hybrid_oracle_sql(),
         "ft_hybrid_linear": _hybrid_linear_oracle_sql(),
+        "ft_knn_rescore": _knn_rescore_oracle_sql(),
         "ft_collapse_topk": _collapse_oracle_sql(),
         "ft_fuzzy_topk": _fuzzy_oracle_sql(),
         "dedup_embedding_pairs": EMB_PAIRS_ORACLE_SQL,

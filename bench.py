@@ -154,6 +154,7 @@ def main() -> None:
         "ft_snippets",
         "ft_hybrid_rrf",
         "ft_hybrid_linear",
+        "ft_knn_rescore",
         "ft_fuzzy_topk",
         "ft_more_like_this",
         "ft_feedback_topk",

@@ -439,6 +439,34 @@ class SearchIndex:
             interval=interval, id_col=id_col, mode=mode,
         )
 
+    def rescore_knn(
+        self,
+        query: str | list[tuple[int, str]],
+        qvecs: dict[int, list[float]] | list[float],
+        embeddings: DataFrame,
+        k: int = 10,
+        window_size: int = 30,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Semantic rescore (retrieve-then-rerank): WAND BM25 window,
+        cosine-to-query-vector rescore, weighted total; see
+        `query.rescore.knn_rescore_topk`."""
+        from .query.rescore import knn_rescore_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        if not isinstance(qvecs, dict):
+            qvecs = {1: list(qvecs)}
+        return knn_rescore_topk(
+            postings, term_stats, meta, queries, qvecs, embeddings,
+            k=k, window_size=window_size,
+            query_weight=query_weight, rescore_weight=rescore_weight,
+            id_col=id_col, vec_col=vec_col,
+        )
+
     def rescore(
         self,
         query: str | list[tuple[int, str]],

@@ -97,3 +97,80 @@ def rescore_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score")
     )
+
+
+def knn_rescore_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    qvecs: dict[int, list[float]],
+    embeddings: DataFrame,
+    k: int = 10,
+    window_size: int = 30,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (kNN) rescoring — the retrieve-then-rerank serving
+    pattern: WAND BM25 selects a top-``window_size`` window per query,
+    the window's doc embeddings are fetched with ONE semi-join against
+    the embedding table, each doc rescored by cosine to the query's
+    vector, and the final ranking combines
+
+        query_weight · bm25  +  rescore_weight · cosine
+
+    (both components at the 4 dp grain, same discipline as
+    :func:`rescore_topk`). A window doc with no embedding keeps its
+    weighted first-pass score, like ES. Cost: the vector math touches
+    |queries| × window_size rows, never the corpus — the cross-encoder
+    economics of two-phase ranking with a bi-encoder second pass."""
+    queries = list(queries)
+    if k > window_size:
+        raise ValueError(f"k ({k}) must be <= window_size ({window_size})")
+    raw = bm25_topk_wand(postings, term_stats, meta, queries, k=3 * window_size)
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    window = (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= window_size)
+        .select("qid", "doc_id", F.col("score").alias("bm25"))
+    )
+    spark = postings.sparkSession
+    qv = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in qvecs.items()],
+        "qid int, qvec array<double>",
+    )
+    from ..operators.similarity import cosine_expr
+
+    emb = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_dvec")
+    )
+    scored = (
+        window.join(emb, "doc_id", "left")
+        .join(F.broadcast(qv), "qid", "left")
+        .withColumn(
+            "_cos",
+            F.when(
+                F.col("_dvec").isNotNull() & F.col("qvec").isNotNull(),
+                F.round(cosine_expr(F.col("_dvec").cast("array<double>"), F.col("qvec")), 4),
+            ),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(float(query_weight)) * F.col("bm25")
+                + F.coalesce(
+                    F.lit(float(rescore_weight)) * F.col("_cos"), F.lit(0.0)
+                ),
+                4,
+            ),
+        )
+    )
+    out_w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(out_w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
