@@ -167,3 +167,70 @@ def test_rescore_topk_bruteforce(spark, corpus, index):
 
     with pytest.raises(ValueError):
         rescore_topk(postings, term_stats, meta, qs, k=20, window_size=10)
+
+
+def test_knn_rescore_bruteforce(spark, corpus, index):
+    """Semantic rescore == driver replay: BM25 window (4 dp, doc ASC
+    ties) → cosine to the query vector (4 dp) → weighted blend (4 dp);
+    rescore_weight=0 degenerates to the window's own ranking."""
+    import numpy as np
+
+    from vframe_spark.query.rescore import knn_rescore_topk
+    from vframe_spark.query.wand import bm25_topk_wand
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    rng = np.random.default_rng(27)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    vecs = {i: rng.standard_normal(8) for i in ids}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id long, embedding array<float>",
+    )
+    qs = [(1, "cache stream"), (2, "token parse")]
+    qvecs = {1: [float(x) for x in rng.standard_normal(8)],
+             2: [float(x) for x in rng.standard_normal(8)]}
+    W, K, QW, RW = 12, 6, 1.0, 5.0
+    got = [
+        (r["qid"], r["rank"], r["doc_id"], r["score"])
+        for r in knn_rescore_topk(
+            postings, term_stats, meta, qs, qvecs, emb,
+            k=K, window_size=W, query_weight=QW, rescore_weight=RW,
+        ).orderBy("qid", "rank").collect()
+    ]
+
+    raw = bm25_topk_wand(postings, term_stats, meta, qs, k=3 * W).collect()
+    by_q: dict[int, list] = {}
+    for r in raw:
+        by_q.setdefault(int(r["qid"]), []).append(
+            (int(r["doc_id"]), round(float(r["score"]), 4))
+        )
+    want = []
+    for qid, _ in qs:
+        window = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))[:W]
+        qv = np.asarray(qvecs[qid])
+        qn = qv / np.linalg.norm(qv)
+        blended = []
+        for d, b in window:
+            v = np.asarray(vecs[d], dtype=np.float32).astype(np.float64)
+            c = round(float(np.dot(v / np.linalg.norm(v), qn)), 4)
+            blended.append((d, round(QW * b + RW * c, 4)))
+        blended.sort(key=lambda t: (-t[1], t[0]))
+        for i, (d, s) in enumerate(blended[:K], 1):
+            want.append((qid, i, d, s))
+    assert got == want
+
+    # rescore_weight=0 → the window's own ranking
+    zero = [
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in knn_rescore_topk(
+            postings, term_stats, meta, qs, qvecs, emb,
+            k=K, window_size=W, rescore_weight=0.0,
+        ).orderBy("qid", "rank").collect()
+    ]
+    base = []
+    for qid, _ in qs:
+        window = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))[:W]
+        for i, (d, _) in enumerate(window[:K], 1):
+            base.append((qid, i, d))
+    assert zero == base
