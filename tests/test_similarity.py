@@ -489,7 +489,7 @@ def test_ann_index_prunes_partitions_and_retrieves(spark, tmp_path):
     probed lists exactly (numpy replay)."""
     import numpy as np
 
-    from vframe_spark.index.ann import ann_index_topk, load_ann_index, write_ann_index
+    from vframe_spark.index.ann import ann_index_topk, write_ann_index
 
     rng = np.random.default_rng(31)
     base = rng.standard_normal((120, 8))
@@ -525,14 +525,12 @@ def test_ann_index_prunes_partitions_and_retrieves(spark, tmp_path):
         want = {i for i in range(120) if assign[i] in probes}
         assert got_cand[qid] == want
 
-    # the probe scan prunes at the partition level
-    from pyspark.sql import functions as F
-
-    vectors, cents, _ = load_ann_index(spark, out)
-    pruned = vectors.filter(F.col("list_id").isin([0, 3]))
-    pruned.collect()
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the REAL query path prunes at the partition level (static isin)
+    res5 = ann_index_topk(spark, out, queries[:1], k=3, n_probes=2)
+    res5.collect()
+    plan = res5._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+    assert "dynamicpruning" not in plan.lower()
 
 
 def test_ann_index_append_equals_rebuild(spark, tmp_path):

@@ -127,10 +127,11 @@ def ann_index_topk(
         qmat[qid] = vn
         for li in order:
             probe_rows.append((qid, int(li)))
-    probes = spark.createDataFrame(probe_rows, "qid bigint, list_id bigint")
-    pruned = vectors.join(
-        F.broadcast(probes.select("list_id").distinct()), "list_id", "left_semi"
-    )
+    # the probed list set is known driver-side — a literal isin filter
+    # prunes partitions STATICALLY (PartitionFilters in the scan), no
+    # reliance on dynamic partition pruning kicking in for the join
+    probed_lists = sorted({li for _, li in probe_rows})
+    pruned = vectors.filter(F.col("list_id").isin(probed_lists))
     qdf = spark.createDataFrame(
         [(q, [float(x) for x in qmat[q]], int(li)) for q, li in probe_rows],
         "qid bigint, qvec array<double>, list_id bigint",
