@@ -525,11 +525,26 @@ def test_ann_index_prunes_partitions_and_retrieves(spark, tmp_path):
         want = {i for i in range(120) if assign[i] in probes}
         assert got_cand[qid] == want
 
-    # the REAL query path prunes at the partition level (static isin)
+    # the REAL query path prunes at the partition level: the probed list
+    # ids must appear INSIDE the PartitionFilters clause (not just as an
+    # empty "PartitionFilters: []" + list_id in the scan Output, which
+    # every parquet scan string carries)
+    v0 = np.asarray(queries[0][1], dtype=np.float64)
+    sims0 = np.round(cn @ (v0 / np.linalg.norm(v0)), 6)
+    probes0 = np.lexsort((np.arange(6), -sims0))[:2].tolist()
     res5 = ann_index_topk(spark, out, queries[:1], k=3, n_probes=2)
     res5.collect()
     plan = res5._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "list_id" in plan
+    clauses = []
+    pos = 0
+    while (start := plan.find("PartitionFilters: [", pos)) != -1:
+        end = plan.index("]", start)
+        clauses.append(plan[start + len("PartitionFilters: ["):end])
+        pos = end
+    assert any(
+        "list_id" in pf and all(str(lid) in pf for lid in probes0)
+        for pf in clauses
+    ), clauses
     assert "dynamicpruning" not in plan.lower()
 
 

@@ -107,7 +107,9 @@ def rollover_append(
         alloc = state["batches"][batch_key]
         gen, slice_lo, rolled = int(alloc["gen"]), int(alloc["slice_lo"]), False
         n = int(alloc["n_docs"])
-        gen_docs = int(state["gens"][str(gen)]["n_docs"])
+        # an empty batch records batches[key] without creating a gens
+        # entry — a redelivery in a fresh lifecycle must not KeyError
+        gen_docs = int(state["gens"].get(str(gen), {}).get("n_docs", 0))
         if n == 0:
             return {"gen": gen, "rolled": False, "n_docs": 0, "gen_docs": gen_docs}
     else:

@@ -103,10 +103,20 @@ def salted_join(
         return left.join(right, keys, how)
 
     is_hot = _is_hot(keys, hot)
-    # Deterministic left salt: hash the whole row so duplicates of a hot
-    # key spread evenly AND a task retry reproduces the same placement.
+    # Left salt: hash the whole row PLUS a partition-local row number so
+    # byte-identical duplicate rows of a hot key (the common skew cause)
+    # still spread across salts. Correctness never depends on WHICH salt
+    # a left row gets — the right side is replicated to all of them — so
+    # the nondeterministic disambiguator is safe under task retries.
     lsalt = F.when(
-        is_hot, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+        is_hot,
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in left.columns],
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(salts),
+        ),
     ).otherwise(F.lit(0)).cast("int")
     l2 = left.withColumn(_SALT, lsalt)
     rsalt = F.explode(

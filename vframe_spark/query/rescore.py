@@ -54,7 +54,16 @@ def rescore_topk(
     ``query_weight·bm25 + rescore_weight·lmdir`` (both components at
     the 4 dp grain), ranked (score DESC, doc_id ASC) and cut at ``k``.
     A window doc the rescorer can't score (no query term with cf > 0)
-    keeps its weighted first-pass score, like ES."""
+    keeps its weighted first-pass score, like ES.
+
+    The window is cut from a 3×``window_size`` over-fetch of WAND
+    results — a heuristic bound: if more than 3×``window_size`` docs tie
+    at the rounded 4 dp score spanning the window cut, the selected
+    window can differ from a full-match-set replay (the doc_id ASC
+    tie-break is applied within the over-fetch, not the full match set).
+    In that regime pass a larger ``window_size`` or score exhaustively;
+    the contract query keeps the over-fetch comfortably above any tie
+    run in its corpora."""
     queries = list(queries)
     if k > window_size:
         raise ValueError(f"k ({k}) must be <= window_size ({window_size})")
