@@ -4485,55 +4485,60 @@ def q_sim_pq_topk(spark, sf_dir):
     )
 
 
-def q_mm_decode_extract(spark, sf_dir):
-    """Multimodal plumbing over a binary column: treat document text
-    bytes as an opaque payload, run the deterministic fake decode +
-    feature extraction (real schema/batching, stubbed codec — rows-only)."""
-    from vframe_spark.operators.multimodal import extract_features
+_MEDIA_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "media"
+)
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
+
+def _media_fixture_frames(spark):
+    """In-repo encoded media fixtures (tools/make_media_fixtures.py) →
+    MEDIA_SCHEMA rows via the binary-file source. media_id comes from
+    the filename; the codec/dims come from the payload itself."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "img_*")
+        .load(_MEDIA_FIXTURE_DIR)
+    )
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.", 1)
+        .cast("bigint").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("data"),
+        F.col("content").alias("data"),
         F.struct(
-            F.lit(16).alias("width"), F.lit(16).alias("height"),
-            F.lit(1).alias("n_frames"), F.lit("fake").alias("codec"),
+            F.lit(0).alias("width"), F.lit(0).alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.regexp_extract(F.col("path"), r"\.(\w+)$", 1).alias("codec"),
         ).alias("meta"),
     )
-    from vframe_spark.operators.multimodal import decode_image
 
-    feats = extract_features(decode_image(media))
-    return feats.select(
-        "media_id",
-        F.size("feature").cast("int").alias("dim"),
-        F.round(
-            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 4
-        ).alias("sq_norm"),
-    )
+
+def q_mm_decode_extract(spark, sf_dir):
+    """REAL image decode over a binary column: read the in-repo PNG/BMP
+    fixtures through the binary-file source, decode distributed with the
+    stdlib codec (functions/imagecodec.py — BMP + zlib-PNG, integer-luma
+    collapse), fingerprint each decoded plane. The oracle pins sha256 /
+    dims / px_sum against constants recorded from the SOURCE arrays
+    BEFORE encoding, so the decoder must independently round-trip the
+    encoder's bytes back to the raw pixels (reference decode semantics:
+    im_utils.py:97-283)."""
+    from vframe_spark.operators.multimodal import decode_image, decoded_digest
+
+    return decoded_digest(decode_image(_media_fixture_frames(spark)))
 
 
 def q_mm_transform_chain(spark, sf_dir):
-    """Pixel-transform registry over decoded frames (blur → contrast →
-    quantize), summarized deterministically (rows-only: numpy pixel
-    kernels aren't SQL; reference im_utils.py:761-775). Input is the
-    deterministic fake-decode of document bytes — same plumbing as
-    mm_decode_extract."""
+    """Pixel-transform registry over REALLY-decoded frames (blur →
+    contrast → quantize; reference im_utils.py:761-775), summarized
+    deterministically. The oracle pins per-frame px_sum / px_mean
+    against constants computed at fixture-generation time from the
+    source planes through the same kernels — checking decode + the
+    distributed chain against a driver-local run."""
     from vframe_spark.operators.multimodal import decode_image
     from vframe_spark.operators.transforms import apply_transforms
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("data"),
-        F.struct(
-            F.lit(16).alias("width"), F.lit(16).alias("height"),
-            F.lit(1).alias("n_frames"), F.lit("fake").alias("codec"),
-        ).alias("meta"),
-    )
     out = apply_transforms(
-        decode_image(media), [("blur", 0.5), ("contrast", 1.5), ("compress-jpg", 0.3)]
+        decode_image(_media_fixture_frames(spark)),
+        [("blur", 0.5), ("contrast", 1.5), ("compress-jpg", 0.3)],
     )
     px = F.col("pixels")
     return out.select(
@@ -4545,6 +4550,39 @@ def q_mm_transform_chain(spark, sf_dir):
             F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / F.size(px), 2
         ).alias("px_mean"),
     )
+
+
+def _media_manifest():
+    import json as _json
+
+    with open(os.path.join(_MEDIA_FIXTURE_DIR, "manifest.json")) as fh:
+        return _json.load(fh)
+
+
+def _mm_decode_oracle_sql() -> str:
+    rows = ",\n            ".join(
+        f"({m['media_id']}, {m['width']}, {m['height']}, "
+        f"'{m['plane_sha256']}', {m['px_sum']})"
+        for m in _media_manifest()
+    )
+    return f"""
+        SELECT * FROM (VALUES
+            {rows}
+        ) AS t(media_id, width, height, plane_sha256, px_sum)
+    """
+
+
+def _mm_chain_oracle_sql() -> str:
+    rows = ",\n            ".join(
+        f"({m['media_id']}, {m['width']}, {m['height']}, "
+        f"{m['chain_px_sum']}, {m['chain_px_mean']})"
+        for m in _media_manifest()
+    )
+    return f"""
+        SELECT * FROM (VALUES
+            {rows}
+        ) AS t(media_id, width, height, px_sum, px_mean)
+    """
 
 
 # --------------------------------------------------------------- text family
@@ -9529,6 +9567,10 @@ def oracle_sql() -> dict[str, str]:
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),
         "text_pii_scrub": _pii_oracle_sql(),
+        # real-decode roundtrip constants (recorded from the SOURCE
+        # arrays pre-encoding by tools/make_media_fixtures.py)
+        "mm_decode_extract": _mm_decode_oracle_sql(),
+        "mm_transform_chain": _mm_chain_oracle_sql(),
         # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
         # hash functions are engine-specific (xxhash64 / siphash) — rows-only
         # checks by design. geo_nms_merge: greedy NMS is iterative, not

@@ -1,0 +1,160 @@
+"""Stdlib BMP/PNG codec: round-trips, foreign filters, format corners.
+
+No Spark needed — the codec is pure numpy+stdlib; the distributed
+surface is covered by test_multimodal.py and the mm_* contract oracles.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from vframe_spark.functions import imagecodec as ic
+
+
+def _rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.mark.parametrize(
+    "shape", [(16, 16), (23, 17), (1, 1), (5, 2), (16, 16, 3), (9, 31, 3), (2, 3, 3)]
+)
+def test_roundtrip_both_codecs(shape):
+    a = _rng().integers(0, 256, shape, dtype=np.uint8)
+    for enc, dec in [(ic.encode_bmp, ic.decode_bmp), (ic.encode_png, ic.decode_png)]:
+        out = dec(enc(a))
+        assert out.shape == a.shape
+        assert np.array_equal(out, a), enc.__name__
+
+
+def test_sniff_and_gray_facade():
+    g = _rng().integers(0, 256, (8, 8), dtype=np.uint8)
+    rgb = _rng().integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert ic.sniff_codec(ic.encode_png(g)) == "png"
+    assert ic.sniff_codec(ic.encode_bmp(g)) == "bmp"
+    assert ic.sniff_codec(b"\x00" * 16) is None
+    assert np.array_equal(ic.decode_to_gray(ic.encode_png(g)), g)
+    assert np.array_equal(ic.decode_to_gray(ic.encode_bmp(rgb)), ic.rgb_to_gray(rgb))
+    with pytest.raises(ValueError):
+        ic.decode_image_bytes(b"not an image")
+
+
+def test_rgb_to_gray_integer_luma():
+    rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]]], np.uint8)
+    got = ic.rgb_to_gray(rgb)
+    want = [(299 * 255) // 1000, (587 * 255) // 1000, (114 * 255) // 1000,
+            (299 * 10 + 587 * 20 + 114 * 30) // 1000]
+    assert got.tolist() == [want]
+
+
+def _ref_filtered_png(src: np.ndarray, ftypes: list[int]) -> bytes:
+    """Build a PNG whose rows use the given filter types, filtering with
+    an INDEPENDENT scalar implementation of the PNG spec (so the
+    decoder's unfilter is checked against the spec, not against
+    itself)."""
+    h, w, ch = src.shape
+    raw = b""
+    for y, ftype in enumerate(ftypes):
+        line = src[y].reshape(-1).astype(int)
+        prev = src[y - 1].reshape(-1).astype(int) if y else [0] * (w * ch)
+        out = []
+        for i, v in enumerate(line):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                out.append(v)
+            elif ftype == 1:
+                out.append((v - a) & 0xFF)
+            elif ftype == 2:
+                out.append((v - b) & 0xFF)
+            elif ftype == 3:
+                out.append((v - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((v - pred) & 0xFF)
+        raw += bytes([ftype]) + bytes(out)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        ic.PNG_MAGIC
+        + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"IDAT", zlib.compress(raw))
+        + ic._chunk(b"IEND", b"")
+    )
+
+
+def test_decode_all_png_filter_types():
+    src = _rng().integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    png = _ref_filtered_png(src, [0, 1, 2, 3, 4, 1])
+    assert np.array_equal(ic.decode_png(png), src)
+
+
+def test_decode_png_palette_and_alpha():
+    # palette (color type 3): indices → PLTE entries
+    pal = _rng().integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (
+        ic.PNG_MAGIC
+        + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"PLTE", pal.tobytes())
+        + ic._chunk(b"IDAT", zlib.compress(raw))
+        + ic._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(ic.decode_png(png), pal[idx])
+    # RGBA (color type 6) → (h, w, 4); gray facade ignores alpha
+    rgba = _rng().integers(0, 256, (3, 2, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    ihdr = struct.pack(">IIBBBBB", 2, 3, 8, 6, 0, 0, 0)
+    png = (
+        ic.PNG_MAGIC
+        + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"IDAT", zlib.compress(raw))
+        + ic._chunk(b"IEND", b"")
+    )
+    out = ic.decode_png(png)
+    assert np.array_equal(out, rgba)
+    assert np.array_equal(ic.decode_to_gray(png), ic.rgb_to_gray(rgba[..., :3]))
+
+
+def test_decode_bmp_topdown_and_unsupported():
+    a = _rng().integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    data = bytearray(ic.encode_bmp(a))
+    # flip to top-down: negate height and reverse the stored row order
+    (h,) = struct.unpack_from("<i", data, 22)
+    struct.pack_into("<i", data, 22, -h)
+    (off,) = struct.unpack_from("<I", data, 10)
+    stride = 6 * 3 + ((-6 * 3) % 4)
+    rows = [bytes(data[off + y * stride:off + (y + 1) * stride]) for y in range(4)]
+    data[off:] = b"".join(reversed(rows))
+    assert np.array_equal(ic.decode_bmp(bytes(data)), a)
+    # RLE compression is rejected, not mis-decoded
+    bad = bytearray(ic.encode_bmp(a[..., 0]))
+    struct.pack_into("<I", bad, 30, 1)  # biCompression = BI_RLE8
+    with pytest.raises(ValueError):
+        ic.decode_bmp(bytes(bad))
+    with pytest.raises(ValueError):
+        ic.decode_png(ic.encode_bmp(a))
+
+
+def test_fixture_manifest_matches_decode():
+    """Every committed fixture decodes back to its pre-encoding oracle
+    constants — the same invariant the mm_decode_extract oracle pins,
+    checked here without Spark."""
+    import hashlib
+    import json
+    import os
+
+    d = os.path.join(os.path.dirname(__file__), "fixtures", "media")
+    manifest = json.load(open(os.path.join(d, "manifest.json")))
+    assert len(manifest) >= 48
+    for m in manifest:
+        with open(os.path.join(d, m["file"]), "rb") as fh:
+            gray = ic.decode_to_gray(fh.read())
+        assert gray.shape == (m["height"], m["width"])
+        assert hashlib.sha256(gray.tobytes()).hexdigest() == m["plane_sha256"]
+        assert int(gray.sum()) == m["px_sum"]

@@ -1,0 +1,94 @@
+"""Generate the in-repo media fixtures + oracle manifest.
+
+Writes ``tests/fixtures/media/img_<id>.{png,bmp}`` (48 deterministic
+images: gray and RGB, PNG and BMP, varied dims) and ``manifest.json``
+with per-image oracle constants.
+
+The decode constants (``plane_sha256``, ``px_sum``, ``px_mean``) are
+computed from the SOURCE pixel array BEFORE encoding — so the contract
+query's distributed decode must independently round-trip the encoder's
+output back to the raw pixels (a real cross-implementation check, not a
+replay of the decoder). The transform-chain constants are computed by
+applying the registry kernels to the source plane at fixture time: they
+pin the decode + the distributed execution of the chain against a
+driver-local run (kernel math itself is pinned by unit tests).
+
+Re-run after ANY codec or kernel change:
+    python tools/make_media_fixtures.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vframe_spark.functions.imagecodec import encode_bmp, encode_png, rgb_to_gray
+from vframe_spark.operators.transforms import IMAGE_TRANSFORMS
+
+N = 48
+SEED = 7
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "media",
+)
+# the mm_transform_chain contract chain — keep in sync with
+# __spark_entry__.q_mm_transform_chain
+CHAIN = [("blur", 0.5), ("contrast", 1.5), ("compress-jpg", 0.3)]
+
+
+def _pixels(i: int, width: int, height: int, channels: int) -> np.ndarray:
+    """sha256-stream pixels — deterministic without an RNG version pin."""
+    need = width * height * channels
+    chunks, j = [], 0
+    while sum(c.size for c in chunks) < need:
+        h = hashlib.sha256(f"{SEED}:{i}:{j}".encode()).digest()
+        chunks.append(np.frombuffer(h, dtype=np.uint8))
+        j += 1
+    flat = np.concatenate(chunks)[:need]
+    return flat.reshape((height, width) if channels == 1 else (height, width, channels))
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    manifest = []
+    for i in range(N):
+        w = 16 + (i % 5) * 8
+        h = 16 + (i % 3) * 8
+        rgb = i % 4 >= 2
+        codec = "png" if i % 2 == 0 else "bmp"
+        src = _pixels(i, w, h, 3 if rgb else 1)
+        data = encode_png(src) if codec == "png" else encode_bmp(src)
+        name = f"img_{i:05d}.{codec}"
+        with open(os.path.join(OUT, name), "wb") as fh:
+            fh.write(data)
+
+        gray = rgb_to_gray(src) if rgb else src
+        chained = gray
+        for tname, fac in CHAIN:
+            chained = IMAGE_TRANSFORMS[tname](chained, fac)
+        manifest.append({
+            "media_id": i,
+            "file": name,
+            "codec": codec,
+            "mode": "rgb" if rgb else "gray",
+            "width": w,
+            "height": h,
+            "plane_sha256": hashlib.sha256(gray.tobytes()).hexdigest(),
+            "px_sum": int(gray.sum()),
+            "px_mean": round(float(gray.mean()), 2),
+            "chain_px_sum": int(chained.sum()),
+            "chain_px_mean": round(float(chained.mean()), 2),
+        })
+    with open(os.path.join(OUT, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    print(f"wrote {N} fixtures + manifest to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

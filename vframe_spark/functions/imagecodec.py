@@ -1,0 +1,279 @@
+"""Pure-stdlib image codecs: BMP and PNG, encode + decode.
+
+This closes the engine's last codec seam (r2 VERDICT item #3): media
+payloads ride Spark as opaque ``binary`` columns and are decoded inside
+Arrow-batched ``mapInPandas`` passes by THIS module — no image library
+needed in the container. Reference decode semantics:
+/root/reference/src/vframe/utils/im_utils.py:97-283 (load/convert) —
+re-expressed as stdlib parsing + numpy, not a port.
+
+Supported formats
+-----------------
+* BMP (BITMAPINFOHEADER, BI_RGB uncompressed): 8-bit palette rows and
+  24-bit BGR rows, bottom-up or top-down. Encoder emits 8-bit
+  gray-palette or 24-bit, 4-byte row padding per the spec.
+* PNG (non-interlaced, bit depth 8): color types 0 (gray), 2 (RGB),
+  3 (palette), 4 (gray+alpha), 6 (RGBA); ALL five row filters
+  (None/Sub/Up/Average/Paeth) on decode. Encoder emits filter-0 rows
+  for gray or RGB with a standard zlib stream.
+
+Grayscale conversion uses integer luma ``(299 R + 587 G + 114 B) //
+1000`` — exact, branch-free, replayable in SQL if ever needed.
+
+Determinism contract: ``decode(encode(a)) == a`` bit-for-bit for every
+array either encoder accepts (round-trip pytest); fixture oracles pin
+sha256 of the decoded plane against constants recorded from the SOURCE
+array before encoding (tools/make_media_fixtures.py), so the encoder
+and the distributed decoder must independently agree with the raw
+pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+BMP_MAGIC = b"BM"
+
+
+def sniff_codec(data: bytes) -> str | None:
+    """'png' | 'bmp' | None from magic bytes."""
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:2] == BMP_MAGIC:
+        return "bmp"
+    return None
+
+
+def rgb_to_gray(arr: np.ndarray) -> np.ndarray:
+    """(h, w, 3+) uint8 → (h, w) uint8 integer luma (alpha ignored)."""
+    a = arr.astype(np.uint32)
+    return (
+        (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    ).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ BMP
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → BMP bytes (BI_RGB)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        bpp, palette = 8, bytearray()
+        for v in range(256):
+            palette += bytes((v, v, v, 0))
+        row_len = w
+    elif img.ndim == 3 and img.shape[2] == 3:
+        bpp, palette = 24, bytearray()
+        row_len = 3 * w
+    else:
+        raise ValueError(f"encode_bmp: unsupported shape {img.shape}")
+    pad = (-row_len) % 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        if bpp == 8:
+            rows += img[y].tobytes()
+        else:
+            rows += img[y, :, ::-1].tobytes()  # RGB → BGR
+        rows += b"\x00" * pad
+    off = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", BMP_MAGIC, off + len(rows), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(rows), 2835, 2835,
+        256 if bpp == 8 else 0, 0,
+    )
+    return bytes(header) + info + bytes(palette) + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → (h, w) uint8 gray or (h, w, 3) uint8 RGB."""
+    if data[:2] != BMP_MAGIC:
+        raise ValueError("decode_bmp: not a BMP payload")
+    (off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"decode_bmp: unsupported header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise ValueError(f"decode_bmp: unsupported compression {compression}")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", data, 46)
+        n_colors = n_colors or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=14 + hdr_size
+        ).reshape(n_colors, 4)
+        row_len, channels = w, 1
+    elif bpp == 24:
+        pal, row_len, channels = None, 3 * w, 3
+    else:
+        raise ValueError(f"decode_bmp: unsupported bpp {bpp}")
+    stride = row_len + ((-row_len) % 4)
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, :row_len]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        return np.ascontiguousarray(rows.reshape(h, w, 3)[:, :, ::-1])  # BGR → RGB
+    # palette lookup; an all-gray palette decodes to a 2-D gray plane
+    rgb = pal[rows][:, :, 2::-1]  # entries are BGRA → take RGB
+    if np.array_equal(rgb[..., 0], rgb[..., 1]) and np.array_equal(
+        rgb[..., 1], rgb[..., 2]
+    ):
+        return np.ascontiguousarray(rgb[..., 0])
+    return np.ascontiguousarray(rgb)
+
+
+# ------------------------------------------------------------------ PNG
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → PNG bytes (filter 0 rows)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError(f"encode_png: unsupported shape {img.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = img.reshape(h, w * channels)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: np.ndarray, h: int, row_len: int, bpp: int) -> np.ndarray:
+    """Undo PNG row filters. Filters 0/1/2 are vectorized (Sub is a
+    per-stride-lane cumsum mod 256); Average/Paeth carry a left+up
+    dependency and fall back to a per-byte loop — our encoder never
+    emits them, they exist for foreign PNGs."""
+    out = np.zeros((h, row_len), dtype=np.uint8)
+    raw = raw.reshape(h, row_len + 1)
+    for y in range(h):
+        ftype, line = int(raw[y, 0]), raw[y, 1:]
+        prev = out[y - 1] if y else np.zeros(row_len, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub: independent cumsum per byte lane
+            lanes = line.copy().reshape(-1, bpp) if row_len % bpp == 0 else None
+            if lanes is not None:
+                out[y] = np.cumsum(lanes.astype(np.uint64), axis=0).astype(
+                    np.uint8
+                ).reshape(row_len)
+            else:  # ragged row (never valid PNG, defensive)
+                acc = line.copy()
+                for i in range(bpp, row_len):
+                    acc[i] = (int(acc[i]) + int(acc[i - bpp])) & 0xFF
+                out[y] = acc
+        elif ftype == 2:  # Up
+            out[y] = line + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for i in range(row_len):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for i in range(row_len):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"decode_png: bad filter type {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w) uint8 gray or (h, w, C) uint8 (C=2,3,4).
+
+    Bit depth 8, non-interlaced; color types 0/2/3/4/6."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("decode_png: not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("decode_png: missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"decode_png: unsupported (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"decode_png: unsupported color type {color_type}")
+    row_len = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (row_len + 1):
+        raise ValueError("decode_png: IDAT length mismatch")
+    out = _unfilter(raw, h, row_len, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("decode_png: palette image without PLTE")
+        return np.ascontiguousarray(plte[out.reshape(h, w)])
+    if channels == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, channels)
+
+
+# ---------------------------------------------------------------- facade
+
+def decode_image_bytes(data: bytes) -> tuple[np.ndarray, str]:
+    """Sniff + decode → (array, codec). Raises ValueError on unknown
+    magic — callers decide the policy for non-image payloads."""
+    codec = sniff_codec(bytes(data))
+    if codec == "png":
+        return decode_png(bytes(data)), "png"
+    if codec == "bmp":
+        return decode_bmp(bytes(data)), "bmp"
+    raise ValueError("decode_image_bytes: unknown image magic")
+
+
+def decode_to_gray(data: bytes) -> np.ndarray:
+    """Sniff + decode + integer-luma collapse → (h, w) uint8."""
+    arr, _ = decode_image_bytes(data)
+    if arr.ndim == 2:
+        return arr
+    if arr.shape[2] == 2:  # gray + alpha
+        return np.ascontiguousarray(arr[..., 0])
+    return rgb_to_gray(arr)

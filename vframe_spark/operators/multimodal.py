@@ -4,11 +4,11 @@ Media ride through the engine as opaque ``binary`` columns with typed
 metadata structs — the Spark translation of vframe's MediaFile rows
 (/root/reference/src/vframe/models/media.py:255-572: one file + lazily
 decoded frames + nested metadata). All operators here are Arrow-batched
-``mapInPandas`` passes with explicit schemas; the *decode* itself is
-stubbed (no image/audio libraries in this container) behind
-``FAKE_DECODE`` — a deterministic fake that derives pixel bytes from
-the content hash — or raises ``NotImplementedError`` when disabled, so
-the real codec can be dropped in without touching the plumbing.
+``mapInPandas`` passes with explicit schemas; the decode is a REAL
+stdlib codec (``functions.imagecodec``: BMP + zlib-PNG, all row
+filters) — payloads without an image magic fall back to a documented
+deterministic raw-gray interpretation so any binary column can ride the
+same plumbing.
 
 Operators (reference parity):
 * decode_image        ≙ MediaFile frame load (media.py:343-384)
@@ -27,8 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# flip to False to surface NotImplementedError where a real codec belongs
-FAKE_DECODE = True
+from ..functions.imagecodec import decode_to_gray, encode_bmp, encode_png, sniff_codec
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, data binary, "
@@ -36,42 +35,96 @@ MEDIA_SCHEMA = (
 )
 
 
+def _synth_pixels(seed: int, i: int, width: int, height: int) -> np.ndarray:
+    """Deterministic (h, w) gray plane: a sha256 byte stream tiled to
+    size — reproducible anywhere without an RNG library version pin."""
+    need = width * height
+    chunks = []
+    j = 0
+    while sum(c.size for c in chunks) < need:
+        h = hashlib.sha256(f"{seed}:{i}:{j}".encode()).digest()
+        chunks.append(np.frombuffer(h, dtype=np.uint8))
+        j += 1
+    return np.concatenate(chunks)[:need].reshape(height, width)
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payload + typed metadata)."""
+    """Deterministic media table: REAL encoded payloads (PNG/BMP
+    alternating) + typed metadata. Video rows store the first frame's
+    encoding (n_frames is metadata for frame_sample)."""
     rows = []
     for i in range(n):
-        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
         kind = ["image", "video", "audio"][i % 3]
         w, hgt = 16 + (i % 5) * 8, 16 + (i % 3) * 8
         nf = 1 if kind == "image" else 4 + i % 7
-        rows.append((i, kind, h * 8, (w, hgt, nf, "fake")))
+        px = _synth_pixels(seed, i, w, hgt)
+        codec = "png" if i % 2 == 0 else "bmp"
+        data = encode_png(px) if codec == "png" else encode_bmp(px)
+        rows.append((i, kind, data, (w, hgt, nf, codec)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_pixels(data: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic fake decode: tile the payload hash into a (h, w) gray
-    image. Replace with a real codec; the plumbing stays identical."""
-    if not FAKE_DECODE:
-        raise NotImplementedError("real image decode requires an image codec library")
+def _raw_gray(data: bytes, width: int, height: int) -> np.ndarray:
+    """Raw-gray8 fallback for payloads without an image magic: hash the
+    payload and tile the digest stream to (h, w) — a deterministic,
+    documented interpretation that lets arbitrary binary columns (e.g.
+    document bytes) drive the pixel pipeline."""
     seed = np.frombuffer(hashlib.sha256(data).digest(), dtype=np.uint8)
     reps = int(np.ceil(width * height / seed.size))
     return np.tile(seed, reps)[: width * height].reshape(height, width)
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """binary payload → pixels (flattened uint8 array + dims)."""
+    """binary payload → pixels (flattened uint8 gray plane + dims).
+
+    PNG/BMP payloads (sniffed by magic) go through the real stdlib
+    codec (``functions.imagecodec``) with integer-luma collapse for
+    color images; dims come from the image itself. Anything else is
+    interpreted per ``_raw_gray`` at the metadata dims."""
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
             for r in b.itertuples():
-                w, h = r.meta["width"], r.meta["height"]
-                px = _fake_pixels(r.data, w, h)
+                data = bytes(r.data)
+                if sniff_codec(data) is not None:
+                    px = decode_to_gray(data)
+                    h, w = px.shape
+                else:
+                    w, h = r.meta["width"], r.meta["height"]
+                    px = _raw_gray(data, w, h)
                 out.append((r.media_id, w, h, px.ravel().tolist()))
             yield pd.DataFrame(out, columns=["media_id", "width", "height", "pixels"])
 
     return media.mapInPandas(
         go, "media_id bigint, width int, height int, pixels array<smallint>"
+    )
+
+
+def decoded_digest(decoded: DataFrame) -> DataFrame:
+    """(media_id, width, height, pixels) → per-frame plane fingerprint:
+    sha256 of the raw uint8 plane bytes. The oracle for the decode
+    contract query pins these against constants recorded from the
+    source arrays BEFORE encoding (tools/make_media_fixtures.py), so
+    encoder and distributed decoder must agree with the raw pixels."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for r in b.itertuples():
+                px = np.asarray(r.pixels, dtype=np.uint8)
+                out.append(
+                    (r.media_id, r.width, r.height,
+                     hashlib.sha256(px.tobytes()).hexdigest(), int(px.sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "plane_sha256", "px_sum"],
+            )
+
+    return decoded.mapInPandas(
+        go,
+        "media_id bigint, width int, height int, plane_sha256 string, px_sum bigint",
     )
 
 

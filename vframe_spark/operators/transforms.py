@@ -5,8 +5,8 @@ Reference parity: `IMAGE_TRANSFORMS` (/root/reference/src/vframe/utils/
 im_utils.py:761-775) maps transform names to pixel functions
 (im_utils.py:97-283). The reference implements them with OpenCV/PIL;
 this container has neither, so every kernel here is the same math in
-plain numpy over the engine's grayscale uint8 frames (decode itself is
-the documented deterministic fake in operators.multimodal). The two
+plain numpy over the engine's grayscale uint8 frames (decode is the
+real stdlib BMP/PNG codec in functions.imagecodec). The two
 codec-dependent entries (``compress-jpg`` / ``compress-webp``) are
 quantization-based stand-ins, clearly marked: they model compression's
 level-banding deterministically but are NOT real codecs.
