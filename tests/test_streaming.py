@@ -350,6 +350,56 @@ def test_near_dedup_stream_banded_equals_exact_and_bounded_state(spark, tmp_path
     assert got2 == {f"d{i}.py" for i in range(5)} | {"dup0.py"}
 
 
+def test_dedup_stream_state_bounded(spark, tmp_path):
+    """Exact dedup state respects max_retained with oldest-first
+    eviction: a dup of an EVICTED doc is re-admitted, a dup of a
+    RETAINED doc is still dropped, a novel doc is never dropped."""
+    import glob as _g
+    import shutil as _sh
+
+    import pandas as pd
+
+    from vframe_spark.streaming.ingest import read_doc_stream
+
+    texts = [f"doc number {i} body" for i in range(5)]
+    b1 = pd.DataFrame(
+        [
+            {"repo": "k", "path": f"d{i}.py", "commit": "c", "lang": "py", "content": t}
+            for i, t in enumerate(texts)
+        ]
+    )
+    b2 = pd.DataFrame(
+        [
+            # texts[0] and texts[1] were evicted (cap 3 keeps [2, 3, 4])
+            {"repo": "k", "path": "dup0.py", "commit": "c", "lang": "py", "content": texts[0]},
+            # texts[4] is retained → still dropped
+            {"repo": "k", "path": "dup4.py", "commit": "c", "lang": "py", "content": texts[4]},
+            {"repo": "k", "path": "new.py", "commit": "c", "lang": "py", "content": "a novel doc"},
+        ]
+    )
+    src = str(tmp_path / "srcx")
+    os.makedirs(src)
+    sink = str(tmp_path / "sinkx")
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(tmp_path / "x1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(tmp_path / "x2"))
+    out = dedup_stream(
+        read_doc_stream(spark, src, max_files_per_trigger=1), max_retained=3
+    )
+    for i, b in enumerate(("x1", "x2")):
+        _sh.copy(_g.glob(str(tmp_path / b / "*.parquet"))[0], os.path.join(src, f"drop_{i}.parquet"))
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckptx"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {r["path"] for r in spark.read.parquet(sink).collect()}
+    assert got == {f"d{i}.py" for i in range(5)} | {"dup0.py", "new.py"}
+
+
 def test_stream_ingest_with_curation_gate(spark, tmp_path):
     """A curation Pipeline applied per micro-batch keeps gated docs out
     of the streamed index entirely."""

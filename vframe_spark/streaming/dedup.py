@@ -8,9 +8,12 @@ Structured Stream the same semantics are ``applyInPandasWithState``:
 group key ≙ the reference's reset scope (file/subdir → here ``repo``),
 state ≙ the retained hash set, emit ≙ rows whose fingerprint is unseen.
 
-Fingerprints are sha256(content) truncated to 16 hex chars (exact dedup;
+Fingerprints are sha256(content) truncated to 64 bits (exact dedup;
 collision odds at 10^12 docs ≈ 2^-22 per pair on 64 bits — acceptable
-for a skip filter, and swappable for the full digest).
+for a skip filter, and swappable for the full digest). Every state in
+this module is BOUNDED (``max_retained``, oldest evicted first) and
+packed as one binary blob per key — state size and per-batch Arrow
+serialization stay O(cap), not O(corpus/key).
 """
 
 from __future__ import annotations
@@ -42,35 +45,69 @@ OUT_SCHEMA = StructType(
     ]
 )
 
-STATE_SCHEMA = StructType([StructField("seen", ArrayType(StringType()))])
+# retained fingerprints as ONE packed little-endian uint64 blob, in
+# first-seen order (the eviction order): a 1M-fingerprint state
+# round-trips through Arrow as a single 8 MB binary value per
+# micro-batch instead of a python list<string> (per-element offsets +
+# validity + 16-char payloads = ~5× the bytes and a sort per batch)
+STATE_SCHEMA = StructType([StructField("seen", BinaryType())])
+
+DEFAULT_MAX_RETAINED = 1_000_000
 
 
 def _fp(s: pd.Series) -> pd.Series:
-    return s.fillna("").map(lambda c: hashlib.sha256(c.encode()).hexdigest()[:16])
+    """64-bit content fingerprint (sha256 truncated), as python int."""
+    return s.fillna("").map(
+        lambda c: int.from_bytes(hashlib.sha256(c.encode()).digest()[:8], "little")
+    )
 
 
-def _dedup_fn(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    seen: set[str] = set(state.get[0]) if state.exists else set()
-    for pdf in pdfs:
-        fps = _fp(pdf["content"])
-        keep_mask = []
-        for fp in fps:
-            fresh = fp not in seen
-            keep_mask.append(fresh)
-            if fresh:
-                seen.add(fp)
-        out = pdf.loc[keep_mask, ["repo", "path", "commit", "lang", "content"]]
-        if len(out):
-            yield out
-    state.update((sorted(seen),))
+def _dedup_fn_with_cap(max_retained: int):
+    import numpy as np
+
+    def _dedup_fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        blob = state.get[0] if state.exists else None
+        order: list[int] = (
+            np.frombuffer(blob, dtype="<u8").tolist() if blob else []
+        )
+        seen: set[int] = set(order)
+        for pdf in pdfs:
+            keep_mask = []
+            for fp in _fp(pdf["content"]):
+                fresh = fp not in seen
+                keep_mask.append(fresh)
+                if fresh:
+                    seen.add(fp)
+                    order.append(fp)
+            out = pdf.loc[keep_mask, ["repo", "path", "commit", "lang", "content"]]
+            if len(out):
+                yield out
+        # bounded state: oldest-first eviction, like the near-dup path —
+        # eviction can only RE-ADMIT a dup later, never drop a novel doc
+        if len(order) > max_retained:
+            order = order[-max_retained:]
+        state.update((np.asarray(order, dtype="<u8").tobytes(),))
+
+    return _dedup_fn
 
 
-def dedup_stream(stream_docs: DataFrame, key_col: str = "repo") -> DataFrame:
-    """Emit only first-seen content per ``key_col`` group, across batches."""
+def dedup_stream(
+    stream_docs: DataFrame,
+    key_col: str = "repo",
+    max_retained: int = DEFAULT_MAX_RETAINED,
+) -> DataFrame:
+    """Emit only first-seen content per ``key_col`` group, across
+    batches. State is BOUNDED at ``max_retained`` 64-bit fingerprints
+    per key (8 MB at the default 1M), oldest evicted first — after a
+    key has seen more than ``max_retained`` distinct docs, a duplicate
+    of an evicted doc is re-admitted (the same documented semantics as
+    ``near_dedup_stream``); a novel doc is never dropped. For exact
+    dedup over an unbounded corpus use the batch operator
+    (`operators.dedup.dedup_exact`) over the accumulated table."""
     return stream_docs.groupBy(key_col).applyInPandasWithState(
-        _dedup_fn,
+        _dedup_fn_with_cap(int(max_retained)),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
