@@ -161,7 +161,7 @@ def test_facade_did_you_mean(spark, tmp_path_factory):
     assert rows[0]["suggestion"]  # ranked candidates exist
 
 
-def test_facade_upsert_lifecycle(spark, corpus, tmp_path_factory):
+def test_facade_upsert_lifecycle(spark, corpus, tmp_path_factory, monkeypatch):
     out = str(tmp_path_factory.mktemp("ups_idx"))
     ix = SearchIndex.build(corpus.select("doc_id", "content"), out,
                            shard_size=64, block_size=16,
@@ -173,7 +173,29 @@ def test_facade_upsert_lifecycle(spark, corpus, tmp_path_factory):
         corpus.filter(F.col("doc_id") < 5)
         .select("doc_id", F.concat("content", F.lit(" zzzupserted")).alias("content"))
     )
+    # the delta's ids must never materialize on the driver: tombstones
+    # are written executor-side from an id DataFrame (delete_docs), so a
+    # collect() anywhere in the delete stage is a scale regression
+    from vframe_spark.index import builder as _builder
+
+    orig_delete = _builder.delete_docs
+
+    def guarded_delete(spark_, out_dir, doc_ids):
+        from pyspark.sql import DataFrame as _DF
+
+        assert isinstance(doc_ids, _DF), "upsert must pass an id DataFrame"
+        no_collect = lambda self: (_ for _ in ()).throw(
+            AssertionError("delete stage collected ids to the driver")
+        )
+        monkeypatch.setattr(_DF, "collect", no_collect)
+        try:
+            return orig_delete(spark_, out_dir, doc_ids)
+        finally:
+            monkeypatch.undo()
+
+    monkeypatch.setattr("vframe_spark.api.delete_docs", guarded_delete)
     stats = ix.upsert(upd, str(tmp_path_factory.mktemp("ups_delta")), purge=True)
+    monkeypatch.setattr("vframe_spark.api.delete_docs", orig_delete)
     assert stats["n_tombstoned"] == 5
 
     # the new content is searchable, under rebased ids

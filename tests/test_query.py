@@ -155,6 +155,48 @@ def test_local_engine_lazy_dfs_and_lru_pinning(spark, corpus, index):
     assert len(tiny._blocks) <= 4  # bounded (can exceed 2 only by one query's terms)
 
 
+def test_local_engine_hot_term_df_guard(spark, corpus, index):
+    """A query containing an uncached term with df > max_fetch_df must
+    NOT fetch that term's posting blocks to the driver: it reroutes to
+    the distributed WAND path with identical results. Cached (warm)
+    terms keep serving locally regardless of their df."""
+    from vframe_spark.query.local import LocalQueryEngine
+    from vframe_spark.query.wand import bm25_topk_wand
+
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    queries = reference_queries(4)
+
+    # every term is "hot" at threshold 0 → everything reroutes
+    hot_eng = LocalQueryEngine(postings, term_stats, meta, max_fetch_df=0)
+    for qid, q, k in queries:
+        res, prof = hot_eng.profile(q, k)
+        assert prof.get("distributed") is True and prof["hot_terms"] > 0
+        expect = oracle.topk(q, k)
+        assert [d for d, _ in res] == [d for d, _ in expect], q
+        wand = bm25_topk_wand(postings, term_stats, meta, [(0, q)], k=k)
+        wrows = [(r["doc_id"], r["score"]) for r in wand.orderBy("rank").collect()]
+        assert res == wrows  # bitwise: the reroute IS the wand ranking
+    # the fetch path was skipped: no posting blocks ever reached the LRU
+    assert len(hot_eng._blocks) == 0
+
+    # warm path: blocks cached under a permissive threshold keep serving
+    # locally even after the guard tightens (no distributed reroute)
+    warm = LocalQueryEngine(postings, term_stats, meta)
+    q0, k0 = queries[0][1], queries[0][2]
+    base = warm.topk(q0, k0)
+    warm.max_fetch_df = 0
+    res, prof = warm.profile(q0, k0)
+    assert "distributed" not in prof and prof["block_cache_hits"] > 0
+    assert res == base
+
+    # hot-term pagination pages reconstruct the full hot ranking
+    full = hot_eng.topk(q0, 10)
+    if len(full) > 3:
+        page2 = hot_eng.topk(q0, len(full) - 3, after=full[2])
+        assert page2 == full[3:]
+
+
 def test_wand_conjunctive_matches_oracle_bitwise(spark, corpus, index):
     """mode="and" = posting-list intersection: results bitwise-equal to
     the exhaustive conjunctive oracle (score AND tie-break), absent-term

@@ -713,7 +713,9 @@ class SearchIndex:
 
     def delete(self, doc_ids) -> int:
         """Soft-delete: tombstoned docs vanish from queries immediately,
-        survivor scores frozen until `purge`."""
+        survivor scores frozen until `purge`. ``doc_ids`` may be an
+        iterable of ints or a single-column id DataFrame (written
+        executor-side, no driver materialization)."""
         n = delete_docs(self.spark, self.out_dir, doc_ids)
         return n
 
@@ -861,8 +863,10 @@ class SearchIndex:
         ``lang_col`` must match how the base index was built (meta does
         not record it) — lang-tagged and untagged terms don't mix."""
         _, _, _, meta = self._parts()
-        ids = [int(r[id_col]) for r in docs.select(id_col).collect()]
-        n_deleted = self.delete(ids)
+        # tombstone executor-side: the delta's id set is passed down as a
+        # DataFrame, never collect()ed — a 10^8-doc bulk re-index upsert
+        # must not materialize its ids on the driver
+        n_deleted = self.delete(docs.select(id_col))
         cols = [F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")]
         if lang_col is not None:
             cols.append(F.col(lang_col).alias(lang_col))

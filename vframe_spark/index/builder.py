@@ -374,11 +374,27 @@ def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> int:
     unchanged, only the deleted docs disappear (the exactness contract
     tests assert). Idempotent: re-deleting an id is a no-op at read time
     (ids are deduped on load). Returns how many ids were written.
+
+    ``doc_ids`` is either an iterable of ints (driver-side, small) or a
+    single-column DataFrame of ids — the DataFrame form writes the
+    tombstones executor-side with NO driver materialization, so a bulk
+    re-index upsert of 10^8 docs never collects its id set.
     """
+    path = os.path.join(out_dir, "tombstones")
+    if isinstance(doc_ids, DataFrame):
+        id_col = doc_ids.columns[0]
+        ids_df = (
+            doc_ids.select(F.col(id_col).cast("bigint").alias("doc_id"))
+            .where(F.col("doc_id").isNotNull())
+            .distinct()
+        )
+        n = ids_df.count()
+        if n:
+            ids_df.write.mode("append").parquet(path)
+        return int(n)
     ids = sorted({int(i) for i in doc_ids})
     if not ids:
         return 0
-    path = os.path.join(out_dir, "tombstones")
     spark.createDataFrame([(i,) for i in ids], "doc_id bigint").coalesce(1).write.mode(
         "append"
     ).parquet(path)

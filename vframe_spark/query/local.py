@@ -39,16 +39,24 @@ class LocalQueryEngine:
 
     def __init__(self, postings: DataFrame, term_stats: DataFrame, meta: dict,
                  cache_terms: int = 4096,
-                 exclude_doc_ids: list[int] | None = None):
+                 exclude_doc_ids: list[int] | None = None,
+                 max_fetch_df: int = 1_000_000):
         import numpy as np
 
         self._postings = postings
         self._term_stats = term_stats
         self._meta = meta
+        # df guard: a query touching a term with df > max_fetch_df (a
+        # stop word at web scale — GBs of posting blocks) must NOT pull
+        # those blocks through toPandas(); it reroutes to the
+        # distributed WAND path, which scores shard-local and moves only
+        # top-k partials. Cached hot terms keep serving locally.
+        self.max_fetch_df = int(max_fetch_df)
+        self._exclude_list = sorted(set(exclude_doc_ids)) if exclude_doc_ids else None
         # soft-deleted docs (index.builder.load_tombstones) — filtered
         # inside the scorer before the k cut, same as the distributed path
         self._exclude = (
-            np.asarray(sorted(set(exclude_doc_ids)), dtype=np.int64)
+            np.asarray(self._exclude_list, dtype=np.int64)
             if exclude_doc_ids
             else None
         )
@@ -119,6 +127,26 @@ class LocalQueryEngine:
             return pd.DataFrame()
         return pd.concat(parts, ignore_index=True)
 
+    def _distributed_topk(
+        self, query: str, k: int, mode: str, negation: bool,
+        after: tuple[int, float] | None,
+    ) -> list[tuple[int, float]]:
+        """Hot-term reroute: same ranking contract through the
+        distributed WAND path (rank identity with the local scorer is
+        already the tested engine invariant)."""
+        from .wand import bm25_topk_wand
+
+        rows = (
+            bm25_topk_wand(
+                self._postings, self._term_stats, self._meta, [(0, query)],
+                k=k, mode=mode, exclude_doc_ids=self._exclude_list,
+                negation=negation, after=after,
+            )
+            .orderBy("rank")
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
     def profile(
         self, query: str, k: int = 10, mode: str = "or", negation: bool = False,
         after: tuple[int, float] | None = None,
@@ -180,6 +208,21 @@ class LocalQueryEngine:
             )
         if not terms or (mode == "and" and len(terms) < len(q_terms)):
             return []
+        # df guard: any UNCACHED scoring term hotter than max_fetch_df →
+        # distributed WAND (one job) instead of fetching its full posting
+        # blocks to the driver. Warm terms stay on the local path.
+        hot = [
+            t for t in terms + negs
+            if t not in self._blocks and dfs[t] > self.max_fetch_df
+        ]
+        if hot:
+            res = self._distributed_topk(query, k, mode, negation, after)
+            if _prof is not None:
+                _prof.update(
+                    distributed=True, hot_terms=len(hot),
+                    total_ms=round((_pc() - t_start) * 1e3, 3),
+                )
+            return res
         blk_hits = sum(1 for t in terms + negs if t in self._blocks)
         pdf = self._fetch(terms + negs)
         t_fetch = _pc()

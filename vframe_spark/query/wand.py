@@ -280,6 +280,7 @@ def bm25_topk_wand(
     exclude_doc_ids: list[int] | None = None,
     negation: bool = False,
     pre_tokenized: bool = False,
+    after: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Batch top-k over the compressed index. Returns (qid, rank, doc_id, score).
 
@@ -298,6 +299,11 @@ def bm25_topk_wand(
     filtered out inside the local scorers BEFORE the k cut, so results
     are exactly the top-k of surviving docs with unchanged scores
     (soft-delete semantics: corpus stats stay frozen until rebuild).
+
+    ``after=(doc_id, score)``: search-after pagination — return the
+    exact top-k of docs ranking strictly after the cursor, applied to
+    EVERY query in the batch (intended for the single-query reroute
+    from ``LocalQueryEngine``; ranking order is score DESC, doc_id ASC).
     """
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be or|and, got {mode!r}")
@@ -389,6 +395,6 @@ def bm25_topk_wand(
         else None
     )
     partials = matched.groupBy("qid", "shard").applyInPandas(
-        lambda pdf: _local_topk(pdf, k, avgdl, mode, excl), PARTIAL_SCHEMA
+        lambda pdf: _local_topk(pdf, k, avgdl, mode, excl, after=after), PARTIAL_SCHEMA
     )
     return topk(partials, k)
