@@ -4485,6 +4485,51 @@ def q_sim_pq_topk(spark, sf_dir):
     )
 
 
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (r3 stretch): coarse quantizer over residual PQ codes
+    with ADC scoring + exact refine — the billion-scale composition
+    (Jégou et al. PAMI 2011 §IV). The probed scan touches only m int
+    codes per vector (never floats), so at equal bytes scanned it
+    affords (4·dim)/m more probes than IVF-Flat. Engine k-means isn't
+    SQL-expressible (rows-only); accuracy is surfaced IN the output:
+    ``recall`` = per-query overlap@k with the oracle-checked
+    brute-force baseline."""
+    from vframe_spark.operators.similarity import (
+        cosine_topk_bruteforce, ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    k = 5
+    res = ivfpq_topk(
+        emb, queries, dim=dim, k=k, n_lists=16, n_probes=8, m=8, ksub=32,
+        refine=4,
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "qid", F.col("vec_id").alias("bf_vec_id")
+    )
+    hit = (
+        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
+    return (
+        res.join(recall, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
 _MEDIA_FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "media"
 )
@@ -8766,6 +8811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": q_sim_pq_topk,
         "sim_sq_topk": q_sim_sq_topk,
         "sim_maxsim_topk": q_sim_maxsim_topk,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "text_token_counts": q_text_token_counts,

@@ -256,6 +256,7 @@ def main() -> None:
         "rel_percentiles",
         "sim_ivf_topk",
         "sim_pq_topk",
+        "sim_ivfpq_topk",
         "sim_sq_topk",
         "sim_ann_index_topk",
         "sim_maxsim_topk",
@@ -397,6 +398,7 @@ def ann_sweep(spark, k: int = 5) -> dict:
     from vframe_spark.operators.similarity import (
         cosine_topk_bruteforce,
         ivf_topk,
+        ivfpq_topk,
         lsh_topk,
     )
 
@@ -420,7 +422,7 @@ def ann_sweep(spark, k: int = 5) -> dict:
         rec = [len(got.get(q, set()) & hits) / len(hits) for q, hits in exact.items()]
         return round(sum(rec) / len(rec), 4), round(dt, 3)
 
-    sweep: dict[str, list] = {"lsh": [], "lsh_mt4": [], "ivf": []}
+    sweep: dict[str, list] = {"lsh": [], "lsh_mt4": [], "ivf": [], "ivfpq": []}
     for probes in (1, 2, 4, 8, 16):
         r, dt = mean_recall(
             lsh_topk(emb, queries, dim=dim, k=k, bits=6, n_probes=probes)
@@ -434,6 +436,11 @@ def ann_sweep(spark, k: int = 5) -> dict:
             ivf_topk(emb, queries, dim=dim, k=k, n_lists=16, n_probes=probes)
         )
         sweep["ivf"].append({"probes": probes, "recall": r, "sec": dt})
+        r, dt = mean_recall(
+            ivfpq_topk(emb, queries, dim=dim, k=k, n_lists=16,
+                       n_probes=probes, m=8, ksub=32, refine=4)
+        )
+        sweep["ivfpq"].append({"probes": probes, "recall": r, "sec": dt})
     emb.unpersist()
     return sweep
 

@@ -578,3 +578,82 @@ def test_ann_index_append_equals_rebuild(spark, tmp_path):
     a = key(ann_index_topk(spark, inc, queries, k=8, n_probes=2).collect())
     b = key(ann_index_topk(spark, full, queries, k=8, n_probes=2).collect())
     assert a == b and len(a) > 0
+
+
+def test_ann_index_adc_pq_codes(spark, tmp_path):
+    """Persisted IVF-PQ: codes ride the same list_id partitions; ADC
+    retrieval (a) never reads the float vectors in the probed scan
+    (column pruning), (b) with full probes + wide refine equals the
+    flat path exactly, and (c) append encodes codes with the stored
+    codebooks so append == rebuild."""
+    import numpy as np
+
+    from vframe_spark.index.ann import (
+        ann_index_topk, append_ann_index, load_codebooks, write_ann_index,
+    )
+
+    rng = np.random.default_rng(19)
+    cents = rng.standard_normal((6, 8))
+    # noise 0.3: residuals wide enough that 2-dim/16-centroid PQ cells
+    # separate siblings (at 0.1 the ADC-only top-5 self-hit is not
+    # guaranteed — quantization collapses near-identical neighbors)
+    base = np.vstack([
+        cents[i % 6] + 0.3 * rng.standard_normal(8) for i in range(120)
+    ])
+    mk = lambda sl: spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in sl],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "ivfpq")
+    meta = write_ann_index(mk(range(120)), out, centroids=cents, pq=(4, 16))
+    assert meta["pq"] == {"m": 4, "ksub": 16}
+    assert load_codebooks(out).shape == (4, 16, 2)
+
+    queries = [(i, [float(x) for x in base[i]]) for i in (0, 41, 99)]
+    flat = ann_index_topk(spark, out, queries, k=5, n_probes=6)
+    adc = ann_index_topk(spark, out, queries, k=5, n_probes=6,
+                         method="adc", refine=8)
+    key = lambda df: sorted(
+        (r["qid"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+        for r in df.collect()
+    )
+    assert key(adc) == key(flat)
+
+    # ADC accuracy without refine: quantization may reorder very close
+    # neighbors (scores collapse within a PQ cell), but the self vector
+    # must survive into the top-k shortlist
+    adc0 = ann_index_topk(spark, out, queries, k=5, n_probes=6,
+                          method="adc", refine=0)
+    by_q: dict = {}
+    for r in adc0.collect():
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    for qid, _ in queries:
+        assert qid in by_q[qid]
+
+    # the probed ADC scan reads codes, never vec (parquet column pruning)
+    plan = adc0._jdf.queryExecution().executedPlan().toString()
+    scans = [seg for seg in plan.split("FileScan parquet")[1:]]
+    code_scans = [s for s in scans if "codes" in s.split("ReadSchema:")[-1][:400]]
+    assert code_scans, plan
+    for s in code_scans:
+        rs = s.split("ReadSchema:")[-1]
+        rs = rs[: rs.find("\n")]
+        assert "vec:" not in rs, rs
+
+    # append encodes with the STORED codebooks: same retrieval as rebuild
+    inc = str(tmp_path / "ivfpq_inc")
+    write_ann_index(mk(range(80)), inc, centroids=cents, pq=(4, 16))
+    append_ann_index(mk(range(80, 120)), inc)
+    a = key(ann_index_topk(spark, inc, queries, k=5, n_probes=6,
+                           method="adc", refine=8))
+    b = key(ann_index_topk(spark, out, queries, k=5, n_probes=6,
+                           method="adc", refine=8))
+    assert a == b
+
+    # method guardrails
+    import pytest as _pytest
+
+    noq = str(tmp_path / "noq")
+    write_ann_index(mk(range(30)), noq, centroids=cents)
+    with _pytest.raises(ValueError, match="without pq"):
+        ann_index_topk(spark, noq, queries, k=3, method="adc")

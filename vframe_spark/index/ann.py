@@ -34,6 +34,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _encode_assigned_codes(assigned: DataFrame, cents: np.ndarray,
+                           books: np.ndarray) -> DataFrame:
+    """(vec_id, vec, list_id) → + ``codes``: PQ-encode each row's
+    residual against its STORED list assignment (so codes always agree
+    with the persisted partitioning, including the rounded-cosine
+    assignment grain)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    m, ksub, dsub = books.shape
+    half_norms = 0.5 * (books * books).sum(axis=2)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                yield pd.DataFrame(
+                    {"vec_id": [], "vec": [], "list_id": [], "codes": []}
+                )
+                continue
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            resid = mn - cents[b["list_id"].to_numpy(dtype=np.int64)]
+            codes = np.empty((len(mn), m), dtype=np.int32)
+            for mi in range(m):
+                sub = resid[:, mi * dsub : (mi + 1) * dsub]
+                codes[:, mi] = (sub @ books[mi].T - half_norms[mi]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "vec": b["vec"],
+                    "list_id": b["list_id"],
+                    "codes": list(codes),
+                }
+            )
+
+    return assigned.select("vec_id", "vec", "list_id").mapInPandas(
+        enc, "vec_id bigint, vec array<float>, list_id bigint, codes array<int>"
+    )
+
+
 def write_ann_index(
     embeddings: DataFrame,
     out_dir: str,
@@ -45,11 +86,19 @@ def write_ann_index(
     round_dp: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq: tuple[int, int] | None = None,
 ) -> dict:
     """Assign every vector to its nearest-cosine centroid and persist
     the inverted lists partitioned by ``list_id`` → meta dict. One
     corpus GEMM pass + one partitioned write; the centroid matrix and
-    meta land beside the lists."""
+    meta land beside the lists.
+
+    ``pq=(m, ksub)`` additionally trains residual PQ codebooks
+    (`operators.similarity.pq_train_residuals`) and stores each
+    vector's ``m`` residual codes as an extra column — the IVF-PQ
+    composition. Queries can then run ``method="adc"`` reading ONLY the
+    int codes column (parquet column pruning: the float vectors never
+    leave disk until the refine join)."""
     from ..operators.similarity import cluster_assign, ivf_train
 
     dim = len(embeddings.select(vec_col).first()[vec_col])
@@ -64,13 +113,28 @@ def write_ann_index(
         embeddings, cents, id_col=id_col, vec_col=vec_col, round_dp=round_dp
     )
     os.makedirs(out_dir, exist_ok=True)
+    books = None
+    if pq is not None:
+        from ..operators.similarity import pq_train_residuals
+
+        m, ksub = int(pq[0]), int(pq[1])
+        books = pq_train_residuals(
+            embeddings, cents, dim, m=m, ksub=ksub, seed=seed, sample=sample,
+            iters=iters, id_col=id_col, vec_col=vec_col,
+        )
+        assigned = _encode_assigned_codes(assigned, cents, books)
+        out_cols = ["vec_id", "vec", "codes", "list_id"]
+    else:
+        out_cols = ["vec_id", "vec", "list_id"]
     (
-        assigned.select("vec_id", "vec", "list_id")
+        assigned.select(*out_cols)
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(os.path.join(out_dir, "vectors"))
     )
     np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    if books is not None:
+        np.save(os.path.join(out_dir, "codebooks.npy"), books)
     spark = embeddings.sparkSession
     n_vectors = spark.read.parquet(os.path.join(out_dir, "vectors")).count()
     meta = {
@@ -79,6 +143,8 @@ def write_ann_index(
         "n_vectors": int(n_vectors),
         "round_dp": int(round_dp),
     }
+    if books is not None:
+        meta["pq"] = {"m": int(books.shape[0]), "ksub": int(books.shape[1])}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -95,12 +161,19 @@ def load_ann_index(spark: SparkSession, out_dir: str):
     return vectors, cents, meta
 
 
+def load_codebooks(out_dir: str) -> np.ndarray:
+    """Residual PQ codebooks of an index built with ``pq=(m, ksub)``."""
+    return np.load(os.path.join(out_dir, "codebooks.npy"))
+
+
 def ann_index_topk(
     spark: SparkSession,
     out_dir: str,
     queries: list[tuple[int, list[float]]],
     k: int = 10,
     n_probes: int = 4,
+    method: str = "flat",
+    refine: int = 2,
 ) -> DataFrame:
     """Top-k cosine retrieval over the persisted index → (qid, rank,
     vec_id, cosine): each query's ``n_probes`` nearest lists are chosen
@@ -108,13 +181,24 @@ def ann_index_topk(
     grain as the build, ties → lowest list id), the scan filters to
     exactly those ``list_id`` partitions (directory pruning — the
     corpus outside the probed lists is never read), and one GEMM kernel
-    reranks inside them."""
+    reranks inside them.
+
+    ``method="adc"`` (index built with ``pq=``): the probed scan reads
+    ONLY the int ``codes`` column (column pruning asserted in tests —
+    float vectors stay on disk), scores ``q·c + Σ LUT[codes]`` per row,
+    and exact-reranks a ``refine × k`` shortlist through one id
+    equi-join on the raw vectors. Same probes, (4·dim)/m× fewer bytes
+    scanned."""
     from ..operators.similarity import _topk_window
 
     import pandas as pd
     from collections.abc import Iterator
 
+    if method not in ("flat", "adc"):
+        raise ValueError(f"method must be flat|adc, got {method!r}")
     vectors, cents, meta = load_ann_index(spark, out_dir)
+    if method == "adc" and "pq" not in meta:
+        raise ValueError("index was built without pq= codes; use method='flat'")
     dp = int(meta["round_dp"])
     qids, probe_rows = [], []
     qmat = {}
@@ -132,6 +216,12 @@ def ann_index_topk(
     # reliance on dynamic partition pruning kicking in for the join
     probed_lists = sorted({li for _, li in probe_rows})
     pruned = vectors.filter(F.col("list_id").isin(probed_lists))
+
+    if method == "adc":
+        return _adc_topk(
+            spark, out_dir, pruned, cents, qmat, probe_rows, k, refine,
+        )
+
     qdf = spark.createDataFrame(
         [(q, [float(x) for x in qmat[q]], int(li)) for q, li in probe_rows],
         "qid bigint, qvec array<double>, list_id bigint",
@@ -154,6 +244,88 @@ def ann_index_topk(
         gemm, "qid bigint, vec_id bigint, cosine double"
     )
     return _topk_window(scored, k)
+
+
+def _adc_topk(
+    spark: SparkSession,
+    out_dir: str,
+    pruned: DataFrame,
+    cents: np.ndarray,
+    qmat: dict,
+    probe_rows: list[tuple[int, int]],
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """ADC scoring over the persisted codes + exact refine join."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.similarity import _topk_window, cosine_expr
+
+    books = load_codebooks(out_dir)
+    m, ksub, dsub = books.shape
+    luts = {
+        int(q): np.einsum("md,mkd->mk", v.reshape(m, dsub), books)
+        for q, v in qmat.items()
+    }
+    qdf = spark.createDataFrame(
+        [(int(q), int(li), float(cents[li] @ qmat[q])) for q, li in probe_rows],
+        "qid bigint, list_id bigint, qc double",
+    )
+    shortlist = max(k, int(refine) * k)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[float, int]]] = {q: [] for q in luts}
+        mcols = np.arange(m)[None, :]
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(b["codes"].to_numpy())
+            qcs = b["qc"].to_numpy(dtype=np.float64)
+            bq = b["qid"].to_numpy(dtype=np.int64)
+            for qid in np.unique(bq):
+                sel = bq == qid
+                approx = luts[int(qid)][mcols, codes[sel]].sum(axis=1) + qcs[sel]
+                take = min(shortlist, approx.size)
+                idx = np.argpartition(-approx, take - 1)[:take]
+                best[int(qid)].extend(zip(approx[idx].tolist(), ids[sel][idx].tolist()))
+                if len(best[int(qid)]) > 4 * shortlist:
+                    best[int(qid)] = sorted(
+                        best[int(qid)], key=lambda t: (-t[0], t[1])
+                    )[:shortlist]
+        rows = []
+        for qid, cands in best.items():
+            for cos, vid in sorted(cands, key=lambda t: (-t[0], t[1]))[:shortlist]:
+                rows.append((qid, vid, cos))
+        yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    # narrow scan: (vec_id, codes, list_id) — 'vec' pruned away (tested)
+    partial = (
+        pruned.select("vec_id", "codes", "list_id")
+        .join(F.broadcast(qdf), "list_id")
+        .select("qid", "vec_id", "codes", "qc")
+        .mapInPandas(adc, "qid bigint, vec_id bigint, cosine double")
+    )
+    if not refine:
+        return _topk_window(partial, k)
+    cand = _topk_window(partial, shortlist).select("qid", "vec_id")
+    rqdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in qmat.items()],
+        "qid bigint, qvec array<double>",
+    )
+    # refine reads raw vectors for the shortlist ids only
+    vectors, _, _ = load_ann_index(spark, out_dir)
+    exact = (
+        cand.join(vectors.select("vec_id", "vec"), "vec_id")
+        .join(F.broadcast(rqdf), "qid")
+        .withColumn(
+            "cosine",
+            cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec")),
+        )
+    )
+    return _topk_window(exact.select("qid", "vec_id", "cosine"), k)
 
 
 def append_ann_index(
@@ -180,8 +352,13 @@ def append_ann_index(
         embeddings, cents, id_col=id_col, vec_col=vec_col,
         round_dp=int(meta["round_dp"]),
     )
+    if "pq" in meta:  # codebooks do NOT retrain on append, like centroids
+        assigned = _encode_assigned_codes(assigned, cents, load_codebooks(out_dir))
+        out_cols = ["vec_id", "vec", "codes", "list_id"]
+    else:
+        out_cols = ["vec_id", "vec", "list_id"]
     (
-        assigned.select("vec_id", "vec", "list_id")
+        assigned.select(*out_cols)
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(os.path.join(out_dir, "vectors"))

@@ -693,6 +693,220 @@ def pq_topk(
     return _topk_window(exact.select("qid", "vec_id", "cosine"), k)
 
 
+def pq_train_residuals(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample: int = 20000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks on coarse-quantizer RESIDUALS — the IVF-PQ
+    composition (Jégou et al. PAMI 2011 §IV): each sampled vector is
+    normalized, assigned to its nearest centroid, and the codebooks
+    learn ``x − c(x)`` per subspace. Residuals are far more isotropic
+    than raw vectors, so the same code budget quantizes them with much
+    lower error. Codebooks are SHARED across lists (the standard
+    memory/accuracy trade — per-list books would be n_lists× the
+    artifact). Same bounded scale shape as `pq_train`: one
+    ``limit(sample)`` job, driver-side numpy, tiny broadcastable output
+    ``(m, ksub, dim/m)``."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    rows = (
+        embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    res = mat - cents[(mat @ cents.T).argmax(axis=1)]
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(ksub, len(res)), dsub), dtype=np.float64)
+    for mi in range(m):
+        sub = res[:, mi * dsub : (mi + 1) * dsub]
+        bk = sub[rng.choice(len(sub), size=books.shape[1], replace=False)].copy()
+        for _ in range(iters):
+            d = sub @ bk.T - 0.5 * (bk * bk).sum(axis=1)
+            assign = d.argmax(axis=1)
+            for c in range(len(bk)):
+                members = sub[assign == c]
+                if len(members):
+                    bk[c] = members.mean(axis=0)
+                else:
+                    bk[c] = sub[d.max(axis=1).argmin()]
+        books[mi] = bk
+    return books
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One narrow Arrow pass → (vec_id, list_id, codes): assign each
+    normalized vector to its nearest centroid, then PQ-encode the
+    residual against the shared codebooks. This is the compressed
+    representation an IVF-PQ index persists: ``m`` bytes + a list id
+    per vector, independent of ``dim``."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    half_norms = 0.5 * (books * books).sum(axis=2)  # (m, ksub)
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mat = np.array(b["vec"].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                yield pd.DataFrame({"vec_id": [], "list_id": [], "codes": []})
+                continue
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            lids = (mn @ cents.T).argmax(axis=1)
+            resid = mn - cents[lids]
+            codes = np.empty((len(mn), m), dtype=np.int32)
+            for mi in range(m):
+                sub = resid[:, mi * dsub : (mi + 1) * dsub]
+                codes[:, mi] = (sub @ books[mi].T - half_norms[mi]).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"], "list_id": lids, "codes": list(codes)}
+            )
+
+    return src.mapInPandas(enc, "vec_id bigint, list_id bigint, codes array<int>")
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    k: int = 10,
+    n_lists: int = 64,
+    n_probes: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN (coarse quantizer over residual PQ codes with ADC) →
+    (qid, rank, vec_id, cosine) — the billion-scale composition both
+    halves of this module build toward.
+
+    Score decomposition: for a probed list with centroid c,
+    ``q·x = q·(c + r) ≈ q·c + Σᵢ LUT[i][codes[i]]`` — the ``q·c`` term
+    is a per-(query, list) constant computed driver-side and carried in
+    the broadcast probe row, and the residual term is ``m`` lookups in
+    a per-query ``(m, ksub)`` table (also driver-side, ships in the
+    task closure). The probed scan therefore touches ONLY the int
+    ``codes`` column — never the float vectors — and reads
+    ``~n_probes / n_lists`` of the corpus: at equal bytes scanned
+    IVF-PQ affords ``(4·dim)/m`` more probes than IVF-Flat, which is
+    where its recall advantage at equal cost comes from (tested).
+
+    ``refine > 0``: ADC shortlist of ``refine × k`` per query re-ranked
+    with exact cosine over the raw vectors of just those candidates
+    (one id equi-join); with full probes and a wide-enough refine this
+    equals brute force exactly (tested). Output cosine is the exact
+    re-ranked value when refining, else the ADC approximation.
+    """
+    if centroids is None:
+        centroids = ivf_train(
+            embeddings, dim, n_lists, seed, id_col=id_col, vec_col=vec_col
+        )
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    if codebooks is None:
+        codebooks = pq_train_residuals(
+            embeddings, cents, dim, m=m, ksub=ksub, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    encoded = ivfpq_encode(embeddings, cents, books, id_col, vec_col)
+
+    qn: dict[int, np.ndarray] = {}
+    luts: dict[int, np.ndarray] = {}
+    probe_rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        qn[int(qid)] = v
+        # LUT[mi, j] = q_sub(mi) · codebook[mi, j] (residual IP term)
+        luts[int(qid)] = np.einsum("md,mkd->mk", v.reshape(m, dsub), books)
+        sims = cents @ v
+        order = np.argsort(-sims)[: max(1, min(n_probes, len(cents)))]
+        for li in order:
+            probe_rows.append((int(qid), int(li), float(sims[li])))
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(probe_rows, "qid bigint, list_id bigint, qc double")
+
+    shortlist = max(k, refine * k)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, list[tuple[float, int]]] = {q: [] for q in luts}
+        mcols = np.arange(m)[None, :]
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(b["codes"].to_numpy())
+            qcs = b["qc"].to_numpy(dtype=np.float64)
+            for qid in np.unique(b["qid"].to_numpy(dtype=np.int64)):
+                sel = b["qid"].to_numpy(dtype=np.int64) == qid
+                approx = luts[int(qid)][mcols, codes[sel]].sum(axis=1) + qcs[sel]
+                take = min(shortlist, approx.size)
+                idx = np.argpartition(-approx, take - 1)[:take]
+                best[int(qid)].extend(
+                    zip(approx[idx].tolist(), ids[sel][idx].tolist())
+                )
+                if len(best[int(qid)]) > 4 * shortlist:
+                    best[int(qid)] = sorted(
+                        best[int(qid)], key=lambda t: (-t[0], t[1])
+                    )[:shortlist]
+        rows = []
+        for qid, cands in best.items():
+            for cos, vid in sorted(cands, key=lambda t: (-t[0], t[1]))[:shortlist]:
+                rows.append((qid, vid, cos))
+        yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    # the scan under this join carries (vec_id, list_id, codes) only —
+    # the float vectors never move until the (tiny) refine join below
+    partial = (
+        encoded.join(F.broadcast(qdf), "list_id")
+        .select("qid", "vec_id", "codes", "qc")
+        .mapInPandas(adc, "qid bigint, vec_id bigint, cosine double")
+    )
+    if not refine:
+        return _topk_window(partial, k)
+    cand = _topk_window(partial, shortlist).select("qid", "vec_id")
+    rqdf = spark.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in qn.items()],
+        "qid bigint, qvec array<double>",
+    )
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    exact = (
+        cand.join(src, "vec_id")
+        .join(F.broadcast(rqdf), "qid")
+        .withColumn(
+            "cosine", cosine_expr(F.col("vec").cast("array<double>"), F.col("qvec"))
+        )
+    )
+    return _topk_window(exact.select("qid", "vec_id", "cosine"), k)
+
+
 def group_centroids(
     embeddings: DataFrame,
     by,
