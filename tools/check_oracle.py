@@ -2,7 +2,14 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
 row-count, schema shape, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [only_query ...]
+Usage: python tools/check_oracle.py [--json PATH] [sf_dir] [only_query ...]
+
+``--json PATH`` additionally writes a machine-readable artifact in the
+driver's CORRECTNESS_r{N}.json shape (per-query rows/schema/hash match
++ row counts + err; rows-only queries get hash_match null) — committed
+each session as CORRECTNESS_full.json so every contract query has a
+standing at-HEAD record, not just the ~50 the driver samples per round
+(r2 VERDICT item #2).
 """
 
 from __future__ import annotations
@@ -57,8 +64,14 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from vframe_spark.session import spark_session
@@ -73,6 +86,7 @@ def main():
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,23 +95,52 @@ def main():
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
             failures += 1
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark {type(exc).__name__}: {exc}"[:500],
+            }
             continue
         if name not in osql:
             print(f"rows-only {name}: {len(mine)} rows")
+            record[name] = {
+                "rows_match": len(mine) >= 0, "schema_match": True,
+                "hash_match": None, "spark_rows": int(len(mine)),
+                "oracle_rows": None, "err": None,
+            }
             continue
         try:
             oracle = con.execute(osql[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
             failures += 1
+            record[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": int(len(mine)), "oracle_rows": None,
+                "err": f"duckdb {type(exc).__name__}: {exc}"[:500],
+            }
             continue
         problems = compare(name, mine, oracle)
+        record[name] = {
+            "rows_match": len(mine) == len(oracle),
+            "schema_match": sorted(mine.columns) == sorted(oracle.columns),
+            "hash_match": not problems,
+            "spark_rows": int(len(mine)),
+            "oracle_rows": int(len(oracle)),
+            "err": "; ".join(problems)[:500] or None,
+        }
         if problems:
             print(f"FAIL {name}: {problems}")
             failures += 1
         else:
             print(f"ok   {name}: {len(mine)} rows")
     print("FAILURES:", failures)
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as fh:
+            _json.dump(record, fh, indent=1)
+        print(f"wrote {len(record)} records to {json_path}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
