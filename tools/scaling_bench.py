@@ -649,4 +649,10 @@ if __name__ == "__main__":
         lo, hi = PAIRS[0]
         rep = run_alternating(lo, hi, n_docs, reps)
         write_bench_md_alt(rep)
+        # machine-readable sidecar: bench.py folds this digest into the
+        # driver-recorded headline so the official per-round record
+        # carries the north_rule scaling evidence
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "SCALING.json"), "w") as fh:
+            json.dump(rep, fh, indent=1)
         print(json.dumps(rep))
