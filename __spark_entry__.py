@@ -1367,6 +1367,71 @@ def _dedup_lines_oracle_sql() -> str:
     return dedup_lines_duckdb_sql(DEDUP_LINE_MIN, table=inner)
 
 
+SPAN_L, WINNOW_K, WINNOW_W, WINNOW_TH = 25, 12, 10, 0.1
+
+
+def q_dedup_span_exact(spark, sf_dir):
+    """Exact substring-span dedup, detection stage (Lee et al. 2022):
+    every >=25-char window occurring twice in the corpus marks its
+    non-first occurrences for removal; overlapping removals merge into
+    maximal (doc, start, end) spans. Windows shuffle as md5-60bit
+    hashes with a map-side-combinable min-struct winner — text never
+    shuffles (operators/spandedup.py duplicated_spans)."""
+    from vframe_spark.operators.spandedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return duplicated_spans(docs, min_len=SPAN_L)
+
+
+def q_dedup_span_rebuild(spark, sf_dir):
+    """Exact substring-span dedup, removal stage: each doc rebuilt with
+    its duplicated spans cut out (keep-first). The rebuild folds the
+    per-doc merged-span array over the text column in place — only
+    spans shuffle, never the corpus (operators/spandedup.py
+    dedup_spans)."""
+    from vframe_spark.operators.spandedup import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return dedup_spans(docs, min_len=SPAN_L)
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing (MOSS) near-dup pairs: min k-gram hash per w-window
+    as position-independent fingerprints (guarantee: any shared
+    substring >= w+k-1 chars shares a fingerprint), df-capped
+    fingerprint equi-join for candidates — the sub-linear scale path
+    beside the stride-1 exact pass (operators/spandedup.py
+    winnow_pairs)."""
+    from vframe_spark.operators.spandedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return winnow_pairs(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_TH)
+
+
+def _span_exact_oracle_sql() -> str:
+    from vframe_spark.operators.spandedup import duplicated_spans_duckdb_sql
+
+    return duplicated_spans_duckdb_sql(SPAN_L)
+
+
+def _span_rebuild_oracle_sql() -> str:
+    from vframe_spark.operators.spandedup import dedup_spans_duckdb_sql
+
+    return dedup_spans_duckdb_sql(SPAN_L)
+
+
+def _winnow_pairs_oracle_sql() -> str:
+    from vframe_spark.operators.spandedup import winnow_pairs_duckdb_sql
+
+    return winnow_pairs_duckdb_sql(k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_TH)
+
+
 PACK_SEQ_LEN = 512
 
 
@@ -8843,6 +8908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_shuffle_shards": q_curate_shuffle_shards,
         "curate_pack_sequences": q_curate_pack_sequences,
         "dedup_lines_keepfirst": q_dedup_lines,
+        "dedup_span_exact": q_dedup_span_exact,
+        "dedup_span_rebuild": q_dedup_span_rebuild,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "text_quality_weak": q_text_quality_weak,
         "rel_window_range": q_rel_window_range,
         "curate_sample_k": q_curate_sample_k,
@@ -9408,6 +9476,9 @@ def oracle_sql() -> dict[str, str]:
         "curate_shuffle_shards": _shuffle_shards_oracle_sql(),
         "curate_pack_sequences": _pack_sequences_oracle_sql(),
         "dedup_lines_keepfirst": _dedup_lines_oracle_sql(),
+        "dedup_span_exact": _span_exact_oracle_sql(),
+        "dedup_span_rebuild": _span_rebuild_oracle_sql(),
+        "dedup_winnow_pairs": _winnow_pairs_oracle_sql(),
         "text_quality_weak": _quality_weak_oracle_sql(),
         "rel_window_range": """
             WITH daily AS (

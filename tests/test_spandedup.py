@@ -1,0 +1,180 @@
+"""Substring-span dedup + winnowing: brute-force and DuckDB oracles."""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from vframe_spark.operators.spandedup import (
+    dedup_spans,
+    dedup_spans_duckdb_sql,
+    duplicated_spans,
+    duplicated_spans_duckdb_sql,
+    window_occurrences,
+    winnow_fingerprints,
+    winnow_pairs,
+    winnow_pairs_duckdb_sql,
+)
+
+# ------------------------------------------------------- brute-force oracle
+
+
+def ref_spans(docs, L):
+    """docs: list[(id, text)] -> sorted [(id, start, end)] 1-based incl."""
+    from collections import defaultdict
+
+    by_w = defaultdict(list)
+    for i, t in docs:
+        for p in range(1, len(t) - L + 2):
+            by_w[t[p - 1 : p - 1 + L]].append((i, p))
+    rem = defaultdict(list)
+    for occs in by_w.values():
+        if len(occs) >= 2:
+            winner = min(occs)
+            for o in occs:
+                if o != winner:
+                    rem[o[0]].append((o[1], o[1] + L - 1))
+    out = []
+    for i, ivs in rem.items():
+        ivs.sort()
+        cs, ce = ivs[0]
+        for s, e in ivs[1:]:
+            if s > ce + 1:
+                out.append((i, cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        out.append((i, cs, ce))
+    return sorted(out)
+
+
+def ref_rebuild(text, spans):
+    cur, acc = 1, ""
+    for s, e in spans:
+        acc += text[cur - 1 : s - 1]
+        cur = e + 1
+    return acc + text[cur - 1 :]
+
+
+def _random_docs(seed, n=24, alpha="ab", maxlen=60):
+    rng = random.Random(seed)
+    return [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, maxlen))))
+        for i in range(n)
+    ]
+
+
+PLANTED = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "xx the quick brown fox jumps over the lazy dog yy"),
+    (2, "short"),
+    (3, ""),
+    (4, "the quick brown fox jumps over the lazy dog"),  # full dup of 0
+    (5, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # self-repetition
+    (6, "unique text with no duplicated windows at all 012345"),
+]
+L = 12
+
+
+def _spark_docs(spark, docs):
+    return spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "content"]),
+        "doc_id long, content string",
+    )
+
+
+def test_duplicated_spans_planted(spark):
+    got = sorted(
+        tuple(r)
+        for r in duplicated_spans(_spark_docs(spark, PLANTED), min_len=L).collect()
+    )
+    assert got == ref_spans(PLANTED, L)
+    ids = {g[0] for g in got}
+    assert 4 in ids and 1 in ids  # dup doc + embedded copy flagged
+    assert 6 not in ids and 2 not in ids and 3 not in ids
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_duplicated_spans_random_small_alphabet(spark, seed):
+    docs = _random_docs(seed)
+    got = sorted(
+        tuple(r)
+        for r in duplicated_spans(_spark_docs(spark, docs), min_len=8).collect()
+    )
+    assert got == ref_spans(docs, 8)
+
+
+def test_dedup_spans_rebuild(spark):
+    docs = PLANTED + _random_docs(9)
+    # avoid id collisions between the two lists
+    docs = [(i, t) for i, (_, t) in enumerate(docs)]
+    spans = {}
+    for i, s, e in ref_spans(docs, L):
+        spans.setdefault(i, []).append((s, e))
+    out = {
+        r["doc_id"]: r
+        for r in dedup_spans(_spark_docs(spark, docs), min_len=L).collect()
+    }
+    assert set(out) == {i for i, _ in docs}  # every doc exactly once
+    for i, t in docs:
+        want = ref_rebuild(t, sorted(spans.get(i, [])))
+        assert out[i]["new_text"] == want, i
+        assert out[i]["new_len"] == len(want)
+        assert out[i]["n_spans"] == len(spans.get(i, []))
+        assert out[i]["dup_chars"] == sum(e - s + 1 for s, e in spans.get(i, []))
+
+
+def test_duckdb_twin_spans(spark):
+    docs = PLANTED + [(7 + i, t) for i, (_, t) in enumerate(_random_docs(5, n=10))]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    for sql, q in [
+        (duplicated_spans_duckdb_sql(L), duplicated_spans(_spark_docs(spark, docs), min_len=L)),
+        (dedup_spans_duckdb_sql(L), dedup_spans(_spark_docs(spark, docs), min_len=L)),
+    ]:
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        got = sorted(tuple(r[c] for c in [f.name for f in q.schema.fields]) for r in q.collect())
+        assert got == want
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def test_winnow_guarantee(spark):
+    k, w = 5, 4
+    shared = "zqxjvkwpyfgh"  # length 12 >= w + k - 1 = 8
+    docs = [
+        (0, "aaaa" + shared + "bbbbbb"),
+        (1, "cccccccc" + shared),
+        (2, "no overlap here at all 123"),
+    ]
+    fps = winnow_fingerprints(_spark_docs(spark, docs), k=k, w=w)
+    sets = {}
+    for r in fps.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[0] & sets[1], "winnowing guarantee violated"
+    # density sanity: far fewer fingerprints than k-gram positions
+    assert len(sets[0]) < len(docs[0][1]) - k + 1
+
+
+def test_winnow_pairs_duckdb_twin(spark):
+    docs = _random_docs(11, n=20, alpha="abc", maxlen=80)
+    sdf = _spark_docs(spark, docs)
+    got = sorted(
+        tuple(r) for r in winnow_pairs(sdf, k=4, w=3, threshold=0.05).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = sorted(
+        map(tuple, con.execute(winnow_pairs_duckdb_sql(k=4, w=3, threshold=0.05)).fetchall())
+    )
+    assert got == want
+    assert got, "expected at least one candidate pair on a 3-letter alphabet"
+
+
+def test_window_occurrences_short_docs(spark):
+    docs = [(0, "abc"), (1, ""), (2, "abcdefgh")]
+    occ = window_occurrences(_spark_docs(spark, docs), min_len=5).collect()
+    assert {r["id"] for r in occ} == {2}
+    assert sorted(r["pos"] for r in occ) == [1, 2, 3, 4]

@@ -1,0 +1,388 @@
+"""Substring-span deduplication for training-data curation.
+
+Exact-substring dedup (the Lee et al. 2022 "Deduplicating Training
+Data Makes Language Models Better" pass): any character span of length
+>= ``min_len`` that occurs more than once in the corpus is removed
+from every occurrence except the first (lowest (doc, pos)).  The
+published implementation builds a corpus-wide suffix array; the
+distributed equivalent here is the stride-1 fixed-width window
+formulation — both touch every character position once, but windows
+shuffle as 8-byte hashes and aggregate with map-side combine, which is
+what survives a 1000-executor shuffle.
+
+The companion *winnowing* fingerprinter (Schleimer/Wilkerson/Aiken,
+SIGMOD 2003 — the MOSS algorithm) is the sub-linear scale path: select
+the minimum k-gram hash in every window of ``w`` consecutive k-grams.
+Selection depends only on local content, never absolute position, so
+two copies of the same text pick the same fingerprints wherever they
+sit — the guarantee is that any shared substring of length
+>= ``w + k - 1`` yields at least one shared fingerprint, at a density
+of ~2/(w+1) of positions instead of every position.
+
+Reference parity: vframe's seen-before drop discipline
+(/root/reference/src/commands/pipe/skip-phash.py:134-142) applied at
+sub-document span granularity; exact keep-first winner selection
+mirrors dedup sha256 (/root/reference/src/commands/dedup/
+sha256.py:36-133).
+
+Portability: window hashes are the repo-standard md5-60bit
+(15 hex chars -> BIGINT), identical in Spark and DuckDB, so every
+operator here has a bit-identical SQL twin.
+
+Scale shape:
+* windows project to (id, pos, h) before any shuffle — document text
+  never moves;
+* the winner per duplicated window is a partial-aggregable
+  min(struct(id, pos)) + count, so a corpus-hot window (a boilerplate
+  license line) combines map-side instead of serializing one reducer;
+* span merge is a bounded per-doc window function;
+* the rebuild folds the (small) merged-span array back over the text
+  column in place — only spans shuffle, never the corpus;
+* winnowing pair-generation is a bucket equi-join on fingerprint with
+  a df cap (same discipline as ngram_jaccard_pairs) — never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# md5-60bit portable hash of the L-char window starting at 1-based pos.
+_PORTABLE_H = "conv(substring(md5(substring({t}, pos, {L})), 1, 15), 16, 10)"
+
+
+def window_occurrences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_len: int = 40,
+) -> DataFrame:
+    """(id, pos, h): every stride-1 window of ``min_len`` chars, 1-based.
+
+    One narrow projection — the explode and the hash run inside the
+    scan stage; downstream shuffles move 20 bytes/position, not text.
+    """
+    L = int(min_len)
+    npos = F.length(F.col(text_col)) - L + 1
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.expr(_PORTABLE_H.format(t="_t", L=L)).cast("long").alias("h"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_len: int = 40,
+) -> DataFrame:
+    """Merged (doc_id, span_start, span_end) char spans to remove.
+
+    A window is a *removal* occurrence when the same ``min_len``-char
+    string occurs elsewhere at a strictly earlier (id, pos).  Per doc,
+    overlapping/adjacent removal windows merge into maximal spans
+    (gaps-and-islands over a running max).
+    """
+    L = int(min_len)
+    occ = window_occurrences(df, id_col, text_col, L)
+    winners = occ.groupBy("h").agg(
+        F.min(F.struct(F.col("id").alias("i"), F.col("pos").alias("p"))).alias("w"),
+        F.count("*").alias("c"),
+    )
+    rem = (
+        occ.join(winners.filter(F.col("c") >= 2).select("h", "w"), "h")
+        .filter(~((F.col("w.i") == F.col("id")) & (F.col("w.p") == F.col("pos"))))
+        .select("id", F.col("pos").alias("s"), (F.col("pos") + L - 1).alias("e"))
+    )
+    ord_w = Window.partitionBy("id").orderBy("s", "e")
+    prev_max = F.coalesce(
+        F.max("e").over(ord_w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(-1),
+    )
+    return (
+        rem.withColumn("brk", F.when(F.col("s") > prev_max + 1, 1).otherwise(0))
+        .withColumn("g", F.sum("brk").over(ord_w))
+        .groupBy("id", "g")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_len: int = 40,
+) -> DataFrame:
+    """Cut duplicated spans out of every doc (keep-first).
+
+    Returns (id, n_spans, dup_chars, new_len, new_text).  The rebuild
+    is a fold of the per-doc merged-span array over the text column —
+    the corpus-side cost is one broadcast-or-shuffle join against a
+    table with <= one row per doc and a codegen'd aggregate; document
+    bodies are never exploded or shuffled.
+    """
+    spans = duplicated_spans(df, id_col, text_col, min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")))
+        ).alias("sp"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).cast("long").alias("dup_chars"),
+    )
+    t = F.col(text_col)
+    rebuilt = F.aggregate(
+        F.col("sp"),
+        F.struct(F.lit(1).cast("long").alias("cur"), F.lit("").alias("acc")),
+        lambda a, x: F.struct(
+            (x["e"] + 1).cast("long").alias("cur"),
+            F.concat(a["acc"], F.substring(t, a["cur"], x["s"] - a["cur"])).alias("acc"),
+        ),
+        lambda a: F.concat(a["acc"], F.substring(t, a["cur"], F.length(t))),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
+            F.when(F.col("sp").isNull(), t).otherwise(rebuilt).alias("new_text"),
+        )
+        .withColumn("new_len", F.length("new_text").cast("long"))
+    )
+
+
+def duplicated_spans_duckdb_sql(
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans` (row_number winner —
+    identical to the min-struct aggregate's)."""
+    L = int(min_len)
+    return f"""
+WITH occ AS (
+  SELECT {id_col} AS id, i AS pos,
+         ('0x' || substr(md5(substr({text_col}, i, {L})), 1, 15))::BIGINT AS h
+  FROM {table},
+       UNNEST(range(1, greatest(length({text_col}) - {L} + 1, 0) + 1)) AS u(i)
+),
+r AS (
+  SELECT id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+  FROM occ
+),
+rem AS (
+  SELECT id, pos AS s, pos + {L} - 1 AS e FROM r WHERE rn > 1
+),
+m AS (
+  SELECT id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM rem
+),
+g AS (
+  SELECT id, s, e, sum(brk) OVER (PARTITION BY id ORDER BY s, e) AS grp FROM m
+)
+SELECT id AS {id_col},
+       min(s)::BIGINT AS span_start,
+       max(e)::BIGINT AS span_end
+FROM g GROUP BY id, grp
+"""
+
+
+def dedup_spans_duckdb_sql(
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dedup_spans` (kept-segment rows +
+    string_agg rebuild — same string as the Spark fold)."""
+    spans = duplicated_spans_duckdb_sql(min_len, id_col, text_col, table)
+    return f"""
+WITH merged AS ({spans}),
+base AS (
+  SELECT {id_col} AS id, {text_col} AS t FROM {table}
+),
+segs AS (
+  SELECT {id_col} AS id,
+         coalesce(lag(span_end) OVER (PARTITION BY {id_col} ORDER BY span_start), 0) + 1 AS ks,
+         span_start - 1 AS ke
+  FROM merged
+  UNION ALL
+  SELECT m.{id_col} AS id, max(m.span_end) + 1 AS ks, length(b.t) AS ke
+  FROM merged m JOIN base b ON m.{id_col} = b.id
+  GROUP BY m.{id_col}, length(b.t)
+),
+rebuilt AS (
+  SELECT s.id,
+         string_agg(substr(b.t, ks::INT, (ke - ks + 1)::INT), '' ORDER BY ks) AS new_text
+  FROM segs s JOIN base b ON s.id = b.id
+  WHERE ks <= ke
+  GROUP BY s.id
+),
+stats AS (
+  SELECT {id_col} AS id, count(*)::BIGINT AS n_spans,
+         sum(span_end - span_start + 1)::BIGINT AS dup_chars
+  FROM merged GROUP BY {id_col}
+)
+SELECT b.id AS {id_col},
+       coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(st.dup_chars, 0)::BIGINT AS dup_chars,
+       CASE WHEN st.id IS NULL THEN b.t ELSE coalesce(r.new_text, '') END AS new_text,
+       length(CASE WHEN st.id IS NULL THEN b.t ELSE coalesce(r.new_text, '') END)::BIGINT AS new_len
+FROM base b
+LEFT JOIN stats st ON b.id = st.id
+LEFT JOIN rebuilt r ON b.id = r.id
+"""
+
+
+# ------------------------------------------------------------- winnowing
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """Distinct (id, fp) winnowing fingerprints.
+
+    fp = min k-gram hash over each window of ``w`` consecutive k-gram
+    positions (full windows only).  Guarantee: two docs sharing any
+    substring of length >= ``w + k - 1`` share >= 1 fingerprint.
+    Density ~2/(w+1) of positions — the sub-linear stand-in for the
+    stride-1 exact pass at 100 TB.
+    """
+    occ = window_occurrences(df, id_col, text_col, k)
+    part = Window.partitionBy("id")
+    fp = F.min("h").over(part.orderBy("pos").rowsBetween(0, w - 1))
+    nk = F.count("*").over(part)
+    return (
+        occ.select("id", "pos", fp.alias("fp"), nk.alias("nk"))
+        .filter(F.col("pos") <= F.col("nk") - w + 1)
+        .select(F.col("id").alias(id_col), "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 8,
+    w: int = 16,
+    threshold: float = 0.2,
+    max_fp_df: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints.
+
+    sim = |A∩B| / |A∪B| over distinct fingerprint sets (the MOSS
+    report score).  ``max_fp_df`` drops corpus-stopword fingerprints
+    before the self-join AND from the set sizes (consistent universe)
+    — same cap discipline as ngram_jaccard_pairs.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("id"), "fp"
+    )
+    if max_fp_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    sizes = fps.groupBy("id").agg(F.count("*").alias("sz"))
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "shared", "sim")
+    )
+
+
+def winnow_pairs_duckdb_sql(
+    k: int = 8,
+    w: int = 16,
+    threshold: float = 0.2,
+    max_fp_df: int | None = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`winnow_pairs`."""
+    cap = (
+        f"""
+, kept AS (
+  SELECT id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_fp_df})
+)"""
+        if max_fp_df is not None
+        else ", kept AS (SELECT id, fp FROM fps)"
+    )
+    return f"""
+WITH occ AS (
+  SELECT {id_col} AS id, i AS pos,
+         ('0x' || substr(md5(substr({text_col}, i, {k})), 1, 15))::BIGINT AS h
+  FROM {table},
+       UNNEST(range(1, greatest(length({text_col}) - {k} + 1, 0) + 1)) AS u(i)
+),
+win AS (
+  SELECT id, pos,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY id) AS nk
+  FROM occ
+),
+fps AS (
+  SELECT DISTINCT id, fp FROM win WHERE pos <= nk - {w} + 1
+){cap},
+sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT * FROM (
+  SELECT id_a, id_b, shared,
+         round(shared / (sa.sz + sb.sz - shared), 6) AS sim
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.id
+  JOIN sizes sb ON inter.id_b = sb.id
+) WHERE sim >= {threshold}
+"""
