@@ -4662,6 +4662,36 @@ def q_mm_transform_chain(spark, sf_dir):
     )
 
 
+def q_mm_hog_features(spark, sf_dir):
+    """REAL feature extraction (§2.3.2 'pipe features'): decode the
+    in-repo fixtures with the stdlib codec, then a genuine HOG global
+    descriptor (Dalal & Triggs — gradient orientation histograms,
+    2x2-cell block L2 normalization, average pool, L2 normalize) per
+    frame, exploded to (media_id, idx, val) rows. The oracle pins every
+    component against constants computed from the SOURCE planes at
+    fixture time — decode AND the distributed descriptor must agree
+    end-to-end (reference: features.py:33-67, base.py:148-152)."""
+    from vframe_spark.operators.multimodal import decode_image, extract_features
+
+    feats = extract_features(decode_image(_media_fixture_frames(spark)))
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("idx", "val")
+    ).select("media_id", "idx", F.round("val", 6).alias("val"))
+
+
+def _mm_hog_oracle_sql() -> str:
+    rows = ",\n            ".join(
+        f"({m['media_id']}, {i}, {v})"
+        for m in _media_manifest()
+        for i, v in enumerate(m["hog"])
+    )
+    return f"""
+        SELECT media_id, idx, val::DOUBLE AS val FROM (VALUES
+            {rows}
+        ) AS t(media_id, idx, val)
+    """
+
+
 def _media_manifest():
     import json as _json
 
@@ -8879,6 +8909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
+        "mm_hog_features": q_mm_hog_features,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -9688,6 +9719,7 @@ def oracle_sql() -> dict[str, str]:
         # arrays pre-encoding by tools/make_media_fixtures.py)
         "mm_decode_extract": _mm_decode_oracle_sql(),
         "mm_transform_chain": _mm_chain_oracle_sql(),
+        "mm_hog_features": _mm_hog_oracle_sql(),
         # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
         # hash functions are engine-specific (xxhash64 / siphash) — rows-only
         # checks by design. geo_nms_merge: greedy NMS is iterative, not

@@ -38,11 +38,61 @@ def test_frame_sample(spark):
 
 def test_features_normalized(spark):
     media = mm.synth_media(spark, n=6)
-    feats = mm.extract_features(mm.decode_image(media), dim=16).collect()
+    feats = mm.extract_features(mm.decode_image(media)).collect()
     for r in feats:
         v = np.asarray(r["feature"])
-        assert v.shape == (16,)
+        assert v.shape == (36,)  # 4 cells/block x 9 orientation bins
         assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+def _ref_hog(img, cell=4, bins=9):
+    """Loop-based HOG reference (same math as hog_descriptor, no
+    vectorization tricks) for validating the numpy kernel."""
+    f = img.astype(np.float64)
+    h, w = f.shape
+    gy, gx = np.gradient(f)
+    mag = np.hypot(gx, gy)
+    ang = np.rad2deg(np.arctan2(gy, gx)) % 180.0
+    ch, cw = max(h // cell, 1), max(w // cell, 1)
+    hist = np.zeros((ch, cw, bins))
+    binw = 180.0 / bins
+    for y in range(min(ch * cell, h)):
+        for x in range(min(cw * cell, w)):
+            b = ang[y, x] / binw - 0.5
+            b0 = int(np.floor(b))
+            w1 = b - b0
+            hist[y // cell, x // cell, b0 % bins] += mag[y, x] * (1 - w1)
+            hist[y // cell, x // cell, (b0 + 1) % bins] += mag[y, x] * w1
+    blocks = []
+    for i in range(ch - 1):
+        for j in range(cw - 1):
+            v = np.concatenate(
+                [hist[i, j], hist[i, j + 1], hist[i + 1, j], hist[i + 1, j + 1]]
+            )
+            blocks.append(v / np.sqrt((v**2).sum() + 1e-12))
+    v = np.mean(blocks, axis=0)
+    return v / max(np.linalg.norm(v), 1e-12)
+
+
+def test_hog_matches_loop_reference():
+    from vframe_spark.operators.multimodal import _synth_pixels, hog_descriptor
+
+    for i, (w, h) in enumerate([(16, 16), (24, 32), (40, 16), (9, 9)]):
+        img = _synth_pixels(3, i, w, h)
+        assert np.allclose(hog_descriptor(img), _ref_hog(img), atol=1e-12), (w, h)
+
+
+def test_hog_translation_consistency():
+    """Same texture at different offsets inside a larger frame produces
+    near-identical descriptors (the global pool is shift-tolerant at
+    cell granularity)."""
+    from vframe_spark.operators.multimodal import _synth_pixels, hog_descriptor
+
+    tile = _synth_pixels(5, 0, 16, 16)
+    a = np.tile(tile, (2, 2))
+    b = np.roll(a, (4, 4), axis=(0, 1))  # shift by one whole cell
+    va, vb = hog_descriptor(a), hog_descriptor(b)
+    assert float(va @ vb) > 0.97
 
 
 def test_detect_objects_deterministic_and_composable(spark):

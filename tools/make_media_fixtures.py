@@ -29,6 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vframe_spark.functions.imagecodec import encode_bmp, encode_png, rgb_to_gray
+from vframe_spark.operators.multimodal import hog_descriptor
 from vframe_spark.operators.transforms import IMAGE_TRANSFORMS
 
 N = 48
@@ -84,6 +85,9 @@ def main() -> None:
             "px_mean": round(float(gray.mean()), 2),
             "chain_px_sum": int(chained.sum()),
             "chain_px_mean": round(float(chained.mean()), 2),
+            # HOG constants from the SOURCE plane — the contract query's
+            # decode + distributed HOG must reproduce them end-to-end
+            "hog": [round(float(x), 6) for x in hog_descriptor(gray)],
         })
     with open(os.path.join(OUT, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)

@@ -158,24 +158,65 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     return frames.filter(F.col("frame_idx") % every_n == 0)
 
 
-def extract_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
-    """Fake feature extractor: L2-normalized histogram-projection vector.
+def hog_descriptor(img: np.ndarray, cell: int = 4, bins: int = 9) -> np.ndarray:
+    """REAL HOG (Dalal & Triggs, CVPR 2005) global descriptor.
 
-    Deterministic stand-in for a CNN embedding (reference L2-normalizes
-    at base.py:148-152); swap the inner function for a real model, the
-    iterator-of-batches shape (init-once per executor) stays.
+    Central-difference gradients → unsigned orientation (0-180°) with
+    bilinear voting into ``bins`` orientation bins per ``cell``×``cell``
+    cell → 2×2-cell blocks (stride 1) L2-normalized → block vectors
+    average-pooled into one 4*``bins``-dim descriptor, L2-normalized.
+    Pure vectorized numpy, fully deterministic — the classical
+    pre-CNN image embedding, size-independent via the global pool.
+    """
+    f = img.astype(np.float64)
+    h, w = f.shape
+    gy, gx = np.gradient(f)
+    mag = np.hypot(gx, gy)
+    ang = np.rad2deg(np.arctan2(gy, gx)) % 180.0
+    binw = 180.0 / bins
+    bpos = ang / binw - 0.5
+    b0 = np.floor(bpos).astype(np.int64)
+    w1 = bpos - b0
+    ch, cw = max(h // cell, 1), max(w // cell, 1)
+    H, W = min(ch * cell, h), min(cw * cell, w)
+    cy = (np.arange(H) // cell).clip(max=ch - 1)
+    cx = (np.arange(W) // cell).clip(max=cw - 1)
+    cyg, cxg = np.meshgrid(cy, cx, indexing="ij")
+    hist = np.zeros((ch, cw, bins))
+    sl = (slice(0, H), slice(0, W))
+    np.add.at(hist, (cyg, cxg, b0[sl] % bins), (mag * (1.0 - w1))[sl])
+    np.add.at(hist, (cyg, cxg, (b0[sl] + 1) % bins), (mag * w1)[sl])
+    if ch >= 2 and cw >= 2:
+        blocks = np.concatenate(
+            [
+                hist[:-1, :-1], hist[:-1, 1:],
+                hist[1:, :-1], hist[1:, 1:],
+            ],
+            axis=2,
+        ).reshape(-1, 4 * bins)
+    else:  # degenerate tiny image: one "block" of the tiled cell hists
+        m = hist.reshape(-1, bins).mean(axis=0)
+        blocks = np.tile(m, 4)[None, :]
+    norms = np.sqrt((blocks**2).sum(axis=1) + 1e-12)
+    v = (blocks / norms[:, None]).mean(axis=0)
+    return v / max(np.linalg.norm(v), 1e-12)
+
+
+def extract_features(decoded: DataFrame, cell: int = 4, bins: int = 9) -> DataFrame:
+    """REAL feature extractor: HOG global descriptor per frame
+    (:func:`hog_descriptor`), L2-normalized — drop-in for the
+    reference's CNN embedding extraction (features.py:33-67;
+    L2-normalize at base.py:148-152). Arrow-batched mapInPandas;
+    the iterator-of-batches shape is init-once per executor, so a
+    learned model slots into the same loop unchanged.
     """
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rng = np.random.default_rng(42)  # init-once per task, like a model load
-        proj = rng.standard_normal((256, dim))
         for b in batches:
             out = []
             for r in b.itertuples():
-                img = np.asarray(r.pixels, dtype=np.uint8)
-                hist = np.bincount(img, minlength=256).astype(np.float64)
-                v = hist @ proj
-                v /= max(np.linalg.norm(v), 1e-12)
+                img = np.asarray(r.pixels, dtype=np.uint8).reshape(r.height, r.width)
+                v = hog_descriptor(img, cell=cell, bins=bins)
                 out.append((r.media_id, v.tolist()))
             yield pd.DataFrame(out, columns=["media_id", "feature"])
 
