@@ -1,0 +1,112 @@
+"""Baseline JPEG codec: spec conformance, round-trip quality, PIL cross-check."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from vframe_spark.functions.jpegcodec import (
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    quality_to_qtable,
+    zigzag_order,
+)
+
+# spec Table A.6 zigzag sequence (flat row*8+col indices)
+SPEC_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _img(seed: int, w: int, h: int) -> np.ndarray:
+    need, chunks, j = w * h, [], 0
+    while sum(c.size for c in chunks) < need:
+        d = hashlib.sha256(f"{seed}:{j}".encode()).digest()
+        chunks.append(np.frombuffer(d, dtype=np.uint8))
+        j += 1
+    return np.concatenate(chunks)[:need].reshape(h, w)
+
+
+def _smooth(seed: int, w: int, h: int) -> np.ndarray:
+    """Low-frequency image (JPEG's favorable case)."""
+    y, x = np.mgrid[0:h, 0:w]
+    return (
+        128 + 100 * np.sin(x / 9 + seed) * np.cos(y / 7 - seed)
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_zigzag_matches_spec_table():
+    assert zigzag_order().tolist() == SPEC_ZZ
+
+
+def test_quality_table_endpoints():
+    assert quality_to_qtable(50)[0, 0] == 16  # scale 100 => base table
+    assert (quality_to_qtable(100) == 1).all()
+    assert quality_to_qtable(1).max() == 255
+
+
+def test_stream_structure():
+    data = encode_jpeg_gray(_img(1, 24, 16), quality=75)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:24]
+    # deterministic bytes
+    assert data == encode_jpeg_gray(_img(1, 24, 16), quality=75)
+
+
+def test_flat_image_roundtrips_exact():
+    img = np.full((16, 16), 137, dtype=np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quality=75))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - 137).max()) <= 1
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (24, 32), (17, 9), (40, 23), (8, 8)])
+def test_roundtrip_shapes_and_quality(w, h):
+    img = _smooth(3, w, h)
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quality=90))
+    assert out.shape == (h, w)
+    mse = float(((out.astype(float) - img) ** 2).mean())
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-12))
+    assert psnr > 30, psnr
+
+
+def test_quality_monotone_mse():
+    img = _smooth(5, 48, 32)
+    mses = []
+    for q in (10, 35, 60, 85, 98):
+        out = decode_jpeg_gray(encode_jpeg_gray(img, quality=q))
+        mses.append(float(((out.astype(float) - img) ** 2).mean()))
+    assert mses == sorted(mses, reverse=True), mses
+    # and file size grows with quality
+    sizes = [len(encode_jpeg_gray(img, quality=q)) for q in (10, 60, 98)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_noise_image_roundtrip_bounded():
+    """Worst case (hash noise) still decodes in-range with the same dims."""
+    img = _img(7, 31, 19)
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quality=50))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"not a jpeg")
+
+
+def test_pil_cross_decode_if_available():
+    """External validity: libjpeg must accept and agree with our decoder."""
+    pytest.importorskip("PIL.Image")
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = _smooth(9, 40, 24)
+    data = encode_jpeg_gray(img, quality=80)
+    theirs = np.asarray(Image.open(BytesIO(data)).convert("L"))
+    ours = decode_jpeg_gray(data)
+    # IDCT rounding may differ by ±1 per pixel between implementations
+    assert int(np.abs(theirs.astype(int) - ours.astype(int)).max()) <= 1

@@ -40,11 +40,13 @@ BMP_MAGIC = b"BM"
 
 
 def sniff_codec(data: bytes) -> str | None:
-    """'png' | 'bmp' | None from magic bytes."""
+    """'png' | 'bmp' | 'jpg' | None from magic bytes."""
     if data[:8] == PNG_MAGIC:
         return "png"
     if data[:2] == BMP_MAGIC:
         return "bmp"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpg"
     return None
 
 
@@ -266,6 +268,10 @@ def decode_image_bytes(data: bytes) -> tuple[np.ndarray, str]:
         return decode_png(bytes(data)), "png"
     if codec == "bmp":
         return decode_bmp(bytes(data)), "bmp"
+    if codec == "jpg":
+        from .jpegcodec import decode_jpeg_gray
+
+        return decode_jpeg_gray(bytes(data)), "jpg"
     raise ValueError("decode_image_bytes: unknown image magic")
 
 

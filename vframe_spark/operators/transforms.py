@@ -6,10 +6,10 @@ im_utils.py:761-775) maps transform names to pixel functions
 (im_utils.py:97-283). The reference implements them with OpenCV/PIL;
 this container has neither, so every kernel here is the same math in
 plain numpy over the engine's grayscale uint8 frames (decode is the
-real stdlib BMP/PNG codec in functions.imagecodec). The two
-codec-dependent entries (``compress-jpg`` / ``compress-webp``) are
-quantization-based stand-ins, clearly marked: they model compression's
-level-banding deterministically but are NOT real codecs.
+real stdlib BMP/PNG codec in functions.imagecodec). ``compress-jpg``
+is a REAL baseline-JPEG round-trip (functions.jpegcodec: spec DCT /
+quantization / Huffman); only ``compress-webp`` remains a
+quantization-banding stand-in (VP8 is out of scope), clearly marked.
 
 The Spark surface is :func:`apply_transforms`: an Arrow-batched
 ``mapInPandas`` applying a named chain per frame — the `pipe degrade`
@@ -135,12 +135,14 @@ def grayscale(im: np.ndarray, fac: float = 1.0) -> np.ndarray:
 
 
 def compress_jpg(im: np.ndarray, fac: float) -> np.ndarray:
-    """STUB CODEC (documented): quantization-banding stand-in for JPEG
-    re-encode (im_utils.py:143-149). Not a real codec — deterministic
-    level reduction only."""
-    levels = max(2, int(2 + (1.0 - fac) * 62))
-    step = 256.0 / levels
-    return (np.floor(im / step) * step + step / 2).clip(0, 255).astype(np.uint8)
+    """REAL JPEG degrade (im_utils.py:143-149): encode the frame with
+    the pure-python baseline codec (functions.jpegcodec — spec DCT,
+    Annex-K tables, Huffman) at quality 5 + 90*fac and decode it back.
+    Deterministic, spec-compliant bytes in the middle."""
+    from ..functions.jpegcodec import decode_jpeg_gray, encode_jpeg_gray
+
+    quality = int(round(5 + float(fac) * 90))
+    return decode_jpeg_gray(encode_jpeg_gray(np.asarray(im, dtype=np.uint8), quality))
 
 
 def compress_webp(im: np.ndarray, fac: float) -> np.ndarray:
