@@ -4595,6 +4595,49 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_sim_nsw_topk(spark, sf_dir):
+    """Graph ANN, sharded navigable-small-world strategy (Malkov et al.
+    2014; the per-segment-HNSW shape Lucene/ES uses): vectors hash into
+    independent shards, each shard builds an in-memory NSW graph in one
+    Arrow task, broadcast queries beam-search every shard, per-shard
+    top-k merge through one bounded window — shuffle is shards × q × k
+    rows. Graph walks aren't SQL-expressible (rows-only); accuracy is
+    surfaced IN the output: ``recall`` = per-query overlap@k with the
+    oracle-checked brute-force baseline."""
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce, nsw_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    k = 5
+    res = nsw_topk(
+        emb, queries, dim=dim, k=k, m_edges=8, ef_construction=48,
+        ef_search=64, n_shards=8,
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "qid", F.col("vec_id").alias("bf_vec_id")
+    )
+    hit = (
+        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
+    return (
+        res.join(recall, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
 _MEDIA_FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "media"
 )
@@ -8907,6 +8950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_sq_topk": q_sim_sq_topk,
         "sim_maxsim_topk": q_sim_maxsim_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "sim_nsw_topk": q_sim_nsw_topk,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "mm_hog_features": q_mm_hog_features,

@@ -657,3 +657,54 @@ def test_ann_index_adc_pq_codes(spark, tmp_path):
     write_ann_index(mk(range(30)), noq, centroids=cents)
     with _pytest.raises(ValueError, match="without pq"):
         ann_index_topk(spark, noq, queries, k=3, method="adc")
+
+
+# --------------------------------------------------------- NSW graph ANN
+
+def test_nsw_build_degree_bounded_and_connected():
+    from vframe_spark.operators.similarity import nsw_build
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((120, DIM))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    adj = nsw_build(mat, m_edges=6, ef_construction=24)
+    assert max(len(a) for a in adj[1:]) <= 6 + 6  # insert links + backlinks cap churn
+    # every node reachable from the entry point (BFS)
+    seen, frontier = {0}, [0]
+    while frontier:
+        u = frontier.pop()
+        for v in adj[u]:
+            if v not in seen:
+                seen.add(v)
+                frontier.append(v)
+    assert len(seen) == 120
+
+
+def test_nsw_topk_recall_and_determinism(spark, emb):
+    from vframe_spark.operators.similarity import nsw_topk
+
+    df, vecs = emb
+    queries = [(i, vecs[i * 13].tolist()) for i in range(8)]
+    k = 10
+    res = nsw_topk(
+        df, queries, dim=DIM, k=k, m_edges=8, ef_construction=48,
+        ef_search=64, n_shards=4,
+    )
+    rows = sorted(tuple(r) for r in res.collect())
+    assert rows == sorted(tuple(r) for r in nsw_topk(
+        df, queries, dim=DIM, k=k, m_edges=8, ef_construction=48,
+        ef_search=64, n_shards=4,
+    ).collect())
+    got = {}
+    for qid, rank, vid, cos in rows:
+        got.setdefault(qid, set()).add(vid)
+    hits = total = 0
+    for qid, qvec in queries:
+        want = {i for i, _ in _oracle_topk(vecs, qvec, k)}
+        hits += len(got.get(qid, set()) & want)
+        total += k
+    assert hits / total >= 0.9, hits / total
+    # self-query must find itself at rank 1
+    r1 = {r[0]: r[2] for r in rows if r[1] == 1}
+    for qid, _ in queries:
+        assert r1[qid] == qid * 13

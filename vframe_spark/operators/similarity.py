@@ -1447,3 +1447,129 @@ def embedding_decontaminate(
     return src.mapInPandas(
         score, "vec_id bigint, max_cos double, contaminated boolean"
     )
+
+
+# ------------------------------------------------------- graph ANN (NSW)
+
+def _nsw_search(
+    mat: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    ef: int,
+    entry: int = 0,
+) -> list[tuple[float, int]]:
+    """Best-first beam search over a navigable-small-world graph.
+
+    Returns up to ``ef`` (cosine, node) pairs, best-first. Ties break
+    on node id (heap tuples), so the walk is deterministic.
+    """
+    import heapq
+
+    s0 = float(mat[entry] @ q)
+    visited = {entry}
+    cand = [(-s0, entry)]  # max-heap on similarity
+    res = [(s0, entry)]  # min-heap keeping the best ef
+    while cand:
+        negs, u = heapq.heappop(cand)
+        if len(res) >= ef and -negs < res[0][0]:
+            break  # best unexplored candidate can't improve the result set
+        for v in adj[u]:
+            if v in visited:
+                continue
+            visited.add(v)
+            s = float(mat[v] @ q)
+            if len(res) < ef or s > res[0][0]:
+                heapq.heappush(cand, (-s, v))
+                heapq.heappush(res, (s, v))
+                if len(res) > ef:
+                    heapq.heappop(res)
+    return sorted(res, key=lambda t: (-t[0], t[1]))
+
+
+def nsw_build(mat: np.ndarray, m_edges: int = 8, ef_construction: int = 40) -> list[list[int]]:
+    """Build a single-layer navigable-small-world graph (Malkov et al.
+    2014 — the flat ancestor of HNSW) over L2-normalized rows of
+    ``mat``, inserting nodes in row order: each new node beam-searches
+    the current graph for its ``m_edges`` nearest and links
+    bidirectionally; neighbor lists trim back to ``m_edges`` by
+    similarity. Deterministic for a fixed row order.
+    """
+    n = mat.shape[0]
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        found = _nsw_search(mat, adj, mat[i], ef=ef_construction)
+        nbrs = [j for _, j in found[:m_edges]]
+        adj[i] = list(nbrs)
+        for j in nbrs:
+            adj[j].append(i)
+            if len(adj[j]) > m_edges:
+                sims = mat[adj[j]] @ mat[j]
+                order = np.argsort(-sims, kind="stable")[:m_edges]
+                adj[j] = [adj[j][t] for t in order]
+    return adj
+
+
+def nsw_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    k: int = 10,
+    m_edges: int = 8,
+    ef_construction: int = 40,
+    ef_search: int = 48,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph ANN, sharded-NSW strategy → (qid, rank, vec_id, cosine).
+
+    The Lucene/Elasticsearch per-segment-HNSW shape re-expressed for
+    Spark: vectors hash-partition into ``n_shards`` independent shards,
+    each shard builds its own in-memory small-world graph inside one
+    Arrow task (:func:`nsw_build`), the broadcast queries beam-search
+    every shard graph, and the per-shard top-k merge through one
+    bounded window — shuffle volume is shards × queries × k rows, never
+    the corpus.
+
+    Scale shape: shards build in parallel with zero coordination (graph
+    construction is the classic sequential loop, but per shard — at a
+    1000-executor cluster ``n_shards`` rises with the corpus so each
+    graph stays executor-memory-sized, exactly like segment-sized HNSW
+    graphs in Lucene). Search cost per shard is O(ef·M·log n) versus
+    the shard scan's O(n·d): sub-linear per shard, at the recall cost
+    measured in the contract query's output.
+
+    Reference analog: `pipe skip-cnn`'s per-frame embedding similarity
+    gate (/root/reference/src/commands/pipe/skip-cnn.py) scaled to
+    corpus retrieval.
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).repartition(n_shards, "vec_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_parts, vec_parts = [], []
+        for b in batches:
+            if len(b):
+                ids_parts.append(b["vec_id"].to_numpy(dtype=np.int64))
+                vec_parts.append(np.array(b["vec"].tolist(), dtype=np.float64))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        mat = np.vstack(vec_parts)
+        order = np.argsort(ids, kind="stable")  # deterministic insert order
+        ids, mat = ids[order], mat[order]
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        adj = nsw_build(mat, m_edges=m_edges, ef_construction=ef_construction)
+        rows = []
+        for qi, qid in enumerate(qids):
+            found = _nsw_search(mat, adj, qn[qi], ef=max(ef_search, k))
+            for cos, node in found[:k]:
+                rows.append((int(qid), int(ids[node]), float(cos)))
+        yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    partial = src.mapInPandas(run, "qid bigint, vec_id bigint, cosine double")
+    return _topk_window(partial, k)
