@@ -306,6 +306,10 @@ def main() -> None:
         "curate_shuffle_shards",
         "curate_pack_sequences",
         "dedup_lines_keepfirst",
+        "dedup_span_exact",
+        "dedup_span_rebuild",
+        "dedup_winnow_pairs",
+        "sim_nsw_topk",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they

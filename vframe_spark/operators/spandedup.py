@@ -47,8 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# md5-60bit portable hash of the L-char window starting at 1-based pos.
-_PORTABLE_H = "conv(substring(md5(substring({t}, pos, {L})), 1, 15), 16, 10)"
+_POS_BITS = 22  # winner packing: pos < 4M chars/doc, id < 2^41
 
 
 def window_occurrences(
@@ -61,6 +60,12 @@ def window_occurrences(
 
     One narrow projection — the explode and the hash run inside the
     scan stage; downstream shuffles move 20 bytes/position, not text.
+    ``h`` is xxhash64 of the window (JVM codegen, no digest-object
+    allocation): winner selection depends only on hash EQUALITY, so the
+    oracle twin groups on the raw window string instead of mirroring
+    the hash — which also makes the gate validate collision-freeness
+    (64-bit collisions: ~n²/2⁶⁵; at 10¹²-window scale pair a second
+    seed rather than trusting one 64-bit space).
     """
     L = int(min_len)
     npos = F.length(F.col(text_col)) - L + 1
@@ -77,7 +82,7 @@ def window_occurrences(
         .select(
             "id",
             "pos",
-            F.expr(_PORTABLE_H.format(t="_t", L=L)).cast("long").alias("h"),
+            F.xxhash64(F.expr(f"substring(_t, pos, {L})")).alias("h"),
         )
     )
 
@@ -97,13 +102,19 @@ def duplicated_spans(
     """
     L = int(min_len)
     occ = window_occurrences(df, id_col, text_col, L)
+    # Winner = lexicographic min (id, pos), packed into ONE int64 so the
+    # aggregate stays a hash aggregate (min over a struct falls back to
+    # SortAggregate — measured 3x slower at sf0.1). Precondition: ids
+    # fit 41 bits and docs are < 2^22 chars — use ids.assign_doc_ids
+    # for dense ids; the DuckDB twin's row_number winner pins the
+    # equivalence at the oracle gate.
+    packed = F.col("id") * F.lit(1 << _POS_BITS).cast("long") + F.col("pos")
     winners = occ.groupBy("h").agg(
-        F.min(F.struct(F.col("id").alias("i"), F.col("pos").alias("p"))).alias("w"),
-        F.count("*").alias("c"),
+        F.min(packed).alias("w"), F.count("*").alias("c")
     )
     rem = (
         occ.join(winners.filter(F.col("c") >= 2).select("h", "w"), "h")
-        .filter(~((F.col("w.i") == F.col("id")) & (F.col("w.p") == F.col("pos"))))
+        .filter(packed != F.col("w"))
         .select("id", F.col("pos").alias("s"), (F.col("pos") + L - 1).alias("e"))
     )
     ord_w = Window.partitionBy("id").orderBy("s", "e")
@@ -178,14 +189,13 @@ def duplicated_spans_duckdb_sql(
     L = int(min_len)
     return f"""
 WITH occ AS (
-  SELECT {id_col} AS id, i AS pos,
-         ('0x' || substr(md5(substr({text_col}, i, {L})), 1, 15))::BIGINT AS h
+  SELECT {id_col} AS id, i AS pos, substr({text_col}, i, {L}) AS win
   FROM {table},
        UNNEST(range(1, greatest(length({text_col}) - {L} + 1, 0) + 1)) AS u(i)
 ),
 r AS (
   SELECT id, pos,
-         row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+         row_number() OVER (PARTITION BY win ORDER BY id, pos) AS rn
   FROM occ
 ),
 rem AS (
@@ -271,16 +281,40 @@ def winnow_fingerprints(
     substring of length >= ``w + k - 1`` share >= 1 fingerprint.
     Density ~2/(w+1) of positions — the sub-linear stand-in for the
     stride-1 exact pass at 100 TB.
+
+    Execution shape: the k-gram hash array, the sliding min, and the
+    per-doc distinct all evaluate as array expressions INSIDE the scan
+    projection (whole-stage codegen, zero shuffle); only the distinct
+    fingerprints (density ~2/(w+1)) ever leave the scan stage. Each
+    k-gram hashes ONCE into an array and the sliding min is a
+    ``least()`` chain of ``element_at`` lookups — no per-position
+    ``slice`` allocation, no sort-based window shuffle (both measured
+    slower at sf0.1). The hash stays md5-60bit because winnowing
+    SELECTION depends on hash VALUES: the oracle must replicate the
+    chosen fingerprints bit-for-bit (unlike the span operators above,
+    where only hash equality matters).
     """
-    occ = window_occurrences(df, id_col, text_col, k)
-    part = Window.partitionBy("id")
-    fp = F.min("h").over(part.orderBy("pos").rowsBetween(0, w - 1))
-    nk = F.count("*").over(part)
+    K, W = int(k), int(w)
+    if W > 64:  # least() chain grows linearly with w
+        raise ValueError("winnow window w > 64: use a smaller w")
+    nk = f"(length({text_col}) - {K} + 1)"
+    hs = (
+        f"transform(CASE WHEN {nk} >= 1 THEN sequence(1, {nk}) "
+        f"ELSE cast(array() as array<int>) END, "
+        f"i -> cast(conv(substring(md5(substring({text_col}, i, {K})), 1, 15), 16, 10) as bigint))"
+    )
+    nf = f"(size(_hs) - {W} + 1)"
+    least_chain = "least(" + ", ".join(
+        f"element_at(_hs, j + {d})" for d in range(W)
+    ) + ")"
+    fps = (
+        f"array_distinct(transform(CASE WHEN {nf} >= 1 THEN sequence(1, {nf}) "
+        f"ELSE cast(array() as array<int>) END, "
+        f"j -> {least_chain}))"
+    )
     return (
-        occ.select("id", "pos", fp.alias("fp"), nk.alias("nk"))
-        .filter(F.col("pos") <= F.col("nk") - w + 1)
-        .select(F.col("id").alias(id_col), "fp")
-        .distinct()
+        df.select(F.col(id_col), F.expr(hs).alias("_hs"))
+        .select(F.col(id_col), F.explode(F.expr(fps)).alias("fp"))
     )
 
 
@@ -292,6 +326,7 @@ def winnow_pairs(
     w: int = 16,
     threshold: float = 0.2,
     max_fp_df: int | None = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs by shared winnowing fingerprints.
 
@@ -299,10 +334,19 @@ def winnow_pairs(
     report score).  ``max_fp_df`` drops corpus-stopword fingerprints
     before the self-join AND from the set sizes (consistent universe)
     — same cap discipline as ngram_jaccard_pairs.
+
+    ``materialize`` localCheckpoints the fingerprint table: it feeds
+    five consumers (df cap ×2, sizes, both self-join sides) and the
+    optimizer plans each from scratch — recomputing the md5 scan 5×
+    tripled the sf0.1 wall (same lesson as ngram_jaccard_pairs). The
+    table is ~2/(w+1) the corpus' character count — winnowing's whole
+    point — so the checkpoint is the small artifact, not the corpus.
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
         F.col(id_col).alias("id"), "fp"
     )
+    if materialize:
+        fps = fps.localCheckpoint()
     if max_fp_df is not None:
         keep = (
             fps.groupBy("fp")
