@@ -230,6 +230,60 @@ duckdb.sql("COPY t TO '{docs_dir}' (FORMAT parquet)")
     assert res["dropped"] >= 2 and res["docs_kept"] <= 20
 
 
+def test_submit_dedup_span_and_winnow(tmp_path):
+    """The dedup verb's span + winnow modes through --py-files in a
+    fresh JVM: span rewrites duplicated substrings out (chars_out <
+    chars_in, no docs dropped); winnow drops the planted near-dup."""
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import make
+
+    zip_path = make(str(tmp_path / "vframe_spark.zip"))
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    docs_dir = str(tmp_path / "docs")
+    body = " ".join(f"token{i} shared body content" for i in range(30))
+    prep = subprocess.run(
+        [sys.executable, "-c", f"""
+import duckdb
+rows = [(i, '{body} uniq%d' % i) for i in range(10)]
+rows.append((100, rows[0][1] + ' tail'))            # near dup of 0
+duckdb.sql("CREATE TABLE t(doc_id BIGINT, content VARCHAR)")
+for d, c in rows:
+    duckdb.sql("INSERT INTO t VALUES (%d, '%s')" % (d, c))
+duckdb.sql("COPY t TO '{docs_dir}' (FORMAT parquet)")
+"""],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert prep.returncode == 0, prep.stderr[-1000:]
+
+    out = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         os.path.join(ROOT, "tools", "submit_job.py"),
+         "dedup", "--mode", "span", "--min-len", "40",
+         "--docs-parquet", docs_dir, "--out", str(tmp_path / "span_out")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["docs_in"] == 11 and res["docs_kept"] == 11
+    assert res["chars_out"] < res["chars_in"]  # shared body cut from non-first docs
+
+    out = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         os.path.join(ROOT, "tools", "submit_job.py"),
+         "dedup", "--mode", "winnow", "--threshold", "0.5",
+         "--k", "8", "--w", "8",
+         "--docs-parquet", docs_dir, "--out", str(tmp_path / "win_out")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["docs_in"] == 11 and res["dropped"] >= 1
+
+
 def test_submit_ann_build_query(tmp_path):
     """ANN lifecycle through spark-submit: build the IVF index over the
     sf0.001 embeddings, append it to itself doubled ids, query it."""

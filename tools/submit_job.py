@@ -116,14 +116,22 @@ def main(argv: list[str] | None = None) -> int:
     sel.add_argument("--buckets", type=int, default=4096)
 
     dd = sub.add_parser("dedup", help="near-duplicate removal over a docs "
-                        "parquet: --mode exact|minhash|semantic; writes the "
-                        "kept corpus to --out")
+                        "parquet: --mode exact|minhash|semantic|span|winnow; "
+                        "writes the kept (span: rewritten) corpus to --out")
     dd.add_argument("--docs-parquet", required=True)
     dd.add_argument("--out", required=True)
-    dd.add_argument("--mode", choices=["exact", "minhash", "semantic"],
+    dd.add_argument("--mode",
+                    choices=["exact", "minhash", "semantic", "span", "winnow"],
                     default="exact")
     dd.add_argument("--threshold", type=float, default=0.8,
-                    help="minhash Jaccard / semantic cosine threshold")
+                    help="minhash Jaccard / semantic cosine / winnow sim "
+                         "threshold")
+    dd.add_argument("--min-len", type=int, default=50,
+                    help="(span) duplicated-substring length floor")
+    dd.add_argument("--k", type=int, default=8,
+                    help="(winnow) k-gram length")
+    dd.add_argument("--w", type=int, default=16,
+                    help="(winnow) winnow window (guarantee: k+w-1)")
     dd.add_argument("--embeddings-parquet", default=None,
                     help="(semantic) parquet with (vec_id, embedding); "
                          "vec_id must match --id-col values")
@@ -267,6 +275,32 @@ def main(argv: list[str] | None = None) -> int:
                 docs, pairs, id_col=args.id_col,
                 id_a="id_a", id_b="id_b",
             )
+        elif args.mode == "span":
+            from pyspark.sql import functions as F
+
+            from vframe_spark.operators.spandedup import dedup_spans
+
+            cut = dedup_spans(
+                docs, id_col=args.id_col, text_col=args.text_col,
+                min_len=args.min_len,
+            )
+            kept = docs.drop(args.text_col).join(
+                cut.select(
+                    args.id_col, F.col("new_text").alias(args.text_col)
+                ),
+                args.id_col,
+            )
+        elif args.mode == "winnow":
+            from vframe_spark.operators.cluster import dedup_keep_canonical
+            from vframe_spark.operators.spandedup import winnow_pairs
+
+            pairs = winnow_pairs(
+                docs, id_col=args.id_col, text_col=args.text_col,
+                k=args.k, w=args.w, threshold=args.threshold,
+            )
+            kept = dedup_keep_canonical(
+                docs, pairs, id_col=args.id_col, id_a="id_a", id_b="id_b",
+            )
         else:
             from pyspark.sql import functions as F
 
@@ -285,10 +319,20 @@ def main(argv: list[str] | None = None) -> int:
             kept = docs.join(keep, args.id_col, "left_semi")
         kept.write.mode("overwrite").parquet(args.out)
         n_out = spark.read.parquet(args.out).count()
-        print(json.dumps({
+        rec = {
             "mode": args.mode, "docs_in": n_in, "docs_kept": n_out,
             "dropped": n_in - n_out,
-        }))
+        }
+        if args.mode == "span":  # span rewrites text instead of dropping docs
+            from pyspark.sql import functions as F
+
+            rec["chars_in"] = docs.agg(
+                F.sum(F.length(args.text_col))
+            ).first()[0]
+            rec["chars_out"] = spark.read.parquet(args.out).agg(
+                F.sum(F.length(args.text_col))
+            ).first()[0]
+        print(json.dumps(rec))
     elif args.cmd == "ann-build":
         from vframe_spark.index.ann import append_ann_index, write_ann_index
 
