@@ -4735,6 +4735,59 @@ def _mm_hog_oracle_sql() -> str:
     """
 
 
+def q_mm_detect_objects(spark, sf_dir):
+    """Trained-Haar object detection (§2.3.3 'pipe haardetect'): the
+    committed AdaBoost cascade (operators/haar.py, real decision-stump
+    training, held-out accuracy in the artifact meta) sweeps the shared
+    probe scenes through the VECTORIZED all-positions integral-image
+    path inside mapInPandas. The oracle pins every detection against
+    constants computed at train time by the independent PER-PATCH
+    scorer (tools/train_haar.py) — two implementations of the ensemble
+    must agree to 6 dp (reference: pipe haardetect / detect.py)."""
+    from vframe_spark.operators.haar import probe_scenes
+    from vframe_spark.operators.multimodal import detect_objects
+
+    frames = spark.createDataFrame(
+        [
+            (mid, w, h, canvas.astype(int).ravel().tolist())
+            for mid, w, h, canvas, _ in probe_scenes()
+        ],
+        "media_id bigint, width int, height int, pixels array<smallint>",
+    )
+    dets = detect_objects(frames, stride=4, threshold=0.5, max_detections=4)
+    d = F.explode("detections").alias("d")
+    return dets.select("media_id", d).select(
+        "media_id",
+        F.col("d.x1").alias("x1"), F.col("d.y1").alias("y1"),
+        F.col("d.x2").alias("x2"), F.col("d.y2").alias("y2"),
+        F.col("d.conf").alias("conf"),
+    )
+
+
+def _mm_detect_oracle_sql() -> str:
+    import json as _json
+
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "vframe_spark", "data", "haar_probes.json",
+        )
+    ) as fh:
+        probes = _json.load(fh)
+    rows = ",\n            ".join(
+        f"({s['media_id']}, {d[0]}, {d[1]}, {d[2]}, {d[3]}, {d[4]})"
+        for s in probes["scenes"]
+        for d in s["detections"]
+    )
+    return f"""
+        SELECT media_id, x1::DOUBLE AS x1, y1::DOUBLE AS y1,
+               x2::DOUBLE AS x2, y2::DOUBLE AS y2, conf::DOUBLE AS conf
+        FROM (VALUES
+            {rows}
+        ) AS t(media_id, x1, y1, x2, y2, conf)
+    """
+
+
 def _media_manifest():
     import json as _json
 
@@ -8954,6 +9007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "mm_hog_features": q_mm_hog_features,
+        "mm_detect_objects": q_mm_detect_objects,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -9764,6 +9818,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_extract": _mm_decode_oracle_sql(),
         "mm_transform_chain": _mm_chain_oracle_sql(),
         "mm_hog_features": _mm_hog_oracle_sql(),
+        "mm_detect_objects": _mm_detect_oracle_sql(),
         # dedup_minhash_pairs / dedup_simhash_pairs / text_fingerprint:
         # hash functions are engine-specific (xxhash64 / siphash) — rows-only
         # checks by design. geo_nms_merge: greedy NMS is iterative, not

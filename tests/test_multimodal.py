@@ -95,32 +95,82 @@ def test_hog_translation_consistency():
     assert float(va @ vb) > 0.97
 
 
-def test_detect_objects_deterministic_and_composable(spark):
-    from vframe_spark.operators.multimodal import (
-        decode_image, detect_objects, synth_media,
-    )
+def test_detect_objects_trained_cascade(spark):
+    """The trained-cascade detector localizes a planted target through
+    the full Spark path, is deterministic, and composes with the named
+    detection filters."""
+    from vframe_spark.operators.haar import synth_patch
+    from vframe_spark.operators.multimodal import decode_image, detect_objects, synth_media
     from vframe_spark.operators.detections import filter_by_detections
 
-    media = synth_media(spark, 24)
+    media = synth_media(spark, 12)
     decoded = decode_image(media)
-    dets = detect_objects(decoded, threshold=8.0)
-    rows = {r["media_id"]: r["detections"] for r in dets.collect()}
-    assert set(rows) == set(range(24))  # one row per frame, even empty
+    rows = {r["media_id"]: r["detections"] for r in detect_objects(decoded).collect()}
+    assert set(rows) == set(range(12))  # one row per frame, even empty
     rows2 = {r["media_id"]: r["detections"] for r in detect_objects(
-        decode_image(media), threshold=8.0).collect()}
+        decode_image(media)).collect()}
     assert rows == rows2  # deterministic
-    # the sha-tiled fake pixels are periodic (halves cancel) — drive the
-    # firing path with a genuine contrast image: bright top, dark bottom
-    grad = spark.createDataFrame(
-        [(100, 16, 16, [255] * (16 * 8) + [0] * (16 * 8))],
+
+    # plant a positive patch (never seen in training: id 50_000) at a
+    # known offset inside a noise frame
+    canvas = np.asarray(
+        mm._synth_pixels(99, 0, 48, 32), dtype=np.float64
+    ) * 0.5
+    canvas[8:24, 16:32] = synth_patch(50_000, True)
+    frame = spark.createDataFrame(
+        [(7, 48, 32, np.clip(canvas, 0, 255).astype(int).ravel().tolist())],
         "media_id bigint, width int, height int, pixels array<smallint>",
     )
-    fired = detect_objects(grad, threshold=24.0).collect()[0]["detections"]
-    assert fired, "edge image must fire the Haar contrast feature"
-    for d in fired:
-        assert 0.0 <= d["conf"] <= 1.0 and d["x2"] > d["x1"] and d["y2"] > d["y1"]
-        assert d["label"] == "haar_edge"
+    dets = detect_objects(frame, stride=4).collect()[0]["detections"]
+    assert dets, "planted target must fire the trained cascade"
+    best = dets[0]
+    assert best["label"] == "haar_obj" and 0.5 <= best["conf"] <= 1.0
+    # localization: best window within one stride of the planted patch
+    assert abs(best["x1"] - 16) <= 4 and abs(best["y1"] - 8) <= 4, dets
+
     # composes with the named detection filters (same struct fields)
-    kept = filter_by_detections(detect_objects(grad, threshold=24.0),
-                                "detections", min_conf=0.05, labels=["haar_edge"])
+    kept = filter_by_detections(detect_objects(frame), "detections",
+                                min_conf=0.5, labels=["haar_obj"])
     assert kept.count() == 1
+
+
+def test_haar_training_generalizes():
+    """AdaBoost on the synthetic task: held-out accuracy beats a single
+    stump by a wide margin (the artifact records the same numbers)."""
+    import json
+
+    from vframe_spark.operators import haar
+
+    art = json.load(open(haar._DATA_PATH))
+    assert art["meta"]["holdout_acc"] >= 0.95
+    assert art["meta"]["holdout_acc"] > art["meta"]["stump1_holdout_acc"] + 0.05
+    # fresh mini-train reproduces learning (smaller, so looser bound)
+    feats = haar.haar_feature_grid()
+    imgs, y = haar.make_training_set(120, 120)
+    X = haar.feature_matrix(imgs, feats)
+    stumps = haar.train_adaboost(X, y, n_rounds=15)
+    test = np.stack(
+        [haar.synth_patch(20_000 + i, True) for i in range(60)]
+        + [haar.synth_patch(20_000 + i, False) for i in range(60)]
+    )
+    ty = np.concatenate([np.ones(60), -np.ones(60)])
+    acc = ((haar.ensemble_margin(haar.feature_matrix(test, feats), stumps) >= 0.5)
+           == (ty > 0)).mean()
+    assert acc >= 0.9, acc
+
+
+def test_haar_detect_windows_matches_per_window_margin():
+    """The vectorized all-positions sweep equals scoring each window
+    patch independently."""
+    from vframe_spark.operators import haar
+
+    cascade = haar.load_cascade()
+    img = np.asarray(mm._synth_pixels(3, 1, 40, 24), dtype=np.float64)
+    grid = haar.detect_windows(img, cascade, stride=4)
+    W = cascade["window"]
+    for yi in range(grid.shape[0]):
+        for xi in range(grid.shape[1]):
+            patch = img[yi * 4 : yi * 4 + W, xi * 4 : xi * 4 + W]
+            X = haar.feature_matrix(patch[None], cascade["features"])
+            want = haar.ensemble_margin(X, cascade["stumps"])[0]
+            assert abs(grid[yi, xi] - want) < 1e-9

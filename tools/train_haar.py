@@ -1,0 +1,120 @@
+"""Train the committed Haar-cascade artifact.
+
+Runs real decision-stump AdaBoost (operators/haar.py) over the
+deterministic sha256-stream synthetic task (bright square on noise vs
+noise/gradient negatives), reports held-out accuracy, and writes
+``vframe_spark/data/haar_cascade.json`` with the accuracy recorded in
+the artifact's meta. Deterministic end-to-end — re-running reproduces
+the identical artifact.
+
+    python tools/train_haar.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vframe_spark.operators.haar import (  # noqa: E402
+    WINDOW,
+    ensemble_margin,
+    feature_matrix,
+    haar_feature_grid,
+    make_training_set,
+    probe_scenes,
+    save_cascade,
+    synth_patch,
+    train_adaboost,
+)
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "vframe_spark", "data", "haar_cascade.json",
+)
+N_TRAIN_POS = N_TRAIN_NEG = 400
+N_TEST = 200
+N_ROUNDS = 40
+
+
+def main() -> None:
+    feats = haar_feature_grid(WINDOW)
+    imgs, y = make_training_set(N_TRAIN_POS, N_TRAIN_NEG)
+    X = feature_matrix(imgs, feats)
+    stumps = train_adaboost(X, y, n_rounds=N_ROUNDS)
+
+    # held-out accuracy on patches the trainer never saw (ids past the
+    # training range — the sha streams make them independent draws)
+    test_imgs = np.stack(
+        [synth_patch(10_000 + i, True) for i in range(N_TEST)]
+        + [synth_patch(10_000 + i, False) for i in range(N_TEST)]
+    )
+    ty = np.concatenate([np.ones(N_TEST), -np.ones(N_TEST)])
+    Xt = feature_matrix(test_imgs, feats)
+    margins = ensemble_margin(Xt, stumps)
+    acc = float(((margins >= 0.5) == (ty > 0)).mean())
+    train_acc = float(
+        ((ensemble_margin(X, stumps) >= 0.5) == (y > 0)).mean()
+    )
+    stump1_acc = float(
+        ((ensemble_margin(Xt, stumps[:1]) >= 0.5) == (ty > 0)).mean()
+    )
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    save_cascade(
+        OUT, stumps, feats, WINDOW,
+        meta={
+            "task": "bright-square-on-noise vs noise/gradient",
+            "n_rounds": len(stumps),
+            "n_features_pool": len(feats),
+            "train_acc": round(train_acc, 4),
+            "holdout_acc": round(acc, 4),
+            "stump1_holdout_acc": round(stump1_acc, 4),
+            "n_train": N_TRAIN_POS + N_TRAIN_NEG,
+            "n_holdout": 2 * N_TEST,
+        },
+    )
+    print(
+        f"stumps={len(stumps)} train_acc={train_acc:.4f} "
+        f"holdout_acc={acc:.4f} stump1_holdout_acc={stump1_acc:.4f}"
+    )
+    print(f"wrote {OUT}")
+
+    # Probe-scene expected detections via the PER-PATCH scorer (an
+    # implementation independent of haar.detect_windows' vectorized
+    # all-positions sweep) — the mm_detect_objects oracle constants.
+    import json
+
+    used_feats = [feats[f] for f in sorted({s["feature"] for s in stumps})]
+    remap = {f: i for i, f in enumerate(sorted({s["feature"] for s in stumps}))}
+    rstumps = [{**s, "feature": remap[s["feature"]]} for s in stumps]
+    stride, thr, cap = 4, 0.5, 4
+    probes = []
+    for mid, w, h, canvas, _ in probe_scenes():
+        img = canvas.astype(np.float64)
+        dets = []
+        for y in range(0, h - WINDOW + 1, stride):
+            for x in range(0, w - WINDOW + 1, stride):
+                patch = img[y : y + WINDOW, x : x + WINDOW]
+                m = float(
+                    ensemble_margin(feature_matrix(patch[None], used_feats), rstumps)[0]
+                )
+                if m >= thr:
+                    dets.append(
+                        (float(x), float(y), float(x + WINDOW),
+                         float(y + WINDOW), round(m, 6))
+                    )
+        dets.sort(key=lambda d: (-d[4], d[0], d[1]))
+        probes.append({"media_id": mid, "detections": dets[:cap]})
+    probe_path = os.path.join(os.path.dirname(OUT), "haar_probes.json")
+    with open(probe_path, "w") as fh:
+        json.dump({"stride": stride, "threshold": thr, "cap": cap,
+                   "scenes": probes}, fh, indent=1)
+    n_det = sum(len(p["detections"]) for p in probes)
+    print(f"wrote {probe_path} ({n_det} expected detections)")
+
+
+if __name__ == "__main__":
+    main()

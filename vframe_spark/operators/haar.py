@@ -1,0 +1,293 @@
+"""Viola-Jones-style Haar detector with REALLY-trained weights.
+
+The full classical pipeline (Viola & Jones, CVPR 2001), pure numpy:
+integral-image Haar-like features (2-/3-/4-rectangle contrasts),
+decision-stump AdaBoost training with the exact weighted-error sweep,
+and a fully vectorized sliding-window detector whose per-window score
+is the normalized ensemble margin.
+
+The committed weights (``vframe_spark/data/haar_cascade.json``) are
+trained by ``tools/train_haar.py`` on a deterministic synthetic task —
+bright-square-on-noise patches vs noise/gradient negatives, generated
+from sha256 streams so the artifact reproduces bit-for-bit anywhere —
+with held-out accuracy recorded inside the artifact. Re-run the tool
+after changing the feature grid or task.
+
+This replaces the fixed top-vs-bottom contrast stand-in: the detector
+shape (integral image, window sweep, detection structs) was already
+real; now the decision function is a genuinely trained ensemble.
+
+Reference parity: `pipe haardetect`'s cascade processor
+(/root/reference/src/commands/pipe/detect.py) — the reference ships
+OpenCV cascade XMLs; the training recipe here is the same published
+algorithm those artifacts came from.
+
+Scale note: training is a driver/tool-time activity on a bounded patch
+sample (exactly like any model artifact); inference is executor-side,
+vectorized over all window positions of each frame inside the
+Arrow-batched ``mapInPandas`` pass (operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+
+WINDOW = 16
+
+_DATA_PATH = os.path.join(os.path.dirname(__file__), "..", "data", "haar_cascade.json")
+
+
+# ------------------------------------------------------------- features
+
+def haar_feature_grid(window: int = WINDOW) -> list[list[tuple[int, int, int, int, int]]]:
+    """Enumerate Haar-like features as signed-rectangle lists.
+
+    Each feature is ``[(sign, y0, x0, y1, x1), ...]`` (half-open rects
+    in window coordinates). Types: 2-rect horizontal/vertical edge,
+    3-rect horizontal/vertical line (outer − 2·middle), 4-rect
+    diagonal. Grid stride 2, sizes in multiples of 4 — a few thousand
+    features, the classical pool shrunk to what a 16×16 window needs.
+    """
+    feats: list[list[tuple[int, int, int, int, int]]] = []
+    for h in range(4, window + 1, 4):
+        for w in range(4, window + 1, 4):
+            for y in range(0, window - h + 1, 2):
+                for x in range(0, window - w + 1, 2):
+                    if w % 2 == 0:
+                        mx = x + w // 2
+                        feats.append([(1, y, x, y + h, mx), (-1, y, mx, y + h, x + w)])
+                    if h % 2 == 0:
+                        my = y + h // 2
+                        feats.append([(1, y, x, my, x + w), (-1, my, x, y + h, x + w)])
+                    if w % 4 == 0:  # 3-rect horizontal (thirds on a /4 grid ~ quarters)
+                        q = w // 4
+                        feats.append([
+                            (1, y, x, y + h, x + q),
+                            (-2, y, x + q, y + h, x + 3 * q),
+                            (1, y, x + 3 * q, y + h, x + w),
+                        ])
+                    if w % 2 == 0 and h % 2 == 0:
+                        mx, my = x + w // 2, y + h // 2
+                        feats.append([
+                            (1, y, x, my, mx), (-1, y, mx, my, x + w),
+                            (-1, my, x, y + h, mx), (1, my, mx, y + h, x + w),
+                        ])
+    return feats
+
+
+def integral(imgs: np.ndarray) -> np.ndarray:
+    """(n, h, w) -> (n, h+1, w+1) zero-padded integral images."""
+    ii = np.zeros((imgs.shape[0], imgs.shape[1] + 1, imgs.shape[2] + 1), dtype=np.float64)
+    ii[:, 1:, 1:] = imgs.astype(np.float64).cumsum(axis=1).cumsum(axis=2)
+    return ii
+
+
+def feature_matrix(patches: np.ndarray, feats) -> np.ndarray:
+    """(n, W, W) patches -> (n, F) Haar feature values."""
+    ii = integral(patches)
+    out = np.zeros((patches.shape[0], len(feats)))
+    for j, rects in enumerate(feats):
+        v = 0.0
+        for s, y0, x0, y1, x1 in rects:
+            v = v + s * (
+                ii[:, y1, x1] - ii[:, y0, x1] - ii[:, y1, x0] + ii[:, y0, x0]
+            )
+        out[:, j] = v
+    return out
+
+
+# ------------------------------------------------------------- training
+
+def train_adaboost(X: np.ndarray, y: np.ndarray, n_rounds: int = 40) -> list[dict]:
+    """Decision-stump AdaBoost (the Viola-Jones weak-learner sweep).
+
+    X: (n, F) feature values, y: ±1. Each round scans every feature's
+    sorted value axis with cumulative weighted errors (vectorized over
+    all features at once) and picks the global best (feature,
+    threshold, polarity); returns stumps with their alphas.
+    Prediction convention: h(x) = +1 if polarity·x < polarity·θ.
+    """
+    n, n_feat = X.shape
+    order = np.argsort(X, axis=0, kind="stable")  # (n, F) once
+    Xs = np.take_along_axis(X, order, axis=0)
+    w = np.full(n, 1.0 / n)
+    stumps: list[dict] = []
+    for _ in range(n_rounds):
+        wy = (w * y)[order]  # (n, F) signed weights in sorted order
+        wp = (w * (y > 0))[order]
+        total_pos = wp.sum(axis=0)  # same for every column
+        cum = np.cumsum(wy, axis=0)
+        # err(threshold after row i, polarity "+1 below"): pos weight above
+        # + neg weight below = total_pos - cum_pos_below + cum_neg_below
+        cum_pos = np.cumsum(wp, axis=0)
+        cum_neg = cum_pos - cum  # since wy = wpos - wneg cumulative
+        err_below = total_pos - cum_pos + cum_neg  # predict +1 for x <= θ
+        err_above = 1.0 - err_below  # opposite polarity
+        cat = np.stack([err_below, err_above])  # (2, n, F)
+        flat = cat.reshape(2 * n, n_feat)
+        best_per_feat = flat.argmin(axis=0)
+        errs = flat[best_per_feat, np.arange(n_feat)]
+        f = int(errs.argmin())
+        idx = int(best_per_feat[f])
+        polarity = 1 if idx < n else -1
+        row = idx % n
+        lo = Xs[row, f]
+        hi = Xs[row + 1, f] if row + 1 < n else lo + 1.0
+        theta = 0.5 * (lo + hi)
+        err = float(max(errs[f], 1e-10))
+        if err >= 0.5:
+            break
+        alpha = 0.5 * np.log((1.0 - err) / err)
+        pred = np.where((X[:, f] <= theta) if polarity == 1 else (X[:, f] > theta), 1, -1)
+        w = w * np.exp(-alpha * y * pred)
+        w /= w.sum()
+        stumps.append(
+            {"feature": f, "theta": float(theta), "polarity": polarity,
+             "alpha": float(alpha)}
+        )
+    return stumps
+
+
+def ensemble_margin(X: np.ndarray, stumps: list[dict]) -> np.ndarray:
+    """Normalized margin in [0, 1]: Σ α·[h=+1] / Σ α."""
+    score = np.zeros(X.shape[0])
+    total = 0.0
+    for s in stumps:
+        h = (X[:, s["feature"]] <= s["theta"]) if s["polarity"] == 1 else (
+            X[:, s["feature"]] > s["theta"]
+        )
+        score += s["alpha"] * h
+        total += s["alpha"]
+    return score / max(total, 1e-12)
+
+
+# ------------------------------------------------------- synthetic task
+
+def _sha_stream(tag: str, need: int) -> np.ndarray:
+    chunks, j = [], 0
+    while sum(c.size for c in chunks) < need:
+        d = hashlib.sha256(f"{tag}:{j}".encode()).digest()
+        chunks.append(np.frombuffer(d, dtype=np.uint8))
+        j += 1
+    return np.concatenate(chunks)[:need]
+
+
+def synth_patch(i: int, positive: bool, window: int = WINDOW) -> np.ndarray:
+    """Deterministic training patch: noise background; positives carry
+    a bright square (size 6-10, jittered off-center by ±2)."""
+    base = _sha_stream(f"haar:{int(positive)}:{i}", window * window).reshape(
+        window, window
+    ).astype(np.float64) * 0.5  # noise in [0,127]
+    params = _sha_stream(f"haarp:{int(positive)}:{i}", 4)
+    if positive:
+        size = 6 + int(params[0]) % 5
+        y0 = (window - size) // 2 - 2 + int(params[1]) % 5
+        x0 = (window - size) // 2 - 2 + int(params[2]) % 5
+        y0, x0 = max(0, min(window - size, y0)), max(0, min(window - size, x0))
+        # +42 on noise with std ~37: single features can't separate this
+        # cleanly — the ensemble has to earn its held-out accuracy
+        base[y0 : y0 + size, x0 : x0 + size] += 42.0
+    elif int(params[3]) % 3 == 0:  # hard negative: smooth gradient
+        g = np.linspace(0, 100, window)
+        base += g[None, :] if int(params[0]) % 2 else g[:, None]
+    return np.clip(base, 0, 255)
+
+
+def make_training_set(n_pos: int = 400, n_neg: int = 400, window: int = WINDOW):
+    X_imgs = np.stack(
+        [synth_patch(i, True, window) for i in range(n_pos)]
+        + [synth_patch(i, False, window) for i in range(n_neg)]
+    )
+    y = np.concatenate([np.ones(n_pos), -np.ones(n_neg)])
+    return X_imgs, y
+
+
+def probe_scenes(n: int = 8, width: int = 48, height: int = 32) -> list[tuple]:
+    """Deterministic detector probe scenes: (media_id, width, height,
+    pixels, planted) — noise canvases, most with one positive patch
+    planted at a stride-aligned offset (scene n-1 stays empty). Shared
+    by the trainer (which records per-patch expected detections) and
+    the contract query (which runs the vectorized distributed sweep) —
+    agreement cross-checks the two scoring implementations.
+    """
+    scenes = []
+    for i in range(n):
+        canvas = _sha_stream(f"haarscene:{i}", width * height).reshape(
+            height, width
+        ).astype(np.float64) * 0.5
+        planted = None
+        if i != n - 1:
+            y0 = 4 * (1 + i % 3)
+            x0 = 4 * (1 + i % 7)
+            canvas[y0 : y0 + WINDOW, x0 : x0 + WINDOW] = synth_patch(
+                30_000 + i, True
+            )
+            planted = (x0, y0)
+        scenes.append(
+            (i, width, height,
+             np.clip(canvas, 0, 255).astype(np.uint8), planted)
+        )
+    return scenes
+
+
+# ------------------------------------------------------------- artifact
+
+def save_cascade(path: str, stumps, feats, window: int, meta: dict) -> None:
+    used = sorted({s["feature"] for s in stumps})
+    remap = {f: i for i, f in enumerate(used)}
+    art = {
+        "window": window,
+        "meta": meta,
+        # persist ONLY the features the ensemble uses
+        "features": [feats[f] for f in used],
+        "stumps": [
+            {**s, "feature": remap[s["feature"]]} for s in stumps
+        ],
+    }
+    with open(path, "w") as fh:
+        json.dump(art, fh, indent=1)
+
+
+def load_cascade(path: str | None = None) -> dict:
+    with open(path or _DATA_PATH) as fh:
+        art = json.load(fh)
+    art["features"] = [[tuple(r) for r in f] for f in art["features"]]
+    return art
+
+
+# ------------------------------------------------------------ inference
+
+def detect_windows(img: np.ndarray, cascade: dict, stride: int = 4) -> np.ndarray:
+    """All sliding-window margins at once → (ny, nx) confidence grid.
+
+    One integral image per frame; each stump's feature evaluates over
+    EVERY window position simultaneously via four shifted views of the
+    integral image — no per-window Python loop.
+    """
+    W = cascade["window"]
+    h, w = img.shape
+    if h < W or w < W:
+        return np.zeros((0, 0))
+    ii = integral(img[None])[0]
+    ny, nx = (h - W) // stride + 1, (w - W) // stride + 1
+    ys = np.arange(ny) * stride
+    xs = np.arange(nx) * stride
+    score = np.zeros((ny, nx))
+    total = 0.0
+    for s in cascade["stumps"]:
+        v = np.zeros((ny, nx))
+        for sign, y0, x0, y1, x1 in cascade["features"][s["feature"]]:
+            v += sign * (
+                ii[np.ix_(ys + y1, xs + x1)]
+                - ii[np.ix_(ys + y0, xs + x1)]
+                - ii[np.ix_(ys + y1, xs + x0)]
+                + ii[np.ix_(ys + y0, xs + x0)]
+            )
+        hmask = (v <= s["theta"]) if s["polarity"] == 1 else (v > s["theta"])
+        score += s["alpha"] * hmask
+        total += s["alpha"]
+    return score / max(total, 1e-12)
