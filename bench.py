@@ -404,6 +404,7 @@ def ann_sweep(spark, k: int = 5) -> dict:
         ivf_topk,
         ivfpq_topk,
         lsh_topk,
+        nsw_topk,
     )
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).cache()
@@ -445,6 +446,14 @@ def ann_sweep(spark, k: int = 5) -> dict:
                        n_probes=probes, m=8, ksub=32, refine=4)
         )
         sweep["ivfpq"].append({"probes": probes, "recall": r, "sec": dt})
+    # graph ANN: the knob is beam width (ef), not probes
+    sweep["nsw"] = []
+    for ef in (8, 16, 32, 64):
+        r, dt = mean_recall(
+            nsw_topk(emb, queries, dim=dim, k=k, m_edges=8,
+                     ef_construction=48, ef_search=ef, n_shards=8)
+        )
+        sweep["nsw"].append({"ef": ef, "recall": r, "sec": dt})
     emb.unpersist()
     return sweep
 

@@ -174,3 +174,25 @@ def test_haar_detect_windows_matches_per_window_margin():
             X = haar.feature_matrix(patch[None], cascade["features"])
             want = haar.ensemble_margin(X, cascade["stumps"])[0]
             assert abs(grid[yi, xi] - want) < 1e-9
+
+
+def test_detect_objects_multiscale_finds_bigger_target(spark):
+    """A 2x-size target invisible to the single-scale sweep is caught
+    at scale 0.5 and its box maps back to frame coordinates."""
+    from vframe_spark.operators.haar import synth_patch
+    from vframe_spark.operators.multimodal import detect_objects
+
+    big = np.kron(synth_patch(60_000, True), np.ones((2, 2)))  # 32x32
+    canvas = np.asarray(mm._synth_pixels(98, 0, 64, 48), dtype=np.float64) * 0.5
+    canvas[8:40, 16:48] = big
+    frame = spark.createDataFrame(
+        [(9, 64, 48, np.clip(canvas, 0, 255).astype(int).ravel().tolist())],
+        "media_id bigint, width int, height int, pixels array<smallint>",
+    )
+    multi = detect_objects(frame, scales=(1.0, 0.5), max_detections=8).collect()[0][
+        "detections"
+    ]
+    big_boxes = [d for d in multi if d["x2"] - d["x1"] == 32.0]
+    assert big_boxes, f"0.5-scale sweep must catch the 2x target: {multi}"
+    b = max(big_boxes, key=lambda d: d["conf"])
+    assert abs(b["x1"] - 16) <= 8 and abs(b["y1"] - 8) <= 8, big_boxes

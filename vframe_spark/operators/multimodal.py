@@ -230,6 +230,7 @@ def detect_objects(
     max_detections: int = 4,
     cascade_path: str | None = None,
     label: str = "haar_obj",
+    scales: tuple[float, ...] = (1.0,),
 ) -> DataFrame:
     """Trained Haar sliding-window detector over decoded frames
     (≙ `pipe haardetect`, /root/reference/src/commands/pipe/detect.py +
@@ -247,6 +248,12 @@ def detect_objects(
     would slot in). Output composes with
     `operators.detections.filter_by_detections` / `functions.geometry`
     NMS (same ``conf``/``label`` struct fields).
+
+    ``scales``: classic detection pyramid — each scale s nearest-
+    neighbor-downsamples the frame by s and sweeps the same fixed-size
+    cascade, so a window covers W/s original pixels; boxes map back to
+    frame coordinates. Default (1.0,) keeps the single-scale contract
+    the mm_detect_objects oracle pins.
     """
     from .haar import detect_windows, load_cascade
 
@@ -259,19 +266,30 @@ def detect_objects(
                 img = np.asarray(r.pixels, dtype=np.float64).reshape(
                     r.height, r.width
                 )
-                conf = detect_windows(img, cascade, stride=stride)
                 dets = []
-                if conf.size:
+                for s in scales:
+                    if s == 1.0:
+                        scaled = img
+                    else:
+                        sh, sw = max(int(r.height * s), 1), max(int(r.width * s), 1)
+                        yi = (np.arange(sh) / s).astype(np.int64).clip(0, r.height - 1)
+                        xi = (np.arange(sw) / s).astype(np.int64).clip(0, r.width - 1)
+                        scaled = img[np.ix_(yi, xi)]
+                    conf = detect_windows(scaled, cascade, stride=stride)
+                    if not conf.size:
+                        continue
                     for y, x in zip(*np.nonzero(conf >= threshold)):
                         dets.append(
                             (
-                                float(x * stride), float(y * stride),
-                                float(x * stride + W), float(y * stride + W),
+                                float(round(x * stride / s, 2)),
+                                float(round(y * stride / s, 2)),
+                                float(round((x * stride + W) / s, 2)),
+                                float(round((y * stride + W) / s, 2)),
                                 label, float(round(conf[y, x], 6)),
                             )
                         )
-                    dets.sort(key=lambda d: (-d[5], d[0], d[1]))
-                    dets = dets[:max_detections]
+                dets.sort(key=lambda d: (-d[5], d[0], d[1]))
+                dets = dets[:max_detections]
                 out.append((r.media_id, dets))
             yield pd.DataFrame(out, columns=["media_id", "detections"])
 
