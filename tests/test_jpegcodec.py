@@ -110,3 +110,35 @@ def test_pil_cross_decode_if_available():
     ours = decode_jpeg_gray(data)
     # IDCT rounding may differ by ±1 per pixel between implementations
     assert int(np.abs(theirs.astype(int) - ours.astype(int)).max()) <= 1
+
+
+# ------------------------------------------------------------ fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    q=st.integers(1, 100),
+    seed=st.integers(0, 10_000),
+)
+def test_fuzz_roundtrip_any_dims_any_quality(w, h, q, seed):
+    """Every (dims, quality) combination must encode to a well-formed
+    stream and decode back to the exact dims, in range, deterministically."""
+    img = _img(seed, w, h)
+    data = encode_jpeg_gray(img, quality=q)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = decode_jpeg_gray(data)
+    assert out.shape == (h, w) and out.dtype == np.uint8
+    assert np.array_equal(out, decode_jpeg_gray(data))
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_fuzz_high_quality_near_lossless_on_smooth(seed):
+    img = _smooth(seed, 24, 24)
+    out = decode_jpeg_gray(encode_jpeg_gray(img, quality=98))
+    assert float(np.abs(out.astype(float) - img).mean()) < 3.0

@@ -178,3 +178,45 @@ def test_window_occurrences_short_docs(spark):
     occ = window_occurrences(_spark_docs(spark, docs), min_len=5).collect()
     assert {r["id"] for r in occ} == {2}
     assert sorted(r["pos"] for r in occ) == [1, 2, 3, 4]
+
+
+# ------------------------------------------------------------ fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    L=st.integers(4, 12),
+    alpha=st.sampled_from(["ab", "abc"]),
+)
+def test_fuzz_spans_match_bruteforce(spark, seed, L, alpha):
+    """Random small-alphabet corpora (dense coincidental overlaps):
+    merged removal spans must equal the brute-force suffix-style oracle
+    for any window length."""
+    docs = _random_docs(seed, n=14, alpha=alpha, maxlen=40)
+    got = sorted(
+        tuple(r)
+        for r in duplicated_spans(_spark_docs(spark, docs), min_len=L).collect()
+    )
+    assert got == ref_spans(docs, L)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000), k=st.integers(3, 6), w=st.integers(2, 6))
+def test_fuzz_winnow_guarantee(spark, seed, k, w):
+    """Plant a shared substring of exactly the guarantee length
+    (w + k - 1) into two random docs: they MUST share a fingerprint."""
+    rng = random.Random(seed)
+    shared = "".join(rng.choice("xyzq") for _ in range(w + k - 1))
+    docs = [
+        (0, "".join(rng.choice("ab") for _ in range(rng.randrange(0, 30))) + shared),
+        (1, shared + "".join(rng.choice("cd") for _ in range(rng.randrange(0, 30)))),
+    ]
+    fps = winnow_fingerprints(_spark_docs(spark, docs), k=k, w=w)
+    sets = {0: set(), 1: set()}
+    for r in fps.collect():
+        sets[r["doc_id"]].add(r["fp"])
+    assert sets[0] & sets[1], (k, w, shared)
