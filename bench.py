@@ -339,6 +339,20 @@ def main() -> None:
     # counts, against the same oracle-checked brute-force baseline.
     extras["ann_recall_sweep"] = ann_sweep(spark)
 
+    # ---- multimodal path throughput (decode -> HOG, frames/sec) ----------
+    # The mm contract queries run on 48 fixture images (correctness, not
+    # load); this row measures the Arrow multimodal pipeline at real
+    # batch sizes: synthesize 512 encoded frames, decode with the stdlib
+    # codec, extract real HOG descriptors, noop-sink the result.
+    from vframe_spark.operators.multimodal import (
+        decode_image, extract_features, synth_media,
+    )
+
+    media = synth_media(spark, n=512).localCheckpoint()  # exclude synthesis
+    t0 = time.time()
+    materialize(extract_features(decode_image(media)))
+    extras["mm_decode_hog_fps"] = round(512 / (time.time() - t0), 1)
+
     out = {
         "metric": "vframe_spark headline wall-clock",
         "value": round(sum(timings.values()), 3),
