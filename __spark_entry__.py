@@ -1399,6 +1399,30 @@ def q_dedup_span_rebuild(spark, sf_dir):
     return dedup_spans(docs, min_len=SPAN_L)
 
 
+SPAN_TOK_N = 8
+
+
+def q_dedup_span_tokens(spark, sf_dir):
+    """Token-level exact substring-span dedup — the granularity Lee et
+    al. 2022 publish (they cut duplicated >=50-token sequences; the
+    contract uses 8 on the ~55-token synthetic docs): stride-1 windows
+    over whitespace tokens, keep-first winners, merged token spans cut
+    and the doc rebuilt from surviving tokens (operators/spandedup.py
+    dedup_token_spans)."""
+    from vframe_spark.operators.spandedup import dedup_token_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return dedup_token_spans(docs, min_tokens=SPAN_TOK_N)
+
+
+def _span_tokens_oracle_sql() -> str:
+    from vframe_spark.operators.spandedup import dedup_token_spans_duckdb_sql
+
+    return dedup_token_spans_duckdb_sql(SPAN_TOK_N)
+
+
 def q_dedup_winnow_pairs(spark, sf_dir):
     """Winnowing (MOSS) near-dup pairs: min k-gram hash per w-window
     as position-independent fingerprints (guarantee: any shared
@@ -9039,6 +9063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_keepfirst": q_dedup_lines,
         "dedup_span_exact": q_dedup_span_exact,
         "dedup_span_rebuild": q_dedup_span_rebuild,
+        "dedup_span_tokens": q_dedup_span_tokens,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "text_quality_weak": q_text_quality_weak,
         "rel_window_range": q_rel_window_range,
@@ -9607,6 +9632,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_keepfirst": _dedup_lines_oracle_sql(),
         "dedup_span_exact": _span_exact_oracle_sql(),
         "dedup_span_rebuild": _span_rebuild_oracle_sql(),
+        "dedup_span_tokens": _span_tokens_oracle_sql(),
         "dedup_winnow_pairs": _winnow_pairs_oracle_sql(),
         "text_quality_weak": _quality_weak_oracle_sql(),
         "rel_window_range": """

@@ -308,6 +308,7 @@ def main() -> None:
         "dedup_lines_keepfirst",
         "dedup_span_exact",
         "dedup_span_rebuild",
+        "dedup_span_tokens",
         "dedup_winnow_pairs",
         "sim_nsw_topk",
     ]

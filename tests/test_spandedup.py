@@ -220,3 +220,102 @@ def test_fuzz_winnow_guarantee(spark, seed, k, w):
     for r in fps.collect():
         sets[r["doc_id"]].add(r["fp"])
     assert sets[0] & sets[1], (k, w, shared)
+
+
+# ---------------------------------------------------------- token unit
+
+from vframe_spark.operators.spandedup import (  # noqa: E402
+    dedup_token_spans,
+    dedup_token_spans_duckdb_sql,
+    duplicated_token_spans,
+    duplicated_token_spans_duckdb_sql,
+)
+
+
+def ref_token_spans(docs, n):
+    """Brute force at token granularity: docs -> [(id, s, e)] 1-based."""
+    tdocs = [(i, [t for t in txt.split() if t]) for i, txt in docs]
+    from collections import defaultdict
+
+    by_w = defaultdict(list)
+    for i, tk in tdocs:
+        for p in range(1, len(tk) - n + 2):
+            by_w[tuple(tk[p - 1 : p - 1 + n])].append((i, p))
+    rem = defaultdict(list)
+    for occs in by_w.values():
+        if len(occs) >= 2:
+            winner = min(occs)
+            for o in occs:
+                if o != winner:
+                    rem[o[0]].append((o[1], o[1] + n - 1))
+    out = []
+    for i, ivs in rem.items():
+        ivs.sort()
+        cs, ce = ivs[0]
+        for s, e in ivs[1:]:
+            if s > ce + 1:
+                out.append((i, cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        out.append((i, cs, ce))
+    return sorted(out)
+
+
+def _tok_docs(seed, n=16, vocab=6, maxlen=30):
+    rng = random.Random(seed)
+    words = [f"w{v}" for v in range(vocab)]
+    return [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, maxlen))))
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed,n", [(1, 3), (2, 4), (3, 5)])
+def test_token_spans_match_bruteforce(spark, seed, n):
+    docs = _tok_docs(seed)
+    got = sorted(
+        tuple(r)
+        for r in duplicated_token_spans(
+            _spark_docs(spark, docs), min_tokens=n
+        ).collect()
+    )
+    assert got == ref_token_spans(docs, n)
+
+
+def test_token_rebuild_and_duckdb_twin(spark):
+    docs = _tok_docs(7, n=20, vocab=5)
+    n = 4
+    # brute-force rebuild
+    spans = {}
+    for i, s, e in ref_token_spans(docs, n):
+        spans.setdefault(i, []).append((s, e))
+    out = {
+        r["doc_id"]: r
+        for r in dedup_token_spans(_spark_docs(spark, docs), min_tokens=n).collect()
+    }
+    for i, txt in docs:
+        tk = txt.split()
+        cur, keep = 1, []
+        for s, e in sorted(spans.get(i, [])):
+            keep.extend(tk[cur - 1 : s - 1])
+            cur = e + 1
+        keep.extend(tk[cur - 1 :])
+        assert out[i]["new_text"] == " ".join(keep), i
+        assert out[i]["new_n_tokens"] == len(keep)
+        assert out[i]["dup_tokens"] == sum(e - s + 1 for s, e in spans.get(i, []))
+    # DuckDB twins
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    for sql, q in [
+        (duplicated_token_spans_duckdb_sql(n),
+         duplicated_token_spans(_spark_docs(spark, docs), min_tokens=n)),
+        (dedup_token_spans_duckdb_sql(n),
+         dedup_token_spans(_spark_docs(spark, docs), min_tokens=n)),
+    ]:
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        got = sorted(
+            tuple(r[c] for c in [f.name for f in q.schema.fields])
+            for r in q.collect()
+        )
+        assert got == want

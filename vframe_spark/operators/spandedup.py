@@ -102,21 +102,34 @@ def duplicated_spans(
     """
     L = int(min_len)
     occ = window_occurrences(df, id_col, text_col, L)
-    # Winner = lexicographic min (id, pos), packed into ONE int64 so the
-    # aggregate stays a hash aggregate (min over a struct falls back to
-    # SortAggregate — measured 3x slower at sf0.1). Precondition: ids
-    # fit 41 bits and docs are < 2^22 chars — use ids.assign_doc_ids
-    # for dense ids; the DuckDB twin's row_number winner pins the
-    # equivalence at the oracle gate.
+    return _merge_removals(_dup_removals(occ, L), id_col)
+
+
+def _dup_removals(occ: DataFrame, span_len: int) -> DataFrame:
+    """(id, pos, h) occurrences -> (id, s, e) removal windows (all
+    occurrences of a duplicated window except its keep-first winner).
+
+    Winner = lexicographic min (id, pos), packed into ONE int64 so the
+    aggregate stays a hash aggregate (min over a struct falls back to
+    SortAggregate — measured 3x slower at sf0.1). Precondition: ids
+    fit 41 bits and positions < 2^22 — use ids.assign_doc_ids for
+    dense ids; the DuckDB twins' row_number winners pin the
+    equivalence at the oracle gate.
+    """
     packed = F.col("id") * F.lit(1 << _POS_BITS).cast("long") + F.col("pos")
     winners = occ.groupBy("h").agg(
         F.min(packed).alias("w"), F.count("*").alias("c")
     )
-    rem = (
+    return (
         occ.join(winners.filter(F.col("c") >= 2).select("h", "w"), "h")
         .filter(packed != F.col("w"))
-        .select("id", F.col("pos").alias("s"), (F.col("pos") + L - 1).alias("e"))
+        .select("id", F.col("pos").alias("s"), (F.col("pos") + span_len - 1).alias("e"))
     )
+
+
+def _merge_removals(rem: DataFrame, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of (id, s, e) removal windows into
+    maximal (id, span_start, span_end) spans (overlap OR adjacency)."""
     ord_w = Window.partitionBy("id").orderBy("s", "e")
     prev_max = F.coalesce(
         F.max("e").over(ord_w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -259,6 +272,220 @@ SELECT b.id AS {id_col},
        coalesce(st.dup_chars, 0)::BIGINT AS dup_chars,
        CASE WHEN st.id IS NULL THEN b.t ELSE coalesce(r.new_text, '') END AS new_text,
        length(CASE WHEN st.id IS NULL THEN b.t ELSE coalesce(r.new_text, '') END)::BIGINT AS new_len
+FROM base b
+LEFT JOIN stats st ON b.id = st.id
+LEFT JOIN rebuilt r ON b.id = r.id
+"""
+
+
+# ---------------------------------------------------------- token unit
+
+_WS_TOKENS = "filter(split({t}, '\\\\s+'), x -> x != '')"
+
+
+def token_window_occurrences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """(id, pos, h): every stride-1 window of ``min_tokens`` whitespace
+    tokens, 1-based token positions. Windows hash as xxhash64 of the
+    space-joined slice (injective: tokens contain no whitespace) — the
+    token-unit twin of :func:`window_occurrences`, matching the
+    granularity Lee et al. 2022 actually dedup at (>= 50 tokens).
+    """
+    n = int(min_tokens)
+    toks = F.expr(_WS_TOKENS.format(t=text_col))
+    npos = F.size(F.col("_tk")) - n + 1
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+        .select(
+            "id",
+            "_tk",
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.xxhash64(
+                F.array_join(F.expr(f"slice(_tk, pos, {n})"), " ")
+            ).alias("h"),
+        )
+    )
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Merged (doc_id, span_start, span_end) TOKEN spans to remove
+    (1-based token indices, inclusive) — keep-first winners as in the
+    char-level pass, at the published token granularity."""
+    occ = token_window_occurrences(df, id_col, text_col, min_tokens)
+    return _merge_removals(_dup_removals(occ, int(min_tokens)), id_col)
+
+
+def dedup_token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Cut duplicated token spans out of every doc (keep-first).
+
+    Returns (id, n_spans, dup_tokens, new_n_tokens, new_text): the doc
+    rebuilt from its surviving tokens (single-space joined). Same
+    scale shape as :func:`dedup_spans` — the merged-span arrays join
+    back to the docs and the rebuild folds over the token array in one
+    codegen'd projection.
+    """
+    spans = duplicated_token_spans(df, id_col, text_col, min_tokens)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")))
+        ).alias("sp"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).cast("long").alias("dup_tokens"),
+    )
+    toks = F.expr(_WS_TOKENS.format(t=text_col))
+    kept = F.aggregate(
+        F.col("sp"),
+        F.struct(
+            F.lit(1).cast("int").alias("cur"),
+            F.array().cast("array<string>").alias("acc"),
+        ),
+        lambda a, x: F.struct(
+            (x["e"] + 1).cast("int").alias("cur"),
+            F.concat(
+                a["acc"], F.slice(F.col("_tk"), a["cur"], x["s"] - a["cur"])
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.slice(
+                F.col("_tk"),
+                a["cur"],
+                F.greatest(F.size("_tk") - a["cur"] + 1, F.lit(0)),
+            ),
+        ),
+    )
+    base = df.select(F.col(id_col), toks.alias("_tk"))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            F.when(F.col("sp").isNull(), F.col("_tk")).otherwise(kept).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "dup_tokens",
+            F.size("_kept").cast("long").alias("new_n_tokens"),
+            F.array_join("_kept", " ").alias("new_text"),
+        )
+    )
+
+
+def duplicated_token_spans_duckdb_sql(
+    min_tokens: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`duplicated_token_spans` (groups on the
+    space-joined raw token window — hash equality semantics)."""
+    n = int(min_tokens)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS tk
+  FROM {table}
+),
+occ AS (
+  SELECT id, i AS pos, array_to_string(tk[i:i + {n - 1}], ' ') AS win
+  FROM base, UNNEST(range(1, greatest(len(tk) - {n} + 1, 0) + 1)) AS u(i)
+),
+r AS (
+  SELECT id, pos,
+         row_number() OVER (PARTITION BY win ORDER BY id, pos) AS rn
+  FROM occ
+),
+rem AS (
+  SELECT id, pos AS s, pos + {n} - 1 AS e FROM r WHERE rn > 1
+),
+m AS (
+  SELECT id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM rem
+),
+g AS (
+  SELECT id, s, e, sum(brk) OVER (PARTITION BY id ORDER BY s, e) AS grp FROM m
+)
+SELECT id AS {id_col},
+       min(s)::BIGINT AS span_start,
+       max(e)::BIGINT AS span_end
+FROM g GROUP BY id, grp
+"""
+
+
+def dedup_token_spans_duckdb_sql(
+    min_tokens: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dedup_token_spans` (kept token segments +
+    ordered string_agg rebuild)."""
+    spans = duplicated_token_spans_duckdb_sql(min_tokens, id_col, text_col, table)
+    return f"""
+WITH merged AS ({spans}),
+base AS (
+  SELECT {id_col} AS id,
+         list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS tk
+  FROM {table}
+),
+segs AS (
+  SELECT {id_col} AS id,
+         coalesce(lag(span_end) OVER (PARTITION BY {id_col} ORDER BY span_start), 0) + 1 AS ks,
+         span_start - 1 AS ke
+  FROM merged
+  UNION ALL
+  SELECT m.{id_col} AS id, max(m.span_end) + 1 AS ks, len(b.tk) AS ke
+  FROM merged m JOIN base b ON m.{id_col} = b.id
+  GROUP BY m.{id_col}, len(b.tk)
+),
+rebuilt AS (
+  SELECT s.id,
+         string_agg(array_to_string(b.tk[ks::INT:ke::INT], ' '), ' ' ORDER BY ks)
+           AS new_text,
+         sum(ke - ks + 1)::BIGINT AS n_kept
+  FROM segs s JOIN base b ON s.id = b.id
+  WHERE ks <= ke
+  GROUP BY s.id
+),
+stats AS (
+  SELECT {id_col} AS id, count(*)::BIGINT AS n_spans,
+         sum(span_end - span_start + 1)::BIGINT AS dup_tokens
+  FROM merged GROUP BY {id_col}
+)
+SELECT b.id AS {id_col},
+       coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(st.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN st.id IS NULL THEN len(b.tk)
+            ELSE coalesce(r.n_kept, 0) END::BIGINT AS new_n_tokens,
+       coalesce(CASE WHEN st.id IS NULL THEN array_to_string(b.tk, ' ')
+                     ELSE r.new_text END, '') AS new_text
 FROM base b
 LEFT JOIN stats st ON b.id = st.id
 LEFT JOIN rebuilt r ON b.id = r.id
