@@ -1399,6 +1399,37 @@ def q_dedup_span_rebuild(spark, sf_dir):
     return dedup_spans(docs, min_len=SPAN_L)
 
 
+def q_rel_percentiles_sketch(spark, sf_dir):
+    """Quantiles via Spark's built-in Greenwald-Khanna sketch
+    (percentile_approx) — the partial-aggregable, mergeable quantile
+    path that survives 100 TB (exact percentile needs a per-group
+    sort; the sketch folds map-side and merges). At accuracy >= group
+    cardinality the sketch is rank-exact, which is what the oracle
+    pins (DuckDB quantile_disc); at scale you dial accuracy down for
+    bounded memory and keep the eps-rank guarantee."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = [0.25, 0.5, 0.75, 0.95]
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.percentile_approx("l_extendedprice", p, 100_000).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in ps
+        ]
+    )
+
+
+def _percentiles_sketch_oracle_sql() -> str:
+    return """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.5)  AS p50,
+       quantile_disc(l_extendedprice, 0.75) AS p75,
+       quantile_disc(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 SPAN_TOK_N = 8
 
 
@@ -9061,6 +9092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_shuffle_shards": q_curate_shuffle_shards,
         "curate_pack_sequences": q_curate_pack_sequences,
         "dedup_lines_keepfirst": q_dedup_lines,
+        "rel_percentiles_sketch": q_rel_percentiles_sketch,
         "dedup_span_exact": q_dedup_span_exact,
         "dedup_span_rebuild": q_dedup_span_rebuild,
         "dedup_span_tokens": q_dedup_span_tokens,
@@ -9630,6 +9662,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_shuffle_shards": _shuffle_shards_oracle_sql(),
         "curate_pack_sequences": _pack_sequences_oracle_sql(),
         "dedup_lines_keepfirst": _dedup_lines_oracle_sql(),
+        "rel_percentiles_sketch": _percentiles_sketch_oracle_sql(),
         "dedup_span_exact": _span_exact_oracle_sql(),
         "dedup_span_rebuild": _span_rebuild_oracle_sql(),
         "dedup_span_tokens": _span_tokens_oracle_sql(),
