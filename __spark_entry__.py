@@ -1399,6 +1399,40 @@ def q_dedup_span_rebuild(spark, sf_dir):
     return dedup_spans(docs, min_len=SPAN_L)
 
 
+def q_sketch_mg_heavyhitters(spark, sf_dir):
+    """Misra-Gries heavy hitters over the corpus token stream — the
+    mergeable top-k frequency summary that completes the sketch family
+    (HLL cardinality / CMS point-freq / KMV overlap / Bloom membership
+    / MG heavy hitters): per-partition k-counter summaries fold in one
+    Arrow pass and merge via the same offset reduce; only partitions x
+    k counters ever move. k=8 over ~31 distinct tokens forces real
+    decrements. Summary estimates aren't SQL-replayable (rows-only);
+    the guarantee is surfaced IN the output: exact counts join back and
+    bound_ok asserts est <= true <= est + err for every returned item
+    (operators/sketch.py mg_heavy_hitters)."""
+    from vframe_spark.functions.tokenizer import tokenize_expr
+    from vframe_spark.operators.sketch import mg_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize_expr(F.col("text"))).alias("tok"))
+    hh = mg_heavy_hitters(toks, "tok", k=8, top=10)
+    est = spark.createDataFrame(hh, "item string, est long, err_bound long")
+    exact = toks.groupBy(F.col("tok").alias("item")).agg(
+        F.count("*").alias("exact")
+    )
+    return (
+        est.join(exact, "item", "left")
+        .select(
+            "item", "est", "err_bound",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            (
+                (F.col("est") <= F.col("exact"))
+                & (F.col("exact") <= F.col("est") + F.col("err_bound"))
+            ).alias("bound_ok"),
+        )
+    )
+
+
 def q_rel_percentiles_sketch(spark, sf_dir):
     """Quantiles via Spark's built-in Greenwald-Khanna sketch
     (percentile_approx) — the partial-aggregable, mergeable quantile
@@ -9093,6 +9127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pack_sequences": q_curate_pack_sequences,
         "dedup_lines_keepfirst": q_dedup_lines,
         "rel_percentiles_sketch": q_rel_percentiles_sketch,
+        "sketch_mg_heavyhitters": q_sketch_mg_heavyhitters,
         "dedup_span_exact": q_dedup_span_exact,
         "dedup_span_rebuild": q_dedup_span_rebuild,
         "dedup_span_tokens": q_dedup_span_tokens,

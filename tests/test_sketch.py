@@ -298,3 +298,43 @@ def test_bloom_duckdb_replay_identical(spark, bloom_keys):
     )
     theirs = {r[0]: bool(r[1]) for r in con.execute(sql).fetchall()}
     assert mine == theirs
+
+
+# --------------------------------------------------- Misra-Gries heavy hitters
+
+def test_mg_bounds_and_guarantee(spark):
+    import random
+
+    from vframe_spark.operators.sketch import mg_heavy_hitters
+
+    rng = random.Random(3)
+    # zipf-ish stream: item i appears ~ N/(i+1) times
+    vals = [f"it{i}" for i in range(40) for _ in range(1200 // (i + 1))]
+    rng.shuffle(vals)
+    truth = {}
+    for v in vals:
+        truth[v] = truth.get(v, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(4)
+    for k in (4, 8, 16):
+        hh = mg_heavy_hitters(df, "v", k=k, top=10)
+        assert hh == mg_heavy_hitters(df, "v", k=k, top=10)  # deterministic
+        err = hh[0][2]
+        assert err <= len(vals) // (k + 1) + 1
+        got = {i for i, _, _ in hh}
+        for item, est, eb in hh:
+            assert est <= truth[item] <= est + eb, (item, est, eb, truth[item])
+        # guarantee: every item heavier than the bound is in the summary
+        full = {i for i, _, _ in mg_heavy_hitters(df, "v", k=k, top=k)}
+        for item, t in truth.items():
+            if t > err:
+                assert item in full, (k, item, t, err)
+
+
+def test_mg_exact_when_k_covers_cardinality(spark):
+    from vframe_spark.operators.sketch import mg_heavy_hitters
+
+    vals = ["a"] * 7 + ["b"] * 4 + ["c"] * 2
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(3)
+    hh = mg_heavy_hitters(df, "v", k=8, top=3)
+    assert [(i, w) for i, w, _ in hh] == [("a", 7), ("b", 4), ("c", 2)]
+    assert all(e == 0 for _, _, e in hh)  # no decrements ever happened

@@ -616,3 +616,100 @@ hits AS (
 )
 SELECT {probe_keys}, (min(hit) = 1) AS contained FROM hits GROUP BY {probe_keys}
 """
+
+
+# --------------------------------------------------- Misra-Gries heavy hitters
+# The classic mergeable frequency summary (Misra & Gries 1982; the
+# merge-with-offset formulation of Agarwal et al., PODS 2012): keep at
+# most k (item, weight) counters; to fold in more counts, add them,
+# then subtract the (k+1)-largest weight from everything and drop
+# non-positives. Guarantees, with n = total stream weight:
+#   true(item) - err <= est(item) <= true(item)
+# where err is the summary's cumulative subtracted offset (err <=
+# n/(k+1)), and EVERY item with true count > err survives in the
+# summary. Order-free and associative, so per-partition summaries fold
+# map-side and merge anywhere — the heavy-hitters member of the sketch
+# family (HLL = cardinality, CMS = point frequency, KMV = overlap,
+# Bloom = membership).
+
+
+def _mg_reduce(counts: dict, k: int) -> tuple[dict, int]:
+    """Keep <= k counters; returns (summary, subtracted offset)."""
+    if len(counts) <= k:
+        return dict(counts), 0
+    # deterministic tie-break: weight desc, then item asc
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    off = items[k][1]  # the (k+1)-largest weight
+    out = {i: w - off for i, w in items[:k] if w - off > 0}
+    return out, off
+
+
+def mg_partition_summaries(
+    df: DataFrame, col: str, k: int = 32
+) -> DataFrame:
+    """Per-partition MG summaries: (item, weight, err, part_n).
+
+    One Arrow pass: exact value_counts per batch fold into a <= 2k
+    running summary via :func:`_mg_reduce` — bounded memory however
+    skewed or wide the partition's item distribution is.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401 (schema clarity)
+
+    src = df.select(
+        F.col(col).alias("_v"), F.spark_partition_id().alias("_pid")
+    )
+
+    def go(batches):
+        counts: dict = {}
+        err = 0
+        n = 0
+        pid = None
+        for b in batches:
+            if len(b) and pid is None:
+                pid = int(b["_pid"].iloc[0])
+            vc = b["_v"].dropna().value_counts()
+            n += int(vc.sum())
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            counts, off = _mg_reduce(counts, k)
+            err += off
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": pid,
+                "item": [str(i) for i in counts],
+                "weight": [int(w) for w in counts.values()],
+                "err": err,
+                "part_n": n,
+            }
+        )
+
+    return src.mapInPandas(
+        go, "pid int, item string, weight long, err long, part_n long"
+    )
+
+
+def mg_heavy_hitters(
+    df: DataFrame, col: str, k: int = 32, top: int = 10
+) -> "list[tuple[str, int, int]]":
+    """Merged heavy hitters: [(item, est, err_bound)], est descending.
+
+    Collects <= partitions x k counter rows (never the data), merges
+    them with the same reduce, and returns the ``top`` heaviest with
+    the summary's global error bound: true in [est, est + err_bound].
+    By the MG guarantee every item with true count > err_bound is
+    present in the merged summary.
+    """
+    rows = mg_partition_summaries(df, col, k).collect()
+    counts: dict = {}
+    per_part_err: dict[int, int] = {}
+    for r in rows:
+        counts[r["item"]] = counts.get(r["item"], 0) + int(r["weight"])
+        per_part_err[int(r["pid"])] = int(r["err"])
+    err = sum(per_part_err.values())
+    counts, off = _mg_reduce(counts, k)
+    err += off
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return [(i, int(w), int(err)) for i, w in items]
