@@ -175,6 +175,50 @@ ranked AS (
 SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
+# Impact-pruned variant (index/prune.py): per term keep only the
+# IMPACT_M highest-impact postings — ranked by the transcendental-free
+# impact key ((1−b)·avgdl + b·dl)/tf ASC, doc_id ASC, which orders
+# identically to the BM25 contribution within a term but is bitwise
+# reproducible across engines — then score only surviving postings.
+# {M} is substituted with IMPACT_M at registry time.
+IMPACT_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+pruned AS (
+  SELECT tf.term, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c,
+         row_number() OVER (
+           PARTITION BY tf.term
+           ORDER BY ((1.0 - {B}) * s.avgdl + {B} * dl.dl) / tf.tf ASC, tf.doc_id ASC
+         ) AS r
+  FROM tf
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+q(qid, term) AS (VALUES {{QVALUES}}),
+score AS (
+  SELECT q.qid, p.doc_id, round(sum(p.c), 4) AS score
+  FROM q JOIN pruned p ON p.term = q.term AND p.r <= {{M}}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
 # Rollover variant: same whole-corpus BM25, but doc ids remapped to the
 # rollover id discipline (index/rollover.py): chunk cuts at src_id 100 /
 # 300 (the _ft_index_rollover drops), generation g allocates ids from
@@ -510,6 +554,53 @@ def q_ft_lm_dirichlet(spark, sf_dir):
 
     postings, term_stats, _, meta = _ft_index(spark, sf_dir)
     raw = lm_dirichlet_topk(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def q_ft_bm25_maxscore(spark, sf_dir):
+    """Block-max MAXSCORE (Turtle-Flood; Lucene 8+'s default dynamic
+    pruning) over the same compressed sharded index: terms split into
+    essential/non-essential by score bound, non-essential lists stop
+    generating candidates once θ passes their summed bounds, block-max
+    segment skips avoid their decode cost. Rank-identical to WAND by
+    construction — the oracle is the SAME BM25 SQL as ft_bm25_wand
+    (query/maxscore.py)."""
+    from vframe_spark.query.maxscore import bm25_topk_maxscore
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_maxscore(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+IMPACT_M = 50  # static-pruning depth: top-m postings kept per term
+
+
+def q_ft_impact_topk(spark, sf_dir):
+    """Static impact-ordered index pruning (Carmel et al. 2001): every
+    term's posting list is capped at its IMPACT_M highest-BM25-impact
+    postings at build time — the web-scale cost ceiling for common
+    terms — and top-k runs over the pruned table only. The pruning rank
+    uses the transcendental-free impact key, so the pruned SET (not
+    just the scores) is bitwise SQL-replayable; the oracle re-runs the
+    identical window-rank + scoring (index/prune.py)."""
+    from vframe_spark.index.prune import impact_pruned_postings, impact_topk
+    from vframe_spark.query.bm25 import query_terms_df
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    tokens = tokenize_docs(docs, lang_col=None)
+    n_docs = docs.count()
+    total = (
+        tokens.groupBy("doc_id")
+        .agg(F.max("doc_len").alias("dl"))
+        .agg(F.sum("dl"))
+        .collect()[0][0]
+    )
+    avgdl = float(total) / n_docs
+    pruned = impact_pruned_postings(tokens, n_docs, avgdl, m=IMPACT_M)
+    qterms = query_terms_df(spark, FT_QUERIES)
+    raw = impact_topk(pruned, qterms, k=3 * FT_K)
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
@@ -9013,6 +9104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_leakage_split": q_curate_leakage_split,
         "text_categorize": q_text_categorize,
         "text_novelty": q_text_novelty,
+        "ft_bm25_maxscore": q_ft_bm25_maxscore,
+        "ft_impact_topk": q_ft_impact_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
@@ -9260,6 +9353,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ft_bm25_exhaustive": bm25,
         "ft_bm25_wand": bm25,
+        "ft_bm25_maxscore": bm25,
+        "ft_impact_topk": IMPACT_ORACLE_SQL.replace(
+            "{QVALUES}", _ft_qterms_values_sql()
+        ).replace("{M}", str(IMPACT_M)),
         "ft_stream_index_topk": bm25,
         "ft_rollover_topk": BM25_ROLLOVER_ORACLE_SQL.replace(
             "{QVALUES}", _ft_qterms_values_sql()

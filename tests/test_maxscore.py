@@ -1,0 +1,119 @@
+"""Block-max MAXSCORE (query/maxscore.py): rank identity vs the oracle,
+vs WAND, and vs exhaustive scoring — the essential/non-essential split
+and the block-max segment skips must change nothing (SURVEY §5.5).
+"""
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.build import tokenize_docs
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import OracleIndex
+from vframe_spark.queries import reference_queries
+from vframe_spark.query.maxscore import bm25_topk_maxscore
+from vframe_spark.query.wand import bm25_topk_wand
+
+N_DOCS = 400
+SHARD = 64
+BLOCK = 16
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, N_DOCS, partitions=4), ["repo", "path", "commit"], num_partitions=4
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+    return docs, oracle
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("idx"))
+    meta = build_index(docs, out, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2)
+    assert meta["complete"]
+    return load_index(spark, out)
+
+
+def test_maxscore_matches_oracle_bitwise(spark, corpus, index):
+    """Reference query set, tol=0.0: MAXSCORE scores are bitwise-equal
+    to the pure-Python oracle (same accumulation order as WAND)."""
+    _, oracle = corpus
+    postings, term_stats, _, meta = index
+    queries = reference_queries(25)
+    for qid, q, k in queries:
+        rows = bm25_topk_maxscore(postings, term_stats, meta, [(qid, q)], k=k).collect()
+        got = sorted((r["rank"], r["doc_id"], r["score"]) for r in rows)
+        expect = oracle.topk(q, k)
+        assert len(got) == len(expect), (qid, q, got, expect)
+        for (rank, doc_id, score), (edoc, escore) in zip(got, expect):
+            assert doc_id == edoc, (qid, q, rank, doc_id, edoc)
+            assert score == escore, (qid, q, rank, score, escore)
+
+
+def test_maxscore_equals_wand_random_queries(spark, corpus, index):
+    """Random term mixes (incl. Zipf-head common terms, where the
+    essential split actually engages, and absent terms): MAXSCORE ==
+    WAND bitwise at several k — two different pruning strategies, one
+    ranking."""
+    import random
+
+    from vframe_spark.corpus import IDENT_PARTS, ZIPF_COMMON
+
+    rng = random.Random(777)
+    pool = IDENT_PARTS + ZIPF_COMMON + ["zzznope", "lang:py", "lang:go"]
+    queries = [
+        (qid, " ".join(rng.sample(pool, rng.randint(1, 5))))
+        for qid in range(1, 16)
+    ]
+    postings, term_stats, _, meta = index
+    for k in (1, 3, 10):
+        ms = bm25_topk_maxscore(postings, term_stats, meta, queries, k=k)
+        wd = bm25_topk_wand(postings, term_stats, meta, queries, k=k)
+        a = {(r["qid"], r["rank"]): (r["doc_id"], r["score"]) for r in ms.collect()}
+        b = {(r["qid"], r["rank"]): (r["doc_id"], r["score"]) for r in wd.collect()}
+        assert a == b, k
+
+
+def test_maxscore_skewed_bounds_k1(spark, corpus, index):
+    """k=1 with one rare high-idf term + Zipf-head stop-word-ish terms:
+    θ passes the common terms' summed bounds almost immediately, so the
+    non-essential demotion path runs for most segments — the result must
+    still equal exhaustive DataFrame scoring exactly."""
+    from pyspark.sql import functions as F
+
+    from vframe_spark.query.bm25 import bm25_topk_df
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    # rarest term in the corpus vocabulary + two most common ones
+    tokens = tokenize_docs(docs).cache()
+    tstats = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    rows = tstats.orderBy(F.col("df").asc(), F.col("term")).limit(1).collect()
+    rare = rows[0]["term"]
+    common = [
+        r["term"]
+        for r in tstats.filter(~F.col("term").startswith("lang:"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(2)
+        .collect()
+    ]
+    queries = [(1, " ".join([rare] + common)), (2, " ".join(common))]
+    for k in (1, 2, 5):
+        ms = bm25_topk_maxscore(postings, term_stats, meta, queries, k=k, )
+        ex = bm25_topk_df(tokens, tstats, meta, queries, k=k)
+        a = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 9)) for r in ms.collect()}
+        b = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 9)) for r in ex.collect()}
+        assert a == b, k
+
+
+def test_maxscore_empty_and_oov(spark, index):
+    postings, term_stats, _, meta = index
+    assert bm25_topk_maxscore(postings, term_stats, meta, [], k=5).count() == 0
+    assert (
+        bm25_topk_maxscore(postings, term_stats, meta, [(1, "zzznope qqqgone")], k=5).count()
+        == 0
+    )

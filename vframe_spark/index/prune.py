@@ -1,0 +1,115 @@
+"""Static impact-ordered index pruning (Carmel et al., SIGIR 2001).
+
+At web scale (the north_rule's 10^12 files) the long posting lists of
+common terms dominate both index size and query latency. *Static
+pruning* caps every term's posting list at its ``m`` highest-impact
+entries — impact = the posting's exact BM25 contribution — at BUILD
+time, trading bounded recall for a hard per-term cost ceiling: a query
+over the pruned index touches ≤ ``m·|q|`` postings no matter how common
+its terms are, and the pruned index for Zipf-distributed corpora is a
+small fraction of the full one.
+
+Determinism contract: a posting survives iff its contribution ranks in
+the term's top ``m`` (ties broken by doc_id ASC), and the surviving
+postings keep their EXACT full-corpus contributions (idf/df/dl/avgdl are
+frozen from the unpruned corpus — pruning drops rows, never rescales).
+The rank itself is computed on the *impact key*
+``((1−b)·avgdl + b·dl) / tf`` (ascending), which orders identically to
+the BM25 contribution within a term (idf and the k1 factors are
+per-term constants; the contribution is strictly anti-monotone in the
+key) but contains no transcendental: every op is an IEEE mul/add/div
+over integers and the shared avgdl, so DuckDB and the JVM compute the
+key BITWISE-equal and the pruned set is exactly SQL-replayable — the
+ft_impact_topk contract query's DuckDB oracle re-runs the identical
+window-rank. (Ranking by the contribution itself would hinge on
+``ln``'s last ulp agreeing across libms on near-ties.)
+
+Scale shape: one shuffle keyed on ``term`` for the per-term window rank
+(the same key the index build already shuffles on — build.py:269), with
+df/avgdl computed as map-side partial aggregates before it. Skew note:
+the window input per term is that term's df, the same per-key volume the
+posting build itself handles; the output is structurally capped at
+``m`` rows per term.
+
+Reference parity: pruned retrieval ≙ the reference's threshold-gated
+detection outputs (/root/reference/src/vframe/image/processors/
+base.py:132-146 — bounded top-k with a score floor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..oracle import B, K1
+
+
+def impact_pruned_postings(
+    tokens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    m: int,
+) -> DataFrame:
+    """``tokens`` = (doc_id, term, tf, doc_len) → the pruned impact table
+    ``(term, doc_id, contrib)``: each term's top-``m`` postings by exact
+    BM25 contribution (DESC, doc_id ASC tie-break), contributions frozen
+    at full-corpus statistics."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    df_tbl = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    # impact key: ASC in key ⇔ DESC in contribution within a term; the
+    # (1−b)·avgdl product is pre-folded in Python so both engines run the
+    # identical IEEE op sequence (mul, add, div — no log in the rank)
+    key = (
+        F.lit((1.0 - B) * float(avgdl)) + F.lit(B) * F.col("doc_len")
+    ) / F.col("tf")
+    contrib = (
+        tokens.join(df_tbl, "term")
+        .withColumn(
+            "contrib",
+            idf
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.lit(float(avgdl)))
+            ),
+        )
+        .withColumn("impact_key", key)
+        .select("term", "doc_id", "contrib", "impact_key")
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("impact_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        contrib.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= m)
+        .select("term", "doc_id", "contrib")
+    )
+
+
+def impact_topk(
+    pruned: DataFrame,
+    qterms: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k over the pruned impact table: ``qterms`` = (qid, term) joins
+    broadcast against the pruned postings, scores sum per (qid, doc).
+    Returns (qid, rank, doc_id, score) — the score of a surviving doc is
+    its full-corpus BM25 restricted to surviving (term, doc) postings."""
+    scores = (
+        pruned.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )

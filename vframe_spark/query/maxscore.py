@@ -1,0 +1,233 @@
+"""Distributed block-max MAXSCORE top-k over the compressed posting index.
+
+MAXSCORE (Turtle & Flood 1995; the default dynamic-pruning strategy in
+Lucene 8+) splits the query's terms into *essential* and *non-essential*
+sets by their score upper bounds: once the running top-k threshold θ
+exceeds the summed bounds of the lowest-impact terms, those lists stop
+generating candidates — a doc appearing ONLY in non-essential lists
+cannot reach θ — and are consulted only to complete the scores of docs
+surfaced by the essential lists. This is the complementary strategy to
+WAND (query/wand.py): WAND orders *segments* by bound and stops; MAXSCORE
+orders *terms* by bound and demotes. Both are exact.
+
+Execution shape (scale-first, same as wand.py):
+
+1. The tiny query-term table broadcasts against the posting-block table
+   behind an ``isin`` + bucket pushdown, so the parquet scan reads only
+   the query's terms' blocks.
+2. Blocks group by ``(qid, shard)``; shards are doc-id ranges, so each
+   Arrow group computes an exact local top-k doc-at-a-time.
+3. Inside a group the classic algorithm runs **doc-at-a-time in
+   ascending doc order** over block-aligned segments:
+   - terms sort ascending by their global score bound; the non-essential
+     prefix is the longest one whose summed bounds stay strictly below
+     θ − ε (conservative under ties — same ε discipline as wand.py);
+   - a whole segment is skipped when its block-max bound sum is below
+     θ − ε (the "block-max" in block-max MAXSCORE) — its varint decode
+     cost never happens;
+   - candidates are the union of the ESSENTIAL lists' postings in the
+     segment; non-essential blocks are decoded only when candidates
+     exist, and only to complete those candidates' scores via binary
+     search.
+4. Per-shard partials (≤ k rows) shuffle once for the global windowed
+   top-k with tie-break (score DESC, doc_id ASC).
+
+Per-doc contributions accumulate in sorted-term order — the same order
+wand.py and the pure-Python oracle use — so scores are bitwise-equal to
+both and the ranking is **rank-identical** to WAND and exhaustive BM25
+(asserted in tests/test_maxscore.py and by the ft_bm25_maxscore contract
+query's shared DuckDB oracle).
+
+Reference parity: bounded top-k ≙ classification top-k
+(/root/reference/src/vframe/image/processors/base.py:132-146).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.codec import for_decode, pfor_delta_decode
+from ..oracle import B, K1, parse_query_terms
+from .bm25 import idf_value, topk
+from .wand import _EPS, PARTIAL_SCHEMA, _bound, _kth_best
+
+
+def _local_topk_maxscore(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
+    """Exact top-k for one (qid, shard) group, block-max MAXSCORE order."""
+    qid = int(pdf["qid"].iloc[0])
+    empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
+        {"qid": "int32", "doc_id": "int64", "score": "float64"}
+    )
+    # Terms in sorted order: per-doc accumulation below walks this list,
+    # so sums associate exactly like wand.py / the oracle (bitwise-equal).
+    terms = sorted(pdf["term"].unique())
+    per_term = []
+    firsts_all, lasts_all = [], []
+    for t in terms:
+        g = pdf[pdf["term"] == t].sort_values("block")
+        firsts = g["first_doc"].to_numpy(np.int64)
+        lasts = g["last_doc"].to_numpy(np.int64)
+        ub = _bound(
+            float(g["idf"].iloc[0]),
+            g["max_tf"].to_numpy(np.int64),
+            g["min_dl"].to_numpy(np.int64),
+            avgdl,
+        )
+        per_term.append(
+            {
+                "idf": float(g["idf"].iloc[0]),
+                "firsts": firsts,
+                "lasts": lasts,
+                "ub": ub,
+                "ns": g["n"].to_numpy(np.int64),
+                "doc_ids": g["doc_ids"].tolist(),
+                "tfs": g["tfs"].tolist(),
+                "dls": g["dls"].tolist(),
+                "cache": {},
+            }
+        )
+        firsts_all.append(firsts)
+        lasts_all.append(lasts)
+
+    bounds = np.unique(np.concatenate(firsts_all + [np.concatenate(lasts_all) + 1]))
+    seg_lo, seg_hi = bounds[:-1], bounds[1:]  # segment = [lo, hi)
+    n_seg = seg_lo.size
+    if n_seg == 0:
+        return empty
+
+    # Covering block per (term, segment) + per-segment block-max bound.
+    nt = len(terms)
+    cover = np.full((nt, n_seg), -1, dtype=np.int64)
+    ub_blk = np.zeros((nt, n_seg), dtype=np.float64)
+    for ti, t in enumerate(per_term):
+        blk = np.searchsorted(t["firsts"], seg_lo, side="right") - 1
+        ok = (blk >= 0) & (seg_lo <= t["lasts"][np.clip(blk, 0, None)])
+        cover[ti, ok] = blk[ok]
+        ub_blk[ti, ok] = t["ub"][blk[ok]]
+    ub_seg = ub_blk.sum(axis=0)
+
+    # MAXSCORE term order: ascending GLOBAL bound (max over the term's
+    # blocks in this shard). `cum[i]` = summed bounds of the i lowest-
+    # impact terms — the largest score a doc absent from every list
+    # above the split can reach.
+    term_ub = np.array([float(t["ub"].max()) for t in per_term])
+    by_ub = np.argsort(term_ub, kind="mergesort")  # ascending, stable
+    cum = np.concatenate(([0.0], np.cumsum(term_ub[by_ub])))
+
+    def decode(t: dict, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = t["cache"].get(bi)
+        if hit is None:
+            n = int(t["ns"][bi])
+            ids = pfor_delta_decode(t["doc_ids"][bi], n, int(t["firsts"][bi])).astype(
+                np.int64
+            )
+            tf = for_decode(t["tfs"][bi], n).astype(np.float64)
+            dl = for_decode(t["dls"][bi], n).astype(np.float64)
+            contrib = t["idf"] * (
+                (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            )
+            hit = (ids, contrib)
+            t["cache"][bi] = hit
+        return hit
+
+    cand_ids: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    n_cand = 0
+    theta = -np.inf
+
+    # Doc-at-a-time: segments in ascending doc order; θ only grows, so
+    # every skip below is conservative w.r.t. the final threshold.
+    for si in range(n_seg):
+        if n_cand >= k and ub_seg[si] < theta - _EPS:
+            continue  # block-max segment skip: nothing here can compete
+        # Essential split: drop the longest low-bound prefix whose summed
+        # bounds sit strictly below θ − ε. Strict + ε keeps potential
+        # θ-ties (which can win on the doc_id tie-break) in play.
+        split = 0
+        if n_cand >= k:
+            split = int(np.searchsorted(cum, theta - _EPS, side="left")) - 1
+            split = max(0, min(split, nt - 1))  # ≥1 essential term always
+        ess = by_ub[split:]
+        lo, hi = int(seg_lo[si]), int(seg_hi[si])
+        # Candidate generation from essential lists only.
+        parts = []
+        for ti in ess:
+            bi = int(cover[ti, si])
+            if bi < 0:
+                continue
+            ids, _ = decode(per_term[ti], bi)
+            a, z = np.searchsorted(ids, lo), np.searchsorted(ids, hi)
+            if z > a:
+                parts.append(ids[a:z])
+        if not parts:
+            continue
+        uniq = np.unique(np.concatenate(parts))
+        # Score completion over ALL terms, in sorted-term order (ti
+        # ascending == term-sorted), binary-searching each list once.
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        for ti in range(nt):
+            bi = int(cover[ti, si])
+            if bi < 0:
+                continue
+            ids, contrib = decode(per_term[ti], bi)
+            pos = np.searchsorted(ids, uniq)
+            hitm = (pos < ids.size) & (ids[np.clip(pos, 0, ids.size - 1)] == uniq)
+            scores[hitm] += contrib[pos[hitm]]
+        cand_ids.append(uniq)
+        cand_scores.append(scores)
+        n_cand += uniq.size
+        if n_cand >= k:
+            theta = _kth_best(cand_scores, k)
+
+    if not cand_ids:
+        return empty
+    ids = np.concatenate(cand_ids)
+    scores = np.concatenate(cand_scores)
+    sel = np.lexsort((ids, -scores))[:k]
+    return pd.DataFrame({"qid": qid, "doc_id": ids[sel], "score": scores[sel]})
+
+
+def bm25_topk_maxscore(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Batch BM25 top-k via block-max MAXSCORE. Returns (qid, rank,
+    doc_id, score), rank-identical to ``bm25_topk_wand(mode="or")`` —
+    the two strategies prune differently but score the same docs with
+    the same accumulation order."""
+    spark: SparkSession = postings.sparkSession
+    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    rows = [(qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))]
+    if not rows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    all_terms = sorted({t for _, t in rows})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(all_terms)).collect()
+    }
+    qstat_rows = [(qid, t, idf_value(n_docs, dfs[t])) for qid, t in rows if t in dfs]
+    if not qstat_rows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    qstats = spark.createDataFrame(qstat_rows, "qid int, term string, idf double")
+    pruned = postings
+    if "bucket" in postings.columns and meta.get("term_buckets"):
+        from ..index.build import term_bucket_py
+
+        nb = int(meta["term_buckets"])
+        buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+        pruned = postings.filter(F.col("bucket").isin(buckets))
+    matched = pruned.filter(F.col("term").isin(all_terms)).join(
+        F.broadcast(qstats), "term"
+    )
+    partials = matched.groupBy("qid", "shard").applyInPandas(
+        lambda pdf: _local_topk_maxscore(pdf, k, avgdl), PARTIAL_SCHEMA
+    )
+    return topk(partials, k)
