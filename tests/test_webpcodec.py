@@ -1,0 +1,253 @@
+"""VP8L WebP codec (functions/webpcodec.py): lossless round-trip,
+spec-structural pins, decoder-superset paths, and fuzz.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vframe_spark.functions.webpcodec import (
+    _BitReader,
+    _BitWriter,
+    _canonical_codes,
+    _code_lengths,
+    _DIST_MAP,
+    _PrefixTree,
+    decode_webp,
+    decode_webp_gray,
+    encode_webp,
+)
+
+
+def _gray(seed, h=23, w=31):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def test_bit_io_round_trip():
+    bw = _BitWriter()
+    vals = [(0x2F, 8), (16383, 14), (0, 1), (5, 3), (1, 1), (0x155, 10)]
+    for v, n in vals:
+        bw.write_bits(v, n)
+    br = _BitReader(bw.bytes())
+    for v, n in vals:
+        assert br.read_bits(v.bit_length() if False else n) == v
+
+
+def test_container_and_header_structure():
+    """RIFF/WEBP/VP8L framing and the 14-bit dims are spec-pinned."""
+    img = _gray(1, h=17, w=40)
+    data = encode_webp(img)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP" and data[12:16] == b"VP8L"
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    payload_len = struct.unpack("<I", data[16:20])[0]
+    assert len(data) == 20 + payload_len + (payload_len & 1)
+    br = _BitReader(data[20:])
+    assert br.read_bits(8) == 0x2F
+    assert br.read_bits(14) + 1 == 40  # width
+    assert br.read_bits(14) + 1 == 17  # height
+    br.read_bits(1)  # alpha hint
+    assert br.read_bits(3) == 0  # version
+
+
+def test_round_trip_gray_and_rgb():
+    g = _gray(2)
+    rgba = decode_webp(encode_webp(g))
+    assert np.array_equal(rgba[..., 0], g)
+    assert np.array_equal(rgba[..., 1], g)
+    assert np.array_equal(rgba[..., 2], g)
+    assert np.all(rgba[..., 3] == 255)
+    assert np.array_equal(decode_webp_gray(encode_webp(g)), g)
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    out = decode_webp(encode_webp(rgb))
+    assert np.array_equal(out[..., :3], rgb)
+
+
+def test_round_trip_degenerate_images():
+    # constant image → every channel is a 1-symbol simple code
+    c = np.full((5, 7), 42, dtype=np.uint8)
+    assert np.array_equal(decode_webp_gray(encode_webp(c)), c)
+    # two-valued image → 2-symbol simple codes
+    b = (np.indices((6, 6)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    assert np.array_equal(decode_webp_gray(encode_webp(b)), b)
+    # 1×1
+    one = np.array([[7]], dtype=np.uint8)
+    assert np.array_equal(decode_webp_gray(encode_webp(one)), one)
+    # uniform-length degenerate: 256 equally-frequent values → all CL
+    # lengths equal → zero-bit trivial code-length code
+    ramp = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    assert np.array_equal(decode_webp_gray(encode_webp(ramp)), ramp)
+
+
+def test_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        encode_webp(np.zeros((2, 2, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFFxxxxNOPE" + b"\x00" * 24)
+    good = encode_webp(_gray(4, 4, 4))
+    with pytest.raises(ValueError):
+        decode_webp(good[:12] + b"VP8 " + good[16:])
+
+
+def test_canonical_code_assignment_matches_deflate_rule():
+    # lengths [2,1,3,3] → canonical: sym1=0b0; sym0=0b10; sym2=0b110; sym3=0b111
+    codes = _canonical_codes([2, 1, 3, 3])
+    assert codes == {1: (0, 1), 0: (2, 2), 2: (6, 3), 3: (7, 3)}
+
+
+def test_package_merge_limits_and_kraft():
+    freqs = {i: 2**i for i in range(16)}  # exponentials → deep tree unlimited
+    lengths = _code_lengths(freqs, max_len=8)
+    assert max(lengths) <= 8
+    assert sum(2 ** -l for l in lengths if l) == 1.0
+
+
+def test_decoder_superset_repeats_and_max_symbol():
+    """Streams using CL runs (17/18) and max_symbol — which our encoder
+    never emits — decode correctly: hand-built bitstream."""
+    bw = _BitWriter()
+    # complex code, alphabet 8: lengths [1,2,2,0,0,0,0,0] via runs
+    bw.write_bits(0, 1)  # complex
+    bw.write_bits(19 - 4, 4)
+    # CL code: symbols {1:len1, 2:len2, 18:len2} — canonical: 1→0, 2→10, 18→11
+    cl = {1: 1, 2: 2, 18: 2}
+    from vframe_spark.functions.webpcodec import _CLC_ORDER
+
+    for sym in _CLC_ORDER:
+        bw.write_bits(cl.get(sym, 0), 3)
+    bw.write_bits(0, 1)  # no max_symbol
+    codes = {1: (0, 1), 2: (2, 2), 18: (3, 2)}
+    for s in (1, 2, 2):  # lengths 1, 2, 2 for symbols 0..2
+        bw.write_code(*codes[s])
+    bw.write_code(*codes[18])  # repeat-zero long run
+    bw.write_bits(0, 7)  # 11 + 0 zeros → fills the rest (alphabet 8)
+    br = _BitReader(bw.bytes())
+    tree = _read_tree(br, 8)
+    # decode symbols: 0→'0', 1→'10', 2→'11'
+    bw2 = _BitWriter()
+    for bits in ("0", "10", "11", "0"):
+        for ch in bits:
+            bw2.write_bits(int(ch), 1)
+    br2 = _BitReader(bw2.bytes())
+    assert [tree.read(br2) for _ in range(4)] == [0, 1, 2, 0]
+
+
+def _read_tree(br, alphabet):
+    from vframe_spark.functions.webpcodec import _read_prefix_code
+
+    return _read_prefix_code(br, alphabet)
+
+
+def test_decoder_color_cache_and_backrefs():
+    """Hand-built VP8L stream with a color cache and an LZ77 backref:
+    1×4 image = [A, B, A(cache or backref), B]."""
+    bw = _BitWriter()
+    bw.write_bits(0x2F, 8)
+    bw.write_bits(3, 14)  # width 4
+    bw.write_bits(0, 14)  # height 1
+    bw.write_bits(0, 1)
+    bw.write_bits(0, 3)
+    bw.write_bits(0, 1)  # no transforms
+    bw.write_bits(1, 1)  # color cache present
+    bw.write_bits(2, 4)  # cache bits = 2 (4 entries)
+    bw.write_bits(0, 1)  # no meta prefix
+    # green alphabet = 280 + 4; used green symbols: 10, 20 (literals),
+    # 256 (length code 0), cache hits 280+idx — give idx both A and B
+    # entries; simplest: use lengths with symbols {10,20,256} + cache
+    # for A. Compute cache slots for A and B:
+    A = (255 << 24) | (1 << 16) | (10 << 8) | 3
+    B = (255 << 24) | (2 << 16) | (20 << 8) | 4
+    slotA = (0x1E35A7BD * A & 0xFFFFFFFF) >> 30
+    slotB = (0x1E35A7BD * B & 0xFFFFFFFF) >> 30
+    # pixels: lit A, lit B, backref(len1, dist2), cache(slot of B)
+    if slotA == slotB:
+        pytest.skip("cache slot collision made the hand stream ambiguous")
+    green_syms = {10: None, 20: None, 256: None, 280 + slotA: None}
+    glens = [0] * 284
+    for i, s in enumerate(sorted(green_syms)):
+        glens[s] = 2
+    _write_tree(bw, glens, 284)
+    _write_tree(bw, _mk_lengths({1: 1, 2: 1}, 256), 256)  # red
+    _write_tree(bw, _mk_lengths({3: 1, 4: 1}, 256), 256)  # blue
+    _write_tree(bw, _mk_lengths({255: 1}, 256), 256)  # alpha (trivial)
+    _write_tree(bw, _mk_lengths({1: 1}, 40), 40)  # distance: code 1 → d=2
+    gc = _canonical_codes(glens)
+    rc = _canonical_codes(_mk_lengths({1: 1, 2: 1}, 256))
+    bc = _canonical_codes(_mk_lengths({3: 1, 4: 1}, 256))
+    # pixel 1: literal A (g=10, r=1, b=3; alpha trivial)
+    bw.write_code(*gc[10]); bw.write_code(*rc[1]); bw.write_code(*bc[3])
+    # pixel 2: literal B
+    bw.write_code(*gc[20]); bw.write_code(*rc[2]); bw.write_code(*bc[4])
+    # pixel 3: backref length code 256 (length prefix 0 → len 1), dist
+    # code 1 → prefixed value 2 → _DIST_MAP[1] = (1, 0) → dist 1? No:
+    # draw=2 → map[1]=(1,0) → dist = 0*4+1 = 1 → copies pixel 2 (B)...
+    # we want A: draw must be 2 → dist 2: map[draw-1]... pick dist code
+    # s.t. prefixed value v maps to linear distance 2: map[v-1]=(0,1)?
+    # v=1 → map[0]=(0,1) → dist=1*4+0=4 (row above; out of range).
+    # Use v=2 → (1,0) → dist=1 = previous pixel (B). Then cache-hit A.
+    bw.write_code(*gc[256])  # length prefix code 0 → length 1
+    # distance tree is trivial (single symbol 1) → zero bits; draw =
+    # prefixed(1) = 2 → (1,0) → dist 1 → copies B
+    # pixel 4: cache hit on A
+    bw.write_code(*gc[280 + slotA]) if (280 + slotA) in gc else None
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    if (280 + slotA) not in gc:
+        pytest.skip("cache slot collision made the hand stream ambiguous")
+    out = decode_webp(data)
+    assert out.shape == (1, 4, 4)
+    # A=(1,10,3), B=(2,20,4); pixel3 copies B (dist 1), pixel4 cache-A
+    assert out[0, 0].tolist() == [1, 10, 3, 255]
+    assert out[0, 1].tolist() == [2, 20, 4, 255]
+    assert out[0, 2].tolist() == [2, 20, 4, 255]
+    assert out[0, 3].tolist() == [1, 10, 3, 255]
+
+
+def _mk_lengths(spec, size):
+    out = [0] * size
+    n = len(spec)
+    for s, l in spec.items():
+        out[s] = l if n > 1 else 1
+    return out
+
+
+def _write_tree(bw, lengths, alphabet):
+    from vframe_spark.functions.webpcodec import _write_prefix_code
+
+    used = [s for s, l in enumerate(lengths) if l > 0]
+    if len(used) <= 2:
+        _write_prefix_code(bw, lengths, alphabet)
+    else:
+        _write_prefix_code(bw, lengths, alphabet)
+
+
+def test_pil_cross_decode():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _gray(9, 12, 15)
+    ref = np.asarray(PIL.open(io.BytesIO(encode_webp(img))).convert("L"))
+    assert np.array_equal(ref, img)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_fuzz_round_trip(h, w, seed):
+        img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(decode_webp_gray(encode_webp(img)), img)
+
+except ImportError:  # pragma: no cover
+    pass

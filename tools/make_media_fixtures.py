@@ -29,6 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vframe_spark.functions.imagecodec import encode_bmp, encode_png, rgb_to_gray
+from vframe_spark.functions.webpcodec import encode_webp
 from vframe_spark.operators.multimodal import hog_descriptor
 from vframe_spark.operators.transforms import IMAGE_TRANSFORMS
 
@@ -55,16 +56,24 @@ def _pixels(i: int, width: int, height: int, channels: int) -> np.ndarray:
     return flat.reshape((height, width) if channels == 1 else (height, width, channels))
 
 
+_ENCODERS = {"png": encode_png, "bmp": encode_bmp, "webp": encode_webp}
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
+    # drop stale fixtures: the reader globs img_* regardless of
+    # extension, so a codec-cycle change must not leave old files behind
+    for old in os.listdir(OUT):
+        if old.startswith("img_"):
+            os.unlink(os.path.join(OUT, old))
     manifest = []
     for i in range(N):
         w = 16 + (i % 5) * 8
         h = 16 + (i % 3) * 8
         rgb = i % 4 >= 2
-        codec = "png" if i % 2 == 0 else "bmp"
+        codec = ("png", "bmp", "webp")[i % 3]
         src = _pixels(i, w, h, 3 if rgb else 1)
-        data = encode_png(src) if codec == "png" else encode_bmp(src)
+        data = _ENCODERS[codec](src)
         name = f"img_{i:05d}.{codec}"
         with open(os.path.join(OUT, name), "wb") as fh:
             fh.write(data)

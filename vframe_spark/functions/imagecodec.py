@@ -40,13 +40,15 @@ BMP_MAGIC = b"BM"
 
 
 def sniff_codec(data: bytes) -> str | None:
-    """'png' | 'bmp' | 'jpg' | None from magic bytes."""
+    """'png' | 'bmp' | 'jpg' | 'webp' | None from magic bytes."""
     if data[:8] == PNG_MAGIC:
         return "png"
     if data[:2] == BMP_MAGIC:
         return "bmp"
     if data[:3] == b"\xff\xd8\xff":
         return "jpg"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -272,6 +274,10 @@ def decode_image_bytes(data: bytes) -> tuple[np.ndarray, str]:
         from .jpegcodec import decode_jpeg_gray
 
         return decode_jpeg_gray(bytes(data)), "jpg"
+    if codec == "webp":
+        from .webpcodec import decode_webp
+
+        return decode_webp(bytes(data)), "webp"
     raise ValueError("decode_image_bytes: unknown image magic")
 
 

@@ -1,0 +1,497 @@
+"""Pure-stdlib lossless WebP (VP8L) codec: encode + decode.
+
+Closes the engine's LAST codec stand-in (`compress-webp`,
+operators/transforms.py): media payloads ride Spark as opaque
+``binary`` columns and are decoded inside Arrow-batched passes by this
+module — no image library in the container. Reference degrade
+semantics: /root/reference/src/vframe/utils/im_utils.py:151-157
+(WebP quality round-trip) — re-expressed as a real RIFF/VP8L bitstream,
+not a port.
+
+Encoder (spec-conformant subset, mirroring the baseline-JPEG scoping in
+functions/jpegcodec.py):
+
+* RIFF/WEBP container with one VP8L chunk.
+* No transforms, no color cache, no meta-prefix image, literal-only
+  (no LZ77 back-references): each pixel emits its green, red, blue and
+  alpha symbols through four canonical length-limited prefix codes
+  (package-merge, 15-bit cap); the unused distance code is written as
+  a 1-symbol simple code. Channels with ≤2 distinct values use the
+  spec's simple-code form.
+* Code lengths are transmitted through the code-length code (complex
+  form) without run-length symbols (16/17/18 unused, ``max_symbol``
+  absent) — larger headers than libwebp would emit, but every bit is
+  plain spec.
+
+Decoder: full prefix-code reader (simple + complex forms incl. the
+16/17/18 repeats and ``max_symbol``), color-cache support, LZ77
+length/distance decoding with the 120-entry 2D neighbour map — i.e. a
+superset of what the encoder emits; pixel transforms and meta-prefix
+images raise ``ValueError`` (the encoder never produces them).
+
+Bit discipline (the part that bites): the stream packs bits LSB-first
+within bytes; ``ReadBits(n)`` assembles LSB-first; prefix-code bits are
+consumed one at a time walking the canonical tree, first-read bit =
+MSB of the canonical code (so the writer emits each code MSB-first
+through the LSB-first bit packer — libwebp stores codes pre-reversed
+for the same reason).
+
+Determinism contract: ``decode(encode(a)) == a`` bit-for-bit for every
+uint8 gray or RGB array (round-trip + hypothesis fuzz in
+tests/test_webpcodec.py); a PIL cross-decode test runs wherever PIL
+with WebP support exists (skipped in this container, same standing as
+the JPEG codec's).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WEBP_MAGIC_RIFF = b"RIFF"
+WEBP_MAGIC_WEBP = b"WEBP"
+VP8L_TAG = b"VP8L"
+VP8L_SIGNATURE = 0x2F
+
+# code-length-code transmission order (spec §"Decoding the Code Lengths")
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_GREEN_ALPHABET = 256 + 24  # literals + length prefix codes (no cache)
+_DIST_ALPHABET = 40
+
+# 2D neighbour map for distance codes 1..120 (spec "Distance Mapping"):
+# (dx, dy) pairs, dy in 0..7, dx in -8..7, ordered by dy*16+|dx|-ish —
+# the canonical published table.
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+# --------------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    """LSB-first bit packer (VP8L stream order)."""
+
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write_bits(self, value: int, n: int) -> None:
+        """Append ``n`` bits of ``value``, LSB of value first."""
+        self._acc |= (value & ((1 << n) - 1)) << self._n
+        self._n += n
+        while self._n >= 8:
+            self._out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Append a canonical prefix code MSB-first (tree-walk order)."""
+        for i in range(length - 1, -1, -1):
+            self.write_bits((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytes(self._out)
+        if self._n:
+            out += bytes([self._acc & 0xFF])
+        return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 0  # bit position
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self._d[self._pos >> 3]
+            v |= ((byte >> (self._pos & 7)) & 1) << i
+            self._pos += 1
+        return v
+
+
+# ------------------------------------------------- canonical prefix codes
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), canonical (DEFLATE/VP8L) assignment."""
+    pairs = sorted(
+        (length, sym) for sym, length in enumerate(lengths) if length > 0
+    )
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for length, sym in pairs:
+        code <<= length - prev_len
+        codes[sym] = (code, length)
+        code += 1
+        prev_len = length
+    return codes
+
+
+class _PrefixTree:
+    """Bit-at-a-time canonical decoder; zero-bit trivial code for a
+    single-symbol alphabet (the spec's degenerate case)."""
+
+    __slots__ = ("trivial", "_map", "_maxlen")
+
+    def __init__(self, lengths: list[int]) -> None:
+        used = [(s, l) for s, l in enumerate(lengths) if l > 0]
+        if not used:
+            raise ValueError("prefix code with no symbols")
+        if len(used) == 1:
+            self.trivial = used[0][0]
+            self._map = {}
+            self._maxlen = 0
+            return
+        self.trivial = None
+        codes = _canonical_codes(lengths)
+        # kraft completeness check (reject corrupt/ambiguous codes)
+        kraft = sum(1 / (1 << l) for _, l in codes.values())
+        if abs(kraft - 1.0) > 1e-12:
+            raise ValueError(f"incomplete prefix code (kraft={kraft})")
+        self._map = {(c, l): s for s, (c, l) in codes.items()}
+        self._maxlen = max(l for _, l in codes.values())
+
+    def read(self, br: _BitReader) -> int:
+        if self.trivial is not None:
+            return self.trivial
+        code = 0
+        for length in range(1, self._maxlen + 1):
+            code = (code << 1) | br.read_bits(1)
+            sym = self._map.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code in stream")
+
+
+def _package_merge(
+    freqs: dict[int, int], used: list[int], max_len: int
+) -> list[int]:
+    """Optimal length-limited prefix-code lengths (package-merge).
+    Optimal length-limited codes are complete (Kraft sum exactly 1),
+    which the decoder's tree builder asserts."""
+    n = len(used)
+    if (1 << max_len) < n:
+        raise ValueError("alphabet too large for length cap")
+    items = sorted((freqs[s], (s,)) for s in used)
+    level = list(items)
+    for _ in range(max_len - 1):
+        packaged = [
+            (level[i][0] + level[i + 1][0], level[i][1] + level[i + 1][1])
+            for i in range(0, len(level) - 1, 2)
+        ]
+        level = sorted(items + packaged)
+    counts = {s: 0 for s in used}
+    for _, syms in level[: 2 * n - 2]:
+        for s in syms:
+            counts[s] += 1
+    lengths = [0] * (max(used) + 1)
+    for s in used:
+        lengths[s] = counts[s]
+    return lengths
+
+
+def _code_lengths(freqs: dict[int, int], max_len: int = 15) -> list[int] | None:
+    used = sorted(s for s, f in freqs.items() if f > 0)
+    if not used:
+        return None
+    if len(used) == 1:
+        out = [0] * (used[0] + 1)
+        out[used[0]] = 1
+        return out
+    return _package_merge({s: freqs[s] for s in used}, used, max_len)
+
+
+# ---------------------------------------------------------- code writing
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths: list[int] | None, alphabet_size: int
+) -> None:
+    """Emit one prefix code. ≤2 used symbols → simple form; else the
+    code-length-code complex form (no 16/17/18 runs, no max_symbol)."""
+    used = (
+        [(s, l) for s, l in enumerate(lengths) if l > 0] if lengths else []
+    )
+    if not used:
+        # channel never read by the decoder (e.g. distance with no
+        # backrefs must still be present): 1-symbol simple code on 0
+        used = [(0, 1)]
+        lengths = None  # force simple
+    if lengths is None or len(used) <= 2:
+        bw.write_bits(1, 1)  # simple
+        syms = [s for s, _ in used]
+        bw.write_bits(len(syms) - 1, 1)
+        if syms[0] >= 2:
+            bw.write_bits(1, 1)  # first symbol in 8 bits
+            bw.write_bits(syms[0], 8)
+        else:
+            bw.write_bits(0, 1)
+            bw.write_bits(syms[0], 1)
+        if len(syms) == 2:
+            bw.write_bits(syms[1], 8)
+        return
+    bw.write_bits(0, 1)  # complex
+    # code-length code over the VALUE histogram of `lengths` (0 = absent)
+    clc_freq: dict[int, int] = {}
+    full = list(lengths) + [0] * (alphabet_size - len(lengths))
+    for v in full:
+        clc_freq[v] = clc_freq.get(v, 0) + 1
+    clc_lengths = _code_lengths(clc_freq, max_len=7)
+    assert clc_lengths is not None
+    clc_full = list(clc_lengths) + [0] * (19 - len(clc_lengths))
+    bw.write_bits(19 - 4, 4)  # num_code_lengths = 19
+    for sym in _CLC_ORDER:
+        bw.write_bits(clc_full[sym], 3)
+    bw.write_bits(0, 1)  # no max_symbol: read all alphabet_size lengths
+    if len(set(v for v in full)) == 1:
+        # degenerate: every symbol same length — zero-bit trivial CL code
+        return
+    clc_codes = _canonical_codes(clc_full)
+    for v in full:
+        c, l = clc_codes[v]
+        bw.write_code(c, l)
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
+    if br.read_bits(1):  # simple
+        num_symbols = br.read_bits(1) + 1
+        if br.read_bits(1):
+            sym0 = br.read_bits(8)
+        else:
+            sym0 = br.read_bits(1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 2:
+            sym1 = br.read_bits(8)
+            # first-listed symbol gets bit 0: encode via canonical order
+            # only when sym0 < sym1; otherwise build the map directly
+            tree = _PrefixTree.__new__(_PrefixTree)
+            tree.trivial = None
+            tree._map = {(0, 1): sym0, (1, 1): sym1}
+            tree._maxlen = 1
+            return tree
+        lengths[sym0] = 1
+        return _PrefixTree(lengths)
+    num_code_lengths = 4 + br.read_bits(4)
+    clc_full = [0] * 19
+    for i in range(num_code_lengths):
+        clc_full[_CLC_ORDER[i]] = br.read_bits(3)
+    if br.read_bits(1):  # max_symbol present
+        length_nbits = 2 + 2 * br.read_bits(3)
+        max_symbol = 2 + br.read_bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    clc_tree = _PrefixTree(clc_full)
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    sym = 0
+    while sym < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = clc_tree.read(br)
+        if s < 16:
+            lengths[sym] = s
+            sym += 1
+            if s != 0:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + br.read_bits(2)
+            for _ in range(rep):
+                if sym < alphabet_size:
+                    lengths[sym] = prev_len
+                    sym += 1
+        elif s == 17:
+            sym += 3 + br.read_bits(3)
+        else:  # 18
+            sym += 11 + br.read_bits(7)
+    return _PrefixTree(lengths)
+
+
+# --------------------------------------------------------------- encoder
+
+
+def encode_webp(img: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → lossless WebP bytes."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        r = g = b = a
+    elif a.ndim == 3 and a.shape[2] == 3:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    h, w = a.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError(f"dims out of VP8L range: {w}x{h}")
+    bw = _BitWriter()
+    bw.write_bits(VP8L_SIGNATURE, 8)
+    bw.write_bits(w - 1, 14)
+    bw.write_bits(h - 1, 14)
+    bw.write_bits(0, 1)  # alpha hint: none
+    bw.write_bits(0, 3)  # version 0
+    bw.write_bits(0, 1)  # no transforms
+    bw.write_bits(0, 1)  # no color cache
+    bw.write_bits(0, 1)  # no meta prefix image
+
+    gl = g.ravel()
+    rl = r.ravel()
+    bl = b.ravel()
+
+    def hist(vals: np.ndarray) -> dict[int, int]:
+        u, c = np.unique(vals, return_counts=True)
+        return {int(s): int(n) for s, n in zip(u, c)}
+
+    g_len = _code_lengths(hist(gl))
+    r_len = _code_lengths(hist(rl))
+    b_len = _code_lengths(hist(bl))
+    a_len = [0] * 255 + [1]  # alpha constant 255 → 1-symbol simple code
+    _write_prefix_code(bw, g_len, _GREEN_ALPHABET)
+    _write_prefix_code(bw, r_len, 256)
+    _write_prefix_code(bw, b_len, 256)
+    _write_prefix_code(bw, a_len, 256)
+    _write_prefix_code(bw, None, _DIST_ALPHABET)  # unused distance code
+
+    g_codes = _canonical_codes(list(g_len) + [0] * (_GREEN_ALPHABET - len(g_len)))
+    r_codes = _canonical_codes(r_len)
+    b_codes = _canonical_codes(b_len)
+    g_single = len(g_codes) == 1
+    r_single = len(r_codes) == 1
+    b_single = len(b_codes) == 1
+    # (alpha single by construction — zero bits per pixel)
+    for i in range(gl.size):
+        if not g_single:
+            c, l = g_codes[int(gl[i])]
+            bw.write_code(c, l)
+        if not r_single:
+            c, l = r_codes[int(rl[i])]
+            bw.write_code(c, l)
+        if not b_single:
+            c, l = b_codes[int(bl[i])]
+            bw.write_code(c, l)
+    payload = bw.bytes()
+    chunk = VP8L_TAG + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = WEBP_MAGIC_RIFF + struct.pack("<I", 4 + len(chunk)) + WEBP_MAGIC_WEBP + chunk
+    return riff
+
+
+# --------------------------------------------------------------- decoder
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Lossless WebP bytes → (h, w, 4) RGBA uint8 (full VP8L subset:
+    simple/complex codes, color cache, LZ77 backrefs; transforms and
+    meta-prefix images raise)."""
+    if data[:4] != WEBP_MAGIC_RIFF or data[8:12] != WEBP_MAGIC_WEBP:
+        raise ValueError("not a WebP (RIFF/WEBP) stream")
+    if data[12:16] != VP8L_TAG:
+        raise ValueError(f"unsupported WebP chunk {data[12:16]!r} (VP8L only)")
+    size = struct.unpack("<I", data[16:20])[0]
+    br = _BitReader(data[20 : 20 + size])
+    if br.read_bits(8) != VP8L_SIGNATURE:
+        raise ValueError("bad VP8L signature")
+    w = br.read_bits(14) + 1
+    h = br.read_bits(14) + 1
+    br.read_bits(1)  # alpha hint
+    if br.read_bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    if br.read_bits(1):
+        raise ValueError("VP8L transforms not supported by this decoder")
+    cache_bits = 0
+    cache = None
+    if br.read_bits(1):
+        cache_bits = br.read_bits(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError(f"bad color cache bits {cache_bits}")
+        cache = np.zeros(1 << cache_bits, dtype=np.uint32)
+    if br.read_bits(1):
+        raise ValueError("meta prefix image not supported by this decoder")
+    green_alpha = _GREEN_ALPHABET + (1 << cache_bits if cache_bits else 0)
+    t_green = _read_prefix_code(br, green_alpha)
+    t_red = _read_prefix_code(br, 256)
+    t_blue = _read_prefix_code(br, 256)
+    t_alpha = _read_prefix_code(br, 256)
+    t_dist = _read_prefix_code(br, _DIST_ALPHABET)
+
+    n = w * h
+    out = np.zeros(n, dtype=np.uint32)  # packed ARGB
+    pos = 0
+
+    def cache_insert(px: int) -> None:
+        if cache is not None:
+            cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+    def read_prefixed(code: int) -> int:
+        if code < 4:
+            return code + 1
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        return offset + br.read_bits(extra) + 1
+
+    while pos < n:
+        s = t_green.read(br)
+        if s < 256:
+            red = t_red.read(br)
+            blue = t_blue.read(br)
+            alpha = t_alpha.read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            cache_insert(px)
+            pos += 1
+        elif s < 256 + 24:
+            length = read_prefixed(s - 256)
+            dcode = t_dist.read(br)
+            draw = read_prefixed(dcode)
+            if draw > 120:
+                dist = draw - 120
+            else:
+                dx, dy = _DIST_MAP[draw - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise ValueError("backref out of range")
+            for i in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                cache_insert(px)
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("cache symbol without color cache")
+            px = int(cache[s - 280])
+            out[pos] = px
+            pos += 1
+
+    argb = out.reshape(h, w)
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    rgba[..., 0] = (argb >> 16) & 0xFF
+    rgba[..., 1] = (argb >> 8) & 0xFF
+    rgba[..., 2] = argb & 0xFF
+    rgba[..., 3] = (argb >> 24) & 0xFF
+    return rgba
+
+
+def decode_webp_gray(data: bytes) -> np.ndarray:
+    """Lossless WebP bytes → (h, w) uint8 integer luma."""
+    from .imagecodec import rgb_to_gray
+
+    return rgb_to_gray(decode_webp(data))

@@ -8,8 +8,9 @@ this container has neither, so every kernel here is the same math in
 plain numpy over the engine's grayscale uint8 frames (decode is the
 real stdlib BMP/PNG codec in functions.imagecodec). ``compress-jpg``
 is a REAL baseline-JPEG round-trip (functions.jpegcodec: spec DCT /
-quantization / Huffman); only ``compress-webp`` remains a
-quantization-banding stand-in (VP8 is out of scope), clearly marked.
+quantization / Huffman) and ``compress-webp`` is a REAL VP8L round-trip
+(functions.webpcodec) behind a near-lossless quantization pre-pass —
+no codec stand-ins remain in the registry.
 
 The Spark surface is :func:`apply_transforms`: an Arrow-batched
 ``mapInPandas`` applying a named chain per frame — the `pipe degrade`
@@ -146,11 +147,19 @@ def compress_jpg(im: np.ndarray, fac: float) -> np.ndarray:
 
 
 def compress_webp(im: np.ndarray, fac: float) -> np.ndarray:
-    """STUB CODEC (documented): as compress_jpg with a finer curve
-    (im_utils.py:151-157)."""
+    """REAL WebP degrade (im_utils.py:151-157): pre-quantize the plane
+    on the quality curve (libwebp's near-lossless mode semantics — the
+    loss happens in a deterministic pre-pass), then round-trip through
+    the pure-python VP8L codec (functions.webpcodec — real RIFF/VP8L
+    lossless bitstream in the middle). Pixel outputs are identical to
+    the former quantization stand-in because VP8L is lossless — the
+    difference is that spec-compliant WebP bytes now actually exist."""
+    from ..functions.webpcodec import decode_webp_gray, encode_webp
+
     levels = max(2, int(2 + (1.0 - fac) * 94))
     step = 256.0 / levels
-    return (np.floor(im / step) * step + step / 2).clip(0, 255).astype(np.uint8)
+    q = (np.floor(im / step) * step + step / 2).clip(0, 255).astype(np.uint8)
+    return decode_webp_gray(encode_webp(q))
 
 
 # name → kernel, mirroring im_utils.py:761-775 exactly
