@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
                         "substring-lossless pruning instead of the token index")
     q.add_argument("--negation", action="store_true",
                    help="-term chunks exclude docs containing them (or/and modes)")
+    q.add_argument("--strategy", choices=("wand", "maxscore"), default="wand",
+                   help="dynamic-pruning strategy for mode=or (rank-identical; "
+                        "maxscore demotes low-bound terms, wand orders segments)")
 
     d = sub.add_parser("delete", help="soft-delete docs (tombstones)")
     d.add_argument("--index", required=True)
@@ -425,6 +428,14 @@ def main(argv: list[str] | None = None) -> int:
                     docs, postings, term_stats, meta, queries, k=args.k,
                     content_col=args.content_col, exclude_doc_ids=dead or None,
                 ).collect()
+        elif args.strategy == "maxscore":
+            if args.mode != "or" or args.negation or dead:
+                ap.error("--strategy maxscore supports plain mode=or queries")
+            from vframe_spark.query.maxscore import bm25_topk_maxscore
+
+            rows = bm25_topk_maxscore(
+                postings, term_stats, meta, queries, k=args.k
+            ).collect()
         else:
             rows = bm25_topk_wand(
                 postings, term_stats, meta, queries, k=args.k, mode=args.mode,

@@ -402,11 +402,20 @@ def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> int:
 
 
 def load_tombstones(spark: SparkSession, out_dir: str) -> list[int]:
-    """Sorted distinct tombstoned doc ids ([] when none)."""
+    """Sorted distinct tombstoned doc ids ([] when none).
+
+    Driver-side by design: the set is bounded by deletes-since-last-
+    purge (``SearchIndex.upsert(purge=...)`` folds tombstones away), so
+    it stays small in steady state. Fetched through Arrow as one int64
+    column, not per-row Rows."""
     path = os.path.join(out_dir, "tombstones")
     if not os.path.isdir(path):
         return []
-    return [
-        int(r["doc_id"])
-        for r in spark.read.parquet(path).select("doc_id").distinct().orderBy("doc_id").collect()
-    ]
+    pdf = (
+        spark.read.parquet(path)
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    return pdf["doc_id"].astype("int64").tolist()
