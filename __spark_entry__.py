@@ -589,7 +589,9 @@ def q_ft_impact_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("content")
     )
-    tokens = tokenize_docs(docs, lang_col=None)
+    # cache: the token stream feeds avgdl, the df table, and the rank —
+    # without it the tokenizer would run three times
+    tokens = tokenize_docs(docs, lang_col=None).cache()
     n_docs = docs.count()
     total = (
         tokens.groupBy("doc_id")

@@ -132,3 +132,49 @@ def test_prune_rejects_bad_m(spark, corpus):
     _, tokens, n_docs, avgdl = corpus
     with pytest.raises(ValueError):
         impact_pruned_postings(tokens, n_docs, avgdl, m=0)
+
+
+def test_persisted_impact_index_prunes_partitions(spark, corpus, tmp_path):
+    """The on-disk artifact answers identically to the in-memory table,
+    and the query scan statically prunes to the query terms' bucket
+    directories (probed bucket ids INSIDE the PartitionFilters clause,
+    not just an empty 'PartitionFilters: []')."""
+    from vframe_spark.index.build import term_bucket_py
+    from vframe_spark.index.prune import (
+        impact_index_topk,
+        load_impact_index,
+        write_impact_index,
+    )
+
+    docs, tokens, n_docs, avgdl = corpus
+    m = 16
+    pruned = impact_pruned_postings(tokens, n_docs, avgdl, m=m)
+    out = str(tmp_path / "impact_idx")
+    meta = write_impact_index(pruned, out, m=m, n_docs=n_docs, avgdl=avgdl)
+    assert meta["n_buckets"] == 16
+    impacts, meta2 = load_impact_index(spark, out)
+    assert meta2 == meta
+
+    queries = [(1, "data parse"), (2, "hash table")]
+    got = impact_index_topk(spark, out, queries, k=7)
+    qterms = query_terms_df(spark, queries)
+    expect = impact_topk(pruned, qterms, k=7)
+    a = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 9)) for r in got.collect()}
+    b = {(r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 9)) for r in expect.collect()}
+    assert a == b
+
+    terms = sorted({t for q in ("data parse", "hash table") for t in q.split()})
+    probed = sorted({term_bucket_py(t, 16) for t in terms})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    clauses = []
+    pos = 0
+    while (start := plan.find("PartitionFilters: [", pos)) != -1:
+        end = plan.index("]", start)
+        clauses.append(plan[start + len("PartitionFilters: ["):end])
+        pos = end
+    assert any(
+        "bucket" in pf and all(str(b_) in pf for b_ in probed) for pf in clauses
+    ), (probed, clauses)
+    # absent terms → empty, no crash
+    assert impact_index_topk(spark, out, [(9, "zzznope")], k=3).count() == 0
+    assert impact_index_topk(spark, out, [], k=3).count() == 0

@@ -158,6 +158,20 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("--k", type=int, default=10)
     aq.add_argument("--n-probes", type=int, default=4)
 
+    pb = sub.add_parser("prune-build", help="persist a static impact-pruned "
+                        "index (top-m BM25 impacts per term) over a docs "
+                        "parquet (doc_id + content column)")
+    pb.add_argument("--docs-parquet", required=True)
+    pb.add_argument("--index", required=True)
+    pb.add_argument("--content-col", default="content")
+    pb.add_argument("-m", type=int, default=64, help="postings kept per term")
+
+    pq = sub.add_parser("prune-query", help="BM25 top-k over a persisted "
+                        "impact-pruned index (bounded cost per term)")
+    pq.add_argument("--index", required=True)
+    pq.add_argument("--query", action="append", required=True)
+    pq.add_argument("-k", type=int, default=10)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -359,6 +373,39 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "qid": r["qid"], "rank": r["rank"],
                 "vec_id": r["vec_id"], "cosine": round(r["cosine"], 6),
+            }))
+    elif args.cmd == "prune-build":
+        from pyspark.sql import functions as F
+
+        from vframe_spark.index.build import tokenize_docs
+        from vframe_spark.index.prune import (
+            impact_pruned_postings,
+            write_impact_index,
+        )
+
+        docs = spark.read.parquet(args.docs_parquet)
+        tokens = tokenize_docs(
+            docs, content_col=args.content_col, lang_col=None
+        ).cache()
+        n_docs = docs.count()
+        total = (
+            tokens.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+            .agg(F.sum("dl")).collect()[0][0]
+        )
+        avgdl = float(total) / n_docs
+        pruned = impact_pruned_postings(tokens, n_docs, avgdl, m=args.m)
+        meta = write_impact_index(
+            pruned, args.index, m=args.m, n_docs=n_docs, avgdl=avgdl
+        )
+        print(json.dumps(meta))
+    elif args.cmd == "prune-query":
+        from vframe_spark.index.prune import impact_index_topk
+
+        queries = [(i + 1, q) for i, q in enumerate(args.query)]
+        for r in impact_index_topk(spark, args.index, queries, k=args.k).collect():
+            print(json.dumps({
+                "qid": r["qid"], "rank": r["rank"],
+                "doc_id": r["doc_id"], "score": r["score"],
             }))
     elif args.cmd == "stats":
         from vframe_spark.index.builder import IndexPaths, load_index, read_manifest

@@ -93,6 +93,80 @@ def impact_pruned_postings(
     )
 
 
+def write_impact_index(
+    pruned: DataFrame,
+    path: str,
+    m: int,
+    n_docs: int,
+    avgdl: float,
+    n_buckets: int = 16,
+) -> dict:
+    """Persist the pruned impact table as an on-disk artifact partitioned
+    by the term-hash bucket (the SAME sha256 bucket the main index uses,
+    build.py term_bucket_py), so a query's scan statically prunes to its
+    terms' bucket directories — at web scale the difference between
+    opening KBs and opening the whole artifact. Returns the meta dict
+    (also written to ``path/meta.json``)."""
+    import json
+    import os
+
+    from .build import term_bucket_expr
+
+    (
+        pruned.withColumn("bucket", term_bucket_expr("term", n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "impacts"))
+    )
+    meta = {
+        "m": int(m),
+        "n_docs": int(n_docs),
+        "avgdl": float(avgdl),
+        "n_buckets": int(n_buckets),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def load_impact_index(spark, path: str) -> tuple[DataFrame, dict]:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(os.path.join(path, "impacts")), meta
+
+
+def impact_index_topk(
+    spark,
+    path: str,
+    queries,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k over a persisted impact index: bucket partition pruning
+    (static ``isin`` over the queries' term buckets → PartitionFilters)
+    + term pushdown, then the usual broadcast-join scoring.
+    ``queries`` = [(qid, query_string)]."""
+    from ..oracle import parse_query_terms
+    from .build import term_bucket_py
+
+    impacts, meta = load_impact_index(spark, path)
+    rows = [
+        (qid, t) for qid, q in queries for t in sorted(set(parse_query_terms(q)))
+    ]
+    if not rows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    terms = sorted({t for _, t in rows})
+    buckets = sorted({term_bucket_py(t, int(meta["n_buckets"])) for t in terms})
+    qterms = spark.createDataFrame(rows, "qid int, term string")
+    scan = impacts.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    return impact_topk(scan.drop("bucket"), qterms, k=k)
+
+
 def impact_topk(
     pruned: DataFrame,
     qterms: DataFrame,
