@@ -340,6 +340,9 @@ def main() -> None:
     # counts, against the same oracle-checked brute-force baseline.
     extras["ann_recall_sweep"] = ann_sweep(spark)
 
+    # ---- static-pruning accuracy/cost sweep (extras only) ---------------
+    extras["impact_recall_sweep"] = impact_sweep(spark)
+
     # ---- multimodal path throughput (decode -> HOG, frames/sec) ----------
     # The mm contract queries run on 48 fixture images (correctness, not
     # load); this row measures the Arrow multimodal pipeline at real
@@ -407,6 +410,53 @@ def main() -> None:
         line = json.dumps(compact)
     print(line)
     spark.stop()
+
+
+def impact_sweep(spark, k: int = 10) -> list:
+    """Static-pruning accuracy/cost curve: mean recall@k of the
+    impact-pruned BM25 path vs full exhaustive BM25 across pruning
+    depths m (index/prune.py). The ft_impact_topk contract query pins
+    ONE operating point exactly (SQL-replayed); this quantifies the
+    knob."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from vframe_spark.index.build import tokenize_docs
+    from vframe_spark.index.prune import impact_pruned_postings, impact_topk
+    from vframe_spark.query.bm25 import query_terms_df
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    tokens = tokenize_docs(docs, lang_col=None).cache()
+    n_docs = docs.count()
+    total = (
+        tokens.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
+        .agg(F.sum("dl")).collect()[0][0]
+    )
+    avgdl = float(total) / n_docs
+    exact: dict[int, set] = {}
+    for r in E.q_ft_bm25_exhaustive(spark, SF_DIR).collect():
+        exact.setdefault(r["qid"], set()).add(r["doc_id"])
+    qterms = query_terms_df(spark, E.FT_QUERIES)
+    out = []
+    for m in (16, 64, 256, 1024):
+        t0 = time.time()
+        got: dict[int, set] = {}
+        pruned = impact_pruned_postings(tokens, n_docs, avgdl, m=m)
+        for r in impact_topk(pruned, qterms, k=k).collect():
+            got.setdefault(r["qid"], set()).add(r["doc_id"])
+        dt = time.time() - t0
+        rec = [
+            len(got.get(q, set()) & hits) / len(hits) for q, hits in exact.items()
+        ]
+        out.append({
+            "m": m,
+            "recall": round(sum(rec) / len(rec), 4),
+            "sec": round(dt, 3),
+        })
+    tokens.unpersist()
+    return out
 
 
 def ann_sweep(spark, k: int = 5) -> dict:

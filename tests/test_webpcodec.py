@@ -249,5 +249,24 @@ try:
         img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
         assert np.array_equal(decode_webp_gray(encode_webp(img)), img)
 
+    @settings(max_examples=100, deadline=None)
+    @given(
+        freqs=st.dictionaries(
+            st.integers(0, 300), st.integers(1, 10**9), min_size=2, max_size=60
+        ),
+        max_len=st.integers(6, 15),
+    )
+    def test_fuzz_package_merge_complete_and_capped(freqs, max_len):
+        """Any frequency profile → a COMPLETE (Kraft sum exactly 1)
+        code within the length cap — the invariant both the encoder and
+        the decoder's tree builder rely on."""
+        lengths = _code_lengths(freqs, max_len=max_len)
+        used = [l for l in lengths if l > 0]
+        assert len(used) == len(freqs)
+        assert max(used) <= max_len
+        assert sum(2**-l for l in used) == 1.0
+        # decodable: the tree builder accepts it
+        _PrefixTree(lengths)
+
 except ImportError:  # pragma: no cover
     pass
