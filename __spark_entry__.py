@@ -5561,6 +5561,86 @@ def q_sketch_hll_tokens(spark, sf_dir):
     )
 
 
+def q_sketch_hll_cumulative(spark, sf_dir):
+    """ES ``cumulative_cardinality`` pipeline agg: running-union HLL
+    distinct-user estimate per expanding day prefix over the events
+    stream (operators/sketch.py hll_cumulative). One pass builds the
+    per-(day, register) table; the expanding merge is a ≤-join of the
+    tiny day list against that sketch-sized table — the raw events are
+    never rescanned, which is the whole point at 100 TB. The sketch is
+    portable (md5-60bit, trailing-zero ranks, harmonic estimator), so
+    the DuckDB oracle replays registers, expanding merge, and estimator
+    bit-for-bit; exact expanding distinct (first-seen-day count) rides
+    along with the signed rel_err."""
+    from vframe_spark.operators.sketch import hll_cumulative
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    est = hll_cumulative(ev, "user_id", "day", p=10)
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("fd"))
+    days = ev.select("day").distinct()
+    exact = (
+        days.join(F.broadcast(first_day), F.col("fd") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("exact_users"))
+    )
+    return est.join(exact, "day").select(
+        F.col("day").cast("string").alias("day"),
+        F.col("est").alias("est_users"),
+        "exact_users",
+        F.round(
+            (F.col("est") - F.col("exact_users")) / F.col("exact_users"), 4
+        ).alias("rel_err"),
+    )
+
+
+def _sketch_hll_cumulative_oracle_sql() -> str:
+    """DuckDB replay: identical registers, expanding ≤-join merge, and
+    estimator as operators/sketch.py (p=10)."""
+    from vframe_spark.operators.sketch import HASH_BITS, _alpha
+
+    p = 10
+    m = 1 << p
+    alpha = _alpha(m)
+    return f"""
+WITH hv AS (
+  SELECT ts::DATE AS day,
+         ('0x' || substr(md5((user_id)::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT day, (h & {m - 1})::INT AS reg,
+         max(CASE WHEN (h >> {p}) = 0 THEN {HASH_BITS - p + 1}
+                  ELSE bit_count(((h >> {p}) & -(h >> {p})) - 1) + 1 END) AS mrank
+  FROM hv GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM hv),
+cum AS (
+  SELECT d.day, r.reg, max(r.mrank) AS mrank
+  FROM days d JOIN regs r ON r.day <= d.day
+  GROUP BY 1, 2
+),
+agg AS (SELECT day, sum(pow(2.0, -mrank)) AS s, count(*) AS c FROM cum GROUP BY 1),
+est AS (
+  SELECT day,
+         round(CASE WHEN ({alpha * m * m} / (s + ({m} - c))) <= {2.5 * m} AND ({m} - c) > 0
+                    THEN {float(m)} * ln({float(m)} / ({m} - c))
+                    ELSE {alpha * m * m} / (s + ({m} - c)) END, 4) AS est_users
+  FROM agg
+),
+first_day AS (SELECT user_id, min(ts::DATE) AS fd FROM events GROUP BY 1),
+exact AS (
+  SELECT d.day, count(*)::BIGINT AS exact_users
+  FROM days d JOIN first_day f ON f.fd <= d.day
+  GROUP BY 1
+)
+SELECT est.day::VARCHAR AS day, est.est_users, exact.exact_users,
+       round((est.est_users - exact.exact_users) / exact.exact_users, 4) AS rel_err
+FROM est JOIN exact USING (day)
+"""
+
+
 def q_text_top_terms(spark, sf_dir):
     """Corpus-wide top-50 terms by document frequency (the summary/plot
     aggregation family over tokenizer output; ties broken by term)."""
@@ -9239,6 +9319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_terms": q_text_top_terms,
         "text_quality_model": q_text_quality_model,
         "sketch_hll_tokens": q_sketch_hll_tokens,
+        "sketch_hll_cumulative": q_sketch_hll_cumulative,
         "sketch_cms_counts": q_sketch_cms_counts,
         "sketch_bloom_membership": q_sketch_bloom_membership,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
@@ -9871,6 +9952,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality_model": _quality_model_oracle_sql(),
         "sketch_hll_tokens": _sketch_hll_oracle_sql(),
+        "sketch_hll_cumulative": _sketch_hll_cumulative_oracle_sql(),
         "sketch_cms_counts": _sketch_cms_oracle_sql(),
         "sketch_bloom_membership": _sketch_bloom_oracle_sql(),
         "sketch_kmv_overlap": _sketch_kmv_oracle_sql(),

@@ -153,6 +153,9 @@ def main() -> None:
     # ---- 3. headline queries() entries at SF_DIR -------------------------
     headline = [
         "ft_bm25_wand",
+        "ft_bm25_maxscore",
+        "ft_impact_topk",
+        "sketch_hll_cumulative",
         "ft_bm25_conjunctive",
         "ft_bm25_negated",
         "ft_facets",

@@ -338,3 +338,22 @@ def test_mg_exact_when_k_covers_cardinality(spark):
     hh = mg_heavy_hitters(df, "v", k=8, top=3)
     assert [(i, w) for i, w, _ in hh] == [("a", 7), ("b", 4), ("c", 2)]
     assert all(e == 0 for _, _, e in hh)  # no decrements ever happened
+
+
+def test_hll_cumulative_expanding_union(spark):
+    """Cumulative estimate at bucket b == a fresh whole-prefix estimate
+    (the expanding merge is exact on registers), and estimates are
+    monotone non-decreasing in b."""
+    from vframe_spark.operators.sketch import hll_cumulative
+
+    rows = [(b, (b * 37 + i) % 500) for b in range(1, 6) for i in range(b * 120)]
+    df = spark.createDataFrame(rows, "b int, v int")
+    got = {r["b"]: r["est"] for r in hll_cumulative(df, "v", "b", p=8).collect()}
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    prev = 0.0
+    for b in sorted(got):
+        prefix = df.filter(F.col("b") <= b)
+        (fresh,) = approx_distinct_portable(prefix, "v", p=8).collect()
+        assert got[b] == fresh["est"], b
+        assert got[b] >= prev
+        prev = got[b]

@@ -113,6 +113,31 @@ def approx_distinct_portable(
     return hll_estimate(hll_state(df, col, by, p), by, p)
 
 
+def hll_cumulative(
+    df: DataFrame, col: str, order_col: str, p: int = 12
+) -> DataFrame:
+    """ES ``cumulative_cardinality``: running-union distinct estimate of
+    ``col`` per expanding prefix of ordered buckets → (order_col, est).
+
+    Scale shape: the per-bucket register table is the only pass over
+    the data (map-side partial max per (bucket, reg)); the expanding
+    union is a ≤-join of the TINY bucket list against that pre-
+    aggregated table (≤ buckets × 2^p rows — sketch-sized, independent
+    of data volume) followed by a per-register max. This is exactly why
+    HLL is the 100 TB distinct path: the expanding merge never touches
+    the raw data again."""
+    state = hll_state(df, col, by=[order_col], p=p)
+    buckets = state.select(F.col(order_col).alias("_asof")).distinct()
+    merged = (
+        state.join(F.broadcast(buckets), F.col(order_col) <= F.col("_asof"))
+        .groupBy("_asof", "reg")
+        .agg(F.max("mrank").alias("mrank"))
+    )
+    return hll_estimate(merged, by=["_asof"], p=p).withColumnRenamed(
+        "_asof", order_col
+    )
+
+
 def hll_duckdb_sql(
     val_expr: str, from_sql: str, by_cols: list[str] | None = None, p: int = 12
 ) -> str:
