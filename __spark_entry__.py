@@ -1676,6 +1676,28 @@ FROM assigned
 GEO_CENTER_LAT, GEO_CENTER_LON = 52.52, 13.405  # Berlin
 
 
+def q_rel_geo_bounds(spark, sf_dir):
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregations: per event_type
+    the bounding box (min/max lat/lon) and centroid (mean lat/lon) of
+    the match set, on the same deterministic derived coordinates as
+    rel_geo_distance. Pure JVM min/max/avg — one map-side-combined
+    shuffle on the group key at any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("event_id") % 1700) / 10.0 - 85.0).alias("lat"),
+        ((F.col("event_id") % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.min("lat"), 4).alias("south"),
+        F.round(F.max("lat"), 4).alias("north"),
+        F.round(F.min("lon"), 4).alias("west"),
+        F.round(F.max("lon"), 4).alias("east"),
+        F.round(F.avg("lat"), 4).alias("centroid_lat"),
+        F.round(F.avg("lon"), 4).alias("centroid_lon"),
+    )
+
+
 def q_rel_geo_distance(spark, sf_dir):
     """ES geo_distance aggregation: events get deterministic derived
     coordinates (pure functions of event_id — the corpus has no geo
@@ -9320,6 +9342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_model": q_text_quality_model,
         "sketch_hll_tokens": q_sketch_hll_tokens,
         "sketch_hll_cumulative": q_sketch_hll_cumulative,
+        "rel_geo_bounds": q_rel_geo_bounds,
         "sketch_cms_counts": q_sketch_cms_counts,
         "sketch_bloom_membership": q_sketch_bloom_membership,
         "sketch_kmv_overlap": q_sketch_kmv_overlap,
@@ -9953,6 +9976,23 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_model": _quality_model_oracle_sql(),
         "sketch_hll_tokens": _sketch_hll_oracle_sql(),
         "sketch_hll_cumulative": _sketch_hll_cumulative_oracle_sql(),
+        "rel_geo_bounds": """
+            WITH ev AS (
+              SELECT event_type,
+                     (event_id % 1700) / 10.0 - 85.0 AS lat,
+                     (event_id % 3600) / 10.0 - 180.0 AS lon
+              FROM events
+            )
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(min(lat), 4) AS south,
+                   round(max(lat), 4) AS north,
+                   round(min(lon), 4) AS west,
+                   round(max(lon), 4) AS east,
+                   round(avg(lat), 4) AS centroid_lat,
+                   round(avg(lon), 4) AS centroid_lon
+            FROM ev GROUP BY 1
+        """,
         "sketch_cms_counts": _sketch_cms_oracle_sql(),
         "sketch_bloom_membership": _sketch_bloom_oracle_sql(),
         "sketch_kmv_overlap": _sketch_kmv_oracle_sql(),

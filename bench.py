@@ -304,6 +304,7 @@ def main() -> None:
         "rel_window_range",
         "rel_zorder_codes",
         "rel_geo_distance",
+        "rel_geo_bounds",
         "rel_geotile_grid",
         "curate_sample_k",
         "curate_shuffle_shards",
