@@ -1025,6 +1025,71 @@ def q_ft_bucket_pipeline(spark, sf_dir):
     )
 
 
+def q_ft_bucket_script(spark, sf_dir):
+    """ES ``bucket_script`` pipeline agg: per (query, month) bucket with
+    two sibling metrics (match count, total chars), derived metrics are
+    computed by a script over the bucket row — and the script language
+    here IS ANSI SQL (query/facets.py bucket_script), so the oracle runs
+    the IDENTICAL script text. O(buckets) after one match-set join."""
+    from vframe_spark.query.facets import bucket_script, match_set
+
+    postings, _, _, meta = _ft_index(spark, sf_dir)
+    m = match_set(postings, meta, FT_FACET_QUERIES)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.date_add(
+            F.to_date(F.lit("2025-01-01")), (F.col("doc_id") % 400).cast("int")
+        ).alias("ts"),
+        F.length("text").alias("chars"),
+    )
+    buckets = (
+        m.join(docs, "doc_id")
+        .groupBy("qid", F.date_trunc("month", F.col("ts").cast("timestamp")).alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+    out = bucket_script(buckets, dict(BUCKET_SCRIPTS))
+    return out.select(
+        "qid",
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        "n_docs", "sum_chars", "avg_chars", "docs_per_10k_chars",
+    )
+
+
+# the shared script text — runs verbatim in Spark (F.expr) AND DuckDB
+BUCKET_SCRIPTS = (
+    ("avg_chars", "round(sum_chars / n_docs, 4)"),
+    # CAST, not a bare float literal: DuckDB types 10000.0 as DECIMAL
+    # and would return DECIMAL from the whole expression
+    ("docs_per_10k_chars",
+     "round(n_docs * CAST(10000.0 AS DOUBLE) / sum_chars, 6)"),
+)
+
+
+def _bucket_script_oracle_sql() -> str:
+    qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
+    scripts = ", ".join(f"{expr} AS {name}" for name, expr in BUCKET_SCRIPTS)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+q(qid, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.qid, tok.doc_id FROM q JOIN tok ON tok.term = q.term),
+v AS (SELECT doc_id, DATE '2025-01-01' + ((doc_id % 400)::INT) AS ts,
+             length(text)::BIGINT AS chars
+      FROM documents),
+b AS (
+  SELECT m.qid, date_trunc('month', v.ts) AS bucket,
+         count(*)::BIGINT AS n_docs, sum(v.chars)::BIGINT AS sum_chars
+  FROM m JOIN v USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT qid, strftime(bucket, '%Y-%m-%d') AS bucket, n_docs, sum_chars, {scripts}
+FROM b
+"""
+
+
 def _bucket_pipeline_oracle_sql() -> str:
     qvals = _plain_qterms_values_sql(FT_FACET_QUERIES)
     return f"""
@@ -9218,6 +9283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boosting_topk": q_ft_boosting_topk,
         "ft_composite_facets": q_ft_composite_facets,
         "ft_bucket_pipeline": q_ft_bucket_pipeline,
+        "ft_bucket_script": q_ft_bucket_script,
         "ft_bucket_stats": q_ft_bucket_stats,
         "ft_bucket_movfn": q_ft_bucket_movfn,
         "ft_bucket_selector": q_ft_bucket_selector,
@@ -9509,6 +9575,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_composite_facets": _composite_oracle_sql(),
         "ft_bucket_pipeline": _bucket_pipeline_oracle_sql(),
+        "ft_bucket_script": _bucket_script_oracle_sql(),
         "ft_bucket_stats": _bucket_stats_oracle_sql(),
         "ft_bucket_movfn": _bucket_movfn_oracle_sql(),
         "ft_bucket_selector": _bucket_selector_oracle_sql(),

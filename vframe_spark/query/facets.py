@@ -804,6 +804,20 @@ def bucket_stats(
     )
 
 
+def bucket_script(buckets: DataFrame, scripts: dict[str, str]) -> DataFrame:
+    """ES ``bucket_script``: derive new per-bucket metrics from the
+    bucket's sibling metrics via an expression over the bucket row
+    (ES uses painless; here the script language IS ANSI SQL — Catalyst
+    ``F.expr`` — so the same text runs unchanged in any SQL engine).
+    O(buckets) projection; the corpus is never re-read. Scripts apply
+    in insertion order, so a later script may reference an earlier
+    script's output column."""
+    out = buckets
+    for name, script in scripts.items():
+        out = out.withColumn(name, F.expr(script))
+    return out
+
+
 def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
     """ES ``bucket_selector``: drop buckets failing a predicate over the
     bucket row (e.g. ``"n_docs >= 3"``). The predicate is a SQL
