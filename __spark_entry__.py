@@ -4625,6 +4625,65 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 5
 """
 
 
+def q_sim_bq_topk(spark, sf_dir):
+    """Binary-quantized ANN (operators/binaryq.py bq_topk — the
+    Lucene/ES "BBQ" shape): sign-bit words packed 32/int64, XOR+popcount
+    hamming scan in pure Catalyst (the ONLY ANN variant with no Python
+    in the corpus scan), (hamming, id) candidate cut at rerank=100,
+    exact double-cosine rescore at the 4 dp grain. Every step is
+    closed-form integer/float arithmetic → FULL DuckDB oracle, unlike
+    the rows-only LSH/IVF/PQ family."""
+    from vframe_spark.operators.binaryq import bq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 100 == 0).collect()
+    ]
+    return bq_topk(emb, sorted(queries), k=5, rerank=100)
+
+
+BQ_ORACLE_SQL = """
+WITH enc AS (
+  SELECT vec_id, embedding,
+         list_transform(range(0, CAST(ceil(len(embedding)/32.0) AS INT)),
+           w -> CAST(list_sum(list_transform(range(1, 33),
+                j -> CASE WHEN w*32+j <= len(embedding) AND embedding[w*32+j] >= 0
+                     THEN 1::BIGINT << (j-1) ELSE 0::BIGINT END)) AS BIGINT)) AS words
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec, words AS qwords
+      FROM enc WHERE vec_id % 100 = 0),
+ham AS (
+  SELECT q.qid, e.vec_id,
+         CAST(list_sum(list_transform(range(1, len(e.words)+1),
+              i -> bit_count(xor(e.words[i], q.qwords[i])))) AS INT) AS hamming
+  FROM enc e CROSS JOIN q
+),
+cand AS (
+  SELECT qid, vec_id, hamming,
+         row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rn
+  FROM ham
+),
+resc AS (
+  SELECT c.qid, c.vec_id, c.hamming,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 4) AS cosine
+  FROM cand c
+  JOIN embeddings e USING (vec_id)
+  JOIN q ON q.qid = c.qid
+  WHERE c.rn <= 100
+),
+ranked AS (
+  SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, hamming, cosine
+  FROM resc
+)
+SELECT qid, rank, vec_id, hamming, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 SQ_ORACLE_SQL = """
 WITH n AS (
   SELECT vec_id,
@@ -9354,6 +9413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": q_sim_pq_topk,
         "sim_sq_topk": q_sim_sq_topk,
         "sim_maxsim_topk": q_sim_maxsim_topk,
+        "sim_bq_topk": q_sim_bq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_nsw_topk": q_sim_nsw_topk,
         "mm_decode_extract": q_mm_decode_extract,
@@ -9700,6 +9760,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": SIM_ORACLE_SQL,
         "sim_sq_topk": SQ_ORACLE_SQL,
         "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
+        "sim_bq_topk": BQ_ORACLE_SQL,
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""

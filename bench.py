@@ -315,6 +315,7 @@ def main() -> None:
         "dedup_span_tokens",
         "dedup_winnow_pairs",
         "sim_nsw_topk",
+        "sim_bq_topk",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they
@@ -515,6 +516,13 @@ def ann_sweep(spark, k: int = 5) -> dict:
                        n_probes=probes, m=8, ksub=32, refine=4)
         )
         sweep["ivfpq"].append({"probes": probes, "recall": r, "sec": dt})
+    # binary quantization: the knob is the rescore depth (rerank)
+    from vframe_spark.operators.binaryq import bq_topk
+
+    sweep["bq"] = []
+    for rerank in (40, 80, 160, 320):
+        r, dt = mean_recall(bq_topk(emb, queries, k=k, rerank=rerank))
+        sweep["bq"].append({"rerank": rerank, "recall": r, "sec": dt})
     # graph ANN: the knob is beam width (ef), not probes
     sweep["nsw"] = []
     for ef in (8, 16, 32, 64):

@@ -1,0 +1,148 @@
+"""Binary-quantized ANN: packing layout, hamming kernel, end-to-end
+top-k vs a numpy replay, recall vs exact brute force, and the
+no-Python-in-the-scan plan guarantee."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.operators.binaryq import (
+    bq_encode,
+    bq_topk,
+    bq_words_expr,
+    hamming_expr,
+    pack_bits,
+)
+
+
+def _rng_vecs(n, dim, seed=7):
+    rng = np.random.default_rng(seed)
+    return (rng.random((n, dim)) - 0.5).astype(np.float32)
+
+
+def test_packing_matches_numpy(spark):
+    vecs = _rng_vecs(40, 64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        r["vec_id"]: list(r["w"])
+        for r in df.select("vec_id", bq_words_expr("embedding").alias("w")).collect()
+    }
+    for i in range(len(vecs)):
+        assert got[i] == pack_bits(vecs[i]), f"row {i}"
+
+
+def test_packing_edge_shapes(spark):
+    # dim not a multiple of 32 (tail word), dim < 32, dim 0
+    for dim in (1, 5, 31, 32, 33, 63, 65):
+        vecs = _rng_vecs(3, dim, seed=dim)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(3)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        got = {
+            r["vec_id"]: list(r["w"])
+            for r in df.select(
+                "vec_id", bq_words_expr("embedding").alias("w")
+            ).collect()
+        }
+        for i in range(3):
+            assert got[i] == pack_bits(vecs[i]), f"dim={dim} row {i}"
+    empty = spark.createDataFrame(
+        [(0, [])], "vec_id bigint, embedding array<float>"
+    ).select(bq_words_expr("embedding").alias("w"))
+    assert empty.first()["w"] == []
+
+
+def test_negative_zero_is_nonnegative(spark):
+    # IEEE: -0.0 >= 0 in numpy, Spark and any SQL replay — pin it
+    df = spark.createDataFrame(
+        [(0, [-0.0, -1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    assert df.select(bq_words_expr("embedding").alias("w")).first()["w"] == [0b101]
+    assert pack_bits([-0.0, -1.0, 0.0]) == [0b101]
+
+
+def test_hamming_matches_numpy(spark):
+    vecs = _rng_vecs(30, 96, seed=11)
+    q = vecs[0]
+    qw = pack_bits(q)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = bq_encode(
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    )
+    got = {
+        r["vec_id"]: r["h"]
+        for r in df.select(
+            "vec_id",
+            hamming_expr(
+                "bq_words", F.array(*[F.lit(w).cast("long") for w in qw])
+            ).alias("h"),
+        ).collect()
+    }
+    qbits = np.asarray(q) >= 0
+    for i in range(len(vecs)):
+        want = int(np.count_nonzero((np.asarray(vecs[i]) >= 0) != qbits))
+        assert got[i] == want, f"row {i}"
+
+
+def test_topk_matches_numpy_replay(spark):
+    n, dim, k, rerank = 120, 64, 5, 24
+    vecs = _rng_vecs(n, dim, seed=3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = [(i, [float(x) for x in vecs[i]]) for i in (0, 17, 63)]
+
+    res = bq_topk(emb, queries, k=k, rerank=rerank)
+    got = {
+        (r["qid"], r["rank"]): (r["vec_id"], r["hamming"], r["cosine"])
+        for r in res.collect()
+    }
+
+    bits = vecs >= 0
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        ham = np.count_nonzero(bits != (q >= 0), axis=1)
+        order = np.lexsort((np.arange(n), ham))[:rerank]
+        cos = np.round((v64[order] @ q) / (norms[order] * np.linalg.norm(q)), 4)
+        fin = order[np.lexsort((order, -cos))][:k]
+        for rank, vid in enumerate(fin, start=1):
+            gvid, gham, _ = got[(qid, rank)]
+            assert gvid == int(vid), f"qid={qid} rank={rank}"
+            assert gham == int(ham[vid])
+    # self-query must rank itself first at cosine 1.0
+    assert got[(0, 1)][0] == 0 and got[(0, 1)][2] == pytest.approx(1.0)
+
+
+def test_recall_vs_bruteforce(spark, sf001_dir):
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 20 == 0).collect()
+    ]
+    exact = {}
+    for r in cosine_topk_bruteforce(emb, queries, k=5).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    # 1 bit/dim sign quantization is coarse: measured mean recall@5 on
+    # this corpus is 0.74 @ rerank=40, 0.93 @ 160, 1.0 @ 320 — the
+    # rerank knob buys recall at |q|·rerank rescore rows
+    got = {}
+    for r in bq_topk(emb, queries, k=5, rerank=160).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    rec = [len(got[q] & hits) / len(hits) for q, hits in exact.items()]
+    assert sum(rec) / len(rec) >= 0.9, f"mean recall {sum(rec)/len(rec):.3f}"
+
+
+def test_quantized_scan_is_pure_jvm(spark):
+    """The phase-1 scan (encode + hamming + cut) must contain NO Python
+    evaluation — that is the whole point of the BQ variant."""
+    vecs = _rng_vecs(50, 64, seed=9)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    res = bq_topk(emb, [(0, [float(x) for x in vecs[0]])], k=3, rerank=10)
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
