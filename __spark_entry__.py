@@ -6634,7 +6634,7 @@ def _ann_index_dir(spark, sf_dir):
     if sf_dir not in _ANNIDX_CACHE:
         from vframe_spark.index.ann import write_ann_index
 
-        tag = hashlib.md5(f"annidx:{SEM_K}:{sf_dir}".encode()).hexdigest()[:10]
+        tag = hashlib.md5(f"annidx2:{SEM_K}:{sf_dir}".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"vfann_{tag}")
         done = os.path.join(out, "DONE")
         if not os.path.exists(done):
@@ -6647,7 +6647,7 @@ def _ann_index_dir(spark, sf_dir):
                 ],
                 dtype=np.float64,
             )
-            write_ann_index(emb, out, centroids=cents)
+            write_ann_index(emb, out, centroids=cents, bq=True)
             open(done, "w").write("ok")
         _ANNIDX_CACHE[sf_dir] = out
     return _ANNIDX_CACHE[sf_dir]
@@ -6714,6 +6714,103 @@ scored AS (
   FROM cand
   JOIN embeddings e ON e.vec_id = cand.vec_id
   JOIN embeddings qe ON qe.vec_id = cand.qid
+),
+ranked AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, cosine
+  FROM scored
+)
+SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= {ANNIDX_K}
+"""
+
+
+ANNBQ_RERANK = 100
+
+
+def q_sim_ann_bq_topk(spark, sf_dir):
+    """Binary-quantized retrieval over the SAME persisted IVF artifact
+    (index/ann.py method='bq'): the probed-partition scan reads ONLY the
+    stored sign-bit words (no float bytes, no Python — XOR/popcount in
+    whole-stage codegen), cuts rerank=100 candidates per query on
+    (hamming, vec_id), then exact-rescoring joins the float vectors for
+    the shortlist alone. Closed-form centroids + closed-form packing ⇒
+    the whole probe+hamming+rescore path is SQL-replayable."""
+    from vframe_spark.index.ann import ann_index_topk
+
+    out = _ann_index_dir(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    raw = ann_index_topk(
+        spark, out, queries, k=10 * ANNIDX_K, n_probes=ANNIDX_PROBES,
+        method="bq", rerank=ANNBQ_RERANK,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        raw.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANNIDX_K)
+        .select("qid", "rank", "vec_id", "cosine")
+    )
+
+
+def _ann_bq_oracle_sql() -> str:
+    def cos_expr(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+            f" (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) *"
+            f" sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+        )
+
+    acos = cos_expr("v.embedding", "c.embedding")
+    qcos = cos_expr("q.embedding", "c.embedding")
+    pcos = cos_expr("e.embedding", "qe.embedding")
+    pack = (
+        "list_transform(range(0, CAST(ceil(len(embedding)/32.0) AS INT)),"
+        " w -> CAST(list_sum(list_transform(range(1, 33),"
+        " j -> CASE WHEN w*32+j <= len(embedding) AND embedding[w*32+j] >= 0"
+        " THEN 1::BIGINT << (j-1) ELSE 0::BIGINT END)) AS BIGINT))"
+    )
+    return f"""
+WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {SEM_K}),
+assign AS (
+  SELECT v.vec_id, c.cid, round({acos}, 6) AS cos
+  FROM embeddings v CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, cid AS list_id FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
+),
+enc AS (SELECT vec_id, {pack} AS words FROM embeddings),
+qv AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 200 = 0),
+qenc AS (SELECT vec_id AS qid, {pack} AS qwords FROM embeddings WHERE vec_id % 200 = 0),
+qprobe AS (
+  SELECT qid, cid AS list_id FROM (
+    SELECT q.qid, c.cid, round({qcos}, 6) AS cos
+    FROM qv q CROSS JOIN cents c
+  ) QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= {ANNIDX_PROBES}
+),
+ham AS (
+  SELECT p.qid, b.vec_id,
+         CAST(list_sum(list_transform(range(1, len(w.words)+1),
+              i -> bit_count(xor(w.words[i], qw.qwords[i])))) AS INT) AS hamming
+  FROM qprobe p
+  JOIN best b ON b.list_id = p.list_id
+  JOIN enc w ON w.vec_id = b.vec_id
+  JOIN qenc qw ON qw.qid = p.qid
+),
+cut AS (
+  SELECT qid, vec_id FROM ham
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) <= {ANNBQ_RERANK}
+),
+scored AS (
+  SELECT cut.qid, cut.vec_id, round({pcos}, 4) AS cosine
+  FROM cut
+  JOIN embeddings e ON e.vec_id = cut.vec_id
+  JOIN embeddings qe ON qe.vec_id = cut.qid
 ),
 ranked AS (
   SELECT qid,
@@ -9488,6 +9585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "curate_embedding_decon": q_curate_embedding_decon,
         "sim_ann_index_topk": q_sim_ann_index_topk,
+        "sim_ann_bq_topk": q_sim_ann_bq_topk,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "curate_sample_stratified": q_curate_sample_stratified,
         "ft_more_like_this": q_ft_more_like_this,
@@ -10207,6 +10305,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "curate_embedding_decon": _embedding_decon_oracle_sql(),
         "sim_ann_index_topk": _ann_index_oracle_sql(),
+        "sim_ann_bq_topk": _ann_bq_oracle_sql(),
         "curate_sample_stratified": _stratified_oracle_sql(),
         "ft_more_like_this": _mlt_oracle_sql(),
         "curate_decontaminate": _decontaminate_oracle_sql(),

@@ -146,3 +146,88 @@ def test_quantized_scan_is_pure_jvm(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_persisted_bq_index(spark, tmp_path):
+    """Index built with bq=True: method='bq' at full rerank equals
+    method='flat' exactly, and the quantized phase-1 scan reads the
+    words column, never the float vectors (column pruning) with no
+    Python in the scan."""
+    from vframe_spark.index.ann import ann_index_topk, write_ann_index
+
+    vecs = _rng_vecs(200, 64, seed=21)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = vecs[:8].astype(np.float64)
+    out = str(tmp_path / "bqidx")
+    meta = write_ann_index(emb, out, centroids=cents, bq=True)
+    assert meta["bq"] is True
+
+    queries = [(i, [float(x) for x in vecs[i]]) for i in (0, 50, 199)]
+    flat = ann_index_topk(spark, out, queries, k=5, n_probes=3)
+    bq = ann_index_topk(
+        spark, out, queries, k=5, n_probes=3, method="bq", rerank=200
+    )
+    fl = {(r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 6))
+          for r in flat.collect()}
+    bqr = {(r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 6))
+           for r in bq.collect()}
+    assert fl == bqr
+
+    # tight rerank still finds the self-match at rank 1
+    tight = ann_index_topk(
+        spark, out, queries, k=1, n_probes=3, method="bq", rerank=5
+    )
+    for r in tight.collect():
+        assert r["vec_id"] == r["qid"] and r["rank"] == 1
+
+    plan = bq._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    # one scan carries ONLY the words (quantized phase), the float
+    # vec column appears in a separate rescore-side scan
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("bq_words" in s and "vec:" not in s for s in schemas), schemas
+
+
+def test_persisted_bq_requires_flag(spark, tmp_path):
+    from vframe_spark.index.ann import ann_index_topk, write_ann_index
+
+    vecs = _rng_vecs(40, 64, seed=4)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = str(tmp_path / "noflag")
+    write_ann_index(emb, out, centroids=vecs[:4].astype(np.float64))
+    with pytest.raises(ValueError, match="bq=True"):
+        ann_index_topk(spark, out, [(0, [float(x) for x in vecs[0]])],
+                       method="bq")
+
+
+def test_persisted_bq_append(spark, tmp_path):
+    """Append into a bq=True index keeps the words sidecar aligned:
+    method='bq' over the union equals flat over the union."""
+    from vframe_spark.index.ann import (
+        ann_index_topk,
+        append_ann_index,
+        write_ann_index,
+    )
+
+    vecs = _rng_vecs(120, 64, seed=33)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = str(tmp_path / "bqapp")
+    write_ann_index(
+        emb.filter(F.col("vec_id") < 80), out,
+        centroids=vecs[:6].astype(np.float64), bq=True,
+    )
+    meta = append_ann_index(emb.filter(F.col("vec_id") >= 80), out)
+    assert meta["n_vectors"] == 120 and meta["bq"] is True
+
+    queries = [(i, [float(x) for x in vecs[i]]) for i in (10, 110)]
+    flat = {(r["qid"], r["rank"]): r["vec_id"]
+            for r in ann_index_topk(spark, out, queries, k=5,
+                                    n_probes=6).collect()}
+    bq = {(r["qid"], r["rank"]): r["vec_id"]
+          for r in ann_index_topk(spark, out, queries, k=5, n_probes=6,
+                                  method="bq", rerank=120).collect()}
+    assert flat == bq

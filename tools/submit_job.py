@@ -149,6 +149,8 @@ def main(argv: list[str] | None = None) -> int:
     ab.add_argument("--n-lists", type=int, default=64)
     ab.add_argument("--append", action="store_true",
                     help="append to an existing index (stored centroids)")
+    ab.add_argument("--bq", action="store_true",
+                    help="also store sign-bit words for method=bq queries")
 
     aq = sub.add_parser("ann-query", help="top-k cosine over a persisted ANN "
                         "index; query vectors = rows of --queries-parquet")
@@ -157,6 +159,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet with (vec_id, embedding) query rows")
     aq.add_argument("--k", type=int, default=10)
     aq.add_argument("--n-probes", type=int, default=4)
+    aq.add_argument("--method", choices=["flat", "adc", "bq"], default="flat")
+    aq.add_argument("--rerank", type=int, default=50,
+                    help="exact-rescore shortlist depth (method=bq)")
 
     pb = sub.add_parser("prune-build", help="persist a static impact-pruned "
                         "index (top-m BM25 impacts per term) over a docs "
@@ -357,7 +362,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.append:
             meta = append_ann_index(emb, args.index)
         else:
-            meta = write_ann_index(emb, args.index, n_lists=args.n_lists)
+            meta = write_ann_index(
+                emb, args.index, n_lists=args.n_lists, bq=args.bq
+            )
         print(json.dumps(meta))
     elif args.cmd == "ann-query":
         from vframe_spark.index.ann import ann_index_topk
@@ -367,7 +374,8 @@ def main(argv: list[str] | None = None) -> int:
             for r in spark.read.parquet(args.queries_parquet).collect()
         ]
         res = ann_index_topk(
-            spark, args.index, qrows, k=args.k, n_probes=args.n_probes
+            spark, args.index, qrows, k=args.k, n_probes=args.n_probes,
+            method=args.method, rerank=args.rerank,
         ).collect()
         for r in res:
             print(json.dumps({

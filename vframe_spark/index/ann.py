@@ -87,6 +87,7 @@ def write_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pq: tuple[int, int] | None = None,
+    bq: bool = False,
 ) -> dict:
     """Assign every vector to its nearest-cosine centroid and persist
     the inverted lists partitioned by ``list_id`` → meta dict. One
@@ -126,6 +127,14 @@ def write_ann_index(
         out_cols = ["vec_id", "vec", "codes", "list_id"]
     else:
         out_cols = ["vec_id", "vec", "list_id"]
+    if bq:
+        # sign-bit words as a stored sidecar column: the "bq" query
+        # method scans ONLY (vec_id, bq_words) of the probed lists —
+        # pure-JVM XOR/popcount, no float bytes until the rescore join
+        from ..operators.binaryq import bq_words_expr
+
+        assigned = assigned.withColumn("bq_words", bq_words_expr("vec"))
+        out_cols.insert(-1, "bq_words")
     (
         assigned.select(*out_cols)
         .write.mode("overwrite")
@@ -145,6 +154,8 @@ def write_ann_index(
     }
     if books is not None:
         meta["pq"] = {"m": int(books.shape[0]), "ksub": int(books.shape[1])}
+    if bq:
+        meta["bq"] = True
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -174,6 +185,7 @@ def ann_index_topk(
     n_probes: int = 4,
     method: str = "flat",
     refine: int = 2,
+    rerank: int = 50,
 ) -> DataFrame:
     """Top-k cosine retrieval over the persisted index → (qid, rank,
     vec_id, cosine): each query's ``n_probes`` nearest lists are chosen
@@ -194,11 +206,13 @@ def ann_index_topk(
     import pandas as pd
     from collections.abc import Iterator
 
-    if method not in ("flat", "adc"):
-        raise ValueError(f"method must be flat|adc, got {method!r}")
+    if method not in ("flat", "adc", "bq"):
+        raise ValueError(f"method must be flat|adc|bq, got {method!r}")
     vectors, cents, meta = load_ann_index(spark, out_dir)
     if method == "adc" and "pq" not in meta:
         raise ValueError("index was built without pq= codes; use method='flat'")
+    if method == "bq" and not meta.get("bq"):
+        raise ValueError("index was built without bq=True; use method='flat'")
     dp = int(meta["round_dp"])
     qids, probe_rows = [], []
     qmat = {}
@@ -221,6 +235,8 @@ def ann_index_topk(
         return _adc_topk(
             spark, out_dir, pruned, cents, qmat, probe_rows, k, refine,
         )
+    if method == "bq":
+        return _bq_topk_persisted(spark, pruned, qmat, probe_rows, k, rerank)
 
     qdf = spark.createDataFrame(
         [(q, [float(x) for x in qmat[q]], int(li)) for q, li in probe_rows],
@@ -244,6 +260,64 @@ def ann_index_topk(
         gemm, "qid bigint, vec_id bigint, cosine double"
     )
     return _topk_window(scored, k)
+
+
+def _bq_topk_persisted(
+    spark: SparkSession,
+    pruned: DataFrame,
+    qmat: dict,
+    probe_rows: list[tuple[int, int]],
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    """Binary-quantized scan over the probed lists (index built with
+    ``bq=True``): phase 1 reads ONLY (vec_id, bq_words, list_id) of the
+    probed partitions — integer XOR/popcount in whole-stage codegen, no
+    Python, no float bytes — and cuts ``rerank`` candidates per query on
+    the deterministic (hamming ASC, vec_id ASC) order. Phase 2
+    broadcast-joins the shortlist back to the float vectors (same
+    probed-partition scan, vec column only) for the exact double-cosine
+    ranking. Compared bytes-per-scanned-row: dim/16 of the flat path."""
+    from pyspark.sql import Window
+
+    from ..operators.binaryq import hamming_expr, pack_bits
+    from ..operators.similarity import _topk_window, cosine_expr
+
+    qdf = spark.createDataFrame(
+        [
+            (int(q), [float(x) for x in qmat[q]], pack_bits(qmat[q]), int(li))
+            for q, li in probe_rows
+        ],
+        "qid bigint, qvec array<double>, qwords array<bigint>, list_id bigint",
+    )
+    scored = (
+        pruned.select("vec_id", "bq_words", "list_id")
+        .join(F.broadcast(qdf.select("qid", "qwords", "list_id")), "list_id")
+        .select(
+            "qid", "vec_id", hamming_expr("bq_words", "qwords").alias("hamming")
+        )
+    )
+    wcut = Window.partitionBy("qid").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    cut = (
+        scored.withColumn("_r", F.row_number().over(wcut))
+        .filter(F.col("_r") <= rerank)
+        .select("qid", "vec_id")
+    )
+    resc = (
+        pruned.select("vec_id", "vec")
+        .join(F.broadcast(cut), "vec_id")
+        .join(F.broadcast(qdf.select("qid", "qvec").dropDuplicates(["qid"])), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            cosine_expr(
+                F.col("vec").cast("array<double>"), F.col("qvec")
+            ).alias("cosine"),
+        )
+    )
+    return _topk_window(resc, k)
 
 
 def _adc_topk(
@@ -357,6 +431,11 @@ def append_ann_index(
         out_cols = ["vec_id", "vec", "codes", "list_id"]
     else:
         out_cols = ["vec_id", "vec", "list_id"]
+    if meta.get("bq"):  # keep the words sidecar schema-aligned on append
+        from ..operators.binaryq import bq_words_expr
+
+        assigned = assigned.withColumn("bq_words", bq_words_expr("vec"))
+        out_cols.insert(-1, "bq_words")
     (
         assigned.select(*out_cols)
         .write.mode("append")
