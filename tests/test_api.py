@@ -272,3 +272,35 @@ def test_facade_search_hybrid(spark, tmp_path_factory):
     lex_only = [r["doc_id"] for r in ix.search("data parse", k=5).collect()]
     lin1 = [r["doc_id"] for r in ix.search_hybrid("data parse", emb, qv, k=5, alpha=1.0).collect()]
     assert lin1 == lex_only
+
+
+def test_vector_index_facade(spark, tmp_path):
+    """VectorIndex: build → topk (flat + bq) → append lifecycle."""
+    import numpy as np
+
+    from vframe_spark.api import VectorIndex
+
+    rng = np.random.default_rng(5)
+    vecs = (rng.random((150, 64)) - 0.5).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    out = str(tmp_path / "vx")
+    vx = VectorIndex.build(
+        emb.filter("vec_id < 100"), out,
+        centroids=vecs[:6].astype(np.float64), bq=True,
+    )
+    assert vx.meta["bq"] is True and vx.meta["n_vectors"] == 100
+
+    queries = [(0, [float(x) for x in vecs[0]])]
+    flat = vx.topk(queries, k=3, n_probes=6)
+    bq = vx.topk(queries, k=3, n_probes=6, method="bq", rerank=100)
+    assert [r["vec_id"] for r in flat.collect()] == \
+           [r["vec_id"] for r in bq.collect()]
+    assert flat.first()["vec_id"] == 0  # self-match at rank 1
+
+    meta = vx.append(emb.filter("vec_id >= 100"))
+    assert meta["n_vectors"] == 150
+    q149 = vx.topk([(149, [float(x) for x in vecs[149]])], k=1,
+                   n_probes=6, method="bq", rerank=50)
+    assert q149.first()["vec_id"] == 149

@@ -1158,3 +1158,72 @@ class FederatedIndex:
             n = max(n, delete_docs(self.spark, d, doc_ids))
         self.reload()
         return n
+
+
+class VectorIndex:
+    """Handle to a persisted ANN artifact (index.ann) — the embedding
+    companion to :class:`SearchIndex`. One directory holds the IVF
+    lists partitioned by ``list_id`` plus the centroid matrix and
+    optional PQ codes / BQ sign-bit words sidecars; every query reads
+    only its probed partitions.
+
+    >>> vx = VectorIndex.build(emb, "/idx/vec", n_lists=256, bq=True)
+    >>> vx.topk(queries, k=10, n_probes=8, method="bq", rerank=200)
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        out_dir: str,
+        n_lists: int = 64,
+        pq: tuple[int, int] | None = None,
+        bq: bool = False,
+        **build_kwargs,
+    ) -> "VectorIndex":
+        from .index.ann import write_ann_index
+
+        write_ann_index(
+            embeddings, out_dir, n_lists=n_lists, pq=pq, bq=bq, **build_kwargs
+        )
+        return cls(embeddings.sparkSession, out_dir)
+
+    @property
+    def meta(self) -> dict:
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(self.out_dir, "meta.json")) as f:
+            return _json.load(f)
+
+    def append(self, embeddings: DataFrame) -> dict:
+        """Assign with the STORED centroids and append into the
+        existing partitions (codes/words sidecars stay schema-aligned);
+        queries see the union immediately."""
+        from .index.ann import append_ann_index
+
+        return append_ann_index(embeddings, self.out_dir)
+
+    def topk(
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        n_probes: int = 4,
+        method: str = "flat",
+        refine: int = 2,
+        rerank: int = 50,
+    ) -> DataFrame:
+        """→ (qid, rank, vec_id, cosine) over the probed lists only.
+        ``method``: "flat" (exact in-list GEMM), "adc" (PQ codes scan +
+        refine re-rank; needs ``pq=``), "bq" (sign-bit hamming scan +
+        exact rescore of ``rerank`` candidates; needs ``bq=True``)."""
+        from .index.ann import ann_index_topk
+
+        return ann_index_topk(
+            self.spark, self.out_dir, queries, k=k, n_probes=n_probes,
+            method=method, refine=refine, rerank=rerank,
+        )
