@@ -9404,6 +9404,36 @@ def q_rel_salted_join(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- link-graph rank family
+
+PR_ITERS = 8
+
+
+def _pagerank_oracle_sql() -> str:
+    from vframe_spark.operators.graph import (
+        hash_link_edges_duckdb_sql,
+        pagerank_duckdb_sql,
+    )
+
+    edges = hash_link_edges_duckdb_sql("(SELECT count(*) FROM documents)")
+    return pagerank_duckdb_sql(edges, iters=PR_ITERS)
+
+
+def q_rank_pagerank(spark, sf_dir):
+    """Deterministic fixed-point PageRank (operators/graph.py) over the
+    synthetic hash-link graph (4 out-links/doc, skewed hubs). int64
+    micro-rank output — the DuckDB oracle replays every iteration
+    value-for-value (associative integer sums; no float anywhere)."""
+    from vframe_spark.operators.graph import hash_link_edges, pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = hash_link_edges(docs, n)
+    return pagerank(edges, iters=PR_ITERS).select(
+        "node", F.col("rank_micro").cast("bigint").alias("rank_micro")
+    )
+
+
 # --------------------------------------------------------------- the contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9513,6 +9543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bq_topk": q_sim_bq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_nsw_topk": q_sim_nsw_topk,
+        "rank_pagerank": q_rank_pagerank,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "mm_hog_features": q_mm_hog_features,
@@ -9859,6 +9890,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_sq_topk": SQ_ORACLE_SQL,
         "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
         "sim_bq_topk": BQ_ORACLE_SQL,
+        "rank_pagerank": _pagerank_oracle_sql(),
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""

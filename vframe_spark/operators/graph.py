@@ -1,0 +1,280 @@
+"""Link-graph ranking signals: deterministic fixed-point PageRank.
+
+PageRank (Page/Brin/Motwani/Winograd 1999) as a query-independent
+document prior for web-scale retrieval — the classic power iteration
+with uniform teleport and dangling-mass redistribution, re-expressed
+as DataFrame joins/aggregations.
+
+**Why fixed-point integers.** Floating-point power iteration is not
+reproducible across engines (or even across Spark runs: the order a
+`sum(double)` reduces in depends on task scheduling). Every quantity
+here is an int64 count of "micro-rank" units (total mass = ``scale``,
+default 10^12) combined with explicit floor division — int64 addition
+is associative, so aggregation order cannot perturb a single bit, and
+a DuckDB replay (:func:`pagerank_duckdb_sql`) reproduces every
+iteration value-for-value. This is the discipline of
+``index/prune.py``'s transcendental-free impact key applied to an
+iterative algorithm.
+
+**Scale shape (10^9-node graphs).**
+
+* The edge table — the big side — is hash-partitioned on ``src`` once
+  and persisted; every iteration shuffles only the rank vector
+  (|V| rows) into that fixed layout plus a map-side-combined
+  ``sum`` per destination. The edges themselves never move again.
+* Lineage is cut every iteration (``localCheckpoint``) — the
+  GraphX/Pregel checkpoint discipline. Each iteration references the
+  previous rank vector twice (dangling aggregate + contribution
+  join); without materialization that recomputes the whole prefix
+  2^iters times, and the Catalyst tree grows without bound.
+* Dangling mass folds in through a 1-row broadcast cross join, never
+  a driver-side collect.
+* Skewed in-degree (hub pages) lands on the ``groupBy(dst)`` partial
+  aggregate, which combines map-side before the shuffle; AQE's skew
+  handling covers the reduce side.
+
+Reference analog: vframe has no link analysis; this extends the
+ranking family (query/bm25.py, query/boost.py) with the standard
+query-independent web prior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMPING = (17, 20)  # 0.85 as an exact rational
+
+
+# --------------------------------------------------------------- fixture
+
+def hash_link_edges(
+    docs: DataFrame,
+    n_nodes: int,
+    id_col: str = "doc_id",
+    degree: int = 4,
+    hubs: int = 32,
+    hub_num: int = 3,
+    hub_den: int = 10,
+) -> DataFrame:
+    """Deterministic synthetic hyperlink graph over an id column.
+
+    Each node emits ``degree`` out-links whose targets come from an
+    integer mix of (id, link-slot); a ``hub_num/hub_den`` fraction of
+    links is redirected to the first ``hubs`` nodes, giving the skewed
+    in-degree distribution of a real web/code-dependency graph (the
+    skew the PageRank aggregate must absorb). Pure Catalyst integer
+    arithmetic — SQL-replayable bit-for-bit by
+    :func:`hash_link_edges_duckdb_sql`. Self-loops are dropped;
+    duplicate (src, dst) pairs collapse.
+
+    Ids must stay below ~3.4e9 so ``(id+1)*2654435761`` fits int64 in
+    engines that error on overflow (DuckDB) — fine for fixtures; a
+    production edge list comes from a real link/import extractor.
+    """
+    mix = f"(({id_col} + 1) * 2654435761 + j * 40503)"
+    dst = (
+        f"CASE WHEN {mix} % {hub_den} < {hub_num} "
+        f"THEN {mix} % {hubs} ELSE {mix} % {n_nodes} END"
+    )
+    return (
+        docs.select(id_col)
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(degree))))
+        .select(F.col(id_col).alias("src"), F.expr(dst).cast("long").alias("dst"))
+        .where("dst <> src")
+        .distinct()
+    )
+
+
+def hash_link_edges_duckdb_sql(
+    n_nodes: int,
+    id_col: str = "doc_id",
+    table: str = "documents",
+    degree: int = 4,
+    hubs: int = 32,
+    hub_num: int = 3,
+    hub_den: int = 10,
+) -> str:
+    """DuckDB twin of :func:`hash_link_edges` (same mix, same hubs)."""
+    mix = f"(({id_col} + 1) * 2654435761 + j * 40503)"
+    dst = (
+        f"CASE WHEN {mix} % {hub_den} < {hub_num} "
+        f"THEN {mix} % {hubs} ELSE {mix} % {n_nodes} END"
+    )
+    return f"""
+SELECT DISTINCT {id_col} AS src, ({dst})::BIGINT AS dst
+FROM {table}, unnest(generate_series(1, {degree})) AS u(j)
+WHERE ({dst}) <> {id_col}
+"""
+
+
+# --------------------------------------------------------------- operator
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 8,
+    damping: tuple[int, int] = DAMPING,
+    scale: int = SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int | None = None,
+    dedup: bool = False,
+    eager_checkpoint: bool = False,
+) -> DataFrame:
+    """Fixed-point PageRank → ``(node, rank_micro)`` (int64 micro-units,
+    summing to ~``scale`` minus floor loss).
+
+    Per iteration, for damping d = dn/dd::
+
+        contrib(u→v) = (r(u) * dn) div (dd * outdeg(u))
+        dangling     = ( Σ_{outdeg(u)=0} (r(u) * dn) div dd ) div |V|
+        r'(v)        = (scale * (dd-dn)) div (dd * |V|)   -- teleport
+                       + dangling + Σ_in contrib
+
+    ``dedup=True`` collapses duplicate (src, dst) rows first (one extra
+    shuffle); leave False when the edge list is already distinct.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    dn, dd = damping
+    if not (0 < dn < dd):
+        raise ValueError(f"damping must be a proper fraction, got {damping}")
+    spark = edges.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if dedup:
+        e = e.distinct()
+    # The big table shuffles ONCE; iterations reuse this layout.
+    e = e.repartition(p, "src").persist()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    deg = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .select("node", F.coalesce(F.col("outd"), F.lit(0)).cast("long").alias("outd"))
+        .repartition(p, "node")
+        .persist()
+    )
+    # One upfront pass: |V| and whether dangling nodes exist at all.
+    # Dangling-free graphs (every node has an out-link — true of link
+    # graphs whose edge list came from the same crawl as the node set)
+    # take a branch with NO per-iteration global aggregate: the whole
+    # power iteration stays one lazy chain and runs as a single job.
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("outd") == 0, 1).otherwise(0)).alias("n_dang"),
+    ).collect()[0]
+    n, has_dangling = int(agg["n"]), int(agg["n_dang"]) > 0
+    tele = (scale * (dd - dn)) // (dd * n)
+
+    r = deg.withColumn("r", F.lit(scale // n).cast("long"))
+    contrib_expr = F.expr(f"(r * {dn}) div ({dd} * outd)")
+    dang_expr = F.expr(f"(r * {dn}) div {dd}")
+    for _ in range(iters):
+        contrib = (
+            r.where("outd > 0")
+            .join(e, r["node"] == e["src"])
+            .select("dst", contrib_expr.alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("_s"))
+        )
+        base = F.lit(tele) + F.coalesce(F.col("_s"), F.lit(0))
+        if has_dangling:
+            # 1-row dangling mass — broadcast, never a driver collect.
+            dang = r.where("outd = 0").agg(
+                F.coalesce(F.sum(dang_expr), F.lit(0)).cast("long").alias("_dang")
+            )
+            joined = deg.crossJoin(F.broadcast(dang))
+            base = base + F.expr(f"_dang div {n}")
+        else:
+            joined = deg
+        r = (
+            joined.join(contrib, joined["node"] == contrib["dst"], "left")
+            .select("node", "outd", base.cast("long").alias("r"))
+        )
+        # Cut lineage: r is referenced twice next iteration (dangling
+        # aggregate + contribution join). Lazy is safe here: the 1-row
+        # dangling broadcast materializes the iteration first, writing
+        # the checkpoint blocks every later consumer reads — so nothing
+        # recomputes, and we skip one explicit job per iteration.
+        r = r.localCheckpoint(eager=eager_checkpoint)
+    e.unpersist()
+    deg.unpersist()
+    return r.select("node", F.col("r").alias("rank_micro"))
+
+
+# ----------------------------------------------------------------- twins
+
+def pagerank_duckdb_sql(
+    edges_sql: str,
+    iters: int = 8,
+    damping: tuple[int, int] = DAMPING,
+    scale: int = SCALE,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the power iteration unrolled as
+    a chain of **MATERIALIZED** CTEs (each iteration references its
+    predecessor twice — inlined CTEs would re-expand the whole prefix
+    exponentially, the SQL analog of the missing localCheckpoint).
+    Value-identical to the Spark operator: same int64 floor arithmetic.
+    """
+    dn, dd = damping
+    blocks = [
+        f"""e AS MATERIALIZED ({edges_sql}),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM nodes),
+deg AS MATERIALIZED (
+  SELECT node, coalesce(o.cnt, 0)::BIGINT AS outd FROM nodes
+  LEFT JOIN (SELECT src, count(*)::BIGINT AS cnt FROM e GROUP BY 1) o
+    ON node = o.src),
+r0 AS MATERIALIZED (
+  SELECT node, outd, ((SELECT {scale} // c FROM nn))::BIGINT AS r FROM deg)"""
+    ]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        blocks.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT d.node, d.outd,
+    ((SELECT ({scale} * {dd - dn}) // ({dd} * c) FROM nn)
+     + (SELECT coalesce(sum((r * {dn}) // {dd}), 0) // (SELECT c FROM nn)
+        FROM {prev} WHERE outd = 0)
+     + coalesce(c.s, 0))::BIGINT AS r
+  FROM deg d
+  LEFT JOIN (SELECT e.dst AS node, sum((p.r * {dn}) // ({dd} * p.outd)) AS s
+             FROM {prev} p JOIN e ON p.node = e.src
+             WHERE p.outd > 0 GROUP BY 1) c USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT node, r AS rank_micro FROM r{iters}"
+    )
+
+
+def pagerank_py(
+    edges: list[tuple[int, int]],
+    iters: int = 8,
+    damping: tuple[int, int] = DAMPING,
+    scale: int = SCALE,
+) -> dict[int, int]:
+    """Driver/test-side twin (same math) for brute-force oracles."""
+    dn, dd = damping
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outd = dict.fromkeys(nodes, 0)
+    for s, _ in edges:
+        outd[s] += 1
+    r = dict.fromkeys(nodes, scale // n)
+    tele = (scale * (dd - dn)) // (dd * n)
+    for _ in range(iters):
+        dang = sum((r[u] * dn) // dd for u in nodes if outd[u] == 0) // n
+        nxt = dict.fromkeys(nodes, tele + dang)
+        for s, d in edges:
+            nxt[d] += (r[s] * dn) // (dd * outd[s])
+        r = nxt
+    return r
