@@ -9404,9 +9404,69 @@ def q_rel_salted_join(spark, sf_dir):
     )
 
 
+# ----------------------------------------------- code symbol/xref family
+
+# The documents fixture is a word-soup corpus, so the contract's
+# "definition keywords" are corpus verbs; the operator's default set
+# (def/fn/func/class/...) is exercised on the code corpus in
+# tests/test_symbols.py — same machinery, different keyword artifact.
+CODE_KW = ("scan", "merge", "sort", "filter", "join")
+
+
+def q_code_symbols(spark, sf_dir):
+    """Definition-site extraction (functions/symbols.py): one regex
+    pass in the scan → (kind, symbol, n_defs, n_sites). The ctags
+    analog over the shared corpus; oracle replays the identical RE2
+    pattern and non-overlap rule."""
+    from vframe_spark.functions.symbols import extract_defs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return (
+        extract_defs(docs, keywords=CODE_KW)
+        .groupBy("kind", "symbol")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_defs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+        )
+    )
+
+
+def q_code_xref(spark, sf_dir):
+    """Per-symbol def/ref counts (functions/symbols.py symbol_xref):
+    references via the distinct (doc, ident) posting explode + one
+    equi-join and one anti-join — never a per-symbol LIKE scan."""
+    from vframe_spark.functions.symbols import symbol_xref
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return symbol_xref(docs, keywords=CODE_KW)
+
+
 # ------------------------------------------------- link-graph rank family
 
 PR_ITERS = 8
+
+
+def _code_symbols_oracle_sql() -> str:
+    from vframe_spark.functions.symbols import defs_duckdb_sql
+
+    sites = defs_duckdb_sql(CODE_KW, content_expr="text")
+    return f"""
+        WITH sites AS ({sites})
+        SELECT kind, symbol,
+               count(DISTINCT doc_id)::BIGINT AS n_defs,
+               count(*)::BIGINT AS n_sites
+        FROM sites GROUP BY 1, 2
+    """
+
+
+def _code_xref_oracle_sql() -> str:
+    from vframe_spark.functions.symbols import xref_duckdb_sql
+
+    return xref_duckdb_sql(CODE_KW, content_expr="text")
 
 
 def _pagerank_oracle_sql() -> str:
@@ -9544,6 +9604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_nsw_topk": q_sim_nsw_topk,
         "rank_pagerank": q_rank_pagerank,
+        "code_symbols": q_code_symbols,
+        "code_xref": q_code_xref,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "mm_hog_features": q_mm_hog_features,
@@ -9891,6 +9953,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
         "sim_bq_topk": BQ_ORACLE_SQL,
         "rank_pagerank": _pagerank_oracle_sql(),
+        "code_symbols": _code_symbols_oracle_sql(),
+        "code_xref": _code_xref_oracle_sql(),
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""

@@ -1,0 +1,96 @@
+"""Symbol extraction / cross-reference (functions/symbols.py): brute
+force twins on the code corpus, regex-rule pins, plan shape."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.functions.symbols import (
+    DEF_KEYWORDS,
+    def_pattern,
+    extract_defs,
+    extract_defs_py,
+    ident_tokens_expr,
+    symbol_xref,
+)
+
+
+def test_extract_defs_matches_python_twin_on_code_corpus(spark):
+    docs = synth_docs(spark, 120).withColumn("id", F.xxhash64("repo", "path", "commit"))
+    got = sorted(
+        (r.id, r.kind, r.symbol)
+        for r in extract_defs(docs).select("id", "kind", "symbol").collect()
+    )
+    exp = []
+    for row in docs.select("id", "content").collect():
+        exp.extend((row.id, k, s) for k, s in extract_defs_py(row.content))
+    assert got == sorted(exp)
+    assert len(got) > 50  # the corpus really contains definition sites
+
+
+def test_non_overlapping_rule_pinned(spark):
+    df = spark.createDataFrame(
+        [(1, "def a def b"), (2, "def def x"), (3, "fn  multi\nspace"),
+         (4, ""), (5, None), (6, "prefixdef notakeyword")],
+        "id int, content string",
+    )
+    got = {
+        (r.id, r.kind, r.symbol)
+        for r in extract_defs(df).select("id", "kind", "symbol").collect()
+    }
+    # "def a def b" -> both sites; "def def x" -> the first match consumes
+    # "def def", the scan resumes at "x" (no keyword) — one site only.
+    assert got == {
+        (1, "def", "a"), (1, "def", "b"),
+        (2, "def", "def"),
+        (3, "fn", "multi"),
+    }
+
+
+def test_ident_tokens_preserve_case_and_underscores(spark):
+    df = spark.createDataFrame([(1, "fooBar snake_case x9; y=2")], "id int, c string")
+    toks = df.select(ident_tokens_expr("c").alias("t")).collect()[0].t
+    assert toks == ["fooBar", "snake_case", "x9", "y", "2"]
+
+
+def test_xref_counts_brute_force(spark):
+    docs = synth_docs(spark, 80).withColumn("id", F.xxhash64("repo", "path", "commit"))
+    got = {
+        r.symbol: (r.n_defs, r.n_refs)
+        for r in symbol_xref(docs, id_col="id").collect()
+    }
+    rows = docs.select("id", "content").collect()
+    defs: dict[str, set] = {}
+    for row in rows:
+        for _, s in extract_defs_py(row.content):
+            defs.setdefault(s, set()).add(row.id)
+    ident_re = re.compile(r"[^A-Za-z0-9_]+")
+    refs = {s: 0 for s in defs}
+    for row in rows:
+        idents = {t for t in ident_re.split(row.content or "") if t}
+        for s in defs:
+            if s in idents and row.id not in defs[s]:
+                refs[s] += 1
+    assert got == {s: (len(d), refs[s]) for s, d in defs.items()}
+
+
+def test_custom_keywords_and_validation(spark):
+    df = spark.createDataFrame([(1, "scan fast merge slow")], "id int, c string")
+    got = {
+        (r.kind, r.symbol)
+        for r in extract_defs(df, "c", keywords=("scan", "merge")).collect()
+    }
+    assert got == {("scan", "fast"), ("merge", "slow")}
+    with pytest.raises(ValueError):
+        def_pattern(())
+
+
+def test_extraction_is_pure_jvm(spark):
+    docs = synth_docs(spark, 10)
+    plan = (
+        extract_defs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan  # regex + explode codegen, no UDF

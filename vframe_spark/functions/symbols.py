@@ -1,0 +1,190 @@
+"""Code-symbol extraction and cross-reference (ctags/LSIF-lite).
+
+The code-payload analogs of detection extraction: pull *definition
+sites* (``def parseIndex``, ``fn build_token``, ``class HttpServer``)
+out of ``content`` with one non-overlapping regex pass, and compute
+per-symbol definition/reference counts with posting-list-shaped joins.
+
+Everything is pure Catalyst:
+
+* definition extraction is ``regexp_extract_all`` inside the scan —
+  whole-stage codegen, zero Python, column-pruned to ``content``;
+* reference discovery never does a per-symbol ``LIKE`` scan (a
+  broadcast-nested-loop at corpus × vocabulary scale); instead the
+  corpus explodes ONCE into distinct (doc, identifier) postings
+  (``array_distinct`` *before* the explode, so the shuffle carries
+  per-doc-deduped idents) and symbols join by equality — the same
+  shape as the inverted-index build.
+
+Both engines run the same RE2-compatible pattern (Java regex and
+DuckDB's RE2 agree on ``\\b``, character classes, and the
+non-overlapping left-to-right match rule), so the DuckDB twins are
+value-identical, not approximations.
+
+Reference analog: the detect→filter family over frames
+(/root/reference/src/commands/pipe/detect.py:40-168) — here the
+"detector" is a definition-site regex over source text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Definition keywords across the corpus languages (py/java/js/go/rs/c).
+DEF_KEYWORDS = (
+    "def", "class", "fn", "func", "function", "struct", "impl",
+    "interface", "type",
+)
+
+#: ASCII identifier — deliberately \w-compatible so ``\b`` agrees
+#: between Java regex and RE2.
+IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
+
+
+def def_pattern(keywords=DEF_KEYWORDS, ident_re: str = IDENT_RE) -> str:
+    """``\\b(kw1|kw2|...)\\s+<ident>\\b`` — one regex, both engines."""
+    if not keywords:
+        raise ValueError("keywords must be non-empty")
+    return rf"\b(?:{'|'.join(keywords)})\s+{ident_re}\b"
+
+
+def ident_tokens_expr(col: Column | str) -> Column:
+    """All identifier tokens of a source text: split on runs of
+    non-``[A-Za-z0-9_]``. Unlike the index tokenizer this preserves
+    case and underscores — references must match definition sites
+    verbatim, not per-subword."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, "[^A-Za-z0-9_]+"), lambda t: t != "")
+
+
+def ident_tokens_duckdb_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ident_tokens_expr`."""
+    return (
+        f"list_filter(regexp_split_to_array({expr}, '[^A-Za-z0-9_]+'),"
+        " t -> t <> '')"
+    )
+
+
+def extract_defs(
+    df: DataFrame,
+    content_col: str = "content",
+    keywords=DEF_KEYWORDS,
+    ident_re: str = IDENT_RE,
+) -> DataFrame:
+    """One row per definition *site*: input columns + (kind, symbol).
+
+    Non-overlapping left-to-right matches of :func:`def_pattern` —
+    ``"def a def b"`` yields (def, a) and (def, b); ``"def def x"``
+    yields only (def, def), exactly as both regex engines scan.
+    """
+    pat = def_pattern(keywords, ident_re)
+    matches = F.regexp_extract_all(F.col(content_col), F.lit(pat), F.lit(0))
+    parts = F.split(F.col("_m"), r"\s+")
+    return (
+        df.withColumn("_m", F.explode(matches))
+        .withColumn("kind", F.element_at(parts, 1))
+        .withColumn("symbol", F.element_at(parts, 2))
+        .drop("_m")
+    )
+
+
+def extract_defs_py(content: str, keywords=DEF_KEYWORDS,
+                    ident_re: str = IDENT_RE) -> list[tuple[str, str]]:
+    """Driver/test-side twin of :func:`extract_defs` (same pattern,
+    same non-overlap rule) for brute-force oracles."""
+    import re
+
+    out = []
+    for m in re.finditer(def_pattern(keywords, ident_re), content or ""):
+        kind, symbol = re.split(r"\s+", m.group(0), maxsplit=1)
+        out.append((kind, symbol))
+    return out
+
+
+def defs_duckdb_sql(
+    keywords=DEF_KEYWORDS,
+    ident_re: str = IDENT_RE,
+    id_col: str = "doc_id",
+    content_expr: str = "content",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`extract_defs` → (id, kind, symbol) sites."""
+    pat = def_pattern(keywords, ident_re)
+    return f"""
+SELECT {id_col},
+       regexp_split_to_array(m, '\\s+')[1] AS kind,
+       regexp_split_to_array(m, '\\s+')[2] AS symbol
+FROM (SELECT {id_col}, unnest(regexp_extract_all({content_expr}, '{pat}', 0)) AS m
+      FROM {table})
+"""
+
+
+def symbol_xref(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    keywords=DEF_KEYWORDS,
+    ident_re: str = IDENT_RE,
+) -> DataFrame:
+    """Per-symbol definition/reference counts → (symbol, n_defs, n_refs).
+
+    ``n_defs`` = docs with a definition site; ``n_refs`` = docs whose
+    identifier tokens contain the symbol but that do NOT define it —
+    the ctags/LSIF "external reference" count. Shapes: defs regex in
+    the scan; occurrences as distinct (doc, ident) postings
+    (array_distinct before explode); one equi-join + one anti-join,
+    both partial-aggregated before their shuffles.
+    """
+    base = df.select(id_col, content_col)
+    defs = (
+        extract_defs(base, content_col, keywords, ident_re)
+        .select(id_col, "symbol")
+        .distinct()
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ident_tokens_expr(content_col))).alias("symbol"),
+    )
+    refs = (
+        occ.join(defs.select("symbol").distinct(), "symbol")
+        .join(defs, [id_col, "symbol"], "left_anti")
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    n_defs = defs.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_defs"))
+    return (
+        n_defs.join(refs, "symbol", "left")
+        .select(
+            "symbol",
+            F.col("n_defs").cast("bigint").alias("n_defs"),
+            F.coalesce(F.col("n_refs"), F.lit(0)).cast("bigint").alias("n_refs"),
+        )
+    )
+
+
+def xref_duckdb_sql(
+    keywords=DEF_KEYWORDS,
+    ident_re: str = IDENT_RE,
+    id_col: str = "doc_id",
+    content_expr: str = "content",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`symbol_xref` (same def/ref semantics)."""
+    sites = defs_duckdb_sql(keywords, ident_re, id_col, content_expr, table)
+    idents = ident_tokens_duckdb_sql(content_expr)
+    return f"""
+WITH sites AS ({sites}),
+defs AS (SELECT DISTINCT {id_col}, symbol FROM sites),
+occ AS (SELECT DISTINCT {id_col}, unnest({idents}) AS symbol FROM {table}),
+refs AS (
+  SELECT o.symbol, count(*)::BIGINT AS n_refs
+  FROM occ o
+  JOIN (SELECT DISTINCT symbol FROM defs) s USING (symbol)
+  ANTI JOIN defs d ON d.{id_col} = o.{id_col} AND d.symbol = o.symbol
+  GROUP BY 1)
+SELECT d.symbol AS symbol, count(*)::BIGINT AS n_defs,
+       coalesce(any_value(r.n_refs), 0)::BIGINT AS n_refs
+FROM defs d LEFT JOIN refs r ON d.symbol = r.symbol
+GROUP BY 1
+"""
