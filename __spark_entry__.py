@@ -9450,6 +9450,81 @@ def q_code_xref(spark, sf_dir):
 PR_ITERS = 8
 
 
+def _pagerank_boost_oracle_sql() -> str:
+    """BM25 × (1 + W·pr) over the full match set, shared 4 dp grain."""
+    pr = _pagerank_oracle_sql()
+    tok = TOK_SQL
+    boost = (
+        f"(1.0 + {PR_BOOST_W} * coalesce(p.rank_micro, 0)::DOUBLE / {PR_SCALE_SQL})"
+    )
+    return f"""
+WITH pr AS MATERIALIZED ({pr}),
+toks AS (SELECT doc_id, {tok} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {{QVALUES}}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+ssum AS (SELECT qid, doc_id, sum(c) AS sc FROM contrib GROUP BY 1, 2),
+score AS (
+  SELECT s.qid, s.doc_id, round(s.sc * {boost}, 4) AS score
+  FROM ssum s LEFT JOIN pr p ON p.node = s.doc_id
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+""".replace("{QVALUES}", _ft_qterms_values_sql())
+
+
+def _ltr_oracle_sql() -> str:
+    """BM25 top-30 window → pinned-artifact linear score at 6 dp."""
+    from vframe_spark.query.ltr import ltr_score_duckdb_sql
+
+    pr = _pagerank_oracle_sql()
+    window = BM25_ORACLE_SQL.replace(
+        f"WHERE rank <= {FT_K}", f"WHERE rank <= {3 * FT_K}"
+    ).replace("{QVALUES}", _ft_qterms_values_sql())
+    score = ltr_score_duckdb_sql(LTR_W, grain=6)
+    return f"""
+WITH pr AS MATERIALIZED ({pr}),
+bm AS MATERIALIZED ({window}),
+feats AS (
+  SELECT bm.qid, bm.doc_id, bm.score,
+         coalesce(p.rank_micro, 0)::DOUBLE / {PR_SCALE_SQL} AS pr_norm,
+         d.n_chars::DOUBLE / 1000.0 AS nchars_norm
+  FROM bm
+  LEFT JOIN pr p ON p.node = bm.doc_id
+  JOIN documents d ON d.doc_id = bm.doc_id
+),
+scored AS (SELECT qid, doc_id, {score} AS score FROM feats),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM scored
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def _code_symbols_oracle_sql() -> str:
     from vframe_spark.functions.symbols import defs_duckdb_sql
 
@@ -9479,18 +9554,92 @@ def _pagerank_oracle_sql() -> str:
     return pagerank_duckdb_sql(edges, iters=PR_ITERS)
 
 
+_PR_CACHE: dict[str, DataFrame] = {}
+
+
+def _pagerank_df(spark, sf_dir) -> DataFrame:
+    """PageRank over the hash-link graph, built once per sf_dir (the
+    result is localCheckpointed by the operator, so reuse is a scan)."""
+    if sf_dir not in _PR_CACHE:
+        from vframe_spark.operators.graph import hash_link_edges, pagerank
+
+        docs = _t(spark, sf_dir, "documents")
+        n = docs.count()
+        _PR_CACHE[sf_dir] = pagerank(hash_link_edges(docs, n), iters=PR_ITERS)
+    return _PR_CACHE[sf_dir]
+
+
 def q_rank_pagerank(spark, sf_dir):
     """Deterministic fixed-point PageRank (operators/graph.py) over the
     synthetic hash-link graph (4 out-links/doc, skewed hubs). int64
     micro-rank output — the DuckDB oracle replays every iteration
     value-for-value (associative integer sums; no float anywhere)."""
-    from vframe_spark.operators.graph import hash_link_edges, pagerank
-
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
-    edges = hash_link_edges(docs, n)
-    return pagerank(edges, iters=PR_ITERS).select(
+    return _pagerank_df(spark, sf_dir).select(
         "node", F.col("rank_micro").cast("bigint").alias("rank_micro")
+    )
+
+
+#: Query-independent prior strength: boost = 1 + W · rank/scale.
+PR_BOOST_W = 50.0
+
+#: The deployed LTR artifact (weights are pinned constants — the
+#: cross-engine contract; the FIT machinery is query/ltr.py, verified
+#: against numpy in tests/test_ltr.py).
+LTR_W = {"score": 1.0, "pr_norm": 25.0, "nchars_norm": 0.2, "_intercept": 0.0}
+PR_SCALE_SQL = "1000000000000.0"
+
+
+def q_rank_pagerank_boost(spark, sf_dir):
+    """Function-score retrieval with the PageRank prior: BM25 × (1 +
+    W·pr) over the FULL match set (query/boost.py exact semantics) —
+    well-linked docs surface from below the unboosted page. The prior
+    is the int64 fixed-point rank, so the boost factor is
+    engine-identical before the shared 4 dp grain."""
+    from vframe_spark.query.boost import boosted_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    pr = _pagerank_df(spark, sf_dir)
+    boosts = pr.select(
+        F.col("node").alias("doc_id"),
+        (
+            F.lit(1.0)
+            + F.lit(PR_BOOST_W) * F.col("rank_micro").cast("double") / F.lit(1e12)
+        ).alias("boost"),
+    )
+    raw = boosted_topk(postings, term_stats, meta, FT_QUERIES, boosts, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def q_rank_ltr_linear(spark, sf_dir):
+    """Retrieve-then-rerank linear LTR (query/ltr.py): BM25 window
+    (top-30, the shared 4 dp grain) → per-(qid, doc) features (bm25,
+    PageRank prior, doc length) → one-projection linear score at 6 dp
+    → re-rank. Weights are the pinned LTR_W artifact; the oracle
+    replays feature assembly and scoring exactly."""
+    from vframe_spark.query.ltr import ltr_score
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, FT_QUERIES, k=3 * FT_K)
+    window = _rounded_rank(raw.select("qid", "doc_id", "score"), 3 * FT_K)
+    pr = _pagerank_df(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    feats = (
+        window.join(pr, window["doc_id"] == pr["node"], "left")
+        .join(docs, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            "score",
+            (F.coalesce(F.col("rank_micro"), F.lit(0)).cast("double") / F.lit(1e12)).alias("pr_norm"),
+            (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("nchars_norm"),
+        )
+    )
+    scored = ltr_score(feats, LTR_W, out_col="ltr", grain=6)
+    w = Window.partitionBy("qid").orderBy(F.col("ltr").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= FT_K)
+        .select("qid", "rank", "doc_id", F.col("ltr").alias("score"))
     )
 
 
@@ -9604,6 +9753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_nsw_topk": q_sim_nsw_topk,
         "rank_pagerank": q_rank_pagerank,
+        "rank_pagerank_boost": q_rank_pagerank_boost,
+        "rank_ltr_linear": q_rank_ltr_linear,
         "code_symbols": q_code_symbols,
         "code_xref": q_code_xref,
         "mm_decode_extract": q_mm_decode_extract,
@@ -9953,6 +10104,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
         "sim_bq_topk": BQ_ORACLE_SQL,
         "rank_pagerank": _pagerank_oracle_sql(),
+        "rank_pagerank_boost": _pagerank_boost_oracle_sql(),
+        "rank_ltr_linear": _ltr_oracle_sql(),
         "code_symbols": _code_symbols_oracle_sql(),
         "code_xref": _code_xref_oracle_sql(),
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,

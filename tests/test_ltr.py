@@ -1,0 +1,92 @@
+"""Linear LTR (query/ltr.py): distributed normal-equation fit vs
+numpy, pinned-artifact scoring, and the DuckDB scoring twin."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.query.ltr import (
+    ltr_fit_linear,
+    ltr_score,
+    ltr_score_duckdb_sql,
+    ltr_score_expr,
+)
+
+
+def _frame(spark, n=400, seed=7, noise=0.0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 3))
+    w_true = np.array([2.0, -1.5, 0.25])
+    y = x @ w_true + 3.0 + noise * rng.normal(size=n)
+    rows = [(float(a), float(b), float(c), float(t)) for (a, b, c), t in zip(x, y)]
+    return (
+        spark.createDataFrame(rows, "f1 double, f2 double, f3 double, y double"),
+        w_true,
+    )
+
+
+def test_fit_recovers_exact_linear_model(spark):
+    df, w_true = _frame(spark, noise=0.0)
+    w = ltr_fit_linear(df, ["f1", "f2", "f3"], "y")
+    assert np.allclose([w["f1"], w["f2"], w["f3"]], w_true, atol=1e-8)
+    assert abs(w["_intercept"] - 3.0) < 1e-8
+
+
+def test_fit_matches_numpy_lstsq_with_noise(spark):
+    df, _ = _frame(spark, noise=0.3)
+    w = ltr_fit_linear(df, ["f1", "f2", "f3"], "y")
+    pdf = df.toPandas()
+    X = np.column_stack([pdf[["f1", "f2", "f3"]].to_numpy(), np.ones(len(pdf))])
+    ref, *_ = np.linalg.lstsq(X, pdf["y"].to_numpy(), rcond=None)
+    assert np.allclose([w["f1"], w["f2"], w["f3"], w["_intercept"]], ref, atol=1e-6)
+
+
+def test_ridge_shrinks_weights(spark):
+    df, _ = _frame(spark, noise=0.3)
+    w0 = ltr_fit_linear(df, ["f1", "f2", "f3"], "y", l2=0.0)
+    w9 = ltr_fit_linear(df, ["f1", "f2", "f3"], "y", l2=1e4)
+    norm0 = sum(w0[c] ** 2 for c in ("f1", "f2", "f3"))
+    norm9 = sum(w9[c] ** 2 for c in ("f1", "f2", "f3"))
+    assert norm9 < norm0
+
+
+def test_fit_no_intercept(spark):
+    df, w_true = _frame(spark, noise=0.0)
+    df = df.withColumn("y", F.col("y") - F.lit(3.0))  # remove the bias
+    w = ltr_fit_linear(df, ["f1", "f2", "f3"], "y", fit_intercept=False)
+    assert np.allclose([w["f1"], w["f2"], w["f3"]], w_true, atol=1e-8)
+    assert w["_intercept"] == 0.0
+
+
+def test_score_projection_and_duckdb_twin(spark):
+    weights = {"a": 1.5, "b": -0.25, "_intercept": 0.125}
+    rows = [(float(i) / 7, float(i * i) / 13) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = [r.s for r in ltr_score(df, weights, "s", grain=6).orderBy("a").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a DOUBLE, b DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = ltr_score_duckdb_sql(weights, grain=6)
+    ora = [r[0] for r in con.execute(f"SELECT {sql} FROM t ORDER BY a").fetchall()]
+    assert got == ora  # identical constants + nesting → identical doubles
+
+
+def test_fit_is_pure_aggregate_no_collect_of_rows(spark):
+    # 3 features → the agg returns ONE row of k(k+3)/2 + extras scalars;
+    # the plan must contain no Python and end in a single aggregate.
+    df, _ = _frame(spark, n=100)
+    w = ltr_fit_linear(df, ["f1", "f2", "f3"], "y")
+    assert set(w) == {"f1", "f2", "f3", "_intercept"}
+
+
+def test_validation(spark):
+    df, _ = _frame(spark, n=10)
+    with pytest.raises(ValueError):
+        ltr_fit_linear(df, [], "y")
+
+
+def test_score_expr_handles_grainless(spark):
+    df = spark.createDataFrame([(2.0,)], "x double")
+    v = df.select(ltr_score_expr({"x": 0.5, "_intercept": 1.0}).alias("s")).collect()[0].s
+    assert v == 2.0

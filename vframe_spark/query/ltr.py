@@ -1,0 +1,122 @@
+"""Linear learning-to-rank: one-pass distributed fit, one-projection
+scoring.
+
+The standard retrieve-then-rerank LTR shape (Lucene/ES LTR plugins,
+RankLib linear models): a cheap first-phase retriever (BM25) cuts a
+window, per-(query, doc) features are assembled on window rows only
+(|q|·window, never corpus-sized), and a linear model re-scores them.
+
+* **Fit** (:func:`ltr_fit_linear`): ridge least squares by normal
+  equations — the Gram matrix ``XᵀX`` and moment vector ``Xᵀy`` are
+  single-pass Spark aggregates (sum of products per feature pair:
+  k(k+3)/2 scalar sums, map-side combined, O(k²) driver memory for the
+  tiny solve). No gradient loop, no feature matrix collect — the same
+  closed-form discipline as operators/quality_model.py but exact, not
+  iterative. Works unchanged at 10^12 training rows: the shuffle
+  carries k² partial sums per partition, nothing else.
+* **Score** (:func:`ltr_score`): the fitted (or hand-pinned) weights
+  become ONE Catalyst projection — w·x + b, optionally rounded to a
+  cross-engine grain, so a SQL oracle replays scoring exactly when the
+  weights are fixed artifact constants.
+
+Float caveat, stated honestly: the *fit* sums doubles, so weights can
+wiggle in the last ulps across partitionings — fine for training, not
+for cross-engine contracts. Contract queries therefore pin the weight
+artifact as constants (the deployed-model pattern) and let the oracle
+replay scoring; the fit itself is verified against ``numpy.lstsq`` in
+pytest.
+
+Reference analog: per-detection confidence thresholds are scalar
+gates (/root/reference/src/commands/pipe/skip-detections.py:30-53);
+this is the ranked, multi-feature generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ltr_fit_linear(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    l2: float = 0.0,
+    fit_intercept: bool = True,
+) -> dict[str, float]:
+    """Ridge least squares over (features, label) rows → weights dict
+    (``{feature: w, ..., "_intercept": b}``).
+
+    One distributed aggregation builds XᵀX / Xᵀy (intercept as an
+    implicit all-ones feature); numpy solves the (k+1)×(k+1) system on
+    the driver. ``l2`` adds ridge regularization to the non-intercept
+    diagonal.
+    """
+    import numpy as np
+
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    cols = list(feature_cols) + ([] if not fit_intercept else ["__one"])
+    x = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.lit(1.0).alias("__one"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"xx_{a}__{b}"))
+        aggs.append(F.sum(F.col(a) * F.col("__y")).alias(f"xy_{a}"))
+    row = x.agg(*aggs).collect()[0].asDict()
+
+    k = len(cols)
+    gram = np.zeros((k, k))
+    mom = np.zeros(k)
+    for i, a in enumerate(cols):
+        for j in range(i, k):
+            b = cols[j]
+            gram[i, j] = gram[j, i] = row[f"xx_{a}__{b}"]
+        mom[i] = row[f"xy_{a}"]
+    if l2:
+        for i, c in enumerate(cols):
+            if c != "__one":
+                gram[i, i] += l2
+    w = np.linalg.solve(gram, mom)
+    out = {c: float(w[i]) for i, c in enumerate(cols) if c != "__one"}
+    out["_intercept"] = float(w[cols.index("__one")]) if fit_intercept else 0.0
+    return out
+
+
+def ltr_score_expr(weights: dict[str, float], grain: int | None = None) -> Column:
+    """``w · x + b`` as one Catalyst expression over the feature
+    columns named in ``weights`` (``"_intercept"`` is the bias)."""
+    expr = F.lit(float(weights.get("_intercept", 0.0)))
+    for c, w in weights.items():
+        if c == "_intercept":
+            continue
+        expr = expr + F.lit(float(w)) * F.col(c).cast("double")
+    return F.round(expr, grain) if grain is not None else expr
+
+
+def ltr_score(
+    df: DataFrame,
+    weights: dict[str, float],
+    out_col: str = "ltr_score",
+    grain: int | None = None,
+) -> DataFrame:
+    """Append the linear score column (see :func:`ltr_score_expr`)."""
+    return df.withColumn(out_col, ltr_score_expr(weights, grain))
+
+
+def ltr_score_duckdb_sql(
+    weights: dict[str, float], grain: int | None = None
+) -> str:
+    """DuckDB twin of :func:`ltr_score_expr` — identical literal
+    constants, identical evaluation order (insertion order of the
+    weights dict), so fixed-artifact scoring replays exactly."""
+    expr = repr(float(weights.get("_intercept", 0.0)))
+    for c, w in weights.items():
+        if c == "_intercept":
+            continue
+        expr = f"({expr} + {float(w)!r} * ({c})::DOUBLE)"
+    return f"round({expr}, {grain})" if grain is not None else expr
