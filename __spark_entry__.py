@@ -9579,6 +9579,66 @@ def q_rank_pagerank(spark, sf_dir):
     )
 
 
+#: Personalization seed predicate (PPR) — shared by query and oracle.
+PPR_SEED_MOD = 25
+HITS_ITERS = 5
+
+
+def q_rank_ppr(spark, sf_dir):
+    """Personalized PageRank (Haveliwala topic-sensitive): teleport and
+    dangling mass return only to the seed set (doc_id % 25 == 0), so
+    rank concentrates in the seeds' link neighborhood. Same int64
+    fixed-point engine as rank_pagerank — the oracle replays every
+    iteration exactly."""
+    from vframe_spark.operators.graph import hash_link_edges, pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    seeds = docs.select(F.col("doc_id").alias("node")).where(
+        f"doc_id % {PPR_SEED_MOD} = 0"
+    )
+    return pagerank(
+        hash_link_edges(docs, n), iters=PR_ITERS, seeds=seeds
+    ).select("node", F.col("rank_micro").cast("bigint").alias("rank_micro"))
+
+
+def _ppr_oracle_sql() -> str:
+    from vframe_spark.operators.graph import (
+        hash_link_edges_duckdb_sql,
+        pagerank_duckdb_sql,
+    )
+
+    edges = hash_link_edges_duckdb_sql("(SELECT count(*) FROM documents)")
+    seeds = f"SELECT doc_id AS node FROM documents WHERE doc_id % {PPR_SEED_MOD} = 0"
+    return pagerank_duckdb_sql(edges, iters=PR_ITERS, seeds_sql=seeds)
+
+
+def q_rank_hits(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg) over the hash-link graph:
+    mutually-recursive scores, L1-normalized each half-step in int64
+    fixed point (operators/graph.py hits) — value-replayed by the
+    unrolled SQL twin."""
+    from vframe_spark.operators.graph import hash_link_edges, hits
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return hits(hash_link_edges(docs, n), iters=HITS_ITERS).select(
+        "node",
+        F.col("authority_micro").cast("bigint").alias("authority_micro"),
+        F.col("hub_micro").cast("bigint").alias("hub_micro"),
+    )
+
+
+def _hits_oracle_sql() -> str:
+    from vframe_spark.operators.graph import (
+        hash_link_edges_duckdb_sql,
+        hits_duckdb_sql,
+    )
+
+    edges = hash_link_edges_duckdb_sql("(SELECT count(*) FROM documents)")
+    return hits_duckdb_sql(edges, iters=HITS_ITERS)
+
+
 #: Query-independent prior strength: boost = 1 + W · rank/scale.
 PR_BOOST_W = 50.0
 
@@ -9753,6 +9813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_nsw_topk": q_sim_nsw_topk,
         "rank_pagerank": q_rank_pagerank,
+        "rank_ppr": q_rank_ppr,
+        "rank_hits": q_rank_hits,
         "rank_pagerank_boost": q_rank_pagerank_boost,
         "rank_ltr_linear": q_rank_ltr_linear,
         "code_symbols": q_code_symbols,
@@ -10104,6 +10166,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
         "sim_bq_topk": BQ_ORACLE_SQL,
         "rank_pagerank": _pagerank_oracle_sql(),
+        "rank_ppr": _ppr_oracle_sql(),
+        "rank_hits": _hits_oracle_sql(),
         "rank_pagerank_boost": _pagerank_boost_oracle_sql(),
         "rank_ltr_linear": _ltr_oracle_sql(),
         "code_symbols": _code_symbols_oracle_sql(),

@@ -96,6 +96,63 @@ def test_hash_link_edges_shape(spark, sf001_dir):
     assert hub_max > 4 * tail_avg
 
 
+def test_personalized_pagerank_matches_twin_and_concentrates(spark):
+    # ring + two seed hubs; PPR mass should concentrate near seeds
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(3, 0), (7, 0), (9, 6)]
+    seeds = {0, 6}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r.node: r.rank_micro
+        for r in pagerank(df, iters=8, partitions=4, seeds=sdf).collect()
+    }
+    assert got == pagerank_py(edges, iters=8, seeds=seeds)
+    # a seed outranks the node furthest from any seed
+    assert got[0] > got[5] and got[6] > got[11]
+
+
+def test_ppr_seed_not_in_graph_raises(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    sdf = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError):
+        pagerank(df, seeds=sdf)
+
+
+def test_hits_matches_python_twin(spark):
+    from vframe_spark.operators.graph import hits, hits_py
+
+    edges = [(1, 0), (2, 0), (3, 0), (1, 4), (2, 4), (0, 5), (5, 1), (4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.authority_micro, r.hub_micro)
+        for r in hits(df, iters=5, partitions=4).collect()
+    }
+    assert got == hits_py(edges, iters=5)
+    # 0 is linked by three hubs → top authority; 1 and 2 point at both
+    # top authorities → top hubs
+    top_auth = max(got, key=lambda u: got[u][0])
+    assert top_auth == 0
+    assert got[1][1] > got[5][1]
+
+
+def test_hits_duckdb_twin_identical(spark, sf001_dir):
+    import duckdb as _dd
+
+    from vframe_spark.operators.graph import hits, hits_duckdb_sql
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    n = docs.count()
+    res = hits(hash_link_edges(docs, n), iters=3, partitions=8).orderBy("node").collect()
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf001_dir}/documents.parquet')"
+    )
+    sql = hits_duckdb_sql(hash_link_edges_duckdb_sql(n), iters=3)
+    ora = con.execute(sql + " ORDER BY node").fetchall()
+    assert [(r.node, r.authority_micro, r.hub_micro) for r in res] == ora
+
+
 def test_validation_errors(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):

@@ -121,6 +121,7 @@ def pagerank(
     partitions: int | None = None,
     dedup: bool = False,
     eager_checkpoint: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank → ``(node, rank_micro)`` (int64 micro-units,
     summing to ~``scale`` minus floor loss).
@@ -131,6 +132,13 @@ def pagerank(
         dangling     = ( Σ_{outdeg(u)=0} (r(u) * dn) div dd ) div |V|
         r'(v)        = (scale * (dd-dn)) div (dd * |V|)   -- teleport
                        + dangling + Σ_in contrib
+
+    ``seeds`` (a 1-column ``node`` DataFrame) switches to
+    **personalized** PageRank (Haveliwala 2002, topic-sensitive):
+    teleport and dangling mass return only to the seed set (each seed
+    gets the ``div |S|`` share; non-seeds get 0), and the initial mass
+    starts uniform on the seeds — rank concentrates in the seeds'
+    link neighborhood. Same int64 arithmetic, same SQL twin.
 
     ``dedup=True`` collapses duplicate (src, dst) rows first (one extra
     shuffle); leave False when the edge list is already distinct.
@@ -155,25 +163,37 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
-    deg = (
-        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
-        .select("node", F.coalesce(F.col("outd"), F.lit(0)).cast("long").alias("outd"))
-        .repartition(p, "node")
-        .persist()
+    deg = nodes.join(outdeg, nodes["node"] == outdeg["src"], "left").select(
+        "node", F.coalesce(F.col("outd"), F.lit(0)).cast("long").alias("outd")
     )
-    # One upfront pass: |V| and whether dangling nodes exist at all.
+    if seeds is not None:
+        s = seeds.select(F.col("node").alias("_sn")).distinct()
+        deg = deg.join(s, deg["node"] == s["_sn"], "left").select(
+            "node", "outd",
+            F.when(F.col("_sn").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_seed"),
+        )
+    else:
+        deg = deg.withColumn("is_seed", F.lit(1))
+    deg = deg.repartition(p, "node").persist()
+    # One upfront pass: |V|, |S|, and whether dangling nodes exist.
     # Dangling-free graphs (every node has an out-link — true of link
     # graphs whose edge list came from the same crawl as the node set)
     # take a branch with NO per-iteration global aggregate: the whole
     # power iteration stays one lazy chain and runs as a single job.
     agg = deg.agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum("is_seed").alias("n_seed"),
         F.sum(F.when(F.col("outd") == 0, 1).otherwise(0)).alias("n_dang"),
     ).collect()[0]
-    n, has_dangling = int(agg["n"]), int(agg["n_dang"]) > 0
-    tele = (scale * (dd - dn)) // (dd * n)
+    n, n_seed = int(agg["n"]), int(agg["n_seed"])
+    has_dangling = int(agg["n_dang"]) > 0
+    if n_seed == 0:
+        raise ValueError("seeds contain no graph node")
+    tele = (scale * (dd - dn)) // (dd * n_seed)
 
-    r = deg.withColumn("r", F.lit(scale // n).cast("long"))
+    r = deg.withColumn(
+        "r", (F.col("is_seed") * F.lit(scale // n_seed)).cast("long")
+    )
     contrib_expr = F.expr(f"(r * {dn}) div ({dd} * outd)")
     dang_expr = F.expr(f"(r * {dn}) div {dd}")
     for _ in range(iters):
@@ -184,19 +204,20 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("_s"))
         )
-        base = F.lit(tele) + F.coalesce(F.col("_s"), F.lit(0))
+        fixed = F.lit(tele)
         if has_dangling:
             # 1-row dangling mass — broadcast, never a driver collect.
             dang = r.where("outd = 0").agg(
                 F.coalesce(F.sum(dang_expr), F.lit(0)).cast("long").alias("_dang")
             )
             joined = deg.crossJoin(F.broadcast(dang))
-            base = base + F.expr(f"_dang div {n}")
+            fixed = fixed + F.expr(f"_dang div {n_seed}")
         else:
             joined = deg
+        base = F.col("is_seed") * fixed + F.coalesce(F.col("_s"), F.lit(0))
         r = (
             joined.join(contrib, joined["node"] == contrib["dst"], "left")
-            .select("node", "outd", base.cast("long").alias("r"))
+            .select("node", "outd", "is_seed", base.cast("long").alias("r"))
         )
         # Cut lineage: r is referenced twice next iteration (dangling
         # aggregate + contribution join). Lazy is safe here: the 1-row
@@ -216,33 +237,43 @@ def pagerank_duckdb_sql(
     iters: int = 8,
     damping: tuple[int, int] = DAMPING,
     scale: int = SCALE,
+    seeds_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the power iteration unrolled as
     a chain of **MATERIALIZED** CTEs (each iteration references its
     predecessor twice — inlined CTEs would re-expand the whole prefix
     exponentially, the SQL analog of the missing localCheckpoint).
     Value-identical to the Spark operator: same int64 floor arithmetic.
+    ``seeds_sql`` (a query yielding a ``node`` column) is the
+    personalized variant's seed set.
     """
     dn, dd = damping
+    seed_flag = (
+        "1::BIGINT"
+        if seeds_sql is None
+        else f"(CASE WHEN node IN (SELECT node FROM ({seeds_sql})) THEN 1 ELSE 0 END)::BIGINT"
+    )
     blocks = [
         f"""e AS MATERIALIZED ({edges_sql}),
 nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-nn AS MATERIALIZED (SELECT count(*)::BIGINT AS c FROM nodes),
 deg AS MATERIALIZED (
-  SELECT node, coalesce(o.cnt, 0)::BIGINT AS outd FROM nodes
+  SELECT node, coalesce(o.cnt, 0)::BIGINT AS outd, {seed_flag} AS is_seed
+  FROM nodes
   LEFT JOIN (SELECT src, count(*)::BIGINT AS cnt FROM e GROUP BY 1) o
     ON node = o.src),
+nn AS MATERIALIZED (SELECT sum(is_seed)::BIGINT AS c FROM deg),
 r0 AS MATERIALIZED (
-  SELECT node, outd, ((SELECT {scale} // c FROM nn))::BIGINT AS r FROM deg)"""
+  SELECT node, outd, is_seed,
+         (is_seed * (SELECT {scale} // c FROM nn))::BIGINT AS r FROM deg)"""
     ]
     for k in range(1, iters + 1):
         prev = f"r{k - 1}"
         blocks.append(
             f"""r{k} AS MATERIALIZED (
-  SELECT d.node, d.outd,
-    ((SELECT ({scale} * {dd - dn}) // ({dd} * c) FROM nn)
-     + (SELECT coalesce(sum((r * {dn}) // {dd}), 0) // (SELECT c FROM nn)
-        FROM {prev} WHERE outd = 0)
+  SELECT d.node, d.outd, d.is_seed,
+    (d.is_seed * ((SELECT ({scale} * {dd - dn}) // ({dd} * c) FROM nn)
+                  + (SELECT coalesce(sum((r * {dn}) // {dd}), 0) // (SELECT c FROM nn)
+                     FROM {prev} WHERE outd = 0))
      + coalesce(c.s, 0))::BIGINT AS r
   FROM deg d
   LEFT JOIN (SELECT e.dst AS node, sum((p.r * {dn}) // ({dd} * p.outd)) AS s
@@ -256,24 +287,180 @@ r0 AS MATERIALIZED (
     )
 
 
+# ------------------------------------------------------------------ HITS
+
+#: HITS uses a smaller unit so the pre-normalization ``raw * scale``
+#: product stays inside int64: first-iteration a_raw ≤ |V|·scale, so
+#: |V| must stay below ~9e6 at scale=10^6. Web-scale graphs normalize
+#: per-shard first or drop to scale=10^4; the contract fixture is far
+#: inside the bound.
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = HITS_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    partitions: int | None = None,
+    dedup: bool = False,
+    eager_checkpoint: bool = False,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999) → ``(node, authority_micro,
+    hub_micro)``: mutually-recursive hub/authority scores, L1-normalized
+    to ``scale`` each half-step with the same floor-division discipline
+    as :func:`pagerank`, so the DuckDB twin replays it exactly.
+
+    Per iteration::
+
+        a_raw(v) = Σ_{(u,v)∈E} h(u);   a(v) = (a_raw · scale) div Σ a_raw
+        h_raw(u) = Σ_{(u,v)∈E} a(v);   h(u) = (h_raw · scale) div Σ h_raw
+
+    Scale shape: the edge table persists in TWO fixed hash layouts
+    (by src for the authority step, by dst for the hub step) — each
+    half-step shuffles only the |V|-row score vector into the matching
+    layout; the L1 totals fold through 1-row broadcasts.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = edges.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if dedup:
+        e = e.distinct()
+    e_src = e.repartition(p, "src").persist()
+    e_dst = e.repartition(p, "dst").persist()
+    nodes = (
+        e_src.select(F.col("src").alias("node"))
+        .union(e_src.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(p, "node")
+        .persist()
+    )
+    nodes.count()
+
+    st = nodes.withColumn("h", F.lit(scale).cast("long"))
+
+    def _norm(raw: DataFrame, val: str) -> DataFrame:
+        tot = raw.agg(
+            F.greatest(F.coalesce(F.sum("_raw"), F.lit(0)), F.lit(1)).alias("_tot")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr(f"(coalesce(_raw, 0) * {scale}) div _tot").alias(val),
+            )
+        )
+
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            st.join(e_src, st["node"] == e_src["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("_raw"))
+        )
+        a = _norm(a_raw, "a").localCheckpoint(eager=eager_checkpoint)
+        h_raw = (
+            a.join(e_dst, a["node"] == e_dst["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("_raw"))
+        )
+        st = _norm(h_raw, "h").localCheckpoint(eager=eager_checkpoint)
+    out = (
+        a.join(st, "node")
+        .select(
+            "node",
+            F.col("a").alias("authority_micro"),
+            F.col("h").alias("hub_micro"),
+        )
+    )
+    for cached in (e_src, e_dst, nodes):
+        cached.unpersist()
+    return out
+
+
+def hits_duckdb_sql(
+    edges_sql: str, iters: int = 5, scale: int = HITS_SCALE
+) -> str:
+    """DuckDB twin of :func:`hits` (same normalization, same floors)."""
+    blocks = [
+        f"""e AS MATERIALIZED ({edges_sql}),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT node, {scale}::BIGINT AS h FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        blocks.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.h) AS s
+  FROM h{k - 1} p JOIN e ON p.node = e.src GROUP BY 1),
+a{k} AS MATERIALIZED (
+  SELECT n.node,
+         ((coalesce(ar.s, 0) * {scale})
+          // greatest((SELECT sum(s) FROM ar{k}), 1))::BIGINT AS a
+  FROM nodes n LEFT JOIN ar{k} ar USING (node)),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, sum(p.a) AS s
+  FROM a{k} p JOIN e ON p.node = e.dst GROUP BY 1),
+h{k} AS MATERIALIZED (
+  SELECT n.node,
+         ((coalesce(hr.s, 0) * {scale})
+          // greatest((SELECT sum(s) FROM hr{k}), 1))::BIGINT AS h
+  FROM nodes n LEFT JOIN hr{k} hr USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT a.node, a.a AS authority_micro, h.h AS hub_micro
+FROM a{iters} a JOIN h{iters} h USING (node)"""
+    )
+
+
+def hits_py(
+    edges: list[tuple[int, int]], iters: int = 5, scale: int = HITS_SCALE
+) -> dict[int, tuple[int, int]]:
+    """Driver/test-side twin of :func:`hits` for brute-force oracles."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = dict.fromkeys(nodes, scale)
+    a = dict.fromkeys(nodes, 0)
+    for _ in range(iters):
+        a_raw = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            a_raw[d] += h[s]
+        tot = max(sum(a_raw.values()), 1)
+        a = {u: (a_raw[u] * scale) // tot for u in nodes}
+        h_raw = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            h_raw[s] += a[d]
+        tot = max(sum(h_raw.values()), 1)
+        h = {u: (h_raw[u] * scale) // tot for u in nodes}
+    return {u: (a[u], h[u]) for u in nodes}
+
+
 def pagerank_py(
     edges: list[tuple[int, int]],
     iters: int = 8,
     damping: tuple[int, int] = DAMPING,
     scale: int = SCALE,
+    seeds: set | None = None,
 ) -> dict[int, int]:
     """Driver/test-side twin (same math) for brute-force oracles."""
     dn, dd = damping
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
-    n = len(nodes)
     outd = dict.fromkeys(nodes, 0)
     for s, _ in edges:
         outd[s] += 1
-    r = dict.fromkeys(nodes, scale // n)
-    tele = (scale * (dd - dn)) // (dd * n)
+    seed = set(nodes) if seeds is None else (seeds & set(nodes))
+    ns = len(seed)
+    r = {u: (scale // ns if u in seed else 0) for u in nodes}
+    tele = (scale * (dd - dn)) // (dd * ns)
     for _ in range(iters):
-        dang = sum((r[u] * dn) // dd for u in nodes if outd[u] == 0) // n
-        nxt = dict.fromkeys(nodes, tele + dang)
+        dang = sum((r[u] * dn) // dd for u in nodes if outd[u] == 0) // ns
+        nxt = {u: (tele + dang if u in seed else 0) for u in nodes}
         for s, d in edges:
             nxt[d] += (r[s] * dn) // (dd * outd[s])
         r = nxt
