@@ -87,6 +87,81 @@ def test_custom_keywords_and_validation(spark):
         def_pattern(())
 
 
+CODE_ROWS = [
+    ("a/main.py", "py", "import os\nfrom index_util import build\nx = 1"),
+    ("a/index_util.py", "py", "import json\ndef build(): pass"),
+    ("b/App.java", "java", "import com.example.Handler;\nimport static java.util.Map.entry;"),
+    ("b/Handler.java", "java", "public class Handler {}"),
+    ("c/app.js", "js", "const h = require('./handler');\nimport {x} from 'lib/util'"),
+    ("c/handler.js", "js", "module.exports = 1"),
+    ("d/main.go", "go", 'import "fmt"\nimport "myrepo/parser"'),
+    ("d/parser.go", "go", "package parser"),
+    ("e/lib.rs", "rs", "use std::collections::HashMap;\npub use crate::tokenizer;"),
+    ("e/tokenizer.rs", "rs", "fn tok() {}"),
+    ("f/main.c", "c", '#include <stdio.h>\n#include "scanner.h"'),
+    ("f/scanner.h", "c", "int scan(void);"),
+]
+
+
+def test_extract_imports_matches_python_twin(spark):
+    from vframe_spark.functions.symbols import extract_imports, extract_imports_py
+
+    df = spark.createDataFrame(CODE_ROWS, "path string, lang string, content string")
+    got = sorted(
+        (r.path, r.import_path)
+        for r in extract_imports(df).select("path", "import_path").collect()
+    )
+    exp = sorted(
+        (path, imp)
+        for path, lang, content in CODE_ROWS
+        for imp in extract_imports_py(content, lang)
+    )
+    assert got == exp
+    # spot-pin the per-language capture groups
+    d = {}
+    for p, i in got:
+        d.setdefault(p, []).append(i)
+    assert sorted(d["a/main.py"]) == ["index_util", "os"]
+    assert sorted(d["b/App.java"]) == ["com.example.Handler", "java.util.Map.entry"]
+    assert sorted(d["c/app.js"]) == ["./handler", "lib/util"]
+    assert sorted(d["d/main.go"]) == ["fmt", "myrepo/parser"]
+    assert sorted(d["e/lib.rs"]) == ["crate::tokenizer", "std::collections::HashMap"]
+    assert sorted(d["f/main.c"]) == ["scanner.h", "stdio.h"]
+
+
+def test_import_edges_resolution_heuristic(spark):
+    from vframe_spark.functions.symbols import import_edges
+
+    df = spark.createDataFrame(CODE_ROWS, "path string, lang string, content string")
+    got = {(r.src, r.dst) for r in import_edges(df).collect()}
+    assert got == {
+        ("a/main.py", "a/index_util.py"),
+        ("b/App.java", "b/Handler.java"),
+        ("c/app.js", "c/handler.js"),
+        ("d/main.go", "d/parser.go"),
+        ("e/lib.rs", "e/tokenizer.rs"),
+        ("f/main.c", "f/scanner.h"),
+    }
+
+
+def test_import_graph_pagerank_composition(spark):
+    """Dependency graph → PageRank: the most-imported file outranks
+    its importers (the rank-the-hot-files pipeline end-to-end)."""
+    from vframe_spark.functions.symbols import import_edges
+    from vframe_spark.operators.graph import pagerank
+
+    rows = CODE_ROWS + [
+        ("g/u1.py", "py", "import index_util"),
+        ("g/u2.py", "py", "import index_util"),
+        ("g/u3.py", "py", "from index_util import x"),
+    ]
+    df = spark.createDataFrame(rows, "path string, lang string, content string")
+    edges = import_edges(df)
+    pr = {r.node: r.rank_micro for r in pagerank(edges, iters=6, partitions=4).collect()}
+    top = max(pr, key=pr.get)
+    assert top == "a/index_util.py"  # 4 importers → the hot file
+
+
 def test_extraction_is_pure_jvm(spark):
     docs = synth_docs(spark, 10)
     plan = (

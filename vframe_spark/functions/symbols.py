@@ -120,6 +120,111 @@ FROM (SELECT {id_col}, unnest(regexp_extract_all({content_expr}, '{pat}', 0)) AS
 """
 
 
+#: Per-language import/include patterns — group 1 captures the
+#: imported module/path. One pattern per language (alternation folds
+#: the language's forms), RE2-compatible, multiline via (?m).
+IMPORT_PATTERNS: dict[str, str] = {
+    "py": r"(?m)^[ \t]*(?:import|from)[ \t]+([\w.]+)",
+    "java": r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([\w.]+)[ \t]*;",
+    "js": r"""(?:require\(|from[ \t]+)['"]([^'"]+)['"]""",
+    "go": r'(?m)^[ \t]*(?:import[ \t]+)?"([^"]+)"',
+    "rs": r"(?m)^[ \t]*(?:pub[ \t]+)?use[ \t]+([\w:]+)",
+    "c": r'(?m)^[ \t]*#include[ \t]+["<]([^">]+)[">]',
+}
+
+
+def extract_imports(
+    df: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """One row per import statement: input columns + ``import_path``.
+
+    Per-language regexes run as separate lang-filtered scans unioned
+    back together (each branch is one codegen pass with the language
+    predicate pushed to the source; languages without a pattern emit
+    nothing). Group 1 of each pattern is the imported module/path.
+    """
+    patterns = IMPORT_PATTERNS if patterns is None else patterns
+    parts = []
+    for lang, pat in patterns.items():
+        m = F.regexp_extract_all(F.col(content_col), F.lit(pat), F.lit(1))
+        parts.append(
+            df.where(F.col(lang_col) == lang)
+            .withColumn("import_path", F.explode(m))
+        )
+    if not parts:
+        raise ValueError("patterns must be non-empty")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def extract_imports_py(
+    content: str, lang: str, patterns: dict[str, str] | None = None
+) -> list[str]:
+    """Driver/test-side twin of :func:`extract_imports`."""
+    import re
+
+    patterns = IMPORT_PATTERNS if patterns is None else patterns
+    pat = patterns.get(lang)
+    if pat is None:
+        return []
+    return [m.group(1) for m in re.finditer(pat, content or "")]
+
+
+def import_edges(
+    docs: DataFrame,
+    id_col: str = "path",
+    content_col: str = "content",
+    lang_col: str = "lang",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Dependency edges (importing file → imported file) → (src, dst).
+
+    Resolution heuristic: the import's stem must equal the target
+    file's stem (filename minus extension) within the same language.
+    Module-style languages (py/java/rs) take the last ``.``/``::``
+    segment; path-style languages (js/go/c) take the last ``/`` segment
+    minus its extension. Real build-graph resolution is
+    toolchain-specific; this is the rank-the-hot-files heuristic, and
+    it is one equi-join on (lang, stem) — never a per-import path scan.
+    Self-edges drop; duplicate edges collapse.
+    """
+    module_langs = ("py", "java", "rs")
+    strip_ext = r"^(.*?)(?:\.[A-Za-z0-9]+)?$"
+    imp_stem = F.when(
+        F.col(lang_col).isin(*module_langs),
+        F.element_at(F.split(F.col("import_path"), r"[.:]+"), -1),
+    ).otherwise(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("import_path"), "/"), -1), strip_ext, 1
+        )
+    )
+    imp = extract_imports(
+        docs.select(id_col, lang_col, content_col), content_col, lang_col, patterns
+    ).select(
+        F.col(id_col).alias("src"),
+        F.col(lang_col).alias("_lang"),
+        imp_stem.alias("_stem"),
+    )
+    tgt = docs.select(
+        F.col(id_col).alias("dst"),
+        F.col(lang_col).alias("_lang"),
+        F.regexp_extract(
+            F.element_at(F.split(F.col(id_col), "/"), -1), strip_ext, 1
+        ).alias("_stem"),
+    )
+    return (
+        imp.join(tgt, ["_lang", "_stem"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
 def symbol_xref(
     df: DataFrame,
     id_col: str = "doc_id",
