@@ -316,6 +316,13 @@ def main() -> None:
         "dedup_winnow_pairs",
         "sim_nsw_topk",
         "sim_bq_topk",
+        "rank_pagerank",
+        "rank_ppr",
+        "rank_hits",
+        "rank_pagerank_boost",
+        "rank_ltr_linear",
+        "code_symbols",
+        "code_xref",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they
