@@ -355,6 +355,13 @@ def main() -> None:
     # ---- static-pruning accuracy/cost sweep (extras only) ---------------
     extras["impact_recall_sweep"] = impact_sweep(spark)
 
+    # ---- link-analysis throughput beyond the contract fixture -----------
+    # rank_pagerank runs on the sf graph (|V| = corpus size); this row
+    # scales the SAME operator to a 200k-node / ~800k-edge hash graph —
+    # per-iteration cost is edge-bound, so edges/sec/iteration is the
+    # number that projects to web-scale link graphs.
+    extras["pagerank_200k"] = pagerank_scale_row(spark)
+
     # ---- multimodal path throughput (decode -> HOG, frames/sec) ----------
     # The mm contract queries run on 48 fixture images (correctness, not
     # load); this row measures the Arrow multimodal pipeline at real
@@ -540,6 +547,31 @@ def ann_sweep(spark, k: int = 5) -> dict:
         sweep["nsw"].append({"ef": ef, "recall": r, "sec": dt})
     emb.unpersist()
     return sweep
+
+
+def pagerank_scale_row(spark) -> dict:
+    """Fixed-point PageRank over a 200k-node hash-link graph (degree 4,
+    skewed hubs), 8 iterations — wall, edge count, and the scale
+    number: edges processed per second per iteration."""
+    from pyspark.sql import functions as F
+
+    from vframe_spark.operators.graph import hash_link_edges, pagerank
+
+    n = 200_000
+    ids = spark.range(0, n, 1, CPUS).select(F.col("id").alias("doc_id"))
+    edges = hash_link_edges(ids, n)
+    n_edges = edges.count()
+    iters = 8
+    t0 = time.time()
+    pagerank(edges, iters=iters).write.format("noop").mode("overwrite").save()
+    dt = round(time.time() - t0, 3)
+    return {
+        "nodes": n,
+        "edges": int(n_edges),
+        "iters": iters,
+        "sec": dt,
+        "edges_per_sec_per_iter": round(n_edges * iters / dt, 1),
+    }
 
 
 if __name__ == "__main__":
