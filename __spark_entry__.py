@@ -9445,6 +9445,151 @@ def q_code_xref(spark, sf_dir):
     return symbol_xref(docs, keywords=CODE_KW)
 
 
+# The documents fixture is lower-case word soup, so the contract's
+# "license phrases" are corpus bigrams and the "secret rules" corpus
+# regexes; the real SPDX phrase sets / credential regexes (defaults in
+# functions/codescan.py) are exercised on planted fixtures in
+# tests/test_codescan.py — same machinery, different artifact.
+LIC_PHRASES = {
+    "lic-a": ("table hash", "part filter", "customer join"),
+    "lic-b": ("slow key", "merge group", "vector small"),
+    "lic-c": ("big order", "filter small", "merge order"),
+}
+SECRET_RULES_CONTRACT = {
+    "key_phrase": r"\bkey [a-z]+",
+    "join_kind": r"\b(hash|merge|sort) join\b",
+    "dup_marker": r"\bdup\b",
+}
+TODO_MARKERS_CONTRACT = ("slow", "dup")
+FORK_N, FORK_GROUPS, FORK_MAX_DF, FORK_MIN_INTER = 3, 8, 6, 5
+
+
+def q_code_license(spark, sf_dir):
+    """License classification (functions/codescan.py detect_license):
+    per-doc argmax of fingerprint-phrase hit counts, deterministic
+    tie-break (hits desc, id asc) — one codegen projection, no
+    shuffle."""
+    from vframe_spark.functions.codescan import detect_license
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return detect_license(docs, phrases=LIC_PHRASES).select(
+        "doc_id", "license", "license_hits"
+    )
+
+
+def q_code_secrets(spark, sf_dir):
+    """Secret scanning (codescan.scan_secrets): all rules in ONE scan
+    via an inline struct array + two explodes; one row per finding."""
+    from vframe_spark.functions.codescan import scan_secrets
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return scan_secrets(docs, rules=SECRET_RULES_CONTRACT)
+
+
+def _code_license_oracle_sql() -> str:
+    from vframe_spark.functions.codescan import detect_license_duckdb_sql
+
+    return detect_license_duckdb_sql(phrases=LIC_PHRASES)
+
+
+def _code_secrets_oracle_sql() -> str:
+    from vframe_spark.functions.codescan import scan_secrets_duckdb_sql
+
+    return scan_secrets_duckdb_sql(rules=SECRET_RULES_CONTRACT)
+
+
+def q_code_todo(spark, sf_dir):
+    """Tech-debt marker extraction (codescan.todo_comments): the corpus
+    is single-line, so both engines derive identical 6-token lines
+    first (the dedup_lines_keepfirst convention); line numbers are
+    1-based, one row per (line, marker) hit."""
+    from vframe_spark.functions.codescan import todo_comments
+
+    W = DEDUP_LINE_W
+    ws = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+
+    def to_lines(t):
+        starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(W))
+        return F.array_join(
+            F.transform(starts, lambda i: F.array_join(F.slice(t, i, W), " ")),
+            "\n",
+        )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(F.array(ws), to_lines)[0].alias("content"),
+    )
+    return todo_comments(docs, markers=TODO_MARKERS_CONTRACT)
+
+
+def _code_todo_oracle_sql() -> str:
+    from vframe_spark.functions.codescan import todo_comments_duckdb_sql
+
+    W = DEDUP_LINE_W
+    inner = f"""(
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(1, greatest(len(ws), 1) + 1, {W}),
+                          i -> array_to_string(ws[i:i + {W - 1}], ' ')),
+           chr(10)) AS text
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents)
+)"""
+    return todo_comments_duckdb_sql(
+        markers=TODO_MARKERS_CONTRACT, table=inner
+    )
+
+
+def q_code_fork_containment(spark, sf_dir):
+    """Repo-level fork/vendored-code detection (operators/dedup.py
+    group_containment): per-group shingle SETS via one (grp, xxhash64
+    shingle) distinct shuffle, boilerplate df-cap, pair cost Σ df² —
+    never |groups|² or |corpus|². The oracle joins raw shingle strings,
+    so the gate also validates hash collision-freeness."""
+    from vframe_spark.operators.dedup import group_containment
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(FORK_GROUPS)).cast("long").alias("repo"),
+        F.col("text").alias("content"),
+    )
+    out = group_containment(
+        docs,
+        "repo",
+        "content",
+        n=FORK_N,
+        max_shingle_df=FORK_MAX_DF,
+        min_intersection=FORK_MIN_INTER,
+    )
+    return out.select(
+        "grp_a", "grp_b", "inter", "sz_a", "sz_b",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _code_fork_oracle_sql() -> str:
+    from vframe_spark.operators.dedup import group_containment_duckdb_sql
+
+    inner = group_containment_duckdb_sql(
+        f"(doc_id % {FORK_GROUPS})",
+        "text",
+        n=FORK_N,
+        max_shingle_df=FORK_MAX_DF,
+        min_intersection=FORK_MIN_INTER,
+    )
+    return f"""
+SELECT grp_a, grp_b, inter, sz_a, sz_b,
+       round(containment, 6) AS containment,
+       round(jaccard, 6) AS jaccard
+FROM ({inner})
+"""
+
+
 # ------------------------------------------------- link-graph rank family
 
 PR_ITERS = 8
@@ -9819,6 +9964,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_ltr_linear": q_rank_ltr_linear,
         "code_symbols": q_code_symbols,
         "code_xref": q_code_xref,
+        "code_license": q_code_license,
+        "code_secrets": q_code_secrets,
+        "code_todo": q_code_todo,
+        "code_fork_containment": q_code_fork_containment,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "mm_hog_features": q_mm_hog_features,
@@ -10172,6 +10321,10 @@ def oracle_sql() -> dict[str, str]:
         "rank_ltr_linear": _ltr_oracle_sql(),
         "code_symbols": _code_symbols_oracle_sql(),
         "code_xref": _code_xref_oracle_sql(),
+        "code_license": _code_license_oracle_sql(),
+        "code_secrets": _code_secrets_oracle_sql(),
+        "code_todo": _code_todo_oracle_sql(),
+        "code_fork_containment": _code_fork_oracle_sql(),
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""

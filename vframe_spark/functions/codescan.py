@@ -1,0 +1,285 @@
+"""Repository-hygiene scans for source-code corpora: license
+detection, secret scanning, and TODO/FIXME comment extraction.
+
+These are the per-file "policy detectors" an LLM-training pipeline runs
+over a raw code crawl before indexing — the code-payload analog of the
+reference's per-frame detect→filter chain
+(/root/reference/src/commands/pipe/detect.py:40-168): a vectorized scan
+emits typed findings per row, and downstream filters act on them.
+
+Everything is pure Catalyst (whole-stage codegen, zero Python):
+
+* license detection is a fixed set of ``instr`` presence probes folded
+  into per-license hit counts — one projection, column-pruned to
+  ``content``; the winner is an ``array_sort`` argmax with a
+  deterministic tie-break (more hits wins; ties → lexicographically
+  smallest license id), so two engines agree exactly;
+* secret scanning is ``regexp_extract_all`` per rule inside one scan
+  (the rule set rides an inline array, NOT one scan per rule);
+* TODO extraction is a single ``posexplode`` over lines with a
+  marker-containment filter — line numbers are 1-based.
+
+Both engines run the same patterns (Java regex and DuckDB's RE2 agree
+on the constructs used: character classes, ``\\b``, alternation,
+non-overlapping left-to-right matching), so the DuckDB twins are
+value-identical, not approximations.
+
+At 10^12-file scale each scan is shuffle-free (findings explode in
+place; aggregation is the caller's choice), so cost is one pass over
+``content`` with all probes fused into the same codegen stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- license
+
+#: Distinctive fingerprint phrases per SPDX id — presence of each phrase
+#: (case-insensitive) scores one hit; the license with the most hits
+#: wins. Real-world sets are longer; these are the load-bearing stems.
+LICENSE_PHRASES: dict[str, tuple[str, ...]] = {
+    "mit": (
+        "permission is hereby granted, free of charge",
+        "the software is provided \"as is\"",
+        "mit license",
+    ),
+    "apache-2.0": (
+        "apache license",
+        "version 2.0",
+        "licensed under the apache license",
+    ),
+    "gpl-3.0": (
+        "gnu general public license",
+        "free software foundation",
+        "either version 3 of the license",
+    ),
+    "bsd-3-clause": (
+        "redistribution and use in source and binary forms",
+        "neither the name of",
+        "bsd",
+    ),
+}
+
+
+def detect_license(
+    df: DataFrame,
+    content_col: str = "content",
+    phrases: dict[str, tuple[str, ...]] | None = None,
+    head_chars: int | None = None,
+) -> DataFrame:
+    """Classify each row's license from fingerprint phrases.
+
+    Adds ``license`` (winning id, NULL when no phrase matched) and
+    ``license_hits`` (number of the winner's distinct phrases present,
+    0 when none). Matching is case-insensitive substring presence over
+    the first ``head_chars`` characters (``None`` = whole content —
+    license headers live at the top of real files, so a 2-4 KB head cap
+    keeps the probe cost flat on multi-MB files).
+
+    Tie-break: more hits wins; equal hits → lexicographically smallest
+    license id. One codegen projection, no shuffle, no Python.
+    """
+    phrases = LICENSE_PHRASES if phrases is None else phrases
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    low = F.lower(F.col(content_col))
+    if head_chars is not None:
+        low = F.substring(low, 1, head_chars)
+    scored = F.array(
+        *[
+            F.struct(
+                sum(
+                    (F.instr(low, p.lower()) > 0).cast("int") for p in ps
+                ).alias("hits"),
+                F.lit(name).alias("license"),
+            )
+            for name, ps in sorted(phrases.items())
+        ]
+    )
+    best = F.element_at(
+        F.array_sort(
+            scored,
+            lambda a, b: F.when(a["hits"] > b["hits"], -1)
+            .when(a["hits"] < b["hits"], 1)
+            .when(a["license"] < b["license"], -1)
+            .when(a["license"] > b["license"], 1)
+            .otherwise(0),
+        ),
+        1,
+    )
+    return df.withColumns(
+        {
+            "license": F.when(best["hits"] > 0, best["license"]),
+            "license_hits": best["hits"].cast("int"),
+        }
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def detect_license_duckdb_sql(
+    content_expr: str = "text",
+    id_expr: str = "doc_id",
+    phrases: dict[str, tuple[str, ...]] | None = None,
+    head_chars: int | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`detect_license` →
+    ``({id_expr}, license, license_hits)``."""
+    phrases = LICENSE_PHRASES if phrases is None else phrases
+    low = f"lower({content_expr})"
+    if head_chars is not None:
+        low = f"substr({low}, 1, {head_chars})"
+    arms = []
+    for name, ps in sorted(phrases.items()):
+        hits = " + ".join(
+            f"(instr(low, {_sql_quote(p.lower())}) > 0)::INT" for p in ps
+        )
+        arms.append(
+            f"SELECT {id_expr} AS id, {_sql_quote(name)} AS license,"
+            f" ({hits})::INT AS hits"
+            f" FROM (SELECT {id_expr}, {low} AS low FROM {table})"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH s AS ({union}),
+best AS (
+  SELECT id, license, hits,
+         row_number() OVER (PARTITION BY id ORDER BY hits DESC, license)
+           AS rn
+  FROM s
+)
+SELECT id AS {id_expr},
+       CASE WHEN hits > 0 THEN license END AS license,
+       hits AS license_hits
+FROM best WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------- secrets
+
+#: Non-overlapping left-to-right regexes; each match is a finding.
+#: RE2-compatible (no backrefs/lookaround) so the DuckDB twin replays
+#: them verbatim.
+SECRET_RULES: dict[str, str] = {
+    "aws_access_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "private_key_pem": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "bearer_token": r"\b[Bb]earer [A-Za-z0-9_\-\.=]{20,}",
+    "hex_secret_40": r"\b[0-9a-f]{40}\b",
+    "url_credentials": r"[a-z][a-z0-9+\-.]*://[^/\s:@]+:[^/\s:@]+@",
+}
+
+
+def scan_secrets(
+    df: DataFrame,
+    content_col: str = "content",
+    rules: dict[str, str] | None = None,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """One row per credential finding: ``(*id_cols, rule, secret)``.
+
+    All rules evaluate inside ONE scan (inline struct array + two
+    explodes), not one pass per rule; rows without findings vanish in
+    the explode. Downstream: quarantine the docs, or redact via
+    ``functions.pii`` chains.
+    """
+    rules = SECRET_RULES if rules is None else rules
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    c = F.col(content_col)
+    finds = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.regexp_extract_all(c, F.lit(rx), 0).alias("ms"),
+            )
+            for name, rx in sorted(rules.items())
+        ]
+    )
+    return (
+        df.select(*id_cols, F.explode(finds).alias("f"))
+        .select(*id_cols, "f.rule", F.explode("f.ms").alias("secret"))
+    )
+
+
+def scan_secrets_duckdb_sql(
+    content_expr: str = "text",
+    id_expr: str = "doc_id",
+    rules: dict[str, str] | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`scan_secrets` →
+    ``({id_expr}, rule, secret)``."""
+    rules = SECRET_RULES if rules is None else rules
+    arms = [
+        f"SELECT {id_expr}, {_sql_quote(name)} AS rule,"
+        f" unnest(regexp_extract_all({content_expr}, {_sql_quote(rx)}))"
+        f" AS secret FROM {table}"
+        for name, rx in sorted(rules.items())
+    ]
+    return "\nUNION ALL\n".join(arms)
+
+
+# ------------------------------------------------------------------ TODO
+
+TODO_MARKERS = ("TODO", "FIXME", "XXX", "HACK")
+
+
+def todo_comments(
+    df: DataFrame,
+    content_col: str = "content",
+    markers: tuple[str, ...] = TODO_MARKERS,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Tech-debt marker lines: ``(*id_cols, line_no, marker, line)``.
+
+    ``line_no`` is 1-based; a line containing several markers yields
+    one row per marker (case-sensitive containment — TODO markers are
+    conventionally upper-case). Single ``posexplode`` over lines, then
+    a marker-array filter — no per-marker scans.
+    """
+    if not markers:
+        raise ValueError("markers must be non-empty")
+    lines = df.select(
+        *id_cols,
+        F.posexplode(F.split(F.col(content_col), "\n")).alias("pos", "line"),
+    )
+    mk = F.filter(
+        F.array(*[F.lit(m) for m in markers]),
+        lambda m: F.instr(F.col("line"), m) > 0,
+    )
+    return (
+        lines.select(
+            *id_cols,
+            (F.col("pos") + 1).cast("int").alias("line_no"),
+            F.explode(mk).alias("marker"),
+            "line",
+        )
+    )
+
+
+def todo_comments_duckdb_sql(
+    content_expr: str = "text",
+    id_expr: str = "doc_id",
+    markers: tuple[str, ...] = TODO_MARKERS,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`todo_comments` →
+    ``({id_expr}, line_no, marker, line)``."""
+    marks = ", ".join(_sql_quote(m) for m in markers)
+    return f"""
+WITH ls AS (
+  SELECT {id_expr},
+         unnest(string_split({content_expr}, chr(10))) AS line,
+         generate_subscripts(string_split({content_expr}, chr(10)), 1)
+           AS line_no
+  FROM {table}
+)
+SELECT {id_expr}, line_no::INT AS line_no, m.marker, line
+FROM ls, (SELECT unnest([{marks}]) AS marker) m
+WHERE instr(line, m.marker) > 0
+"""

@@ -440,6 +440,140 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------- repo-level containment (fork/vendor)
+
+
+def group_containment(
+    df: DataFrame,
+    group_col: str,
+    content_col: str,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+    min_intersection: int = 1,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Group-level (repo-level) shingle containment — fork / vendored-
+    code detection over a code crawl.
+
+    Each group's fingerprint is its SET of word ``n``-grams pooled
+    across member rows; for every group pair sharing ≥
+    ``min_intersection`` shingles the output row carries
+    ``(grp_a, grp_b, inter, sz_a, sz_b, containment, jaccard)`` where
+    ``containment = inter / min(sz_a, sz_b)`` (the fork-detection
+    number: a vendored subtree gives containment ≈ 1 even when the
+    host repo is much larger, where plain Jaccard dilutes to ~0).
+
+    Scale shape (the same discipline as :func:`ngram_jaccard_pairs`):
+
+    * per-row shingles dedup map-side (``array_distinct`` before the
+      explode), then ONE ``(grp, shingle)`` distinct shuffle builds the
+      per-group set — the corpus never self-joins;
+    * ``hash_shingles=True`` (default) maps each shingle through
+      ``xxhash64`` BEFORE the distinct, so every shuffle carries 8-byte
+      keys instead of strings (the oracle joins raw strings, so the
+      gate also validates collision-freeness at test scale);
+    * ``max_shingle_df`` drops shingles present in more than that many
+      GROUPS before the self-join and from the set sizes — the
+      boilerplate cap (a shingle in every repo contributes pairs
+      quadratic in group count and ~no signal);
+    * pair cost is Σ df² over surviving shingles — bounded by the cap,
+      never |groups|² and never |corpus|².
+    """
+    sh = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(content_col), n))
+        ).alias("shingle"),
+    )
+    if hash_shingles:
+        sh = sh.select("grp", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.distinct()
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("grp").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("grp").alias("grp_a"), "shingle")
+    b = sh.select(F.col("grp").alias("grp_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= min_intersection)
+    )
+    sa = sizes.select(F.col("grp").alias("grp_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("grp").alias("grp_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "grp_a")
+        .join(sb, "grp_b")
+        .withColumns(
+            {
+                "containment": F.col("inter")
+                / F.least(F.col("sz_a"), F.col("sz_b")),
+                "jaccard": F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            }
+        )
+        .select(
+            "grp_a", "grp_b", "inter", "sz_a", "sz_b",
+            "containment", "jaccard",
+        )
+    )
+
+
+def group_containment_duckdb_sql(
+    group_expr: str,
+    content_expr: str,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+    min_intersection: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`group_containment` (joins RAW shingle
+    strings — the gate thereby validates xxhash64 collision-freeness
+    of the Spark path at test scale)."""
+    cap = (
+        f"HAVING count(*) <= {max_shingle_df}"
+        if max_shingle_df is not None
+        else ""
+    )
+    return f"""
+WITH ws AS (
+  SELECT {group_expr} AS grp,
+         list_filter(regexp_split_to_array(lower({content_expr}), '\\s+'),
+                     x -> x <> '') AS w
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT grp, array_to_string(w[i:i + {n - 1}], ' ') AS shingle
+  FROM ws, unnest(range(1, len(w) - {n} + 2)) AS t(i)
+  WHERE len(w) >= {n}
+),
+kept AS (
+  SELECT shingle FROM sh GROUP BY shingle {cap}
+),
+shc AS (SELECT sh.* FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT grp, count(*)::BIGINT AS sz FROM shc GROUP BY grp),
+inter AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, count(*)::BIGINT AS inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.grp < b.grp
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_intersection}
+)
+SELECT i.grp_a, i.grp_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       i.inter::DOUBLE / least(sa.sz, sb.sz) AS containment,
+       i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.grp = i.grp_a
+JOIN sizes sb ON sb.grp = i.grp_b
+"""
+
+
 # ------------------------------------------- portable (cross-engine) minhash
 
 _MERSENNE61 = (1 << 61) - 1
