@@ -304,3 +304,32 @@ def test_vector_index_facade(spark, tmp_path):
     q149 = vx.topk([(149, [float(x) for x in vecs[149]])], k=1,
                    n_probes=6, method="bq", rerank=50)
     assert q149.first()["vec_id"] == 149
+
+
+def test_distributed_tombstones_match_driver_list(spark, corpus, tmp_path_factory, monkeypatch):
+    """Big-tombstone routing: with TOMBSTONE_DRIVER_LIMIT forced to 0,
+    the or/and path threads the tombstone DataFrame into the WAND
+    kernel (shard-aligned delivery) — results must equal the driver-
+    list path bitwise, and load_tombstones must never be called."""
+    out = str(tmp_path_factory.mktemp("api_tomb_df"))
+    idx = SearchIndex.build(
+        corpus, out, shard_size=64, block_size=16, shards_per_slice=2
+    )
+    victims = [r["doc_id"] for r in idx.search("data parse", k=4).collect()][:3]
+    assert idx.delete(victims) == 3
+
+    want_or = idx.search("data parse", k=8).collect()
+    want_and = idx.search("data parse", k=8, mode="and").collect()
+    assert not set(victims) & {r["doc_id"] for r in want_or}
+
+    monkeypatch.setattr(SearchIndex, "TOMBSTONE_DRIVER_LIMIT", 0)
+    import vframe_spark.api as api_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("driver materialization on the big path")
+
+    monkeypatch.setattr(api_mod, "load_tombstones", boom)
+    got_or = idx.search("data parse", k=8).collect()
+    got_and = idx.search("data parse", k=8, mode="and").collect()
+    assert got_or == want_or
+    assert got_and == want_and

@@ -21,12 +21,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .index.builder import build_index, delete_docs, load_index, load_tombstones
+from .index.builder import (
+    build_index,
+    delete_docs,
+    load_index,
+    load_tombstones,
+    load_tombstones_df,
+)
 
 
 class SearchIndex:
     """Handle to an on-disk index; cheap to construct, reloads stats
     lazily after mutating operations."""
+
+    #: Above this many live tombstones, the flagship or/and search path
+    #: stops materializing them on the driver and threads the id
+    #: DataFrame into the WAND kernel instead (shard-aligned delivery
+    #: through the (qid, shard) shuffle — see query/wand.py
+    #: ``exclude_docs_df``). A set this large should normally be folded
+    #: away with :meth:`purge`; the limit exists so a bulk soft-delete
+    #: between purges can't OOM the driver.
+    TOMBSTONE_DRIVER_LIMIT = 1_000_000
 
     def __init__(self, spark: SparkSession, out_dir: str):
         self.spark = spark
@@ -104,7 +119,22 @@ class SearchIndex:
         """
         postings, term_stats, _, meta = self._parts()
         queries = [(1, query)] if isinstance(query, str) else list(query)
-        dead = load_tombstones(self.spark, self.out_dir) or None
+        dead_df = load_tombstones_df(self.spark, self.out_dir)
+        n_dead = int(dead_df.count()) if dead_df is not None else 0
+        big = n_dead > self.TOMBSTONE_DRIVER_LIMIT
+        _dl: list = []
+
+        def dead():
+            # Driver-side id list for the non-WAND kernels — bounded by
+            # purge in steady state, materialized at most once per call
+            # and NEVER on the flagship or/and path when the set is big
+            # (that path threads dead_df into the kernel instead, where
+            # ids re-bucket by shard and ride the (qid, shard) shuffle).
+            if not n_dead:
+                return None
+            if not _dl:
+                _dl.append(load_tombstones(self.spark, self.out_dir))
+            return _dl[0] or None
         if mode == "phrase":
             if meta.get("positions"):
                 # positional index → single-phase, no source read
@@ -112,7 +142,7 @@ class SearchIndex:
 
                 ranked = phrase_topk_positional(
                     postings, term_stats, meta, queries, k=k, slop=slop,
-                    exclude_doc_ids=dead,
+                    exclude_doc_ids=dead(),
                 )
             elif docs is None:
                 raise ValueError(
@@ -124,25 +154,25 @@ class SearchIndex:
 
                 ranked = phrase_topk(
                     docs, postings, term_stats, meta, queries, k=k,
-                    content_col=content_col, exclude_doc_ids=dead, slop=slop,
+                    content_col=content_col, exclude_doc_ids=dead(), slop=slop,
                 )
         elif mode == "proximity":
             from .query.positional import proximity_topk
 
             ranked = proximity_topk(
-                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
+                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead()
             )
         elif mode == "boolean":
             from .query.boolq import boolean_topk
 
             ranked = boolean_topk(
-                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
+                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead()
             )
         elif mode == "lm":
             from .query.lmdir import lm_dirichlet_topk
 
             ranked = lm_dirichlet_topk(
-                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
+                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead()
             )
         elif mode == "wildcard" or (
             isinstance(query, str) and any(
@@ -152,7 +182,7 @@ class SearchIndex:
             from .query.prefix import wildcard_topk
 
             ranked = wildcard_topk(
-                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead
+                postings, term_stats, meta, queries, k=k, exclude_doc_ids=dead()
             )
         elif min_should_match is not None:
             if mode != "or" or boosts is not None or filter_docs is not None:
@@ -163,7 +193,7 @@ class SearchIndex:
 
             ranked = msm_topk(
                 postings, term_stats, meta, queries, min_should_match, k=k,
-                exclude_doc_ids=dead,
+                exclude_doc_ids=dead(),
             )
         elif boosts is not None or filter_docs is not None:
             if mode != "or":
@@ -172,10 +202,10 @@ class SearchIndex:
             from .query.boost import match_scores
 
             scores = match_scores(postings, term_stats, meta, queries)
-            if dead:
+            if dead():
                 import pyspark.sql.functions as _F
 
-                scores = scores.filter(~_F.col("doc_id").isin([int(x) for x in dead]))
+                scores = scores.filter(~_F.col("doc_id").isin([int(x) for x in dead()]))
             if filter_docs is not None:
                 keep = filter_docs.select(
                     filter_docs.columns[0]
@@ -201,14 +231,15 @@ class SearchIndex:
 
             ranked = synonym_topk(
                 postings, term_stats, meta, queries, synonyms, k=k,
-                exclude_doc_ids=dead,
+                exclude_doc_ids=dead(),
             )
         else:
             from .query.wand import bm25_topk_wand
 
             ranked = bm25_topk_wand(
                 postings, term_stats, meta, queries, k=k, mode=mode,
-                exclude_doc_ids=dead, negation=negation,
+                exclude_doc_ids=None if big else dead(), negation=negation,
+                exclude_docs_df=dead_df if big else None,
             )
         if snippets:
             if docs is None:

@@ -401,6 +401,22 @@ def delete_docs(spark: SparkSession, out_dir: str, doc_ids) -> int:
     return len(ids)
 
 
+def load_tombstones_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Distinct tombstoned ids as a single-column DataFrame (``doc_id``),
+    or ``None`` when the store doesn't exist.
+
+    The scale path: nothing is materialized on the driver — callers
+    thread this into the query kernels (``bm25_topk_wand(...,
+    exclude_docs_df=)``), where the ids are re-bucketed by shard and
+    delivered to each local scorer through the existing (qid, shard)
+    shuffle. A bulk soft-delete of 10^8 docs stays executor-side end to
+    end."""
+    path = os.path.join(out_dir, "tombstones")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("doc_id").distinct()
+
+
 def load_tombstones(spark: SparkSession, out_dir: str) -> list[int]:
     """Sorted distinct tombstoned doc ids ([] when none).
 

@@ -78,6 +78,13 @@ def _local_topk(
     makes the whole group empty.
     """
     qid = int(pdf["qid"].iloc[0])
+    if "_dead" in pdf.columns:
+        # distributed tombstones: the group's shard-local dead ids rode
+        # the (qid, shard) shuffle (see bm25_topk_wand exclude_docs_df).
+        d = pdf["_dead"].iloc[0]
+        if d is not None and len(d):
+            arr = np.asarray(d, dtype=np.int64)
+            exclude = arr if exclude is None else np.union1d(exclude, arr)
     conj = mode == "and"
     empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
         {"qid": "int32", "doc_id": "int64", "score": "float64"}
@@ -281,6 +288,7 @@ def bm25_topk_wand(
     negation: bool = False,
     pre_tokenized: bool = False,
     after: tuple[int, float] | None = None,
+    exclude_docs_df: DataFrame | None = None,
 ) -> DataFrame:
     """Batch top-k over the compressed index. Returns (qid, rank, doc_id, score).
 
@@ -299,6 +307,16 @@ def bm25_topk_wand(
     filtered out inside the local scorers BEFORE the k cut, so results
     are exactly the top-k of surviving docs with unchanged scores
     (soft-delete semantics: corpus stats stay frozen until rebuild).
+
+    ``exclude_docs_df`` is the same exclusion with NO driver
+    materialization: a single-column doc_id DataFrame (e.g.
+    ``index.builder.load_tombstones_df``) is re-bucketed by shard
+    (``doc_id // shard_size`` — shards are doc-id ranges, so a doc's
+    dead flag and its postings meet in the same group) and each local
+    scorer receives ONLY its shard's dead ids through the existing
+    (qid, shard) shuffle. Per-group state is structurally capped at
+    shard_size ids, so a bulk soft-delete of 10^8 docs never exists in
+    one place. Composes with ``exclude_doc_ids`` (union).
 
     ``after=(doc_id, score)``: search-after pagination — return the
     exact top-k of docs ranking strictly after the cursor, applied to
@@ -389,6 +407,18 @@ def bm25_topk_wand(
     matched = pruned.filter(F.col("term").isin(all_terms)).join(
         F.broadcast(qstats), "term"
     )
+    if exclude_docs_df is not None:
+        shard_size = int(meta["shard_size"])
+        dead_by_shard = (
+            exclude_docs_df.select(
+                F.col(exclude_docs_df.columns[0]).cast("bigint").alias("_did")
+            )
+            .where(F.col("_did").isNotNull())
+            .withColumn("shard", (F.col("_did") / F.lit(shard_size)).cast("int"))
+            .groupBy("shard")
+            .agg(F.sort_array(F.collect_set("_did")).alias("_dead"))
+        )
+        matched = matched.join(dead_by_shard, "shard", "left")
     excl = (
         np.asarray(sorted(set(exclude_doc_ids)), dtype=np.int64)
         if exclude_doc_ids
