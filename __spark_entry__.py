@@ -9590,6 +9590,47 @@ FROM ({inner})
 """
 
 
+DELTA_OLD_MOD, DELTA_NEW_MOD, DELTA_CHG_MOD = 11, 7, 5
+
+
+def q_ft_commit_delta(spark, sf_dir):
+    """Incremental-ingest diff (sources.snapshot_delta): two derived
+    commit snapshots of the corpus → (op, doc_id) work list. Both
+    sides reduce to (key, sha256) BEFORE the full-outer join — the
+    shuffle carries digests, never bodies."""
+    from vframe_spark.sources import snapshot_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % DELTA_OLD_MOD != 0).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    new = docs.filter(F.col("doc_id") % DELTA_NEW_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DELTA_CHG_MOD == 0,
+            F.concat(F.col("text"), F.lit(" rev2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    return snapshot_delta(old, new, key_cols=("doc_id",))
+
+
+def _ft_commit_delta_oracle_sql() -> str:
+    from vframe_spark.sources import snapshot_delta_duckdb_sql
+
+    old_sql = (
+        "SELECT doc_id, text AS content FROM documents "
+        f"WHERE doc_id % {DELTA_OLD_MOD} <> 0"
+    )
+    new_sql = (
+        "SELECT doc_id, CASE WHEN doc_id % "
+        f"{DELTA_CHG_MOD} = 0 THEN text || ' rev2' ELSE text END AS content "
+        f"FROM documents WHERE doc_id % {DELTA_NEW_MOD} <> 0"
+    )
+    return snapshot_delta_duckdb_sql(old_sql, new_sql, key_cols=("doc_id",))
+
+
 # ------------------------------------------------- link-graph rank family
 
 PR_ITERS = 8
@@ -9968,6 +10009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_secrets": q_code_secrets,
         "code_todo": q_code_todo,
         "code_fork_containment": q_code_fork_containment,
+        "ft_commit_delta": q_ft_commit_delta,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "mm_hog_features": q_mm_hog_features,
@@ -10325,6 +10367,7 @@ def oracle_sql() -> dict[str, str]:
         "code_secrets": _code_secrets_oracle_sql(),
         "code_todo": _code_todo_oracle_sql(),
         "code_fork_containment": _code_fork_oracle_sql(),
+        "ft_commit_delta": _ft_commit_delta_oracle_sql(),
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""

@@ -158,3 +158,59 @@ def test_save_binary_files_executor_side(spark, tmp_path):
     assert os.path.exists(os.path.join(root, "repo1", "0001.bin"))
     with open(os.path.join(root, "repo1", "0003.bin"), "rb") as fh:
         assert fh.read() == bytes([3]) * 4
+
+
+def test_snapshot_delta_semantics(spark):
+    old = spark.createDataFrame(
+        [("r", "a.py", "x = 1"), ("r", "b.py", "y = 2"), ("r", "c.py", "z = 3")],
+        "repo string, path string, content string",
+    )
+    new = spark.createDataFrame(
+        [("r", "a.py", "x = 1"),          # unchanged -> absent
+         ("r", "b.py", "y = 2 + 1"),      # changed
+         ("r", "d.py", "w = 4")],         # added (c.py deleted)
+        "repo string, path string, content string",
+    )
+    got = {
+        (r["op"], r["path"]) for r in sources.snapshot_delta(old, new).collect()
+    }
+    assert got == {("changed", "b.py"), ("deleted", "c.py"), ("added", "d.py")}
+    # digests, not bodies, cross the join: content never reaches the output
+    assert sources.snapshot_delta(old, new).columns == ["op", "repo", "path"]
+
+
+def test_snapshot_delta_drives_upsert(spark, tmp_path):
+    """Delta → upsert composition: after applying the work list, the
+    index answers queries from the NEW snapshot only."""
+    from vframe_spark.api import SearchIndex
+
+    docs = assign_doc_ids(synth_docs(spark, 120, partitions=2),
+                          ["repo", "path", "commit"])
+    old = docs
+    # new snapshot: doc 0 gets fresh content, highest-id doc disappears
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    new = (
+        docs.filter(F.col("doc_id") != max_id)
+        .withColumn(
+            "content",
+            F.when(F.col("doc_id") == 0,
+                   F.lit("zanzibar quokka artifact sentinel"))
+            .otherwise(F.col("content")),
+        )
+    )
+    delta = sources.snapshot_delta(old, new, key_cols=("doc_id",))
+    ops = {r["op"] for r in delta.collect()}
+    assert ops == {"changed", "deleted"}
+
+    out = str(tmp_path / "idx")
+    ix = SearchIndex.build(old, out, shard_size=64, block_size=16,
+                           shards_per_slice=2)
+    # deleted files tombstone outright; changed files re-index via upsert
+    dead_keys = delta.filter(F.col("op") == "deleted").select("doc_id")
+    assert ix.delete(dead_keys) == 1
+    chg = delta.filter(F.col("op") == "changed").select("doc_id")
+    upd = new.join(chg, "doc_id", "left_semi")
+    ix.upsert(upd, str(tmp_path / "delta"))
+    hits = ix.search("zanzibar quokka", k=3).collect()
+    assert hits and hits[0]["score"] > 0
+    assert max_id not in {r["doc_id"] for r in ix.search("data", k=20).collect()}

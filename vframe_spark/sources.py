@@ -140,3 +140,76 @@ def quarantine_split(df: DataFrame):
     valid = df.filter(F.col("valid")).drop("valid", "invalid_reason")
     bad = df.filter(~F.col("valid"))
     return valid, bad
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    content_col: str = "content",
+) -> DataFrame:
+    """Incremental-ingest diff between two corpus snapshots (e.g. two
+    commits of the Iceberg table): one row per file whose state moved,
+    with ``op`` ∈ {added, deleted, changed} and the key columns.
+
+    The 10^12-file discipline: both sides reduce to
+    ``(keys, sha256(content))`` BEFORE the full-outer join, so the
+    shuffle carries 32-byte digests, never file bodies; the join keys
+    are the natural (repo, path) layout keys, so with both snapshots
+    bucketed/partitioned the same way the exchange disappears entirely.
+    Unchanged files (same sha both sides) drop out — the output is the
+    delta, sized by churn, not by corpus.
+
+    Feed the result to :meth:`vframe_spark.api.SearchIndex.upsert`:
+    delete ``op ∈ {deleted, changed}`` doc ids, index ``op ∈
+    {added, changed}`` rows from ``new`` — the Lucene
+    update-as-delete+add discipline without rebuilding the index.
+
+    Reference analog: the priors re-open + ``--check-exist`` resume
+    flow (/root/reference/src/vframe/models/media.py:79-132) — there a
+    run skips files already processed; here the diff IS the work list.
+    """
+    keys = list(key_cols)
+    o = old.select(*keys, F.sha2(F.col(content_col), 256).alias("_sha_old"))
+    n = new.select(*keys, F.sha2(F.col(content_col), 256).alias("_sha_new"))
+    j = o.join(n, keys, "full_outer")
+    op = (
+        F.when(F.col("_sha_old").isNull(), F.lit("added"))
+        .when(F.col("_sha_new").isNull(), F.lit("deleted"))
+        .when(F.col("_sha_old") != F.col("_sha_new"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select("op", *keys)
+    )
+
+
+def snapshot_delta_duckdb_sql(
+    old_sql: str,
+    new_sql: str,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    content_expr: str = "content",
+) -> str:
+    """DuckDB twin of :func:`snapshot_delta` (sha256 digests compare
+    equal across engines, so the twin replays the same diff)."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in key_cols)
+    kout = ", ".join(
+        f"coalesce(o.{k}, n.{k}) AS {k}" for k in key_cols
+    )
+    return f"""
+WITH o AS (SELECT {keys}, sha256({content_expr}) AS sha_old FROM ({old_sql})),
+n AS (SELECT {keys}, sha256({content_expr}) AS sha_new FROM ({new_sql})),
+j AS (
+  SELECT {kout},
+         o.sha_old, n.sha_new
+  FROM o FULL OUTER JOIN n ON {on}
+)
+SELECT CASE WHEN sha_old IS NULL THEN 'added'
+            WHEN sha_new IS NULL THEN 'deleted'
+            ELSE 'changed' END AS op,
+       {keys}
+FROM j
+WHERE sha_old IS NULL OR sha_new IS NULL OR sha_old <> sha_new
+"""
