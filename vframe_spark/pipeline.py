@@ -371,3 +371,42 @@ def _embedding_decon_step(df, embeddings, benchmark, threshold: float = 0.95,
         .select(F.col("vec_id").alias(id_col))
     )
     return df.join(bad, id_col, "left_anti")
+
+
+@register_step("license_gate")
+def _license_gate(df, content_col: str = "content",
+                  allow: list[str] | None = None,
+                  deny: list[str] | None = None,
+                  keep_unlicensed: bool = True,
+                  phrases: dict | None = None,
+                  head_chars: int | None = 4096):
+    """Keep rows whose detected license is allowed (compliance gate for
+    a code-training corpus). ``allow`` keeps only those ids; ``deny``
+    drops those ids; unlicensed rows follow ``keep_unlicensed``."""
+    from .functions.codescan import detect_license
+
+    scanned = detect_license(df, content_col, phrases=phrases,
+                             head_chars=head_chars)
+    lic = F.col("license")
+    cond = F.lit(keep_unlicensed) if keep_unlicensed else F.lit(False)
+    if allow is not None:
+        cond = cond | lic.isin(list(allow))
+    elif deny is not None:
+        cond = (lic.isNotNull() & ~lic.isin(list(deny))) | (
+            F.lit(keep_unlicensed) & lic.isNull()
+        )
+    return scanned.filter(cond).drop("license", "license_hits")
+
+
+@register_step("secret_quarantine")
+def _secret_quarantine(df, content_col: str = "content",
+                       id_col: str = "doc_id",
+                       rules: dict | None = None):
+    """Drop rows containing ANY credential finding (scan_secrets) —
+    the leak gate before code enters a training corpus. Anti-join on
+    the finding ids, so the corpus never re-shuffles."""
+    from .functions.codescan import scan_secrets
+
+    hits = scan_secrets(df, content_col, rules=rules,
+                        id_cols=(id_col,)).select(id_col).distinct()
+    return df.join(hits, id_col, "left_anti")
