@@ -142,6 +142,21 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="content")
 
+    sc = sub.add_parser("scan", help="repo-hygiene scans over a docs "
+                        "parquet: --what license|secrets|todo writes "
+                        "findings to --out; --what delta diffs "
+                        "--docs-parquet (old) vs --new-parquet (new)")
+    sc.add_argument("--docs-parquet", required=True)
+    sc.add_argument("--out", required=True)
+    sc.add_argument("--what", required=True,
+                    choices=["license", "secrets", "todo", "delta"])
+    sc.add_argument("--new-parquet", default=None,
+                    help="(delta) the newer snapshot")
+    sc.add_argument("--key-cols", default="repo,path",
+                    help="(delta) comma-separated join keys")
+    sc.add_argument("--text-col", default="content")
+    sc.add_argument("--id-col", default="doc_id")
+
     ab = sub.add_parser("ann-build", help="persist an IVF ANN index over an "
                         "embeddings parquet (vec_id, embedding)")
     ab.add_argument("--embeddings-parquet", required=True)
@@ -429,6 +444,35 @@ def main(argv: list[str] | None = None) -> int:
             "max_skew_ratio": max((s.get("skew_ratio") or 0.0 for s in slices), default=0.0),
         }
         print(json.dumps({"meta": meta, "totals": tot, "slices": slices}, default=str))
+    elif args.cmd == "scan":
+        docs = spark.read.parquet(args.docs_parquet)
+        if args.what == "delta":
+            if not args.new_parquet:
+                ap.error("--what delta requires --new-parquet")
+            from vframe_spark.sources import snapshot_delta
+
+            out = snapshot_delta(
+                docs, spark.read.parquet(args.new_parquet),
+                key_cols=tuple(args.key_cols.split(",")),
+                content_col=args.text_col,
+            )
+        elif args.what == "license":
+            from vframe_spark.functions.codescan import detect_license
+
+            out = detect_license(docs, args.text_col).select(
+                args.id_col, "license", "license_hits"
+            )
+        elif args.what == "secrets":
+            from vframe_spark.functions.codescan import scan_secrets
+
+            out = scan_secrets(docs, args.text_col, id_cols=(args.id_col,))
+        else:
+            from vframe_spark.functions.codescan import todo_comments
+
+            out = todo_comments(docs, args.text_col, id_cols=(args.id_col,))
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"scan": args.what, "rows": int(n), "out": args.out}))
     elif args.cmd == "merge":
         from vframe_spark.index.merge import merge_indexes
 
