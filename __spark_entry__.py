@@ -9564,6 +9564,8 @@ def q_code_fork_containment(spark, sf_dir):
         n=FORK_N,
         max_shingle_df=FORK_MAX_DF,
         min_intersection=FORK_MIN_INTER,
+        materialize=True,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
     return out.select(
         "grp_a", "grp_b", "inter", "sz_a", "sz_b",

@@ -323,6 +323,11 @@ def main() -> None:
         "rank_ltr_linear",
         "code_symbols",
         "code_xref",
+        "code_license",
+        "code_secrets",
+        "code_todo",
+        "code_fork_containment",
+        "ft_commit_delta",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they

@@ -451,6 +451,8 @@ def group_containment(
     max_shingle_df: int | None = None,
     min_intersection: int = 1,
     hash_shingles: bool = True,
+    materialize: bool = False,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Group-level (repo-level) shingle containment — fork / vendored-
     code detection over a code crawl.
@@ -477,8 +479,21 @@ def group_containment(
       boilerplate cap (a shingle in every repo contributes pairs
       quadratic in group count and ~no signal);
     * pair cost is Σ df² over surviving shingles — bounded by the cap,
-      never |groups|² and never |corpus|².
+      never |groups|² and never |corpus|²;
+    * ``materialize=True`` localCheckpoints the capped per-group
+      shingle table — it feeds THREE consumers (sizes + both self-join
+      sides) and Catalyst plans each from scratch (no ReusedExchange),
+      so without it the corpus tokenize+distinct runs 3×. Flip it when
+      the shingle pass dominates (it usually does — measured 2.6×
+      end-to-end at sf0.1);
+    * ``parallelism`` repartitions the input before the shingle
+      projection — the transform is the CPU-bound stage, and a small
+      corpus arriving as one parquet split would otherwise run it on
+      one core (at 10^12 files the scan has natural parallelism and
+      this knob should stay ``None``).
     """
+    if parallelism is not None:
+        df = df.repartition(parallelism)
     sh = df.select(
         F.col(group_col).alias("grp"),
         F.explode(
@@ -496,6 +511,8 @@ def group_containment(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
+    if materialize:
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy("grp").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("grp").alias("grp_a"), "shingle")
     b = sh.select(F.col("grp").alias("grp_b"), "shingle")
