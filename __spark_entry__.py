@@ -9592,6 +9592,46 @@ FROM ({inner})
 """
 
 
+CLONE_KW = ("join", "hash", "scan", "merge", "filter")
+CLONE_PLANT_MOD, CLONE_PLANT_OFF = 10, 100_000
+
+
+def q_code_clone_type2(spark, sf_dir):
+    """Type-2 clone detection (codescan.clone_classes): identifiers
+    normalize to ID, numbers to N, keywords stay — renamed copies land
+    in the same class. The contract plants renames (customer→clientx,
+    row→rec on every 10th doc) in BOTH engines, then groups on the
+    sha256 of the canonical form (min-id + count fold, no window)."""
+    from vframe_spark.functions.codescan import clone_classes
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    planted = docs.filter(F.col("doc_id") % CLONE_PLANT_MOD == 0).select(
+        (F.col("doc_id") + CLONE_PLANT_OFF).alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace("content", r"\bcustomer\b", "clientx"),
+            r"\brow\b",
+            "rec",
+        ).alias("content"),
+    )
+    return clone_classes(docs.unionByName(planted), keywords=CLONE_KW)
+
+
+def _code_clone_oracle_sql() -> str:
+    from vframe_spark.functions.codescan import clone_classes_duckdb_sql
+
+    inner = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CLONE_PLANT_OFF} AS doc_id,
+         regexp_replace(regexp_replace(text, '\\bcustomer\\b', 'clientx', 'g'),
+                        '\\brow\\b', 'rec', 'g') AS text
+  FROM documents WHERE doc_id % {CLONE_PLANT_MOD} = 0
+)"""
+    return clone_classes_duckdb_sql(keywords=CLONE_KW, table=inner)
+
+
 DELTA_OLD_MOD, DELTA_NEW_MOD, DELTA_CHG_MOD = 11, 7, 5
 
 
@@ -10011,6 +10051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_secrets": q_code_secrets,
         "code_todo": q_code_todo,
         "code_fork_containment": q_code_fork_containment,
+        "code_clone_type2": q_code_clone_type2,
         "ft_commit_delta": q_ft_commit_delta,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
@@ -10369,6 +10410,7 @@ def oracle_sql() -> dict[str, str]:
         "code_secrets": _code_secrets_oracle_sql(),
         "code_todo": _code_todo_oracle_sql(),
         "code_fork_containment": _code_fork_oracle_sql(),
+        "code_clone_type2": _code_clone_oracle_sql(),
         "ft_commit_delta": _ft_commit_delta_oracle_sql(),
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,

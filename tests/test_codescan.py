@@ -192,3 +192,34 @@ def test_group_containment_matches_bruteforce(spark, sf001_dir):
             if inter:
                 want[(ga, gb)] = (inter, len(sets[ga]), len(sets[gb]))
     assert got == want
+
+
+def test_normalize_type2_and_clone_classes(spark):
+    from vframe_spark.functions.codescan import clone_classes, normalize_type2
+
+    rows = [
+        (0, "def parse_row(x, limit):\n    return x + limit * 2"),
+        # type-2 clone of doc 0: every identifier renamed, number changed
+        (1, "def handle_item(y, cap):\n    return y + cap * 9"),
+        # NOT a clone: structure differs (extra operand)
+        (2, "def parse_row(x, limit):\n    return x + limit * 2 + 1"),
+        # too short for min_tokens
+        (3, "a = 1"),
+        (4, "a = 2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    forms = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id",
+                           normalize_type2("content").alias("f")).collect()
+    }
+    assert forms[0] == forms[1] == "def ID ( ID , ID ) : return ID + ID * N"
+    assert forms[0] != forms[2]
+
+    got = {(r["doc_id"], r["clone_class"], r["n_members"])
+           for r in clone_classes(df).collect()}
+    assert got == {(0, 0, 2), (1, 0, 2)}
+    # with the length floor disabled, 3 and 4 become the ID = N class
+    loose = {(r["doc_id"], r["clone_class"])
+             for r in clone_classes(df, min_tokens=1).collect()}
+    assert {(3, 3), (4, 3)} <= loose

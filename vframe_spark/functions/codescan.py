@@ -283,3 +283,116 @@ SELECT {id_expr}, line_no::INT AS line_no, m.marker, line
 FROM ls, (SELECT unnest([{marks}]) AS marker) m
 WHERE instr(line, m.marker) > 0
 """
+
+
+# ------------------------------------------------ type-2 clone detection
+
+#: Tokens preserved verbatim by type-2 normalization (language keywords
+#: + operators keep program structure; everything else abstracts away).
+CLONE_KEYWORDS = (
+    "def", "class", "return", "import", "if", "else", "for", "while",
+    "fn", "func", "function", "struct", "impl", "pub", "let", "const",
+    "var", "public", "static", "void", "new", "int", "char",
+)
+
+_CLONE_TOKEN_RE = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+(?:\.[0-9]+)?|[^\sA-Za-z0-9_]"
+
+
+def normalize_type2(
+    col: Column | str,
+    keywords: tuple[str, ...] = CLONE_KEYWORDS,
+) -> Column:
+    """Type-2 clone canonical form (SourcererCC/NiCad normalization):
+    identifiers → ``ID``, numeric literals → ``N``, keywords and
+    punctuation verbatim, single-space joined. Two fragments that
+    differ only by renaming/re-numbering map to the same string.
+    Pure codegen — one ``regexp_extract_all`` + ``transform``."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(_CLONE_TOKEN_RE), 0)
+    norm = F.transform(
+        toks,
+        lambda t: F.when(t.isin(*keywords), t)
+        .when(t.rlike("^[A-Za-z_]"), F.lit("ID"))
+        .when(t.rlike("^[0-9]"), F.lit("N"))
+        .otherwise(t),
+    )
+    return F.array_join(norm, " ")
+
+
+def normalize_type2_duckdb_sql(
+    expr: str,
+    keywords: tuple[str, ...] = CLONE_KEYWORDS,
+) -> str:
+    """DuckDB twin of :func:`normalize_type2`."""
+    kws = ", ".join(_sql_quote(k) for k in keywords)
+    return f"""
+array_to_string(
+  list_transform(
+    regexp_extract_all({expr}, '{_CLONE_TOKEN_RE}'),
+    t -> CASE WHEN t IN ({kws}) THEN t
+              WHEN regexp_matches(t, '^[A-Za-z_]') THEN 'ID'
+              WHEN regexp_matches(t, '^[0-9]') THEN 'N'
+              ELSE t END),
+  ' ')
+"""
+
+
+def clone_classes(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    keywords: tuple[str, ...] = CLONE_KEYWORDS,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Type-2 clone classes: rows whose normalized form is shared by ≥2
+    docs → ``(doc_id, clone_class, n_members)`` where ``clone_class``
+    is the class's smallest member id (deterministic canonical).
+
+    Scale shape: one codegen normalize+sha projection, then a groupBy
+    on the 32-byte digest (min-id + count fold map-side — a partial
+    aggregate, never a per-class window), and one equi-join back.
+    Fragments shorter than ``min_tokens`` tokens drop first (trivial
+    skeletons like ``ID = N`` would otherwise glue the corpus into one
+    giant class — the hot-key discipline, same as max_shingle_df)."""
+    toks = F.regexp_extract_all(
+        F.col(content_col), F.lit(_CLONE_TOKEN_RE), 0
+    )
+    h = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(normalize_type2(content_col, keywords), 256).alias("_nsha"),
+    ).where(F.size(toks) >= min_tokens)
+    cls = (
+        h.groupBy("_nsha")
+        .agg(
+            F.min("doc_id").alias("clone_class"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return h.join(cls, "_nsha").select("doc_id", "clone_class", "n_members")
+
+
+def clone_classes_duckdb_sql(
+    content_expr: str = "text",
+    id_expr: str = "doc_id",
+    keywords: tuple[str, ...] = CLONE_KEYWORDS,
+    min_tokens: int = 8,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`clone_classes` (joins the raw normalized
+    string — validates sha256 grouping collision-freeness)."""
+    norm = normalize_type2_duckdb_sql(content_expr, keywords)
+    return f"""
+WITH h AS (
+  SELECT {id_expr} AS doc_id, {norm} AS nform
+  FROM {table}
+  WHERE len(regexp_extract_all({content_expr}, '{_CLONE_TOKEN_RE}'))
+        >= {min_tokens}
+),
+cls AS (
+  SELECT nform, min(doc_id) AS clone_class, count(*)::BIGINT AS n_members
+  FROM h GROUP BY nform HAVING count(*) >= 2
+)
+SELECT h.doc_id, cls.clone_class, cls.n_members
+FROM h JOIN cls USING (nform)
+"""
