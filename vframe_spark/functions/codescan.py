@@ -170,7 +170,15 @@ SECRET_RULES: dict[str, str] = {
     "private_key_pem": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
     "bearer_token": r"\b[Bb]earer [A-Za-z0-9_\-\.=]{20,}",
     "hex_secret_40": r"\b[0-9a-f]{40}\b",
-    "url_credentials": r"[a-z][a-z0-9+\-.]*://[^/\s:@]+:[^/\s:@]+@",
+    # literal scheme alternation, NOT [a-z][a-z0-9+.-]*: an open-ended
+    # scheme class restarts the match at every letter of the document
+    # (O(n·wordlen) — measured 37 s over forty 70 KB docs), while a
+    # literal prefix fails in 1-2 chars per position; it is also the
+    # more precise secret rule.
+    "url_credentials": (
+        r"\b(?:https?|ftps?|postgres(?:ql)?|mysql|mongodb(?:\+srv)?|redis"
+        r"|amqps?|ssh|git)://[^/\s:@]+:[^/\s:@]+@"
+    ),
 }
 
 

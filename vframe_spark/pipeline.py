@@ -400,13 +400,20 @@ def _license_gate(df, content_col: str = "content",
 
 @register_step("secret_quarantine")
 def _secret_quarantine(df, content_col: str = "content",
-                       id_col: str = "doc_id",
                        rules: dict | None = None):
-    """Drop rows containing ANY credential finding (scan_secrets) —
-    the leak gate before code enters a training corpus. Anti-join on
-    the finding ids, so the corpus never re-shuffles."""
-    from .functions.codescan import scan_secrets
+    """Drop rows containing ANY credential finding (the scan_secrets
+    rule set) — the leak gate before code enters a training corpus.
 
-    hits = scan_secrets(df, content_col, rules=rules,
-                        id_cols=(id_col,)).select(id_col).distinct()
-    return df.join(hits, id_col, "left_anti")
+    The condition is row-local, so this is a pure codegen filter —
+    zero shuffle, and safe inside ``foreachBatch`` (an anti-join
+    against findings would self-join the streaming batch frame,
+    which Spark's foreachBatch incarnation does not support)."""
+    from functools import reduce
+    from operator import or_
+
+    from .functions.codescan import SECRET_RULES
+
+    rules = SECRET_RULES if rules is None else rules
+    c = F.col(content_col)
+    dirty = reduce(or_, [c.rlike(rx) for rx in rules.values()])
+    return df.filter(~dirty)
