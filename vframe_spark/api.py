@@ -26,6 +26,7 @@ from .index.builder import (
     delete_docs,
     load_index,
     load_tombstones,
+    load_tombstones_capped,
     load_tombstones_df,
 )
 
@@ -119,19 +120,26 @@ class SearchIndex:
         """
         postings, term_stats, _, meta = self._parts()
         queries = [(1, query)] if isinstance(query, str) else list(query)
-        dead_df = load_tombstones_df(self.spark, self.out_dir)
-        n_dead = int(dead_df.count()) if dead_df is not None else 0
-        big = n_dead > self.TOMBSTONE_DRIVER_LIMIT
+        # ONE job: a live set ≤ the limit (steady state under regular
+        # purges) arrives as the driver list right here; a bulk
+        # soft-delete is detected without collecting it and the
+        # flagship or/and path threads the id DataFrame into the WAND
+        # kernel instead (shard-aligned delivery — see query/wand.py).
+        capped = load_tombstones_capped(
+            self.spark, self.out_dir, self.TOMBSTONE_DRIVER_LIMIT
+        )
+        big = capped is None
+        dead_df = (
+            load_tombstones_df(self.spark, self.out_dir) if big else None
+        )
         _dl: list = []
 
         def dead():
             # Driver-side id list for the non-WAND kernels — bounded by
             # purge in steady state, materialized at most once per call
-            # and NEVER on the flagship or/and path when the set is big
-            # (that path threads dead_df into the kernel instead, where
-            # ids re-bucket by shard and ride the (qid, shard) shuffle).
-            if not n_dead:
-                return None
+            # and NEVER on the flagship or/and path when the set is big.
+            if not big:
+                return capped or None
             if not _dl:
                 _dl.append(load_tombstones(self.spark, self.out_dir))
             return _dl[0] or None

@@ -417,6 +417,31 @@ def load_tombstones_df(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(path).select("doc_id").distinct()
 
 
+def load_tombstones_capped(
+    spark: SparkSession, out_dir: str, cap: int
+) -> list[int] | None:
+    """Sorted distinct tombstoned ids if there are ≤ ``cap`` of them,
+    else ``None`` (caller should switch to the DataFrame path).
+
+    ONE job either way: fetches ``cap + 1`` ids through Arrow via
+    ``limit`` — a small live set (the steady state under regular
+    purges) costs the same single job the uncapped loader does, and a
+    bulk soft-delete is detected without counting or collecting it."""
+    path = os.path.join(out_dir, "tombstones")
+    if not os.path.isdir(path):
+        return []
+    pdf = (
+        spark.read.parquet(path)
+        .select("doc_id")
+        .distinct()
+        .limit(cap + 1)
+        .toPandas()
+    )
+    if len(pdf) > cap:
+        return None
+    return sorted(pdf["doc_id"].astype("int64").tolist())
+
+
 def load_tombstones(spark: SparkSession, out_dir: str) -> list[int]:
     """Sorted distinct tombstoned doc ids ([] when none).
 
