@@ -9412,6 +9412,71 @@ def q_rel_salted_join(spark, sf_dir):
 # tests/test_symbols.py — same machinery, different keyword artifact.
 CODE_KW = ("scan", "merge", "sort", "filter", "join")
 
+# Complexity metrics: corpus-fitting branch keywords (the prose corpus
+# has no if/for; any fixed alternation exercises the same regex path)
+# and the CODE_KW def pattern. Lines are derived 6-token windows with
+# every 3rd line comment-prefixed, identically in both engines.
+COMPLEX_BRANCH_KW = ("slow", "fast", "small", "big")
+COMPLEX_W = 6
+
+
+def _complexity_docs(spark, sf_dir):
+    W = COMPLEX_W
+    ws = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+
+    def to_content(t):
+        starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(W))
+        line = lambda i: F.concat(
+            F.when((i - 1) % (3 * W) == 0, F.lit("// ")).otherwise(F.lit("")),
+            F.array_join(F.slice(t, i, W), " "),
+        )
+        return F.array_join(F.transform(starts, line), "\n")
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.transform(F.array(ws), to_content)[0].alias("content")
+    )
+
+
+def _complexity_docs_sql() -> str:
+    W = COMPLEX_W
+    return f"""(
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(1, greatest(len(ws), 1) + 1, {W}),
+                          i -> (CASE WHEN (i - 1) % {3 * W} = 0
+                                     THEN '// ' ELSE '' END)
+                               || array_to_string(ws[i:i + {W - 1}], ' ')),
+           chr(10)) AS content
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents)
+)"""
+
+
+def q_code_complexity(spark, sf_dir):
+    """Per-file complexity probe (lizard/radon-lite): branch-keyword
+    cyclomatic proxy, definition count, comment density, line-length
+    outliers — one codegen regex projection inside the scan, no
+    shuffle (functions/codemetrics.py). Oracle runs the identical
+    RE2-compatible patterns over the identically derived lines."""
+    from vframe_spark.functions.codemetrics import complexity_stats
+
+    return complexity_stats(
+        _complexity_docs(spark, sf_dir),
+        branch_keywords=COMPLEX_BRANCH_KW,
+        func_keywords=CODE_KW,
+    )
+
+
+def _code_complexity_oracle_sql() -> str:
+    from vframe_spark.functions.codemetrics import complexity_duckdb_sql
+
+    return complexity_duckdb_sql(
+        table=_complexity_docs_sql(),
+        branch_keywords=COMPLEX_BRANCH_KW,
+        func_keywords=CODE_KW,
+    )
+
 
 def q_code_symbols(spark, sf_dir):
     """Definition-site extraction (functions/symbols.py): one regex
@@ -10046,6 +10111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_pagerank_boost": q_rank_pagerank_boost,
         "rank_ltr_linear": q_rank_ltr_linear,
         "code_symbols": q_code_symbols,
+        "code_complexity": q_code_complexity,
         "code_xref": q_code_xref,
         "code_license": q_code_license,
         "code_secrets": q_code_secrets,
@@ -10405,6 +10471,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_pagerank_boost": _pagerank_boost_oracle_sql(),
         "rank_ltr_linear": _ltr_oracle_sql(),
         "code_symbols": _code_symbols_oracle_sql(),
+        "code_complexity": _code_complexity_oracle_sql(),
         "code_xref": _code_xref_oracle_sql(),
         "code_license": _code_license_oracle_sql(),
         "code_secrets": _code_secrets_oracle_sql(),

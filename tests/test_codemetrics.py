@@ -1,0 +1,99 @@
+"""Code-complexity metrics vs hand-computed values + DuckDB twin parity."""
+
+import duckdb
+import pytest
+
+from vframe_spark.functions.codemetrics import (
+    BRANCH_KEYWORDS,
+    branch_pattern,
+    complexity_duckdb_sql,
+    complexity_stats,
+)
+
+PY_SNIPPET = (
+    "# module docstring comment\n"
+    "def parse(x):\n"
+    "    if x > 0:\n"
+    "        for i in range(x):\n"
+    "            print(i)  # inline, not a comment line\n"
+    "    elif x < 0:\n"
+    "        while x:\n"
+    "            x += 1\n"
+    "    # trailing comment\n"
+    "    return x"
+)
+# branches: if, for, elif, while, in? ("in" not a keyword here) -> 4
+# defs: "def parse" -> 1; comment lines: 1 and 9 -> 2; lines: 10
+
+C_SNIPPET = (
+    "// header\n"
+    "int main() {\n"
+    "    switch (x) {\n"
+    "        case 1: break;\n"
+    "        case 2: break;\n"
+    "    }\n"
+    "    if (y) { f(); }\n"
+    "}"
+)
+# branches: switch, case, case, if -> 4; defs: "int main" (int is a
+# DEF keyword) -> 1; comment lines: 1; lines: 8
+
+EMPTY = ""
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [(1, PY_SNIPPET), (2, C_SNIPPET), (3, EMPTY), (4, None)],
+        "doc_id bigint, content string",
+    )
+
+
+def test_branch_pattern_rejects_empty():
+    with pytest.raises(ValueError):
+        branch_pattern([])
+
+
+def test_metrics_match_hand_counts(spark, frame):
+    rows = {r["doc_id"]: r.asDict() for r in complexity_stats(frame).collect()}
+    py = rows[1]
+    assert py["n_lines"] == 10
+    assert py["n_branch"] == 4 and py["cyclomatic"] == 5
+    assert py["n_defs"] == 1
+    assert py["n_comment_lines"] == 2
+    assert py["comment_ratio"] == 0.2
+    assert py["max_line_len"] == len(
+        "            print(i)  # inline, not a comment line"
+    )
+    c = rows[2]
+    assert c["n_lines"] == 8
+    assert c["n_branch"] == 4 and c["cyclomatic"] == 5
+    assert c["n_comment_lines"] == 1
+    # empty + NULL content degrade to the single-empty-line doc
+    for d in (3, 4):
+        r = rows[d]
+        assert r["n_lines"] == 1 and r["n_branch"] == 0
+        assert r["max_line_len"] == 0 and r["avg_line_len"] == 0.0
+
+
+def test_duckdb_twin_is_value_identical(spark, frame):
+    got = sorted(
+        tuple(r) for r in complexity_stats(frame).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", frame.toPandas()
+    )
+    want = sorted(tuple(r) for r in con.execute(complexity_duckdb_sql()).fetchall())
+    assert got == want
+
+
+def test_def_count_uses_nonempty_func_keywords(spark, frame):
+    # "if" used as a def keyword counts 'if x' sites — sanity that the
+    # knob is live and patterns stay in lockstep with symbols.def_pattern
+    rows = {
+        r["doc_id"]: r["n_defs"]
+        for r in complexity_stats(frame, func_keywords=("while",)).collect()
+    }
+    assert rows[1] == 1  # "while x"
+    assert "while" in BRANCH_KEYWORDS

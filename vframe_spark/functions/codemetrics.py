@@ -1,0 +1,129 @@
+"""Per-document code-complexity metrics (lizard/radon-lite).
+
+One pure-Catalyst projection per document over ``content``:
+
+* ``n_lines`` — physical lines;
+* ``n_branch`` / ``cyclomatic`` — branch-keyword occurrences and the
+  McCabe proxy ``n_branch + 1`` (decision points + 1, the classic
+  single-exit approximation — counting keywords instead of parsing is
+  exactly what lizard does);
+* ``n_defs`` — definition sites (reuses ``symbols.def_pattern``, the
+  ctags-lite regex);
+* ``n_comment_lines`` / ``comment_ratio`` — line-comment density;
+* ``max_line_len`` / ``avg_line_len`` — formatting outliers (the
+  minified-file / generated-code signal code-quality gates key on).
+
+Everything is ``regexp_count`` / array expressions inside the scan —
+whole-stage codegen, zero Python, column-pruned to (id, content) — so
+the per-doc cost is one regex pass per metric and the operator is
+embarrassingly parallel at any corpus size (no shuffle at all).
+
+Both engines run the same RE2-compatible patterns (word-boundary
+alternations of literal keywords, ``^\\s*…`` line anchors), so the
+DuckDB twin is value-identical, not an approximation — the same
+cross-engine discipline as functions/symbols.py.
+
+Reference analog: the per-frame metadata probes the reference attaches
+during scans (media attribute extraction,
+/root/reference/src/commands/pipe/open.py) — here the probed
+attributes are source-complexity measurements.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .symbols import DEF_KEYWORDS, def_pattern
+
+#: Branch/decision keywords across the corpus languages (py/java/js/
+#: go/rs/c) — the union is deliberate: counting a keyword the doc's
+#: language lacks is harmless (it cannot appear) and keeps the metric
+#: one regex instead of a per-lang CASE.
+BRANCH_KEYWORDS = (
+    "if", "elif", "else", "for", "while", "case", "switch", "catch",
+    "except", "match", "when",
+)
+
+#: Line comments: ``#`` (py), ``//`` (c-family), ``--`` (sql-ish).
+COMMENT_LINE_RE = r"^\s*(?:#|//|--)"
+
+
+def branch_pattern(keywords: Iterable[str] = BRANCH_KEYWORDS) -> str:
+    """``\\b(kw1|kw2|...)\\b`` — one regex, both engines."""
+    kws = list(keywords)
+    if not kws:
+        raise ValueError("keywords must be non-empty")
+    return rf"\b(?:{'|'.join(kws)})\b"
+
+
+def complexity_stats(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    branch_keywords: Iterable[str] = BRANCH_KEYWORDS,
+    func_keywords: Iterable[str] = DEF_KEYWORDS,
+    comment_re: str = COMMENT_LINE_RE,
+) -> DataFrame:
+    """→ (id, n_lines, n_branch, cyclomatic, n_defs, n_comment_lines,
+    comment_ratio, max_line_len, avg_line_len) — one row per doc."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    lines = F.split(c, "\n")
+    lens = F.transform(lines, F.length)
+    n_lines = F.size(lines).cast("bigint")
+    n_branch = F.regexp_count(c, F.lit(branch_pattern(branch_keywords))).cast(
+        "bigint"
+    )
+    n_defs = F.regexp_count(c, F.lit(def_pattern(func_keywords))).cast("bigint")
+    n_comment = F.size(
+        F.filter(lines, lambda ln: ln.rlike(comment_re))
+    ).cast("bigint")
+    total_len = F.aggregate(
+        lens, F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+    )
+    return docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_branch.alias("n_branch"),
+        (n_branch + 1).alias("cyclomatic"),
+        n_defs.alias("n_defs"),
+        n_comment.alias("n_comment_lines"),
+        F.round(n_comment.cast("double") / n_lines, 6).alias("comment_ratio"),
+        F.array_max(lens).cast("bigint").alias("max_line_len"),
+        F.round(total_len.cast("double") / n_lines, 4).alias("avg_line_len"),
+    )
+
+
+def complexity_duckdb_sql(
+    table: str = "documents",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    branch_keywords: Iterable[str] = BRANCH_KEYWORDS,
+    func_keywords: Iterable[str] = DEF_KEYWORDS,
+    comment_re: str = COMMENT_LINE_RE,
+) -> str:
+    """The identical metrics in DuckDB SQL (same regexes, same rounding
+    grains); ``table`` may be any relation expression."""
+    bpat = branch_pattern(branch_keywords)
+    dpat = def_pattern(func_keywords)
+    cre = comment_re
+    return f"""
+SELECT {id_col},
+       len(lines)::BIGINT AS n_lines,
+       len(regexp_extract_all(c, '{bpat}'))::BIGINT AS n_branch,
+       (len(regexp_extract_all(c, '{bpat}')) + 1)::BIGINT AS cyclomatic,
+       len(regexp_extract_all(c, '{dpat}'))::BIGINT AS n_defs,
+       len(list_filter(lines, l -> regexp_matches(l, '{cre}')))::BIGINT
+         AS n_comment_lines,
+       round(len(list_filter(lines, l -> regexp_matches(l, '{cre}')))::DOUBLE
+             / len(lines), 6) AS comment_ratio,
+       list_max(list_transform(lines, l -> len(l)))::BIGINT AS max_line_len,
+       round(list_sum(list_transform(lines, l -> len(l)))::DOUBLE
+             / len(lines), 4) AS avg_line_len
+FROM (SELECT {id_col},
+             coalesce({content_col}, '') AS c,
+             string_split(coalesce({content_col}, ''), chr(10)) AS lines
+      FROM {table})
+"""
