@@ -1396,6 +1396,65 @@ def q_ft_block_join(spark, sf_dir):
     )
 
 
+def q_ft_has_parent(spark, sf_dir):
+    """Parent→child retrieval (ES has_parent, score:true): queries run
+    against the PARENT corpus index; every 32-token chunk of a matching
+    parent is returned carrying the parent's 4-dp BM25 score — the
+    complement of ft_block_join's child→parent fold
+    (query/blockjoin.py has_parent_topk). Oracle replays parent BM25,
+    the chunk derivation, the join and the cut in SQL."""
+    from vframe_spark.operators.curate import chunk_documents
+    from vframe_spark.query.blockjoin import has_parent_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    children = chunk_documents(
+        docs, chunk_tokens=BJ_CHUNK, stride=BJ_STRIDE, min_tokens=2
+    ).select(
+        F.col("doc_id").alias("parent_id"),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+    )
+    return has_parent_topk(
+        postings, term_stats, meta, FT_QUERIES, children,
+        k=BJ_K, child_key_cols=("chunk_id",),
+    )
+
+
+def _has_parent_oracle_sql() -> str:
+    from vframe_spark.operators.curate import chunk_documents_duckdb_sql
+
+    chunk_sql = chunk_documents_duckdb_sql(
+        BJ_CHUNK, BJ_STRIDE, min_tokens=2, id_col="doc_id",
+        text_col="text", table="documents",
+    )
+    base = BM25_ORACLE_SQL.replace("{QVALUES}", _ft_qterms_values_sql())
+    tail_from = """ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= """ + str(FT_K)
+    assert tail_from in base
+    tail_to = f"""ch AS (SELECT * FROM ({chunk_sql})),
+joined AS (
+  SELECT score.qid, score.doc_id AS parent_id,
+         ch.chunk_id::BIGINT AS chunk_id, score.score
+  FROM score JOIN ch ON ch.doc_id = score.doc_id
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, parent_id, chunk_id)::INT AS rank,
+         parent_id, chunk_id, score
+  FROM joined
+)
+SELECT qid, rank, parent_id, chunk_id, score FROM ranked WHERE rank <= {BJ_K}"""
+    return base.replace(tail_from, tail_to)
+
+
 def _block_join_oracle_sql() -> str:
     from vframe_spark.operators.curate import chunk_documents_duckdb_sql
 
@@ -10059,6 +10118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rank_eval": q_ft_rank_eval,
         "ft_missing_facet": q_ft_missing_facet,
         "ft_block_join": q_ft_block_join,
+        "ft_has_parent": q_ft_has_parent,
         "ft_terms_approx": q_ft_terms_approx,
         "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25f_indexed": q_ft_bm25f_indexed,
@@ -10367,6 +10427,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_rank_eval": _rank_eval_oracle_sql(),
         "ft_missing_facet": _missing_facet_oracle_sql(),
         "ft_block_join": _block_join_oracle_sql(),
+        "ft_has_parent": _has_parent_oracle_sql(),
         "ft_terms_approx": _terms_approx_oracle_sql(),
         "ft_phrase_suggest": _phrase_suggest_oracle_sql(),
         "ft_bm25f_indexed": _bm25f_oracle_sql(),

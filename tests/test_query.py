@@ -522,6 +522,47 @@ def test_block_join_topk_bruteforce(spark, corpus, index):
         block_join_topk(postings, term_stats, meta, qs, parent_of, score_mode="bogus")
 
 
+def test_has_parent_topk_bruteforce(spark, corpus, index):
+    """Parent→child join (ES has_parent): every matching parent fans
+    out to its two synthetic children, each carrying the parent's 4-dp
+    score; vs a python replay of (parent BM25 → fan-out → cut)."""
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.blockjoin import has_parent_topk
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    children = docs.select(
+        F.col("doc_id").alias("parent_id"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("chunk_id"),
+    )
+    qs = [(1, "data parse"), (2, "hash table"), (3, "zzzabsent")]
+    K = 9
+    got = [
+        (r["qid"], r["rank"], r["parent_id"], r["chunk_id"], r["score"])
+        for r in has_parent_topk(
+            postings, term_stats, meta, qs, children, k=K,
+            child_key_cols=("chunk_id",),
+        ).collect()
+    ]
+    exp = []
+    for qid, q in qs:
+        terms = sorted(set(parse_query_terms(q)))
+        fan = []
+        for d, c in oracle.tf.items():
+            if not any(c.get(t, 0) > 0 for t in terms):
+                continue
+            s = round(oracle.score(terms, d), 4)
+            fan.extend((d, ch, s) for ch in (0, 1))
+        fan.sort(key=lambda x: (-x[2], x[0], x[1]))
+        exp.extend((qid, i + 1, p, ch, s) for i, (p, ch, s) in enumerate(fan[:K]))
+    assert sorted(got) == sorted(exp)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        has_parent_topk(postings, term_stats, meta, qs, children, k=0)
+
+
 def test_matrix_stats_bruteforce(spark, corpus, index):
     import numpy as np
     from pyspark.sql import functions as F

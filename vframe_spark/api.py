@@ -401,6 +401,26 @@ class SearchIndex:
             child_col=child_col, parent_col=parent_col,
         )
 
+    def has_parent(
+        self,
+        query: str | list[tuple[int, str]],
+        children: DataFrame,
+        k: int = 10,
+        parent_col: str = "parent_id",
+        child_key_cols: tuple[str, ...] = ("child_id",),
+    ) -> DataFrame:
+        """Parent→child retrieval (this index holds the PARENT docs):
+        children of matching parents, carrying the parent's score; see
+        `query.blockjoin.has_parent_topk`."""
+        from .query.blockjoin import has_parent_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return has_parent_topk(
+            postings, term_stats, meta, queries, children,
+            k=k, parent_col=parent_col, child_key_cols=child_key_cols,
+        )
+
     def terms_approx(
         self,
         query: str | list[tuple[int, str]],

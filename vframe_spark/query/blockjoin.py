@@ -38,6 +38,54 @@ _MODES = {
 }
 
 
+def has_parent_topk(
+    parent_postings: DataFrame,
+    parent_term_stats: DataFrame,
+    parent_meta: dict,
+    queries: Iterable[tuple[int, str]],
+    children: DataFrame,
+    k: int = 10,
+    parent_col: str = "parent_id",
+    child_key_cols: tuple[str, ...] = ("child_id",),
+) -> DataFrame:
+    """→ (qid, rank, parent_id, *child keys, score): top-k CHILDREN of
+    matching parents, each child carrying its parent's 4-dp BM25 score
+    (ES ``has_parent`` with ``score: true`` — the complement of
+    :func:`block_join_topk`'s child→parent fold).
+
+    ``children``: (parent_col, *child_key_cols) relation — any child
+    unit keyed by its parent. Tie-break: score DESC, parent ASC, then
+    the child keys ASC, so the page is deterministic and replayable.
+
+    Scale shape: the parents' exact match set comes off the pruned
+    posting scan (cost ∝ parent matches), ONE equi-join fans it out to
+    children (cost ∝ children of matching parents — the semantic lower
+    bound: every such child is a candidate by definition), and the cut
+    is a bounded per-qid window. The child corpus is never scanned
+    beyond the join's pruned side.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ps = match_scores(parent_postings, parent_term_stats, parent_meta, queries)
+    ps = ps.select(
+        "qid",
+        F.col("doc_id").alias(parent_col),
+        F.round("score", 4).alias("score"),
+    )
+    joined = ps.join(
+        children.select(parent_col, *child_key_cols), parent_col
+    )
+    order = [F.col("score").desc(), F.col(parent_col).asc()] + [
+        F.col(c).asc() for c in child_key_cols
+    ]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", parent_col, *child_key_cols, "score")
+    )
+
+
 def block_join_topk(
     child_postings: DataFrame,
     child_term_stats: DataFrame,
