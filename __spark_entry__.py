@@ -1248,6 +1248,36 @@ FROM s GROUP BY 1
 """
 
 
+def q_ft_percentiles_bucket(spark, sf_dir):
+    """ES percentiles_bucket — exact interpolated percentiles of the
+    date-histogram bucket metric per query (p25/p50/p75), completing
+    the sibling pipeline-agg family (query/facets.py
+    percentiles_bucket). One agg over the tiny bucket table."""
+    from vframe_spark.query.facets import percentiles_bucket
+
+    out = percentiles_bucket(
+        _date_buckets(spark, sf_dir), percentiles=(0.25, 0.5, 0.75)
+    )
+    return out.select(
+        "qid",
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.round("p_0_25", 6).alias("p25"),
+        F.round("p_0_5", 6).alias("p50"),
+        F.round("p_0_75", 6).alias("p75"),
+    )
+
+
+def _percentiles_bucket_oracle_sql() -> str:
+    return f"""{_date_bucket_cte()}
+SELECT qid::INT AS qid,
+       count(*)::BIGINT AS n_buckets,
+       round(quantile_cont(n_docs, 0.25), 6) AS p25,
+       round(quantile_cont(n_docs, 0.5), 6) AS p50,
+       round(quantile_cont(n_docs, 0.75), 6) AS p75
+FROM b GROUP BY 1
+"""
+
+
 MOVFN_WINDOW, SDIFF_LAG = 3, 2
 
 
@@ -10101,6 +10131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_pipeline": q_ft_bucket_pipeline,
         "ft_bucket_script": q_ft_bucket_script,
         "ft_bucket_stats": q_ft_bucket_stats,
+        "ft_percentiles_bucket": q_ft_percentiles_bucket,
         "ft_bucket_movfn": q_ft_bucket_movfn,
         "ft_bucket_selector": q_ft_bucket_selector,
         "ft_adjacency": q_ft_adjacency,
@@ -10410,6 +10441,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_pipeline": _bucket_pipeline_oracle_sql(),
         "ft_bucket_script": _bucket_script_oracle_sql(),
         "ft_bucket_stats": _bucket_stats_oracle_sql(),
+        "ft_percentiles_bucket": _percentiles_bucket_oracle_sql(),
         "ft_bucket_movfn": _bucket_movfn_oracle_sql(),
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_adjacency": _adjacency_oracle_sql(),

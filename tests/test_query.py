@@ -1221,6 +1221,33 @@ def test_bucket_pipeline_derivative_and_cumsum(spark, corpus, index):
     assert run == sum(r["n_docs"] for r in rows)
 
 
+def test_percentiles_bucket_bruteforce(spark, corpus, index):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from vframe_spark.query.facets import histogram_facets, percentiles_bucket
+
+    docs, _ = corpus
+    postings, _, _, meta = index
+    vals = docs.select("doc_id", F.length("content").alias("nchars"))
+    qs = [(1, "data parse"), (2, "hash")]
+    buckets = histogram_facets(postings, meta, qs, vals, "nchars", interval=100.0)
+    base = {}
+    for r in buckets.collect():
+        base.setdefault(r["qid"], []).append(float(r["n_docs"]))
+    got = {r["qid"]: r for r in
+           percentiles_bucket(buckets, percentiles=(0.25, 0.5, 0.9)).collect()}
+    for qid, counts in base.items():
+        r = got[qid]
+        assert r["n_buckets"] == len(counts)
+        for p, col in [(0.25, "p_0_25"), (0.5, "p_0_5"), (0.9, "p_0_9")]:
+            # exact interpolated percentile == numpy linear
+            assert abs(r[col] - float(np.quantile(counts, p))) < 1e-9, (qid, p)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        percentiles_bucket(buckets, percentiles=(1.5,))
+
+
 def test_bucket_stats_selector_movfn_bruteforce(spark, corpus, index):
     from pyspark.sql import functions as F
     from vframe_spark.query.facets import (

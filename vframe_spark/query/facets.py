@@ -804,6 +804,28 @@ def bucket_stats(
     )
 
 
+def percentiles_bucket(
+    buckets: DataFrame,
+    metric_col: str = "n_docs",
+    percentiles: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """ES ``percentiles_bucket`` (the last sibling pipeline agg):
+    exact interpolated percentiles of a sibling metric across one
+    query's buckets → (qid, n_buckets, p_<pct>...). Spark
+    ``percentile`` == SQL ``quantile_cont`` — the field_percentiles
+    cross-engine grain. One aggregation over the tiny bucket table;
+    the corpus is never re-read."""
+    for p in percentiles:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentile must be in [0, 1], got {p}")
+    b = buckets.select("qid", F.col(metric_col).cast("double").alias("_v"))
+    aggs = [F.count("_v").alias("n_buckets")] + [
+        F.expr(f"percentile(_v, {p!r})").alias(f"p_{str(p).replace('.', '_')}")
+        for p in percentiles
+    ]
+    return b.groupBy("qid").agg(*aggs)
+
+
 def bucket_script(buckets: DataFrame, scripts: dict[str, str]) -> DataFrame:
     """ES ``bucket_script``: derive new per-bucket metrics from the
     bucket's sibling metrics via an expression over the bucket row
