@@ -1267,6 +1267,41 @@ def q_ft_percentiles_bucket(spark, sf_dir):
     )
 
 
+def q_ft_extended_stats_bucket(spark, sf_dir):
+    """ES extended_stats_bucket — sibling stats plus population
+    variance/std-dev of the date-histogram bucket metric per query
+    (query/facets.py extended_stats_bucket)."""
+    from vframe_spark.query.facets import extended_stats_bucket
+
+    out = extended_stats_bucket(_date_buckets(spark, sf_dir))
+    return out.select(
+        "qid",
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.col("sum_v").cast("bigint").alias("sum_docs"),
+        F.round("avg_v", 6).alias("avg_docs"),
+        F.col("min_v").cast("bigint").alias("min_docs"),
+        F.col("max_v").cast("bigint").alias("max_docs"),
+        F.round("variance", 6).alias("variance"),
+        F.round("std_dev", 6).alias("std_dev"),
+    )
+
+
+def _extended_stats_bucket_oracle_sql() -> str:
+    return f"""{_date_bucket_cte()}
+SELECT qid::INT AS qid,
+       count(*)::BIGINT AS n_buckets,
+       sum(n_docs)::BIGINT AS sum_docs,
+       round(avg(n_docs), 6) AS avg_docs,
+       min(n_docs)::BIGINT AS min_docs,
+       max(n_docs)::BIGINT AS max_docs,
+       round(sum(n_docs::DOUBLE * n_docs) / count(*) - avg(n_docs::DOUBLE) ^ 2, 6)
+         AS variance,
+       round(sqrt(sum(n_docs::DOUBLE * n_docs) / count(*) - avg(n_docs::DOUBLE) ^ 2), 6)
+         AS std_dev
+FROM b GROUP BY 1
+"""
+
+
 def _percentiles_bucket_oracle_sql() -> str:
     return f"""{_date_bucket_cte()}
 SELECT qid::INT AS qid,
@@ -10132,6 +10167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_script": q_ft_bucket_script,
         "ft_bucket_stats": q_ft_bucket_stats,
         "ft_percentiles_bucket": q_ft_percentiles_bucket,
+        "ft_extended_stats_bucket": q_ft_extended_stats_bucket,
         "ft_bucket_movfn": q_ft_bucket_movfn,
         "ft_bucket_selector": q_ft_bucket_selector,
         "ft_adjacency": q_ft_adjacency,
@@ -10442,6 +10478,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_script": _bucket_script_oracle_sql(),
         "ft_bucket_stats": _bucket_stats_oracle_sql(),
         "ft_percentiles_bucket": _percentiles_bucket_oracle_sql(),
+        "ft_extended_stats_bucket": _extended_stats_bucket_oracle_sql(),
         "ft_bucket_movfn": _bucket_movfn_oracle_sql(),
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_adjacency": _adjacency_oracle_sql(),

@@ -1247,6 +1247,16 @@ def test_percentiles_bucket_bruteforce(spark, corpus, index):
     with _pytest.raises(ValueError):
         percentiles_bucket(buckets, percentiles=(1.5,))
 
+    from vframe_spark.query.facets import extended_stats_bucket
+
+    ext = {r["qid"]: r for r in extended_stats_bucket(buckets).collect()}
+    for qid, counts in base.items():
+        r = ext[qid]
+        a = np.asarray(counts)
+        assert r["n_buckets"] == len(counts) and r["sum_v"] == a.sum()
+        assert abs(r["variance"] - a.var()) < 1e-9  # population variance
+        assert abs(r["std_dev"] - a.std()) < 1e-9
+
 
 def test_bucket_stats_selector_movfn_bruteforce(spark, corpus, index):
     from pyspark.sql import functions as F

@@ -804,6 +804,26 @@ def bucket_stats(
     )
 
 
+def extended_stats_bucket(buckets: DataFrame, metric_col: str = "n_docs") -> DataFrame:
+    """ES ``extended_stats_bucket``: the sibling stats family plus
+    population variance / std-dev of the bucket metric (the ES
+    sum_sq/n − avg² formula, matching extended_stats_facets) →
+    (qid, n_buckets, sum_v, avg_v, min_v, max_v, variance, std_dev).
+    One aggregation over the tiny bucket table."""
+    v = F.col(metric_col).cast("double")
+    b = buckets.select("qid", v.alias("_v"))
+    var = F.sum(F.col("_v") * F.col("_v")) / F.count("_v") - F.pow(F.avg("_v"), 2)
+    return b.groupBy("qid").agg(
+        F.count("_v").alias("n_buckets"),
+        F.sum("_v").alias("sum_v"),
+        F.avg("_v").alias("avg_v"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+        var.alias("variance"),
+        F.sqrt(var).alias("std_dev"),
+    )
+
+
 def percentiles_bucket(
     buckets: DataFrame,
     metric_col: str = "n_docs",
