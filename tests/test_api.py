@@ -49,6 +49,27 @@ def test_search_modes_and_snippets(spark, idx, corpus):
     assert all(r["n_hit"] >= 1 for r in snip)
 
 
+def test_search_fuzziness_matches_manual_expansion(spark, idx):
+    from vframe_spark.query.fuzzy import fuzzy_expand
+    from vframe_spark.query.wand import bm25_topk_wand
+
+    postings, term_stats, _, meta = idx._parts()
+    got = idx.search("strean cachr", k=8, fuzziness=1).collect()
+    by = {}
+    for r in fuzzy_expand(term_stats, [(1, "strean cachr")], max_dist=1).collect():
+        by.setdefault(int(r["qid"]), set()).add(r["term"])
+    assert by.get(1), "typos must expand against the vocab"
+    want = bm25_topk_wand(
+        postings, term_stats, meta,
+        [(q, sorted(ts)) for q, ts in sorted(by.items())],
+        k=8, pre_tokenized=True,
+    ).collect()
+    key = lambda r: (r["qid"], r["rank"], r["doc_id"], r["score"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    with pytest.raises(ValueError):
+        idx.search("x", fuzziness=1, mode="and")
+
+
 def test_delete_then_purge(spark, tmp_path, corpus):
     out = str(tmp_path / "api_del")
     idx = SearchIndex.build(corpus, out, shard_size=64, block_size=16, shards_per_slice=2)

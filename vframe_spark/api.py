@@ -93,6 +93,7 @@ class SearchIndex:
         boosts: DataFrame | None = None,
         filter_docs: DataFrame | None = None,
         min_should_match: int | float | None = None,
+        fuzziness: int | None = None,
     ) -> DataFrame:
         """Top-k retrieval → (qid, rank, doc_id, score[, n_hit, snippet]).
 
@@ -117,6 +118,10 @@ class SearchIndex:
         ``min_should_match``: docs must contain at least this many
         distinct query terms (int) or this fraction of them (float,
         ES-style floor) — see `query.boost.msm_topk` ("or" mode only).
+        ``fuzziness``: each term ORs in index-vocabulary terms within
+        this Levenshtein distance (df-DESC capped, see
+        `query.fuzzy.fuzzy_expand`); the union rides the ordinary
+        pre-tokenized WAND batch ("or" mode only).
         """
         postings, term_stats, _, meta = self._parts()
         queries = [(1, query)] if isinstance(query, str) else list(query)
@@ -232,6 +237,24 @@ class SearchIndex:
                     (_F.col("score") * _F.coalesce("_boost", _F.lit(1.0))).alias("score"),
                 )
             ranked = _topk(scores, k)
+        elif fuzziness is not None:
+            if mode != "or":
+                raise ValueError("fuzziness= is only supported with mode='or'")
+            from .query.fuzzy import fuzzy_expand
+            from .query.wand import bm25_topk_wand
+
+            # expansion is ≤ |Q|·max_expansions rows by construction —
+            # driver-safe at any vocab size
+            by_qid: dict[int, set] = {}
+            for r in fuzzy_expand(
+                term_stats, queries, max_dist=fuzziness
+            ).collect():
+                by_qid.setdefault(int(r["qid"]), set()).add(r["term"])
+            expanded = [(qid, sorted(ts)) for qid, ts in sorted(by_qid.items())]
+            ranked = bm25_topk_wand(
+                postings, term_stats, meta, expanded, k=k,
+                pre_tokenized=True, exclude_doc_ids=dead(),
+            )
         elif synonyms is not None:
             if mode != "or":
                 raise ValueError("synonyms= is only supported with mode='or'")
