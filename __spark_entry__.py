@@ -1267,6 +1267,51 @@ def q_ft_percentiles_bucket(spark, sf_dir):
     )
 
 
+def q_ft_normalize_buckets(spark, sf_dir):
+    """ES normalize pipeline agg over the date-histogram buckets:
+    rescale_0_1, percent_of_sum and population z-score of the bucket
+    metric per query, 0-coalesced where the method degenerates
+    (query/facets.py normalize_buckets). The softmax method is
+    pytest-covered (exp overflows on count-scale metrics in any
+    engine)."""
+    from vframe_spark.query.facets import normalize_buckets
+
+    out = normalize_buckets(
+        _date_buckets(spark, sf_dir), "rescale_0_1", out_col="rescaled"
+    )
+    out = normalize_buckets(out, "percent_of_sum", out_col="pct")
+    out = normalize_buckets(out, "z-score", out_col="z")
+    return out.select(
+        "qid",
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("rescaled", 6).alias("rescaled"),
+        F.round("pct", 6).alias("pct"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+def _normalize_buckets_oracle_sql() -> str:
+    return f"""{_date_bucket_cte()}
+SELECT qid::INT AS qid,
+       strftime(bucket, '%Y-%m-%d') AS bucket,
+       n_docs::BIGINT AS n_docs,
+       round(coalesce((v - mn) / (mx - mn), 0), 6) AS rescaled,
+       round(coalesce(v * 100.0 / sm, 0), 6) AS pct,
+       round(coalesce((v - mu) / sd, 0), 6) AS z
+FROM (
+  SELECT qid, bucket, n_docs, n_docs::DOUBLE AS v,
+         min(n_docs::DOUBLE) OVER w AS mn,
+         max(n_docs::DOUBLE) OVER w AS mx,
+         sum(n_docs::DOUBLE) OVER w AS sm,
+         avg(n_docs::DOUBLE) OVER w AS mu,
+         sqrt(sum(n_docs::DOUBLE * n_docs) OVER w / count(*) OVER w
+              - avg(n_docs::DOUBLE) OVER w ^ 2) AS sd
+  FROM b WINDOW w AS (PARTITION BY qid)
+)
+"""
+
+
 def q_ft_extended_stats_bucket(spark, sf_dir):
     """ES extended_stats_bucket — sibling stats plus population
     variance/std-dev of the date-histogram bucket metric per query
@@ -10168,6 +10213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_stats": q_ft_bucket_stats,
         "ft_percentiles_bucket": q_ft_percentiles_bucket,
         "ft_extended_stats_bucket": q_ft_extended_stats_bucket,
+        "ft_normalize_buckets": q_ft_normalize_buckets,
         "ft_bucket_movfn": q_ft_bucket_movfn,
         "ft_bucket_selector": q_ft_bucket_selector,
         "ft_adjacency": q_ft_adjacency,
@@ -10479,6 +10525,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bucket_stats": _bucket_stats_oracle_sql(),
         "ft_percentiles_bucket": _percentiles_bucket_oracle_sql(),
         "ft_extended_stats_bucket": _extended_stats_bucket_oracle_sql(),
+        "ft_normalize_buckets": _normalize_buckets_oracle_sql(),
         "ft_bucket_movfn": _bucket_movfn_oracle_sql(),
         "ft_bucket_selector": _bucket_selector_oracle_sql(),
         "ft_adjacency": _adjacency_oracle_sql(),

@@ -1258,6 +1258,41 @@ def test_percentiles_bucket_bruteforce(spark, corpus, index):
         assert abs(r["std_dev"] - a.std()) < 1e-9
 
 
+def test_normalize_buckets_bruteforce(spark):
+    import numpy as np
+    from vframe_spark.query.facets import normalize_buckets
+
+    rows = [(1, "a", 2.0), (1, "b", 5.0), (1, "c", 3.0),
+            (2, "a", 7.0), (2, "b", 7.0)]  # qid 2: constant metric
+    b = spark.createDataFrame(rows, "qid int, bucket string, n_docs double")
+    got = {}
+    for m in ["rescale_0_1", "rescale_0_100", "percent_of_sum", "mean",
+              "z-score", "softmax"]:
+        got[m] = {
+            (r["qid"], r["bucket"]): r["normalized"]
+            for r in normalize_buckets(b, m).collect()
+        }
+    by_qid = {1: np.array([2.0, 5.0, 3.0]), 2: np.array([7.0, 7.0])}
+    keys = {1: ["a", "b", "c"], 2: ["a", "b"]}
+    for qid, v in by_qid.items():
+        rng = v.max() - v.min()
+        exp = {
+            "rescale_0_1": (v - v.min()) / rng if rng else np.zeros_like(v),
+            "rescale_0_100": (v - v.min()) * 100 / rng if rng else np.zeros_like(v),
+            "percent_of_sum": v * 100 / v.sum(),
+            "mean": v - v.mean(),
+            "z-score": (v - v.mean()) / v.std() if v.std() else np.zeros_like(v),
+            "softmax": np.exp(v) / np.exp(v).sum(),
+        }
+        for m, want in exp.items():
+            for k, w in zip(keys[qid], want):
+                assert abs(got[m][(qid, k)] - w) < 1e-9, (m, qid, k)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_buckets(b, "bogus")
+
+
 def test_bucket_stats_selector_movfn_bruteforce(spark, corpus, index):
     from pyspark.sql import functions as F
     from vframe_spark.query.facets import (

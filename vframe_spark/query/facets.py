@@ -804,6 +804,53 @@ def bucket_stats(
     )
 
 
+_NORMALIZE_METHODS = (
+    "rescale_0_1", "rescale_0_100", "percent_of_sum", "mean", "z-score",
+    "softmax",
+)
+
+
+def normalize_buckets(
+    buckets: DataFrame,
+    method: str = "percent_of_sum",
+    metric_col: str = "n_docs",
+    out_col: str = "normalized",
+) -> DataFrame:
+    """ES ``normalize`` pipeline agg: rescale each bucket's metric
+    against its query's bucket population — methods exactly ES's
+    (rescale_0_1, rescale_0_100, percent_of_sum, mean [de-mean],
+    z-score [population σ], softmax). Pure per-qid window expressions
+    over the tiny bucket table; a constant-metric query under
+    rescale_* / z-score yields 0 (ES emits 0 for a zero range too,
+    via 0/0→0 coalescing)."""
+    if method not in _NORMALIZE_METHODS:
+        raise ValueError(
+            f"method must be one of {_NORMALIZE_METHODS}, got {method!r}"
+        )
+    v = F.col(metric_col).cast("double")
+    w = Window.partitionBy("qid")
+    mn, mx = F.min(v).over(w), F.max(v).over(w)
+    mu = F.avg(v).over(w)
+    # try_divide: a degenerate window (constant metric, zero sum) must
+    # yield NULL→0, not an ANSI DIVIDE_BY_ZERO error
+    if method == "rescale_0_1":
+        expr = F.try_divide(v - mn, mx - mn)
+    elif method == "rescale_0_100":
+        expr = F.try_divide((v - mn) * 100.0, mx - mn)
+    elif method == "percent_of_sum":
+        expr = F.try_divide(v * 100.0, F.sum(v).over(w))
+    elif method == "mean":
+        expr = v - mu
+    elif method == "z-score":
+        sd = F.sqrt(F.sum(v * v).over(w) / F.count(v).over(w) - mu * mu)
+        expr = F.try_divide(v - mu, sd)
+    else:  # softmax
+        expr = F.try_divide(F.exp(v), F.sum(F.exp(v)).over(w))
+    return buckets.withColumn(
+        out_col, F.coalesce(expr, F.lit(0.0))
+    )
+
+
 def extended_stats_bucket(buckets: DataFrame, metric_col: str = "n_docs") -> DataFrame:
     """ES ``extended_stats_bucket``: the sibling stats family plus
     population variance / std-dev of the bucket metric (the ES
