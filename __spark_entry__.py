@@ -2467,6 +2467,50 @@ def q_ft_percolate(spark, sf_dir):
     )
 
 
+def q_ft_stream_percolate(spark, sf_dir):
+    """Streaming percolation (alerting): the corpus arrives as three
+    file drops; each micro-batch percolates against the broadcast
+    stored queries and appends its alerts to a batch-keyed idempotent
+    sink. Percolation is batch-local by construction, so the
+    accumulated alerts must equal ONE whole-corpus percolation — the
+    oracle is the same SQL as ft_percolate; the batch-boundary
+    invariance is the claim (streaming/percolate.py)."""
+    import shutil as _shutil
+
+    from vframe_spark.streaming.percolate import (
+        percolate_stream,
+        read_percolate_matches,
+    )
+
+    tag = hashlib.md5(f"sperc:{sf_dir}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"vfstream_{tag}")
+    src = os.path.join(out, "src")
+    alerts = os.path.join(out, "alerts")
+    done = os.path.join(out, "DONE")
+    if not os.path.exists(done):
+        _shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(src)
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        for part in range(3):
+            docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id bigint, content string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = percolate_stream(stream, PERC_QUERIES, alerts, mode="and")
+        q.awaitTermination(300)
+        open(done, "w").close()
+    return read_percolate_matches(spark, alerts).select(
+        "doc_id", F.col("qid").cast("int").alias("qid"),
+        F.col("n_hit").cast("int").alias("n_hit"),
+    )
+
+
 def q_ft_term_vectors(spark, sf_dir):
     """Per-document term statistics (ES _termvectors): tf from a
     pushdown-pruned re-tokenize of ONLY the requested docs, df/idf from
@@ -10240,6 +10284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rank_feature": q_ft_rank_feature,
         "ft_var_width_histogram": q_ft_var_width_histogram,
         "ft_percolate": q_ft_percolate,
+        "ft_stream_percolate": q_ft_stream_percolate,
         "ft_percolate_boolean": q_ft_percolate_boolean,
         "ft_term_vectors": q_ft_term_vectors,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
@@ -10548,6 +10593,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_suggest": _phrase_suggest_oracle_sql(),
         "ft_bm25f_indexed": _bm25f_oracle_sql(),
         "ft_percolate": _percolate_oracle_sql(),
+        "ft_stream_percolate": _percolate_oracle_sql(),
         "ft_percolate_boolean": _percolate_boolean_oracle_sql(),
         "ft_term_vectors": _term_vectors_oracle_sql(),
         "ft_lm_dirichlet": lm_dirichlet_oracle_sql(FT_QUERIES, TOK_SQL, FT_K),

@@ -332,6 +332,8 @@ def main() -> None:
         "ft_has_parent",
         "ft_percentiles_bucket",
         "ft_extended_stats_bucket",
+        "ft_normalize_buckets",
+        "ft_stream_percolate",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they

@@ -489,6 +489,51 @@ def test_percolate_in_foreach_batch(spark, tmp_path):
     assert expect  # the corpus matches something
 
 
+def test_percolate_stream_helper_matches_batch(spark, tmp_path):
+    """streaming/percolate.py: the packaged alerting pipeline equals
+    one whole-corpus percolation, and a re-run against the same
+    checkpoint with no new drops adds nothing."""
+    import glob as _g
+    import shutil as _sh
+
+    from vframe_spark.query.percolate import percolate
+    from vframe_spark.streaming.percolate import (
+        percolate_stream,
+        read_percolate_matches,
+    )
+
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src)
+    full = assign_doc_ids(
+        synth_docs(spark, 90, partitions=2), ["repo", "path", "commit"],
+        num_partitions=2,
+    ).cache()
+    for i, (lo, hi) in enumerate([(0, 45), (45, 90)]):
+        chunk = full.filter((full.doc_id >= lo) & (full.doc_id < hi))
+        chunk.coalesce(1).write.parquet(str(tmp_path / f"schunk{i}"))
+        f = _g.glob(str(tmp_path / f"schunk{i}" / "*.parquet"))[0]
+        _sh.copy(f, os.path.join(src, f"drop_{i}.parquet"))
+
+    stored = [(1, "data parse"), (2, "cache stream")]
+    alerts = str(tmp_path / "alerts")
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    percolate_stream(stream, stored, alerts).awaitTermination(120)
+    key = lambda r: (r["doc_id"], r["qid"], r["n_hit"])
+    got = sorted(map(key, read_percolate_matches(spark, alerts).collect()))
+    expect = sorted(map(key, percolate(full, stored, mode="and").collect()))
+    assert got == expect and expect
+
+    # same checkpoint, no new drops → the alert table is unchanged
+    stream2 = spark.readStream.schema(full.schema).parquet(src)
+    percolate_stream(stream2, stored, alerts).awaitTermination(120)
+    again = sorted(map(key, read_percolate_matches(spark, alerts).collect()))
+    assert again == expect
+
+
 def test_sessionize_stream_equals_batch(spark, tmp_path):
     """Streamed session assignment over time-ordered drops == the batch
     lag-flag-cumsum operator over the union, row for row."""

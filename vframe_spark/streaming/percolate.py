@@ -1,0 +1,71 @@
+"""Streaming percolation: the ES percolator over a live document
+stream (reverse search as an alerting pipeline — stored queries stand
+watch; every arriving document reports which alerts it trips).
+
+Shape: the batch percolator (query/percolate.py) is *batch-local by
+construction* — a document's matches depend only on its own tokens and
+the broadcast stored-query table, never on other documents or corpus
+statistics — so running it inside ``foreachBatch`` is semantically
+batch-boundary-invariant: the union of per-batch outputs equals one
+batch percolation of the whole corpus, regardless of how the stream
+was chopped. That identity is the contract the oracle checks.
+
+Delivery: each micro-batch's matches land in a batch-id-keyed
+subdirectory written with ``overwrite`` — a foreachBatch redelivery
+after a crash rewrites the same directory instead of duplicating
+alerts (the idempotent-sink discipline of streaming/ingest.py).
+
+Scale: per batch, cost is tokenize (codegen) + a broadcast join
+against the stored-query term table + one batch-local (doc, query)
+count — no stream state at all, so an unbounded stream holds nothing
+between batches (alerts are emitted, not retained).
+
+Reference parity: the reference's pipe loop applies per-frame
+detection filters as frames stream by (skip-detections,
+/root/reference/src/commands/pipe/skip-detections.py); here the
+"detector" is the stored-query match set.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def percolate_stream(
+    stream: DataFrame,
+    queries: Iterable[tuple[int, str]],
+    out_dir: str,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    checkpoint: str | None = None,
+):
+    """Start (availableNow) a percolation pass over ``stream``; matches
+    accumulate under ``out_dir`` (read back with
+    :func:`read_percolate_matches`). Returns the StreamingQuery."""
+    from ..query.percolate import percolate
+
+    queries = list(queries)
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        out = percolate(
+            batch, queries, mode=mode, id_col=id_col, content_col=content_col
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fn)
+        .option("checkpointLocation", checkpoint or out_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_percolate_matches(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The accumulated (doc_id, qid, n_hit) alert table."""
+    return spark.read.parquet(os.path.join(out_dir, "b*"))
