@@ -393,3 +393,14 @@ def test_submit_scan_verbs(tmp_path):
              for r in spark.read.parquet(str(tmp_path / "d")).collect()}
     assert delta == {("deleted", "b.py"), ("changed", "c.py"),
                      ("added", "d.py")}
+
+    out = subprocess.run(
+        common + ["scan", "--docs-parquet", oldp, "--what", "complexity",
+                  "--out", str(tmp_path / "cx")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    cx = {r["doc_id"]: r for r in
+          spark.read.parquet(str(tmp_path / "cx")).collect()}
+    assert len(cx) == 3 and cx[2]["n_lines"] == 1
+    assert cx[1]["cyclomatic"] == 1  # no branch keywords in the snippet

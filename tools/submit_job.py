@@ -149,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--docs-parquet", required=True)
     sc.add_argument("--out", required=True)
     sc.add_argument("--what", required=True,
-                    choices=["license", "secrets", "todo", "delta"])
+                    choices=["license", "secrets", "todo", "delta",
+                             "complexity"])
     sc.add_argument("--new-parquet", default=None,
                     help="(delta) the newer snapshot")
     sc.add_argument("--key-cols", default="repo,path",
@@ -466,6 +467,12 @@ def main(argv: list[str] | None = None) -> int:
             from vframe_spark.functions.codescan import scan_secrets
 
             out = scan_secrets(docs, args.text_col, id_cols=(args.id_col,))
+        elif args.what == "complexity":
+            from vframe_spark.functions.codemetrics import complexity_stats
+
+            out = complexity_stats(
+                docs, content_col=args.text_col, id_col=args.id_col
+            )
         else:
             from vframe_spark.functions.codescan import todo_comments
 
