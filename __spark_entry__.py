@@ -6707,6 +6707,60 @@ def q_ft_fuzzy_topk(spark, sf_dir):
     return _rounded_rank(scores, FT_K)
 
 
+# Sparse query vectors (SPLADE-shape): hand weights over corpus vocab,
+# one absent term (contributes nothing in both engines).
+FT_SPARSE_QUERIES = [
+    (1, {"data": 1.2, "window": 0.8, "merge": 0.5}),
+    (2, {"hash": 1.0, "join": 1.0}),
+    (3, {"zzzmissing": 2.0, "scan": 0.7}),
+]
+
+
+def q_ft_sparse_topk(spark, sf_dir):
+    """Learned-sparse retrieval serving (SPLADE/ELSER shape): docs as
+    (doc_id, term, weight) sparse vectors — derived here as 6-dp
+    tf·idf so both engines reproduce them; a learned expansion model
+    would swap the derivation, not the serving path — queries as
+    broadcast (term, weight) pairs, score = dot product at the 4-dp
+    grain (query/sparse.py sparse_topk)."""
+    from vframe_spark.query.sparse import sparse_topk, tfidf_doc_weights
+
+    toks = _corpus_tokens(spark, sf_dir)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    dw = tfidf_doc_weights(toks, n_docs)
+    return sparse_topk(dw, FT_SPARSE_QUERIES, k=FT_K)
+
+
+def _sparse_oracle_sql() -> str:
+    from vframe_spark.query.sparse import sparse_query_values_sql
+
+    qvals = sparse_query_values_sql(FT_SPARSE_QUERIES)
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+dw AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) AS weight
+  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN stats s
+),
+q(qid, term, qw) AS (VALUES {qvals}),
+score AS (
+  SELECT q.qid, dw.doc_id, round(sum(dw.weight * q.qw), 4) AS score
+  FROM q JOIN dw ON dw.term = q.term GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 def q_dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, EXACT: blocked all-pairs GEMM
     (cogroup-free block-pair sharding — O(n·B) shuffle, O(n²/B²) work
@@ -10414,6 +10468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_knn_rescore": q_ft_knn_rescore,
         "ft_collapse_topk": q_ft_collapse_topk,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
+        "ft_sparse_topk": q_ft_sparse_topk,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_semantic": q_dedup_semantic,
         "curate_embedding_decon": q_curate_embedding_decon,
@@ -11153,6 +11208,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_knn_rescore": _knn_rescore_oracle_sql(),
         "ft_collapse_topk": _collapse_oracle_sql(),
         "ft_fuzzy_topk": _fuzzy_oracle_sql(),
+        "ft_sparse_topk": _sparse_oracle_sql(),
         "dedup_embedding_pairs": EMB_PAIRS_ORACLE_SQL,
         "dedup_semantic": _semantic_dedup_oracle_sql(),
         "curate_embedding_decon": _embedding_decon_oracle_sql(),

@@ -334,6 +334,7 @@ def main() -> None:
         "ft_extended_stats_bucket",
         "ft_normalize_buckets",
         "ft_stream_percolate",
+        "ft_sparse_topk",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they

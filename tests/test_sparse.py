@@ -1,0 +1,88 @@
+"""Learned-sparse retrieval vs a brute-force python dot-product oracle."""
+
+import math
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.build import tokenize_docs
+from vframe_spark.oracle import OracleIndex
+from vframe_spark.query.sparse import (
+    sparse_query_values_sql,
+    sparse_topk,
+    tfidf_doc_weights,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, 220, partitions=4), ["repo", "path", "commit"],
+        num_partitions=4,
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang").collect()
+    return docs, OracleIndex([(r["doc_id"], r["content"], r["lang"]) for r in rows])
+
+
+@pytest.fixture(scope="module")
+def doc_weights(spark, corpus):
+    docs, _ = corpus
+    toks = tokenize_docs(
+        docs.select("doc_id", "content"), lang_col=None
+    ).cache()
+    return tfidf_doc_weights(toks, docs.count())
+
+
+def _brute_weights(oracle: OracleIndex):
+    dfs: dict[str, int] = {}
+    for counts in oracle.tf.values():
+        for t in counts:
+            dfs[t] = dfs.get(t, 0) + 1
+    n = len(oracle.tf)
+    out: dict[tuple[int, str], float] = {}
+    for d, counts in oracle.tf.items():
+        for t, tf in counts.items():
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            out[(d, t)] = round(tf * idf, 6)
+    return out
+
+
+QUERIES = [
+    (1, {"data": 1.2, "parse": 0.8}),
+    (2, {"cache": 1.0, "stream": 1.0, "zzzmissing": 3.0}),
+    (3, {"zzzmissing": 2.0}),
+]
+
+
+def test_sparse_topk_matches_bruteforce(spark, corpus, doc_weights):
+    docs, oracle = corpus
+    # n_docs for the weight formula = ALL docs (OracleIndex.tf keys)
+    w = _brute_weights(oracle)
+    got = {}
+    for r in sparse_topk(doc_weights, QUERIES, k=7).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, qv in QUERIES:
+        scores: dict[int, float] = {}
+        for d in oracle.tf:
+            s = sum(w.get((d, t), 0.0) * qw for t, qw in qv.items())
+            if s > 0:
+                scores[d] = round(s, 4)
+        exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+        mine = sorted(got.get(qid, []))
+        assert [(d, s) for _, d, s in mine] == exp, qid
+    assert 3 not in got  # all-absent-terms query returns nothing
+
+    # exclusion drops the doc but keeps everyone else's scores
+    top1 = got[1][0][1]
+    ex = sparse_topk(doc_weights, QUERIES[:1], k=7,
+                     exclude_doc_ids=[top1]).collect()
+    assert all(r["doc_id"] != top1 for r in ex) and ex
+
+
+def test_sparse_guards_and_values_sql(spark, doc_weights):
+    with pytest.raises(ValueError):
+        sparse_topk(doc_weights, QUERIES, k=0)
+    assert sparse_topk(doc_weights, [], k=3).count() == 0
+    assert sparse_query_values_sql([(1, {"b": 2.0, "a": 1.5})]) == \
+        "(1, 'a', 1.5), (1, 'b', 2.0)"

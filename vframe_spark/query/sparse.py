@@ -1,0 +1,109 @@
+"""Learned-sparse retrieval (the SPLADE / ES ELSER serving shape).
+
+Documents and queries are sparse term→weight vectors; relevance is the
+dot product over shared terms. The doc side is any
+``(doc_id, term, weight)`` relation — a learned expansion model
+produces it offline in production; the contract derives it
+deterministically as tf·idf so both engines reproduce every weight —
+and the query side is a handful of (term, weight) pairs that broadcast.
+
+Execution shape (identical to the BM25 posting join): ONE broadcast
+equi-join on term against the doc-weight relation — cost ∝ postings of
+the query's terms, never corpus size — then a per-(qid, doc) partial
+sum and a bounded top-k window on the 4-dp grain. At serving scale the
+doc-weight relation partitions by term exactly like the inverted
+index, and the impact-ordered static pruning path
+(index/prune.py write_impact_index) applies unchanged: weight is
+already the impact key.
+
+Reference parity: ranked dot-product serving generalizes the
+reference's detection-confidence ranking (skip-detections --min-conf,
+/root/reference/src/commands/pipe/skip-detections.py) from one score
+column to a sparse vector per item.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tfidf_doc_weights(
+    tokens: DataFrame,
+    n_docs: int,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Deterministic doc-side sparse weights from tokenizer output
+    (doc_id, term, tf): ``weight = tf · ln(1 + (N − df + ½)/(df + ½))``
+    — the BM25 idf, so the relation is SQL-reproducible to the digit.
+    A learned model would replace this derivation, not the serving
+    path. ``round_dp`` pins the cross-engine grain of the STORED
+    weights (the score grain is the caller's concern)."""
+    df_tbl = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    w = F.col("tf").cast("double") * idf
+    if round_dp is not None:
+        w = F.round(w, round_dp)
+    return tokens.select("doc_id", "term", "tf").join(df_tbl, "term").select(
+        "doc_id", "term", w.alias("weight")
+    )
+
+
+def sparse_topk(
+    doc_weights: DataFrame,
+    queries: Iterable[tuple[int, dict[str, float]]],
+    k: int = 10,
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """→ (qid, rank, doc_id, score): top-k docs by sparse dot product,
+    scores rounded to 4 dp before ranking (ties: doc_id ASC) — the
+    shared cross-engine grain. A query term absent from the doc
+    relation simply contributes nothing; a query whose every term is
+    absent returns no rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = [
+        (int(qid), t, float(w))
+        for qid, m in queries
+        for t, w in sorted(m.items())
+    ]
+    spark = doc_weights.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    qdf = spark.createDataFrame(rows, "qid int, term string, qw double")
+    scored = (
+        doc_weights.join(F.broadcast(qdf), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(F.col("weight") * F.col("qw")), 4).alias("score"))
+    )
+    if exclude_doc_ids:
+        scored = scored.filter(
+            ~F.col("doc_id").isin([int(x) for x in exclude_doc_ids])
+        )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def sparse_query_values_sql(
+    queries: Iterable[tuple[int, dict[str, float]]],
+) -> str:
+    """The query vectors as SQL VALUES rows (qid, term, qw) — user
+    input replayed verbatim, like every other query-set oracle."""
+    rows = [
+        (int(qid), t, float(w))
+        for qid, m in queries
+        for t, w in sorted(m.items())
+    ]
+    return ", ".join(f"({qid}, '{t}', {w!r})" for qid, t, w in rows)
