@@ -4717,6 +4717,69 @@ def q_sim_cosine_topk(spark, sf_dir):
     )
 
 
+MRL_DIMS, MRL_RERANK, MRL_K = 16, 50, 5
+
+
+def q_sim_mrl_topk(spark, sf_dir):
+    """Matryoshka two-stage retrieval (operators/similarity.py
+    mrl_topk): stage 1 ranks by cosine over the first 16 of 64
+    components (6-dp deterministic cut at 50 candidates, pure codegen
+    slice — the corpus scan reads a quarter of each vector), stage 2
+    re-scores only the candidates full-dim at 4 dp. Both stages are
+    closed-form, so the oracle replays the ENTIRE cascade in SQL."""
+    from vframe_spark.operators.similarity import mrl_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") % 100 == 0).collect()
+    }
+    queries = [(int(vid), vec) for vid, vec in sorted(qvecs.items())]
+    return mrl_topk(
+        emb, queries, dims=MRL_DIMS, k=MRL_K, rerank=MRL_RERANK
+    ).select(F.col("qid").cast("bigint").alias("qid"), "rank", "vec_id", "cosine")
+
+
+def _mrl_oracle_sql() -> str:
+    D, R, K = MRL_DIMS, MRL_RERANK, MRL_K
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings
+           WHERE vec_id % 100 = 0),
+t AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           list_dot_product((e.embedding::DOUBLE[])[1:{D}], q.qvec[1:{D}])
+           / (sqrt(list_dot_product((e.embedding::DOUBLE[])[1:{D}],
+                                    (e.embedding::DOUBLE[])[1:{D}]))
+              * sqrt(list_dot_product(q.qvec[1:{D}], q.qvec[1:{D}]))), 6) AS tcos
+  FROM embeddings e CROSS JOIN q
+),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY tcos DESC, vec_id) AS r
+    FROM t) WHERE r <= {R}
+),
+s AS (
+  SELECT c.qid, c.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qvec)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS cosine
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid
+),
+ranked AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, cosine
+  FROM s
+)
+SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= {K}
+"""
+
+
 def q_sim_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per query vector,
     the top-5 most-similar vectors with a DIFFERENT label — broadcast
@@ -10376,6 +10439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_mrl_topk": q_sim_mrl_topk,
         "sim_hard_negatives": q_sim_hard_negatives,
         "sim_filtered_topk": q_sim_filtered_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -10749,6 +10813,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
         """,
         "sim_cosine_topk": SIM_ORACLE_SQL,
+        "sim_mrl_topk": _mrl_oracle_sql(),
         "sim_sq_topk": SQ_ORACLE_SQL,
         "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
         "sim_bq_topk": BQ_ORACLE_SQL,

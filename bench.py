@@ -335,6 +335,7 @@ def main() -> None:
         "ft_normalize_buckets",
         "ft_stream_percolate",
         "ft_sparse_topk",
+        "sim_mrl_topk",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they

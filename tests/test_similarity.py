@@ -708,3 +708,46 @@ def test_nsw_topk_recall_and_determinism(spark, emb):
     r1 = {r[0]: r[2] for r in rows if r[1] == 1}
     for qid, _ in queries:
         assert r1[qid] == qid * 13
+
+
+def test_mrl_topk_matches_numpy_cascade(spark, emb):
+    """Matryoshka two-stage: numpy replay of (truncated 6-dp cut ->
+    full-dim 4-dp rescore) must match exactly, and the stage-1 prune
+    must actually bite (candidate set != corpus)."""
+    from vframe_spark.operators.similarity import mrl_topk
+
+    df, vecs = emb
+    v = vecs.astype(np.float64)
+    queries = [(1, v[17].tolist()), (2, v[99].tolist())]
+    D, R, K = 4, 20, 6
+    got = {}
+    for r in mrl_topk(df, queries, dims=D, k=K, rerank=R).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, qvec in queries:
+        q = np.asarray(qvec)
+        tq, tv = q[:D], v[:, :D]
+        tcos = np.round(
+            (tv @ tq)
+            / (np.linalg.norm(tv, axis=1) * np.linalg.norm(tq)), 6
+        )
+        cand = sorted(range(len(v)), key=lambda i: (-tcos[i], i))[:R]
+        full = np.round(
+            (v[cand] @ q)
+            / (np.linalg.norm(v[cand], axis=1) * np.linalg.norm(q)), 4
+        )
+        order = sorted(range(len(cand)), key=lambda j: (-full[j], cand[j]))[:K]
+        expect = [(cand[j], full[j]) for j in order]
+        mine = sorted(got[qid])
+        assert [(d, c) for _, d, c in mine] == [(d, float(c)) for d, c in expect], qid
+        # the truncated stage must disagree with full-dim somewhere,
+        # otherwise the test proves nothing about the cascade
+        full_all = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+        assert set(cand) != set(
+            sorted(range(len(v)), key=lambda i: (-full_all[i], i))[:R]
+        ), "stage-1 prefix ranking should differ from full-dim at D=4"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mrl_topk(df, queries, dims=0)
+    with _pytest.raises(ValueError):
+        mrl_topk(df, queries, dims=4, k=30, rerank=10)

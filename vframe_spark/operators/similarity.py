@@ -982,6 +982,68 @@ def cosine_topk_filtered(
     return cosine_topk_bruteforce(src, queries, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def mrl_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dims: int,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stage1_grain: int = 6,
+) -> DataFrame:
+    """Matryoshka (truncated-dimension) two-stage retrieval →
+    (qid, rank, vec_id, cosine): stage 1 ranks by cosine over the
+    FIRST ``dims`` components only (an MRL-trained embedding
+    concentrates signal in its prefix), keeping ``rerank`` candidates
+    per query on the (round-``stage1_grain``, vec_id) deterministic
+    cut; stage 2 re-scores ONLY those candidates with full-dimension
+    exact cosine and cuts at ``k`` on the 4-dp grain.
+
+    Cost shape: the corpus scan touches ``dims`` floats per vector
+    (column-pruned slice inside whole-stage codegen — no Python);
+    full vectors are read for |Q|·``rerank`` candidates via the
+    candidate join only. At index scale, run stage 1 through the
+    IVF/BQ kernels over a stored truncated prefix instead of this
+    exact scan — the two-stage contract (truncate → exact rescore)
+    is identical.
+    """
+    if not 0 < dims:
+        raise ValueError(f"dims must be > 0, got {dims}")
+    if k > rerank:
+        raise ValueError(f"k ({k}) must be <= rerank ({rerank})")
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid bigint, qvec array<double>",
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    t = e.crossJoin(F.broadcast(qdf)).withColumn(
+        "tcos",
+        F.round(
+            cosine_expr(F.slice("vec", 1, dims), F.slice("qvec", 1, dims)),
+            stage1_grain,
+        ),
+    )
+    w1 = Window.partitionBy("qid").orderBy(
+        F.col("tcos").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        t.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= rerank)
+        .select("qid", "vec_id")
+    )
+    full = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .withColumn("cosine", F.round(cosine_expr("vec", "qvec"), 4))
+    )
+    return _topk_window(full.select("qid", "vec_id", "cosine"), k)
+
+
 def hard_negatives(
     embeddings: DataFrame,
     queries: list[tuple[int, list[float], object]],
