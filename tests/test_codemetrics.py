@@ -97,3 +97,34 @@ def test_def_count_uses_nonempty_func_keywords(spark, frame):
     }
     assert rows[1] == 1  # "while x"
     assert "while" in BRANCH_KEYWORDS
+
+
+def test_duckdb_parity_fuzz(spark):
+    """Property: Spark and DuckDB compute identical metrics on random
+    printable-ASCII multi-line content (regex/line-split parity under
+    fuzz, not just the fixtures). One draw = one corpus = one job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    )
+    doc = st.lists(line, min_size=0, max_size=8).map("\n".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(docs):
+        frame = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)],
+            "doc_id bigint, content string",
+        )
+        got = sorted(tuple(r) for r in complexity_stats(frame).collect())
+        con = duckdb.connect()
+        con.register("documents", frame.toPandas())
+        want = sorted(
+            tuple(r) for r in con.execute(complexity_duckdb_sql()).fetchall()
+        )
+        assert got == want
+
+    run()
