@@ -679,6 +679,48 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+# query_string language set (query/qstring.py): fields, ranges,
+# wildcards (`*`/`?`), fuzzy, boosts, phrases, +/- sugar — every atom
+# owns a mask bit; attribute atoms (lang/source/n_chars over the docs
+# table) anchor pure negatives that plain boolean queries must reject.
+FT_QS_QUERIES = [
+    (1, "lang:en AND (hash OR merge) NOT sort"),
+    (2, "spark batch^2 -join"),
+    (3, "n_chars:[150 TO 400] AND vector"),
+    (4, 'quer*^1.5 OR "hash table"'),
+    (5, "merg~1 AND source:src3"),
+    (6, "lang:fr NOT (scan OR filter)"),
+    (7, "ta?le OR zzqx*"),
+    (8, "+stream +n_chars:{100 TO 500} -lang:zh"),
+]
+
+
+def _qstring_oracle_sql() -> str:
+    from vframe_spark.query.qstring import query_string_oracle_sql
+
+    return query_string_oracle_sql(FT_QS_QUERIES, TOK_SQL, FT_K)
+
+
+def q_ft_query_string(spark, sf_dir):
+    """Full Lucene/ES ``query_string`` language over the positional
+    index (query/qstring.py): per-atom mask bits folded from ONE
+    bucket-pruned posting scan (terms, capped wildcard/fuzzy vocab
+    expansions, positionally-verified phrases) plus ONE column-pruned
+    docs scan (keyword/numeric attribute atoms); the SAME compiler
+    emits the predicate SQL both engines run, scores are the
+    boost-weighted BM25 sum over positive atoms. The oracle replays
+    everything — expansion caps as windows, attributes, masks,
+    predicate, rank."""
+    from vframe_spark.query.qstring import query_string_topk
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    raw = query_string_topk(
+        postings, term_stats, meta, docs, FT_QS_QUERIES, k=3 * FT_K
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
 _STREAM_IDX_SPAN = 100  # shard_size 50 × shards_per_slice 2
 
 
@@ -10366,6 +10408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_negated": q_ft_bm25_negated,
         "ft_boolean": q_ft_boolean,
         "ft_boolean_phrase": q_ft_boolean_phrase,
+        "ft_query_string": q_ft_query_string,
         "ft_upsert_topk": q_ft_upsert_topk,
         "ft_boosting_topk": q_ft_boosting_topk,
         "ft_composite_facets": q_ft_composite_facets,
@@ -10681,6 +10724,7 @@ def oracle_sql() -> dict[str, str]:
         ).replace("{NVALUES}", _signed_qterms_values_sql(FT_NEG_QUERIES)[1]),
         "ft_boolean": boolean_oracle_sql(FT_BOOL_QUERIES, TOK_SQL, FT_K),
         "ft_boolean_phrase": boolean_oracle_sql(FT_BOOLP_QUERIES, TOK_SQL, FT_K),
+        "ft_query_string": _qstring_oracle_sql(),
         "ft_upsert_topk": _upsert_oracle_sql(),
         "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_composite_facets": _composite_oracle_sql(),

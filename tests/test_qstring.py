@@ -1,0 +1,350 @@
+"""query_string language (query/qstring.py) vs brute force + DuckDB.
+
+Three layers:
+1. parser unit tests — precedence, +/- sugar, boosts, fields, ranges,
+   fuzzy caps, the unanchored-pure-negative rejection (and that an
+   attribute atom IS a valid anchor);
+2. engine vs a pure-Python brute-force reference sharing the kernel's
+   summation order (bitwise score equality, tol=0.0);
+3. engine vs the module's own DuckDB oracle SQL on the same corpus —
+   the exact cross-engine replay the driver runs at sf0.01.
+"""
+
+import math
+from fnmatch import fnmatchcase
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import B, K1, OracleIndex
+from vframe_spark.query.qstring import (
+    CompiledQuery,
+    evaluate,
+    parse_query_string,
+    query_string_oracle_sql,
+    query_string_topk,
+)
+
+N_DOCS = 240
+K = 8
+KW = ("lang", "repo")
+NUM = ("n_chars",)
+
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parser_precedence_and_sugar():
+    t = parse_query_string("cache AND (stream OR buffer) NOT merge", KW, NUM)
+    assert repr(t) == "(cache AND (stream OR buffer) AND (NOT merge))"
+    t2 = parse_query_string("+cache -merge stream", KW, NUM)
+    assert repr(t2) == "(cache AND (NOT merge) AND stream)"
+
+
+def test_parser_atoms():
+    t = parse_query_string('lang:py AND n_chars:[100 TO 500] AND pars* AND tok~1', KW, NUM)
+    kinds = [k.op for k in t.kids]
+    assert kinds == ["attr", "attr", "wild", "fuzzy"]
+    rng = t.kids[1]
+    assert rng.meta == {
+        "field": "n_chars", "kind": "range", "lo": "100", "hi": "500",
+        "incl_lo": True, "incl_hi": True,
+    }
+    t = parse_query_string("n_chars:{100 TO *} AND cache", KW, NUM)
+    assert t.kids[0].meta["incl_lo"] is False and t.kids[0].meta["hi"] == "*"
+
+
+def test_parser_boosts():
+    t = parse_query_string('cache^2 OR "hash index"^1.5', KW, NUM)
+    assert t.kids[0].boost == 2.0 and t.kids[1].boost == 1.5
+    c = CompiledQuery(t)
+    # phrase constituents score under the phrase boost; cache under its own
+    assert c.term_w["cache"] == 2.0
+    assert c.term_w["hash"] == 1.5 and c.term_w["index"] == 1.5
+
+
+def test_parser_rejections():
+    for bad in (
+        "NOT cache",                      # pure negative
+        "-cache",                         # same, sugared
+        "cache OR NOT merge",             # satisfiable by empty doc
+        "unknownfield:x AND cache",       # unknown field
+        "n_chars:[* TO *] AND cache",     # doubly-open range
+        "cache~3",                        # fuzzy distance cap
+        "?* AND cache",                   # wildcard with no literal text
+        "cache AND (stream",              # unbalanced
+    ):
+        with pytest.raises(ValueError):
+            parse_query_string(bad, KW, NUM)
+    # attribute atoms anchor a negation — this must PASS
+    t = parse_query_string("lang:py NOT cache", KW, NUM)
+    assert not evaluate(t, frozenset())
+    assert evaluate(t, frozenset({"@lang:py"}))
+
+
+# ------------------------------------------------------------- fixtures
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, N_DOCS, partitions=4), ["repo", "path", "commit"],
+        num_partitions=4,
+    ).cache()
+    rows = docs.select("doc_id", "content", "lang", "repo").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"], None) for r in rows])
+    attrs = {
+        int(r["doc_id"]): {
+            "lang": r["lang"], "repo": r["repo"], "n_chars": len(r["content"]),
+        }
+        for r in rows
+    }
+    return docs, oracle, attrs
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _, _ = corpus
+    out = str(tmp_path_factory.mktemp("qsidx"))
+    meta = build_index(
+        docs, out, shard_size=64, block_size=16, shards_per_slice=2,
+        lang_col=None, positions=True,
+    )
+    assert meta["complete"]
+    return load_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def docs_attrs(spark, corpus):
+    docs, _, _ = corpus
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        "doc_id", "lang", "repo", F.length("content").alias("n_chars")
+    ).cache()
+
+
+def _queries(attrs):
+    lv = sorted({a["lang"] for a in attrs.values()})[0]
+    rv = sorted({a["repo"] for a in attrs.values()})[0]
+    return [
+        (1, "cache AND (stream OR buffer) NOT merge"),
+        (2, "hash index^2 -parse"),
+        (3, "n_chars:[200 TO 900] AND token"),
+        (4, 'pars*^1.5 OR "hash index"'),
+        (5, f"merg~1 AND lang:{lv}"),
+        (6, f"lang:{lv} NOT (cache OR merge)"),
+        (7, f"tok?n OR zzqx* OR repo:{rv}"),
+        (8, "+stream +n_chars:{100 TO 1200} -merge"),
+    ]
+
+
+# ------------------------------------------------- brute-force reference
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _expand_brute(oracle, op, meta, cap):
+    if op == "wild":
+        cand = [t for t in oracle.df if fnmatchcase(t, meta["pattern"])]
+    else:
+        q, d = meta["qterm"], meta["dist"]
+        cand = [
+            t for t in oracle.df
+            if abs(len(t) - len(q)) <= d and _lev(t, q) <= d
+        ]
+    cand.sort(key=lambda t: (-oracle.df[t], t))
+    return cand[:cap]
+
+
+def _attr_match(meta, a):
+    if meta["kind"] == "eq":
+        return a[meta["field"]] == meta["value"]
+    v = a[meta["field"]]
+    ok = True
+    if meta["lo"] != "*":
+        ok &= v >= float(meta["lo"]) if meta["incl_lo"] else v > float(meta["lo"])
+    if meta["hi"] != "*":
+        ok &= v <= float(meta["hi"]) if meta["incl_hi"] else v < float(meta["hi"])
+    return ok
+
+
+def _phrase_in_doc(oracle_tokens, pterms):
+    n = len(pterms)
+    for i in range(len(oracle_tokens) - n + 1):
+        if oracle_tokens[i: i + n] == pterms:
+            return True
+    return False
+
+
+def brute_qs(oracle, attrs, tokens_by_doc, expr, k, cap=16):
+    c = CompiledQuery(parse_query_string(expr, KW, NUM))
+    exp = {
+        key: _expand_brute(oracle, op, meta, cap)
+        for key, op, meta, _w in c.xleaves
+    }
+    xw = {key: w for key, _op, _meta, w in c.xleaves}
+    out = []
+    for d, cnt in oracle.tf.items():
+        present = {t for t in c.term_w if cnt.get(t, 0) > 0}
+        for key, terms in exp.items():
+            if any(cnt.get(t, 0) > 0 for t in terms):
+                present.add(key)
+        for key, meta in c.attrs:
+            if _attr_match(meta, attrs[d]):
+                present.add(key)
+        for pkey, pterms in c.phrases:
+            if _phrase_in_doc(tokens_by_doc[d], pterms):
+                present.add(pkey)
+        if not evaluate(c.tree, frozenset(present)):
+            continue
+        # kernel summation order: (term, bit) ASC
+        contribs = []
+        for t, w in c.term_w.items():
+            if w and cnt.get(t, 0) > 0:
+                contribs.append((t, c.bit_of[t], w * oracle.idf(t), cnt[t]))
+        for key, terms in exp.items():
+            if xw[key]:
+                for t in terms:
+                    if cnt.get(t, 0) > 0:
+                        contribs.append(
+                            (t, c.bit_of[key], xw[key] * oracle.idf(t), cnt[t])
+                        )
+        s = 0.0
+        dl = oracle.doc_len[d]
+        for _t, _b, widf, tf in sorted(contribs, key=lambda x: (x[0], x[1])):
+            s += widf * (
+                (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / oracle.avgdl))
+            )
+        out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+# ------------------------------------------------------------ engine ==
+
+
+def test_engine_vs_brute(spark, corpus, index, docs_attrs):
+    docs, oracle, attrs = corpus
+    from vframe_spark.functions.tokenizer import tokenize_py
+
+    tokens_by_doc = {
+        int(r["doc_id"]): tokenize_py(r["content"])
+        for r in docs.select("doc_id", "content").collect()
+    }
+    postings, term_stats, _, meta = index
+    queries = _queries(attrs)
+    got = query_string_topk(
+        postings, term_stats, meta, docs_attrs, queries, k=K,
+        keyword_fields=KW, numeric_fields=NUM,
+    ).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(int(r["qid"]), []).append(
+            (int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+        )
+    nonempty = 0
+    for qid, expr in queries:
+        want = brute_qs(oracle, attrs, tokens_by_doc, expr, K)
+        rows = sorted(by_qid.get(qid, []))
+        assert len(rows) == len(want), (qid, expr, rows, want)
+        nonempty += bool(want)
+        for (rank, doc, score), (wd, ws) in zip(rows, want):
+            assert doc == wd, (qid, expr, rank, rows, want)
+            assert score == pytest.approx(ws, rel=0, abs=1e-12), (qid, doc)
+    assert nonempty >= 7  # an all-empty comparison proves nothing
+
+
+def test_engine_vs_duckdb_oracle(spark, corpus, index, docs_attrs):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vframe_spark.functions.tokenizer import tokenize_duckdb_sql
+
+    docs, _, attrs = corpus
+    postings, term_stats, _, meta = index
+    queries = _queries(attrs)
+    raw = query_string_topk(
+        postings, term_stats, meta, docs_attrs, queries, k=3 * K,
+        keyword_fields=KW, numeric_fields=NUM,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.round("score", 4).desc(), F.col("doc_id"))
+    engine = (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("qid", "rank", "doc_id", "score")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = docs.select(
+        "doc_id", F.col("content").alias("text"), "lang", "repo",
+        F.length("content").alias("n_chars"),
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = query_string_oracle_sql(
+        queries, tokenize_duckdb_sql("text"), k=K,
+        keyword_fields=KW, numeric_fields=NUM,
+    )
+    want = con.sql(sql).df().sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert len(engine) == len(want)
+    pd.testing.assert_frame_equal(
+        engine.astype({"qid": "int64", "rank": "int64", "doc_id": "int64"}),
+        want.astype({"qid": "int64", "rank": "int64", "doc_id": "int64"}),
+        check_exact=False, rtol=0, atol=1e-9,
+    )
+
+
+def test_facade_query_string(spark, corpus, tmp_path_factory):
+    from vframe_spark.api import SearchIndex
+
+    docs, oracle, attrs = corpus
+    out = str(tmp_path_factory.mktemp("qsapi"))
+    ix = SearchIndex.build(
+        docs, out, shard_size=64, block_size=16, shards_per_slice=2,
+        lang_col=None,
+    )
+    lv = sorted({a["lang"] for a in attrs.values()})[0]
+    from pyspark.sql import functions as F
+
+    docs_attrs = docs.select("doc_id", "lang")
+    got = ix.query_string(
+        f"lang:{lv} AND cache -merge", k=5, docs=docs_attrs,
+        keyword_fields=("lang",),
+    ).collect()
+    assert got, "facade query matched nothing"
+    want_ids = {
+        d for d, c in oracle.tf.items()
+        if c.get("cache", 0) > 0 and c.get("merge", 0) == 0
+        and attrs[d]["lang"] == lv
+    }
+    assert {int(r["doc_id"]) for r in got} <= want_ids
+    assert [int(r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == list(
+        range(1, len(got) + 1)
+    )
+
+
+def test_empty_expansion_branch(spark, corpus, index, docs_attrs):
+    postings, term_stats, _, meta = index
+    got = query_string_topk(
+        postings, term_stats, meta, docs_attrs, [(1, "zzqx* AND cache")], k=K,
+        keyword_fields=KW, numeric_fields=NUM,
+    ).collect()
+    assert got == []  # zzqx* expands to nothing; AND can't be satisfied

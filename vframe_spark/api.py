@@ -296,6 +296,47 @@ class SearchIndex:
         queries = [(1, query)] if isinstance(query, str) else list(query)
         return match_counts(postings, meta, queries, mode=mode)
 
+    def query_string(
+        self,
+        query: str | list[tuple[int, str]],
+        k: int = 10,
+        docs: DataFrame | None = None,
+        max_expansions: int = 16,
+        keyword_fields: tuple[str, ...] = (),
+        numeric_fields: tuple[str, ...] = (),
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Full Lucene/ES ``query_string`` language → (qid, rank,
+        doc_id, score): fields, numeric ranges, wildcards (``*``/``?``),
+        fuzzy (``term~N``), boosts (``^w``), phrases, ``+``/``-`` sugar
+        and nested AND/OR/NOT in one grammar (see `query.qstring`).
+        ``docs`` supplies the attribute fields named in
+        ``keyword_fields``/``numeric_fields`` (``id_col`` = index
+        doc_ids); phrases need a positional index. Tombstoned docs drop
+        before the k cut, like every other query surface."""
+        from .query.qstring import query_string_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        capped = load_tombstones_capped(
+            self.spark, self.out_dir, self.TOMBSTONE_DRIVER_LIMIT
+        )
+        if capped is None:
+            raise ValueError(
+                "query_string with a tombstone set above "
+                f"TOMBSTONE_DRIVER_LIMIT — run purge() first"
+            )
+        return query_string_topk(
+            postings, term_stats, meta,
+            docs if docs is not None else self.spark.createDataFrame(
+                [], f"{id_col} bigint"
+            ),
+            queries, k=k, max_expansions=max_expansions,
+            keyword_fields=tuple(keyword_fields),
+            numeric_fields=tuple(numeric_fields),
+            id_col=id_col, exclude_doc_ids=capped or None,
+        )
+
     def search_diverse(
         self,
         query: str | list[tuple[int, str]],

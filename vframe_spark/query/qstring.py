@@ -1,0 +1,871 @@
+"""Lucene/ES ``query_string`` language over the inverted index.
+
+The full classic-QueryParser surface in one compiler — the ES
+``query_string`` query — combining every retrieval primitive the engine
+already has behind one string grammar:
+
+    lang:en AND (hash OR merge) NOT sort
+    spark batch^2 -join
+    n_chars:[150 TO 400] AND vector
+    quer*^1.5 OR "hash table"
+    merg~1 AND source:src3
+
+Grammar (OR < AND < NOT < atom; adjacency conjoins; ``+w`` = w,
+``-w`` = NOT w, Lucene's sugar):
+
+* bare word           → code-aware tokenize; camelCase/snake_case splits
+                        become an AND of the split terms
+* ``"a b"``           → exact-adjacency phrase (positional verification)
+* ``pre*`` / ``t?k*`` → wildcard multi-term leaf (``*`` any run, ``?``
+                        one char), vocab expansion capped at
+                        ``max_expansions`` by (df DESC, term ASC)
+* ``word~N``          → fuzzy leaf, Levenshtein ≤ N (default 1) with the
+                        length-window prefilter, same cap/order
+* ``field:value``     → keyword attribute equality over the docs table
+* ``field:[a TO b]``  → numeric attribute range (``{}`` = exclusive
+                        bound, ``*`` = open end)
+* ``atom^2.5``        → boost: multiplies the atom's BM25 contribution
+
+Execution model — every atom owns one **mask bit**:
+
+1. *term bits* ride the same bucket-pruned posting scan as WAND/boolq;
+   an Arrow grouped kernel decodes the involved terms' blocks per
+   (qid, shard) and folds per-doc masks + weighted-BM25 partial scores
+   (shards are doc-id ranges, so masks are doc-complete per group).
+   Expansion leaves share ONE bit across all their expanded terms.
+2. *attribute bits* come from ONE column-pruned scan of the docs table
+   (all atoms' predicates evaluated per row, exploded to (doc_id, bit)).
+3. the two sides full-outer join on (qid, doc_id); the predicate — the
+   SAME ANSI-SQL string both engines run — filters via ``F.expr``; a
+   salted two-level window takes the global top-k.
+
+Scale: cost ∝ postings of the involved terms + the attribute scans
+(column-pruned, predicate-pushed); the only shuffles are the (qid,
+shard) group and the (qid, doc_id) candidate join. Pure-negative
+queries anchored by nothing (``NOT a``) are rejected exactly like
+Lucene; an attribute atom is a valid anchor (``lang:fr NOT scan`` is a
+pushed-down scan, not a complement).
+
+``query_string_oracle_sql`` emits the whole pipeline — tokenize, vocab
+expansion with the cap replayed as a window, attribute atoms, masks,
+predicate, BM25, rank — as one DuckDB query, so the driver's
+cross-engine oracle replays it bit-for-bit.
+
+Reference parity: the reference chains include/exclude filters per verb
+(skip-labels.py:22-43, skip-detections.py:30-53); this is the general
+query language those filters compose into.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_py
+from ..index.codec import for_decode, pfor_delta_decode
+from ..oracle import B, K1
+from .bm25 import idf_value
+from .boolq import MAX_TERMS, WORD_BITS, phrase_key
+
+DEFAULT_MAX_EXPANSIONS = 16
+KEYWORD_FIELDS = ("lang", "source")
+NUMERIC_FIELDS = ("n_chars",)
+
+
+class QNode:
+    """op ∈ {and, or, not, term, phrase, wild, fuzzy, attr}. ``key`` is
+    the atom's mask-bit key (the term itself for term atoms; prefixed
+    pseudo-keys — which the tokenizer can never emit — for the rest).
+    ``meta`` carries the leaf payload; ``boost`` the ^weight."""
+
+    __slots__ = ("op", "key", "kids", "boost", "meta")
+
+    def __init__(self, op, key=None, kids=None, boost=1.0, meta=None):
+        self.op, self.key, self.kids = op, key, kids or []
+        self.boost, self.meta = float(boost), meta or {}
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        if not self.kids:
+            b = f"^{self.boost}" if self.boost != 1.0 else ""
+            return f"{self.key}{b}"
+        if self.op == "not":
+            return f"(NOT {self.kids[0]!r})"
+        sep = f" {self.op.upper()} "
+        return "(" + sep.join(repr(k) for k in self.kids) + ")"
+
+
+_TOKEN_RE = re.compile(
+    r'"[^"]*"(?:\^\d+(?:\.\d+)?)?'          # phrase (optional boost)
+    r"|\(|\)"
+    r"|\bAND\b|\bOR\b|\bNOT\b"
+    r"|[+-]?[^\s():]+:\[[^\]]*\]"           # inclusive range (holds spaces)
+    r"|[+-]?[^\s():]+:\{[^}]*\}"            # exclusive range
+    r"|[^\s()]+"                            # word / field:value / fuzzy / glob
+)
+
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
+_RANGE_RE = re.compile(r"^([^\s:]+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$")
+
+
+def _strip_boost(tok: str) -> tuple[str, float]:
+    m = _BOOST_RE.search(tok)
+    if m and len(m.group(0)) < len(tok):
+        return tok[: m.start()], float(m.group(1))
+    return tok, 1.0
+
+
+def _glob_normalize(raw: str) -> str:
+    """Normalize a ``*``/``?``-bearing token: literal chunks pass the
+    canonical tokenizer, wildcards survive. Each literal chunk must
+    canonicalize to exactly one term (``hashTable*`` is ambiguous —
+    write ``table*``)."""
+    parts = re.split(r"([*?])", raw)
+    out = []
+    for p in parts:
+        if p in ("*", "?", ""):
+            out.append(p)
+            continue
+        toks = tokenize_py(p)
+        if len(toks) != 1:
+            raise ValueError(
+                f"wildcard chunk {p!r} canonicalizes to {len(toks)} terms "
+                f"(exactly 1 required): {raw!r}"
+            )
+        out.append(toks[0])
+    pat = "".join(out)
+    if not pat.strip("*?"):
+        raise ValueError(f"wildcard pattern has no literal text: {raw!r}")
+    return pat
+
+
+def glob_to_like(pattern: str) -> str:
+    """``*``→``%``, ``?``→``_``; literal ``%``/``_``/``\\`` escaped with
+    backslash (the Spark LIKE default; DuckDB gets an explicit ESCAPE)."""
+    return (
+        pattern.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+
+
+def _word_atom(
+    word: str,
+    boost: float,
+    keyword_fields: tuple[str, ...],
+    numeric_fields: tuple[str, ...],
+) -> QNode:
+    m = _RANGE_RE.match(word)
+    if m:
+        field, lo_br, lo, hi, hi_br = m.groups()
+        if field not in numeric_fields:
+            raise ValueError(f"unknown numeric field {field!r} in {word!r}")
+        if lo == "*" and hi == "*":
+            raise ValueError(f"range with both ends open is unbounded: {word!r}")
+        for v in (lo, hi):
+            if v != "*":
+                float(v)  # raises on junk
+        key = f"@{field}:{lo_br}{lo} TO {hi}{hi_br}"
+        return QNode(
+            "attr", key=key, boost=boost,
+            meta={"field": field, "kind": "range", "lo": lo, "hi": hi,
+                  "incl_lo": lo_br == "[", "incl_hi": hi_br == "]"},
+        )
+    if ":" in word:
+        field, _, value = word.partition(":")
+        if field == "text":  # the default field, named explicitly
+            word = value
+        elif field in keyword_fields:
+            if not value:
+                raise ValueError(f"empty value for field {field!r}")
+            return QNode(
+                "attr", key=f"@{field}:{value}", boost=boost,
+                meta={"field": field, "kind": "eq", "value": value},
+            )
+        else:
+            raise ValueError(f"unknown field {field!r} in {word!r}")
+    fz = _FUZZY_RE.match(word)
+    if fz and fz.group(1) and fz.group(2) not in ("", "1", "2"):
+        raise ValueError(f"fuzzy distance must be 1 or 2: {word!r}")
+    if fz and word.endswith(("~", "~1", "~2")) and fz.group(1):
+        base, d = fz.group(1), int(fz.group(2) or "1")
+        toks = tokenize_py(base)
+        if len(toks) != 1:
+            raise ValueError(
+                f"fuzzy base {base!r} canonicalizes to {len(toks)} terms "
+                f"(exactly 1 required)"
+            )
+        return QNode(
+            "fuzzy", key=f"~f:{toks[0]}~{d}", boost=boost,
+            meta={"qterm": toks[0], "dist": d},
+        )
+    if "*" in word or "?" in word:
+        pat = _glob_normalize(word)
+        return QNode("wild", key=f"~w:{pat}", boost=boost, meta={"pattern": pat})
+    terms = tokenize_py(word)
+    if not terms:
+        raise ValueError(f"word {word!r} tokenizes to no index terms")
+    kids = [QNode("term", key=t, boost=boost) for t in dict.fromkeys(terms)]
+    return kids[0] if len(kids) == 1 else QNode("and", kids=kids)
+
+
+def parse_query_string(
+    query: str,
+    keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
+    numeric_fields: tuple[str, ...] = NUMERIC_FIELDS,
+) -> QNode:
+    """``query_string`` text → expression tree. Raises ``ValueError`` on
+    syntax errors, unknown fields, and unanchored pure-negative
+    expressions (see module docstring)."""
+    raw_toks = _TOKEN_RE.findall(query)
+    toks: list[str] = []
+    for t in raw_toks:  # Lucene +/- sugar, desugared up front
+        if t.startswith("-") and len(t) > 1 and t not in ("-",):
+            toks.extend(["NOT", t[1:]])
+        elif t.startswith("+") and len(t) > 1:
+            toks.append(t[1:])
+        else:
+            toks.append(t)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or() -> QNode:
+        kids = [parse_and()]
+        while peek() == "OR":
+            take()
+            kids.append(parse_and())
+        return kids[0] if len(kids) == 1 else QNode("or", kids=kids)
+
+    def parse_and() -> QNode:
+        kids = [parse_not()]
+        while peek() == "AND" or peek() == "NOT" or (
+            peek() is not None and peek() not in (")", "OR")
+        ):
+            if peek() == "AND":
+                take()
+            kids.append(parse_not())
+        return kids[0] if len(kids) == 1 else QNode("and", kids=kids)
+
+    def parse_not() -> QNode:
+        if peek() == "NOT":
+            take()
+            return QNode("not", kids=[parse_not()])
+        return parse_atom()
+
+    def parse_atom() -> QNode:
+        t = peek()
+        if t is None:
+            raise ValueError(f"query ended unexpectedly: {query!r}")
+        if t == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError(f"missing ')' in query: {query!r}")
+            take()
+            return node
+        if t in (")", "AND", "OR"):
+            raise ValueError(f"misplaced {t!r} in query: {query!r}")
+        tok = take()
+        if tok.startswith('"'):
+            body, boost = _strip_boost(tok)
+            ordered = tokenize_py(body[1:-1])
+            if not ordered:
+                raise ValueError(f"phrase {body!r} tokenizes to no index terms")
+            if len(ordered) == 1:
+                return QNode("term", key=ordered[0], boost=boost)
+            return QNode(
+                "phrase", key=phrase_key(ordered), boost=boost,
+                kids=[QNode("term", key=w) for w in ordered],
+                meta={"terms": ordered},
+            )
+        word, boost = _strip_boost(tok)
+        return _word_atom(word, boost, keyword_fields, numeric_fields)
+
+    tree = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in query: {query!r}")
+    if evaluate(tree, frozenset()):
+        raise ValueError(
+            f"unanchored query (matches docs containing none of its atoms "
+            f"— unbounded complement at corpus scale): {query!r}"
+        )
+    return tree
+
+
+def evaluate(node: QNode, present: frozenset[str]) -> bool:
+    """Reference semantics over an atom-key presence set (terms the doc
+    contains, phrase keys it positionally satisfies, expansion-leaf
+    keys any of whose expanded terms it contains, attribute keys whose
+    predicate it passes)."""
+    if node.op in ("term", "phrase", "wild", "fuzzy", "attr"):
+        return node.key in present
+    if node.op == "not":
+        return not evaluate(node.kids[0], present)
+    if node.op == "and":
+        return all(evaluate(k, present) for k in node.kids)
+    return any(evaluate(k, present) for k in node.kids)
+
+
+# ---------------------------------------------------------------------------
+# Compile: tree → static bit layout + weighted atom tables. Bits are
+# assigned from the parse alone (never from data), so the Spark engine
+# and the DuckDB oracle always agree.
+
+
+def _walk(node: QNode, neg: bool, out: list):
+    if node.op in ("term", "phrase", "wild", "fuzzy", "attr"):
+        out.append((node, neg))
+        if node.op == "phrase":
+            for k in node.kids:  # constituents score, under the phrase boost
+                out.append((QNode("term", key=k.key, boost=node.boost), neg))
+    elif node.op == "not":
+        _walk(node.kids[0], not neg, out)
+    else:
+        for k in node.kids:
+            _walk(k, neg, out)
+
+
+class CompiledQuery:
+    """Static compile artifact for one query: bit layout + weighted
+    term / expansion-leaf / attribute atom tables."""
+
+    __slots__ = ("tree", "bit_of", "term_w", "xleaves", "attrs", "phrases")
+
+    def __init__(self, tree: QNode):
+        self.tree = tree
+        leaves: list[tuple[QNode, bool]] = []
+        _walk(tree, False, leaves)
+        terms: set[str] = set()
+        others: dict[str, QNode] = {}
+        for n, _neg in leaves:
+            if n.op == "term":
+                terms.add(n.key)
+            else:
+                others.setdefault(n.key, n)
+        atoms = sorted(terms) + sorted(others)
+        if len(atoms) > MAX_TERMS:
+            raise ValueError(f"query has {len(atoms)} atoms (max {MAX_TERMS})")
+        self.bit_of = {a: i for i, a in enumerate(atoms)}
+        # Σ of positive-context boosts per atom key (Lucene sums clauses;
+        # MUST_NOT gates membership, contributes 0)
+        w: dict[str, float] = {}
+        for n, neg in leaves:
+            if not neg:
+                w[n.key] = w.get(n.key, 0.0) + n.boost
+        self.term_w = {t: w.get(t, 0.0) for t in sorted(terms)}
+        self.xleaves = [
+            (n.key, n.op, n.meta, w.get(n.key, 0.0))
+            for n in (others[k] for k in sorted(others))
+            if n.op in ("wild", "fuzzy")
+        ]
+        self.attrs = [
+            (n.key, n.meta)
+            for n in (others[k] for k in sorted(others))
+            if n.op == "attr"
+        ]
+        self.phrases = [
+            (n.key, n.meta["terms"])
+            for n in (others[k] for k in sorted(others))
+            if n.op == "phrase"
+        ]
+
+
+def n_mask_words(bit_of: dict[str, int]) -> int:
+    return (max(bit_of.values()) // WORD_BITS + 1) if bit_of else 1
+
+
+def predicate_sql(node: QNode, bit_of: dict[str, int], col: str, n_words: int) -> str:
+    """The predicate as ANSI SQL over the mask column(s) — the SAME
+    string runs in Spark (``F.expr``) and DuckDB (the oracle)."""
+    if node.op in ("term", "phrase", "wild", "fuzzy", "attr"):
+        b = bit_of.get(node.key)
+        if b is None:
+            return "FALSE"
+        w, r = divmod(b, WORD_BITS)
+        name = col if n_words == 1 else f"{col}{w}"
+        return f"(({name} & {1 << r}) != 0)"
+    if node.op == "not":
+        return f"(NOT {predicate_sql(node.kids[0], bit_of, col, n_words)})"
+    sep = " AND " if node.op == "and" else " OR "
+    return "(" + sep.join(predicate_sql(k, bit_of, col, n_words) for k in node.kids) + ")"
+
+
+def _compile_batch(
+    queries: Iterable[tuple[int, str]],
+    keyword_fields: tuple[str, ...],
+    numeric_fields: tuple[str, ...],
+) -> dict[int, CompiledQuery]:
+    return {
+        int(qid): CompiledQuery(
+            parse_query_string(q, keyword_fields, numeric_fields)
+        )
+        for qid, q in queries
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark engine.
+
+
+def _mask_cols(n_words: int, col: str = "mask") -> list[str]:
+    return [col] if n_words == 1 else [f"{col}{w}" for w in range(n_words)]
+
+
+def _attr_pred_col(meta: dict):
+    f = F.col(meta["field"])
+    if meta["kind"] == "eq":
+        return f == F.lit(meta["value"])
+    cond = F.lit(True)
+    if meta["lo"] != "*":
+        lo = float(meta["lo"])
+        cond = cond & ((f >= lo) if meta["incl_lo"] else (f > lo))
+    if meta["hi"] != "*":
+        hi = float(meta["hi"])
+        cond = cond & ((f <= hi) if meta["incl_hi"] else (f < hi))
+    return cond
+
+
+def _attr_pred_sql(meta: dict) -> str:
+    f = meta["field"]
+    if meta["kind"] == "eq":
+        v = meta["value"].replace("'", "''")
+        return f"{f} = '{v}'"
+    parts = []
+    if meta["lo"] != "*":
+        parts.append(f"{f} >{'=' if meta['incl_lo'] else ''} {float(meta['lo'])}")
+    if meta["hi"] != "*":
+        parts.append(f"{f} <{'=' if meta['incl_hi'] else ''} {float(meta['hi'])}")
+    return " AND ".join(parts)
+
+
+def _expand_leaf(
+    term_stats: DataFrame, op: str, meta: dict, max_expansions: int
+) -> list[tuple[str, int]]:
+    """Expansion leaf → its ≤ ``max_expansions`` (term, df) vocab matches,
+    (df DESC, term ASC) — ONE vocab-sized scan, never the postings."""
+    if op == "wild":
+        matched = term_stats.filter(
+            F.col("term").like(glob_to_like(meta["pattern"]))
+        )
+    else:
+        d = int(meta["dist"])
+        q = meta["qterm"]
+        matched = term_stats.filter(
+            (F.abs(F.length("term") - F.lit(len(q))) <= d)
+            & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
+        )
+    rows = (
+        matched.select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    return [(r["term"], int(r["df"])) for r in rows]
+
+
+def _local_mask_rows(
+    pdf: pd.DataFrame,
+    n_words: int,
+    avgdl: float,
+    phrase_defs: dict[int, list[tuple[str, list[str]]]],
+    bits: dict[int, dict[str, int]],
+) -> pd.DataFrame:
+    """One (qid, shard) group → per-doc (mask words, weighted BM25
+    partial score) over every doc holding ≥1 involved term. Shards are
+    doc-id ranges, so masks (and phrase position lists) are
+    doc-complete here. No predicate / no cut — attribute bits join in
+    afterwards."""
+    cols = ["qid", "doc_id", "score"] + _mask_cols(n_words)
+    empty = pd.DataFrame(columns=cols).astype(
+        {c: "int64" for c in cols if c not in ("qid", "score")}
+        | {"qid": "int32", "score": "float64"}
+    )
+    if pdf.empty:
+        return empty
+    qid = int(pdf["qid"].iloc[0])
+    bit_of = bits[qid]
+    phrases = phrase_defs.get(qid, [])
+    need_pos = {t for _, ts in phrases for t in ts}
+    pos_by_term: dict[str, dict[int, np.ndarray]] = {t: {} for t in need_pos}
+    pos_done: set[str] = set()
+    ids_parts, word_parts, mask_parts, contrib_parts = [], [], [], []
+    for (term, bit), g in pdf.groupby(["term", "bit"], sort=True):
+        g = g.drop_duplicates(subset=["block"]).sort_values("block")
+        widf = float(g["widf"].iloc[0])
+        w_idx, r = divmod(int(bit), WORD_BITS)
+        bitval = np.int64(1 << r)
+        want_pos = term in need_pos and term not in pos_done
+        for row in g.itertuples(index=False):
+            n = int(row.n)
+            ids = pfor_delta_decode(row.doc_ids, n, int(row.first_doc)).astype(np.int64)
+            ids_parts.append(ids)
+            word_parts.append(np.full(n, w_idx, dtype=np.int16))
+            mask_parts.append(np.full(n, bitval, dtype=np.int64))
+            tf = None
+            if widf != 0.0 or want_pos:
+                tf = for_decode(row.tfs, n).astype(np.int64)
+            if widf != 0.0:
+                tff = tf.astype(np.float64)
+                dl = for_decode(row.dls, n).astype(np.float64)
+                contrib_parts.append(
+                    widf * ((tff * (K1 + 1.0)) / (tff + K1 * (1.0 - B + B * dl / avgdl)))
+                )
+            else:
+                contrib_parts.append(np.zeros(n, dtype=np.float64))
+            if want_pos:
+                from ..index.codec import positions_decode
+
+                flat, offs = positions_decode(row.pos, tf)
+                dpos = pos_by_term[term]
+                for i in range(n):
+                    dpos[int(ids[i])] = flat[offs[i]: offs[i + 1]].astype(np.int64)
+        if want_pos:
+            pos_done.add(term)
+    if not ids_parts:
+        return empty
+    all_ids = np.concatenate(ids_parts)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    words = np.concatenate(word_parts)
+    bits_flat = np.concatenate(mask_parts)
+    mask = np.zeros((uniq.size, n_words), dtype=np.int64)
+    for w in range(n_words):
+        sel = words == w
+        if sel.any():
+            np.bitwise_or.at(mask[:, w], inv[sel], bits_flat[sel])
+    if phrases:
+        from .phrase import count_hits_positions
+
+        for pkey, pterms in phrases:
+            sets = [pos_by_term.get(t, {}) for t in dict.fromkeys(pterms)]
+            if not sets or any(not s for s in sets):
+                continue
+            cand = set(sets[0]).intersection(*map(set, sets[1:]))
+            w_idx, r = divmod(bit_of[pkey], WORD_BITS)
+            bitval = np.int64(1 << r)
+            for doc in cand:
+                if count_hits_positions([pos_by_term[t][doc] for t in pterms]) > 0:
+                    mask[int(np.searchsorted(uniq, doc)), w_idx] |= bitval
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(contrib_parts))
+    out = pd.DataFrame({"qid": np.int32(qid), "doc_id": uniq, "score": scores})
+    for w, c in enumerate(_mask_cols(n_words)):
+        out[c] = mask[:, w]
+    return out
+
+
+def query_string_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    docs: DataFrame,
+    queries: Iterable[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
+    numeric_fields: tuple[str, ...] = NUMERIC_FIELDS,
+    id_col: str = "doc_id",
+    exclude_doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Batch ``query_string`` retrieval → (qid, rank, doc_id, score).
+
+    ``docs`` supplies the attribute fields (``id_col`` must carry the
+    index doc_ids). Matches rank by the boost-weighted BM25 sum over
+    positive atoms (score DESC, doc_id ASC); docs matching through
+    negation/attributes alone score 0.0 — still returned, they DID
+    match."""
+    spark: SparkSession = postings.sparkSession
+    compiled = _compile_batch(queries, keyword_fields, numeric_fields)
+    if not compiled:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    n_docs, avgdl = meta["n_docs"], float(meta["avgdl"])
+    n_words = max(n_mask_words(c.bit_of) for c in compiled.values())
+    mcols = _mask_cols(n_words)
+
+    # --- term side: (qid, term, bit, weight·idf) rows -------------------
+    plain_terms = sorted({t for c in compiled.values() for t in c.term_w})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(plain_terms)).collect()
+    } if plain_terms else {}
+    qrows: list[tuple[int, str, int, float]] = []
+    phrase_defs: dict[int, list[tuple[str, list[str]]]] = {}
+    bits = {qid: c.bit_of for qid, c in compiled.items()}
+    for qid, c in compiled.items():
+        if c.phrases:
+            if not meta.get("positions"):
+                raise ValueError(
+                    "query has phrase clauses but the index has no positions "
+                    "— build with build_index(..., positions=True)"
+                )
+            phrase_defs[qid] = c.phrases
+        for t, w in c.term_w.items():
+            if t in dfs:
+                qrows.append(
+                    (qid, t, c.bit_of[t], w * idf_value(n_docs, dfs[t]) if w else 0.0)
+                )
+        for key, op, lmeta, w in c.xleaves:
+            for t, df in _expand_leaf(term_stats, op, lmeta, max_expansions):
+                qrows.append(
+                    (qid, t, c.bit_of[key], w * idf_value(n_docs, df) if w else 0.0)
+                )
+
+    term_side = None
+    if qrows:
+        qstats = spark.createDataFrame(
+            qrows, "qid int, term string, bit int, widf double"
+        )
+        all_terms = sorted({r[1] for r in qrows})
+        pruned = postings
+        if "bucket" in postings.columns and meta.get("term_buckets"):
+            from ..index.build import term_bucket_py
+
+            nb = int(meta["term_buckets"])
+            buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
+            pruned = postings.filter(F.col("bucket").isin(buckets))
+        matched = pruned.filter(F.col("term").isin(all_terms)).join(
+            F.broadcast(qstats), "term"
+        )
+        schema = "qid int, doc_id bigint, score double, " + ", ".join(
+            f"{c} bigint" for c in mcols
+        )
+        term_side = matched.groupBy("qid", "shard").applyInPandas(
+            lambda pdf: _local_mask_rows(pdf, n_words, avgdl, phrase_defs, bits),
+            schema,
+        )
+
+    # --- attribute side: ONE column-pruned docs scan for all atoms ------
+    attr_side = None
+    attr_atoms = [
+        (qid, c.bit_of[key], ameta)
+        for qid, c in compiled.items()
+        for key, ameta in c.attrs
+    ]
+    if attr_atoms:
+        hits = []
+        for qid, bit, ameta in attr_atoms:
+            w_idx, r = divmod(bit, WORD_BITS)
+            hits.append(
+                F.when(
+                    _attr_pred_col(ameta),
+                    F.struct(
+                        F.lit(qid).alias("qid"),
+                        F.lit(w_idx).alias("w"),
+                        F.lit(np.int64(1 << r).item()).cast("bigint").alias("v"),
+                    ),
+                )
+            )
+        exploded = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.array_compact(F.array(*hits))).alias("h"),
+            )
+            .select("doc_id", "h.qid", "h.w", "h.v")
+        )
+        attr_side = exploded.groupBy("qid", "doc_id").agg(
+            *[
+                F.bit_or(
+                    F.when(F.col("w") == w, F.col("v")).otherwise(F.lit(0).cast("bigint"))
+                ).alias(f"a_{c}")
+                for w, c in enumerate(mcols)
+            ]
+        )
+
+    if term_side is None and attr_side is None:
+        return spark.createDataFrame([], "qid int, rank int, doc_id bigint, score double")
+    if term_side is None:
+        joined = attr_side.select(
+            "qid", "doc_id", F.lit(0.0).alias("score"),
+            *[F.col(f"a_{c}").alias(c) for c in mcols],
+        )
+    elif attr_side is None:
+        joined = term_side
+    else:
+        zero = F.lit(0).cast("bigint")
+        joined = term_side.join(attr_side, ["qid", "doc_id"], "full_outer").select(
+            "qid", "doc_id",
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            *[
+                (
+                    F.coalesce(F.col(c), zero).bitwiseOR(
+                        F.coalesce(F.col(f"a_{c}"), zero)
+                    )
+                ).alias(c)
+                for c in mcols
+            ],
+        )
+
+    preds = " ".join(
+        f"WHEN {qid} THEN {predicate_sql(c.tree, c.bit_of, 'mask', n_words)}"
+        for qid, c in compiled.items()
+    )
+    alive = joined.filter(F.expr(f"CASE qid {preds} ELSE FALSE END"))
+    if exclude_doc_ids:
+        # tombstones drop BEFORE the k cut (soft-delete semantics)
+        alive = alive.filter(~F.col("doc_id").isin(sorted(set(exclude_doc_ids))))
+    # salted two-level top-k: per-(qid, salt) local cut, then global
+    salted = alive.withColumn("_s", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+    wl = Window.partitionBy("qid", "_s").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    local = salted.withColumn("_r", F.row_number().over(wl)).filter(F.col("_r") <= k)
+    wg = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the whole pipeline as one SQL query over `documents`.
+
+
+def query_string_oracle_sql(
+    queries: Iterable[tuple[int, str]],
+    tok_sql: str,
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
+    numeric_fields: tuple[str, ...] = NUMERIC_FIELDS,
+    docs_table: str = "documents",
+) -> str:
+    """Cross-engine replay: tokenize → vocab expansion (cap replayed as
+    ORDER BY df DESC, term LIMIT n) → attribute atoms → masks → the
+    same predicate SQL → weighted BM25 → round(4) → rank ≤ k."""
+    compiled = _compile_batch(queries, keyword_fields, numeric_fields)
+    n_words = max(n_mask_words(c.bit_of) for c in compiled.values())
+    qrows, extra_ctes, extra_rows, preds = [], [], [], []
+    phrase_any = False
+    for qid, c in compiled.items():
+        for t in sorted(c.term_w):
+            qrows.append(f"({qid}, '{t}', {c.bit_of[t]}, {c.term_w[t]!r})")
+        for j, (key, op, lmeta, w) in enumerate(c.xleaves):
+            if op == "wild":
+                like = glob_to_like(lmeta["pattern"]).replace("'", "''")
+                match = f"term LIKE '{like}' ESCAPE '\\'"
+            else:
+                q = lmeta["qterm"]
+                d = int(lmeta["dist"])
+                match = (
+                    f"abs(length(term) - {len(q)}) <= {d} "
+                    f"AND levenshtein(term, '{q}') <= {d}"
+                )
+            extra_ctes.append(
+                f"x{qid}_{j} AS (SELECT term FROM dfreq WHERE {match} "
+                f"ORDER BY df DESC, term ASC LIMIT {max_expansions})"
+            )
+            extra_rows.append(
+                f"SELECT {qid} AS qid, tf.doc_id, {c.bit_of[key]} AS bit, "
+                f"CASE WHEN {w!r} > 0 THEN {w!r} * "
+                f"ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) "
+                f"* (tf.tf * {K1 + 1.0}) "
+                f"/ (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) "
+                f"ELSE 0.0 END AS c "
+                f"FROM x{qid}_{j} x JOIN tf ON tf.term = x.term "
+                f"JOIN dfreq ON dfreq.term = x.term "
+                f"JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s"
+            )
+        for key, ameta in c.attrs:
+            extra_rows.append(
+                f"SELECT {qid} AS qid, doc_id, {c.bit_of[key]} AS bit, 0.0 AS c "
+                f"FROM {docs_table} WHERE {_attr_pred_sql(ameta)}"
+            )
+        for pi, (pkey, pterms) in enumerate(c.phrases):
+            phrase_any = True
+            joins = " ".join(
+                f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+                f"AND p{i}.term = '{t}'"
+                for i, t in enumerate(pterms)
+                if i > 0
+            )
+            extra_ctes.append(
+                f"ph{qid}_{pi} AS (SELECT DISTINCT p0.doc_id FROM pos p0 {joins} "
+                f"WHERE p0.term = '{pterms[0]}')"
+            )
+            extra_rows.append(
+                f"SELECT {qid} AS qid, doc_id, {c.bit_of[pkey]} AS bit, 0.0 AS c "
+                f"FROM ph{qid}_{pi}"
+            )
+        preds.append(
+            f"WHEN {qid} THEN {predicate_sql(c.tree, c.bit_of, 'mask', n_words)}"
+        )
+    values = ", ".join(qrows) if qrows else "(-1, '', 0, 0.0)"
+    case_pred = "CASE qid " + " ".join(preds) + " ELSE FALSE END"
+    if n_words == 1:
+        mask_cols = "bit_or((1::BIGINT << bit))::BIGINT AS mask"
+    else:
+        mask_cols = ",\n         ".join(
+            f"bit_or(CASE WHEN bit >= {WORD_BITS * w} AND bit < {WORD_BITS * (w + 1)} "
+            f"THEN (1::BIGINT << (bit - {WORD_BITS * w})) ELSE 0::BIGINT END)::BIGINT "
+            f"AS mask{w}"
+            for w in range(n_words)
+        )
+    extra_ctes_sql = ("," + ",\n".join(extra_ctes)) if extra_ctes else ""
+    extra_union = (
+        (" UNION ALL " + " UNION ALL ".join(extra_rows)) if extra_rows else ""
+    )
+    pos_cte = (
+        "pos AS (SELECT doc_id, unnest(t) AS term, "
+        "unnest(generate_series(1, len(t))) AS pos FROM toks),"
+        if phrase_any
+        else ""
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {tok_sql} AS t FROM {docs_table}),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+{pos_cte}
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM {docs_table})::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM {docs_table}) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term, bit, w) AS (VALUES {values}){extra_ctes_sql},
+atom_rows AS (
+  SELECT q.qid, tf.doc_id, q.bit,
+         CASE WHEN q.w > 0 THEN
+               q.w * ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * {K1 + 1.0})
+                 / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+             ELSE 0.0 END AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s{extra_union}
+),
+per_doc AS (
+  SELECT qid, doc_id,
+         {mask_cols},
+         sum(c) AS score
+  FROM atom_rows
+  GROUP BY 1, 2
+),
+alive AS (
+  SELECT qid, doc_id, round(score, 4) AS score FROM per_doc
+  WHERE {case_pred}
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM alive
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""
