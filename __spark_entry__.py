@@ -679,6 +679,35 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+# terms_enum pages: (qid, prefix, after-cursor) — page 3 re-enters the
+# "s" enumeration past a static cursor, so cursor paging is contract-
+# checked (pages reconstruct the enumeration).
+FT_ENUM_REQUESTS = [(1, "s", None), (2, "ta", None), (3, "s", "split")]
+
+
+def q_ft_terms_enum(spark, sf_dir):
+    """ES _terms_enum analog (query/prefix.py terms_enum): lexicographic
+    vocabulary pages with strict-after cursors — one broadcast request
+    join against the term-sorted vocab, range-prunable per prefix; only
+    requests×size rows ever move."""
+    from vframe_spark.query.prefix import terms_enum
+
+    _, term_stats, _, _2 = _ft_index(spark, sf_dir)
+    return terms_enum(term_stats, FT_ENUM_REQUESTS, size=15)
+
+
+def q_ft_index_stats(spark, sf_dir):
+    """Index introspection (index/stats.py): per-shard segment stats
+    from postings METADATA only (no buffer decode) — the oracle derives
+    the same numbers from the source corpus by layout arithmetic
+    (shard = doc_id // shard_size, blocks = ceil(postings/block_size)),
+    pinning the on-disk format as a cross-engine contract."""
+    from vframe_spark.index.stats import index_stats
+
+    postings, _, doc_table, meta = _ft_index(spark, sf_dir)
+    return index_stats(postings, doc_table, meta)
+
+
 # query_string language set (query/qstring.py): fields, ranges,
 # wildcards (`*`/`?`), fuzzy, boosts, phrases, +/- sugar — every atom
 # owns a mask bit; attribute atoms (lang/source/n_chars over the docs
@@ -693,6 +722,13 @@ FT_QS_QUERIES = [
     (7, "ta?le OR zzqx*"),
     (8, "+stream +n_chars:{100 TO 500} -lang:zh"),
 ]
+
+
+def _index_stats_oracle_sql() -> str:
+    from vframe_spark.index.stats import index_stats_duckdb_sql
+
+    # shard_size / block_size mirror _ft_index's build knobs
+    return index_stats_duckdb_sql(TOK_SQL, shard_size=256, block_size=64)
 
 
 def _qstring_oracle_sql() -> str:
@@ -10409,6 +10445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boolean": q_ft_boolean,
         "ft_boolean_phrase": q_ft_boolean_phrase,
         "ft_query_string": q_ft_query_string,
+        "ft_terms_enum": q_ft_terms_enum,
+        "ft_index_stats": q_ft_index_stats,
         "ft_upsert_topk": q_ft_upsert_topk,
         "ft_boosting_topk": q_ft_boosting_topk,
         "ft_composite_facets": q_ft_composite_facets,
@@ -10725,6 +10763,24 @@ def oracle_sql() -> dict[str, str]:
         "ft_boolean": boolean_oracle_sql(FT_BOOL_QUERIES, TOK_SQL, FT_K),
         "ft_boolean_phrase": boolean_oracle_sql(FT_BOOLP_QUERIES, TOK_SQL, FT_K),
         "ft_query_string": _qstring_oracle_sql(),
+        "ft_terms_enum": f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+req(qid, pfx, cursor) AS (VALUES {", ".join(
+    f"({q}, '{p}', " + ("NULL" if c is None else f"'{c}'") + ")"
+    for q, p, c in FT_ENUM_REQUESTS
+)}),
+pages AS (
+  SELECT req.qid,
+         row_number() OVER (PARTITION BY req.qid ORDER BY term)::INT AS rank,
+         term, df
+  FROM dfreq JOIN req
+    ON term LIKE pfx || '%' AND (cursor IS NULL OR term > cursor)
+)
+SELECT qid, rank, term, df FROM pages WHERE rank <= 15
+""",
+        "ft_index_stats": _index_stats_oracle_sql(),
         "ft_upsert_topk": _upsert_oracle_sql(),
         "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_composite_facets": _composite_oracle_sql(),

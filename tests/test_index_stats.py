@@ -1,0 +1,115 @@
+"""index_stats (metadata-only segment stats) + terms_enum (vocab
+pages) vs pure-Python layout replays on the synth corpus."""
+
+import math
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.functions.tokenizer import tokenize_py
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.index.stats import index_stats
+from vframe_spark.query.prefix import terms_enum
+
+N_DOCS = 220
+SHARD, BLOCK = 64, 16
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, N_DOCS, partitions=4), ["repo", "path", "commit"],
+        num_partitions=4,
+    ).cache()
+    toks = {
+        int(r["doc_id"]): tokenize_py(r["content"])
+        for r in docs.select("doc_id", "content").collect()
+    }
+    return docs, toks
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    out = str(tmp_path_factory.mktemp("sidx"))
+    meta = build_index(
+        docs, out, shard_size=SHARD, block_size=BLOCK, shards_per_slice=2,
+        lang_col=None,
+    )
+    assert meta["complete"]
+    return load_index(spark, out)
+
+
+def test_index_stats_matches_layout_arithmetic(corpus, index):
+    _, toks = corpus
+    postings, _, doc_table, meta = index
+    got = {
+        int(r["shard"]): (
+            int(r["n_docs"]), int(r["sum_dl"]), int(r["n_terms"]),
+            int(r["n_postings"]), int(r["n_blocks"]),
+        )
+        for r in index_stats(postings, doc_table, meta).collect()
+    }
+    # brute replay: shard = doc_id // SHARD, blocks = ceil(c / BLOCK)
+    want = {}
+    per_shard_term: dict[tuple[int, str], int] = {}
+    for d, ts in toks.items():
+        s = d // SHARD
+        nd, dl, *_ = want.get(s, (0, 0))
+        want[s] = (nd + 1, dl + len(ts))
+        for t in set(ts):
+            per_shard_term[(s, t)] = per_shard_term.get((s, t), 0) + 1
+    full = {}
+    for s, (nd, dl) in want.items():
+        terms = {t for (s2, t) in per_shard_term if s2 == s}
+        postings_n = sum(c for (s2, _t), c in per_shard_term.items() if s2 == s)
+        blocks = sum(
+            math.ceil(c / BLOCK)
+            for (s2, _t), c in per_shard_term.items()
+            if s2 == s
+        )
+        full[s] = (nd, dl, len(terms), postings_n, blocks)
+    assert got == full
+    assert sum(v[0] for v in got.values()) == N_DOCS
+
+
+def test_terms_enum_pages_reconstruct_enumeration(corpus, index):
+    _, toks = corpus
+    _, term_stats, _, _m = index
+    vocab = sorted({t for ts in toks.values() for t in ts})
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+
+    pfx = ""  # empty prefix = enumerate the whole vocabulary (ES allows it)
+    full = [t for t in vocab if t.startswith(pfx)]
+    assert len(full) > 20, "vocab too narrow for a paging test"
+    size = 7
+    # drive each page with the brute cursor chain
+    reqs = []
+    cursor = None
+    expect = {}
+    qid = 0
+    remaining = full
+    while remaining:
+        qid += 1
+        reqs.append((qid, pfx, cursor))
+        expect[qid] = remaining[:size]
+        cursor = remaining[: size][-1]
+        remaining = remaining[size:]
+    got = terms_enum(term_stats, reqs, size=size).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(int(r["qid"]), []).append(
+            (int(r["rank"]), r["term"], int(r["df"]))
+        )
+    assert set(by_qid) == set(expect)
+    for q, terms in expect.items():
+        rows = sorted(by_qid[q])
+        assert [t for _r, t, _d in rows] == terms
+        assert [r for r, _t, _d in rows] == list(range(1, len(terms) + 1))
+        assert all(d == df[t] for _r, t, d in rows)
+    # pages concatenate to the exact full enumeration
+    assert [t for q in sorted(expect) for t in expect[q]] == full

@@ -1,0 +1,100 @@
+"""Index introspection: per-shard segment statistics (ES ``_segments``
+/ ``_stats`` analog) computed from index METADATA only.
+
+The stats read nothing but the postings table's metadata columns
+(term, shard, n) and the doc-table — never a compressed buffer — so the
+whole thing is one JVM aggregation over the index, O(blocks), at any
+corpus scale. Because the physical layout is deterministic (shards are
+``shard_size`` doc-id ranges, blocks pack ``block_size`` postings with
+a remainder block), every number is replayable from the SOURCE corpus
+by pure SQL arithmetic — the cross-engine oracle pins the on-disk
+format itself, not just query results:
+
+    n_docs      docs in the shard's id range (doc table)
+    sum_dl      Σ doc_len over the shard (doc table)
+    n_terms     distinct terms with ≥1 posting in the shard
+    n_postings  Σ block n = (term, doc) pairs in the shard
+    n_blocks    Σ_{term} ceil(postings(term, shard) / block_size)
+
+Reference parity: the reference logs per-stage reader/metrics summaries
+(`utils summarize`, /root/reference/src/commands/utils/summarize.py);
+this is the index-side equivalent surfaced as a queryable relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def index_stats(postings: DataFrame, doc_table: DataFrame, meta: dict) -> DataFrame:
+    """→ (shard, n_docs, sum_dl, n_terms, n_postings, n_blocks), one
+    row per shard, ascending. Metadata-only: no posting buffer is ever
+    decoded."""
+    shard_size = int(meta["shard_size"])
+    p = postings.groupBy("shard").agg(
+        F.countDistinct("term").cast("bigint").alias("n_terms"),
+        F.sum("n").cast("bigint").alias("n_postings"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+    )
+    d = (
+        doc_table.groupBy(
+            (F.col("doc_id") / shard_size).cast("bigint").alias("shard")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_len").cast("bigint").alias("sum_dl"),
+        )
+    )
+    return (
+        d.join(p, "shard", "left")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs", "sum_dl",
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
+            F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        )
+        .orderBy("shard")
+    )
+
+
+def index_stats_duckdb_sql(
+    tok_sql: str,
+    shard_size: int,
+    block_size: int,
+    docs_table: str = "documents",
+) -> str:
+    """The same stats derived from the SOURCE corpus by layout
+    arithmetic — shard = doc_id // shard_size, blocks =
+    ceil(per-(shard, term) postings / block_size)."""
+    return f"""
+WITH toks AS (SELECT doc_id, {tok_sql} AS t FROM {docs_table}),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+pairs AS (
+  SELECT (doc_id // {shard_size})::BIGINT AS shard, term, doc_id
+  FROM tok GROUP BY 1, 2, 3
+),
+per_term AS (
+  SELECT shard, term, count(*)::BIGINT AS c FROM pairs GROUP BY 1, 2
+),
+p AS (
+  SELECT shard,
+         count(*)::BIGINT AS n_terms,
+         sum(c)::BIGINT AS n_postings,
+         sum((c + {block_size - 1}) // {block_size})::BIGINT AS n_blocks
+  FROM per_term GROUP BY 1
+),
+d AS (
+  SELECT (doc_id // {shard_size})::BIGINT AS shard,
+         count(*)::BIGINT AS n_docs,
+         sum(len(t))::BIGINT AS sum_dl
+  FROM toks GROUP BY 1
+)
+SELECT d.shard::INT AS shard, d.n_docs, d.sum_dl,
+       coalesce(p.n_terms, 0) AS n_terms,
+       coalesce(p.n_postings, 0) AS n_postings,
+       coalesce(p.n_blocks, 0) AS n_blocks
+FROM d LEFT JOIN p ON p.shard = d.shard
+ORDER BY shard
+"""

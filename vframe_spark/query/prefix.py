@@ -171,3 +171,35 @@ def suggest(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "term", F.col("df").cast("bigint").alias("df"))
     )
+
+
+def terms_enum(
+    term_stats: DataFrame,
+    requests: list[tuple[int, str, str | None]],
+    size: int = 20,
+) -> DataFrame:
+    """ES ``_terms_enum`` endpoint analog: lexicographic vocabulary
+    pages → (qid, rank, term, df). ``requests`` = (qid, prefix, after)
+    rows; each page lists the first ``size`` vocab terms starting with
+    ``prefix`` that sort STRICTLY after the ``after`` cursor (None =
+    from the start) — so ``after=last term of page N`` is page N+1 and
+    pages reconstruct the full enumeration exactly.
+
+    Same plan shape as :func:`suggest`: the request batch broadcasts
+    into one vocab scan (term-sorted parquet prunes each prefix to a
+    contiguous range); only the ≤ requests×size matched rows move.
+    """
+    from pyspark.sql import Window
+
+    spark = term_stats.sparkSession
+    p = spark.createDataFrame(requests, "qid: int, pfx: string, cursor: string")
+    cond = F.col("term").startswith(F.col("pfx")) & (
+        F.col("cursor").isNull() | (F.col("term") > F.col("cursor"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("term").asc())
+    return (
+        term_stats.join(F.broadcast(p), cond)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select("qid", "rank", "term", F.col("df").cast("bigint").alias("df"))
+    )
