@@ -10140,6 +10140,133 @@ def q_ft_commit_delta(spark, sf_dir):
     return snapshot_delta(old, new, key_cols=("doc_id",))
 
 
+# churn history: 4 derived commit snapshots — presence varies by
+# doc_id % (s+5) (files added/deleted mid-history), content by
+# doc_id % (s+2) (revision flips, incl. A→B→A shapes n_versions alone
+# would under-count).
+CHURN_SNAPSHOTS = 4
+
+
+def _churn_history(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    parts = []
+    for s in range(CHURN_SNAPSHOTS):
+        parts.append(
+            docs.filter(F.col("doc_id") % (s + 5) != 0).select(
+                F.lit(s).alias("commit"),
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % (s + 2) == 0,
+                    F.concat(F.col("text"), F.lit(f" rev{s}")),
+                )
+                .otherwise(F.col("text"))
+                .alias("content"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _churn_history_sql() -> str:
+    legs = []
+    for s in range(CHURN_SNAPSHOTS):
+        legs.append(
+            f"SELECT {s} AS commit, doc_id, "
+            f"CASE WHEN doc_id % {s + 2} = 0 THEN text || ' rev{s}' "
+            f"ELSE text END AS content "
+            f"FROM documents WHERE doc_id % {s + 5} <> 0"
+        )
+    return " UNION ALL ".join(legs)
+
+
+def q_code_churn(spark, sf_dir):
+    """File-churn metrics over a 4-snapshot commit history
+    (operators/churn.py file_churn): rows reduce to (commit, key,
+    sha256) inside the scan, the one shuffle is the per-path window —
+    digests move, never bodies. Counts rev-to-rev flips, presence span,
+    last-change commit."""
+    from vframe_spark.operators.churn import file_churn
+
+    return file_churn(
+        _churn_history(spark, sf_dir), key_cols=("doc_id",),
+    )
+
+
+def _code_churn_oracle_sql() -> str:
+    from vframe_spark.operators.churn import file_churn_duckdb_sql
+
+    return file_churn_duckdb_sql(_churn_history_sql(), key_cols=("doc_id",))
+
+
+HOTSPOT_K = 50
+
+
+def q_code_hotspots(spark, sf_dir):
+    """Defect-hotspot ranking (churn × complexity — the classic
+    Nagappan/Ball composition): file_churn over the 4-snapshot history
+    joined with the cyclomatic proxy of the derived multi-line view;
+    hotspot = n_changes × cyclomatic, top-50. Two digest/codegen scans
+    and one key join — nothing body-sized shuffles."""
+    from vframe_spark.functions.codemetrics import complexity_stats
+    from vframe_spark.operators.churn import file_churn
+
+    churn = file_churn(_churn_history(spark, sf_dir), key_cols=("doc_id",))
+    cx = complexity_stats(
+        _complexity_docs(spark, sf_dir),
+        branch_keywords=COMPLEX_BRANCH_KW,
+        func_keywords=CODE_KW,
+    ).select("doc_id", "cyclomatic")
+    joined = churn.join(cx, "doc_id").select(
+        "doc_id", "n_changes", "cyclomatic",
+        (F.col("n_changes") * F.col("cyclomatic")).cast("bigint").alias("hotspot"),
+    )
+    # salted two-level top-k: the unpartitioned window only ever sees
+    # ≤ 64·K pre-cut rows, never the corpus
+    salted = joined.withColumn("_s", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+    wl = Window.partitionBy("_s").orderBy(
+        F.col("hotspot").desc(), F.col("doc_id").asc()
+    )
+    local = salted.withColumn("_r", F.row_number().over(wl)).filter(
+        F.col("_r") <= HOTSPOT_K
+    )
+    w = Window.orderBy(F.col("hotspot").desc(), F.col("doc_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HOTSPOT_K)
+        .select("rank", "doc_id", "n_changes", "cyclomatic", "hotspot")
+    )
+
+
+def _code_hotspots_oracle_sql() -> str:
+    from vframe_spark.functions.codemetrics import complexity_duckdb_sql
+    from vframe_spark.operators.churn import file_churn_duckdb_sql
+
+    churn = file_churn_duckdb_sql(_churn_history_sql(), key_cols=("doc_id",))
+    cx = complexity_duckdb_sql(
+        table=_complexity_docs_sql(),
+        branch_keywords=COMPLEX_BRANCH_KW,
+        func_keywords=CODE_KW,
+    )
+    return f"""
+WITH churn AS ({churn}),
+cx AS ({cx}),
+joined AS (
+  SELECT churn.doc_id, churn.n_changes, cx.cyclomatic,
+         (churn.n_changes * cx.cyclomatic)::BIGINT AS hotspot
+  FROM churn JOIN cx ON cx.doc_id = churn.doc_id
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY hotspot DESC, doc_id ASC)::INT AS rank,
+         doc_id, n_changes, cyclomatic, hotspot
+  FROM joined
+)
+SELECT rank, doc_id, n_changes, cyclomatic, hotspot
+FROM ranked WHERE rank <= {HOTSPOT_K}
+"""
+
+
 def _ft_commit_delta_oracle_sql() -> str:
     from vframe_spark.sources import snapshot_delta_duckdb_sql
 
@@ -10545,6 +10672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_fork_containment": q_code_fork_containment,
         "code_clone_type2": q_code_clone_type2,
         "ft_commit_delta": q_ft_commit_delta,
+        "code_churn": q_code_churn,
+        "code_hotspots": q_code_hotspots,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "mm_hog_features": q_mm_hog_features,
@@ -10931,6 +11060,8 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "code_fork_containment": _code_fork_oracle_sql(),
         "code_clone_type2": _code_clone_oracle_sql(),
         "ft_commit_delta": _ft_commit_delta_oracle_sql(),
+        "code_churn": _code_churn_oracle_sql(),
+        "code_hotspots": _code_hotspots_oracle_sql(),
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""

@@ -1,0 +1,64 @@
+"""file_churn vs hand-computed metrics (incl. the A→B→A flip that
+n_versions alone under-counts) and its DuckDB twin."""
+
+import duckdb
+import pandas as pd
+
+from vframe_spark.operators.churn import file_churn, file_churn_duckdb_sql
+
+# (commit, repo, path, content)
+HIST = [
+    (0, "r1", "a.py", "v1"),
+    (1, "r1", "a.py", "v2"),
+    (2, "r1", "a.py", "v1"),   # A→B→A: 3 versions seen, 2 distinct
+    (3, "r1", "a.py", "v1"),   # unchanged
+    (1, "r1", "b.py", "x"),    # added at commit 1
+    (2, "r1", "b.py", "x"),
+    (0, "r2", "a.py", "z"),    # deleted after commit 0
+]
+
+WANT = {
+    ("r1", "a.py"): dict(n_commits=4, n_versions=2, n_changes=2,
+                         first_commit=0, last_commit=3, last_change=2),
+    ("r1", "b.py"): dict(n_commits=2, n_versions=1, n_changes=0,
+                         first_commit=1, last_commit=2, last_change=1),
+    ("r2", "a.py"): dict(n_commits=1, n_versions=1, n_changes=0,
+                         first_commit=0, last_commit=0, last_change=0),
+}
+
+
+def test_file_churn_hand_counts(spark):
+    df = spark.createDataFrame(
+        HIST, "commit int, repo string, path string, content string"
+    )
+    got = {
+        (r["repo"], r["path"]): {
+            k: int(r[k])
+            for k in ("n_commits", "n_versions", "n_changes",
+                      "first_commit", "last_commit", "last_change")
+        }
+        for r in file_churn(df).collect()
+    }
+    assert got == WANT
+
+
+def test_file_churn_duckdb_twin(spark):
+    df = spark.createDataFrame(
+        HIST, "commit int, repo string, path string, content string"
+    )
+    eng = (
+        file_churn(df).toPandas()
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("hist_src", pd.DataFrame(
+        HIST, columns=["commit", "repo", "path", "content"]
+    ))
+    sql = file_churn_duckdb_sql("SELECT * FROM hist_src")
+    want = (
+        con.sql(sql).df().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        eng.astype({c: "int64" for c in eng.columns if c not in ("repo", "path")}),
+        want.astype({c: "int64" for c in want.columns if c not in ("repo", "path")}),
+    )

@@ -1,0 +1,95 @@
+"""File-churn analytics over commit-snapshot history — the code-corpus
+"hotspot" signal (change frequency × complexity predicts defect-prone
+files; Nagappan/Ball-style churn metrics).
+
+Input is the long relation a snapshotted code table already is:
+one row per (commit, file key, content). The 10^12-file discipline
+mirrors `sources.snapshot_delta`: every row reduces to
+``(commit, keys, sha256(content))`` INSIDE the scan projection, so the
+one shuffle (per-key window) carries 32-byte digests, never bodies; the
+window key is the file path — maximal cardinality, no skew. Per key:
+
+    n_commits     snapshots the file appears in
+    n_versions    distinct content versions
+    n_changes     rev-to-rev content flips (A→B→A counts twice —
+                  what `n_versions` alone under-counts)
+    first_commit  first snapshot present (file added)
+    last_commit   last snapshot present (dropped later ⇒ deleted)
+    last_change   latest snapshot whose content differs from its
+                  predecessor (first appearance counts as a change)
+
+``file_churn_duckdb_sql`` replays the whole derivation (sha256 digests
+compare equal across engines; lag() semantics are ANSI).
+
+Reference parity: the reference resumes runs by diffing present files
+vs priors (models/media.py:79-132 --check-exist); churn generalizes the
+two-snapshot diff to the full history as a queryable relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def file_churn(
+    history: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    commit_col: str = "commit",
+    content_col: str = "content",
+) -> DataFrame:
+    """→ one row per file key with the churn metrics above."""
+    keys = list(key_cols)
+    d = history.select(
+        F.col(commit_col).alias("_c"),
+        *keys,
+        F.sha2(F.col(content_col), 256).alias("_sha"),
+    )
+    w = Window.partitionBy(*keys).orderBy("_c")
+    flagged = d.withColumn("_prev", F.lag("_sha").over(w)).withColumn(
+        "_chg",
+        (F.col("_prev").isNull() | (F.col("_sha") != F.col("_prev"))).cast("int"),
+    )
+    return flagged.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_commits"),
+        F.countDistinct("_sha").cast("bigint").alias("n_versions"),
+        (F.sum("_chg") - F.lit(1)).cast("bigint").alias("n_changes"),
+        F.min("_c").alias("first_commit"),
+        F.max("_c").alias("last_commit"),
+        F.max(F.when(F.col("_chg") == 1, F.col("_c"))).alias("last_change"),
+    )
+
+
+def file_churn_duckdb_sql(
+    history_sql: str,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    commit_col: str = "commit",
+    content_expr: str = "content",
+) -> str:
+    """DuckDB twin: ``history_sql`` is an inner SELECT producing
+    (commit, keys, content)."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH hist AS ({history_sql}),
+d AS (
+  SELECT {commit_col} AS _c, {keys},
+         sha256({content_expr}) AS _sha
+  FROM hist
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(_sha) OVER (PARTITION BY {keys} ORDER BY _c) IS NULL
+                   OR _sha != lag(_sha) OVER (PARTITION BY {keys} ORDER BY _c)
+              THEN 1 ELSE 0 END AS _chg
+  FROM d
+)
+SELECT {keys},
+       count(*)::BIGINT AS n_commits,
+       count(DISTINCT _sha)::BIGINT AS n_versions,
+       (sum(_chg) - 1)::BIGINT AS n_changes,
+       min(_c) AS first_commit,
+       max(_c) AS last_commit,
+       max(CASE WHEN _chg = 1 THEN _c END) AS last_change
+FROM flagged
+GROUP BY {keys}
+"""
