@@ -10200,6 +10200,79 @@ def _code_churn_oracle_sql() -> str:
     return file_churn_duckdb_sql(_churn_history_sql(), key_cols=("doc_id",))
 
 
+VOCAB_BUCKET_W = 32  # docs per growth bucket
+
+
+def q_ft_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curves (index-sizing analytics), for
+    the unigram AND bigram vocabularies (n ∈ {1, 2} — bigrams keep
+    growing long after the term vocab saturates, which is what sizes a
+    positional/phrase index): per 32-doc ingest bucket, terms whose
+    FIRST occurrence lands there plus the running vocab size. One
+    vocab-sized min-agg per n, then a window over ≤ n_buckets rows —
+    nothing corpus-sized ever re-shuffles."""
+    from vframe_spark.functions.tokenizer import tokenize_expr
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_expr(F.col("text")).alias("_t")
+    )
+    uni = toks.select("doc_id", F.explode("_t").alias("gram")).withColumn(
+        "n", F.lit(1)
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(_t, 1, size(_t) - 1), "
+                "(w, i) -> concat(w, ' ', element_at(_t, i + 2)))"
+            )
+        ).alias("gram"),
+    ).withColumn("n", F.lit(2))
+    first = (
+        uni.unionByName(bi)
+        .groupBy("n", "gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = first.groupBy(
+        "n",
+        (F.col("first_doc") / VOCAB_BUCKET_W).cast("bigint").alias("bucket"),
+    ).agg(F.count("*").cast("bigint").alias("new_terms"))
+    w = (
+        Window.partitionBy("n")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_bucket.select(
+        "n",
+        F.col("bucket").cast("int").alias("bucket"),
+        "new_terms",
+        F.sum("new_terms").over(w).cast("bigint").alias("cum_terms"),
+    )
+
+
+def _vocab_growth_oracle_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+uni AS (SELECT 1 AS n, doc_id, unnest(t) AS gram FROM toks),
+bi AS (
+  SELECT 2 AS n, doc_id, t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+first AS (SELECT n, gram, min(doc_id) AS first_doc FROM grams GROUP BY 1, 2),
+per_bucket AS (
+  SELECT n, (first_doc // {VOCAB_BUCKET_W})::BIGINT AS bucket,
+         count(*)::BIGINT AS new_terms
+  FROM first GROUP BY 1, 2
+)
+SELECT n, bucket::INT AS bucket, new_terms,
+       sum(new_terms) OVER (PARTITION BY n ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_terms
+FROM per_bucket
+"""
+
+
 HOTSPOT_K = 50
 
 
@@ -10674,6 +10747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_commit_delta": q_ft_commit_delta,
         "code_churn": q_code_churn,
         "code_hotspots": q_code_hotspots,
+        "ft_vocab_growth": q_ft_vocab_growth,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
         "mm_hog_features": q_mm_hog_features,
@@ -11062,6 +11136,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "ft_commit_delta": _ft_commit_delta_oracle_sql(),
         "code_churn": _code_churn_oracle_sql(),
         "code_hotspots": _code_hotspots_oracle_sql(),
+        "ft_vocab_growth": _vocab_growth_oracle_sql(),
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,
         "text_token_counts": f"""
