@@ -5337,6 +5337,52 @@ def q_sim_nsw_topk(spark, sf_dir):
     )
 
 
+def q_sim_hnsw_topk(spark, sf_dir):
+    """Graph ANN, sharded HIERARCHICAL small-world strategy (Malkov &
+    Yashunin 2018 — the production Lucene/ES segment shape): same
+    shard/broadcast/bounded-merge plan as sim_nsw_topk, but each shard
+    graph carries the geometric layer stack, so the layer-0 beam starts
+    from a greedy-descended near-optimal entry instead of node 0.
+    Layer assignment hashes the insert index — builds are reproducible,
+    no RNG. Graph walks aren't SQL-expressible (rows-only); ``recall``
+    = per-query overlap@k with the oracle-checked brute-force baseline
+    rides in the output."""
+    from vframe_spark.operators.similarity import (
+        cosine_topk_bruteforce, hnsw_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    k = 5
+    res = hnsw_topk(
+        emb, queries, dim=dim, k=k, m_edges=8, ef_construction=48,
+        ef_search=64, max_level=4, n_shards=8,
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "qid", F.col("vec_id").alias("bf_vec_id")
+    )
+    hit = (
+        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
+    return (
+        res.join(recall, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
 _MEDIA_FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "media"
 )
@@ -10731,6 +10777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bq_topk": q_sim_bq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_nsw_topk": q_sim_nsw_topk,
+        "sim_hnsw_topk": q_sim_hnsw_topk,
         "rank_pagerank": q_rank_pagerank,
         "rank_ppr": q_rank_ppr,
         "rank_hits": q_rank_hits,

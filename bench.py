@@ -336,6 +336,13 @@ def main() -> None:
         "ft_stream_percolate",
         "ft_sparse_topk",
         "sim_mrl_topk",
+        "ft_query_string",
+        "ft_terms_enum",
+        "ft_index_stats",
+        "ft_vocab_growth",
+        "code_churn",
+        "code_hotspots",
+        "sim_hnsw_topk",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they
@@ -561,6 +568,17 @@ def ann_sweep(spark, k: int = 5) -> dict:
                      ef_construction=48, ef_search=ef, n_shards=8)
         )
         sweep["nsw"].append({"ef": ef, "recall": r, "sec": dt})
+    # hierarchical graph ANN: same knob — the layer stack buys a better
+    # layer-0 entry, so recall at equal ef is the comparison vs nsw
+    from vframe_spark.operators.similarity import hnsw_topk
+
+    sweep["hnsw"] = []
+    for ef in (8, 16, 32, 64):
+        r, dt = mean_recall(
+            hnsw_topk(emb, queries, dim=dim, k=k, m_edges=8,
+                      ef_construction=48, ef_search=ef, n_shards=8)
+        )
+        sweep["hnsw"].append({"ef": ef, "recall": r, "sec": dt})
     emb.unpersist()
     return sweep
 

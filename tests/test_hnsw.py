@@ -1,0 +1,90 @@
+"""Hierarchical NSW (similarity.hnsw_*): deterministic layer stack,
+recall vs brute force, and the sharded Spark path vs a local replay."""
+
+import numpy as np
+import pytest
+
+from vframe_spark.operators.similarity import (
+    _hnsw_level,
+    hnsw_build,
+    hnsw_search,
+    hnsw_topk,
+)
+
+
+def _vectors(n=800, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim))
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def test_level_assignment_geometric_and_deterministic():
+    levels = [_hnsw_level(i, max_level=6) for i in range(20000)]
+    assert levels == [_hnsw_level(i, max_level=6) for i in range(20000)]
+    counts = np.bincount(levels, minlength=7)
+    # P(level >= 1) = 1/2, >= 2 = 1/4 — allow generous sampling slack
+    ge1 = counts[1:].sum() / 20000
+    ge2 = counts[2:].sum() / 20000
+    assert 0.44 < ge1 < 0.56
+    assert 0.19 < ge2 < 0.31
+
+
+def test_build_search_recall_and_determinism():
+    m = _vectors()
+    layers, entry, top = hnsw_build(m, m_edges=8, ef_construction=48, max_level=4)
+    layers2, entry2, top2 = hnsw_build(m, m_edges=8, ef_construction=48, max_level=4)
+    assert (entry, top) == (entry2, top2) and layers == layers2
+    assert top >= 1, "no upper layer materialized at n=800"
+    rng = np.random.default_rng(11)
+    hits = total = 0
+    for _ in range(20):
+        q = rng.normal(size=m.shape[1])
+        q = q / np.linalg.norm(q)
+        found = [j for _, j in hnsw_search(m, layers, entry, top, q, ef=64)[:10]]
+        exact = np.argsort(-(m @ q), kind="stable")[:10]
+        hits += len(set(found) & set(exact.tolist()))
+        total += 10
+    assert hits / total >= 0.9, f"recall {hits / total:.3f}"
+
+
+def test_spark_single_shard_equals_local_replay(spark):
+    m = _vectors(n=300)
+    rows = [(i, [float(x) for x in m[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = [(1, [float(x) for x in m[5]]), (2, [float(x) for x in m[250]])]
+    got = hnsw_topk(
+        emb, queries, dim=m.shape[1], k=5, m_edges=6, ef_construction=32,
+        ef_search=48, n_shards=1,
+    ).collect()
+    layers, entry, top = hnsw_build(m, m_edges=6, ef_construction=32, max_level=4)
+    for qid, vec in queries:
+        q = np.asarray(vec)
+        q = q / np.linalg.norm(q)
+        want = [j for _, j in hnsw_search(m, layers, entry, top, q, ef=48)[:5]]
+        rows_q = sorted(
+            (r for r in got if r["qid"] == qid), key=lambda r: r["rank"]
+        )
+        assert [int(r["vec_id"]) for r in rows_q] == want
+        assert int(rows_q[0]["vec_id"]) in (qid == 1 and [5] or [250])
+
+
+def test_spark_sharded_recall(spark):
+    m = _vectors(n=600)
+    rows = [(i, [float(x) for x in m[i]]) for i in range(600)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = [(i, [float(x) for x in m[i * 37]]) for i in range(8)]
+    k = 5
+    got = hnsw_topk(
+        emb, queries, dim=m.shape[1], k=k, m_edges=8, ef_construction=48,
+        ef_search=64, n_shards=4,
+    ).collect()
+    hits = total = 0
+    for qid, vec in queries:
+        q = np.asarray(vec)
+        q = q / np.linalg.norm(q)
+        exact = set(np.argsort(-(m @ q), kind="stable")[:k].tolist())
+        found = {int(r["vec_id"]) for r in got if r["qid"] == qid}
+        assert len(found) == k
+        hits += len(found & exact)
+        total += k
+    assert hits / total >= 0.85, f"sharded recall {hits / total:.3f}"

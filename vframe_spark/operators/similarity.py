@@ -1635,3 +1635,157 @@ def nsw_topk(
 
     partial = src.mapInPandas(run, "qid bigint, vec_id bigint, cosine double")
     return _topk_window(partial, k)
+
+
+def _hnsw_level(i: int, max_level: int) -> int:
+    """Deterministic geometric(1/2) layer assignment: the count of
+    trailing 1-bits of md5(i) — P(level ≥ l) = 2^-l, the HNSW mL =
+    1/ln 2 choice, with no RNG state (rebuilds are reproducible)."""
+    import hashlib as _hl
+
+    h = int(_hl.md5(str(i).encode()).hexdigest()[:16], 16)
+    lvl = 0
+    while (h >> lvl) & 1 and lvl < max_level:
+        lvl += 1
+    return lvl
+
+
+def _hnsw_greedy(mat: np.ndarray, adj: list[list[int]], q: np.ndarray, start: int) -> int:
+    """One-at-a-time greedy descent step (upper HNSW layers, ef=1):
+    move to a strictly-better neighbor until none improves.
+    Deterministic: neighbors scan in list order, ties keep current."""
+    cur = start
+    best = float(mat[cur] @ q)
+    improved = True
+    while improved:
+        improved = False
+        for v in adj[cur]:
+            s = float(mat[v] @ q)
+            if s > best:
+                best, cur, improved = s, v, True
+    return cur
+
+
+def hnsw_build(
+    mat: np.ndarray,
+    m_edges: int = 8,
+    ef_construction: int = 40,
+    max_level: int = 4,
+) -> tuple[list[list[list[int]]], int, int]:
+    """Hierarchical navigable-small-world graph (Malkov & Yashunin
+    2018) over L2-normalized rows of ``mat``, inserting in row order.
+    Layer 0 holds every node with up to ``2·m_edges`` links (the
+    hnswlib M0 = 2M rule); upper layers thin geometrically
+    (:func:`_hnsw_level`) with ``m_edges`` links. Returns
+    (layers, entry_point, top_level); ``layers[l]`` is the layer-l
+    adjacency (empty lists for nodes below layer l)."""
+    n = mat.shape[0]
+    levels = [_hnsw_level(i, max_level) for i in range(n)]
+    top = levels[0]
+    entry = 0
+    layers: list[list[list[int]]] = [
+        [[] for _ in range(n)] for _ in range(max(levels) + 1)
+    ]
+
+    def connect(lev: int, i: int, nbrs: list[int]) -> None:
+        cap = 2 * m_edges if lev == 0 else m_edges
+        adj = layers[lev]
+        adj[i] = list(nbrs[:cap])
+        for j in nbrs[:cap]:
+            adj[j].append(i)
+            if len(adj[j]) > cap:
+                sims = mat[adj[j]] @ mat[j]
+                order = np.argsort(-sims, kind="stable")[:cap]
+                adj[j] = [adj[j][t] for t in order]
+
+    for i in range(1, n):
+        l = levels[i]
+        cur = entry
+        for lev in range(top, l, -1):
+            cur = _hnsw_greedy(mat, layers[lev], mat[i], cur)
+        for lev in range(min(l, top), -1, -1):
+            found = _nsw_search(
+                mat, layers[lev], mat[i], ef=ef_construction, entry=cur
+            )
+            nbrs = [j for _, j in found]
+            connect(lev, i, nbrs)
+            cur = nbrs[0] if nbrs else cur
+        if l > top:
+            entry, top = i, l
+    return layers, entry, top
+
+
+def hnsw_search(
+    mat: np.ndarray,
+    layers: list[list[list[int]]],
+    entry: int,
+    top: int,
+    q: np.ndarray,
+    ef: int,
+) -> list[tuple[float, int]]:
+    """Full HNSW query walk: greedy descent through the upper layers to
+    a good layer-0 entry, then the usual beam search at layer 0."""
+    cur = entry
+    for lev in range(top, 0, -1):
+        cur = _hnsw_greedy(mat, layers[lev], q, cur)
+    return _nsw_search(mat, layers[0], q, ef=ef, entry=cur)
+
+
+def hnsw_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    k: int = 10,
+    m_edges: int = 8,
+    ef_construction: int = 40,
+    ef_search: int = 48,
+    max_level: int = 4,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph ANN, sharded-HNSW strategy → (qid, rank, vec_id, cosine).
+
+    Same execution shape as :func:`nsw_topk` (per-shard in-memory graph
+    inside one Arrow task, broadcast queries, shards × queries × k
+    shuffle) with the hierarchical graph of Malkov & Yashunin 2018: the
+    geometric layer stack replaces NSW's flat entry-0 start with an
+    O(log n) greedy descent to a near-optimal layer-0 entry, which is
+    what keeps beam quality up as shards grow — the same reason Lucene
+    segments carry HNSW rather than flat NSW graphs. Deterministic end
+    to end: layer assignment hashes the insert index, searches
+    tie-break on node id.
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).repartition(n_shards, "vec_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_parts, vec_parts = [], []
+        for b in batches:
+            if len(b):
+                ids_parts.append(b["vec_id"].to_numpy(dtype=np.int64))
+                vec_parts.append(np.array(b["vec"].tolist(), dtype=np.float64))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        mat = np.vstack(vec_parts)
+        order = np.argsort(ids, kind="stable")  # deterministic insert order
+        ids, mat = ids[order], mat[order]
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        layers, entry, top = hnsw_build(
+            mat, m_edges=m_edges, ef_construction=ef_construction,
+            max_level=max_level,
+        )
+        rows = []
+        for qi, qid in enumerate(qids):
+            found = hnsw_search(mat, layers, entry, top, qn[qi], ef=max(ef_search, k))
+            for cos, node in found[:k]:
+                rows.append((int(qid), int(ids[node]), float(cos)))
+        yield pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    partial = src.mapInPandas(run, "qid bigint, vec_id bigint, cosine double")
+    return _topk_window(partial, k)
