@@ -5337,6 +5337,75 @@ def q_sim_nsw_topk(spark, sf_dir):
     )
 
 
+_GRAPHIDX_CACHE: dict[str, str] = {}
+
+
+def _graph_index_dir(spark, sf_dir):
+    """Build (once per sf_dir) the persisted HNSW segment index: base
+    build over vec_id % 3 != 0, then a Lucene-style APPEND of the rest
+    as new segments — the contract artifact exercises the whole
+    lifecycle, not just a one-shot write."""
+    if sf_dir not in _GRAPHIDX_CACHE:
+        from vframe_spark.index.graphann import (
+            append_graph_index, write_graph_index,
+        )
+
+        tag = hashlib.md5(f"graphidx:{sf_dir}".encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"vfgraph_{tag}")
+        done = os.path.join(out, "DONE")
+        if not os.path.exists(done):
+            emb = _t(spark, sf_dir, "embeddings")
+            write_graph_index(
+                emb.filter(F.col("vec_id") % 3 != 0), out,
+                n_shards=4, m_edges=8, ef_construction=48, max_level=4,
+            )
+            append_graph_index(
+                emb.filter(F.col("vec_id") % 3 == 0), out, n_shards=2,
+            )
+            open(done, "w").write("ok")
+        _GRAPHIDX_CACHE[sf_dir] = out
+    return _GRAPHIDX_CACHE[sf_dir]
+
+
+def q_sim_graph_index_topk(spark, sf_dir):
+    """Persisted graph-ANN segments (index/graphann.py): per-shard HNSW
+    graphs written once as parquet partitions (the Lucene vector-index
+    model), appended to as NEW segments, queried with no rebuild —
+    per-segment beam searches fan out and merge through one bounded
+    window. Graph walks aren't SQL-expressible (rows-only); ``recall``
+    vs the oracle-checked brute force rides in the output."""
+    from vframe_spark.index.graphann import graph_index_topk
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce
+
+    out = _graph_index_dir(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    k = 5
+    res = graph_index_topk(spark, out, queries, k=k, ef_search=64)
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "qid", F.col("vec_id").alias("bf_vec_id")
+    )
+    hit = (
+        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
+    return (
+        res.join(recall, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
 def q_sim_hnsw_topk(spark, sf_dir):
     """Graph ANN, sharded HIERARCHICAL small-world strategy (Malkov &
     Yashunin 2018 — the production Lucene/ES segment shape): same
@@ -10778,6 +10847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_nsw_topk": q_sim_nsw_topk,
         "sim_hnsw_topk": q_sim_hnsw_topk,
+        "sim_graph_index_topk": q_sim_graph_index_topk,
         "rank_pagerank": q_rank_pagerank,
         "rank_ppr": q_rank_ppr,
         "rank_hits": q_rank_hits,

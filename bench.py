@@ -343,6 +343,7 @@ def main() -> None:
         "code_churn",
         "code_hotspots",
         "sim_hnsw_topk",
+        "sim_graph_index_topk",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they
@@ -364,6 +365,27 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR)
         extras[label] = round(time.time() - t0, 3)
+
+    # ---- on-disk index economics (size row for BASELINE's compression
+    # claim: docID-delta + varint/PForDelta block layout) ---------------
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    idx_dir = E._INDEX_CACHE.get(SF_DIR)
+    if idx_dir:
+        isz = _du(idx_dir)
+        raw = _du(os.path.join(SF_DIR, "documents.parquet")) if os.path.isdir(
+            os.path.join(SF_DIR, "documents.parquet")
+        ) else os.path.getsize(os.path.join(SF_DIR, "documents.parquet"))
+        _p, _t, _d, _m = E._ft_index(spark, SF_DIR)
+        n_post = _p.agg({"n": "sum"}).collect()[0][0]
+        extras["index_bytes"] = isz
+        extras["index_bytes_per_posting"] = round(isz / max(n_post, 1), 3)
+        extras["index_vs_source_ratio"] = round(isz / max(raw, 1), 3)
     for name in headline:
         t0 = time.time()
         materialize(qfns[name](spark, SF_DIR))

@@ -1,0 +1,103 @@
+"""Persisted graph-ANN segments (index/graphann.py): reload-equals-
+in-memory walks, recall vs brute force, Lucene-style append."""
+
+import numpy as np
+import pytest
+
+from vframe_spark.index.graphann import (
+    append_graph_index,
+    graph_index_topk,
+    load_graph_meta,
+    write_graph_index,
+)
+
+
+def _vectors(n, dim=12, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim))
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    m = _vectors(500)
+    rows = [(i, [float(x) for x in m[i]]) for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = str(tmp_path_factory.mktemp("gidx"))
+    meta = write_graph_index(
+        emb, out, n_shards=4, m_edges=8, ef_construction=40, max_level=4
+    )
+    return m, emb, out, meta
+
+
+def test_write_meta_and_reload_matches_local_walk(spark, built):
+    m, _emb, out, meta = built
+    assert meta["n_vectors"] == 500 and meta["next_shard"] == 4
+    # reload one shard's rows and replay the persisted graph locally —
+    # the Spark search path must reproduce the same walk exactly
+    import pandas as pd
+
+    from vframe_spark.operators.similarity import hnsw_search
+
+    g = spark.read.option("basePath", out + "/graph").parquet(out + "/graph")
+    pdf = g.filter("shard = 1").toPandas().sort_values("node")
+    assert len(pdf) > 50
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+    entry, top = int(pdf["entry"].iloc[0]), int(pdf["top"].iloc[0])
+    n = len(pdf)
+    layers = [[[] for _ in range(n)] for _ in range(top + 1)]
+    for node, levels in zip(pdf["node"], pdf["adj"]):
+        for lev, nbrs in enumerate(levels):
+            layers[lev][int(node)] = [int(x) for x in nbrs]
+    q = m[7] / np.linalg.norm(m[7])
+    local = [
+        int(ids[node]) for _cos, node in hnsw_search(mat, layers, entry, top, q, ef=32)[:5]
+    ]
+    got = graph_index_topk(spark, out, [(1, [float(x) for x in m[7]])], k=5, ef_search=32)
+    got_ids = [
+        int(r["vec_id"])
+        for r in sorted(got.collect(), key=lambda r: r["rank"])
+    ]
+    # the full query fans out over ALL shards; shard 1's contribution
+    # must appear in the merged ranking wherever it wins
+    assert set(local) & set(got_ids), (local, got_ids)
+    assert got_ids[0] == 7  # self-query: exact vector present
+
+
+def test_recall_vs_bruteforce(spark, built):
+    m, _emb, out, _meta = built
+    queries = [(i, [float(x) for x in m[i * 31]]) for i in range(10)]
+    k = 5
+    got = graph_index_topk(spark, out, queries, k=k, ef_search=64).collect()
+    hits = total = 0
+    for qid, vec in queries:
+        q = np.asarray(vec)
+        q = q / np.linalg.norm(q)
+        exact = set(np.argsort(-(m @ q), kind="stable")[:k].tolist())
+        found = {int(r["vec_id"]) for r in got if r["qid"] == qid}
+        assert len(found) == k
+        hits += len(found & exact)
+        total += k
+    assert hits / total >= 0.85, f"recall {hits / total:.3f}"
+
+
+def test_append_is_new_segments(spark, built, tmp_path_factory):
+    m, _emb, out, _meta = built
+    m2 = _vectors(120, seed=9)
+    rows = [(1000 + i, [float(x) for x in m2[i]]) for i in range(120)]
+    emb2 = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    meta = append_graph_index(emb2, out, n_shards=2)
+    assert meta["n_vectors"] == 620 and meta["next_shard"] == 6
+    assert load_graph_meta(out)["next_shard"] == 6
+    # appended vectors are immediately searchable: self-query hits rank 1
+    got = graph_index_topk(
+        spark, out, [(1, [float(x) for x in m2[42]])], k=3, ef_search=48
+    ).collect()
+    top1 = min(got, key=lambda r: r["rank"])
+    assert int(top1["vec_id"]) == 1042
+    # old vectors still searchable after the append
+    got_old = graph_index_topk(
+        spark, out, [(2, [float(x) for x in m[123]])], k=3, ef_search=48
+    ).collect()
+    assert int(min(got_old, key=lambda r: r["rank"])["vec_id"]) == 123

@@ -1,0 +1,224 @@
+"""Persisted graph-ANN index: per-shard HNSW graphs as on-disk
+segments — the Lucene/Elasticsearch vector-index model.
+
+`operators.similarity.hnsw_topk` rebuilds its shard graphs on every
+call; at serving scale the graph IS the index. Here each shard builds
+once inside one Arrow task and persists as a parquet partition; queries
+reload only adjacency + vectors (no rebuild), and **append = new
+segments**: fresh shards land as new partitions exactly like Lucene
+segments, with queries fanning out across all of them and merging
+through one bounded top-k. A real deployment compacts old segments the
+same way the text index tiers slices (index/compact.py); the segment
+count, not the corpus, bounds query fan-out.
+
+Artifact layout::
+
+    out_dir/
+      graph/shard=<n>/*.parquet  (node, vec_id, vec, adj, entry, top)
+      meta.json                  {n_shards, dim, m_edges,
+                                  ef_construction, max_level,
+                                  n_vectors, next_shard}
+
+``adj`` is the ragged per-level adjacency of one node (level count =
+node's level + 1); ``entry``/``top`` repeat the shard's entry point and
+top level on every row (tiny, and keeps the artifact self-contained —
+the exact entry matters: HNSW's entry is build-order-dependent state,
+not reconstructible from the adjacency alone).
+
+Graph construction/search are deterministic end to end (hash-based
+levels, id tie-breaks), so a rebuilt artifact is byte-comparable and
+reloaded queries reproduce in-memory `hnsw_topk` walks exactly.
+
+Reference parity: the reference persists model artifacts once and
+mmap-loads per process (/root/reference/src/vframe/image/processors/
+base.py:61-89); here the artifact is the partitioned graph itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+GRAPH_SCHEMA = (
+    "shard int, node int, vec_id bigint, vec array<double>, "
+    "adj array<array<int>>, entry int, top int"
+)
+
+
+def _build_shard(pdf: pd.DataFrame, m_edges: int, ef_construction: int,
+                 max_level: int) -> pd.DataFrame:
+    from ..operators.similarity import hnsw_build
+
+    if pdf.empty:
+        return pd.DataFrame(
+            columns=["shard", "node", "vec_id", "vec", "adj", "entry", "top"]
+        )
+    shard = int(pdf["shard"].iloc[0])
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")  # deterministic insert order
+    ids, mat = ids[order], mat[order]
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    layers, entry, top = hnsw_build(
+        matn, m_edges=m_edges, ef_construction=ef_construction,
+        max_level=max_level,
+    )
+    n = matn.shape[0]
+    # per-node ragged adjacency, level count EXPLICIT via the same
+    # deterministic level function the build used (a node can own an
+    # empty upper-layer list — first node on a layer — so emptiness
+    # can't encode the level)
+    from ..operators.similarity import _hnsw_level
+
+    adj = [
+        [
+            [int(x) for x in layers[lev][i]]
+            for lev in range(min(_hnsw_level(i, max_level), top) + 1)
+        ]
+        for i in range(n)
+    ]
+    return pd.DataFrame(
+        {
+            "shard": np.int32(shard),
+            "node": np.arange(n, dtype=np.int32),
+            "vec_id": ids,
+            "vec": [list(map(float, r)) for r in matn],
+            "adj": adj,
+            "entry": np.int32(entry),
+            "top": np.int32(top),
+        }
+    )
+
+
+def write_graph_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    m_edges: int = 8,
+    ef_construction: int = 40,
+    max_level: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build + persist; returns the meta dict. Sharding is the explicit
+    ``pmod(xxhash64(vec_id), n_shards)`` (stable across sessions, so
+    re-builds and replays agree)."""
+    spark = embeddings.sparkSession
+    src = embeddings.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    rows = src.groupBy("shard").applyInPandas(
+        lambda pdf: _build_shard(pdf, m_edges, ef_construction, max_level),
+        GRAPH_SCHEMA,
+    )
+    gdir = os.path.join(out_dir, "graph")
+    rows.write.mode("overwrite").partitionBy("shard").parquet(gdir)
+    n_vectors = spark.read.option("basePath", gdir).parquet(gdir).count()
+    dim = len(embeddings.select(vec_col).first()[0])
+    meta = {
+        "n_shards": int(n_shards), "dim": int(dim), "m_edges": int(m_edges),
+        "ef_construction": int(ef_construction), "max_level": int(max_level),
+        "n_vectors": int(n_vectors), "next_shard": int(n_shards),
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def append_graph_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_shards: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append a batch as NEW segments (Lucene-style): fresh shard ids
+    continue from ``next_shard``; existing partitions are never
+    touched. Queries automatically fan out across old + new."""
+    meta = load_graph_meta(out_dir)
+    add = int(n_shards or meta["n_shards"])
+    base = int(meta["next_shard"])
+    src = embeddings.select(
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(add)) + F.lit(base))
+        .cast("int").alias("shard"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    rows = src.groupBy("shard").applyInPandas(
+        lambda pdf: _build_shard(
+            pdf, meta["m_edges"], meta["ef_construction"], meta["max_level"]
+        ),
+        GRAPH_SCHEMA,
+    )
+    gdir = os.path.join(out_dir, "graph")
+    rows.write.mode("append").partitionBy("shard").parquet(gdir)
+    spark = embeddings.sparkSession
+    meta["n_vectors"] = int(
+        spark.read.option("basePath", gdir).parquet(gdir).count()
+    )
+    meta["next_shard"] = base + add
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def load_graph_meta(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def graph_index_topk(
+    spark: SparkSession,
+    out_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    ef_search: int = 48,
+) -> DataFrame:
+    """Query the persisted graphs → (qid, rank, vec_id, cosine): one
+    partitioned read, per-segment beam searches inside Arrow tasks
+    (no rebuild), segments × queries × k rows into one bounded merge."""
+    from ..operators.similarity import hnsw_search
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    gdir = os.path.join(out_dir, "graph")
+    g = spark.read.option("basePath", gdir).parquet(gdir)
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["qid", "vec_id", "cosine"])
+        pdf = pdf.sort_values("node")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        entry, top = int(pdf["entry"].iloc[0]), int(pdf["top"].iloc[0])
+        n = len(pdf)
+        layers = [[[] for _ in range(n)] for _ in range(top + 1)]
+        for node, levels in zip(pdf["node"], pdf["adj"]):
+            for lev, nbrs in enumerate(levels):
+                if lev <= top:
+                    layers[lev][int(node)] = [int(x) for x in nbrs]
+        rows = []
+        for qi, qid in enumerate(qids):
+            found = hnsw_search(mat, layers, entry, top, qn[qi], ef=max(ef_search, k))
+            for cos, node in found[:k]:
+                rows.append((int(qid), int(ids[node]), float(cos)))
+        return pd.DataFrame(rows, columns=["qid", "vec_id", "cosine"])
+
+    partial = g.groupBy("shard").applyInPandas(
+        lambda pdf: search(pdf), "qid bigint, vec_id bigint, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cosine")
+    )
