@@ -49,12 +49,22 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--query", action="append", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--mode", choices=("or", "and", "phrase", "grep"), default="or",
+    q.add_argument("--mode", choices=("or", "and", "phrase", "grep", "qstring"),
+                   default="or",
                    help="or = ranked union (WAND); and = posting-list intersection; "
                         "phrase = adjacent-run match (needs --docs-parquet); "
                         "grep = regex over content, index-accelerated when the "
                         "pattern carries safe whole-token literals "
-                        "(needs --docs-parquet)")
+                        "(needs --docs-parquet); qstring = full Lucene "
+                        "query_string language (fields/ranges/wildcards/fuzzy/"
+                        "boosts/phrases; attribute atoms need --docs-parquet + "
+                        "--fields/--numeric-fields)")
+    q.add_argument("--fields", default="",
+                   help="mode=qstring: comma-separated keyword attribute "
+                        "columns of --docs-parquet (e.g. lang,source)")
+    q.add_argument("--numeric-fields", default="",
+                   help="mode=qstring: comma-separated numeric attribute "
+                        "columns (e.g. n_chars)")
     q.add_argument("--docs-parquet", default=None,
                    help="docs table for phrase verification (mode=phrase)")
     q.add_argument("--content-col", default="content")
@@ -178,6 +188,23 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("--method", choices=["flat", "adc", "bq"], default="flat")
     aq.add_argument("--rerank", type=int, default=50,
                     help="exact-rescore shortlist depth (method=bq)")
+
+    gb = sub.add_parser("graphann-build", help="persist per-shard HNSW graph "
+                        "segments over an embeddings parquet (vec_id, "
+                        "embedding); --append adds NEW segments, Lucene-style")
+    gb.add_argument("--embeddings-parquet", required=True)
+    gb.add_argument("--index", required=True)
+    gb.add_argument("--n-shards", type=int, default=8)
+    gb.add_argument("--m-edges", type=int, default=8)
+    gb.add_argument("--ef-construction", type=int, default=40)
+    gb.add_argument("--append", action="store_true")
+
+    gq = sub.add_parser("graphann-query", help="top-k cosine over persisted "
+                        "HNSW graph segments (no rebuild)")
+    gq.add_argument("--index", required=True)
+    gq.add_argument("--queries-parquet", required=True)
+    gq.add_argument("--k", type=int, default=10)
+    gq.add_argument("--ef-search", type=int, default=48)
 
     pb = sub.add_parser("prune-build", help="persist a static impact-pruned "
                         "index (top-m BM25 impacts per term) over a docs "
@@ -398,6 +425,35 @@ def main(argv: list[str] | None = None) -> int:
                 "qid": r["qid"], "rank": r["rank"],
                 "vec_id": r["vec_id"], "cosine": round(r["cosine"], 6),
             }))
+    elif args.cmd == "graphann-build":
+        from vframe_spark.index.graphann import (
+            append_graph_index, write_graph_index,
+        )
+
+        emb = spark.read.parquet(args.embeddings_parquet)
+        if args.append:
+            meta = append_graph_index(emb, args.index, n_shards=args.n_shards)
+        else:
+            meta = write_graph_index(
+                emb, args.index, n_shards=args.n_shards,
+                m_edges=args.m_edges, ef_construction=args.ef_construction,
+            )
+        print(json.dumps(meta))
+    elif args.cmd == "graphann-query":
+        from vframe_spark.index.graphann import graph_index_topk
+
+        qrows = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in spark.read.parquet(args.queries_parquet).collect()
+        ]
+        res = graph_index_topk(
+            spark, args.index, qrows, k=args.k, ef_search=args.ef_search
+        ).collect()
+        for r in res:
+            print(json.dumps({
+                "qid": r["qid"], "rank": r["rank"],
+                "vec_id": r["vec_id"], "cosine": round(r["cosine"], 6),
+            }))
     elif args.cmd == "prune-build":
         from pyspark.sql import functions as F
 
@@ -512,6 +568,26 @@ def main(argv: list[str] | None = None) -> int:
                 exclude_doc_ids=dead or None)
             for r in hits.collect():
                 print(json.dumps({"qid": r["qid"], "doc_id": r["doc_id"]}))
+            spark.stop()
+            return 0
+        if args.mode == "qstring":
+            from vframe_spark.query.qstring import query_string_topk
+
+            docs = (
+                spark.read.parquet(args.docs_parquet)
+                if args.docs_parquet
+                else spark.createDataFrame([], "doc_id bigint")
+            )
+            kw = tuple(f for f in args.fields.split(",") if f)
+            num = tuple(f for f in args.numeric_fields.split(",") if f)
+            rows = query_string_topk(
+                postings, term_stats, meta, docs, queries, k=args.k,
+                keyword_fields=kw, numeric_fields=num,
+                exclude_doc_ids=dead or None,
+            ).collect()
+            for r in rows:
+                print(json.dumps({"qid": r["qid"], "rank": r["rank"],
+                                  "doc_id": r["doc_id"], "score": r["score"]}))
             spark.stop()
             return 0
         if args.mode == "phrase":

@@ -296,6 +296,32 @@ class SearchIndex:
         queries = [(1, query)] if isinstance(query, str) else list(query)
         return match_counts(postings, meta, queries, mode=mode)
 
+    def terms_enum(
+        self,
+        prefix: str = "",
+        after: str | None = None,
+        size: int = 20,
+    ) -> DataFrame:
+        """Lexicographic vocabulary page (ES ``_terms_enum``): the first
+        ``size`` vocab terms starting with ``prefix`` strictly after the
+        ``after`` cursor → (qid, rank, term, df); feed the last term
+        back as ``after`` for the next page (see `query.prefix.
+        terms_enum`)."""
+        from .query.prefix import terms_enum
+
+        _p, term_stats, _d, _m = self._parts()
+        return terms_enum(term_stats, [(1, prefix, after)], size=size)
+
+    def segment_stats(self) -> DataFrame:
+        """Per-shard segment statistics from index METADATA only —
+        (shard, n_docs, sum_dl, n_terms, n_postings, n_blocks); see
+        `index.stats.index_stats` (the ES ``_segments`` analog;
+        distinct from :meth:`stats`, the per-query field-stats facet)."""
+        from .index.stats import index_stats
+
+        postings, _t, doc_table, meta = self._parts()
+        return index_stats(postings, doc_table, meta)
+
     def query_string(
         self,
         query: str | list[tuple[int, str]],
