@@ -5406,6 +5406,94 @@ def q_sim_graph_index_topk(spark, sf_dir):
     )
 
 
+def _graph_index_stream_dir(spark, sf_dir):
+    """Graph index built by STREAMING the embeddings in two file drops
+    through graph_index_stream (cached behind a DONE marker — rm the
+    /tmp/vfstream_gidx_* dir to re-exercise). Bootstrap = vec_id < 1/3
+    of the table; each drop appends as new segments exactly-once."""
+    tag = hashlib.md5(f"gidxstream:{sf_dir}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"vfstream_gidx_{tag}")
+    idx = os.path.join(out, "idx")
+    done = os.path.join(out, "DONE")
+    if not os.path.exists(done):
+        import glob as _glob
+        import shutil as _shutil
+
+        from vframe_spark.index.graphann import write_graph_index
+        from vframe_spark.streaming.vectors import graph_index_stream
+
+        _shutil.rmtree(out, ignore_errors=True)
+        src = os.path.join(out, "src")
+        os.makedirs(src)
+        emb = _t(spark, sf_dir, "embeddings")
+        n = emb.count()
+        cut1, cut2 = n // 3, 2 * (n // 3)
+        write_graph_index(
+            emb.filter(F.col("vec_id") < cut1), idx,
+            n_shards=2, m_edges=8, ef_construction=48,
+        )
+        for i, (lo, hi) in enumerate(((cut1, cut2), (cut2, None))):
+            chunk = emb.filter(F.col("vec_id") >= lo)
+            if hi is not None:
+                chunk = chunk.filter(F.col("vec_id") < hi)
+            cdir = os.path.join(out, f"chunk{i}")
+            chunk.select("vec_id", "embedding").coalesce(1).write.parquet(cdir)
+            _shutil.copy(
+                _glob.glob(os.path.join(cdir, "*.parquet"))[0],
+                os.path.join(src, f"drop_{i}.parquet"),
+            )
+            stream = (
+                spark.readStream.schema("vec_id bigint, embedding array<double>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = graph_index_stream(
+                stream, idx, os.path.join(out, "ckpt"), n_shards_per_batch=2
+            )
+            q.awaitTermination(300)
+        open(done, "w").write("ok")
+    return idx
+
+
+def q_sim_stream_graph_topk(spark, sf_dir):
+    """Near-real-time vector indexing end-to-end (streaming/vectors.py
+    graph_index_stream): embeddings arrive as two file drops appended
+    to the persisted HNSW index as NEW segments per micro-batch with
+    batch-keyed exactly-once allocation; the index is queryable after
+    every batch. Graph walks aren't SQL-expressible (rows-only);
+    ``recall`` vs the oracle-checked brute force rides in the output."""
+    from vframe_spark.index.graphann import graph_index_topk
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce
+
+    idx = _graph_index_stream_dir(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    k = 5
+    res = graph_index_topk(spark, idx, queries, k=k, ef_search=64)
+    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
+        "qid", F.col("vec_id").alias("bf_vec_id")
+    )
+    hit = (
+        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
+    return (
+        res.join(recall, "qid", "left")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
 def q_sim_hnsw_topk(spark, sf_dir):
     """Graph ANN, sharded HIERARCHICAL small-world strategy (Malkov &
     Yashunin 2018 — the production Lucene/ES segment shape): same
@@ -10848,6 +10936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_nsw_topk": q_sim_nsw_topk,
         "sim_hnsw_topk": q_sim_hnsw_topk,
         "sim_graph_index_topk": q_sim_graph_index_topk,
+        "sim_stream_graph_topk": q_sim_stream_graph_topk,
         "rank_pagerank": q_rank_pagerank,
         "rank_ppr": q_rank_ppr,
         "rank_hits": q_rank_hits,

@@ -101,3 +101,68 @@ def test_append_is_new_segments(spark, built, tmp_path_factory):
         spark, out, [(2, [float(x) for x in m[123]])], k=3, ef_search=48
     ).collect()
     assert int(min(got_old, key=lambda r: r["rank"])["vec_id"]) == 123
+
+
+def test_batch_key_append_is_exactly_once(spark, tmp_path_factory):
+    m = _vectors(200, seed=21)
+    rows = [(i, [float(x) for x in m[i]]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = str(tmp_path_factory.mktemp("gkey"))
+    write_graph_index(emb, out, n_shards=2, m_edges=6, ef_construction=32)
+    delta_rows = [(100 + i, [float(x) for x in m[100 + i]]) for i in range(100)]
+    delta = spark.createDataFrame(delta_rows, "vec_id bigint, embedding array<double>")
+    m1 = append_graph_index(delta, out, n_shards=2, batch_key="batch-7")
+    # a foreachBatch redelivery re-runs the SAME batch key: segment ids
+    # must be reused (dynamic partition overwrite), never duplicated
+    m2 = append_graph_index(delta, out, n_shards=2, batch_key="batch-7")
+    assert m1["n_vectors"] == m2["n_vectors"] == 200
+    assert m2["next_shard"] == 4
+    got = graph_index_topk(
+        spark, out, [(1, [float(x) for x in m[150]])], k=3, ef_search=48
+    ).collect()
+    assert int(min(got, key=lambda r: r["rank"])["vec_id"]) == 150
+    assert len(got) == 3  # no duplicate rows from a double append
+
+
+def test_graph_index_stream_drops(spark, tmp_path_factory):
+    import glob
+    import shutil
+
+    from vframe_spark.streaming.vectors import graph_index_stream
+
+    base = str(tmp_path_factory.mktemp("gstream"))
+    src = base + "/src"
+    out = base + "/idx"
+    ckpt = base + "/ckpt"
+    import os
+
+    os.makedirs(src)
+    m = _vectors(240, seed=33)
+    # bootstrap index over the first 80 vectors
+    rows = [(i, [float(x) for x in m[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    write_graph_index(emb, out, n_shards=2, m_edges=6, ef_construction=32)
+    # two file drops of 80 vectors each, one micro-batch per drop
+    for d, lo in enumerate((80, 160)):
+        drop = spark.createDataFrame(
+            [(lo + i, [float(x) for x in m[lo + i]]) for i in range(80)],
+            "vec_id bigint, embedding array<double>",
+        )
+        tmp = base + f"/tmp{d}"
+        drop.coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/*.parquet")[0], src + f"/drop_{d}.parquet")
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = graph_index_stream(stream, out, ckpt, n_shards_per_batch=2)
+        q.awaitTermination(120)
+    meta = load_graph_meta(out)
+    assert meta["n_vectors"] == 240
+    # vectors from bootstrap, drop 1, and drop 2 are all searchable
+    for probe in (10, 120, 230):
+        got = graph_index_topk(
+            spark, out, [(1, [float(x) for x in m[probe]])], k=2, ef_search=48
+        ).collect()
+        assert int(min(got, key=lambda r: r["rank"])["vec_id"]) == probe

@@ -133,19 +133,20 @@ def write_graph_index(
     return meta
 
 
-def append_graph_index(
+def _write_segments(
     embeddings: DataFrame,
     out_dir: str,
-    n_shards: int | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> dict:
-    """Append a batch as NEW segments (Lucene-style): fresh shard ids
-    continue from ``next_shard``; existing partitions are never
-    touched. Queries automatically fan out across old + new."""
-    meta = load_graph_meta(out_dir)
-    add = int(n_shards or meta["n_shards"])
-    base = int(meta["next_shard"])
+    meta: dict,
+    base: int,
+    add: int,
+    id_col: str,
+    vec_col: str,
+    overwrite_partitions: bool = False,
+) -> None:
+    """Build ``add`` segments with shard ids [base, base+add) and land
+    them. ``overwrite_partitions=True`` replaces exactly those shard
+    dirs (dynamic partition overwrite) — the replay path: a redelivered
+    batch re-lands the SAME segment ids instead of duplicating rows."""
     src = embeddings.select(
         (F.pmod(F.xxhash64(F.col(id_col)), F.lit(add)) + F.lit(base))
         .cast("int").alias("shard"),
@@ -159,12 +160,62 @@ def append_graph_index(
         GRAPH_SCHEMA,
     )
     gdir = os.path.join(out_dir, "graph")
-    rows.write.mode("append").partitionBy("shard").parquet(gdir)
+    spark = embeddings.sparkSession
+    if overwrite_partitions:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rows.write.mode("overwrite").partitionBy("shard").parquet(gdir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        rows.write.mode("append").partitionBy("shard").parquet(gdir)
+
+
+def append_graph_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_shards: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_key: str | None = None,
+) -> dict:
+    """Append a batch as NEW segments (Lucene-style): fresh shard ids
+    continue from ``next_shard``; existing partitions are never
+    touched. Queries automatically fan out across old + new.
+
+    ``batch_key`` makes the append EXACTLY-ONCE under retries (the
+    streaming foreachBatch contract): the key's shard-range allocation
+    persists in meta BEFORE data lands, so a replay rebuilds the SAME
+    segment ids via dynamic partition overwrite instead of allocating
+    new ones — the `index.rollover` discipline."""
+    meta = load_graph_meta(out_dir)
+    add = int(n_shards or meta["n_shards"])
+    replay = False
+    if batch_key is not None and batch_key in meta.get("batches", {}):
+        alloc = meta["batches"][batch_key]
+        base, add, replay = int(alloc["base"]), int(alloc["add"]), True
+    else:
+        base = int(meta["next_shard"])
+        if batch_key is not None:
+            # commit the allocation BEFORE any data lands
+            meta.setdefault("batches", {})[batch_key] = {
+                "base": base, "add": add,
+            }
+            meta["next_shard"] = base + add
+            with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+                json.dump(meta, fh)
+    _write_segments(
+        embeddings, out_dir, meta, base, add, id_col, vec_col,
+        overwrite_partitions=replay,
+    )
+    gdir = os.path.join(out_dir, "graph")
     spark = embeddings.sparkSession
     meta["n_vectors"] = int(
         spark.read.option("basePath", gdir).parquet(gdir).count()
     )
-    meta["next_shard"] = base + add
+    if batch_key is None:
+        meta["next_shard"] = base + add
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta

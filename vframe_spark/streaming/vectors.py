@@ -1,0 +1,55 @@
+"""Streaming vector ingestion into the persisted graph-ANN index:
+each micro-batch of (vec_id, embedding) rows lands as NEW HNSW
+segments (index/graphann.py) — the near-real-time vector-indexing
+shape (Lucene soft-commits: new segments per refresh, queries fan out
+across all of them; compaction is a separate background concern).
+
+Exactly-once under foreachBatch redelivery: every batch appends with
+``batch_key=f"batch-{batch_id}"``, so its shard-range allocation
+persists in meta BEFORE data lands and a replayed batch re-lands the
+SAME segment ids via dynamic partition overwrite — the same discipline
+as `index.rollover.rollover_append` and `streaming.ingest`'s
+stream_state.json.
+
+The index must be initialized first (`write_graph_index`, possibly
+over a bootstrap corpus); the stream then only ever appends.
+
+Reference parity: the reference's streaming pipe consumes frames as
+they arrive and updates sinks incrementally (/root/reference/src/
+commands/pipe/open.py bounded-buffer pipeline); here the sink is the
+vector index itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def graph_index_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    n_shards_per_batch: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the ingestion stream; returns the StreamingQuery. Segments
+    per batch = ``n_shards_per_batch`` (rises with batch volume so each
+    graph stays task-memory-sized, exactly like segment-sized HNSW
+    graphs in Lucene)."""
+    from ..index.graphann import append_graph_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_graph_index(
+            batch_df, out_dir, n_shards=n_shards_per_batch,
+            id_col=id_col, vec_col=vec_col, batch_key=f"batch-{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
