@@ -166,3 +166,47 @@ def test_graph_index_stream_drops(spark, tmp_path_factory):
             spark, out, [(1, [float(x) for x in m[probe]])], k=2, ef_search=48
         ).collect()
         assert int(min(got, key=lambda r: r["rank"])["vec_id"]) == probe
+
+
+def test_compact_equals_scratch_build(spark, built, tmp_path_factory):
+    import shutil
+
+    from vframe_spark.index.graphann import compact_graph_index
+
+    m, emb, out, _meta = built
+    # work on a copy: `built` is module-scoped and other tests read it
+    out2 = str(tmp_path_factory.mktemp("gcomp")) + "/idx"
+    shutil.copytree(out, out2)
+    m2 = _vectors(90, seed=17)
+    delta = spark.createDataFrame(
+        [(2000 + i, [float(x) for x in m2[i]]) for i in range(90)],
+        "vec_id bigint, embedding array<double>",
+    )
+    append_graph_index(delta, out2, n_shards=2)
+    assert load_graph_meta(out2)["next_shard"] == 6
+    queries = [(1, [float(x) for x in m[99]]), (2, [float(x) for x in m2[45]])]
+    before = sorted(
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in graph_index_topk(spark, out2, queries, k=3, ef_search=64).collect()
+    )
+    meta = compact_graph_index(spark, out2, n_shards=3)
+    assert meta["n_vectors"] == 590 and meta["next_shard"] == 3
+    after = graph_index_topk(spark, out2, queries, k=3, ef_search=64)
+    got = sorted((r["qid"], r["rank"], r["vec_id"]) for r in after.collect())
+    # top hits survive the merge (exact self-vectors must stay rank 1)
+    assert got[0][2] == 99 and got[3][2] == 2045
+    # compaction is deterministic: equals a scratch build over the union
+    vecs = spark.read.option("basePath", out2 + "/graph").parquet(out2 + "/graph")
+    scratch = str(tmp_path_factory.mktemp("gscr")) + "/idx"
+    from vframe_spark.index.graphann import write_graph_index as _w
+
+    _w(
+        vecs.select("vec_id", vecs["vec"].alias("embedding")), scratch,
+        n_shards=3, m_edges=meta["m_edges"],
+        ef_construction=meta["ef_construction"], max_level=meta["max_level"],
+    )
+    got2 = sorted(
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in graph_index_topk(spark, scratch, queries, k=3, ef_search=64).collect()
+    )
+    assert got == got2

@@ -199,6 +199,11 @@ def main(argv: list[str] | None = None) -> int:
     gb.add_argument("--ef-construction", type=int, default=40)
     gb.add_argument("--append", action="store_true")
 
+    gc = sub.add_parser("graphann-compact", help="force-merge the graph "
+                        "segments back to --n-shards fresh segments")
+    gc.add_argument("--index", required=True)
+    gc.add_argument("--n-shards", type=int, default=None)
+
     gq = sub.add_parser("graphann-query", help="top-k cosine over persisted "
                         "HNSW graph segments (no rebuild)")
     gq.add_argument("--index", required=True)
@@ -439,6 +444,10 @@ def main(argv: list[str] | None = None) -> int:
                 m_edges=args.m_edges, ef_construction=args.ef_construction,
             )
         print(json.dumps(meta))
+    elif args.cmd == "graphann-compact":
+        from vframe_spark.index.graphann import compact_graph_index
+
+        print(json.dumps(compact_graph_index(spark, args.index, args.n_shards)))
     elif args.cmd == "graphann-query":
         from vframe_spark.index.graphann import graph_index_topk
 

@@ -273,3 +273,38 @@ def graph_index_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "cosine")
     )
+
+
+def compact_graph_index(
+    spark: SparkSession,
+    out_dir: str,
+    n_shards: int | None = None,
+) -> dict:
+    """Force-merge: rebuild the segment set as ``n_shards`` fresh
+    segments over every live vector (Lucene's forceMerge; the graph
+    analog of `index.compact.tiered_compact`). Query fan-out drops from
+    ``next_shard`` segments to ``n_shards``. Build is deterministic
+    (hash sharding, sorted-id insertion), so compacting equals a scratch
+    build over the same vectors exactly — staged into a temp dir and
+    swapped with os.replace, the snapshot/alias discipline."""
+    import shutil
+    import tempfile as _tf
+
+    meta = load_graph_meta(out_dir)
+    shards = int(n_shards or meta["n_shards"])
+    gdir = os.path.join(out_dir, "graph")
+    vecs = (
+        spark.read.option("basePath", gdir).parquet(gdir)
+        .select("vec_id", F.col("vec").alias("embedding"))
+    )
+    stage = _tf.mkdtemp(prefix="gcompact_", dir=os.path.dirname(out_dir) or ".")
+    new_meta = write_graph_index(
+        vecs, stage, n_shards=shards, m_edges=meta["m_edges"],
+        ef_construction=meta["ef_construction"], max_level=meta["max_level"],
+    )
+    old = out_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(out_dir, old)
+    os.replace(stage, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return new_meta
