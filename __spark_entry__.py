@@ -679,6 +679,61 @@ def q_ft_boolean(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+# index-time stopword analyzer set: corpus-frequent terms removed from
+# the stream BEFORE counting — tf, doc_len, avgdl all reflect the
+# filtered stream; stopword QUERY terms drop as OOV in both engines.
+FT_STOP_TERMS = ["a", "the", "value", "data"]
+FT_STOP_QUERIES = [
+    (1, "spark scan"),
+    (2, "the data hash"),       # two stopword terms + one live term
+    (3, "merge batch"),
+    (4, "window sort value"),   # stopword in the middle
+]
+
+_INDEX_STOP_CACHE: dict[str, str] = {}
+
+
+def _ft_index_stop(spark, sf_dir):
+    """Index built with the stopword analyzer (build_index(...,
+    stop_terms=FT_STOP_TERMS)); cached per sf_dir like _ft_index."""
+    if sf_dir not in _INDEX_STOP_CACHE:
+        from vframe_spark.index.codec import FORMAT_VERSION
+
+        tag = hashlib.md5(
+            f"{FORMAT_VERSION}:stop:{sf_dir}".encode()
+        ).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        build_index(
+            docs, out, shard_size=256, block_size=64, shards_per_slice=4,
+            content_col="content", lang_col=None, stop_terms=FT_STOP_TERMS,
+        )
+        _INDEX_STOP_CACHE[sf_dir] = out
+    return load_index(spark, _INDEX_STOP_CACHE[sf_dir])
+
+
+def q_ft_stopword_topk(spark, sf_dir):
+    """Index-time stopword analyzer (the Lucene/ES `stop` token filter;
+    index/build.py tokenize_docs stop_terms=): listed terms never enter
+    the postings and doc_len/avgdl reflect the FILTERED stream, so BM25
+    scores differ from the plain index by analyzer, not by engine. The
+    oracle replays the same filter inside the tokenizer expression
+    (list_filter); stopword query terms drop as OOV on both sides."""
+    postings, term_stats, _, meta = _ft_index_stop(spark, sf_dir)
+    raw = bm25_topk_wand(postings, term_stats, meta, FT_STOP_QUERIES, k=3 * FT_K)
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _stopword_oracle_sql() -> str:
+    stops = ", ".join(f"'{t}'" for t in sorted(FT_STOP_TERMS))
+    tok = f"list_filter({TOK_SQL}, _sw -> _sw NOT IN ({stops}))"
+    return BM25_ORACLE_SQL.replace(TOK_SQL, tok).replace(
+        "{QVALUES}", _plain_qterms_values_sql(FT_STOP_QUERIES)
+    )
+
+
 # terms_enum pages: (qid, prefix, after-cursor) — page 3 re-enters the
 # "s" enumeration past a static cursor, so cursor paging is contract-
 # checked (pages reconstruct the enumeration).
@@ -10849,6 +10904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boolean_phrase": q_ft_boolean_phrase,
         "ft_query_string": q_ft_query_string,
         "ft_terms_enum": q_ft_terms_enum,
+        "ft_stopword_topk": q_ft_stopword_topk,
         "ft_index_stats": q_ft_index_stats,
         "ft_upsert_topk": q_ft_upsert_topk,
         "ft_boosting_topk": q_ft_boosting_topk,
@@ -11190,6 +11246,7 @@ pages AS (
 SELECT qid, rank, term, df FROM pages WHERE rank <= 15
 """,
         "ft_index_stats": _index_stats_oracle_sql(),
+        "ft_stopword_topk": _stopword_oracle_sql(),
         "ft_upsert_topk": _upsert_oracle_sql(),
         "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_composite_facets": _composite_oracle_sql(),

@@ -1,0 +1,104 @@
+"""Index-time stopword analyzer: both tokenize backends byte-identical
+under the filter; built index scores BM25 over the FILTERED stream
+(doc_len/avgdl excluded stopwords); phrases match across removals."""
+
+import pytest
+
+from vframe_spark.corpus import synth_docs
+from vframe_spark.functions.tokenizer import tokenize_py
+from vframe_spark.ids import assign_doc_ids
+from vframe_spark.index.build import tokenize_docs
+from vframe_spark.index.builder import build_index, load_index
+from vframe_spark.oracle import OracleIndex
+from vframe_spark.query.wand import bm25_topk_wand
+
+STOPS = ["the", "a", "value", "data"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = assign_doc_ids(
+        synth_docs(spark, 200, partitions=4), ["repo", "path", "commit"],
+        num_partitions=4,
+    ).cache()
+    rows = docs.select("doc_id", "content").collect()
+    stop = set(STOPS)
+    filtered = [
+        (r["doc_id"], " ".join(t for t in tokenize_py(r["content"]) if t not in stop))
+        for r in rows
+    ]
+    oracle = OracleIndex([(d, c, None) for d, c in filtered])
+    return docs, oracle
+
+
+def test_backends_identical_under_stop_filter(spark, corpus):
+    docs, _ = corpus
+    a = (
+        tokenize_docs(docs, lang_col=None, stop_terms=STOPS)
+        .orderBy("doc_id", "term")
+        .collect()
+    )
+    b = (
+        tokenize_docs(docs, lang_col=None, stop_terms=STOPS, backend="expr")
+        .orderBy("doc_id", "term")
+        .collect()
+    )
+    assert len(a) == len(b) > 0
+    assert all(t not in set(STOPS) for t in {r["term"] for r in a})
+    for ra, rb in zip(a, b):
+        assert (ra["doc_id"], ra["term"], ra["tf"], ra["doc_len"]) == (
+            rb["doc_id"], rb["term"], rb["tf"], rb["doc_len"]
+        )
+
+
+def test_build_and_search_with_stopwords(spark, corpus, tmp_path_factory):
+    docs, oracle = corpus
+    out = str(tmp_path_factory.mktemp("stopidx"))
+    meta = build_index(
+        docs, out, shard_size=64, block_size=16, shards_per_slice=2,
+        lang_col=None, stop_terms=STOPS,
+    )
+    assert meta["complete"] and meta["stop_terms"] == sorted(STOPS)
+    postings, term_stats, _, m = load_index(spark, out)
+    assert m["stop_terms"] == sorted(STOPS)
+    # stopwords never entered the postings
+    assert term_stats.filter(term_stats["term"].isin(STOPS)).count() == 0
+    # avgdl reflects the filtered stream
+    assert abs(m["avgdl"] - oracle.avgdl) < 1e-9
+    # WAND over the stop index == oracle over pre-filtered content;
+    # stopword query terms drop as OOV
+    queries = [(1, "cache stream"), (2, "the data hash"), (3, "token merge")]
+    got = bm25_topk_wand(postings, term_stats, m, queries, k=8).collect()
+    by_qid = {}
+    for r in got:
+        by_qid.setdefault(int(r["qid"]), []).append(
+            (int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+        )
+    for qid, q in queries:
+        want = oracle.topk(q, k=8)
+        rows = sorted(by_qid.get(qid, []))
+        assert [(d, s) for _r, d, s in rows] == pytest.approx(want)
+
+
+def test_phrase_matches_across_removed_stopword(spark, corpus, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from vframe_spark.query.positional import phrase_topk_positional
+
+    spark_df = spark.createDataFrame(
+        [(0, "hash the table lookup"), (1, "hash join table"), (2, "nothing here")],
+        "doc_id bigint, content string",
+    )
+    out = str(tmp_path_factory.mktemp("stopph"))
+    build_index(
+        spark_df, out, shard_size=64, block_size=16, shards_per_slice=2,
+        lang_col=None, positions=True, stop_terms=["the"],
+    )
+    postings, term_stats, _, m = load_index(spark, out)
+    rows = phrase_topk_positional(
+        postings, term_stats, m, [(1, '"hash table"')], k=5
+    ).collect()
+    got = sorted(int(r["doc_id"]) for r in rows)
+    # doc 0 matches THROUGH the removed stopword (posinc=0 semantics);
+    # doc 1 ("hash join table") must NOT match
+    assert got == [0]

@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--write-docs", default=None,
                    help="also persist the id-assigned corpus as parquet here "
                         "(the docs side later grep/phrase verify scans need)")
+    b.add_argument("--stop-terms", default="",
+                   help="comma-separated index-time stopword list (the "
+                        "Lucene stop filter; doc lengths reflect the "
+                        "filtered stream)")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -263,6 +267,7 @@ def main(argv: list[str] | None = None) -> int:
                 shards_per_slice=args.shards_per_slice,
                 content_col=args.content_col, lang_col=args.lang_col,
                 positions=args.positions,
+                stop_terms=[t for t in args.stop_terms.split(",") if t] or None,
             )
         print(json.dumps({"built": True, **meta}))
     elif args.cmd == "delete":

@@ -88,12 +88,21 @@ def tokenize_docs(
     lang_col: str | None = "lang",
     backend: str = "pandas",
     positions: bool = False,
+    stop_terms: "frozenset[str] | set[str] | list[str] | None" = None,
 ) -> DataFrame:
     """``docs`` → ``(doc_id, term, tf, doc_len)`` — one pass, no shuffle.
 
     ``doc_len`` (token count, lang-terms excluded) is replicated onto
     every row of its doc so downstream consumers never need a join back
     to the corpus.
+
+    ``stop_terms`` is the index-time stopword analyzer (the ES/Lucene
+    ``stop`` token filter): listed terms drop from the stream BEFORE
+    counting, so tf, doc_len, avgdl, and (with ``positions=True``)
+    position offsets all reflect the filtered stream. Positions carry
+    NO gaps for removed terms (the posinc=0 flavor): a phrase query
+    matches across a removed stopword — "hash the table" satisfies
+    '"hash table"'.
 
     Two byte-identical backends:
 
@@ -106,10 +115,11 @@ def tokenize_docs(
       where Python workers are unavailable, and as an independent
       implementation the tests cross-check against the Arrow kernel.
     """
+    stop = frozenset(stop_terms) if stop_terms else None
     if backend == "expr":
         if positions:
             raise ValueError("positions=True requires the pandas backend")
-        return _tokenize_docs_expr(docs, content_col, id_col, lang_col)
+        return _tokenize_docs_expr(docs, content_col, id_col, lang_col, stop)
     cols = [id_col, content_col] + ([lang_col] if lang_col else [])
     src = docs.select(*cols)
     use_lang = lang_col is not None
@@ -120,6 +130,8 @@ def tokenize_docs(
     def batch_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             toks = tokenize_series(b[content_col])
+            if stop:
+                toks = toks.map(lambda lst: [t for t in lst if t not in stop])
             lens = toks.map(len).to_numpy(np.int64)
             flat = [t for lst in toks for t in lst]
             if flat and positions:
@@ -226,7 +238,8 @@ def tokenize_docs(
 
 
 def _tokenize_docs_expr(
-    docs: DataFrame, content_col: str, id_col: str, lang_col: str | None
+    docs: DataFrame, content_col: str, id_col: str, lang_col: str | None,
+    stop: "frozenset[str] | None" = None,
 ) -> DataFrame:
     """JVM-only tokenize + per-doc TF (see :func:`tokenize_docs`).
 
@@ -239,6 +252,9 @@ def _tokenize_docs_expr(
     from ..functions.tokenizer import tokenize_sql
 
     tok = tokenize_sql(content_col)
+    if stop:
+        stops = ", ".join(f"'{t}'" for t in sorted(stop))
+        tok = f"filter({tok}, _sw -> _sw NOT IN ({stops}))"
     if lang_col:
         all_toks = (
             f"CASE WHEN {lang_col} IS NOT NULL "

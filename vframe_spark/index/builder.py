@@ -127,6 +127,7 @@ def build_index(
     content_col: str = "content",
     lang_col: str | None = "lang",
     positions: bool = False,
+    stop_terms: "list[str] | set[str] | None" = None,
 ) -> dict:
     """Build (or resume) the index at ``out_dir``. Returns the meta dict.
 
@@ -138,6 +139,12 @@ def build_index(
     blocks (gap+varint segments; `codec.positions_decode`), enabling
     single-phase phrase/proximity queries straight off the index
     (`query.positional`) at ~1.5-3× the posting payload.
+
+    ``stop_terms`` is the index-time stopword analyzer (Lucene `stop`
+    filter): listed terms never enter the postings and doc lengths /
+    avgdl reflect the filtered stream (see `tokenize_docs`). Recorded
+    in meta; changing the list between resumed partial builds of the
+    SAME out_dir mixes analyzers — rebuild instead.
     """
     spark = docs.sparkSession
     paths = IndexPaths(out_dir)
@@ -145,7 +152,7 @@ def build_index(
 
     max_id = docs.agg(F.max(id_col)).collect()[0][0]
     if max_id is None:
-        _finalize(spark, paths, shard_size, block_size, term_buckets, positions)
+        _finalize(spark, paths, shard_size, block_size, term_buckets, positions, stop_terms)
         return json.load(open(paths.meta))
     slice_span = shard_size * shards_per_slice
     n_slices = int(max_id) // slice_span + 1
@@ -166,7 +173,7 @@ def build_index(
         # tokenize cost per slice.
         tokens = tokenize_docs(
             part, content_col=content_col, id_col=id_col, lang_col=lang_col,
-            positions=positions,
+            positions=positions, stop_terms=stop_terms,
         ).persist()
         # Materialize the cache NOW, in one dedicated job at full map
         # parallelism: _write_slice runs the postings and doc_stats jobs
@@ -194,7 +201,7 @@ def build_index(
     if all(
         manifest.get(s, {}).get("status") == "done" for s in range(n_slices)
     ):
-        _finalize(spark, paths, shard_size, block_size, term_buckets, positions)
+        _finalize(spark, paths, shard_size, block_size, term_buckets, positions, stop_terms)
     return json.load(open(paths.meta)) if os.path.exists(paths.meta) else {"complete": False}
 
 
@@ -304,7 +311,8 @@ def _write_slice(
 
 def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_size: int,
               term_buckets: int = DEFAULT_TERM_BUCKETS,
-              positions: bool = False) -> None:
+              positions: bool = False,
+              stop_terms: "list[str] | set[str] | None" = None) -> None:
     """Derive global stats from committed slices; idempotent."""
     manifest = read_manifest(paths)
     n_docs = sum(r["n_docs"] for r in manifest.values())
@@ -334,6 +342,7 @@ def _finalize(spark: SparkSession, paths: IndexPaths, shard_size: int, block_siz
         "positions": bool(positions),
         "format": FORMAT_VERSION,
         "complete": True,
+        **({"stop_terms": sorted(stop_terms)} if stop_terms else {}),
     }
     with open(paths.meta, "w") as fh:
         json.dump(meta, fh)
