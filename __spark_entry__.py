@@ -734,6 +734,44 @@ def _stopword_oracle_sql() -> str:
     )
 
 
+# Stored query_string percolators — full-language alerting: fields,
+# range, wildcard, fuzzy, phrase, negation; multi-term leaves match the
+# DOC'S OWN tokens (Lucene percolator per-doc memory index — no vocab
+# cap), so caps never enter the oracle.
+FT_QSPERC_QUERIES = [
+    (1, "lang:en AND (hash OR merge) NOT sort"),
+    (2, "spark AND batch -join"),
+    (3, "n_chars:[150 TO 400] AND vector"),
+    (4, 'quer* OR "hash table"'),
+    (5, "merg~1 AND source:src3"),
+    (6, "ta?le AND lang:fr"),
+]
+
+
+def q_ft_percolate_qstring(spark, sf_dir):
+    """Reverse search with the FULL query_string language
+    (query/qstring.py percolate_query_string): stored queries compile
+    to the shared mask-bit layout; one tokenize projection + one
+    broadcast atom-table join (equality / LIKE / levenshtein), phrase
+    adjacency chains, attribute predicates — all JVM — then the same
+    predicate SQL both engines run. Docs with zero atom hits can never
+    match (anchoring), so cost is hit-bounded."""
+    from vframe_spark.query.qstring import percolate_query_string
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content"), "lang", "source", "n_chars"
+    )
+    return percolate_query_string(docs, FT_QSPERC_QUERIES).orderBy(
+        "doc_id", "query_id"
+    )
+
+
+def _qsperc_oracle_sql() -> str:
+    from vframe_spark.query.qstring import percolate_query_string_oracle_sql
+
+    return percolate_query_string_oracle_sql(FT_QSPERC_QUERIES, TOK_SQL)
+
+
 # terms_enum pages: (qid, prefix, after-cursor) — page 3 re-enters the
 # "s" enumeration past a static cursor, so cursor paging is contract-
 # checked (pages reconstruct the enumeration).
@@ -10905,6 +10943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_query_string": q_ft_query_string,
         "ft_terms_enum": q_ft_terms_enum,
         "ft_stopword_topk": q_ft_stopword_topk,
+        "ft_percolate_qstring": q_ft_percolate_qstring,
         "ft_index_stats": q_ft_index_stats,
         "ft_upsert_topk": q_ft_upsert_topk,
         "ft_boosting_topk": q_ft_boosting_topk,
@@ -11247,6 +11286,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
 """,
         "ft_index_stats": _index_stats_oracle_sql(),
         "ft_stopword_topk": _stopword_oracle_sql(),
+        "ft_percolate_qstring": _qsperc_oracle_sql(),
         "ft_upsert_topk": _upsert_oracle_sql(),
         "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_composite_facets": _composite_oracle_sql(),

@@ -344,6 +344,9 @@ def main() -> None:
         "code_hotspots",
         "sim_hnsw_topk",
         "sim_graph_index_topk",
+        "ft_stopword_topk",
+        "ft_percolate_qstring",
+        "sim_stream_graph_topk",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they

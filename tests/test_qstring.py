@@ -348,3 +348,49 @@ def test_empty_expansion_branch(spark, corpus, index, docs_attrs):
         keyword_fields=KW, numeric_fields=NUM,
     ).collect()
     assert got == []  # zzqx* expands to nothing; AND can't be satisfied
+
+
+def test_percolate_query_string_vs_duckdb(spark, corpus):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vframe_spark.functions.tokenizer import tokenize_duckdb_sql
+    from vframe_spark.query.qstring import (
+        percolate_query_string,
+        percolate_query_string_oracle_sql,
+    )
+
+    docs, _oracle, attrs = corpus
+    lv = sorted({a["lang"] for a in attrs.values()})[0]
+    stored = [
+        (1, "cache AND (stream OR buffer) NOT merge"),
+        (2, f"lang:{lv} AND hash"),
+        (3, 'pars* OR "hash index"'),
+        (4, "merg~1 AND n_chars:[100 TO 900]"),
+        (5, "tok?n -cache"),
+    ]
+    dd = docs.select(
+        "doc_id", F.col("content"), "lang", "repo",
+        F.length("content").alias("n_chars"),
+    )
+    got = sorted(
+        (int(r["doc_id"]), int(r["query_id"]))
+        for r in percolate_query_string(
+            dd, stored, keyword_fields=KW, numeric_fields=NUM
+        ).collect()
+    )
+    pdf = docs.select(
+        "doc_id", F.col("content").alias("text"), "lang", "repo",
+        F.length("content").alias("n_chars"),
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = percolate_query_string_oracle_sql(
+        stored, tokenize_duckdb_sql("text"),
+        keyword_fields=KW, numeric_fields=NUM,
+    )
+    want = sorted(
+        (int(r.doc_id), int(r.query_id)) for r in con.sql(sql).df().itertuples()
+    )
+    assert got == want and len(got) > 10

@@ -869,3 +869,219 @@ ranked AS (
 )
 SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Percolation: the reverse search — stored query_string queries matched
+# against a document batch (alerting with the full language).
+
+
+def percolate_query_string(
+    docs: DataFrame,
+    stored: Iterable[tuple[int, str]],
+    keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
+    numeric_fields: tuple[str, ...] = NUMERIC_FIELDS,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, query_id): which stored ``query_string`` queries each
+    document satisfies — the Lucene percolator with this module's full
+    grammar. Pure JVM: ONE tokenize projection, one broadcast
+    atom-table join (term equality / LIKE / levenshtein — multi-term
+    leaves match the DOC'S OWN tokens, so wildcard/fuzzy carry **no
+    vocab cap** here, exactly like the percolator's per-doc memory
+    index), per-phrase adjacency chain joins, attribute predicates from
+    the doc columns, then the shared predicate SQL over bit_or masks.
+    Docs with zero atom hits can never match (queries are anchored), so
+    the candidate set is hit-bounded, never |docs|×|queries|."""
+    from ..functions.tokenizer import tokenize_expr
+
+    spark = docs.sparkSession
+    compiled = _compile_batch(stored, keyword_fields, numeric_fields)
+    if not compiled:
+        return spark.createDataFrame([], "doc_id bigint, query_id int")
+    n_words = max(n_mask_words(c.bit_of) for c in compiled.values())
+    mcols = _mask_cols(n_words)
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_expr(F.col(content_col))).alias("pos", "token"),
+    )
+
+    # (qid, bit, kind, a, b) atom table — broadcast, tiny
+    atom_rows: list[tuple[int, int, str, str, int]] = []
+    phrase_jobs: list[tuple[int, int, list[str]]] = []
+    attr_atoms: list[tuple[int, int, dict]] = []
+    for qid, c in compiled.items():
+        for t in c.term_w:
+            atom_rows.append((qid, c.bit_of[t], "term", t, 0))
+        for key, op, meta, _w in c.xleaves:
+            if op == "wild":
+                atom_rows.append(
+                    (qid, c.bit_of[key], "like", glob_to_like(meta["pattern"]), 0)
+                )
+            else:
+                atom_rows.append(
+                    (qid, c.bit_of[key], "fuzzy", meta["qterm"], int(meta["dist"]))
+                )
+        for pkey, pterms in c.phrases:
+            phrase_jobs.append((qid, c.bit_of[pkey], pterms))
+        for key, ameta in c.attrs:
+            attr_atoms.append((qid, c.bit_of[key], ameta))
+
+    hit_parts = []
+    if atom_rows:
+        atoms = spark.createDataFrame(
+            atom_rows, "qid int, bit int, kind string, a string, b int"
+        )
+        cond = (
+            ((F.col("kind") == "term") & (F.col("token") == F.col("a")))
+            | ((F.col("kind") == "like") & F.expr("token LIKE a ESCAPE '\\\\'"))
+            | (
+                (F.col("kind") == "fuzzy")
+                & (F.abs(F.length("token") - F.length("a")) <= F.col("b"))
+                & (F.levenshtein(F.col("token"), F.col("a")) <= F.col("b"))
+            )
+        )
+        hit_parts.append(
+            toks.join(F.broadcast(atoms), cond).select("doc_id", "qid", "bit")
+        )
+    for qid, bit, pterms in phrase_jobs:
+        side = toks.filter(F.col("token").isin(sorted(set(pterms))))
+        j = side.alias("p0").filter(F.col("p0.token") == pterms[0])
+        sel = j.select(F.col("p0.doc_id").alias("_d"), F.col("p0.pos").alias("_p"))
+        for i, t in enumerate(pterms[1:], start=1):
+            pi = side.alias(f"p{i}")
+            sel = sel.join(
+                pi,
+                (F.col(f"p{i}.doc_id") == F.col("_d"))
+                & (F.col(f"p{i}.pos") == F.col("_p") + i)
+                & (F.col(f"p{i}.token") == t),
+            ).select("_d", "_p")
+        hit_parts.append(
+            sel.select(F.col("_d").alias("doc_id")).distinct().select(
+                "doc_id", F.lit(qid).alias("qid"), F.lit(bit).alias("bit")
+            )
+        )
+    if attr_atoms:
+        sel_cols = []
+        for qid, bit, ameta in attr_atoms:
+            sel_cols.append(
+                F.when(
+                    _attr_pred_col(ameta),
+                    F.struct(F.lit(qid).alias("qid"), F.lit(bit).alias("bit")),
+                )
+            )
+        hit_parts.append(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.array_compact(F.array(*sel_cols))).alias("h"),
+            ).select("doc_id", "h.qid", "h.bit")
+        )
+
+    hits = hit_parts[0]
+    for p in hit_parts[1:]:
+        hits = hits.unionByName(p)
+    # PySpark shiftleft takes only a literal count — shift by the
+    # word-local bit via SQL expr instead
+    masked = hits.withColumn(
+        "w", (F.col("bit") / WORD_BITS).cast("int")
+    ).withColumn(
+        "v",
+        F.expr(f"shiftleft(1L, cast(bit % {WORD_BITS} as int))"),
+    ).groupBy("doc_id", "qid").agg(
+        *[
+            F.bit_or(
+                F.when(F.col("w") == w, F.col("v")).otherwise(F.lit(0).cast("bigint"))
+            ).alias(c)
+            for w, c in enumerate(mcols)
+        ]
+    )
+    preds = " ".join(
+        f"WHEN {qid} THEN {predicate_sql(c.tree, c.bit_of, 'mask', n_words)}"
+        for qid, c in compiled.items()
+    )
+    return (
+        masked.filter(F.expr(f"CASE qid {preds} ELSE FALSE END"))
+        .select("doc_id", F.col("qid").alias("query_id"))
+    )
+
+
+def percolate_query_string_oracle_sql(
+    stored: Iterable[tuple[int, str]],
+    tok_sql: str,
+    keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
+    numeric_fields: tuple[str, ...] = NUMERIC_FIELDS,
+    docs_table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`percolate_query_string` — same compile,
+    same bit layout, same predicate string; atom hits via EXISTS-style
+    joins over the tokenized docs (uncapped LIKE / levenshtein, like
+    the engine)."""
+    compiled = _compile_batch(stored, keyword_fields, numeric_fields)
+    n_words = max(n_mask_words(c.bit_of) for c in compiled.values())
+    rows, preds = [], []
+    for qid, c in compiled.items():
+        for t in sorted(c.term_w):
+            rows.append(
+                f"SELECT DISTINCT doc_id, {qid} AS qid, {c.bit_of[t]} AS bit "
+                f"FROM tok WHERE term = '{t}'"
+            )
+        for key, op, meta, _w in c.xleaves:
+            if op == "wild":
+                like = glob_to_like(meta["pattern"]).replace("'", "''")
+                m = f"term LIKE '{like}' ESCAPE '\\'"
+            else:
+                q = meta["qterm"]
+                d = int(meta["dist"])
+                m = (
+                    f"abs(length(term) - {len(q)}) <= {d} "
+                    f"AND levenshtein(term, '{q}') <= {d}"
+                )
+            rows.append(
+                f"SELECT DISTINCT doc_id, {qid} AS qid, {c.bit_of[key]} AS bit "
+                f"FROM tok WHERE {m}"
+            )
+        for pkey, pterms in c.phrases:
+            joins = " ".join(
+                f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+                f"AND p{i}.term = '{t}'"
+                for i, t in enumerate(pterms)
+                if i > 0
+            )
+            rows.append(
+                f"SELECT DISTINCT p0.doc_id, {qid} AS qid, "
+                f"{c.bit_of[pkey]} AS bit FROM pos p0 {joins} "
+                f"WHERE p0.term = '{pterms[0]}'"
+            )
+        for key, ameta in c.attrs:
+            rows.append(
+                f"SELECT doc_id, {qid} AS qid, {c.bit_of[key]} AS bit "
+                f"FROM {docs_table} WHERE {_attr_pred_sql(ameta)}"
+            )
+        preds.append(
+            f"WHEN {qid} THEN {predicate_sql(c.tree, c.bit_of, 'mask', n_words)}"
+        )
+    if n_words == 1:
+        mask_cols = "bit_or((1::BIGINT << bit))::BIGINT AS mask"
+    else:
+        mask_cols = ",\n         ".join(
+            f"bit_or(CASE WHEN bit >= {WORD_BITS * w} AND bit < {WORD_BITS * (w + 1)} "
+            f"THEN (1::BIGINT << (bit - {WORD_BITS * w})) ELSE 0::BIGINT END)::BIGINT "
+            f"AS mask{w}"
+            for w in range(n_words)
+        )
+    hit_union = " UNION ALL ".join(rows)
+    case_pred = "CASE qid " + " ".join(preds) + " ELSE FALSE END"
+    return f"""
+WITH toks AS (SELECT doc_id, {tok_sql} AS t FROM {docs_table}),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+pos AS (SELECT doc_id, unnest(t) AS term,
+               unnest(generate_series(1, len(t))) AS pos FROM toks),
+hits AS ({hit_union}),
+per AS (
+  SELECT doc_id, qid, {mask_cols}
+  FROM hits GROUP BY 1, 2
+)
+SELECT doc_id, qid AS query_id FROM per WHERE {case_pred}
+"""
