@@ -637,9 +637,27 @@ def query_string_topk(
             nb = int(meta["term_buckets"])
             buckets = sorted({term_bucket_py(t, nb) for t in all_terms})
             pruned = postings.filter(F.col("bucket").isin(buckets))
-        matched = pruned.filter(F.col("term").isin(all_terms)).join(
-            F.broadcast(qstats), "term"
+        # positional payload is 1.5-3× the postings: read the `pos`
+        # column ONLY for phrase-constituent terms (two pruned scans,
+        # each column-pruned; everything else skips the position bytes)
+        need_pos_terms = sorted(
+            {t for defs in phrase_defs.values() for _pk, ts in defs for t in ts}
         )
+        base_cols = [c for c in postings.columns if c != "pos"]
+        if "pos" in postings.columns and need_pos_terms:
+            plain = [t for t in all_terms if t not in set(need_pos_terms)]
+            scan = pruned.filter(F.col("term").isin(plain)).select(
+                *base_cols
+            ).withColumn("pos", F.lit(None).cast("binary")).unionByName(
+                pruned.filter(F.col("term").isin(need_pos_terms)).select(
+                    *base_cols, "pos"
+                )
+            )
+        elif "pos" in postings.columns:
+            scan = pruned.filter(F.col("term").isin(all_terms)).select(*base_cols)
+        else:
+            scan = pruned.filter(F.col("term").isin(all_terms))
+        matched = scan.join(F.broadcast(qstats), "term")
         schema = "qid int, doc_id bigint, score double, " + ", ".join(
             f"{c} bigint" for c in mcols
         )
