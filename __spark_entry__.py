@@ -10191,6 +10191,31 @@ def _code_complexity_oracle_sql() -> str:
     )
 
 
+def q_code_halstead(spark, sf_dir):
+    """Halstead complexity (functions/codemetrics.py halstead_stats):
+    distinct/total operator+operand counts → volume, difficulty,
+    effort — one pure-Catalyst array projection inside the scan, zero
+    shuffle; the oracle runs the identical token patterns and 4-dp
+    grain. Operators here are the corpus pseudo-keywords (the synthetic
+    text has no symbol operators; the symbol class still rides the same
+    pattern for real code)."""
+    from vframe_spark.functions.codemetrics import halstead_stats
+
+    return halstead_stats(
+        _complexity_docs(spark, sf_dir),
+        operator_keywords=COMPLEX_BRANCH_KW + CODE_KW,
+    )
+
+
+def _code_halstead_oracle_sql() -> str:
+    from vframe_spark.functions.codemetrics import halstead_duckdb_sql
+
+    return halstead_duckdb_sql(
+        COMPLEX_BRANCH_KW + CODE_KW,
+        table=_complexity_docs_sql(),
+    )
+
+
 def q_code_symbols(spark, sf_dir):
     """Definition-site extraction (functions/symbols.py): one regex
     pass in the scan → (kind, symbol, n_defs, n_sites). The ctags
@@ -11048,6 +11073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_commit_delta": q_ft_commit_delta,
         "code_churn": q_code_churn,
         "code_hotspots": q_code_hotspots,
+        "code_halstead": q_code_halstead,
         "ft_vocab_growth": q_ft_vocab_growth,
         "mm_decode_extract": q_mm_decode_extract,
         "mm_transform_chain": q_mm_transform_chain,
@@ -11439,6 +11465,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "ft_commit_delta": _ft_commit_delta_oracle_sql(),
         "code_churn": _code_churn_oracle_sql(),
         "code_hotspots": _code_hotspots_oracle_sql(),
+        "code_halstead": _code_halstead_oracle_sql(),
         "ft_vocab_growth": _vocab_growth_oracle_sql(),
         "sim_hard_negatives": HARD_NEG_ORACLE_SQL,
         "sim_filtered_topk": SIM_FILTERED_ORACLE_SQL,

@@ -128,3 +128,53 @@ def test_duckdb_parity_fuzz(spark):
         assert got == want
 
     run()
+
+
+def test_halstead_hand_counts_and_twin(spark):
+    import duckdb
+    import math
+    import pandas as pd
+
+    from vframe_spark.functions.codemetrics import (
+        halstead_duckdb_sql, halstead_stats,
+    )
+
+    rows = [
+        (0, "if x > 0: y = x + 1"),
+        (1, "plain words only here"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content string")
+    got = {
+        int(r["doc_id"]): r.asDict()
+        for r in halstead_stats(df, operator_keywords=("if", "else")).collect()
+    }
+    # doc 0: words = [if, x, 0, y, x, 1]; ops = [if] + [>,:,=,+] -> n1=5
+    # operands = [x, 0, y, x, 1] -> n2=4, len2=5
+    d0 = got[0]
+    assert (d0["n1"], d0["n2"], d0["len1"], d0["len2"]) == (5, 4, 5, 5)
+    vol = round(10 * math.log2(9), 4)
+    diff = round((5 / 2) * (5 / 4), 4)
+    assert d0["volume"] == pytest.approx(vol)
+    assert d0["difficulty"] == pytest.approx(diff)
+    assert d0["effort"] == pytest.approx(round(vol * diff, 4))
+    # doc 1: no operators at all -> difficulty uses n2 only, n1=0
+    d1 = got[1]
+    assert d1["n1"] == 0 and d1["len1"] == 0 and d1["difficulty"] == 0.0
+    # empty doc: all zeros
+    d2 = got[2]
+    assert (d2["n1"], d2["n2"], d2["volume"], d2["effort"]) == (0, 0, 0.0, 0.0)
+
+    con = duckdb.connect()
+    con.register("docs_src", pd.DataFrame(rows, columns=["doc_id", "content"]))
+    want = con.sql(
+        halstead_duckdb_sql(("if", "else"), table="docs_src")
+    ).df().sort_values("doc_id").reset_index(drop=True)
+    eng = (
+        halstead_stats(df, operator_keywords=("if", "else"))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        eng.astype({"n1": "int64", "n2": "int64", "len1": "int64", "len2": "int64"}),
+        want.astype({"n1": "int64", "n2": "int64", "len1": "int64", "len2": "int64"}),
+    )

@@ -127,3 +127,107 @@ FROM (SELECT {id_col},
              string_split(coalesce({content_col}, ''), chr(10)) AS lines
       FROM {table})
 """
+
+
+#: Halstead token classes: every word token is an operand unless it is
+#: an operator keyword; single-character symbol operators are counted
+#: from their own class. One pattern string, both engines (RE2-safe).
+WORD_TOKEN_RE = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+(?:\.[0-9]+)?"
+SYMBOL_OPERATOR_RE = r"[-+*/%=<>!&|^~?:;,.()\[\]{}]"
+
+
+def halstead_stats(
+    docs: DataFrame,
+    operator_keywords: Iterable[str],
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Halstead complexity per document → (id, n1, n2, len1, len2,
+    volume, difficulty, effort), 4-dp floats.
+
+    Classic definitions: n1/n2 = distinct operators/operands, len1/len2
+    = their total occurrences, V = (len1+len2)·log2(n1+n2),
+    D = (n1/2)·(len2/n2), E = D·V. Operators = keyword occurrences +
+    single-char symbols; operands = every other word/number token.
+    Same execution shape as :func:`complexity_stats`: pure-Catalyst
+    array expressions inside the scan, zero shuffle, and the identical
+    pattern strings run in the DuckDB twin."""
+    kws = sorted(set(operator_keywords))
+    if not kws:
+        raise ValueError("operator_keywords must be non-empty")
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    words = F.regexp_extract_all(c, F.lit(WORD_TOKEN_RE), F.lit(0))
+    syms = F.regexp_extract_all(c, F.lit(SYMBOL_OPERATOR_RE), F.lit(0))
+    kw_arr = F.array(*[F.lit(k) for k in kws])
+    ops = F.concat(
+        F.filter(words, lambda w: F.array_contains(kw_arr, w)), syms
+    )
+    opr = F.filter(words, lambda w: ~F.array_contains(kw_arr, w))
+    n1 = F.size(F.array_distinct(ops))
+    n2 = F.size(F.array_distinct(opr))
+    len1 = F.size(ops)
+    len2 = F.size(opr)
+    vocab = (n1 + n2).cast("double")
+    volume = F.when(
+        vocab > 0, F.round((len1 + len2) * F.log2(vocab), 4)
+    ).otherwise(F.lit(0.0))
+    difficulty = F.when(
+        n2 > 0, F.round((n1 / F.lit(2.0)) * (len2 / n2.cast("double")), 4)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        len1.cast("bigint").alias("len1"),
+        len2.cast("bigint").alias("len2"),
+        volume.alias("volume"),
+        difficulty.alias("difficulty"),
+        F.round(volume * difficulty, 4).alias("effort"),
+    )
+
+
+def halstead_duckdb_sql(
+    operator_keywords: Iterable[str],
+    table: str = "documents",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> str:
+    """The identical metrics in DuckDB SQL (same patterns, same 4-dp
+    grain); ``table`` may be any relation expression."""
+    kws = sorted(set(operator_keywords))
+    kw_list = ", ".join(f"'{k}'" for k in kws)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(coalesce({content_col}, ''), '{WORD_TOKEN_RE}') AS words,
+         regexp_extract_all(coalesce({content_col}, ''), '{SYMBOL_OPERATOR_RE}') AS syms
+  FROM {table}
+),
+cls AS (
+  SELECT doc_id,
+         list_concat(list_filter(words, w -> list_contains([{kw_list}], w)), syms) AS ops,
+         list_filter(words, w -> NOT list_contains([{kw_list}], w)) AS opr
+  FROM toks
+),
+m AS (
+  SELECT doc_id,
+         len(list_distinct(ops))::BIGINT AS n1,
+         len(list_distinct(opr))::BIGINT AS n2,
+         len(ops)::BIGINT AS len1,
+         len(opr)::BIGINT AS len2
+  FROM cls
+),
+v AS (
+  SELECT doc_id, n1, n2, len1, len2,
+         CASE WHEN n1 + n2 > 0
+              THEN round((len1 + len2) * log2((n1 + n2)::DOUBLE), 4)
+              ELSE 0.0 END AS volume,
+         CASE WHEN n2 > 0
+              THEN round((n1 / 2.0) * (len2 / n2::DOUBLE), 4)
+              ELSE 0.0 END AS difficulty
+  FROM m
+)
+SELECT doc_id, n1, n2, len1, len2, volume, difficulty,
+       round(volume * difficulty, 4) AS effort
+FROM v
+"""
