@@ -177,20 +177,20 @@ def test_compact_equals_scratch_build(spark, built, tmp_path_factory):
     # work on a copy: `built` is module-scoped and other tests read it
     out2 = str(tmp_path_factory.mktemp("gcomp")) + "/idx"
     shutil.copytree(out, out2)
+    # `built` is module-scoped and earlier tests may have appended to
+    # it — assert RELATIVE to the copied state, not absolute counts
+    base_meta = load_graph_meta(out2)
+    base_shards, base_vecs = base_meta["next_shard"], base_meta["n_vectors"]
     m2 = _vectors(90, seed=17)
     delta = spark.createDataFrame(
         [(2000 + i, [float(x) for x in m2[i]]) for i in range(90)],
         "vec_id bigint, embedding array<double>",
     )
     append_graph_index(delta, out2, n_shards=2)
-    assert load_graph_meta(out2)["next_shard"] == 6
+    assert load_graph_meta(out2)["next_shard"] == base_shards + 2
     queries = [(1, [float(x) for x in m[99]]), (2, [float(x) for x in m2[45]])]
-    before = sorted(
-        (r["qid"], r["rank"], r["vec_id"])
-        for r in graph_index_topk(spark, out2, queries, k=3, ef_search=64).collect()
-    )
     meta = compact_graph_index(spark, out2, n_shards=3)
-    assert meta["n_vectors"] == 590 and meta["next_shard"] == 3
+    assert meta["n_vectors"] == base_vecs + 90 and meta["next_shard"] == 3
     after = graph_index_topk(spark, out2, queries, k=3, ef_search=64)
     got = sorted((r["qid"], r["rank"], r["vec_id"]) for r in after.collect())
     # top hits survive the merge (exact self-vectors must stay rank 1)
