@@ -10554,9 +10554,10 @@ def q_ft_vocab_growth(spark, sf_dir):
         .groupBy("n", "gram")
         .agg(F.min("doc_id").alias("first_doc"))
     )
+    # integer DIV, not float division: doc_ids past 2^53 would round
     per_bucket = first.groupBy(
         "n",
-        (F.col("first_doc") / VOCAB_BUCKET_W).cast("bigint").alias("bucket"),
+        F.expr(f"first_doc DIV {VOCAB_BUCKET_W}").cast("bigint").alias("bucket"),
     ).agg(F.count("*").cast("bigint").alias("new_terms"))
     w = (
         Window.partitionBy("n")

@@ -39,7 +39,8 @@ def index_stats(postings: DataFrame, doc_table: DataFrame, meta: dict) -> DataFr
     )
     d = (
         doc_table.groupBy(
-            (F.col("doc_id") / shard_size).cast("bigint").alias("shard")
+            # integer DIV, not float division: doc_ids past 2^53 round
+            F.expr(f"doc_id DIV {shard_size}").cast("bigint").alias("shard")
         )
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
