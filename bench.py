@@ -342,6 +342,7 @@ def main() -> None:
         "ft_vocab_growth",
         "code_churn",
         "code_hotspots",
+        "code_halstead",
         "sim_hnsw_topk",
         "sim_graph_index_topk",
         "ft_stopword_topk",
