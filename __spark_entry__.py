@@ -734,6 +734,42 @@ def _stopword_oracle_sql() -> str:
     )
 
 
+QS_EXPLAIN_TOP = 5
+
+
+def q_ft_qstring_explain(spark, sf_dir):
+    """Lucene _explain for the query_string language (query/qstring.py
+    query_string_explain): per-atom boost-weighted BM25 contributions
+    (6 dp) for each query's top-5 docs — expansion leaves resolve with
+    the same capped vocabulary order the ranker used, so summing
+    contrib per (qid, doc_id) reproduces the assigned score; attribute
+    and phrase atoms gate membership and contribute 0 by definition
+    (omitted)."""
+    from vframe_spark.query.qstring import (
+        query_string_explain, query_string_topk,
+    )
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    raw = query_string_topk(
+        postings, term_stats, meta, docs, FT_QS_QUERIES, k=3 * QS_EXPLAIN_TOP
+    )
+    top = _rounded_rank(raw.select("qid", "doc_id", "score"), QS_EXPLAIN_TOP)
+    tokens = _corpus_tokens(spark, sf_dir)
+    return query_string_explain(
+        tokens, FT_QS_QUERIES, top.select("qid", "doc_id"),
+        n_docs=meta["n_docs"], avgdl=float(meta["avgdl"]),
+    )
+
+
+def _qstring_explain_oracle_sql() -> str:
+    from vframe_spark.query.qstring import query_string_explain_oracle_sql
+
+    return query_string_explain_oracle_sql(
+        FT_QS_QUERIES, TOK_SQL, k=QS_EXPLAIN_TOP
+    )
+
+
 # Stored query_string percolators — full-language alerting: fields,
 # range, wildcard, fuzzy, phrase, negation; multi-term leaves match the
 # DOC'S OWN tokens (Lucene percolator per-doc memory index — no vocab
@@ -10970,6 +11006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_enum": q_ft_terms_enum,
         "ft_stopword_topk": q_ft_stopword_topk,
         "ft_percolate_qstring": q_ft_percolate_qstring,
+        "ft_qstring_explain": q_ft_qstring_explain,
         "ft_index_stats": q_ft_index_stats,
         "ft_upsert_topk": q_ft_upsert_topk,
         "ft_boosting_topk": q_ft_boosting_topk,
@@ -11314,6 +11351,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "ft_index_stats": _index_stats_oracle_sql(),
         "ft_stopword_topk": _stopword_oracle_sql(),
         "ft_percolate_qstring": _qsperc_oracle_sql(),
+        "ft_qstring_explain": _qstring_explain_oracle_sql(),
         "ft_upsert_topk": _upsert_oracle_sql(),
         "ft_boosting_topk": _boosting_oracle_sql(),
         "ft_composite_facets": _composite_oracle_sql(),

@@ -1103,3 +1103,140 @@ per AS (
 )
 SELECT doc_id, qid AS query_id FROM per WHERE {case_pred}
 """
+
+
+# ---------------------------------------------------------------------------
+# Explain: per-atom score breakdown (Lucene _explain for this language).
+
+
+def query_string_explain(
+    tokens: DataFrame,
+    queries: Iterable[tuple[int, str]],
+    top: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
+    numeric_fields: tuple[str, ...] = NUMERIC_FIELDS,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """→ (qid, doc_id, term, bit, contrib): the boost-weighted BM25
+    contribution of every SCORING atom-term pair a doc holds, for the
+    (qid, doc_id) rows in ``top`` — summing contrib per (qid, doc_id)
+    reproduces the ranker's score. ``tokens`` is the tokenizer stream
+    (doc_id, term, tf, doc_len); expansions resolve against its derived
+    vocabulary with the same (df DESC, term ASC) cap the retrieval path
+    uses, so the breakdown explains exactly what the ranker scored.
+    Membership-only atoms (attributes, phrase bits, negated terms)
+    contribute 0 by definition and are omitted."""
+    spark = tokens.sparkSession
+    compiled = _compile_batch(queries, keyword_fields, numeric_fields)
+    tstats = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    qrows: list[tuple[int, str, int, float]] = []
+    plain = sorted({t for c in compiled.values() for t, w in c.term_w.items() if w})
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tstats.filter(F.col("term").isin(plain)).collect()
+    } if plain else {}
+    for qid, c in compiled.items():
+        for t, w in c.term_w.items():
+            if w and t in dfs:
+                qrows.append((qid, t, c.bit_of[t], w * idf_value(n_docs, dfs[t])))
+        for key, op, lmeta, w in c.xleaves:
+            if not w:
+                continue
+            for t, df in _expand_leaf(tstats, op, lmeta, max_expansions):
+                qrows.append((qid, t, c.bit_of[key], w * idf_value(n_docs, df)))
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid int, doc_id bigint, term string, bit int, contrib double"
+        )
+    qstats = spark.createDataFrame(qrows, "qid int, term string, bit int, widf double")
+    tfnorm = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(float(avgdl)))
+    )
+    ex = (
+        tokens.join(F.broadcast(qstats), "term")
+        .select(
+            "qid", "doc_id", "term", "bit",
+            F.round(F.col("widf") * tfnorm, 6).alias("contrib"),
+        )
+    )
+    return ex.join(F.broadcast(top.select("qid", "doc_id")), ["qid", "doc_id"])
+
+
+def query_string_explain_oracle_sql(
+    queries: Iterable[tuple[int, str]],
+    tok_sql: str,
+    k: int,
+    keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
+    numeric_fields: tuple[str, ...] = NUMERIC_FIELDS,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    docs_table: str = "documents",
+) -> str:
+    """DuckDB replay: the full query_string ranking cut at ``k`` (the
+    same SQL as `query_string_oracle_sql`), then every scoring
+    atom-term contribution of the surviving (qid, doc_id) rows."""
+    compiled = _compile_batch(queries, keyword_fields, numeric_fields)
+    ranked = query_string_oracle_sql(
+        queries, tok_sql, k=k,
+        max_expansions=max_expansions,
+        keyword_fields=keyword_fields, numeric_fields=numeric_fields,
+        docs_table=docs_table,
+    )
+    qrows, x_ctes, x_rows = [], [], []
+    for qid, c in compiled.items():
+        for t in sorted(c.term_w):
+            if c.term_w[t]:
+                qrows.append(f"({qid}, '{t}', {c.bit_of[t]}, {c.term_w[t]!r})")
+        for j, (key, op, lmeta, w) in enumerate(c.xleaves):
+            if not w:
+                continue
+            if op == "wild":
+                like = glob_to_like(lmeta["pattern"]).replace("'", "''")
+                match = f"term LIKE '{like}' ESCAPE '\\'"
+            else:
+                q = lmeta["qterm"]
+                d = int(lmeta["dist"])
+                match = (
+                    f"abs(length(term) - {len(q)}) <= {d} "
+                    f"AND levenshtein(term, '{q}') <= {d}"
+                )
+            x_ctes.append(
+                f"ex{qid}_{j} AS (SELECT term FROM dfreq WHERE {match} "
+                f"ORDER BY df DESC, term ASC LIMIT {max_expansions})"
+            )
+            x_rows.append(
+                f"SELECT {qid} AS qid, x.term, {c.bit_of[key]} AS bit, "
+                f"{w!r} AS w FROM ex{qid}_{j} x"
+            )
+    values = ", ".join(qrows) if qrows else "(-1, '', 0, 0.0)"
+    x_ctes_sql = ("," + ",\n".join(x_ctes)) if x_ctes else ""
+    x_union = (" UNION ALL " + " UNION ALL ".join(x_rows)) if x_rows else ""
+    return f"""
+WITH ranked_top AS ({ranked}),
+toks2 AS (SELECT doc_id, {tok_sql} AS t FROM {docs_table}),
+tok2 AS (SELECT doc_id, unnest(t) AS term FROM toks2),
+dl2 AS (SELECT doc_id, len(t) AS dl FROM toks2 WHERE len(t) > 0),
+tf2 AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok2 GROUP BY 1, 2),
+stats2 AS (
+  SELECT (SELECT count(*) FROM {docs_table})::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl2)::DOUBLE / (SELECT count(*) FROM {docs_table}) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf2 GROUP BY 1),
+eq(qid, term, bit, w) AS (VALUES {values}){x_ctes_sql},
+atoms AS (SELECT qid, term, bit, w FROM eq WHERE qid >= 0{x_union}),
+contribs AS (
+  SELECT a.qid, tf2.doc_id, a.term, a.bit,
+         round(a.w * ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf2.tf * {K1 + 1.0})
+               / (tf2.tf + {K1} * (1.0 - {B} + {B} * dl2.dl / s.avgdl)), 6) AS contrib
+  FROM atoms a
+  JOIN tf2 ON tf2.term = a.term
+  JOIN dfreq ON dfreq.term = a.term
+  JOIN dl2 ON dl2.doc_id = tf2.doc_id
+  CROSS JOIN stats2 s
+)
+SELECT c.qid, c.doc_id, c.term, c.bit, c.contrib
+FROM contribs c
+JOIN ranked_top r ON r.qid = c.qid AND r.doc_id = c.doc_id
+"""
