@@ -1664,7 +1664,7 @@ def _ft_index_children(spark, sf_dir):
     if sf_dir not in _BJ_INDEX_CACHE:
         tag = hashlib.md5(f"{FORMAT_VERSION}:bj:{sf_dir}".encode()).hexdigest()[:10]
         out = os.path.join(tempfile.gettempdir(), f"vfidx_{tag}")
-        pmap_dir = os.path.join(out, "parent_of")
+        pmap_dir = os.path.join(out, "parent_of2")
         if not os.path.exists(pmap_dir):
             from vframe_spark.ids import assign_doc_ids
             from vframe_spark.operators.curate import chunk_documents
@@ -1686,11 +1686,11 @@ def _ft_index_children(spark, sf_dir):
             # the child→parent map is index SIDECAR data: persist it with
             # the index, don't recompute chunk ids on every query
             children.select(
-                F.col("doc_id").alias("child_id"), "parent_id"
+                F.col("doc_id").alias("child_id"), "parent_id", "chunk_id"
             ).write.mode("overwrite").parquet(pmap_dir)
         _BJ_INDEX_CACHE[sf_dir] = out
     out = _BJ_INDEX_CACHE[sf_dir]
-    parent_of = spark.read.parquet(os.path.join(out, "parent_of"))
+    parent_of = spark.read.parquet(os.path.join(out, "parent_of2"))
     return load_index(spark, out), parent_of
 
 
@@ -1711,6 +1711,51 @@ def q_ft_block_join(spark, sf_dir):
         "qid", "rank", "parent_id", "score",
         F.col("n_child_matches").cast("bigint").alias("n_child_matches"),
     )
+
+
+BJ_INNER = 3
+
+
+def q_ft_block_join_inner(spark, sf_dir):
+    """ES inner_hits (query/blockjoin.py block_join_inner_hits): for
+    each top parent of the nested retrieval, the top-3 matching child
+    chunks addressed as (parent_id, chunk_id) with their own 4-dp
+    child BM25 — one extra window over the parent page's matched
+    children only. Oracle extends the block-join SQL with the same
+    inner selection."""
+    from vframe_spark.query.blockjoin import block_join_inner_hits
+
+    (postings, term_stats, _, meta), parent_of = _ft_index_children(spark, sf_dir)
+    return block_join_inner_hits(
+        postings, term_stats, meta, FT_QUERIES, parent_of,
+        k=BJ_K, n_inner=BJ_INNER, score_mode="max",
+    )
+
+
+def _block_join_inner_oracle_sql() -> str:
+    base = _block_join_oracle_sql()
+    # the base oracle SELECTs from `ranked` cut at BJ_K — reuse its CTE
+    # chain, swap the final projection for the inner-hits selection
+    cut = base.rindex("SELECT qid, rank")
+    ctes = base[:cut].rstrip()
+    assert ctes.endswith(")")
+    return f"""{ctes},
+topk AS (
+  SELECT qid, rank AS parent_rank, parent_id FROM ranked WHERE rank <= {BJ_K}
+),
+inner_hits AS (
+  SELECT t.qid, t.parent_rank, t.parent_id, cs.chunk_id,
+         row_number() OVER (
+           PARTITION BY t.qid, t.parent_id
+           ORDER BY round(cs.score, 4) DESC, cs.chunk_id ASC
+         )::INT AS child_rank,
+         round(cs.score, 4) AS child_score
+  FROM topk t
+  JOIN cscore cs ON cs.qid = t.qid AND cs.doc_id = t.parent_id
+)
+SELECT qid, parent_rank, parent_id, chunk_id, child_rank, child_score
+FROM inner_hits WHERE child_rank <= {BJ_INNER}
+"""
 
 
 def q_ft_has_parent(spark, sf_dir):
@@ -11034,6 +11079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rank_eval": q_ft_rank_eval,
         "ft_missing_facet": q_ft_missing_facet,
         "ft_block_join": q_ft_block_join,
+        "ft_block_join_inner": q_ft_block_join_inner,
         "ft_has_parent": q_ft_has_parent,
         "ft_terms_approx": q_ft_terms_approx,
         "ft_phrase_suggest": q_ft_phrase_suggest,
@@ -11378,6 +11424,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "ft_rank_eval": _rank_eval_oracle_sql(),
         "ft_missing_facet": _missing_facet_oracle_sql(),
         "ft_block_join": _block_join_oracle_sql(),
+        "ft_block_join_inner": _block_join_inner_oracle_sql(),
         "ft_has_parent": _has_parent_oracle_sql(),
         "ft_terms_approx": _terms_approx_oracle_sql(),
         "ft_phrase_suggest": _phrase_suggest_oracle_sql(),

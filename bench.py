@@ -348,6 +348,8 @@ def main() -> None:
         "ft_stopword_topk",
         "ft_percolate_qstring",
         "sim_stream_graph_topk",
+        "ft_qstring_explain",
+        "ft_block_join_inner",
     ]
     qfns = E.queries()
     # One-time contract-index builds are SETUP, not headline work: they

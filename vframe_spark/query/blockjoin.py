@@ -127,3 +127,53 @@ def block_join_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "parent_id", "score", "n_child_matches")
     )
+
+
+def block_join_inner_hits(
+    child_postings: DataFrame,
+    child_term_stats: DataFrame,
+    child_meta: dict,
+    queries: Iterable[tuple[int, str]],
+    parent_of: DataFrame,
+    k: int = 10,
+    n_inner: int = 3,
+    score_mode: str = "max",
+    child_col: str = "child_id",
+    parent_col: str = "parent_id",
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """ES ``inner_hits``: for each of the top-``k`` parents of
+    :func:`block_join_topk`, the top-``n_inner`` matching CHILDREN →
+    (qid, parent_rank, parent_id, chunk_id, child_rank, child_score).
+    Children rank on the 4-dp rounded child BM25 (chunk_id ASC ties);
+    ``parent_of`` must carry ``chunk_col`` so hits are addressable
+    without replaying the child-id assignment. Cost: one extra
+    (qid, parent) window over the top-k parents' matched children only
+    — the parent page, not the corpus, bounds it."""
+    parents = block_join_topk(
+        child_postings, child_term_stats, child_meta, queries, parent_of,
+        k=k, score_mode=score_mode, child_col=child_col, parent_col=parent_col,
+    ).select("qid", F.col("rank").alias("parent_rank"), "parent_id")
+    cs = match_scores(child_postings, child_term_stats, child_meta, queries)
+    pmap = parent_of.select(
+        F.col(child_col).alias("doc_id"),
+        F.col(parent_col).alias("parent_id"),
+        F.col(chunk_col).alias("chunk_id"),
+    )
+    hits = (
+        cs.join(pmap, "doc_id")
+        .join(F.broadcast(parents), ["qid", "parent_id"])
+        .withColumn("child_score", F.round("score", 4))
+    )
+    w = Window.partitionBy("qid", "parent_id").orderBy(
+        F.col("child_score").desc(), F.col("chunk_id").asc()
+    )
+    return (
+        hits.withColumn("child_rank", F.row_number().over(w))
+        .filter(F.col("child_rank") <= n_inner)
+        .select(
+            "qid", "parent_rank", "parent_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "child_rank", "child_score",
+        )
+    )
