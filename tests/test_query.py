@@ -1532,3 +1532,48 @@ def test_local_engine_profile(spark, corpus, index):
     assert prof2["df_cache_hits"] == 3
     assert prof2["block_cache_hits"] == 2  # both present terms cached
     assert prof2["fetch_ms"] <= prof["fetch_ms"]
+
+
+def test_block_join_inner_hits_bruteforce(spark, corpus, index):
+    """inner_hits: top-n children per top-k parent vs a python replay
+    (child BM25 → parent fold/rank → per-parent child rank)."""
+    from pyspark.sql import functions as F
+    from vframe_spark.oracle import parse_query_terms
+    from vframe_spark.query.blockjoin import block_join_inner_hits
+
+    docs, oracle = corpus
+    postings, term_stats, _, meta = index
+    parent_of = docs.select(
+        F.col("doc_id").alias("child_id"),
+        (F.col("doc_id") % 17).alias("parent_id"),
+        (F.col("doc_id") % 1000).alias("chunk_id"),
+    )
+    qs = [(1, "data parse"), (2, "hash table")]
+    K, N = 5, 2
+    got = sorted(
+        (r["qid"], r["parent_rank"], r["parent_id"], r["chunk_id"],
+         r["child_rank"], r["child_score"])
+        for r in block_join_inner_hits(
+            postings, term_stats, meta, qs, parent_of, k=K, n_inner=N,
+            score_mode="max",
+        ).collect()
+    )
+    exp = []
+    for qid, q in qs:
+        terms = sorted(set(parse_query_terms(q)))
+        per_parent: dict = {}
+        for d, c in oracle.tf.items():
+            if not any(c.get(t, 0) > 0 for t in terms):
+                continue
+            per_parent.setdefault(d % 17, []).append(
+                (round(oracle.score(terms, d), 4), d % 1000)
+            )
+        folded = sorted(
+            ((p, round(max(s for s, _ in ss), 4)) for p, ss in per_parent.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:K]
+        for prank, (p, _s) in enumerate(folded, 1):
+            kids = sorted(per_parent[p], key=lambda x: (-x[0], x[1]))[:N]
+            for crank, (cs, chunk) in enumerate(kids, 1):
+                exp.append((qid, prank, p, chunk, crank, cs))
+    assert got == sorted(exp)
