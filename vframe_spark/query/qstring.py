@@ -458,24 +458,48 @@ def _expand_leaf(
 ) -> list[tuple[str, int]]:
     """Expansion leaf → its ≤ ``max_expansions`` (term, df) vocab matches,
     (df DESC, term ASC) — ONE vocab-sized scan, never the postings."""
-    if op == "wild":
-        matched = term_stats.filter(
-            F.col("term").like(glob_to_like(meta["pattern"]))
-        )
-    else:
-        d = int(meta["dist"])
-        q = meta["qterm"]
-        matched = term_stats.filter(
-            (F.abs(F.length("term") - F.lit(len(q))) <= d)
-            & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
-        )
+    out = _expand_leaves(term_stats, [("x", op, meta)], max_expansions)
+    return out.get("x", [])
+
+
+def _expand_leaves(
+    term_stats: DataFrame,
+    leaves: list[tuple[str, str, dict]],
+    max_expansions: int,
+) -> dict[str, list[tuple[str, int]]]:
+    """Resolve ALL expansion leaves of a query batch in ONE Spark job
+    (a union of per-leaf vocab filters + one per-leaf cap window) —
+    N leaves cost one job floor, not N. Returns leaf_id → capped
+    (term, df) list, (df DESC, term ASC)."""
+    if not leaves:
+        return {}
+    parts = []
+    for lid, op, meta in leaves:
+        if op == "wild":
+            m = term_stats.filter(
+                F.col("term").like(glob_to_like(meta["pattern"]))
+            )
+        else:
+            d = int(meta["dist"])
+            q = meta["qterm"]
+            m = term_stats.filter(
+                (F.abs(F.length("term") - F.lit(len(q))) <= d)
+                & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
+            )
+        parts.append(m.select(F.lit(lid).alias("lid"), "term", "df"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("lid").orderBy(F.col("df").desc(), F.col("term").asc())
     rows = (
-        matched.select("term", "df")
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(max_expansions)
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
         .collect()
     )
-    return [(r["term"], int(r["df"])) for r in rows]
+    out: dict[str, list[tuple[str, int]]] = {}
+    for r in sorted(rows, key=lambda r: (r["lid"], -r["df"], r["term"])):
+        out.setdefault(r["lid"], []).append((r["term"], int(r["df"])))
+    return out
 
 
 def _local_mask_rows(
@@ -605,6 +629,12 @@ def query_string_topk(
     qrows: list[tuple[int, str, int, float]] = []
     phrase_defs: dict[int, list[tuple[str, list[str]]]] = {}
     bits = {qid: c.bit_of for qid, c in compiled.items()}
+    leaf_specs = [
+        (f"{qid}\x00{key}", op, lmeta)
+        for qid, c in compiled.items()
+        for key, op, lmeta, _w in c.xleaves
+    ]
+    expansions = _expand_leaves(term_stats, leaf_specs, max_expansions)
     for qid, c in compiled.items():
         if c.phrases:
             if not meta.get("positions"):
@@ -619,7 +649,7 @@ def query_string_topk(
                     (qid, t, c.bit_of[t], w * idf_value(n_docs, dfs[t]) if w else 0.0)
                 )
         for key, op, lmeta, w in c.xleaves:
-            for t, df in _expand_leaf(term_stats, op, lmeta, max_expansions):
+            for t, df in expansions.get(f"{qid}\x00{key}", []):
                 qrows.append(
                     (qid, t, c.bit_of[key], w * idf_value(n_docs, df) if w else 0.0)
                 )
@@ -1137,6 +1167,13 @@ def query_string_explain(
         r["term"]: int(r["df"])
         for r in tstats.filter(F.col("term").isin(plain)).collect()
     } if plain else {}
+    leaf_specs = [
+        (f"{qid}\x00{key}", op, lmeta)
+        for qid, c in compiled.items()
+        for key, op, lmeta, w in c.xleaves
+        if w
+    ]
+    expansions = _expand_leaves(tstats, leaf_specs, max_expansions)
     for qid, c in compiled.items():
         for t, w in c.term_w.items():
             if w and t in dfs:
@@ -1144,7 +1181,7 @@ def query_string_explain(
         for key, op, lmeta, w in c.xleaves:
             if not w:
                 continue
-            for t, df in _expand_leaf(tstats, op, lmeta, max_expansions):
+            for t, df in expansions.get(f"{qid}\x00{key}", []):
                 qrows.append((qid, t, c.bit_of[key], w * idf_value(n_docs, df)))
     if not qrows:
         return spark.createDataFrame(
