@@ -860,6 +860,28 @@ def _index_stats_oracle_sql() -> str:
     return index_stats_duckdb_sql(TOK_SQL, shard_size=256, block_size=64)
 
 
+def q_ft_index_fsck(spark, sf_dir):
+    """Structural index fsck (index/verify.py verify_index): the
+    manifest ledger vs committed slice data, term/doc stats vs the
+    postings store, meta totals vs the data — per-slice counts shuffle
+    manifest-sized keys only, the term audit is one vocab-sized
+    full-outer join, globals are 1-row aggregates. The oracle replays
+    the report a HEALTHY index must emit from the source corpus by
+    layout arithmetic (slice = doc_id // (shard_size·shards_per_slice)),
+    pinning both the on-disk ledger format and the all-ok verdict."""
+    from vframe_spark.index.verify import verify_index
+
+    _ft_index(spark, sf_dir)  # ensure the cached index exists
+    return verify_index(spark, _INDEX_CACHE[sf_dir])
+
+
+def _index_fsck_oracle_sql() -> str:
+    from vframe_spark.index.verify import verify_index_duckdb_sql
+
+    # mirrors _ft_index's build knobs: shard_size=256, shards_per_slice=4
+    return verify_index_duckdb_sql(TOK_SQL, shard_size=256, shards_per_slice=4)
+
+
 def _qstring_oracle_sql() -> str:
     from vframe_spark.query.qstring import query_string_oracle_sql
 
@@ -11053,6 +11075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percolate_qstring": q_ft_percolate_qstring,
         "ft_qstring_explain": q_ft_qstring_explain,
         "ft_index_stats": q_ft_index_stats,
+        "ft_index_fsck": q_ft_index_fsck,
         "ft_upsert_topk": q_ft_upsert_topk,
         "ft_boosting_topk": q_ft_boosting_topk,
         "ft_composite_facets": q_ft_composite_facets,
@@ -11395,6 +11418,7 @@ pages AS (
 SELECT qid, rank, term, df FROM pages WHERE rank <= 15
 """,
         "ft_index_stats": _index_stats_oracle_sql(),
+        "ft_index_fsck": _index_fsck_oracle_sql(),
         "ft_stopword_topk": _stopword_oracle_sql(),
         "ft_percolate_qstring": _qsperc_oracle_sql(),
         "ft_qstring_explain": _qstring_explain_oracle_sql(),

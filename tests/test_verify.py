@@ -79,3 +79,66 @@ def test_old_index_without_sha_raises(spark, built):
     _, _, doc_stats, _ = load_index(spark, out)
     with pytest.raises(ValueError, match="content_sha"):
         verify_content(doc_stats.drop("content_sha"), docs)
+
+
+# ---------------------------------------------------------------- fsck
+
+
+def test_fsck_clean_index_all_ok(spark, built):
+    from vframe_spark.index.verify import verify_index
+
+    _, out = built
+    rep = verify_index(spark, out, check_bytes=True).collect()
+    assert rep, "fsck produced no check rows"
+    bad = [r.asDict() for r in rep if r["status"] != "ok"]
+    assert bad == []
+    names = {r["check_name"] for r in rep}
+    assert {"slice_docs", "slice_len", "slice_postings", "slice_bytes",
+            "meta_docs", "meta_len", "term_df", "manifest_status"} <= names
+    # per-slice rows for every committed slice, plus the -1 globals
+    assert {r["scope"] for r in rep if r["check_name"] == "slice_docs"} == {0}
+
+
+def test_fsck_facade(spark, built):
+    _, out = built
+    idx = SearchIndex(spark, out)
+    assert idx.fsck().filter(F.col("status") != "ok").count() == 0
+
+
+def test_fsck_detects_tampered_manifest_and_missing_data(spark, built):
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from vframe_spark.index.builder import MANIFEST_SCHEMA
+    from vframe_spark.index.verify import verify_index
+
+    _, out = built
+    broken = tempfile.mkdtemp(prefix="vf_fsck_broken_")
+    shutil.rmtree(broken)
+    shutil.copytree(out, broken)
+
+    # 1) inflate the manifest's posting count for slice 0
+    import pyarrow as pa
+
+    mf = sorted(glob.glob(os.path.join(broken, "_manifest", "*.parquet")))[0]
+    rows = pq.read_table(mf).to_pylist()
+    rows[0]["n_postings"] += 7
+    pq.write_table(pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA), mf)
+
+    # 2) drop one committed postings bucket file entirely
+    victim = sorted(
+        glob.glob(os.path.join(broken, "postings", "**", "*.parquet"),
+                  recursive=True)
+    )[0]
+    os.remove(victim)
+
+    rep = verify_index(spark, broken)
+    bad = {r["check_name"] for r in rep.filter(F.col("status") != "ok").collect()}
+    assert "slice_postings" in bad       # both tamperings surface here
+    assert "term_df" in bad              # lost bucket breaks term_stats df
+    # the untouched doc_stats side still verifies
+    ok = {r["check_name"] for r in rep.filter(F.col("status") == "ok").collect()}
+    assert "slice_docs" in ok and "meta_docs" in ok

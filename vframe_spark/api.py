@@ -1057,6 +1057,15 @@ class SearchIndex:
         return verify_content(doc_stats, docs, id_col=id_col,
                               content_col=content_col, include_ok=include_ok)
 
+    def fsck(self, check_bytes: bool = False) -> DataFrame:
+        """Structural self-audit — manifest ↔ committed slices ↔
+        term/doc stats ↔ meta totals, no source table needed; every row
+        ``status='ok'`` on a healthy index. See
+        `index.verify.verify_index`."""
+        from .index.verify import verify_index
+
+        return verify_index(self.spark, self.out_dir, check_bytes=check_bytes)
+
     # -- round-2-final query surfaces ---------------------------------------
 
     def suggest(self, prefix: str | list[tuple[int, str]], k: int = 10) -> DataFrame:

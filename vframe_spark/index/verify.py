@@ -76,3 +76,222 @@ def verify_content(
         .alias("status"),
     )
     return joined if include_ok else joined.filter(F.col("status") != STATUS_OK)
+
+
+# ---------------------------------------------------------------------------
+# Structural fsck: manifest ↔ on-disk slices ↔ term/doc stats ↔ meta.
+#
+# The piece an operator reaches for after a crash mid-compaction: does
+# every manifest slice's committed data actually exist with the recorded
+# row counts, do the derived stats stores agree with the postings, and
+# do the meta.json totals agree with the data? Every check is a bounded
+# aggregation: per-slice counts shuffle manifest-sized keys (one row per
+# slice), the term check is one vocab-sized groupBy, and only 1-row
+# totals ever reach the driver.
+#
+# Reference analog: the stale/dead cache-row accounting of the sha256
+# dedup cache integrity pass (/root/reference/src/commands/dedup/
+# sha256.py:74-105) — the same "does the recorded ledger still describe
+# the bytes on disk" audit, applied to the index manifest.
+
+#: fsck check names (scope = slice id, or -1 for index-global checks)
+CHECK_SLICE_DOCS = "slice_docs"          # manifest n_docs    vs doc_stats rows
+CHECK_SLICE_LEN = "slice_len"            # manifest total_len vs Σ doc_len
+CHECK_SLICE_POSTINGS = "slice_postings"  # manifest n_postings vs Σ block n
+CHECK_META_DOCS = "meta_docs"            # meta n_docs    vs doc_stats rows
+CHECK_META_LEN = "meta_len"              # meta total_len vs Σ doc_len
+CHECK_TERM_DF = "term_df"                # terms whose stats df == postings Σn
+CHECK_MANIFEST = "manifest_status"       # slices present+done vs expected
+
+FSCK_SCHEMA = "check_name string, scope bigint, expected bigint, actual bigint"
+
+
+def verify_index(spark, out_dir: str, check_bytes: bool = False) -> "DataFrame":
+    """Structural index fsck → ``(check_name, scope, expected, actual,
+    status)``, one row per check, ordered. A healthy index reports
+    ``status='ok'`` on every row; divergence reports ``mismatch``.
+
+    Checks: per done slice, the committed doc_stats row count /
+    Σ doc_len / postings Σn against the manifest ledger; globally, the
+    meta.json totals against the committed data, every term_stats df
+    against the postings store, and the manifest itself (all slices
+    0..n-1 present with status done). ``check_bytes=True`` additionally
+    audits per-slice compressed payload bytes against the manifest
+    (codec-dependent, so excluded from the cross-engine contract query).
+    """
+    import json
+    import os
+
+    from .builder import IndexPaths, read_manifest
+
+    paths = IndexPaths(out_dir)
+    manifest = read_manifest(paths)
+    meta = json.load(open(paths.meta))
+
+    man = spark.createDataFrame(
+        [
+            (int(s), int(r["n_docs"]), int(r["total_len"]), int(r["n_postings"]),
+             int(r["bytes_compressed"]))
+            for s, r in manifest.items()
+        ],
+        "scope bigint, m_docs bigint, m_len bigint, m_post bigint, m_bytes bigint",
+    )
+
+    import glob as _glob
+
+    if _glob.glob(os.path.join(paths.doc_stats, "**", "*.parquet"), recursive=True):
+        dstats = spark.read.parquet(paths.doc_stats)
+        d_act = dstats.groupBy(F.col("slice").cast("bigint").alias("scope")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("a_docs"),
+            F.sum("doc_len").cast("bigint").alias("a_len"),
+        )
+    else:
+        d_act = spark.createDataFrame([], "scope bigint, a_docs bigint, a_len bigint")
+
+    have_postings = bool(
+        _glob.glob(os.path.join(paths.postings, "**", "*.parquet"), recursive=True)
+    )
+    if have_postings:
+        postings = spark.read.parquet(paths.postings)
+        p_act = postings.groupBy(F.col("slice").cast("bigint").alias("scope")).agg(
+            F.sum("n").cast("bigint").alias("a_post"),
+            (
+                F.sum(F.length("doc_ids")) + F.sum(F.length("tfs"))
+                + F.sum(F.length("dls"))
+                + (F.sum(F.length("pos")) if "pos" in postings.columns else F.lit(0))
+            ).cast("bigint").alias("a_bytes"),
+        )
+    else:
+        p_act = spark.createDataFrame(
+            [], "scope bigint, a_post bigint, a_bytes bigint"
+        )
+
+    joined = (
+        man.join(d_act, "scope", "full_outer")
+        .join(p_act, "scope", "full_outer")
+        .select(
+            "scope",
+            *(F.coalesce(c, F.lit(0)).alias(c) for c in
+              ("m_docs", "m_len", "m_post", "m_bytes", "a_docs", "a_len",
+               "a_post", "a_bytes")),
+        )
+    )
+
+    def _check(name: str, exp: str, act: str) -> DataFrame:
+        return joined.select(
+            F.lit(name).alias("check_name"),
+            "scope",
+            F.col(exp).alias("expected"),
+            F.col(act).alias("actual"),
+        )
+
+    slice_checks = (
+        _check(CHECK_SLICE_DOCS, "m_docs", "a_docs")
+        .unionByName(_check(CHECK_SLICE_LEN, "m_len", "a_len"))
+        .unionByName(_check(CHECK_SLICE_POSTINGS, "m_post", "a_post"))
+    )
+    if check_bytes:
+        slice_checks = slice_checks.unionByName(
+            _check("slice_bytes", "m_bytes", "a_bytes")
+        )
+
+    # global totals: two 1-row aggregates (bounded driver collects)
+    tot = d_act.agg(
+        F.sum("a_docs").alias("nd"), F.sum("a_len").alias("tl")
+    ).collect()[0]
+    a_docs_total, a_len_total = int(tot["nd"] or 0), int(tot["tl"] or 0)
+
+    # term check: vocab-sized groupBy on each side, one full-outer
+    # equi-join, ONE 1-row aggregate — expected counts terms present in
+    # EITHER store (so orphans on both sides are caught), actual counts
+    # terms whose df agrees exactly.
+    term_stats = spark.read.parquet(paths.term_stats)
+    if have_postings:
+        by_term = postings.groupBy("term").agg(F.sum("n").alias("a_df"))
+        trow = (
+            term_stats.join(by_term, "term", "full_outer")
+            .agg(
+                F.count(F.lit(1)).alias("u"),
+                F.count(F.when(F.col("df") == F.col("a_df"), 1)).alias("m"),
+            )
+            .collect()[0]
+        )
+        vocab, n_match = int(trow["u"]), int(trow["m"])
+    else:
+        vocab, n_match = term_stats.count(), 0
+
+    n_slices = (max(manifest) + 1) if manifest else 0
+    n_done = sum(
+        1 for s in range(n_slices)
+        if manifest.get(s, {}).get("status") == "done"
+    )
+    global_rows = spark.createDataFrame(
+        [
+            (CHECK_META_DOCS, -1, int(meta["n_docs"]), a_docs_total),
+            (CHECK_META_LEN, -1, int(meta["total_len"]), a_len_total),
+            (CHECK_TERM_DF, -1, int(vocab), int(n_match)),
+            (CHECK_MANIFEST, -1, int(n_slices), int(n_done)),
+        ],
+        FSCK_SCHEMA,
+    )
+
+    return (
+        slice_checks.unionByName(global_rows)
+        .select(
+            "check_name", "scope", "expected", "actual",
+            F.when(F.col("expected") == F.col("actual"), F.lit(STATUS_OK))
+            .otherwise(F.lit(STATUS_MISMATCH))
+            .alias("status"),
+        )
+        .orderBy("check_name", "scope")
+    )
+
+
+def verify_index_duckdb_sql(
+    tok_sql: str,
+    shard_size: int,
+    shards_per_slice: int,
+    docs_table: str = "documents",
+) -> str:
+    """The fsck report a HEALTHY index must produce, derived from the
+    SOURCE corpus by pure layout arithmetic (slice = doc_id //
+    (shard_size·shards_per_slice)) — the same cross-engine pinning
+    discipline as ``index_stats_duckdb_sql``."""
+    span = int(shard_size) * int(shards_per_slice)
+    return f"""
+WITH toks AS (SELECT doc_id, {tok_sql} AS t FROM {docs_table}),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+pairs AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+ns AS (SELECT (max(doc_id) // {span})::BIGINT AS hi FROM {docs_table}),
+slices AS (SELECT unnest(generate_series(0, (SELECT hi FROM ns)))::BIGINT AS scope),
+sdocs AS (SELECT (doc_id // {span})::BIGINT AS scope, count(*)::BIGINT AS v
+          FROM {docs_table} GROUP BY 1),
+slen AS (SELECT (doc_id // {span})::BIGINT AS scope, sum(len(t))::BIGINT AS v
+         FROM toks GROUP BY 1),
+spost AS (SELECT (doc_id // {span})::BIGINT AS scope, count(*)::BIGINT AS v
+          FROM pairs GROUP BY 1),
+vocab AS (SELECT count(DISTINCT term)::BIGINT AS v FROM pairs),
+tot AS (SELECT (SELECT count(*) FROM {docs_table})::BIGINT AS nd,
+               (SELECT sum(len(t)) FROM toks)::BIGINT AS tl)
+SELECT * FROM (
+  SELECT 'slice_docs' AS check_name, s.scope, coalesce(d.v, 0) AS expected,
+         coalesce(d.v, 0) AS actual, 'ok' AS status
+  FROM slices s LEFT JOIN sdocs d USING (scope)
+  UNION ALL
+  SELECT 'slice_len', s.scope, coalesce(l.v, 0), coalesce(l.v, 0), 'ok'
+  FROM slices s LEFT JOIN slen l USING (scope)
+  UNION ALL
+  SELECT 'slice_postings', s.scope, coalesce(p.v, 0), coalesce(p.v, 0), 'ok'
+  FROM slices s LEFT JOIN spost p USING (scope)
+  UNION ALL
+  SELECT 'meta_docs', -1, nd, nd, 'ok' FROM tot
+  UNION ALL
+  SELECT 'meta_len', -1, tl, tl, 'ok' FROM tot
+  UNION ALL
+  SELECT 'term_df', -1, v, v, 'ok' FROM vocab
+  UNION ALL
+  SELECT 'manifest_status', -1, (SELECT hi FROM ns) + 1,
+         (SELECT hi FROM ns) + 1, 'ok'
+)
+ORDER BY check_name, scope
+"""
