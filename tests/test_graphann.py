@@ -190,7 +190,10 @@ def test_compact_equals_scratch_build(spark, built, tmp_path_factory):
     assert load_graph_meta(out2)["next_shard"] == base_shards + 2
     queries = [(1, [float(x) for x in m[99]]), (2, [float(x) for x in m2[45]])]
     meta = compact_graph_index(spark, out2, n_shards=3)
-    assert meta["n_vectors"] == base_vecs + 90 and meta["next_shard"] == 3
+    # next_shard stays MONOTONIC across a force-merge (never reset to
+    # n_shards) so later appends can't collide with retired segment ids
+    assert meta["n_vectors"] == base_vecs + 90
+    assert meta["next_shard"] == base_shards + 2
     after = graph_index_topk(spark, out2, queries, k=3, ef_search=64)
     got = sorted((r["qid"], r["rank"], r["vec_id"]) for r in after.collect())
     # top hits survive the merge (exact self-vectors must stay rank 1)
@@ -210,3 +213,86 @@ def test_compact_equals_scratch_build(spark, built, tmp_path_factory):
         for r in graph_index_topk(spark, scratch, queries, k=3, ef_search=64).collect()
     )
     assert got == got2
+
+
+def test_compact_carries_batch_ledger_and_replay_noops(spark, tmp_path_factory):
+    from vframe_spark.index.graphann import compact_graph_index
+
+    m = _vectors(180, seed=41)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(90)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = str(tmp_path_factory.mktemp("gledger")) + "/idx"
+    write_graph_index(emb, out, n_shards=2, m_edges=6, ef_construction=32)
+    delta = spark.createDataFrame(
+        [(90 + i, [float(x) for x in m[90 + i]]) for i in range(90)],
+        "vec_id bigint, embedding array<double>",
+    )
+    append_graph_index(delta, out, n_shards=2, batch_key="b-1")
+    meta = compact_graph_index(spark, out, n_shards=2)
+    # ledger survives the force-merge, marked applied
+    assert meta["batches"]["b-1"]["compacted"] is True
+    assert meta["next_shard"] == 4  # monotonic, not reset to 2
+    n_rows = spark.read.option("basePath", out + "/graph").parquet(
+        out + "/graph"
+    ).count()
+    # a foreachBatch redelivery straddling the compaction must NO-OP —
+    # no new segments, no clobbered compacted shards, no duplicates
+    m2 = append_graph_index(delta, out, n_shards=2, batch_key="b-1")
+    assert m2["next_shard"] == 4
+    assert spark.read.option("basePath", out + "/graph").parquet(
+        out + "/graph"
+    ).count() == n_rows
+    # and a genuinely new batch lands at fresh ids past the retired range
+    delta2 = spark.createDataFrame(
+        [(500, [float(x) for x in m[0]])], "vec_id bigint, embedding array<double>"
+    )
+    m3 = append_graph_index(delta2, out, n_shards=2, batch_key="b-2")
+    assert m3["batches"]["b-2"]["base"] == 4 and m3["next_shard"] == 6
+
+
+def test_compact_swap_crash_windows_recover(spark, tmp_path_factory):
+    import json
+    import os
+    import shutil
+
+    from vframe_spark.index.graphann import (
+        _compact_marker,
+        repair_graph_compaction,
+    )
+
+    m = _vectors(60, seed=51)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    base = str(tmp_path_factory.mktemp("gcrash"))
+    out = base + "/idx"
+    write_graph_index(emb, out, n_shards=2, m_edges=6, ef_construction=32)
+
+    def simulate(window):
+        """Recreate each crash window's on-disk state from a healthy
+        index + a fake staged tree, then assert recovery restores a
+        loadable index at ``out``."""
+        stage, old = base + f"/stage_{window}", out + ".old"
+        shutil.copytree(out, stage)
+        with open(_compact_marker(out) + ".tmp", "w") as fh:
+            json.dump({"stage": stage, "old": old}, fh)
+        os.replace(_compact_marker(out) + ".tmp", _compact_marker(out))
+        if window == "pre_swap":
+            pass  # out_dir + stage both present
+        elif window == "mid_swap":
+            os.replace(out, old)  # out_dir gone, stage present
+        repair_graph_compaction(out)
+        assert not os.path.exists(_compact_marker(out))
+        assert os.path.isdir(out) and not os.path.isdir(stage)
+        assert load_graph_meta(out)["n_vectors"] == 60
+
+    simulate("pre_swap")
+    simulate("mid_swap")
+    # queries still reproduce after both recoveries
+    got = graph_index_topk(
+        spark, out, [(1, [float(x) for x in m[7]])], k=2, ef_search=48
+    ).collect()
+    assert int(min(got, key=lambda r: r["rank"])["vec_id"]) == 7

@@ -65,8 +65,20 @@ def test_parser_boosts():
     assert c.term_w["hash"] == 1.5 and c.term_w["index"] == 1.5
 
 
+def test_parser_range_boost():
+    # a boost suffix on a bracketed range rides the range atom itself —
+    # it must NOT tokenize into a phantom term atom '2' (ADVICE r3)
+    t = parse_query_string("n_chars:[150 TO 400]^2 AND vector", KW, NUM)
+    rng = t.kids[0]
+    assert rng.op == "attr" and rng.meta["kind"] == "range"
+    assert rng.boost == 2.0 and rng.meta["lo"] == "150"
+    t2 = parse_query_string("n_chars:{100 TO 500}^1.5 OR merge", KW, NUM)
+    assert t2.kids[0].boost == 1.5 and not t2.kids[0].meta["incl_lo"]
+
+
 def test_parser_rejections():
     for bad in (
+        "foo ^2",                         # dangling boost token
         "NOT cache",                      # pure negative
         "-cache",                         # same, sugared
         "cache OR NOT merge",             # satisfiable by empty doc

@@ -357,3 +357,18 @@ def test_hll_cumulative_expanding_union(spark):
         assert got[b] == fresh["est"], b
         assert got[b] >= prev
         prev = got[b]
+
+
+def test_kmv_overlap_group_cardinality_guard(spark, monkeypatch):
+    import vframe_spark.operators.sketch as sk
+
+    df = spark.range(40).selectExpr(
+        "concat('g', id % 20) AS grp", "concat('v', id) AS val"
+    )
+    state = sk.kmv_state(df, "val", by=["grp"], k=8)
+    monkeypatch.setattr(sk, "KMV_OVERLAP_MAX_GROUPS", 10)
+    with pytest.raises(ValueError, match="distinct"):
+        sk.kmv_overlap(state, "grp", k=8)
+    # at or under the cap the enumeration still runs
+    monkeypatch.setattr(sk, "KMV_OVERLAP_MAX_GROUPS", 20)
+    assert sk.kmv_overlap(state, "grp", k=8).count() == 20 * 19 // 2

@@ -102,3 +102,18 @@ def test_phrase_matches_across_removed_stopword(spark, corpus, tmp_path_factory)
     # doc 0 matches THROUGH the removed stopword (posinc=0 semantics);
     # doc 1 ("hash join table") must NOT match
     assert got == [0]
+
+
+def test_non_canonical_stop_terms_rejected(spark, corpus):
+    # 'The' / "o'clock" don't round-trip the tokenizer — both backends
+    # would silently filter nothing, so the entry point raises (ADVICE r3)
+    docs, _oracle = corpus
+    for bad in (["The"], ["o'clock"], ["hash-table"], ["two words"]):
+        with pytest.raises(ValueError, match="canonical"):
+            tokenize_docs(docs, lang_col=None, stop_terms=bad)
+    # canonical lowercase entries still work in both backends
+    for backend in ("pandas", "expr"):
+        n = tokenize_docs(
+            docs, lang_col=None, backend=backend, stop_terms=["the"]
+        ).filter("term = 'the'").count()
+        assert n == 0

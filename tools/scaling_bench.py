@@ -653,6 +653,15 @@ if __name__ == "__main__":
         # driver-recorded headline so the official per-round record
         # carries the north_rule scaling evidence
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            import subprocess
+
+            rep["git_head"] = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True,
+                text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            pass
         with open(os.path.join(repo, "SCALING.json"), "w") as fh:
             json.dump(rep, fh, indent=1)
         print(json.dumps(rep))

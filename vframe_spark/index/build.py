@@ -81,6 +81,28 @@ def term_bucket_expr(col, n_buckets: int = DEFAULT_TERM_BUCKETS):
     ).cast("int")
 
 
+def _canonical_stop_terms(
+    stop_terms: "frozenset[str] | set[str] | list[str] | None",
+) -> "frozenset[str] | None":
+    """Validate the stopword list: every entry must BE a canonical index
+    term (round-trip the tokenizer unchanged). Both backends compare
+    canonical tokens against the raw set, so a non-canonical entry
+    ('The', 'hash-table') would silently filter NOTHING — raise instead
+    of shipping a no-op analyzer."""
+    if not stop_terms:
+        return None
+    from ..functions.tokenizer import tokenize_py
+
+    stop = frozenset(stop_terms)
+    bad = sorted(t for t in stop if tokenize_py(t) != [t])
+    if bad:
+        raise ValueError(
+            "stop_terms must be canonical index terms (each must tokenize "
+            f"to exactly itself); offending entries: {bad[:5]!r}"
+        )
+    return stop
+
+
 def tokenize_docs(
     docs: DataFrame,
     content_col: str = "content",
@@ -115,7 +137,7 @@ def tokenize_docs(
       where Python workers are unavailable, and as an independent
       implementation the tests cross-check against the Arrow kernel.
     """
-    stop = frozenset(stop_terms) if stop_terms else None
+    stop = _canonical_stop_terms(stop_terms)
     if backend == "expr":
         if positions:
             raise ValueError("positions=True requires the pandas backend")
@@ -253,7 +275,9 @@ def _tokenize_docs_expr(
 
     tok = tokenize_sql(content_col)
     if stop:
-        stops = ", ".join(f"'{t}'" for t in sorted(stop))
+        # '' escaping: a quote can't survive canonicalization, but the
+        # interpolated SQL must be injection-proof regardless
+        stops = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(stop))
         tok = f"filter({tok}, _sw -> _sw NOT IN ({stops}))"
     if lang_col:
         all_toks = (

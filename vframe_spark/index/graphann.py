@@ -194,6 +194,12 @@ def append_graph_index(
     replay = False
     if batch_key is not None and batch_key in meta.get("batches", {}):
         alloc = meta["batches"][batch_key]
+        if alloc.get("compacted"):
+            # the batch's vectors are already inside the force-merged
+            # segments; re-landing its old shard ids would clobber a
+            # compacted segment and duplicate vectors — exactly-once
+            # here means NO-OP
+            return meta
         base, add, replay = int(alloc["base"]), int(alloc["add"]), True
     else:
         base = int(meta["next_shard"])
@@ -221,7 +227,44 @@ def append_graph_index(
     return meta
 
 
+def _compact_marker(out_dir: str) -> str:
+    return out_dir.rstrip("/") + ".compact_marker"
+
+
+def repair_graph_compaction(out_dir: str) -> None:
+    """Finish (or roll back) a compaction interrupted mid-swap. The
+    marker file next to ``out_dir`` names the staged tree; each crash
+    window maps to exactly one observable state:
+
+    - stage + out_dir both present → crashed before the swap began:
+      discard the stage (the compaction never took effect).
+    - stage present, out_dir missing → crashed between the two renames:
+      finish the swap.
+    - out_dir present, stage gone → swap completed: clean up.
+    - both missing → restore the ``.old`` backup.
+    """
+    import shutil
+
+    marker = _compact_marker(out_dir)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as fh:
+        st = json.load(fh)
+    stage, old = st["stage"], st["old"]
+    if os.path.isdir(out_dir) and os.path.isdir(stage):
+        shutil.rmtree(stage, ignore_errors=True)
+    elif os.path.isdir(stage):
+        os.replace(stage, out_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(out_dir):
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        os.replace(old, out_dir)
+    os.remove(marker)
+
+
 def load_graph_meta(out_dir: str) -> dict:
+    repair_graph_compaction(out_dir)
     with open(os.path.join(out_dir, "meta.json")) as fh:
         return json.load(fh)
 
@@ -238,6 +281,7 @@ def graph_index_topk(
     (no rebuild), segments × queries × k rows into one bounded merge."""
     from ..operators.similarity import hnsw_search
 
+    repair_graph_compaction(out_dir)
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     qm = np.array([q[1] for q in queries], dtype=np.float64)
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
@@ -286,7 +330,17 @@ def compact_graph_index(
     ``next_shard`` segments to ``n_shards``. Build is deterministic
     (hash sharding, sorted-id insertion), so compacting equals a scratch
     build over the same vectors exactly — staged into a temp dir and
-    swapped with os.replace, the snapshot/alias discipline."""
+    swapped behind a recovery marker (`repair_graph_compaction` finishes
+    or rolls back an interrupted swap on next load, the text index's
+    repair_compaction discipline).
+
+    The exactly-once batch ledger survives compaction: every allocated
+    batch is carried into the new meta marked ``compacted`` (a streaming
+    redelivery that straddles the compaction becomes a no-op instead of
+    duplicating its vectors), and ``next_shard`` stays monotonic so new
+    appends never collide with retired segment ids. Any
+    graph_index_stream should still be quiesced across a force-merge —
+    an append RACING the compaction's read can be lost."""
     import shutil
     import tempfile as _tf
 
@@ -302,9 +356,24 @@ def compact_graph_index(
         vecs, stage, n_shards=shards, m_edges=meta["m_edges"],
         ef_construction=meta["ef_construction"], max_level=meta["max_level"],
     )
+    # carry the ledger: every pre-compaction batch is fully applied
+    # (the rebuild read committed data), so replays must no-op
+    new_meta["batches"] = {
+        k: {**v, "compacted": True} for k, v in meta.get("batches", {}).items()
+    }
+    new_meta["next_shard"] = max(int(meta.get("next_shard", shards)), shards)
+    with open(os.path.join(stage, "meta.json"), "w") as fh:
+        json.dump(new_meta, fh)
+
     old = out_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
+    marker = _compact_marker(out_dir)
+    tmp_marker = marker + ".tmp"
+    with open(tmp_marker, "w") as fh:
+        json.dump({"stage": stage, "old": old}, fh)
+    os.replace(tmp_marker, marker)
     os.replace(out_dir, old)
     os.replace(stage, out_dir)
+    os.remove(marker)
     shutil.rmtree(old, ignore_errors=True)
     return new_meta

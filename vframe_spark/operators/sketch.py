@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 
 HASH_BITS = 60  # 15 hex chars of md5 — positive in BIGINT everywhere
 
+#: `kmv_overlap` builds C(n,2) group pairs on the driver; above this
+#: many distinct groups it raises instead (see its docstring)
+KMV_OVERLAP_MAX_GROUPS = 256
+
 
 def _alpha(m: int) -> float:
     if m == 16:
@@ -391,7 +395,21 @@ def kmv_overlap(
     from pyspark.sql import Window
 
     spark = state.sparkSession
-    groups = sorted(r[0] for r in state.select(group_col).distinct().collect())
+    # all-pairs enumeration is meant for a handful of NAMED corpora —
+    # one limit(cap+1) job detects a high-cardinality group column
+    # without counting it (the load_tombstones_capped pattern) and
+    # raises instead of building an O(n²) driver loop
+    probe = state.select(group_col).distinct().limit(
+        KMV_OVERLAP_MAX_GROUPS + 1
+    ).collect()
+    if len(probe) > KMV_OVERLAP_MAX_GROUPS:
+        raise ValueError(
+            f"kmv_overlap enumerates all C(n,2) group pairs driver-side; "
+            f"{group_col!r} has more than {KMV_OVERLAP_MAX_GROUPS} distinct "
+            "values — pre-aggregate to named corpora, or raise "
+            "KMV_OVERLAP_MAX_GROUPS deliberately"
+        )
+    groups = sorted(r[0] for r in probe)
     pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]]
     if not pairs:
         return spark.createDataFrame(

@@ -103,8 +103,8 @@ _TOKEN_RE = re.compile(
     r'"[^"]*"(?:\^\d+(?:\.\d+)?)?'          # phrase (optional boost)
     r"|\(|\)"
     r"|\bAND\b|\bOR\b|\bNOT\b"
-    r"|[+-]?[^\s():]+:\[[^\]]*\]"           # inclusive range (holds spaces)
-    r"|[+-]?[^\s():]+:\{[^}]*\}"            # exclusive range
+    r"|[+-]?[^\s():]+:\[[^\]]*\](?:\^\d+(?:\.\d+)?)?"  # incl. range (holds spaces, opt boost)
+    r"|[+-]?[^\s():]+:\{[^}]*\}(?:\^\d+(?:\.\d+)?)?"   # excl. range (opt boost)
     r"|[^\s()]+"                            # word / field:value / fuzzy / glob
 )
 
@@ -280,6 +280,10 @@ def parse_query_string(
             return node
         if t in (")", "AND", "OR"):
             raise ValueError(f"misplaced {t!r} in query: {query!r}")
+        if t.startswith("^"):
+            # a dangling boost means the preceding atom's tokenizer rule
+            # didn't consume it — raise rather than score a phantom term
+            raise ValueError(f"dangling boost {t!r} in query: {query!r}")
         tok = take()
         if tok.startswith('"'):
             body, boost = _strip_boost(tok)
