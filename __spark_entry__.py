@@ -2021,20 +2021,22 @@ def q_sketch_mg_heavyhitters(spark, sf_dir):
     """Misra-Gries heavy hitters over the corpus token stream — the
     mergeable top-k frequency summary that completes the sketch family
     (HLL cardinality / CMS point-freq / KMV overlap / Bloom membership
-    / MG heavy hitters): per-partition k-counter summaries fold in one
-    Arrow pass and merge via the same offset reduce; only partitions x
-    k counters ever move. k=8 over ~31 distinct tokens forces real
-    decrements. Summary estimates aren't SQL-replayable (rows-only);
-    the guarantee is surfaced IN the output: exact counts join back and
-    bound_ok asserts est <= true <= est + err for every returned item
-    (operators/sketch.py mg_heavy_hitters)."""
+    / MG heavy hitters). Promoted to a FULL oracle in r4 via the
+    deterministic variant (operators/sketch.py mg_heavy_hitters_df):
+    items group by the portable md5-60bit hash instead of physical
+    partitions, each group folds its exact counts through one offset
+    reduce, and the ≤ groups·k survivors merge through one more —
+    layout-independent, 100% JVM, and replayed value-for-value by
+    DuckDB (mg_heavy_hitters_duckdb_sql). k=8 over ~31 distinct tokens
+    forces real decrements in every group. Exact counts join back and
+    bound_ok pins the MG guarantee est <= true <= est + err in-output;
+    the streaming/driver variant keeps its brute-force pytest."""
     from vframe_spark.functions.tokenizer import tokenize_expr
-    from vframe_spark.operators.sketch import mg_heavy_hitters
+    from vframe_spark.operators.sketch import mg_heavy_hitters_df
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokenize_expr(F.col("text"))).alias("tok"))
-    hh = mg_heavy_hitters(toks, "tok", k=8, top=10)
-    est = spark.createDataFrame(hh, "item string, est long, err_bound long")
+    est = mg_heavy_hitters_df(toks, "tok", k=8, top=10, n_groups=4)
     exact = toks.groupBy(F.col("tok").alias("item")).agg(
         F.count("*").alias("exact")
     )
@@ -2049,6 +2051,28 @@ def q_sketch_mg_heavyhitters(spark, sf_dir):
             ).alias("bound_ok"),
         )
     )
+
+
+def _mg_oracle_sql() -> str:
+    from vframe_spark.operators.sketch import mg_heavy_hitters_duckdb_sql
+
+    inner = mg_heavy_hitters_duckdb_sql(
+        "t.term", f"(SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents) t",
+        k=8, top=10, n_groups=4,
+    )
+    return f"""
+WITH hh AS ({inner}),
+exact AS (
+  SELECT term AS item, count(*)::BIGINT AS exact
+  FROM (SELECT unnest({TOK_SQL}) AS term FROM documents)
+  GROUP BY 1
+)
+SELECT hh.item, hh.est, hh.err_bound,
+       coalesce(exact.exact, 0) AS exact,
+       (hh.est <= coalesce(exact.exact, 0)
+        AND coalesce(exact.exact, 0) <= hh.est + hh.err_bound) AS bound_ok
+FROM hh LEFT JOIN exact USING (item)
+"""
 
 
 def q_rel_percentiles_sketch(spark, sf_dir):
@@ -8374,14 +8398,23 @@ WHERE d.doc_id % {mod} != 0
 BPE_MERGES = 64
 
 
+def _bpe_oracle_sql() -> str:
+    from vframe_spark.operators.bpe import bpe_token_counts_duckdb_sql
+
+    return bpe_token_counts_duckdb_sql(TOK_SQL, BPE_MERGES)
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     """BPE tokenizer training + token-budget accounting (operators/
     bpe.py): 64 merges learned from the corpus's word-frequency table
     (corpus work = ONE tokenize→groupBy(word) pass; the merge loop runs
     over the vocab-bounded table driver-side), then per-doc piece
-    counts via the Arrow-batched encoder. The iterative merge loop
-    isn't SQL-expressible (rows-only); the pytest replays training and
-    encoding driver-for-driver (tests/test_bpe.py)."""
+    counts via the Arrow-batched encoder. FULL oracle since r4: the
+    merge loop unrolls into 64 MATERIALIZED CTE steps in DuckDB
+    (bpe_token_counts_duckdb_sql) — double-space-separated symbol
+    strings make one sequential replace() exactly the non-overlapping
+    left-to-right merge, and rank-order application equals the encode
+    loop (ranks are topologically consistent by construction)."""
     from vframe_spark.operators.bpe import bpe_token_counts, train_bpe
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -11940,6 +11973,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "sketch_cms_counts": _sketch_cms_oracle_sql(),
         "sketch_bloom_membership": _sketch_bloom_oracle_sql(),
         "sketch_kmv_overlap": _sketch_kmv_oracle_sql(),
+        "sketch_mg_heavyhitters": _mg_oracle_sql(),
         "text_top_terms": f"""
             WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
             tf AS (SELECT term, doc_id FROM tok GROUP BY 1, 2),
@@ -12070,6 +12104,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "text_signature_terms": _signature_terms_oracle_sql(),
         "text_unigram_nll": _UNIGRAM_NLL_ORACLE_SQL_TMPL.replace("{TOK}", TOK_SQL),
         "text_bigram_ppl": _bigram_ppl_oracle_sql(),
+        "text_bpe_tokens": _bpe_oracle_sql(),
         "text_keywords": _keywords_oracle_sql(),
         "curate_dup_spans": _dup_spans_oracle_sql(),
         "curate_span_coverage": _span_coverage_oracle_sql(),

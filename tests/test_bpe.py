@@ -64,3 +64,70 @@ def test_bpe_token_counts_invariants(spark):
         for r in bpe_token_counts(docs, merges80).collect()
     }
     assert all(out80[d] <= out[d]["n_pieces"] for d in out)
+
+
+def test_duckdb_oracle_replays_training_and_encode(spark):
+    """The unrolled-CTE oracle (bpe_token_counts_duckdb_sql) ==
+    the Python kernel end-to-end: double-space replace() is exactly
+    _merge_word, rank-order application equals the encode loop."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from vframe_spark.operators.bpe import (
+        _merge_word,
+        bpe_encode_py,
+        bpe_token_counts_duckdb_sql,
+        train_bpe_from_counts,
+    )
+
+    # property: one sequential replace over the double-space encoding
+    # IS _merge_word, including overlap/adjacent-merge cases
+    con = duckdb.connect()
+    rng = random.Random(5)
+    for _ in range(200):
+        syms = tuple(rng.choice(["a", "b", "c", "ab", "bb"])
+                     for _ in range(rng.randint(1, 9)))
+        pair = (rng.choice("ab"), rng.choice("ab"))
+        s = "  " + "  ".join(syms) + "  "
+        got_s = con.sql(
+            "SELECT replace(?, ?, ?)",
+            params=[s, f" {pair[0]}  {pair[1]} ", f" {pair[0]}{pair[1]} "],
+        ).fetchone()[0]
+        got = tuple(x for x in got_s.split("  ") if x)
+        assert got == _merge_word(syms, pair), (syms, pair)
+
+    # end-to-end: synthetic corpus, K merges, per-doc accounting
+    vocab = ["hash", "table", "merge", "aaa", "abab", "banana"]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+        for d in range(40)
+    ]
+    wc: dict = {}
+    for _, t in docs:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    K = 24
+    merges = train_bpe_from_counts(
+        sorted(wc.items(), key=lambda kv: (-kv[1], kv[0])), K
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    want = sorted(
+        (
+            d,
+            len(ws),
+            sum(len(bpe_encode_py(w, ranks)) for w in ws),
+            round(sum(len(bpe_encode_py(w, ranks)) for w in ws) / len(ws), 4)
+            if ws else 0.0,
+        )
+        for d, t in docs
+        for ws in [t.split()]
+    )
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = sorted(
+        con.sql(
+            bpe_token_counts_duckdb_sql("string_split(text, ' ')", K)
+        ).fetchall()
+    )
+    assert got == want

@@ -372,3 +372,39 @@ def test_kmv_overlap_group_cardinality_guard(spark, monkeypatch):
     # at or under the cap the enumeration still runs
     monkeypatch.setattr(sk, "KMV_OVERLAP_MAX_GROUPS", 20)
     assert sk.kmv_overlap(state, "grp", k=8).count() == 20 * 19 // 2
+
+
+def test_mg_df_deterministic_bounds_and_duckdb_replay(spark):
+    import random
+
+    from vframe_spark.operators.sketch import (
+        mg_heavy_hitters_df,
+        mg_heavy_hitters_duckdb_sql,
+    )
+
+    rng = random.Random(7)
+    vals = [f"it{i}" for i in range(40) for _ in range(1500 // (i + 1))]
+    rng.shuffle(vals)
+    truth = {}
+    for v in vals:
+        truth[v] = truth.get(v, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    for k, groups in ((4, 4), (8, 3)):
+        a = [tuple(r) for r in mg_heavy_hitters_df(
+            df.repartition(4), "v", k=k, top=10, n_groups=groups).collect()]
+        b = [tuple(r) for r in mg_heavy_hitters_df(
+            df.repartition(9), "v", k=k, top=10, n_groups=groups).collect()]
+        assert a == b  # layout-independent: hash groups, not partitions
+        for item, est, eb in a:
+            assert est <= truth[item] <= est + eb, (item, est, eb)
+        # DuckDB replays the whole pipeline value-for-value
+        pdf = df.toPandas()
+        con = duckdb.connect()
+        con.register("vals_src", pdf)
+        want = [
+            tuple(r) for r in con.sql(
+                mg_heavy_hitters_duckdb_sql("v", "vals_src", k=k, top=10,
+                                            n_groups=groups)
+            ).fetchall()
+        ]
+        assert a == want

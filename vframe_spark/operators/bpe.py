@@ -171,3 +171,84 @@ def bpe_token_counts(
             4,
         ).alias("ratio"),
     )
+
+
+def bpe_token_counts_duckdb_sql(
+    tok_sql: str,
+    n_merges: int,
+    min_count: int = 1,
+    max_words: int = 100_000,
+    docs_table: str = "documents",
+) -> str:
+    """The ENTIRE pipeline — training's merge loop AND the per-doc
+    encode — as one DuckDB query, for the cross-engine oracle.
+
+    The merge loop unrolls into ``n_merges`` MATERIALIZED CTE steps
+    (the PageRank unrolling discipline — plain CTEs would inline the
+    chain exponentially). Words live as double-space-separated symbol
+    strings: with that padding, one sequential ``replace(s, ' a  b ',
+    ' ab ')`` is EXACTLY the left-to-right non-overlapping merge of
+    ``_merge_word`` (each match donates one space back to its
+    neighbors, so consecutive merges never block — property-tested
+    against the Python kernel in tests/test_bpe.py). Pair stats range
+    over the ``max_words``/``min_count``-capped rows only (rank frozen
+    at step 0, like `train_bpe`); encoding uses every word. Applying
+    merges in rank order equals the lowest-rank-first encode loop
+    because training can only learn a pair AFTER both its symbols
+    exist, so ranks are topologically consistent."""
+    parts = [f"""
+WITH toks AS (SELECT doc_id, {tok_sql} AS t FROM {docs_table}),
+tok AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(t) AS w FROM toks) WHERE w IS NOT NULL AND w <> ''),
+wc AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+m0 AS MATERIALIZED (
+  SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rn,
+         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s
+  FROM wc
+)"""]
+    prev = "m0"
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT lf[j] AS a, lf[j + 1] AS b, sum(c)::BIGINT AS cnt
+  FROM (
+    SELECT lf, c, unnest(generate_series(1, len(lf) - 1)) AS j
+    FROM (
+      SELECT list_filter(string_split(s, '  '), x -> x <> '') AS lf, c
+      FROM {prev} WHERE rn <= {max_words} AND c >= {min_count}
+    )
+  )
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT a, b FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+m{i} AS MATERIALIZED (
+  SELECT w, c, rn,
+         CASE WHEN (SELECT count(*) FROM b{i}) = 0 THEN s
+              ELSE replace(s,
+                           ' ' || (SELECT a FROM b{i}) || '  '
+                               || (SELECT b FROM b{i}) || ' ',
+                           ' ' || (SELECT a || b FROM b{i}) || ' ')
+         END AS s
+  FROM {prev}
+)""")
+        prev = f"m{i}"
+    parts.append(f""",
+pieces AS (
+  SELECT w,
+         len(list_filter(string_split(s, '  '), x -> x <> ''))::BIGINT AS np
+  FROM {prev}
+),
+per_doc AS (
+  SELECT tok.doc_id, count(*)::BIGINT AS n_words, sum(p.np)::BIGINT AS n_pieces
+  FROM tok JOIN pieces p USING (w) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(pd.n_words, 0)::BIGINT AS n_words,
+       coalesce(pd.n_pieces, 0)::BIGINT AS n_pieces,
+       CASE WHEN coalesce(pd.n_words, 0) > 0
+            THEN round(pd.n_pieces / pd.n_words::DOUBLE, 4)
+            ELSE 0.0 END AS ratio
+FROM {docs_table} d LEFT JOIN per_doc pd USING (doc_id)
+""")
+    return "".join(parts)

@@ -756,3 +756,122 @@ def mg_heavy_hitters(
     err += off
     items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
     return [(i, int(w), int(err)) for i, w in items]
+
+
+def mg_heavy_hitters_df(
+    df: DataFrame, col: str, k: int = 32, top: int = 10, n_groups: int = 8
+) -> DataFrame:
+    """Deterministic MG heavy hitters → (item, est, err_bound), est
+    descending — the layout-independent, cross-engine-replayable member
+    of the family.
+
+    Instead of physical partitions (whose batch boundaries make the
+    summary run-dependent), items group by the PORTABLE hash
+    ``pmod(md5_60bit(item), n_groups)``; each group folds its exact
+    (item, weight) counts through ONE offset reduce (rank by weight
+    desc / item asc, subtract the (k+1)-largest, drop non-positives),
+    and the ≤ n_groups·k surviving counters merge through one more
+    reduce. Same counts ⇒ same summary on any cluster, any
+    partitioning — and every step is plain SQL, so DuckDB replays it
+    value-for-value (:func:`mg_heavy_hitters_duckdb_sql`).
+
+    The MG bound still holds (est ≤ true ≤ est + err_bound, err_bound =
+    Σ group offsets + merge offset): each group reduce is a valid MG
+    fold of its sub-stream. 100% JVM — group reduces are windows over
+    per-group vocab, the merge window sees ≤ n_groups·k rows.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.pmod(_kmv_hash(F.col(col)), F.lit(n_groups)).alias("pk"),
+            F.col(col).cast("string").alias("item"),
+        )
+        .groupBy("pk", "item")
+        .agg(F.count("*").alias("w"))
+    )
+    gw = Window.partitionBy("pk").orderBy(F.col("w").desc(), F.col("item").asc())
+    ranked = counts.withColumn("rn", F.row_number().over(gw))
+    offw = Window.partitionBy("pk")
+    ranked = ranked.withColumn(
+        "off",
+        F.max(F.when(F.col("rn") == k + 1, F.col("w")).otherwise(F.lit(0))).over(offw),
+    )
+    summ = ranked.filter(
+        (F.col("rn") <= k) & (F.col("w") - F.col("off") > 0)
+    ).select("pk", "item", (F.col("w") - F.col("off")).alias("w"))
+    # Σ per-group offsets: one 1-row aggregate, broadcast back
+    err1 = ranked.groupBy("pk").agg(F.max("off").alias("o")).agg(
+        F.sum("o").alias("err1")
+    )
+    merged = summ.groupBy("item").agg(F.sum("w").alias("w"))
+    # global merge reduce: the unpartitioned windows below run over the
+    # ≤ n_groups·k merged counters, never the corpus — scale-safe
+    mw = Window.orderBy(F.col("w").desc(), F.col("item").asc())
+    m = merged.withColumn("rn", F.row_number().over(mw))
+    m = m.withColumn(
+        "off2",
+        F.max(F.when(F.col("rn") == k + 1, F.col("w")).otherwise(F.lit(0))).over(
+            Window.partitionBy()
+        ),
+    )
+    out = (
+        m.filter((F.col("rn") <= k) & (F.col("w") - F.col("off2") > 0))
+        .crossJoin(F.broadcast(err1))
+        .select(
+            "item",
+            (F.col("w") - F.col("off2")).alias("est"),
+            (F.coalesce(F.col("err1"), F.lit(0)) + F.col("off2")).alias("err_bound"),
+        )
+        .orderBy(F.col("est").desc(), F.col("item").asc())
+        .limit(top)
+    )
+    return out
+
+
+def mg_heavy_hitters_duckdb_sql(
+    val_expr: str, from_sql: str, k: int = 32, top: int = 10, n_groups: int = 8
+) -> str:
+    """The whole deterministic MG pipeline as one DuckDB query —
+    identical portable hashes, group reduces, merge reduce, and tie
+    rules as :func:`mg_heavy_hitters_df`."""
+    return f"""
+WITH vals AS (
+  SELECT ({val_expr})::VARCHAR AS item FROM {from_sql}
+  WHERE ({val_expr}) IS NOT NULL
+),
+counts AS (
+  SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT % {n_groups} AS pk,
+         item, count(*)::BIGINT AS w
+  FROM vals GROUP BY 1, 2
+),
+ranked AS (
+  SELECT pk, item, w,
+         row_number() OVER (PARTITION BY pk ORDER BY w DESC, item ASC) AS rn
+  FROM counts
+),
+offs AS (
+  SELECT pk, coalesce(max(CASE WHEN rn = {k + 1} THEN w END), 0) AS off
+  FROM ranked GROUP BY 1
+),
+summ AS (
+  SELECT r.pk, r.item, r.w - o.off AS w
+  FROM ranked r JOIN offs o USING (pk)
+  WHERE r.rn <= {k} AND r.w - o.off > 0
+),
+err1 AS (SELECT coalesce(sum(off), 0)::BIGINT AS e FROM offs),
+merged AS (SELECT item, sum(w)::BIGINT AS w FROM summ GROUP BY 1),
+m2 AS (
+  SELECT item, w,
+         row_number() OVER (ORDER BY w DESC, item ASC) AS rn
+  FROM merged
+),
+off2 AS (SELECT coalesce(max(CASE WHEN rn = {k + 1} THEN w END), 0) AS o FROM m2)
+SELECT item, (w - (SELECT o FROM off2))::BIGINT AS est,
+       ((SELECT e FROM err1) + (SELECT o FROM off2))::BIGINT AS err_bound
+FROM m2
+WHERE rn <= {k} AND w - (SELECT o FROM off2) > 0
+ORDER BY est DESC, item ASC
+LIMIT {top}
+"""
