@@ -354,3 +354,18 @@ def test_distributed_tombstones_match_driver_list(spark, corpus, tmp_path_factor
     got_and = idx.search("data parse", k=8, mode="and").collect()
     assert got_or == want_or
     assert got_and == want_and
+
+
+def test_search_with_docs_broadcast_joinback(spark, idx, corpus):
+    ix = idx
+    got = ix.search_with_docs("data analysis", corpus, cols=["repo", "lang"], k=5)
+    assert set(got.columns) == {"qid", "rank", "doc_id", "score", "repo", "lang"}
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    # every enriched row matches the plain ranking
+    plain = {(r["doc_id"], r["rank"]) for r in ix.search("data analysis", k=5).collect()}
+    assert {(r["doc_id"], r["rank"]) for r in rows} == plain
+    # the serving shape: the RANKED side broadcasts; the docs side is
+    # never exchanged (no shuffle of the corpus in the join-back)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

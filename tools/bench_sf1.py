@@ -1,0 +1,203 @@
+"""Repeatable sf1-scale bench: build + query + headline operators at
+~200k docs (10× the per-round sf0.1 record), written to BENCH_SF1.json.
+
+The per-round bench measures 20k docs; the 10^12-file north_rule
+deserves a standing larger-scale artifact so the 100× claims lean on a
+committed measurement, not an anecdote (r3 VERDICT item #2). One run:
+
+    python tools/bench_sf1.py [--docs 200000] [--cpus 32]
+
+Writes BENCH_SF1.json at the repo root: build files/s, the 50-query
+batch as ONE job, interactive p50 (cold + warm), and ~10 headline
+operator rows over the same deterministic synthetic corpus
+(corpus.synth_docs — per-id deterministic, no external data). Re-run
+once per round; commit the artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    n_docs, cpus = args.docs, args.cpus
+
+    from pyspark.sql import functions as F
+
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+    from vframe_spark.index.build import tokenize_docs
+    from vframe_spark.index.builder import build_index, load_index
+    from vframe_spark.queries import reference_queries
+    from vframe_spark.query.wand import bm25_topk_wand
+    from vframe_spark.session import spark_session
+
+    spark = spark_session(
+        "bench_sf1", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {"n_docs": n_docs, "cpus": cpus}
+
+    def row(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"{name}: {timings[name]}s", flush=True)
+
+    # deterministic corpus; ids frozen outside the timed region. 4
+    # tasks/core: at 200k docs each task holds ~1.5k docs, so scheduling
+    # overhead amortizes and stragglers still smooth (the 20k-doc bench
+    # uses 2/core — see bench.py r4 sweep).
+    docs = assign_doc_ids(
+        synth_docs(spark, n_docs), ["repo", "path", "commit"]
+    ).repartition(cpus * 4).localCheckpoint()
+    docs.count()
+    # one-time Python worker spin-up, reported separately (bench.py rule)
+    t0 = time.time()
+    tokenize_docs(docs.limit(64), lang_col=None).count()
+    extras["worker_warmup_sec"] = round(time.time() - t0, 3)
+
+    work = tempfile.mkdtemp(prefix="vf_sf1_")
+    try:
+        idx_dir = os.path.join(work, "idx")
+        row("ft_build", lambda: build_index(
+            docs, idx_dir, shard_size=4096, block_size=128,
+            shards_per_slice=8,
+        ))
+        extras["build_files_per_sec"] = round(n_docs / timings["ft_build"], 1)
+
+        postings, term_stats, _, meta = load_index(spark, idx_dir)
+        postings = postings.cache(); postings.count()
+        term_stats = term_stats.cache(); term_stats.count()
+        qs = reference_queries(50)
+        bm25_topk_wand(postings, term_stats, meta,
+                       [(0, "warm up query")], k=10).count()
+        row("ft_query_batch50", lambda: bm25_topk_wand(
+            postings, term_stats, meta, [(q, s) for q, s, _ in qs], k=100
+        ).count())
+
+        from vframe_spark.query.local import LocalQueryEngine
+
+        eng = LocalQueryEngine(postings, term_stats, meta)
+        eng.topk("warm up query", k=10)
+        for tag in ("local_query_p50_ms", "local_query_warm_p50_ms"):
+            lat = []
+            for _qid, q, k in qs:
+                tq = time.time()
+                eng.topk(q, k=k)
+                lat.append(time.time() - tq)
+            lat.sort()
+            extras[tag] = round(1000 * lat[len(lat) // 2], 2)
+
+        # ---- headline operators over the same corpus ---------------------
+        from vframe_spark.operators.dedup import (
+            dedup_exact,
+            minhash_lsh_pairs,
+            minhash_signatures,
+            simhash_pairs,
+            simhash_signatures,
+        )
+
+        row("dedup_exact", lambda: dedup_exact(
+            docs, "content", "doc_id").count())
+        row("dedup_minhash_pairs", lambda: minhash_lsh_pairs(
+            minhash_signatures(docs, "content", "doc_id", n_hashes=64),
+            threshold=0.8, n_hashes=64,
+        ).count())
+        row("dedup_simhash_pairs", lambda: simhash_pairs(
+            simhash_signatures(docs, "content", "doc_id"), max_hamming=3
+        ).count())
+
+        from vframe_spark.functions.text import lang_id, quality_score
+
+        row("text_quality", lambda: docs.select(
+            quality_score(F.col("content")).alias("q"),
+            lang_id(F.col("content")).alias("lang"),
+        ).groupBy("lang").agg(F.avg("q")).collect())
+
+        from vframe_spark.operators.curate import (
+            pack_sequences, repetition_stats,
+        )
+
+        row("curate_repetition", lambda: repetition_stats(
+            docs).agg(F.avg("dup_line_frac")).collect())
+        row("curate_pack_sequences", lambda: pack_sequences(
+            docs, seq_len=2048).count())
+
+        from vframe_spark.operators.sketch import (
+            hll_estimate, hll_state, mg_heavy_hitters_df,
+        )
+        from vframe_spark.functions.tokenizer import tokenize_expr
+
+        toks = docs.select(
+            F.explode(tokenize_expr(F.col("content"))).alias("tok")
+        )
+        row("sketch_hll_vocab", lambda: hll_estimate(
+            hll_state(toks, "tok")).collect())
+        row("sketch_mg_heavyhitters", lambda: mg_heavy_hitters_df(
+            toks, "tok", k=32, top=10).count())
+
+        # brute-force cosine top-k over synthesized 200k x 32 embeddings
+        from vframe_spark.operators.similarity import cosine_topk_bruteforce
+
+        emb = docs.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(*[
+                F.sin(F.col("doc_id") * F.lit(float(i + 1) * 0.7))
+                for i in range(32)
+            ]).alias("embedding"),
+        ).localCheckpoint()
+        probes = [r["embedding"] for r in emb.limit(8).collect()]
+        row("sim_cosine_topk", lambda: cosine_topk_bruteforce(
+            emb, [(i, list(v)) for i, v in enumerate(probes)], k=10).count())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extras["git_head"] = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True,
+            text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        pass
+    out = {
+        "metric": "vframe_spark sf1-scale wall-clock (build + batch + operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": f"synth:{n_docs}",
+        "cpus": cpus,
+        "extras": extras,
+    }
+    path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SF1.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1057,6 +1057,31 @@ class SearchIndex:
         return verify_content(doc_stats, docs, id_col=id_col,
                               content_col=content_col, include_ok=include_ok)
 
+    def search_with_docs(
+        self,
+        query: str,
+        docs: DataFrame,
+        cols: "list[str] | None" = None,
+        k: int = 10,
+        id_col: str = "doc_id",
+        **search_kwargs,
+    ) -> DataFrame:
+        """Ranked search enriched with source-doc columns — the serving
+        join-back at 10^12 docs: the k·|Q|-row RANKED side broadcasts
+        into a join against the (column-pruned) docs table, so the
+        corpus is scanned once with projection pushdown and never
+        shuffled; no full docs-side exchange ever happens. ``cols``
+        prunes the fetched columns (default: all non-id columns).
+        Accepts every ``search`` kwarg (mode/negation/boosts/…)."""
+        from pyspark.sql import functions as F
+
+        ranked = self.search(query, k=k, **search_kwargs)
+        keep = [c for c in (cols or docs.columns) if c != id_col]
+        side = docs.select(F.col(id_col).alias("doc_id"), *keep)
+        return F.broadcast(ranked).join(side, "doc_id").select(
+            *ranked.columns, *keep
+        )
+
     def fsck(self, check_bytes: bool = False) -> DataFrame:
         """Structural self-audit — manifest ↔ committed slices ↔
         term/doc stats ↔ meta totals, no source table needed; every row
