@@ -908,6 +908,92 @@ def q_ft_query_string(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+# ES search templates: (qid, template, params) — {{var}} substitution,
+# {{#var}} optional sections, {{^var}} defaults (query/templates.py).
+FT_TEMPLATE_QUERIES = [
+    (1, "{{field}}:en AND ({{q}})", {"field": "lang", "q": "hash OR merge"}),
+    (2, "{{q}}^{{boost}} {{#neg}}-{{neg}}{{/neg}}",
+     {"q": "spark", "boost": 2, "neg": "join"}),
+    (3, "n_chars:[{{lo}} TO {{hi}}] AND vector", {"lo": 150, "hi": 400}),
+    (4, '"{{phrase}}" {{^lang}}stream{{/lang}}', {"phrase": "hash table"}),
+]
+
+
+def _rendered_templates() -> list[tuple[int, str]]:
+    from vframe_spark.query.templates import render_search_template
+
+    return [
+        (qid, render_search_template(t, p)) for qid, t, p in FT_TEMPLATE_QUERIES
+    ]
+
+
+def q_ft_search_template(spark, sf_dir):
+    """ES _search/template: mustache-lite templates render driver-side
+    (query/templates.py — {{var}}, optional {{#var}} sections, {{^var}}
+    defaults, phrase-safe value escaping) into query_string queries that
+    run the ordinary distributed compiler path. The oracle executes the
+    SAME rendered strings through the full query_string replay, so the
+    render+execute pipeline is pinned end-to-end; render-only semantics
+    are additionally pytest-pinned against hand-written expectations."""
+    from vframe_spark.query.qstring import query_string_topk
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    raw = query_string_topk(
+        postings, term_stats, meta, docs, _rendered_templates(), k=3 * FT_K
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _search_template_oracle_sql() -> str:
+    from vframe_spark.query.qstring import query_string_oracle_sql
+
+    return query_string_oracle_sql(_rendered_templates(), TOK_SQL, FT_K)
+
+
+# ES runtime fields: attributes derived at query time from a shared-
+# dialect SQL expression (whitespace word count — identical in Spark
+# and DuckDB), then queryable like any mapped field.
+RT_EXPR = "length(text) - length(replace(text, ' ', '')) + 1"
+FT_RT_QUERIES = [
+    (1, "n_words_rt:[20 TO 45] AND hash"),
+    (2, "stream -n_words_rt:{0 TO 25}"),
+    (3, "n_words_rt:[60 TO *] OR merge"),
+]
+
+
+def q_ft_runtime_field(spark, sf_dir):
+    """ES runtime fields over query_string: the attribute projects from
+    a runtime SQL expression inside the same column-pruned docs scan
+    the static attributes ride (facade: SearchIndex.query_string(
+    runtime_fields={...})); the oracle derives the identical expression
+    in a docs subquery — both engines literally evaluate the same
+    string."""
+    from vframe_spark.query.qstring import query_string_topk
+
+    postings, term_stats, _, meta = _ft_index_pos(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(RT_EXPR).alias("n_words_rt")
+    )
+    raw = query_string_topk(
+        postings, term_stats, meta, docs, FT_RT_QUERIES, k=3 * FT_K,
+        keyword_fields=(), numeric_fields=("n_words_rt",),
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _runtime_field_oracle_sql() -> str:
+    from vframe_spark.query.qstring import query_string_oracle_sql
+
+    return query_string_oracle_sql(
+        FT_RT_QUERIES, TOK_SQL, FT_K,
+        keyword_fields=(), numeric_fields=("n_words_rt",),
+        docs_table=f"(SELECT *, {RT_EXPR} AS n_words_rt FROM documents) rtd",
+    )
+
+
 _STREAM_IDX_SPAN = 100  # shard_size 50 × shards_per_slice 2
 
 
@@ -2353,6 +2439,61 @@ WITH ev AS (
 SELECT {tile} AS tile, count(*)::BIGINT AS n_events,
        round(avg(value), 4) AS avg_value
 FROM ev GROUP BY 1
+"""
+
+
+# non-convex test polygon (lon=x, lat=y): an hourglass-ish pentagon so
+# the ray-cast parity is exercised on a shape a bbox check can't fake
+GEO_POLYGON = [(-60.0, -40.0), (40.0, 60.0), (80.0, -20.0),
+               (10.0, 10.0), (-30.0, -70.0)]
+
+
+def q_rel_geo_polygon(spark, sf_dir):
+    """ES geo_shape / geo_polygon filter: events' derived coordinates
+    (same derivation as rel_geo_distance) filtered by point-in-polygon
+    over a fixed NON-convex pentagon — ray-cast crossing fold as one
+    codegen predicate on the scan (functions/geometry.py
+    poly_contains_point / geo_polygon_filter), then per-geotile counts
+    of the inside points. The oracle unrolls the identical crossing
+    arithmetic per edge (point_in_polygon_sql) — last-ulp float
+    parity, the geo analog of the haversine contract."""
+    from vframe_spark.functions.geometry import geo_polygon_filter, geotile_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") % 1700) / 10.0 - 85.0).alias("lat"),
+        ((F.col("event_id") % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    inside = geo_polygon_filter(ev, "lat", "lon", GEO_POLYGON)
+    return (
+        inside.select(
+            geotile_key(F.col("lat"), F.col("lon"), GEOTILE_ZOOM).alias("tile"),
+            "event_id",
+        )
+        .groupBy("tile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_inside"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+def _geo_polygon_oracle_sql() -> str:
+    from vframe_spark.functions.geometry import geotile_sql, point_in_polygon_sql
+
+    pred = point_in_polygon_sql(GEO_POLYGON, "lon", "lat")
+    tile = geotile_sql("lat", "lon", GEOTILE_ZOOM)
+    return f"""
+WITH ev AS (
+  SELECT event_id,
+         (event_id % 1700) / 10.0 - 85.0 AS lat,
+         (event_id % 3600) / 10.0 - 180.0 AS lon
+  FROM events
+)
+SELECT {tile} AS tile, count(*)::BIGINT AS n_inside,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM ev WHERE {pred} GROUP BY 1
 """
 
 
@@ -11103,6 +11244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boolean": q_ft_boolean,
         "ft_boolean_phrase": q_ft_boolean_phrase,
         "ft_query_string": q_ft_query_string,
+        "ft_search_template": q_ft_search_template,
+        "ft_runtime_field": q_ft_runtime_field,
+        "rel_geo_polygon": q_rel_geo_polygon,
         "ft_terms_enum": q_ft_terms_enum,
         "ft_stopword_topk": q_ft_stopword_topk,
         "ft_percolate_qstring": q_ft_percolate_qstring,
@@ -11452,6 +11596,9 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
 """,
         "ft_index_stats": _index_stats_oracle_sql(),
         "ft_index_fsck": _index_fsck_oracle_sql(),
+        "ft_search_template": _search_template_oracle_sql(),
+        "ft_runtime_field": _runtime_field_oracle_sql(),
+        "rel_geo_polygon": _geo_polygon_oracle_sql(),
         "ft_stopword_topk": _stopword_oracle_sql(),
         "ft_percolate_qstring": _qsperc_oracle_sql(),
         "ft_qstring_explain": _qstring_explain_oracle_sql(),

@@ -1,0 +1,112 @@
+"""ES search templates (query/templates.py) + runtime fields + the
+geo_polygon filter — the r4 parity corners."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vframe_spark.query.templates import render_search_template
+
+
+def test_render_substitution_and_sections():
+    assert render_search_template(
+        "{{field}}:en AND ({{q}})", {"field": "lang", "q": "hash OR merge"}
+    ) == "lang:en AND (hash OR merge)"
+    # numeric params render bare; floats that are whole render as ints
+    assert render_search_template(
+        "n_chars:[{{lo}} TO {{hi}}]^{{b}}", {"lo": 150, "hi": 400.0, "b": 2}
+    ) == "n_chars:[150 TO 400]^2"
+    # optional section present / absent
+    t = "{{q}} {{#neg}}-{{neg}}{{/neg}}"
+    assert render_search_template(t, {"q": "spark", "neg": "join"}) == "spark -join"
+    assert render_search_template(t, {"q": "spark"}) == "spark"
+    # inverted section = default
+    t2 = '"{{phrase}}" {{^lang}}stream{{/lang}}{{#lang}}lang:{{lang}}{{/lang}}'
+    assert render_search_template(t2, {"phrase": "hash table"}) == '"hash table" stream'
+    assert render_search_template(
+        t2, {"phrase": "hash table", "lang": "en"}
+    ) == '"hash table" lang:en'
+
+
+def test_render_escaping_and_missing_param():
+    # embedded quotes can't break out of a phrase slot
+    assert render_search_template(
+        '"{{p}}"', {"p": 'hash" OR evil:"x'}
+    ) == '"hash OR evil:x"'
+    with pytest.raises(KeyError, match="no 'q'"):
+        render_search_template("{{q}} AND cache", {})
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    from vframe_spark.api import SearchIndex
+    from vframe_spark.corpus import synth_docs
+    from vframe_spark.ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        synth_docs(spark, 150, partitions=2), ["repo", "path", "commit"],
+        num_partitions=2,
+    ).cache()
+    out = str(tmp_path_factory.mktemp("tmpl_idx"))
+    ix = SearchIndex.build(
+        docs, out, shard_size=64, block_size=16, shards_per_slice=2,
+        positions=True,
+    )
+    return ix, docs
+
+
+def test_facade_search_template_equals_query_string(spark, idx):
+    ix, docs = idx
+    adocs = docs.select("doc_id", "lang", F.length("content").alias("n_chars"))
+    kw = dict(docs=adocs, keyword_fields=("lang",), numeric_fields=("n_chars",))
+    got = ix.search_template(
+        "{{q}} {{#neg}}-{{neg}}{{/neg}}", {"q": "data", "neg": "parse"}, k=5, **kw
+    ).collect()
+    want = ix.query_string("data -parse", k=5, **kw).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+
+
+def test_facade_runtime_fields(spark, idx):
+    ix, docs = idx
+    rt = {"n_words_rt": ("numeric", "size(split(content, ' '))")}
+    got = ix.query_string(
+        "n_words_rt:[1 TO 100000] AND data", k=5,
+        docs=docs, runtime_fields=rt,
+    )
+    # the runtime range spans everything -> equals the plain term query
+    want = ix.query_string("data", k=5, docs=docs)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    with pytest.raises(ValueError, match="numeric"):
+        ix.query_string("x", docs=docs, runtime_fields={"f": ("date", "1")})
+    with pytest.raises(ValueError, match="docs"):
+        ix.query_string("x", runtime_fields=rt)
+
+
+def test_geo_polygon_filter_matches_sql_twin(spark):
+    from vframe_spark.functions.geometry import (
+        geo_polygon_filter,
+        point_in_polygon_sql,
+    )
+
+    poly = [(-60.0, -40.0), (40.0, 60.0), (80.0, -20.0),
+            (10.0, 10.0), (-30.0, -70.0)]
+    pts = spark.range(4000).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 170) - 85.0).alias("lat"),
+        ((F.col("id") % 360) - 180.0).alias("lon"),
+    )
+    got = sorted(
+        r["pid"] for r in geo_polygon_filter(pts, "lat", "lon", poly).collect()
+    )
+    con = duckdb.connect()
+    pred = point_in_polygon_sql(poly, "lon", "lat")
+    want = sorted(
+        r[0] for r in con.sql(f"""
+            SELECT pid FROM (
+              SELECT i AS pid, (i % 170) - 85.0 AS lat,
+                     (i % 360) - 180.0 AS lon
+              FROM (SELECT unnest(generate_series(0, 3999)) AS i)
+            ) WHERE {pred}
+        """).fetchall()
+    )
+    assert got == want and 100 < len(got) < 4000

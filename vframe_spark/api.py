@@ -331,6 +331,7 @@ class SearchIndex:
         keyword_fields: tuple[str, ...] = (),
         numeric_fields: tuple[str, ...] = (),
         id_col: str = "doc_id",
+        runtime_fields: "dict[str, tuple[str, str]] | None" = None,
     ) -> DataFrame:
         """Full Lucene/ES ``query_string`` language → (qid, rank,
         doc_id, score): fields, numeric ranges, wildcards (``*``/``?``),
@@ -339,10 +340,33 @@ class SearchIndex:
         ``docs`` supplies the attribute fields named in
         ``keyword_fields``/``numeric_fields`` (``id_col`` = index
         doc_ids); phrases need a positional index. Tombstoned docs drop
-        before the k cut, like every other query surface."""
+        before the k cut, like every other query surface.
+
+        ``runtime_fields`` (ES runtime mappings) derive attribute
+        fields at query time: ``{name: (type, sql_expr)}`` with type
+        ``"numeric"`` or ``"keyword"`` — the expression is projected
+        onto ``docs`` inside the same column-pruned scan the static
+        attributes ride (zero extra passes) and the name becomes
+        queryable (``n_words_rt:[20 TO 60]``)."""
+        from pyspark.sql import functions as _F
+
         from .query.qstring import query_string_topk
 
         postings, term_stats, _, meta = self._parts()
+        if runtime_fields:
+            if docs is None:
+                raise ValueError("runtime_fields requires docs")
+            for name, (ftype, expr) in runtime_fields.items():
+                docs = docs.withColumn(name, _F.expr(expr))
+                if ftype == "numeric":
+                    numeric_fields = tuple(numeric_fields) + (name,)
+                elif ftype == "keyword":
+                    keyword_fields = tuple(keyword_fields) + (name,)
+                else:
+                    raise ValueError(
+                        f"runtime field {name!r}: type must be "
+                        f"'numeric' or 'keyword', got {ftype!r}"
+                    )
         queries = [(1, query)] if isinstance(query, str) else list(query)
         capped = load_tombstones_capped(
             self.spark, self.out_dir, self.TOMBSTONE_DRIVER_LIMIT
@@ -362,6 +386,30 @@ class SearchIndex:
             numeric_fields=tuple(numeric_fields),
             id_col=id_col, exclude_doc_ids=capped or None,
         )
+
+    def search_template(
+        self,
+        template: str | list[tuple[int, str, dict]],
+        params: dict | None = None,
+        **query_string_kwargs,
+    ) -> DataFrame:
+        """ES ``_search/template``: render a mustache-lite template
+        (``{{var}}``, ``{{#var}}…{{/var}}`` optional sections,
+        ``{{^var}}…{{/var}}`` defaults — see `query.templates`) into a
+        ``query_string`` query and execute it. Batch form: a list of
+        (qid, template, params). Rendering is driver-side string work;
+        execution is the ordinary distributed query_string path."""
+        from .query.templates import render_search_template
+
+        if isinstance(template, str):
+            rendered: "str | list[tuple[int, str]]" = render_search_template(
+                template, params or {}
+            )
+        else:
+            rendered = [
+                (qid, render_search_template(t, p)) for qid, t, p in template
+            ]
+        return self.query_string(rendered, **query_string_kwargs)
 
     def search_diverse(
         self,

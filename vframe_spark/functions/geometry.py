@@ -408,6 +408,44 @@ def poly_contains_point(p: Column, x, y) -> Column:
     return crossings % 2 == 1
 
 
+def point_in_polygon_sql(
+    polygon: "list[tuple[float, float]]", x_sql: str, y_sql: str
+) -> str:
+    """DuckDB twin of :func:`poly_contains_point` for a FIXED polygon
+    literal: the ray-cast crossing fold unrolls to one integer sum over
+    the polygon's edges, with the IDENTICAL float arithmetic order
+    ((bx−ax)·(py−ay)/(by−ay)+ax) so both engines agree to the last
+    ulp. The ES ``geo_shape``/``geo_polygon`` filter shape — a pure
+    scan predicate, pushdown-friendly, at any corpus scale."""
+    pts = [(float(x), float(y)) for x, y in polygon]
+    if len(pts) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    terms = []
+    for i, (ax, ay) in enumerate(pts):
+        bx, by = pts[(i + 1) % len(pts)]
+        terms.append(
+            f"(CASE WHEN (({ay} > ({y_sql})) != ({by} > ({y_sql}))) "
+            f"AND (({x_sql}) < ({bx} - {ax}) * (({y_sql}) - {ay}) "
+            f"/ ({by} - {ay}) + {ax}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def geo_polygon_filter(
+    df, lat_col: str, lon_col: str, polygon: "list[tuple[float, float]]"
+):
+    """Rows whose (lon, lat) point lies inside ``polygon`` (list of
+    (x=lon, y=lat) vertices, any winding, non-convex fine) — the ES
+    ``geo_polygon`` query as one codegen predicate on the scan."""
+    poly = F.array(*[
+        F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y"))
+        for x, y in polygon
+    ])
+    return df.filter(
+        poly_contains_point(poly, F.col(lon_col), F.col(lat_col))
+    )
+
+
 # ------------------------------------------------------------ geo (sphere)
 
 EARTH_RADIUS_KM = 6371.0

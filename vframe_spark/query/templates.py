@@ -1,0 +1,74 @@
+"""ES search templates (`_search/template`): parameterized queries
+rendered server-side before execution.
+
+A mustache-lite renderer covering the subset ES templates actually use
+for query strings: ``{{var}}`` substitution, ``{{#var}}…{{/var}}``
+conditional sections (rendered when the param is present and truthy,
+with ``{{.}}``-style scalar access via the section variable itself),
+and ``{{^var}}…{{/var}}`` inverted sections (defaults). Rendering is
+DRIVER-side string work — the resulting query runs through the normal
+`query_string` compiler, so templates add zero execution surface: every
+rendered query is exactly as safe, oracled, and distributed as a
+hand-written one.
+
+Values render with phrase-safe escaping: embedded ``"`` in a value
+would break out of a quoted phrase slot, so it is stripped (the
+canonical tokenizer never emits quotes, making them semantically inert
+anyway). Non-string scalars render via ``str``.
+
+Reference parity: the reference's CLI templating for output paths /
+captions (@accessor strings, /root/reference/src/vframe/utils/
+click_utils.py-style option plumbing) — the same "render then run"
+discipline applied to queries.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SECTION_RE = re.compile(
+    r"\{\{([#^])\s*([\w.]+)\s*\}\}(.*?)\{\{/\s*\2\s*\}\}", re.S
+)
+_VAR_RE = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
+
+
+def _render_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v == int(v):
+        v = int(v)
+    return str(v).replace('"', "")
+
+
+def render_search_template(template: str, params: dict) -> str:
+    """Render ``template`` with ``params`` → a query string.
+
+    Raises ``KeyError`` for a ``{{var}}`` whose param is absent (ES
+    renders empty — silently deleting a query atom changes semantics,
+    so this engine refuses instead; use a ``{{#var}}`` section for
+    optional parts).
+    """
+
+    def do_sections(text: str) -> str:
+        def sub(m: "re.Match[str]") -> str:
+            kind, name, body = m.group(1), m.group(2), m.group(3)
+            present = bool(params.get(name))
+            if kind == "#":
+                return do_sections(body) if present else ""
+            return do_sections(body) if not present else ""
+
+        return _SECTION_RE.sub(sub, text)
+
+    text = do_sections(template)
+
+    def sub_var(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(
+                f"search template references {{{{{name}}}}} but params "
+                f"has no {name!r} (wrap optional parts in {{{{#{name}}}}})"
+            )
+        return _render_value(params[name])
+
+    out = _VAR_RE.sub(sub_var, text)
+    return re.sub(r"\s+", " ", out).strip()
