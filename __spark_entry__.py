@@ -3494,6 +3494,70 @@ def q_ft_decay_topk(spark, sf_dir):
     return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
 
 
+# ES script_score: the script is DATA in the shared Spark/DuckDB
+# dialect — both engines literally evaluate this string.
+SCRIPT_SCORE_EXPR = (
+    "CASE WHEN n_chars > 300 THEN _score * 1.5 ELSE _score END"
+    " + ln(1 + n_chars) * 0.01"
+)
+
+
+def q_ft_script_score(spark, sf_dir):
+    """ES function_score script_score (query/boost.py
+    script_score_topk): final = a shared-dialect SQL expression over
+    `_score` (exact full-match-set BM25) and doc fields — one codegen
+    projection after one column-pruned docs join; the oracle evaluates
+    the IDENTICAL script string over its BM25 CTE."""
+    from vframe_spark.query.boost import script_score_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    raw = script_score_topk(
+        postings, term_stats, meta, FT_QUERIES, docs,
+        SCRIPT_SCORE_EXPR, fields=("n_chars",), k=3 * FT_K,
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _script_score_oracle_sql() -> str:
+    qvals = _ft_qterms_values_sql()
+    script = SCRIPT_SCORE_EXPR.replace("n_chars", "d.n_chars")
+    return f"""
+WITH toks AS (SELECT doc_id, {TOK_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+base AS (SELECT qid, doc_id, sum(c) AS _score FROM contrib GROUP BY 1, 2),
+score AS (
+  SELECT base.qid, base.doc_id, round({script}, 4) AS score
+  FROM base JOIN documents d ON d.doc_id = base.doc_id
+),
+ranked AS (
+  SELECT qid::INT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::INT AS rank,
+         doc_id, score
+  FROM score
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
+"""
+
+
 FT_PCTS = [0.5, 0.95]
 CARD_P = 12
 
@@ -11453,6 +11517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_terms": q_ft_multi_terms,
         "ft_cardinality": q_ft_cardinality,
         "ft_decay_topk": q_ft_decay_topk,
+        "ft_script_score": q_ft_script_score,
         "ft_date_histogram": q_ft_date_histogram,
         "ft_range_facet": q_ft_range_facet,
         "ft_dismax_topk": q_ft_dismax_topk,
@@ -12225,6 +12290,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "ft_multi_terms": _multi_terms_oracle_sql(),
         "ft_cardinality": _cardinality_oracle_sql(),
         "ft_decay_topk": _decay_oracle_sql(),
+        "ft_script_score": _script_score_oracle_sql(),
         "ft_date_histogram": _date_histogram_oracle_sql(),
         "ft_range_facet": _range_facet_oracle_sql(),
         "ft_dismax_topk": _dismax_oracle_sql(),

@@ -445,3 +445,38 @@ def test_terms_set_per_doc_floor(spark, corpus, index):
         if len(set(tokenize_py(q)) & toks) >= 1
     }
     assert z == w1
+
+
+def test_script_score_matches_manual_and_facade(spark, corpus, index):
+    from vframe_spark.query.boost import match_scores, script_score_topk
+
+    docs, _oracle = corpus
+    postings, term_stats, _dstats, meta = index
+    attrs = docs.select("doc_id", F.length("content").alias("n_chars"))
+    script = ("CASE WHEN n_chars > 250 THEN _score * 2.0 ELSE _score END"
+              " + ln(1 + n_chars) * 0.01")
+    got = script_score_topk(
+        postings, term_stats, meta, [(1, "data analysis")], attrs,
+        script, fields=("n_chars",), k=5,
+    ).collect()
+    # manual replay over the raw match set
+    import math
+
+    base = {
+        r["doc_id"]: r["score"]
+        for r in match_scores(
+            postings, term_stats, meta, [(1, "data analysis")]
+        ).collect()
+    }
+    nc = {r["doc_id"]: r["n_chars"] for r in attrs.collect()}
+    want = sorted(
+        (
+            (s * 2.0 if nc[d] > 250 else s) + math.log(1 + nc[d]) * 0.01,
+            -d,
+        )
+        for d, s in base.items()
+    )[::-1][:5]
+    got_sorted = sorted(got, key=lambda r: r["rank"])
+    for r, (w_score, w_negid) in zip(got_sorted, want):
+        assert r["doc_id"] == -w_negid
+        assert abs(r["score"] - w_score) < 1e-9

@@ -387,6 +387,28 @@ class SearchIndex:
             id_col=id_col, exclude_doc_ids=capped or None,
         )
 
+    def script_score(
+        self,
+        query: str | list[tuple[int, str]],
+        docs: DataFrame,
+        script: str,
+        fields: "tuple[str, ...] | list[str]" = (),
+        k: int = 10,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES function_score ``script_score``: final score = a SQL
+        expression over ``_score`` (exact full-match-set BM25) and the
+        listed doc ``fields`` — the script is data, evaluated as one
+        codegen projection (see `query.boost.script_score_topk`)."""
+        from .query.boost import script_score_topk
+
+        postings, term_stats, _, meta = self._parts()
+        queries = [(1, query)] if isinstance(query, str) else list(query)
+        return script_score_topk(
+            postings, term_stats, meta, queries, docs, script,
+            fields=tuple(fields), k=k, id_col=id_col,
+        )
+
     def search_template(
         self,
         template: str | list[tuple[int, str, dict]],

@@ -152,6 +152,42 @@ def boosted_topk(
     return topk(boosted, k)
 
 
+def script_score_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    meta: dict,
+    queries: Iterable[tuple[int, str]],
+    docs: DataFrame,
+    script: str,
+    fields: Iterable[str] = (),
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES function_score ``script_score``: the final score is an
+    arbitrary SQL expression over ``_score`` (the exact full-match-set
+    BM25) and the listed doc ``fields`` — e.g. ``"CASE WHEN n_chars >
+    300 THEN _score * 1.5 ELSE _score END + ln(1 + n_chars) * 0.01"``.
+
+    Write the script in the shared Spark/DuckDB ANSI dialect and the
+    SAME string replays in the oracle (the query_string compiler
+    discipline) — the script is data, not code, so no Python ever runs
+    per row. Execution: full-match-set scoring off the pruned posting
+    scan, one column-pruned docs equi-join for the fields, one codegen
+    projection; docs missing from ``docs`` see NULL fields (guard in
+    the script with coalesce if needed)."""
+    scores = match_scores(postings, term_stats, meta, queries)
+    side = docs.select(F.col(id_col).alias("doc_id"), *fields)
+    scripted = (
+        scores.withColumnRenamed("score", "_score")
+        .join(side, "doc_id", "left")
+        .select(
+            "qid", "doc_id",
+            F.expr(script).cast("double").alias("score"),
+        )
+    )
+    return topk(scripted, k)
+
+
 def filtered_topk(
     postings: DataFrame,
     term_stats: DataFrame,
