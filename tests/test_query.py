@@ -1577,3 +1577,50 @@ def test_block_join_inner_hits_bruteforce(spark, corpus, index):
             for crank, (cs, chunk) in enumerate(kids, 1):
                 exp.append((qid, prank, p, chunk, crank, cs))
     assert got == sorted(exp)
+
+
+def test_local_strategies_bitwise_identical(spark, corpus, index):
+    """The vectorized exhaustive scorer == the segment/WAND scorer,
+    bit for bit, across or/and/negation/search_after — and the auto
+    switch picks it for wide fetches without changing any ranking."""
+    from vframe_spark.query.local import LocalQueryEngine
+
+    postings, term_stats, _dstats, meta = index
+
+    eng = LocalQueryEngine(postings, term_stats, meta)
+    queries = ["data analysis", "hash table merge", "stream", "parse buffer scan"]
+    for q in queries:
+        a = eng.topk(q, k=8, strategy="segments")
+        b = eng.topk(q, k=8, strategy="exhaustive")
+        assert a == b, q
+        an = eng.topk(q + " -data", k=8, negation=True, strategy="segments")
+        bn = eng.topk(q + " -data", k=8, negation=True, strategy="exhaustive")
+        assert an == bn, q
+        aa = eng.topk(q, k=8, mode="and", strategy="segments")
+        ba = eng.topk(q, k=8, mode="and", strategy="exhaustive")
+        assert aa == ba, q
+        if a:
+            ap = eng.topk(q, k=8, after=a[-1], strategy="segments")
+            bp = eng.topk(q, k=8, after=a[-1], strategy="exhaustive")
+            assert ap == bp, q
+    # auto reports which kernel ran and stays rank-identical
+    _res, prof = eng.profile("data analysis", k=8)
+    assert prof["strategy"] in ("segments", "exhaustive")
+
+
+def test_local_decoded_cache_bounded_and_correct(spark, corpus, index):
+    from vframe_spark.query.local import LocalQueryEngine
+
+    postings, term_stats, _dstats, meta = index
+
+    eng = LocalQueryEngine(postings, term_stats, meta)
+    eng.cache_postings = 64  # force constant eviction
+    want = eng.topk("data analysis", k=8, strategy="segments")
+    for _ in range(3):
+        assert eng.topk("data analysis", k=8, strategy="exhaustive") == want
+        assert eng.topk("hash table", k=8, strategy="exhaustive") == eng.topk(
+            "hash table", k=8, strategy="segments"
+        )
+    # the budget actually bounds the cache
+    total = sum(ids.size for ids, _c in eng._decoded.values())
+    assert total <= 64 + max(ids.size for ids, _c in eng._decoded.values())

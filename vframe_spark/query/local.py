@@ -70,6 +70,13 @@ class LocalQueryEngine:
         # driver OOM; a query touches a handful of terms). None = term
         # absent from the index, cached so repeat misses stay free.
         self._dfs: OrderedDict[str, int | None] = OrderedDict()
+        # term → (sorted doc_ids, BM25 contribs) fully decoded — the
+        # exhaustive path's warm fast lane (decode once, score with
+        # pure vector ops). Byte-bounded separately from the block LRU:
+        # ~16 B/posting, budget below ≈ 160 MB worst case.
+        self._decoded: OrderedDict[str, tuple] = OrderedDict()
+        self._decoded_postings = 0
+        self.cache_postings = 10_000_000
 
     def _get_dfs(self, terms: list[str]) -> dict[str, int]:
         """df for each term, fetched via term-pushdown filter and LRU-cached."""
@@ -149,7 +156,7 @@ class LocalQueryEngine:
 
     def profile(
         self, query: str, k: int = 10, mode: str = "or", negation: bool = False,
-        after: tuple[int, float] | None = None,
+        after: tuple[int, float] | None = None, strategy: str = "auto",
     ) -> tuple[list[tuple[int, float]], dict]:
         """ES ``_profile`` analog: run :meth:`topk` instrumented →
         (results, profile). The profile carries per-stage wall times in
@@ -160,12 +167,95 @@ class LocalQueryEngine:
         ``shards``). Same code path as ``topk`` (the timers wrap it),
         so profiling can never report a plan the query didn't run."""
         prof: dict = {}
-        res = self.topk(query, k, mode, negation, after, _prof=prof)
+        res = self.topk(query, k, mode, negation, after, _prof=prof,
+                        strategy=strategy)
         return res, prof
+
+    #: auto strategy switch: fetches wider than this many posting
+    #: blocks score through the vectorized exhaustive kernel instead of
+    #: the per-segment WAND loop (see the strategy comment in `topk`)
+    AUTO_EXHAUSTIVE_BLOCKS = 64
+
+    def _decoded_term(self, term: str, g: "pd.DataFrame"):
+        """(sorted doc_ids, contribs) for one term, decoded at most
+        once per LRU residency. ``g`` = the term's block rows (block-
+        ascending), already carrying the ``idf`` column. Blocks are
+        disjoint ascending doc-id ranges, so the concatenation is
+        globally sorted — same order the per-block decode emits."""
+        import numpy as np
+
+        from ..index.codec import for_decode, pfor_delta_decode
+        from ..oracle import B, K1
+
+        hit = self._decoded.get(term)
+        if hit is not None:
+            self._decoded.move_to_end(term)
+            return hit
+        idf = float(g["idf"].iloc[0])
+        ids_parts, contrib_parts = [], []
+        for row in g.itertuples(index=False):
+            n = int(row.n)
+            ids = pfor_delta_decode(row.doc_ids, n, int(row.first_doc)).astype(np.int64)
+            tf = for_decode(row.tfs, n).astype(np.float64)
+            dl = for_decode(row.dls, n).astype(np.float64)
+            ids_parts.append(ids)
+            contrib_parts.append(
+                idf * ((tf * (K1 + 1.0))
+                       / (tf + K1 * (1.0 - B + B * dl / self._avgdl)))
+            )
+        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+        contrib = (np.concatenate(contrib_parts) if contrib_parts
+                   else np.empty(0, np.float64))
+        self._decoded[term] = (ids, contrib)
+        self._decoded_postings += ids.size
+        while (self._decoded_postings > self.cache_postings
+               and len(self._decoded) > 1):
+            _t, (old_ids, _c) = self._decoded.popitem(last=False)
+            self._decoded_postings -= old_ids.size
+        return self._decoded[term]
+
+    def _exhaustive_cached(
+        self, pdf: "pd.DataFrame", terms: list, negs: list, k: int,
+        mode: str, after,
+    ) -> "pd.DataFrame":
+        """Vectorized exhaustive scoring over the decoded-term cache —
+        bitwise rank-identical to the segment path (shared accumulate
+        tail; sorted-term concatenation order)."""
+        from .wand import _accumulate_topk
+
+        if "neg" in pdf.columns:
+            neg_rows = pdf[pdf["neg"]]
+            pdf = pdf[~pdf["neg"]]
+        else:
+            neg_rows = pdf.iloc[0:0]
+        # pin current-query terms before any eviction the decode loop does
+        for t in list(terms) + list(negs):
+            if t in self._decoded:
+                self._decoded.move_to_end(t)
+        ids_parts, contrib_parts = [], []
+        for t in sorted(pdf["term"].unique()):
+            g = pdf[pdf["term"] == t].sort_values("block")
+            ids, contrib = self._decoded_term(t, g)
+            if ids.size:
+                ids_parts.append(ids)
+                contrib_parts.append(contrib)
+        neg_parts = []
+        for t in sorted(neg_rows["term"].unique()) if len(neg_rows) else []:
+            g = neg_rows[neg_rows["term"] == t].sort_values("block")
+            ids, _ = self._decoded_term(t, g)
+            if ids.size:
+                neg_parts.append(ids)
+        conj = mode == "and"
+        n_required = int(pdf["n_terms"].iloc[0]) if conj and len(pdf) else 0
+        return _accumulate_topk(
+            ids_parts, contrib_parts, neg_parts, k, conj, n_required,
+            after, self._exclude, qid=0,
+        )
 
     def topk(
         self, query: str, k: int = 10, mode: str = "or", negation: bool = False,
         after: tuple[int, float] | None = None, _prof: dict | None = None,
+        strategy: str = "auto",
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] ranked (score DESC, doc_id ASC).
 
@@ -244,21 +334,38 @@ class LocalQueryEngine:
             pdf["neg"] = pdf["term"].isin(negs)
         if mode == "and":
             pdf["n_terms"] = len(terms)
-        out_parts = []
-        for _, g in pdf.groupby("shard"):
-            out_parts.append(
-                _local_topk(
-                    g.reset_index(drop=True), k, self._avgdl, mode,
-                    self._exclude, after=after,
+        # Strategy pick (bitwise rank-identical either way — tested):
+        # the segment/WAND path wins when block-max pruning can skip
+        # decodes; its overhead is ~(segments × terms) small numpy
+        # calls, which DOMINATES on wide fetches (profiled at 200k
+        # docs: 399 ms segment vs ~15 ms exhaustive, all of it loop
+        # overhead). Above the block threshold the vectorized
+        # exhaustive scorer is the sure win; below it both are sub-ms.
+        # max_fetch_df already bounds the worst exhaustive decode.
+        use_exhaustive = strategy == "exhaustive" or (
+            strategy == "auto" and len(pdf) > self.AUTO_EXHAUSTIVE_BLOCKS
+        )
+        if use_exhaustive:
+            allp = self._exhaustive_cached(pdf, terms, negs, k, mode, after)
+            n_groups = 1
+        else:
+            out_parts = []
+            for _, g in pdf.groupby("shard"):
+                out_parts.append(
+                    _local_topk(
+                        g.reset_index(drop=True), k, self._avgdl, mode,
+                        self._exclude, after=after,
+                    )
                 )
-            )
-        allp = pd.concat(out_parts, ignore_index=True)
+            allp = pd.concat(out_parts, ignore_index=True)
+            n_groups = len(out_parts)
         allp = allp.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
         if _prof is not None:
             _prof.update(
-                shards=len(out_parts),
+                shards=n_groups,
+                strategy="exhaustive" if use_exhaustive else "segments",
                 score_ms=round((_pc() - t_fetch) * 1e3, 3),
                 total_ms=round((_pc() - t_start) * 1e3, 3),
             )

@@ -270,6 +270,129 @@ def _local_topk(
     return pd.DataFrame({"qid": qid, "doc_id": ids[sel], "score": scores[sel]})
 
 
+def _exhaustive_topk(
+    pdf: pd.DataFrame,
+    k: int,
+    avgdl: float,
+    mode: str = "or",
+    exclude: np.ndarray | None = None,
+    after: tuple[int, float] | None = None,
+) -> pd.DataFrame:
+    """Fully-vectorized exact scorer for one qid group — the same
+    contract as :func:`_local_topk` with NO segment machinery: decode
+    every block once, one global accumulate, one lexsort.
+
+    Why it exists: the segment path's cost is ~(segments × terms) small
+    numpy calls — pure Python overhead — which dominates exactly when
+    block-max pruning can't skip (flat score distributions, small df).
+    Profiled at 200k docs / 50 warm reference queries: segment p50
+    399 ms vs ~15 ms here, 100% of the gap in the per-segment loop,
+    0.4 ms in fetch. The interactive head picks between the two by a
+    block-count heuristic (see `LocalQueryEngine.topk`); the
+    distributed batch path keeps WAND unconditionally (the north-rule
+    pruning contract, and executors amortize the loop across queries).
+
+    Bitwise rank-identical to `_local_topk` BY CONSTRUCTION: per doc,
+    contributions accumulate in the same sorted-term order (np.add.at
+    adds in flat-array order; terms concatenate sorted, ids ascend
+    within a term), so float sums are equal bit for bit — pinned in
+    tests/test_query.py across modes/negation/after/exclude.
+    """
+    qid = int(pdf["qid"].iloc[0])
+    empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
+        {"qid": "int32", "doc_id": "int64", "score": "float64"}
+    )
+    neg_parts: list[np.ndarray] = []
+    if "neg" in pdf.columns:
+        negs = pdf[pdf["neg"]]
+        pdf = pdf[~pdf["neg"]]
+        if pdf.empty:
+            return empty
+        for _, row in negs.iterrows():
+            neg_parts.append(
+                pfor_delta_decode(
+                    row["doc_ids"], int(row["n"]), int(row["first_doc"])
+                ).astype(np.int64)
+            )
+    conj = mode == "and"
+    n_required = int(pdf["n_terms"].iloc[0]) if conj else 0
+    terms = sorted(pdf["term"].unique())
+    if conj and len(terms) < n_required:
+        return empty
+    ids_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    for t in terms:
+        g = pdf[pdf["term"] == t].sort_values("block")
+        idf = float(g["idf"].iloc[0])
+        for row in g.itertuples(index=False):
+            n = int(row.n)
+            ids = pfor_delta_decode(row.doc_ids, n, int(row.first_doc)).astype(np.int64)
+            tf = for_decode(row.tfs, n).astype(np.float64)
+            dl = for_decode(row.dls, n).astype(np.float64)
+            ids_parts.append(ids)
+            contrib_parts.append(
+                idf * ((tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+            )
+    return _accumulate_topk(
+        ids_parts, contrib_parts, neg_parts, k, conj, n_required,
+        after, exclude, qid,
+    )
+
+
+def _accumulate_topk(
+    ids_parts: "list[np.ndarray]",
+    contrib_parts: "list[np.ndarray]",
+    neg_parts: "list[np.ndarray]",
+    k: int,
+    conj: bool,
+    n_required: int,
+    after: tuple[int, float] | None,
+    exclude: np.ndarray | None,
+    qid: int,
+) -> pd.DataFrame:
+    """Global accumulate + conj/neg/after/exclude + lexsort — the tail
+    shared by `_exhaustive_topk` and the interactive head's
+    decoded-term-cache path. ``ids_parts`` must be concatenated in
+    sorted-term order (ids ascending within a term) for bitwise score
+    parity with the segment kernel."""
+    empty = pd.DataFrame(columns=["qid", "doc_id", "score"]).astype(
+        {"qid": "int32", "doc_id": "int64", "score": "float64"}
+    )
+    if not ids_parts:
+        return empty
+    all_ids = np.concatenate(ids_parts)
+    all_contrib = np.concatenate(contrib_parts)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, all_contrib)
+    if conj:
+        cnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        keep = cnt == n_required
+        uniq, scores = uniq[keep], scores[keep]
+    if neg_parts and uniq.size:
+        dead_ids = np.unique(np.concatenate(neg_parts))
+        pos = np.searchsorted(dead_ids, uniq)
+        dead = (pos < dead_ids.size) & (
+            dead_ids[np.clip(pos, 0, dead_ids.size - 1)] == uniq
+        )
+        uniq, scores = uniq[~dead], scores[~dead]
+    if after is not None and uniq.size:
+        cd, cs = after
+        keep = (scores < cs) | ((scores == cs) & (uniq > cd))
+        uniq, scores = uniq[keep], scores[keep]
+    if exclude is not None and exclude.size and uniq.size:
+        pos = np.searchsorted(exclude, uniq)
+        dead = (pos < exclude.size) & (
+            exclude[np.clip(pos, 0, exclude.size - 1)] == uniq
+        )
+        uniq, scores = uniq[~dead], scores[~dead]
+    if uniq.size == 0:
+        return empty
+    sel = np.lexsort((uniq, -scores))[:k]
+    return pd.DataFrame({"qid": qid, "doc_id": uniq[sel], "score": scores[sel]})
+
+
 def _kth_best(score_chunks: list[np.ndarray], k: int) -> float:
     s = np.concatenate(score_chunks)
     if s.size < k:
