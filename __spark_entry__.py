@@ -3558,6 +3558,40 @@ SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {FT_K}
 """
 
 
+# ES distance_feature: additive saturation boost toward an origin —
+# one more shared-dialect script through the script_score kernel.
+DFEAT_W, DFEAT_ORIGIN, DFEAT_PIVOT = 1.5, 250.0, 50.0
+DFEAT_EXPR = (
+    f"_score + {DFEAT_W!r} * {DFEAT_PIVOT!r} / "
+    f"({DFEAT_PIVOT!r} + abs(n_chars - {DFEAT_ORIGIN!r}))"
+)
+
+
+def q_ft_distance_feature(spark, sf_dir):
+    """ES distance_feature (facade SearchIndex.distance_feature →
+    query/boost.py script_score_topk): score = BM25 + weight·pivot/
+    (pivot + |n_chars − origin|) — the additive should-clause
+    saturation curve as one shared-dialect script; the oracle
+    evaluates the identical string."""
+    from vframe_spark.query.boost import script_score_topk
+
+    postings, term_stats, _, meta = _ft_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    raw = script_score_topk(
+        postings, term_stats, meta, FT_QUERIES, docs,
+        DFEAT_EXPR, fields=("n_chars",), k=3 * FT_K,
+    )
+    return _rounded_rank(raw.select("qid", "doc_id", "score"), FT_K)
+
+
+def _distance_feature_oracle_sql() -> str:
+    base = _script_score_oracle_sql()
+    old = SCRIPT_SCORE_EXPR.replace("n_chars", "d.n_chars")
+    new = DFEAT_EXPR.replace("n_chars", "d.n_chars")
+    assert old in base
+    return base.replace(old, new)
+
+
 FT_PCTS = [0.5, 0.95]
 CARD_P = 12
 
@@ -11518,6 +11552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_cardinality": q_ft_cardinality,
         "ft_decay_topk": q_ft_decay_topk,
         "ft_script_score": q_ft_script_score,
+        "ft_distance_feature": q_ft_distance_feature,
         "ft_date_histogram": q_ft_date_histogram,
         "ft_range_facet": q_ft_range_facet,
         "ft_dismax_topk": q_ft_dismax_topk,
@@ -12291,6 +12326,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "ft_cardinality": _cardinality_oracle_sql(),
         "ft_decay_topk": _decay_oracle_sql(),
         "ft_script_score": _script_score_oracle_sql(),
+        "ft_distance_feature": _distance_feature_oracle_sql(),
         "ft_date_histogram": _date_histogram_oracle_sql(),
         "ft_range_facet": _range_facet_oracle_sql(),
         "ft_dismax_topk": _dismax_oracle_sql(),

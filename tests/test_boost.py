@@ -480,3 +480,34 @@ def test_script_score_matches_manual_and_facade(spark, corpus, index):
     for r, (w_score, w_negid) in zip(got_sorted, want):
         assert r["doc_id"] == -w_negid
         assert abs(r["score"] - w_score) < 1e-9
+
+
+def test_distance_feature_facade(spark, corpus, index, tmp_path_factory):
+    import math
+
+    from vframe_spark.api import SearchIndex
+    from vframe_spark.query.boost import match_scores
+
+    docs, _oracle = corpus
+    postings, term_stats, _d, meta = index
+    out = str(tmp_path_factory.mktemp("dfeat"))
+    ix = SearchIndex.build(docs, out, shard_size=64, block_size=16,
+                           shards_per_slice=2)
+    attrs = docs.select("doc_id", F.length("content").alias("n_chars"))
+    got = ix.distance_feature(
+        "data analysis", attrs, "n_chars", origin=250.0, pivot=50.0,
+        weight=2.0, k=5,
+    ).collect()
+    base = {
+        r["doc_id"]: r["score"]
+        for r in match_scores(
+            postings, term_stats, meta, [(1, "data analysis")]
+        ).collect()
+    }
+    nc = {r["doc_id"]: r["n_chars"] for r in attrs.collect()}
+    want = sorted(
+        ((s + 2.0 * 50.0 / (50.0 + abs(nc[d] - 250.0))), -d)
+        for d, s in base.items()
+    )[::-1][:5]
+    for r, (w_score, w_negid) in zip(sorted(got, key=lambda r: r["rank"]), want):
+        assert r["doc_id"] == -w_negid and abs(r["score"] - w_score) < 1e-9

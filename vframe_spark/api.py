@@ -409,6 +409,30 @@ class SearchIndex:
             fields=tuple(fields), k=k, id_col=id_col,
         )
 
+    def distance_feature(
+        self,
+        query: str | list[tuple[int, str]],
+        docs: DataFrame,
+        field: str,
+        origin: float,
+        pivot: float,
+        weight: float = 1.0,
+        k: int = 10,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """ES ``distance_feature``: boost docs near ``origin`` on a
+        numeric/date ``field`` — score = BM25 + weight·pivot/(pivot +
+        |field − origin|), the ES saturation curve, evaluated as one
+        shared-dialect script through `script_score` (additive should-
+        clause semantics, exact over the full match set)."""
+        script = (
+            f"_score + {float(weight)!r} * {float(pivot)!r} / "
+            f"({float(pivot)!r} + abs({field} - {float(origin)!r}))"
+        )
+        return self.script_score(
+            query, docs, script, fields=(field,), k=k, id_col=id_col
+        )
+
     def search_template(
         self,
         template: str | list[tuple[int, str, dict]],
