@@ -404,3 +404,49 @@ def test_submit_scan_verbs(tmp_path):
           spark.read.parquet(str(tmp_path / "cx")).collect()}
     assert len(cx) == 3 and cx[2]["n_lines"] == 1
     assert cx[1]["cyclomatic"] == 1  # no branch keywords in the snippet
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_submit_fsck(tmp_path):
+    import glob
+    import shutil
+
+    sys.path.insert(0, ROOT)
+    from tools.make_pyfiles import make
+
+    zip_path = make(str(tmp_path / "vframe_spark.zip"))
+    idx = str(tmp_path / "idx")
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    common = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zip_path,
+        os.path.join(ROOT, "tools", "submit_job.py"),
+    ]
+    out = subprocess.run(
+        common + ["build", "--docs-parquet", "unused", "--synth-docs", "120",
+                  "--index", idx, "--shard-size", "64", "--block-size", "16"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # healthy index: exit 0, zero mismatches
+    out = subprocess.run(
+        common + ["fsck", "--index", idx, "--bytes"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["mismatches"] == 0 and rep["checks"] > 5
+    # tampered copy: delete a committed postings file -> exit 1
+    broken = str(tmp_path / "broken")
+    shutil.copytree(idx, broken)
+    victim = sorted(glob.glob(os.path.join(broken, "postings", "**", "*.parquet"),
+                              recursive=True))[0]
+    os.remove(victim)
+    out = subprocess.run(
+        common + ["fsck", "--index", broken],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 1, (out.returncode, out.stderr[-2000:])
+    rep = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["mismatches"] > 0

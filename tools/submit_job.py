@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="print per-slice lineage/metrics + totals")
     st.add_argument("--index", required=True)
 
+    fk = sub.add_parser("fsck", help="structural index audit: manifest vs "
+                        "committed slice data vs term/doc stats vs meta; "
+                        "exit 1 on any mismatch")
+    fk.add_argument("--index", required=True)
+    fk.add_argument("--bytes", action="store_true",
+                    help="also audit per-slice compressed payload bytes")
+
     m = sub.add_parser("merge", help="fold another index into this one (doc ids rebased)")
     m.add_argument("--index", required=True, help="destination index (mutated)")
     m.add_argument("--src", required=True, help="source index (read-only)")
@@ -515,6 +522,17 @@ def main(argv: list[str] | None = None) -> int:
             "max_skew_ratio": max((s.get("skew_ratio") or 0.0 for s in slices), default=0.0),
         }
         print(json.dumps({"meta": meta, "totals": tot, "slices": slices}, default=str))
+    elif args.cmd == "fsck":
+        from vframe_spark.index.verify import verify_index
+
+        rep = verify_index(spark, args.index, check_bytes=args.bytes).collect()
+        bad = [r.asDict() for r in rep if r["status"] != "ok"]
+        print(json.dumps({
+            "checks": len(rep), "mismatches": len(bad), "bad": bad[:50],
+        }, default=str))
+        if bad:
+            spark.stop()
+            return 1
     elif args.cmd == "scan":
         docs = spark.read.parquet(args.docs_parquet)
         if args.what == "delta":
