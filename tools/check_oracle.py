@@ -84,6 +84,9 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # corpus-derived oracle literals (weak-quality LR weights) must
+    # come from the corpus under test, not the default gate dir
+    entry_mod._ORACLE_SF_DIR = sf_dir
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
     record: dict[str, dict] = {}
