@@ -5638,14 +5638,90 @@ def q_sim_lsh_topk(spark, sf_dir):
     )
 
 
+IVF_LISTS, IVF_PROBES, IVF_GRAIN = 16, 8, 6
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    k = 5
+    ce = _cos_sql("e.embedding", "c.cvec")
+    cq = _cos_sql("q.qvec", "c.cvec")
+    ca = _cos_sql("a.embedding", "q.qvec")
+    cb = _cos_sql("e.embedding", "q.qvec")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_LISTS})
+),
+assign AS (
+  SELECT vec_id, embedding, lid FROM (
+    SELECT e.vec_id, e.embedding, c.lid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({ce}, {IVF_GRAIN}) DESC, c.lid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 200 = 0),
+probes AS (
+  SELECT qid, lid FROM (
+    SELECT q.qid, c.lid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({cq}, {IVF_GRAIN}) DESC, c.lid ASC) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= {IVF_PROBES}
+),
+cand AS (
+  SELECT q.qid, a.vec_id, round({ca}, 4) AS cosine
+  FROM q JOIN probes p ON p.qid = q.qid JOIN assign a ON a.lid = p.lid
+),
+res AS (
+  SELECT qid::BIGINT AS qid,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, cosine
+  FROM cand
+),
+bf AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({cb}, 4) DESC, e.vec_id ASC) AS rk
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rk <= {k}
+),
+recall AS (
+  SELECT r.qid, round(count(bf.vec_id) / {k}.0, 4) AS recall
+  FROM res r LEFT JOIN bf ON bf.qid = r.qid AND bf.vec_id = r.vec_id
+  WHERE r.rank <= {k}
+  GROUP BY 1
+)
+SELECT res.qid, res.rank, res.vec_id, res.cosine,
+       coalesce(recall.recall, 0.0) AS recall
+FROM res JOIN recall ON recall.qid = res.qid
+WHERE res.rank <= {k}
+"""
+
+
 def q_sim_ivf_topk(spark, sf_dir):
-    """Approximate ANN, IVF-Flat strategy: spherical-k-means coarse
-    quantizer (driver-trained on a bounded sample, broadcast), probe the
-    ``n_probes`` nearest inverted lists per query, exact cosine rerank
-    inside — FAISS-IVF shape, one equi-join on list_id. Engine k-means
-    isn't SQL-expressible (rows-only), so accuracy is surfaced IN the
-    output: ``recall`` = per-query overlap@k with the oracle-checked
-    brute-force baseline."""
+    """Approximate ANN, IVF-Flat strategy: coarse quantizer broadcast,
+    probe the ``n_probes`` nearest inverted lists per query, exact
+    cosine rerank inside — FAISS-IVF shape, one equi-join on list_id.
+    FULL oracle since r4 (the dedup_semantic discipline): the contract
+    pins closed-form centroids (first IVF_LISTS vectors by id,
+    normalized) and a 6-dp assignment/probe grain with lowest-list-id
+    ties, so DuckDB replays assignment, probe selection, candidate
+    join, and the 4-dp rerank value-for-value. The engine-TRAINED
+    spherical-k-means quantizer stays covered by
+    tests/test_similarity.py (recall-vs-brute + probes==lists ≡ brute).
+    Accuracy still surfaces in-output: ``recall`` = per-query
+    overlap@k with the brute-force baseline — now itself replayed by
+    the oracle."""
     from vframe_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5655,10 +5731,36 @@ def q_sim_ivf_topk(spark, sf_dir):
         for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
     ]
     k = 5
-    res = ivf_topk(emb, queries, dim=dim, k=k, n_lists=16, n_probes=8)
-    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
-        "qid", F.col("vec_id").alias("bf_vec_id")
+    cents = np.array(
+        [
+            list(r["embedding"])
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(IVF_LISTS).collect()
+        ],
+        dtype=np.float64,
     )
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    def _grain_cut(df, id_out):
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col(id_out).asc()
+        )
+        return (
+            df.withColumn("cosine", F.round("cosine", 4))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        )
+
+    # 3× cushion, then cut AT the 4-dp grain (the sq_topk discipline) —
+    # the k boundary is decided on rounded values in both engines
+    res = _grain_cut(
+        ivf_topk(
+            emb, queries, dim=dim, k=3 * k, n_lists=IVF_LISTS,
+            n_probes=IVF_PROBES, centroids=cents, grain=IVF_GRAIN,
+        ), "vec_id",
+    )
+    exact = _grain_cut(
+        cosine_topk_bruteforce(emb, queries, k=3 * k), "vec_id"
+    ).select("qid", F.col("vec_id").alias("bf_vec_id"))
     hit = (
         res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
         .groupBy("qid")
@@ -5669,9 +5771,9 @@ def q_sim_ivf_topk(spark, sf_dir):
         res.join(recall, "qid", "left")
         .select(
             F.col("qid").cast("bigint").alias("qid"),
-            F.col("rank").cast("int").alias("rank"),
+            "rank",
             "vec_id",
-            F.round("cosine", 4).alias("cosine"),
+            "cosine",
             F.coalesce("recall", F.lit(0.0)).alias("recall"),
         )
     )
@@ -11845,6 +11947,7 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "sim_cosine_topk": SIM_ORACLE_SQL,
         "sim_mrl_topk": _mrl_oracle_sql(),
         "sim_sq_topk": SQ_ORACLE_SQL,
+        "sim_ivf_topk": _ivf_oracle_sql(),
         "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
         "sim_bq_topk": BQ_ORACLE_SQL,
         "rank_pagerank": _pagerank_oracle_sql(),

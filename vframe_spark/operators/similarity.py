@@ -455,10 +455,17 @@ def ivf_assign(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grain: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (one narrow GEMM pass)
     → (vec_id, vec, list_id). This is the partitioning an IVF *index*
-    would persist, bucketed by ``list_id``."""
+    would persist, bucketed by ``list_id``.
+
+    ``grain`` rounds assignment cosines to that many decimals before
+    the argmax (ties → lowest list id, numpy first-max) — the
+    cross-engine determinism knob the `semantic_dedup` oracle
+    established: with pinned centroids + a grain, a SQL engine
+    replays the assignment value-for-value."""
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
     src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
 
@@ -469,11 +476,14 @@ def ivf_assign(
                 yield pd.DataFrame({"vec_id": [], "vec": [], "list_id": []})
                 continue
             mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mn @ cents.T
+            if grain is not None:
+                sims = np.round(sims, grain)
             yield pd.DataFrame(
                 {
                     "vec_id": b["vec_id"],
                     "vec": b["vec"],
-                    "list_id": (mn @ cents.T).argmax(axis=1),
+                    "list_id": sims.argmax(axis=1),
                 }
             )
 
@@ -491,9 +501,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    grain: int | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: probe each query's ``n_probes`` nearest inverted
     lists, exact cosine rerank inside → (qid, rank, vec_id, cosine).
+    ``grain`` (with pinned ``centroids``) makes assignment + probe
+    selection cross-engine deterministic — see `ivf_assign`.
 
     Plan shape (the part that matters at 100 TB): centroids broadcast;
     list assignment is one narrow Arrow pass; probes are extra rows in
@@ -505,13 +518,19 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = ivf_train(embeddings, dim, n_lists, seed, id_col=id_col, vec_col=vec_col)
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, grain=grain)
 
     qrows = []
     for qid, vec in queries:
         v = np.asarray(vec, dtype=np.float64)
         v = v / max(float(np.linalg.norm(v)), 1e-12)
-        order = np.argsort(-(centroids @ v))[: max(1, min(n_probes, len(centroids)))]
+        sims = centroids @ v
+        if grain is not None:
+            sims = np.round(sims, grain)
+        # stable: ties between equally-near lists resolve to the lower id
+        order = np.lexsort((np.arange(sims.size), -sims))[
+            : max(1, min(n_probes, len(centroids)))
+        ]
         for lid in order:
             qrows.append((qid, [float(x) for x in vec], int(lid)))
     spark = embeddings.sparkSession
