@@ -911,7 +911,7 @@ def q_ft_query_string(spark, sf_dir):
 # ES search templates: (qid, template, params) — {{var}} substitution,
 # {{#var}} optional sections, {{^var}} defaults (query/templates.py).
 FT_TEMPLATE_QUERIES = [
-    (1, "{{field}}:en AND ({{q}})", {"field": "lang", "q": "hash OR merge"}),
+    (1, "{{field}}:en AND ({{{q}}})", {"field": "lang", "q": "hash OR merge"}),
     (2, "{{q}}^{{boost}} {{#neg}}-{{neg}}{{/neg}}",
      {"q": "spark", "boost": 2, "neg": "join"}),
     (3, "n_chars:[{{lo}} TO {{hi}}] AND vector", {"lo": 150, "hi": 400}),

@@ -9,8 +9,9 @@ from vframe_spark.query.templates import render_search_template
 
 
 def test_render_substitution_and_sections():
+    # raw triple-brace slot = explicit opt-in for subquery splicing
     assert render_search_template(
-        "{{field}}:en AND ({{q}})", {"field": "lang", "q": "hash OR merge"}
+        "{{field}}:en AND ({{{q}}})", {"field": "lang", "q": "hash OR merge"}
     ) == "lang:en AND (hash OR merge)"
     # numeric params render bare; floats that are whole render as ints
     assert render_search_template(
@@ -35,6 +36,64 @@ def test_render_escaping_and_missing_param():
     ) == '"hash OR evil:x"'
     with pytest.raises(KeyError, match="no 'q'"):
         render_search_template("{{q}} AND cache", {})
+
+
+def test_safe_slot_rejects_operator_injection():
+    # an untrusted param cannot restructure the query through a bare slot
+    for evil in ["py OR java", "a AND b", "x)^9", 'x" OR y', "-neg",
+                 "+req", "lang:py", "a b", "OR", "n:[1 TO 2]", ""]:
+        with pytest.raises(ValueError, match="single query atom"):
+            render_search_template("lang:{{l}} AND x", {"l": evil})
+    # plain atoms (incl. wildcards, digits, dots) still render bare
+    assert render_search_template(
+        "lang:{{l}} AND x^{{b}}", {"l": "py*", "b": 2}
+    ) == "lang:py* AND x^2"
+    # the same hostile value IS allowed through an explicit raw slot …
+    assert render_search_template(
+        "({{{l}}}) AND x", {"l": "py OR java"}
+    ) == "(py OR java) AND x"
+    # … and is neutralized inside a phrase slot
+    assert render_search_template(
+        '"{{l}}" AND x', {"l": 'py" OR java'}
+    ) == '"py OR java" AND x'
+
+
+def test_nested_same_name_sections_render_correctly():
+    # the stack scanner pairs each open tag with its true partner —
+    # no literal {{#a}}/{{/a}} tags may leak into the rendered query
+    out = render_search_template(
+        "{{#a}}x {{#a}}y{{/a}} z{{/a}}", {"a": 1}
+    )
+    assert out == "x y z" and "{{" not in out
+    assert render_search_template(
+        "{{#a}}x {{#a}}y{{/a}} z{{/a}}", {"a": 0}
+    ) == "x y z"  # 0 is mustache-truthy
+    assert render_search_template(
+        "{{#a}}x {{#a}}y{{/a}} z{{/a}} w", {}
+    ) == "w"
+    # mixed-name nesting
+    assert render_search_template(
+        "{{#a}}x {{#b}}y{{/b}}{{/a}}", {"a": 1}
+    ) == "x"
+    with pytest.raises(ValueError, match="unbalanced"):
+        render_search_template("{{#a}}x{{/b}}", {"a": 1, "b": 1})
+    with pytest.raises(ValueError, match="unclosed"):
+        render_search_template("{{#a}}x", {"a": 1})
+
+
+def test_mustache_falsey_set():
+    t = "{{#v}}yes{{/v}}{{^v}}no{{/v}}"
+    # mustache/ES semantics: 0 and 0.0 are TRUTHY (size=0 must not
+    # silently switch to the default branch)
+    assert render_search_template(t, {"v": 0}) == "yes"
+    assert render_search_template(t, {"v": 0.0}) == "yes"
+    assert render_search_template(t, {"v": "x"}) == "yes"
+    for falsey in [None, False, "", []]:
+        assert render_search_template(t, {"v": falsey}) == "no"
+    assert render_search_template(t, {}) == "no"
+    assert render_search_template(
+        "size:{{#s}}{{s}}{{/s}}{{^s}}10{{/s}}", {"s": 0}
+    ) == "size:0"
 
 
 @pytest.fixture(scope="module")

@@ -3,18 +3,30 @@ rendered server-side before execution.
 
 A mustache-lite renderer covering the subset ES templates actually use
 for query strings: ``{{var}}`` substitution, ``{{#var}}…{{/var}}``
-conditional sections (rendered when the param is present and truthy,
-with ``{{.}}``-style scalar access via the section variable itself),
-and ``{{^var}}…{{/var}}`` inverted sections (defaults). Rendering is
-DRIVER-side string work — the resulting query runs through the normal
-`query_string` compiler, so templates add zero execution surface: every
-rendered query is exactly as safe, oracled, and distributed as a
-hand-written one.
+conditional sections (rendered when the param is present and truthy in
+the MUSTACHE sense — ``0`` is truthy; only absent/None/False/empty
+string/empty list are falsey), and ``{{^var}}…{{/var}}`` inverted
+sections (defaults). Sections nest arbitrarily, including same-name
+nesting, via a stack scanner. Rendering is DRIVER-side string work —
+the resulting query runs through the normal `query_string` compiler.
 
-Values render with phrase-safe escaping: embedded ``"`` in a value
-would break out of a quoted phrase slot, so it is stripped (the
-canonical tokenizer never emits quotes, making them semantically inert
-anyway). Non-string scalars render via ``str``.
+Slot safety — the injection contract:
+
+* ``{{var}}`` outside quotes is a SAFE slot: the rendered value must be
+  a single query atom (no whitespace, parens, quotes, operators,
+  ``^:[]{}~`` or leading ``-``/``+``) or rendering raises ``ValueError``
+  — an untrusted param cannot restructure the query.
+* ``{{var}}`` inside a quoted phrase is a PHRASE slot: embedded ``"``
+  is stripped (the canonical tokenizer never emits quotes, making them
+  semantically inert anyway), so a value cannot break out of the
+  phrase.
+* ``{{{var}}}`` (mustache "raw" triple-brace) substitutes VERBATIM —
+  this is the explicit opt-in for templates that intentionally splice a
+  whole subquery (e.g. ``({{{q}}})`` with ``q = "hash OR merge"``) and
+  must only be used with trusted params.
+
+Non-string scalars render via ``str`` (whole floats as ints, booleans
+lowercase).
 
 Reference parity: the reference's CLI templating for output paths /
 captions (@accessor strings, /root/reference/src/vframe/utils/
@@ -26,49 +38,121 @@ from __future__ import annotations
 
 import re
 
-_SECTION_RE = re.compile(
-    r"\{\{([#^])\s*([\w.]+)\s*\}\}(.*?)\{\{/\s*\2\s*\}\}", re.S
-)
-_VAR_RE = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
+# Open/close section tags, scanned in order and paired with a stack so
+# nested (including same-name) sections match their true partner.
+_TAG_RE = re.compile(r"\{\{([#^/])\s*([\w.]+)\s*\}\}")
+# Triple-brace (raw) first, then double-brace (safe/phrase).
+_SLOT_RE = re.compile(r"\{\{\{\s*([\w.]+)\s*\}\}\}|\{\{\s*([\w.]+)\s*\}\}")
+
+# Characters that could restructure a query if substituted into a bare
+# (unquoted) slot, plus the bare operator words.
+_UNSAFE_CHARS = set(" \t\n\r()\"'^:[]{}~")
+_OPERATOR_WORDS = frozenset({"AND", "OR", "NOT", "TO"})
 
 
-def _render_value(v) -> str:
+def _present(params: dict, name: str) -> bool:
+    """Mustache truthiness: absent, None, False, '' and empty
+    list/tuple/dict are falsey; everything else (including 0) is
+    truthy."""
+    if name not in params:
+        return False
+    v = params[name]
+    if v is None or v is False:
+        return False
+    if isinstance(v, str) and v == "":
+        return False
+    if isinstance(v, (list, tuple, dict)) and len(v) == 0:
+        return False
+    return True
+
+
+def _coerce(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float) and v == int(v):
         v = int(v)
-    return str(v).replace('"', "")
+    return str(v)
+
+
+def _check_safe_atom(name: str, s: str) -> None:
+    if (
+        s == ""
+        or any(c in _UNSAFE_CHARS for c in s)
+        or s in _OPERATOR_WORDS
+        or s[0] in "-+"
+    ):
+        raise ValueError(
+            f"search template param {name!r} renders as {s!r}, which is "
+            f"not a single query atom; quote the slot "
+            f'("{{{{{name}}}}}") for phrase semantics, or use a raw '
+            f"{{{{{{{name}}}}}}} slot to splice a trusted subquery"
+        )
+
+
+def _render_sections(text: str, params: dict) -> str:
+    root: list[str] = []
+    stack: list[tuple[str, str, list[str]]] = []
+    pos = 0
+    for m in _TAG_RE.finditer(text):
+        buf = stack[-1][2] if stack else root
+        buf.append(text[pos : m.start()])
+        pos = m.end()
+        kind, name = m.group(1), m.group(2)
+        if kind in "#^":
+            stack.append((kind, name, []))
+        else:
+            if not stack or stack[-1][1] != name:
+                raise ValueError(
+                    f"search template has unbalanced closing tag "
+                    f"{{{{/{name}}}}}"
+                )
+            k, _, body = stack.pop()
+            keep = _present(params, name) == (k == "#")
+            if keep:
+                (stack[-1][2] if stack else root).append("".join(body))
+    if stack:
+        raise ValueError(
+            f"search template has unclosed section "
+            f"{{{{{stack[-1][0]}{stack[-1][1]}}}}}"
+        )
+    root.append(text[pos:])
+    return "".join(root)
 
 
 def render_search_template(template: str, params: dict) -> str:
     """Render ``template`` with ``params`` → a query string.
 
-    Raises ``KeyError`` for a ``{{var}}`` whose param is absent (ES
-    renders empty — silently deleting a query atom changes semantics,
-    so this engine refuses instead; use a ``{{#var}}`` section for
-    optional parts).
+    Raises ``KeyError`` for a slot whose param is absent (ES renders
+    empty — silently deleting a query atom changes semantics, so this
+    engine refuses instead; use a ``{{#var}}`` section for optional
+    parts), and ``ValueError`` when a ``{{var}}`` safe slot receives a
+    value that is not a single query atom (see module docstring).
     """
+    text = _render_sections(template, params)
 
-    def do_sections(text: str) -> str:
-        def sub(m: "re.Match[str]") -> str:
-            kind, name, body = m.group(1), m.group(2), m.group(3)
-            present = bool(params.get(name))
-            if kind == "#":
-                return do_sections(body) if present else ""
-            return do_sections(body) if not present else ""
-
-        return _SECTION_RE.sub(sub, text)
-
-    text = do_sections(template)
-
-    def sub_var(m: "re.Match[str]") -> str:
-        name = m.group(1)
+    out: list[str] = []
+    quotes = 0  # parity of double-quotes emitted so far
+    pos = 0
+    for m in _SLOT_RE.finditer(text):
+        lit = text[pos : m.start()]
+        out.append(lit)
+        quotes += lit.count('"')
+        pos = m.end()
+        raw_name, safe_name = m.group(1), m.group(2)
+        name = raw_name or safe_name
         if name not in params:
             raise KeyError(
                 f"search template references {{{{{name}}}}} but params "
                 f"has no {name!r} (wrap optional parts in {{{{#{name}}}}})"
             )
-        return _render_value(params[name])
-
-    out = _VAR_RE.sub(sub_var, text)
-    return re.sub(r"\s+", " ", out).strip()
+        v = _coerce(params[name])
+        if raw_name is not None:
+            out.append(v)
+            quotes += v.count('"')
+        elif quotes % 2 == 1:
+            out.append(v.replace('"', ""))
+        else:
+            _check_safe_atom(name, v)
+            out.append(v)
+    out.append(text[pos:])
+    return re.sub(r"\s+", " ", "".join(out)).strip()
