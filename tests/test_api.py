@@ -90,6 +90,34 @@ def test_delete_then_purge(spark, tmp_path, corpus):
     assert victim not in {r["doc_id"] for r in idx.search("data", k=5).collect()}
 
 
+def test_local_engine_stamped_against_index_mutation(spark, tmp_path, corpus):
+    """A live LocalQueryEngine is single-generation: any index mutation
+    (tombstone write, purge) makes its next query raise instead of
+    serving stale cached postings; a fresh engine over the reloaded
+    index sees the new generation (including tombstones)."""
+    from vframe_spark.query.local import StaleEngineError
+
+    out = str(tmp_path / "api_stamp")
+    idx = SearchIndex.build(
+        corpus, out, shard_size=64, block_size=16, shards_per_slice=2
+    )
+    eng = idx.local_engine()
+    want = eng.topk("data parse", k=5)
+    assert want and eng.topk("data parse", k=5) == want  # warm repeat ok
+    victim = want[0][0]
+    assert idx.delete([victim]) == 1  # tombstone write = new generation
+    with pytest.raises(StaleEngineError, match="mutated"):
+        eng.topk("data parse", k=5)
+    eng2 = idx.reload().local_engine()
+    assert victim not in {d for d, _ in eng2.topk("data parse", k=5)}
+    idx.purge()  # manifest/meta rewrite invalidates that engine too
+    with pytest.raises(StaleEngineError):
+        eng2.topk("data parse", k=5)
+    assert victim not in {
+        d for d, _ in idx.reload().local_engine().topk("data parse", k=5)
+    }
+
+
 def test_facade_round2_surfaces(spark, tmp_path_factory):
     from pyspark.sql import functions as F
 

@@ -1608,6 +1608,30 @@ def test_local_strategies_bitwise_identical(spark, corpus, index):
     assert prof["strategy"] in ("segments", "exhaustive")
 
 
+def test_decoded_cache_negation_first_not_poisoned(spark, corpus, index):
+    """A term FIRST seen negated under the exhaustive strategy must not
+    cache zero contributions under its bare-term key: a later positive
+    query for the same term must score identically to a fresh engine
+    (the r4 idf map covered positive terms only — negated rows were
+    decoded at idf 0.0 and poisoned the _decoded cache)."""
+    from vframe_spark.query.local import LocalQueryEngine
+
+    postings, term_stats, _dstats, meta = index
+
+    eng = LocalQueryEngine(postings, term_stats, meta)
+    eng.topk("hash -data", k=8, negation=True, strategy="exhaustive")
+    assert "data" in eng._decoded  # the negated term IS cached …
+    fresh = LocalQueryEngine(postings, term_stats, meta)
+    for q in ["data hash", "data", "data analysis"]:
+        want = fresh.topk(q, k=8, strategy="segments")
+        assert eng.topk(q, k=8, strategy="exhaustive") == want, q
+    # and the reverse order still holds (positive first, then negated)
+    eng2 = LocalQueryEngine(postings, term_stats, meta)
+    want = eng2.topk("data hash", k=8, strategy="exhaustive")
+    eng2.topk("hash -data", k=8, negation=True, strategy="exhaustive")
+    assert eng2.topk("data hash", k=8, strategy="exhaustive") == want
+
+
 def test_local_decoded_cache_bounded_and_correct(spark, corpus, index):
     from vframe_spark.query.local import LocalQueryEngine
 

@@ -995,6 +995,31 @@ class SearchIndex:
         self._loaded = None
         return out
 
+    def local_engine(self, **engine_kwargs):
+        """Driver-side interactive query head (`query.local.
+        LocalQueryEngine`) over this index, stamped with the index
+        generation: after any mutating operation (``upsert``,
+        ``purge``, ``compact``, ``merge_from``) the engine's next query
+        raises ``StaleEngineError`` instead of serving stale cached
+        postings — construct a fresh engine (`.reload().local_engine()`)
+        to query the new generation."""
+        from .query.local import LocalQueryEngine
+
+        p, t, _d, meta = self._parts()
+        if "exclude_doc_ids" not in engine_kwargs:
+            capped = load_tombstones_capped(
+                self.spark, self.out_dir, self.TOMBSTONE_DRIVER_LIMIT
+            )
+            if capped is None:
+                raise ValueError(
+                    "tombstone set exceeds TOMBSTONE_DRIVER_LIMIT — "
+                    "purge() before constructing a local engine"
+                )
+            engine_kwargs["exclude_doc_ids"] = capped or None
+        return LocalQueryEngine(
+            p, t, meta, index_dir=self.out_dir, **engine_kwargs
+        )
+
     def search_cached(
         self,
         query: str | list[tuple[int, str]],

@@ -34,18 +34,55 @@ from .bm25 import idf_value
 from .wand import _local_topk
 
 
+def _index_stamp(out_dir: str) -> tuple:
+    """Cheap index-generation stamp: (name, size, mtime_ns) of every
+    file that can change query results — meta.json, the manifest
+    ledger, and the tombstone set (the same surface
+    `cache.index_fingerprint` digests, but via ``os.stat`` only, no
+    file reads, so per-query revalidation costs microseconds)."""
+    import os
+
+    st = os.stat(os.path.join(out_dir, "meta.json"))
+    entries = [("meta.json", st.st_size, st.st_mtime_ns)]
+    for sub in ("_manifest", "tombstones"):
+        d = os.path.join(out_dir, sub)
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                st = os.stat(os.path.join(d, f))
+                entries.append((sub + "/" + f, st.st_size, st.st_mtime_ns))
+    return tuple(entries)
+
+
+class StaleEngineError(RuntimeError):
+    """The index mutated under a live LocalQueryEngine."""
+
+
 class LocalQueryEngine:
-    """Driver-side query head over a loaded index."""
+    """Driver-side query head over a loaded index.
+
+    When ``index_dir`` is given, the engine records the index's
+    generation stamp at construction and revalidates it on every query:
+    a mutating operation (``upsert``/``purge``/``compact``/
+    ``merge_from``) under a live engine makes the next query raise
+    :class:`StaleEngineError` instead of serving stale cached postings
+    (the term/block/decoded LRUs are keyed by bare term, and the
+    engine's posting DataFrames capture the file listing at load — a
+    live engine is single-generation by design). Construct a fresh
+    engine (e.g. via ``SearchIndex.local_engine()``) after mutating.
+    """
 
     def __init__(self, postings: DataFrame, term_stats: DataFrame, meta: dict,
                  cache_terms: int = 4096,
                  exclude_doc_ids: list[int] | None = None,
-                 max_fetch_df: int = 1_000_000):
+                 max_fetch_df: int = 1_000_000,
+                 index_dir: str | None = None):
         import numpy as np
 
         self._postings = postings
         self._term_stats = term_stats
         self._meta = meta
+        self._index_dir = index_dir
+        self._stamp = _index_stamp(index_dir) if index_dir else None
         # df guard: a query touching a term with df > max_fetch_df (a
         # stop word at web scale — GBs of posting blocks) must NOT pull
         # those blocks through toPandas(); it reroutes to the
@@ -269,6 +306,13 @@ class LocalQueryEngine:
         """
         from time import perf_counter as _pc
 
+        if self._stamp is not None and _index_stamp(self._index_dir) != self._stamp:
+            raise StaleEngineError(
+                f"index at {self._index_dir} mutated under this engine "
+                f"(manifest/meta/tombstones changed since construction); "
+                f"cached postings would be stale — build a new "
+                f"LocalQueryEngine over the reloaded index"
+            )
         t_start = _pc()
         if negation:
             from ..oracle import parse_signed_query
@@ -327,8 +371,13 @@ class LocalQueryEngine:
             return []
         pdf = pdf.copy()
         pdf["qid"] = 0
+        # Negated terms carry their REAL idf too: the scorers only read
+        # doc_ids from neg rows (contribs are never accumulated), and a
+        # 0.0 idf would poison the _decoded cache — a term first seen
+        # negated would cache all-zero contributions under its bare-term
+        # key and score 0 in any later positive query.
         pdf["idf"] = pdf["term"].map(
-            {t: idf_value(self._n_docs, dfs[t]) for t in terms}
+            {t: idf_value(self._n_docs, dfs[t]) for t in terms + negs}
         ).fillna(0.0)
         if negation:
             pdf["neg"] = pdf["term"].isin(negs)
