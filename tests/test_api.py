@@ -397,3 +397,28 @@ def test_search_with_docs_broadcast_joinback(spark, idx, corpus):
     # never exchanged (no shuffle of the corpus in the join-back)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    # left semantics: a ranked hit missing from the docs view keeps its
+    # rank with NULL fetched columns instead of vanishing from the page
+    victim = rows[0]["doc_id"]
+    partial = corpus.filter(F.col("doc_id") != victim)
+    got2 = {
+        r["doc_id"]: r
+        for r in ix.search_with_docs(
+            "data analysis", partial, cols=["repo", "lang"], k=5
+        ).collect()
+    }
+    assert set(got2) == {d for d, _ in plain}
+    assert got2[victim]["repo"] is None and got2[victim]["lang"] is None
+    others = [r for d, r in got2.items() if d != victim]
+    assert others and all(r["repo"] is not None for r in others)
+
+    # colliding fetched columns raise instead of producing an ambiguous
+    # or silently-shadowed schema
+    with pytest.raises(ValueError, match="collide"):
+        ix.search_with_docs(
+            "data analysis",
+            corpus.select("doc_id", F.lit(9).alias("score"), "repo"),
+            k=5,
+        )

@@ -291,6 +291,31 @@ def test_compact_swap_crash_windows_recover(spark, tmp_path_factory):
 
     simulate("pre_swap")
     simulate("mid_swap")
+
+    # live-compactor window: a marker owned by a LIVE pid is a
+    # compaction in flight — a concurrent reader's repair must NOT
+    # delete the stage or the marker (it previously rmtree'd the live
+    # stage and left the compactor's swap unrecoverable)
+    import subprocess
+
+    live = subprocess.Popen(["sleep", "60"])
+    try:
+        stage = base + "/stage_live"
+        shutil.copytree(out, stage)
+        with open(_compact_marker(out), "w") as fh:
+            json.dump({"stage": stage, "old": out + ".old", "pid": live.pid}, fh)
+        repair_graph_compaction(out)
+        assert os.path.exists(_compact_marker(out)), "live marker untouched"
+        assert os.path.isdir(stage), "live stage untouched"
+    finally:
+        live.kill()
+        live.wait()
+    # once the owner is dead the same state IS the pre-swap crash →
+    # repair discards the stage and clears the marker
+    repair_graph_compaction(out)
+    assert not os.path.exists(_compact_marker(out))
+    assert not os.path.isdir(stage) and os.path.isdir(out)
+    assert load_graph_meta(out)["n_vectors"] == 60
     # queries still reproduce after both recoveries
     got = graph_index_topk(
         spark, out, [(1, [float(x) for x in m[7]])], k=2, ef_search=48

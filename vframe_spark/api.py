@@ -1196,8 +1196,27 @@ class SearchIndex:
 
         ranked = self.search(query, k=k, **search_kwargs)
         keep = [c for c in (cols or docs.columns) if c != id_col]
+        clash = sorted(set(keep) & set(ranked.columns))
+        if clash:
+            raise ValueError(
+                f"fetched docs column(s) {clash} collide with the ranked "
+                f"schema {ranked.columns}; alias them in `docs` or "
+                f"exclude them via cols="
+            )
         side = docs.select(F.col(id_col).alias("doc_id"), *keep)
-        return F.broadcast(ranked).join(side, "doc_id").select(
+        # One corpus scan, left semantics: Spark cannot build the OUTER
+        # side of a left join (a broadcast hint there is ignored and the
+        # corpus would shuffle), so the fetch stays an INNER
+        # broadcast-ranked join — corpus scanned once, never exchanged —
+        # and ranked left-joins against its ≤k-row result (build-right,
+        # broadcastable). A hit whose doc_id is absent from `docs`
+        # (stale/partial docs view) keeps its rank with NULL fetched
+        # columns instead of silently vanishing from the page. The lazy
+        # localCheckpoint shares one materialization of the ranked page
+        # between its two appearances.
+        ranked = ranked.localCheckpoint(eager=False)
+        fetched = F.broadcast(ranked.select("doc_id")).join(side, "doc_id")
+        return ranked.join(F.broadcast(fetched), "doc_id", "left").select(
             *ranked.columns, *keep
         )
 

@@ -231,6 +231,18 @@ def _compact_marker(out_dir: str) -> str:
     return out_dir.rstrip("/") + ".compact_marker"
 
 
+def _pid_alive(pid) -> bool:
+    try:
+        os.kill(int(pid), 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by another user
+    except (TypeError, ValueError, OverflowError):
+        return False
+    return True
+
+
 def repair_graph_compaction(out_dir: str) -> None:
     """Finish (or roll back) a compaction interrupted mid-swap. The
     marker file next to ``out_dir`` names the staged tree; each crash
@@ -242,14 +254,30 @@ def repair_graph_compaction(out_dir: str) -> None:
       finish the swap.
     - out_dir present, stage gone → swap completed: clean up.
     - both missing → restore the ``.old`` backup.
+
+    The marker carries the compactor's pid: a marker whose owner is a
+    LIVE process is a compaction in flight, not a crash, and repair
+    leaves it alone — without this, a reader loading between the
+    marker write and the first rename would see "stage + out_dir both
+    present", rmtree the live stage, and delete the marker, leaving the
+    compactor's swap to fail with no recovery path. Crash recovery is
+    unchanged: a dead (or absent) pid means the state on disk is the
+    crash, and repair proceeds.
     """
+    import contextlib
     import shutil
 
     marker = _compact_marker(out_dir)
     if not os.path.exists(marker):
         return
-    with open(marker) as fh:
-        st = json.load(fh)
+    try:
+        with open(marker) as fh:
+            st = json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return  # removed (or mid-write) by the live compactor
+    pid = st.get("pid")
+    if pid is not None and int(pid) != os.getpid() and _pid_alive(pid):
+        return  # compaction in flight — not ours to touch
     stage, old = st["stage"], st["old"]
     if os.path.isdir(out_dir) and os.path.isdir(stage):
         shutil.rmtree(stage, ignore_errors=True)
@@ -260,7 +288,8 @@ def repair_graph_compaction(out_dir: str) -> None:
         shutil.rmtree(old, ignore_errors=True)
     elif os.path.isdir(old):
         os.replace(old, out_dir)
-    os.remove(marker)
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(marker)
 
 
 def load_graph_meta(out_dir: str) -> dict:
@@ -368,10 +397,19 @@ def compact_graph_index(
     old = out_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
     marker = _compact_marker(out_dir)
-    tmp_marker = marker + ".tmp"
-    with open(tmp_marker, "w") as fh:
-        json.dump({"stage": stage, "old": old}, fh)
-    os.replace(tmp_marker, marker)
+    # O_EXCL: exactly one compactor may hold the marker; the embedded
+    # pid tells concurrent readers' repair passes a LIVE compaction from
+    # a crashed one (see repair_graph_compaction).
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"another compaction holds {marker}; if its process is dead, "
+            f"a load/repair pass will clear it"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"stage": stage, "old": old, "pid": os.getpid()}, fh)
     os.replace(out_dir, old)
     os.replace(stage, out_dir)
     os.remove(marker)
