@@ -5392,8 +5392,8 @@ def q_sim_sq_topk(spark, sf_dir):
     """Int8 scalar-quantized ANN (operators/similarity.py sq_topk):
     global [lo, hi] bounds over the normalized corpus, uint8 codes,
     asymmetric dot product lo·Σq + Δ·(q·codes) — the corpus scan reads
-    only int8. Unlike PQ/IVF (k-means, rows-only) the whole pipeline is
-    closed-form arithmetic, so DuckDB replays it EXACTLY — a full
+    only int8. Like the pinned-codebook PQ/IVF contracts the whole
+    pipeline is closed-form arithmetic, so DuckDB replays it EXACTLY — a full
     oracle for a quantized ANN path."""
     from vframe_spark.operators.similarity import sq_topk
 
@@ -5469,8 +5469,8 @@ def q_sim_bq_topk(spark, sf_dir):
     hamming scan in pure Catalyst (the ONLY ANN variant with no Python
     in the corpus scan), (hamming, id) candidate cut at rerank=100,
     exact double-cosine rescore at the 4 dp grain. Every step is
-    closed-form integer/float arithmetic → FULL DuckDB oracle, unlike
-    the rows-only LSH/IVF/PQ family."""
+    closed-form integer/float arithmetic → FULL DuckDB oracle (the
+    LSH/graph family stays rows-only)."""
     from vframe_spark.operators.binaryq import bq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5639,6 +5639,11 @@ def q_sim_lsh_topk(spark, sf_dir):
 
 
 IVF_LISTS, IVF_PROBES, IVF_GRAIN = 16, 8, 6
+# PQ contract: m subspaces × ksub codes over dim-64 vectors (dsub=8);
+# pinned codebooks = subspace slices of the first PQ_KSUB vectors
+# (OFFSET by IVF_LISTS for the residual variant so base ≠ centroids);
+# 6-dp grain on every quantized comparison (the IVF discipline).
+PQ_M, PQ_KSUB, PQ_GRAIN = 8, 16, 6
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -5779,43 +5784,314 @@ def q_sim_ivf_topk(spark, sf_dir):
     )
 
 
-def q_sim_pq_topk(spark, sf_dir):
-    """Approximate ANN, product-quantization strategy: per-subspace
-    k-means codebooks (driver-trained, broadcast), vectors compress to
-    m uint8 codes, and retrieval is asymmetric-distance lookups over the
-    codes — the corpus scan never touches floats (Jégou et al. PQ, the
-    billion-scale memory shape). Engine k-means isn't SQL-expressible
-    (rows-only), so accuracy is surfaced IN the output: ``recall`` =
-    per-query overlap@k with the oracle-checked brute-force baseline."""
-    from vframe_spark.operators.similarity import cosine_topk_bruteforce, pq_topk
+def _norm_list_sql(col: str) -> str:
+    return (
+        f"list_transform({col}::DOUBLE[], x -> x / "
+        f"sqrt(list_dot_product({col}::DOUBLE[], {col}::DOUBLE[])))"
+    )
 
+
+def _slice_sql(col: str, dsub: int, mi: str = "b.mi") -> str:
+    return f"list_slice({col}::DOUBLE[], {mi}*{dsub}+1, {mi}*{dsub}+{dsub})"
+
+
+def _sim_tail_sql(k: int, short: int, raw_cut: int) -> str:
+    """Shared oracle tail: ADC shortlist → exact rerank → raw cut →
+    4-dp grain cut → brute-force recall replay (the sim_ivf_topk
+    discipline). Expects CTEs ``adc(qid, vec_id, arow)`` and
+    ``q(qid, qvec, qn)`` upstream."""
+    cb = _cos_sql("e.embedding", "q.qvec")
+    cr = _cos_sql("e.embedding", "q2.qvec")
+    return f"""
+short AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY arow DESC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {short}
+),
+rer AS (
+  SELECT s.qid, s.vec_id, {cr} AS rawcos
+  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q q2 ON q2.qid = s.qid
+),
+cut AS (
+  SELECT qid, vec_id, round(rawcos, 4) AS cosine FROM (
+    SELECT qid, vec_id, rawcos,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY rawcos DESC, vec_id ASC) AS rn
+    FROM rer) WHERE rn <= {raw_cut}
+),
+res AS (
+  SELECT qid::BIGINT AS qid,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, vec_id)::INT AS rank,
+         vec_id, cosine
+  FROM cut
+),
+bf AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({cb}, 4) DESC, e.vec_id ASC) AS rk
+    FROM embeddings e CROSS JOIN q
+  ) WHERE rk <= {k}
+),
+recall AS (
+  SELECT r.qid, round(count(bf.vec_id) / {k}.0, 4) AS recall
+  FROM res r LEFT JOIN bf ON bf.qid = r.qid AND bf.vec_id = r.vec_id
+  WHERE r.rank <= {k}
+  GROUP BY 1
+)
+SELECT res.qid, res.rank, res.vec_id, res.cosine,
+       coalesce(recall.recall, 0.0) AS recall
+FROM res JOIN recall ON recall.qid = res.qid
+WHERE res.rank <= {k}
+"""
+
+
+def _pq_oracle_sql() -> str:
+    k, g, m, ksub, dsub = 5, PQ_GRAIN, PQ_M, PQ_KSUB, 64 // PQ_M
+    short = 2 * 3 * k  # refine=2 × the 3k cushion the engine runs with
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+         {_norm_list_sql('embedding')} AS nvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub})
+),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS mi),
+book AS (
+  SELECT s.mi, c.j, list_slice(c.nvec, s.mi*{dsub}+1, s.mi*{dsub}+{dsub}) AS bvec
+  FROM cents c CROSS JOIN subs s
+),
+env AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+escore AS (
+  SELECT e.vec_id, b.mi, b.j,
+         round(list_dot_product({_slice_sql('e.embedding', dsub)}, b.bvec) / e.nrm
+               - 0.5 * list_dot_product(b.bvec, b.bvec), {g}) AS s
+  FROM env e CROSS JOIN book b
+),
+codes AS (
+  SELECT vec_id, mi, j FROM (
+    SELECT vec_id, mi, j,
+           row_number() OVER (PARTITION BY vec_id, mi
+             ORDER BY s DESC, j ASC) AS rn
+    FROM escore) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % 200 = 0
+),
+lut AS (
+  SELECT q.qid, b.mi, b.j,
+         round(list_dot_product({_slice_sql('q.qvec', dsub)}, b.bvec) / q.qn, {g}) AS ip
+  FROM q CROSS JOIN book b
+),
+adc AS (
+  SELECT l.qid, c.vec_id, round(sum(l.ip), {g}) AS arow
+  FROM codes c JOIN lut l ON l.mi = c.mi AND l.j = c.j
+  GROUP BY 1, 2
+),
+{_sim_tail_sql(k, short, 3 * k)}"""
+
+
+def _ivfpq_oracle_sql() -> str:
+    k, g, m, ksub, dsub = 5, PQ_GRAIN, PQ_M, PQ_KSUB, 64 // PQ_M
+    short = 2 * 3 * k
+    # residual dots via linearity: (x − c)·b, ‖b‖² with b = pb − pc —
+    # no residual vector is ever materialized in SQL
+    e_sl = _slice_sql("e.embedding", dsub)
+    cx_sl = _slice_sql("cx.cvec", dsub)
+    q_sl = _slice_sql("q.qvec", dsub)
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS lid,
+         {_norm_list_sql('embedding')} AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_LISTS})
+),
+pbase AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+         {_norm_list_sql('embedding')} AS nvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {ksub} OFFSET {IVF_LISTS})
+),
+bassign AS (
+  SELECT j, lid FROM (
+    SELECT p.j, c.lid,
+           row_number() OVER (PARTITION BY p.j
+             ORDER BY round(list_dot_product(p.nvec, c.cvec), {g}) DESC,
+                      c.lid ASC) AS rn
+    FROM pbase p CROSS JOIN cents c) WHERE rn = 1
+),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS mi),
+book AS (
+  SELECT s.mi, p.j,
+         list_slice(p.nvec, s.mi*{dsub}+1, s.mi*{dsub}+{dsub}) AS pb,
+         list_slice(c.cvec, s.mi*{dsub}+1, s.mi*{dsub}+{dsub}) AS pc
+  FROM pbase p JOIN bassign a ON a.j = p.j JOIN cents c ON c.lid = a.lid
+  CROSS JOIN subs s
+),
+env AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+vassign AS (
+  SELECT vec_id, lid FROM (
+    SELECT e.vec_id, c.lid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+                            / e.nrm, {g}) DESC, c.lid ASC) AS rn
+    FROM env e CROSS JOIN cents c) WHERE rn = 1
+),
+escore AS (
+  SELECT e.vec_id, b.mi, b.j,
+         round(
+           (list_dot_product({e_sl}, b.pb) - list_dot_product({e_sl}, b.pc)) / e.nrm
+           - (list_dot_product({cx_sl}, b.pb) - list_dot_product({cx_sl}, b.pc))
+           - 0.5 * (list_dot_product(b.pb, b.pb)
+                    - 2 * list_dot_product(b.pb, b.pc)
+                    + list_dot_product(b.pc, b.pc)), {g}) AS s
+  FROM env e JOIN vassign va ON va.vec_id = e.vec_id
+  JOIN cents cx ON cx.lid = va.lid CROSS JOIN book b
+),
+codes AS (
+  SELECT vec_id, mi, j FROM (
+    SELECT vec_id, mi, j,
+           row_number() OVER (PARTITION BY vec_id, mi
+             ORDER BY s DESC, j ASC) AS rn
+    FROM escore) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+  FROM embeddings WHERE vec_id % 200 = 0
+),
+probes AS (
+  SELECT qid, lid, s AS qc FROM (
+    SELECT q.qid, c.lid,
+           round(list_dot_product(q.qvec::DOUBLE[], c.cvec) / q.qn, {g}) AS s,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_dot_product(q.qvec::DOUBLE[], c.cvec)
+                            / q.qn, {g}) DESC, c.lid ASC) AS pr
+    FROM q CROSS JOIN cents c) WHERE pr <= {IVF_PROBES}
+),
+lut AS (
+  SELECT q.qid, b.mi, b.j,
+         round((list_dot_product({q_sl}, b.pb)
+                - list_dot_product({q_sl}, b.pc)) / q.qn, {g}) AS ip
+  FROM q CROSS JOIN book b
+),
+adc AS (
+  SELECT p.qid, c0.vec_id, round(sum(l.ip) + any_value(p.qc), {g}) AS arow
+  FROM probes p
+  JOIN vassign va ON va.lid = p.lid
+  JOIN codes c0 ON c0.vec_id = va.vec_id
+  JOIN lut l ON l.qid = p.qid AND l.mi = c0.mi AND l.j = c0.j
+  GROUP BY 1, 2
+),
+{_sim_tail_sql(k, short, 3 * k)}"""
+
+
+def _pq_pinned_books(spark, sf_dir, offset: int = 0):
+    """Closed-form PQ codebooks the oracle can replay: subspace slices
+    of the first PQ_KSUB embeddings by vec_id (after ``offset``),
+    unit-normalized — the IVF pinned-centroid discipline applied per
+    subspace. → (ksub, dim) normalized base AND (m, ksub, dsub) books."""
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    queries = [
+    base = np.array(
+        [
+            list(r["embedding"])
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(offset + PQ_KSUB).collect()[offset:]
+        ],
+        dtype=np.float64,
+    )
+    base /= np.maximum(np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+    dim = base.shape[1]
+    books = base.reshape(PQ_KSUB, PQ_M, dim // PQ_M).transpose(1, 0, 2)
+    return base, np.ascontiguousarray(books)
+
+
+def _sim_queries(emb):
+    return [
         (int(r["vec_id"]), list(r["embedding"]))
         for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
     ]
-    k = 5
-    res = pq_topk(emb, queries, dim=dim, k=k, m=8, ksub=32, refine=2)
-    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
-        "qid", F.col("vec_id").alias("bf_vec_id")
-    )
+
+
+def _sim_recall_out(res, exact, k):
+    """(res ∩ brute)@k per query → the recall column, IVF discipline."""
     hit = (
-        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
+        res.join(
+            exact,
+            (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]),
+            "left_semi",
+        )
         .groupBy("qid")
         .agg(F.count("*").alias("n_hit"))
     )
     recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
-    return (
-        res.join(recall, "qid", "left")
-        .select(
-            F.col("qid").cast("bigint").alias("qid"),
-            F.col("rank").cast("int").alias("rank"),
-            "vec_id",
-            F.round("cosine", 4).alias("cosine"),
-            F.coalesce("recall", F.lit(0.0)).alias("recall"),
-        )
+    return res.join(recall, "qid", "left").select(
+        F.col("qid").cast("bigint").alias("qid"),
+        "rank",
+        "vec_id",
+        "cosine",
+        F.coalesce("recall", F.lit(0.0)).alias("recall"),
     )
+
+
+def _sim_grain_cut(df, k):
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        df.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """Approximate ANN, product-quantization strategy: per-subspace
+    codebooks broadcast, vectors compress to m small codes, retrieval is
+    asymmetric-distance lookups over the codes — the corpus scan never
+    touches floats (Jégou et al. PQ, the billion-scale memory shape) —
+    then an exact rerank over the shortlist's raw vectors.
+    FULL oracle since r5 (the sim_ivf_topk discipline): the contract
+    pins closed-form codebooks (subspace slices of the first PQ_KSUB
+    vectors by id, normalized) and a 6-dp grain on assignment scores,
+    LUT entries, and ADC totals with ascending-vec_id ties, so DuckDB
+    replays codes, shortlist, rerank, and the 4-dp cut value-for-value.
+    The engine-TRAINED per-subspace k-means stays covered by
+    tests/test_similarity.py (lossless-codebook ≡ brute force).
+    Accuracy still surfaces in-output: ``recall`` = per-query
+    overlap@k with the brute-force baseline — itself replayed."""
+    from vframe_spark.operators.similarity import cosine_topk_bruteforce, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = _sim_queries(emb)
+    k = 5
+    _, books = _pq_pinned_books(spark, sf_dir)
+    # 3× cushion, cut AT the 4-dp grain (the k boundary is decided on
+    # rounded values in both engines); shortlist = refine·3k = 30
+    res = _sim_grain_cut(
+        pq_topk(
+            emb, queries, dim=dim, k=3 * k, m=PQ_M, ksub=PQ_KSUB,
+            refine=2, codebooks=books, grain=PQ_GRAIN,
+        ),
+        k,
+    )
+    exact = _sim_grain_cut(
+        cosine_topk_bruteforce(emb, queries, k=3 * k), k
+    ).select("qid", F.col("vec_id").alias("bf_vec_id"))
+    return _sim_recall_out(res, exact, k)
 
 
 def q_sim_ivfpq_topk(spark, sf_dir):
@@ -5823,44 +6099,54 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     with ADC scoring + exact refine — the billion-scale composition
     (Jégou et al. PAMI 2011 §IV). The probed scan touches only m int
     codes per vector (never floats), so at equal bytes scanned it
-    affords (4·dim)/m more probes than IVF-Flat. Engine k-means isn't
-    SQL-expressible (rows-only); accuracy is surfaced IN the output:
-    ``recall`` = per-query overlap@k with the oracle-checked
-    brute-force baseline."""
+    affords (4·dim)/m more probes than IVF-Flat.
+    FULL oracle since r5: pinned centroids (first IVF_LISTS vectors,
+    normalized — the sim_ivf_topk pin) + pinned residual codebooks
+    (the NEXT PQ_KSUB vectors' residuals against those centroids,
+    sliced per subspace; offset so base ≠ centroids and residuals are
+    non-degenerate) + the 6-dp grain on list assignment, probe
+    selection, code assignment, LUT entries, and ADC totals. DuckDB
+    replays every stage via the linearity (x−c)·b = x·b − c·b, so no
+    residual vector is ever materialized in SQL. Engine-TRAINED
+    quantizers stay covered by tests/test_similarity.py. ``recall`` =
+    per-query overlap@k with brute force — itself replayed."""
     from vframe_spark.operators.similarity import (
         cosine_topk_bruteforce, ivfpq_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    queries = [
-        (int(r["vec_id"]), list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
-    ]
+    queries = _sim_queries(emb)
     k = 5
-    res = ivfpq_topk(
-        emb, queries, dim=dim, k=k, n_lists=16, n_probes=8, m=8, ksub=32,
-        refine=4,
+    cents = np.array(
+        [
+            list(r["embedding"])
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(IVF_LISTS).collect()
+        ],
+        dtype=np.float64,
     )
-    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
-        "qid", F.col("vec_id").alias("bf_vec_id")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    base, _ = _pq_pinned_books(spark, sf_dir, offset=IVF_LISTS)
+    # residual codebooks: base vectors minus their (grain-rounded)
+    # nearest pinned centroid, sliced per subspace
+    lids = np.round(base @ cents.T, PQ_GRAIN).argmax(axis=1)
+    resid = base - cents[lids]
+    books = np.ascontiguousarray(
+        resid.reshape(PQ_KSUB, PQ_M, dim // PQ_M).transpose(1, 0, 2)
     )
-    hit = (
-        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
-        .groupBy("qid")
-        .agg(F.count("*").alias("n_hit"))
+    res = _sim_grain_cut(
+        ivfpq_topk(
+            emb, queries, dim=dim, k=3 * k, n_lists=IVF_LISTS,
+            n_probes=IVF_PROBES, m=PQ_M, ksub=PQ_KSUB, refine=2,
+            centroids=cents, codebooks=books, grain=PQ_GRAIN,
+        ),
+        k,
     )
-    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
-    return (
-        res.join(recall, "qid", "left")
-        .select(
-            F.col("qid").cast("bigint").alias("qid"),
-            F.col("rank").cast("int").alias("rank"),
-            "vec_id",
-            F.round("cosine", 4).alias("cosine"),
-            F.coalesce("recall", F.lit(0.0)).alias("recall"),
-        )
-    )
+    exact = _sim_grain_cut(
+        cosine_topk_bruteforce(emb, queries, k=3 * k), k
+    ).select("qid", F.col("vec_id").alias("bf_vec_id"))
+    return _sim_recall_out(res, exact, k)
 
 
 def q_sim_nsw_topk(spark, sf_dir):
@@ -11948,6 +12234,8 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "sim_mrl_topk": _mrl_oracle_sql(),
         "sim_sq_topk": SQ_ORACLE_SQL,
         "sim_ivf_topk": _ivf_oracle_sql(),
+        "sim_pq_topk": _pq_oracle_sql(),
+        "sim_ivfpq_topk": _ivfpq_oracle_sql(),
         "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
         "sim_bq_topk": BQ_ORACLE_SQL,
         "rank_pagerank": _pagerank_oracle_sql(),

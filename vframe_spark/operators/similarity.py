@@ -599,10 +599,17 @@ def pq_assign(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grain: int | None = None,
 ) -> DataFrame:
     """Encode each (normalized) vector as its per-subspace nearest-centroid
     codes → (vec_id, codes array<int>). One narrow Arrow pass; this is the
-    compressed representation a PQ index persists (m bytes/vector)."""
+    compressed representation a PQ index persists (m bytes/vector).
+
+    ``grain`` rounds the per-centroid assignment scores to that many
+    decimals before the argmax (ties → lowest code, numpy first-max) —
+    the cross-engine determinism knob `ivf_assign` established: with
+    pinned codebooks + a grain, a SQL engine replays the codes
+    value-for-value."""
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, ksub, dsub = books.shape
     half_norms = 0.5 * (books * books).sum(axis=2)  # (m, ksub)
@@ -618,7 +625,10 @@ def pq_assign(
             codes = np.empty((len(mn), m), dtype=np.int32)
             for mi in range(m):
                 sub = mn[:, mi * dsub : (mi + 1) * dsub]
-                codes[:, mi] = (sub @ books[mi].T - half_norms[mi]).argmax(axis=1)
+                s = sub @ books[mi].T - half_norms[mi]
+                if grain is not None:
+                    s = np.round(s, grain)
+                codes[:, mi] = s.argmax(axis=1)
             yield pd.DataFrame({"vec_id": b["vec_id"], "codes": list(codes)})
 
     return src.mapInPandas(assign, "vec_id bigint, codes array<int>")
@@ -636,9 +646,16 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: np.ndarray | None = None,
+    grain: int | None = None,
 ) -> DataFrame:
     """PQ-ADC ANN: asymmetric distance computation over the compressed
     codes → (qid, rank, vec_id, cosine).
+
+    ``grain`` (with pinned ``codebooks``) makes the whole retrieval
+    cross-engine deterministic: assignment scores, LUT entries, and ADC
+    totals all round to that many decimals, and shortlist ties resolve
+    by ascending vec_id — so a SQL engine replays codes, shortlist, and
+    rerank value-for-value (the `ivf_topk` discipline).
 
     Plan shape at 100 TB: each query precomputes a tiny ``(m, ksub)``
     inner-product lookup table against the codebooks (driver-side, ships
@@ -665,7 +682,9 @@ def pq_topk(
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     # (Q, m, ksub): luts[q, mi, j] = q_sub(mi) · codebook[mi, j]
     luts = np.einsum("qmd,mkd->qmk", qn.reshape(len(qn), m, dsub), books)
-    assigned = pq_assign(embeddings, books, id_col, vec_col)
+    if grain is not None:
+        luts = np.round(luts, grain)
+    assigned = pq_assign(embeddings, books, id_col, vec_col, grain=grain)
     shortlist = max(k, refine * k)
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -679,7 +698,15 @@ def pq_topk(
             for qi, qid in enumerate(qids):
                 row = luts[qi][mcols, codes].sum(axis=1)  # (n,) approx IP
                 take = min(shortlist, row.size)
-                idx = np.argpartition(-row, take - 1)[:take]
+                if grain is not None:
+                    # rounded totals tie often (identical codes ⇒ equal
+                    # ADC) — cut by the full (-row, vec_id) order so the
+                    # kept set is the one the deterministic global merge
+                    # (and a SQL replay) would keep
+                    row = np.round(row, grain)
+                    idx = np.lexsort((ids, -row))[:take]
+                else:
+                    idx = np.argpartition(-row, take - 1)[:take]
                 best[int(qid)].extend(zip(row[idx].tolist(), ids[idx].tolist()))
                 if len(best[int(qid)]) > 4 * shortlist:
                     best[int(qid)] = sorted(
@@ -771,6 +798,7 @@ def ivfpq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    grain: int | None = None,
 ) -> DataFrame:
     """One narrow Arrow pass → (vec_id, list_id, codes): assign each
     normalized vector to its nearest centroid, then PQ-encode the
@@ -790,12 +818,18 @@ def ivfpq_encode(
                 yield pd.DataFrame({"vec_id": [], "list_id": [], "codes": []})
                 continue
             mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            lids = (mn @ cents.T).argmax(axis=1)
+            lsims = mn @ cents.T
+            if grain is not None:
+                lsims = np.round(lsims, grain)
+            lids = lsims.argmax(axis=1)
             resid = mn - cents[lids]
             codes = np.empty((len(mn), m), dtype=np.int32)
             for mi in range(m):
                 sub = resid[:, mi * dsub : (mi + 1) * dsub]
-                codes[:, mi] = (sub @ books[mi].T - half_norms[mi]).argmax(axis=1)
+                s = sub @ books[mi].T - half_norms[mi]
+                if grain is not None:
+                    s = np.round(s, grain)
+                codes[:, mi] = s.argmax(axis=1)
             yield pd.DataFrame(
                 {"vec_id": b["vec_id"], "list_id": lids, "codes": list(codes)}
             )
@@ -818,6 +852,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    grain: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (coarse quantizer over residual PQ codes with ADC) →
     (qid, rank, vec_id, cosine) — the billion-scale composition both
@@ -854,7 +889,7 @@ def ivfpq_topk(
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, ksub, dsub = books.shape
 
-    encoded = ivfpq_encode(embeddings, cents, books, id_col, vec_col)
+    encoded = ivfpq_encode(embeddings, cents, books, id_col, vec_col, grain=grain)
 
     qn: dict[int, np.ndarray] = {}
     luts: dict[int, np.ndarray] = {}
@@ -864,9 +899,18 @@ def ivfpq_topk(
         v = v / max(float(np.linalg.norm(v)), 1e-12)
         qn[int(qid)] = v
         # LUT[mi, j] = q_sub(mi) · codebook[mi, j] (residual IP term)
-        luts[int(qid)] = np.einsum("md,mkd->mk", v.reshape(m, dsub), books)
+        lut = np.einsum("md,mkd->mk", v.reshape(m, dsub), books)
         sims = cents @ v
-        order = np.argsort(-sims)[: max(1, min(n_probes, len(cents)))]
+        if grain is not None:
+            lut = np.round(lut, grain)
+            sims = np.round(sims, grain)
+            # stable: equally-near lists resolve to the lower id
+            order = np.lexsort((np.arange(sims.size), -sims))[
+                : max(1, min(n_probes, len(cents)))
+            ]
+        else:
+            order = np.argsort(-sims)[: max(1, min(n_probes, len(cents)))]
+        luts[int(qid)] = lut
         for li in order:
             probe_rows.append((int(qid), int(li), float(sims[li])))
     spark = embeddings.sparkSession
@@ -887,7 +931,13 @@ def ivfpq_topk(
                 sel = b["qid"].to_numpy(dtype=np.int64) == qid
                 approx = luts[int(qid)][mcols, codes[sel]].sum(axis=1) + qcs[sel]
                 take = min(shortlist, approx.size)
-                idx = np.argpartition(-approx, take - 1)[:take]
+                if grain is not None:
+                    # rounded totals tie (identical codes+list ⇒ equal
+                    # ADC) — deterministic cut by (-approx, vec_id)
+                    approx = np.round(approx, grain)
+                    idx = np.lexsort((ids[sel], -approx))[:take]
+                else:
+                    idx = np.argpartition(-approx, take - 1)[:take]
                 best[int(qid)].extend(
                     zip(approx[idx].tolist(), ids[sel][idx].tolist())
                 )
