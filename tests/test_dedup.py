@@ -140,26 +140,59 @@ def test_simhash_pairs_allpairs_oracle_sf001(spark, sf001_dir):
 
 
 def test_minhash_signatures_match_perrow_reference(spark, sf001_dir):
-    """The vectorized (flatten + reduceat) signature kernel is value-
-    identical to an independent per-row reference implementation."""
+    """The vectorized (factorize + poly-combine + reduceat) signature
+    kernel is value-identical to an independent per-row, per-word
+    pure-Python-int reference implementing the pinned hash spec:
+    word siphash64 → order-sensitive poly combine mod 2^64 (short docs:
+    one poly-of-all-words shingle) → min over (a·v+b mod 2^61−1)."""
     import numpy as np
     import pandas as pd
 
-    from vframe_spark.operators.dedup import _MERSENNE, _perm_params, _doc_shingles
+    from vframe_spark.operators.dedup import _perm_params
 
+    P, M64, M61 = 0x9E3779B97F4A7C15, 1 << 64, (1 << 61) - 1
     docs = spark.read.parquet(f"{sf001_dir}/documents.parquet").limit(120)
-    rows = docs.select("doc_id", "text").collect()
+    # plant a short doc (< shingle_n words) and an empty doc
+    extra = spark.createDataFrame(
+        [(900001, "tiny doc"), (900002, "   ")], "doc_id bigint, text string"
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    rows = docs.collect()
     n_hashes = 64
-    a, b = _perm_params(n_hashes)
+    a_np, b_np = _perm_params(n_hashes)
+    a, b = [int(x) for x in a_np], [int(x) for x in b_np]
     expect = {}
     for r in rows:
-        sh = _doc_shingles(r["text"], 3)
-        if not sh:
+        words = str(r["text"]).lower().split()
+        if not words:
             expect[r["doc_id"]] = [np.iinfo(np.int64).max] * n_hashes
             continue
-        hv = pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.uint64)
-        perm = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
-        expect[r["doc_id"]] = perm.min(axis=1).astype(np.int64).tolist()
+        wh = [
+            int(h) for h in pd.util.hash_array(np.asarray(words, dtype=object))
+        ]
+        if len(words) >= 3:
+            vals = []
+            for i in range(len(words) - 2):
+                v = wh[i]
+                for j in (i + 1, i + 2):
+                    v = (v * P + wh[j]) % M64
+                vals.append(v)
+        else:
+            v = wh[0]
+            for x in wh[1:]:
+                v = (v * P + x) % M64
+            vals = [v]
+        sig = []
+        for k in range(n_hashes):
+            best = None
+            for v in vals:
+                t = (a[k] * v + b[k]) % M64  # uint64 wrap, then fold
+                rr = (t >> 61) + (t & M61)
+                if rr >= M61:
+                    rr -= M61
+                best = rr if best is None or rr < best else best
+            sig.append(best)
+        expect[r["doc_id"]] = sig
 
     got = {
         r["id"]: list(r["sig"])

