@@ -159,6 +159,79 @@ def main() -> None:
             lat_warm.append(time.time() - tq)
         lat_warm.sort()
         extras["local_query_warm_p50_ms"] = round(1000 * lat_warm[len(lat_warm) // 2], 2)
+
+        # ---- concurrent-client serving (r5): closed-loop clients over
+        # a fixed wall window → qps + p50/p99 per client count. Three
+        # shapes: (a) N clients sharing ONE warm engine (serialized on
+        # the engine lock — one query head's saturation ceiling),
+        # (b) one warm engine PER client (the replicated-heads scale
+        # path, GIL-bound in-process), (c) N clients each submitting
+        # single-query jobs through the distributed WAND path
+        # (concurrent Spark jobs share the scheduler).
+        import threading as _th
+
+        def _serve_sweep(run_query, n_clients: int, duration: float) -> dict:
+            lats: list[list[float]] = [[] for _ in range(n_clients)]
+            barrier = _th.Barrier(n_clients + 1)
+            stop_at = [0.0]
+
+            def client(ci: int) -> None:
+                barrier.wait()
+                i = ci * 7  # de-phase clients across the query mix
+                while time.time() < stop_at[0]:
+                    qid, q, k = qs[i % len(qs)]
+                    tq = time.time()
+                    run_query(ci, q, k)
+                    lats[ci].append(time.time() - tq)
+                    i += 1
+
+            threads = [
+                _th.Thread(target=client, args=(ci,), daemon=True)
+                for ci in range(n_clients)
+            ]
+            for t in threads:
+                t.start()
+            stop_at[0] = time.time() + duration
+            t0 = time.time()
+            barrier.wait()
+            for t in threads:
+                t.join()
+            wall = time.time() - t0
+            alls = sorted(x for lt in lats for x in lt)
+            return {
+                "clients": n_clients,
+                "qps": round(len(alls) / wall, 1),
+                "p50_ms": round(1000 * alls[len(alls) // 2], 2) if alls else None,
+                "p99_ms": round(
+                    1000 * alls[min(len(alls) - 1, int(len(alls) * 0.99))], 2
+                ) if alls else None,
+            }
+
+        serving: dict = {}
+        serving["shared_engine"] = [
+            _serve_sweep(lambda ci, q, k: eng.topk(q, k=k), n, 3.0)
+            for n in (1, 4, 16)
+        ]
+        n_rep = 4
+        replicas = [
+            LocalQueryEngine(postings, term_stats, meta) for _ in range(n_rep)
+        ]
+        for e in replicas:  # warm each replica over the full mix
+            for _qid, q, k in qs:
+                e.topk(q, k=k)
+        serving["engine_per_client"] = [
+            _serve_sweep(lambda ci, q, k: replicas[ci].topk(q, k=k), n_rep, 3.0)
+        ]
+        serving["distributed_wand"] = [
+            _serve_sweep(
+                lambda ci, q, k: bm25_topk_wand(
+                    postings, term_stats, meta, [(0, q)], k=k
+                ).count(),
+                n, 6.0,
+            )
+            for n in (1, 4)
+        ]
+        extras["serving_concurrency"] = serving
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -1608,6 +1608,27 @@ def test_local_strategies_bitwise_identical(spark, corpus, index):
     assert prof["strategy"] in ("segments", "exhaustive")
 
 
+def test_local_engine_thread_safe(spark, corpus, index):
+    """Concurrent clients over ONE engine (with eviction churn forced
+    by tiny cache budgets) serialize on the engine lock and return
+    exactly the sequential results — no LRU corruption, no
+    mutated-during-iteration errors."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vframe_spark.query.local import LocalQueryEngine
+
+    postings, term_stats, _dstats, meta = index
+
+    ref = LocalQueryEngine(postings, term_stats, meta)
+    qs = ["data analysis", "hash table merge", "stream", "parse buffer scan"]
+    want = {q: ref.topk(q, k=8) for q in qs}
+    eng = LocalQueryEngine(postings, term_stats, meta, cache_terms=4)
+    eng.cache_postings = 256  # constant decoded-cache eviction too
+    with ThreadPoolExecutor(16) as ex:
+        res = list(ex.map(lambda q: (q, eng.topk(q, k=8)), qs * 12))
+    assert res and all(r == want[q] for q, r in res)
+
+
 def test_decoded_cache_negation_first_not_poisoned(spark, corpus, index):
     """A term FIRST seen negated under the exhaustive strategy must not
     cache zero contributions under its bare-term key: a later positive

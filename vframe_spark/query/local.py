@@ -78,11 +78,20 @@ class LocalQueryEngine:
                  index_dir: str | None = None):
         import numpy as np
 
+        import threading
+
         self._postings = postings
         self._term_stats = term_stats
         self._meta = meta
         self._index_dir = index_dir
         self._stamp = _index_stamp(index_dir) if index_dir else None
+        # One query at a time per engine: the LRU caches (OrderedDict
+        # move_to_end / eviction / iteration) are not safe under
+        # concurrent mutation. Concurrent clients serialize here
+        # (~µs overhead vs a ms-scale query); scale-out is by engine
+        # replication (one head per core/process), which the serving
+        # bench measures.
+        self._lock = threading.RLock()
         # df guard: a query touching a term with df > max_fetch_df (a
         # stop word at web scale — GBs of posting blocks) must NOT pull
         # those blocks through toPandas(); it reroutes to the
@@ -306,6 +315,14 @@ class LocalQueryEngine:
         """
         from time import perf_counter as _pc
 
+        with self._lock:
+            return self._topk_locked(
+                query, k, mode, negation, after, _prof, strategy, _pc
+            )
+
+    def _topk_locked(
+        self, query, k, mode, negation, after, _prof, strategy, _pc,
+    ) -> list[tuple[int, float]]:
         if self._stamp is not None and _index_stamp(self._index_dir) != self._stamp:
             raise StaleEngineError(
                 f"index at {self._index_dir} mutated under this engine "
