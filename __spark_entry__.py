@@ -5600,42 +5600,108 @@ SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+LSH_BITS, LSH_TABLES, LSH_PROBES = 6, 4, 8
+
+
+def _pinned_planes(spark, sf_dir, n_planes: int) -> "np.ndarray":
+    """Closed-form hyperplanes the oracle can replay: the first
+    ``n_planes`` embeddings by vec_id, unit-normalized (the pinned-
+    centroid discipline applied to random-hyperplane LSH — signs are
+    scale-invariant, normalization only fixes the rounding grain)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = np.array(
+        [
+            list(r["embedding"])
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(n_planes).collect()
+        ],
+        dtype=np.float64,
+    )
+    planes /= np.maximum(np.linalg.norm(planes, axis=1, keepdims=True), 1e-12)
+    return planes
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH, multi-probe × multi-table
     (OR-amplification across 4 independent tables — the lever that
     breaks the single-table recall ceiling) + exact rerank inside the
-    probed buckets. Engine hashing isn't SQL-expressible (rows-only),
-    so accuracy is surfaced IN the output: ``recall`` = per-query
-    overlap@k with the oracle-checked brute-force baseline."""
+    probed buckets.
+    FULL oracle since r5: pinned hyperplanes (first LSH_TABLES·LSH_BITS
+    vectors by id, normalized) + the 6-dp grain on projections, so
+    bucket assignment (sign of rounded projection), multi-probe
+    selection (smallest-|margin| bit flips, stable ties → lowest bit),
+    the candidate union, and the rerank all replay in DuckDB. The
+    engine-SEEDED gaussian hyperplanes stay covered by
+    tests/test_similarity.py. ``recall`` = per-query overlap@k with
+    brute force — itself replayed."""
     from vframe_spark.operators.similarity import cosine_topk_bruteforce, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    queries = [
-        (int(r["vec_id"]), list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
-    ]
+    queries = _sim_queries(emb)
     k = 5
-    res = lsh_topk(emb, queries, dim=dim, k=k, bits=6, n_probes=8, n_tables=4)
-    exact = cosine_topk_bruteforce(emb, queries, k=k).select(
-        "qid", F.col("vec_id").alias("bf_vec_id")
+    planes = _pinned_planes(spark, sf_dir, LSH_TABLES * LSH_BITS)
+    res = _sim_grain_cut(
+        lsh_topk(
+            emb, queries, dim=dim, k=3 * k, bits=LSH_BITS,
+            n_probes=LSH_PROBES, n_tables=LSH_TABLES, planes=planes,
+            grain=PQ_GRAIN,
+        ),
+        k,
     )
-    hit = (
-        res.join(exact, (res["qid"] == exact["qid"]) & (res["vec_id"] == exact["bf_vec_id"]), "left_semi")
-        .groupBy("qid")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    recall = hit.select("qid", F.round(F.col("n_hit") / k, 4).alias("recall"))
-    return (
-        res.join(recall, "qid", "left")
-        .select(
-            F.col("qid").cast("bigint").alias("qid"),
-            F.col("rank").cast("int").alias("rank"),
-            "vec_id",
-            F.round("cosine", 4).alias("cosine"),
-            F.coalesce("recall", F.lit(0.0)).alias("recall"),
-        )
-    )
+    exact = _sim_grain_cut(
+        cosine_topk_bruteforce(emb, queries, k=3 * k), k
+    ).select("qid", F.col("vec_id").alias("bf_vec_id"))
+    return _sim_recall_out(res, exact, k)
+
+
+def _lsh_oracle_sql() -> str:
+    k, g = 5, PQ_GRAIN
+    bits, tables, probes = LSH_BITS, LSH_TABLES, LSH_PROBES
+    return f"""
+WITH planes AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS p,
+         {_norm_list_sql('embedding')} AS pvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {tables * bits})
+),
+pl AS (SELECT p // {bits} AS tbl, p % {bits} AS bit, pvec FROM planes),
+vbuck AS (
+  SELECT e.vec_id, pl.tbl,
+         sum(CASE WHEN round(list_dot_product(e.embedding::DOUBLE[], pl.pvec), {g}) > 0
+                  THEN (1::BIGINT << pl.bit) ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN pl
+  GROUP BY 1, 2
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 200 = 0),
+qproj AS (
+  SELECT q.qid, pl.tbl, pl.bit,
+         round(list_dot_product(q.qvec::DOUBLE[], pl.pvec), {g}) AS proj
+  FROM q CROSS JOIN pl
+),
+qbase AS (
+  SELECT qid, tbl,
+         sum(CASE WHEN proj > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS base
+  FROM qproj GROUP BY 1, 2
+),
+flips AS (
+  SELECT qid, tbl, bit FROM (
+    SELECT qid, tbl, bit,
+           row_number() OVER (PARTITION BY qid, tbl
+             ORDER BY abs(proj) ASC, bit ASC) AS rn
+    FROM qproj) WHERE rn <= {probes - 1}
+),
+probes_t AS (
+  SELECT qid, tbl, base AS bucket FROM qbase
+  UNION ALL
+  SELECT f.qid, f.tbl, xor(b.base, (1::BIGINT << f.bit)) AS bucket
+  FROM flips f JOIN qbase b ON b.qid = f.qid AND b.tbl = f.tbl
+),
+cand AS (
+  SELECT DISTINCT p.qid, v.vec_id
+  FROM probes_t p JOIN vbuck v ON v.tbl = p.tbl AND v.bucket = p.bucket
+),
+{_sim_tail_sql(k, None, 3 * k)}"""
 
 
 IVF_LISTS, IVF_PROBES, IVF_GRAIN = 16, 8, 6
@@ -5795,14 +5861,24 @@ def _slice_sql(col: str, dsub: int, mi: str = "b.mi") -> str:
     return f"list_slice({col}::DOUBLE[], {mi}*{dsub}+1, {mi}*{dsub}+{dsub})"
 
 
-def _sim_tail_sql(k: int, short: int, raw_cut: int) -> str:
+def _sim_tail_sql(k: int, short: int | None, raw_cut: int) -> str:
     """Shared oracle tail: ADC shortlist → exact rerank → raw cut →
     4-dp grain cut → brute-force recall replay (the sim_ivf_topk
     discipline). Expects CTEs ``adc(qid, vec_id, arow)`` and
-    ``q(qid, qvec, qn)`` upstream."""
+    ``q(qid, qvec, …)`` upstream; ``short=None`` skips the shortlist
+    cut and reranks a ``cand(qid, vec_id)`` CTE directly (the LSH
+    shape: the probed buckets ARE the candidate set)."""
     cb = _cos_sql("e.embedding", "q.qvec")
     cr = _cos_sql("e.embedding", "q2.qvec")
-    return f"""
+    if short is None:
+        head = """
+rer AS (
+  SELECT s.qid, s.vec_id, {cr} AS rawcos
+  FROM cand s JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q q2 ON q2.qid = s.qid
+),""".replace("{cr}", cr)
+    else:
+        head = f"""
 short AS (
   SELECT qid, vec_id FROM (
     SELECT qid, vec_id,
@@ -5814,7 +5890,8 @@ rer AS (
   SELECT s.qid, s.vec_id, {cr} AS rawcos
   FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
   JOIN q q2 ON q2.qid = s.qid
-),
+),"""
+    return f"""{head}
 cut AS (
   SELECT qid, vec_id, round(rawcos, 4) AS cosine FROM (
     SELECT qid, vec_id, rawcos,
@@ -7973,18 +8050,27 @@ def q_dedup_embedding_pairs(spark, sf_dir):
     )
 
 
+EMB_LSH_BANDS, EMB_LSH_BPB = 8, 4
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup pairs, LSH-banded scale path (equi-join on
     band collisions, exact cosine verify — precision 1.0 by
-    construction). Engine hashing isn't SQL-expressible (rows-only), so
-    measured accuracy is surfaced IN the output: ``recall`` = fraction
-    of the exact pair set recovered."""
+    construction).
+    FULL oracle since r5: pinned hyperplanes (first bands·bits_per_band
+    vectors by id, normalized) + the 6-dp projection grain make the
+    band values, collision set, 4-dp cosine verify, and the measured
+    ``recall`` column (fraction of the exact pair set recovered — the
+    exact set replayed all-pairs in SQL) cross-engine deterministic.
+    Engine-SEEDED hyperplanes stay covered by tests/test_similarity.py."""
     from vframe_spark.operators.similarity import cosine_pairs_exact, lsh_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
+    planes = _pinned_planes(spark, sf_dir, EMB_LSH_BANDS * EMB_LSH_BPB)
     approx = lsh_cosine_pairs(
-        emb, EMB_PAIR_THRESHOLD, dim=dim, n_bands=8, bits_per_band=4
+        emb, EMB_PAIR_THRESHOLD, dim=dim, n_bands=EMB_LSH_BANDS,
+        bits_per_band=EMB_LSH_BPB, planes=planes, grain=PQ_GRAIN,
     )
     exact = cosine_pairs_exact(emb, EMB_PAIR_THRESHOLD, n_blocks=8).select(
         "vec_id_a", "vec_id_b"
@@ -7995,6 +8081,56 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return approx.select(
         "vec_id_a", "vec_id_b", "cosine", F.lit(recall).alias("recall")
     )
+
+
+def _emb_lsh_oracle_sql() -> str:
+    g, t = PQ_GRAIN, EMB_PAIR_THRESHOLD
+    cab = _cos_sql("ea.embedding", "eb.embedding")
+    cx = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+WITH planes AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS p,
+         {_norm_list_sql('embedding')} AS pvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {EMB_LSH_BANDS * EMB_LSH_BPB})
+),
+pl AS (SELECT p // {EMB_LSH_BPB} AS band, p % {EMB_LSH_BPB} AS bit, pvec FROM planes),
+sigs AS (
+  SELECT e.vec_id, pl.band,
+         sum(CASE WHEN round(list_dot_product(e.embedding::DOUBLE[], pl.pvec), {g}) > 0
+                  THEN (1::BIGINT << pl.bit) ELSE 0 END) AS val
+  FROM embeddings e CROSS JOIN pl
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+),
+appr AS (
+  SELECT * FROM (
+    SELECT c.vec_id_a, c.vec_id_b, round({cab}, 4) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+  ) WHERE cosine >= {t}
+),
+exact AS (
+  -- engine twin `cosine_pairs_exact` decides the threshold on the
+  -- 4-dp-ROUNDED cosine (round_dp=4 default)
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({cx}, 4) >= {t}
+),
+stats AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM appr ap JOIN exact e
+            ON e.vec_id_a = ap.vec_id_a AND e.vec_id_b = ap.vec_id_b) AS n_hit
+)
+SELECT ap.vec_id_a, ap.vec_id_b, ap.cosine,
+       round(s.n_hit / greatest(s.n_exact, 1), 4) AS recall
+FROM appr ap CROSS JOIN stats s
+"""
 
 
 SEM_K, SEM_T = 8, 0.35
@@ -12236,6 +12372,8 @@ SELECT qid, rank, term, df FROM pages WHERE rank <= 15
         "sim_ivf_topk": _ivf_oracle_sql(),
         "sim_pq_topk": _pq_oracle_sql(),
         "sim_ivfpq_topk": _ivfpq_oracle_sql(),
+        "sim_lsh_topk": _lsh_oracle_sql(),
+        "dedup_embedding_lsh": _emb_lsh_oracle_sql(),
         "sim_maxsim_topk": MAXSIM_ORACLE_SQL,
         "sim_bq_topk": BQ_ORACLE_SQL,
         "rank_pagerank": _pagerank_oracle_sql(),

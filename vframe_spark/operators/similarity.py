@@ -104,9 +104,17 @@ def lsh_signatures(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    grain: int | None = None,
 ) -> DataFrame:
-    """Random-hyperplane bucket id per vector → (vec_id, vec, bucket)."""
-    planes = _hyperplanes(dim, bits, seed)
+    """Random-hyperplane bucket id per vector → (vec_id, vec, bucket).
+
+    ``planes`` pins the hyperplanes (else seeded gaussians); ``grain``
+    rounds projections before the sign test — with pinned planes this
+    makes bucket assignment cross-engine deterministic (the `ivf_assign`
+    discipline)."""
+    if planes is None:
+        planes = _hyperplanes(dim, bits, seed)
     weights = (1 << np.arange(bits)).astype(np.int64)
     src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
 
@@ -116,7 +124,10 @@ def lsh_signatures(
             if mat.size == 0:
                 yield pd.DataFrame({"vec_id": [], "vec": [], "bucket": []})
                 continue
-            proj = mat @ planes.T > 0  # (B, bits)
+            proj = mat @ planes.T  # (B, bits)
+            if grain is not None:
+                proj = np.round(proj, grain)
+            proj = proj > 0
             bucket = (proj * weights).sum(axis=1)
             yield pd.DataFrame(
                 {"vec_id": b["vec_id"], "vec": b["vec"], "bucket": bucket}
@@ -133,12 +144,16 @@ def lsh_signatures_tables(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+    grain: int | None = None,
 ) -> DataFrame:
     """Multi-table layout: ``n_tables`` independent hyperplane tables
-    (table t seeds its planes with ``seed + t``) → one row per (vector,
-    table): (vec_id, vec, tbl, bucket). ONE pass over the corpus
-    computes every table's projection (a single (B, L·bits) GEMM)."""
-    all_planes = np.concatenate(
+    (table t seeds its planes with ``seed + t``; or pass ``planes`` as
+    the pre-concatenated (L·bits, dim) pinned matrix) → one row per
+    (vector, table): (vec_id, vec, tbl, bucket). ONE pass over the
+    corpus computes every table's projection (a single (B, L·bits)
+    GEMM). ``grain`` rounds projections before the sign test."""
+    all_planes = planes if planes is not None else np.concatenate(
         [_hyperplanes(dim, bits, seed + t) for t in range(n_tables)]
     )  # (L*bits, dim)
     weights = (1 << np.arange(bits)).astype(np.int64)
@@ -150,7 +165,10 @@ def lsh_signatures_tables(
             if mat.size == 0:
                 yield pd.DataFrame({"vec_id": [], "vec": [], "tbl": [], "bucket": []})
                 continue
-            proj = (mat @ all_planes.T > 0).reshape(len(mat), n_tables, bits)
+            proj = mat @ all_planes.T
+            if grain is not None:
+                proj = np.round(proj, grain)
+            proj = (proj > 0).reshape(len(mat), n_tables, bits)
             buckets = (proj * weights).sum(axis=2)  # (B, L)
             n = len(mat)
             yield pd.DataFrame(
@@ -167,14 +185,18 @@ def lsh_signatures_tables(
     )
 
 
-def _probe_buckets(planes: np.ndarray, weights: np.ndarray, vec, n_probes: int):
+def _probe_buckets(planes: np.ndarray, weights: np.ndarray, vec,
+                   n_probes: int, grain: int | None = None):
     """The query's bucket plus the (n_probes − 1) smallest-|margin| bit
-    flips — nearest alternative buckets first."""
+    flips — nearest alternative buckets first (margin ties → lowest bit,
+    stable argsort)."""
     v = np.asarray(vec, dtype=np.float64)
     proj = planes @ v
+    if grain is not None:
+        proj = np.round(proj, grain)
     bucket = int(((proj > 0) * weights).sum())
     buckets = [bucket]
-    for bit in np.argsort(np.abs(proj))[: max(0, n_probes - 1)]:
+    for bit in np.argsort(np.abs(proj), kind="stable")[: max(0, n_probes - 1)]:
         buckets.append(bucket ^ int(weights[bit]))
     return buckets
 
@@ -190,8 +212,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_probes: int = 1,
     n_tables: int = 1,
+    planes: np.ndarray | None = None,
+    grain: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: probe the query's bucket(s), exact rerank inside.
+
+    ``planes`` (single-table: (bits, dim); multi-table: the
+    concatenated (n_tables·bits, dim) matrix) pins the hyperplanes and
+    ``grain`` rounds every projection before sign/margin decisions —
+    together they make bucket assignment, probe selection, and the
+    candidate set cross-engine deterministic (the `ivf_topk`
+    discipline).
 
     Multi-probe (``n_probes`` > 1): also probe the buckets reached by
     flipping the hyperplane bits with the *smallest projection margin* —
@@ -212,11 +243,15 @@ def lsh_topk(
     weights = (1 << np.arange(bits)).astype(np.int64)
 
     if n_tables <= 1:
-        planes = _hyperplanes(dim, bits, seed)
-        sigs = lsh_signatures(embeddings, dim, bits, seed, id_col, vec_col)
+        if planes is None:
+            planes = _hyperplanes(dim, bits, seed)
+        sigs = lsh_signatures(
+            embeddings, dim, bits, seed, id_col, vec_col,
+            planes=planes, grain=grain,
+        )
         qrows = []
         for qid, vec in queries:
-            for bkt in _probe_buckets(planes, weights, vec, n_probes):
+            for bkt in _probe_buckets(planes, weights, vec, n_probes, grain):
                 qrows.append((qid, [float(x) for x in vec], bkt))
         qdf = spark.createDataFrame(qrows, "qid bigint, qvec array<double>, bucket bigint")
         joined = sigs.join(F.broadcast(qdf), "bucket").withColumn(
@@ -225,13 +260,15 @@ def lsh_topk(
         return _topk_window(joined.select("qid", "vec_id", "cosine"), k)
 
     sigs = lsh_signatures_tables(
-        embeddings, dim, bits, n_tables, seed, id_col, vec_col
+        embeddings, dim, bits, n_tables, seed, id_col, vec_col,
+        planes=planes, grain=grain,
     )
     qrows = []
     for qid, vec in queries:
         for t in range(n_tables):
-            planes = _hyperplanes(dim, bits, seed + t)
-            for bkt in _probe_buckets(planes, weights, vec, n_probes):
+            tp = (planes[t * bits : (t + 1) * bits]
+                  if planes is not None else _hyperplanes(dim, bits, seed + t))
+            for bkt in _probe_buckets(tp, weights, vec, n_probes, grain):
                 qrows.append((qid, [float(x) for x in vec], t, bkt))
     qdf = spark.createDataFrame(
         qrows, "qid bigint, qvec array<double>, tbl bigint, bucket bigint"
@@ -337,6 +374,8 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int | None = 4,
+    planes: np.ndarray | None = None,
+    grain: int | None = None,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs at scale: random-hyperplane
     signatures split into ``n_bands`` bands; two vectors are CANDIDATES
@@ -351,7 +390,8 @@ def lsh_cosine_pairs(
     contract query and pinned in tests.
     """
     total_bits = n_bands * bits_per_band
-    planes = _hyperplanes(dim, total_bits, seed)
+    if planes is None:
+        planes = _hyperplanes(dim, total_bits, seed)
     weights = (1 << np.arange(bits_per_band)).astype(np.int64)
     src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
 
@@ -360,7 +400,10 @@ def lsh_cosine_pairs(
             if not len(b):
                 continue
             mat = np.array(b["vec"].tolist(), dtype=np.float64)
-            proj = mat @ planes.T > 0  # (B, total_bits)
+            proj = mat @ planes.T  # (B, total_bits)
+            if grain is not None:
+                proj = np.round(proj, grain)
+            proj = proj > 0
             frames = []
             for band in range(n_bands):
                 sl = proj[:, band * bits_per_band : (band + 1) * bits_per_band]
