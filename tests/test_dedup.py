@@ -139,6 +139,27 @@ def test_simhash_pairs_allpairs_oracle_sf001(spark, sf001_dir):
         assert got == expect  # equality: exact recall AND no false positives
 
 
+def test_simhash_signatures_match_perrow_simhash64(spark, sf001_dir):
+    """The batch-vectorized (factorize + reduceat) simhash kernel is
+    bit-for-bit the per-row `simhash64` the streaming filter runs —
+    integer sums over occurrences equal the per-unique count
+    weighting, so NO value drift is tolerated."""
+    from vframe_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet").limit(150)
+    extra = spark.createDataFrame(
+        [(900001, "tiny"), (900002, "   "), (900003, "a b a b a")],
+        "doc_id bigint, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    want = {r["doc_id"]: simhash64(r["text"]) for r in docs.collect()}
+    got = {
+        r["id"]: r["simhash"]
+        for r in simhash_signatures(docs, "text", "doc_id").collect()
+    }
+    assert got == want
+
+
 def test_minhash_signatures_match_perrow_reference(spark, sf001_dir):
     """The vectorized (factorize + poly-combine + reduceat) signature
     kernel is value-identical to an independent per-row, per-word

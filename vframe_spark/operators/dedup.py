@@ -339,19 +339,59 @@ def simhash64(text: str) -> int:
 
 
 def simhash_signatures(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """64-bit tf-weighted SimHash per doc → (id, simhash bigint)."""
+    """64-bit tf-weighted SimHash per doc → (id, simhash bigint).
+
+    Bit-for-bit identical to mapping `simhash64` per row (the streaming
+    filter's kernel — tests pin the equality), but batch-vectorized:
+    the per-unique count weighting Σ count(t)·sign(t) equals summing
+    signs over token OCCURRENCES, so the batch factorizes words once
+    (each distinct word siphashed once), expands the (words, 64) sign
+    matrix per bounded chunk, and folds per-doc with
+    ``np.add.reduceat`` — integer sums, order-independent, so no value
+    drift. ~5× the r4 per-doc loop (np.unique + hash per doc)."""
     src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
 
     def sim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            yield pd.DataFrame(
-                {
-                    "id": batch["id"].values,
-                    "simhash": pd.array(
-                        [simhash64(t) for t in batch["content"]], dtype="int64"
-                    ),
-                }
-            )
+            ids = batch["id"].to_numpy()
+            n = len(batch)
+            out = np.zeros(n, dtype=np.int64)
+            if n == 0:
+                yield pd.DataFrame({"id": ids, "simhash": out})
+                continue
+            wordlists = [str(t).lower().split() for t in batch["content"]]
+            wc = np.fromiter((len(w) for w in wordlists), dtype=np.int64, count=n)
+            total = int(wc.sum())
+            if total:
+                flat = np.empty(total, dtype=object)
+                pos = 0
+                for wl in wordlists:
+                    flat[pos : pos + len(wl)] = wl
+                    pos += len(wl)
+                codes, uniq = pd.factorize(flat)
+                uh = pd.util.hash_array(
+                    np.asarray(uniq, dtype=object)
+                ).astype(np.uint64)
+                W = uh[codes]
+                offs = np.r_[0, np.cumsum(wc)]
+                d0 = 0
+                while d0 < n:
+                    d1 = int(
+                        np.searchsorted(offs, offs[d0] + _SHINGLE_CHUNK, "left")
+                    )
+                    d1 = min(max(d1, d0 + 1), n)
+                    lo, hi = int(offs[d0]), int(offs[d1])
+                    if hi > lo:
+                        signs = (
+                            (W[lo:hi, None] & _SIM_BITS[None, :]) != 0
+                        ).astype(np.int32) * 2 - 1
+                        nzd = np.arange(d0, d1)[wc[d0:d1] > 0]
+                        bounds = offs[nzd] - lo
+                        acc = np.add.reduceat(signs, bounds, axis=0)
+                        v = ((acc > 0).astype(np.uint64) * _SIM_BITS).sum(axis=1)
+                        out[nzd] = v.astype(np.int64)  # two's-complement wrap
+                    d0 = d1
+            yield pd.DataFrame({"id": ids, "simhash": out})
 
     return src.mapInPandas(sim_batches, "id bigint, simhash bigint")
 
