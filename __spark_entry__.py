@@ -5759,11 +5759,19 @@ res AS (
   FROM cand
 ),
 bf AS (
+  -- engine twin: raw top-(3k) cushion FIRST, then the 4-dp grain cut —
+  -- a rounded tie straddling the raw cushion boundary must resolve
+  -- identically in both engines
   SELECT qid, vec_id FROM (
-    SELECT q.qid, e.vec_id,
-           row_number() OVER (PARTITION BY q.qid
-             ORDER BY round({cb}, 4) DESC, e.vec_id ASC) AS rk
-    FROM embeddings e CROSS JOIN q
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(rawc, 4) DESC, vec_id ASC) AS rk
+    FROM (
+      SELECT q.qid, e.vec_id, {cb} AS rawc,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY {cb} DESC, e.vec_id ASC) AS rawrk
+      FROM embeddings e CROSS JOIN q
+    ) WHERE rawrk <= {3 * k}
   ) WHERE rk <= {k}
 ),
 recall AS (
@@ -5907,11 +5915,19 @@ res AS (
   FROM cut
 ),
 bf AS (
+  -- engine twin: raw top-(3k) cushion FIRST, then the 4-dp grain cut —
+  -- a rounded tie straddling the raw cushion boundary must resolve
+  -- identically in both engines
   SELECT qid, vec_id FROM (
-    SELECT q.qid, e.vec_id,
-           row_number() OVER (PARTITION BY q.qid
-             ORDER BY round({cb}, 4) DESC, e.vec_id ASC) AS rk
-    FROM embeddings e CROSS JOIN q
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY round(rawc, 4) DESC, vec_id ASC) AS rk
+    FROM (
+      SELECT q.qid, e.vec_id, {cb} AS rawc,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY {cb} DESC, e.vec_id ASC) AS rawrk
+      FROM embeddings e CROSS JOIN q
+    ) WHERE rawrk <= {3 * k}
   ) WHERE rk <= {k}
 ),
 recall AS (

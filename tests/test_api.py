@@ -117,6 +117,17 @@ def test_local_engine_stamped_against_index_mutation(spark, tmp_path, corpus):
         d for d, _ in idx.reload().local_engine().topk("data parse", k=5)
     }
 
+    # cross-handle mutation: a handle with CACHED parts must not mint a
+    # stale-born engine carrying a fresh stamp (mutation through a
+    # second handle nulls only that handle's cache)
+    idx.search("data", k=3).collect()  # populate idx._loaded
+    want2 = idx.local_engine().topk("data parse", k=5)
+    other = SearchIndex(spark, out)
+    victim2 = want2[0][0]
+    assert other.delete([victim2]) == 1
+    eng3 = idx.local_engine()  # must see the NEW generation
+    assert victim2 not in {d for d, _ in eng3.topk("data parse", k=5)}
+
 
 def test_facade_round2_surfaces(spark, tmp_path_factory):
     from pyspark.sql import functions as F

@@ -316,6 +316,38 @@ def test_compact_swap_crash_windows_recover(spark, tmp_path_factory):
     assert not os.path.exists(_compact_marker(out))
     assert not os.path.isdir(stage) and os.path.isdir(out)
     assert load_graph_meta(out)["n_vectors"] == 60
+
+    # own-pid marker: a concurrent reader THREAD in the compactor's
+    # process must also treat it as in-flight (the compactor rolls back
+    # its own failures; repair destroying the live stage would wreck
+    # the swap)
+    from vframe_spark.index.graphann import _pid_start
+
+    stage2 = base + "/stage_self"
+    shutil.copytree(out, stage2)
+    with open(_compact_marker(out), "w") as fh:
+        json.dump({"stage": stage2, "old": out + ".old",
+                   "pid": os.getpid(), "pid_start": _pid_start(os.getpid())},
+                  fh)
+    repair_graph_compaction(out)
+    assert os.path.exists(_compact_marker(out)) and os.path.isdir(stage2)
+
+    # recycled pid: same live pid but WRONG start-ticks = the owner is
+    # dead and the pid was reused → this IS a crash, repair proceeds
+    with open(_compact_marker(out), "w") as fh:
+        json.dump({"stage": stage2, "old": out + ".old",
+                   "pid": os.getpid(), "pid_start": "1"}, fh)
+    repair_graph_compaction(out)
+    assert not os.path.exists(_compact_marker(out)) and not os.path.isdir(stage2)
+
+    # corrupted marker (markers publish atomically, so this is disk
+    # corruption, not a mid-write window): cleared, not a permanent
+    # compaction lock-out
+    with open(_compact_marker(out), "w") as fh:
+        fh.write("{truncated")
+    repair_graph_compaction(out)
+    assert not os.path.exists(_compact_marker(out))
+    assert load_graph_meta(out)["n_vectors"] == 60
     # queries still reproduce after both recoveries
     got = graph_index_topk(
         spark, out, [(1, [float(x) for x in m[7]])], k=2, ef_search=48

@@ -39,11 +39,20 @@ def test_render_escaping_and_missing_param():
 
 
 def test_safe_slot_rejects_operator_injection():
-    # an untrusted param cannot restructure the query through a bare slot
+    # an untrusted param cannot restructure the query through a bare
+    # slot — including via non-ASCII / non-listed whitespace, which the
+    # final \s+ normalization would otherwise turn into separators
     for evil in ["py OR java", "a AND b", "x)^9", 'x" OR y', "-neg",
-                 "+req", "lang:py", "a b", "OR", "n:[1 TO 2]", ""]:
+                 "+req", "lang:py", "a b", "OR", "n:[1 TO 2]", "",
+                 "en\x0cOR\x0cjava", "en\x0bOR\x0bjava",
+                 "en OR java", "en OR java"]:
         with pytest.raises(ValueError, match="single query atom"):
             render_search_template("lang:{{l}} AND x", {"l": evil})
+    # signed numerics are legitimate atoms (range bounds, offsets)
+    assert render_search_template(
+        "n_chars:[{{lo}} TO {{hi}}]", {"lo": -5, "hi": 400}
+    ) == "n_chars:[-5 TO 400]"
+    assert render_search_template("b:{{b}}", {"b": -2.5}) == "b:-2.5"
     # plain atoms (incl. wildcards, digits, dots) still render bare
     assert render_search_template(
         "lang:{{l}} AND x^{{b}}", {"l": "py*", "b": 2}

@@ -65,6 +65,9 @@ class SearchIndex:
 
     def _parts(self):
         if self._loaded is None:
+            from .query.local import _index_stamp
+
+            self._loaded_stamp = _index_stamp(self.out_dir)
             self._loaded = load_index(self.spark, self.out_dir)
         return self._loaded
 
@@ -1003,8 +1006,19 @@ class SearchIndex:
         raises ``StaleEngineError`` instead of serving stale cached
         postings — construct a fresh engine (`.reload().local_engine()`)
         to query the new generation."""
-        from .query.local import LocalQueryEngine
+        from .query.local import LocalQueryEngine, _index_stamp
 
+        # An engine must never be BORN stale with a fresh stamp: if the
+        # on-disk generation moved since this handle cached its parts
+        # (a mutation through another handle/process), reload first —
+        # otherwise the engine would serve the cached pre-mutation
+        # DataFrames while its stamp matches the new generation and the
+        # staleness guard never fires.
+        if (
+            self._loaded is not None
+            and getattr(self, "_loaded_stamp", None) != _index_stamp(self.out_dir)
+        ):
+            self.reload()
         p, t, _d, meta = self._parts()
         if "exclude_doc_ids" not in engine_kwargs:
             capped = load_tombstones_capped(

@@ -231,15 +231,32 @@ def _compact_marker(out_dir: str) -> str:
     return out_dir.rstrip("/") + ".compact_marker"
 
 
-def _pid_alive(pid) -> bool:
+def _pid_start(pid) -> "str | None":
+    """Process start-ticks from /proc/<pid>/stat (field 22) — pid +
+    start time uniquely names a process on this boot, so a recycled pid
+    cannot masquerade as the (dead) marker owner. None = no such
+    process or no procfs."""
+    try:
+        with open(f"/proc/{int(pid)}/stat") as fh:
+            # comm (field 2) may contain spaces/parens — split after it
+            return fh.read().rsplit(")", 1)[1].split()[19]
+    except (OSError, IndexError, TypeError, ValueError):
+        return None
+
+
+def _pid_alive(pid, start=None) -> bool:
     try:
         os.kill(int(pid), 0)
     except ProcessLookupError:
         return False
     except PermissionError:
-        return True  # exists, owned by another user
+        pass  # exists, owned by another user — fall through to start check
     except (TypeError, ValueError, OverflowError):
         return False
+    if start is not None:
+        cur = _pid_start(pid)
+        if cur is not None and cur != str(start):
+            return False  # pid recycled by an unrelated process
     return True
 
 
@@ -255,14 +272,21 @@ def repair_graph_compaction(out_dir: str) -> None:
     - out_dir present, stage gone → swap completed: clean up.
     - both missing → restore the ``.old`` backup.
 
-    The marker carries the compactor's pid: a marker whose owner is a
-    LIVE process is a compaction in flight, not a crash, and repair
-    leaves it alone — without this, a reader loading between the
-    marker write and the first rename would see "stage + out_dir both
-    present", rmtree the live stage, and delete the marker, leaving the
-    compactor's swap to fail with no recovery path. Crash recovery is
-    unchanged: a dead (or absent) pid means the state on disk is the
-    crash, and repair proceeds.
+    The marker carries the compactor's pid + process start-ticks: a
+    marker whose owner is a LIVE process (same pid AND same start
+    ticks — a recycled pid does not count) is a compaction in flight,
+    not a crash, and repair leaves it alone — without this, a reader
+    loading between the marker write and the first rename would see
+    "stage + out_dir both present", rmtree the live stage, and delete
+    the marker, leaving the compactor's swap to fail with no recovery
+    path. This includes a reader in the compactor's OWN process (a
+    concurrent thread): the compactor rolls back its own failures
+    (see ``compact_graph_index``), so an own-pid marker is always
+    in-flight, never a crash. The marker is created atomically with
+    its full payload (hard-link publish), so a half-written marker
+    cannot exist; an unparseable one is corruption and is removed.
+    Crash recovery is unchanged: a dead/absent/recycled pid means the
+    state on disk is the crash, and repair proceeds.
     """
     import contextlib
     import shutil
@@ -273,10 +297,17 @@ def repair_graph_compaction(out_dir: str) -> None:
     try:
         with open(marker) as fh:
             st = json.load(fh)
-    except (FileNotFoundError, json.JSONDecodeError):
-        return  # removed (or mid-write) by the live compactor
+    except FileNotFoundError:
+        return  # completed and removed by the live compactor
+    except json.JSONDecodeError:
+        # markers publish atomically with full content — this is
+        # corruption, not a mid-write window; clear it so compaction
+        # is not locked out forever
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(marker)
+        return
     pid = st.get("pid")
-    if pid is not None and int(pid) != os.getpid() and _pid_alive(pid):
+    if pid is not None and _pid_alive(pid, st.get("pid_start")):
         return  # compaction in flight — not ours to touch
     stage, old = st["stage"], st["old"]
     if os.path.isdir(out_dir) and os.path.isdir(stage):
@@ -397,21 +428,44 @@ def compact_graph_index(
     old = out_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
     marker = _compact_marker(out_dir)
-    # O_EXCL: exactly one compactor may hold the marker; the embedded
-    # pid tells concurrent readers' repair passes a LIVE compaction from
-    # a crashed one (see repair_graph_compaction).
+    # Atomic marker publish: write the FULL payload to a temp file,
+    # then hard-link it to the marker name — link fails if the marker
+    # exists (one compactor at a time) and a visible marker always
+    # carries complete JSON (a crash can never leave a truncated one).
+    # The embedded pid + start-ticks tell concurrent readers' repair
+    # passes a LIVE compaction from a crashed one.
+    tmp_marker = marker + f".tmp.{os.getpid()}"
+    with open(tmp_marker, "w") as fh:
+        json.dump(
+            {
+                "stage": stage, "old": old, "pid": os.getpid(),
+                "pid_start": _pid_start(os.getpid()),
+            },
+            fh,
+        )
     try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp_marker, marker)
     except FileExistsError:
         shutil.rmtree(stage, ignore_errors=True)
         raise RuntimeError(
-            f"another compaction holds {marker}; if its process is dead, "
-            f"a load/repair pass will clear it"
+            f"another compaction holds {marker}; if its owner is dead, "
+            f"the next load/repair pass will clear it"
         ) from None
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"stage": stage, "old": old, "pid": os.getpid()}, fh)
-    os.replace(out_dir, old)
-    os.replace(stage, out_dir)
+    finally:
+        os.remove(tmp_marker)
+    # Swap with rollback: readers (including our own threads) treat the
+    # live-pid marker as in-flight and never repair it, so WE must undo
+    # a failed swap — otherwise the marker would pin a broken state
+    # until this process exits.
+    try:
+        os.replace(out_dir, old)
+        os.replace(stage, out_dir)
+    except BaseException:
+        if not os.path.isdir(out_dir) and os.path.isdir(old):
+            os.replace(old, out_dir)  # restore the pre-swap index
+        shutil.rmtree(stage, ignore_errors=True)
+        os.remove(marker)
+        raise
     os.remove(marker)
     shutil.rmtree(old, ignore_errors=True)
     return new_meta

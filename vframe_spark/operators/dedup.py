@@ -99,12 +99,30 @@ def _perm_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
-def _doc_shingles(text, shingle_n: int) -> list[str]:
-    """Word shingles of one doc (shared by batch + test-oracle paths)."""
-    words = str(text).lower().split()
-    if len(words) >= shingle_n:
-        return [" ".join(words[i : i + shingle_n]) for i in range(len(words) - shingle_n + 1)]
-    return [" ".join(words)] if words else []
+def _flat_word_hashes(contents) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch of texts and siphash each DISTINCT word once →
+    (per-occurrence word-hash array W, per-doc word counts wc, doc
+    offsets offs with leading 0). The ONE tokenization both batch
+    kernels (minhash, simhash) share — they must agree word-for-word
+    with each other and with the per-row `simhash64` / the minhash
+    pure-Python reference test, so keep the `lower().split()` spec
+    here and only here."""
+    wordlists = [str(t).lower().split() for t in contents]
+    n = len(wordlists)
+    wc = np.fromiter((len(w) for w in wordlists), dtype=np.int64, count=n)
+    total = int(wc.sum())
+    if total:
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for wl in wordlists:
+            flat[pos : pos + len(wl)] = wl
+            pos += len(wl)
+        codes, uniq = pd.factorize(flat)
+        uh = pd.util.hash_array(np.asarray(uniq, dtype=object)).astype(np.uint64)
+        W = uh[codes]
+    else:
+        W = np.empty(0, dtype=np.uint64)
+    return W, wc, np.r_[0, np.cumsum(wc)]
 
 
 # Budget of shingle hashes per vectorized block: bounds the (n_hashes,
@@ -169,23 +187,8 @@ def minhash_signatures(
             if n == 0:
                 yield pd.DataFrame({"id": ids, "sig": list(sigs)})
                 continue
-            wordlists = [str(t).lower().split() for t in batch["content"]]
-            wc = np.fromiter((len(w) for w in wordlists), dtype=np.int64, count=n)
+            W, wc, offs = _flat_word_hashes(batch["content"])
             total = int(wc.sum())
-            if total:
-                flat = np.empty(total, dtype=object)
-                pos = 0
-                for wl in wordlists:
-                    flat[pos : pos + len(wl)] = wl
-                    pos += len(wl)
-                codes, uniq = pd.factorize(flat)
-                uh = pd.util.hash_array(
-                    np.asarray(uniq, dtype=object)
-                ).astype(np.uint64)
-                W = uh[codes]
-            else:
-                W = np.empty(0, dtype=np.uint64)
-            offs = np.r_[0, np.cumsum(wc)]
             # shingle value at every word position (positions crossing a
             # doc boundary are garbage and never selected below)
             if total >= shingle_n:
@@ -359,21 +362,8 @@ def simhash_signatures(df: DataFrame, content_col: str, id_col: str) -> DataFram
             if n == 0:
                 yield pd.DataFrame({"id": ids, "simhash": out})
                 continue
-            wordlists = [str(t).lower().split() for t in batch["content"]]
-            wc = np.fromiter((len(w) for w in wordlists), dtype=np.int64, count=n)
-            total = int(wc.sum())
-            if total:
-                flat = np.empty(total, dtype=object)
-                pos = 0
-                for wl in wordlists:
-                    flat[pos : pos + len(wl)] = wl
-                    pos += len(wl)
-                codes, uniq = pd.factorize(flat)
-                uh = pd.util.hash_array(
-                    np.asarray(uniq, dtype=object)
-                ).astype(np.uint64)
-                W = uh[codes]
-                offs = np.r_[0, np.cumsum(wc)]
+            W, wc, offs = _flat_word_hashes(batch["content"])
+            if W.size:
                 d0 = 0
                 while d0 < n:
                     d1 = int(

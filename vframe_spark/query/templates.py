@@ -45,9 +45,13 @@ _TAG_RE = re.compile(r"\{\{([#^/])\s*([\w.]+)\s*\}\}")
 _SLOT_RE = re.compile(r"\{\{\{\s*([\w.]+)\s*\}\}\}|\{\{\s*([\w.]+)\s*\}\}")
 
 # Characters that could restructure a query if substituted into a bare
-# (unquoted) slot, plus the bare operator words.
-_UNSAFE_CHARS = set(" \t\n\r()\"'^:[]{}~")
+# (unquoted) slot, plus the bare operator words. Whitespace is checked
+# via str.isspace() — the renderer's final \s+ normalization and the
+# query tokenizer treat EVERY unicode space as a separator, so a
+# hand-listed subset (\x0b, \x0c, NBSP … missing) would be bypassable.
+_UNSAFE_CHARS = set("()\"'^:[]{}~")
 _OPERATOR_WORDS = frozenset({"AND", "OR", "NOT", "TO"})
+_SIGNED_NUMBER_RE = re.compile(r"[+-]?\d+(\.\d+)?")
 
 
 def _present(params: dict, name: str) -> bool:
@@ -75,9 +79,11 @@ def _coerce(v) -> str:
 
 
 def _check_safe_atom(name: str, s: str) -> None:
+    if _SIGNED_NUMBER_RE.fullmatch(s):
+        return  # signed numerics (range bounds, boosts) cannot restructure
     if (
         s == ""
-        or any(c in _UNSAFE_CHARS for c in s)
+        or any(c in _UNSAFE_CHARS or c.isspace() for c in s)
         or s in _OPERATOR_WORDS
         or s[0] in "-+"
     ):
